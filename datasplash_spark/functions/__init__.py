@@ -1,0 +1,7 @@
+"""LLM-data-pipeline function library: text analysis, dedup,
+similarity search, multimodal columns (north-star extensions beyond
+the reference's operator surface — BASELINE.json)."""
+
+from . import dedup, similarity, text
+
+__all__ = ["dedup", "similarity", "text"]

@@ -1,0 +1,213 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — LLM-data-pipeline extensions (BASELINE.json north_star).
+
+Design for 100 TB:
+
+- Exact dedup: hash-groupBy on a digest of the text — shuffles
+  16-byte digests, not documents.
+- MinHash/LSH: shingle → 60-bit base hash → H affine permutations
+  ``(a·x + b) mod p`` (p = 2^61−1) → banded signature → groupBy band
+  bucket → self-join on buckets. All pure Column expressions
+  (higher-order array functions) — no Python in the hot path, no
+  O(n²) compare; the only shuffles are on small bucket keys.
+- SimHash: one pass over token hashes accumulating 60 bit-votes.
+
+Cross-engine determinism: base hashes derive from md5 (identical in
+DuckDB), and the permutation arithmetic runs in DECIMAL(38,0) on the
+Spark side / HUGEINT on the DuckDB side — bit-exact both ways.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.elementwise import ColumnLike, _col
+from .text import tokens
+
+#: Mersenne prime 2^61 − 1 used by the affine permutation family.
+MERSENNE_P = (1 << 61) - 1
+
+SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
+
+
+def md5_long(c: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    DuckDB equivalent: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family — a fixed
+    LCG, so the oracle SQL can embed the same constants."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def _affine_mod(h: Column, a: int, b: int) -> Column:
+    """(a·h + b) mod p, exactly. a·h < 2^122 fits DECIMAL(38,0);
+    DuckDB mirrors with HUGEINT: ``(a::HUGEINT * h + b) % p``."""
+    prod = F.lit(a).cast("decimal(38,0)") * h.cast("decimal(38,0)")
+    return ((prod + F.lit(b)) % F.lit(MERSENNE_P)).cast("long")
+
+
+def shingles(text: ColumnLike, k: int = 3) -> Column:
+    """Distinct word k-shingles (k tokens joined by a space); texts
+    shorter than k tokens yield their single full-token join."""
+    toks = tokens(text)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(windows)
+
+
+def minhash_signature(
+    text: ColumnLike, num_hashes: int = 16, k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature: array of per-permutation minima over the
+    shingle hashes. O(shingles × num_hashes) JVM ops per row, no
+    shuffle."""
+    hashes = F.transform(shingles(text, k), md5_long)
+
+    def perm(a: int, b: int):
+        # closure factory: a plain 1-arg lambda (PySpark derives the HOF
+        # arity from the Python signature, so default-arg tricks break)
+        return lambda h: _affine_mod(h, a, b)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(a, b)))
+            for a, b in minhash_params(num_hashes, seed)
+        ]
+    )
+
+
+def simhash(text: ColumnLike) -> Column:
+    """SimHash signature as a 60-bit BIGINT: per-bit votes of distinct
+    token hashes (+1 if bit set, −1 otherwise), sign-thresholded.
+
+    Single traversal: one ``aggregate`` with a 60-slot vote array."""
+    hashes = F.transform(F.array_distinct(tokens(text)), md5_long)
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.when(F.shiftright(h, i) % 2 == 1, 1).otherwise(-1),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = F.zip_with(
+        votes,
+        bit_idx,
+        lambda v, i: F.when(
+            v > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming64(a: ColumnLike, b: ColumnLike) -> Column:
+    """Hamming distance between two 64-bit signatures."""
+    return F.bit_count(_col(a).bitwiseXOR(_col(b)))
+
+
+def ngram_jaccard(a: ColumnLike, b: ColumnLike, k: int = 3) -> Column:
+    """n-gram (word k-shingle) Jaccard similarity of two text columns."""
+    sa, sb = shingles(a, k), shingles(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+# ------------------------------------------------------------- pipelines
+
+def exact_duplicates(
+    df: DataFrame, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"
+) -> DataFrame:
+    """Exact dedup: digest-groupBy; groups with >1 doc are duplicate
+    sets (keep_id = canonical survivor)."""
+    return (
+        df.select(F.md5(_col(text)).alias("digest"), _col(id_col).alias("doc_id"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"
+) -> DataFrame:
+    """Keep one doc (min id) per exact-text group; returns surviving ids."""
+    return (
+        df.groupBy(F.md5(_col(text)).alias("digest"))
+        .agg(F.min(_col(id_col)).alias("doc_id"))
+        .drop("digest")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (doc_a < doc_b).
+
+    docs × bands rows explode out, bucket = (band, signature slice);
+    pairs come from the bucket self-join. Linear in corpus size plus
+    the (intended) quadratic only inside same-bucket collision groups.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text, num_hashes, k, seed)
+    banded = (
+        df.select(_col(id_col).alias("doc_id"), sig.alias("_sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.struct(
+                        bnd.alias("band"),
+                        F.slice(
+                            F.col("_sig"), bnd * rows_per_band + 1, rows_per_band
+                        ).alias("band_sig"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ":",
+                F.col("b.band").cast("string"),
+                F.array_join(F.col("b.band_sig"), ","),
+            ).alias("bucket"),
+        )
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

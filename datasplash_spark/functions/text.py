@@ -1,0 +1,119 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §2.9: datasplash has no
+scalar function library — users call Clojure inside ``map``); these are
+the LLM-data-pipeline extensions (BASELINE.json north_star), built as
+pure Column expressions so they run JVM-side under whole-stage codegen
+at 100 TB — no Python in the hot path.
+
+Cross-engine determinism: every function here has an exact DuckDB SQL
+equivalent (used by the oracle harness), so hashes/scores match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..operators.elementwise import ColumnLike, _col
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small + deterministic (oracle replicates).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "mit", "ein"],
+    "es": ["el", "los", "de", "que", "y", "en", "una", "por"],
+}
+
+
+def tokens(text: ColumnLike) -> Column:
+    """Whitespace tokenization (lowercased). Matches DuckDB
+    ``string_split(lower(text), ' ')`` exactly — single-space split,
+    empties preserved — so oracle comparisons are bit-exact."""
+    return F.split(F.lower(_col(text)), " ")
+
+
+def token_count(text: ColumnLike) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: ColumnLike) -> Column:
+    """BPE-ish token estimate: word-and-punctuation regex split.
+
+    Counts maximal runs of word chars plus single non-space
+    non-word chars — a deterministic stand-in for a real BPE vocab
+    (which would be a broadcast lookup at scale)."""
+    c = _col(text)
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=\W)|(?=\W)"),
+            lambda t: (F.trim(t) != "") & t.isNotNull(),
+        )
+    )
+
+
+def punct_ratio(text: ColumnLike) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = _col(text)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(text: ColumnLike, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+    )
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(0.0)
+
+
+def quality_score(text: ColumnLike) -> Column:
+    """Composite quality heuristic in [0, 1]: length band + low
+    punctuation + stopword presence. Deterministic, oracle-exact."""
+    c = _col(text)
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(0.4)).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) > 0.05, F.lit(0.3)).otherwise(0.0)
+    return len_ok + punct_ok + stop_ok
+
+
+def lang_scores(text: ColumnLike) -> dict[str, Column]:
+    """Per-language stopword-hit counts over distinct tokens."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: ColumnLike) -> Column:
+    """Stopword-overlap language ID over {en, fr, de, es}; ``und`` when
+    nothing matches. Ties break in fixed lang order (en<fr<de<es) —
+    replicated exactly by the oracle's chained CASE."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    # build nested CASE: pick first lang with maximal score
+    ordered = list(scores.items())
+    max_score = ordered[0][1]
+    for _, s in ordered[1:]:
+        max_score = F.greatest(max_score, s)
+    expr = F.lit("und")
+    for lang, s in reversed(ordered):
+        expr = F.when((s == max_score) & (max_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: ColumnLike) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token bag.
+    Robust to word order (bag-of-words identity); oracle-exact via
+    DuckDB ``md5(array_to_string(list_sort(...), ' '))``."""
+    toks = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.array_join(toks, " "))

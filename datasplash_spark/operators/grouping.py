@@ -1,0 +1,243 @@
+"""Grouping, aggregation, combine.
+
+Reference parity (all /root/reference/src/clj/datasplash/core.clj):
+``group-by-key`` 926-935, ``group-by`` 990-1020, ``combine`` 1882-1913,
+``combine-by`` 1915-1946, ``combine-fn`` 722-774, ``juxt`` 864-897,
+``count-fn`` 1982-1990, ``sum-fn`` 1992-2002, ``mean-fn`` 2004-2017,
+``max-fn``/``min-fn`` 2019-2050, ``frequencies-fn`` 2052-2063,
+``frequencies`` 2065-2080, ``distinct`` 1741-1756, ``distinct-by``
+1948-1980, ``sample`` 1761-1782.
+
+Semantics pinned from the reference code (not its test comments —
+SURVEY.md §7.4): a combiner's ``:mapper`` applies only to elements
+passing ``:predicate``; failing elements are excluded entirely
+(core.clj:1987, 1997-1999). ``count-fn``'s default mapper is
+``(constantly 1)``; the others default to identity (core.clj:1983-1995).
+``mean-fn`` returns 0 on empty input (core.clj:2012).
+
+Scale notes: every aggregate here compiles to Catalyst
+``HashAggregateExec`` with automatic partial (map-side) aggregation —
+the reference's combiner-lifting (ClojureCombineFn.java:32-38) and
+``:fanout`` hot-key fan-out come for free for algebraic aggs. For
+holistic aggs on skewed keys use :func:`salted_agg`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .elementwise import ColumnLike, _col, with_keys
+
+
+# ---------------------------------------------------------------- group-by
+
+def group_by_key(
+    df: DataFrame, key: ColumnLike = "key", value: ColumnLike = "value"
+) -> DataFrame:
+    """``group-by-key`` (core.clj:926-935): KV pcoll → KV<K, vec<V>>.
+
+    One shuffle on the key; collect_list is a holistic agg so there is
+    no map-side combine — by design, same as Beam's GroupByKey.
+    """
+    kc, vc = _col(key), _col(value)
+    return df.groupBy(kc.alias("key")).agg(F.collect_list(vc).alias("values"))
+
+
+def dgroup_by(df: DataFrame, key_expr: ColumnLike, key_name: str = "key") -> DataFrame:
+    """``group-by`` (core.clj:990-1020): with-keys f + group-by-key —
+    groups whole elements (struct of all columns) by a computed key."""
+    return (
+        df.groupBy(_col(key_expr).alias(key_name))
+        .agg(F.collect_list(F.struct("*")).alias("values"))
+    )
+
+
+# ---------------------------------------------------------------- combiners
+#
+# Each *-fn returns a Column aggregate, composable into one-pass
+# df.agg(...) — the reference's `juxt` sibling-fusion (core.clj:864-897)
+# is then just "pass several of these to agg()".
+
+def _masked(expr: ColumnLike, predicate: ColumnLike | None) -> Column:
+    c = _col(expr)
+    if predicate is None:
+        return c
+    return F.when(_col(predicate), c)  # failing rows → NULL → ignored by aggs
+
+
+def count_fn(
+    predicate: ColumnLike | None = None, mapper: ColumnLike | None = None
+) -> Column:
+    """``count-fn`` (core.clj:1982-1990). Default mapper = 1 (weight);
+    with a mapper it is a weighted count (i.e. a sum of weights)."""
+    expr = _col(mapper) if mapper is not None else F.lit(1)
+    return F.coalesce(F.sum(_masked(expr, predicate)), F.lit(0))
+
+
+def sum_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:
+    """``sum-fn`` (core.clj:1992-2002); ``expr`` plays the :mapper role."""
+    return F.sum(_masked(expr, predicate))
+
+
+def mean_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:
+    """``mean-fn`` (core.clj:2004-2017): mean; empty input → 0."""
+    return F.coalesce(F.avg(_masked(expr, predicate)), F.lit(0.0))
+
+
+def max_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:
+    """``max-fn`` (core.clj:2019-2034), nil-safe (nulls ignored)."""
+    return F.max(_masked(expr, predicate))
+
+
+def min_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:
+    """``min-fn`` (core.clj:2036-2050), nil-safe."""
+    return F.min(_masked(expr, predicate))
+
+
+def frequencies(df: DataFrame, expr: ColumnLike, alias: str = "value") -> DataFrame:
+    """``frequencies`` (core.clj:2065-2080, Beam Count.perElement):
+    global element→count. Partial-aggregated count, one shuffle."""
+    return df.groupBy(_col(expr).alias(alias)).agg(F.count(F.lit(1)).alias("count"))
+
+
+def frequencies_by(
+    df: DataFrame, key_expr: ColumnLike, value_expr: ColumnLike
+) -> DataFrame:
+    """``frequencies-fn`` as a per-key combiner (core.clj:2052-2063):
+    per group, a value→count map.
+
+    Two-level aggregation — groupBy(key, value).count() first (fully
+    partial-aggregatable, skew-tolerant), then assemble the map. This
+    beats collecting raw values per key at scale.
+    """
+    k, v = _col(key_expr), _col(value_expr)
+    counted = df.groupBy(k.alias("key"), v.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return counted.groupBy("key").agg(
+        F.map_from_entries(F.collect_list(F.struct("_v", "_n"))).alias("freqs")
+    )
+
+
+def combine(df: DataFrame, *aggs: Column) -> DataFrame:
+    """``combine`` with ``:scope :global`` (core.clj:1882-1913) →
+    singleton result. Multiple aggs fuse into one pass (``juxt``,
+    core.clj:864-897, is free in Catalyst)."""
+    return df.agg(*aggs)
+
+
+def combine_per_key(
+    df: DataFrame, *aggs: Column, key: ColumnLike = "key"
+) -> DataFrame:
+    """``combine`` with ``:scope :per-key`` (core.clj:1898-1904)."""
+    return df.groupBy(_col(key)).agg(*aggs)
+
+
+def combine_by(
+    df: DataFrame, key_expr: ColumnLike, *aggs: Column, key_name: str = "key"
+) -> DataFrame:
+    """``combine-by`` (core.clj:1915-1946): with-keys + combine per key."""
+    return df.groupBy(_col(key_expr).alias(key_name)).agg(*aggs)
+
+
+def juxt(*aggs: Column) -> list[Column]:
+    """``juxt`` (core.clj:864-897): fuse N combiners into one pass.
+    In Catalyst N aggregates in one ``agg()`` are already one pass;
+    kept as API sugar for parity."""
+    return list(aggs)
+
+
+# ---------------------------------------------------------------- distinct
+
+def distinct(df: DataFrame) -> DataFrame:
+    """``distinct`` (core.clj:1741-1756)."""
+    return df.distinct()
+
+
+def distinct_by(df: DataFrame, repr_expr: ColumnLike) -> DataFrame:
+    """``distinct-by`` (core.clj:1948-1980): dedup by representative
+    f(e), keeping an arbitrary witness element (order not guaranteed,
+    same as the reference's first-non-nil accumulator)."""
+    cols = df.columns
+    return (
+        df.groupBy(_col(repr_expr).alias("_repr"))
+        .agg(*[F.any_value(c).alias(c) for c in cols])
+        .drop("_repr")
+    )
+
+
+# ---------------------------------------------------------------- sample
+
+def sample(
+    df: DataFrame,
+    n: int,
+    scope: str = "any",
+    key: ColumnLike | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """``sample`` (core.clj:1761-1782).
+
+    - ``any``: cheap first-N (Beam ``Sample.any``) → ``limit`` —
+      nondeterministic by design.
+    - ``global``: fixed-size uniform. ``orderBy(rand).limit(n)``
+      compiles to TakeOrderedAndProject: per-partition top-n heap +
+      driver merge — no full sort, safe at 100 TB for sane n.
+    - ``per-key``: fixed-size uniform per key via row_number over a
+      rand-ordered window.
+    """
+    if scope == "any":
+        return df.limit(n)
+    if scope == "global":
+        return df.orderBy(F.rand(seed)).limit(n)
+    if scope == "per-key":
+        if key is None:
+            raise ValueError("per-key sample requires key=")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(_col(key)).orderBy(F.rand(seed))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown sample scope: {scope}")
+
+
+# ---------------------------------------------------------------- skew
+
+def salted_agg(
+    df: DataFrame,
+    key_expr: ColumnLike,
+    partial_aggs: Sequence[tuple[Column, Callable[[str], Column]]],
+    salt_buckets: int = 16,
+    key_name: str = "key",
+) -> DataFrame:
+    """``:fanout`` hot-key fan-out (core.clj:1866-1868) for *holistic*
+    aggregates (collect_list/set-style), where Spark has no map-side
+    combine: two-level salt-and-merge.
+
+    ``partial_aggs`` is a list of ``(partial_agg_col, merge_fn)`` where
+    ``merge_fn(partial_col_name)`` builds the second-level aggregate.
+    Algebraic aggs don't need this — HashAggregateExec partials absorb
+    skew already.
+
+    Example (collect_list)::
+
+        salted_agg(df, "k",
+                   [(F.collect_list("v").alias("p0"),
+                     lambda c: F.flatten(F.collect_list(F.col(c))).alias("values"))])
+    """
+    salted = df.withColumn("_salt", (F.rand(7) * salt_buckets).cast("int"))
+    level1 = salted.groupBy(
+        _col(key_expr).alias(key_name), F.col("_salt")
+    ).agg(*[p for p, _ in partial_aggs])
+    names = [p for p, _ in partial_aggs]
+    # level-1 output columns beyond key+salt, in order
+    pcols = [c for c in level1.columns if c not in (key_name, "_salt")]
+    merged = level1.groupBy(key_name).agg(
+        *[merge(c) for (_, merge), c in zip(partial_aggs, pcols)]
+    )
+    return merged

@@ -1,0 +1,228 @@
+"""Joins: ``join-by`` and ``cogroup-by``.
+
+Reference parity: ``cogroup-by`` /root/reference/src/clj/datasplash/
+core.clj:1572-1691, ``join-by`` core.clj:1696-1739. Both are logical
+equi-joins on a computed key over one primitive (CoGroupByKey); the
+runner picks the physical plan. Semantics pinned from the reference:
+
+- ``:required`` sides drop keys absent on that side (core.clj:1604-1643).
+- nil keys do NOT join by default — each nil-keyed element emits its
+  own singleton group (greedy-emit-cogbkresult, core.clj:1561-1570)
+  unless ``join_nil=True``; ``drop_nil=True`` pre-filters them
+  (core.clj:1588-1595).
+- ``join-by`` output = per-key cartesian product of the sides, empty
+  optional side contributing ``[nil]`` (outer semantics,
+  core.clj:1729-1736) — which is exactly Spark's join.
+
+Physical strategy is Catalyst's: required-sides-first join ordering
+below keeps inner joins early (maximally filtering), AQE picks
+broadcast/SMJ/skew handling at runtime. SQL NULL never equals NULL, so
+Spark joins natively implement the reference's no-nil-join default.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .elementwise import ColumnLike, _col
+
+
+@dataclass
+class JoinSpec:
+    """One ``[pcoll key-fn {:type ... :drop-nil? ...}]`` group spec
+    (core.clj:1539-1551)."""
+
+    df: DataFrame
+    key: ColumnLike
+    required: bool = False
+    drop_nil: bool = False
+    #: prefix for output column disambiguation; default side{i}
+    name: str | None = None
+
+
+def _prep(spec: JoinSpec, idx: int, key_name: str) -> tuple[DataFrame, str]:
+    name = spec.name or f"side{idx}"
+    df = spec.df.select(
+        _col(spec.key).alias(key_name),
+        F.struct("*").alias(f"_{name}"),
+    )
+    if spec.drop_nil:
+        df = df.filter(F.col(key_name).isNotNull())
+    return df, name
+
+
+def join_by(
+    specs: list[JoinSpec],
+    key_name: str = "key",
+    select: list[Column] | None = None,
+) -> DataFrame:
+    """``join-by`` (core.clj:1696-1739): n-way equi-join; per-key
+    cartesian product with null-filled optional sides.
+
+    Join order: all required sides inner-join first (they filter), then
+    optional sides attach with left joins. With >=1 required side the
+    result keyset is the intersection of required keysets; with none it
+    is the union (full outer chain) — matching the reference's
+    "empty side contributes [nil]" semantics.
+
+    Each side's columns come back nested as a struct ``_<name>`` (or
+    ``side{i}``); pass ``select`` to flatten/merge, or post-process.
+    Null join keys never match (SQL semantics == reference default).
+    """
+    if len(specs) < 2:
+        raise ValueError("join_by needs at least two sides")
+    prepped = [_prep(s, i, key_name) for i, s in enumerate(specs)]
+    order = sorted(
+        range(len(specs)), key=lambda i: (not specs[i].required, i)
+    )
+    if not any(s.required for s in specs):
+        how_chain = "full_outer"
+    else:
+        how_chain = None  # decided per step below
+
+    first = order[0]
+    acc = prepped[first][0]
+    acc_required = specs[first].required
+    for i in order[1:]:
+        side_df, _ = prepped[i]
+        if specs[i].required and acc_required:
+            how = "inner"
+        elif specs[i].required and not acc_required:
+            how = "right_outer"
+        elif acc_required:
+            how = "left_outer"
+        else:
+            how = "full_outer"
+        acc = acc.join(side_df, on=key_name, how=how)
+        acc_required = acc_required or specs[i].required
+    if select is not None:
+        acc = acc.select(*select)
+    return acc
+
+
+def cogroup_by(
+    specs: list[JoinSpec],
+    key_name: str = "key",
+    join_nil: bool = False,
+) -> DataFrame:
+    """``cogroup-by`` (core.clj:1572-1691): n-way cogroup →
+    one row per key with an array column per side.
+
+    Physical shape — ONE shuffle, no joins: each side is tagged into a
+    shared wide-struct schema (its own slot populated, the others
+    null), all sides are unioned, and a single
+    ``groupBy(key).agg(collect_list(slot_i) …)`` assembles the per-side
+    vectors (``collect_list`` skips nulls). Beam's CoGroupByKey is the
+    same plan: tag → flatten → one GBK. An n-way chain of outer joins
+    would instead cost n shuffles and O(n²) planner work (the
+    reference's own test does a 101-way cogroup,
+    api_test.clj:577-601 — join-chaining dies there).
+
+    ``required`` sides filter groups missing on that side
+    (core.clj:1604-1643) — a post-agg ``size(arr) > 0`` filter.
+
+    nil-key semantics: by default each nil-keyed input element emits
+    its OWN singleton group with the other sides empty
+    (core.clj:1561-1570); ``drop_nil`` pre-filters; ``join_nil=True``
+    groups nil as a normal key.
+    """
+    n = len(specs)
+    names = [s.name or f"side{i}" for i, s in enumerate(specs)]
+    keyeds: list[DataFrame] = []
+    for spec in specs:
+        keyeds.append(
+            spec.df.select(
+                _col(spec.key).alias(key_name), F.struct("*").alias("_elem")
+            )
+        )
+    elem_types = [k.schema["_elem"].dataType for k in keyeds]
+
+    # Two physical encodings of the tagged union, both one shuffle:
+    # - n <= 8: one struct slot column per side (native types, zero
+    #   serde). O(n²) slot columns overall — fine for small n.
+    # - n > 8: (key, side_idx, to_json(elem)) — a 3-column union that
+    #   keeps the plan and codegen O(n); elements are re-typed with
+    #   from_json after the aggregate. The reference's own 101-way
+    #   cogroup test (api_test.clj:577-601) needs this path.
+    wide = n > 8
+
+    prepped: list[DataFrame] = []
+    nil_singletons: dict[int, DataFrame] = {}
+    for i, (spec, keyed) in enumerate(zip(specs, keyeds)):
+        if spec.drop_nil:
+            keyed = keyed.filter(F.col(key_name).isNotNull())
+        elif not join_nil:
+            nil_singletons[i] = keyed.filter(F.col(key_name).isNull()).select(
+                F.col(key_name), F.array(F.col("_elem")).alias("_elems")
+            )
+            keyed = keyed.filter(F.col(key_name).isNotNull())
+        if wide:
+            prepped.append(
+                keyed.select(
+                    F.col(key_name),
+                    F.lit(i).alias("_side"),
+                    F.to_json("_elem").alias("_j"),
+                )
+            )
+        else:
+            slots = [
+                (
+                    F.col("_elem") if j == i else F.lit(None).cast(elem_types[j])
+                ).alias(f"_s{j}")
+                for j in range(n)
+            ]
+            prepped.append(keyed.select(F.col(key_name), *slots))
+
+    unioned = prepped[0]
+    for t in prepped[1:]:
+        unioned = unioned.unionByName(t)
+
+    if wide:
+        raw = unioned.groupBy(key_name).agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("_side") == i, F.col("_j"))
+                ).alias(f"_raw{i}")
+                for i in range(n)
+            ]
+        )
+
+        def _parser(j: int):
+            return lambda x: F.from_json(x, elem_types[j])
+
+        acc = raw.select(
+            key_name,
+            *[
+                F.transform(F.col(f"_raw{i}"), _parser(i)).alias(f"_{names[i]}")
+                for i in range(n)
+            ],
+        )
+    else:
+        acc = unioned.groupBy(key_name).agg(
+            *[F.collect_list(f"_s{i}").alias(f"_{names[i]}") for i in range(n)]
+        )
+    for i, spec in enumerate(specs):
+        if spec.required:
+            acc = acc.filter(F.size(F.col(f"_{names[i]}")) > 0)
+
+    # nil-keyed singleton groups (dropped if any OTHER side is required,
+    # because that side is necessarily empty in the singleton group)
+    for i, nil_df in nil_singletons.items():
+        if any(s.required for j, s in enumerate(specs) if j != i):
+            continue
+        row = nil_df.select(
+            F.col(key_name),
+            *[
+                (
+                    F.col("_elems")
+                    if j == i
+                    else F.array().cast(f"array<{elem_types[j].simpleString()}>")
+                ).alias(f"_{names[j]}")
+                for j in range(n)
+            ],
+        )
+        acc = acc.unionByName(row)
+    return acc

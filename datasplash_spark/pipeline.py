@@ -1,0 +1,118 @@
+"""Pipeline shell: session construction + named-op plumbing.
+
+Reference parity: ``make-pipeline`` / ``run-pipeline``
+(/root/reference/src/clj/datasplash/core.clj:1071-1133) build a Beam
+pipeline from CLI-ish options and run it on a runner. In the Spark
+rebuild the SparkSession *is* the pipeline: transformations are lazy
+(logical plan) and actions/stream-starts play the role of
+``run-pipeline``. ``apply-transform`` naming (core.clj:498-519)
+becomes a thin options dict + ``DataFrame.alias``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver test corpus ships (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass
+class PipelineOptions:
+    """Analog of the reference's ``defoptions`` typed-options interface
+    (/root/reference/src/clj/datasplash/options.clj:23-44), minus the
+    Beam runner knobs that have no Spark meaning.
+    """
+
+    app_name: str = "datasplash-spark"
+    master: str | None = None  # default: local[$SPARK_GRAFT_CPUS]
+    shuffle_partitions: int | None = None
+    extra_conf: dict[str, Any] = field(default_factory=dict)
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def make_session(options: PipelineOptions | None = None) -> SparkSession:
+    """``make-pipeline`` analog (core.clj:1094-1108): build a session
+    with scale-aware defaults (AQE on, Arrow on, UTC, shuffle
+    partitions sized to the parallelism, not Spark's default 200).
+    """
+    opts = options or PipelineOptions()
+    cpus = default_cpus()
+    master = opts.master or f"local[{cpus}]"
+    shuffle = opts.shuffle_partitions or (cpus if master.startswith("local") else 200)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(opts.app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in opts.extra_conf.items():
+        builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read it as raw nanos
+    (``nanosAsLong``) and convert to a proper TimestampType column
+    (micros) so event-time windowing works unchanged.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver testdata table present under ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = load_table(spark, sf_dir, name)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register each table as a temp view (mirrors the driver's
+    DuckDB-side view registration so ``spark.sql`` text matches)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

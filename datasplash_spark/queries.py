@@ -1,0 +1,779 @@
+"""Named query corpus: one entry per implemented operator
+(SURVEY.md §2) plus the LLM-pipeline extensions, each paired with a
+DuckDB oracle SQL string for the driver's correctness gate.
+
+Cross-engine determinism rules used throughout:
+
+- Row-level arithmetic (no aggregation) is IEEE-deterministic — no
+  rounding needed.
+- Aggregates over doubles are order-dependent in the last bits →
+  every such output is ``round(x, 2..6)`` on BOTH sides.
+- Timestamps are projected as epoch seconds (BIGINT) or DATE to avoid
+  tz-awareness mismatches between Spark (TIMESTAMP_LTZ) and DuckDB.
+- Hash-derived values (md5 / 60-bit md5 ints / DECIMAL-vs-HUGEINT
+  affine permutations) are bit-exact across engines by construction.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as dd
+from .pipeline import load_table
+from .functions import similarity as sim
+from .functions import text as tx
+from .operators import (
+    JoinSpec,
+    cogroup_by,
+    combine,
+    combine_by,
+    count_fn,
+    dfilter,
+    distinct,
+    dkeep,
+    dmapcat,
+    except_distinct,
+    fixed_windows,
+    frequencies,
+    group_by_key,
+    intersect_distinct,
+    join_by,
+    juxt,
+    max_fn,
+    mean_fn,
+    min_fn,
+    partition_by,
+    sample,
+    session_windows,
+    sliding_windows,
+    sum_fn,
+    union_distinct,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Relational core (SURVEY §2.1/2.3/2.4/2.5)
+# =====================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary — filter + combine-by
+    with fused combiners (map/filter/combine-by/juxt)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flt = dfilter(li, F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return combine_by(
+        flt,
+        F.struct("l_returnflag", "l_linestatus"),
+        F.round(sum_fn("l_quantity"), 2).alias("sum_qty"),
+        F.round(sum_fn("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(sum_fn(disc_price), 2).alias("sum_disc_price"),
+        F.round(sum_fn(charge), 2).alias("sum_charge"),
+        F.round(mean_fn("l_quantity"), 6).alias("avg_qty"),
+        F.round(mean_fn("l_discount"), 6).alias("avg_disc"),
+        count_fn().alias("count_order"),
+    ).select(
+        F.col("key.l_returnflag").alias("l_returnflag"),
+        F.col("key.l_linestatus").alias("l_linestatus"),
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_disc",
+        "count_order",
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                       AS avg_qty,
+       round(avg(l_discount), 6)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map + filter: row-level expression, IEEE-exact (no rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return dfilter(
+        li,
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep: map then drop nulls only (core.clj:676-691)."""
+    li = _t(spark, sf_dir, "lineitem")
+    expr = F.when(F.col("l_quantity") < 10, F.col("l_extendedprice"))
+    return dkeep(li, expr, alias="small_price")
+
+
+ORACLE_KEEP = """
+SELECT l_extendedprice AS small_price
+FROM lineitem WHERE l_quantity < 10
+"""
+
+
+def q_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequencies (Count.perElement) on orders.o_orderpriority."""
+    return frequencies(_t(spark, sf_dir, "orders"), "o_orderpriority", alias="value")
+
+
+ORACLE_FREQUENCIES = """
+SELECT o_orderpriority AS value, count(*) AS count
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-by-key: KV → K, vec<V> (sorted for determinism)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.col("l_linenumber").alias("value")
+    )
+    return group_by_key(li).select(
+        "key", F.sort_array("values").alias("values")
+    )
+
+
+ORACLE_GROUP_BY_KEY = """
+SELECT l_orderkey AS key,
+       list(l_linenumber ORDER BY l_linenumber) AS values
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_combine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine :global + juxt: several combiners in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return combine(
+        li,
+        *juxt(
+            count_fn().alias("n"),
+            F.round(sum_fn("l_quantity"), 2).alias("sum_qty"),
+            F.round(mean_fn("l_quantity"), 6).alias("avg_qty"),
+            min_fn("l_quantity").alias("min_qty"),
+            max_fn("l_quantity").alias("max_qty"),
+        ),
+    )
+
+
+ORACLE_COMBINE_GLOBAL = """
+SELECT count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_quantity), 6) AS avg_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
+def q_combiner_mapper_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combiner :mapper/:predicate semantics (core.clj:1982-2050):
+    mapper applies only to elements passing the predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = F.col("l_quantity") > 25
+    return combine_by(
+        li,
+        "l_returnflag",
+        count_fn(predicate=heavy).alias("n_heavy"),
+        F.round(sum_fn(F.col("l_extendedprice"), predicate=heavy), 2).alias(
+            "sum_heavy_price"
+        ),
+        F.round(mean_fn(F.col("l_quantity"), predicate=heavy), 6).alias(
+            "avg_heavy_qty"
+        ),
+        min_fn(F.col("l_quantity"), predicate=heavy).alias("min_heavy_qty"),
+        max_fn(F.col("l_quantity"), predicate=heavy).alias("max_heavy_qty"),
+    ).withColumnRenamed("key", "l_returnflag")
+
+
+ORACLE_COMBINER_MAPPER_PREDICATE = """
+SELECT l_returnflag,
+       coalesce(sum(CASE WHEN l_quantity > 25 THEN 1 END), 0) AS n_heavy,
+       round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 2) AS sum_heavy_price,
+       round(coalesce(avg(CASE WHEN l_quantity > 25 THEN l_quantity END), 0), 6) AS avg_heavy_qty,
+       min(CASE WHEN l_quantity > 25 THEN l_quantity END) AS min_heavy_qty,
+       max(CASE WHEN l_quantity > 25 THEN l_quantity END) AS max_heavy_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct(_t(spark, sf_dir, "customer").select("c_mktsegment"))
+
+
+ORACLE_DISTINCT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_distinct_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-by with the witness pinned to min(p_partkey) so the
+    oracle is deterministic (the reference keeps an arbitrary witness —
+    core.clj:1948-1980; we pin for comparability)."""
+    part = _t(spark, sf_dir, "part")
+    return combine_by(
+        part, "p_brand", min_fn("p_partkey").alias("witness_partkey")
+    ).withColumnRenamed("key", "p_brand")
+
+
+ORACLE_DISTINCT_BY = """
+SELECT p_brand, min(p_partkey) AS witness_partkey
+FROM part GROUP BY p_brand
+"""
+
+
+def q_join_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-by, both sides :required → inner (core.clj:1696-1739)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = join_by(
+        [
+            JoinSpec(orders, "o_custkey", required=True, name="o"),
+            JoinSpec(cust, "c_custkey", required=True, name="c"),
+        ]
+    )
+    return combine_by(
+        joined,
+        F.col("_c.c_mktsegment"),
+        F.round(sum_fn(F.col("_o.o_totalprice")), 2).alias("revenue"),
+        count_fn().alias("n_orders"),
+    ).withColumnRenamed("key", "c_mktsegment")
+
+
+ORACLE_JOIN_REQUIRED = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-by, left :required / right optional → left outer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = join_by(
+        [
+            JoinSpec(cust, "c_custkey", required=True, name="c"),
+            JoinSpec(orders, "o_custkey", name="o"),
+        ]
+    )
+    return combine_by(
+        joined,
+        F.col("_c.c_nationkey"),
+        count_fn(predicate=F.col("_o").isNotNull()).alias("n_orders"),
+        F.countDistinct(F.col("_c.c_custkey")).alias("n_customers"),
+    ).withColumnRenamed("key", "c_nationkey")
+
+
+ORACLE_JOIN_OPTIONAL = """
+SELECT c_nationkey,
+       coalesce(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 END), 0) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join-by with broadcast dims: revenue per region name."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return combine_by(
+        j,
+        "r_name",
+        F.round(sum_fn("o_totalprice"), 2).alias("revenue"),
+        count_fn().alias("n_orders"),
+    ).withColumnRenamed("key", "r_name")
+
+
+ORACLE_JOIN_MULTIWAY = """
+SELECT r_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_cogroup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup-by orders⊎lineitem on orderkey → per-key side sizes."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cg = cogroup_by(
+        [
+            JoinSpec(orders, "o_orderkey", name="o"),
+            JoinSpec(li, "l_orderkey", name="l"),
+        ]
+    )
+    return cg.select(
+        F.col("key").alias("orderkey"),
+        F.size("_o").alias("n_orders"),
+        F.size("_l").alias("n_lines"),
+    )
+
+
+ORACLE_COGROUP_COUNTS = """
+WITH o AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1),
+     l AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT coalesce(o.k, l.k) AS orderkey,
+       coalesce(o.n, 0) AS n_orders,
+       coalesce(l.n, 0) AS n_lines
+FROM o FULL OUTER JOIN l ON o.k = l.k
+"""
+
+
+def q_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_distinct(c, s)
+
+
+ORACLE_SETOPS_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return except_distinct(c, s)
+
+
+ORACLE_SETOPS_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_setops_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return union_distinct(c, s)
+
+
+ORACLE_SETOPS_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_concat_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat (Flatten.pCollections) → union-all row count."""
+    from .operators import concat
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("id"))
+    return combine(concat(c, s), count_fn().alias("n"))
+
+
+ORACLE_CONCAT_COUNT = """
+SELECT count(*) AS n FROM (
+  SELECT c_custkey AS id FROM customer
+  UNION ALL
+  SELECT s_suppkey FROM supplier
+)
+"""
+
+
+def q_mapcat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapcat (1→N): explode document tokens → token frequencies > 5."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dmapcat(docs, tx.tokens("text"))
+    return frequencies(toks, "value", alias="token").filter(F.col("count") > 5)
+
+
+ORACLE_MAPCAT_TOKENS = """
+SELECT token, count(*) AS count
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) > 5
+"""
+
+
+def q_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partition-by: route orders into 3 outputs by status, return #0."""
+    orders = _t(spark, sf_dir, "orders")
+    idx = (
+        F.when(F.col("o_orderstatus") == "O", 0)
+        .when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(2)
+    )
+    parts = partition_by(orders, idx, 3)
+    return parts[0].select("o_orderkey", "o_orderstatus")
+
+
+ORACLE_PARTITION_BY = """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample :global fixed-size uniform — engine RNGs differ, so this
+    is a rows-only check (no oracle)."""
+    return sample(_t(spark, sf_dir, "orders"), 100, scope="global").select(
+        "o_orderkey"
+    )
+
+
+# =====================================================================
+# Windowing (SURVEY §2.6) — batch-mode event-time windows on `events`
+# =====================================================================
+
+def q_window_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = fixed_windows("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            count_fn().alias("n"),
+            F.round(sum_fn("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_WINDOW_FIXED = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = sliding_windows("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(count_fn().alias("n"), F.round(sum_fn("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_WINDOW_SLIDING = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT)
+         - o.k * 1800 AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+GROUP BY 1
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session-windows (gap 30 min) per user: gap-merged sessions.
+    Oracle = classic gaps-and-islands (lag + cumulative sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = session_windows("ts", "30 minutes")
+    return (
+        ev.groupBy(F.col("user_id"), w.alias("w"))
+        .agg(count_fn().alias("n"), F.round(sum_fn("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_WINDOW_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# =====================================================================
+# LLM-pipeline extensions: dedup / text analysis / similarity
+# =====================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
+    rows_per_band = num_hashes // bands
+    params = dd.minhash_params(num_hashes, seed)
+    p = dd.MERSENNE_P
+    sig_terms = ",\n    ".join(
+        f"list_min(list_transform(hashes, h -> (({a}::HUGEINT * h + {b}) % {p})::BIGINT))"
+        for a, b in params
+    )
+    band_rows = ", ".join(f"({i})" for i in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - {k} + 1, 1) + 1),
+           i -> array_to_string(t[i:i+{k - 1}], ' '))) AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, [
+    {sig_terms}
+  ] AS s
+  FROM hashed
+), banded AS (
+  SELECT doc_id,
+         b.k AS band,
+         b.k::VARCHAR || ':' ||
+           array_to_string(s[b.k * {rows_per_band} + 1 : b.k * {rows_per_band} + {rows_per_band}], ',')
+           AS bucket
+  FROM sig CROSS JOIN (VALUES {band_rows}) b(k)
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs."""
+    return dd.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42
+    )
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle_sql(16, 4, 3, 42)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats per lang: token counts, punct ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return combine_by(
+        docs,
+        "lang",
+        count_fn().alias("n_docs"),
+        F.round(mean_fn(tx.token_count("text")), 6).alias("avg_tokens"),
+        F.round(mean_fn(tx.punct_ratio("text")), 6).alias("avg_punct_ratio"),
+        max_fn(F.col("n_chars")).alias("max_chars"),
+    ).withColumnRenamed("key", "lang")
+
+
+ORACLE_TEXT_STATS = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(len(string_split(lower(text), ' '))), 6) AS avg_tokens,
+       round(avg(CASE WHEN len(text) > 0
+                 THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / len(text)
+                 ELSE 0 END), 6) AS avg_punct_ratio,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID → predicted-language histogram."""
+    docs = _t(spark, sf_dir, "documents")
+    return frequencies(docs, tx.lang_id("text"), alias="pred_lang")
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: f"len(list_intersect(dt, {words!r}))"
+        for lang, words in tx.LANG_STOPWORDS.items()
+    }
+    langs = list(tx.LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE\n"
+    for lg in langs:
+        case += f"  WHEN h_{lg} = mx AND mx > 0 THEN '{lg}'\n"
+    case += "  ELSE 'und' END"
+    hit_cols = ",\n         ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS dt FROM documents
+), scored AS (
+  SELECT doc_id,
+         {hit_cols}
+  FROM dtoks
+), mxd AS (
+  SELECT *, {greatest} AS mx FROM scored
+)
+SELECT {case} AS pred_lang, count(*) AS count
+FROM mxd GROUP BY 1
+"""
+
+
+ORACLE_LANG_ID = _lang_oracle()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprints: distinct count (singleton)."""
+    docs = _t(spark, sf_dir, "documents")
+    return combine(
+        docs.select(tx.fingerprint("text").alias("fp")),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT count(DISTINCT md5(array_to_string(
+         list_sort(list_distinct(string_split(lower(text), ' '))), ' ')))
+       AS n_distinct_fp
+FROM documents
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 for the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(qvec)).select(
+        "vec_id",
+        F.round(sim.cosine("embedding", "qe"), 6).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(20)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+  flat AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         generate_subscripts(e.embedding, 1) AS i
+  FROM embeddings e
+), qflat AS (
+  SELECT unnest(qe)::DOUBLE AS qx, generate_subscripts(qe, 1) AS i FROM q
+), dots AS (
+  SELECT f.vec_id,
+         sum(f.x * qf.qx) AS dp,
+         sum(f.x * f.x) AS na,
+         sum(qf.qx * qf.qx) AS nb
+  FROM flat f JOIN qflat qf ON f.i = qf.i
+  GROUP BY f.vec_id
+)
+SELECT vec_id,
+       round(CASE WHEN sqrt(na) * sqrt(nb) > 0
+             THEN dp / (sqrt(na) * sqrt(nb)) ELSE 0 END, 6) AS score
+FROM dots
+ORDER BY score DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+#: name → (query fn, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
+    "keep": (q_keep, ORACLE_KEEP),
+    "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
+    "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
+    "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
+    "combiner_mapper_predicate": (
+        q_combiner_mapper_predicate,
+        ORACLE_COMBINER_MAPPER_PREDICATE,
+    ),
+    "distinct": (q_distinct, ORACLE_DISTINCT),
+    "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),
+    "join_required": (q_join_required, ORACLE_JOIN_REQUIRED),
+    "join_optional": (q_join_optional, ORACLE_JOIN_OPTIONAL),
+    "join_multiway": (q_join_multiway, ORACLE_JOIN_MULTIWAY),
+    "cogroup_counts": (q_cogroup_counts, ORACLE_COGROUP_COUNTS),
+    "setops_intersect": (q_setops_intersect, ORACLE_SETOPS_INTERSECT),
+    "setops_except": (q_setops_except, ORACLE_SETOPS_EXCEPT),
+    "setops_union": (q_setops_union, ORACLE_SETOPS_UNION),
+    "concat_count": (q_concat_count, ORACLE_CONCAT_COUNT),
+    "mapcat_tokens": (q_mapcat_tokens, ORACLE_MAPCAT_TOKENS),
+    "partition_by": (q_partition_by, ORACLE_PARTITION_BY),
+    "sample_global": (q_sample_global, None),
+    "window_fixed": (q_window_fixed, ORACLE_WINDOW_FIXED),
+    "window_sliding": (q_window_sliding, ORACLE_WINDOW_SLIDING),
+    "window_session": (q_window_session, ORACLE_WINDOW_SESSION),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,143 @@
+"""Grouping/combining tests — ports of
+/root/reference/test/datasplash/api_test.clj:546-558, 683-712,
+724-776, 778-937 golden shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasplash_spark import operators as ops
+from tests.helpers import contains_only, equals_to
+
+
+def ints_df(spark):
+    return spark.createDataFrame([(1,), (2,), (3,), (4,), (5,)], "x long")
+
+
+def test_group_by_key(spark):
+    src = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], "key string, value long"
+    )
+    out = ops.group_by_key(src).select(
+        "key", F.sort_array("values").alias("values")
+    )
+    contains_only(out, [("a", [1, 1]), ("b", [2, 2])])
+
+
+def test_dgroup_by_ragged(spark):
+    # api_test.clj:546-558: ragged maps {:key :a :val 42} … {:key :a :lue 65}
+    src = spark.createDataFrame(
+        [("a", 42, None), ("b", 56, None), ("a", None, 65)],
+        "key string, val long, lue long",
+    )
+    out = ops.dgroup_by(src, "key")
+    rows = {r["key"]: r["values"] for r in out.collect()}
+    assert len(rows["a"]) == 2 and len(rows["b"]) == 1
+
+
+def test_combine_global_sum(spark):
+    # api_test.clj:724-732: (combine + pcoll) => 15
+    out = ops.combine(ints_df(spark), F.sum("x").alias("sum"))
+    equals_to(out, (15,))
+
+
+def test_combine_by_and_juxt(spark):
+    # api_test.clj:761-776: juxt of combiners in one pass
+    src = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k string, v double"
+    )
+    out = ops.combine_by(
+        src,
+        "k",
+        *ops.juxt(
+            ops.count_fn().alias("cnt"),
+            ops.sum_fn("v").alias("sum"),
+            ops.mean_fn("v").alias("mean"),
+            ops.min_fn("v").alias("min"),
+            ops.max_fn("v").alias("max"),
+        ),
+    )
+    contains_only(
+        out,
+        [("a", 2, 4.0, 2.0, 1.0, 3.0), ("b", 1, 10.0, 10.0, 10.0, 10.0)],
+    )
+
+
+def test_combiner_mapper_predicate_semantics(spark):
+    # SURVEY §7.4: mapper applies ONLY to elements passing predicate;
+    # failing elements are excluded entirely (core.clj:1987,1997-1999).
+    df = ints_df(spark)
+    out = ops.combine(
+        df,
+        ops.count_fn(predicate=F.col("x") % 2 == 1).alias("cnt_odd"),
+        ops.count_fn(
+            predicate=F.col("x") % 2 == 1, mapper=F.col("x") * 0 + 2
+        ).alias("weighted"),
+        ops.sum_fn(F.col("x") * 10, predicate=F.col("x") > 3).alias("sum_gt3"),
+        ops.mean_fn("x", predicate=F.col("x") > 100).alias("mean_empty"),
+    )
+    equals_to(out, (3, 6, 90, 0.0))
+
+
+def test_frequencies(spark):
+    # api_test.clj:930-937
+    src = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    contains_only(ops.frequencies(src, "v"), [("a", 2), ("b", 1)])
+
+
+def test_frequencies_by(spark):
+    src = spark.createDataFrame(
+        [("k1", "x"), ("k1", "x"), ("k1", "y"), ("k2", "z")],
+        "k string, v string",
+    )
+    rows = {r["key"]: r["freqs"] for r in ops.frequencies_by(src, "k", "v").collect()}
+    assert rows == {"k1": {"x": 2, "y": 1}, "k2": {"z": 1}}
+
+
+def test_distinct_and_distinct_by(spark):
+    # api_test.clj:683-704
+    src = spark.createDataFrame([(1,), (1,), (2,)], "x long")
+    contains_only(ops.distinct(src), [(1,), (2,)])
+
+    kv = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    )
+    out = ops.distinct_by(kv, "k")
+    rows = out.collect()
+    assert len(rows) == 2 and {r["k"] for r in rows} == {"a", "b"}
+
+
+def test_sample(spark):
+    # api_test.clj:706-712
+    df = ints_df(spark)
+    assert ops.sample(df, 3, scope="any").count() == 3
+    got = ops.sample(df, 3, scope="global").collect()
+    assert len(got) == 3 and len({r["x"] for r in got}) == 3
+    kv = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 1)], "k string, v long"
+    )
+    per_key = ops.sample(kv, 2, scope="per-key", key="k")
+    counts = {
+        r["k"]: r["n"]
+        for r in per_key.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 2, "b": 1}
+
+
+def test_salted_agg_matches_plain_collect(spark):
+    src = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 1)], "k string, v long"
+    )
+    out = ops.salted_agg(
+        src,
+        "k",
+        [
+            (
+                F.collect_list("v").alias("p0"),
+                lambda c: F.flatten(F.collect_list(F.col(c))).alias("values"),
+            )
+        ],
+        salt_buckets=4,
+    )
+    rows = {r["key"]: sorted(r["values"]) for r in out.collect()}
+    assert rows == {"hot": list(range(100)), "cold": [1]}

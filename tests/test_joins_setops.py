@@ -1,0 +1,161 @@
+"""Join/cogroup + set-op tests — ports of
+/root/reference/test/datasplash/api_test.clj:560-722, 1025-1050."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasplash_spark import operators as ops
+from datasplash_spark.operators import JoinSpec
+from tests.helpers import contains_only
+
+
+def sides(spark):
+    # api_test.clj:563-564 ragged shapes: one row with nil key on p1
+    p1 = spark.createDataFrame(
+        [("a", 42), (None, 56), ("c", 65)], "key string, val long"
+    )
+    p2 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "key string, lue long"
+    )
+    return p1, p2
+
+
+def test_join_by_outer_default(spark):
+    # join-by with no :required → full outer; nil keys never join
+    p1, p2 = sides(spark)
+    out = ops.join_by(
+        [JoinSpec(p1, "key", name="l"), JoinSpec(p2, "key", name="r")],
+        select=[
+            F.col("key"),
+            F.col("_l.val").alias("val"),
+            F.col("_r.lue").alias("lue"),
+        ],
+    )
+    contains_only(
+        out,
+        [
+            ("a", 42, 1),
+            (None, 56, None),  # nil key emits alone (no match)
+            ("c", 65, None),
+            ("b", None, 2),
+        ],
+    )
+
+
+def test_join_by_required_both_is_inner(spark):
+    p1, p2 = sides(spark)
+    out = ops.join_by(
+        [
+            JoinSpec(p1, "key", required=True, name="l"),
+            JoinSpec(p2, "key", required=True, name="r"),
+        ],
+        select=[F.col("key"), F.col("_l.val").alias("val"), F.col("_r.lue").alias("lue")],
+    )
+    contains_only(out, [("a", 42, 1)])
+
+
+def test_join_by_one_required(spark):
+    # left required, right optional → keys of left (minus nil no-join rule:
+    # nil-keyed left rows still emit with null right)
+    p1, p2 = sides(spark)
+    out = ops.join_by(
+        [
+            JoinSpec(p1, "key", required=True, name="l"),
+            JoinSpec(p2, "key", name="r"),
+        ],
+        select=[F.col("key"), F.col("_l.val").alias("val"), F.col("_r.lue").alias("lue")],
+    )
+    contains_only(out, [("a", 42, 1), (None, 56, None), ("c", 65, None)])
+
+
+def test_join_by_drop_nil(spark):
+    p1, p2 = sides(spark)
+    out = ops.join_by(
+        [
+            JoinSpec(p1, "key", required=True, drop_nil=True, name="l"),
+            JoinSpec(p2, "key", name="r"),
+        ],
+        select=[F.col("key"), F.col("_l.val").alias("val"), F.col("_r.lue").alias("lue")],
+    )
+    contains_only(out, [("a", 42, 1), ("c", 65, None)])
+
+
+def test_join_by_cartesian_per_key(spark):
+    # join-by output = per-key cartesian product (core.clj:1729-1736)
+    l = spark.createDataFrame([("k", 1), ("k", 2)], "key string, a long")
+    r = spark.createDataFrame([("k", 10), ("k", 20)], "key string, b long")
+    out = ops.join_by(
+        [JoinSpec(l, "key", name="l"), JoinSpec(r, "key", name="r")],
+        select=[F.col("_l.a").alias("a"), F.col("_r.b").alias("b")],
+    )
+    contains_only(out, [(1, 10), (1, 20), (2, 10), (2, 20)])
+
+
+def test_cogroup_by_basic(spark):
+    # api_test.clj:560-601: per-key vectors per side
+    p1, p2 = sides(spark)
+    out = ops.cogroup_by(
+        [JoinSpec(p1, "key", name="l"), JoinSpec(p2, "key", name="r")]
+    ).select(
+        "key",
+        F.sort_array(F.col("_l.val")).alias("lvals"),
+        F.sort_array(F.col("_r.lue")).alias("rvals"),
+    )
+    contains_only(
+        out,
+        [
+            ("a", [42], [1]),
+            ("b", [], [2]),
+            ("c", [65], []),
+            (None, [56], []),  # nil-keyed element → its own singleton group
+        ],
+    )
+
+
+def test_cogroup_by_required_drops_missing(spark):
+    p1, p2 = sides(spark)
+    out = ops.cogroup_by(
+        [
+            JoinSpec(p1, "key", name="l"),
+            JoinSpec(p2, "key", required=True, name="r"),
+        ]
+    ).select(
+        "key",
+        F.sort_array(F.col("_l.val")).alias("lvals"),
+        F.sort_array(F.col("_r.lue")).alias("rvals"),
+    )
+    contains_only(out, [("a", [42], [1]), ("b", [], [2])])
+
+
+def test_cogroup_101_way(spark):
+    # api_test.clj:577-601: 101-input cogroup on :i
+    n_sides = 101
+    base = spark.createDataFrame(
+        [(i, p) for p in range(n_sides) for i in range(5)], "i long, key long"
+    ).coalesce(1).persist()
+    dfs = [base.filter(F.col("key") == p) for p in range(n_sides)]
+    out = ops.cogroup_by([JoinSpec(d, "i", name=f"s{j}") for j, d in enumerate(dfs)])
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        for j in range(n_sides):
+            assert len(r[f"_s{j}"]) == 1
+
+
+def test_set_ops(spark):
+    # api_test.clj:1025-1050
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    contains_only(ops.intersect_distinct(a, b), [(2,), (3,)])
+    contains_only(ops.union_distinct(a, b), [(1,), (2,), (3,), (4,)])
+    contains_only(ops.except_distinct(a, b), [(1,)])
+    contains_only(
+        ops.concat(a, b),
+        [(1,), (2,), (2,), (3,), (2,), (3,), (4,)],
+    )
+
+
+def test_dflatten(spark):
+    df = spark.createDataFrame([([1, 2],), ([3],)], "xs array<long>")
+    contains_only(ops.dflatten(df, "xs"), [(1,), (2,), (3,)])
