@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from ..operators.elementwise import ColumnLike, _col
 from .text import tokens
 
-#: Mersenne prime 2^61 − 1 used by the affine permutation family.
-MERSENNE_P = (1 << 61) - 1
+#: Mersenne prime 2^31 − 1: permutation modulus. With 31-bit base
+#: hashes, a·h + b < 2^63 — exact in native BIGINT on both Spark and
+#: DuckDB (no decimal/HUGEINT needed in the hot path).
+MERSENNE_P = (1 << 31) - 1
 
 SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
 
@@ -35,6 +37,15 @@ def md5_long(c: Column) -> Column:
     """Deterministic 60-bit integer hash: first 15 hex chars of md5.
     DuckDB equivalent: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_int31(c: Column) -> Column:
+    """Deterministic 31-bit integer hash: first 8 hex chars of md5,
+    masked to 31 bits so affine permutations stay within BIGINT.
+    DuckDB: ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2147483648``."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % F.lit(1 << 31)
+    )
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -52,10 +63,8 @@ def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 
 def _affine_mod(h: Column, a: int, b: int) -> Column:
-    """(a·h + b) mod p, exactly. a·h < 2^122 fits DECIMAL(38,0);
-    DuckDB mirrors with HUGEINT: ``(a::HUGEINT * h + b) % p``."""
-    prod = F.lit(a).cast("decimal(38,0)") * h.cast("decimal(38,0)")
-    return ((prod + F.lit(b)) % F.lit(MERSENNE_P)).cast("long")
+    """(a·h + b) mod p in plain BIGINT: a, h < 2^31 ⇒ a·h + b < 2^63."""
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
 
 
 def shingles(text: ColumnLike, k: int = 3) -> Column:
@@ -73,10 +82,11 @@ def shingles(text: ColumnLike, k: int = 3) -> Column:
 def minhash_signature(
     text: ColumnLike, num_hashes: int = 16, k: int = 3, seed: int = 42
 ) -> Column:
-    """MinHash signature: array of per-permutation minima over the
-    shingle hashes. O(shingles × num_hashes) JVM ops per row, no
-    shuffle."""
-    hashes = F.transform(shingles(text, k), md5_long)
+    """MinHash signature as a pure Column: array of per-permutation
+    minima over the shingle hashes. Convenient for ad-hoc use, but the
+    shingle/md5 subtree is re-inlined per permutation — prefer
+    :func:`minhash_signatures` (explode + partial-agg) in pipelines."""
+    hashes = F.transform(shingles(text, k), md5_int31)
 
     def perm(a: int, b: int):
         # closure factory: a plain 1-arg lambda (PySpark derives the HOF
@@ -88,6 +98,42 @@ def minhash_signature(
             F.array_min(F.transform(hashes, perm(a, b)))
             for a, b in minhash_params(num_hashes, seed)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures, scale path: ``(doc_id, signature)``.
+
+    explode(shingles) → one md5 per (doc, shingle) → groupBy(doc) with
+    ``num_hashes`` min-aggregates. Each shingle is hashed exactly once
+    (the Column form re-inlines it per permutation), all arithmetic is
+    native BIGINT inside whole-stage codegen, and map-side partial
+    aggregation collapses the shuffle to one num_hashes-wide row per
+    doc per partition — linear and shuffle-light at any corpus size.
+    """
+    hashed = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(shingles(text, k)).alias("_sh"),
+    ).select("doc_id", md5_int31(F.col("_sh")).alias("_h"))
+    params = minhash_params(num_hashes, seed)
+    aggs = [
+        F.min(_affine_mod(F.col("_h"), a, b)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -177,9 +223,9 @@ def lsh_candidate_pairs(
     the (intended) quadratic only inside same-bucket collision groups.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text, num_hashes, k, seed)
+    sigs = minhash_signatures(df, text, id_col, num_hashes, k, seed)
     banded = (
-        df.select(_col(id_col).alias("doc_id"), sig.alias("_sig"))
+        sigs.withColumnRenamed("signature", "_sig")
         .select(
             "doc_id",
             F.explode(

@@ -567,7 +567,7 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
     params = dd.minhash_params(num_hashes, seed)
     p = dd.MERSENNE_P
     sig_terms = ",\n    ".join(
-        f"list_min(list_transform(hashes, h -> (({a}::HUGEINT * h + {b}) % {p})::BIGINT))"
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {p}))"
         for a, b in params
     )
     band_rows = ", ".join(f"({i})" for i in range(bands))
@@ -583,7 +583,7 @@ WITH toks AS (
 ), hashed AS (
   SELECT doc_id,
          list_transform(shingles,
-           s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hashes
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483648) AS hashes
   FROM sh
 ), sig AS (
   SELECT doc_id, [
