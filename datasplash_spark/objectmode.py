@@ -1,0 +1,470 @@
+"""Object mode: PCollection parity for arbitrary Python values.
+
+The reference's only dataset abstraction is a ``PCollection`` of
+dynamic, schema-less Clojure values — ragged maps, nested vectors,
+keywords (/root/reference/src/clj/datasplash/core.clj:48,
+test/datasplash/api_test.clj:548-550 pumps rows with *different key
+sets* through group-by). Layer 0 (DataFrames) cannot represent that
+without a schema, so this module provides the Layer 1 escape hatch
+(SURVEY §7.1): a facade over a single pickled ``value: binary``
+column, with the ParDo/combine/join family implemented via
+Arrow-batched ``mapInPandas`` / ``applyInPandas``.
+
+Semantics parity notes:
+
+- ``keep`` drops only ``None`` (falsey-but-not-nil survive,
+  api_test.clj:412-419).
+- ``combine_by`` uses the reference's 4-phase combiner contract
+  (init/reduce/merge/extract, core.clj:722-774 +
+  ClojureCombineFn.java:32-44) with REAL partial aggregation: a
+  per-batch reduce before the shuffle, then a merge+extract after —
+  the same combiner lifting Beam does, so the shuffle carries one
+  accumulator per (key, batch), not every element.
+- Keys are canonicalized (dicts → sorted tuples) before pickling so
+  equal keys are byte-equal shuffle keys.
+- ``side_input`` broadcasts a collected pcoll into worker closures
+  (``PCollectionView`` analog, core.clj:776-808).
+
+This is the slow path by construction. Use DataFrames unless rows
+are truly heterogeneous (SURVEY §7.1: "never default to it").
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PROTO = 4
+
+_VALUE_SCHEMA = "value binary"
+_KV_SCHEMA = "key binary, value binary"
+
+
+def _dumps(v) -> bytes:
+    return pickle.dumps(v, protocol=_PROTO)
+
+
+def _loads(b) -> object:
+    return pickle.loads(bytes(b))
+
+
+def _canon(v):
+    """Normalize to a deterministic structure so equal keys pickle to
+    equal bytes (dict iteration order, sets)."""
+    if isinstance(v, dict):
+        return ("__dict__", tuple(sorted((_canon(k), _canon(x)) for k, x in v.items())))
+    if isinstance(v, (set, frozenset)):
+        return ("__set__", tuple(sorted((_canon(x) for x in v), key=repr)))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _key_bytes(k) -> bytes:
+    return _dumps(_canon(k))
+
+
+@dataclass
+class CombineFn:
+    """The reference's combiner 4-tuple (core.clj:722-774): identical
+    contract to a Spark ``Aggregator`` (zero/reduce/merge/finish)."""
+
+    reducef: Callable  # (acc, elem) -> acc
+    initf: Callable = None  # () -> acc
+    combinef: Callable = None  # (acc, acc) -> acc
+    extractf: Callable = None  # acc -> out
+
+    @classmethod
+    def of(cls, f) -> "CombineFn":
+        """1-arg form (core.clj:739-744): a plain fn used as reduce &
+        merge (``(combine-fn +)``), or a map-like dict."""
+        if isinstance(f, CombineFn):
+            return f
+        if isinstance(f, dict):
+            return cls(
+                reducef=f["reduce"],
+                initf=f.get("init"),
+                combinef=f.get("combine"),
+                extractf=f.get("extract"),
+            )
+        return cls(reducef=f, combinef=f)
+
+    def init(self):
+        return None if self.initf is None else self.initf()
+
+    def reduce(self, acc, elem):
+        if _is_empty(acc):
+            if self.initf is None:
+                return elem
+            acc = self.initf()
+        return self.reducef(acc, elem)
+
+    def merge(self, a, b):
+        if _is_empty(a):
+            return b
+        if _is_empty(b):
+            return a
+        return (self.combinef or self.reducef)(a, b)
+
+    def extract(self, acc):
+        return acc if self.extractf is None else self.extractf(acc)
+
+
+class _Empty:
+    """Absent-accumulator sentinel. Identity does NOT survive
+    pickling to workers — always test with :func:`_is_empty`."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "<empty-acc>"
+
+
+_EMPTY = _Empty()
+
+
+def _is_empty(x) -> bool:
+    return isinstance(x, _Empty)
+
+
+class PCollection:
+    """A distributed collection of arbitrary Python values, backed by
+    a one-column (``value: binary``) DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def from_items(
+        cls, spark: SparkSession, items: Iterable, num_partitions: int | None = None
+    ) -> "PCollection":
+        rows = [(_dumps(v),) for v in items]
+        df = spark.createDataFrame(rows or [], schema=_VALUE_SCHEMA)
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        return cls(df)
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame) -> "PCollection":
+        """Rows become plain dicts (column → value)."""
+        import pandas as pd
+
+        def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                yield pd.DataFrame(
+                    {"value": [_dumps(rec) for rec in b.to_dict("records")]}
+                )
+
+        return cls(df.mapInPandas(conv, schema=_VALUE_SCHEMA))
+
+    # --------------------------------------------------------- elementwise
+    def _map_batches(self, per_value: Callable[[object], Iterable]) -> "PCollection":
+        import pandas as pd
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for raw in b["value"]:
+                    for res in per_value(_loads(raw)):
+                        out.append(_dumps(res))
+                yield pd.DataFrame({"value": out})
+
+        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
+
+    def map(self, f: Callable) -> "PCollection":
+        """``map`` (core.clj:612-628)."""
+        return self._map_batches(lambda v: (f(v),))
+
+    def mapcat(self, f: Callable) -> "PCollection":
+        """``mapcat`` (core.clj:647-659): f returns an iterable."""
+        return self._map_batches(f)
+
+    def filter(self, pred: Callable) -> "PCollection":
+        """``filter`` (core.clj:661-674): truthy predicate keeps."""
+        return self._map_batches(lambda v: (v,) if pred(v) else ())
+
+    def keep(self, f: Callable) -> "PCollection":
+        """``keep`` (core.clj:676-691): drop None results ONLY."""
+
+        def run(v):
+            r = f(v)
+            return () if r is None else (r,)
+
+        return self._map_batches(run)
+
+    def map_partitions(
+        self, f: Callable[[Iterator], Iterable], initialize: Callable | None = None
+    ) -> "PCollection":
+        """``pardo`` + worker lifecycle (core.clj:602-610, 226-233,
+        274-277): f(iterator-of-values) → iterable, with an optional
+        once-per-task ``initialize-fn`` whose result is passed as a
+        second arg (the ``(system)`` accessor analog)."""
+        import pandas as pd
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            system = initialize() if initialize else None
+
+            def values() -> Iterator:
+                for b in batches:
+                    for raw in b["value"]:
+                        yield _loads(raw)
+
+            results = f(values(), system) if initialize else f(values())
+            yield pd.DataFrame({"value": [_dumps(r) for r in results]})
+
+        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
+
+    # ------------------------------------------------------------- keyed
+    def with_keys(self, key_fn: Callable) -> "PCollection":
+        """``with-keys`` (core.clj:903-924): → pcoll of (k, v) pairs."""
+        return self.map(lambda v, key_fn=key_fn: (key_fn(v), v))
+
+    def _to_kv(self) -> DataFrame:
+        """(k, v) pairs → two binary columns (canonical key bytes)."""
+        import pandas as pd
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                keys, vals = [], []
+                for raw in b["value"]:
+                    k, v = _loads(raw)
+                    keys.append(_key_bytes(k))
+                    vals.append(_dumps((k, v)))
+                yield pd.DataFrame({"key": keys, "value": vals})
+
+        return self.df.mapInPandas(run, schema=_KV_SCHEMA)
+
+    def group_by_key(self) -> "PCollection":
+        """``group-by-key`` (core.clj:926-935): pcoll of (k, v) →
+        pcoll of (k, [v...])."""
+        import pandas as pd
+
+        def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+            pairs = [_loads(r) for r in pdf["value"]]
+            k = pairs[0][0]
+            return pd.DataFrame({"value": [_dumps((k, [v for _, v in pairs]))]})
+
+        kv = self._to_kv()
+        return PCollection(
+            kv.groupBy("key").applyInPandas(assemble, schema=_VALUE_SCHEMA)
+        )
+
+    def group_by(self, key_fn: Callable) -> "PCollection":
+        """``group-by`` (core.clj:990-1020): with-keys + group-by-key."""
+        return self.with_keys(key_fn).group_by_key()
+
+    def combine_globally(self, f) -> "PCollection":
+        """``combine :global`` (core.clj:1882-1913): → singleton pcoll.
+        Partial-reduce per batch, final merge of the (tiny) partials."""
+        fn = CombineFn.of(f)
+
+        def partial(values: Iterator) -> Iterable:
+            acc = _EMPTY
+            for v in values:
+                acc = fn.reduce(acc, v)
+            return () if _is_empty(acc) else (("__global__", acc),)
+
+        partials = self.map_partitions(partial)
+
+        import pandas as pd
+
+        def final(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = _EMPTY
+            for raw in pdf["value"]:
+                _, a = _loads(raw)
+                acc = fn.merge(acc, a)
+            return pd.DataFrame({"value": [_dumps(fn.extract(acc))]})
+
+        kv = partials._to_kv()
+        return PCollection(
+            kv.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
+        )
+
+    def combine_by(self, key_fn: Callable, f) -> "PCollection":
+        """``combine-by`` (core.clj:1915-1946): per-key combine with
+        Beam-style combiner lifting — reduce to one accumulator per
+        (key, batch) BEFORE the shuffle (ClojureCombineFn.java:32-38),
+        merge + extract after. Output: pcoll of (k, out)."""
+        fn = CombineFn.of(f)
+        import pandas as pd
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                accs: dict[bytes, object] = {}
+                reprs: dict[bytes, object] = {}
+                for raw in b["value"]:
+                    v = _loads(raw)
+                    k = key_fn(v)
+                    kb = _key_bytes(k)
+                    accs[kb] = fn.reduce(accs.get(kb, _EMPTY), v)
+                    reprs[kb] = k
+                yield pd.DataFrame(
+                    {
+                        "key": list(accs.keys()),
+                        "value": [
+                            _dumps((reprs[kb], acc)) for kb, acc in accs.items()
+                        ],
+                    }
+                )
+
+        partials = self.df.mapInPandas(partial, schema=_KV_SCHEMA)
+
+        def final(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = _EMPTY
+            k = None
+            for raw in pdf["value"]:
+                k, a = _loads(raw)
+                acc = fn.merge(acc, a)
+            return pd.DataFrame({"value": [_dumps((k, fn.extract(acc)))]})
+
+        return PCollection(
+            partials.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
+        )
+
+    def distinct(self) -> "PCollection":
+        """``distinct`` (core.clj:1741-1756) for arbitrary values."""
+        return (
+            self.with_keys(lambda v: v)
+            .group_by_key()
+            .map(lambda kv: kv[0])
+        )
+
+    # ------------------------------------------------------------ sinks
+    def collect(self) -> list:
+        return [_loads(r["value"]) for r in self.df.collect()]
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def to_dataframe(self, spark: SparkSession, schema) -> DataFrame:
+        """Dict values → typed DataFrame (exit from object mode)."""
+        import pandas as pd
+
+        def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                yield pd.DataFrame([_loads(raw) for raw in b["value"]])
+
+        return self.df.mapInPandas(conv, schema=schema)
+
+
+def side_input(pcoll: PCollection, view: str = "list"):
+    """``view`` / side inputs (core.clj:776-808): collect + broadcast.
+    ``view`` ∈ list | singleton | map | multi-map."""
+    items = pcoll.collect()
+    if view == "singleton":
+        if len(items) != 1:
+            raise ValueError(f"singleton view over {len(items)} elements")
+        payload = items[0]
+    elif view == "map":
+        payload = dict(items)
+    elif view == "multi-map":
+        payload = {}
+        for k, v in items:
+            payload.setdefault(k, []).append(v)
+    else:
+        payload = items
+    sc = pcoll.df.sparkSession.sparkContext
+    return sc.broadcast(payload)
+
+
+def cogroup_by(
+    specs: list[tuple[PCollection, Callable]], join_nil: bool = False
+) -> PCollection:
+    """``cogroup-by`` (core.clj:1572-1691): n-way cogroup → pcoll of
+    (k, [vec₁ … vecₙ]). nil keys do NOT join by default — each
+    nil-keyed element emits its own singleton group
+    (greedy-emit-cogbkresult, core.clj:1561-1570) unless join_nil."""
+    import pandas as pd
+
+    n = len(specs)
+    spark = specs[0][0].df.sparkSession
+
+    tagged = []
+    for i, (pc, key_fn) in enumerate(specs):
+        def tag(v, i=i, key_fn=key_fn):
+            return (key_fn(v), (i, v))
+
+        tagged.append(pc.map(tag))
+
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = PCollection(unioned.df.unionAll(t.df))
+
+    if not join_nil:
+        # nil-keyed elements bypass the shuffle as singleton groups
+        nil_part = unioned.filter(lambda kv: kv[0] is None).map(
+            lambda kv: _nil_group(kv[1], n)
+        )
+        unioned = unioned.filter(lambda kv: kv[0] is not None)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sides: list[list] = [[] for _ in range(n)]
+        k = None
+        for raw in pdf["value"]:
+            k, (i, v) = _loads(raw)
+            sides[i].append(v)
+        return pd.DataFrame({"value": [_dumps((k, sides))]})
+
+    kv = unioned._to_kv()
+    grouped = PCollection(
+        kv.groupBy("key").applyInPandas(assemble, schema=_VALUE_SCHEMA)
+    )
+    if not join_nil:
+        grouped = PCollection(grouped.df.unionAll(nil_part.df))
+    return grouped
+
+
+def _nil_group(tagged_value, n):
+    i, v = tagged_value
+    sides: list[list] = [[] for _ in range(n)]
+    sides[i].append(v)
+    return (None, sides)
+
+
+def join_by(
+    specs: list[tuple[PCollection, Callable, bool]],
+    collector: Callable = None,
+) -> PCollection:
+    """``join-by`` (core.clj:1696-1739): cogroup + per-key cartesian
+    product. spec = (pcoll, key_fn, required); an empty optional side
+    contributes ``[None]`` (outer semantics); required sides drop the
+    key when empty. Collector default merges dicts (the reference's
+    canonical ``merge`` usage)."""
+    from itertools import product
+
+    cg = cogroup_by([(pc, key_fn) for pc, key_fn, _ in specs])
+    required = [req for _, _, req in specs]
+
+    def expand(kv):
+        _, sides = kv
+        pools = []
+        for side, req in zip(sides, required):
+            if not side:
+                if req:
+                    return ()
+                side = [None]
+            pools.append(side)
+        out = []
+        for combo in product(*pools):
+            if collector is not None:
+                out.append(collector(*combo))
+            else:
+                merged = {}
+                for part in combo:
+                    if part:
+                        merged.update(part)
+                out.append(merged)
+        return out
+
+    return cg.mapcat(expand)
+
+
+def concat(*pcolls: PCollection) -> PCollection:
+    """``concat`` (core.clj:1811-1821): union-all."""
+    df = pcolls[0].df
+    for p in pcolls[1:]:
+        df = df.unionAll(p.df)
+    return PCollection(df)

@@ -1,0 +1,182 @@
+"""External-system connectors as option-mappers.
+
+The reference wraps Beam IOs for Kafka (/root/reference/src/clj/
+datasplash/kafka.clj:11-194), BigQuery (bq.clj:25-353),
+Elasticsearch (es.clj:44-156) and Pub/Sub (pubsub.clj:57-121). Spark
+has first-party or well-known connectors for the first three; the
+functions here translate the reference's option surface into Spark
+reader/writer option dicts, so the pipeline code stays declarative
+and the connector jars stay optional (none are available in this
+container — building the options is pure; ``.load()``/``.start()``
+is where a missing connector fails, and these are exercised by unit
+tests on the dicts only).
+
+Pub/Sub has no mainstream Spark source; its role (unbounded
+attributed messages with an event-time attribute) is covered by the
+Kafka mapping plus ``:timestamp-label`` → ``withWatermark`` on a
+payload-derived timestamp column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+KAFKA_FORMAT = "kafka"
+
+
+def kafka_read_options(
+    brokers: str | Sequence[str],
+    topics: str | Sequence[str] | None = None,
+    subscribe_pattern: str | None = None,
+    starting_offsets: str = "earliest",
+    max_records: int | None = None,
+    read_committed: bool = False,
+    start_read_time: int | None = None,
+    topic_partitions: str | None = None,
+) -> dict[str, str]:
+    """``read-kafka`` option surface (kafka.clj:33-77) → Structured
+    Streaming kafka source options. The Beam ``KafkaRecord`` fields
+    (key/value/topic/partition/offset/timestamp/headers) are native
+    columns of the Spark source — no ``:without-metadata`` needed
+    (drop columns instead)."""
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    opts = {"kafka.bootstrap.servers": str(brokers), "startingOffsets": starting_offsets}
+    if topics is not None:
+        opts["subscribe"] = (
+            ",".join(topics) if isinstance(topics, (list, tuple)) else str(topics)
+        )
+    if subscribe_pattern is not None:
+        opts["subscribePattern"] = subscribe_pattern
+    if max_records is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_records)
+    if read_committed:
+        opts["kafka.isolation.level"] = "read_committed"
+    if start_read_time is not None:
+        opts["startingTimestamp"] = str(start_read_time)
+    if topic_partitions is not None:
+        opts["assign"] = topic_partitions
+    return opts
+
+
+def read_kafka(
+    spark: SparkSession, streaming: bool = True, **kwargs
+) -> DataFrame:
+    """Build the Kafka source (streaming or batch). Fails at
+    ``.load()`` if the kafka connector jar is absent."""
+    opts = kafka_read_options(**kwargs)
+    reader = (spark.readStream if streaming else spark.read).format(KAFKA_FORMAT)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def kafka_write_options(
+    brokers: str | Sequence[str],
+    topic: str,
+    exactly_once: bool = False,
+) -> dict[str, str]:
+    """``write-kafka`` options (kafka.clj:138-194). EOS maps to the
+    sink's idempotent-producer config; Beam's num-shards/sink-group
+    have no Spark analog (the sink is already partition-parallel)."""
+    if isinstance(brokers, (list, tuple)):
+        brokers = ",".join(brokers)
+    opts = {"kafka.bootstrap.servers": str(brokers), "topic": topic}
+    if exactly_once:
+        opts["kafka.enable.idempotence"] = "true"
+    return opts
+
+
+def write_kafka(df: DataFrame, checkpoint_dir: str, **kwargs):
+    """Start the Kafka sink for a streaming DataFrame (expects
+    ``key``/``value`` binary or string columns, the sink contract)."""
+    opts = kafka_write_options(**kwargs)
+    writer = df.writeStream.format(KAFKA_FORMAT).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def bigquery_read_options(
+    table: str | None = None,
+    query: str | None = None,
+    standard_sql: bool = True,
+    query_location: str | None = None,
+) -> dict[str, str]:
+    """BigQuery read surface (bq.clj:25-50) → spark-bigquery-connector
+    options (``format("bigquery")``)."""
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query required")
+    opts: dict[str, str] = {}
+    if table:
+        opts["table"] = table
+    if query:
+        opts["query"] = query
+        opts["useLegacySql"] = str(not standard_sql).lower()
+    if query_location:
+        opts["location"] = query_location
+    return opts
+
+
+def bigquery_write_options(
+    table: str,
+    create_disposition: str = "CREATE_IF_NEEDED",
+    write_disposition: str = "WRITE_APPEND",
+    partition_field: str | None = None,
+    clustering_fields: Sequence[str] | None = None,
+) -> dict[str, str]:
+    """BigQuery write surface (bq.clj:234-353): dispositions, time
+    partitioning, clustering → connector options."""
+    opts = {
+        "table": table,
+        "createDisposition": create_disposition,
+        "writeDisposition": write_disposition,
+    }
+    if partition_field:
+        opts["partitionField"] = partition_field
+    if clustering_fields:
+        opts["clusteredFields"] = ",".join(clustering_fields)
+    return opts
+
+
+def elasticsearch_read_options(
+    hosts: Sequence[str],
+    index: str,
+    query: str | None = None,
+    batch_size: int | None = None,
+) -> dict[str, str]:
+    """ES read surface (es.clj:44-93) → elasticsearch-hadoop options."""
+    opts = {"es.nodes": ",".join(hosts), "es.resource": index}
+    if query:
+        opts["es.query"] = query
+    if batch_size:
+        opts["es.scroll.size"] = str(batch_size)
+    return opts
+
+
+def elasticsearch_write_options(
+    hosts: Sequence[str],
+    index: str,
+    id_field: str | None = None,
+    max_batch_size: int | None = None,
+    max_batch_bytes: int | None = None,
+    retry_count: int | None = None,
+) -> dict[str, str]:
+    """ES write surface (es.clj:99-156): ``:id-fn`` doc routing →
+    ``es.mapping.id`` (the routing value must be a column — compute it
+    with ``withColumn`` first, the scalable form of the Java
+    ``ExtractKeyFn`` shim)."""
+    opts = {"es.nodes": ",".join(hosts), "es.resource": index}
+    if id_field:
+        opts["es.mapping.id"] = id_field
+    if max_batch_size:
+        opts["es.batch.size.entries"] = str(max_batch_size)
+    if max_batch_bytes:
+        opts["es.batch.size.bytes"] = str(max_batch_bytes)
+    if retry_count is not None:
+        opts["es.batch.write.retry.count"] = str(retry_count)
+    return opts

@@ -1,0 +1,97 @@
+"""Per-key stateful transforms.
+
+The reference's stateful DoFn holds one ``ValueState`` cell per key
+(/root/reference/src/java/ClojureStatefulDoFn.java:19-41): the user
+fn receives ``(state)`` and may read/write it per element; tested as
+a running per-key counter (test/datasplash/api_test.clj:342-357).
+
+Spark shapes:
+
+- **Streaming**: ``applyInPandasWithState`` — the honest equivalent
+  (keyed state store, watermark-driven timeouts).
+- **Batch**: Beam's batch semantics here are bundle-local and
+  order-dependent even in the reference (SURVEY §7.3c). We define the
+  reproducible version: state evolves per key in the order of an
+  explicit ``order_by`` column via one ``applyInPandas`` per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stateful_map_groups(
+    df: DataFrame,
+    key_cols: list[str],
+    fn: Callable[[Any, Iterable, Any], tuple[Iterable[dict], Any]],
+    state_schema: str,
+    output_schema: str,
+    output_mode: str = "update",
+    timeout: str = "NoTimeout",
+):
+    """Streaming per-key ``ValueState`` transform.
+
+    ``fn(key, rows, state_value) -> (out_rows, new_state)`` where
+    ``rows`` is an iterable of dicts for this key in this trigger,
+    ``state_value`` is the prior state (None first time) and
+    ``new_state`` is persisted (None clears). The plumbing below maps
+    that contract onto ``applyInPandasWithState``.
+    """
+    import pandas as pd
+
+    timeout_conf = {
+        "NoTimeout": GroupStateTimeout.NoTimeout,
+        "ProcessingTimeTimeout": GroupStateTimeout.ProcessingTimeTimeout,
+        "EventTimeTimeout": GroupStateTimeout.EventTimeTimeout,
+    }[timeout]
+
+    def wrapper(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        prior = state.get[0] if state.exists else None
+        rows: list[dict] = []
+        for pdf in pdf_iter:
+            rows.extend(pdf.to_dict("records"))
+        out_rows, new_state = fn(key, rows, prior)
+        if new_state is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((new_state,))
+        out = pd.DataFrame(list(out_rows))
+        yield out
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        wrapper,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=timeout_conf,
+    )
+
+
+def batch_stateful(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: str,
+    fn: Callable[[Any, list[dict]], Iterable[dict]],
+    output_schema: str,
+) -> DataFrame:
+    """Batch-mode stateful map with *defined* semantics: per key, rows
+    are sorted by ``order_by`` and handed to ``fn(key, rows)`` which
+    threads whatever state it likes and returns output rows.
+
+    (The reference's batch stateful test relies on bundle order —
+    nondeterministic; an explicit ordering column is the reproducible
+    contract, per SURVEY §7.3c.)
+    """
+    import pandas as pd
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        key = tuple(pdf.iloc[0][k] for k in key_cols)
+        return pd.DataFrame(list(fn(key, pdf.to_dict("records"))))
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)

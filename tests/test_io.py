@@ -1,0 +1,164 @@
+"""IO round-trips: text / JSON / EDN, compression, shards, dynamic
+destinations — mirroring the reference's round-trip suite
+(/root/reference/test/datasplash/core_test.clj:34-75,
+api_test.clj:69-277)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasplash_spark.functions import edn
+from datasplash_spark.sources import (
+    generate_input,
+    kafka_read_options,
+    read_edn_file,
+    read_json_file,
+    read_text_file,
+    read_text_files,
+    write_edn_file,
+    write_json_file,
+    write_text_file,
+)
+
+from tests.helpers import contains_only
+
+
+def test_generate_input(spark):
+    df = generate_input(spark, [(1, "a"), (2, "b")], "id int, name string")
+    contains_only(df, [(1, "a"), (2, "b")])
+
+
+def test_generate_input_empty_needs_schema(spark):
+    with pytest.raises(ValueError):
+        generate_input(spark, [])
+    assert generate_input(spark, [], "id int").count() == 0
+
+
+def test_text_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "txt")
+    df = generate_input(spark, [("hello",), ("world",)], "value string")
+    write_text_file(df, out)
+    got = read_text_file(spark, out)
+    contains_only(got, [("hello",), ("world",)])
+
+
+def test_text_compression_gzip(spark, tmp_path):
+    out = str(tmp_path / "gz")
+    df = generate_input(spark, [(f"line{i}",) for i in range(100)], "value string")
+    write_text_file(df, out, num_shards=2, compression="gzip")
+    files = glob.glob(os.path.join(out, "part-*.gz"))
+    assert 1 <= len(files) <= 2  # suffix check, core_test.clj:44-51
+    assert read_text_file(spark, out).count() == 100
+
+
+def test_text_bad_codec(spark, tmp_path):
+    df = generate_input(spark, [("x",)], "value string")
+    with pytest.raises(ValueError, match="codec"):
+        write_text_file(df, str(tmp_path / "bad"), compression="brotli9000")
+
+
+def test_text_dynamic_destinations(spark, tmp_path):
+    """:dynamic? per-element destination → partitionBy (core.clj:1246-1252)."""
+    out = str(tmp_path / "dyn")
+    df = generate_input(
+        spark, [("a", "g1"), ("b", "g2"), ("c", "g1")], "value string, dest string"
+    )
+    write_text_file(df, out, column="value", dynamic_by="dest")
+    assert os.path.isdir(os.path.join(out, "dest=g1"))
+    g1 = read_text_file(spark, os.path.join(out, "dest=g1"))
+    contains_only(g1, [("a",), ("c",)])
+
+
+def test_read_text_files_list(spark, tmp_path):
+    """read-text-files: filenames as a collection (core.clj:1306-1332)."""
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    write_text_file(generate_input(spark, [("x",)], "value string"), p1)
+    write_text_file(generate_input(spark, [("y",)], "value string"), p2)
+    got = read_text_files(spark, [p1, p2])
+    contains_only(got, [("x",), ("y",)])
+    names_df = generate_input(spark, [(p1,), (p2,)], "fname string")
+    assert read_text_files(spark, names_df).count() == 2
+
+
+def test_json_roundtrip_with_dates_and_blanks(spark, tmp_path):
+    """JSON-lines incl. blank lines dropped (api_test.clj:196-209)."""
+    out = str(tmp_path / "js")
+    df = generate_input(
+        spark,
+        [(1, "alice", "2021-01-01"), (2, "bob", None)],
+        "id int, name string, d string",
+    )
+    write_json_file(df, out)
+    # drop in an extra shard that is only blank lines (a fresh file —
+    # appending to a Spark-written part file breaks its .crc sidecar)
+    with open(os.path.join(out, "part-99999.json"), "w") as f:
+        f.write("\n\n")
+    got = read_json_file(spark, out, schema="id int, name string, d string")
+    contains_only(
+        got, [(1, "alice", "2021-01-01"), (2, "bob", None)]
+    )
+
+
+def test_edn_codec_unit():
+    """Pure codec: the reference's value shapes (nested maps, keywords,
+    sets, vectors — api_test.clj fixtures)."""
+    v = edn.loads('{:key :a :val 42 :xs [1 2 3] :s #{1 2} :m {:nested "q\\"uote"}}')
+    assert v[":key"] == ":a"
+    assert v[":val"] == 42
+    assert v[":xs"] == [1, 2, 3]
+    assert v[":s"] == {1, 2}
+    assert v[":m"] == {":nested": 'q"uote'}
+    assert edn.loads("nil") is None and edn.loads("false") is False
+    assert edn.loads("[1 2.5 sym]") == [1, 2.5, "sym"]
+    # round-trip
+    assert edn.loads(edn.dumps(v)) == v
+    with pytest.raises(edn.EdnError):
+        edn.loads("{:a}")
+    with pytest.raises(edn.EdnError):
+        edn.loads('"unterminated')
+
+
+def test_edn_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "edn")
+    df = generate_input(
+        spark, [(1, "alice", 1.5), (2, "bob", 2.5)], "id bigint, name string, score double"
+    )
+    write_edn_file(df, out)
+    # file content is real EDN with keyword keys
+    lines = sorted(
+        line
+        for p in glob.glob(os.path.join(out, "part-*"))
+        if not p.endswith(".crc")
+        for line in open(p).read().strip().splitlines()
+        if line
+    )
+    assert lines[0].startswith("{:id 1 :name ")
+    got = read_edn_file(spark, out, schema="id bigint, name string, score double")
+    contains_only(got, [(1, "alice", 1.5), (2, "bob", 2.5)])
+
+
+def test_edn_schema_inference(spark, tmp_path):
+    out = str(tmp_path / "edn2")
+    df = generate_input(spark, [(1, "x"), (2, "y")], "id bigint, name string")
+    write_edn_file(df, out)
+    got = read_edn_file(spark, out)  # inferred
+    assert set(got.columns) == {"id", "name"}
+    assert got.count() == 2
+
+
+def test_kafka_options_mapping():
+    """Option surface parity (kafka.clj:33-77) — pure dict check."""
+    opts = kafka_read_options(
+        brokers=["b1:9092", "b2:9092"],
+        topics=["t1", "t2"],
+        max_records=500,
+        read_committed=True,
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+    assert opts["kafka.isolation.level"] == "read_committed"

@@ -1,0 +1,203 @@
+"""Object-mode (Layer 1) parity: the reference's dynamic-value tests
+re-expressed over PCollection — ragged maps, keywords-as-strings,
+combiners, cogroup nil semantics.
+
+Fixture shapes come from /root/reference/test/datasplash/api_test.clj
+(cited per test)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from datasplash_spark.objectmode import (
+    CombineFn,
+    PCollection,
+    cogroup_by,
+    concat,
+    join_by,
+    side_input,
+)
+
+
+def _multiset(xs):
+    def freeze(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(freeze(x) for x in v)
+        if isinstance(v, set):
+            return frozenset(freeze(x) for x in v)
+        return v
+
+    return Counter(freeze(x) for x in xs)
+
+
+def assert_same(got, expected):
+    assert _multiset(got) == _multiset(expected)
+
+
+def test_map_filter_keep(spark):
+    """map (api_test.clj:327-340), filter (402-410), keep keeps false
+    (412-419)."""
+    pc = PCollection.from_items(spark, [1, 2, 3, 4, 5])
+    assert_same(pc.map(lambda x: x * 10).collect(), [10, 20, 30, 40, 50])
+    assert_same(pc.filter(lambda x: x % 2 == 0).collect(), [2, 4])
+    got = pc.keep(lambda x: (x % 2 == 0) if x != 5 else None).collect()
+    assert_same(got, [False, True, False, True])  # False survives, None dropped
+
+
+def test_mapcat_ragged_maps(spark):
+    """mapcat 1→N + heterogeneous dicts flow through untyped."""
+    rows = [{"key": "a", "val": 42}, {"key": "b", "val": 56}, {"key": "a", "lue": 65}]
+    pc = PCollection.from_items(spark, rows)
+    exploded = pc.mapcat(lambda d: [(k, v) for k, v in d.items()])
+    assert exploded.count() == 6
+
+
+def test_group_by(spark):
+    """group-by on ragged maps (api_test.clj:546-558)."""
+    rows = [{"key": "a", "val": 42}, {"key": "b", "val": 56}, {"key": "a", "lue": 65}]
+    pc = PCollection.from_items(spark, rows)
+    grouped = dict(pc.group_by(lambda d: d["key"]).collect())
+    assert _multiset(grouped["a"]) == _multiset(
+        [{"key": "a", "val": 42}, {"key": "a", "lue": 65}]
+    )
+    assert grouped["b"] == [{"key": "b", "val": 56}]
+
+
+def test_combine_by_plain_fn(spark):
+    """(combine-fn +) 1-arg form (core.clj:739-744, api_test.clj:724-732):
+    a bare binary fn is both reduce and merge; the first element seeds
+    the accumulator."""
+    import operator
+
+    pc = PCollection.from_items(spark, [1, 2, 3, 4, 5], num_partitions=3)
+    got = dict(pc.combine_by(lambda v: v % 2, operator.add).collect())
+    assert got == {0: 6, 1: 9}
+
+
+def test_combine_by_explicit_phases(spark):
+    import operator
+
+    pc = PCollection.from_items(spark, [("a", 1), ("a", 2), ("b", 5)])
+    fn = CombineFn(
+        initf=lambda: 0,
+        reducef=lambda acc, kv: acc + kv[1],
+        combinef=operator.add,
+    )
+    got = dict(pc.combine_by(lambda kv: kv[0], fn).collect())
+    assert got == {"a": 3, "b": 5}
+
+
+def test_combine_by_full_phases(spark):
+    """4-phase combiner: mean via [sum count] accumulator — the
+    reference's mean-fn shape (core.clj:2004-2017)."""
+    fn = CombineFn(
+        initf=lambda: (0.0, 0),
+        reducef=lambda acc, v: (acc[0] + v, acc[1] + 1),
+        combinef=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        extractf=lambda acc: acc[0] / acc[1] if acc[1] else 0.0,
+    )
+    pc = PCollection.from_items(spark, list(range(1, 101)), num_partitions=8)
+    got = dict(pc.combine_by(lambda v: v % 2, fn).collect())
+    assert got[0] == 51.0 and got[1] == 50.0
+
+
+def test_combine_globally(spark):
+    pc = PCollection.from_items(spark, list(range(101)), num_partitions=8)
+    assert pc.combine_globally(lambda a, b: a + b).collect() == [5050]
+
+
+def test_distinct_objects(spark):
+    pc = PCollection.from_items(
+        spark, [{"a": 1}, {"a": 1}, {"a": 2}, {"a": 1}]
+    )
+    assert_same(pc.distinct().collect(), [{"a": 1}, {"a": 2}])
+
+
+def test_cogroup_nil_semantics(spark):
+    """nil keys do NOT join — each nil-keyed element is its own
+    singleton group (core.clj:1561-1570, api_test.clj:603-653)."""
+    p1 = PCollection.from_items(
+        spark, [{"k": "x", "v": 1}, {"k": None, "v": 2}, {"k": None, "v": 3}]
+    )
+    p2 = PCollection.from_items(spark, [{"k": "x", "w": 10}, {"k": None, "w": 20}])
+    got = cogroup_by([(p1, lambda d: d["k"]), (p2, lambda d: d["k"])]).collect()
+    by_key = {}
+    nil_groups = []
+    for k, sides in got:
+        if k is None:
+            nil_groups.append(sides)
+        else:
+            by_key[k] = sides
+    assert _multiset(by_key["x"][0]) == _multiset([{"k": "x", "v": 1}])
+    assert _multiset(by_key["x"][1]) == _multiset([{"k": "x", "w": 10}])
+    # three nil-keyed elements → three singleton groups
+    assert len(nil_groups) == 3
+    assert all(sum(len(s) for s in sides) == 1 for sides in nil_groups)
+
+
+def test_join_by_required_and_outer(spark):
+    """join-by cartesian per key; empty optional side → [nil]
+    (core.clj:1696-1739, api_test.clj:655-681)."""
+    p1 = PCollection.from_items(
+        spark, [{"id": 1, "a": "x"}, {"id": 2, "a": "y"}]
+    )
+    p2 = PCollection.from_items(
+        spark, [{"id": 1, "b": "p"}, {"id": 1, "b": "q"}, {"id": 3, "b": "r"}]
+    )
+    inner = join_by(
+        [(p1, lambda d: d["id"], True), (p2, lambda d: d["id"], True)]
+    ).collect()
+    assert_same(
+        inner,
+        [
+            {"id": 1, "a": "x", "b": "p"},
+            {"id": 1, "a": "x", "b": "q"},
+        ],
+    )
+    left = join_by(
+        [(p1, lambda d: d["id"], True), (p2, lambda d: d["id"], False)]
+    ).collect()
+    assert_same(
+        left,
+        [
+            {"id": 1, "a": "x", "b": "p"},
+            {"id": 1, "a": "x", "b": "q"},
+            {"id": 2, "a": "y"},  # merge with None side = left row alone
+        ],
+    )
+
+
+def test_concat_and_side_input(spark):
+    p1 = PCollection.from_items(spark, [1, 2])
+    p2 = PCollection.from_items(spark, [3])
+    assert_same(concat(p1, p2).collect(), [1, 2, 3])
+    # side input as map view (api_test.clj:500-530)
+    lookup = PCollection.from_items(spark, [("a", 1), ("b", 2)])
+    bc = side_input(lookup, view="map")
+    main = PCollection.from_items(spark, ["a", "b", "a"])
+    got = main.map(lambda k, bc=bc: bc.value[k]).collect()
+    assert_same(got, [1, 2, 1])
+
+
+def test_map_partitions_with_initialize(spark):
+    """pardo + initialize-fn/system (core.clj:274-277, api_test.clj:
+    328-340): once-per-task setup passed into the fn."""
+    pc = PCollection.from_items(spark, [1, 2, 3], num_partitions=2)
+
+    def init():
+        return {"offset": 100}
+
+    def run(values, system):
+        return [v + system["offset"] for v in values]
+
+    assert_same(pc.map_partitions(run, initialize=init).collect(), [101, 102, 103])
+
+
+def test_to_dataframe_exit(spark):
+    pc = PCollection.from_items(
+        spark, [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    )
+    df = pc.to_dataframe(spark, "id bigint, name string")
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "a"), (2, "b")}

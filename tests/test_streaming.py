@@ -1,0 +1,153 @@
+"""Streaming: watch-new-files source, stateful transforms, trigger
+mapping, session windows under watermark — smoke-level (rate/file
+sources; no external brokers in this container)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasplash_spark.plans import pt_cond, pt_thread, ptransform, view
+from datasplash_spark.sources import read_text_file, write_text_file, generate_input
+from datasplash_spark.streaming import (
+    batch_stateful,
+    beam_trigger_to_spark,
+    stateful_map_groups,
+    write_stream,
+)
+
+from tests.helpers import contains_only
+
+
+def test_watch_new_files_is_streaming(spark, tmp_path):
+    """:watch-new-files (core.clj:1207-1217) → streaming DataFrame."""
+    d = str(tmp_path / "watched")
+    write_text_file(generate_input(spark, [("x",)], "value string"), d)
+    stream = read_text_file(spark, d, watch_new_files=True)
+    assert stream.isStreaming
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """Drain a file stream with availableNow ('once' trigger) into a
+    memory sink and check the rows arrive."""
+    src = str(tmp_path / "src")
+    write_text_file(
+        generate_input(spark, [("a",), ("b",)], "value string"), src
+    )
+    stream = read_text_file(spark, src, watch_new_files=True)
+    q = write_stream(
+        stream,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger="once",
+        query_name="drain_test",
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM drain_test")
+    contains_only(got, [("a",), ("b",)])
+
+
+def test_stateful_map_groups_streaming(spark, tmp_path):
+    """Per-key ValueState running counter — the reference's stateful
+    test shape (api_test.clj:342-357) under Structured Streaming."""
+    src = str(tmp_path / "events")
+    write_text_file(
+        generate_input(
+            spark, [("a",), ("a",), ("b",), ("a",), ("b",)], "value string"
+        ),
+        src,
+    )
+    stream = read_text_file(spark, src, watch_new_files=True)
+
+    def counter(key, rows, state):
+        n = (state or 0) + len(rows)
+        return [{"key": key[0], "n": n}], n
+
+    counted = stateful_map_groups(
+        stream,
+        ["value"],
+        counter,
+        state_schema="n int",
+        output_schema="key string, n int",
+    )
+    q = write_stream(
+        counted,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        trigger="once",
+        output_mode="update",
+        query_name="counts_test",
+    )
+    q.awaitTermination(120)
+    got = {r.key: r.n for r in spark.sql("SELECT * FROM counts_test").collect()}
+    assert got == {"a": 3, "b": 2}
+
+
+def test_batch_stateful_ordered(spark):
+    """Batch stateful with explicit ordering (SURVEY §7.3c): running
+    per-key sum in event order."""
+    df = generate_input(
+        spark,
+        [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 7.0), ("a", 3, 1.0)],
+        "k string, seq int, x double",
+    )
+
+    def running(key, rows):
+        total = 0.0
+        for r in rows:
+            total += r["x"]
+            yield {"k": r["k"], "seq": r["seq"], "running": total}
+
+    got = batch_stateful(df, ["k"], "seq", running, "k string, seq int, running double")
+    contains_only(
+        got,
+        [
+            ("a", 1, 10.0),
+            ("a", 2, 15.0),
+            ("a", 3, 16.0),
+            ("b", 1, 7.0),
+        ],
+    )
+
+
+def test_trigger_mapping():
+    assert beam_trigger_to_spark(None) == {}
+    assert beam_trigger_to_spark("once") == {"availableNow": True}
+    assert beam_trigger_to_spark({"processing-time": "10 seconds"}) == {
+        "processingTime": "10 seconds"
+    }
+    assert beam_trigger_to_spark("continuous:1 second") == {"continuous": "1 second"}
+    with pytest.raises(ValueError):
+        beam_trigger_to_spark("bogus")
+
+
+# ---------------------------------------------------------------- sugar
+
+def test_ptransform_and_threading(spark):
+    """ptransform / pt->> / pt-cond->> (api_test.clj:468-484)."""
+    df = generate_input(spark, [(i,) for i in range(10)], "x int")
+
+    @ptransform("evens")
+    def evens(d):
+        return d.filter(F.col("x") % 2 == 0)
+
+    def doubled(d):
+        return d.select((F.col("x") * 2).alias("x"))
+
+    got = pt_thread(df, evens, doubled)
+    contains_only(got, [(0,), (4,), (8,), (12,), (16,)])
+    same = pt_cond(df, (False, evens), (True, doubled))
+    assert same.count() == 10
+
+
+def test_view_types(spark):
+    df = generate_input(spark, [("a", 1), ("b", 2), ("a", 3)], "k string, v int")
+    assert view(df.limit(1).select("v"), "singleton").value in (1, 2, 3)
+    assert view(df, "map").value["b"] == 2
+    mm = view(df, "multi-map").value
+    assert sorted(mm["a"]) == [1, 3]
+    assert len(view(df, "list").value) == 3
+    with pytest.raises(ValueError):
+        view(df, "singleton")
