@@ -138,32 +138,77 @@ def minhash_signatures(
 
 
 def simhash(text: ColumnLike) -> Column:
-    """SimHash signature as a 60-bit BIGINT: per-bit votes of distinct
-    token hashes (+1 if bit set, −1 otherwise), sign-thresholded.
+    """SimHash signature as a 60-bit BIGINT: a bit is set when more
+    than half the distinct token hashes have it set (majority vote —
+    equivalent to the classic ±1 vote sum being positive).
 
-    Single traversal: one ``aggregate`` with a 60-slot vote array."""
+    Pure-Column form: convenient, but the token/md5 subtree re-inlines
+    per bit under project collapse — prefer :func:`simhash_signatures`
+    in pipelines (shift amounts must be Python ints: Spark's
+    shiftleft/shiftright reject Column counts)."""
     hashes = F.transform(F.array_distinct(tokens(text)), md5_long)
-    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    votes = F.aggregate(
+    n = F.size(hashes)
+
+    def bit_set(b: int):
+        mask = 1 << b
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        count_set = F.size(F.filter(hashes, bit_set(b)))
+        out = out + F.when(
+            count_set * 2 > n, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"
+) -> DataFrame:
+    """SimHash, scale path: ``(doc_id, simhash)``.
+
+    explode(distinct tokens) → one md5 per (doc, token) → groupBy(doc)
+    with 60 majority-vote aggregates (sum of ±1 per bit, map-side
+    partial agg) → bit assembly. Same shuffle shape as
+    :func:`minhash_signatures`: one 60-wide row per doc per partition.
+    """
+    hashed = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text))).alias("_tok"),
+    ).select("doc_id", md5_long(F.col("_tok")).alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*aggs)
+    sig = voted.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def rolling_fingerprint(text: ColumnLike, base: int = 1000003) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token-hash sequence, folded left-to-right in BIGINT
+    (acc·base + h < 2^51, exact). DuckDB mirror:
+    ``list_reduce(list_prepend(0, hashes), (a, x) -> (a*base + x) % p)``."""
+    hashes = F.transform(tokens(text), md5_int31)
+    return F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                bit_idx,
-                lambda i: F.when(F.shiftright(h, i) % 2 == 1, 1).otherwise(-1),
-            ),
-            lambda x, y: x + y,
-        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(base) + h) % F.lit(MERSENNE_P),
     )
-    bits = F.zip_with(
-        votes,
-        bit_idx,
-        lambda v, i: F.when(
-            v > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def hamming64(a: ColumnLike, b: ColumnLike) -> Column:

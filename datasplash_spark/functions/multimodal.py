@@ -1,0 +1,110 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata (BASELINE north-star extension).
+
+Design for 100 TB: media bytes ride in a ``binary`` column next to a
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages so bytes stream through
+workers without driver involvement, and the *metadata* (small) is
+what shuffles. The image/audio codec libraries are NOT in this
+container (environment contract), so the decode kernels are stubbed:
+:func:`decode_image` raises ``NotImplementedError`` where a real
+codec would run, while :func:`media_features` uses a deterministic
+byte-level extractor so the full Spark plumbing — schema, batch
+shape, partitioning — is real and testable (and oracle-checkable:
+byte length + a rolling byte checksum are engine-independent).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.elementwise import ColumnLike, _col
+
+#: schema of the typed metadata struct carried beside media bytes
+MEDIA_META_SCHEMA = (
+    "media_type string, width int, height int, sample_rate int, n_frames int"
+)
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes int, checksum bigint"
+
+
+def as_media(
+    df: DataFrame,
+    bytes_col: ColumnLike,
+    media_type: str,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Wrap a binary column as a media column with a metadata struct
+    (unknown dims until decode → nulls)."""
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        _col(bytes_col).cast("binary").alias("media"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(raw: bytes) -> "object":
+    """Real image decode — requires a codec library (PIL/opencv), not
+    present in this container by contract. The mapInPandas plumbing
+    around it is exercised with :func:`media_features` instead."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; "
+        "plug PIL/cv2 here in a full deployment"
+    )
+
+
+def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
+    """Deterministic byte-level feature extraction via ``mapInPandas``
+    — the stand-in for decode+featurize with identical plumbing.
+
+    Features: payload size and a base-257 rolling checksum mod
+    2^31−1 (both reproducible in SQL from the source text, so the
+    whole multimodal path is oracle-checkable)."""
+    import pandas as pd
+
+    P = (1 << 31) - 1
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, sizes, sums = [], [], []
+            for doc_id, raw in zip(b[id_col], b[media_col]):
+                data = bytes(raw) if raw is not None else b""
+                acc = 0
+                for byte in data:
+                    acc = (acc * 257 + byte) % P
+                ids.append(doc_id)
+                sizes.append(len(data))
+                sums.append(acc)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes": sizes, "checksum": sums}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n: int, id_col: ColumnLike = "doc_id"
+) -> DataFrame:
+    """Frame-sampling *plan*: one output row per sampled frame index
+    based on metadata (``n_frames``), without decoding — the shape of
+    a video pipeline stage where the decode kernel is pluggable.
+    Rows explode JVM-side; the stub keeps frames as (doc_id, frame_idx)."""
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("frame_idx"),
+    )

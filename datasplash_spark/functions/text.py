@@ -41,18 +41,12 @@ def token_count(text: ColumnLike) -> Column:
 
 
 def bpe_ish_token_count(text: ColumnLike) -> Column:
-    """BPE-ish token estimate: word-and-punctuation regex split.
-
-    Counts maximal runs of word chars plus single non-space
-    non-word chars — a deterministic stand-in for a real BPE vocab
-    (which would be a broadcast lookup at scale)."""
-    c = _col(text)
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=\W)|(?=\W)"),
-            lambda t: (F.trim(t) != "") & t.isNotNull(),
-        )
-    )
+    """BPE-ish token estimate: maximal word-char runs plus single
+    non-space punctuation chars — a deterministic stand-in for a real
+    BPE vocab (which would be a broadcast lookup at scale). The
+    pattern is RE2-safe (no lookarounds) so the DuckDB oracle
+    (``len(regexp_extract_all(text, ...))``) matches exactly."""
+    return F.regexp_count(_col(text), F.lit(r"\w+|[^\w\s]"))
 
 
 def punct_ratio(text: ColumnLike) -> Column:

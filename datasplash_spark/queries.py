@@ -730,6 +730,283 @@ LIMIT 20
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document (60-bit majority-vote hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_signatures(docs)
+
+
+def _simhash_oracle() -> str:
+    bits = dd.SIMHASH_BITS
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS dt FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(dt, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+  FROM dtoks
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, {bits}),
+         b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                   THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+FROM hashed
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.rolling_fingerprint("text").alias("rfp"))
+
+
+ORACLE_FINGERPRINT_ROLLING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(t,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483648) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, hs),
+         (a, x) -> (a * 1000003 + x) % {dd.MERSENNE_P}) AS rfp
+FROM hashed
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: composite score, BPE-ish token count,
+    stopword ratio — the text-quality pipeline stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+        tx.bpe_ish_token_count("text").alias("bpe_tokens"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stop_ratio"),
+    )
+
+
+_EN_STOPS = ", ".join(f"'{w}'" for w in tx.LANG_STOPWORDS["en"])
+
+ORACLE_DOC_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(text) AS n,
+         string_split(lower(text), ' ') AS toks,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / len(text)
+              ELSE 0 END AS punct_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, n, punct_ratio,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains([{_EN_STOPS}], t))) * 1.0 / len(toks)
+              ELSE 0 END AS stop_ratio
+  FROM base
+)
+SELECT doc_id,
+       round((CASE WHEN n >= 50 AND n <= 20000 THEN 0.4 ELSE 0 END)
+           + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0 END)
+           + (CASE WHEN stop_ratio > 0.05 THEN 0.3 ELSE 0 END), 6) AS quality,
+       bpe_tokens,
+       round(stop_ratio, 6) AS stop_ratio
+FROM scored
+"""
+
+
+def _get_query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def _planes_sql(planes: list[list[float]]) -> list[str]:
+    return [
+        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]" for plane in planes
+    ]
+
+
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH bucket probe (scale path:
+    only the query's bucket is scored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _get_query_vec(spark, sf_dir)
+    out = sim.lsh_bucketed_topk(emb, qvec, k=10, bits=8, seed=42)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_oracle() -> str:
+    planes = sim.random_hyperplanes(64, 8, seed=42)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql(planes))
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, e, {bucket_terms} AS bucket FROM vecs
+), q AS (
+  SELECT e AS qe, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(round(CASE WHEN sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe)) > 0
+             THEN list_dot_product(b.e, q.qe)
+                  / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+             ELSE 0 END, 9), 6) AS score
+FROM bucketed b, q
+WHERE b.bucket = q.qbucket
+ORDER BY round(CASE WHEN sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe)) > 0
+             THEN list_dot_product(b.e, q.qe)
+                  / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+             ELSE 0 END, 9) DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+ORACLE_SIMILARITY_ANN = _ann_oracle()
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors,
+    compare only within buckets, keep cosine ≥ 0.3 (the corpus has no planted near-dups; 0.3 keeps the candidate set non-trivial). Linear bucketing +
+    intra-bucket quadratic only — the 100 TB shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = sim.random_hyperplanes(64, 8, seed=7)
+    bucketed = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        sim.hyperplane_bucket("embedding", planes).alias("bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = (
+        l.join(r, "bucket")
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(sim.cosine(F.col("l.e"), F.col("r.e")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .distinct()
+    )
+    return pairs
+
+
+def _emb_pairs_oracle() -> str:
+    planes = sim.random_hyperplanes(64, 8, seed=7)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes_sql(planes))
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), bucketed AS (
+  SELECT vec_id, e, {bucket_terms} AS bucket FROM vecs
+), pairs AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round(CASE WHEN sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)) > 0
+               THEN list_dot_product(l.e, r.e)
+                    / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
+               ELSE 0 END, 6) AS cos
+  FROM bucketed l JOIN bucketed r
+    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
+"""
+
+
+ORACLE_DEDUP_EMBEDDING = _emb_pairs_oracle()
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes as opaque media binary →
+    mapInPandas feature extraction (size + rolling code-point
+    checksum). The decode kernel is the stubbed seam; the Spark
+    plumbing (binary column, Arrow batches, metadata struct) is real."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("raw")),
+        "raw",
+        media_type="text/plain",
+    )
+    return mm.media_features(media)
+
+
+ORACLE_MULTIMODAL = f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(range(1, length(text) + 1),
+                          i -> unicode(text[i:i])::BIGINT)),
+         (a, x) -> (a * 257 + x) % {(1 << 31) - 1}) AS checksum
+FROM documents
+"""
+
+
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate verification: exact n-gram Jaccard over the MinHash
+    candidate pairs (the two-stage near-dup pipeline: cheap LSH recall
+    → exact verify on the small candidate set)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = dd.lsh_candidate_pairs(docs, num_hashes=16, bands=4, k=3, seed=42)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        cands.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(dd.ngram_jaccard(F.col("ta"), F.col("tb"), k=3), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH cand AS ({_minhash_oracle_sql(16, 4, 3, 42)}),
+  sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 3 + 1, 1) + 1),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS s
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+             THEN len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(a.s || b.s))
+             ELSE 0 END, 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+"""
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample :scope :per-key (core.clj:1761-1782): fixed-size uniform
+    sample per key — rows-only check (engine RNGs differ)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sample(li, 3, scope="per-key", key="l_returnflag").select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -764,6 +1041,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_session": (q_window_session, ORACLE_WINDOW_SESSION),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
+    "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
+    "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
+    "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "sample_per_key": (q_sample_per_key, None),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),

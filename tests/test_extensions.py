@@ -1,0 +1,115 @@
+"""North-star extension functions: dedup signatures, similarity,
+multimodal plumbing — unit level (the oracle corpus covers the full
+cross-engine semantics at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasplash_spark.functions import dedup as dd
+from datasplash_spark.functions import multimodal as mm
+from datasplash_spark.functions import similarity as sim
+from datasplash_spark.sources import generate_input
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-identical docs → small Hamming distance; unrelated → large."""
+    docs = generate_input(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated text about spark and scale"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: r.simhash for r in dd.simhash_signatures(docs).collect()}
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert d12 < d13
+    # Column form agrees with the aggregated form
+    col_sigs = {
+        r.doc_id: r.s
+        for r in docs.select("doc_id", dd.simhash("text").alias("s")).collect()
+    }
+    assert col_sigs == sigs
+
+
+def test_minhash_column_vs_aggregated(spark):
+    docs = generate_input(
+        spark,
+        [(1, "a b c d e f g h"), (2, "x y z w v u t s")],
+        "doc_id bigint, text string",
+    )
+    agg = {
+        r.doc_id: list(r.signature)
+        for r in dd.minhash_signatures(docs, num_hashes=8).collect()
+    }
+    col = {
+        r.doc_id: list(r.s)
+        for r in docs.select(
+            "doc_id", dd.minhash_signature("text", num_hashes=8).alias("s")
+        ).collect()
+    }
+    assert agg == col
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = generate_input(
+        spark,
+        [("a b c d", "a b c d"), ("a b c d", "w x y z")],
+        "t1 string, t2 string",
+    )
+    got = [r.j for r in df.select(dd.ngram_jaccard("t1", "t2", k=2).alias("j")).collect()]
+    assert got[0] == 1.0 and got[1] == 0.0
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = generate_input(
+        spark, [(1, "a b c"), (2, "c b a"), (3, "a b c")], "id bigint, t string"
+    )
+    fps = {r.id: r.f for r in df.select("id", dd.rolling_fingerprint("t").alias("f")).collect()}
+    assert fps[1] == fps[3] and fps[1] != fps[2]
+
+
+def test_lsh_bucket_recall_of_exact_top1(spark):
+    """The bucketed probe must find the query vector itself (cos=1)."""
+    vecs = [
+        (i, [float(i + 1)] + [float((i + j) % 3) + 1.0 for j in range(15)])
+        for i in range(50)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    q = vecs[5][1]
+    got = sim.lsh_bucketed_topk(df, q, k=3, bits=4).collect()
+    assert got[0].vec_id == 5 and abs(got[0].score - 1.0) < 1e-9
+
+
+def test_multimodal_features_and_stub(spark):
+    docs = generate_input(
+        spark, [(1, "abc"), (2, ""), (3, "héllo")], "doc_id bigint, text string"
+    )
+    media = mm.as_media(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("raw")),
+        "raw",
+        media_type="text/plain",
+    )
+    assert dict(media.dtypes)["media"] == "binary"
+    feats = {r.doc_id: (r.n_bytes, r.checksum) for r in mm.media_features(media).collect()}
+    assert feats[1][0] == 3 and feats[2] == (0, 0)
+    assert feats[3][0] == 6  # é is 2 UTF-8 bytes
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    df = generate_input(spark, [(1, b"x")], "doc_id bigint, raw binary")
+    media = mm.as_media(df, "raw", "video/mp4")
+    with_frames = media.withColumn(
+        "meta", F.struct(
+            F.col("meta.media_type"), F.col("meta.width"), F.col("meta.height"),
+            F.col("meta.sample_rate"), F.lit(10).alias("n_frames"),
+        )
+    )
+    frames = mm.frame_sample_plan(with_frames, every_n=3)
+    assert [r.frame_idx for r in frames.orderBy("frame_idx").collect()] == [0, 3, 6, 9]
