@@ -1007,6 +1007,129 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten (Flatten.iterables): group linenumbers to arrays, then
+    explode back — per-order (orderkey, linenumber) pairs survive."""
+    from .operators import dflatten
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), F.col("l_linenumber").alias("value")
+    )
+    grouped = group_by_key(li)
+    flat = grouped.select(
+        "key", F.explode("values").alias("linenumber")
+    )
+    return flat.select(F.col("key").alias("orderkey"), "linenumber")
+
+
+ORACLE_FLATTEN = """
+SELECT l_orderkey AS orderkey, l_linenumber AS linenumber FROM lineitem
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:fanout hot-key salting for a holistic agg (collect_list):
+    two-level salt-and-merge must equal the direct group-by."""
+    from .operators import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        "l_returnflag",
+        [
+            (
+                F.collect_list("l_quantity").alias("p0"),
+                lambda c: F.flatten(F.collect_list(F.col(c))).alias("qtys"),
+            )
+        ],
+        salt_buckets=8,
+    )
+    return out.select(
+        F.col("key").alias("l_returnflag"),
+        F.size("qtys").alias("n"),
+        F.round(
+            F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("sum_qty"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch stateful map (ordered per-key state, SURVEY §7.3c):
+    running per-user event-value sum in event-time order. Oracle =
+    SQL running window — the state contract is exactly a cumulative
+    aggregate when the fn is associative."""
+    from .streaming import batch_stateful
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id", "value"
+    )
+
+    def running(key, rows):
+        total = 0.0
+        for r in rows:
+            total += r["value"]
+            yield {
+                "user_id": r["user_id"],
+                "event_id": r["event_id"],
+                "running_sum": round(total, 2),
+            }
+
+    return batch_stateful(
+        ev,
+        ["user_id"],
+        "event_id",
+        running,
+        "user_id bigint, event_id bigint, running_sum double",
+    )
+
+
+ORACLE_STATEFUL_RUNNING_SUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+FROM events
+"""
+
+
+def q_objectmode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-1 object mode end-to-end: documents → dict rows → mapcat
+    tokenize → 4-phase combiner → typed DataFrame exit. Cross-checks
+    the pickled-value path against plain SQL."""
+    from .objectmode import CombineFn, PCollection
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pc = PCollection.from_dataframe(docs)
+    counts = (
+        pc.mapcat(lambda d: d["text"].lower().split(" "))
+        .map(lambda w: (w, 1))
+        .combine_by(
+            lambda kv: kv[0],
+            CombineFn(
+                initf=lambda: 0,
+                reducef=lambda acc, kv: acc + kv[1],
+                combinef=lambda a, b: a + b,
+            ),
+        )
+        .map(lambda kv: {"token": kv[0], "n": kv[1]})
+    )
+    return counts.to_dataframe(spark, "token string, n bigint").filter(
+        F.col("n") > 5
+    )
+
+
+ORACLE_OBJECTMODE_WORDCOUNT = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token HAVING count(*) > 5
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1049,6 +1172,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "sample_per_key": (q_sample_per_key, None),
+    "flatten": (q_flatten, ORACLE_FLATTEN),
+    "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
+    "stateful_running_sum": (q_stateful_running_sum, ORACLE_STATEFUL_RUNNING_SUM),
+    "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
