@@ -294,6 +294,12 @@ def lsh_candidate_pairs(
             ).alias("bucket"),
         )
     )
+    # The self-join computes the signature pipeline once per side.
+    # Measured: letting it recompute beats .persist() here — caching
+    # forces full materialization and hides AQE's broadcast choice
+    # (3.8s vs 14s at sf0.1). For repeated probing at 100 TB, write
+    # the banded table out once (parquet, partitioned by bucket) and
+    # self-join that, rather than caching mid-plan.
     left = banded.alias("l")
     right = banded.alias("r")
     return (
