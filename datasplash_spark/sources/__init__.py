@@ -16,6 +16,7 @@ from .files import (
     read_json_file,
     read_text_file,
     read_text_files,
+    rename_shards,
     write_edn_file,
     write_json_file,
     write_text_file,
@@ -34,6 +35,7 @@ __all__ = [
     "read_kafka",
     "read_text_file",
     "read_text_files",
+    "rename_shards",
     "write_edn_file",
     "write_json_file",
     "write_kafka",

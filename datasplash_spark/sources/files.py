@@ -120,6 +120,51 @@ def write_text_file(
     writer.text(path) if not dynamic_by else writer.format("text").save(path)
 
 
+def rename_shards(
+    path: str,
+    naming_fn=None,
+    prefix: str = "part",
+    suffix: str = "",
+) -> list[str]:
+    """``filename-policy`` emulation (/root/reference/src/clj/
+    datasplash/core.clj:2173-2209, FileNamePolicy.java:21-45).
+
+    Spark owns part-file names during the job (SURVEY §7.3b), so
+    custom shard naming is a post-commit rename pass over the output
+    directory. ``naming_fn(shard_idx, n_shards, old_name) -> name``;
+    default: ``{prefix}-{i:05d}-of-{n:05d}{suffix}``. Driver-side
+    metadata work — one listing + one rename per shard. Returns the
+    new file names in shard order."""
+    import glob as _glob
+    import os as _os
+
+    parts = sorted(
+        p
+        for p in _glob.glob(_os.path.join(path, "part-*"))
+        if not p.endswith(".crc")
+    )
+    n = len(parts)
+    out = []
+    for i, p in enumerate(parts):
+        ext = ""
+        base = _os.path.basename(p)
+        for known in (".gz", ".bz2", ".zst", ".deflate", ".snappy", ".lz4"):
+            if base.endswith(known):
+                ext = known
+                break
+        if naming_fn is not None:
+            new = naming_fn(i, n, base)
+        else:
+            new = f"{prefix}-{i:05d}-of-{n:05d}{suffix}{ext}"
+        dest = _os.path.join(path, new)
+        _os.rename(p, dest)
+        crc = _os.path.join(_os.path.dirname(p), f".{base}.crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)  # checksum sidecar names the old file
+        out.append(dest)
+    return out
+
+
 def read_json_file(
     spark: SparkSession,
     path: str,

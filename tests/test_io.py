@@ -162,3 +162,41 @@ def test_kafka_options_mapping():
     assert opts["subscribe"] == "t1,t2"
     assert opts["maxOffsetsPerTrigger"] == "500"
     assert opts["kafka.isolation.level"] == "read_committed"
+
+
+def test_rename_shards_default_and_custom(spark, tmp_path):
+    """filename-policy emulation (core.clj:2173-2209): post-commit
+    rename to a custom shard naming scheme."""
+    from datasplash_spark.sources import rename_shards
+
+    out = str(tmp_path / "named")
+    df = generate_input(spark, [(f"r{i}",) for i in range(20)], "value string")
+    write_text_file(df, out, num_shards=3)
+    renamed = rename_shards(out, suffix=".txt")
+    names = sorted(os.path.basename(p) for p in renamed)
+    assert names[0] == "part-00000-of-00003.txt"
+    assert len(names) == 3
+    # data still readable after the rename, no stale .crc complaints
+    assert read_text_file(spark, out).count() == 20
+    # custom naming fn incl. compressed outputs keeping their codec ext
+    out2 = str(tmp_path / "named_gz")
+    write_text_file(df, out2, num_shards=2, compression="gzip")
+    renamed2 = rename_shards(
+        out2, naming_fn=lambda i, n, old: f"events-{i}.of{n}.gz"
+    )
+    assert sorted(os.path.basename(p) for p in renamed2) == [
+        "events-0.of2.gz",
+        "events-1.of2.gz",
+    ]
+    assert read_text_file(spark, out2).count() == 20
+
+
+def test_checkpoint_returns_input_and_writes(spark, tmp_path):
+    """:checkpoint option (core.clj:517-518): side-effect dump, same df back."""
+    from datasplash_spark.operators import checkpoint
+
+    df = generate_input(spark, [(1,), (2,)], "x int")
+    got = checkpoint(df, str(tmp_path / "ckpt"), fmt="json")
+    assert got is df
+    dumped = read_json_file(spark, str(tmp_path / "ckpt"), schema="x int")
+    contains_only(dumped, [(1,), (2,)])

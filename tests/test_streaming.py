@@ -151,3 +151,45 @@ def test_view_types(spark):
     assert len(view(df, "list").value) == 3
     with pytest.raises(ValueError):
         view(df, "singleton")
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Event-time tumbling window + watermark over a file stream —
+    the reference's windowed-aggregation shape (api_test.clj:949-971)
+    under Structured Streaming, drained with availableNow."""
+    from datasplash_spark.operators import fixed_windows, with_allowed_lateness
+    import json as _json
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:05:00", "k": "a", "v": 1.0},
+        {"ts": "2024-01-01 00:20:00", "k": "a", "v": 2.0},
+        {"ts": "2024-01-01 01:10:00", "k": "a", "v": 4.0},
+        {"ts": "2024-01-01 00:40:00", "k": "b", "v": 8.0},
+    ]
+    (src / "data.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, k string, v double")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stream = with_allowed_lateness(stream, "ts", "10 minutes")
+    agg = stream.groupBy(
+        fixed_windows("ts", "1 hour").alias("w"), F.col("k")
+    ).agg(F.sum("v").alias("s"))
+    out = agg.select(
+        F.unix_timestamp("w.start").alias("ws"), "k", "s"
+    )
+    q = write_stream(
+        out,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger="once",
+        output_mode="complete",
+        query_name="winagg",
+    )
+    q.awaitTermination(120)
+    got = {(r.ws, r.k): r.s for r in spark.sql("SELECT * FROM winagg").collect()}
+    h0 = 1704067200
+    assert got == {(h0, "a"): 3.0, (h0 + 3600, "a"): 4.0, (h0, "b"): 8.0}
