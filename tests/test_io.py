@@ -200,3 +200,47 @@ def test_checkpoint_returns_input_and_writes(spark, tmp_path):
     assert got is df
     dumped = read_json_file(spark, str(tmp_path / "ckpt"), schema="x int")
     contains_only(dumped, [(1,), (2,)])
+
+
+def test_datastore_entity_roundtrip():
+    """Entity ↔ dict conversion (datastore.clj:44-176; the
+    datastore_test.clj:9-21 round-trip, over the JSON wire shape)."""
+    import datetime as dt
+
+    from datasplash_spark.sources import datastore as ds
+
+    original = {
+        "__kind__": "user",
+        "__key__": "u1",
+        "__namespace__": "prod",
+        "name": "alice",
+        "age": 42,
+        "score": 1.5,
+        "active": True,
+        "blob": b"\x00\x01",
+        "tags": ["a", "b"],
+        "joined": dt.datetime(2021, 1, 2, 3, 4, 5),
+        "address": {"city": "paris", "zip": 75001},
+        "nothing": None,
+    }
+    entity = ds.py_to_entity(original)
+    assert entity["key"]["path"][-1] == {"kind": "user", "name": "u1"}
+    assert entity["key"]["partitionId"] == {"namespaceId": "prod"}
+    assert entity["properties"]["age"] == {"integerValue": "42"}
+    back = ds.entity_to_py(entity)
+    assert back == original
+    # ancestor paths survive
+    child = ds.py_to_entity(
+        {"__kind__": "order", "__key__": "o9",
+         "__path__": [{"kind": "user", "key": "u1"}], "total": 10.0}
+    )
+    assert [p["kind"] for p in child["key"]["path"]] == ["user", "order"]
+    back2 = ds.entity_to_py(child)
+    assert back2["__path__"] == [{"kind": "user", "key": "u1"}]
+    # unsupported type names itself
+    import pytest as _pytest
+
+    with _pytest.raises(ds.DatastoreError, match="cannot convert"):
+        ds.py_to_value(object())
+    with _pytest.raises(ds.DatastoreError, match="not supported"):
+        ds.value_to_py({"futureValue": 1})
