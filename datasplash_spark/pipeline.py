@@ -48,6 +48,74 @@ class PipelineOptions:
     extra_conf: dict[str, Any] = field(default_factory=dict)
 
 
+def _camel(s: str) -> str:
+    """kebab/snake → camelCase (the reference normalizes every arg
+    key this way, core.clj:1053-1056)."""
+    parts = s.replace("_", "-").split("-")
+    return parts[0] + "".join(p.title() for p in parts[1:])
+
+
+def job_name_template(tpl: str, app_name: str, user: str | None = None) -> str:
+    """``jobNameTemplate`` interpolation (core.clj:1037-1046):
+    ``%U`` = user, ``%A`` = app name, ``%T`` = timestamp; lower-cased,
+    non [-a-z0-9] chars become ``0``."""
+    import getpass
+    import re
+    import time
+
+    out = (
+        tpl.replace("%U", user or getpass.getuser() or "nemo")
+        .replace("%A", app_name)
+        .replace("%T", time.strftime("%Y%m%d%H%M%S"))
+        .lower()
+    )
+    return re.sub(r"[^-a-z0-9]", "0", out)
+
+
+def args_to_conf(
+    str_args: list[str] | None = None, **kw_args
+) -> dict[str, object]:
+    """``args->cli-args`` analog (core.clj:1048-1069): merge
+    ``--key=value`` CLI strings and keyword args into one normalized
+    (camelCase-keyed) dict; CLI strings win. List values stay lists
+    (the reference repeats the flag). ``jobNameTemplate`` interpolates
+    into ``jobName`` (core.clj:1058-1066)."""
+    merged: dict[str, object] = {}
+    for k, v in kw_args.items():
+        merged[_camel(k)] = v
+    for kv in str_args or []:
+        k, _, v = kv.partition("=")
+        merged[_camel(k.removeprefix("--"))] = v if v != "" else None
+    merged.setdefault("appName", "unknown")
+    tpl = merged.pop("jobNameTemplate", None)
+    if tpl:
+        merged["jobName"] = job_name_template(str(tpl), str(merged["appName"]))
+    return merged
+
+
+def options_from_args(
+    str_args: list[str] | None = None, **kw_args
+) -> PipelineOptions:
+    """``make-pipeline`` options parsing: recognized keys land on
+    :class:`PipelineOptions`; everything else flows into
+    ``extra_conf`` as ``spark.*`` (or verbatim) settings."""
+    conf = args_to_conf(str_args, **kw_args)
+    opts = PipelineOptions()
+    opts.app_name = str(conf.pop("appName"))
+    if "jobName" in conf:
+        opts.app_name = str(conf.pop("jobName"))
+    if "master" in conf:
+        opts.master = str(conf.pop("master"))
+    if "shufflePartitions" in conf:
+        raw = conf.pop("shufflePartitions")
+        try:
+            opts.shuffle_partitions = int(raw)  # type: ignore[arg-type]
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"--shuffle-partitions: not an int: {raw!r}") from e
+    opts.extra_conf = dict(conf)
+    return opts
+
+
 def default_cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 

@@ -159,3 +159,26 @@ def test_set_ops(spark):
 def test_dflatten(spark):
     df = spark.createDataFrame([([1, 2],), ([3],)], "xs array<long>")
     contains_only(ops.dflatten(df, "xs"), [(1,), (2,), (3,)])
+
+
+def test_cogroup_multiple_nils_emit_separate_groups(spark):
+    """THE distinguishing nil rule (core.clj:1561-1570): two nil-keyed
+    elements → two singleton groups, not one SQL null-group."""
+    p1 = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "key string, v int"
+    )
+    p2 = spark.createDataFrame([("a", 10)], "key string, w int")
+    out = ops.cogroup_by(
+        [JoinSpec(p1, "key", name="l"), JoinSpec(p2, "key", name="r")]
+    )
+    rows = out.collect()
+    nil_rows = [r for r in rows if r.key is None]
+    assert len(nil_rows) == 2  # one group per nil element
+    assert all(len(r._l) == 1 and len(r._r) == 0 for r in nil_rows)
+    # join_nil=True instead groups them as one ordinary key
+    joined = ops.cogroup_by(
+        [JoinSpec(p1, "key", name="l"), JoinSpec(p2, "key", name="r")],
+        join_nil=True,
+    )
+    nil_joined = [r for r in joined.collect() if r.key is None]
+    assert len(nil_joined) == 1 and len(nil_joined[0]._l) == 2

@@ -1,0 +1,59 @@
+"""Pipeline option munging — mirrors the reference's args->cli-args
+tests (/root/reference/test/datasplash/core_test.clj:10-22)."""
+
+from __future__ import annotations
+
+import re
+
+from datasplash_spark.pipeline import (
+    args_to_conf,
+    job_name_template,
+    options_from_args,
+)
+
+
+def test_defaults():
+    assert args_to_conf() == {"appName": "unknown"}
+
+
+def test_kw_args_camelized():
+    got = args_to_conf(job_name="foo", n=42)
+    assert got == {"jobName": "foo", "n": 42, "appName": "unknown"}
+
+
+def test_list_values_preserved():
+    got = args_to_conf(
+        job_name="foo",
+        jdk_add_open_modules=["java.base/java.io=ALL-UNNAMED"],
+    )
+    assert got["jdkAddOpenModules"] == ["java.base/java.io=ALL-UNNAMED"]
+
+
+def test_cli_strings_win_over_kwargs():
+    got = args_to_conf(["--app-name=cli", "--max-retries=3"], app_name="kw")
+    assert got["appName"] == "cli" and got["maxRetries"] == "3"
+
+
+def test_job_name_template():
+    name = job_name_template("%A-%U-%T", "MyApp!")
+    assert re.fullmatch(r"[-a-z0-9]+", name)
+    assert name.startswith("myapp0-")
+
+
+def test_job_name_template_flows_into_conf():
+    got = args_to_conf(app_name="app", job_name_template="%A-x")
+    assert got["jobName"] == "app-x"
+    assert "jobNameTemplate" not in got
+
+
+def test_options_from_args_routing():
+    opts = options_from_args(
+        ["--shuffle-partitions=8"],
+        app_name="myapp",
+        master="local[2]",
+        **{"spark.sql.adaptive.enabled": "false"},
+    )
+    assert opts.app_name == "myapp"
+    assert opts.master == "local[2]"
+    assert opts.shuffle_partitions == 8
+    assert opts.extra_conf == {"spark.sql.adaptive.enabled": "false"}
