@@ -56,7 +56,16 @@ def _canon(v):
     """Normalize to a deterministic structure so equal keys pickle to
     equal bytes (dict iteration order, sets)."""
     if isinstance(v, dict):
-        return ("__dict__", tuple(sorted((_canon(k), _canon(x)) for k, x in v.items())))
+        # sort by repr: dict keys may mix incomparable types (ragged
+        # Clojure-style values are object mode's whole reason to exist)
+        return (
+            "__dict__",
+            tuple(
+                sorted(
+                    ((_canon(k), _canon(x)) for k, x in v.items()), key=repr
+                )
+            ),
+        )
     if isinstance(v, (set, frozenset)):
         return ("__set__", tuple(sorted((_canon(x) for x in v), key=repr)))
     if isinstance(v, (list, tuple)):
@@ -256,9 +265,14 @@ class PCollection:
         """``group-by`` (core.clj:990-1020): with-keys + group-by-key."""
         return self.with_keys(key_fn).group_by_key()
 
-    def combine_globally(self, f) -> "PCollection":
+    def combine_globally(self, f, without_defaults: bool = False) -> "PCollection":
         """``combine :global`` (core.clj:1882-1913): → singleton pcoll.
-        Partial-reduce per batch, final merge of the (tiny) partials."""
+        Partial-reduce per batch, final merge of the (tiny) partials.
+
+        Empty input emits ``extract(init())`` when the combiner has an
+        init phase (Beam's default-output behavior; cf. mean-fn → 0,
+        core.clj:2012) unless ``without_defaults`` (core.clj:1869-1870)
+        — combiners with no init stay empty either way."""
         fn = CombineFn.of(f)
 
         def partial(values: Iterator) -> Iterable:
@@ -279,9 +293,19 @@ class PCollection:
             return pd.DataFrame({"value": [_dumps(fn.extract(acc))]})
 
         kv = partials._to_kv()
-        return PCollection(
-            kv.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
-        )
+        result = kv.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
+        if not without_defaults and fn.initf is not None:
+            spark = self.df.sparkSession
+            default = spark.createDataFrame(
+                [(_dumps(fn.extract(fn.init())),)], schema=_VALUE_SCHEMA
+            )
+            # keep the default row only when the aggregate is empty:
+            # anti-join against the (0-or-1-row) result, distributively
+            default_if_empty = default.join(
+                result, F.lit(True), "left_anti"
+            )
+            result = result.unionAll(default_if_empty)
+        return PCollection(result)
 
     def combine_by(self, key_fn: Callable, f) -> "PCollection":
         """``combine-by`` (core.clj:1915-1946): per-key combine with

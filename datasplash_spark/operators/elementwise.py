@@ -76,6 +76,11 @@ def identity(df: DataFrame) -> DataFrame:
 def with_keys(df: DataFrame, key_expr: ColumnLike, key_name: str = "key") -> DataFrame:
     """``with-keys`` (core.clj:903-924): key each element by f(e),
     keeping the element itself (all original columns)."""
+    if key_name in df.columns:
+        raise ValueError(
+            f"input already has a column named {key_name!r}; "
+            "pass key_name= to avoid an ambiguous reference"
+        )
     return df.select(_col(key_expr).alias(key_name), "*")
 
 
@@ -101,16 +106,23 @@ def side_outputs(
     df: DataFrame, tagged_exprs: dict[str, Column]
 ) -> dict[str, DataFrame]:
     """Side outputs (core.clj:302-360): one pass, multiple tagged
-    outputs. Each tag maps to a *filter* predicate or a projected
-    expression; the shared input is persisted once.
+    outputs; the shared input is persisted once. Each tag maps to
+    either a boolean *filter* predicate — that tag receives the whole
+    matching elements, the reference's tag-routing shape — or any
+    other expression, projected as a one-column output.
 
-    Spark shape: N selects off one cached intermediate (the reference
-    returns a map of keyword→pcoll; we return dict[str, DataFrame]).
+    Spark shape: N selects/filters off one cached intermediate (the
+    reference returns a map of keyword→pcoll; we return
+    dict[str, DataFrame]).
     """
     cached = df.persist()
     out: dict[str, DataFrame] = {}
     for tag, expr in tagged_exprs.items():
-        out[tag] = cached.select(expr.alias(tag))
+        dtype = cached.select(expr.alias(tag)).schema[tag].dataType.simpleString()
+        if dtype == "boolean":
+            out[tag] = cached.filter(expr)
+        else:
+            out[tag] = cached.select(expr.alias(tag))
     return out
 
 

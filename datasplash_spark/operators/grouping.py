@@ -29,7 +29,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .elementwise import ColumnLike, _col, with_keys
+from .elementwise import ColumnLike, _col
 
 
 # ---------------------------------------------------------------- group-by
@@ -234,7 +234,6 @@ def salted_agg(
     level1 = salted.groupBy(
         _col(key_expr).alias(key_name), F.col("_salt")
     ).agg(*[p for p, _ in partial_aggs])
-    names = [p for p, _ in partial_aggs]
     # level-1 output columns beyond key+salt, in order
     pcols = [c for c in level1.columns if c not in (key_name, "_salt")]
     merged = level1.groupBy(key_name).agg(

@@ -78,26 +78,22 @@ def join_by(
     order = sorted(
         range(len(specs)), key=lambda i: (not specs[i].required, i)
     )
-    if not any(s.required for s in specs):
-        how_chain = "full_outer"
-    else:
-        how_chain = None  # decided per step below
-
+    # required sides come first in `order`, so once the accumulator is
+    # non-required every remaining side is optional too: each step is
+    # inner (both required), left (acc required, side optional) or
+    # full outer (nothing required anywhere)
     first = order[0]
     acc = prepped[first][0]
     acc_required = specs[first].required
     for i in order[1:]:
         side_df, _ = prepped[i]
-        if specs[i].required and acc_required:
+        if specs[i].required:
             how = "inner"
-        elif specs[i].required and not acc_required:
-            how = "right_outer"
         elif acc_required:
             how = "left_outer"
         else:
             how = "full_outer"
         acc = acc.join(side_df, on=key_name, how=how)
-        acc_required = acc_required or specs[i].required
     if select is not None:
         acc = acc.select(*select)
     return acc

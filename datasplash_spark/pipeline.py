@@ -156,6 +156,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's vectorized reader rejects; read it as raw nanos
     (``nanosAsLong``) and convert to a proper TimestampType column
     (micros) so event-time windowing works unchanged.
+
+    NOTE: ``nanosAsLong`` stays set on the session afterwards — the
+    events scan consults it at *execution* time, so it cannot be
+    restored eagerly. Session-wide effect: other TIMESTAMP(NANOS)
+    parquet columns will read as bigint instead of erroring. No other
+    timestamp precision is affected.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":

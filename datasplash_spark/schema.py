@@ -109,9 +109,6 @@ def to_struct_field(spec: dict) -> T.StructField:
     if mode not in _MODES:
         raise SchemaError(f"field {name!r}: unknown mode {spec.get('mode')!r}")
     dtype = _field_type(spec)
-    if mode == "REPEATED":
-        # BQ REPEATED implies non-null elements inside a nullable array
-        return T.StructField(name, T.ArrayType(dtype, containsNull=False), True)
     metadata = {}
     desc = spec.get("description")
     if desc:
@@ -120,6 +117,11 @@ def to_struct_field(spec: dict) -> T.StructField:
         metadata["maxLength"] = int(spec["maxLength"])
     if spec.get("collation") and _norm(spec["type"]) == "STRING":
         metadata["collation"] = spec["collation"]
+    if mode == "REPEATED":
+        # BQ REPEATED implies non-null elements inside a nullable array
+        return T.StructField(
+            name, T.ArrayType(dtype, containsNull=False), True, metadata=metadata
+        )
     return T.StructField(name, dtype, nullable=(mode != "REQUIRED"), metadata=metadata)
 
 

@@ -97,8 +97,14 @@ def entity_to_py(e: dict) -> dict:
     out = {name: value_to_py(val) for name, val in e.get("properties", {}).items()}
     key = e.get("key")
     if key:
+        # id-keys come back as int, name-keys as str — py_to_entity
+        # re-emits int keys as "id" and str keys as "name", so the
+        # round trip preserves the Datastore identity kind
         path = [
-            {"kind": p.get("kind"), "key": p.get("name") or p.get("id")}
+            {
+                "kind": p.get("kind"),
+                "key": p["name"] if "name" in p else int(p["id"]),
+            }
             for p in key.get("path", [])
         ]
         if path:
@@ -129,14 +135,18 @@ def py_to_entity(
         k: py_to_value(v) for k, v in d.items() if k not in _SENTINELS
     }
     out: dict = {"properties": props}
+    def _path_elem(k: str, name_or_id) -> dict:
+        if name_or_id is None:
+            return {"kind": k}
+        if isinstance(name_or_id, int):
+            return {"kind": k, "id": str(name_or_id)}
+        return {"kind": k, "name": name_or_id}
+
     if kind is not None:
         key: dict = {
             "path": [
-                *[
-                    {"kind": p["kind"], "name": p["key"]}
-                    for p in path_prefix
-                ],
-                {"kind": kind, **({"name": key_name} if key_name is not None else {})},
+                *[_path_elem(p["kind"], p["key"]) for p in path_prefix],
+                _path_elem(kind, key_name),
             ]
         }
         if namespace:

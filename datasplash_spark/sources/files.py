@@ -273,8 +273,16 @@ def write_edn_file(
 
 
 def _plain(v):
-    """numpy / pandas scalars → Python scalars for the EDN writer."""
-    if hasattr(v, "item"):
+    """numpy / pandas values → Python values for the EDN writer.
+
+    ndarray must be handled before the ``.item()`` scalar path: a
+    1-element array would silently scalarize and larger arrays raise
+    ValueError (numpy gives every array an ``.item``)."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return [_plain(x) for x in v.tolist()]
+    if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, (list, tuple)):
         return [_plain(x) for x in v]

@@ -83,3 +83,32 @@ def test_side_input_broadcast(spark):
     )
     df = ops.dmap(ints_df(spark), mapping_expr[F.col("x")].alias("v"))
     contains_only(df, [("a",), ("b",), ("c",), ("d",), ("e",)])
+
+
+def test_side_outputs_predicate_routes_elements(spark):
+    """Boolean tags route whole elements (the reference's tag shape,
+    core.clj:302-360); non-boolean tags project."""
+    from datasplash_spark import operators as ops
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)], "x int, y int")
+    outs = ops.side_outputs(
+        df,
+        {"big": F.col("x") > 2, "doubled": (F.col("y") * 2)},
+    )
+    assert sorted(r.x for r in outs["big"].collect()) == [3, 4, 5]
+    assert outs["big"].columns == ["x", "y"]  # whole elements
+    assert sorted(r.doubled for r in outs["doubled"].collect()) == [
+        0, 20, 40, 60, 80, 100,
+    ]
+
+
+def test_with_keys_collision_raises(spark):
+    from datasplash_spark import operators as ops
+
+    df = spark.createDataFrame([(1, 2)], "key int, v int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_name"):
+        ops.with_keys(df, F.col("v"))
+    ok = ops.with_keys(df, F.col("v"), key_name="k2")
+    assert ok.columns == ["k2", "key", "v"]

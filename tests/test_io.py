@@ -244,3 +244,17 @@ def test_datastore_entity_roundtrip():
         ds.py_to_value(object())
     with _pytest.raises(ds.DatastoreError, match="not supported"):
         ds.value_to_py({"futureValue": 1})
+
+
+def test_write_edn_array_columns(spark, tmp_path):
+    """Array-typed columns survive the EDN writer (numpy ndarray cells
+    must not scalarize or crash)."""
+    out = str(tmp_path / "ednarr")
+    df = generate_input(
+        spark,
+        [(1, [1.5, 2.5], ["a"]), (2, [3.5], [])],
+        "id bigint, xs array<double>, tags array<string>",
+    )
+    write_edn_file(df, out)
+    got = read_edn_file(spark, out, schema="id bigint, xs array<double>, tags array<string>")
+    contains_only(got, [(1, [1.5, 2.5], ["a"]), (2, [3.5], [])])

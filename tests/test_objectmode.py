@@ -201,3 +201,31 @@ def test_to_dataframe_exit(spark):
     )
     df = pc.to_dataframe(spark, "id bigint, name string")
     assert {(r.id, r.name) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_combine_globally_empty_emits_default(spark):
+    """Empty input + init-ful combiner → singleton extract(init())
+    (Beam default output; without_defaults suppresses)."""
+    empty = PCollection.from_items(spark, [])
+    fn = CombineFn(
+        initf=lambda: (0.0, 0),
+        reducef=lambda a, v: (a[0] + v, a[1] + 1),
+        combinef=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        extractf=lambda a: a[0] / a[1] if a[1] else 0.0,
+    )
+    assert empty.combine_globally(fn).collect() == [0.0]
+    assert empty.combine_globally(fn, without_defaults=True).collect() == []
+    # no-init combiner: stays empty (nothing to default from)
+    assert empty.combine_globally(lambda a, b: a + b).collect() == []
+    # non-empty input: default row must NOT leak in
+    some = PCollection.from_items(spark, [1.0, 2.0, 3.0])
+    assert some.combine_globally(fn).collect() == [2.0]
+
+
+def test_mixed_type_dict_keys_group(spark):
+    """Ragged keys with incomparable types canonicalize fine."""
+    pc = PCollection.from_items(
+        spark, [{"k": {"b": 2, 1: "a"}, "v": 1}, {"k": {1: "a", "b": 2}, "v": 2}]
+    )
+    grouped = pc.group_by(lambda d: d["k"]).collect()
+    assert len(grouped) == 1 and len(grouped[0][1]) == 2
