@@ -69,23 +69,37 @@ def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "medi
     Features: payload size and a base-257 rolling checksum mod
     2^31−1 (both reproducible in SQL from the source text, so the
     whole multimodal path is oracle-checkable)."""
+    import numpy as np
     import pandas as pd
 
     P = (1 << 31) - 1
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, sizes, sums = [], [], []
-            for doc_id, raw in zip(b[id_col], b[media_col]):
-                data = bytes(raw) if raw is not None else b""
-                acc = 0
-                for byte in data:
-                    acc = (acc * 257 + byte) % P
-                ids.append(doc_id)
-                sizes.append(len(data))
-                sums.append(acc)
+            datas = [bytes(r) if r is not None else b"" for r in b[media_col]]
+            texts = [d.decode("utf-8") for d in datas]
+            n = len(texts)
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            maxlen = int(lens.max()) if n else 0
+            # code-point matrix via utf-32 reinterpretation (no per-char
+            # Python); Horner fold vectorized ACROSS docs, sequential
+            # only over positions. acc·257 + cp < 2^41 — exact in int64.
+            mat = np.zeros((n, maxlen), dtype=np.int64)
+            for i, t in enumerate(texts):
+                if t:
+                    mat[i, : len(t)] = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+            acc = np.zeros(n, dtype=np.int64)
+            for j in range(maxlen):
+                stepped = (acc * 257 + mat[:, j]) % P
+                acc = np.where(j < lens, stepped, acc)
             yield pd.DataFrame(
-                {"doc_id": ids, "n_bytes": sizes, "checksum": sums}
+                {
+                    "doc_id": b[id_col].to_numpy(),
+                    "n_bytes": np.array([len(d) for d in datas], dtype=np.int32),
+                    "checksum": acc,
+                }
             )
 
     return df.select(id_col, media_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
