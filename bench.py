@@ -4,10 +4,12 @@
 ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
 
     {"metric": "corpus_wall", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": ...}
+     "queries": {"pricing_summary": sec, ...}, "sf": ...}
 
-Per-query timing = full plan → action (count/collect) wall time,
-after a warm-up action that absorbs session + JVM startup.
+(keys are the registry names from ``queries()``). Per-query timing =
+full plan → action (count) wall time, after a warm-up action that
+absorbs session + JVM startup. A failing query records -1 for that
+key and the run continues — the JSON line is always emitted.
 """
 
 from __future__ import annotations
@@ -32,14 +34,22 @@ def main() -> int:
         sf_num = sf
 
     spark = make_session(PipelineOptions(app_name="datasplash-spark-bench"))
-    # warm-up: JVM codegen + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    try:
+        # warm-up: JVM codegen + parquet footer caches
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    except Exception as e:
+        print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in Q.queries().items():
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # record and continue; always emit JSON
+            timings[name] = -1.0
+            print(f"# {name}: FAILED ({e})", file=sys.stderr)
+            continue
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt

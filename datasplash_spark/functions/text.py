@@ -28,6 +28,11 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+#: word runs + single punctuation; whitespace spelled out because the
+#: \s class differs between Java regex (Spark) and RE2 (DuckDB)
+BPE_ISH_PATTERN = r"\w+|[^\w\t\n\x0B\f\r ]"
+
+
 def tokens(text: ColumnLike) -> Column:
     """Whitespace tokenization (lowercased). Matches DuckDB
     ``string_split(lower(text), ' ')`` exactly — single-space split,
@@ -44,9 +49,11 @@ def bpe_ish_token_count(text: ColumnLike) -> Column:
     """BPE-ish token estimate: maximal word-char runs plus single
     non-space punctuation chars — a deterministic stand-in for a real
     BPE vocab (which would be a broadcast lookup at scale). The
-    pattern is RE2-safe (no lookarounds) so the DuckDB oracle
+    pattern is RE2-safe (no lookarounds) and spells out the whitespace
+    class explicitly — Java's ``\\s`` includes vertical tab, RE2's
+    does not — so the DuckDB oracle
     (``len(regexp_extract_all(text, ...))``) matches exactly."""
-    return F.regexp_count(_col(text), F.lit(r"\w+|[^\w\s]"))
+    return F.regexp_count(_col(text), F.lit(BPE_ISH_PATTERN))
 
 
 def punct_ratio(text: ColumnLike) -> Column:

@@ -85,21 +85,23 @@ def with_keys(df: DataFrame, key_expr: ColumnLike, key_name: str = "key") -> Dat
 
 
 def partition_by(
-    df: DataFrame, partition_expr: ColumnLike, n: int
+    df: DataFrame, partition_expr: ColumnLike, n: int, cache: bool = True
 ) -> list[DataFrame]:
     """``partition-by`` (core.clj:842-853): route each element to one of
     N outputs by ``partition_expr`` (must evaluate to 0..n-1).
 
-    Returns N DataFrames. The input is persisted so the N branches
-    share one scan instead of re-reading the source N times — the
-    Beam runner fuses this for free; Spark needs the explicit cache
-    when more than one branch is consumed.
+    Returns N DataFrames. With ``cache`` (default) the input is
+    persisted so the N branches share one scan instead of re-reading
+    the source N times — the Beam runner fuses this for free; Spark
+    needs the explicit cache when more than one branch is consumed.
+    Pass ``cache=False`` when only one branch will be used (a persist
+    for a single consumer is pure overhead).
     """
     if n <= 0:
         raise ValueError("partition count must be positive")
     pidx = _col(partition_expr)
-    cached = df.persist()
-    return [cached.filter(pidx == i) for i in range(n)]
+    src = df.persist() if cache else df
+    return [src.filter(pidx == i) for i in range(n)]
 
 
 def side_outputs(

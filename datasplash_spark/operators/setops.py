@@ -27,10 +27,17 @@ def concat(*dfs: DataFrame, by_name: bool = True) -> DataFrame:
     return reduce(op, dfs)
 
 
-def dflatten(df: DataFrame, expr: ColumnLike, alias: str = "value") -> DataFrame:
+def dflatten(
+    df: DataFrame,
+    expr: ColumnLike,
+    alias: str = "value",
+    keep_cols: list[ColumnLike] | None = None,
+) -> DataFrame:
     """``flatten`` (core.clj:1784-1797, Beam ``Flatten.iterables``):
-    elements are iterables → one row per inner element."""
-    return df.select(F.explode(_col(expr)).alias(alias))
+    elements are iterables → one row per inner element; ``keep_cols``
+    ride along unexploded."""
+    keep = [_col(c) for c in (keep_cols or [])]
+    return df.select(*keep, F.explode(_col(expr)).alias(alias))
 
 
 def intersect_distinct(*dfs: DataFrame) -> DataFrame:

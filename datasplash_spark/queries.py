@@ -442,7 +442,7 @@ def q_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_orderstatus") == "F", 1)
         .otherwise(2)
     )
-    parts = partition_by(orders, idx, 3)
+    parts = partition_by(orders, idx, 3, cache=False)  # one branch consumed
     return parts[0].select("o_orderkey", "o_orderstatus")
 
 
@@ -1016,9 +1016,7 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("key"), F.col("l_linenumber").alias("value")
     )
     grouped = group_by_key(li)
-    flat = grouped.select(
-        "key", F.explode("values").alias("linenumber")
-    )
+    flat = dflatten(grouped, "values", alias="linenumber", keep_cols=["key"])
     return flat.select(F.col("key").alias("orderkey"), "linenumber")
 
 
@@ -1077,16 +1075,19 @@ def q_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield {
                 "user_id": r["user_id"],
                 "event_id": r["event_id"],
-                "running_sum": round(total, 2),
+                "running_sum": total,
             }
 
-    return batch_stateful(
+    out = batch_stateful(
         ev,
         ["user_id"],
         "event_id",
         running,
         "user_id bigint, event_id bigint, running_sum double",
     )
+    # round JVM-side: Python's round() is banker's rounding, which
+    # diverges from Spark/DuckDB round-half-away on exact .xx5 sums
+    return out.withColumn("running_sum", F.round("running_sum", 2))
 
 
 ORACLE_STATEFUL_RUNNING_SUM = """

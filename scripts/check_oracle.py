@@ -24,8 +24,15 @@ def norm_val(v):
     import datetime
     import decimal
 
+    from pyspark.sql import Row
+
     if isinstance(v, decimal.Decimal):
         return float(v)
+    if isinstance(v, Row):
+        # struct parity: Spark Rows and DuckDB dicts must normalize
+        # the same way (sorted key/value pairs), else struct-returning
+        # queries can never match
+        return norm_val(v.asDict(recursive=False))
     if isinstance(v, (list, tuple)):
         return tuple(norm_val(x) for x in v)
     if isinstance(v, dict):
@@ -46,6 +53,11 @@ def multiset(rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(Q.REGISTRY)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(Q.REGISTRY)}")
+        return 2
     spark = make_session(PipelineOptions(app_name="oracle-check"))
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
