@@ -930,6 +930,58 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
 ORACLE_DEDUP_EMBEDDING = _emb_pairs_oracle()
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-10: deterministic sampled coarse quantizer
+    (16 cells), nearest-cell assignment as one aggregate-fold
+    expression, probe the 4 cells nearest the query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _get_query_vec(spark, sf_dir)
+    out = sim.ivf_topk(emb, qvec, k=10, n_cells=16, nprobe=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_IVF_COS = (
+    "round(CASE WHEN sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})) > 0"
+    " THEN list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " ELSE 0 END, 9)"
+)
+
+ORACLE_SIMILARITY_IVF = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT e AS qe FROM vecs WHERE vec_id = 0
+), qcells AS (
+  SELECT cid FROM cent, q
+  ORDER BY {_IVF_COS.format(a="qe", b="cvec")} DESC, cid ASC
+  LIMIT 4
+), assign AS (
+  SELECT vec_id, e, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_IVF_COS.format(a="e", b="cvec")} DESC, cid ASC
+         ) AS rn
+  FROM vecs, cent
+), probed AS (
+  SELECT a.vec_id, a.e FROM assign a
+  WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM qcells)
+)
+SELECT p.vec_id,
+       round({_IVF_COS.format(a="p.e", b="q.qe")}, 6) AS score
+FROM probed p, q
+ORDER BY {_IVF_COS.format(a="p.e", b="q.qe")} DESC, p.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text bytes as opaque media binary →
     mapInPandas feature extraction (size + rolling code-point
@@ -1171,6 +1223,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
+    "similarity_ivf": (q_similarity_ivf, ORACLE_SIMILARITY_IVF),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "sample_per_key": (q_sample_per_key, None),
     "flatten": (q_flatten, ORACLE_FLATTEN),

@@ -85,6 +85,28 @@ def test_lsh_bucket_recall_of_exact_top1(spark):
     assert got[0].vec_id == 5 and abs(got[0].score - 1.0) < 1e-9
 
 
+def test_ivf_topk_finds_query_and_bounds_probe(spark):
+    """IVF probe must contain the query vector itself (its cell is
+    always probed) and only score vectors from probed cells."""
+    vecs = [
+        (i, [float(i + 1)] + [float((i + j) % 3) + 1.0 for j in range(15)])
+        for i in range(50)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    q = vecs[7][1]
+    cents = sim.ivf_centroids(df, n_cells=8)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    got = sim.ivf_topk(df, q, k=3, n_cells=8, nprobe=3, centroids=cents).collect()
+    assert got[0].vec_id == 7 and abs(got[0].score - 1.0) < 1e-9
+    # every scored vector really lives in a probed cell
+    assigned = df.select(
+        "vec_id", sim.ivf_cell("embedding", cents).alias("cell")
+    ).collect()
+    cell_of = {r.vec_id: r.cell for r in assigned}
+    probed_cells = {cell_of[r.vec_id] for r in got}
+    assert len(probed_cells) <= 3 and cell_of[7] in probed_cells
+
+
 def test_multimodal_features_and_stub(spark):
     docs = generate_input(
         spark, [(1, "abc"), (2, ""), (3, "héllo")], "doc_id bigint, text string"
