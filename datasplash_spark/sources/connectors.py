@@ -11,19 +11,121 @@ container — building the options is pure; ``.load()``/``.start()``
 is where a missing connector fails, and these are exercised by unit
 tests on the dicts only).
 
-Pub/Sub has no mainstream Spark source; its role (unbounded
-attributed messages with an event-time attribute) is covered by the
-Kafka mapping plus ``:timestamp-label`` → ``withWatermark`` on a
-payload-derived timestamp column.
+Pub/Sub has no first-party Spark source; the closest public
+connector is Pub/Sub Lite (``format("pubsublite")``). The functions
+below carry the reference's Pub/Sub *data model* regardless of
+transport: messages are (payload bytes, attributes map), read as
+``:string`` or ``:raw`` (pubsub.clj:16-48), with ``:timestamp-label``
+promoting an attribute to event time (pubsub.clj:55, 82) — here a
+TimestampType column + ``withWatermark``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 KAFKA_FORMAT = "kafka"
+
+#: Transport-neutral Pub/Sub message shape (what Beam's
+#: ``PubsubMessage`` carries, pubsub.clj:26-35).
+PUBSUB_MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType()), True
+        ),
+        T.StructField("message_id", T.StringType(), True),
+        T.StructField("publish_time", T.TimestampType(), True),
+    ]
+)
+
+
+def pubsub_read_options(
+    subscription: str | None = None, topic: str | None = None
+) -> dict[str, str]:
+    """Pub/Sub Lite connector options (the public Spark connector for
+    the Pub/Sub family). Reading a plain Pub/Sub topic from Spark has
+    no first-party path — route it through the Kafka bridge or Lite."""
+    if (subscription is None) == (topic is None):
+        raise ValueError("exactly one of subscription/topic required")
+    if subscription:
+        return {"pubsublite.subscription": subscription}
+    return {"pubsublite.topic": topic}  # write side
+
+
+def decode_pubsub(
+    df: DataFrame,
+    type: str = "string",  # noqa: A002 - mirrors the reference's :type
+    timestamp_label: str | None = None,
+    payload_col: str = "payload",
+    attributes_col: str = "attributes",
+) -> DataFrame:
+    """``read-from-pubsub`` codec surface (pubsub.clj:16-48, 57-89)
+    over any transport DataFrame with payload/attributes columns
+    (Kafka ``value``+``headers``, Lite, files, memory…).
+
+    ``:string`` → one UTF-8 ``value`` column; ``:raw`` → keep
+    ``{payload, attributes}``. ``timestamp_label`` promotes that
+    attribute (epoch millis or ISO-8601, the Beam convention) to an
+    ``event_time`` column — pair with ``with_allowed_lateness``/
+    ``withWatermark`` downstream."""
+    if type not in ("string", "raw"):
+        raise ValueError(f"unknown pubsub codec {type!r}")
+    if type == "string":
+        out = df.withColumn("value", F.col(payload_col).cast("string"))
+    else:
+        out = df
+    if timestamp_label is not None:
+        attr: Column = F.col(attributes_col).getItem(timestamp_label)
+        # epoch-millis digits vs ISO-8601: branch on shape, JVM-side
+        out = out.withColumn(
+            "event_time",
+            F.when(
+                attr.rlike("^[0-9]+$"),
+                F.timestamp_millis(attr.cast("long")),
+            ).otherwise(F.to_timestamp(attr)),
+        )
+    return out
+
+
+def encode_pubsub(
+    df: DataFrame,
+    type: str = "string",  # noqa: A002
+    value_col: str = "value",
+    attributes: dict[str, str] | None = None,
+    timestamp_label: str | None = None,
+    timestamp_col: str = "event_time",
+) -> DataFrame:
+    """``write-to-pubsub`` codecs (pubsub.clj:91-121): produce
+    ``payload`` bytes (+ ``attributes``), optionally stamping the
+    event time back into the ``timestamp_label`` attribute (as epoch
+    millis) the way the reference round-trips it."""
+    if type not in ("string", "raw"):
+        raise ValueError(f"unknown pubsub codec {type!r}")
+    if type == "string":
+        out = df.withColumn("payload", F.col(value_col).cast("binary"))
+        amap = F.create_map(
+            *[x for k, v in (attributes or {}).items() for x in (F.lit(k), F.lit(v))]
+        )
+    else:
+        out = df.withColumn("payload", F.col("payload"))
+        amap = F.coalesce(
+            F.col("attributes"),
+            F.create_map().cast("map<string,string>"),
+        )
+    if timestamp_label is not None:
+        amap = F.map_concat(
+            amap,
+            F.create_map(
+                F.lit(timestamp_label),
+                F.unix_millis(F.col(timestamp_col)).cast("string"),
+            ),
+        )
+    return out.withColumn("attributes", amap)
 
 
 def kafka_read_options(

@@ -164,6 +164,50 @@ def test_kafka_options_mapping():
     assert opts["kafka.isolation.level"] == "read_committed"
 
 
+def test_pubsub_codecs_and_timestamp_label(spark):
+    """Pub/Sub data model (pubsub.clj:16-48, 55-121): string/raw
+    codecs round-trip; :timestamp-label promotes an attribute (epoch
+    millis or ISO-8601) to event_time."""
+    from datasplash_spark.sources import (
+        PUBSUB_MESSAGE_SCHEMA,
+        decode_pubsub,
+        encode_pubsub,
+        pubsub_read_options,
+    )
+
+    msgs = spark.createDataFrame(
+        [
+            (b"hello", {"ts": "1700000000000"}, "m1", None),
+            (b"world", {"ts": "2023-11-14T22:13:20Z"}, "m2", None),
+        ],
+        PUBSUB_MESSAGE_SCHEMA,
+    )
+    dec = decode_pubsub(msgs, type="string", timestamp_label="ts").collect()
+    assert [r.value for r in dec] == ["hello", "world"]
+    # both attribute shapes resolve to the same instant
+    assert dec[0].event_time == dec[1].event_time
+
+    raw = decode_pubsub(msgs, type="raw")
+    assert "payload" in raw.columns and "attributes" in raw.columns
+
+    enc = encode_pubsub(
+        spark.createDataFrame(
+            [("hi", dec[0].event_time)], "value string, event_time timestamp"
+        ),
+        type="string",
+        attributes={"k": "v"},
+        timestamp_label="ts",
+    ).collect()[0]
+    assert bytes(enc.payload) == b"hi"
+    assert enc.attributes == {"k": "v", "ts": "1700000000000"}
+
+    assert pubsub_read_options(subscription="s")["pubsublite.subscription"] == "s"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pubsub_read_options()
+
+
 def test_rename_shards_default_and_custom(spark, tmp_path):
     """filename-policy emulation (core.clj:2173-2209): post-commit
     rename to a custom shard naming scheme."""
