@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties (SCALING.md) asserted on the real corpus queries, so a
+refactor that silently loses predicate pushdown, column pruning,
+map-side partial aggregation, or a dimension broadcast fails CI —
+not a 1000-executor run.
+
+The reference cannot have any of these (predicates are opaque Clojure
+closures, SURVEY §4); they are the payoff of the expression-first
+rebuild, so they are pinned here.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import os
+
+from datasplash_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(spark, name: str):
+    return Q.queries()[name](spark, SF_DIR)
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """filter_project: the predicate must appear in PushedFilters and
+    the scan schema must be pruned to referenced columns only."""
+    plan = plan_of(_q(spark, "filter_project"))
+    assert "GreaterThanOrEqual(l_discount" in plan  # pushed, not post-filtered
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_aggregation_is_partial_then_final(spark):
+    """pricing_summary: map-side combine (partial_sum before the
+    Exchange) — the shuffle moves one accumulator per key per
+    partition, not raw rows."""
+    plan = plan_of(_q(spark, "pricing_summary"))
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    """join_multiway: small dims must broadcast — no shuffle of the
+    fact side for the dim joins."""
+    plan = plan_of(_q(spark, "join_multiway"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_partial_aggregates(spark):
+    """dedup_minhash_pairs: the 16 min-hash aggs must partial-combine
+    before the shuffle (the 7×-faster shape from SCALING.md), and the
+    banded self-join must join bucketed candidates, not full text."""
+    plan = plan_of(_q(spark, "dedup_minhash_pairs"))
+    assert "partial_min" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("struct<doc_id:bigint,text:string>" in l for l in read)
+
+
+def test_no_python_udf_in_relational_corpus(spark):
+    """The Layer-0 relational queries must stay JVM-side: no
+    BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere.
+    (Object-mode and multimodal queries are the documented exceptions
+    and are excluded.)"""
+    python_ok = {
+        "objectmode_wordcount",  # object mode IS the Python path
+        "multimodal_features",  # Arrow-batched by design
+        "stateful_running_sum",  # applyInPandas state machine
+    }
+    for name in [
+        "filter_project",
+        "pricing_summary",
+        "join_multiway",
+        "cogroup_counts",
+        "window_session",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "similarity_topk",
+        "similarity_ivf",
+        "doc_quality",
+        "lang_id",
+    ]:
+        assert name not in python_ok
+        plan = plan_of(_q(spark, name), mode="extended")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+            assert marker not in plan, f"{name} has {marker} in its plan"
