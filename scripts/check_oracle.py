@@ -81,11 +81,24 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            orows = con.sql(sql).fetchall()
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
+        # the real driver sorts columns BY NAME before hashing values:
+        # names must match, and the compare must align on that order
+        scols = list(sdf.columns)
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: column names spark={sorted(scols)} duckdb={sorted(ocols)}")
+            failures.append(name)
+            continue
+        sperm = [scols.index(c) for c in sorted(scols)]
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        srows = [tuple(r[i] for i in sperm) for r in srows]
+        orows = [tuple(r[i] for i in operm) for r in orows]
         sm, om = multiset(srows), multiset(orows)
         if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(orows)}")
