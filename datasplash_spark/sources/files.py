@@ -272,6 +272,34 @@ def write_edn_file(
     write_text_file(out, path, num_shards=num_shards, compression=compression, mode=mode)
 
 
+def write_bucketed(
+    df,
+    table: str,
+    key: str | list[str],
+    buckets: int = 32,
+    path: str | None = None,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame hash-bucketed by join/aggregation key.
+
+    Not a reference operator — part of the 100 TB toolkit: two tables
+    bucketed on the same key with the same bucket count join (and
+    group) WITHOUT an Exchange; the shuffle is paid once at write
+    time instead of on every downstream query. Use for fact tables
+    that are repeatedly joined/grouped on one key. Pinned by a
+    plan-shape test (tests/test_plans.py).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def _plain(v):
     """numpy / pandas values → Python values for the EDN writer.
 

@@ -156,6 +156,25 @@ def test_set_ops(spark):
     )
 
 
+def test_diamond_dag_math(spark):
+    """math-and-diamond-test (api_test.clj:1009-1023): one input fans
+    into four global combines whose results are concatenated back —
+    the DAG-sharing shape. Values match the reference's [1 3.0 5 15]
+    (typed engine: all coerced to double)."""
+    inp = spark.createDataFrame([(i,) for i in range(1, 6)], "v long")
+    branches = [
+        ops.combine(inp, agg.cast("double").alias("value"))
+        for agg in (
+            ops.mean_fn("v"),
+            ops.max_fn("v"),
+            ops.min_fn("v"),
+            ops.sum_fn("v"),
+        )
+    ]
+    contains_only(ops.concat(*branches), [(3.0,), (5.0,), (1.0,), (15.0,)])
+    assert ops.sample(inp, 2).count() == 2
+
+
 def test_dflatten(spark):
     df = spark.createDataFrame([([1, 2],), ([3],)], "xs array<long>")
     contains_only(ops.dflatten(df, "xs"), [(1,), (2,), (3,)])

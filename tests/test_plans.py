@@ -68,6 +68,31 @@ def test_minhash_partial_aggregates(spark):
     assert read and all("struct<doc_id:bigint,text:string>" in l for l in read)
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the
+    same bucket count must sort-merge join with ZERO Exchange nodes —
+    the shuffle is paid once at write time (SCALING.md)."""
+    from datasplash_spark.sources import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", "k", buckets=4, path=str(tmp_path / "a"))
+    write_bucketed(b, "bkt_b", "k", buckets=4, path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the bucketed sort-merge path is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_no_python_udf_in_relational_corpus(spark):
     """The Layer-0 relational queries must stay JVM-side: no
     BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere.
