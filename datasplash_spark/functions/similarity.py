@@ -118,18 +118,37 @@ def ivf_centroids(
     return [[float(x) for x in r.v] for r in rows]
 
 
-def ivf_cell(vec: ColumnLike, centroids: list[list[float]]) -> Column:
+def ivf_cell(
+    vec: ColumnLike,
+    centroids: list[list[float]],
+    norm_col: Column | None = None,
+) -> Column:
     """Nearest-centroid id (max cosine, ties → lowest cell id) as one
     ``F.aggregate`` fold over a literal centroid array: a single
     sequential expression per row — no shuffle, no N×K row blowup, no
     re-inlined subtrees (the MinHash anti-lesson), whole-stage
-    codegen'd. Scores round to 9 dp so the argmax is engine-stable."""
+    codegen'd. Scores round to 9 dp so the argmax is engine-stable.
+
+    Centroid norms are folded in as Python-computed literals and the
+    row norm is hoisted out of the loop (pass a precomputed column via
+    ``norm_col`` to share it across the row) — one dot product per
+    centroid instead of three. The float ops stay bit-identical to
+    ``cosine()``: same left-to-right sums, same sqrt/multiply order."""
     v = _col(vec)
+    nv = norm(v) if norm_col is None else norm_col
+
+    def pynorm(c: list[float]) -> float:
+        s = 0.0
+        for x in c:
+            s += x * x
+        return s**0.5
+
     arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+                F.lit(pynorm(c)).alias("cnorm"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -139,7 +158,13 @@ def ivf_cell(vec: ColumnLike, centroids: list[list[float]]) -> Column:
     )
 
     def step(acc: Column, c: Column) -> Column:
-        sc = F.round(cosine(v, c.getField("cvec")), 9)
+        denom = nv * c.getField("cnorm")
+        sc = F.round(
+            F.when(denom > 0, dot(v, c.getField("cvec")) / denom).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        )
         return F.when(
             sc > acc.getField("score"),
             F.struct(c.getField("cid").alias("cid"), sc.alias("score")),
@@ -185,7 +210,9 @@ def ivf_topk(
     probe = sorted(
         range(len(centroids)), key=lambda i: (-pycos(centroids[i]), i)
     )[:nprobe]
-    assigned = df.withColumn("_cell", ivf_cell(vec_col, centroids))
+    assigned = df.withColumn("_nv", norm(_col(vec_col))).withColumn(
+        "_cell", ivf_cell(vec_col, centroids, norm_col=F.col("_nv"))
+    )
     return brute_force_topk(
         assigned.filter(F.col("_cell").isin(probe)), query_vec, k, vec_col, id_col
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .elementwise import ColumnLike, _col
@@ -240,3 +240,58 @@ def salted_agg(
         *[merge(c) for (_, merge), c in zip(partial_aggs, pcols)]
     )
     return merged
+
+
+def approx_distinct_fn(
+    expr: ColumnLike, rsd: float = 0.05, predicate: ColumnLike | None = None
+) -> Column:
+    """HyperLogLog++ distinct-count combiner. Absent from the
+    reference (SURVEY §2.9 — no approximate aggregates exist there);
+    surfaced because at 100 TB `countDistinct` shuffles every distinct
+    value while the HLL sketch is a few KB per group and merges
+    map-side like any algebraic combiner. Follows the reference's
+    mapper/predicate contract (predicate filters, then expr maps)."""
+    return F.approx_count_distinct(_masked(expr, predicate), rsd)
+
+
+def approx_quantile_fn(
+    expr: ColumnLike,
+    probabilities: Sequence[float] = (0.5,),
+    accuracy: int = 10000,
+    predicate: ColumnLike | None = None,
+) -> Column:
+    """Greenwald–Khanna approximate quantiles as a combiner: a
+    mergeable sketch, so it partial-aggregates before the shuffle —
+    the scale path for percentiles (exact percentile is holistic and
+    moves every value)."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return F.percentile_approx(_masked(expr, predicate), probs, F.lit(accuracy))
+
+
+def top_k(
+    df: DataFrame,
+    n: int,
+    order_by: ColumnLike | Sequence[ColumnLike],
+    key: ColumnLike | None = None,
+    key_name: str = "key",
+) -> DataFrame:
+    """Top-k rows, global or per-key. The reference has no ordering
+    operator at all (SURVEY §2.9); in Spark a global top-k is
+    TakeOrderedAndProject (per-partition heaps, no full sort) and the
+    per-key form is a rank-over-window with partial pushdown — both
+    survive 100 TB where a full `orderBy` would not.
+
+    ``order_by`` columns should carry ``.desc()`` where wanted."""
+    cols = (
+        [_col(order_by)]
+        if not isinstance(order_by, (list, tuple))
+        else [_col(c) for c in order_by]
+    )
+    if key is None:
+        return df.orderBy(*cols).limit(n)
+    w = Window.partitionBy(_col(key).alias(key_name)).orderBy(*cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -141,3 +141,47 @@ def test_salted_agg_matches_plain_collect(spark):
     )
     rows = {r["key"]: sorted(r["values"]) for r in out.collect()}
     assert rows == {"hot": list(range(100)), "cold": [1]}
+
+
+def test_top_k_global_and_per_key(spark):
+    """Beyond-reference ordering op (SURVEY §2.9): global top-k is
+    TakeOrderedAndProject (no full sort); per-key is rank-over-window."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9), ("b", 2)], "k string, v long"
+    )
+    top2 = ops.top_k(df, 2, F.col("v").desc())
+    assert [(r.k, r.v) for r in top2.collect()] == [("b", 9), ("a", 5)]
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top2.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+    per_key = ops.top_k(df, 1, F.col("v").desc(), key="k")
+    assert {(r.k, r.v) for r in per_key.collect()} == {("a", 5), ("b", 9)}
+
+
+def test_approx_combiners_mergeable_and_sane(spark):
+    """HLL distinct + GK quantiles: mergeable sketches that partial-agg
+    (plan shows partial_ before the Exchange); values sane vs exact."""
+    df = spark.createDataFrame(
+        [("g", i % 50) for i in range(1000)], "k string, v long"
+    ).repartition(8)
+    out = ops.combine_by(
+        df,
+        "k",
+        ops.approx_distinct_fn("v").alias("nd"),
+        ops.approx_quantile_fn("v", [0.5]).alias("med"),
+    ).collect()[0]
+    assert abs(out.nd - 50) <= 5  # within HLL rsd (5%) of exact
+    assert 20 <= out.med[0] <= 30
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ops.combine_by(
+            df, "k", ops.approx_distinct_fn("v").alias("nd")
+        ).explain()
+    assert "partial_approx_count_distinct" in buf.getvalue()
