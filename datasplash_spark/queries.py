@@ -51,6 +51,7 @@ from .operators import (
     session_windows,
     sliding_windows,
     sum_fn,
+    top_k,
     union_distinct,
 )
 
@@ -194,6 +195,35 @@ SELECT count(*) AS n,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty
 FROM lineitem
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference ordering op (SURVEY §2.9): per-customer spend
+    → global top-10. TakeOrderedAndProject: per-partition heaps after
+    a partial-agg groupBy — no full sort at any scale. Ties break on
+    custkey for cross-engine determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = combine_by(
+        orders,
+        "o_custkey",
+        F.round(sum_fn("o_totalprice"), 2).alias("total_spend"),
+        count_fn().alias("n_orders"),
+        key_name="o_custkey",
+    )
+    return top_k(
+        spend, 10, [F.col("total_spend").desc(), F.col("o_custkey").asc()]
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey,
+       round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey ASC
+LIMIT 10
 """
 
 
@@ -1195,6 +1225,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
     "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
     "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "combiner_mapper_predicate": (
         q_combiner_mapper_predicate,
         ORACLE_COMBINER_MAPPER_PREDICATE,
