@@ -227,6 +227,31 @@ LIMIT 10
 """
 
 
+def q_top_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k (rank-over-window): top-3 customers per nation by
+    account balance. The shuffle is one hash partition on the key; the
+    rank filter is applied within partitions (WindowGroupLimit pushes
+    the limit below the sort at scale). Ties break on custkey."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return top_k(
+        cust,
+        3,
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        key="c_nationkey",
+    )
+
+
+ORACLE_TOP_PER_NATION = """
+SELECT c_nationkey, c_custkey, c_acctbal
+FROM customer
+QUALIFY row_number() OVER (
+  PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+) <= 3
+"""
+
+
 def q_combiner_mapper_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combiner :mapper/:predicate semantics (core.clj:1982-2050):
     mapper applies only to elements passing the predicate."""
@@ -1226,6 +1251,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
     "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
     "combiner_mapper_predicate": (
         q_combiner_mapper_predicate,
         ORACLE_COMBINER_MAPPER_PREDICATE,
