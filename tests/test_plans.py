@@ -93,6 +93,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_per_key_topk_window_group_limit(spark):
+    """top_per_nation: the rank-<=-k filter must push below the sort
+    as WindowGroupLimit (partial map-side + final), so each partition
+    keeps only k rows per key before the shuffle — the property that
+    makes per-key top-k survive skewed keys at scale."""
+    plan = plan_of(_q(spark, "top_per_nation"))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan or plan.count("WindowGroupLimit") >= 2
+
+
 def test_no_python_udf_in_relational_corpus(spark):
     """The Layer-0 relational queries must stay JVM-side: no
     BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere.
