@@ -295,3 +295,17 @@ def top_k(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def percentile_fn(
+    expr: ColumnLike,
+    probabilities: Sequence[float] = (0.5,),
+    predicate: ColumnLike | None = None,
+) -> Column:
+    """Exact percentile combiner (linear interpolation — matches
+    DuckDB ``quantile_cont``, so it IS oracle-checkable, unlike the
+    sketch). Holistic: every group value moves through the shuffle —
+    at 100 TB prefer :func:`approx_quantile_fn` unless exactness is a
+    requirement."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    return F.percentile(_masked(expr, predicate), probs)

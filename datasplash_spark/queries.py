@@ -47,6 +47,7 @@ from .operators import (
     mean_fn,
     min_fn,
     partition_by,
+    percentile_fn,
     sample,
     session_windows,
     sliding_windows,
@@ -224,6 +225,34 @@ FROM orders
 GROUP BY o_custkey
 ORDER BY total_spend DESC, o_custkey ASC
 LIMIT 10
+"""
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p95 of extended price per
+    return flag): linear-interpolation percentile, bit-matching DuckDB
+    ``quantile_cont``. The holistic exact form; the 100 TB default is
+    the mergeable GK sketch (``approx_quantile_fn``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return combine_by(
+        li,
+        "l_returnflag",
+        F.round(
+            percentile_fn("l_extendedprice", [0.5]).getItem(0), 4
+        ).alias("p50_price"),
+        F.round(
+            percentile_fn("l_extendedprice", [0.95]).getItem(0), 4
+        ).alias("p95_price"),
+        key_name="l_returnflag",
+    )
+
+
+ORACLE_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem
+GROUP BY l_returnflag
 """
 
 
@@ -1252,6 +1281,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
+    "price_percentiles": (q_price_percentiles, ORACLE_PRICE_PERCENTILES),
     "combiner_mapper_predicate": (
         q_combiner_mapper_predicate,
         ORACLE_COMBINER_MAPPER_PREDICATE,
