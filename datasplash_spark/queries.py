@@ -699,9 +699,16 @@ FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs."""
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    Uses the materialized banded table (written once, bucketed by
+    ``bucket``) so the signature pipeline runs a single time and the
+    bucket self-join needs no Exchange — the 100 TB shape."""
+    import tempfile
+
     return dd.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42,
+        materialize_dir=tempfile.mkdtemp(prefix="ds_banded_"),
     )
 
 
@@ -1108,14 +1115,25 @@ FROM documents
 def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate verification: exact n-gram Jaccard over the MinHash
     candidate pairs (the two-stage near-dup pipeline: cheap LSH recall
-    → exact verify on the small candidate set)."""
+    → exact verify on the small candidate set).
+
+    Broadcast direction matters at 100 TB: the CANDIDATE side (LSH
+    survivors) is the small side and is the one hinted; the documents
+    table streams. Round 1 had this backwards (broadcast the corpus —
+    a driver OOM at scale); a plan test now pins the direction. The
+    banded table is materialized once so stage 1 isn't recomputed."""
+    import tempfile
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = dd.lsh_candidate_pairs(docs, num_hashes=16, bands=4, k=3, seed=42)
+    cands = dd.lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, k=3, seed=42,
+        materialize_dir=tempfile.mkdtemp(prefix="ds_banded_"),
+    )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    enriched = a.join(F.broadcast(cands), "doc_a")  # docs stream, cands build
     return (
-        cands.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        b.join(F.broadcast(enriched), "doc_b")  # still candidate-scale build
         .select(
             "doc_a",
             "doc_b",

@@ -135,3 +135,19 @@ def test_frame_sample_plan(spark):
     )
     frames = mm.frame_sample_plan(with_frames, every_n=3)
     assert [r.frame_idx for r in frames.orderBy("frame_idx").collect()] == [0, 3, 6, 9]
+
+
+def test_lsh_pair_strategies_agree(spark, tmp_path):
+    """recompute / cache / materialize are execution strategies only:
+    all three must yield the identical candidate-pair set."""
+    from datasplash_spark.pipeline import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(num_hashes=16, bands=4, k=3, seed=42)
+    base = {tuple(r) for r in dd.lsh_candidate_pairs(docs, **kw).collect()}
+    cached = dd.lsh_candidate_pairs(docs, cache=True, **kw)
+    assert {tuple(r) for r in cached.collect()} == base
+    mat = dd.lsh_candidate_pairs(
+        docs, materialize_dir=str(tmp_path / "banded"), **kw
+    )
+    assert {tuple(r) for r in mat.collect()} == base

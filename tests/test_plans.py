@@ -59,13 +59,76 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_minhash_partial_aggregates(spark):
-    """dedup_minhash_pairs: the 16 min-hash aggs must partial-combine
-    before the shuffle (the 7×-faster shape from SCALING.md), and the
-    banded self-join must join bucketed candidates, not full text."""
-    plan = plan_of(_q(spark, "dedup_minhash_pairs"))
+    """The banded-table build: the 16 min-hash aggs must
+    partial-combine before the shuffle (the 7×-faster shape from
+    SCALING.md), reading only doc_id+text."""
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.pipeline import load_table
+
+    banded = dd.lsh_banded(load_table(spark, SF_DIR, "documents"))
+    plan = plan_of(banded)
     assert "partial_min" in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and all("struct<doc_id:bigint,text:string>" in l for l in read)
+
+
+def test_minhash_pairs_single_signature_computation(spark):
+    """dedup_minhash_pairs materializes the banded table once: the
+    pairs plan must contain NO signature arithmetic (md5/conv/min
+    aggs) — both self-join sides are scans of the bucketed banded
+    parquet, so the pipeline ran exactly once, at write time."""
+    plan = plan_of(_q(spark, "dedup_minhash_pairs"), mode="simple")
+    assert "conv(" not in plan and "md5" not in plan
+    assert "partial_min" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 2 and all("Bucketed: true" in l for l in scans)
+
+
+def _node_depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-|":
+        i += 1
+    return i
+
+
+def _broadcast_subtrees(plan: str) -> list[list[str]]:
+    """Subtree lines of every BroadcastExchange in a 'simple' plan."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _node_depth(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if _node_depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+def test_ngram_verify_broadcast_direction(spark):
+    """ngram_jaccard_verify: the documents table must STREAM, never be
+    the broadcast build side (round 1 broadcast the corpus — a driver
+    OOM at 100 TB). Any broadcast subtree touching documents must be a
+    join-reduced (candidate-scale) result, and at least one documents
+    scan must sit outside every broadcast."""
+    plan = plan_of(_q(spark, "ngram_jaccard_verify"), mode="simple")
+    doc_marker = "documents.parquet"
+    subs = _broadcast_subtrees(plan)
+    assert subs, "expected broadcast of the candidate side"
+    in_broadcast = set()
+    for sub in subs:
+        if any(doc_marker in l for l in sub):
+            assert any("Join" in l for l in sub), (
+                "bare documents table on the broadcast build side:\n" + "\n".join(sub)
+            )
+            in_broadcast.update(l for l in sub if doc_marker in l)
+    all_doc_scans = [l for l in plan.splitlines() if doc_marker in l]
+    assert len(all_doc_scans) > len(in_broadcast), (
+        "every documents scan is under a BroadcastExchange"
+    )
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
