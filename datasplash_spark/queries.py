@@ -1223,42 +1223,66 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch stateful map (ordered per-key state, SURVEY §7.3c):
-    running per-user event-value sum in event-time order. Oracle =
-    SQL running window — the state contract is exactly a cumulative
-    aggregate when the fn is associative."""
-    from .streaming import batch_stateful
+    """Associative batch state via the NATIVE path (running_agg):
+    running per-user event-value sum in event-time order, executed as
+    a JVM window aggregate — one shuffle on the key, no per-key pandas
+    materialization, no Arrow traffic. (Round 1 ran this through the
+    Python ``batch_stateful`` escape hatch — 3.8 s of Arrow for a
+    window function; the generic hatch remains, exercised by
+    ``stateful_distinct_types`` where the state genuinely isn't an
+    aggregate.) A plan test pins the absence of
+    FlatMapGroupsInPandas."""
+    from .streaming import running_agg
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id", "value"
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = running_agg(ev, ["user_id"], "event_id", running_sum=F.sum("value"))
+    return out.select(
+        "user_id", "event_id", F.round("running_sum", 2).alias("running_sum")
     )
-
-    def running(key, rows):
-        total = 0.0
-        for r in rows:
-            total += r["value"]
-            yield {
-                "user_id": r["user_id"],
-                "event_id": r["event_id"],
-                "running_sum": total,
-            }
-
-    out = batch_stateful(
-        ev,
-        ["user_id"],
-        "event_id",
-        running,
-        "user_id bigint, event_id bigint, running_sum double",
-    )
-    # round JVM-side: Python's round() is banker's rounding, which
-    # diverges from Spark/DuckDB round-half-away on exact .xx5 sums
-    return out.withColumn("running_sum", F.round("running_sum", 2))
 
 
 ORACLE_STATEFUL_RUNNING_SUM = """
 SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
              ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+FROM events
+"""
+
+
+def q_stateful_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuinely NON-associative per-key state via ``batch_stateful``:
+    the number of distinct event types each user has seen so far, in
+    event order. The state is a growing set — not expressible as a
+    Spark window aggregate (no DISTINCT in window functions), so the
+    pandas state machine is the honest tool; DuckDB CAN window it,
+    which gives the oracle."""
+    from .streaming import batch_stateful
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+
+    def distinct_so_far(key, rows):
+        seen: set = set()
+        for r in rows:
+            seen.add(r["event_type"])
+            yield {
+                "user_id": r["user_id"],
+                "event_id": r["event_id"],
+                "n_types_seen": len(seen),
+            }
+
+    return batch_stateful(
+        ev,
+        ["user_id"],
+        "event_id",
+        distinct_so_far,
+        "user_id bigint, event_id bigint, n_types_seen bigint",
+    )
+
+
+ORACLE_STATEFUL_DISTINCT_TYPES = """
+SELECT user_id, event_id,
+       count(DISTINCT event_type) OVER (PARTITION BY user_id
+             ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS n_types_seen
 FROM events
 """
 
@@ -1345,6 +1369,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "flatten": (q_flatten, ORACLE_FLATTEN),
     "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
     "stateful_running_sum": (q_stateful_running_sum, ORACLE_STATEFUL_RUNNING_SUM),
+    "stateful_distinct_types": (
+        q_stateful_distinct_types,
+        ORACLE_STATEFUL_DISTINCT_TYPES,
+    ),
     "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),

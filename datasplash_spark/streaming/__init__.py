@@ -16,12 +16,13 @@ accumulate/discard semantics are only approximable (SURVEY §7.3a):
 discard-on-final — documented gap.
 """
 
-from .stateful import batch_stateful, stateful_map_groups
+from .stateful import batch_stateful, running_agg, stateful_map_groups
 from .sinks import beam_trigger_to_spark, write_stream
 
 __all__ = [
     "batch_stateful",
     "beam_trigger_to_spark",
+    "running_agg",
     "stateful_map_groups",
     "write_stream",
 ]

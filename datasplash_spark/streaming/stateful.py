@@ -72,6 +72,41 @@ def stateful_map_groups(
     )
 
 
+def running_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by,
+    **aggs,
+) -> DataFrame:
+    """Associative per-key running aggregate — the NATIVE batch path.
+
+    When the per-key state update is an associative aggregate (sum,
+    count, min/max, running mean via sum+count …), stateful-map
+    semantics reduce exactly to a window aggregate over
+    ``ROWS UNBOUNDED PRECEDING``. That runs JVM-side (WindowExec,
+    whole-stage adjacent), shuffles once on the key, never
+    materializes a key's history in Python, and moves zero bytes over
+    Arrow — reserve :func:`batch_stateful` for genuinely
+    non-associative state machines (set/dict state, resets,
+    order-dependent branching).
+
+    ``aggs`` maps output column name → aggregate Column, e.g.
+    ``running_sum=F.sum("value")``.
+    """
+    from pyspark.sql import Window
+
+    orders = [order_by] if not isinstance(order_by, (list, tuple)) else list(order_by)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
 def batch_stateful(
     df: DataFrame,
     key_cols: list[str],

@@ -174,11 +174,12 @@ def test_no_python_udf_in_relational_corpus(spark):
     python_ok = {
         "objectmode_wordcount",  # object mode IS the Python path
         "multimodal_features",  # Arrow-batched by design
-        "stateful_running_sum",  # applyInPandas state machine
+        "stateful_distinct_types",  # non-associative state machine
     }
     for name in [
         "filter_project",
         "pricing_summary",
+        "stateful_running_sum",  # native window path since round 2
         "join_multiway",
         "cogroup_counts",
         "window_session",
@@ -194,3 +195,13 @@ def test_no_python_udf_in_relational_corpus(spark):
         plan = plan_of(_q(spark, name), mode="extended")
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
             assert marker not in plan, f"{name} has {marker} in its plan"
+
+
+def test_running_sum_is_native_window(spark):
+    """stateful_running_sum must run as a JVM window aggregate: no
+    FlatMapGroupsInPandas / ArrowEvalPython anywhere in the plan
+    (round 1 shipped every key's history through pandas)."""
+    plan = plan_of(_q(spark, "stateful_running_sum"), mode="simple")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
