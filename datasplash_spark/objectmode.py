@@ -52,6 +52,72 @@ def _loads(b) -> object:
     return pickle.loads(bytes(b))
 
 
+# --------------------------------------------------- multi-output results
+
+@dataclass
+class MultiResult:
+    """``side-outputs`` result (core.clj:302-314): (tag, value) pairs
+    routed to separate output PCollections."""
+
+    kvs: list  # [(tag, value), ...]
+
+
+def side_outputs(*kvs) -> MultiResult:
+    """``(side-outputs :a x :b y)`` (core.clj:304-314): tag/value
+    alternating args → :class:`MultiResult`."""
+    if len(kvs) % 2:
+        raise ValueError("side_outputs takes alternating tag, value pairs")
+    return MultiResult(list(zip(kvs[::2], kvs[1::2])))
+
+
+@dataclass
+class TimeStamped:
+    """``with-timestamp`` result (core.clj:316-326): element plus an
+    event timestamp; nestable inside/around :func:`side_outputs`."""
+
+    timestamp: object
+    result: object
+
+
+def with_timestamp(timestamp, result) -> TimeStamped:
+    return TimeStamped(timestamp, result)
+
+
+#: element-metadata wrapper marker: values carrying a timestamp are
+#: pickled as (_TS_MARKER, ts, value); everything else is pickled raw,
+#: so plain pcolls and timestamped pcolls interoperate
+_TS_MARKER = "__ds_ts__"
+
+
+def _wrap_ts(val, ts) -> object:
+    return (_TS_MARKER, ts, val) if ts is not None else val
+
+
+def _loads_elem(raw) -> tuple:
+    """→ (value, timestamp-or-None)."""
+    v = _loads(raw)
+    if isinstance(v, tuple) and len(v) == 3 and v[0] == _TS_MARKER:
+        return v[2], v[1]
+    return v, None
+
+
+def _route(result, inherited_ts=None):
+    """Walk a ParDo result the way the reference's output-to-context
+    does (core.clj:328-360): yield (tag, ts, value) leaves.
+    MultiResult assigns tags (replacing any outer tag); TimeStamped
+    sets the timestamp for everything beneath it (inner wins); both
+    nest arbitrarily."""
+    todo = [(result, None, inherited_ts)]
+    while todo:
+        ent, tag, ts = todo.pop(0)
+        if isinstance(ent, MultiResult):
+            todo.extend((sub, t, ts) for t, sub in ent.kvs)
+        elif isinstance(ent, TimeStamped):
+            todo.insert(0, (ent.result, tag, ent.timestamp))
+        else:
+            yield tag, ts, ent
+
+
 def _canon(v):
     """Normalize to a deterministic structure so equal keys pickle to
     equal bytes (dict iteration order, sets)."""
@@ -171,24 +237,89 @@ class PCollection:
 
     # --------------------------------------------------------- elementwise
     def _map_batches(self, per_value: Callable[[object], Iterable]) -> "PCollection":
+        """Element-wise core: unwraps timestamp metadata, routes
+        TimeStamped results, propagates inherited timestamps (Beam
+        ParDo semantics: outputs keep the input element's timestamp
+        unless ``with_timestamp`` overrides it). MultiResult here —
+        i.e. without declared side_outputs — is an error, as in Beam
+        (an undeclared TupleTag)."""
         import pandas as pd
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 out = []
                 for raw in b["value"]:
-                    for res in per_value(_loads(raw)):
-                        out.append(_dumps(res))
+                    val, in_ts = _loads_elem(raw)
+                    for res in per_value(val):
+                        for tag, ts, leaf in _route(res, in_ts):
+                            if tag is not None:
+                                raise ValueError(
+                                    f"side-output tag {tag!r} emitted without "
+                                    "declared side_outputs"
+                                )
+                            out.append(_dumps(_wrap_ts(leaf, ts)))
                 yield pd.DataFrame({"value": out})
 
         return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
 
-    def map(self, f: Callable) -> "PCollection":
-        """``map`` (core.clj:612-628)."""
+    _TAGGED_SCHEMA = "tag string, value binary"
+
+    def _map_batches_multi(
+        self, per_value: Callable[[object], Iterable], tags: list
+    ) -> dict:
+        """Multi-output ParDo (core.clj:573-580): ONE pass over the
+        input routes every result leaf to its tag; untagged leaves go
+        to the main output = first of the SORTED tags (core.clj:245).
+        The tagged intermediate is persisted MEMORY_AND_DISK so the
+        per-tag filters don't recompute the upstream once per tag
+        (Beam's PCollectionTuple computes once by construction; caller
+        owns ``.unpersist()`` via any returned pcoll's ``.df``)."""
+        import pandas as pd
+
+        from pyspark import StorageLevel
+
+        tag_strs = [str(t) for t in tags]
+        main = sorted(tag_strs)[0]
+        declared = set(tag_strs)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out_tags, out_vals = [], []
+                for raw in b["value"]:
+                    val, in_ts = _loads_elem(raw)
+                    for res in per_value(val):
+                        for tag, ts, leaf in _route(res, in_ts):
+                            tag = main if tag is None else str(tag)
+                            if tag not in declared:
+                                raise ValueError(
+                                    f"undeclared side-output tag {tag!r}; "
+                                    f"declared: {sorted(declared)}"
+                                )
+                            out_tags.append(tag)
+                            out_vals.append(_dumps(_wrap_ts(leaf, ts)))
+                yield pd.DataFrame({"tag": out_tags, "value": out_vals})
+
+        tagged = self.df.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return {
+            t: PCollection(tagged.filter(F.col("tag") == t).select("value"))
+            for t in tag_strs
+        }
+
+    def map(self, f: Callable, side_outputs: list | None = None):
+        """``map`` (core.clj:612-628). With ``side_outputs`` (a list of
+        tags) returns a dict tag → PCollection (core.clj:573-580);
+        ``f`` returns :func:`side_outputs` / :func:`with_timestamp`
+        results, nestable as in the reference."""
+        if side_outputs is not None:
+            return self._map_batches_multi(lambda v: (f(v),), side_outputs)
         return self._map_batches(lambda v: (f(v),))
 
-    def mapcat(self, f: Callable) -> "PCollection":
+    def mapcat(self, f: Callable, side_outputs: list | None = None):
         """``mapcat`` (core.clj:647-659): f returns an iterable."""
+        if side_outputs is not None:
+            return self._map_batches_multi(f, side_outputs)
         return self._map_batches(f)
 
     def filter(self, pred: Callable) -> "PCollection":
@@ -205,13 +336,26 @@ class PCollection:
         return self._map_batches(run)
 
     def map_partitions(
-        self, f: Callable[[Iterator], Iterable], initialize: Callable | None = None
-    ) -> "PCollection":
+        self,
+        f: Callable[[Iterator], Iterable],
+        initialize: Callable | None = None,
+        side_outputs: list | None = None,
+    ):
         """``pardo`` + worker lifecycle (core.clj:602-610, 226-233,
         274-277): f(iterator-of-values) → iterable, with an optional
         once-per-task ``initialize-fn`` whose result is passed as a
-        second arg (the ``(system)`` accessor analog)."""
+        second arg (the ``(system)`` accessor analog). Results may be
+        :func:`side_outputs` / :func:`with_timestamp` wrapped; with
+        ``side_outputs`` declared, returns a dict tag → PCollection."""
         import pandas as pd
+
+        if side_outputs is not None:
+            # partition-level fn has no per-element identity: feed the
+            # whole partition through the router as one result stream
+            def per_partition(values):
+                return f(values, initialize()) if initialize else f(values)
+
+            return self._multi_from_partitions(per_partition, side_outputs)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             system = initialize() if initialize else None
@@ -219,10 +363,70 @@ class PCollection:
             def values() -> Iterator:
                 for b in batches:
                     for raw in b["value"]:
-                        yield _loads(raw)
+                        yield _loads_elem(raw)[0]
 
             results = f(values(), system) if initialize else f(values())
-            yield pd.DataFrame({"value": [_dumps(r) for r in results]})
+            out = []
+            for r in results:
+                for tag, ts, leaf in _route(r):
+                    if tag is not None:
+                        raise ValueError(
+                            f"side-output tag {tag!r} emitted without "
+                            "declared side_outputs"
+                        )
+                    out.append(_dumps(_wrap_ts(leaf, ts)))
+            yield pd.DataFrame({"value": out})
+
+        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
+
+    def _multi_from_partitions(self, per_partition: Callable, tags: list) -> dict:
+        import pandas as pd
+
+        from pyspark import StorageLevel
+
+        tag_strs = [str(t) for t in tags]
+        main = sorted(tag_strs)[0]
+        declared = set(tag_strs)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def values() -> Iterator:
+                for b in batches:
+                    for raw in b["value"]:
+                        yield _loads_elem(raw)[0]
+
+            out_tags, out_vals = [], []
+            for res in per_partition(values()):
+                for tag, ts, leaf in _route(res):
+                    tag = main if tag is None else str(tag)
+                    if tag not in declared:
+                        raise ValueError(
+                            f"undeclared side-output tag {tag!r}; "
+                            f"declared: {sorted(declared)}"
+                        )
+                    out_tags.append(tag)
+                    out_vals.append(_dumps(_wrap_ts(leaf, ts)))
+            yield pd.DataFrame({"tag": out_tags, "value": out_vals})
+
+        tagged = self.df.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return {
+            t: PCollection(tagged.filter(F.col("tag") == t).select("value"))
+            for t in tag_strs
+        }
+
+    def timestamps(self) -> "PCollection":
+        """→ pcoll of (timestamp, value) pairs; None for elements that
+        never got a timestamp (the Beam ``timestamp`` accessor)."""
+        import pandas as pd
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for raw in b["value"]:
+                    val, ts = _loads_elem(raw)
+                    out.append(_dumps((ts, val)))
+                yield pd.DataFrame({"value": out})
 
         return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
 
@@ -239,7 +443,7 @@ class PCollection:
             for b in batches:
                 keys, vals = [], []
                 for raw in b["value"]:
-                    k, v = _loads(raw)
+                    k, v = _loads_elem(raw)[0]  # grouping drops element ts
                     keys.append(_key_bytes(k))
                     vals.append(_dumps((k, v)))
                 yield pd.DataFrame({"key": keys, "value": vals})
@@ -320,7 +524,7 @@ class PCollection:
                 accs: dict[bytes, object] = {}
                 reprs: dict[bytes, object] = {}
                 for raw in b["value"]:
-                    v = _loads(raw)
+                    v = _loads_elem(raw)[0]
                     k = key_fn(v)
                     kb = _key_bytes(k)
                     accs[kb] = fn.reduce(accs.get(kb, _EMPTY), v)
@@ -358,18 +562,30 @@ class PCollection:
 
     # ------------------------------------------------------------ sinks
     def collect(self) -> list:
-        return [_loads(r["value"]) for r in self.df.collect()]
+        return [_loads_elem(r["value"])[0] for r in self.df.collect()]
 
     def count(self) -> int:
         return self.df.count()
 
-    def to_dataframe(self, spark: SparkSession, schema) -> DataFrame:
-        """Dict values → typed DataFrame (exit from object mode)."""
+    def to_dataframe(
+        self, spark: SparkSession, schema, timestamp_field: str | None = None
+    ) -> DataFrame:
+        """Dict values → typed DataFrame (exit from object mode).
+        With ``timestamp_field``, each element's event timestamp
+        (from :func:`with_timestamp`) lands in that column (None when
+        absent) — include it in ``schema``."""
         import pandas as pd
 
         def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
-                yield pd.DataFrame([_loads(raw) for raw in b["value"]])
+                rows = []
+                for raw in b["value"]:
+                    val, ts = _loads_elem(raw)
+                    if timestamp_field is not None:
+                        val = dict(val)
+                        val[timestamp_field] = ts
+                    rows.append(val)
+                yield pd.DataFrame(rows)
 
         return self.df.mapInPandas(conv, schema=schema)
 

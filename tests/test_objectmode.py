@@ -229,3 +229,118 @@ def test_mixed_type_dict_keys_group(spark):
     )
     grouped = pc.group_by(lambda d: d["k"]).collect()
     assert len(grouped) == 1 and len(grouped[0][1]) == 2
+
+
+# ------------------------------------------------- side outputs / timestamps
+
+
+def test_side_outputs_basic(spark):
+    """api_test.clj:532-544: map with :side-outputs returns one pcoll
+    per declared tag."""
+    from datasplash_spark.objectmode import side_outputs
+
+    pc = PCollection.from_items(spark, [1, 2, 3, 4, 5])
+    outs = pc.map(
+        lambda x: side_outputs("simple", x, "multi", x * 10),
+        side_outputs=["simple", "multi"],
+    )
+    assert set(outs) == {"simple", "multi"}
+    assert _multiset(outs["simple"].collect()) == _multiset([1, 2, 3, 4, 5])
+    assert _multiset(outs["multi"].collect()) == _multiset([10, 20, 30, 40, 50])
+
+
+def test_side_outputs_untagged_goes_to_main(spark):
+    """Untagged results route to the main output = first SORTED tag
+    (core.clj:245)."""
+    from datasplash_spark.objectmode import side_outputs
+
+    pc = PCollection.from_items(spark, [1, 2, 3])
+    outs = pc.map(
+        lambda x: x if x % 2 else side_outputs("odd_b", x),
+        side_outputs=["odd_b", "a_main"],
+    )
+    assert _multiset(outs["a_main"].collect()) == _multiset([1, 3])
+    assert _multiset(outs["odd_b"].collect()) == _multiset([2])
+
+
+def test_side_outputs_undeclared_tag_raises(spark):
+    import pytest
+    from datasplash_spark.objectmode import side_outputs
+
+    pc = PCollection.from_items(spark, [1])
+    outs = pc.map(
+        lambda x: side_outputs("nope", x), side_outputs=["a", "b"]
+    )
+    with pytest.raises(Exception, match="undeclared"):
+        outs["a"].collect()
+
+
+def test_timestamped_results_and_propagation(spark):
+    """core.clj:316-326: with_timestamp attaches an event timestamp;
+    it survives downstream map/filter (Beam ParDo keeps the input
+    element's timestamp) and is readable via timestamps()."""
+    from datasplash_spark.objectmode import with_timestamp
+
+    pc = PCollection.from_items(spark, [1, 2, 3])
+    stamped = pc.map(lambda x: with_timestamp(100.0 + x, x))
+    # propagate through a further map and a filter
+    doubled = stamped.map(lambda x: x * 2).filter(lambda x: x < 6)
+    got = dict((v, t) for t, v in doubled.timestamps().collect())
+    assert got == {2: 101.0, 4: 102.0}
+
+
+def test_timestamp_nested_in_side_outputs(spark):
+    """core.clj:341-358: TimeStamped and MultiResult nest both ways —
+    outer timestamp applies to all branches; inner overrides."""
+    from datasplash_spark.objectmode import side_outputs, with_timestamp
+
+    pc = PCollection.from_items(spark, [7])
+    outs = pc.map(
+        lambda x: with_timestamp(
+            50.0,
+            side_outputs(
+                "plain", x,
+                "stamped", with_timestamp(99.0, x * 2),
+            ),
+        ),
+        side_outputs=["plain", "stamped"],
+    )
+    assert outs["plain"].timestamps().collect() == [(50.0, 7)]
+    assert outs["stamped"].timestamps().collect() == [(99.0, 14)]
+
+
+def test_timestamp_to_dataframe_field(spark):
+    from datasplash_spark.objectmode import with_timestamp
+
+    pc = PCollection.from_items(spark, [{"v": 1}, {"v": 2}])
+    stamped = pc.map(lambda d: with_timestamp(float(d["v"]), d))
+    df = stamped.to_dataframe(spark, "v bigint, ts double", timestamp_field="ts")
+    rows = {r.v: r.ts for r in df.collect()}
+    assert rows == {1: 1.0, 2: 2.0}
+
+
+def test_pardo_side_outputs(spark):
+    """map_partitions (pardo) with declared side_outputs routes a
+    partition-level result stream."""
+    from datasplash_spark.objectmode import side_outputs
+
+    pc = PCollection.from_items(spark, [1, 2, 3, 4], num_partitions=2)
+
+    def split(values):
+        for v in values:
+            yield side_outputs("evens" if v % 2 == 0 else "odds", v)
+
+    outs = pc.map_partitions(split, side_outputs=["evens", "odds"])
+    assert _multiset(outs["evens"].collect()) == _multiset([2, 4])
+    assert _multiset(outs["odds"].collect()) == _multiset([1, 3])
+
+
+def test_grouping_ignores_timestamps(spark):
+    """Equal values that differ only in timestamp metadata group/key
+    identically (ts is element metadata, not value)."""
+    from datasplash_spark.objectmode import with_timestamp
+
+    pc = PCollection.from_items(spark, [("a", 1), ("b", 2)])
+    stamped = pc.map(lambda kv: with_timestamp(5.0, kv))
+    grouped = dict(stamped.group_by_key().collect())
+    assert grouped == {"a": [1], "b": [2]}
