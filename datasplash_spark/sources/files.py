@@ -205,6 +205,19 @@ def write_json_file(
 
 
 def _edn_to_jsonable(v):
+    import datetime as _dt
+    import uuid as _uuid
+
+    if isinstance(v, _dt.datetime):
+        # ISO string; from_json parses it back to TimestampType when
+        # the schema says so
+        return v.astimezone(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _uuid.UUID):
+        return str(v)
+    if isinstance(v, edn.Tagged):
+        return {"tag": v.tag, "value": _edn_to_jsonable(v.value)}
     if isinstance(v, dict):
         return {
             (k[1:] if isinstance(k, str) and k.startswith(":") else str(k)):
@@ -308,8 +321,12 @@ def _plain(v):
     ValueError (numpy gives every array an ``.item``)."""
     import numpy as np
 
+    import pandas as pd
+
     if isinstance(v, np.ndarray):
         return [_plain(x) for x in v.tolist()]
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
     if isinstance(v, np.generic):
         return v.item()
     if isinstance(v, (list, tuple)):

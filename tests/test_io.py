@@ -302,3 +302,62 @@ def test_write_edn_array_columns(spark, tmp_path):
     write_edn_file(df, out)
     got = read_edn_file(spark, out, schema="id bigint, xs array<double>, tags array<string>")
     contains_only(got, [(1, [1.5, 2.5], ["a"]), (2, [3.5], [])])
+
+
+def test_edn_tagged_literals_unit():
+    """clojure.edn reads #inst / #uuid out of the box
+    (core.clj:1334-1378 relies on it); #_ discards; unknown tags use
+    readers/default or raise."""
+    import datetime as dt
+    import uuid
+
+    d = edn.loads('#inst "1985-04-12T23:20:50.520Z"')
+    assert d == dt.datetime(1985, 4, 12, 23, 20, 50, 520000, tzinfo=dt.timezone.utc)
+    # naive and offset forms normalize to UTC
+    assert edn.loads('#inst "2024-01-01T01:00:00+01:00"') == dt.datetime(
+        2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc
+    )
+    u = edn.loads('#uuid "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"')
+    assert u == uuid.UUID("f81d4fae-7dec-11d0-a765-00a0c91e6bf6")
+    # round-trips (Clojure's print format)
+    assert edn.loads(edn.dumps(d)) == d
+    assert edn.dumps(u) == '#uuid "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"'
+    # nested in collections
+    v = edn.loads('{:when #inst "2024-06-01T12:00:00Z" :ids [#uuid "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"]}')
+    assert v[":when"].year == 2024 and v[":ids"][0] == u
+    # discard
+    assert edn.loads("[1 #_ 2 3]") == [1, 3]
+    assert edn.loads("#_ {:a 1} 42") == 42
+    # custom reader + default passthrough
+    assert edn.loads("#km 5", readers={"km": lambda v: v * 1000}) == 5000
+    t = edn.loads("#custom/thing [1 2]", default=edn.Tagged)
+    assert t == edn.Tagged("custom/thing", [1, 2])
+    assert edn.loads(edn.dumps(t), default=edn.Tagged) == t
+    import pytest as _pytest
+
+    with _pytest.raises(edn.EdnError, match="no reader"):
+        edn.loads("#mystery 1")
+
+
+def test_edn_io_roundtrip_with_dates(spark, tmp_path):
+    """Date-bearing EDN IO, mirroring the reference's date-heavy
+    JSON/EDN tests (api_test.clj:69-277): timestamps survive
+    write-edn-file → read-edn-file as TimestampType."""
+    import datetime as dt
+
+    out = str(tmp_path / "edn_dates")
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 3, 1, 10, 30, 0)),
+            (2, dt.datetime(2024, 3, 2, 11, 45, 30, 250000)),
+        ],
+        "id bigint, at timestamp",
+    )
+    write_edn_file(df, out)
+    # the raw lines carry Clojure-style #inst literals
+    raw = spark.read.text(out).filter(F.length("value") > 0).collect()
+    assert all("#inst" in r.value for r in raw)
+    got = read_edn_file(spark, out, schema="id bigint, at timestamp")
+    back = {r.id: r.at for r in got.collect()}
+    assert back[1] == dt.datetime(2024, 3, 1, 10, 30, 0)
+    assert back[2] == dt.datetime(2024, 3, 2, 11, 45, 30, 250000)
