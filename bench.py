@@ -41,6 +41,7 @@ def main() -> int:
         print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     total = 0.0
     for name, fn in Q.queries().items():
         t0 = time.time()
@@ -48,6 +49,7 @@ def main() -> int:
             n = fn(spark, sf_dir).count()
         except Exception as e:  # record and continue; always emit JSON
             timings[name] = -1.0
+            failed.append(name)
             print(f"# {name}: FAILED ({e})", file=sys.stderr)
             continue
         dt = round(time.time() - t0, 3)
@@ -55,13 +57,16 @@ def main() -> int:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # a partially-failing run must not read as a faster full run:
+    # failures are named, and the headline value is poisoned
     print(
         json.dumps(
             {
                 "metric": "corpus_wall",
-                "value": round(total, 3),
+                "value": round(total, 3) if not failed else -1.0,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf_num,
             }
         )

@@ -78,8 +78,11 @@ def count_fn(
 
 
 def sum_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:
-    """``sum-fn`` (core.clj:1992-2002); ``expr`` plays the :mapper role."""
-    return F.sum(_masked(expr, predicate))
+    """``sum-fn`` (core.clj:1992-2002); ``expr`` plays the :mapper
+    role. Empty/all-excluded input → 0, matching the reference's
+    ``(sum-fn)`` init ``(constantly 0)`` — consistent with count_fn
+    and mean_fn."""
+    return F.coalesce(F.sum(_masked(expr, predicate)), F.lit(0))
 
 
 def mean_fn(expr: ColumnLike, predicate: ColumnLike | None = None) -> Column:

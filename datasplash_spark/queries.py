@@ -315,7 +315,7 @@ def q_combiner_mapper_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COMBINER_MAPPER_PREDICATE = """
 SELECT l_returnflag,
        count(CASE WHEN l_quantity > 25 THEN 1 END) AS n_heavy,
-       round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 2) AS sum_heavy_price,
+       round(coalesce(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 0), 2) AS sum_heavy_price,
        round(coalesce(avg(CASE WHEN l_quantity > 25 THEN l_quantity END), 0), 6) AS avg_heavy_qty,
        min(CASE WHEN l_quantity > 25 THEN l_quantity END) AS min_heavy_qty,
        max(CASE WHEN l_quantity > 25 THEN l_quantity END) AS max_heavy_qty

@@ -67,6 +67,16 @@ def _norm(token: Any) -> str:
     return s.upper()
 
 
+def _check_scale(spec: dict, precision: int, scale: int) -> int:
+    """Spark rejects DecimalType(p, s) with s > p only later, at use
+    time, with an obscure error — fail fast here instead."""
+    if scale > precision:
+        raise SchemaError(
+            f"field {spec.get('name')!r}: scale {scale} > precision {precision}"
+        )
+    return scale
+
+
 def _field_type(spec: dict) -> T.DataType:
     t = _norm(spec.get("type", ""))
     if not t:
@@ -75,13 +85,13 @@ def _field_type(spec: dict) -> T.DataType:
         return _SIMPLE_TYPES[t]()
     if t == "NUMERIC":
         # BQ NUMERIC is (38, 9); explicit precision/scale override
-        p = spec.get("precision", 38)
-        s = spec.get("scale", 9)
-        return T.DecimalType(int(p), int(s))
+        p = int(spec.get("precision", 38))
+        s = int(spec.get("scale", 9))
+        return T.DecimalType(p, _check_scale(spec, p, s))
     if t == "BIGNUMERIC":
         p = min(int(spec.get("precision", 38)), 38)
         s = min(int(spec.get("scale", 18)), 37)
-        return T.DecimalType(p, s)
+        return T.DecimalType(p, _check_scale(spec, p, s))
     if t in ("RECORD", "STRUCT"):
         nested = spec.get("fields")
         if not nested:

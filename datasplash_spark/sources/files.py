@@ -182,6 +182,12 @@ def read_json_file(
         reader = reader.schema(schema)
     df = reader.json(path)
     if drop_empty_lines and "_corrupt_record" in df.columns:
+        if not df.isStreaming:
+            # Spark disallows queries that reference ONLY the internal
+            # corrupt-record column (column pruning reduces e.g.
+            # read_json_file(p).count() to exactly that); caching the
+            # parsed frame first is the documented workaround
+            df = df.cache()
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return df
 

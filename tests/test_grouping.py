@@ -185,3 +185,21 @@ def test_approx_combiners_mergeable_and_sane(spark):
             df, "k", ops.approx_distinct_fn("v").alias("nd")
         ).explain()
     assert "partial_approx_count_distinct" in buf.getvalue()
+
+
+def test_sum_fn_empty_is_zero(spark):
+    """Reference parity: (sum-fn) init is (constantly 0), so a group
+    where the predicate excludes everything sums to 0, not NULL —
+    consistent with count_fn / mean_fn."""
+    from datasplash_spark.operators.grouping import combine, juxt, sum_fn, mean_fn, count_fn
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    row = combine(
+        df,
+        *juxt(
+            sum_fn("v", predicate=F.col("v") > 100).alias("s"),
+            mean_fn("v", predicate=F.col("v") > 100).alias("m"),
+            count_fn(predicate=F.col("v") > 100).alias("c"),
+        ),
+    ).collect()[0]
+    assert (row.s, row.m, row.c) == (0.0, 0.0, 0)

@@ -361,3 +361,13 @@ def test_edn_io_roundtrip_with_dates(spark, tmp_path):
     back = {r.id: r.at for r in got.collect()}
     assert back[1] == dt.datetime(2024, 3, 1, 10, 30, 0)
     assert back[2] == dt.datetime(2024, 3, 2, 11, 45, 30, 250000)
+
+
+def test_json_corrupt_record_count(spark, tmp_path):
+    """A malformed JSON line must be dropped, and metadata-only queries
+    (count) must not trip Spark's corrupt-record-column restriction."""
+    p = tmp_path / "bad.json"
+    p.write_text('{"a": 1}\n{not json}\n{"a": 3}\n')
+    df = read_json_file(spark, str(p))
+    assert df.count() == 2  # the pruning-to-_corrupt_record path
+    assert sorted(r.a for r in df.collect()) == [1, 3]

@@ -129,3 +129,15 @@ def test_usable_with_spark(spark):
 def test_clean_name_variants():
     assert clean_name(":my-field?") == "my_field"
     assert clean_name(42) == "42"
+
+
+def test_decimal_scale_exceeding_precision_rejected():
+    import pytest
+
+    from datasplash_spark.schema import SchemaError, to_struct_type
+
+    for typ in ("NUMERIC", "BIGNUMERIC"):
+        with pytest.raises(SchemaError, match="scale"):
+            to_struct_type(
+                [{"name": "x", "type": typ, "precision": 10, "scale": 20}]
+            )
