@@ -452,7 +452,16 @@ class PCollection:
 
     def group_by_key(self) -> "PCollection":
         """``group-by-key`` (core.clj:926-935): pcoll of (k, v) →
-        pcoll of (k, [v...])."""
+        pcoll of (k, [v...]).
+
+        Memory bound: ``applyInPandas`` materializes each key's whole
+        group in one executor's memory (Beam hands a lazy Iterable
+        instead), so the hottest key must fit in an executor — size
+        ``spark.sql.execution.arrow.maxRecordsPerBatch`` only affects
+        the Arrow TRANSFER chunking, not this bound. For skewed keys
+        at scale, pre-aggregate with :meth:`combine_by` (which
+        partial-reduces before the shuffle) or salt the key; a
+        deliberately-skewed-key test pins the practical bound."""
         import pandas as pd
 
         def assemble(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -175,6 +175,56 @@ def read_kafka(
     return reader.load()
 
 
+def decode_kafka(
+    df: DataFrame,
+    key_codec="string",
+    value_codec="string",
+    with_metadata: bool = True,
+) -> DataFrame:
+    """Map the Spark Kafka wire schema (key/value binary, topic,
+    partition, offset, timestamp, headers) to the reference's
+    ``KafkaRecord`` map shape (kafka.clj:10-26): payload / key /
+    offset / partition / timestamp / topic / headers-as-map.
+
+    ``key_codec``/``value_codec``: ``"string"`` (StringDeserializer
+    analog — UTF-8 cast), ``"raw"`` (bytes as-is), or a callable
+    Column → Column for custom deserializers. ``with_metadata=False``
+    is ``:without-metadata`` (kafka.clj:70): just key + payload.
+
+    Pure column expressions over the source columns — works
+    identically on the real Kafka source and on any DataFrame with
+    the same schema (which is how it is tested broker-less)."""
+    def apply_codec(codec, col):
+        if callable(codec):
+            return codec(col)
+        if codec == "string":
+            return col.cast("string")
+        if codec == "raw":
+            return col
+        raise ValueError(f"unknown codec {codec!r} (string | raw | callable)")
+
+    out = df.select(
+        apply_codec(key_codec, F.col("key")).alias("key"),
+        apply_codec(value_codec, F.col("value")).alias("payload"),
+        *(
+            [
+                F.col("offset"),
+                F.col("partition"),
+                F.col("timestamp"),
+                F.col("topic"),
+                F.map_from_entries(
+                    F.expr(
+                        "transform(headers, h -> struct(h.key AS key, h.value AS value))"
+                    )
+                ).alias("headers"),
+            ]
+            if with_metadata
+            else []
+        ),
+    )
+    return out
+
+
 def kafka_write_options(
     brokers: str | Sequence[str],
     topic: str,

@@ -32,6 +32,8 @@ def stateful_map_groups(
     output_schema: str,
     output_mode: str = "update",
     timeout: str = "NoTimeout",
+    timeout_timestamp: Callable[[list, Any], int] | None = None,
+    on_timeout: Callable[[Any, Any], tuple[Iterable[dict], Any]] | None = None,
 ):
     """Streaming per-key ``ValueState`` transform.
 
@@ -40,6 +42,15 @@ def stateful_map_groups(
     ``state_value`` is the prior state (None first time) and
     ``new_state`` is persisted (None clears). The plumbing below maps
     that contract onto ``applyInPandasWithState``.
+
+    Timeouts (the reference's window-expiry analog): with
+    ``timeout="EventTimeTimeout"`` (requires ``withWatermark`` on the
+    input) or ``"ProcessingTimeTimeout"``, ``timeout_timestamp(rows,
+    new_state) -> epoch-ms`` arms the per-key timer after each data
+    call; when the watermark/clock passes it, ``on_timeout(key,
+    state_value) -> (out_rows, new_state)`` fires exactly once for
+    the expiring key — return rows to emit (e.g. a final session
+    summary) and None to clear (default: emit nothing, clear).
     """
     import pandas as pd
 
@@ -51,15 +62,22 @@ def stateful_map_groups(
 
     def wrapper(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
         prior = state.get[0] if state.exists else None
-        rows: list[dict] = []
-        for pdf in pdf_iter:
-            rows.extend(pdf.to_dict("records"))
-        out_rows, new_state = fn(key, rows, prior)
+        if state.hasTimedOut:
+            out_rows, new_state = (
+                on_timeout(key, prior) if on_timeout else ((), None)
+            )
+        else:
+            rows: list[dict] = []
+            for pdf in pdf_iter:
+                rows.extend(pdf.to_dict("records"))
+            out_rows, new_state = fn(key, rows, prior)
         if new_state is None:
             if state.exists:
                 state.remove()
         else:
             state.update((new_state,))
+            if not state.hasTimedOut and timeout_timestamp is not None:
+                state.setTimeoutTimestamp(int(timeout_timestamp(rows, new_state)))
         out = pd.DataFrame(list(out_rows))
         yield out
 

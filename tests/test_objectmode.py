@@ -344,3 +344,15 @@ def test_grouping_ignores_timestamps(spark):
     stamped = pc.map(lambda kv: with_timestamp(5.0, kv))
     grouped = dict(stamped.group_by_key().collect())
     assert grouped == {"a": [1], "b": [2]}
+
+
+def test_group_by_key_hot_key(spark):
+    """Deliberately skewed key: one key carrying 50k values (vs 5 for
+    the other) assembles correctly — the documented bound is 'hottest
+    key fits in an executor', and this pins the practical behavior."""
+    hot = [("hot", i) for i in range(50_000)] + [("cold", i) for i in range(5)]
+    pc = PCollection.from_items(spark, hot, num_partitions=8)
+    grouped = dict(pc.group_by_key().collect())
+    assert len(grouped["hot"]) == 50_000
+    assert sorted(grouped["cold"]) == [0, 1, 2, 3, 4]
+    assert sum(grouped["hot"]) == sum(range(50_000))

@@ -193,3 +193,106 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     got = {(r.ws, r.k): r.s for r in spark.sql("SELECT * FROM winagg").collect()}
     h0 = 1704067200
     assert got == {(h0, "a"): 3.0, (h0 + 3600, "a"): 4.0, (h0, "b"): 8.0}
+
+
+def test_stateful_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout end-to-end: per-key state armed with an
+    event-time timer expires when the watermark passes it — the
+    session-expiry shape. Files are drained one per micro-batch
+    (availableNow honors maxFilesPerTrigger) so the watermark
+    actually advances between batches."""
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    (src / "f1.txt").write_text("a,2024-01-01 00:00:00\na,2024-01-01 00:00:01\n")
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("b,2024-01-01 00:01:40\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("c,2024-01-01 00:01:41\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+        )
+        .withWatermark("ts", "5 seconds")
+    )
+
+    def on_data(key, rows, state):
+        return [], (state or 0) + len(rows)  # emit only on expiry
+
+    def on_expire(key, state):
+        return [{"k": key[0], "n": state, "expired": True}], None
+
+    def arm(rows, new_state):
+        return max(int(r["ts"].timestamp() * 1000) for r in rows) + 10_000
+
+    out = stateful_map_groups(
+        stream,
+        ["k"],
+        on_data,
+        state_schema="n int",
+        output_schema="k string, n int, expired boolean",
+        output_mode="update",
+        timeout="EventTimeTimeout",
+        timeout_timestamp=arm,
+        on_timeout=on_expire,
+    )
+    q = write_stream(
+        out,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+        trigger="once",
+        output_mode="update",
+        query_name="sess_test",
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sess_test").collect()
+    # watermark after f2 (100 s − 5 s = 95 s) passes a's 11 s timer →
+    # exactly one expiry summary for a; b and c timers stay armed
+    assert {(r.k, r.n, r.expired) for r in rows} == {("a", 2, True)}
+
+
+def test_kafka_decode_wire_schema(spark):
+    """read_kafka's record mapping executed broker-less: a DataFrame
+    with the exact Kafka source wire schema decodes to the reference's
+    KafkaRecord map shape (kafka.clj:10-26) — payload/key/metadata/
+    headers-as-map."""
+    import datetime as dt
+
+    from datasplash_spark.sources import decode_kafka
+
+    wire_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int, "
+        "headers array<struct<key:string,value:binary>>"
+    )
+    rows = [
+        (
+            b"k1",
+            b"hello",
+            "events",
+            0,
+            42,
+            dt.datetime(2024, 5, 1, 12, 0, 0),
+            0,
+            [("trace", b"abc")],
+        ),
+        (None, b"\x00\x01", "events", 1, 7, dt.datetime(2024, 5, 1, 12, 0, 1), 0, None),
+    ]
+    wire = spark.createDataFrame(rows, wire_schema)
+
+    decoded = decode_kafka(wire)  # StringDeserializer analog
+    got = {r.offset: r for r in decoded.collect()}
+    assert got[42].key == "k1" and got[42].payload == "hello"
+    assert got[42].topic == "events" and got[42].partition == 0
+    assert got[42].headers == {"trace": bytearray(b"abc")}
+    assert got[7].key is None and got[7].headers is None
+
+    raw = decode_kafka(wire, key_codec="raw", value_codec="raw")
+    r42 = {r.offset: r for r in raw.collect()}[42]
+    assert bytes(r42.payload) == b"hello"
+
+    no_meta = decode_kafka(wire, with_metadata=False)
+    assert no_meta.columns == ["key", "payload"]
