@@ -180,6 +180,7 @@ def sample(
     scope: str = "any",
     key: ColumnLike | None = None,
     seed: int = 42,
+    deterministic_by: ColumnLike | None = None,
 ) -> DataFrame:
     """``sample`` (core.clj:1761-1782).
 
@@ -190,17 +191,28 @@ def sample(
       driver merge — no full sort, safe at 100 TB for sane n.
     - ``per-key``: fixed-size uniform per key via row_number over a
       rand-ordered window.
+
+    ``deterministic_by=<unique id column>`` replaces ``rand(seed)``
+    with ``md5(seed || id)`` ordering: still uniform-ish (md5 is an
+    avalanche hash) but REPRODUCIBLE across engines, runs, and
+    partitionings — the right default for training-data pipelines
+    where a re-run must pick the same subset, and it makes the sample
+    oracle-checkable. Same physical shape (top-n heap / window).
     """
+    if deterministic_by is not None:
+        order = F.md5(F.concat(F.lit(str(seed)), _col(deterministic_by).cast("string")))
+    else:
+        order = F.rand(seed)
     if scope == "any":
         return df.limit(n)
     if scope == "global":
-        return df.orderBy(F.rand(seed)).limit(n)
+        return df.orderBy(order).limit(n)
     if scope == "per-key":
         if key is None:
             raise ValueError("per-key sample requires key=")
         from pyspark.sql import Window
 
-        w = Window.partitionBy(_col(key)).orderBy(F.rand(seed))
+        w = Window.partitionBy(_col(key)).orderBy(order)
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n)

@@ -554,6 +554,46 @@ def q_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_global_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: md5(seed || id) ordering —
+    uniform-ish, reproducible across engines/runs/partitionings (the
+    training-data default), hence fully oracle-checkable. Physical
+    shape is still TakeOrderedAndProject (per-partition heap)."""
+    return sample(
+        _t(spark, sf_dir, "orders"), 100, scope="global",
+        deterministic_by="o_orderkey", seed=42,
+    ).select("o_orderkey")
+
+
+ORACLE_SAMPLE_GLOBAL_DET = """
+SELECT o_orderkey FROM orders
+ORDER BY md5('42' || o_orderkey::VARCHAR)
+LIMIT 100
+"""
+
+
+def q_sample_per_key_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key fixed-size sample (window over hash
+    order): 3 lineitems per return flag, reproducible + oracle-able."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sample(
+        li, 3, scope="per-key", key="l_returnflag",
+        deterministic_by=F.concat_ws("_", "l_orderkey", "l_linenumber"), seed=42,
+    ).select("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+ORACLE_SAMPLE_PER_KEY_DET = """
+SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5('42' || concat_ws('_', l_orderkey, l_linenumber))
+         ) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+"""
+
+
 # =====================================================================
 # Windowing (SURVEY §2.6) — batch-mode event-time windows on `events`
 # =====================================================================
@@ -774,6 +814,75 @@ FROM mxd GROUP BY 1
 
 
 ORACLE_LANG_ID = _lang_oracle()
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, the composition the extensions
+    exist for: quality filter (token count + punctuation) → exact
+    dedup (digest-groupBy, min-id survivor) → per-language corpus
+    stats (doc count + BPE-ish token budget). One declarative plan:
+    the quality filter runs inside the scan stage before any shuffle
+    (expression predicates can't reach parquet PushedFilters, but
+    they do cut the shuffled rows), dedup shuffles 16-byte digests,
+    the final rollup is partial-aggregated — no Python anywhere, and
+    unused columns (doc_id) get pruned out of the scan entirely."""
+    docs = _t(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (tx.token_count("text") >= 5) & (tx.punct_ratio("text") < 0.2)
+    )
+    deduped = filtered.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id"),
+        # text identical within a digest group → min == the value
+        F.min(tx.bpe_ish_token_count("text")).alias("bpe_tokens"),
+        F.min(tx.lang_id("text")).alias("lang"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_tokens"),
+    )
+
+
+def _corpus_prep_oracle() -> str:
+    hits = {
+        lang: f"len(list_intersect(dt, {words!r}))"
+        for lang, words in tx.LANG_STOPWORDS.items()
+    }
+    langs = list(tx.LANG_STOPWORDS)
+    greatest = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE\n"
+    for lg in langs:
+        case += f"  WHEN h_{lg} = mx AND mx > 0 THEN '{lg}'\n"
+    case += "  ELSE 'und' END"
+    hit_cols = ",\n         ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    return f"""
+WITH filtered AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 5
+    AND (CASE WHEN len(text) > 0
+         THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / len(text)
+         ELSE 0 END) < 0.2
+), dedup AS (
+  SELECT min(doc_id) AS doc_id,
+         min(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS bpe_tokens,
+         min(text) AS text
+  FROM filtered GROUP BY md5(text)
+), dtoks AS (
+  SELECT bpe_tokens, list_distinct(string_split(lower(text), ' ')) AS dt FROM dedup
+), scored AS (
+  SELECT bpe_tokens,
+         {hit_cols}
+  FROM dtoks
+), mxd AS (
+  SELECT *, {greatest} AS mx FROM scored
+)
+SELECT {case} AS lang,
+       count(*) AS n_docs,
+       sum(bpe_tokens)::BIGINT AS total_tokens
+FROM mxd GROUP BY 1
+"""
+
+
+ORACLE_CORPUS_PREP = _corpus_prep_oracle()
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,6 +1461,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mapcat_tokens": (q_mapcat_tokens, ORACLE_MAPCAT_TOKENS),
     "partition_by": (q_partition_by, ORACLE_PARTITION_BY),
     "sample_global": (q_sample_global, None),
+    "sample_global_det": (q_sample_global_det, ORACLE_SAMPLE_GLOBAL_DET),
+    "sample_per_key_det": (q_sample_per_key_det, ORACLE_SAMPLE_PER_KEY_DET),
     "window_fixed": (q_window_fixed, ORACLE_WINDOW_FIXED),
     "window_sliding": (q_window_sliding, ORACLE_WINDOW_SLIDING),
     "window_session": (q_window_session, ORACLE_WINDOW_SESSION),
@@ -1377,6 +1488,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
     "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
 }
 
