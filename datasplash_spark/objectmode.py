@@ -340,34 +340,55 @@ class PCollection:
         f: Callable[[Iterator], Iterable],
         initialize: Callable | None = None,
         side_outputs: list | None = None,
+        start_bundle: Callable | None = None,
+        finish_bundle: Callable | None = None,
+        teardown: Callable | None = None,
     ):
         """``pardo`` + worker lifecycle (core.clj:602-610, 226-233,
-        274-277): f(iterator-of-values) → iterable, with an optional
-        once-per-task ``initialize-fn`` whose result is passed as a
-        second arg (the ``(system)`` accessor analog). Results may be
-        :func:`side_outputs` / :func:`with_timestamp` wrapped; with
-        ``side_outputs`` declared, returns a dict tag → PCollection."""
+        274-277; AbstractClojureDoFn.java:33-52): f(iterator-of-values)
+        → iterable, with the full DoFn lifecycle:
+
+        - ``initialize()`` once per task; its result is passed as a
+          second arg to ``f`` (the ``(system)`` accessor analog) and
+          to every hook below.
+        - ``start_bundle(system)`` before elements; here one Spark
+          task = one bundle (Beam's bundle size is runner-chosen too).
+        - ``finish_bundle(system)`` after elements; may RETURN an
+          iterable of extra results to emit (Beam's
+          ``FinishBundleContext.output`` analog).
+        - ``teardown(system)`` in a finally — runs even when ``f``
+          raises.
+
+        Results may be :func:`side_outputs` / :func:`with_timestamp`
+        wrapped; with ``side_outputs`` declared, returns a dict
+        tag → PCollection."""
         import pandas as pd
+
+        def lifecycle(values: Iterator) -> Iterator:
+            system = initialize() if initialize else None
+            try:
+                if start_bundle is not None:
+                    start_bundle(system)
+                yield from (f(values, system) if initialize else f(values))
+                if finish_bundle is not None:
+                    yield from (finish_bundle(system) or ())
+            finally:
+                if teardown is not None:
+                    teardown(system)
 
         if side_outputs is not None:
             # partition-level fn has no per-element identity: feed the
             # whole partition through the router as one result stream
-            def per_partition(values):
-                return f(values, initialize()) if initialize else f(values)
-
-            return self._multi_from_partitions(per_partition, side_outputs)
+            return self._multi_from_partitions(lifecycle, side_outputs)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            system = initialize() if initialize else None
-
             def values() -> Iterator:
                 for b in batches:
                     for raw in b["value"]:
                         yield _loads_elem(raw)[0]
 
-            results = f(values(), system) if initialize else f(values())
             out = []
-            for r in results:
+            for r in lifecycle(values()):
                 for tag, ts, leaf in _route(r):
                     if tag is not None:
                         raise ValueError(

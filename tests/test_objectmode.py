@@ -356,3 +356,73 @@ def test_group_by_key_hot_key(spark):
     assert len(grouped["hot"]) == 50_000
     assert sorted(grouped["cold"]) == [0, 1, 2, 3, 4]
     assert sum(grouped["hot"]) == sum(range(50_000))
+
+
+def test_pardo_bundle_lifecycle(spark, tmp_path):
+    """Full DoFn lifecycle (AbstractClojureDoFn.java:33-52):
+    initialize → start_bundle → elements → finish_bundle (may emit) →
+    teardown (always, even on error). One Spark task = one bundle."""
+    marker_dir = tmp_path / "teardown_markers"
+    marker_dir.mkdir()
+    md = str(marker_dir)
+
+    def init():
+        return {"seen": 0}
+
+    def start(sys_):
+        sys_["started"] = True
+
+    def process(values, sys_):
+        assert sys_["started"]
+        for v in values:
+            sys_["seen"] += 1
+            yield v * 2
+
+    def finish(sys_):
+        yield {"bundle_total": sys_["seen"]}
+
+    def teardown(sys_):
+        import os
+        import uuid
+
+        open(os.path.join(md, uuid.uuid4().hex), "w").close()
+
+    pc = PCollection.from_items(spark, [1, 2, 3, 4], num_partitions=2)
+    got = pc.map_partitions(
+        process,
+        initialize=init,
+        start_bundle=start,
+        finish_bundle=finish,
+        teardown=teardown,
+    ).collect()
+    plain = sorted(v for v in got if isinstance(v, int))
+    totals = sorted(v["bundle_total"] for v in got if isinstance(v, dict))
+    assert plain == [2, 4, 6, 8]
+    assert sum(totals) == 4 and len(totals) == 2  # one finish per bundle/task
+    import os
+
+    assert len(os.listdir(md)) == 2  # teardown ran once per task
+
+
+def test_pardo_teardown_runs_on_error(spark, tmp_path):
+    import os
+
+    import pytest
+
+    marker = tmp_path / "err_markers"
+    marker.mkdir()
+    md = str(marker)
+
+    def boom(values):
+        next(values)
+        raise RuntimeError("kaboom")
+
+    def teardown(_):
+        import uuid
+
+        open(os.path.join(md, uuid.uuid4().hex), "w").close()
+
+    pc = PCollection.from_items(spark, [1, 2], num_partitions=1)
+    with pytest.raises(Exception):
+        pc.map_partitions(boom, teardown=teardown).collect()
+    assert len(os.listdir(md)) >= 1
