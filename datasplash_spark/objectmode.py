@@ -436,6 +436,22 @@ class PCollection:
             for t in tag_strs
         }
 
+    def partition_by(self, f: Callable, n: int) -> list:
+        """``partition-by`` (core.clj:842-853): route each element to
+        one of ``n`` output pcolls by ``f(elem, n)`` → index. Built on
+        the multi-output ParDo (one pass, persisted intermediate,
+        n filtered views) — the same shape Beam's ``Partition`` uses."""
+        tags = [str(i) for i in range(n)]
+
+        def route(v):
+            i = f(v, n)
+            if not (0 <= i < n):
+                raise ValueError(f"partition index {i} out of range 0..{n - 1}")
+            return MultiResult([(str(i), v)])
+
+        outs = self._map_batches_multi(lambda v: (route(v),), tags)
+        return [outs[t] for t in tags]
+
     def timestamps(self) -> "PCollection":
         """→ pcoll of (timestamp, value) pairs; None for elements that
         never got a timestamp (the Beam ``timestamp`` accessor)."""

@@ -39,6 +39,7 @@ from .operators import (
     except_distinct,
     fixed_windows,
     frequencies,
+    frequencies_by,
     group_by_key,
     intersect_distinct,
     join_by,
@@ -182,6 +183,37 @@ ORACLE_GROUP_BY_KEY = """
 SELECT l_orderkey AS key,
        array_to_string(list(l_linenumber::VARCHAR ORDER BY l_linenumber), ',') AS values
 FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_frequencies_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequencies-fn per key (core.clj:2052-2063): per order status,
+    the priority→count map. Two-level agg (groupBy(key,value) partial
+    combine first) — skew-tolerant. The map column is projected to a
+    sorted 'v=n' string because the gate canonicalizer can't hash
+    dict/array cells; the map semantics stay under test."""
+    orders = _t(spark, sf_dir, "orders")
+    out = frequencies_by(orders, "o_orderstatus", "o_orderpriority")
+    entries = F.array_sort(F.map_entries("freqs"))
+    return out.select(
+        "key",
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("freqs"),
+    )
+
+
+ORACLE_FREQUENCIES_BY = """
+WITH c AS (
+  SELECT o_orderstatus AS key, o_orderpriority AS v, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT key, string_agg(v || '=' || n, ',' ORDER BY v) AS freqs
+FROM c GROUP BY key
 """
 
 
@@ -1439,6 +1471,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
     "keep": (q_keep, ORACLE_KEEP),
     "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
+    "frequencies_by": (q_frequencies_by, ORACLE_FREQUENCIES_BY),
     "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
     "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),

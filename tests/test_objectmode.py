@@ -426,3 +426,14 @@ def test_pardo_teardown_runs_on_error(spark, tmp_path):
     with pytest.raises(Exception):
         pc.map_partitions(boom, teardown=teardown).collect()
     assert len(os.listdir(md)) >= 1
+
+
+def test_partition_by(spark):
+    """api_test.clj:486-498: partition-by routes by f(elem, n) into a
+    list of n pcolls, one pass."""
+    pc = PCollection.from_items(spark, list(range(10)))
+    parts = pc.partition_by(lambda v, n: v % n, 3)
+    assert len(parts) == 3
+    assert _multiset(parts[0].collect()) == _multiset([0, 3, 6, 9])
+    assert _multiset(parts[1].collect()) == _multiset([1, 4, 7])
+    assert _multiset(parts[2].collect()) == _multiset([2, 5, 8])
