@@ -390,3 +390,37 @@ def lsh_candidate_pairs(
 
             banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     return _pairs_from_banded(banded)
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    materialize_dir: str | None = None,
+    buckets: int = 32,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: the step after candidate pairs in a
+    real corpus-dedup pipeline. LSH candidate pairs → connected
+    components (hash-min label propagation, ``functions.graph``) →
+    one ``(doc_id, cluster_id)`` row per document, singletons keeping
+    their own id. ``min(doc_id)`` per cluster is the canonical
+    survivor; ``WHERE doc_id = cluster_id`` filters the corpus to
+    survivors in one pass.
+
+    Scale shape: pairs are bucket-join output (linear + intra-bucket
+    quadratic), components iterate on the pair list only (tiny vs the
+    corpus), and the final assignment is a broadcast-sized left join
+    back to the corpus ids.
+    """
+    from .graph import cluster_assignments, connected_components
+
+    pairs = lsh_candidate_pairs(
+        df, text, id_col, num_hashes, bands, k, seed,
+        materialize_dir=materialize_dir, buckets=buckets,
+    )
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return cluster_assignments(df, comps, id_col)

@@ -729,7 +729,11 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
-def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
+def _minhash_cte_block(num_hashes: int, bands: int, k: int, seed: int) -> str:
+    """The shared DuckDB CTE chain replicating the MinHash/LSH
+    pipeline bit-exactly (see functions/dedup.py docstring), ending in
+    ``pairs (doc_a, doc_b)``. Composable: prefix with ``WITH`` (or
+    ``WITH RECURSIVE``) and append further CTEs / a final SELECT."""
     rows_per_band = num_hashes // bands
     params = dd.minhash_params(num_hashes, seed)
     p = dd.MERSENNE_P
@@ -738,8 +742,7 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
         for a, b in params
     )
     band_rows = ", ".join(f"({i})" for i in range(bands))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -764,10 +767,18 @@ WITH toks AS (
            array_to_string(s[b.k * {rows_per_band} + 1 : b.k * {rows_per_band} + {rows_per_band}], ',')
            AS bucket
   FROM sig CROSS JOIN (VALUES {band_rows}) b(k)
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-"""
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+
+
+def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
+    return (
+        "WITH "
+        + _minhash_cte_block(num_hashes, bands, k, seed)
+        + "\nSELECT doc_a, doc_b FROM pairs"
+    )
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,6 +796,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_MINHASH = _minhash_oracle_sql(16, 4, 3, 42)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: LSH candidate pairs → connected
+    components (hash-min label propagation, no driver-side graph) →
+    per-document cluster assignment, singletons keeping their own id.
+    The iterative joins run over the pair list only (tiny vs corpus);
+    the final assignment is an AQE-broadcast left join."""
+    return dd.dedup_clusters(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42
+    )
+
+
+# Transitive closure via recursive CTE: every node collects the labels
+# of everything that can reach it; min per node = component min.
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _minhash_cte_block(16, 4, 3, 42)
+    + """, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1501,6 +1545,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_session": (q_window_session, ORACLE_WINDOW_SESSION),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
     "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),

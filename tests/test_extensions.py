@@ -151,3 +151,46 @@ def test_lsh_pair_strategies_agree(spark, tmp_path):
         docs, materialize_dir=str(tmp_path / "banded"), **kw
     )
     assert {tuple(r) for r in mat.collect()} == base
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair
+    (20,21): hash-min must propagate across the chain, not just one
+    hop."""
+    from datasplash_spark.functions.graph import connected_components
+
+    edges = generate_input(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iter_raises(spark):
+    from datasplash_spark.functions.graph import connected_components
+
+    edges = generate_input(
+        spark, [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_cluster_assignments_singletons(spark):
+    """Docs without any edge keep their own id as cluster_id."""
+    from datasplash_spark.functions.graph import (
+        cluster_assignments,
+        connected_components,
+    )
+
+    docs = generate_input(
+        spark,
+        [(i, f"doc {i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    edges = generate_input(spark, [(0, 3), (3, 5)], "src bigint, dst bigint")
+    comps = connected_components(edges)
+    out = {r.doc_id: r.cluster_id for r in cluster_assignments(docs, comps).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
