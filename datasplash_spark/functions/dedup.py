@@ -424,3 +424,58 @@ def dedup_clusters(
     )
     comps = connected_components(pairs, "doc_a", "doc_b")
     return cluster_assignments(df, comps, id_col)
+
+
+def incremental_new_docs(
+    incoming: DataFrame,
+    store: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: ids of ``incoming`` docs whose text
+    digest does NOT already exist in ``store`` — the admission filter
+    a continuously-ingesting corpus runs on every batch.
+
+    Scale shape: a LEFT ANTI join on 16-byte md5 digests — neither
+    side ships document text through the shuffle. In production the
+    store side is a digest-only table materialized once (bucketed on
+    digest via ``sources.files.write_bucketed``) so each incoming
+    batch joins with zero Exchange on the store side and no re-scan
+    of historical text.
+    """
+    inc = incoming.select(
+        _col(id_col).alias("doc_id"), F.md5(_col(text)).alias("digest")
+    )
+    st = store.select(F.md5(_col(text)).alias("digest")).distinct()
+    return inc.join(st, on="digest", how="left_anti").select("doc_id")
+
+
+def cross_corpus_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus near-dup candidates: LSH-bucket join BETWEEN two
+    corpora (incoming batch probed against an existing store) — no
+    self-join, no intra-corpus pairs. Returns distinct
+    ``(doc_a ∈ left, doc_b ∈ right)``.
+
+    Scale shape: both sides reduce to (doc_id, bucket) before the
+    join; an incoming batch is tiny vs the store, so AQE broadcasts
+    it, and a persistent store keeps its banded table materialized
+    bucketed-by-bucket (``materialize_banded``) so probes pay no
+    store-side shuffle or signature recompute.
+    """
+    lb = lsh_banded(left, text, id_col, num_hashes, bands, k, seed)
+    rb = lsh_banded(right, text, id_col, num_hashes, bands, k, seed)
+    return (
+        lb.alias("l")
+        .join(rb.alias("r"), on="bucket")
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

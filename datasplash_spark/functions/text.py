@@ -118,3 +118,44 @@ def fingerprint(text: ColumnLike) -> Column:
     DuckDB ``md5(array_to_string(list_sort(...), ' '))``."""
     toks = F.array_sort(F.array_distinct(tokens(text)))
     return F.md5(F.array_join(toks, " "))
+
+
+def tf_idf(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"):
+    """Corpus TF-IDF: one ``(doc_id, term, tf, dfq, tfidf)`` row per
+    distinct (document, term). ``tfidf = tf · ln(n_docs / dfq)``.
+
+    Scale shape (all relational, no Python):
+
+    - explode(tokens) → groupBy(doc, term).count(): the tf table,
+      partial-aggregated map-side before its one shuffle.
+    - document frequency = groupBy(term).count() over the tf table
+      (already distinct per doc) — vocabulary-sized output.
+    - corpus size joins in as a broadcast single-row aggregate (kept
+      lazy — no driver action in the plan).
+    - tf ⋈ dfq on term: vocabulary is ≪ corpus, AQE broadcasts it for
+      moderate vocabularies; for web-scale vocab the shuffle join on
+      the natural key is the right fallback.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
+
+    toks = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(tokens(text)).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfq",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfq"))
+            ).alias("tfidf"),
+        )
+    )

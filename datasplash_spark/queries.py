@@ -831,6 +831,116 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_side_input_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-input singleton view (core.clj:776-808) driven end-to-end:
+    the global average extended price is collected as a 1-row
+    ``view(..., "singleton")`` (the bounded side-input collect) and
+    used as a filter threshold in a second pass. The threshold is
+    rounded to 2 dp on both engines so summation-order float noise
+    can't flip boundary rows."""
+    from .plans import view
+
+    li = _t(spark, sf_dir, "lineitem")
+    avg_price = view(
+        li.select(F.round(F.avg("l_extendedprice"), 2).alias("v")), "singleton"
+    )
+    return combine_by(
+        li.filter(F.col("l_extendedprice") > F.lit(avg_price.value)),
+        "l_returnflag",
+        count_fn().alias("n_above"),
+        F.round(mean_fn(F.col("l_quantity")), 6).alias("avg_qty"),
+    ).withColumnRenamed("key", "l_returnflag")
+
+
+ORACLE_SIDE_INPUT_FILTER = """
+SELECT l_returnflag, count(*) AS n_above,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+WHERE l_extendedprice > (SELECT round(avg(l_extendedprice), 2) FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an 'incoming batch' admission-filtered
+    against the 'store' (doc_id < 250) by a LEFT ANTI join on md5
+    digests — only 16-byte digests shuffle. The incoming batch here is
+    the whole table, so it overlaps the store and the anti-join
+    demonstrably removes the 250 already-stored docs (plus any true
+    re-crawls)."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") < 250)
+    return dd.incremental_new_docs(docs, store)
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+SELECT i.doc_id
+FROM documents i
+WHERE NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id < 250 AND md5(s.text) = md5(i.text))
+"""
+
+
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup probe: incoming batch (doc_id >= 250)
+    LSH-bucket-joined against the store (doc_id < 250) — candidate
+    pairs BETWEEN corpora only, no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250)
+    return dd.cross_corpus_pairs(
+        store, incoming, num_hashes=16, bands=4, k=3, seed=42
+    )
+
+
+# store ids all < incoming ids, so cross pairs = self-join pairs
+# restricted to doc_a in the store and doc_b in the incoming batch
+ORACLE_DEDUP_CROSS_CORPUS = (
+    "WITH "
+    + _minhash_cte_block(16, 4, 3, 42)
+    + "\nSELECT doc_a, doc_b FROM pairs WHERE doc_a < 250 AND doc_b >= 250"
+)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF → top-3 terms per document. Ranking happens on
+    the ROUNDED score (6 dp) with a term tie-break so a last-ulp
+    ``ln`` difference between JVM and DuckDB libm can never flip the
+    cross-engine top-k. Per-key top-k is the rank-over-window form
+    (WindowGroupLimit pushdown)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.tf_idf(docs).withColumn("tfidf_r", F.round("tfidf", 6))
+    return top_k(
+        scored,
+        3,
+        [F.col("tfidf_r").desc(), F.col("term").asc()],
+        key=F.col("doc_id"),
+        key_name="doc_id",
+    ).select("doc_id", "term", "tf", "dfq", F.col("tfidf_r").alias("tfidf"))
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term, tf, dfq,
+         round(tf * ln(n_docs * 1.0 / dfq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, dfq, tfidf FROM ranked WHERE rk <= 3
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality stats per lang: token counts, punct ratio."""
     docs = _t(spark, sf_dir, "documents")
@@ -1546,6 +1656,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
     "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
@@ -1564,6 +1677,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
