@@ -35,8 +35,11 @@ def main() -> int:
 
     spark = make_session(PipelineOptions(app_name="datasplash-spark-bench"))
     try:
-        # warm-up: JVM codegen + parquet footer caches
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        # warm-up: JVM codegen + parquet footer caches + the shuffle
+        # machinery (first exchange of a session pays one-off setup
+        # that would otherwise land on the first measured query)
+        warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        warm.groupBy("l_returnflag").count().count()
     except Exception as e:
         print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
 

@@ -56,9 +56,21 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    sym = edges.select(_col(src).alias("a"), _col(dst).alias("b"))
+    # symmetrize in ONE pass over the (possibly expensive) upstream
+    # plan: explode each edge into both directions. A union of two
+    # selects would duplicate the whole upstream subtree (e.g. the
+    # LSH pipeline feeding dedup clustering) and compute it twice.
+    s, d = _col(src), _col(dst)
     sym = (
-        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("a"), d.alias("b")),
+                    F.struct(d.alias("a"), s.alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)

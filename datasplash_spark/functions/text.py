@@ -159,3 +159,87 @@ def tf_idf(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"):
             ).alias("tfidf"),
         )
     )
+
+
+def doc_lines(text: ColumnLike) -> Column:
+    """Lines of the document (literal newline split — DuckDB
+    ``string_split(text, chr(10))``)."""
+    return F.split(_col(text), "\n", -1)
+
+
+def mean_word_length(text: ColumnLike) -> Column:
+    """Mean length of non-empty whitespace tokens; 0 for no tokens.
+    (Gopher-style quality signal: real prose sits in ~3-10.)"""
+    toks = F.filter(tokens(text), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def repeated_line_ratio(text: ColumnLike) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (Gopher repetition signal): 1 − distinct/total; 0 for no lines."""
+    ln = doc_lines(text)
+    n = F.size(ln)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ln)).cast("double") / n.cast("double")
+    )
+
+
+def bullet_line_ratio(text: ColumnLike) -> Column:
+    """Fraction of lines whose left-trimmed text starts with a bullet
+    ('-' or '*'). Bullet-dominated docs are list scrapes, not prose."""
+    ln = doc_lines(text)
+    n = F.size(ln)
+    bullets = F.size(
+        F.filter(
+            ln,
+            lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"),
+        )
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        bullets.cast("double") / n.cast("double")
+    )
+
+
+def ellipsis_line_ratio(text: ColumnLike) -> Column:
+    """Fraction of lines ending in '...' (truncated-scrape signal)."""
+    ln = doc_lines(text)
+    n = F.size(ln)
+    ell = F.size(F.filter(ln, lambda l: F.rtrim(l).endswith("...")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        ell.cast("double") / n.cast("double")
+    )
+
+
+def gopher_quality_pass(
+    text: ColumnLike,
+    min_tokens: int = 10,
+    max_tokens: int = 100000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    max_repeated_line_ratio: float = 0.3,
+) -> Column:
+    """Gopher-style composite quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 — public heuristics),
+    evaluated entirely JVM-side as one boolean Column. Thresholds are
+    parameters; defaults are loosened for short synthetic test docs.
+    """
+    t = _col(text)
+    ntok = F.size(F.filter(tokens(t), lambda x: x != F.lit("")))
+    mwl = mean_word_length(t)
+    return (
+        (ntok >= min_tokens)
+        & (ntok <= max_tokens)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (bullet_line_ratio(t) <= max_bullet_ratio)
+        & (ellipsis_line_ratio(t) <= max_ellipsis_ratio)
+        & (repeated_line_ratio(t) <= max_repeated_line_ratio)
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .elementwise import ColumnLike, _col
@@ -222,3 +222,141 @@ def cogroup_by(
         )
         acc = acc.unionByName(row)
     return acc
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: ColumnLike | list[ColumnLike],
+    left_on: ColumnLike = "ts",
+    right_on: ColumnLike = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join (backward): for each left row, attach the LATEST
+    right row of the same key with ``right_on <= left_on`` (left outer
+    — unmatched left rows keep nulls). Beyond the reference's surface
+    (SURVEY §2.9: no time-ordered ops at all); the standard
+    time-series primitive (pandas ``merge_asof``, DuckDB ``ASOF
+    JOIN`` — which the oracle uses).
+
+    Scale shape — union-tag + ordered window, NOT a range join:
+    both sides shuffle ONCE on the equi-key, rows sort per key by
+    (time, side) with right rows ordered before coincident left rows
+    (inclusive-boundary semantics), and ``last(non-null)`` over an
+    unbounded-preceding frame propagates each right payload to the
+    left rows it covers. No candidate-pair blowup, no inequality-join
+    BNL — cost is one shuffle + per-key sort, same as any keyed
+    window. Hot keys behave like any window hot key (time-split the
+    key if one key dominates).
+
+    Ties inside a side break by the side's ordering only via the time
+    value itself; coincident right rows are disambiguated by their
+    position in ``last()`` (the latest in (time, input) order wins) —
+    pass a composite ``right_on`` (e.g. struct(ts, id)) where strict
+    determinism under duplicate timestamps is required.
+    """
+    keys = [on] if not isinstance(on, list) else on
+    key_cols = [_col(k) for k in keys]
+    key_names = [k if isinstance(k, str) else f"_k{i}" for i, k in enumerate(keys)]
+
+    rsel = right_cols if right_cols is not None else right.columns
+    l_tagged = left.select(
+        *[c.alias(n) for c, n in zip(key_cols, key_names)],
+        _col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct("*").alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rsel).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        *[c.alias(n) for c, n in zip(key_cols, key_names)],
+        _col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct("*").alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*rsel).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(n) for n in key_names])
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out = matched.select(
+        "_l.*",
+        *[
+            F.col(f"_match.{c}").alias(c + suffix if c in left.columns else c)
+            for c in rsel
+        ],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: ColumnLike | list[ColumnLike],
+    point_col: ColumnLike = "ts",
+    lo_col: ColumnLike = "lo",
+    hi_col: ColumnLike = "hi",
+    bucket_width: float = 600.0,
+    point_name: str = "p",
+    interval_name: str = "i",
+) -> DataFrame:
+    """Range (interval) join: pairs of (point row, interval row) with
+    the same key and ``lo <= point <= hi``. Beyond the reference's
+    surface; the scale-safe alternative to writing the inequality
+    predicate directly (which Catalyst can only execute as a
+    broadcast-nested-loop join — quadratic).
+
+    Scale shape — bucketed equi-join + refine: time maps to
+    fixed-width buckets (``bucket_width`` in the column's numeric
+    units; seconds for timestamps). Points land in one bucket;
+    intervals explode to the buckets they overlap (bounded by
+    interval_length/bucket_width + 1 — pick the width near the TYPICAL
+    interval length). The join is then a plain equi-join on
+    (key, bucket) — hash-partitioned, AQE/skew-eligible — and the
+    exact ``lo <= p <= hi`` predicate refines pairs after the match.
+    Each qualifying pair meets in exactly one bucket (the point's), so
+    no dedup pass is needed.
+
+    Output: two struct columns ``point_name``/``interval_name``
+    carrying the full source rows.
+    """
+    keys = [on] if not isinstance(on, list) else on
+    key_names = [k if isinstance(k, str) else f"_k{i}" for i, k in enumerate(keys)]
+    key_cols = [_col(k) for k in keys]
+
+    def _num(c: Column) -> Column:
+        return c.cast("double")
+
+    p = points.select(
+        *[c.alias(n) for c, n in zip(key_cols, key_names)],
+        _col(point_col).alias("_p"),
+        F.floor(_num(_col(point_col)) / bucket_width).alias("_bucket"),
+        F.struct("*").alias(point_name),
+    )
+    i = intervals.select(
+        *[c.alias(n) for c, n in zip(key_cols, key_names)],
+        _col(lo_col).alias("_lo"),
+        _col(hi_col).alias("_hi"),
+        F.explode(
+            F.sequence(
+                F.floor(_num(_col(lo_col)) / bucket_width),
+                F.floor(_num(_col(hi_col)) / bucket_width),
+            )
+        ).alias("_bucket"),
+        F.struct("*").alias(interval_name),
+    )
+    return (
+        p.join(i, on=key_names + ["_bucket"])
+        .filter((F.col("_lo") <= F.col("_p")) & (F.col("_p") <= F.col("_hi")))
+        .select(point_name, interval_name)
+    )

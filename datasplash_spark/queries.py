@@ -831,6 +831,135 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof_join): each click event matched to
+    the SAME user's latest view at-or-before it. One shuffle on
+    user_id + per-key ordered window — no inequality join, no pair
+    blowup. Oracle uses DuckDB's native ASOF LEFT JOIN. (user_id, ts)
+    is unique in the testdata, so ties are moot."""
+    from .operators import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    out = asof_join(
+        clicks, views, on="user_id", left_on="ts", right_on="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("event_id_r").alias("view_id"),
+        F.col("value_r").alias("view_value"),
+    )
+
+
+ORACLE_ASOF_LAST_VIEW = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     views  AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT c.event_id AS click_id, c.user_id,
+       v.event_id AS view_id, v.value AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+def q_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.range_join): click events falling inside
+    a 10-minute window after any error of the same user. Bucketed
+    equi-join + exact refine — the scale-safe interval join (a bare
+    inequality predicate would be a broadcast-nested-loop)."""
+    from .operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    pairs = range_join(
+        clicks, errors, on="user_id",
+        point_col="ts", lo_col="lo", hi_col="hi", bucket_width=600.0,
+    )
+    return pairs.select(
+        F.col("p.event_id").alias("click_id"),
+        F.col("i.error_id").alias("error_id"),
+    )
+
+
+ORACLE_RANGE_JOIN_ERROR_WINDOW = """
+SELECT c.event_id AS click_id, e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts <= c.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gating per source: doc counts, pass
+    counts, and the underlying signals — all single-pass Column
+    expressions (no Python, no second scan). Ratio/length doubles are
+    single divisions of integer aggregates, so they are bit-identical
+    across engines; only the per-source averages are rounded."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        tx.gopher_quality_pass("text").alias("ok"),
+        tx.mean_word_length("text").alias("mwl"),
+        tx.repeated_line_ratio("text").alias("rep"),
+        tx.bullet_line_ratio("text").alias("bul"),
+    )
+    return combine_by(
+        scored,
+        "source",
+        count_fn().alias("n_docs"),
+        count_fn(predicate=F.col("ok")).alias("n_pass"),
+        F.round(mean_fn(F.col("mwl")), 6).alias("avg_word_len"),
+        F.round(mean_fn(F.col("rep")), 6).alias("avg_repeated_ratio"),
+        F.round(mean_fn(F.col("bul")), 6).alias("avg_bullet_ratio"),
+    ).withColumnRenamed("key", "source")
+
+
+ORACLE_GOPHER_QUALITY = """
+WITH scored AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks,
+         string_split(text, chr(10)) AS lns
+  FROM documents
+), sig AS (
+  SELECT source,
+         len(toks) AS ntok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks)
+         END AS mwl,
+         CASE WHEN len(lns) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(lns)) * 1.0 / len(lns)
+         END AS rep,
+         CASE WHEN len(lns) = 0 THEN 0.0
+              ELSE len(list_filter(lns, l -> starts_with(ltrim(l), '-')
+                                          OR starts_with(ltrim(l), '*'))) * 1.0 / len(lns)
+         END AS bul,
+         CASE WHEN len(lns) = 0 THEN 0.0
+              ELSE len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) * 1.0 / len(lns)
+         END AS ell
+  FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN ntok BETWEEN 10 AND 100000
+                   AND mwl BETWEEN 2.0 AND 12.0
+                   AND bul <= 0.9 AND ell <= 0.3 AND rep <= 0.3
+             THEN 1 END) AS n_pass,
+       round(avg(mwl), 6) AS avg_word_len,
+       round(avg(rep), 6) AS avg_repeated_ratio,
+       round(avg(bul), 6) AS avg_bullet_ratio
+FROM sig GROUP BY source
+"""
+
+
 def q_side_input_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Side-input singleton view (core.clj:776-808) driven end-to-end:
     the global average extended price is collected as a 1-row
@@ -1656,6 +1785,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
+    "range_join_error_window": (
+        q_range_join_error_window,
+        ORACLE_RANGE_JOIN_ERROR_WINDOW,
+    ),
+    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER_QUALITY),
     "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),

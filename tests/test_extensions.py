@@ -194,3 +194,64 @@ def test_cluster_assignments_singletons(spark):
     comps = connected_components(edges)
     out = {r.doc_id: r.cluster_id for r in cluster_assignments(docs, comps).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs vs a pure-Python union-find oracle."""
+    import random
+
+    from datasplash_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edges for v in e}
+        expected = {}
+        for v in nodes:
+            root = find(v)
+            expected[v] = min(u for u in nodes if find(u) == root)
+        df = generate_input(spark, edges, "src bigint, dst bigint")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == expected, f"trial {trial}"
+
+
+def test_kmeans_refine_recovers_blob_means(spark):
+    """Lloyd refinement from offset seeds recovers synthetic blob
+    means to tolerance; empty-cell centroids survive unchanged."""
+    import random
+
+    from datasplash_spark.functions.similarity import kmeans_refine
+
+    rng = random.Random(3)
+    blobs = [[0.0, 10.0], [10.0, 0.0], [-10.0, -10.0]]
+    rows = [
+        (i, [b[0] + rng.gauss(0, 0.5), b[1] + rng.gauss(0, 0.5)])
+        for i in range(300)
+        for b in [blobs[i % 3]]
+    ]
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    # 4th centroid is far from all data → its cell stays empty and the
+    # centroid must pass through unchanged
+    init = [[1.0, 8.0], [8.0, 1.0], [-8.0, -8.0], [100.0, 100.0]]
+    out = kmeans_refine(df, init, iters=3)
+    assert out[3] == [100.0, 100.0]
+    for c, b in zip(sorted(out[:3]), sorted(blobs)):
+        assert abs(c[0] - b[0]) < 0.5 and abs(c[1] - b[1]) < 0.5

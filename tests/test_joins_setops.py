@@ -201,3 +201,65 @@ def test_cogroup_multiple_nils_emit_separate_groups(spark):
     )
     nil_joined = [r for r in joined.collect() if r.key is None]
     assert len(nil_joined) == 1 and len(nil_joined[0]._l) == 2
+
+
+def test_asof_join_backward_inclusive(spark):
+    """Inclusive boundary: a right row at exactly left's time matches;
+    earlier rows match the latest prior; no prior → nulls (left outer)."""
+    from datasplash_spark.operators import asof_join
+    from datasplash_spark.sources import generate_input
+
+    quotes = generate_input(
+        spark,
+        [(1, 10, 100.0), (1, 20, 101.0), (2, 15, 50.0)],
+        "uid bigint, t bigint, px double",
+    )
+    trades = generate_input(
+        spark,
+        [(1, 15, 1.0), (1, 20, 2.0), (1, 5, 3.0), (2, 14, 4.0), (3, 9, 5.0)],
+        "uid bigint, t bigint, qty double",
+    )
+    out = {
+        (r.uid, r.t): (r.t_r, r.px)
+        for r in asof_join(
+            trades, quotes, on="uid", left_on="t", right_on="t",
+            right_cols=["t", "px"],
+        ).collect()
+    }
+    assert out == {
+        (1, 15): (10, 100.0),
+        (1, 20): (20, 101.0),  # inclusive: coincident quote wins
+        (1, 5): (None, None),
+        (2, 14): (None, None),
+        (3, 9): (None, None),
+    }
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Intervals spanning multiple buckets match exactly once; points
+    outside every interval drop; boundaries are inclusive."""
+    from datasplash_spark.operators import range_join
+    from datasplash_spark.sources import generate_input
+
+    pts = generate_input(
+        spark,
+        [(1, 12.0), (1, 20.0), (1, 45.0), (2, 5.0), (2, 7.0)],
+        "uid bigint, ts double",
+    )
+    iv = generate_input(
+        spark,
+        [(1, 10.0, 20.0), (1, 40.0, 41.0), (2, 0.0, 6.0)],
+        "uid bigint, lo double, hi double",
+    )
+    # bucket_width far smaller than the widest interval: multi-bucket
+    # explosion must still yield exactly one row per qualifying pair
+    rows = range_join(
+        pts, iv, on="uid", point_col="ts", lo_col="lo", hi_col="hi",
+        bucket_width=3.0,
+    ).select("p.uid", "p.ts", "i.lo", "i.hi").collect()
+    got = sorted((r.uid, r.ts, r.lo, r.hi) for r in rows)
+    assert got == [
+        (1, 12.0, 10.0, 20.0),
+        (1, 20.0, 10.0, 20.0),  # hi inclusive
+        (2, 5.0, 0.0, 6.0),
+    ]
