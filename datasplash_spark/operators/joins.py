@@ -360,3 +360,41 @@ def range_join(
         .filter((F.col("_lo") <= F.col("_p")) & (F.col("_p") <= F.col("_hi")))
         .select(point_name, interval_name)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side's key with a
+    deterministic hash-derived bucket and replicate the SMALL side
+    across all ``salt_buckets``, so one hot key spreads over
+    ``salt_buckets`` tasks instead of stalling a single reducer.
+
+    This is the manual fallback for when AQE's skew-join split (on by
+    default in `make_session`) can't help — e.g. the skew is in a
+    broadcast-ineligible mid-sized dimension, or the join feeds a
+    co-partitioned downstream op that AQE won't re-split. Cost: the
+    small side shuffles ``salt_buckets``× — keep it for genuinely
+    small-but-not-broadcastable sides.
+
+    Only inner/left joins make sense here (the salted small side
+    would multiply unmatched right rows); ``how`` is validated.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    salt = F.pmod(
+        F.hash(F.lit(seed), F.monotonically_increasing_id()), F.lit(salt_buckets)
+    )
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = b.join(s, on=keys + ["_salt"], how=how)
+    return out.drop("_salt")

@@ -263,3 +263,30 @@ def test_range_join_bucket_boundaries(spark):
         (1, 20.0, 10.0, 20.0),  # hi inclusive
         (2, 5.0, 0.0, 6.0),
     ]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: one hot key (90% of the
+    big side) + normal keys, inner and left, vs the unsalted join."""
+    from datasplash_spark.operators import salted_join
+    from datasplash_spark.sources import generate_input
+
+    big_rows = [(1, i) for i in range(900)] + [(k, k * 1000) for k in range(2, 12)]
+    small_rows = [(1, "hot"), (2, "a"), (3, "b"), (99, "unmatched")]
+    big = generate_input(spark, big_rows, "k bigint, v bigint")
+    small = generate_input(spark, small_rows, "k bigint, label string")
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r.k, r.v, r.label) for r in big.join(small, "k", how).collect()
+        )
+        salted = sorted(
+            (r.k, r.v, r.label)
+            for r in salted_join(big, small, "k", how=how, salt_buckets=8).collect()
+        )
+        assert salted == plain, how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full_outer")

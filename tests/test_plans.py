@@ -205,3 +205,29 @@ def test_running_sum_is_native_window(spark):
     assert "FlatMapGroupsInPandas" not in plan
     assert "EvalPython" not in plan
     assert "Window" in plan
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """asof_last_view: one union + one window over the key — no
+    inequality-join fallback (BroadcastNestedLoopJoin/Cartesian are
+    quadratic and unusable at scale)."""
+    plan = plan_of(_q(spark, "asof_last_view"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """range_join_error_window: the interval predicate must ride on a
+    hash-partitioned equi-join (bucket key), never a nested-loop."""
+    plan = plan_of(_q(spark, "range_join_error_window"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_partial_aggregates(spark):
+    """tfidf_top_terms: the tf count partial-aggregates map-side and
+    the corpus-size single-row aggregate joins as a broadcast."""
+    plan = plan_of(_q(spark, "tfidf_top_terms"))
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan
