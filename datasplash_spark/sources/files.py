@@ -340,3 +340,25 @@ def _plain(v):
     if isinstance(v, dict):
         return {k: _plain(x) for k, x in v.items()}
     return v
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_by: str | list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist hive-partitioned by low-cardinality filter columns.
+
+    The other half of the 100 TB layout toolkit (with
+    :func:`write_bucketed`): partition directories turn equality/IN
+    filters on the partition columns into PartitionFilters — pruned
+    BEFORE the scan, so a query touching one lang/date reads only that
+    directory tree, not 100 TB. Keep partition columns low-cardinality
+    (lang, date, source); high-cardinality keys belong in buckets, not
+    directories (small-file explosion). Pinned by a plan test
+    (PartitionFilters non-empty, pruned input size).
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.format(fmt).mode(mode).partitionBy(*cols).save(path)

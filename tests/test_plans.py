@@ -231,3 +231,19 @@ def test_tfidf_partial_aggregates(spark):
     plan = plan_of(_q(spark, "tfidf_top_terms"))
     assert "partial_count" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned: an equality filter on the partition column
+    must land in PartitionFilters (pruned before the scan), not in
+    PushedFilters/post-scan Filter."""
+    from datasplash_spark.pipeline import load_table
+    from datasplash_spark.sources import write_partitioned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, partition_by="lang")
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    plan = plan_of(back)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "lang" in pf

@@ -296,3 +296,64 @@ def test_kafka_decode_wire_schema(spark):
 
     no_meta = decode_kafka(wire, with_metadata=False)
     assert no_meta.columns == ["key", "payload"]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range
+    condition (impressions ⋈ clicks within 30 min) — Structured
+    Streaming's state-bounded join, the streaming analog of the
+    reference's windowed CoGroupByKey joins. Both sides carry
+    watermarks so the join state can expire."""
+    import json as _json
+
+    imp_dir = tmp_path / "imp"
+    clk_dir = tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "d.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"its": "2024-01-01 00:00:00", "ad": "a1"},
+                {"its": "2024-01-01 01:00:00", "ad": "a2"},
+            ]
+        )
+    )
+    (clk_dir / "d.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"cts": "2024-01-01 00:10:00", "ad": "a1"},  # within 30 min
+                {"cts": "2024-01-01 02:10:00", "ad": "a2"},  # too late
+            ]
+        )
+    )
+    imps = (
+        spark.readStream.schema("its string, ad string")
+        .json(str(imp_dir))
+        .withColumn("its", F.col("its").cast("timestamp"))
+        .withWatermark("its", "10 minutes")
+    )
+    clks = (
+        spark.readStream.schema("cts string, ad string")
+        .json(str(clk_dir))
+        .withColumn("cts", F.col("cts").cast("timestamp"))
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = imps.join(
+        clks,
+        (imps.ad == clks.ad)
+        & (clks.cts >= imps.its)
+        & (clks.cts <= imps.its + F.expr("INTERVAL 30 MINUTES")),
+    ).select(imps.ad.alias("ad"), F.unix_timestamp("its").alias("its_s"))
+    q = write_stream(
+        joined,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger="once",
+        output_mode="append",
+        query_name="ssjoin",
+    )
+    q.awaitTermination(120)
+    got = [(r.ad, r.its_s) for r in spark.sql("SELECT * FROM ssjoin").collect()]
+    assert got == [("a1", 1704067200)]
