@@ -2,6 +2,6 @@
 similarity search, multimodal columns (north-star extensions beyond
 the reference's operator surface — BASELINE.json)."""
 
-from . import dedup, graph, similarity, text
+from . import dedup, events, graph, similarity, text
 
-__all__ = ["dedup", "graph", "similarity", "text"]
+__all__ = ["dedup", "events", "graph", "similarity", "text"]

@@ -1,0 +1,81 @@
+"""Event-sequence analytics: funnels over (user, event_type, ts)
+streams — LLM/product-pipeline extension beyond the reference's
+operator surface (datasplash has no ordered/sequence operators at
+all, SURVEY §2.9).
+
+Scale shape: ONE scan + ONE shuffle on the user key. Per-user stage
+timestamps come from a single groupBy — the first stage as a
+conditional min, later stages as sorted per-user timestamp arrays
+refined with `F.filter(arr, x >= prev)[0]` (earliest occurrence at or
+after the previous stage). Per-user arrays hold only the matching
+stage's events; bound them upstream (e.g. pre-aggregate to per-day
+firsts) if single users can have millions of one event type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.elementwise import ColumnLike, _col
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    stages: list[str],
+    user_col: ColumnLike = "user_id",
+    type_col: ColumnLike = "event_type",
+    ts_col: ColumnLike = "ts",
+) -> DataFrame:
+    """Per-user ordered funnel: one row per user with a timestamp
+    column ``t0..t{n-1}`` per stage — ``t_i`` is the user's EARLIEST
+    ``stages[i]`` event at-or-after ``t_{i-1}`` (null = never reached,
+    and nulls cascade to all later stages).
+    """
+    user, etype, ts = _col(user_col), _col(type_col), _col(ts_col)
+    aggs: list[Column] = [
+        F.min(F.when(etype == stages[0], ts)).alias("t0")
+    ]
+    for i, st in enumerate(stages[1:], start=1):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(etype == st, ts))
+            ).alias(f"_arr{i}")
+        )
+    per_user = df.groupBy(user.alias("user_id")).agg(*aggs)
+    out_cols: list[Column] = [F.col("user_id"), F.col("t0")]
+    for i in range(1, len(stages)):
+        prev = out_cols[-1]
+        # F.get (not getItem): empty filtered array → NULL, where
+        # getItem(0) throws under ANSI mode
+        arr_first = F.get(
+            F.filter(F.col(f"_arr{i}"), _at_or_after(prev)), 0
+        )
+        out_cols.append(
+            F.when(prev.isNotNull(), arr_first).alias(f"t{i}")
+        )
+    return per_user.select(*out_cols)
+
+
+def _at_or_after(prev: Column):
+    # closure factory: PySpark derives HOF-lambda arity from the
+    # Python signature, so `lambda x, p=prev: ...` would break
+    return lambda x: x >= prev
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    user_col: ColumnLike = "user_id",
+    type_col: ColumnLike = "event_type",
+    ts_col: ColumnLike = "ts",
+) -> DataFrame:
+    """One-row funnel summary: ``n_stage{i}`` = users whose ordered
+    funnel reached stage i (count of non-null ``t_i``)."""
+    st = funnel_stage_times(df, stages, user_col, type_col, ts_col)
+    return st.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n_stage{i}")
+            for i in range(len(stages))
+        ]
+    )

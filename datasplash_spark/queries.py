@@ -831,6 +831,38 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase (functions.events):
+    one scan + one shuffle on user_id; later stages resolve from
+    per-user sorted timestamp arrays (earliest at-or-after previous
+    stage). Oracle expresses the same semantics as chained joins."""
+    from .functions.events import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+ORACLE_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT s.user_id, min(e.ts) AS t1
+  FROM s JOIN events e ON e.user_id = s.user_id
+   AND e.event_type = 'click' AND e.ts >= s.t0
+  GROUP BY s.user_id
+), p AS (
+  SELECT c.user_id, min(e.ts) AS t2
+  FROM c JOIN events e ON e.user_id = c.user_id
+   AND e.event_type = 'purchase' AND e.ts >= c.t1
+  GROUP BY c.user_id
+)
+SELECT (SELECT count(t0) FROM s) AS n_stage0,
+       (SELECT count(*) FROM c) AS n_stage1,
+       (SELECT count(*) FROM p) AS n_stage2
+"""
+
+
 def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators.asof_join): each click event matched to
     the SAME user's latest view at-or-before it. One shuffle on
@@ -1785,6 +1817,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "funnel": (q_funnel, ORACLE_FUNNEL),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,

@@ -255,3 +255,36 @@ def test_kmeans_refine_recovers_blob_means(spark):
     assert out[3] == [100.0, 100.0]
     for c, b in zip(sorted(out[:3]), sorted(blobs)):
         assert abs(c[0] - b[0]) < 0.5 and abs(c[1] - b[1]) < 0.5
+
+
+def test_funnel_stage_times_ordering(spark):
+    """Stages must resolve IN ORDER: a purchase before the
+    signup→click chain does not count; nulls cascade."""
+    from datasplash_spark.functions.events import funnel_stage_times
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: purchase BEFORE click-after-signup → stage2 null
+        (2, "purchase", 5), (2, "signup", 10), (2, "click", 20),
+        # u3: click before signup only → stage1 null, stage2 null
+        (3, "click", 5), (3, "signup", 10), (3, "purchase", 20),
+        # u4: no signup → all null
+        (4, "click", 1), (4, "purchase", 2),
+        # u5: same-ts click as signup counts (at-or-after)
+        (5, "signup", 10), (5, "click", 10), (5, "purchase", 11),
+    ]
+    df = generate_input(spark, rows, "user_id bigint, event_type string, ts bigint")
+    got = {
+        r.user_id: (r.t0, r.t1, r.t2)
+        for r in funnel_stage_times(
+            df, ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {
+        1: (10, 20, 30),
+        2: (10, 20, None),
+        3: (10, None, None),
+        4: (None, None, None),
+        5: (10, 10, 11),
+    }

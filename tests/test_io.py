@@ -371,3 +371,35 @@ def test_json_corrupt_record_count(spark, tmp_path):
     df = read_json_file(spark, str(p))
     assert df.count() == 2  # the pruning-to-_corrupt_record path
     assert sorted(r.a for r in df.collect()) == [1, 3]
+
+
+def test_elasticsearch_option_mappers():
+    """es.clj:44-156 surface → elasticsearch-hadoop option keys."""
+    from datasplash_spark.sources import (
+        elasticsearch_read_options,
+        elasticsearch_write_options,
+    )
+
+    r = elasticsearch_read_options(
+        ["es1:9200", "es2:9200"], "docs/_doc",
+        query='{"query":{"match_all":{}}}', batch_size=500,
+    )
+    assert r == {
+        "es.nodes": "es1:9200,es2:9200",
+        "es.resource": "docs/_doc",
+        "es.query": '{"query":{"match_all":{}}}',
+        "es.scroll.size": "500",
+    }
+
+    w = elasticsearch_write_options(
+        ["es1:9200"], "docs/_doc", id_field="doc_id",
+        max_batch_size=1000, max_batch_bytes=1 << 20, retry_count=0,
+    )
+    assert w == {
+        "es.nodes": "es1:9200",
+        "es.resource": "docs/_doc",
+        "es.mapping.id": "doc_id",
+        "es.batch.size.entries": "1000",
+        "es.batch.size.bytes": str(1 << 20),
+        "es.batch.write.retry.count": "0",
+    }
