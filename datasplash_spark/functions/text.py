@@ -243,3 +243,50 @@ def gopher_quality_pass(
         & (ellipsis_line_ratio(t) <= max_ellipsis_ratio)
         & (repeated_line_ratio(t) <= max_repeated_line_ratio)
     )
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+):
+    """Split documents into fixed-token-budget chunks with overlap —
+    the standard LLM-training preprocessing step between cleaning and
+    tokenization. One explode, all Column expressions (slice over the
+    token array): linear, no shuffle, no Python.
+
+    Chunk i covers tokens ``[i·step, i·step + chunk_tokens)`` with
+    ``step = chunk_tokens − overlap``; every doc yields ≥ 1 chunk
+    (short docs → one short chunk). Output:
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(_col(text), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / step)
+    ).cast("int")
+    return (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                F.col("_t"), F.col("chunk_id") * step + 1, chunk_tokens
+            ).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_c").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

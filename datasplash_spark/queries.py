@@ -831,6 +831,37 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking (64-token chunks, 8 overlap):
+    one explode, no shuffle. Chunk text is md5-projected so the gate
+    hashes small rows; the full text equality is still pinned (md5 of
+    the joined slice on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.chunk_documents(docs, chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sized AS (
+  SELECT doc_id, t,
+         greatest(1, CAST(ceil((len(t) - 8) * 1.0 / 56) AS BIGINT)) AS nc
+  FROM toks
+)
+SELECT doc_id,
+       i AS chunk_id,
+       len(t[i * 56 + 1 : i * 56 + 64]) AS n_chunk_tokens,
+       md5(array_to_string(t[i * 56 + 1 : i * 56 + 64], ' ')) AS chunk_md5
+FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → click → purchase (functions.events):
     one scan + one shuffle on user_id; later stages resolve from
@@ -1817,6 +1848,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "funnel": (q_funnel, ORACLE_FUNNEL),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (

@@ -362,3 +362,43 @@ def write_partitioned(
     """
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     df.write.format(fmt).mode(mode).partitionBy(*cols).save(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 256,
+    partition_by: str | list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    near ``target_mb`` each. The unglamorous half of 100 TB hygiene —
+    streaming ingest and per-trigger sinks leave thousands of KB-sized
+    files whose open/footer overhead dominates scans.
+
+    Output file count derives from the directory's actual byte size
+    (filesystem metadata — no data read), so the rewrite is one
+    coalesce-style shuffle-free repartition when shrinking. Writes to
+    a NEW path (never in place: a failed rewrite must not destroy the
+    source); swap directories at the orchestration layer. Returns the
+    file count written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb << 20)))
+    df = spark.read.parquet(src_path)
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if partition_by is not None:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = df.repartition(*cols).write.mode("overwrite").partitionBy(*cols)
+    writer.parquet(dst_path)
+    written = 0
+    for root, _dirs, files in os.walk(dst_path):
+        written += sum(1 for f in files if f.endswith(".parquet"))
+    return written

@@ -148,3 +148,28 @@ def batch_stateful(
         return pd.DataFrame(list(fn(key, pdf.to_dict("records"))))
 
     return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
+
+
+def dedup_stream(
+    df: "DataFrame",
+    keys: list[str],
+    event_time: str | None = None,
+    watermark: str = "10 minutes",
+) -> "DataFrame":
+    """Streaming exact dedup for continuous ingestion: drop repeat
+    keys (e.g. doc digests) as records arrive. With ``event_time``
+    set, `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    watermark horizon — WITHOUT it, state grows with every distinct
+    key ever seen (unbounded; only use for bounded key domains).
+
+    The streaming admission analog of
+    ``functions.dedup.incremental_new_docs`` (which handles the
+    against-historical-store half via anti-join); together they are
+    the ingest-time dedup story: in-flight repeats die here, repeats
+    of stored history die in the batch anti-join.
+    """
+    if event_time is not None:
+        return df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)

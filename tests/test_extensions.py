@@ -288,3 +288,34 @@ def test_funnel_stage_times_ordering(spark):
         4: (None, None, None),
         5: (10, 10, 11),
     }
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in some chunk; consecutive chunks overlap by
+    exactly `overlap`; short docs yield one short chunk."""
+    from datasplash_spark.functions.text import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(25))
+    docs = generate_input(
+        spark,
+        [(1, long_text), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text.split(" ")))
+    # doc 1: step=8 → chunks at 0,8,16,24 → ceil((25-2)/8)=3 chunks
+    c1 = sorted(by_doc[1])
+    assert len(c1) == 3
+    assert c1[0][1][:2] == ["w0", "w1"] and len(c1[0][1]) == 10
+    assert c1[1][1][:2] == c1[0][1][-2:]  # overlap of 2
+    covered = [t for _, toks in c1 for t in toks]
+    assert set(covered) == {f"w{i}" for i in range(25)}
+    assert by_doc[2] == [(0, ["a", "b", "c"])]
+    assert by_doc[3] == [(0, [""])]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -403,3 +403,24 @@ def test_elasticsearch_option_mappers():
         "es.batch.size.bytes": str(1 << 20),
         "es.batch.write.retry.count": "0",
     }
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Many tiny files → few near-target files; data survives."""
+    from datasplash_spark.sources import compact_parquet, generate_input
+
+    src = str(tmp_path / "tiny")
+    df = generate_input(spark, [(i, f"v{i}") for i in range(1000)], "k bigint, v string")
+    df.repartition(50).write.parquet(src)
+    import os
+
+    n_src = sum(
+        1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_src >= 50
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_mb=256)
+    assert n == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert {r.k for r in back.collect()} == set(range(1000))

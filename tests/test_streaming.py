@@ -357,3 +357,41 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.ad, r.its_s) for r in spark.sql("SELECT * FROM ssjoin").collect()]
     assert got == [("a1", 1704067200)]
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming dedup: repeated digests within the watermark horizon
+    are dropped; state is watermark-bounded."""
+    import json as _json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "digest": "d1", "n": 1},
+        {"ts": "2024-01-01 00:01:00", "digest": "d1", "n": 2},  # dup
+        {"ts": "2024-01-01 00:02:00", "digest": "d2", "n": 3},
+        {"ts": "2024-01-01 00:03:00", "digest": "d2", "n": 4},  # dup
+        {"ts": "2024-01-01 00:04:00", "digest": "d3", "n": 5},
+    ]
+    (src / "d.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts string, digest string, n bigint")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    from datasplash_spark.streaming import dedup_stream
+
+    deduped = dedup_stream(
+        stream, ["digest"], event_time="ts", watermark="10 minutes"
+    ).select("digest")
+    q = write_stream(
+        deduped,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger="once",
+        output_mode="append",
+        query_name="sdedup",
+    )
+    q.awaitTermination(120)
+    got = sorted(r.digest for r in spark.sql("SELECT * FROM sdedup").collect())
+    assert got == ["d1", "d2", "d3"]
