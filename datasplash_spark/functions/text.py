@@ -290,3 +290,20 @@ def chunk_documents(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def normalize_text(text: ColumnLike) -> Column:
+    """Canonical text for near-exact dedup: lowercase, strip
+    punctuation, collapse whitespace runs, trim. Catches the
+    reformatted-repost class of duplicates that byte-exact digests
+    miss while staying a pure Column expression (one pass, no Python).
+    Compose with digests: ``F.md5(normalize_text("text"))``.
+
+    DuckDB equivalent (oracle-exact):
+    ``trim(regexp_replace(regexp_replace(lower(text),
+    '[!-/:-@\\[-`{-~]', '', 'g'), '[\\t\\n\\x0B\\f\\r ]+', ' ', 'g'))``.
+    """
+    t = F.lower(_col(text))
+    t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")
+    t = F.regexp_replace(t, r"[\t\n\x0B\f\r ]+", " ")
+    return F.trim(t)

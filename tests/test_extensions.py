@@ -319,3 +319,22 @@ def test_chunk_documents_coverage_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_normalize_text_canonicalizes(spark):
+    """Reformatted variants collapse to one canonical form."""
+    from datasplash_spark.functions.text import normalize_text
+
+    df = generate_input(
+        spark,
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO...\n\tworld"),
+            (4, "different text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "different text"
