@@ -138,3 +138,97 @@ def cluster_assignments(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: ColumnLike = "src",
+    dst: ColumnLike = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the escalation path for graphs where hash-min's
+    O(diameter) rounds or giant-component hot keys bite: star rounds
+    contract long chains in O(log² n) rounds and bound per-round
+    degree growth.
+
+    Both phases are expressed as join + partial-agg min — NO per-node
+    adjacency materialization (no collect_list), so a hot node costs
+    a skewed-join row set (AQE-splittable), not a single giant task:
+
+    - large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ u)
+    - small-star: every neighbor v ≤ u (on larger→smaller edges)
+      links to m(u), plus (u, m(u))
+
+    Fixpoint: the small-star edge set IS the star graph (center =
+    component min); returns ``(node, component)`` like
+    :func:`connected_components`.
+    """
+    from pyspark import StorageLevel
+
+    cur = (
+        edges.select(_col(src).alias("a"), _col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = None  # captured before contraction drops satellites
+
+    for _ in range(max_iter):
+        sym = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        if all_nodes is None:
+            all_nodes = (
+                sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+            )
+        # large-star
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over larger→smaller orientation of `large`
+        directed = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smins, on="u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: edge multiset unchanged
+        if (
+            small.exceptAll(cur).isEmpty()
+            and cur.exceptAll(small).isEmpty()
+        ):
+            cur = small
+            break
+        cur = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # star edges point satellite→center; centers label themselves
+    labeled = cur.select(
+        F.col("a").alias("node"), F.col("b").alias("component")
+    )
+    return all_nodes.join(labeled, on="node", how="left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

@@ -338,3 +338,49 @@ def test_normalize_text_canonicalizes(spark):
     got = {r.doc_id: r.n for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
     assert got[1] == got[2] == got[3] == "hello world"
     assert got[4] == "different text"
+
+
+def test_connected_components_star_matches_hash_min(spark):
+    """Star contraction agrees with hash-min + union-find on chains,
+    cliques, pairs, and seeded random graphs (incl. a 20-node chain
+    that stresses O(log n) vs O(diameter) convergence)."""
+    import random
+
+    from datasplash_spark.functions.graph import connected_components_star
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(20)],  # long chain
+    ]
+    rng = random.Random(11)
+    for _ in range(2):
+        n = 25
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 30))]
+        cases.append([(a, b) for a, b in es if a != b])
+
+    for edges in cases:
+        if not edges:
+            continue
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {v for e in edges for v in e}
+        expected = {
+            v: min(u for u in nodes if find(u) == find(v)) for v in nodes
+        }
+        df = generate_input(spark, edges, "src bigint, dst bigint")
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df).collect()
+        }
+        assert got == expected
