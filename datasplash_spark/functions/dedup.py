@@ -402,27 +402,42 @@ def dedup_clusters(
     seed: int = 42,
     materialize_dir: str | None = None,
     buckets: int = 32,
+    algorithm: str = "hash-min",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: the step after candidate pairs in a
     real corpus-dedup pipeline. LSH candidate pairs → connected
-    components (hash-min label propagation, ``functions.graph``) →
-    one ``(doc_id, cluster_id)`` row per document, singletons keeping
-    their own id. ``min(doc_id)`` per cluster is the canonical
-    survivor; ``WHERE doc_id = cluster_id`` filters the corpus to
-    survivors in one pass.
+    components (``functions.graph``) → one ``(doc_id, cluster_id)``
+    row per document, singletons keeping their own id. ``min(doc_id)``
+    per cluster is the canonical survivor; ``WHERE doc_id =
+    cluster_id`` filters the corpus to survivors in one pass.
+
+    ``algorithm``: ``hash-min`` (default — right for LSH dedup where
+    components are small near-cliques) or ``star`` (large-star/
+    small-star contraction — the escalation for giant components /
+    long chains).
 
     Scale shape: pairs are bucket-join output (linear + intra-bucket
     quadratic), components iterate on the pair list only (tiny vs the
     corpus), and the final assignment is a broadcast-sized left join
     back to the corpus ids.
     """
-    from .graph import cluster_assignments, connected_components
+    from .graph import (
+        cluster_assignments,
+        connected_components,
+        connected_components_star,
+    )
 
+    cc = {
+        "hash-min": connected_components,
+        "star": connected_components_star,
+    }
+    if algorithm not in cc:
+        raise ValueError(f"unknown algorithm {algorithm!r}; use hash-min | star")
     pairs = lsh_candidate_pairs(
         df, text, id_col, num_hashes, bands, k, seed,
         materialize_dir=materialize_dir, buckets=buckets,
     )
-    comps = connected_components(pairs, "doc_a", "doc_b")
+    comps = cc[algorithm](pairs, "doc_a", "doc_b")
     return cluster_assignments(df, comps, id_col)
 
 

@@ -384,3 +384,28 @@ def test_connected_components_star_matches_hash_min(spark):
             for r in connected_components_star(df).collect()
         }
         assert got == expected
+
+
+def test_dedup_clusters_algorithms_agree(spark):
+    """hash-min and star contraction must assign identical clusters
+    on the real documents table."""
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.pipeline import load_table
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    a = {
+        r.doc_id: r.cluster_id
+        for r in dd.dedup_clusters(docs, algorithm="hash-min").collect()
+    }
+    b = {
+        r.doc_id: r.cluster_id
+        for r in dd.dedup_clusters(docs, algorithm="star").collect()
+    }
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.dedup_clusters(docs, algorithm="bogus")

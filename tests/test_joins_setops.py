@@ -290,3 +290,43 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(big, small, "k", how="full_outer")
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Seeded random series vs pandas.merge_asof (backward,
+    inclusive) — the de-facto as-of semantics reference."""
+    import random
+
+    import pandas as pd
+
+    from datasplash_spark.operators import asof_join
+    from datasplash_spark.sources import generate_input
+
+    rng = random.Random(17)
+    for trial in range(3):
+        left_rows = sorted(
+            (rng.randrange(1, 4), rng.randrange(0, 1000)) for _ in range(40)
+        )
+        right_rows = sorted(
+            {(rng.randrange(1, 4), rng.randrange(0, 1000)) for _ in range(30)}
+        )
+        lpdf = pd.DataFrame(left_rows, columns=["uid", "t"]).sort_values("t")
+        rpdf = pd.DataFrame(right_rows, columns=["uid", "t"]).assign(
+            rv=lambda d: d.t * 10
+        ).sort_values("t")
+        exp = pd.merge_asof(
+            lpdf, rpdf, on="t", by="uid", direction="backward", suffixes=("", "_r")
+        )
+        expected = sorted(
+            (r.uid, r.t, None if pd.isna(r.rv) else int(r.rv))
+            for r in exp.itertuples()
+        )
+        ldf = generate_input(spark, left_rows, "uid bigint, t bigint")
+        rdf = generate_input(
+            spark, [(u, t, t * 10) for u, t in right_rows],
+            "uid bigint, t bigint, rv bigint",
+        )
+        out = asof_join(ldf, rdf, on="uid", left_on="t", right_on="t",
+                        right_cols=["rv"])
+        got = sorted((r.uid, r.t, r.rv) for r in out.collect())
+        assert got == expected, f"trial {trial}"
