@@ -1807,6 +1807,50 @@ GROUP BY token HAVING count(*) > 5
 """
 
 
+def q_objectmode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-1 object-mode JOIN path end-to-end: nation/region as
+    dict pcolls → join_by (required both sides, dict-merge collector)
+    → per-region nation count. The slow path by construction (pickled
+    values, Python cogroup) — the Layer-0 twin is join_multiway."""
+    from .objectmode import PCollection, join_by
+
+    nation = PCollection.from_dataframe(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    )
+    region = PCollection.from_dataframe(
+        _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    joined = join_by(
+        [
+            (nation, lambda r: r["n_regionkey"], True),
+            (region, lambda r: r["r_regionkey"], True),
+        ]
+    )
+    counts = joined.map(lambda r: (r["r_name"], 1)).combine_by(
+        lambda kv: kv[0], _sum_combiner()
+    )
+    return counts.map(lambda kv: {"r_name": kv[0], "n_nations": kv[1]}).to_dataframe(
+        spark, "r_name string, n_nations bigint"
+    )
+
+
+def _sum_combiner():
+    from .objectmode import CombineFn
+
+    return CombineFn(
+        initf=lambda: 0,
+        reducef=lambda acc, kv: acc + kv[1],
+        combinef=lambda a, b: a + b,
+    )
+
+
+ORACLE_OBJECTMODE_JOIN = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1876,6 +1920,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_STATEFUL_DISTINCT_TYPES,
     ),
     "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
+    "objectmode_join": (q_objectmode_join, ORACLE_OBJECTMODE_JOIN),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
