@@ -1492,14 +1492,16 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _emb_pairs_oracle() -> str:
+def _emb_pairs_cte_block() -> str:
+    """Shared DuckDB CTE chain for the embedding near-dup pipeline,
+    ending in ``close (vec_a, vec_b, cos)`` — the cosine-thresholded
+    candidate pairs. Composable like :func:`_minhash_cte_block`."""
     planes = sim.random_hyperplanes(64, 8, seed=7)
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(e, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_planes_sql(planes))
     )
-    return f"""
-WITH vecs AS (
+    return f"""vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), bucketed AS (
   SELECT vec_id, e, {bucket_terms} AS bucket FROM vecs
@@ -1511,12 +1513,49 @@ WITH vecs AS (
                ELSE 0 END, 6) AS cos
   FROM bucketed l JOIN bucketed r
     ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+), close AS (
+  SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
+)"""
+
+
+ORACLE_DEDUP_EMBEDDING = (
+    "WITH " + _emb_pairs_cte_block() + "\nSELECT vec_a, vec_b, cos FROM close"
 )
-SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERING: the cosine-thresholded pair
+    stage feeds the same connected-components engine as the text
+    path — every vector gets a cluster id, singletons keep their own.
+    Text and embedding dedup share one clustering primitive."""
+    from .functions.graph import cluster_assignments, connected_components
+
+    pairs = q_dedup_embedding_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_assignments(emb, comps, "vec_id").withColumnsRenamed(
+        {"doc_id": "vec_id"}
+    )
+
+
+ORACLE_EMBEDDING_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _emb_pairs_cte_block()
+    + """, edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM close
+  UNION
+  SELECT vec_b, vec_a FROM close
+), walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT v.vec_id, coalesce(c.component, v.vec_id) AS cluster_id
+FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
 """
-
-
-ORACLE_DEDUP_EMBEDDING = _emb_pairs_oracle()
+)
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,6 +1944,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
+    "embedding_clusters": (q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS),
     "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
     "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
