@@ -307,3 +307,54 @@ def normalize_text(text: ColumnLike) -> Column:
     t = F.regexp_replace(t, r"[!-/:-@\[-`{-~]", "")
     t = F.regexp_replace(t, r"[\t\n\x0B\f\r ]+", " ")
     return F.trim(t)
+
+
+def unigram_logprob_table(df, text: ColumnLike = "text"):
+    """Corpus unigram stats: ``(term, n, logp_nano)`` where
+    ``logp_nano = round(ln(n / total) · 1e9)`` as BIGINT — fixed-point
+    so downstream SUMs are integer-exact and order-independent (float
+    sums reorder across partitions; integer sums don't care).
+
+    One explode + partial-agg count (one shuffle); the corpus total
+    joins as a lazy broadcast single-row aggregate.
+    """
+    toks = df.select(F.explode(tokens(text)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = freqs.agg(F.sum("n").alias("total"))
+    return freqs.crossJoin(F.broadcast(total)).select(
+        "term",
+        "n",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("total").cast("double"))
+            * 1e9
+        )
+        .cast("long")
+        .alias("logp_nano"),
+    )
+
+
+def unigram_doc_scores(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"):
+    """Per-document mean unigram negative log-probability (a
+    pseudo-perplexity quality signal, CCNet-style: lower = more
+    natural under the corpus unigram LM). Returns
+    ``(doc_id, n_toks, sum_logp_nano)`` — kept in exact BIGINT so any
+    downstream rollup stays order-independent; convert at the edge:
+    ``-sum_logp_nano / n_toks / 1e9``.
+
+    Shape: explode → join the vocab-sized unigram table (AQE
+    broadcast) → one partial-agg shuffle on doc_id.
+    """
+    lm = unigram_logprob_table(df, text)
+    toks = df.select(
+        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.join(lm.select("term", "logp_nano"), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("logp_nano").alias("sum_logp_nano"),
+        )
+    )

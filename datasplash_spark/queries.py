@@ -831,6 +831,59 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram pseudo-perplexity per source (CCNet-style
+    quality signal): mean negative token log-prob under the corpus
+    unigram LM. All accumulation is fixed-point BIGINT (nano-logprob),
+    so sums are order-independent and cross-engine exact; the only
+    float op is the final edge division, rounded to 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = tx.unigram_doc_scores(docs)
+    per_source = (
+        docs.select("doc_id", "source")
+        .join(scores, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("_nt"),
+            F.sum("sum_logp_nano").alias("_slp"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        F.round(
+            -F.col("_slp").cast("double") / F.col("_nt").cast("double") / 1e9, 6
+        ).alias("mean_neg_logp"),
+    )
+
+
+ORACLE_UNIGRAM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+), freqs AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(n) AS total FROM freqs
+), lm AS (
+  SELECT term,
+         CAST(round(ln(n * 1.0 / total) * 1e9) AS BIGINT) AS logp_nano
+  FROM freqs CROSS JOIN tot
+), per_doc AS (
+  SELECT toks.doc_id, count(*) AS n_toks, sum(lm.logp_nano) AS slp
+  FROM toks JOIN lm USING (term)
+  GROUP BY toks.doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(-sum(p.slp) * 1.0 / sum(p.n_toks) / 1e9, 6) AS mean_neg_logp
+FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget document chunking (64-token chunks, 8 overlap):
     one explode, no shuffle. Chunk text is md5-projected so the gate
@@ -1932,6 +1985,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
+    "unigram_quality": (q_unigram_quality, ORACLE_UNIGRAM_QUALITY),
     "funnel": (q_funnel, ORACLE_FUNNEL),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (

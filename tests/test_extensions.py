@@ -409,3 +409,20 @@ def test_dedup_clusters_algorithms_agree(spark):
 
     with _pytest.raises(ValueError):
         dd.dedup_clusters(docs, algorithm="bogus")
+
+
+def test_unigram_scores_rank_rare_docs_worse(spark):
+    """A doc of rare tokens must score a higher mean neg-logprob than
+    a doc of corpus-common tokens; fixed-point sums are exact."""
+    from datasplash_spark.functions.text import unigram_doc_scores
+
+    common = "the quick fox " * 10
+    docs = generate_input(
+        spark,
+        [(1, common.strip()), (2, common.strip()), (3, "zzyzx qwfp vexing")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_doc_scores(docs).collect()}
+    score = {i: -rows[i].sum_logp_nano / rows[i].n_toks / 1e9 for i in rows}
+    assert score[3] > score[1]
+    assert abs(score[1] - score[2]) < 1e-12  # identical docs, exact ints
