@@ -190,6 +190,18 @@ def test_no_python_udf_in_relational_corpus(spark):
         "similarity_ivf",
         "doc_quality",
         "lang_id",
+        # round-2 additions — all expression-first by construction
+        "tfidf_top_terms",
+        "gopher_quality",
+        "unigram_quality",
+        "chunk_documents",
+        "funnel",
+        "asof_last_view",
+        "range_join_error_window",
+        "dedup_incremental",
+        "dedup_cross_corpus",
+        "side_input_filter",
+        "frequencies_by",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
