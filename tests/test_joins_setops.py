@@ -330,3 +330,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                         right_cols=["rv"])
         got = sorted((r.uid, r.t, r.rv) for r in out.collect())
         assert got == expected, f"trial {trial}"
+
+
+def test_asof_join_composite_keys(spark):
+    """Multi-column equi-keys: matches must respect BOTH keys."""
+    from datasplash_spark.operators import asof_join
+    from datasplash_spark.sources import generate_input
+
+    quotes = generate_input(
+        spark,
+        [(1, "x", 10, 1.0), (1, "y", 10, 2.0), (2, "x", 5, 3.0)],
+        "uid bigint, sym string, t bigint, px double",
+    )
+    trades = generate_input(
+        spark,
+        [(1, "x", 15), (1, "y", 15), (1, "z", 15), (2, "x", 4)],
+        "uid bigint, sym string, t bigint",
+    )
+    out = {
+        (r.uid, r.sym): r.px
+        for r in asof_join(
+            trades, quotes, on=["uid", "sym"], left_on="t", right_on="t",
+            right_cols=["px"],
+        ).collect()
+    }
+    assert out == {(1, "x"): 1.0, (1, "y"): 2.0, (1, "z"): None, (2, "x"): None}
