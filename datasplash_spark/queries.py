@@ -1899,6 +1899,43 @@ GROUP BY token HAVING count(*) > 5
 """
 
 
+def q_objectmode_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-1 side-output routing end-to-end (reference
+    core.clj:302-360 MultiResult): tokens route to 'long'/'short'
+    tags in ONE pass (persisted tagged frame, filtered views); the
+    gate checks the long-side counts. The untagged main output and
+    nesting are pinned in test_objectmode; this drives the routing
+    through the oracle."""
+    from .objectmode import PCollection, side_outputs as so
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    pc = PCollection.from_dataframe(docs)
+
+    def route(tok):
+        return so("long", tok, "short", tok) if len(tok) >= 6 else so("short", tok)
+
+    outs = pc.mapcat(lambda d: d["text"].lower().split(" ")).mapcat(
+        lambda t: (route(t),), side_outputs=["long", "short"]
+    )
+    counts = (
+        outs["long"]
+        .map(lambda t: (t, 1))
+        .combine_by(lambda kv: kv[0], _sum_combiner())
+        .map(lambda kv: {"token": kv[0], "n": kv[1]})
+    )
+    return counts.to_dataframe(spark, "token string, n bigint").filter(
+        F.col("n") > 3
+    )
+
+
+ORACLE_OBJECTMODE_SIDE_OUTPUTS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE len(token) >= 6
+GROUP BY token HAVING count(*) > 3
+"""
+
+
 def q_objectmode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layer-1 object-mode JOIN path end-to-end: nation/region as
     dict pcolls → join_by (required both sides, dict-merge collector)
@@ -2015,6 +2052,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
     "objectmode_join": (q_objectmode_join, ORACLE_OBJECTMODE_JOIN),
+    "objectmode_side_outputs": (
+        q_objectmode_side_outputs,
+        ORACLE_OBJECTMODE_SIDE_OUTPUTS,
+    ),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
