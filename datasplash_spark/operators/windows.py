@@ -47,3 +47,41 @@ def with_allowed_lateness(df: DataFrame, ts: str, lateness: str) -> DataFrame:
     """``:with-allowed-lateness`` (core.clj:2087-2088) → watermark.
     Only meaningful on streaming DataFrames; no-op marker in batch."""
     return df.withWatermark(ts, lateness) if df.isStreaming else df
+
+
+def sessionize(
+    df: DataFrame,
+    key: ColumnLike,
+    ts: ColumnLike,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-key SESSION ID to every event (gap-based): a new
+    session starts when the time since the key's previous event
+    exceeds ``gap_seconds``. Complements :func:`session_windows`
+    (which aggregates per session) by labeling the EVENTS — the shape
+    needed when downstream work is per-event but session-aware
+    (e.g. chunk a user's history by session).
+
+    One shuffle on the key + an ordered window (lag → gap flag →
+    running sum). Session ids are 0-based per key and deterministic
+    given unique (key, ts). Classic gaps-and-islands; identical SQL
+    runs on any engine (the oracle uses the same formulation).
+    """
+    from pyspark.sql import Window
+
+    k, t = _col(key), _col(ts)
+    w = Window.partitionBy(k).orderBy(t)
+    prev = F.lag(t).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((t.cast("double") - prev.cast("double")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1,
+    )

@@ -915,6 +915,46 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labeling (30-min gap) → per-user session
+    count + events in the user's longest session. One shuffle + one
+    ordered window; gaps-and-islands on both engines."""
+    from .operators import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    labeled = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    per_session = labeled.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), labeled AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM labeled GROUP BY user_id, session_id
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → click → purchase (functions.events):
     one scan + one shuffle on user_id; later stages resolve from
@@ -2024,6 +2064,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "unigram_quality": (q_unigram_quality, ORACLE_UNIGRAM_QUALITY),
     "funnel": (q_funnel, ORACLE_FUNNEL),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,

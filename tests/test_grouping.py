@@ -203,3 +203,25 @@ def test_sum_fn_empty_is_zero(spark):
         ),
     ).collect()[0]
     assert (row.s, row.m, row.c) == (0.0, 0.0, 0)
+
+
+def test_sessionize_gap_islands(spark):
+    """New session exactly when gap > threshold; 0-based per key."""
+    from datasplash_spark.operators import sessionize
+    from datasplash_spark.sources import generate_input
+
+    rows = [
+        ("a", 0.0), ("a", 10.0), ("a", 100.0), ("a", 105.0), ("a", 300.0),
+        ("b", 0.0),
+    ]
+    df = generate_input(spark, rows, "k string, t double")
+    got = {
+        (r.k, r.t): r.session_id
+        for r in sessionize(df, "k", "t", gap_seconds=50).collect()
+    }
+    assert got == {
+        ("a", 0.0): 0, ("a", 10.0): 0,
+        ("a", 100.0): 1, ("a", 105.0): 1,
+        ("a", 300.0): 2,
+        ("b", 0.0): 0,
+    }
