@@ -395,3 +395,41 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.digest for r in spark.sql("SELECT * FROM sdedup").collect())
     assert got == ["d1", "d2", "d3"]
+
+
+def test_streaming_session_window_agg(spark, tmp_path):
+    """session_window under Structured Streaming: gap-merged sessions
+    close as the watermark passes; drained with availableNow."""
+    import json as _json
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01 00:00:00", "k": "a", "v": 1.0},
+        {"ts": "2024-01-01 00:03:00", "k": "a", "v": 2.0},   # same session (gap 5m)
+        {"ts": "2024-01-01 01:00:00", "k": "a", "v": 4.0},   # new session
+        {"ts": "2024-01-01 00:00:30", "k": "b", "v": 8.0},
+    ]
+    (src / "d.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    from datasplash_spark.operators import session_windows, with_allowed_lateness
+
+    stream = (
+        spark.readStream.schema("ts string, k string, v double")
+        .json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stream = with_allowed_lateness(stream, "ts", "10 minutes")
+    agg = stream.groupBy(
+        session_windows("ts", "5 minutes").alias("w"), F.col("k")
+    ).agg(F.sum("v").alias("s"))
+    q = write_stream(
+        agg.select("k", "s"),
+        "memory",
+        checkpoint_dir=str(tmp_path / "ck"),
+        trigger="once",
+        output_mode="complete",
+        query_name="sesswin",
+    )
+    q.awaitTermination(120)
+    got = sorted((r.k, r.s) for r in spark.sql("SELECT * FROM sesswin").collect())
+    assert got == [("a", 3.0), ("a", 4.0), ("b", 8.0)]
