@@ -232,10 +232,13 @@ def asof_join(
     right_on: ColumnLike = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join (backward): for each left row, attach the LATEST
-    right row of the same key with ``right_on <= left_on`` (left outer
-    — unmatched left rows keep nulls). Beyond the reference's surface
+    """As-of join: for each left row, attach the LATEST right row of
+    the same key with ``right_on <= left_on`` (``direction=
+    "backward"``, the default) or the EARLIEST right row with
+    ``right_on >= left_on`` (``"forward"``). Left outer — unmatched
+    left rows keep nulls. Beyond the reference's surface
     (SURVEY §2.9: no time-ordered ops at all); the standard
     time-series primitive (pandas ``merge_asof``, DuckDB ``ASOF
     JOIN`` — which the oracle uses).
@@ -279,9 +282,14 @@ def asof_join(
         ).alias("_l"),
         F.struct(*rsel).alias("_r"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # forward = the same propagation over reversed time; right rows
+    # still order before coincident left rows (inclusive boundary)
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*[F.col(n) for n in key_names])
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (

@@ -355,3 +355,39 @@ def test_asof_join_composite_keys(spark):
         ).collect()
     }
     assert out == {(1, "x"): 1.0, (1, "y"): 2.0, (1, "z"): None, (2, "x"): None}
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction='forward' vs pandas.merge_asof forward semantics."""
+    import random
+
+    import pandas as pd
+
+    from datasplash_spark.operators import asof_join
+    from datasplash_spark.sources import generate_input
+
+    rng = random.Random(23)
+    left_rows = sorted((rng.randrange(1, 4), rng.randrange(0, 500)) for _ in range(30))
+    right_rows = sorted({(rng.randrange(1, 4), rng.randrange(0, 500)) for _ in range(20)})
+    lpdf = pd.DataFrame(left_rows, columns=["uid", "t"]).sort_values("t")
+    rpdf = (
+        pd.DataFrame(right_rows, columns=["uid", "t"])
+        .assign(rv=lambda d: d.t * 10)
+        .sort_values("t")
+    )
+    exp = pd.merge_asof(
+        lpdf, rpdf, on="t", by="uid", direction="forward", suffixes=("", "_r")
+    )
+    expected = sorted(
+        (r.uid, r.t, None if pd.isna(r.rv) else int(r.rv)) for r in exp.itertuples()
+    )
+    ldf = generate_input(spark, left_rows, "uid bigint, t bigint")
+    rdf = generate_input(
+        spark, [(u, t, t * 10) for u, t in right_rows], "uid bigint, t bigint, rv bigint"
+    )
+    out = asof_join(
+        ldf, rdf, on="uid", left_on="t", right_on="t", right_cols=["rv"],
+        direction="forward",
+    )
+    got = sorted((r.uid, r.t, r.rv) for r in out.collect())
+    assert got == expected
