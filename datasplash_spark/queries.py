@@ -915,6 +915,51 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user at every event
+    (streaming.rolling_agg — bounded RANGE frame, one shuffle, JVM
+    WindowExec). Values sum as integer cents so the rolling sums are
+    bit-exact across engines (float frame-sum order differs between
+    Spark's running accumulation and DuckDB's segment tree)."""
+    from .streaming import rolling_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("double").alias("epoch"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = rolling_agg(
+        ev,
+        ["user_id"],
+        "epoch",
+        3600.0,
+        n_1h=F.count(F.lit(1)),
+        sum_cents_1h=F.sum("cents"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "n_1h",
+        F.round(F.col("sum_cents_1h").cast("double") / 100, 2).alias("sum_value_1h"),
+    )
+
+
+ORACLE_ROLLING_WINDOW = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch(ts) AS ep,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(cents) OVER w / 100.0, 2) AS sum_value_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event session labeling (30-min gap) → per-user session
     count + events in the user's longest session. One shuffle + one
@@ -2065,6 +2110,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unigram_quality": (q_unigram_quality, ORACLE_UNIGRAM_QUALITY),
     "funnel": (q_funnel, ORACLE_FUNNEL),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING_WINDOW),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,

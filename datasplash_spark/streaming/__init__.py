@@ -16,13 +16,14 @@ accumulate/discard semantics are only approximable (SURVEY §7.3a):
 discard-on-final — documented gap.
 """
 
-from .stateful import batch_stateful, dedup_stream, running_agg, stateful_map_groups
+from .stateful import batch_stateful, dedup_stream, rolling_agg, running_agg, stateful_map_groups
 from .sinks import beam_trigger_to_spark, write_stream
 
 __all__ = [
     "batch_stateful",
     "dedup_stream",
     "beam_trigger_to_spark",
+    "rolling_agg",
     "running_agg",
     "stateful_map_groups",
     "write_stream",

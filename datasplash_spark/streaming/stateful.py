@@ -173,3 +173,48 @@ def dedup_stream(
             keys
         )
     return df.dropDuplicates(keys)
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_numeric,
+    range_back: float,
+    **aggs,
+) -> DataFrame:
+    """Bounded rolling aggregate per key: each row gets aggregates
+    over the key's rows with order value in
+    ``[current - range_back, current]`` (inclusive RANGE frame — e.g.
+    epoch seconds for a trailing time window).
+
+    The bounded sibling of :func:`running_agg` — same shape (one
+    shuffle on the key, JVM WindowExec, no Python), but the frame is
+    a RANGE over a NUMERIC order column (Spark's rangeBetween
+    requirement; cast timestamps to epoch seconds first). State per
+    key is the frame, not the history — memory-bounded at any key
+    size.
+
+    ``aggs`` maps output column name → aggregate Column, e.g.
+    ``avg_1h=F.avg("value")``.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.elementwise import _col
+
+    back = -range_back
+    if isinstance(back, float):
+        if not back.is_integer():
+            raise ValueError(
+                "rangeBetween bounds must be whole numbers; scale the "
+                "order column (e.g. to millis) for sub-unit windows"
+            )
+        back = int(back)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(_col(order_numeric))
+        .rangeBetween(back, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out

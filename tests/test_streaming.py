@@ -433,3 +433,28 @@ def test_streaming_session_window_agg(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.k, r.s) for r in spark.sql("SELECT * FROM sesswin").collect())
     assert got == [("a", 3.0), ("a", 4.0), ("b", 8.0)]
+
+
+def test_rolling_agg_bounded_frame(spark):
+    """RANGE frame includes exactly [t - range_back, t] per key."""
+    from datasplash_spark.sources import generate_input
+    from datasplash_spark.streaming import rolling_agg
+
+    rows = [("a", 0, 1), ("a", 50, 2), ("a", 100, 4), ("a", 161, 8), ("b", 0, 16)]
+    df = generate_input(spark, rows, "k string, t bigint, v bigint")
+    got = {
+        (r.k, r.t): r.s
+        for r in rolling_agg(df, ["k"], "t", 100, s=F.sum("v")).collect()
+    }
+    assert got == {
+        ("a", 0): 1,
+        ("a", 50): 3,
+        ("a", 100): 7,    # includes t=0 (inclusive lower bound)
+        ("a", 161): 12,   # frame [61,161]: only t=100 and t=161 rows
+        ("b", 0): 16,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rolling_agg(df, ["k"], "t", 0.5, s=F.sum("v"))
