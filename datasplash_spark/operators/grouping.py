@@ -324,3 +324,49 @@ def percentile_fn(
     requirement."""
     probs = F.array(*[F.lit(float(p)) for p in probabilities])
     return F.percentile(_masked(expr, predicate), probs)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: ColumnLike,
+    fractions: dict,
+    seed: int = 42,
+    deterministic_by: ColumnLike | None = None,
+) -> DataFrame:
+    """Stratified sampling — per-stratum fractions (the training-mix
+    reweighting op: e.g. keep 10% of crawl, 100% of curated).
+
+    Default: Spark's native ``sampleBy`` (per-row Bernoulli, one
+    scan, no shuffle — the 100 TB default when exact per-stratum
+    counts don't matter). With ``deterministic_by=<unique id col>``:
+    EXACT ``ceil(fraction · stratum_count)`` rows per stratum, chosen
+    by md5(seed‖id) order — reproducible across runs/engines and
+    oracle-checkable; costs one shuffle on the stratum key (two
+    window functions: hash rank + stratum count).
+
+    Strata absent from ``fractions`` are dropped (sampleBy parity).
+    """
+    k = _col(key)
+    if deterministic_by is None:
+        return df.sampleBy(k, fractions, seed)
+    from pyspark.sql import Window
+
+    order = F.md5(
+        F.concat(F.lit(str(seed)), _col(deterministic_by).cast("string"))
+    )
+    w = Window.partitionBy(k)
+    frac = None
+    for kv, fv in fractions.items():
+        cond = k == F.lit(kv)
+        frac = F.when(cond, F.lit(float(fv))) if frac is None else frac.when(
+            cond, F.lit(float(fv))
+        )
+    out = (
+        df.withColumn("_frac", frac)
+        .filter(F.col("_frac").isNotNull())
+        .withColumn("_rk", F.row_number().over(w.orderBy(order)))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_rk") <= F.ceil(F.col("_n") * F.col("_frac")))
+        .drop("_frac", "_rk", "_n")
+    )
+    return out

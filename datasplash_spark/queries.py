@@ -915,6 +915,34 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-mix reweighting):
+    exact ceil(fraction·count) docs per lang chosen by md5(seed‖id)
+    order — reproducible and oracle-checkable. Gate output = the
+    sampled ids themselves (full subset equality, not just counts)."""
+    from .operators import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.1}, seed=7, deterministic_by="doc_id"
+    )
+    return out.select("doc_id", "lang")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH eligible AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.1 END AS frac,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('7' || doc_id::VARCHAR)) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+  WHERE lang IN ('en', 'fr')
+)
+SELECT doc_id, lang FROM eligible WHERE rk <= ceil(n * frac)
+"""
+
+
 def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour rolling aggregate per user at every event
     (streaming.rolling_agg — bounded RANGE frame, one shuffle, JVM
@@ -2111,6 +2139,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel": (q_funnel, ORACLE_FUNNEL),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "rolling_window": (q_rolling_window, ORACLE_ROLLING_WINDOW),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,

@@ -225,3 +225,29 @@ def test_sessionize_gap_islands(spark):
         ("a", 300.0): 2,
         ("b", 0.0): 0,
     }
+
+
+def test_stratified_sample_deterministic_exact_counts(spark):
+    """Deterministic path: exact ceil(frac·n) per stratum, repeatable;
+    strata missing from fractions drop; native sampleBy path returns
+    a plausible Bernoulli subset."""
+    from datasplash_spark.operators import stratified_sample
+    from datasplash_spark.sources import generate_input
+
+    rows = [(i, "a" if i < 100 else "b" if i < 130 else "c") for i in range(150)]
+    df = generate_input(spark, rows, "id bigint, grp string")
+    out = stratified_sample(
+        df, "grp", {"a": 0.25, "b": 0.5}, seed=3, deterministic_by="id"
+    )
+    got = [(r.id, r.grp) for r in out.collect()]
+    by_grp = {}
+    for _id, g in got:
+        by_grp[g] = by_grp.get(g, 0) + 1
+    assert by_grp == {"a": 25, "b": 15}  # exact ceil counts, no 'c'
+    again = [(r.id, r.grp) for r in stratified_sample(
+        df, "grp", {"a": 0.25, "b": 0.5}, seed=3, deterministic_by="id"
+    ).collect()]
+    assert sorted(got) == sorted(again)  # reproducible
+
+    bern = stratified_sample(df, "grp", {"a": 0.3}, seed=3).collect()
+    assert all(r.grp == "a" for r in bern)
