@@ -915,6 +915,34 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (collocations): reuses the shingle
+    machinery (distinct word k-grams per doc) → explode → partial-agg
+    count → deterministic top-20 (count desc, bigram asc). One
+    shuffle + TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(dd.shingles("text", k=2)).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, 20, [F.col("n").desc(), F.col("bigram").asc()])
+
+
+ORACLE_NGRAM_COUNTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 1, 1) + 1),
+           i -> array_to_string(t[i:i+1], ' ')))) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-mix reweighting):
     exact ceil(fraction·count) docs per lang chosen by md5(seed‖id)
@@ -2140,6 +2168,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "rolling_window": (q_rolling_window, ORACLE_ROLLING_WINDOW),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "ngram_counts": (q_ngram_counts, ORACLE_NGRAM_COUNTS),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,
