@@ -122,3 +122,93 @@ def frame_sample_plan(
             )
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    keep_aspect: bool = True,
+) -> DataFrame:
+    """Resize *plan*: per-image output dimensions + scale factor from
+    METADATA only (no decode, pure Column math). With ``keep_aspect``
+    the image letterboxes into the target (scale = min of the two
+    ratios, rounded output dims); otherwise dims are exactly the
+    target. Unknown source dims (null width/height) pass through as
+    nulls — the decode stage resolves them at kernel time.
+
+    This is the JVM half of a resize stage; pair with
+    :func:`resize_images` for the (pluggable) pixel kernel.
+    """
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    if keep_aspect:
+        scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+        out_w = F.round(w * scale).cast("int")
+        out_h = F.round(h * scale).cast("int")
+    else:
+        scale = F.lit(None).cast("double")
+        out_w, out_h = F.lit(target_w), F.lit(target_h)
+    return df.withColumn(
+        "resize",
+        F.struct(
+            out_w.alias("out_w"), out_h.alias("out_h"), scale.alias("scale")
+        ),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    kernel=None,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Arrow-batched resize stage: bytes → ``kernel(raw, w, h)`` →
+    resized bytes. The default kernel is :func:`decode_image` (raises
+    — codec libs absent by environment contract); tests inject a
+    deterministic fake. Output schema ``(doc_id, media binary)``;
+    bytes stay executor-side, only metadata shuffles downstream.
+    """
+    import pandas as pd
+
+    k = kernel if kernel is not None else (
+        lambda raw, w, h: decode_image(raw)
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = [k(bytes(b), target_w, target_h) for b in pdf[media_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "media": out})
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema="doc_id bigint, media binary"
+    )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    window_s: float,
+    hop_s: float,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Audio windowing *plan*: one row per (doc, chunk start-sample)
+    from metadata (``sample_rate`` × assumed duration from
+    ``n_frames``), no decode. Mirrors :func:`frame_sample_plan` for
+    the audio modality; the sample-extraction kernel is pluggable."""
+    sr = F.coalesce(F.col("meta.sample_rate"), F.lit(16000))
+    total = F.coalesce(F.col("meta.n_frames"), F.lit(1)).cast("long")
+    win = (sr.cast("double") * window_s).cast("long")
+    hop = (sr.cast("double") * hop_s).cast("long")
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(total - win, F.lit(0).cast("long")),
+                hop,
+            )
+        ).alias("start_sample"),
+        win.alias("window_samples"),
+    )

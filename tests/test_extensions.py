@@ -426,3 +426,66 @@ def test_unigram_scores_rank_rare_docs_worse(spark):
     score = {i: -rows[i].sum_logp_nano / rows[i].n_toks / 1e9 for i in rows}
     assert score[3] > score[1]
     assert abs(score[1] - score[2]) < 1e-12  # identical docs, exact ints
+
+
+def test_resize_plan_and_kernel_injection(spark):
+    """resize_plan computes letterbox dims from metadata; the pixel
+    stage runs a test-injected kernel through real Arrow batches; the
+    default kernel raises (codec absent by contract)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions import multimodal as mm
+
+    raw = generate_input(
+        spark,
+        [(1, b"abcdef"), (2, b"xy")],
+        "doc_id bigint, payload binary",
+    )
+    media = mm.as_media(raw, "payload", "image")
+    # inject known dims into meta for the plan
+    media = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"),
+            F.when(F.col("doc_id") == 1, 800).otherwise(400).alias("width"),
+            F.lit(600).alias("height"),
+            F.col("meta.sample_rate"),
+            F.col("meta.n_frames"),
+        ),
+    )
+    plan = {r.doc_id: (r.resize.out_w, r.resize.out_h)
+            for r in mm.resize_plan(media, 200, 200).collect()}
+    assert plan == {1: (200, 150), 2: (133, 200)}
+
+    resized = mm.resize_images(
+        media, 4, 4, kernel=lambda raw, w, h: raw[: w]
+    )
+    got = {r.doc_id: bytes(r.media) for r in resized.collect()}
+    assert got == {1: b"abcd", 2: b"xy"}
+
+    with _pytest.raises(Exception):
+        mm.resize_images(media, 4, 4).collect()
+
+
+def test_audio_chunk_plan(spark):
+    """Chunk starts step by hop; final partial window clipped."""
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions import multimodal as mm
+
+    raw = generate_input(spark, [(1, b"x")], "doc_id bigint, payload binary")
+    media = mm.as_media(raw, "payload", "audio").withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type"),
+            F.col("meta.width"),
+            F.col("meta.height"),
+            F.lit(100).alias("sample_rate"),   # 100 Hz
+            F.lit(450).alias("n_frames"),      # 4.5 s
+        ),
+    )
+    rows = mm.audio_chunk_plan(media, window_s=2.0, hop_s=1.0).collect()
+    starts = sorted(r.start_sample for r in rows)
+    assert starts == [0, 100, 200]  # last full-ish window start = 250 clipped to <= total-win
+    assert all(r.window_samples == 200 for r in rows)
