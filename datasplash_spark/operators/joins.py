@@ -236,8 +236,10 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, attach the LATEST right row of
     the same key with ``right_on <= left_on`` (``direction=
-    "backward"``, the default) or the EARLIEST right row with
-    ``right_on >= left_on`` (``"forward"``). Left outer — unmatched
+    "backward"``, the default) the EARLIEST right row with
+    ``right_on >= left_on`` (``"forward"``), or whichever of the two
+    is closer in time (``"nearest"``; ties → backward, as in pandas
+    ``merge_asof``). Left outer — unmatched
     left rows keep nulls. Beyond the reference's surface
     (SURVEY §2.9: no time-ordered ops at all); the standard
     time-series primitive (pandas ``merge_asof``, DuckDB ``ASOF
@@ -282,21 +284,49 @@ def asof_join(
         ).alias("_l"),
         F.struct(*rsel).alias("_r"),
     )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     # forward = the same propagation over reversed time; right rows
-    # still order before coincident left rows (inclusive boundary)
-    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
-    w = (
-        Window.partitionBy(*[F.col(n) for n in key_names])
-        .orderBy(t_order, F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # still order before coincident left rows (inclusive boundary);
+    # nearest = both passes over ONE unioned frame, pick by distance
+    # (ties -> backward, matching pandas merge_asof)
+    unioned = l_tagged.unionByName(r_tagged)
+    part = Window.partitionBy(*[F.col(n) for n in key_names])
+    w_back = part.orderBy(F.col("_t").asc(), F.col("_side").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    matched = (
-        l_tagged.unionByName(r_tagged)
-        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+    w_fwd = part.orderBy(F.col("_t").desc(), F.col("_side").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    # carry the right time inside the match so `nearest` can compare
+    rt = F.when(F.col("_side") == 0, F.col("_t"))
+    wrapped = F.when(
+        F.col("_side") == 0, F.struct(rt.alias("_rt"), F.col("_r").alias("_p"))
+    )
+    if direction == "backward":
+        matched = unioned.withColumn(
+            "_match", F.last("_r", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        matched = unioned.withColumn(
+            "_match", F.last("_r", ignorenulls=True).over(w_fwd)
+        )
+    else:
+        both = unioned.withColumn(
+            "_mb", F.last(wrapped, ignorenulls=True).over(w_back)
+        ).withColumn("_mf", F.last(wrapped, ignorenulls=True).over(w_fwd))
+        d_back = F.col("_t") - F.col("_mb._rt")
+        d_fwd = F.col("_mf._rt") - F.col("_t")
+        matched = both.withColumn(
+            "_match",
+            F.when(F.col("_mb").isNull(), F.col("_mf._p"))
+            .when(F.col("_mf").isNull(), F.col("_mb._p"))
+            .when(d_fwd < d_back, F.col("_mf._p"))
+            .otherwise(F.col("_mb._p")),
+        )
+    matched = matched.filter(F.col("_side") == 1)
     out = matched.select(
         "_l.*",
         *[

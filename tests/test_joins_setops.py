@@ -391,3 +391,40 @@ def test_asof_join_forward_matches_pandas(spark):
     )
     got = sorted((r.uid, r.t, r.rv) for r in out.collect())
     assert got == expected
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """direction='nearest' vs pandas merge_asof on tie-free data."""
+    import random
+
+    import pandas as pd
+
+    from datasplash_spark.operators import asof_join
+    from datasplash_spark.sources import generate_input
+
+    rng = random.Random(31)
+    left_rows = sorted({(rng.randrange(1, 4), rng.randrange(0, 500) * 2) for _ in range(30)})
+    right_rows = sorted({(rng.randrange(1, 4), rng.randrange(0, 500) * 2 + 1) for _ in range(20)})
+    lpdf = pd.DataFrame(left_rows, columns=["uid", "t"]).sort_values("t")
+    rpdf = (
+        pd.DataFrame(right_rows, columns=["uid", "t"])
+        .assign(rv=lambda d: d.t * 10)
+        .sort_values("t")
+    )
+    exp = pd.merge_asof(
+        lpdf, rpdf, on="t", by="uid", direction="nearest", suffixes=("", "_r")
+    )
+    expected = sorted(
+        (r.uid, r.t, None if pd.isna(r.rv) else int(r.rv)) for r in exp.itertuples()
+    )
+    ldf = generate_input(spark, sorted(left_rows), "uid bigint, t bigint")
+    rdf = generate_input(
+        spark, [(u, t, t * 10) for u, t in sorted(right_rows)],
+        "uid bigint, t bigint, rv bigint",
+    )
+    out = asof_join(
+        ldf, rdf, on="uid", left_on="t", right_on="t", right_cols=["rv"],
+        direction="nearest",
+    )
+    got = sorted((r.uid, r.t, r.rv) for r in out.collect())
+    assert got == expected
