@@ -370,3 +370,46 @@ def stratified_sample(
         .drop("_frac", "_rk", "_n")
     )
     return out
+
+
+def pivot_table(
+    df: DataFrame,
+    key: ColumnLike,
+    pivot_col: str,
+    agg: Column,
+    values: Sequence | None = None,
+    key_name: str = "key",
+) -> DataFrame:
+    """Pivot (long → wide): one row per ``key``, one column per
+    distinct ``pivot_col`` value, cells = ``agg``. Beyond the
+    reference's surface (no reshaping ops at all).
+
+    Scale note: ALWAYS pass ``values`` at scale — without it Spark
+    runs an extra distinct-collect job over the pivot column to
+    discover the columns (fine ad hoc, a full extra scan at 100 TB).
+    The aggregation itself partial-aggregates like any groupBy.
+    """
+    g = df.groupBy(_col(key).alias(key_name))
+    p = g.pivot(pivot_col, list(values)) if values is not None else g.pivot(pivot_col)
+    return p.agg(agg)
+
+
+def rollup_agg(
+    df: DataFrame,
+    keys: Sequence[ColumnLike],
+    *aggs: Column,
+    cube: bool = False,
+    grouping_id_name: str = "gid",
+) -> DataFrame:
+    """ROLLUP (hierarchical subtotals + grand total) or CUBE (all key
+    subsets) aggregation, with ``grouping_id`` exposed so consumers
+    can tell a real NULL key from a subtotal row. Beyond the
+    reference's surface (SURVEY §2.9: no grouping sets).
+
+    One pass: Spark expands grouping sets inside the aggregate —
+    partial aggregation still applies per set; cost scales with the
+    number of sets (rollup: n+1, cube: 2^n — keep n small at scale).
+    """
+    cols = [_col(k) for k in keys]
+    g = df.cube(*cols) if cube else df.rollup(*cols)
+    return g.agg(F.grouping_id().alias(grouping_id_name), *aggs)

@@ -915,6 +915,56 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per status × priority.
+    Explicit `values` list — no extra distinct-discovery scan."""
+    from .operators import pivot_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = pivot_table(
+        orders, "o_orderstatus", "o_orderpriority",
+        F.count(F.lit(1)), values=prios, key_name="o_orderstatus",
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    return out.withColumnsRenamed(renames)
+
+
+ORACLE_PIVOT = """
+SELECT o_orderstatus,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: (returnflag, linestatus) → per-pair,
+    per-flag, and grand-total sums with grouping_id to disambiguate
+    subtotal rows from genuine NULL keys."""
+    from .operators import rollup_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts (collocations): reuses the shingle
     machinery (distinct word k-grams per doc) → explode → partial-agg
@@ -2176,6 +2226,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rolling_window": (q_rolling_window, ORACLE_ROLLING_WINDOW),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "ngram_counts": (q_ngram_counts, ORACLE_NGRAM_COUNTS),
+    "pivot": (q_pivot, ORACLE_PIVOT),
+    "rollup": (q_rollup, ORACLE_ROLLUP),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
         q_range_join_error_window,

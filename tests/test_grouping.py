@@ -251,3 +251,29 @@ def test_stratified_sample_deterministic_exact_counts(spark):
 
     bern = stratified_sample(df, "grp", {"a": 0.3}, seed=3).collect()
     assert all(r.grp == "a" for r in bern)
+
+
+def test_pivot_and_rollup(spark):
+    from datasplash_spark.operators import pivot_table, rollup_agg
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), ("a", "x", 8)],
+        "k string, p string, v bigint",
+    )
+    piv = {
+        r.key: (r.x, r.y)
+        for r in pivot_table(df, "k", "p", F.sum("v"), values=["x", "y"]).collect()
+    }
+    assert piv == {"a": (9, 2), "b": (4, None)}
+
+    roll = {
+        (r.k, r.p, r.gid): r.s
+        for r in rollup_agg(df, ["k", "p"], F.sum("v").alias("s")).collect()
+    }
+    assert roll[("a", "x", 0)] == 9
+    assert roll[("a", None, 1)] == 11   # subtotal over k='a'
+    assert roll[(None, None, 3)] == 15  # grand total
+    cube = rollup_agg(df, ["k", "p"], F.sum("v").alias("s"), cube=True)
+    assert cube.count() == 8  # 2x2 pairs + 2 k-subtotals + 2... all subsets
