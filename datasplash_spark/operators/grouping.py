@@ -413,3 +413,40 @@ def rollup_agg(
     cols = [_col(k) for k in keys]
     g = df.cube(*cols) if cube else df.rollup(*cols)
     return g.agg(F.grouping_id().alias(grouping_id_name), *aggs)
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """One-pass data profile: per column — row count, non-null count,
+    exact distinct count, min/max (as strings for a uniform schema).
+    The ingest-validation op a pipeline runs on every new batch.
+
+    Single aggregation job: all metrics for all columns compute in
+    one scan; the multi-column exact ``count(DISTINCT ...)`` uses
+    Spark's EXPAND strategy (one shuffle, data duplicated per
+    distinct-column — switch heavy audits to
+    ``approx_count_distinct`` via ``exact_distinct=False`` at 100 TB).
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nonnull"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in names
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -915,6 +915,32 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass ingest profile of the documents table: per-column
+    counts, exact distincts, min/max — the batch-validation op."""
+    from .operators import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+ORACLE_PROFILE = """
+SELECT 'doc_id' AS column, count(*) AS n_rows, count(doc_id) AS n_nonnull,
+       count(DISTINCT doc_id) AS n_distinct,
+       min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(source), count(DISTINCT source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+       min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents
+"""
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide): order counts per status × priority.
     Explicit `values` list — no extra distinct-discovery scan."""
@@ -2227,6 +2253,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "ngram_counts": (q_ngram_counts, ORACLE_NGRAM_COUNTS),
     "pivot": (q_pivot, ORACLE_PIVOT),
+    "profile": (q_profile, ORACLE_PROFILE),
     "rollup": (q_rollup, ORACLE_ROLLUP),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (

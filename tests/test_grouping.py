@@ -277,3 +277,20 @@ def test_pivot_and_rollup(spark):
     assert roll[(None, None, 3)] == 15  # grand total
     cube = rollup_agg(df, ["k", "p"], F.sum("v").alias("s"), cube=True)
     assert cube.count() == 8  # 2x2 pairs + 2 k-subtotals + 2... all subsets
+
+
+def test_profile_table_nulls_and_distincts(spark):
+    from datasplash_spark.operators import profile_table
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x bigint, s string",
+    )
+    got = {r.column: (r.n_rows, r.n_nonnull, r.n_distinct, r.min_value, r.max_value)
+           for r in profile_table(df).collect()}
+    assert got == {
+        "x": (4, 3, 3, "1", "3"),
+        "s": (4, 3, 2, "a", "b"),
+    }
