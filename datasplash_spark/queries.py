@@ -27,6 +27,8 @@ from .pipeline import load_table
 from .functions import similarity as sim
 from .functions import text as tx
 from .operators import (
+    approx_distinct_fn,
+    approx_quantile_fn,
     JoinSpec,
     cogroup_by,
     combine,
@@ -913,6 +915,24 @@ SELECT doc_id,
        md5(array_to_string(t[i * 56 + 1 : i * 56 + 64], ' ')) AS chunk_md5
 FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates per key: HLL distinct + GK median.
+    Deliberately rows-only at the gate (sketch outputs are
+    engine-specific by construction — the exact twins
+    `price_percentiles`/`distinct` carry the value oracle); the
+    sketches partial-aggregate map-side like any combiner, which is
+    their whole point at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return combine_by(
+        li,
+        "l_returnflag",
+        approx_distinct_fn(F.col("l_orderkey")).alias("nd_orders"),
+        approx_quantile_fn(F.col("l_quantity"), [0.5]).getItem(0).alias(
+            "median_qty"
+        ),
+    ).withColumnRenamed("key", "l_returnflag")
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2254,6 +2274,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_counts": (q_ngram_counts, ORACLE_NGRAM_COUNTS),
     "pivot": (q_pivot, ORACLE_PIVOT),
     "profile": (q_profile, ORACLE_PROFILE),
+    "approx_aggs": (q_approx_aggs, None),
     "rollup": (q_rollup, ORACLE_ROLLUP),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (
