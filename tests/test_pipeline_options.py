@@ -57,3 +57,28 @@ def test_options_from_args_routing():
     assert opts.master == "local[2]"
     assert opts.shuffle_partitions == 8
     assert opts.extra_conf == {"spark.sql.adaptive.enabled": "false"}
+
+
+def test_corpus_prep_example_runs(spark, tmp_path):
+    """The shipped corpus-prep example's pipeline stages compose and
+    produce sane counts on sf0.001 (rot guard for examples/)."""
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.pipeline import load_table
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    n0 = docs.count()
+    quality = docs.filter(tx.gopher_quality_pass("text"))
+    exact = quality.join(dd.dedup_exact(quality), on="doc_id", how="left_semi")
+    clusters = dd.dedup_clusters(exact)
+    keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    deduped = exact.join(keep, on="doc_id", how="left_semi")
+    chunks = tx.chunk_documents(deduped, 64, 8)
+    n3, n4 = deduped.count(), chunks.count()
+    assert 0 < n3 <= n0
+    assert n4 >= n3  # every surviving doc yields >= 1 chunk
