@@ -450,3 +450,42 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: "dict[str, float]",
+    id_col: ColumnLike,
+    seed: int = 42,
+    split_name: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): assign each row a
+    split label by ``md5(seed‖id)`` mapped to [0,1) against cumulative
+    weights. Reproducible across runs, engines, and partitionings —
+    what `randomSplit` (sampling-based, partition-dependent) is not —
+    and stable under corpus growth: a document keeps its split forever
+    because the hash depends only on its id.
+
+    Pure Column expression (one scan, no shuffle). Weights must sum
+    to 1 (±1e-9).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 32))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wgt in items[:-1]:
+        acc += wgt
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_name, expr)

@@ -917,6 +917,35 @@ FROM sized CROSS JOIN unnest(range(nc)) AS u(i)
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(seed‖id):
+    reproducible across engines/partitionings (unlike randomSplit) and
+    stable under corpus growth. Gate checks the full per-doc
+    assignment, not just counts."""
+    from .operators import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", seed=13
+    )
+    return out.select("doc_id", "split")
+
+
+ORACLE_HASH_SPLIT = """
+WITH u AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('13' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           / 4294967296.0 AS r
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN r < 0.8 THEN 'train'
+            WHEN r < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates per key: HLL distinct + GK median.
     Deliberately rows-only at the gate (sketch outputs are
@@ -2275,6 +2304,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pivot": (q_pivot, ORACLE_PIVOT),
     "profile": (q_profile, ORACLE_PROFILE),
     "approx_aggs": (q_approx_aggs, None),
+    "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "rollup": (q_rollup, ORACLE_ROLLUP),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
     "range_join_error_window": (

@@ -294,3 +294,29 @@ def test_profile_table_nulls_and_distincts(spark):
         "x": (4, 3, 3, "1", "3"),
         "s": (4, 3, 2, "a", "b"),
     }
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from datasplash_spark.operators import hash_split
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(spark, [(i,) for i in range(2000)], "id bigint")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.id: r.split for r in hash_split(df, w, "id", seed=5).collect()}
+    b = {r.id: r.split for r in hash_split(df, w, "id", seed=5).collect()}
+    assert a == b  # reproducible
+    from collections import Counter
+
+    frac = {k: v / 2000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # stability under growth: adding rows never moves existing ids
+    grown = generate_input(spark, [(i,) for i in range(4000)], "id bigint")
+    c = {r.id: r.split for r in hash_split(grown, w, "id", seed=5).collect()}
+    assert all(c[i] == a[i] for i in a)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.6}, "id")
