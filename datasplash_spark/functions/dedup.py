@@ -534,3 +534,61 @@ def cross_corpus_pairs_partitioned(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for each training document, the
+    number of distinct word ``k``-grams it shares with an evaluation
+    set — the standard pre-training decontamination signal (eval-set
+    n-gram overlap; public methodology from the GPT-3/PaLM/Llama data
+    cards). Returns ``(doc_id, n_shared)``; clean docs don't appear.
+
+    Scale shape: both sides reduce to md5 digests of their distinct
+    k-grams before joining — the shuffle carries 16-byte digests,
+    never text. Benchmarks are ≪ corpus, so the distinct eval-digest
+    set is AQE-broadcast (the 100 TB training side pays no join
+    shuffle); the per-doc count is one partial-agg shuffle on doc_id.
+    """
+    doc_grams = docs.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(shingles(text, k)).alias("_g"),
+    ).select("doc_id", F.md5(F.col("_g")).alias("digest"))
+    eval_grams = (
+        eval_df.select(F.explode(shingles(text, k)).alias("_g"))
+        .select(F.md5(F.col("_g")).alias("digest"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(eval_grams, on="digest")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    k: int = 3,
+    min_hits: int = 1,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Drop training documents that share ≥ ``min_hits`` distinct
+    word k-grams with the evaluation set. LEFT ANTI join on the
+    contaminated-id set — ids only through the final shuffle; with
+    the eval side bounded, AQE broadcasts the contaminated-id list
+    and the corpus passes through in one scan."""
+    bad = (
+        contamination_hits(docs, eval_df, k, text, id_col)
+        .filter(F.col("n_shared") >= int(min_hits))
+        .select(F.col("doc_id").alias("_contaminated_id"))
+    )
+    return docs.join(
+        bad, on=_col(id_col) == F.col("_contaminated_id"), how="left_anti"
+    )

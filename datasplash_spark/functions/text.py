@@ -358,3 +358,107 @@ def unigram_doc_scores(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_
             F.sum("logp_nano").alias("sum_logp_nano"),
         )
     )
+
+
+#: PII-shaped span patterns, applied in this order (each later pattern
+#: sees the already-redacted text). Deliberately RE2-safe AND
+#: Java-regex-identical: no lookarounds, no \b, no top-level
+#: alternation — greedy leftmost matching produces the same spans in
+#: Spark (java.util.regex) and DuckDB (RE2), so the oracle is exact.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}",
+}
+
+
+def pii_counts(text: ColumnLike) -> dict[str, Column]:
+    """Per-category PII match counts over the ORIGINAL text (each
+    category counted independently, before any redaction)."""
+    c = _col(text)
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: ColumnLike, replacement: str = "[PII]") -> Column:
+    """Redact PII-shaped spans (emails, IPv4 addresses, phone-shaped
+    numbers) — the scrubbing pass a training corpus gets before
+    release. A chain of ``regexp_replace`` Column expressions: one
+    scan, whole-stage codegen, no Python. Patterns/order are
+    :data:`PII_PATTERNS`; heuristic by design (real pipelines add NER
+    on top — that would be the Arrow-batched seam, like multimodal).
+    """
+    out = _col(text)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def dedup_lines(text: ColumnLike) -> Column:
+    """Keep the FIRST occurrence of each line, preserving order —
+    within-document repetition removal (the repeated nav/footer/
+    boilerplate lines of scraped pages; complements the corpus-level
+    dedups in :mod:`.dedup`). Pure Column: the higher-order filter
+    keeps line i iff its first-occurrence index is i. O(lines²) per
+    document (bounded small), one scan, no shuffle, no Python.
+
+    DuckDB oracle equivalent:
+    ``list_filter(ln, (x, i) -> list_position(ln, x) = i)``
+    (DuckDB lambda index and ``list_position`` are both 1-based;
+    Spark's filter index is 0-based, hence the ``i + 1``).
+    """
+    ln = doc_lines(text)
+    kept = F.filter(ln, lambda x, i: F.array_position(ln, x) == i + F.lit(1))
+    return F.array_join(kept, "\n")
+
+
+def pack_sequences(
+    df,
+    seq_len: int,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    part: ColumnLike = "source",
+):
+    """Concat-and-split sequence packing PLAN — the pre-training step
+    that concatenates documents into a token stream and splits it
+    into fixed-length training sequences. Assigns every document its
+    half-open token interval ``[start_tok, start_tok + n_tok)`` in
+    its partition's stream (deterministic ``id_col`` order) and the
+    pack holding its first token. Output: ``(doc_id, part, n_tok,
+    start_tok, pack_id, pack_offset)`` — downstream writers slice
+    exact ``seq_len`` sequences from the intervals without
+    re-tokenizing (a doc spans packs ``start_tok // seq_len ..
+    (start_tok + n_tok - 1) // seq_len``).
+
+    Scale: one window cumsum per ``part`` value — parallelism =
+    #partitions. At 100 TB pass a composite part (e.g. source plus a
+    hash-bucket shard column) so no single window sees the whole
+    corpus; packing quality is unaffected because the stream order is
+    an arbitrary concatenation order anyway.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    out = df.select(
+        _col(id_col).alias("doc_id"),
+        _col(part).alias("part"),
+        token_count(text).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        "doc_id",
+        "part",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok"),
+    ).select(
+        "*",
+        F.floor(F.col("start_tok") / seq_len).cast("long").alias("pack_id"),
+        (F.col("start_tok") % seq_len).cast("long").alias("pack_offset"),
+    )

@@ -2253,6 +2253,191 @@ GROUP BY r_name
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval set = every 10th doc (a stand-in
+    benchmark); per-training-doc count of distinct 3-grams shared with
+    it. Digest-join shape: 16-byte md5 digests through the shuffle,
+    eval side distinct + AQE-broadcast, one partial-agg count."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.contamination_hits(train, ev, k=3)
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g.doc_id, count(*) AS n_shared
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 10 <> 0
+GROUP BY g.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: each doc's token interval in
+    its source's stream + the pack (seq_len=512) holding its first
+    token. One window cumsum per source — all-integer, hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.pack_sequences(docs, 512)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id, source AS part,
+         len(string_split(lower(text), ' '))::BIGINT AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, part, n_tok,
+         (sum(n_tok) OVER (PARTITION BY part ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tok)::BIGINT AS start_tok
+  FROM d
+)
+SELECT doc_id, part, n_tok, start_tok,
+       (start_tok // 512)::BIGINT AS pack_id,
+       (start_tok % 512)::BIGINT AS pack_offset
+FROM c
+"""
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing under per-source token budgets: deterministic
+    md5-ordered prefix per stratum until the budget is spent. Gate
+    output = the admitted subset itself (full equality)."""
+    from .operators import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", tx.token_count("text").cast("long")
+    )
+    out = token_budget_sample(
+        docs,
+        "source",
+        {"src1": 700, "src2": 400, "src3": 1000},
+        "n_tok",
+        seed=7,
+    )
+    return out.select("doc_id", "source", "n_tok")
+
+
+ORACLE_TOKEN_BUDGET_MIX = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(lower(text), ' '))::BIGINT AS n_tok
+  FROM documents WHERE source IN ('src1', 'src2', 'src3')
+), c AS (
+  SELECT doc_id, source, n_tok,
+         (sum(n_tok) OVER (PARTITION BY source
+              ORDER BY md5('7' || doc_id::VARCHAR)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+  FROM d
+)
+SELECT doc_id, source, n_tok FROM c
+WHERE cum <= CASE source WHEN 'src1' THEN 700
+                         WHEN 'src2' THEN 400
+                         WHEN 'src3' THEN 1000 END
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: synthesize deterministic PII spans (email, IPv4,
+    phone) onto each doc, then count + redact. Both engines build the
+    identical string and apply the identical RE2-safe patterns, so
+    counts and the redacted-text md5 are bit-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234"),
+    )
+    counts = tx.pii_counts(synth)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(tx.redact_pii(synth)).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_REDACT = """
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR
+              || '@mail.example.com ip 10.0.' || (doc_id % 256)::VARCHAR
+              || '.7 tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || '-1234' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t,
+           '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t,
+           '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+            '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[PII]', 'g'),
+            '\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}', '[PII]', 'g')) AS redacted_md5
+FROM s
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup (boilerplate removal): synthesize a doc
+    with repeated lines (text/lang twice + a tail), keep first
+    occurrences, verify line counts + rededuped-text md5."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.col("lang"),
+        F.col("text"),
+        F.col("lang"),
+        F.lit("tail"),
+    )
+    out_text = tx.dedup_lines(synth)
+    return docs.select(
+        "doc_id",
+        F.size(tx.doc_lines(synth)).cast("long").alias("n_lines_in"),
+        F.size(tx.doc_lines(out_text)).cast("long").alias("n_lines_out"),
+        F.md5(out_text).alias("dedup_md5"),
+    )
+
+
+ORACLE_DEDUP_LINES = """
+WITH s AS (
+  SELECT doc_id,
+         text || chr(10) || lang || chr(10) || text || chr(10) || lang
+              || chr(10) || 'tail' AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ln FROM s
+), d AS (
+  SELECT doc_id, len(ln)::BIGINT AS n_lines_in,
+         list_filter(ln, (x, i) -> list_position(ln, x) = i) AS kept
+  FROM l
+)
+SELECT doc_id, n_lines_in, len(kept)::BIGINT AS n_lines_out,
+       md5(array_to_string(kept, chr(10))) AS dedup_md5
+FROM d
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2314,6 +2499,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gopher_quality": (q_gopher_quality, ORACLE_GOPHER_QUALITY),
     "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
     "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),

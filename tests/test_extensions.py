@@ -489,3 +489,85 @@ def test_audio_chunk_plan(spark):
     starts = sorted(r.start_sample for r in rows)
     assert starts == [0, 100, 200]  # last full-ish window start = 250 clipped to <= total-win
     assert all(r.window_samples == 200 for r in rows)
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    docs = generate_input(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma something else entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = generate_input(
+        spark, [(99, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    hits = {r.doc_id: r.n_shared for r in dd.contamination_hits(docs, ev, k=3).collect()}
+    # doc 1 shares 'alpha beta gamma' and 'beta gamma delta'; doc 3 only the first
+    assert hits == {1: 2, 3: 1}
+    kept = {r.doc_id for r in dd.decontaminate(docs, ev, k=3, min_hits=2).collect()}
+    assert kept == {2, 3}
+    kept1 = {r.doc_id for r in dd.decontaminate(docs, ev, k=3, min_hits=1).collect()}
+    assert kept1 == {2}
+
+
+def test_pii_redact_and_counts(spark):
+    from datasplash_spark.functions.text import pii_counts, redact_pii
+
+    df = generate_input(
+        spark,
+        [(1, "mail me at bob@example.com or 10.1.2.3 tel +555-123-4567 ok")],
+        "doc_id bigint, text string",
+    )
+    c = pii_counts("text")
+    row = df.select(
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p"),
+        redact_pii("text").alias("r"),
+    ).collect()[0]
+    assert (row.e, row.i, row.p) == (1, 1, 1)
+    assert "bob@example.com" not in row.r
+    assert "10.1.2.3" not in row.r
+    assert "555-123-4567" not in row.r
+    assert row.r.count("[PII]") == 3
+    assert row.r.endswith(" ok")
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from datasplash_spark.functions.text import dedup_lines
+
+    df = generate_input(
+        spark,
+        [(1, "nav\nbody one\nnav\nbody two\nfooter\nfooter")],
+        "doc_id bigint, text string",
+    )
+    out = df.select(dedup_lines("text").alias("t")).collect()[0].t
+    assert out == "nav\nbody one\nbody two\nfooter"
+
+
+def test_pack_sequences_intervals(spark):
+    from datasplash_spark.functions.text import pack_sequences
+
+    df = generate_input(
+        spark,
+        [
+            (1, "a b c", "s"),       # 3 tokens -> [0, 3)
+            (2, "d e", "s"),         # 2 tokens -> [3, 5)
+            (3, "f g h i j k", "s"), # 6 tokens -> [5, 11)
+            (4, "x y", "t"),         # separate stream -> [0, 2)
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.part, r.n_tok, r.start_tok, r.pack_id, r.pack_offset)
+        for r in pack_sequences(df, seq_len=4).collect()
+    }
+    assert got == {
+        1: ("s", 3, 0, 0, 0),
+        2: ("s", 2, 3, 0, 3),
+        3: ("s", 6, 5, 1, 1),
+        4: ("t", 2, 0, 0, 0),
+    }
+    with pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)

@@ -320,3 +320,32 @@ def test_hash_split_deterministic_and_proportional(spark):
 
     with _pytest.raises(ValueError):
         hash_split(df, {"a": 0.5, "b": 0.6}, "id")
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    from datasplash_spark.operators import token_budget_sample
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [(i, "a" if i % 2 == 0 else "b", 10) for i in range(100)],
+        "doc_id bigint, src string, n_tok bigint",
+    )
+    out = token_budget_sample(df, "src", {"a": 100, "b": 35}, "n_tok", seed=3)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.doc_id)
+    # budgets respected exactly: 10 tokens/row -> 10 rows of a, 3 of b
+    assert len(by_src["a"]) == 10
+    assert len(by_src["b"]) == 3
+    # deterministic: same seed -> same subset; different seed -> (almost
+    # surely) different subset
+    again = {r.doc_id for r in token_budget_sample(
+        df, "src", {"a": 100, "b": 35}, "n_tok", seed=3).collect()}
+    assert again == {r.doc_id for r in rows}
+    other = {r.doc_id for r in token_budget_sample(
+        df, "src", {"a": 100, "b": 35}, "n_tok", seed=4).collect()}
+    assert other != again
+    # strata without a budget are dropped entirely
+    assert not {r.src for r in rows} - {"a", "b"}
