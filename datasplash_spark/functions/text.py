@@ -462,3 +462,71 @@ def pack_sequences(
         F.floor(F.col("start_tok") / seq_len).cast("long").alias("pack_id"),
         (F.col("start_tok") % seq_len).cast("long").alias("pack_offset"),
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+):
+    """Okapi BM25 retrieval scores for one query over the corpus —
+    the classic inverted-index ranking function (Robertson & Zaragoza
+    2009), with the Lucene-style non-negative IDF
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Returns one row per
+    matching document: ``(doc_id, n_matched, score_nano)`` where
+    ``score_nano`` is the BIGINT fixed-point score (each per-term
+    contribution rounded to nano before summing, so the sum is
+    order-independent and cross-engine exact — same idiom as
+    :func:`unigram_doc_scores`). Convert at the edge:
+    ``score_nano / 1e9``.
+
+    Scale shape (all relational, no Python):
+
+    - tf table: explode → one partial-agg shuffle on (doc, term);
+      document lengths fall out of the same exploded scan.
+    - the query is a literal handful of terms — the inner join on
+      term is an AQE broadcast that prunes the tf table to matching
+      postings BEFORE the per-doc shuffle (an inverted-index probe:
+      work is proportional to postings of the query terms, not the
+      corpus).
+    - df/N/avgdl are vocabulary-sized or single-row aggregates,
+      joined as broadcasts.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    q = df.sparkSession.createDataFrame(
+        [(str(t),) for t in query_terms], "term string"
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib_nano = F.round(idf * tf_norm * 1e9).cast("long")
+    return (
+        tf.join(F.broadcast(q), on="term")
+        .join(dfreq, on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib_nano.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("_c").alias("score_nano"),
+        )
+    )
