@@ -592,3 +592,76 @@ def decontaminate(
     return docs.join(
         bad, on=_col(id_col) == F.col("_contaminated_id"), how="left_anti"
     )
+
+
+def token_windows(text: ColumnLike, k: int = 8) -> Column:
+    """Positional (non-distinct) word k-token windows — every
+    consecutive run of ``k`` tokens, in order, duplicates kept.
+    Unlike :func:`shingles` (a distinct *set* for MinHash), these are
+    the occurrence-level units for exact repeated-substring detection
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a window that occurs twice anywhere in the corpus marks
+    a repeated span. Texts shorter than ``k`` tokens yield the single
+    full-token join."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def repeated_window_counts(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide occurrence counts of token k-windows:
+    ``(window_md5, n_occurrences)`` for windows occurring more than
+    once. The 100 TB shape: windows hash to 16-byte md5 digests
+    *before* the shuffle (digests move, text doesn't), counting is a
+    partial+final HashAggregate, and the >1 filter drops the unique
+    long tail (the overwhelming majority) before anything downstream.
+    """
+    wins = df.select(
+        F.explode(token_windows(text, k)).alias("w")
+    ).select(F.md5("w").alias("window_md5"))
+    return (
+        wins.groupBy("window_md5")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document exact-repetition profile against the whole corpus:
+    ``doc_id, n_windows, n_dup_windows`` where a window is *dup* when
+    its k-token text occurs >1 time corpus-wide (cross- or intra-doc).
+    Trainers drop or trim docs with high ``n_dup_windows/n_windows``.
+
+    Two digest-keyed shuffles: count windows globally, then a
+    digest↔digest LEFT JOIN back to per-doc windows (AQE broadcasts
+    the duplicated-window side when it is small, the common case after
+    the >1 filter) and a per-doc re-aggregation. Documents themselves
+    never shuffle — only 16-byte digests and ids."""
+    wins = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(token_windows(text, k)).alias("w"),
+    ).select("doc_id", F.md5("w").alias("window_md5"))
+    dup = repeated_window_counts(df, text, id_col, k).select(
+        "window_md5", F.lit(1).alias("_dup")
+    )
+    return (
+        wins.join(dup, "window_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
+    )

@@ -152,12 +152,16 @@ def make_session(options: PipelineOptions | None = None) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; read it as raw nanos
-    (``nanosAsLong``) and convert to a proper TimestampType column
-    (micros) so event-time windowing works unchanged.
+    ``events.parquet``'s ``ts`` column has shipped with two parquet
+    physical types across driver testdata generations: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read as raw nanos via
+    ``nanosAsLong`` and convert) and TIMESTAMP(MICROS, NTZ) (which
+    Spark reads as TIMESTAMP_NTZ — a type that refuses numeric casts
+    and differs from what window/epoch arithmetic expects). Both are
+    normalized to session-zone TimestampType; the session runs UTC
+    (`make_session`), so NTZ→LTZ changes no values.
 
-    NOTE: ``nanosAsLong`` stays set on the session afterwards — the
+    NOTE: ``nanosAsLong`` stays set on the session afterwards — a NANOS
     events scan consults it at *execution* time, so it cannot be
     restored eagerly. Session-wide effect: other TIMESTAMP(NANOS)
     parquet columns will read as bigint instead of erroring. No other
@@ -167,8 +171,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

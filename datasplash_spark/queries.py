@@ -2438,6 +2438,33 @@ FROM d
 """
 
 
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring profile (Lee et al. window dedup):
+    per-doc count of 8-token windows that occur >1 time corpus-wide.
+    Windows hash to md5 digests before any shuffle; the duplicated
+    set is filtered to the >1 survivors before the join back."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.repetition_stats(docs, k=8)
+
+
+ORACLE_REPEATED_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                i -> md5(array_to_string(t[i:i+7], ' ')))) AS w
+  FROM toks
+), cnt AS (
+  SELECT w, count(*) AS c FROM wins GROUP BY w
+)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       count(CASE WHEN c > 1 THEN 1 END)::BIGINT AS n_dup_windows
+FROM wins JOIN cnt USING (w)
+GROUP BY doc_id
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2504,6 +2531,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
+    "repeated_ngrams": (q_repeated_ngrams, ORACLE_REPEATED_NGRAMS),
     "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),

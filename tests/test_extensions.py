@@ -546,6 +546,27 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     assert out == "nav\nbody one\nbody two\nfooter"
 
 
+def test_repetition_stats_counts_cross_and_intra_doc_windows(spark):
+    # k=2 windows; "a b" occurs in docs 1 and 2 (cross-doc dup),
+    # "x x" occurs twice inside doc 3 (intra-doc dup), everything
+    # else is unique. Short doc 4 yields its single full-text window.
+    docs = generate_input(
+        spark,
+        [
+            (1, "a b c"),        # windows: "a b", "b c"
+            (2, "a b d"),        # windows: "a b", "b d"
+            (3, "x x x"),        # windows: "x x", "x x"
+            (4, "solo"),         # shorter than k -> one window "solo"
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in dd.repetition_stats(docs, k=2).collect()
+    }
+    assert rows == {1: (2, 1), 2: (2, 1), 3: (2, 2), 4: (1, 0)}
+
+
 def test_pack_sequences_intervals(spark):
     from datasplash_spark.functions.text import pack_sequences
 

@@ -202,6 +202,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "dedup_cross_corpus",
         "side_input_filter",
         "frequencies_by",
+        "repeated_ngrams",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
