@@ -59,6 +59,10 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # isolation: queries that persist intermediates (LSH banded
+        # tables, object-mode side-output routing) would otherwise
+        # leak storage memory into later timings
+        spark.catalog.clearCache()
 
     # a partially-failing run must not read as a faster full run:
     # failures are named, and the headline value is poisoned

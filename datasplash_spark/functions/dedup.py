@@ -405,6 +405,7 @@ def dedup_clusters(
     materialize_dir: str | None = None,
     buckets: int = 32,
     algorithm: str = "hash-min",
+    cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: the step after candidate pairs in a
     real corpus-dedup pipeline. LSH candidate pairs → connected
@@ -437,7 +438,7 @@ def dedup_clusters(
         raise ValueError(f"unknown algorithm {algorithm!r}; use hash-min | star")
     pairs = lsh_candidate_pairs(
         df, text, id_col, num_hashes, bands, k, seed,
-        materialize_dir=materialize_dir, buckets=buckets,
+        materialize_dir=materialize_dir, buckets=buckets, cache=cache,
     )
     comps = cc[algorithm](pairs, "doc_a", "doc_b")
     return cluster_assignments(df, comps, id_col)
@@ -614,7 +615,6 @@ def token_windows(text: ColumnLike, k: int = 8) -> Column:
 def repeated_window_counts(
     df: DataFrame,
     text: ColumnLike = "text",
-    id_col: ColumnLike = "doc_id",
     k: int = 8,
 ) -> DataFrame:
     """Corpus-wide occurrence counts of token k-windows:
@@ -654,7 +654,7 @@ def repetition_stats(
         _col(id_col).alias("doc_id"),
         F.explode(token_windows(text, k)).alias("w"),
     ).select("doc_id", F.md5("w").alias("window_md5"))
-    dup = repeated_window_counts(df, text, id_col, k).select(
+    dup = repeated_window_counts(df, text, k).select(
         "window_md5", F.lit(1).alias("_dup")
     )
     return (

@@ -10,6 +10,20 @@ without a schema, so this module provides the Layer 1 escape hatch
 column, with the ParDo/combine/join family implemented via
 Arrow-batched ``mapInPandas`` / ``applyInPandas``.
 
+**Operator fusion.** Chained element-wise transforms (map / mapcat /
+filter / keep / with_keys / timestamp routing) do NOT each become a
+``mapInPandas`` node — that would pay one JVM↔Arrow↔Python round
+trip over the full data per operator. Instead a ``PCollection`` holds
+a *pending stage list* and materializes exactly one Python pass per
+fusion barrier (shuffle, multi-output routing, partition-fn, sink) —
+the same producer-consumer fusion Beam runners apply to ParDo chains
+(Dataflow's "fusion optimization"). Keyed entry points fuse further:
+``combine_by`` folds the pending stages *and* the partial-reduce into
+the single pre-shuffle pass, and ``group_by_key``/``cogroup_by`` fold
+them into the key-extraction pass, so a typical
+``from_dataframe → mapcat → map → combine_by`` pipeline is exactly
+two Python passes (one per shuffle side) instead of six.
+
 Semantics parity notes:
 
 - ``keep`` drops only ``None`` (falsey-but-not-nil survive,
@@ -17,9 +31,9 @@ Semantics parity notes:
 - ``combine_by`` uses the reference's 4-phase combiner contract
   (init/reduce/merge/extract, core.clj:722-774 +
   ClojureCombineFn.java:32-44) with REAL partial aggregation: a
-  per-batch reduce before the shuffle, then a merge+extract after —
-  the same combiner lifting Beam does, so the shuffle carries one
-  accumulator per (key, batch), not every element.
+  per-partition reduce before the shuffle, then a merge+extract
+  after — the same combiner lifting Beam does, so the shuffle
+  carries one accumulator per (key, partition), not every element.
 - Keys are canonicalized (dicts → sorted tuples) before pickling so
   equal keys are byte-equal shuffle keys.
 - ``side_input`` broadcasts a collected pcoll into worker closures
@@ -118,9 +132,73 @@ def _route(result, inherited_ts=None):
             yield tag, ts, ent
 
 
+#: a fused stage: (value, inherited_ts) → iterable of ParDo results
+#: (plain values / MultiResult / TimeStamped). The ts argument exists
+#: for metadata accessors (``timestamps``); ordinary transforms ignore
+#: it — outputs inherit the input element's timestamp, Beam ParDo
+#: semantics, unless a ``with_timestamp`` wrapper overrides.
+_Stage = Callable[[object, object], Iterable]
+
+
+def _apply_stages(stages: tuple, i: int, val, ts, out: list) -> None:
+    """Run one element through the fused stage chain, appending
+    (leaf, ts) results to ``out``. MultiResult here — i.e. without
+    declared side_outputs — is an error, as in Beam (an undeclared
+    TupleTag)."""
+    if i == len(stages):
+        out.append((val, ts))
+        return
+    for res in stages[i](val, ts):
+        if isinstance(res, (MultiResult, TimeStamped)):
+            for tag, ts2, leaf in _route(res, ts):
+                if tag is not None:
+                    raise ValueError(
+                        f"side-output tag {tag!r} emitted without "
+                        "declared side_outputs"
+                    )
+                _apply_stages(stages, i + 1, leaf, ts2, out)
+        else:
+            _apply_stages(stages, i + 1, res, ts, out)
+
+
+def _each_batch_fn(decode, stages):
+    """Build a worker-side generator: Arrow batches → one list of
+    (value, ts) per batch, pending stages applied. Standalone (not a
+    bound method) so closures ship only ``decode``/``stages`` — never
+    the PCollection (whose DataFrame drags the driver SparkContext)."""
+
+    def gen(batches) -> Iterator[list]:
+        for b in batches:
+            buf: list = []
+            for val, ts in decode(b):
+                _apply_stages(stages, 0, val, ts, buf)
+            yield buf
+
+    return gen
+
+
+def _decode_binary(b) -> Iterator[tuple]:
+    """Default batch decoder: the canonical pickled value column."""
+    for raw in b["value"]:
+        yield _loads_elem(raw)
+
+
+def _decode_records(b) -> Iterator[tuple]:
+    """Typed-DataFrame entry decoder: rows → plain dicts, no pickle
+    round-trip (fused into the first materialized pass)."""
+    for rec in b.to_dict("records"):
+        yield rec, None
+
+
 def _canon(v):
     """Normalize to a deterministic structure so equal keys pickle to
-    equal bytes (dict iteration order, sets)."""
+    equal bytes (dict iteration order, sets, cross-type numeric
+    equality: Python has ``False == 0 == 0.0`` and dict keys unify
+    them, so the shuffle key must too)."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
     if isinstance(v, dict):
         # sort by repr: dict keys may mix incomparable types (ragged
         # Clojure-style values are object mode's whole reason to exist)
@@ -141,6 +219,35 @@ def _canon(v):
 
 def _key_bytes(k) -> bytes:
     return _dumps(_canon(k))
+
+
+class _KeyBytes:
+    """Per-partition memo for :func:`_key_bytes`: hashable keys (the
+    overwhelmingly common case — strings, ints, tuples) pay one
+    canonicalize+pickle per DISTINCT key instead of per element;
+    unhashable keys (dicts, sets) fall through to the direct path.
+    Python-equal keys of different types (``True``/``1``) memo to the
+    same bytes because :func:`_canon` normalizes numerics the same
+    way dict hashing unifies them."""
+
+    __slots__ = ("cache",)
+
+    def __init__(self):
+        self.cache: dict = {}
+
+    def __call__(self, k) -> bytes:
+        try:
+            kb = self.cache.get(k)
+            if kb is None:
+                kb = self.cache[k] = _key_bytes(k)
+            return kb
+        except TypeError:  # unhashable key
+            return _key_bytes(k)
+
+
+#: canonical pickled bytes of a nil key — nil-key routing in cogroup
+#: is a RELATIONAL filter on this constant, not a Python pass
+_NIL_KEY = _key_bytes(None)
 
 
 @dataclass
@@ -206,10 +313,17 @@ def _is_empty(x) -> bool:
 
 class PCollection:
     """A distributed collection of arbitrary Python values, backed by
-    a one-column (``value: binary``) DataFrame."""
+    a one-column (``value: binary``) DataFrame plus a pending list of
+    fused element-wise stages (see module docstring)."""
 
-    def __init__(self, df: DataFrame):
-        self.df = df
+    def __init__(self, df: DataFrame, _decode=None, _stages: tuple = ()):
+        self._base = df
+        self._decode = _decode if _decode is not None else _decode_binary
+        self._stages = tuple(_stages)
+        # already-canonical frames need no materialization pass
+        self._mat = (
+            df if self._decode is _decode_binary and not self._stages else None
+        )
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -223,57 +337,93 @@ class PCollection:
         return cls(df)
 
     @classmethod
-    def from_dataframe(cls, df: DataFrame) -> "PCollection":
-        """Rows become plain dicts (column → value)."""
-        import pandas as pd
+    def from_dataframe(
+        cls, df: DataFrame, rebalance: int | bool | None = None
+    ) -> "PCollection":
+        """Rows become plain dicts (column → value). Lazy: the
+        conversion fuses into the first materialized Python pass.
 
-        def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                yield pd.DataFrame(
-                    {"value": [_dumps(rec) for rec in b.to_dict("records")]}
-                )
+        ``rebalance`` — parallelism for the Python stages that follow
+        (the slow path: every downstream element-wise op is Python).
+        Default ``None`` round-robin-repartitions to the session's
+        default parallelism when the input has fewer partitions — the
+        rebalancing a Beam runner applies before a fused ParDo chain
+        (a one-partition parquet file would otherwise run the whole
+        Python pipeline on one core). Pass ``False`` to keep the
+        input layout, or an int for an explicit partition count."""
+        if rebalance is None:
+            target = df.sparkSession.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
+        elif rebalance:
+            df = df.repartition(int(rebalance))
+        return cls(df, _decode=_decode_records)
 
-        return cls(df.mapInPandas(conv, schema=_VALUE_SCHEMA))
+    @property
+    def df(self) -> DataFrame:
+        """The canonical pickled-value frame; materializes (and
+        memoizes) any pending fused stages as ONE ``mapInPandas``."""
+        if self._mat is None:
+            import pandas as pd
+
+            decode, stages = self._decode, self._stages
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for b in batches:
+                    buf: list = []
+                    for val, ts in decode(b):
+                        _apply_stages(stages, 0, val, ts, buf)
+                    yield pd.DataFrame(
+                        {"value": [_dumps(_wrap_ts(v, t)) for v, t in buf]}
+                    )
+
+            self._mat = self._base.mapInPandas(run, schema=_VALUE_SCHEMA)
+            self._decode, self._stages = _decode_binary, ()
+            self._base = self._mat
+        return self._mat
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._base.sparkSession
+
+    def _elem(self, stage: _Stage) -> "PCollection":
+        """Append one fused element-wise stage (no Spark node yet)."""
+        return PCollection(self._base, self._decode, self._stages + (stage,))
+
+    @property
+    def _each_batch(self):
+        """Worker-side generator factory (see :func:`_each_batch_fn`):
+        yields one (value, ts) list per input Arrow batch — barriers
+        with no cross-batch state emit per batch so partition output
+        never accumulates in memory. Safe to close over (captures only
+        decode + stages, not ``self``)."""
+        return _each_batch_fn(self._decode, self._stages)
+
+    @property
+    def _each(self):
+        """Element-stream variant of :meth:`_each_batch`."""
+        per_batch = _each_batch_fn(self._decode, self._stages)
+
+        def gen(batches) -> Iterator[tuple]:
+            for buf in per_batch(batches):
+                yield from buf
+
+        return gen
 
     # --------------------------------------------------------- elementwise
-    def _map_batches(self, per_value: Callable[[object], Iterable]) -> "PCollection":
-        """Element-wise core: unwraps timestamp metadata, routes
-        TimeStamped results, propagates inherited timestamps (Beam
-        ParDo semantics: outputs keep the input element's timestamp
-        unless ``with_timestamp`` overrides it). MultiResult here —
-        i.e. without declared side_outputs — is an error, as in Beam
-        (an undeclared TupleTag)."""
-        import pandas as pd
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                out = []
-                for raw in b["value"]:
-                    val, in_ts = _loads_elem(raw)
-                    for res in per_value(val):
-                        for tag, ts, leaf in _route(res, in_ts):
-                            if tag is not None:
-                                raise ValueError(
-                                    f"side-output tag {tag!r} emitted without "
-                                    "declared side_outputs"
-                                )
-                            out.append(_dumps(_wrap_ts(leaf, ts)))
-                yield pd.DataFrame({"value": out})
-
-        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
-
     _TAGGED_SCHEMA = "tag string, value binary"
 
     def _map_batches_multi(
         self, per_value: Callable[[object], Iterable], tags: list
     ) -> dict:
         """Multi-output ParDo (core.clj:573-580): ONE pass over the
-        input routes every result leaf to its tag; untagged leaves go
-        to the main output = first of the SORTED tags (core.clj:245).
-        The tagged intermediate is persisted MEMORY_AND_DISK so the
-        per-tag filters don't recompute the upstream once per tag
-        (Beam's PCollectionTuple computes once by construction; caller
-        owns ``.unpersist()`` via any returned pcoll's ``.df``)."""
+        input (pending stages fused in) routes every result leaf to
+        its tag; untagged leaves go to the main output = first of the
+        SORTED tags (core.clj:245). The tagged intermediate is
+        persisted MEMORY_AND_DISK so the per-tag filters don't
+        recompute the upstream once per tag (Beam's PCollectionTuple
+        computes once by construction; caller owns ``.unpersist()``
+        via any returned pcoll's ``.df``)."""
         import pandas as pd
 
         from pyspark import StorageLevel
@@ -281,12 +431,12 @@ class PCollection:
         tag_strs = [str(t) for t in tags]
         main = sorted(tag_strs)[0]
         declared = set(tag_strs)
+        each_batch = self._each_batch
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
+            for buf in each_batch(batches):
                 out_tags, out_vals = [], []
-                for raw in b["value"]:
-                    val, in_ts = _loads_elem(raw)
+                for val, in_ts in buf:
                     for res in per_value(val):
                         for tag, ts, leaf in _route(res, in_ts):
                             tag = main if tag is None else str(tag)
@@ -299,7 +449,7 @@ class PCollection:
                             out_vals.append(_dumps(_wrap_ts(leaf, ts)))
                 yield pd.DataFrame({"tag": out_tags, "value": out_vals})
 
-        tagged = self.df.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
+        tagged = self._base.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         return {
@@ -314,26 +464,26 @@ class PCollection:
         results, nestable as in the reference."""
         if side_outputs is not None:
             return self._map_batches_multi(lambda v: (f(v),), side_outputs)
-        return self._map_batches(lambda v: (f(v),))
+        return self._elem(lambda v, _ts, f=f: (f(v),))
 
     def mapcat(self, f: Callable, side_outputs: list | None = None):
         """``mapcat`` (core.clj:647-659): f returns an iterable."""
         if side_outputs is not None:
             return self._map_batches_multi(f, side_outputs)
-        return self._map_batches(f)
+        return self._elem(lambda v, _ts, f=f: f(v))
 
     def filter(self, pred: Callable) -> "PCollection":
         """``filter`` (core.clj:661-674): truthy predicate keeps."""
-        return self._map_batches(lambda v: (v,) if pred(v) else ())
+        return self._elem(lambda v, _ts, p=pred: (v,) if p(v) else ())
 
     def keep(self, f: Callable) -> "PCollection":
         """``keep`` (core.clj:676-691): drop None results ONLY."""
 
-        def run(v):
+        def run(v, _ts, f=f):
             r = f(v)
             return () if r is None else (r,)
 
-        return self._map_batches(run)
+        return self._elem(run)
 
     def map_partitions(
         self,
@@ -361,7 +511,8 @@ class PCollection:
 
         Results may be :func:`side_outputs` / :func:`with_timestamp`
         wrapped; with ``side_outputs`` declared, returns a dict
-        tag → PCollection."""
+        tag → PCollection. Pending element-wise stages fuse into the
+        same pass (they feed the iterator)."""
         import pandas as pd
 
         def lifecycle(values: Iterator) -> Iterator:
@@ -381,11 +532,12 @@ class PCollection:
             # whole partition through the router as one result stream
             return self._multi_from_partitions(lifecycle, side_outputs)
 
+        each = self._each
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             def values() -> Iterator:
-                for b in batches:
-                    for raw in b["value"]:
-                        yield _loads_elem(raw)[0]
+                for v, _ts in each(batches):
+                    yield v
 
             out = []
             for r in lifecycle(values()):
@@ -398,7 +550,7 @@ class PCollection:
                     out.append(_dumps(_wrap_ts(leaf, ts)))
             yield pd.DataFrame({"value": out})
 
-        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
+        return PCollection(self._base.mapInPandas(run, schema=_VALUE_SCHEMA))
 
     def _multi_from_partitions(self, per_partition: Callable, tags: list) -> dict:
         import pandas as pd
@@ -408,12 +560,12 @@ class PCollection:
         tag_strs = [str(t) for t in tags]
         main = sorted(tag_strs)[0]
         declared = set(tag_strs)
+        each = self._each
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             def values() -> Iterator:
-                for b in batches:
-                    for raw in b["value"]:
-                        yield _loads_elem(raw)[0]
+                for v, _ts in each(batches):
+                    yield v
 
             out_tags, out_vals = [], []
             for res in per_partition(values()):
@@ -428,7 +580,7 @@ class PCollection:
                     out_vals.append(_dumps(_wrap_ts(leaf, ts)))
             yield pd.DataFrame({"tag": out_tags, "value": out_vals})
 
-        tagged = self.df.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
+        tagged = self._base.mapInPandas(run, schema=self._TAGGED_SCHEMA).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         return {
@@ -454,38 +606,45 @@ class PCollection:
 
     def timestamps(self) -> "PCollection":
         """→ pcoll of (timestamp, value) pairs; None for elements that
-        never got a timestamp (the Beam ``timestamp`` accessor)."""
-        import pandas as pd
-
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                out = []
-                for raw in b["value"]:
-                    val, ts = _loads_elem(raw)
-                    out.append(_dumps((ts, val)))
-                yield pd.DataFrame({"value": out})
-
-        return PCollection(self.df.mapInPandas(run, schema=_VALUE_SCHEMA))
+        never got a timestamp (the Beam ``timestamp`` accessor). The
+        pair itself carries no timestamp metadata."""
+        return self._elem(lambda v, ts: (TimeStamped(None, (ts, v)),))
 
     # ------------------------------------------------------------- keyed
     def with_keys(self, key_fn: Callable) -> "PCollection":
         """``with-keys`` (core.clj:903-924): → pcoll of (k, v) pairs."""
-        return self.map(lambda v, key_fn=key_fn: (key_fn(v), v))
+        return self._elem(lambda v, _ts, kf=key_fn: ((kf(v), v),))
 
     def _to_kv(self) -> DataFrame:
-        """(k, v) pairs → two binary columns (canonical key bytes)."""
+        """(k, v) pairs → two binary columns (canonical key bytes);
+        pending stages fuse into the same pass. Grouping drops any
+        element timestamp, as Beam's GBK window/ts semantics are
+        handled separately."""
         import pandas as pd
 
+        each_batch = self._each_batch
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
+            kb = _KeyBytes()
+            for buf in each_batch(batches):
                 keys, vals = [], []
-                for raw in b["value"]:
-                    k, v = _loads_elem(raw)[0]  # grouping drops element ts
-                    keys.append(_key_bytes(k))
+                for pair, _ts in buf:
+                    k, v = pair
+                    keys.append(kb(k))
                     vals.append(_dumps((k, v)))
                 yield pd.DataFrame({"key": keys, "value": vals})
 
-        return self.df.mapInPandas(run, schema=_KV_SCHEMA)
+        return self._base.mapInPandas(run, schema=_KV_SCHEMA)
+
+    def _grouped(self, kv: DataFrame):
+        """``groupBy("key")`` with the partitioning pinned: AQE's
+        byte-based shuffle coalescing would squeeze a small-but-
+        Python-hot grouped stage onto one core (object-mode group
+        handlers are CPU-bound, not IO-bound). The explicit hash
+        repartition satisfies the groupBy's clustering requirement, so
+        no second Exchange is added."""
+        n = kv.sparkSession.sparkContext.defaultParallelism
+        return kv.repartition(n, "key").groupBy("key")
 
     def group_by_key(self) -> "PCollection":
         """``group-by-key`` (core.clj:926-935): pcoll of (k, v) →
@@ -508,7 +667,7 @@ class PCollection:
 
         kv = self._to_kv()
         return PCollection(
-            kv.groupBy("key").applyInPandas(assemble, schema=_VALUE_SCHEMA)
+            self._grouped(kv).applyInPandas(assemble, schema=_VALUE_SCHEMA)
         )
 
     def group_by(self, key_fn: Callable) -> "PCollection":
@@ -517,23 +676,28 @@ class PCollection:
 
     def combine_globally(self, f, without_defaults: bool = False) -> "PCollection":
         """``combine :global`` (core.clj:1882-1913): → singleton pcoll.
-        Partial-reduce per batch, final merge of the (tiny) partials.
+        Partial-reduce per partition (pending stages fused into the
+        same pass), final merge of the (tiny) partials.
 
         Empty input emits ``extract(init())`` when the combiner has an
         init phase (Beam's default-output behavior; cf. mean-fn → 0,
         core.clj:2012) unless ``without_defaults`` (core.clj:1869-1870)
         — combiners with no init stay empty either way."""
-        fn = CombineFn.of(f)
-
-        def partial(values: Iterator) -> Iterable:
-            acc = _EMPTY
-            for v in values:
-                acc = fn.reduce(acc, v)
-            return () if _is_empty(acc) else (("__global__", acc),)
-
-        partials = self.map_partitions(partial)
-
         import pandas as pd
+
+        fn = CombineFn.of(f)
+        each = self._each
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = _EMPTY
+            for v, _ts in each(batches):
+                acc = fn.reduce(acc, v)
+            if not _is_empty(acc):
+                yield pd.DataFrame(
+                    {"key": [b"g"], "value": [_dumps(("__global__", acc))]}
+                )
+
+        partials = self._base.mapInPandas(partial, schema=_KV_SCHEMA)
 
         def final(pdf: pd.DataFrame) -> pd.DataFrame:
             acc = _EMPTY
@@ -542,10 +706,9 @@ class PCollection:
                 acc = fn.merge(acc, a)
             return pd.DataFrame({"value": [_dumps(fn.extract(acc))]})
 
-        kv = partials._to_kv()
-        result = kv.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
+        result = partials.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
         if not without_defaults and fn.initf is not None:
-            spark = self.df.sparkSession
+            spark = self._base.sparkSession
             default = spark.createDataFrame(
                 [(_dumps(fn.extract(fn.init())),)], schema=_VALUE_SCHEMA
             )
@@ -560,31 +723,34 @@ class PCollection:
     def combine_by(self, key_fn: Callable, f) -> "PCollection":
         """``combine-by`` (core.clj:1915-1946): per-key combine with
         Beam-style combiner lifting — reduce to one accumulator per
-        (key, batch) BEFORE the shuffle (ClojureCombineFn.java:32-38),
+        (key, partition) BEFORE the shuffle (ClojureCombineFn.java:
+        32-38; pending element-wise stages fuse into the same pass),
         merge + extract after. Output: pcoll of (k, out)."""
-        fn = CombineFn.of(f)
         import pandas as pd
 
-        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                accs: dict[bytes, object] = {}
-                reprs: dict[bytes, object] = {}
-                for raw in b["value"]:
-                    v = _loads_elem(raw)[0]
-                    k = key_fn(v)
-                    kb = _key_bytes(k)
-                    accs[kb] = fn.reduce(accs.get(kb, _EMPTY), v)
-                    reprs[kb] = k
-                yield pd.DataFrame(
-                    {
-                        "key": list(accs.keys()),
-                        "value": [
-                            _dumps((reprs[kb], acc)) for kb, acc in accs.items()
-                        ],
-                    }
-                )
+        fn = CombineFn.of(f)
+        each = self._each
 
-        partials = self.df.mapInPandas(partial, schema=_KV_SCHEMA)
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            accs: dict[bytes, object] = {}
+            reprs: dict[bytes, object] = {}
+            kb_of = _KeyBytes()
+            for v, _ts in each(batches):
+                k = key_fn(v)
+                kb = kb_of(k)
+                accs[kb] = fn.reduce(accs.get(kb, _EMPTY), v)
+                if kb not in reprs:
+                    reprs[kb] = k
+            yield pd.DataFrame(
+                {
+                    "key": list(accs.keys()),
+                    "value": [
+                        _dumps((reprs[kb], acc)) for kb, acc in accs.items()
+                    ],
+                }
+            )
+
+        partials = self._base.mapInPandas(partial, schema=_KV_SCHEMA)
 
         def final(pdf: pd.DataFrame) -> pd.DataFrame:
             acc = _EMPTY
@@ -595,7 +761,7 @@ class PCollection:
             return pd.DataFrame({"value": [_dumps((k, fn.extract(acc)))]})
 
         return PCollection(
-            partials.groupBy("key").applyInPandas(final, schema=_VALUE_SCHEMA)
+            self._grouped(partials).applyInPandas(final, schema=_VALUE_SCHEMA)
         )
 
     def distinct(self) -> "PCollection":
@@ -616,24 +782,27 @@ class PCollection:
     def to_dataframe(
         self, spark: SparkSession, schema, timestamp_field: str | None = None
     ) -> DataFrame:
-        """Dict values → typed DataFrame (exit from object mode).
-        With ``timestamp_field``, each element's event timestamp
-        (from :func:`with_timestamp`) lands in that column (None when
+        """Dict values → typed DataFrame (exit from object mode;
+        pending stages fuse into the conversion pass). With
+        ``timestamp_field``, each element's event timestamp (from
+        :func:`with_timestamp`) lands in that column (None when
         absent) — include it in ``schema``."""
         import pandas as pd
 
+        each_batch = self._each_batch
+
         def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
+            for buf in each_batch(batches):
                 rows = []
-                for raw in b["value"]:
-                    val, ts = _loads_elem(raw)
+                for val, ts in buf:
                     if timestamp_field is not None:
                         val = dict(val)
                         val[timestamp_field] = ts
                     rows.append(val)
-                yield pd.DataFrame(rows)
+                if rows:
+                    yield pd.DataFrame(rows)
 
-        return self.df.mapInPandas(conv, schema=schema)
+        return self._base.mapInPandas(conv, schema=schema)
 
 
 def side_input(pcoll: PCollection, view: str = "list"):
@@ -652,7 +821,7 @@ def side_input(pcoll: PCollection, view: str = "list"):
             payload.setdefault(k, []).append(v)
     else:
         payload = items
-    sc = pcoll.df.sparkSession.sparkContext
+    sc = pcoll.spark.sparkContext
     return sc.broadcast(payload)
 
 
@@ -662,29 +831,42 @@ def cogroup_by(
     """``cogroup-by`` (core.clj:1572-1691): n-way cogroup → pcoll of
     (k, [vec₁ … vecₙ]). nil keys do NOT join by default — each
     nil-keyed element emits its own singleton group
-    (greedy-emit-cogbkresult, core.clj:1561-1570) unless join_nil."""
+    (greedy-emit-cogbkresult, core.clj:1561-1570) unless join_nil.
+
+    One fused Python pass per input side (tagging + key extraction);
+    nil-key routing is a relational filter on the constant nil key
+    bytes, not an extra Python pass."""
     import pandas as pd
 
     n = len(specs)
-    spark = specs[0][0].df.sparkSession
 
-    tagged = []
+    kv_frames = []
     for i, (pc, key_fn) in enumerate(specs):
-        def tag(v, i=i, key_fn=key_fn):
-            return (key_fn(v), (i, v))
+        tagged = pc._elem(
+            lambda v, _ts, i=i, key_fn=key_fn: ((key_fn(v), (i, v)),)
+        )
+        kv_frames.append(tagged._to_kv())
 
-        tagged.append(pc.map(tag))
-
-    unioned = tagged[0]
-    for t in tagged[1:]:
-        unioned = PCollection(unioned.df.unionAll(t.df))
+    unioned = kv_frames[0]
+    for kv in kv_frames[1:]:
+        unioned = unioned.unionAll(kv)
 
     if not join_nil:
         # nil-keyed elements bypass the shuffle as singleton groups
-        nil_part = unioned.filter(lambda kv: kv[0] is None).map(
-            lambda kv: _nil_group(kv[1], n)
+        nil_rows = unioned.filter(F.col("key") == F.lit(_NIL_KEY))
+        unioned = unioned.filter(F.col("key") != F.lit(_NIL_KEY))
+
+        def nil_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for raw in b["value"]:
+                    _k, iv = _loads(raw)
+                    out.append(_dumps(_nil_group(iv, n)))
+                yield pd.DataFrame({"value": out})
+
+        nil_part = nil_rows.select("value").mapInPandas(
+            nil_run, schema=_VALUE_SCHEMA
         )
-        unioned = unioned.filter(lambda kv: kv[0] is not None)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         sides: list[list] = [[] for _ in range(n)]
@@ -694,13 +876,15 @@ def cogroup_by(
             sides[i].append(v)
         return pd.DataFrame({"value": [_dumps((k, sides))]})
 
-    kv = unioned._to_kv()
-    grouped = PCollection(
-        kv.groupBy("key").applyInPandas(assemble, schema=_VALUE_SCHEMA)
+    n_parts = unioned.sparkSession.sparkContext.defaultParallelism
+    grouped = (
+        unioned.repartition(n_parts, "key")
+        .groupBy("key")
+        .applyInPandas(assemble, schema=_VALUE_SCHEMA)
     )
     if not join_nil:
-        grouped = PCollection(grouped.df.unionAll(nil_part.df))
-    return grouped
+        grouped = grouped.unionAll(nil_part)
+    return PCollection(grouped)
 
 
 def _nil_group(tagged_value, n):
@@ -718,7 +902,8 @@ def join_by(
     product. spec = (pcoll, key_fn, required); an empty optional side
     contributes ``[None]`` (outer semantics); required sides drop the
     key when empty. Collector default merges dicts (the reference's
-    canonical ``merge`` usage)."""
+    canonical ``merge`` usage). The expansion fuses into whatever
+    consumes the joined pcoll (one Python pass after the cogroup)."""
     from itertools import product
 
     cg = cogroup_by([(pc, key_fn) for pc, key_fn, _ in specs])

@@ -175,6 +175,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
+            # NTZ→LTZ reinterprets the wall-clock in the session zone;
+            # value-preserving ONLY under UTC. make_session pins UTC,
+            # but a foreign session (e.g. the external driver's) might
+            # not — pin it here so event times can't silently shift.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

@@ -786,14 +786,15 @@ def _minhash_oracle_sql(num_hashes: int, bands: int, k: int, seed: int) -> str:
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
-    Uses the materialized banded table (written once, bucketed by
-    ``bucket``) so the signature pipeline runs a single time and the
-    bucket self-join needs no Exchange — the 100 TB shape."""
-    import tempfile
-
+    ``cache=True``: the narrow (doc_id, bucket) banded table is
+    persisted so the signature pipeline runs a single time and both
+    sides of the bucket self-join read it back — measured faster than
+    the write-once parquet materialization for a single-job pass
+    (the parquet path, ``materialize_dir=``, wins when the banded
+    table is probed across JOBS — see ``dd.materialize_banded``)."""
     return dd.lsh_candidate_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42,
-        materialize_dir=tempfile.mkdtemp(prefix="ds_banded_"),
+        cache=True,
     )
 
 
@@ -807,7 +808,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The iterative joins run over the pair list only (tiny vs corpus);
     the final assignment is an AQE-broadcast left join."""
     return dd.dedup_clusters(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42,
+        cache=True,  # one signature computation; pairs feed the CC loop
     )
 
 
@@ -1973,13 +1975,10 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors) is the small side and is the one hinted; the documents
     table streams. Round 1 had this backwards (broadcast the corpus —
     a driver OOM at scale); a plan test now pins the direction. The
-    banded table is materialized once so stage 1 isn't recomputed."""
-    import tempfile
-
+    banded table is persisted (``cache=True``) so stage 1 runs once."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cands = dd.lsh_candidate_pairs(
-        docs, num_hashes=16, bands=4, k=3, seed=42,
-        materialize_dir=tempfile.mkdtemp(prefix="ds_banded_"),
+        docs, num_hashes=16, bands=4, k=3, seed=42, cache=True,
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
@@ -2217,10 +2216,12 @@ def q_objectmode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .objectmode import PCollection, join_by
 
     nation = PCollection.from_dataframe(
-        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"),
+        rebalance=False,  # 25-row dim: a rebalance shuffle costs more than it buys
     )
     region = PCollection.from_dataframe(
-        _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+        _t(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        rebalance=False,
     )
     joined = join_by(
         [

@@ -147,7 +147,19 @@ def batch_stateful(
         key = tuple(pdf.iloc[0][k] for k in key_cols)
         return pd.DataFrame(list(fn(key, pdf.to_dict("records"))))
 
-    return df.groupBy(*key_cols).applyInPandas(run, schema=output_schema)
+    # Explicit key-hash repartition: AQE's shuffle coalescing targets
+    # shuffle BYTES, so a small-but-Python-hot stage gets squeezed to
+    # one partition and the whole pandas state machine runs on one
+    # core. Pinning the partitioning (which also satisfies the
+    # groupBy's clustering — no second Exchange) keeps the Python
+    # stage parallel; at scale the byte-based heuristic is wrong for
+    # CPU-bound UDF stages in exactly the same way.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(n, *key_cols)
+        .groupBy(*key_cols)
+        .applyInPandas(run, schema=output_schema)
+    )
 
 
 def dedup_stream(
