@@ -665,3 +665,43 @@ def repetition_stats(
             F.count("_dup").alias("n_dup_windows"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    source: ColumnLike = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix:
+    ``(source_a, source_b, n_shared)`` = the number of distinct word
+    ``k``-gram digests the two sources share (``source_a <
+    source_b``). The corpus-curation diagnostic for "are these two
+    crawls/snapshots substantially the same data?" — run before
+    mixing sources so duplicated collections get weighted once.
+
+    Scale shape: per-source distinct digests first (explode → one
+    16-byte md5 per (source, shingle), partial+final distinct — the
+    corpus collapses to vocab-sized digest sets), then the digest
+    self-join touches only that distinct table. Sources ≪ corpus, so
+    the output is at most |sources|² rows.
+    """
+    sd = (
+        df.select(
+            _col(source).alias("src"),
+            F.explode(shingles(text, k)).alias("s"),
+        )
+        .select("src", F.md5("s").alias("digest"))
+        .distinct()
+    )
+    a = sd.alias("a")
+    b = sd.alias("b")
+    return (
+        a.join(b, on="digest")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"),
+            F.col("b.src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

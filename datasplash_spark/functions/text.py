@@ -122,7 +122,7 @@ def fingerprint(text: ColumnLike) -> Column:
 
 def tf_idf(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"):
     """Corpus TF-IDF: one ``(doc_id, term, tf, dfq, tfidf)`` row per
-    distinct (document, term). ``tfidf = tf · ln(n_docs / dfq)``.
+    distinct (document, term). ``tfidf = tf * ln(n_docs / dfq)``.
 
     Scale shape (all relational, no Python):
 
@@ -182,7 +182,7 @@ def mean_word_length(text: ColumnLike) -> Column:
 
 def repeated_line_ratio(text: ColumnLike) -> Column:
     """Fraction of lines that are duplicates of an earlier line
-    (Gopher repetition signal): 1 − distinct/total; 0 for no lines."""
+    (Gopher repetition signal): 1 - distinct/total; 0 for no lines."""
     ln = doc_lines(text)
     n = F.size(ln)
     return F.when(n == 0, F.lit(0.0)).otherwise(
@@ -257,8 +257,8 @@ def chunk_documents(
     tokenization. One explode, all Column expressions (slice over the
     token array): linear, no shuffle, no Python.
 
-    Chunk i covers tokens ``[i·step, i·step + chunk_tokens)`` with
-    ``step = chunk_tokens − overlap``; every doc yields ≥ 1 chunk
+    Chunk i covers tokens ``[i*step, i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``; every doc yields ≥ 1 chunk
     (short docs → one short chunk). Output:
     ``(doc_id, chunk_id, n_chunk_tokens, chunk_text)``.
     """
@@ -311,7 +311,7 @@ def normalize_text(text: ColumnLike) -> Column:
 
 def unigram_logprob_table(df, text: ColumnLike = "text"):
     """Corpus unigram stats: ``(term, n, logp_nano)`` where
-    ``logp_nano = round(ln(n / total) · 1e9)`` as BIGINT — fixed-point
+    ``logp_nano = round(ln(n / total) * 1e9)`` as BIGINT — fixed-point
     so downstream SUMs are integer-exact and order-independent (float
     sums reorder across partitions; integer sums don't care).
 
@@ -529,4 +529,96 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_matched"),
             F.sum("_c").alias("score_nano"),
         )
+    )
+
+
+def char_entropy(text: ColumnLike, round_to: int = 6) -> Column:
+    """Per-document Shannon entropy (bits) of the character
+    distribution -- a cheap gibberish/boilerplate signal (near-zero
+    for repeated-character junk, ~4.1 for typical English prose;
+    trainers drop the tails).
+
+    SHUFFLE-FREE: computed as one Column expression per row -- distinct
+    chars × their counts via array higher-order functions -- instead of
+    the explode→groupBy shape that would shuffle one row per character
+    (corpus-size × avg-len rows at 100 TB). Work per row is
+    O(distinct_chars × len) with distinct_chars <= alphabet, all under
+    whole-stage codegen.
+
+    Float discipline (cross-engine exactness): per-character terms
+    are fixed-point BIGINT nano-nats (``round(cnt*ln(cnt)*1e9)``), so
+    the sum is order-independent; the only ordered float ops are the
+    final ``ln(n)`` subtraction, bits conversion, and rounding --
+    H = (ln n - sum(cnt*ln cnt)/n) / ln 2.
+    """
+    chars = F.split(_col(text), "")
+    n = F.size(chars)
+
+    def _term_nano(c):
+        cnt = F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        return F.round(cnt * F.log(cnt) * F.lit(1e9)).cast("long")
+
+    s_nano = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + _term_nano(c),
+    )
+    h_bits = (
+        F.log(n.cast("double"))
+        - s_nano.cast("double") / F.lit(1e9) / n.cast("double")
+    ) / F.lit(0.6931471805599453)
+    return F.round(F.when(n > 0, h_bits).otherwise(F.lit(0.0)), round_to)
+
+
+def hash_bucket(term: ColumnLike, n_buckets: int) -> Column:
+    """Hashing-trick feature bucket for a token: the first 8 hex chars
+    of md5 mod ``n_buckets``. md5 (not xxhash) so the oracle engine
+    reproduces the bucketing bit-for-bit."""
+    return (
+        F.conv(F.substring(F.md5(_col(term)), 1, 8), 16, 10).cast("long")
+        % F.lit(int(n_buckets))
+    )
+
+
+def hash_bucket_weights(spark, n_buckets: int = 4096) -> "DataFrame":
+    """Deterministic per-bucket integer weights in [-10, 10] -- the
+    stand-in for a trained linear model's weight vector (a real
+    pipeline loads trained weights here; everything downstream is
+    identical). Generated relationally (``range``), no driver list."""
+    return spark.range(int(n_buckets)).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37 + 11) % 21 - 10).cast("long").alias("weight"),
+    )
+
+
+def linear_doc_scores(
+    df: "DataFrame",
+    weights: "DataFrame",
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    n_buckets: int = 4096,
+) -> "DataFrame":
+    """fastText-style linear quality-classifier scoring over hashed
+    token features: logit(doc) = mean over tokens of
+    weight[hash_bucket(token)]. Returns
+    ``(doc_id, n_toks, logit)`` with the logit rounded to 6 dp.
+
+    The scale shape for model-based quality filtering: the weight
+    table is model-sized (broadcast -- never shuffled with the corpus),
+    tokens reduce to (doc_id, bucket) pairs before the join, and the
+    per-doc sum is one partial+final aggregate. All-integer weight
+    accumulation; the only float op is the final mean.
+    """
+    toks = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(tokens(text)).alias("term"),
+    ).filter(F.col("term") != "")
+    scored = toks.select(
+        "doc_id", hash_bucket("term", n_buckets).alias("bucket")
+    ).join(F.broadcast(weights), on="bucket")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(
+            F.sum("weight").cast("double") / F.count(F.lit(1)), 6
+        ).alias("logit"),
     )

@@ -540,3 +540,33 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_name, expr)
+
+
+def quota_per_key(
+    df: DataFrame,
+    key: ColumnLike,
+    max_rows: int,
+    id_col: ColumnLike,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key quota cap: keep at most ``max_rows`` rows per key,
+    chosen by deterministic ``md5(seed‖id)`` order — the domain-cap
+    op of web-corpus curation (no single domain/source may dominate
+    the training mix; CommonCrawl-derived datasets cap per-domain
+    page counts exactly like this).
+
+    Deterministic (reproducible across runs, engines, partitionings
+    — a row's fate depends only on its id and its key's population),
+    one shuffle on the key, and the per-key top-N is a
+    ``WindowGroupLimit``-eligible rank filter, so each partition
+    drops its beyond-quota rows before the final sort of survivors.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string")))
+    rk = F.row_number().over(Window.partitionBy(_col(key)).orderBy(order))
+    return (
+        df.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= int(max_rows))
+        .drop("_rk")
+    )

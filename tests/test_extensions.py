@@ -592,3 +592,88 @@ def test_pack_sequences_intervals(spark):
     }
     with pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+def test_char_entropy_signals(spark):
+    """Uniform-junk text scores near zero; varied prose scores high;
+    single-char and empty texts are well-defined."""
+    from datasplash_spark.functions.text import char_entropy
+
+    docs = generate_input(
+        spark,
+        [
+            (1, "aaaaaaaaaaaaaaaa"),          # zero entropy
+            (2, "abcdefghijklmnop"),          # 4 bits (16 distinct, uniform)
+            (3, "the quick brown fox"),       # prose-ish
+        ],
+        "doc_id bigint, text string",
+    )
+    h = {
+        r.doc_id: r.h
+        for r in docs.select("doc_id", char_entropy("text").alias("h")).collect()
+    }
+    assert h[1] == 0.0
+    assert abs(h[2] - 4.0) < 1e-6
+    assert 0.0 < h[3] < 4.5
+
+
+def test_linear_doc_scores_manual(spark):
+    """Score equals the hand-computed mean bucket weight."""
+    from datasplash_spark.functions.text import (
+        hash_bucket,
+        hash_bucket_weights,
+        linear_doc_scores,
+    )
+
+    docs = generate_input(
+        spark, [(1, "alpha beta beta")], "doc_id bigint, text string"
+    )
+    w = hash_bucket_weights(spark, 64)
+    wmap = {r.bucket: r.weight for r in w.collect()}
+    buckets = [
+        r.b
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("beta",)], "t string"
+        ).select(hash_bucket("t", 64).alias("b")).collect()
+    ]
+    expected = round(sum(wmap[b] for b in buckets) / 3, 6)
+    row = linear_doc_scores(docs, w, n_buckets=64).collect()[0]
+    assert row.n_toks == 3
+    assert row.logit == expected
+
+
+def test_quota_per_key_caps_and_determinism(spark):
+    from datasplash_spark.operators import quota_per_key
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = generate_input(spark, rows, "id bigint, src string")
+    out = quota_per_key(df, "src", 5, "id", seed=3)
+    counts = {r.src: r.c for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same ids survive on a rerun
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in quota_per_key(df, "src", 5, "id", seed=3).collect())
+    assert ids1 == ids2
+    # a row's fate is independent of OTHER keys' rows
+    big_only = quota_per_key(df.filter(F.col("src") == "big"), "src", 5, "id", seed=3)
+    assert sorted(r.id for r in big_only.collect()) == [
+        i for i in ids1 if i < 40
+    ]
+
+
+def test_source_overlap_counts_shared_shingles(spark):
+    docs = generate_input(
+        spark,
+        [
+            (1, "a b c d e", "s1"),
+            (2, "a b c x y", "s2"),   # shares shingle "a b c" with s1
+            (3, "p q r s t", "s3"),   # shares nothing
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in dd.source_overlap(docs, k=3).collect()
+    }
+    assert out == {("s1", "s2"): 1}
