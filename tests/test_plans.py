@@ -260,3 +260,40 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = plan_of(back)
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "lang" in pf
+
+
+def test_char_entropy_is_shuffle_free(spark):
+    """char_entropy: one Column expression per row — the per-doc
+    entropy must introduce NO Exchange (the explode->groupBy shape
+    would shuffle corpus x avg_len rows)."""
+    plan = plan_of(_q(spark, "char_entropy"))
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    """quality_classifier: the model-sized weight table must be the
+    broadcast side; the token stream must never broadcast; the per-doc
+    sum must partial-aggregate before its shuffle."""
+    plan = plan_of(_q(spark, "quality_classifier"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_quota_sample_window_group_limit(spark):
+    """quota_sample: the per-key rank filter must run as
+    WindowGroupLimit (per-partition pruning of beyond-quota rows
+    before the final per-key selection)."""
+    plan = plan_of(_q(spark, "quota_sample"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_overlap_joins_distinct_digests(spark):
+    """source_overlap: the self-join input must be the DISTINCT
+    (source, digest) table — dedup happens before the join (partial
+    then final distinct aggregate), so the join never sees raw
+    per-document shingle rows."""
+    plan = plan_of(_q(spark, "source_overlap"))
+    # distinct = 2-phase HashAggregate pair before the join, and the
+    # join keys are the md5 digests, not document text
+    assert plan.count("HashAggregate") >= 4
+    assert "md5" in plan.lower()
