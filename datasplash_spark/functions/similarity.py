@@ -281,3 +281,56 @@ def kmeans_refine(
         nxt = {r["_cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
         cur = [nxt.get(i, c) for i, c in enumerate(cur)]
     return cur
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    query_vec_col: ColumnLike = "embedding",
+    query_id_col: ColumnLike = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch k-NN join: exact cosine top-k corpus neighbors for EVERY
+    query vector — the retrieval-eval / embedding-dedup shape where a
+    whole query set (not one vector) probes the corpus.
+
+    Scale shape: the query set is model/eval-sized and is BROADCAST;
+    the corpus streams once (never shuffled with its vectors — each
+    corpus row emits only (query_id, corpus_id, score) triples).
+    Per-query top-k is a rank over (query, score) — WindowGroupLimit
+    prunes beyond-k rows per partition before the final per-query
+    selection, so the shuffle carries ~k rows per query per
+    partition, not |queries| x |corpus|.
+
+    Scores round to ``round_to`` dp before ranking with ties on
+    corpus id (engine-independent, oracle-stable). For corpus-x-corpus scale
+    (both sides huge) use the bucketed pair pipeline
+    (``dedup.cross_corpus_pairs`` on hyperplane buckets) instead of
+    an exact join.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        _col(id_col).alias("vec_id"), _col(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        _col(query_id_col).alias("query_id"), _col(query_vec_col).alias("_qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cv"), F.col("_qv")), int(round_to)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

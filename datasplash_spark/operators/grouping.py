@@ -570,3 +570,41 @@ def quota_per_key(
         .filter(F.col("_rk") <= int(max_rows))
         .drop("_rk")
     )
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    expr: ColumnLike,
+    q: float,
+    keep: str = "above",
+    approx: bool = False,
+) -> DataFrame:
+    """Quantile-threshold filter: keep rows whose ``expr`` is above
+    (or below) the corpus q-quantile — "drop the bottom 10% by
+    quality score", the relative-threshold cut corpus curation uses
+    when absolute thresholds don't transfer between corpora.
+
+    Two passes by necessity (the threshold is a global statistic):
+    pass 1 reduces the corpus to ONE row (exact ``percentile`` for
+    oracle parity, or ``approx_percentile`` — the t-digest sketch,
+    one partial-agg shuffle, the 100 TB default); pass 2 streams the
+    corpus against the broadcast single-row threshold. No collect —
+    the threshold joins in as a lazy broadcast, so the plan stays
+    whole and Catalyst can reuse a cached scan across both passes.
+
+    ``keep``: "above" keeps expr >= threshold, "below" keeps
+    expr <= threshold.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    e = _col(expr)
+    agg = (
+        F.approx_percentile(e, F.lit(float(q)))
+        if approx
+        else F.percentile(e, F.lit(float(q)))
+    )
+    thr = df.agg(agg.alias("_thr"))
+    cond = (
+        e >= F.col("_thr") if keep == "above" else e <= F.col("_thr")
+    )
+    return df.crossJoin(F.broadcast(thr)).filter(cond).drop("_thr")

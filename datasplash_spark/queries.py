@@ -2576,6 +2576,83 @@ GROUP BY 1, 2
 """
 
 
+def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (retrieval-eval shape): every 100th vector is a
+    query; exact cosine top-5 corpus neighbors per query. Query set
+    broadcast (model/eval-sized); corpus streams once; per-query
+    top-k runs as a WindowGroupLimit rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.knn_join(emb, queries, k=5)
+
+
+ORACLE_KNN_SEARCH = """
+WITH flat AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+         generate_subscripts(e.embedding, 1) AS i
+  FROM embeddings e
+), qflat AS (
+  SELECT vec_id AS query_id, x AS qx, i FROM flat WHERE vec_id % 100 = 0
+), dots AS (
+  SELECT qf.query_id, f.vec_id,
+         sum(f.x * qf.qx) AS dp,
+         sum(f.x * f.x) AS na,
+         sum(qf.qx * qf.qx) AS nb
+  FROM flat f JOIN qflat qf ON f.i = qf.i
+  GROUP BY qf.query_id, f.vec_id
+), scored AS (
+  SELECT query_id, vec_id,
+         round(CASE WHEN sqrt(na) * sqrt(nb) > 0
+               THEN dp / (sqrt(na) * sqrt(nb)) ELSE 0 END, 6) AS score
+  FROM dots
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, vec_id ASC) AS r
+  FROM scored
+)
+SELECT query_id, vec_id, score FROM rk WHERE r <= 5
+"""
+
+
+def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-threshold quality cut: keep documents at or above the
+    corpus MEDIAN quality score (absolute thresholds don't transfer
+    between corpora; quantile cuts do). Two passes: one-row exact
+    percentile, then a broadcast-threshold filter — no collect."""
+    from .operators import filter_by_quantile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(tx.quality_score("text"), 6).alias("score")
+    )
+    return filter_by_quantile(d, "score", 0.5, keep="above")
+
+
+ORACLE_QUALITY_ABOVE_MEDIAN = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(text) AS n,
+         string_split(lower(text), ' ') AS toks,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / len(text)
+              ELSE 0 END AS punct_ratio
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         round((CASE WHEN n >= 50 AND n <= 20000 THEN 0.4 ELSE 0 END)
+             + (CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0 END)
+             + (CASE WHEN len(toks) > 0 AND
+                  len(list_filter(toks, t -> list_contains([{_EN_STOPS}], t))) * 1.0 / len(toks) > 0.05
+                THEN 0.3 ELSE 0 END), 6) AS score
+  FROM base
+), t AS (
+  SELECT quantile_cont(score, 0.5) AS thr FROM s
+)
+SELECT doc_id, score FROM s, t WHERE score >= thr
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2629,6 +2706,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
     "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
     "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
+    "quality_above_median": (
+        q_quality_above_median,
+        ORACLE_QUALITY_ABOVE_MEDIAN,
+    ),
     # --- implementation changed this round (re-gate) ---
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),

@@ -677,3 +677,40 @@ def test_source_overlap_counts_shared_shingles(spark):
         for r in dd.source_overlap(docs, k=3).collect()
     }
     assert out == {("s1", "s2"): 1}
+
+
+def test_knn_join_matches_per_query_bruteforce(spark):
+    """knn_join's per-query result equals brute_force_topk run with
+    that query's vector."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.knn_join(emb, queries, k=3, round_to=9)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid, expected_pairs in by_q.items():
+        qvec = emb.filter(F.col("vec_id") == qid).first().embedding
+        bf = sim.brute_force_topk(emb, list(qvec), k=3).collect()
+        assert [(r.vec_id, round(r.score, 9)) for r in bf] == sorted(
+            expected_pairs, key=lambda p: (-p[1], p[0])
+        )
+
+
+def test_filter_by_quantile_above_below(spark):
+    from datasplash_spark.operators import filter_by_quantile
+
+    df = generate_input(
+        spark, [(i, float(i)) for i in range(1, 11)], "id bigint, v double"
+    )
+    above = sorted(r.id for r in filter_by_quantile(df, "v", 0.5).collect())
+    below = sorted(
+        r.id for r in filter_by_quantile(df, "v", 0.5, keep="below").collect()
+    )
+    # median of 1..10 = 5.5 (linear interpolation)
+    assert above == [6, 7, 8, 9, 10]
+    assert below == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        filter_by_quantile(df, "v", 0.5, keep="middle")

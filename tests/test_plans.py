@@ -73,11 +73,39 @@ def test_minhash_partial_aggregates(spark):
 
 
 def test_minhash_pairs_single_signature_computation(spark):
-    """dedup_minhash_pairs materializes the banded table once: the
-    pairs plan must contain NO signature arithmetic (md5/conv/min
-    aggs) — both self-join sides are scans of the bucketed banded
-    parquet, so the pipeline ran exactly once, at write time."""
+    """dedup_minhash_pairs persists the banded table (cache=True):
+    both self-join sides must be InMemoryTableScans of the SAME
+    cached relation — the signature pipeline executes once, and no
+    signature arithmetic runs outside the cached subtree."""
     plan = plan_of(_q(spark, "dedup_minhash_pairs"), mode="simple")
+    lines = plan.splitlines()
+    scans = [l for l in lines if "InMemoryTableScan" in l]
+    assert len(scans) == 2, plan
+    # every signature-arithmetic line sits beneath an InMemoryRelation
+    # (i.e. it is the cached definition, not a live recompute)
+    rel_depths = [
+        _node_depth(l) for l in lines if "InMemoryRelation" in l
+    ]
+    for l in lines:
+        if "partial_min" in l:
+            assert any(_node_depth(l) > d for d in rel_depths), l
+
+
+def test_materialized_banded_join_is_bucketed_scan_only(spark, tmp_path):
+    """materialize_banded (the cross-JOB shape): the pairs plan over a
+    materialized banded table must contain NO signature arithmetic —
+    both self-join sides are scans of the bucketed banded parquet
+    (zero Exchange for the join), the pipeline having run exactly
+    once at write time."""
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.pipeline import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dd.lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, k=3, seed=42,
+        materialize_dir=str(tmp_path / "banded"),
+    )
+    plan = plan_of(pairs, mode="simple")
     assert "conv(" not in plan and "md5" not in plan
     assert "partial_min" not in plan
     scans = [l for l in plan.splitlines() if "FileScan" in l]
@@ -113,18 +141,32 @@ def test_ngram_verify_broadcast_direction(spark):
     the broadcast build side (round 1 broadcast the corpus — a driver
     OOM at 100 TB). Any broadcast subtree touching documents must be a
     join-reduced (candidate-scale) result, and at least one documents
-    scan must sit outside every broadcast."""
+    scan must sit outside every broadcast.
+
+    A documents scan BENEATH an InMemoryRelation is the cached narrow
+    banded table (doc_id+bucket digests) — that broadcast is the
+    planner's stats-based choice for the bucket self-join at this
+    tiny scale, not our hint, and it disappears when stats grow; the
+    invariant pinned here is about the EXPLICIT hints."""
     plan = plan_of(_q(spark, "ngram_jaccard_verify"), mode="simple")
     doc_marker = "documents.parquet"
     subs = _broadcast_subtrees(plan)
     assert subs, "expected broadcast of the candidate side"
     in_broadcast = set()
     for sub in subs:
-        if any(doc_marker in l for l in sub):
+        rel_depths = [_node_depth(l) for l in sub if "InMemoryRelation" in l]
+        live_doc_lines = [
+            l
+            for l in sub
+            if doc_marker in l
+            and not any(_node_depth(l) > d for d in rel_depths)
+        ]
+        if live_doc_lines:
             assert any("Join" in l for l in sub), (
-                "bare documents table on the broadcast build side:\n" + "\n".join(sub)
+                "bare documents table on the broadcast build side:\n"
+                + "\n".join(sub)
             )
-            in_broadcast.update(l for l in sub if doc_marker in l)
+        in_broadcast.update(l for l in sub if doc_marker in l)
     all_doc_scans = [l for l in plan.splitlines() if doc_marker in l]
     assert len(all_doc_scans) > len(in_broadcast), (
         "every documents scan is under a BroadcastExchange"
@@ -297,3 +339,12 @@ def test_source_overlap_joins_distinct_digests(spark):
     # join keys are the md5 digests, not document text
     assert plan.count("HashAggregate") >= 4
     assert "md5" in plan.lower()
+
+
+def test_knn_join_broadcasts_queries_with_group_limit(spark):
+    """knn_search: the query set must broadcast (corpus never
+    shuffles its vectors for the join) and the per-query top-k must
+    run as WindowGroupLimit."""
+    plan = plan_of(_q(spark, "knn_search"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
