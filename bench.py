@@ -59,10 +59,23 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-        # isolation: queries that persist intermediates (LSH banded
-        # tables, object-mode side-output routing) would otherwise
-        # leak storage memory into later timings
-        spark.catalog.clearCache()
+        # inter-query hygiene (untimed): queries that persist
+        # intermediates (LSH banded tables, object-mode side-output
+        # routing, localCheckpoint rounds in the CC loop) would
+        # otherwise leak storage blocks into later timings, and 85
+        # queries in one JVM accumulate GC debt that lands as multi-
+        # second pauses inside whichever query triggers the full GC —
+        # pay it between measurements instead.
+        try:
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception as e:  # hygiene must never fail the bench
+            print(f"# cleanup warning: {e}", file=sys.stderr)
 
     # a partially-failing run must not read as a faster full run:
     # failures are named, and the headline value is poisoned
