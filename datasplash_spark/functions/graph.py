@@ -76,11 +76,23 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # size the ITERATION to the graph, not the session: the edge list
+    # is orders of magnitude smaller than the corpus that produced it,
+    # and every round shuffles it — right-sizing the loop's partition
+    # count (~50k edges per partition, floor 1) keeps each round's job
+    # proportional to the graph instead of spraying a few hundred
+    # edges over the full session parallelism. The count is free-ish:
+    # it reads the just-persisted frame.
+    sc = edges.sparkSession.sparkContext
+    n_edges = sym.count()
+    n_parts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .repartition(n_parts, "node")
         .localCheckpoint()
+        .withColumn("component", F.col("node"))
     )
 
     # convergence probe: labels are per-node monotonically
@@ -115,6 +127,7 @@ def connected_components(
             ).select(F.col("a").alias("node"), "component")
             new_labels = (
                 labels.unionByName(nbr)
+                .repartition(n_parts, "node")
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
                 .localCheckpoint(eager=False)
