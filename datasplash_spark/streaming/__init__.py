@@ -17,11 +17,18 @@ discard-on-final — documented gap.
 """
 
 from .stateful import batch_stateful, dedup_stream, rolling_agg, running_agg, stateful_map_groups
-from .sinks import beam_trigger_to_spark, write_stream
+from .sinks import (
+    beam_trigger_to_spark,
+    foreach_batch_sink,
+    idempotent_parquet_batch_writer,
+    write_stream,
+)
 
 __all__ = [
     "batch_stateful",
     "dedup_stream",
+    "foreach_batch_sink",
+    "idempotent_parquet_batch_writer",
     "beam_trigger_to_spark",
     "rolling_agg",
     "running_agg",

@@ -60,3 +60,64 @@ def write_stream(
     if path:
         writer = writer.option("path", path)
     return writer.start()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    trigger: str | dict | None = None,
+    query_name: str | None = None,
+):
+    """``foreachBatch`` escape hatch: run an arbitrary BATCH write per
+    micro-batch — the Spark idiom for sinks with no streaming
+    connector (JDBC upserts, MERGE INTO, multi-table fan-out), and the
+    closest analog of the reference's custom-sink ParDo endings.
+
+    ``batch_fn(batch_df, batch_id)`` receives a normal DataFrame.
+    Exactly-once discipline is the CALLER's: Spark guarantees
+    at-least-once per batch id after recovery, so the write must be
+    idempotent ON ``batch_id`` — overwrite a batch-keyed partition,
+    MERGE on a key, or skip already-committed ids; a blind append
+    duplicates rows on replay (documented Spark semantics, not a gap
+    this wrapper can close).
+    """
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    kwargs = beam_trigger_to_spark(trigger)
+    if kwargs:
+        writer = writer.trigger(**kwargs)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
+def idempotent_parquet_batch_writer(path: str):
+    """A ready-made ``batch_fn`` for :func:`foreach_batch_sink`:
+    writes each micro-batch to ``path/_batch_id=<id>`` with
+    dynamic-partition OVERWRITE, so a replayed batch id rewrites its
+    own partition instead of appending duplicates — idempotence
+    keyed on the batch id, the standard exactly-once-to-files recipe.
+    Readers scan ``path`` and drop the ``_batch_id`` column.
+    """
+    from pyspark.sql import functions as F
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return write

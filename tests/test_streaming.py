@@ -458,3 +458,31 @@ def test_rolling_agg_bounded_frame(spark):
 
     with _pytest.raises(ValueError):
         rolling_agg(df, ["k"], "t", 0.5, s=F.sum("v"))
+
+
+def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
+    """Drain a file stream through foreach_batch_sink with the
+    batch-id-partitioned overwrite writer; re-running the SAME batch
+    fn on the same batch id must not duplicate rows (idempotence —
+    the replay-after-recovery scenario)."""
+    from datasplash_spark.streaming import (
+        foreach_batch_sink,
+        idempotent_parquet_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_text_file(
+        generate_input(spark, [("a",), ("b",), ("c",)], "value string"), src
+    )
+    stream = read_text_file(spark, src, watch_new_files=True)
+    writer = idempotent_parquet_batch_writer(out)
+    q = foreach_batch_sink(stream, writer, ckpt, trigger="once")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r.value for r in got.collect()) == ["a", "b", "c"]
+    # simulate a replay of batch 0: same data, same batch id
+    writer(generate_input(spark, [("a",), ("b",), ("c",)], "value string"), 0)
+    got2 = spark.read.parquet(out)
+    assert sorted(r.value for r in got2.collect()) == ["a", "b", "c"]
