@@ -608,3 +608,39 @@ def filter_by_quantile(
         e >= F.col("_thr") if keep == "above" else e <= F.col("_thr")
     )
     return df.crossJoin(F.broadcast(thr)).filter(cond).drop("_thr")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    expr: ColumnLike,
+    n: int,
+    bucket_name: str = "qbucket",
+    approx: bool = False,
+) -> DataFrame:
+    """Assign each row its quantile bucket 1..n by ``expr`` (the
+    curriculum-binning op: difficulty tiers, length tiers, quality
+    tiers for staged sampling).
+
+    NOT a global ntile — ``ntile`` needs a total order, which is a
+    single-partition window (the classic 100 TB trap). Instead: one
+    aggregate computes the n-1 cut points (exact ``percentile`` for
+    oracle parity, ``approx_percentile`` as the scale default), joins
+    in as a broadcast single row, and the bucket is
+    ``1 + #cuts <= value`` per row — one scan, no sort, no window.
+    Equal-size buckets are therefore only approximate under heavy
+    ties (boundary-valued rows all land in the upper bucket —
+    deterministic, engine-independent).
+    """
+    e = _col(expr)
+    probs = F.array(*[F.lit(i / n) for i in range(1, int(n))])
+    agg = (
+        F.approx_percentile(e, probs) if approx else F.percentile(e, probs)
+    )
+    cuts = df.agg(agg.alias("_cuts"))
+    bucket = (
+        F.size(
+            F.filter(F.col("_cuts"), lambda c: e.cast("double") >= c)
+        )
+        + 1
+    ).alias(bucket_name)
+    return df.crossJoin(F.broadcast(cuts)).select("*", bucket).drop("_cuts")

@@ -2653,6 +2653,26 @@ SELECT doc_id, score FROM s, t WHERE score >= thr
 """
 
 
+def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: assign every document a length quartile —
+    one cut-point aggregate broadcast against one scan (no global
+    sort, no single-partition ntile window)."""
+    from .operators import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", 4)
+
+
+ORACLE_LENGTH_QUARTILES = """
+WITH t AS (
+  SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS cuts FROM documents
+)
+SELECT doc_id, n_chars,
+       1 + len(list_filter(t.cuts, c -> d.n_chars >= c)) AS qbucket
+FROM documents d, t
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2711,6 +2731,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,
     ),
+    "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
     # --- implementation changed this round (re-gate) ---
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),

@@ -714,3 +714,15 @@ def test_filter_by_quantile_above_below(spark):
     assert below == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError):
         filter_by_quantile(df, "v", 0.5, keep="middle")
+
+
+def test_quantile_buckets_assignment(spark):
+    from datasplash_spark.operators import quantile_buckets
+
+    df = generate_input(
+        spark, [(i, float(i)) for i in range(1, 9)], "id bigint, v double"
+    )
+    out = {r.id: r.qbucket for r in quantile_buckets(df, "v", 4).collect()}
+    # cuts at quantile_cont([.25,.5,.75]) of 1..8 = (2.75, 4.5, 6.25)
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+    assert quantile_buckets(df, "v", 4, approx=True).count() == 8

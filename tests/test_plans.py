@@ -348,3 +348,12 @@ def test_knn_join_broadcasts_queries_with_group_limit(spark):
     plan = plan_of(_q(spark, "knn_search"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_quantile_buckets_no_global_sort(spark):
+    """length_quartiles: quantile binning must NOT be a global-order
+    window (single-partition ntile) — one cut-point aggregate
+    broadcast against one scan."""
+    plan = plan_of(_q(spark, "length_quartiles"))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
