@@ -40,6 +40,12 @@ def main() -> int:
         # that would otherwise land on the first measured query)
         warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         warm.groupBy("l_returnflag").count().count()
+        # spawn the Python worker pool (one per core) so Arrow-path
+        # worker startup doesn't land inside the first Python query
+        cpus = spark.sparkContext.defaultParallelism
+        spark.range(0, cpus, 1, cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).count()
     except Exception as e:
         print(f"# warm-up failed ({e}); continuing", file=sys.stderr)
 
