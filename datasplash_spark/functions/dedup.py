@@ -705,3 +705,38 @@ def source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score: ColumnLike,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: given per-doc cluster
+    assignments (:func:`dedup_clusters` output — ``doc_id,
+    cluster_id``), keep the highest-``score`` document of each
+    cluster (ties → lowest id, deterministic) — real curation keeps
+    the BEST copy of a near-dup set, not the lowest id.
+
+    One join on ids + a per-cluster top-1 rank (WindowGroupLimit —
+    per-partition pruning, no per-cluster materialization).
+    Singletons survive trivially (their own cluster). Returns the
+    surviving rows of ``df``.
+    """
+    from pyspark.sql import Window
+
+    joined = df.withColumn("_score", _col(score)).join(
+        clusters.select(
+            _col("doc_id").alias("_cid"), F.col("cluster_id")
+        ),
+        on=_col(id_col) == F.col("_cid"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_score"), _col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_score", "_cid", "cluster_id")
+    )

@@ -2673,6 +2673,48 @@ FROM documents d, t
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: cluster near-dups
+    (MinHash-LSH → connected components), then keep each cluster's
+    LONGEST document (ties → lowest id) — the curation step that keeps
+    the best copy, not the lowest id. Output: surviving doc ids."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(
+        docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
+    )
+    return dd.keep_best_per_cluster(docs, clusters, "n_chars").select(
+        "doc_id"
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = (
+    "WITH RECURSIVE "
+    + _minhash_cte_block(16, 4, 3, 42)
+    + """, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+), assign AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM assign
+)
+SELECT doc_id FROM ranked WHERE rk = 1
+"""
+)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2732,6 +2774,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_QUALITY_ABOVE_MEDIAN,
     ),
     "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
     # --- implementation changed this round (re-gate) ---
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),

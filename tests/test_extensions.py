@@ -726,3 +726,21 @@ def test_quantile_buckets_assignment(spark):
     # cuts at quantile_cont([.25,.5,.75]) of 1..8 = (2.75, 4.5, 6.25)
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
     assert quantile_buckets(df, "v", 4, approx=True).count() == 8
+
+
+def test_keep_best_per_cluster_picks_highest_score(spark):
+    docs = generate_input(
+        spark,
+        [(1, 10.0), (2, 30.0), (3, 20.0), (9, 5.0)],
+        "doc_id bigint, score double",
+    )
+    clusters = generate_input(
+        spark,
+        [(1, 1), (2, 1), (3, 1), (9, 9)],  # {1,2,3} one cluster; 9 singleton
+        "doc_id bigint, cluster_id bigint",
+    )
+    out = sorted(
+        r.doc_id
+        for r in dd.keep_best_per_cluster(docs, clusters, "score").collect()
+    )
+    assert out == [2, 9]
