@@ -437,3 +437,53 @@ def test_partition_by(spark):
     assert _multiset(parts[0].collect()) == _multiset([0, 3, 6, 9])
     assert _multiset(parts[1].collect()) == _multiset([1, 4, 7])
     assert _multiset(parts[2].collect()) == _multiset([2, 5, 8])
+
+
+def test_fusion_differential_vs_python(spark):
+    """Differential check of operator fusion: a representative chain
+    of element-wise ops must produce exactly what applying the same
+    functions to a Python list produces — regardless of how many
+    stages fuse into one mapInPandas."""
+    from datasplash_spark.objectmode import CombineFn, PCollection
+
+    data = list(range(-20, 21))
+
+    def chain_py(xs):
+        step1 = [x * 3 for x in xs]
+        step2 = [y for y in step1 if y % 2 == 0]
+        step3 = [z for x in step2 for z in (x, x + 1)]
+        step4 = [w if w > 0 else None for w in step3]
+        kept = [w for w in step4 if w is not None]
+        agg = {}
+        for w in kept:
+            agg[w % 5] = agg.get(w % 5, 0) + w
+        return agg
+
+    pc = (
+        PCollection.from_items(spark, data)
+        .map(lambda x: x * 3)
+        .filter(lambda y: y % 2 == 0)
+        .mapcat(lambda x: (x, x + 1))
+        .keep(lambda w: w if w > 0 else None)
+        .combine_by(
+            lambda w: w % 5,
+            CombineFn(initf=lambda: 0, reducef=lambda a, w: a + w),
+        )
+    )
+    # the whole chain above is ONE pre-shuffle Python pass: the plan
+    # has exactly two Arrow evals (partial before / merge after the
+    # per-key Exchange). Explain BEFORE executing — after a collect,
+    # AQE prints final+initial plans and doubles every node count.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pc.df.explain("simple")
+    plan = buf.getvalue()
+    arrow_nodes = sum(
+        plan.count(m) for m in ("MapInPandas", "FlatMapGroupsInPandas")
+    )
+    assert arrow_nodes == 2, plan
+    got = dict(pc.collect())
+    assert got == chain_py(data)
