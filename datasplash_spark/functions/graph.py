@@ -42,6 +42,7 @@ def connected_components(
     src: ColumnLike = "src",
     dst: ColumnLike = "dst",
     max_iter: int = 25,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -49,6 +50,18 @@ def connected_components(
     appears in any edge; ``component`` is the minimum node id in the
     node's component (a canonical, deterministic representative —
     ids must be orderable, e.g. numeric or string doc ids).
+
+    ``n_partitions`` sizes the per-round shuffle. ``None`` (default)
+    lets AQE size it: the ``groupBy`` keeps map-side partial
+    aggregation (each mapper pre-mins its candidate labels before the
+    Exchange — the win on DENSE graphs where a node receives many
+    neighbor labels) and AQE coalesces the post-shuffle side for tiny
+    graphs. Pass an explicit count only when pinning the loop's
+    parallelism matters more than map-side combine (e.g. a huge
+    sparse graph on a static-allocation cluster); an explicit
+    ``repartition`` before the ``groupBy`` already satisfies its
+    required distribution, so Catalyst then skips the partial-agg
+    step — that trade-off is why it is not the default.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence (a diameter larger than ``max_iter``): returning a
@@ -76,21 +89,13 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # size the ITERATION to the graph, not the session: the edge list
-    # is orders of magnitude smaller than the corpus that produced it,
-    # and every round shuffles it — right-sizing the loop's partition
-    # count (~50k edges per partition, floor 1) keeps each round's job
-    # proportional to the graph instead of spraying a few hundred
-    # edges over the full session parallelism. The count is free-ish:
-    # it reads the just-persisted frame.
-    sc = edges.sparkSession.sparkContext
-    n_edges = sym.count()
-    n_parts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    def _sized(frame: DataFrame) -> DataFrame:
+        if n_partitions is not None:
+            return frame.repartition(n_partitions, "node")
+        return frame
 
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .repartition(n_parts, "node")
+        _sized(sym.select(F.col("a").alias("node")).distinct())
         .localCheckpoint()
         .withColumn("component", F.col("node"))
     )
@@ -126,14 +131,18 @@ def connected_components(
                 on="b",
             ).select(F.col("a").alias("node"), "component")
             new_labels = (
-                labels.unionByName(nbr)
-                .repartition(n_parts, "node")
+                _sized(labels.unionByName(nbr))
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
                 .localCheckpoint(eager=False)
             )
             if numeric_ids:
                 new_sum = _label_sum(new_labels)
+            # a NULL sum means the decimal(38,0) aggregate overflowed
+            # (non-ANSI mode nulls on overflow); comparing None !=
+            # None would silently report convergence with wrong
+            # labels — degrade to the exact join probe instead.
+            if numeric_ids and new_sum is not None and prev_sum is not None:
                 changed = new_sum != prev_sum
                 prev_sum = new_sum
             else:
@@ -144,6 +153,8 @@ def connected_components(
                     .count()
                     > 0
                 )
+                if numeric_ids:
+                    prev_sum = new_sum
             labels = new_labels
             if not changed:
                 return labels
