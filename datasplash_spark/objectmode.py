@@ -36,6 +36,17 @@ Semantics parity notes:
   carries one accumulator per (key, partition), not every element.
 - Keys are canonicalized (dicts → sorted tuples) before pickling so
   equal keys are byte-equal shuffle keys.
+- DELIBERATE DIVERGENCE: cross-type numeric keys (``True``/``1``/
+  ``1.0``) group TOGETHER here, following Python dict semantics
+  (``True == 1 == 1.0`` and dict keys unify them — an object-mode
+  ``frequencies`` over mixed ints/floats must agree with a plain
+  ``collections.Counter``). Clojure ``(= 1 1.0)`` is false and Beam
+  coders encode long vs double as distinct key bytes, so a ported
+  pipeline keyed on mixed int/double values groups MORE finely on the
+  reference. The emitted representative key is canonicalized
+  (``_canon_key``: bool→int, integral float→int, recursively) so the
+  output key's type is deterministic rather than partition-order
+  first-seen.
 - ``side_input`` broadcasts a collected pcoll into worker closures
   (``PCollectionView`` analog, core.clj:776-808).
 
@@ -217,8 +228,43 @@ def _canon(v):
     return v
 
 
+def _canon_key(k):
+    """Deterministic REPRESENTATIVE of a key for output emission:
+    numerics normalized exactly like :func:`_canon` (bool→int,
+    integral float→int, recursively through containers) but container
+    TYPES preserved (a dict key stays a dict). Without this the
+    emitted key for a ``True``/``1``/``1.0`` group would be whichever
+    variant a partition saw first — partition-order-dependent."""
+    if isinstance(k, bool):
+        return int(k)
+    if isinstance(k, float) and k.is_integer():
+        return int(k)
+    if isinstance(k, dict):
+        return {_canon_key(a): _canon_key(b) for a, b in k.items()}
+    if isinstance(k, frozenset):
+        return frozenset(_canon_key(x) for x in k)
+    if isinstance(k, set):
+        return {_canon_key(x) for x in k}
+    if isinstance(k, tuple):
+        return tuple(_canon_key(x) for x in k)
+    if isinstance(k, list):
+        return [_canon_key(x) for x in k]
+    return k
+
+
 def _key_bytes(k) -> bytes:
     return _dumps(_canon(k))
+
+
+#: per-partition cap on key-memo / partial-accumulator tables in
+#: object mode. Near-unique keys (the corpus-scale worst case) would
+#: otherwise grow per-partition Python dicts with distinct-key count;
+#: at the cap the memo stops admitting entries and combiner tables
+#: flush a partial frame downstream (the post-shuffle merge combines
+#: flushes — same contract as multiple upstream partitions). Beam's
+#: combiner lifting bounds memory the same way (capped cache +
+#: eviction in PartialGroupByKeyCombiningValues).
+_PARTIAL_CACHE_CAP = 100_000
 
 
 class _KeyBytes:
@@ -228,18 +274,28 @@ class _KeyBytes:
     unhashable keys (dicts, sets) fall through to the direct path.
     Python-equal keys of different types (``True``/``1``) memo to the
     same bytes because :func:`_canon` normalizes numerics the same
-    way dict hashing unifies them."""
+    way dict hashing unifies them. Bounded at ``_PARTIAL_CACHE_CAP``
+    distinct keys: beyond it, new keys pay the direct path (cached
+    hot keys keep their hit) instead of growing the dict without
+    bound on near-unique key streams."""
 
-    __slots__ = ("cache",)
+    __slots__ = ("cache", "cap")
 
-    def __init__(self):
+    def __init__(self, cap: int | None = None):
+        # cap is resolved DRIVER-side by callers (captured into the
+        # shipped closure) so tests/configs patching the module value
+        # take effect; the worker's re-imported module default would
+        # not see a driver-side patch.
         self.cache: dict = {}
+        self.cap = _PARTIAL_CACHE_CAP if cap is None else cap
 
     def __call__(self, k) -> bytes:
         try:
             kb = self.cache.get(k)
             if kb is None:
-                kb = self.cache[k] = _key_bytes(k)
+                kb = _key_bytes(k)
+                if len(self.cache) < self.cap:
+                    self.cache[k] = kb
             return kb
         except TypeError:  # unhashable key
             return _key_bytes(k)
@@ -623,9 +679,10 @@ class PCollection:
         import pandas as pd
 
         each_batch = self._each_batch
+        cap = _PARTIAL_CACHE_CAP  # resolved driver-side, shipped in closure
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            kb = _KeyBytes()
+            kb = _KeyBytes(cap)
             for buf in each_batch(batches):
                 keys, vals = [], []
                 for pair, _ts in buf:
@@ -662,7 +719,10 @@ class PCollection:
 
         def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
             pairs = [_loads(r) for r in pdf["value"]]
-            k = pairs[0][0]
+            # canonicalize the representative: all keys in the group
+            # are Python-equal but may differ in type (True/1/1.0);
+            # first-seen would be partition-order-dependent
+            k = _canon_key(pairs[0][0])
             return pd.DataFrame({"value": [_dumps((k, [v for _, v in pairs]))]})
 
         kv = self._to_kv()
@@ -730,25 +790,45 @@ class PCollection:
 
         fn = CombineFn.of(f)
         each = self._each
+        cap = _PARTIAL_CACHE_CAP  # resolved driver-side, shipped in closure
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # bounded combiner lifting: one accumulator per distinct
+            # key per partition, but FLUSHED as a partial frame
+            # whenever the table reaches _PARTIAL_CACHE_CAP entries —
+            # near-unique keys (corpus-scale group-by-id) would
+            # otherwise grow this dict with the partition's distinct-
+            # key count and OOM the Python worker. The post-shuffle
+            # merge treats multiple flushes from one partition exactly
+            # like partials from different partitions.
             accs: dict[bytes, object] = {}
             reprs: dict[bytes, object] = {}
-            kb_of = _KeyBytes()
+            kb_of = _KeyBytes(cap)
+
+            def flush() -> pd.DataFrame:
+                frame = pd.DataFrame(
+                    {
+                        "key": list(accs.keys()),
+                        "value": [
+                            _dumps((reprs[kb], acc))
+                            for kb, acc in accs.items()
+                        ],
+                    }
+                )
+                accs.clear()
+                reprs.clear()
+                return frame
+
             for v, _ts in each(batches):
                 k = key_fn(v)
                 kb = kb_of(k)
                 accs[kb] = fn.reduce(accs.get(kb, _EMPTY), v)
                 if kb not in reprs:
-                    reprs[kb] = k
-            yield pd.DataFrame(
-                {
-                    "key": list(accs.keys()),
-                    "value": [
-                        _dumps((reprs[kb], acc)) for kb, acc in accs.items()
-                    ],
-                }
-            )
+                    reprs[kb] = _canon_key(k)
+                if len(accs) >= cap:
+                    yield flush()
+            if accs:
+                yield flush()
 
         partials = self._base.mapInPandas(partial, schema=_KV_SCHEMA)
 
@@ -874,7 +954,9 @@ def cogroup_by(
         for raw in pdf["value"]:
             k, (i, v) = _loads(raw)
             sides[i].append(v)
-        return pd.DataFrame({"value": [_dumps((k, sides))]})
+        # canonical representative — last-seen key's TYPE may vary
+        # (True/1/1.0 group together here; see module parity notes)
+        return pd.DataFrame({"value": [_dumps((_canon_key(k), sides))]})
 
     n_parts = unioned.sparkSession.sparkContext.defaultParallelism
     grouped = (

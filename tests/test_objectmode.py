@@ -231,6 +231,51 @@ def test_mixed_type_dict_keys_group(spark):
     assert len(grouped) == 1 and len(grouped[0][1]) == 2
 
 
+def test_numeric_key_unification_deterministic_repr(spark):
+    """True/1/1.0 group together (Python dict semantics — documented
+    divergence from Clojure ``(= 1 1.0)``) and the EMITTED key is the
+    canonical int regardless of which variant a partition saw first."""
+    pc = PCollection.from_items(spark, [True, 1, 1.0, 2, False, 0.0])
+    out = dict(pc.combine_by(lambda v: v, CombineFn.of(lambda a, b: a)).map(
+        lambda kv: (kv[0], 1)
+    ).collect())
+    assert set(out) == {0, 1, 2}
+    assert all(type(k) is int for k in out)
+    grouped = pc.group_by(lambda v: v).collect()
+    keys = [k for k, _ in grouped]
+    assert sorted(keys) == [0, 1, 2] and all(type(k) is int for k in keys)
+
+
+def test_combine_by_bounded_flush(spark, monkeypatch):
+    """Partial-agg memory bound: with the cap forced tiny, the
+    per-partition accumulator table flushes repeatedly mid-stream and
+    the post-shuffle merge must still produce exact per-key results
+    (multiple flushes from one partition == partials from many)."""
+    import datasplash_spark.objectmode as om
+
+    monkeypatch.setattr(om, "_PARTIAL_CACHE_CAP", 3)
+    items = [(f"k{i % 7}", i) for i in range(100)]
+    pc = PCollection.from_items(spark, items)
+    got = dict(
+        pc.map(lambda kv: kv)  # exercise fusion into the partial pass
+        .combine_by(
+            lambda kv: kv[0],
+            CombineFn.of(
+                {
+                    "init": lambda: 0,
+                    "reduce": lambda acc, kv: acc + kv[1],
+                    "combine": lambda a, b: a + b,
+                }
+            ),
+        )
+        .collect()
+    )
+    expected = Counter()
+    for k, v in items:
+        expected[k] += v
+    assert got == dict(expected)
+
+
 # ------------------------------------------------- side outputs / timestamps
 
 
