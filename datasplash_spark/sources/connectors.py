@@ -230,9 +230,23 @@ def kafka_write_options(
     topic: str,
     exactly_once: bool = False,
 ) -> dict[str, str]:
-    """``write-kafka`` options (kafka.clj:138-194). EOS maps to the
-    sink's idempotent-producer config; Beam's num-shards/sink-group
-    have no Spark analog (the sink is already partition-parallel)."""
+    """``write-kafka`` options (kafka.clj:138-194).
+
+    DELIVERY-SEMANTICS LIMITATION (deliberate, documented): the
+    reference exposes Beam's exactly-once Kafka sink with
+    ``num-shards``/``sink-group-id`` (kafka.clj:156-171, built on
+    Kafka transactions coordinated by the runner). Spark's first-party
+    Kafka sink is AT-LEAST-ONCE — a failed/replayed micro-batch may
+    re-produce records; there is no transactional-producer analog in
+    the built-in connector. ``exactly_once=True`` maps to the
+    idempotent-producer config (``kafka.enable.idempotence``), which
+    removes broker-side duplicates from producer RETRIES only, not
+    from micro-batch replays. True effective-exactly-once requires a
+    downstream consumer that dedups on a key (or an idempotent sink
+    such as :func:`~datasplash_spark.streaming.sinks.
+    idempotent_parquet_batch_writer` for file targets). Beam's
+    num-shards/sink-group have no Spark analog (the sink is already
+    partition-parallel)."""
     if isinstance(brokers, (list, tuple)):
         brokers = ",".join(brokers)
     opts = {"kafka.bootstrap.servers": str(brokers), "topic": topic}

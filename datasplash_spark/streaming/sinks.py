@@ -104,20 +104,17 @@ def idempotent_parquet_batch_writer(path: str):
     from pyspark.sql import functions as F
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .parquet(path)
-            )
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
+        # per-WRITE option rather than session conf: DataFrameWriter
+        # options override spark.sql.sources.partitionOverwriteMode
+        # for this write only, so nothing leaks into later static-
+        # partition overwrites and there is no set/restore race with
+        # concurrent streaming queries sharing the session.
+        (
+            batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
 
     return write
