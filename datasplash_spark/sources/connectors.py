@@ -314,13 +314,31 @@ def elasticsearch_read_options(
     index: str,
     query: str | None = None,
     batch_size: int | None = None,
+    scroll_keep_alive: str | None = None,
+    username: str | None = None,
+    password: str | None = None,
 ) -> dict[str, str]:
-    """ES read surface (es.clj:44-93) → elasticsearch-hadoop options."""
+    """ES read surface (es.clj:44-93) → elasticsearch-hadoop options.
+
+    ``batch_size`` is the scroll page size (``:batch-size``,
+    es.clj:49-50 — reference default 100, max 10 000);
+    ``scroll_keep_alive`` is ``:scroll-keep-alive`` (es.clj:53-54,
+    default "5m"); ``username``/``password`` are the connection auth
+    (es-connection-schema, es.clj:19-24). The reference's ``:key-fn``
+    JSON key coercion has no option analog here because the Spark
+    connector returns TYPED rows, not JSON strings — no re-parse
+    step exists to coerce."""
     opts = {"es.nodes": ",".join(hosts), "es.resource": index}
     if query:
         opts["es.query"] = query
     if batch_size:
         opts["es.scroll.size"] = str(batch_size)
+    if scroll_keep_alive:
+        opts["es.scroll.keepalive"] = scroll_keep_alive
+    if username:
+        opts["es.net.http.auth.user"] = username
+    if password:
+        opts["es.net.http.auth.pass"] = password
     return opts
 
 
@@ -328,21 +346,108 @@ def elasticsearch_write_options(
     hosts: Sequence[str],
     index: str,
     id_field: str | None = None,
+    index_pattern: str | None = None,
     max_batch_size: int | None = None,
     max_batch_bytes: int | None = None,
     retry_count: int | None = None,
+    retry_wait_ms: int | None = None,
+    partial_update: bool = False,
+    username: str | None = None,
+    password: str | None = None,
 ) -> dict[str, str]:
-    """ES write surface (es.clj:99-156): ``:id-fn`` doc routing →
-    ``es.mapping.id`` (the routing value must be a column — compute it
-    with ``withColumn`` first, the scalable form of the Java
-    ``ExtractKeyFn`` shim)."""
+    """ES write surface (es.clj:99-156) → elasticsearch-hadoop options.
+
+    - ``:id-fn`` doc routing (es.clj:119-121 via ExtractKeyFn.java:
+      24-36, which runs a fn over the serialized doc) → ``id_field`` /
+      ``es.mapping.id``: the routing value must be a COLUMN — compute
+      arbitrary extraction logic with ``withColumn`` first. That is
+      the scalable form: a Column expression runs JVM-side per batch
+      instead of a JSON parse + fn call per document.
+    - ``:index-fn`` dynamic index routing (es.clj:122-124) →
+      ``index_pattern``: an ``es.resource.write`` pattern with
+      ``{field}`` placeholders (e.g. ``"logs-{date}"``), the
+      connector-native form of per-document index extraction. Compute
+      the field with ``withColumn`` for arbitrary logic. ``:type-fn``
+      follows the same pattern (types are gone from modern ES).
+    - ``:use-partial-update`` (es.clj:131-133) → ``partial_update``:
+      ``es.write.operation=upsert`` (requires ``id_field``).
+    - ``:retry-configuration`` [max-attempts, max-duration-ms]
+      (es.clj:113-118) → ``retry_count`` + ``retry_wait_ms``
+      (es-hadoop retries are count+wait rather than a deadline; the
+      backoff budget maps to count × wait).
+    - ``:max-batch-size`` / ``:max-batch-size-bytes`` (es.clj:105-110,
+      reference defaults 1000 docs / 5 MB) → bulk sizing.
+    """
     opts = {"es.nodes": ",".join(hosts), "es.resource": index}
     if id_field:
         opts["es.mapping.id"] = id_field
+    if index_pattern:
+        opts["es.resource.write"] = index_pattern
     if max_batch_size:
         opts["es.batch.size.entries"] = str(max_batch_size)
     if max_batch_bytes:
         opts["es.batch.size.bytes"] = str(max_batch_bytes)
     if retry_count is not None:
         opts["es.batch.write.retry.count"] = str(retry_count)
+    if retry_wait_ms is not None:
+        opts["es.batch.write.retry.wait"] = f"{retry_wait_ms}ms"
+    if partial_update:
+        if not id_field:
+            raise ValueError("partial_update requires id_field (es.mapping.id)")
+        opts["es.write.operation"] = "upsert"
+    if username:
+        opts["es.net.http.auth.user"] = username
+    if password:
+        opts["es.net.http.auth.pass"] = password
     return opts
+
+
+def es_bulk_actions(
+    df: DataFrame,
+    index: str | Column,
+    id_col: str | Column | None = None,
+    op: str = "index",
+    doc_col: str | Column | None = None,
+) -> DataFrame:
+    """Encode rows as Elasticsearch BULK-API action pairs — the exact
+    wire format a bulk indexer sends — as a single-string-column
+    DataFrame (``value``), one action-metadata line + one document
+    line per row:
+
+    ``{"index":{"_index":"docs","_id":"42"}}\\n{"f":1,...}``
+
+    This is the broker-less seam for the reference's write path
+    (es.clj:119-141): ``id_col`` is the ``:id-fn`` analog and a
+    Column ``index`` is the ``:index-fn`` analog — arbitrary
+    per-document routing as JVM-side Column expressions instead of
+    the reference's JSON-parse-per-doc ExtractKeyFn (ExtractKeyFn
+    .java:24-36). ``op="update"`` wraps the document as
+    ``{"doc": ..., "doc_as_upsert": true}`` — the bulk form of
+    ``:use-partial-update`` (es.clj:131-133).
+
+    ``doc_col``: optional pre-serialized JSON string column; default
+    serializes all non-routing columns with ``to_json(struct(*))``.
+    Feed the result to ``write_text_file`` for an on-disk bulk file
+    (replayable with one ``curl -XPOST _bulk`` per shard), or to any
+    HTTP sink. Pure column expressions → testable without a cluster,
+    identical plan shape on one.
+    """
+    if op not in ("index", "create", "update"):
+        raise ValueError(f"unknown bulk op {op!r} (index | create | update)")
+    idx = F.lit(index) if isinstance(index, str) else index
+    meta_fields = [idx.alias("_index")]
+    if id_col is not None:
+        idc = F.col(id_col) if isinstance(id_col, str) else id_col
+        meta_fields.append(idc.cast("string").alias("_id"))
+    elif op == "update":
+        raise ValueError("op='update' requires id_col")
+    meta = F.concat(
+        F.lit('{"' + op + '":'), F.to_json(F.struct(*meta_fields)), F.lit("}")
+    )
+    if doc_col is not None:
+        doc = F.col(doc_col) if isinstance(doc_col, str) else doc_col
+    else:
+        doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    if op == "update":
+        doc = F.concat(F.lit('{"doc":'), doc, F.lit(',"doc_as_upsert":true}'))
+    return df.select(F.concat(meta, F.lit("\n"), doc).alias("value"))

@@ -405,6 +405,85 @@ def test_elasticsearch_option_mappers():
     }
 
 
+def test_elasticsearch_routing_auth_and_retry_options():
+    """The rest of the es.clj write/read schema: auth
+    (es.clj:19-24), scroll keepalive (:scroll-keep-alive, es.clj:
+    53-54), dynamic index routing (:index-fn, es.clj:122-124 →
+    es.resource.write pattern), partial update (:use-partial-update,
+    es.clj:131-133 → upsert op), retry config (es.clj:113-118)."""
+    import pytest
+
+    from datasplash_spark.sources import (
+        elasticsearch_read_options,
+        elasticsearch_write_options,
+    )
+
+    r = elasticsearch_read_options(
+        ["es1:9200"], "docs", scroll_keep_alive="10m",
+        username="u", password="p",
+    )
+    assert r["es.scroll.keepalive"] == "10m"
+    assert r["es.net.http.auth.user"] == "u"
+    assert r["es.net.http.auth.pass"] == "p"
+
+    w = elasticsearch_write_options(
+        ["es1:9200"], "docs", id_field="doc_id",
+        index_pattern="logs-{day}", partial_update=True,
+        retry_count=3, retry_wait_ms=500,
+    )
+    assert w["es.resource.write"] == "logs-{day}"
+    assert w["es.write.operation"] == "upsert"
+    assert w["es.batch.write.retry.count"] == "3"
+    assert w["es.batch.write.retry.wait"] == "500ms"
+
+    # partial update is meaningless without a doc id to target
+    with pytest.raises(ValueError, match="id_field"):
+        elasticsearch_write_options(["es1:9200"], "docs", partial_update=True)
+
+
+def test_es_bulk_actions_roundtrip(spark, tmp_path):
+    """Broker-less write-path round trip (the Kafka-decode pattern):
+    rows → bulk-API action pairs with id-fn/index-fn routing
+    (es.clj:119-141, ExtractKeyFn.java:24-36) → local bulk file →
+    parse back and verify routing + payload."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.sources import es_bulk_actions, write_text_file
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "2024-01-01"), (2, "beta", "2024-01-02")],
+        "doc_id int, body string, day string",
+    )
+    # index-fn analog: per-document target index from a column expr
+    bulk = es_bulk_actions(
+        df,
+        index=F.concat(F.lit("logs-"), F.col("day")),
+        id_col="doc_id",
+    )
+    out = str(tmp_path / "bulk")
+    write_text_file(bulk, out, num_shards=1)
+
+    lines = []
+    for p in sorted((tmp_path / "bulk").glob("**/part*")):
+        lines += [ln for ln in p.read_text().splitlines() if ln]
+    assert len(lines) == 4  # 2 docs x (action line + source line)
+    actions = [json.loads(lines[i]) for i in (0, 2)]
+    docs = [json.loads(lines[i]) for i in (1, 3)]
+    by_id = {a["index"]["_id"]: (a, d) for a, d in zip(actions, docs)}
+    assert by_id["1"][0]["index"]["_index"] == "logs-2024-01-01"
+    assert by_id["2"][0]["index"]["_index"] == "logs-2024-01-02"
+    assert by_id["1"][1] == {"doc_id": 1, "body": "alpha", "day": "2024-01-01"}
+
+    # partial-update form wraps the source as a doc_as_upsert
+    upd = es_bulk_actions(df, index="docs", id_col="doc_id", op="update")
+    row = upd.orderBy("value").first()["value"].split("\n")
+    meta, body = json.loads(row[0]), json.loads(row[1])
+    assert set(meta) == {"update"} and meta["update"]["_index"] == "docs"
+    assert body["doc_as_upsert"] is True and body["doc"]["body"] in ("alpha", "beta")
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path):
     """Many tiny files → few near-target files; data survives."""
     from datasplash_spark.sources import compact_parquet, generate_input
