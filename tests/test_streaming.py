@@ -486,3 +486,59 @@ def test_foreach_batch_idempotent_parquet_sink(spark, tmp_path):
     writer(generate_input(spark, [("a",), ("b",), ("c",)], "value string"), 0)
     got2 = spark.read.parquet(out)
     assert sorted(r.value for r in got2.collect()) == ["a", "b", "c"]
+
+
+def test_pubsub_stream_end_to_end(spark, tmp_path):
+    """Pub/Sub flow e2e, transport-mocked (no first-party Spark
+    source exists for plain Pub/Sub — the documented contract): a
+    parquet file STREAM with the Pub/Sub message shape
+    (payload binary + attributes map) stands in for the unbounded
+    source, then the real pipeline runs unchanged: ``decode_pubsub``
+    with an attribute-timestamp label (pubsub.clj:55,82 — the
+    ``:timestamp-label`` flow), watermark, tumbling event-time
+    window aggregation, memory sink.
+
+    Attribute timestamps exercise BOTH encodings the reference
+    accepts: epoch millis and ISO-8601."""
+    from datasplash_spark.operators import fixed_windows, with_allowed_lateness
+    from datasplash_spark.sources import decode_pubsub
+
+    # transport frames: one early message, one in the next hour,
+    # one ISO-8601-stamped message back in hour 0
+    h0_ms = 1704067200000  # 2024-01-01T00:00:00Z
+    msgs = [
+        (bytearray(b"m1"), {"ts": str(h0_ms + 60_000), "src": "a"}),
+        (bytearray(b"m2"), {"ts": str(h0_ms + 3_660_000), "src": "a"}),
+        (bytearray(b"m3"), {"ts": "2024-01-01T00:30:00Z", "src": "b"}),
+    ]
+    src = str(tmp_path / "psrc")
+    spark.createDataFrame(
+        msgs, "payload binary, attributes map<string,string>"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "payload binary, attributes map<string,string>"
+    ).parquet(src)
+    assert stream.isStreaming
+
+    decoded = decode_pubsub(stream, type="string", timestamp_label="ts")
+    decoded = with_allowed_lateness(decoded, "event_time", "15 minutes")
+    agg = decoded.groupBy(
+        fixed_windows("event_time", "1 hour").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("first_payload"),
+    )
+    out = agg.select(F.unix_timestamp("w.start").alias("ws"), "n", "first_payload")
+    q = write_stream(
+        out,
+        "memory",
+        checkpoint_dir=str(tmp_path / "psck"),
+        trigger="once",
+        output_mode="complete",
+        query_name="psagg",
+    )
+    q.awaitTermination(120)
+    got = {r.ws: (r.n, r.first_payload) for r in spark.sql("SELECT * FROM psagg").collect()}
+    h0 = h0_ms // 1000
+    assert got == {h0: (2, "m1"), h0 + 3600: (1, "m2")}
