@@ -712,6 +712,7 @@ def keep_best_per_cluster(
     clusters: DataFrame,
     score: ColumnLike,
     id_col: ColumnLike = "doc_id",
+    keep_cluster_col: bool = False,
 ) -> DataFrame:
     """Quality-aware survivor selection: given per-doc cluster
     assignments (:func:`dedup_clusters` output — ``doc_id,
@@ -722,7 +723,9 @@ def keep_best_per_cluster(
     One join on ids + a per-cluster top-1 rank (WindowGroupLimit —
     per-partition pruning, no per-cluster materialization).
     Singletons survive trivially (their own cluster). Returns the
-    surviving rows of ``df``.
+    surviving rows of ``df`` (plus the ``cluster_id`` column when
+    ``keep_cluster_col`` — for joining survivors back to per-cluster
+    stats computed from the same shared cluster table).
     """
     from pyspark.sql import Window
 
@@ -735,8 +738,11 @@ def keep_best_per_cluster(
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("_score"), _col(id_col).asc()
     )
+    drop = ["_rk", "_score", "_cid"]
+    if not keep_cluster_col:
+        drop.append("cluster_id")
     return (
         joined.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "_score", "_cid", "cluster_id")
+        .drop(*drop)
     )

@@ -2687,6 +2687,68 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-table REUSE: the composition a real curation pipeline
+    runs — materialize the near-dup cluster assignment ONCE, then
+    feed BOTH per-cluster stats and quality-aware survivor selection
+    from the shared table. The LSH+CC pipeline executes a single
+    time; both consumers read the persisted assignment (plan-pinned
+    in test_plans::test_cluster_report_single_clustering). At 100 TB
+    the persist becomes a parquet materialization
+    (``materialize_dir``) feeding any number of downstream curation
+    jobs without re-clustering. Output: one row per cluster —
+    size, total chars, and the quality-selected survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(
+        docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
+    ).persist()
+    stats = (
+        docs.join(clusters, on="doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    survivors = dd.keep_best_per_cluster(
+        docs, clusters, "n_chars", keep_cluster_col=True
+    ).select(F.col("cluster_id"), F.col("doc_id").alias("survivor_id"))
+    return stats.join(survivors, on="cluster_id")
+
+
+ORACLE_DEDUP_CLUSTER_REPORT = (
+    "WITH RECURSIVE "
+    + _minhash_cte_block(16, 4, 3, 42)
+    + """, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+), assign AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), ranked AS (
+  SELECT doc_id, n_chars, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM assign
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id
+FROM ranked
+GROUP BY cluster_id
+"""
+)
+
+
 ORACLE_DEDUP_KEEP_BEST = (
     "WITH RECURSIVE "
     + _minhash_cte_block(16, 4, 3, 42)
@@ -2775,6 +2837,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
     "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "dedup_cluster_report": (q_dedup_cluster_report, ORACLE_DEDUP_CLUSTER_REPORT),
     # --- implementation changed this round (re-gate) ---
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),

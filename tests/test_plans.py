@@ -357,3 +357,23 @@ def test_quantile_buckets_no_global_sort(spark):
     plan = plan_of(_q(spark, "length_quartiles"))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cluster_report_single_clustering(spark):
+    """dedup_cluster_report materializes the cluster-assignment table
+    once: both consumers (per-cluster stats, survivor selection) must
+    be InMemoryTableScans of the SAME persisted relation, and no LSH
+    signature arithmetic may appear outside it — the clustering
+    pipeline executes exactly once for the whole composition."""
+    plan = plan_of(_q(spark, "dedup_cluster_report"), mode="simple")
+    lines = plan.splitlines()
+    scans = [l for l in lines if "InMemoryTableScan" in l]
+    assert len(scans) >= 2, plan
+    # live plan must hold NO recompute of the signature pipeline:
+    # shingle explode / hash-min arithmetic only under InMemoryRelation
+    rel_depths = [_node_depth(l) for l in lines if "InMemoryRelation" in l]
+    for l in lines:
+        if "posexplode" in l or "partial_min" in l:
+            assert rel_depths and any(
+                _node_depth(l) > d for d in rel_depths
+            ), l
