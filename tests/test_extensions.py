@@ -744,3 +744,39 @@ def test_keep_best_per_cluster_picks_highest_score(spark):
         for r in dd.keep_best_per_cluster(docs, clusters, "score").collect()
     )
     assert out == [2, 9]
+
+
+def test_giant_component_chain_stress_hash_min_vs_star(spark):
+    """The designed escalation split, pinned at stress size: a
+    400-node single chain (diameter 400 — the worst case for
+    label propagation, and a stand-in for the giant component a
+    pathological LSH bucket can produce).
+
+    - hash-min advances the min label O(1) hops per round: it MUST
+      raise (not silently split the component) when max_iter is far
+      below the diameter;
+    - star contraction halves chains per alternating phase: it must
+      label the whole chain within an O(log² n) round budget (12
+      rounds for n=400 — fails if a regression makes it linear).
+    """
+    import pytest
+
+    from datasplash_spark.functions.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 400
+    edges = generate_input(
+        spark, [(i, i + 1) for i in range(n)], "src bigint, dst bigint"
+    )
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=10)
+
+    comp = {
+        r.node: r.component
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {0}
