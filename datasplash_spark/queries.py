@@ -2789,73 +2789,26 @@ SELECT doc_id FROM ranked WHERE rk = 1
 # block the previous round already proved green. Over consecutive
 # rounds every query gets a driver-green row.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- ungated in round 2 (registry positions >50) ---
-    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
-    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
-    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
-    "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
-    "repeated_ngrams": (q_repeated_ngrams, ORACLE_REPEATED_NGRAMS),
-    "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
-    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
-    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
-    "embedding_clusters": (q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS),
-    "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
-    "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
-    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
-    "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
-    "similarity_ivf": (q_similarity_ivf, ORACLE_SIMILARITY_IVF),
-    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "sample_per_key": (q_sample_per_key, None),
-    "flatten": (q_flatten, ORACLE_FLATTEN),
-    "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
-    "stateful_running_sum": (q_stateful_running_sum, ORACLE_STATEFUL_RUNNING_SUM),
-    "stateful_distinct_types": (
-        q_stateful_distinct_types,
-        ORACLE_STATEFUL_DISTINCT_TYPES,
+    # --- round-4 gate window (driver checks the FIRST 50) ---
+    # new or implementation-changed this round:
+    "dedup_cluster_report": (
+        q_dedup_cluster_report,
+        ORACLE_DEDUP_CLUSTER_REPORT,
     ),
-    "objectmode_wordcount": (q_objectmode_wordcount, ORACLE_OBJECTMODE_WORDCOUNT),
+    "embedding_clusters": (q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "objectmode_wordcount": (
+        q_objectmode_wordcount,
+        ORACLE_OBJECTMODE_WORDCOUNT,
+    ),
     "objectmode_join": (q_objectmode_join, ORACLE_OBJECTMODE_JOIN),
     "objectmode_side_outputs": (
         q_objectmode_side_outputs,
         ORACLE_OBJECTMODE_SIDE_OUTPUTS,
     ),
-    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
-    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
-    "lang_id": (q_lang_id, ORACLE_LANG_ID),
-    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
-    "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
-    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
-    # --- new this round ---
-    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
-    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
-    "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
-    "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
-    "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
-    "quality_above_median": (
-        q_quality_above_median,
-        ORACLE_QUALITY_ABOVE_MEDIAN,
-    ),
-    "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
-    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
-    "dedup_cluster_report": (q_dedup_cluster_report, ORACLE_DEDUP_CLUSTER_REPORT),
-    # --- implementation changed this round (re-gate) ---
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    # --- gated green in round 2 (CORRECTNESS_r02.json) ---
-    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
-    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
-    "keep": (q_keep, ORACLE_KEEP),
-    "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
-    "frequencies_by": (q_frequencies_by, ORACLE_FREQUENCIES_BY),
-    "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
-    "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
-    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
-    "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
-    "price_percentiles": (q_price_percentiles, ORACLE_PRICE_PERCENTILES),
-    "combiner_mapper_predicate": (
-        q_combiner_mapper_predicate,
-        ORACLE_COMBINER_MAPPER_PREDICATE,
-    ),
+    # relational block last driver-gated in round 2 — rotated to the
+    # front so CORRECTNESS_r04 re-proves it on current code:
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),
     "join_required": (q_join_required, ORACLE_JOIN_REQUIRED),
@@ -2896,6 +2849,64 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    # high-traffic re-checks filling the remaining window slots:
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
+    "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
+    "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
+    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    # --- driver-green in round 3 (CORRECTNESS_r03.json), unchanged ---
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
+    "repeated_ngrams": (q_repeated_ngrams, ORACLE_REPEATED_NGRAMS),
+    "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
+    "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
+    "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
+    "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
+    "similarity_ivf": (q_similarity_ivf, ORACLE_SIMILARITY_IVF),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "sample_per_key": (q_sample_per_key, None),
+    "flatten": (q_flatten, ORACLE_FLATTEN),
+    "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
+    "stateful_running_sum": (
+        q_stateful_running_sum,
+        ORACLE_STATEFUL_RUNNING_SUM,
+    ),
+    "stateful_distinct_types": (
+        q_stateful_distinct_types,
+        ORACLE_STATEFUL_DISTINCT_TYPES,
+    ),
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
+    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
+    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
+    "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
+    "quality_above_median": (
+        q_quality_above_median,
+        ORACLE_QUALITY_ABOVE_MEDIAN,
+    ),
+    "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
+    "keep": (q_keep, ORACLE_KEEP),
+    "frequencies_by": (q_frequencies_by, ORACLE_FREQUENCIES_BY),
+    "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
+    "price_percentiles": (q_price_percentiles, ORACLE_PRICE_PERCENTILES),
+    "combiner_mapper_predicate": (
+        q_combiner_mapper_predicate,
+        ORACLE_COMBINER_MAPPER_PREDICATE,
+    ),
 }
 
 
