@@ -37,12 +37,27 @@ from pyspark.sql import functions as F
 from ..operators.elementwise import ColumnLike, _col
 
 
+#: edge-count threshold below which :func:`connected_components` runs
+#: an exact driver-side union-find instead of the iterative join loop.
+#: Size-adaptive strategy choice, the same logic AQE applies to
+#: broadcast joins: the candidate-pair list is usually minuscule
+#: relative to the corpus that produced it (most docs have no near-dup
+#: edge), and below ~1M edges the distributed loop's cost is pure
+#: per-round JOB LATENCY (3+ rounds x several jobs), not data. 1M
+#: symmetrized edges collect to tens of MB — trivially driver-safe —
+#: and union-find labels them in well under a second. Above the
+#: threshold, the join-only loop (or star contraction) takes over;
+#: nothing unbounded ever reaches the driver.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: ColumnLike = "src",
     dst: ColumnLike = "dst",
     max_iter: int = 25,
     n_partitions: int | None = None,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -50,6 +65,13 @@ def connected_components(
     appears in any edge; ``component`` is the minimum node id in the
     node's component (a canonical, deterministic representative —
     ids must be orderable, e.g. numeric or string doc ids).
+
+    ``driver_threshold`` (default :data:`DRIVER_CC_MAX_EDGES`): edge
+    lists at or below this size short-circuit to an exact driver-side
+    union-find — one bounded collect instead of O(diameter) shuffle
+    rounds whose cost on small graphs is all job latency. Pass ``0``
+    to force the distributed loop (tests do, to pin its semantics);
+    both paths produce identical labelings.
 
     ``n_partitions`` sizes the per-round shuffle. ``None`` (default)
     lets AQE size it: the ``groupBy`` keeps map-side partial
@@ -88,6 +110,16 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    # size-adaptive strategy: count the (just-persisted) edge list —
+    # the loop's first action would materialize it anyway — and take
+    # the exact driver-side path when it is broadcast-small.
+    limit = DRIVER_CC_MAX_EDGES if driver_threshold is None else driver_threshold
+    if limit > 0 and sym.count() <= limit:
+        try:
+            return _union_find_local(sym)
+        finally:
+            sym.unpersist()
 
     def _sized(frame: DataFrame) -> DataFrame:
         if n_partitions is not None:
@@ -165,6 +197,45 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def _union_find_local(sym: DataFrame) -> DataFrame:
+    """Exact union-find over a driver-collected symmetrized edge list
+    (bounded by the caller via :data:`DRIVER_CC_MAX_EDGES`), labeling
+    each node with its component's MINIMUM id — byte-identical output
+    contract to the distributed loop. Path-halving find + min-root
+    union keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # one collect job — the row count is already bounded by the
+    # caller's threshold check (toLocalIterator would instead run one
+    # sequential mini-job per partition, pure latency at this size)
+    for a, b in sym.select("a", "b").collect():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(n, find(n)) for n in list(parent)]
+    spark = sym.sparkSession
+    node_type = sym.schema["a"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def cluster_assignments(

@@ -164,8 +164,15 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "src bigint, dst bigint",
     )
-    comp = {r.node: r.component for r in connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # both strategies: driver-side union-find (default for small edge
+    # lists) and the forced distributed loop must agree exactly
+    for thr in (None, 0):
+        comp = {
+            r.node: r.component
+            for r in connected_components(edges, driver_threshold=thr).collect()
+        }
+        assert comp == expected, f"driver_threshold={thr}"
 
 
 def test_connected_components_max_iter_raises(spark):
@@ -174,8 +181,12 @@ def test_connected_components_max_iter_raises(spark):
     edges = generate_input(
         spark, [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
     )
+    # the distributed loop must raise on non-convergence…
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_threshold=0)
+    # …while the small-graph driver path labels the same chain exactly
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 9
 
 
 def test_cluster_assignments_singletons(spark):
@@ -229,8 +240,12 @@ def test_connected_components_random_vs_union_find(spark):
             root = find(v)
             expected[v] = min(u for u in nodes if find(u) == root)
         df = generate_input(spark, edges, "src bigint, dst bigint")
-        got = {r.node: r.component for r in connected_components(df).collect()}
-        assert got == expected, f"trial {trial}"
+        for thr in (None, 0):
+            got = {
+                r.node: r.component
+                for r in connected_components(df, driver_threshold=thr).collect()
+            }
+            assert got == expected, f"trial {trial} driver_threshold={thr}"
 
 
 def test_kmeans_refine_recovers_blob_means(spark):
@@ -772,7 +787,7 @@ def test_giant_component_chain_stress_hash_min_vs_star(spark):
     )
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=10)
+        connected_components(edges, max_iter=10, driver_threshold=0)
 
     comp = {
         r.node: r.component
