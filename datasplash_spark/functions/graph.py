@@ -6,12 +6,17 @@ generation in any real corpus-dedup pipeline).
 
 Design for 100 TB:
 
+- Size-adaptive strategy (the same logic AQE applies to broadcast
+  joins): edge lists at or below :data:`DRIVER_CC_MAX_EDGES` take an
+  exact driver-side union-find — one bounded collect, zero iterative
+  rounds (whose cost at that size is pure job latency). Larger graphs
+  take the distributed paths below; nothing unbounded ever reaches
+  the driver.
 - Hash-min label propagation: each node repeatedly adopts the minimum
   label among itself and its neighbors. Converges in O(diameter)
   rounds; LSH duplicate clusters are near-cliques (diameter 1-2), so
   3-4 rounds in practice. Each round is one shuffle join (labels ⋈
-  edges on the neighbor key) + one partial-aggregated min — no
-  driver-side graph, no collect.
+  edges on the neighbor key) + one partial-aggregated min.
 - The symmetrized edge list is persisted once and reused every round;
   per-round results are ``localCheckpoint``-ed to truncate lineage
   (the classic iterative-DataFrame trap: without it the plan doubles
