@@ -503,3 +503,30 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1000
     assert {r.k for r in back.collect()} == set(range(1000))
+
+
+def test_es_bulk_actions_escaping_preserves_framing(spark):
+    """Bulk framing safety: the ES bulk protocol is newline-framed, so
+    doc content containing newlines/quotes/backslashes/control chars
+    must be JSON-escaped by the encoder — each row yields EXACTLY one
+    action line + one source line, parsing back to the original."""
+    import json
+
+    from datasplash_spark.sources import es_bulk_actions
+
+    nasty = [
+        (1, 'line1\nline2\r\ntab\t"quoted" back\\slash'),
+        (2, "unicode: é中文 \U0001f600"),
+        (3, "ctrl:\x01\x1f end"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(nasty, "doc_id int, body string")
+    rows = es_bulk_actions(df, index="docs", id_col="doc_id").collect()
+    by_id = {}
+    for r in rows:
+        lines = r["value"].split("\n")
+        assert len(lines) == 2, f"framing broken: {r['value']!r}"
+        meta, doc = json.loads(lines[0]), json.loads(lines[1])
+        by_id[int(meta["index"]["_id"])] = doc
+    for doc_id, body in nasty:
+        assert by_id[doc_id]["body"] == body, doc_id
