@@ -684,8 +684,14 @@ def source_overlap(
     16-byte md5 per (source, shingle), partial+final distinct — the
     corpus collapses to vocab-sized digest sets), then the digest
     self-join touches only that distinct table. Sources ≪ corpus, so
-    the output is at most |sources|² rows.
+    the output is at most |sources|² rows. The distinct digest table
+    is PERSISTED before the self-join: Catalyst does not reuse the
+    exchange across the two join sides here, so without it the corpus
+    scan + shingle + distinct pipeline executes twice (measured: two
+    full parquet scans in the plan).
     """
+    from pyspark import StorageLevel
+
     sd = (
         df.select(
             _col(source).alias("src"),
@@ -693,6 +699,7 @@ def source_overlap(
         )
         .select("src", F.md5("s").alias("digest"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sd.alias("a")
     b = sd.alias("b")

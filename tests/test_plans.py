@@ -339,6 +339,11 @@ def test_source_overlap_joins_distinct_digests(spark):
     # join keys are the md5 digests, not document text
     assert plan.count("HashAggregate") >= 4
     assert "md5" in plan.lower()
+    # single computation: the digest table is persisted, so both
+    # self-join sides are InMemoryTableScans and the corpus parquet
+    # scan appears only inside the cached definition
+    simple = plan_of(_q(spark, "source_overlap"), mode="simple")
+    assert simple.count("InMemoryTableScan") == 2, simple
 
 
 def test_knn_join_broadcasts_queries_with_group_limit(spark):
