@@ -649,13 +649,25 @@ def repetition_stats(
     digest↔digest LEFT JOIN back to per-doc windows (AQE broadcasts
     the duplicated-window side when it is small, the common case after
     the >1 filter) and a per-doc re-aggregation. Documents themselves
-    never shuffle — only 16-byte digests and ids."""
-    wins = df.select(
-        _col(id_col).alias("doc_id"),
-        F.explode(token_windows(text, k)).alias("w"),
-    ).select("doc_id", F.md5("w").alias("window_md5"))
-    dup = repeated_window_counts(df, text, k).select(
-        "window_md5", F.lit(1).alias("_dup")
+    never shuffle — only 16-byte digests and ids. The per-doc window
+    table is PERSISTED and the corpus-wide counts derive from it, so
+    the corpus tokenize + window-explode pipeline executes once, not
+    once per consumer."""
+    from pyspark import StorageLevel
+
+    wins = (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.explode(token_windows(text, k)).alias("w"),
+        )
+        .select("doc_id", F.md5("w").alias("window_md5"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        wins.groupBy("window_md5")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("window_md5", F.lit(1).alias("_dup"))
     )
     return (
         wins.join(dup, "window_md5", "left")

@@ -127,7 +127,14 @@ def tf_idf(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"):
     Scale shape (all relational, no Python):
 
     - explode(tokens) → groupBy(doc, term).count(): the tf table,
-      partial-aggregated map-side before its one shuffle.
+      partial-aggregated map-side before its one shuffle. NOT
+      persisted, deliberately: the tf table is corpus-sized (every
+      distinct (doc, term) pair), so caching it costs more in
+      serialization + memory pressure than re-running the tokenize
+      subtree for the vocabulary-sized dfq aggregate (measured at
+      sf0.1: persist made the query 25% slower warm, 3x colder).
+      Contrast :func:`unigram_doc_scores`, where the persisted unit
+      is the same size but saves TWO extra tokenize passes.
     - document frequency = groupBy(term).count() over the tf table
       (already distinct per doc) — vocabulary-sized output.
     - corpus size joins in as a broadcast single-row aggregate (kept
@@ -343,15 +350,35 @@ def unigram_doc_scores(df, text: ColumnLike = "text", id_col: ColumnLike = "doc_
     downstream rollup stays order-independent; convert at the edge:
     ``-sum_logp_nano / n_toks / 1e9``.
 
-    Shape: explode → join the vocab-sized unigram table (AQE
-    broadcast) → one partial-agg shuffle on doc_id.
+    Shape: ONE tokenize pass — the (doc_id, term) table is persisted
+    and every consumer derives from it (the LM's term frequencies,
+    the corpus total via ``count()`` on the cached table, and the
+    scoring join) — then join the vocab-sized unigram table (AQE
+    broadcast) and one partial-agg shuffle on doc_id. The naive
+    composition (:func:`unigram_logprob_table` + a fresh explode)
+    tokenizes the corpus three times; at 100 TB the tokenize explode
+    IS the dominant cost, so it must run once.
     """
-    lm = unigram_logprob_table(df, text)
-    toks = df.select(
-        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
-    ).filter(F.col("term") != "")
+    from pyspark import StorageLevel
+
+    toks = (
+        df.select(
+            _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = toks.count()  # materializes the cache; corpus token total
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).select(
+        "term",
+        F.round(
+            F.log(F.col("n").cast("double") / F.lit(float(total))) * 1e9
+        )
+        .cast("long")
+        .alias("logp_nano"),
+    )
     return (
-        toks.join(lm.select("term", "logp_nano"), on="term")
+        toks.join(lm, on="term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
