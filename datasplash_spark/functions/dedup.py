@@ -679,6 +679,87 @@ def repetition_stats(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-span REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    dedup, token-window approximation): every k-token window whose
+    text occurs ≥ ``min_count`` times corpus-wide marks its covered
+    token positions, and those tokens are cut from the document.
+    Output: ``doc_id, text_clean, n_tokens, n_removed`` — the
+    curation step that *trims* boilerplate/licence blocks instead of
+    dropping whole documents (reference has no analog; this is the
+    LLM-pipeline extension surface).
+
+    100 TB shape: the occurrence-level window table carries
+    ``(doc_id, start, 16-byte digest)`` — documents never shuffle.
+    Corpus-wide counts are one partial+final HashAggregate over the
+    digests; the ≥min_count survivors (the small tail) flow into an
+    AQE-broadcastable join back to per-doc windows; per-doc dup-start
+    lists are a collect_list aggregate keyed by doc_id (bounded by
+    windows-per-doc, i.e. document length — not corpus size). The
+    final rebuild is a pure per-row Column expression (nested
+    higher-order functions), embarrassingly parallel. Worst-case
+    per-row cost is O(n_tokens × n_dup_starts) for a fully
+    duplicated document — bounded by doc length squared, independent
+    of corpus size. The per-doc window table is persisted so the
+    tokenize+explode pipeline runs once for both the count and the
+    join-back.
+
+    Texts shorter than ``k`` tokens form a single whole-text window:
+    if that text repeats corpus-wide the whole short doc empties —
+    the Lee et al. semantics for sub-window duplicates.
+    """
+    from pyspark import StorageLevel
+
+    toks = tokens(text)
+    wins = (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.posexplode(token_windows(text, k)).alias("pos0", "w"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("start"),
+            F.md5("w").alias("window_md5"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        wins.groupBy("window_md5")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("window_md5")
+    )
+    dup_starts = (
+        wins.join(dup, "window_md5")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    base = df.select(
+        _col(id_col).alias("doc_id"), _col(text).alias("_text")
+    ).join(dup_starts, "doc_id", "left")
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    t = tokens(F.col("_text"))
+    kept = F.filter(
+        t,
+        lambda tok, i: ~F.exists(
+            starts, lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k))
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     text: ColumnLike = "text",

@@ -644,3 +644,53 @@ def quantile_buckets(
         + 1
     ).alias(bucket_name)
     return df.crossJoin(F.broadcast(cuts)).select("*", bucket).drop("_cuts")
+
+
+def shuffle_key(
+    seed: int, *id_cols: ColumnLike, alias: str = "shuffle_key"
+) -> Column:
+    """Deterministic per-row shuffle key: ``md5(seed || id…)`` — the
+    same seed-prefixed md5 ordering every ``deterministic_by``
+    sampler here uses, exposed as a first-class column so the
+    training order is reproducible and resumable (re-running with
+    the same seed yields byte-identical order; a new epoch is just a
+    new seed). DuckDB-exact: ``md5(seed_str || CAST(id AS VARCHAR) …)``."""
+    parts = [F.lit(str(seed))] + [_col(c).cast("string") for c in id_cols]
+    return F.md5(F.concat(*parts)).alias(alias)
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: int,
+    *id_cols: ColumnLike,
+    num_partitions: int | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training-order randomization:
+    total-order the corpus by :func:`shuffle_key` (reference has no
+    analog — Beam pipelines reach for ``Reshuffle``, which
+    randomizes *placement*, not a reproducible read order; trainers
+    need both).
+
+    NOT a single-partition sort: ``orderBy`` range-partitions on a
+    sampled key distribution then sorts within partitions — the
+    standard distributed total order. md5 keys are uniform by
+    construction, so the range partitions are balanced regardless of
+    id skew — no hot partition at 100 TB, and downstream
+    ``spark.read`` of the written shards replays the exact order.
+    ``num_partitions`` pins the output shard count (defaults to the
+    session shuffle parallelism); ``keep_key`` retains the key
+    column for audit/resume bookkeeping.
+    """
+    if not id_cols:
+        raise ValueError("global_shuffle needs at least one id column")
+    key = shuffle_key(seed, *id_cols, alias="_gs_key")
+    out = df.withColumn("_gs_key", key)
+    if num_partitions is not None:
+        out = out.repartitionByRange(int(num_partitions), "_gs_key")
+        out = out.sortWithinPartitions("_gs_key")
+    else:
+        out = out.orderBy("_gs_key")
+    if keep_key:
+        return out.withColumnRenamed("_gs_key", "shuffle_key")
+    return out.drop("_gs_key")

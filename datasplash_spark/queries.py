@@ -948,6 +948,24 @@ FROM u
 """
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: total-order the
+    corpus by md5(seed‖doc_id) via a range-partitioned distributed
+    sort (never a single-partition window). Gate checks the full
+    (doc_id, shuffle_key) assignment — the order is the key order."""
+    from .operators import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = global_shuffle(docs, 7, "doc_id", keep_key=True)
+    return out.select("doc_id", "shuffle_key")
+
+
+ORACLE_GLOBAL_SHUFFLE = """
+SELECT doc_id, md5('7' || doc_id::VARCHAR) AS shuffle_key
+FROM documents
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates per key: HLL distinct + GK median.
     Deliberately rows-only at the gate (sketch outputs are
@@ -2283,6 +2301,50 @@ GROUP BY g.doc_id
 """
 
 
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span REMOVAL (Lee et al. ExactSubstr, token-
+    window approximation): cut every 8-token window occurring ≥2
+    times corpus-wide from the documents — the trim-don't-drop
+    curation step. Digest-keyed shuffles only; the rebuild is a pure
+    per-row nested higher-order-function expression."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.remove_repeated_spans(docs, k=8, min_count=2)
+
+
+ORACLE_REMOVE_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS start,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                i -> md5(array_to_string(t[i:i+7], ' ')))) AS w
+  FROM toks
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+), ds AS (
+  SELECT doc_id, list_sort(list(start)) AS starts
+  FROM wins JOIN dup USING (w) GROUP BY doc_id
+), j AS (
+  SELECT t.doc_id, t.t, coalesce(d.starts, []) AS starts
+  FROM toks t LEFT JOIN ds d USING (doc_id)
+), built AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(range(1, len(t) + 1),
+           j -> CASE WHEN len(list_filter(starts,
+                       s -> s <= j AND j < s + 8)) > 0
+                THEN NULL ELSE t[j] END),
+           x -> x IS NOT NULL) AS kept
+  FROM j
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       len(t)::BIGINT AS n_tokens,
+       (len(t) - len(kept))::BIGINT AS n_removed
+FROM built
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: each doc's token interval in
     its source's stream + the pack (seq_len=512) holding its first
@@ -2849,6 +2911,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    # new in the round-4 continuation session:
+    "remove_repeated_spans": (
+        q_remove_repeated_spans,
+        ORACLE_REMOVE_REPEATED_SPANS,
+    ),
+    "global_shuffle": (q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     # high-traffic re-checks filling the remaining window slots:
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),

@@ -582,6 +582,106 @@ def test_repetition_stats_counts_cross_and_intra_doc_windows(spark):
     assert rows == {1: (2, 1), 2: (2, 1), 3: (2, 2), 4: (1, 0)}
 
 
+def test_remove_repeated_spans_cuts_dup_windows(spark):
+    # k=2: "a b" appears in docs 1 and 2 -> positions covered by a
+    # dup window start s are [s, s+1]; doc 3 is all-unique and must
+    # come back verbatim; doc 4 (shorter than k) duplicates doc 5's
+    # full text -> both empty out.
+    docs = generate_input(
+        spark,
+        [
+            (1, "a b c"),   # dup start 1 covers tokens 1-2 -> keeps "c"
+            (2, "a b d"),   # keeps "d"
+            (3, "p q r"),   # untouched
+            (4, "solo"),    # whole-text window dup with doc 5
+            (5, "solo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+        for r in dd.remove_repeated_spans(docs, k=2).collect()
+    }
+    assert rows == {
+        1: ("c", 3, 2),
+        2: ("d", 3, 2),
+        3: ("p q r", 3, 0),
+        4: ("", 1, 1),
+        5: ("", 1, 1),
+    }
+
+
+def test_remove_repeated_spans_overlapping_windows_merge(spark):
+    # "a b c" repeated in both docs -> dup 2-gram starts 1 and 2 in
+    # each; coverage [1,2] U [2,3] = tokens 1-3, tail survives.
+    docs = generate_input(
+        spark,
+        [(1, "a b c x"), (2, "a b c y")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dd.remove_repeated_spans(docs, k=2).collect()
+    }
+    assert rows == {1: ("x", 3), 2: ("y", 3)}
+
+
+def test_remove_repeated_spans_min_count(spark):
+    # min_count=3: a window in only two docs survives.
+    docs = generate_input(
+        spark,
+        [(1, "a b x"), (2, "a b y"), (3, "c d z")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r.n_removed
+        for r in dd.remove_repeated_spans(docs, k=2, min_count=3).collect()
+    }
+    assert rows == {1: 0, 2: 0, 3: 0}
+
+
+def test_global_shuffle_total_order_and_determinism(spark):
+    from datasplash_spark.operators import global_shuffle, shuffle_key
+
+    df = generate_input(
+        spark,
+        [(i, f"doc {i}") for i in range(100)],
+        "doc_id bigint, text string",
+    ).repartition(8)
+    out = global_shuffle(df, 7, "doc_id", keep_key=True)
+    rows = out.select("doc_id", "shuffle_key").collect()
+    keys = [r.shuffle_key for r in rows]
+    # collect() preserves partition order; orderBy gives a global sort
+    assert keys == sorted(keys)
+    # deterministic: same seed -> same order; different seed -> differs
+    again = [
+        r.doc_id
+        for r in global_shuffle(df, 7, "doc_id").select("doc_id").collect()
+    ]
+    assert again == [r.doc_id for r in rows]
+    other = [
+        r.doc_id
+        for r in global_shuffle(df, 8, "doc_id").select("doc_id").collect()
+    ]
+    assert other != again
+    assert sorted(other) == sorted(again) == list(range(100))
+    # explicit partition pinning keeps the global order across shards
+    pinned = global_shuffle(df, 7, "doc_id", num_partitions=4, keep_key=True)
+    assert pinned.rdd.getNumPartitions() == 4
+    pk = [r.shuffle_key for r in pinned.select("shuffle_key").collect()]
+    assert pk == sorted(pk)
+    # the key column matches the standalone expression
+    expr = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", shuffle_key(7, "doc_id", alias="k")
+        ).collect()
+    }
+    assert all(r.shuffle_key == expr[r.doc_id] for r in rows)
+    with pytest.raises(ValueError):
+        global_shuffle(df, 7)
+
+
 def test_pack_sequences_intervals(spark):
     from datasplash_spark.functions.text import pack_sequences
 

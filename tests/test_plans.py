@@ -245,6 +245,8 @@ def test_no_python_udf_in_relational_corpus(spark):
         "side_input_filter",
         "frequencies_by",
         "repeated_ngrams",
+        "remove_repeated_spans",
+        "global_shuffle",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
@@ -362,6 +364,38 @@ def test_quantile_buckets_no_global_sort(spark):
     plan = plan_of(_q(spark, "length_quartiles"))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_remove_repeated_spans_digest_shuffle_and_single_explode(spark):
+    """remove_repeated_spans: the occurrence-level window table is
+    persisted and BOTH consumers (corpus-wide count, join-back) read
+    the cached relation — the tokenize+posexplode pipeline runs once.
+    Counting is partial-before-Exchange, and no Python UDF appears
+    (the rebuild is nested higher-order functions, JVM-side)."""
+    plan = plan_of(_q(spark, "remove_repeated_spans"), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+    lines = plan.splitlines()
+    scans = [l for l in lines if "InMemoryTableScan" in l]
+    assert len(scans) >= 2, plan
+    # the window explode exists only inside the persisted relation
+    rel_depths = [_node_depth(l) for l in lines if "InMemoryRelation" in l]
+    for l in lines:
+        if "posexplode" in l.lower():
+            assert rel_depths and any(
+                _node_depth(l) > d for d in rel_depths
+            ), l
+
+
+def test_global_shuffle_is_range_partitioned_sort(spark):
+    """global_shuffle: a distributed total order — range partitioning
+    on the md5 key + within-partition sort; never a single-partition
+    Exchange or a window rank."""
+    plan = plan_of(_q(spark, "global_shuffle"))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_cluster_report_single_clustering(spark):
