@@ -398,6 +398,55 @@ def test_global_shuffle_is_range_partitioned_sort(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_runtime_bloom_filter_on_materialized_digest_join(spark, tmp_path):
+    """At 100 TB, digest-store probe joins (decontamination hits,
+    cross-corpus candidates) are shuffle joins — and Catalyst's
+    InjectRuntimeFilter then ships a bloom filter of the small
+    side's keys to the big side's scan, pruning before the shuffle.
+    LEFT ANTI admission joins (incremental_new_docs) cannot get
+    this by semantics: a bloom's "definitely absent" answer marks
+    exactly the rows an anti join must KEEP, so nothing can be
+    skipped. Emulated here by lowering the size thresholds the rule
+    keys on (local data is below the real 10 GB application-side
+    gate)."""
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "digest_store")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.select(
+        "doc_id", F.md5(F.col("text")).alias("digest"), "source"
+    ).write.parquet(store_dir)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # scale: no broadcast
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        store = spark.read.parquet(store_dir)
+        batch = (
+            spark.read.parquet(store_dir)
+            .filter(F.col("source") == "src1")
+            .select("digest")
+        )
+        probed = store.join(batch, "digest")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+
+        # anti joins keep exactly the bloom-absent rows — no pruning
+        # is possible, and none must be claimed
+        anti = store.join(batch, "digest", "left_anti")
+        plan2 = anti._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan2
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_cluster_report_single_clustering(spark):
     """dedup_cluster_report materializes the cluster-assignment table
     once: both consumers (per-cluster stats, survivor selection) must
