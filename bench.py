@@ -55,8 +55,38 @@ def main() -> int:
 
         _docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         _docs.count()  # footer + page cache for the corpus table
-        _dd.lsh_candidate_pairs(
-            _docs.limit(50), num_hashes=16, bands=4, k=3, seed=42
+        # cache=True mirrors the corpus queries' actual plan (banded
+        # table → InMemoryRelation → bucketed self-join): the cached
+        # path codegens different stages than the uncached one
+        _warm_pairs = _dd.lsh_candidate_pairs(
+            _docs.limit(50), num_hashes=16, bands=4, k=3, seed=42, cache=True
+        )
+        _warm_pairs.count()
+        # driver-side CC machinery on a 3-edge toy graph: the first
+        # collect → createDataFrame round-trip, the LocalTableScan
+        # broadcast, and the decimal(38,0) aggregate each JIT/codegen
+        # once per session (measured ~several seconds landing inside
+        # whichever clustering query runs first)
+        from datasplash_spark.functions.graph import connected_components
+
+        _edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+        )
+        _docs.limit(50).join(
+            connected_components(_edges).withColumnRenamed(
+                "node", "doc_id"
+            ),
+            "doc_id",
+            "left",
+        ).count()
+        # window-function codegen (rank/row_number family)
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        _docs.limit(50).select(
+            _F.row_number()
+            .over(_W.partitionBy("source").orderBy("doc_id"))
+            .alias("rk")
         ).count()
         spark.catalog.clearCache()
     except Exception as e:

@@ -6,7 +6,9 @@ shape, composed from the round-2 operator surface:
       → exact dedup (digest groupBy)
       → near-dup CLUSTERING (MinHash/LSH pairs → connected components
         → keep the canonical survivor per cluster)
+      → repeated-span removal (Lee et al. ExactSubstr trim)
       → token-budget chunking (explode, no shuffle)
+      → deterministic global shuffle (reproducible training order)
 
 Every stage is a Column-expression plan: no Python in any hot path,
 one shuffle per keyed stage, cluster iterations touch only the pair
@@ -61,15 +63,39 @@ def main(argv: list[str]) -> int:
     deduped = exact.join(keep, on="doc_id", how="left_semi")
     n3 = deduped.count()
 
-    # 4. chunking — token-budget chunks with overlap
-    chunks = tx.chunk_documents(deduped, chunk_tokens, overlap)
-    n4 = chunks.count()
+    # 4. repeated-span removal — trim corpus-wide boilerplate runs
+    # instead of dropping whole docs (empty survivors filtered out)
+    trimmed = (
+        deduped.drop("text")
+        .join(
+            dd.remove_repeated_spans(deduped, k=8, min_count=2).select(
+                "doc_id", F.col("text_clean").alias("text"), "n_removed"
+            ),
+            on="doc_id",
+        )
+        .filter(F.col("text") != "")
+    )
+    n4 = trimmed.count()
+
+    # 5. chunking — token-budget chunks with overlap
+    chunks = tx.chunk_documents(trimmed, chunk_tokens, overlap)
+    n5 = chunks.count()
+
+    # 6. reproducible training order — distributed total order on
+    # md5(seed‖doc_id‖chunk_id); write these shards and any reader
+    # replays the exact order
+    from datasplash_spark.operators import global_shuffle
+
+    ordered = global_shuffle(chunks, 7, "doc_id", "chunk_id")
+    n6 = ordered.count()
 
     print(f"documents:          {n0}")
     print(f"after quality gate: {n1}")
     print(f"after exact dedup:  {n2}")
     print(f"after near-dedup:   {n3}")
-    print(f"chunks produced:    {n4}")
+    print(f"after span trim:    {n4}")
+    print(f"chunks produced:    {n5}")
+    print(f"shuffled chunks:    {n6}")
     spark.stop()
     return 0
 

@@ -78,7 +78,23 @@ def test_corpus_prep_example_runs(spark, tmp_path):
     clusters = dd.dedup_clusters(exact)
     keep = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     deduped = exact.join(keep, on="doc_id", how="left_semi")
-    chunks = tx.chunk_documents(deduped, 64, 8)
-    n3, n4 = deduped.count(), chunks.count()
+    trimmed = (
+        deduped.drop("text")
+        .join(
+            dd.remove_repeated_spans(deduped, k=8, min_count=2).select(
+                "doc_id", F.col("text_clean").alias("text"), "n_removed"
+            ),
+            on="doc_id",
+        )
+        .filter(F.col("text") != "")
+    )
+    chunks = tx.chunk_documents(trimmed, 64, 8)
+    n3, nt, n4 = deduped.count(), trimmed.count(), chunks.count()
     assert 0 < n3 <= n0
-    assert n4 >= n3  # every surviving doc yields >= 1 chunk
+    assert 0 < nt <= n3
+    assert n4 >= nt  # every surviving doc yields >= 1 chunk
+    from datasplash_spark.operators import global_shuffle
+
+    ordered = global_shuffle(chunks, 7, "doc_id", "chunk_id", keep_key=True)
+    keys = [r.shuffle_key for r in ordered.select("shuffle_key").collect()]
+    assert keys == sorted(keys) and len(keys) == n4
