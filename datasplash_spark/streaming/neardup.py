@@ -1,0 +1,155 @@
+"""Streaming NEAR-dup ingestion: micro-batch admission against a
+growing document store.
+
+The reference has no analog (its unbounded sources feed stateless
+ParDos); this is the LLM-pipeline extension surface. Spark's native
+streaming dedup (``dedup_stream`` → ``dropDuplicatesWithinWatermark``)
+is EXACT-key only; near-dup admission needs the LSH machinery, whose
+bucket self-join / store probe are batch shapes — so the production
+idiom is ``foreachBatch``: every micro-batch runs the existing batch
+operators against the store and appends its admitted survivors.
+
+Per batch:
+
+1. intra-batch near-dup clustering (``dedup_clusters`` — identical
+   text always collides in every band, so exact dups collapse too);
+   the canonical min-id survivor per cluster is kept;
+2. admission vs the store: LEFT ANTI on exact digests
+   (``incremental_new_docs``), then the LSH bucket probe
+   (``cross_corpus_pairs``) drops near-dups of already-stored docs;
+3. admitted docs append to the store as a ``_batch_id=<id>``
+   partition with dynamic-partition overwrite — AND the store read in
+   step 2 EXCLUDES the current batch id, so a replayed batch (Spark
+   guarantees at-least-once per batch id after recovery) neither
+   duplicates rows nor deadlocks against its own half-written output:
+   replay is byte-idempotent.
+
+100 TB shape: per batch, the store side reduces to digests (exact
+half) and (doc_id, bucket) pairs (near-dup half) — document text
+never shuffles, and the incoming batch is broadcast-small vs the
+store. Recomputing the store's banded table every batch is the one
+deliberate simplification; a production deployment materializes it
+once (``materialize_banded``) and appends admitted signatures
+per batch — same joins, zero store-side recompute (documented in
+``cross_corpus_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sinks import foreach_batch_sink
+
+
+def near_dedup_admitter(
+    store_path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+):
+    """Build the ``batch_fn`` (for :func:`foreach_batch_sink` — or
+    direct calls in tests/backfills) implementing near-dup admission
+    into the parquet store at ``store_path``. Column names are
+    strings here (the frame crosses the foreachBatch boundary by
+    name, not by Column object).
+    """
+    from ..functions import dedup as dd
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark import StorageLevel
+
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # 1. intra-batch survivors (exact + near-dup)
+            clusters = dd.dedup_clusters(
+                batch_df,
+                text=text,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+                seed=seed,
+            )
+            survivor_ids = clusters.filter(
+                F.col("doc_id") == F.col("cluster_id")
+            ).select(F.col("doc_id").alias(id_col))
+            kept = batch_df.join(survivor_ids, on=id_col, how="left_semi")
+
+            # 2. admission vs the store — excluding this batch's own
+            # partition so replays are idempotent
+            try:
+                store = spark.read.parquet(store_path).filter(
+                    F.col("_batch_id") != int(batch_id)
+                )
+                has_store = bool(store.head(1))
+            except Exception:  # first batch: no store yet
+                store = None
+                has_store = False
+            if has_store:
+                new_ids = dd.incremental_new_docs(
+                    kept, store, text=text, id_col=id_col
+                ).select(F.col("doc_id").alias(id_col))
+                kept = kept.join(new_ids, on=id_col, how="left_semi")
+                near = dd.cross_corpus_pairs(
+                    kept,
+                    store,
+                    text=text,
+                    id_col=id_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    k=k,
+                    seed=seed,
+                ).select(F.col("doc_a").alias(id_col))
+                kept = kept.join(near, on=id_col, how="left_anti")
+
+            # 3. idempotent append: this batch's rows live in its own
+            # partition; a replay overwrites only that partition
+            (
+                kept.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return admit
+
+
+def near_dedup_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+    trigger: str | dict | None = None,
+    query_name: str | None = None,
+):
+    """Start the streaming near-dup ingestion query: every micro-batch
+    of ``stream_df`` is admitted against (and appended to) the store.
+    Readers scan ``store_path`` and drop ``_batch_id``."""
+    return foreach_batch_sink(
+        stream_df,
+        near_dedup_admitter(
+            store_path,
+            text=text,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            seed=seed,
+        ),
+        checkpoint_dir,
+        trigger=trigger,
+        query_name=query_name,
+    )
