@@ -2852,25 +2852,12 @@ SELECT doc_id FROM ranked WHERE rk = 1
 # rounds every query gets a driver-green row.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-4 gate window (driver checks the FIRST 50) ---
-    # new or implementation-changed this round:
-    "dedup_cluster_report": (
-        q_dedup_cluster_report,
-        ORACLE_DEDUP_CLUSTER_REPORT,
-    ),
-    "embedding_clusters": (q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
-    "objectmode_wordcount": (
-        q_objectmode_wordcount,
-        ORACLE_OBJECTMODE_WORDCOUNT,
-    ),
-    "objectmode_join": (q_objectmode_join, ORACLE_OBJECTMODE_JOIN),
-    "objectmode_side_outputs": (
-        q_objectmode_side_outputs,
-        ORACLE_OBJECTMODE_SIDE_OUTPUTS,
-    ),
-    # relational block last driver-gated in round 2 — rotated to the
-    # front so CORRECTNESS_r04 re-proves it on current code:
+    # Window MEMBERSHIP is the gate contract; within the window the
+    # cheap relational block leads so the session's residual first-
+    # query costs (bench runs in this order too) land on sub-second
+    # queries, not the multi-job clustering compositions.
+    # relational block last driver-gated in round 2 — rotated into
+    # the window so CORRECTNESS_r04 re-proves it on current code:
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),
     "join_required": (q_join_required, ORACLE_JOIN_REQUIRED),
@@ -2917,6 +2904,23 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_REMOVE_REPEATED_SPANS,
     ),
     "global_shuffle": (q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
+    # new or implementation-changed earlier this round:
+    "dedup_cluster_report": (
+        q_dedup_cluster_report,
+        ORACLE_DEDUP_CLUSTER_REPORT,
+    ),
+    "embedding_clusters": (q_embedding_clusters, ORACLE_EMBEDDING_CLUSTERS),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_keep_best": (q_dedup_keep_best, ORACLE_DEDUP_KEEP_BEST),
+    "objectmode_wordcount": (
+        q_objectmode_wordcount,
+        ORACLE_OBJECTMODE_WORDCOUNT,
+    ),
+    "objectmode_join": (q_objectmode_join, ORACLE_OBJECTMODE_JOIN),
+    "objectmode_side_outputs": (
+        q_objectmode_side_outputs,
+        ORACLE_OBJECTMODE_SIDE_OUTPUTS,
+    ),
     # high-traffic re-checks filling the remaining window slots:
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
