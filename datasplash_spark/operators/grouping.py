@@ -423,6 +423,71 @@ def token_budget_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    key: ColumnLike,
+    weight: ColumnLike,
+    total_budget: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+    deterministic_by: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-T5 / XLM-R
+    recipe): stratum ``i`` receives a share of ``total_budget``
+    proportional to ``n_i^alpha`` where ``n_i`` is its total
+    ``weight`` (typically tokens). ``alpha=1`` reproduces natural
+    proportions, ``alpha=0`` gives uniform shares, and the usual
+    ``0.2–0.7`` range up-samples low-resource strata — the standard
+    fix for head-heavy corpora where natural sampling starves the
+    tail. Unlike :func:`token_budget_sample`, the per-stratum budgets
+    are DERIVED from the corpus itself, not supplied.
+
+    Two passes by necessity (the shares are global statistics):
+    pass 1 is one partial-agg shuffle to stratum totals (rows =
+    #strata) plus a single-row normalizer, joined back as lazy
+    broadcasts — no collect; pass 2 admits rows per stratum in
+    md5(seed‖id) order under the derived budget (one window cumsum
+    per stratum — same shape as ``token_budget_sample``).
+    Deterministic and engine-exact: the share is rounded to 9
+    decimals before the floor so a 1-ulp ``pow`` difference between
+    engines cannot flip a budget.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    k, wgt = _col(key), _col(weight).cast("long")
+    totals = df.groupBy(k.alias("_k")).agg(F.sum(wgt).alias("_n"))
+    norm = totals.agg(
+        F.sum(F.pow(F.col("_n").cast("double"), float(alpha))).alias("_s")
+    )
+    budgets = totals.crossJoin(F.broadcast(norm)).select(
+        "_k",
+        F.floor(
+            F.lit(int(total_budget))
+            * F.round(
+                F.pow(F.col("_n").cast("double"), float(alpha))
+                / F.col("_s"),
+                9,
+            )
+        ).alias("_budget"),
+    )
+    order = F.md5(
+        F.concat(F.lit(str(seed)), _col(deterministic_by).cast("string"))
+    )
+    win = (
+        Window.partitionBy(k)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(budgets), on=k == F.col("_k"))
+        .withColumn("_cum", F.sum(wgt).over(win))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_k", "_budget", "_cum")
+    )
+
+
 def pivot_table(
     df: DataFrame,
     key: ColumnLike,

@@ -966,6 +966,47 @@ FROM documents
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (multilingual-T5/XLM-R
+    recipe): per-source token budgets ∝ (source tokens)^0.5,
+    admission in deterministic md5 order. Gate checks the admitted
+    subset itself (full equality)."""
+    from .operators import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", tx.token_count("text").cast("long")
+    )
+    out = temperature_mix(
+        docs, "source", "n_tok", total_budget=8000, alpha=0.5, seed=42
+    )
+    return out.select("doc_id", "source", "n_tok")
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(lower(text), ' '))::BIGINT AS n_tok
+  FROM documents
+), t AS (
+  SELECT source, sum(n_tok)::BIGINT AS n FROM d GROUP BY source
+), s AS (
+  SELECT sum(pow(n::DOUBLE, 0.5)) AS sm FROM t
+), b AS (
+  SELECT source,
+         floor(8000 * round(pow(n::DOUBLE, 0.5) / (SELECT sm FROM s), 9))::BIGINT
+           AS budget
+  FROM t
+), o AS (
+  SELECT d.doc_id, d.source, d.n_tok, b.budget,
+         sum(d.n_tok) OVER (PARTITION BY d.source
+            ORDER BY md5('42' || d.doc_id::VARCHAR)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d JOIN b USING (source)
+)
+SELECT doc_id, source, n_tok FROM o WHERE cum <= budget
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates per key: HLL distinct + GK median.
     Deliberately rows-only at the gate (sketch outputs are
@@ -2904,6 +2945,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_REMOVE_REPEATED_SPANS,
     ),
     "global_shuffle": (q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
+    "temperature_mix": (q_temperature_mix, ORACLE_TEMPERATURE_MIX),
     # new or implementation-changed earlier this round:
     "dedup_cluster_report": (
         q_dedup_cluster_report,

@@ -757,6 +757,59 @@ def test_linear_doc_scores_manual(spark):
     assert row.logit == expected
 
 
+def test_temperature_mix_upsamples_tail(spark):
+    """alpha<1 up-samples the small stratum relative to natural
+    proportions; alpha=1 reproduces them; budgets are derived, total
+    admitted weight stays within total_budget; deterministic."""
+    import pytest as _pytest
+
+    from datasplash_spark.operators import temperature_mix
+
+    # head stratum 'big': 90 docs x 10 tokens; tail 'small': 10 x 10
+    rows = [(i, "big", 10) for i in range(90)] + [
+        (100 + i, "small", 10) for i in range(10)
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, source string, n_tok long")
+
+    def shares(alpha):
+        out = temperature_mix(
+            df, "source", "n_tok", total_budget=500, alpha=alpha, seed=1
+        )
+        agg = {
+            r.source: r.s
+            for r in out.groupBy("source")
+            .agg(F.sum("n_tok").alias("s"))
+            .collect()
+        }
+        return agg.get("big", 0), agg.get("small", 0)
+
+    b1, s1 = shares(1.0)   # natural: 90/10 split of 500 -> 450/50
+    b5, s5 = shares(0.5)   # sqrt: 3:1 -> 375/125
+    assert b1 + s1 <= 500 and b5 + s5 <= 500
+    assert s5 > s1          # tail up-sampled
+    assert b5 < b1          # head down-sampled
+    assert (b1, s1) == (450, 50)
+    # big: floor(500*0.75)=375 -> 37 docs = 370; small: budget 125
+    # exceeds the stratum's 100 tokens -> the whole stratum admits
+    assert (b5, s5) == (370, 100)
+    # determinism: same seed -> same admitted ids
+    ids_a = sorted(
+        r.doc_id
+        for r in temperature_mix(
+            df, "source", "n_tok", total_budget=500, alpha=0.5, seed=1
+        ).collect()
+    )
+    ids_b = sorted(
+        r.doc_id
+        for r in temperature_mix(
+            df, "source", "n_tok", total_budget=500, alpha=0.5, seed=1
+        ).collect()
+    )
+    assert ids_a == ids_b
+    with _pytest.raises(ValueError):
+        temperature_mix(df, "source", "n_tok", 500, alpha=1.5)
+
+
 def test_quota_per_key_caps_and_determinism(spark):
     from datasplash_spark.operators import quota_per_key
 
