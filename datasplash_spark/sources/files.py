@@ -402,3 +402,40 @@ def compact_parquet(
     for root, _dirs, files in os.walk(dst_path):
         written += sum(1 for f in files if f.endswith(".parquet"))
     return written
+
+
+def write_training_shards(
+    df,
+    path: str,
+    seed: int,
+    *id_cols: str,
+    num_shards: int = 32,
+    max_rows_per_file: int | None = None,
+) -> None:
+    """Write a training-ready shard set: deterministic global shuffle
+    (``operators.global_shuffle`` — md5(seed‖id) total order via a
+    range-partitioned distributed sort) persisted so that reading the
+    shards back in filename order replays the exact example order.
+
+    Each of the ``num_shards`` range partitions writes one
+    ``part-<i>`` file (or several capped at ``max_rows_per_file`` —
+    Spark splits within a partition in order, so the order guarantee
+    survives the cap); the retained ``shuffle_key`` column is the
+    resume cursor: restarting training from shard *i* / key *k* is a
+    ``WHERE shuffle_key > k`` pushdown-able filter, no re-shuffle.
+    A new epoch is a new ``seed`` — a fresh write, never an
+    in-place mutation.
+
+    100 TB shape: the md5 keys are uniform, so range partitions are
+    balanced regardless of id skew; the only data movement is the one
+    range-exchange the sort itself needs.
+    """
+    from ..operators import global_shuffle
+
+    out = global_shuffle(
+        df, seed, *id_cols, num_partitions=int(num_shards), keep_key=True
+    )
+    writer = out.write.mode("overwrite")
+    if max_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+    writer.parquet(path)

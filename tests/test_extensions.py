@@ -757,6 +757,54 @@ def test_linear_doc_scores_manual(spark):
     assert row.logit == expected
 
 
+def test_remove_repeated_spans_differential_random(spark):
+    """Differential check: the Spark implementation equals a direct
+    pure-Python reference on random small corpora drawn from a tiny
+    vocabulary (dense window collisions), across k and min_count."""
+    import random
+
+    from collections import Counter
+
+    def py_remove(docs, k, min_count):
+        toks_by = {d: t.lower().split(" ") for d, t in docs}
+        cnt: Counter = Counter()
+        occ = {}
+        for d, toks in toks_by.items():
+            m = max(len(toks) - k + 1, 1)
+            occ[d] = []
+            for i in range(1, m + 1):
+                w = " ".join(toks[i - 1 : i - 1 + k])
+                cnt[w] += 1
+                occ[d].append((i, w))
+        out = {}
+        for d, toks in toks_by.items():
+            starts = [i for i, w in occ[d] if cnt[w] >= min_count]
+            kept = [
+                t
+                for j, t in enumerate(toks, 1)
+                if not any(s <= j < s + k for s in starts)
+            ]
+            out[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        return out
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    for trial, (k, mc) in enumerate([(2, 2), (3, 2), (2, 3)]):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(25)
+        ]
+        expected = py_remove(docs, k, mc)
+        df = generate_input(spark, docs, "doc_id bigint, text string")
+        got = {
+            r.doc_id: (r.text_clean, r.n_tokens, r.n_removed)
+            for r in dd.remove_repeated_spans(
+                df, k=k, min_count=mc
+            ).collect()
+        }
+        assert got == expected, f"trial {trial} (k={k}, min_count={mc})"
+
+
 def test_temperature_mix_upsamples_tail(spark):
     """alpha<1 up-samples the small stratum relative to natural
     proportions; alpha=1 reproduces them; budgets are derived, total

@@ -530,3 +530,49 @@ def test_es_bulk_actions_escaping_preserves_framing(spark):
         by_id[int(meta["index"]["_id"])] = doc
     for doc_id, body in nasty:
         assert by_id[doc_id]["body"] == body, doc_id
+
+
+def test_write_training_shards_replays_order(spark, tmp_path):
+    """Shards read back in filename order replay the md5 total order;
+    the retained shuffle_key is a resume cursor; same seed rewrites
+    byte-identically, new seed reorders."""
+    import os
+
+    from datasplash_spark.sources import write_training_shards
+
+    df = generate_input(
+        spark,
+        [(i, f"doc number {i}") for i in range(300)],
+        "doc_id bigint, text string",
+    ).repartition(7)
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 5, "doc_id", num_shards=4)
+
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    keys = []
+    for p in parts:
+        rows = spark.read.parquet(os.path.join(out, p)).select("shuffle_key").collect()
+        keys.extend(r.shuffle_key for r in rows)
+    assert keys == sorted(keys) and len(keys) == 300
+
+    # resume cursor: strictly-after filter reproduces the tail
+    cut = keys[149]
+    tail = (
+        spark.read.parquet(out)
+        .filter(F.col("shuffle_key") > cut)
+        .select("shuffle_key")
+        .collect()
+    )
+    assert sorted(r.shuffle_key for r in tail) == keys[150:]
+
+    # new epoch = new seed -> different order, same example set
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, 6, "doc_id", num_shards=4)
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
+    assert ids1 == ids2 == list(range(300))
+    k2 = [r.shuffle_key for r in spark.read.parquet(out2).collect()]
+    assert sorted(k2) != keys
