@@ -229,7 +229,6 @@ def _union_find_local(sym: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    rows = [(n, find(n)) for n in list(parent)]
     spark = sym.sparkSession
     node_type = sym.schema["a"].dataType
     from pyspark.sql import types as T
@@ -240,7 +239,17 @@ def _union_find_local(sym: DataFrame) -> DataFrame:
             T.StructField("component", node_type, False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    # Arrow path: at the threshold ceiling (~1M edges → up to 2M
+    # nodes) a row-list createDataFrame pays per-row Python
+    # serialization; a pandas frame ships as Arrow batches instead
+    # (order-of-magnitude faster, same schema contract).
+    import pandas as pd
+
+    nodes = list(parent)
+    pdf = pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]}
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def cluster_assignments(

@@ -480,10 +480,13 @@ def temperature_mix(
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # a stratum whose derived budget floors to 0 admits NOTHING —
+    # without the budget>0 guard its zero-weight rows would slip
+    # through (their cumsum never exceeds 0)
     return (
         df.join(F.broadcast(budgets), on=k == F.col("_k"))
         .withColumn("_cum", F.sum(wgt).over(win))
-        .filter(F.col("_cum") <= F.col("_budget"))
+        .filter((F.col("_cum") <= F.col("_budget")) & (F.col("_budget") > 0))
         .drop("_k", "_budget", "_cum")
     )
 

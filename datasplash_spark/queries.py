@@ -1003,7 +1003,7 @@ WITH d AS (
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM d JOIN b USING (source)
 )
-SELECT doc_id, source, n_tok FROM o WHERE cum <= budget
+SELECT doc_id, source, n_tok FROM o WHERE cum <= budget AND budget > 0
 """
 
 

@@ -996,3 +996,34 @@ def test_giant_component_chain_stress_hash_min_vs_star(spark):
     }
     assert len(comp) == n + 1
     assert set(comp.values()) == {0}
+
+
+def test_new_ops_edge_cases(spark):
+    """Empty/degenerate inputs: remove_repeated_spans on an empty
+    corpus and on a no-dup corpus; temperature_mix with a zero-weight
+    stratum; global_shuffle on an empty frame."""
+    from datasplash_spark.operators import global_shuffle, temperature_mix
+
+    empty = generate_input(spark, [], "doc_id bigint, text string")
+    assert dd.remove_repeated_spans(empty, k=3).count() == 0
+    assert global_shuffle(empty, 1, "doc_id").count() == 0
+
+    nodup = generate_input(
+        spark, [(1, "p q r"), (2, "x y z")], "doc_id bigint, text string"
+    )
+    rows = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dd.remove_repeated_spans(nodup, k=2).collect()
+    }
+    assert rows == {1: ("p q r", 0), 2: ("x y z", 0)}
+
+    # a stratum whose total weight is 0 gets budget 0 -> nothing
+    # admitted from it; other strata unaffected
+    mix = generate_input(
+        spark,
+        [(1, "a", 10), (2, "a", 10), (3, "z", 0), (4, "z", 0)],
+        "doc_id bigint, source string, n_tok long",
+    )
+    out = temperature_mix(mix, "source", "n_tok", total_budget=20, alpha=0.5, seed=1)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [1, 2]
