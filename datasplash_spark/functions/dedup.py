@@ -230,6 +230,21 @@ def ngram_jaccard(a: ColumnLike, b: ColumnLike, k: int = 3) -> Column:
 
 # ------------------------------------------------------------- pipelines
 
+def ngram_containment(
+    a: ColumnLike, b: ColumnLike, k: int = 3
+) -> Column:
+    """n-gram CONTAINMENT of ``a`` in ``b``: |shingles(a) ∩
+    shingles(b)| / |shingles(a)| — the asymmetric companion to
+    :func:`ngram_jaccard` for subset-duplicate detection (a quote, an
+    excerpt, a doc embedded in a larger one): a short doc wholly
+    contained in a long one scores containment ≈ 1 while Jaccard
+    stays near |a|/|b| and slips under symmetric thresholds. Pure
+    array-HOF Column expression; 0.0 when ``a`` has no shingles."""
+    sa, sb = shingles(a, k), shingles(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    return F.when(F.size(sa) > 0, inter / F.size(sa)).otherwise(F.lit(0.0))
+
+
 def exact_duplicates(
     df: DataFrame, text: ColumnLike = "text", id_col: ColumnLike = "doc_id"
 ) -> DataFrame:

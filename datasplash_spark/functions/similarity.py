@@ -334,3 +334,74 @@ def knn_join(
         .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def materialize_ivf(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Write the IVF store: the corpus with its cell assignment,
+    PARTITIONED BY ``cell`` — the cross-job ANN shape (the
+    :func:`materialize_banded` analog for embeddings). Cell
+    assignment is the one stateless scan paid at write time; every
+    later probe is partition PRUNING (only ``nprobe`` directories
+    are opened — ``ivf_topk``'s docstring promise made literal).
+    Centroids persist alongside as JSON (model-sized) so probes need
+    no corpus access at all before the pruned scan. Returns the
+    centroids used."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    assigned = df.withColumn("cell", ivf_cell(vec_col, centroids))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # one tiny driver-side JSON beside the data (same contract as a
+    # model artifact; the _-prefix keeps Spark's parquet reader away)
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_from_store(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+) -> DataFrame:
+    """Probe a :func:`materialize_ivf` store: rank cells against the
+    query driver-side (centroids are model-sized JSON), then scan
+    ONLY the ``nprobe`` matching partitions (``cell IN (...)`` is a
+    partition filter — pinned by a plan test) and brute-force within
+    them. Per-query cost is ``nprobe/n_cells`` of the corpus in both
+    IO and compute."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        centroids = json.load(f)
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qn = pydot(query_vec, query_vec) ** 0.5
+
+    def pycos(c: list[float]) -> float:
+        d = qn * pydot(c, c) ** 0.5
+        return round(pydot(query_vec, c) / d, 9) if d > 0 else 0.0
+
+    probe = sorted(
+        range(len(centroids)), key=lambda i: (-pycos(centroids[i]), i)
+    )[:nprobe]
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return brute_force_topk(store, query_vec, k, vec_col, id_col)

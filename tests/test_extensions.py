@@ -1027,3 +1027,45 @@ def test_new_ops_edge_cases(spark):
     out = temperature_mix(mix, "source", "n_tok", total_budget=20, alpha=0.5, seed=1)
     got = sorted(r.doc_id for r in out.collect())
     assert got == [1, 2]
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc embedded in a long one: containment(short in
+    long)=1 while Jaccard is well below; containment is directional;
+    no-shingle edge yields 0."""
+    long_t = "a b c d e f g h i j"
+    short_t = "c d e f"          # contained run
+    df = generate_input(
+        spark,
+        [(short_t, long_t), (long_t, short_t), ("q r", "x y z w")],
+        "t1 string, t2 string",
+    )
+    rows = df.select(
+        dd.ngram_containment("t1", "t2", k=2).alias("c"),
+        F.round(dd.ngram_jaccard("t1", "t2", k=2), 6).alias("j"),
+    ).collect()
+    assert rows[0].c == 1.0 and rows[0].j < 0.5      # short in long
+    assert rows[1].c < 0.5                           # long in short
+    assert rows[2].c == 0.0 and rows[2].j == 0.0     # disjoint
+
+
+def test_ivf_store_probe_matches_inmemory(spark, tmp_path):
+    """materialize_ivf + ivf_topk_from_store must reproduce the
+    in-memory ivf_topk exactly (same centroids, same probe set)."""
+    vecs = [
+        (i, [float(i + 1)] + [float((i + j) % 3) + 1.0 for j in range(15)])
+        for i in range(60)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    store = str(tmp_path / "ivf")
+    cents = sim.materialize_ivf(df, store, n_cells=8)
+    q = vecs[11][1]
+    mem = [
+        (r.vec_id, r.score)
+        for r in sim.ivf_topk(df, q, k=5, n_cells=8, nprobe=3, centroids=cents).collect()
+    ]
+    st = [
+        (r.vec_id, r.score)
+        for r in sim.ivf_topk_from_store(spark, store, q, k=5, nprobe=3).collect()
+    ]
+    assert st == mem and st[0][0] == 11

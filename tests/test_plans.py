@@ -465,3 +465,25 @@ def test_cluster_report_single_clustering(spark):
             assert rel_depths and any(
                 _node_depth(l) > d for d in rel_depths
             ), l
+
+
+def test_ivf_store_probe_prunes_partitions(spark, tmp_path):
+    """The IVF store probe must reach the scan as a PARTITION filter
+    (cell IN probe) — only nprobe directories are read, the literal
+    version of ivf_topk's pruning promise."""
+    from datasplash_spark.functions import similarity as sim
+    from datasplash_spark.sources import generate_input
+
+    vecs = [
+        (i, [float(i + 1), float(i % 5), 1.0, 2.0]) for i in range(40)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    store = str(tmp_path / "ivfstore")
+    sim.materialize_ivf(df, store, n_cells=6)
+    probe = sim.ivf_topk_from_store(spark, store, [1.0, 0.0, 1.0, 2.0], k=3, nprobe=2)
+    plan = plan_of(probe)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "cell" in part[0], plan
+    # the data filter list must NOT carry the cell predicate (it
+    # prunes at the directory level, not per row)
+    assert "cell IN" not in plan.split("PushedFilters", 1)[-1].split("\n")[0]
