@@ -405,3 +405,59 @@ def ivf_topk_from_store(
     )[:nprobe]
     store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
+
+
+def materialize_lsh(
+    df: DataFrame,
+    path: str,
+    bits: int = 8,
+    vec_col: ColumnLike = "embedding",
+    seed: int = 42,
+) -> None:
+    """Write the hyperplane-LSH store: the corpus PARTITIONED BY its
+    sign-projection ``bucket`` (the scale path
+    :func:`lsh_bucketed_topk`'s docstring promises, made literal —
+    probes become partition pruning). The planes are a pure function
+    of ``(dim, bits, seed)``, so nothing besides the data needs
+    persisting; pass the same parameters at probe time."""
+    dim = len(df.select(_col(vec_col)).first()[0])
+    planes = random_hyperplanes(dim, bits, seed)
+    assigned = df.withColumn(
+        "bucket", hyperplane_bucket(_col(vec_col), planes)
+    )
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_from_store(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    nprobe: int = 1,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a :func:`materialize_lsh` store with MULTI-PROBE: the
+    query's own bucket plus the buckets at Hamming distance 1 whose
+    flipped bit had the SMALLEST projection margin — the standard
+    multi-probe LSH recall fix (a vector near a hyperplane falls on
+    either side with near-equal probability, so the near-boundary
+    flips are the highest-yield neighbors). ``nprobe`` counts probed
+    buckets (1 = exact-bucket only); bucket membership is driver-side
+    arithmetic on the query alone, and the scan reads ONLY the probed
+    partitions (partition pruning, plan-pinned)."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, bits, seed)
+    margins = []
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        proj = sum(a * b for a, b in zip(query_vec, plane))
+        if proj >= 0:
+            qbucket |= 1 << i
+        margins.append((abs(proj), i))
+    flips = [i for _, i in sorted(margins)]
+    probe = [qbucket] + [qbucket ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
+    store = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    return brute_force_topk(store, query_vec, k, vec_col, id_col)

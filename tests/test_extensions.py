@@ -1069,3 +1069,38 @@ def test_ivf_store_probe_matches_inmemory(spark, tmp_path):
         for r in sim.ivf_topk_from_store(spark, store, q, k=5, nprobe=3).collect()
     ]
     assert st == mem and st[0][0] == 11
+
+
+def test_lsh_store_multiprobe_recall(spark, tmp_path):
+    """materialize_lsh + multi-probe: nprobe=1 equals the in-memory
+    exact-bucket probe; higher nprobe can only widen the candidate
+    set (recall is monotone in nprobe); the query vector itself is
+    always found."""
+    vecs = [
+        (i, [float(i + 1)] + [float((i * 7 + j) % 5) - 2.0 for j in range(15)])
+        for i in range(80)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    store = str(tmp_path / "lsh")
+    sim.materialize_lsh(df, store, bits=6)
+    q = vecs[13][1]
+    one = [
+        (r.vec_id, r.score)
+        for r in sim.lsh_topk_from_store(spark, store, q, k=5, bits=6, nprobe=1).collect()
+    ]
+    mem = [
+        (r.vec_id, r.score)
+        for r in sim.lsh_bucketed_topk(df, q, k=5, bits=6).collect()
+    ]
+    assert one == mem and one[0][0] == 13
+    exact = {r.vec_id for r in sim.brute_force_topk(df, q, k=5).collect()}
+    hits = []
+    for np in (1, 3, 6):
+        got = {
+            r.vec_id
+            for r in sim.lsh_topk_from_store(
+                spark, store, q, k=5, bits=6, nprobe=np
+            ).collect()
+        }
+        hits.append(len(got & exact))
+    assert hits == sorted(hits)  # recall monotone in nprobe

@@ -487,3 +487,21 @@ def test_ivf_store_probe_prunes_partitions(spark, tmp_path):
     # the data filter list must NOT carry the cell predicate (it
     # prunes at the directory level, not per row)
     assert "cell IN" not in plan.split("PushedFilters", 1)[-1].split("\n")[0]
+
+
+def test_lsh_store_probe_prunes_partitions(spark, tmp_path):
+    """Multi-probe LSH store scan must prune at the partition level
+    (bucket IN probe-set), mirroring the IVF store pin."""
+    from datasplash_spark.functions import similarity as sim
+    from datasplash_spark.sources import generate_input
+
+    vecs = [(i, [float(i + 1), float(i % 4) - 1.5, 0.5, 1.0]) for i in range(40)]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    store = str(tmp_path / "lshstore")
+    sim.materialize_lsh(df, store, bits=4)
+    probe = sim.lsh_topk_from_store(
+        spark, store, [1.0, -0.5, 0.5, 1.0], k=3, bits=4, nprobe=3
+    )
+    plan = plan_of(probe)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "bucket" in part[0], plan
