@@ -700,6 +700,7 @@ def remove_repeated_spans(
     id_col: ColumnLike = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact repeated-span REMOVAL (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
@@ -729,22 +730,28 @@ def remove_repeated_spans(
     Texts shorter than ``k`` tokens form a single whole-text window:
     if that text repeats corpus-wide the whole short doc empties —
     the Lee et al. semantics for sub-window duplicates.
+
+    ``persist`` (default True) caches the per-token window table —
+    the largest intermediate here — so the tokenize+explode pipeline
+    runs once for both consumers. The CALLER owns the cache lifetime
+    (as with ``lsh_candidate_pairs(cache=True)``): in a long-lived
+    session, ``spark.catalog.clearCache()`` after the result is
+    consumed, or pass ``persist=False`` to trade a second pipeline
+    execution for zero cache residency.
     """
     from pyspark import StorageLevel
 
     toks = tokens(text)
-    wins = (
-        df.select(
-            _col(id_col).alias("doc_id"),
-            F.posexplode(token_windows(text, k)).alias("pos0", "w"),
-        )
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("start"),
-            F.md5("w").alias("window_md5"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    wins = df.select(
+        _col(id_col).alias("doc_id"),
+        F.posexplode(token_windows(text, k)).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("start"),
+        F.md5("w").alias("window_md5"),
     )
+    if persist:
+        wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         wins.groupBy("window_md5")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -173,6 +173,46 @@ def ivf_cell(
     return F.aggregate(arr, init, step).getField("cid")
 
 
+def _pydot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _rank_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe-set selection, shared by the in-memory and
+    store-backed IVF paths: cosine of the query against each
+    centroid, rounded to 9 dp (the same quantization ``ivf_cell``
+    applies row-side, so probe ranking and cell assignment can never
+    disagree on ties), ties broken on the lower cell id."""
+    qn = _pydot(query_vec, query_vec) ** 0.5
+
+    def pycos(c: list[float]) -> float:
+        d = qn * _pydot(c, c) ** 0.5
+        return round(_pydot(query_vec, c) / d, 9) if d > 0 else 0.0
+
+    return sorted(
+        range(len(centroids)), key=lambda i: (-pycos(centroids[i]), i)
+    )[:nprobe]
+
+
+def query_bucket(
+    query_vec: list[float], planes: list[list[float]]
+) -> int:
+    """Driver-side hyperplane bucket of a query vector — the same
+    ``proj >= 0 ⇒ bit i`` convention :func:`hyperplane_bucket`
+    applies row-side, kept in ONE place so store writes and probes
+    cannot desynchronize."""
+    b = 0
+    for i, plane in enumerate(planes):
+        if _pydot(query_vec, plane) >= 0:
+            b |= 1 << i
+    return b
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -194,22 +234,7 @@ def ivf_topk(
     where hyperplane LSH is data-oblivious."""
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
-
-    def pydot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    qn = pydot(query_vec, query_vec) ** 0.5
-
-    def pycos(c: list[float]) -> float:
-        d = qn * pydot(c, c) ** 0.5
-        return round(pydot(query_vec, c) / d, 9) if d > 0 else 0.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda i: (-pycos(centroids[i]), i)
-    )[:nprobe]
+    probe = _rank_cells(centroids, query_vec, nprobe)
     assigned = df.withColumn("_nv", norm(_col(vec_col))).withColumn(
         "_cell", ivf_cell(vec_col, centroids, norm_col=F.col("_nv"))
     )
@@ -233,11 +258,7 @@ def lsh_bucketed_topk(
     dim = len(query_vec)
     planes = random_hyperplanes(dim, bits, seed)
     bucketed = df.withColumn("bucket", hyperplane_bucket(_col(vec_col), planes))
-    qbucket = sum(
-        (1 << i)
-        for i, plane in enumerate(planes)
-        if sum(a * b for a, b in zip(query_vec, plane)) >= 0
-    )
+    qbucket = query_bucket(query_vec, planes)
     return brute_force_topk(
         bucketed.filter(F.col("bucket") == qbucket),
         query_vec,
@@ -360,10 +381,17 @@ def materialize_ivf(
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
     assigned = df.withColumn("cell", ivf_cell(vec_col, centroids))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    # one tiny driver-side JSON beside the data (same contract as a
-    # model artifact; the _-prefix keeps Spark's parquet reader away)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    # centroids sidecar written THROUGH Spark (one row, one file) so
+    # the store works on any Hadoop filesystem (s3a/hdfs/...), not
+    # just local paths; the _-prefixed directory is invisible to the
+    # parquet reader
+    spark = df.sparkSession
+    (
+        spark.createDataFrame([(json.dumps(centroids),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(os.path.join(path, "_ivf_centroids"))
+    )
     return centroids
 
 
@@ -385,24 +413,11 @@ def ivf_topk_from_store(
     import json
     import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = json.load(f)
-
-    def pydot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    qn = pydot(query_vec, query_vec) ** 0.5
-
-    def pycos(c: list[float]) -> float:
-        d = qn * pydot(c, c) ** 0.5
-        return round(pydot(query_vec, c) / d, 9) if d > 0 else 0.0
-
-    probe = sorted(
-        range(len(centroids)), key=lambda i: (-pycos(centroids[i]), i)
-    )[:nprobe]
+    centroids = json.loads(
+        spark.read.text(os.path.join(path, "_ivf_centroids"))
+        .first()[0]
+    )
+    probe = _rank_cells(centroids, query_vec, nprobe)
     store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
 
@@ -413,14 +428,24 @@ def materialize_lsh(
     bits: int = 8,
     vec_col: ColumnLike = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> None:
     """Write the hyperplane-LSH store: the corpus PARTITIONED BY its
     sign-projection ``bucket`` (the scale path
     :func:`lsh_bucketed_topk`'s docstring promises, made literal —
     probes become partition pruning). The planes are a pure function
     of ``(dim, bits, seed)``, so nothing besides the data needs
-    persisting; pass the same parameters at probe time."""
-    dim = len(df.select(_col(vec_col)).first()[0])
+    persisting; pass the same parameters at probe time. ``dim``
+    skips the one-row dimension probe job (and is REQUIRED for an
+    input that might be empty)."""
+    if dim is None:
+        first = df.select(_col(vec_col)).first()
+        if first is None:
+            raise ValueError(
+                "materialize_lsh: input has no rows — pass dim= to "
+                "write an empty store"
+            )
+        dim = len(first[0])
     planes = random_hyperplanes(dim, bits, seed)
     assigned = df.withColumn(
         "bucket", hyperplane_bucket(_col(vec_col), planes)
@@ -450,13 +475,11 @@ def lsh_topk_from_store(
     partitions (partition pruning, plan-pinned)."""
     dim = len(query_vec)
     planes = random_hyperplanes(dim, bits, seed)
-    margins = []
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        proj = sum(a * b for a, b in zip(query_vec, plane))
-        if proj >= 0:
-            qbucket |= 1 << i
-        margins.append((abs(proj), i))
+    qbucket = query_bucket(query_vec, planes)
+    margins = [
+        (abs(_pydot(query_vec, plane)), i)
+        for i, plane in enumerate(planes)
+    ]
     flips = [i for _, i in sorted(margins)]
     probe = [qbucket] + [qbucket ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
     store = spark.read.parquet(path).filter(F.col("bucket").isin(probe))

@@ -442,6 +442,9 @@ def temperature_mix(
     tail. Unlike :func:`token_budget_sample`, the per-stratum budgets
     are DERIVED from the corpus itself, not supplied.
 
+    Rows with a NULL stratum key are excluded (from the normalizer
+    AND the output — a NULL stratum cannot be budgeted).
+
     Two passes by necessity (the shares are global statistics):
     pass 1 is one partial-agg shuffle to stratum totals (rows =
     #strata) plus a single-row normalizer, joined back as lazy
@@ -457,6 +460,10 @@ def temperature_mix(
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     k, wgt = _col(key), _col(weight).cast("long")
+    # NULL-key rows are excluded from BOTH the normalizer and the
+    # admission join — otherwise their weight would shrink every real
+    # stratum's budget while the equality join silently dropped them
+    df = df.filter(k.isNotNull())
     totals = df.groupBy(k.alias("_k")).agg(F.sum(wgt).alias("_n"))
     norm = totals.agg(
         F.sum(F.pow(F.col("_n").cast("double"), float(alpha))).alias("_s")
@@ -717,13 +724,22 @@ def quantile_buckets(
 def shuffle_key(
     seed: int, *id_cols: ColumnLike, alias: str = "shuffle_key"
 ) -> Column:
-    """Deterministic per-row shuffle key: ``md5(seed || id…)`` — the
-    same seed-prefixed md5 ordering every ``deterministic_by``
-    sampler here uses, exposed as a first-class column so the
-    training order is reproducible and resumable (re-running with
-    the same seed yields byte-identical order; a new epoch is just a
-    new seed). DuckDB-exact: ``md5(seed_str || CAST(id AS VARCHAR) …)``."""
-    parts = [F.lit(str(seed))] + [_col(c).cast("string") for c in id_cols]
+    """Deterministic per-row shuffle key: ``md5(seed ‖ id…)`` with a
+    unit-separator (``\\x1f``) between components — the separator is
+    what makes multi-column ids collision-free (without it
+    ``(1, 12)`` and ``(11, 2)`` concatenate identically and their
+    relative order becomes engine-dependent). NULL ids map to a
+    ``\\x00``-prefixed sentinel no cast output can produce, so they
+    get a stable (not NULL-propagated) position. Exposed as a
+    first-class column so the training order is reproducible and
+    resumable; a new epoch is just a new seed. DuckDB-exact:
+    ``md5('7' || chr(31) || CAST(id AS VARCHAR) …)``."""
+    parts: list[Column] = [F.lit(str(seed))]
+    for c in id_cols:
+        parts.append(F.lit("\x1f"))
+        parts.append(
+            F.coalesce(_col(c).cast("string"), F.lit("\x00null"))
+        )
     return F.md5(F.concat(*parts)).alias(alias)
 
 

@@ -961,7 +961,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GLOBAL_SHUFFLE = """
-SELECT doc_id, md5('7' || doc_id::VARCHAR) AS shuffle_key
+SELECT doc_id, md5('7' || chr(31) || doc_id::VARCHAR) AS shuffle_key
 FROM documents
 """
 

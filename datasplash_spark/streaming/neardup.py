@@ -81,13 +81,21 @@ def near_dedup_admitter(
             kept = batch_df.join(survivor_ids, on=id_col, how="left_semi")
 
             # 2. admission vs the store — excluding this batch's own
-            # partition so replays are idempotent
+            # partition so replays are idempotent. ONLY a missing
+            # store path means "first batch"; any other read failure
+            # (transient FS error, corrupt footer) must FAIL the
+            # batch so Spark retries it — swallowing it would skip
+            # dedup for the batch and append duplicates permanently.
+            from pyspark.errors import AnalysisException
+
             try:
                 store = spark.read.parquet(store_path).filter(
                     F.col("_batch_id") != int(batch_id)
                 )
                 has_store = bool(store.head(1))
-            except Exception:  # first batch: no store yet
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                    raise
                 store = None
                 has_store = False
             if has_store:

@@ -1104,3 +1104,30 @@ def test_lsh_store_multiprobe_recall(spark, tmp_path):
         }
         hits.append(len(got & exact))
     assert hits == sorted(hits)  # recall monotone in nprobe
+
+
+def test_shuffle_key_multicolumn_no_collision(spark):
+    """(1,12) vs (11,2) must hash differently (separator), NULL ids
+    get a stable non-null key, and temperature_mix excludes NULL-key
+    strata from budgets AND output."""
+    from datasplash_spark.operators import shuffle_key, temperature_mix
+
+    df = generate_input(
+        spark,
+        [(1, 12), (11, 2), (None, 3)],
+        "a bigint, b bigint",
+    )
+    keys = [
+        r.k for r in df.select(shuffle_key(7, "a", "b", alias="k")).collect()
+    ]
+    assert len(set(keys)) == 3 and all(k is not None for k in keys)
+
+    mix = generate_input(
+        spark,
+        [(1, "a", 10), (2, "a", 10), (3, None, 100), (4, None, 100)],
+        "doc_id bigint, source string, n_tok long",
+    )
+    out = temperature_mix(mix, "source", "n_tok", total_budget=20, alpha=0.5, seed=1)
+    got = sorted(r.doc_id for r in out.collect())
+    # NULL stratum neither admits nor shrinks stratum 'a''s budget
+    assert got == [1, 2]
