@@ -649,3 +649,83 @@ def linear_doc_scores(
             F.sum("weight").cast("double") / F.count(F.lit(1)), 6
         ).alias("logit"),
     )
+
+
+def dsir_scores(
+    raw: "DataFrame",
+    target: "DataFrame",
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    n_buckets: int = 1024,
+) -> "DataFrame":
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank RAW-corpus docs
+    by how target-like they are, ``score(doc) = Σ_tokens
+    log( p̂_target(bucket) / p̂_raw(bucket) )`` over hashed unigram
+    features with add-one smoothing. The selection step is then any
+    of the samplers here (``filter_by_quantile``, ``top_k``,
+    ``quota_per_key``…) over the score — resampling in the paper,
+    a quantile cut in most deployments.
+
+    Output: ``(doc_id, n_toks, dsir_score)`` (score rounded to 6 dp;
+    docs with no tokens are absent, as in ``linear_doc_scores``).
+
+    100 TB shape: both corpora reduce to (bucket) / (doc_id, bucket)
+    pairs before any shuffle; the per-bucket log-ratio table is
+    ``n_buckets``-sized (model-scale, BROADCAST — built once from
+    two partial-agg counts + two lazy single-row totals, no collect);
+    scoring is one broadcast join + one partial+final per-doc sum.
+    Engine-exact: log-ratios are rounded to nano-nats per bucket and
+    summed as BIGINT (order-independent; the same fixed-point trick
+    as ``char_entropy``/``unigram_doc_scores``).
+    """
+    B = int(n_buckets)
+
+    def _toks(df: "DataFrame", with_id: bool) -> "DataFrame":
+        cols = [_col(id_col).alias("doc_id")] if with_id else []
+        return (
+            df.select(*cols, F.explode(tokens(text)).alias("term"))
+            .filter(F.col("term") != "")
+            .withColumn("bucket", hash_bucket("term", B))
+            .drop("term")
+        )
+
+    raw_toks = _toks(raw, with_id=True)
+    tgt_toks = _toks(target, with_id=False)
+
+    spark = raw.sparkSession
+    domain = spark.range(B).select(F.col("id").alias("bucket"))
+    rc = raw_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tc = tgt_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    rn = raw_toks.agg(F.count(F.lit(1)).alias("n_raw"))
+    tn = tgt_toks.agg(F.count(F.lit(1)).alias("n_tgt"))
+    ratios = (
+        domain.join(rc, "bucket", "left")
+        .join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(rn))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                    - F.log(F.col("n_tgt") + F.lit(B))
+                    - F.log(F.coalesce(F.col("c_raw"), F.lit(0)) + 1)
+                    + F.log(F.col("n_raw") + F.lit(B))
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("lr_nano"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(ratios), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.sum("lr_nano").cast("double") / F.lit(1e9), 6
+            ).alias("dsir_score"),
+        )
+    )

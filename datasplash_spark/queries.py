@@ -1007,6 +1007,52 @@ SELECT doc_id, source, n_tok FROM o WHERE cum <= budget AND budget > 0
 """
 
 
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): rank raw-corpus
+    docs by hashed-unigram log-ratio against a target distribution
+    (src1 docs stand in for the quality target). Broadcast
+    bucket-table join, fixed-point nano-nat sums — engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    return tx.dsir_scores(raw, target, n_buckets=512)
+
+
+ORACLE_DSIR_SCORES = """
+WITH rt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE source <> 'src1')
+  WHERE term <> ''
+), tt AS (
+  SELECT CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE source = 'src1')
+  WHERE term <> ''
+), dom AS (
+  SELECT id AS bucket FROM range(512) t(id)
+), rc AS (
+  SELECT bucket, count(*) AS c_raw FROM rt GROUP BY bucket
+), tc AS (
+  SELECT bucket, count(*) AS c_tgt FROM tt GROUP BY bucket
+), ratios AS (
+  SELECT d.bucket,
+         CAST(round((ln(coalesce(tc.c_tgt, 0) + 1)
+               - ln((SELECT count(*) FROM tt) + 512)
+               - ln(coalesce(rc.c_raw, 0) + 1)
+               + ln((SELECT count(*) FROM rt) + 512)) * 1e9) AS BIGINT)
+           AS lr_nano
+  FROM dom d LEFT JOIN rc ON rc.bucket = d.bucket
+             LEFT JOIN tc ON tc.bucket = d.bucket
+)
+SELECT rt.doc_id, count(*) AS n_toks,
+       round(sum(r.lr_nano) / 1e9, 6) AS dsir_score
+FROM rt JOIN ratios r ON r.bucket = rt.bucket
+GROUP BY rt.doc_id
+"""
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates per key: HLL distinct + GK median.
     Deliberately rows-only at the gate (sketch outputs are
@@ -2946,6 +2992,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "global_shuffle": (q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     "temperature_mix": (q_temperature_mix, ORACLE_TEMPERATURE_MIX),
+    "dsir_scores": (q_dsir_scores, ORACLE_DSIR_SCORES),
     # new or implementation-changed earlier this round:
     "dedup_cluster_report": (
         q_dedup_cluster_report,

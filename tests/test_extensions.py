@@ -1131,3 +1131,36 @@ def test_shuffle_key_multicolumn_no_collision(spark):
     got = sorted(r.doc_id for r in out.collect())
     # NULL stratum neither admits nor shrinks stratum 'a''s budget
     assert got == [1, 2]
+
+
+def test_dsir_scores_rank_targetlike_higher(spark):
+    """A raw doc written in the target's vocabulary must out-score a
+    raw doc in raw-only vocabulary (the DSIR selling point); scores
+    are deterministic across runs."""
+    from datasplash_spark.functions.text import dsir_scores
+
+    target = generate_input(
+        spark,
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    raw = generate_input(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # target-like
+            (2, "zeta omega kappa sigma"),   # raw-only vocabulary
+            (3, "zeta omega kappa sigma"),
+        ],
+        "doc_id bigint, text string",
+    )
+    scores = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(raw, target, n_buckets=64).collect()
+    }
+    assert scores[1] > scores[2]
+    assert scores[2] == scores[3]  # identical docs, identical score
+    again = {
+        r.doc_id: r.dsir_score
+        for r in dsir_scores(raw, target, n_buckets=64).collect()
+    }
+    assert again == scores
