@@ -98,3 +98,55 @@ def test_corpus_prep_example_runs(spark, tmp_path):
     ordered = global_shuffle(chunks, 7, "doc_id", "chunk_id", keep_key=True)
     keys = [r.shuffle_key for r in ordered.select("shuffle_key").collect()]
     assert keys == sorted(keys) and len(keys) == n4
+
+
+def test_recipes_compose(spark):
+    """RECIPES.md rot guard: the C4, CCNet, and DSIR compositions run
+    as written (smaller parameters) on sf0.001 and produce sane
+    row counts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datasplash_spark import operators as ops
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.pipeline import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    n0 = docs.count()
+
+    # C4-style: heuristics + span dedup + split
+    clean = (
+        docs.withColumn("text", tx.dedup_lines("text"))
+        .filter(tx.punct_ratio("text") < 0.3)
+        .filter(tx.token_count("text") >= 5)
+    )
+    spans = dd.remove_repeated_spans(clean, k=8, min_count=2)
+    kept = (
+        clean.drop("text")
+        .join(spans.selectExpr("doc_id", "text_clean AS text"), "doc_id")
+        .filter(F.col("text") != "")
+    )
+    splits = ops.hash_split(kept, {"train": 0.9, "validation": 0.1}, "doc_id")
+    assert 0 < kept.count() <= n0
+    assert splits.select("split").distinct().count() == 2
+
+    # CCNet-style: LM score -> quantile tiers
+    scored = tx.unigram_doc_scores(docs)
+    per_tok = docs.join(scored, "doc_id").withColumn(
+        "logprob_per_tok", F.col("sum_logp_nano") / F.col("n_toks") / 1e9
+    )
+    tiers = ops.quantile_buckets(per_tok, "logprob_per_tok", 3, bucket_name="tier")
+    assert tiers.select("tier").distinct().count() == 3
+
+    # DSIR-style: importance scores -> top-decile cut
+    target = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    scores = tx.dsir_scores(raw, target, n_buckets=256)
+    sel = ops.filter_by_quantile(
+        raw.join(scores, "doc_id"), "dsir_score", 0.9, keep="above"
+    )
+    n_raw, n_sel = raw.count(), sel.count()
+    assert 0 < n_sel <= n_raw * 0.2 + 1
