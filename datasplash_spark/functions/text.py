@@ -690,15 +690,29 @@ def dsir_scores(
             .drop("term")
         )
 
-    raw_toks = _toks(raw, with_id=True)
+    from pyspark import StorageLevel
+
+    # the tokenize explode is the dominant corpus scan and must not
+    # re-run per consumer (the repo-wide rule — see
+    # unigram_doc_scores): raw tokens feed the bucket counts AND the
+    # scoring join, so they persist (caller owns the lifetime, as
+    # with the sibling functions); both corpus TOTALS derive from the
+    # n_buckets-sized count tables — zero extra scans
+    raw_toks = _toks(raw, with_id=True).persist(StorageLevel.MEMORY_AND_DISK)
+    # the target side collapses to its n_buckets-sized counts before
+    # any reuse, so persist the COUNTS (model-scale), not the tokens
     tgt_toks = _toks(target, with_id=False)
 
     spark = raw.sparkSession
     domain = spark.range(B).select(F.col("id").alias("bucket"))
     rc = raw_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tc = tgt_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
-    rn = raw_toks.agg(F.count(F.lit(1)).alias("n_raw"))
-    tn = tgt_toks.agg(F.count(F.lit(1)).alias("n_tgt"))
+    tc = (
+        tgt_toks.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rn = rc.agg(F.sum("c_raw").alias("n_raw"))
+    tn = tc.agg(F.sum("c_tgt").alias("n_tgt"))
     ratios = (
         domain.join(rc, "bucket", "left")
         .join(tc, "bucket", "left")
