@@ -741,7 +741,6 @@ def remove_repeated_spans(
     """
     from pyspark import StorageLevel
 
-    toks = tokens(text)
     wins = df.select(
         _col(id_col).alias("doc_id"),
         F.posexplode(token_windows(text, k)).alias("pos0", "w"),
@@ -774,9 +773,11 @@ def remove_repeated_spans(
             starts, lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k))
         ),
     )
+    # coalesce mirrors the oracle's NULL-text handling (a NULL text
+    # yields an empty clean string, not NULL)
     return base.select(
         "doc_id",
-        F.array_join(kept, " ").alias("text_clean"),
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("text_clean"),
         F.size(t).cast("long").alias("n_tokens"),
         (F.size(t) - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -379,7 +379,11 @@ def materialize_ivf(
 
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
-    assigned = df.withColumn("cell", ivf_cell(vec_col, centroids))
+    # hoist the row norm out of the centroid fold (as ivf_topk does)
+    # — one sqrt per row instead of one per centroid per row
+    assigned = df.withColumn("_nv", norm(_col(vec_col))).withColumn(
+        "cell", ivf_cell(vec_col, centroids, norm_col=F.col("_nv"))
+    ).drop("_nv")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     # centroids sidecar written THROUGH Spark (one row, one file) so
     # the store works on any Hadoop filesystem (s3a/hdfs/...), not
@@ -418,8 +422,26 @@ def ivf_topk_from_store(
         .first()[0]
     )
     probe = _rank_cells(centroids, query_vec, nprobe)
-    store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    store = _read_store(spark, path).filter(F.col("cell").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
+
+
+def _read_store(spark, path: str) -> DataFrame:
+    """Read an ANN store's parquet, converting the opaque
+    UNABLE_TO_INFER_SCHEMA an empty store raises (only _SUCCESS on
+    disk — the input frame had no rows at write time) into a clear
+    error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            raise ValueError(
+                f"ANN store at {path!r} is empty (written from a "
+                "frame with no rows) — nothing to probe"
+            ) from e
+        raise
 
 
 def materialize_lsh(
@@ -436,8 +458,9 @@ def materialize_lsh(
     probes become partition pruning). The planes are a pure function
     of ``(dim, bits, seed)``, so nothing besides the data needs
     persisting; pass the same parameters at probe time. ``dim``
-    skips the one-row dimension probe job (and is REQUIRED for an
-    input that might be empty)."""
+    skips the one-row dimension probe job (and is required for an
+    input that might be empty — note an empty write leaves a
+    schema-less store that probes reject with a clear error)."""
     if dim is None:
         first = df.select(_col(vec_col)).first()
         if first is None:
@@ -482,5 +505,5 @@ def lsh_topk_from_store(
     ]
     flips = [i for _, i in sorted(margins)]
     probe = [qbucket] + [qbucket ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
-    store = spark.read.parquet(path).filter(F.col("bucket").isin(probe))
+    store = _read_store(spark, path).filter(F.col("bucket").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)

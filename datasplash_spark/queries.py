@@ -3010,7 +3010,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_objectmode_side_outputs,
         ORACLE_OBJECTMODE_SIDE_OUTPUTS,
     ),
-    # high-traffic re-checks filling the remaining window slots:
+    # the first-50 window ends after filter_project (pricing_summary
+    # and filter_project fill its last two slots); everything from
+    # group_by_key down is OUTSIDE this round's gate — last
+    # driver-gated r2/r3, rotate to the front next round:
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
     "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),

@@ -65,7 +65,13 @@ def near_dedup_admitter(
 
         batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            # 1. intra-batch survivors (exact + near-dup)
+            # 1. intra-batch survivors (exact + near-dup).
+            # Deliberately cache=False: dedup_clusters(cache=True)
+            # persists its banded table with CALLER-owned lifetime,
+            # which in a long-running stream would accumulate one
+            # cached table per micro-batch; recomputing the
+            # signature pass over the (persisted) batch rows is
+            # bounded per batch and leaks nothing.
             clusters = dd.dedup_clusters(
                 batch_df,
                 text=text,
@@ -94,7 +100,18 @@ def near_dedup_admitter(
                 )
                 has_store = bool(store.head(1))
             except AnalysisException as e:
-                if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                msg = str(e)
+                # missing path = first batch; a schema-less directory
+                # (only _SUCCESS — an earlier batch admitted nothing)
+                # is equally "no store yet"
+                if not any(
+                    m in msg
+                    for m in (
+                        "PATH_NOT_FOUND",
+                        "does not exist",
+                        "UNABLE_TO_INFER_SCHEMA",
+                    )
+                ):
                     raise
                 store = None
                 has_store = False
