@@ -25,25 +25,25 @@ from pyspark.sql import functions as F
 
 import datasplash_spark  # noqa: F401
 from datasplash_spark.operators import dfilter, mean_fn
-from datasplash_spark.pipeline import make_session, options_from_args
+from datasplash_spark.pipeline import load_table, make_session, options_from_args
 from datasplash_spark.plans import view
 
 
 def main(argv: list[str]) -> int:
     opts = options_from_args(argv, app_name="filter-example")
     conf = dict(opts.extra_conf)
-    month = int(conf.pop("month", 7))
+    month = int(conf.pop("month", 1))  # testdata events all land in January
+    sf_dir = conf.pop("sfDir", "/root/testdata/sf0.001")
     opts.extra_conf = conf
     spark = make_session(opts)
 
     # stand-in for the weather_stations BQ table: events as readings
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(
-            F.month(F.timestamp_micros(F.expr("ts div 1000"))).alias("month"),
-            F.col("value").alias("mean_temp"),
-            "event_id",
-        )
+    # load_table handles the TIMESTAMP(NANOS) parquet ts column (a
+    # bare spark.read.parquet fails on it) and yields TimestampType
+    ev = load_table(spark, sf_dir, "events").select(
+        F.month("ts").alias("month"),
+        F.col("value").alias("mean_temp"),
+        "event_id",
     )
 
     # Layer-0 idiom: 1-row aggregate joined in (stays in the JVM)
