@@ -150,3 +150,35 @@ def test_recipes_compose(spark):
     )
     n_raw, n_sel = raw.count(), sel.count()
     assert 0 < n_sel <= n_raw * 0.2 + 1
+
+
+def test_filter_side_input_example_composes(spark):
+    """filter_side_input example rot guard: the native 1-row-agg
+    broadcast plan and the singleton-view side-input plan must agree
+    on the events table (read via load_table — the TIMESTAMP(NANOS)
+    path a bare parquet read cannot handle)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.operators import dfilter, mean_fn
+    from datasplash_spark.pipeline import load_table
+    from datasplash_spark.plans import view
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_table(spark, sf, "events").select(
+        F.month("ts").alias("month"),
+        F.col("value").alias("mean_temp"),
+        "event_id",
+    )
+    gmean = ev.agg(mean_fn("mean_temp").alias("g"))
+    native = (
+        ev.join(F.broadcast(gmean))
+        .where((F.col("month") == 1) & (F.col("mean_temp") < F.col("g")))
+        .count()
+    )
+    gval = view(gmean.select("g"), "singleton").value
+    viewed = dfilter(
+        ev, (F.col("month") == 1) & (F.col("mean_temp") < F.lit(gval))
+    ).count()
+    assert native == viewed > 0
