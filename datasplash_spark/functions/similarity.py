@@ -507,3 +507,111 @@ def lsh_topk_from_store(
     probe = [qbucket] + [qbucket ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
     store = _read_store(spark, path).filter(F.col("bucket").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 16,
+    eps: float = 0.3,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    centroids: list[list[float]] | None = None,
+    cache: bool = False,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate marking driven by a coarse k-means/IVF partition of
+    the embedding space rather than LSH recall — the paper's pipeline
+    for pruning web-scale training sets (LAION/C4) by meaning, not
+    surface form. Complements :func:`~..functions.dedup.dedup_clusters`
+    (text MinHash) and the hyperplane-LSH embedding pair stage.
+
+    Pipeline, expression-first throughout:
+
+    1. assign every vector its nearest of ``n_cells`` centroids
+       (:func:`ivf_cell` — one codegen'd fold per row, no shuffle);
+       default centroids are the deterministic md5-sampled quantizer
+       (:func:`ivf_centroids`), refinable via ``centroids=`` (e.g.
+       :func:`kmeans_refine`).
+    2. WITHIN each cell, cosine-threshold pairs (``>= eps``) via a
+       cell-keyed self-join — linear bucketing, intra-cell quadratic:
+       the paper's own cost model. At 100 TB, size ``n_cells`` so
+       |cell| ~ corpus/K stays join-friendly (the paper uses K ~ 10^5);
+       uneven cells are AQE skew-split on the join key.
+    3. connected components over the thresholded pairs only (tiny vs
+       corpus; driver union-find below 1M edges, join-loop above).
+    4. one survivor per duplicate group: the vector with the LOWEST
+       cosine to its cell centroid (the paper's keep-the-outlier rule
+       — maximizes retained diversity), ties to the lowest id. Rank-1
+       flag per component, a single window pass.
+
+    All cosines round to 9 dp (engine-stable argmax/threshold, same
+    quantization as :func:`ivf_cell`). ``cache=True`` persists the
+    assigned/scored table so the pair join and the final assignment
+    read one computation.
+
+    Returns one row per input vector:
+    ``(vec_id, cell, component, centroid_cos, keep)`` — ``keep`` is
+    1 for the group survivor (singletons keep themselves),
+    ``component`` is the group id (min member id), ``centroid_cos``
+    the 6-dp display rounding of the 9-dp assignment score.
+
+    Reference anchor: the reference has no embedding-space dedup;
+    this extends its dedup surface for LLM corpus curation
+    (BASELINE.json north_star).
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from .graph import connected_components
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell int, cvec array<double>"
+    )
+    base = df.select(_col(id_col).alias("vec_id"), _col(vec_col).alias("e"))
+    assigned = base.withColumn("cell", ivf_cell(F.col("e"), centroids))
+    scored = assigned.join(F.broadcast(cent_df), "cell").select(
+        "vec_id",
+        "e",
+        "cell",
+        F.round(cosine(F.col("e"), F.col("cvec")), 9).alias("_ccos"),
+    )
+    if cache:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    l = scored.select(
+        "cell", F.col("vec_id").alias("a"), F.col("e").alias("ea")
+    )
+    r = scored.select(
+        "cell", F.col("vec_id").alias("b"), F.col("e").alias("eb")
+    )
+    pairs = (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 9) >= eps)
+        .select("a", "b")
+    )
+    comps = connected_components(pairs, "a", "b")
+    labeled = (
+        scored.join(comps, scored["vec_id"] == comps["node"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+                "component"
+            ),
+            "_ccos",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_ccos").asc(), F.col("vec_id").asc()
+    )
+    return labeled.select(
+        "vec_id",
+        "cell",
+        "component",
+        F.round(F.col("_ccos"), 6).alias("centroid_cos"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )

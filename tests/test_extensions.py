@@ -1164,3 +1164,53 @@ def test_dsir_scores_rank_targetlike_higher(spark):
         for r in dsir_scores(raw, target, n_buckets=64).collect()
     }
     assert again == scores
+
+
+def test_semantic_dedup_groups_and_survivors(spark):
+    """SemDeDup: planted near-identical groups collapse to one
+    component each with exactly one survivor — the member with the
+    LOWEST cosine to its cell centroid (keep-the-outlier), ties to
+    the lowest id — and components never span cells."""
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    vecs, vid = [], 0
+    for b in base:
+        for k in range(3):  # three near-copies per group
+            vecs.append(
+                (vid, [x + 0.02 * k * (i + 1) for i, x in enumerate(b)])
+            )
+            vid += 1
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    out = sim.semantic_dedup(
+        df, eps=0.9, centroids=base, cache=True
+    ).collect()
+    assert len(out) == len(vecs)
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    assert len(by_comp) == 3
+    for comp, members in by_comp.items():
+        assert len(members) == 3
+        assert sum(r.keep for r in members) == 1
+        assert len({r.cell for r in members}) == 1
+        assert comp == min(r.vec_id for r in members)
+        # survivor = min (centroid_cos, vec_id)
+        expect = min(members, key=lambda r: (r.centroid_cos, r.vec_id))
+        got = next(r for r in members if r.keep)
+        assert got.vec_id == expect.vec_id
+
+    # python cross-check of the survivor rule on raw cosines
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na * nb > 0 else 0.0
+
+    cell_of = {r.vec_id: r.cell for r in out}
+    for r in out:
+        v = dict(vecs)[r.vec_id]
+        c = base[cell_of[r.vec_id]]
+        assert abs(r.centroid_cos - round(round(cos(v, c), 9), 6)) < 1e-9

@@ -505,3 +505,22 @@ def test_lsh_store_probe_prunes_partitions(spark, tmp_path):
     plan = plan_of(probe)
     part = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part and "bucket" in part[0], plan
+
+
+def test_semantic_dedup_single_assignment_no_python(spark):
+    """semantic_dedup(cache=True): the centroid-assignment/scored
+    table computes ONCE — the live plan reads it back as an
+    InMemoryTableScan and every vector-math expression (zip_with
+    folds) sits strictly inside the InMemoryRelation; the CC label
+    join is broadcast; no Python UDF anywhere."""
+    plan = plan_of(_q(spark, "semantic_dedup"), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    lines = plan.splitlines()
+    assert any("InMemoryTableScan" in l for l in lines), plan
+    assert "BroadcastHashJoin" in plan, plan
+    rel_depths = [_node_depth(l) for l in lines if "InMemoryRelation" in l]
+    for l in lines:
+        if "zip_with" in l:
+            assert rel_depths and any(
+                _node_depth(l) > d for d in rel_depths
+            ), l
