@@ -615,3 +615,84 @@ def semantic_dedup(
         F.round(F.col("_ccos"), 6).alias("centroid_cos"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+def ivf_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    query_vec_col: ColumnLike = "embedding",
+    query_id_col: ColumnLike = "query_id",
+    centroids: list[list[float]] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch ANN k-NN join: IVF-pruned retrieval for a whole query
+    SET — the approximate counterpart of :func:`knn_join`, probing
+    only each query's ``nprobe`` nearest cells instead of scoring the
+    full corpus per query.
+
+    Scale shape: corpus cell assignment is one codegen'd fold pass
+    (no shuffle; reuse a :func:`materialize_ivf` store to skip even
+    that and get partition pruning); per-query probe cells come from
+    a |queries| x K broadcast cross join (centroid table is K rows);
+    candidate generation joins the corpus on ``cell`` against the
+    BROADCAST (query, cell) probe list, so the corpus streams once
+    and only rows in probed cells are ever scored — candidate volume
+    is ~|queries| * nprobe * |cell|, not |queries| * |corpus|.
+    Per-query top-k is the same WindowGroupLimit rank as
+    :func:`knn_join`.
+
+    Probe-cell ranking quantizes at 9 dp with ties to the lowest
+    cell id (identical to :func:`ivf_cell`/:func:`ivf_topk`); scores
+    round to ``round_to`` dp before ranking with ties on corpus id
+    (engine-independent, oracle-stable)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>",
+    )
+    c = corpus.select(
+        _col(id_col).alias("vec_id"), _col(vec_col).alias("_cv")
+    )
+    assigned = c.withColumn("cell", ivf_cell(F.col("_cv"), centroids))
+    q = queries.select(
+        _col(query_id_col).alias("query_id"), _col(query_vec_col).alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("_qcos"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "_qv",
+            "cell",
+            F.round(cosine(F.col("_qv"), F.col("cvec")), 9).alias("_qcos"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= int(nprobe))
+        .select("query_id", "_qv", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cv"), F.col("_qv")), int(round_to)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

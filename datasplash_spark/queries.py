@@ -2825,6 +2825,95 @@ SELECT query_id, vec_id, score FROM rk WHERE r <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality eval: recall@10 of the IVF-pruned batch retrieval
+    (:func:`sim.ivf_knn_join`, 16 cells / 4 probes) against the exact
+    :func:`sim.knn_join` ground truth, per query (every 50th vector).
+    The eval harness every ANN deployment needs before trading recall
+    for the pruned scan; both sides share the broadcast-query /
+    stream-corpus shape, so the eval itself runs at corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.knn_join(emb, queries, k=10).select("query_id", "vec_id")
+    approx = sim.ivf_knn_join(
+        emb, queries, k=10, n_cells=16, nprobe=4
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("_hits"), F.lit(0)) / 10.0).alias("recall_at_10"),
+    )
+
+
+_ANN_COS9 = _IVF_COS  # probe-cell ranking quantization (9 dp)
+
+ORACLE_ANN_RECALL = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id % 50 = 0
+), ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(CASE WHEN sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)) > 0
+                   THEN list_dot_product(v.e, q.qe)
+                        / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+                   ELSE 0 END, 6) DESC, v.vec_id ASC) AS rn
+    FROM vecs v CROSS JOIN q
+  ) WHERE rn <= 10
+), assign AS (
+  SELECT vec_id, e, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_ANN_COS9.format(a="e", b="cvec")} DESC, cell ASC
+         ) AS rn
+  FROM vecs, cent
+), a1 AS (
+  SELECT vec_id, e, cell FROM assign WHERE rn = 1
+), qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_ANN_COS9.format(a="qe", b="cvec")} DESC, c.cell ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+), ap AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             round(CASE WHEN sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)) > 0
+                   THEN list_dot_product(a.e, q.qe)
+                        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+                   ELSE 0 END, 6) DESC, a.vec_id ASC) AS rn
+    FROM qprobe p
+    JOIN a1 a ON a.cell = p.cell
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+), hit AS (
+  SELECT e.query_id, count(*) AS hits
+  FROM ex e JOIN ap ON ap.query_id = e.query_id AND ap.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.query_id, coalesce(h.hits, 0) / 10.0 AS recall_at_10
+FROM q LEFT JOIN hit h ON h.query_id = q.query_id
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3118,6 +3207,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
     "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
+    "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,

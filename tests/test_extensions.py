@@ -1214,3 +1214,38 @@ def test_semantic_dedup_groups_and_survivors(spark):
         v = dict(vecs)[r.vec_id]
         c = base[cell_of[r.vec_id]]
         assert abs(r.centroid_cos - round(round(cos(v, c), 9), 6)) < 1e-9
+
+
+def test_ivf_knn_join_full_probe_equals_exact(spark):
+    """ivf_knn_join with nprobe = n_cells degrades to the exact
+    knn_join (every cell probed ⇒ identical candidate set, identical
+    ranking); with nprobe=1 each query's own vector is still its top
+    hit (its cell is always probed)."""
+    vecs = [
+        (i, [float(i + 1)] + [float((i * j) % 5) + 1.0 for j in range(7)])
+        for i in range(60)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    queries = df.filter("vec_id % 20 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.knn_join(df, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.ivf_knn_join(
+            df, queries, k=5, n_cells=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+    narrow = sim.ivf_knn_join(df, queries, k=5, n_cells=4, nprobe=1)
+    rows = narrow.collect()
+    tops = {
+        r.query_id: r.vec_id
+        for r in rows
+        if r.score == max(x.score for x in rows if x.query_id == r.query_id)
+    }
+    for qid, vid in tops.items():
+        assert vid == qid
