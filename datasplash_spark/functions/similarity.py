@@ -118,16 +118,19 @@ def ivf_centroids(
     return [[float(x) for x in r.v] for r in rows]
 
 
-def ivf_cell(
+def ivf_assign(
     vec: ColumnLike,
     centroids: list[list[float]],
     norm_col: Column | None = None,
 ) -> Column:
-    """Nearest-centroid id (max cosine, ties → lowest cell id) as one
-    ``F.aggregate`` fold over a literal centroid array: a single
-    sequential expression per row — no shuffle, no N×K row blowup, no
-    re-inlined subtrees (the MinHash anti-lesson), whole-stage
-    codegen'd. Scores round to 9 dp so the argmax is engine-stable.
+    """Nearest-centroid assignment (max cosine, ties → lowest cell
+    id) as one ``F.aggregate`` fold over a literal centroid array:
+    a single sequential expression per row — no shuffle, no N×K row
+    blowup, no re-inlined subtrees (the MinHash anti-lesson). Returns
+    a ``struct(cid int, score double)`` so callers needing BOTH the
+    cell and its 9-dp-rounded cosine (e.g. SemDeDup's survivor rule)
+    pay for one fold, not a fold plus a centroid re-join. Scores
+    round to 9 dp so the argmax is engine-stable.
 
     Centroid norms are folded in as Python-computed literals and the
     row norm is hoisted out of the loop (pass a precomputed column via
@@ -170,7 +173,17 @@ def ivf_cell(
             F.struct(c.getField("cid").alias("cid"), sc.alias("score")),
         ).otherwise(acc)
 
-    return F.aggregate(arr, init, step).getField("cid")
+    return F.aggregate(arr, init, step)
+
+
+def ivf_cell(
+    vec: ColumnLike,
+    centroids: list[list[float]],
+    norm_col: Column | None = None,
+) -> Column:
+    """Nearest-centroid id — ``ivf_assign(...).cid`` (see there for
+    the fold's shape and quantization)."""
+    return ivf_assign(vec, centroids, norm_col).getField("cid")
 
 
 def _pydot(a: list[float], b: list[float]) -> float:
@@ -566,31 +579,47 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
-    spark = df.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cent_df = spark.createDataFrame(
-        cent_rows, "cell int, cvec array<double>"
-    )
-    base = df.select(_col(id_col).alias("vec_id"), _col(vec_col).alias("e"))
-    assigned = base.withColumn("cell", ivf_cell(F.col("e"), centroids))
-    scored = assigned.join(F.broadcast(cent_df), "cell").select(
+    # ONE fold per row yields both the cell and its 9-dp score (no
+    # centroid re-join, no second cosine); the row norm is computed
+    # once here and HOISTED out of the quadratic pair stage below —
+    # the pair score costs one dot-product fold, not three.
+    base = df.select(
+        _col(id_col).alias("vec_id"), _col(vec_col).alias("e")
+    ).withColumn("_nv", norm(F.col("e")))
+    scored = base.withColumn(
+        "_a", ivf_assign(F.col("e"), centroids, norm_col=F.col("_nv"))
+    ).select(
         "vec_id",
         "e",
-        "cell",
-        F.round(cosine(F.col("e"), F.col("cvec")), 9).alias("_ccos"),
+        "_nv",
+        F.col("_a").getField("cid").alias("cell"),
+        F.col("_a").getField("score").alias("_ccos"),
     )
     if cache:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     l = scored.select(
-        "cell", F.col("vec_id").alias("a"), F.col("e").alias("ea")
+        "cell",
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("ea"),
+        F.col("_nv").alias("_na"),
     )
     r = scored.select(
-        "cell", F.col("vec_id").alias("b"), F.col("e").alias("eb")
+        "cell",
+        F.col("vec_id").alias("b"),
+        F.col("e").alias("eb"),
+        F.col("_nv").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    pscore = F.round(
+        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        9,
     )
     pairs = (
         l.join(r, "cell")
         .filter(F.col("a") < F.col("b"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 9) >= eps)
+        .filter(pscore >= eps)
         .select("a", "b")
     )
     comps = connected_components(pairs, "a", "b")
@@ -661,11 +690,13 @@ def ivf_knn_join(
     )
     c = corpus.select(
         _col(id_col).alias("vec_id"), _col(vec_col).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    assigned = c.withColumn(
+        "cell", ivf_cell(F.col("_cv"), centroids, norm_col=F.col("_cn"))
     )
-    assigned = c.withColumn("cell", ivf_cell(F.col("_cv"), centroids))
     q = queries.select(
         _col(query_id_col).alias("query_id"), _col(query_vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("_qcos"), F.asc("cell")
     )
@@ -674,19 +705,25 @@ def ivf_knn_join(
         .select(
             "query_id",
             "_qv",
+            "_qn",
             "cell",
             F.round(cosine(F.col("_qv"), F.col("cvec")), 9).alias("_qcos"),
         )
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= int(nprobe))
-        .select("query_id", "_qv", "cell")
+        .select("query_id", "_qv", "_qn", "cell")
     )
+    # norms hoisted: the per-candidate score is ONE dot-product fold
+    denom = F.col("_cn") * F.col("_qn")
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_cv"), F.col("_qv")), int(round_to)).alias(
-            "score"
-        ),
+        F.round(
+            F.when(
+                denom > 0, dot(F.col("_cv"), F.col("_qv")) / denom
+            ).otherwise(F.lit(0.0)),
+            int(round_to),
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")

@@ -63,6 +63,21 @@ def main(argv: list[str]) -> int:
     )
     joined = sim.knn_join(emb, queries, k=k)
     print("k-NN join rows:", joined.count(), "(= |queries| × k)")
+
+    # 4. batch ANN: same query set, IVF-pruned — only probed cells
+    #    are scored; measure the recall cost of the pruned scan
+    pruned = sim.ivf_knn_join(emb, queries, k=k, n_cells=16, nprobe=nprobe)
+    got = {(r.query_id, r.vec_id) for r in pruned.collect()}
+    truth = {(r.query_id, r.vec_id) for r in joined.collect()}
+    print(f"batch-ANN recall@{k} (nprobe={nprobe}):",
+          f"{len(got & truth)}/{len(truth)}")
+
+    # 5. SemDeDup: semantic near-dup marking over the same cells —
+    #    one survivor (the centroid outlier) per duplicate group
+    marked = sim.semantic_dedup(emb, n_cells=16, eps=0.3, cache=True)
+    n_all = marked.count()
+    n_keep = marked.filter("keep = 1").count()
+    print(f"semantic_dedup: keep {n_keep}/{n_all}")
     spark.stop()
     return 0
 
