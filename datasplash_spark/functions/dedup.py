@@ -869,3 +869,46 @@ def keep_best_per_cluster(
         .filter(F.col("_rk") == 1)
         .drop(*drop)
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: ColumnLike = "doc_id",
+    text_col: ColumnLike = "text",
+) -> DataFrame:
+    """Snapshot delta between two corpus versions: which documents
+    were ``added`` (id only in ``new``), ``removed`` (id only in
+    ``old``), or ``changed`` (same id, different content digest) —
+    the audit primitive behind incremental rebuilds ("what must be
+    re-tokenized?") and dataset versioning reports. Unchanged
+    documents produce no row.
+
+    Scale shape: both sides reduce to (id, 16-byte md5) BEFORE the
+    full-outer join — ids and digests shuffle, text never does; at
+    100 TB this is one digest-keyed shuffle join, and AQE handles the
+    usual id-skew cases. Complements :func:`incremental_new_docs`
+    (content-level admission of NEW text regardless of id) — this is
+    the id-level ledger of what happened between versions.
+
+    Reference anchor: no analog in the reference (datasplash has no
+    snapshot tooling); extension surface for LLM corpus curation
+    (BASELINE.json north_star).
+    """
+    o = old.select(
+        _col(id_col).alias("doc_id"), F.md5(_col(text_col)).alias("_od")
+    )
+    n = new.select(
+        _col(id_col).alias("doc_id"), F.md5(_col(text_col)).alias("_nd")
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_od").isNull(), F.lit("added"))
+            .when(F.col("_nd").isNull(), F.lit("removed"))
+            .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+            .alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

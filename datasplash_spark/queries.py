@@ -2914,6 +2914,42 @@ FROM q LEFT JOIN hit h ON h.query_id = q.query_id
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning ledger: diff two simulated corpus snapshots
+    (old = ids not divisible by 11; new = ids not divisible by 13,
+    with every 17th document's text revised) into added / removed /
+    changed rows. Both sides reduce to (id, digest) before the
+    full-outer join — text never shuffles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")),
+    )
+    return dd.corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH o AS (
+  SELECT doc_id, md5(text) AS od FROM documents WHERE doc_id % 11 <> 0
+), n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [rev2]'
+             ELSE text END) AS nd
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN od <> nd THEN 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR od <> nd
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3208,6 +3244,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
     "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
     "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
+    "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,

@@ -1249,3 +1249,96 @@ def test_ivf_knn_join_full_probe_equals_exact(spark):
     }
     for qid, vid in tops.items():
         assert vid == qid
+
+
+def test_semantic_dedup_differential_random(spark):
+    """Differential check: semantic_dedup equals a direct pure-Python
+    reference (nearest-centroid argmax at 9 dp with lowest-cell ties,
+    within-cell union-find over cos>=eps pairs, min-(centroid_cos,id)
+    survivor) on random corpora with planted near-dup clumps."""
+    import math
+    import random
+
+    def dotp(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cosine(a, b):
+        na, nb = math.sqrt(dotp(a, a)), math.sqrt(dotp(b, b))
+        return dotp(a, b) / (na * nb) if na * nb > 0 else 0.0
+
+    def py_semdedup(vecs, cents, eps):
+        cell, ccos = {}, {}
+        for vid, v in vecs:
+            scores = [round(cosine(v, c), 9) for c in cents]
+            best = max(range(len(cents)), key=lambda i: (scores[i], -i))
+            cell[vid], ccos[vid] = best, scores[best]
+        parent = {vid: vid for vid, _ in vecs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        vl = dict(vecs)
+        ids = sorted(vl)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if cell[a] == cell[b] and round(
+                    cosine(vl[a], vl[b]), 9
+                ) >= eps:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {vid: find(vid) for vid in ids}
+        keep = {
+            min(g, key=lambda v: (ccos[v], v))
+            for root in set(comp.values())
+            for g in [[v for v in ids if comp[v] == root]]
+        }
+        return cell, comp, keep
+
+    rng = random.Random(11)
+    for trial, eps in enumerate([0.5, 0.8, 0.95]):
+        vecs = []
+        vid = 0
+        for _ in range(8):  # clumps of 1-4 near-identical vectors
+            center = [rng.uniform(-1, 1) for _ in range(6)]
+            for _ in range(rng.randint(1, 4)):
+                vecs.append(
+                    (vid, [x + rng.uniform(-0.05, 0.05) for x in center])
+                )
+                vid += 1
+        cents = [v for _, v in vecs[:3]]
+        exp_cell, exp_comp, exp_keep = py_semdedup(vecs, cents, eps)
+        df = generate_input(
+            spark, vecs, "vec_id bigint, embedding array<double>"
+        )
+        rows = sim.semantic_dedup(df, eps=eps, centroids=cents).collect()
+        assert {r.vec_id: r.cell for r in rows} == exp_cell, f"trial {trial}"
+        assert {r.vec_id: r.component for r in rows} == exp_comp, (
+            f"trial {trial}"
+        )
+        assert {r.vec_id for r in rows if r.keep} == exp_keep, f"trial {trial}"
+
+
+def test_corpus_diff_statuses(spark):
+    """corpus_diff labels added/removed/changed and emits nothing for
+    unchanged documents."""
+    from datasplash_spark.functions.dedup import corpus_diff
+
+    old = generate_input(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        "doc_id bigint, text string",
+    )
+    new = generate_input(
+        spark,
+        [(2, "b"), (3, "C2"), (4, "d")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
