@@ -23,13 +23,20 @@ from .sinks import (
     idempotent_parquet_batch_writer,
     write_stream,
 )
-from .neardup import near_dedup_admitter, near_dedup_ingest
+from .neardup import (
+    near_dedup_admitter,
+    near_dedup_ingest,
+    semantic_admitter,
+    semantic_ingest,
+)
 
 __all__ = [
     "batch_stateful",
     "dedup_stream",
     "near_dedup_admitter",
     "near_dedup_ingest",
+    "semantic_admitter",
+    "semantic_ingest",
     "foreach_batch_sink",
     "idempotent_parquet_batch_writer",
     "beam_trigger_to_spark",

@@ -178,3 +178,173 @@ def near_dedup_ingest(
         trigger=trigger,
         query_name=query_name,
     )
+
+
+def semantic_admitter(
+    store_path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.85,
+):
+    """Build the ``batch_fn`` for EMBEDDING-space streaming admission:
+    the SemDeDup analog of :func:`near_dedup_admitter`. Per batch:
+    intra-batch semantic dedup (``similarity.semantic_dedup``,
+    keep-the-outlier survivors), then a store probe on the shared
+    quantizer's cells drops vectors with cosine >= ``eps`` to any
+    stored vector, then the admitted rows append as a
+    ``_batch_id``-partitioned overwrite (replay-idempotent, same
+    contract as the text admitter).
+
+    ``centroids`` is REQUIRED and must stay fixed for the store's
+    lifetime — batch and store rows only meet when they share a cell,
+    so the quantizer is part of the store's on-disk contract (train
+    it once, e.g. ``ivf_centroids`` + ``kmeans_refine`` over a
+    bootstrap corpus, and persist it alongside the store).
+
+    100 TB shape: the store reduces to (cell, embedding, norm) —
+    norms are computed at WRITE time, so every probe costs one
+    dot-product fold per same-cell candidate; the incoming batch is
+    broadcast-small vs the store and only same-cell store rows are
+    ever scored. Store schema:
+    ``(vec_id, embedding, norm, cell, _batch_id)``.
+    """
+    from ..functions import similarity as sim
+
+    if centroids is None or not len(centroids):
+        raise ValueError(
+            "semantic_admitter requires a fixed centroid list — the "
+            "quantizer is part of the store's on-disk contract"
+        )
+    cents = [[float(x) for x in c] for c in centroids]
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark import StorageLevel
+        from pyspark.errors import AnalysisException
+
+        scored = (
+            batch_df.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            )
+            .withColumn("norm", sim.norm(F.col("embedding")))
+            .withColumn(
+                "_a",
+                sim.ivf_assign(
+                    F.col("embedding"), cents, norm_col=F.col("norm")
+                ),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                "norm",
+                F.col("_a").getField("cid").alias("cell"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            # 1. intra-batch survivors. cache=False inside (bounded
+            # per-batch recompute; a persisted table per micro-batch
+            # would leak across a long-running stream).
+            kept_ids = (
+                sim.semantic_dedup(
+                    batch_df,
+                    eps=eps,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    centroids=cents,
+                )
+                .filter(F.col("keep") == 1)
+                .select("vec_id")
+            )
+            kept = scored.join(kept_ids, on="vec_id", how="left_semi")
+
+            # 2. store probe — excluding this batch's own partition
+            # (replay idempotence). Only a missing/empty store may be
+            # swallowed; other read failures must fail the batch so
+            # Spark retries it.
+            try:
+                store = spark.read.parquet(store_path).filter(
+                    F.col("_batch_id") != int(batch_id)
+                )
+                has_store = bool(store.head(1))
+            except AnalysisException as e:
+                msg = str(e)
+                if not any(
+                    m in msg
+                    for m in (
+                        "PATH_NOT_FOUND",
+                        "does not exist",
+                        "UNABLE_TO_INFER_SCHEMA",
+                    )
+                ):
+                    raise
+                store = None
+                has_store = False
+            if has_store:
+                # id ledger: a re-sent id never re-admits
+                kept = kept.join(
+                    store.select("vec_id"), on="vec_id", how="left_anti"
+                )
+                s = store.select(
+                    "cell",
+                    F.col("embedding").alias("_se"),
+                    F.col("norm").alias("_sn"),
+                )
+                denom = F.col("norm") * F.col("_sn")
+                near_ids = (
+                    s.join(F.broadcast(kept), "cell")  # store streams
+                    .filter(
+                        F.round(
+                            F.when(
+                                denom > 0,
+                                sim.dot(F.col("embedding"), F.col("_se"))
+                                / denom,
+                            ).otherwise(F.lit(0.0)),
+                            9,
+                        )
+                        >= eps
+                    )
+                    .select("vec_id")
+                    .distinct()
+                )
+                kept = kept.join(near_ids, on="vec_id", how="left_anti")
+
+            # 3. idempotent per-batch partition overwrite
+            (
+                kept.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(store_path)
+            )
+        finally:
+            scored.unpersist()
+
+    return admit
+
+
+def semantic_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 0.85,
+    trigger: str | dict | None = None,
+    query_name: str | None = None,
+):
+    """Start the streaming SEMANTIC admission query: every micro-batch
+    of ``stream_df`` is semantically deduped against (and appended to)
+    the embedding store. Readers scan ``store_path`` and drop
+    ``_batch_id``."""
+    return foreach_batch_sink(
+        stream_df,
+        semantic_admitter(
+            store_path, centroids, vec_col=vec_col, id_col=id_col, eps=eps
+        ),
+        checkpoint_dir,
+        trigger=trigger,
+        query_name=query_name,
+    )

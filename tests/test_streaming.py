@@ -617,3 +617,53 @@ def test_near_dedup_ingest_streaming_query(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.doc_id for r in spark.read.parquet(store).collect())
     assert 3 in ids and len(ids) == 2      # 1/2 near-dup collapsed
+
+
+def test_semantic_ingest_micro_batches(spark, tmp_path):
+    """Embedding-space streaming admission e2e: batch 0 holds an
+    intra-batch semantic near-dup pair (one survivor admitted);
+    batch 1 holds a near-dup of a STORED vector (dropped), a re-sent
+    stored id (dropped), and a fresh orthogonal vector (admitted).
+    Replaying batch 1 leaves the store identical."""
+    from datasplash_spark.streaming import semantic_admitter
+
+    store = str(tmp_path / "estore")
+    # fixed quantizer: the three axes
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    admit = semantic_admitter(store, cents, eps=0.9)
+
+    a = [1.0, 0.05, 0.0, 0.0]
+    a_near = [1.0, 0.08, 0.0, 0.0]       # cos(a, a_near) > 0.9
+    b = [0.0, 1.0, 0.1, 0.0]
+    b0 = generate_input(
+        spark,
+        [(1, a), (2, a_near), (3, b)],
+        "vec_id bigint, embedding array<double>",
+    )
+    admit(b0, 0)
+    ids0 = sorted(r.vec_id for r in spark.read.parquet(store).collect())
+    assert 3 in ids0 and len(ids0) == 2   # a/a_near collapsed
+    survivor = min(i for i in ids0 if i != 3)
+
+    fresh = [0.0, 0.0, 0.0, 1.0]          # orthogonal to everything
+    b1 = generate_input(
+        spark,
+        [(10, a), (3, b), (12, fresh)],
+        "vec_id bigint, embedding array<double>",
+    )
+    admit(b1, 1)
+    ids1 = sorted(r.vec_id for r in spark.read.parquet(store).collect())
+    assert ids1 == sorted([survivor, 3, 12])
+
+    # replay batch 1 (recovery): store must not change
+    admit(b1, 1)
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(store).collect()
+    ) == ids1
+    # store carries the write-time probe columns
+    cols = set(spark.read.parquet(store).columns)
+    assert {"vec_id", "embedding", "norm", "cell", "_batch_id"} <= cols
