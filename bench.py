@@ -83,45 +83,19 @@ def main() -> int:
         # evaluators and the K×dim literal centroid fold compile once
         # per session (several seconds that would otherwise land in
         # the first similarity/semantic-dedup query); a 10-vector
-        # run-through of assign + hoisted-norm pair scoring covers it
-        from pyspark.sql import functions as _F
-
+        # run-through of the real operator covers it
         from datasplash_spark.functions import similarity as _sim
 
         _emb = spark.read.parquet(
             os.path.join(sf_dir, "embeddings.parquet")
         )
         _emb.count()  # footer + page cache
+        # run the real operator on a 10-vector sample so the warm-up
+        # compiles exactly the evaluators the corpus queries use and
+        # can't rot out of sync with the operator's expression shape
         _s = _emb.limit(10)
-        _cents = _sim.ivf_centroids(_s, 4)
-        _sc = _s.select(
-            "vec_id", _F.col("embedding").alias("e")
-        ).withColumn("_nv", _sim.norm(_F.col("e")))
-        _sc = _sc.withColumn(
-            "_a", _sim.ivf_assign(_F.col("e"), _cents, norm_col=_F.col("_nv"))
-        ).select(
-            "vec_id", "e", "_nv",
-            _F.col("_a").getField("cid").alias("cell"),
-            _F.col("_a").getField("score").alias("_ccos"),
-        )
-        _l = _sc.select(
-            "cell", _F.col("vec_id").alias("a"),
-            _F.col("e").alias("ea"), _F.col("_nv").alias("_na"),
-        )
-        _r = _sc.select(
-            "cell", _F.col("vec_id").alias("b"),
-            _F.col("e").alias("eb"), _F.col("_nv").alias("_nb"),
-        )
-        _l.join(_r, "cell").filter(_F.col("a") < _F.col("b")).filter(
-            _F.round(
-                _F.when(
-                    _F.col("_na") * _F.col("_nb") > 0,
-                    _sim.dot(_F.col("ea"), _F.col("eb"))
-                    / (_F.col("_na") * _F.col("_nb")),
-                ).otherwise(_F.lit(0.0)),
-                9,
-            )
-            >= 0.3
+        _sim.semantic_dedup(
+            _s, eps=0.3, centroids=_sim.ivf_centroids(_s, 4)
         ).count()
         # window-function codegen (rank/row_number family)
         from pyspark.sql import Window as _W

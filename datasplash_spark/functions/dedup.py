@@ -895,19 +895,27 @@ def corpus_diff(
     snapshot tooling); extension surface for LLM corpus curation
     (BASELINE.json north_star).
     """
+    # presence is tracked by explicit per-side flags, NOT digest
+    # nullability: md5(NULL text) is NULL, so a NULL-text document
+    # must still count as present on its side (and two NULL texts
+    # compare as unchanged via the null-safe digest comparison).
     o = old.select(
-        _col(id_col).alias("doc_id"), F.md5(_col(text_col)).alias("_od")
+        _col(id_col).alias("doc_id"),
+        F.md5(_col(text_col)).alias("_od"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        _col(id_col).alias("doc_id"), F.md5(_col(text_col)).alias("_nd")
+        _col(id_col).alias("doc_id"),
+        F.md5(_col(text_col)).alias("_nd"),
+        F.lit(True).alias("_in_new"),
     )
     return (
         o.join(n, "doc_id", "full_outer")
         .select(
             "doc_id",
-            F.when(F.col("_od").isNull(), F.lit("added"))
-            .when(F.col("_nd").isNull(), F.lit("removed"))
-            .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
             .alias("status"),
         )
         .filter(F.col("status").isNotNull())

@@ -140,18 +140,12 @@ def ivf_assign(
     v = _col(vec)
     nv = norm(v) if norm_col is None else norm_col
 
-    def pynorm(c: list[float]) -> float:
-        s = 0.0
-        for x in c:
-            s += x * x
-        return s**0.5
-
     arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-                F.lit(pynorm(c)).alias("cnorm"),
+                F.lit(_pynorm(c)).alias("cnorm"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -191,6 +185,15 @@ def _pydot(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         s += x * y
     return s
+
+
+def _pynorm(c: list[float]) -> float:
+    """Driver-side vector norm, bit-identical to :func:`norm`'s fold
+    (same left-to-right double sums, same sqrt)."""
+    s = 0.0
+    for x in c:
+        s += x * x
+    return s**0.5
 
 
 def _rank_cells(
@@ -685,8 +688,11 @@ def ivf_knn_join(
         centroids = ivf_centroids(corpus, n_cells, vec_col, id_col)
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, cvec array<double>",
+        [
+            (i, [float(x) for x in c], _pynorm([float(x) for x in c]))
+            for i, c in enumerate(centroids)
+        ],
+        "cell int, cvec array<double>, cnorm double",
     )
     c = corpus.select(
         _col(id_col).alias("vec_id"), _col(vec_col).alias("_cv")
@@ -700,6 +706,11 @@ def ivf_knn_join(
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("_qcos"), F.asc("cell")
     )
+    # probe ranking with hoisted norms too: _qn is on the query row
+    # and centroid norms are driver-computed literals in cent_df, so
+    # each of the |queries|×K rows costs ONE dot fold (same
+    # quantization and sqrt/multiply order as cosine()/ivf_assign)
+    qdenom = F.col("_qn") * F.col("cnorm")
     probes = (
         q.crossJoin(F.broadcast(cent_df))
         .select(
@@ -707,7 +718,12 @@ def ivf_knn_join(
             "_qv",
             "_qn",
             "cell",
-            F.round(cosine(F.col("_qv"), F.col("cvec")), 9).alias("_qcos"),
+            F.round(
+                F.when(
+                    qdenom > 0, dot(F.col("_qv"), F.col("cvec")) / qdenom
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("_qcos"),
         )
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= int(nprobe))

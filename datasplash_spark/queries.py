@@ -2944,9 +2944,9 @@ WITH o AS (
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN od <> nd THEN 'changed' END AS status
+            WHEN od IS DISTINCT FROM nd THEN 'changed' END AS status
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR od <> nd
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR od IS DISTINCT FROM nd
 """
 
 

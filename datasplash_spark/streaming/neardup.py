@@ -223,6 +223,12 @@ def semantic_admitter(
         from pyspark import StorageLevel
         from pyspark.errors import AnalysisException
 
+        # persist the raw batch: both the scored table below AND the
+        # intra-batch semantic_dedup pass (whose internal plan
+        # references its input several times) read it — without this
+        # every reference re-scans the micro-batch source and re-runs
+        # the K×dim assignment fold from scratch.
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         scored = (
             batch_df.select(
                 F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -320,6 +326,7 @@ def semantic_admitter(
             )
         finally:
             scored.unpersist()
+            batch_df.unpersist()
 
     return admit
 

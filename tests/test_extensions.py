@@ -1342,3 +1342,19 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    # NULL text is a presence, not an absence: a NULL-text doc still
+    # counts on its side, NULL→text is 'changed', NULL→NULL is
+    # unchanged (no row)
+    old2 = generate_input(
+        spark,
+        [(1, None), (2, None), (3, "c")],
+        "doc_id bigint, text string",
+    )
+    new2 = generate_input(
+        spark,
+        [(2, "now present"), (3, "c"), (5, None)],
+        "doc_id bigint, text string",
+    )
+    got2 = {r.doc_id: r.status for r in corpus_diff(old2, new2).collect()}
+    assert got2 == {1: "removed", 2: "changed", 5: "added"}
