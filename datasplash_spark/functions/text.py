@@ -743,3 +743,66 @@ def dsir_scores(
             ).alias("dsir_score"),
         )
     )
+
+
+def filter_report(
+    df: "DataFrame",
+    filters: dict[str, Column],
+    id_col: ColumnLike = "doc_id",
+) -> "DataFrame":
+    """Curation audit trail: for every document, WHICH named filters
+    it fails and whether it passes them all — the quarantine /
+    debugging companion to silently dropping rows. ``filters`` maps
+    a filter name to its PASS predicate; a NULL predicate counts as
+    a failure (fail-closed, the curation-safe default).
+
+    ``.filter("passed = 1")`` reproduces the plain filtered pipeline
+    bit-for-bit, while the ``failed`` list explains every drop — the
+    ledger reviewers ask for when a corpus shrinks unexpectedly.
+
+    Returns ``(doc_id, failed array<string> sorted, passed int)``.
+    100 TB shape: pure per-row Column expressions, no shuffle, no
+    Python; the report is as partitionable as the corpus itself.
+
+    Reference anchor: no analog (datasplash filters drop silently);
+    LLM-curation extension surface (BASELINE.json north_star)."""
+    checks = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in filters.items()
+    ]
+    failed = F.array_sort(F.array_compact(F.array(*checks)))
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        failed.alias("failed"),
+        (F.size(failed) == 0).cast("int").alias("passed"),
+    )
+
+
+def filter_counts(
+    df: "DataFrame", filters: dict[str, Column]
+) -> "DataFrame":
+    """Per-filter failure totals in ONE aggregation pass (each named
+    filter becomes a conditional sum — no per-filter scans, no
+    shuffle beyond the single global agg): the funnel summary view
+    of :func:`filter_report`. NULL predicates count as failures
+    (fail-closed). Returns ``(filter, n_failed, n_total)`` — one row
+    per filter, ``n_total`` the corpus size."""
+    names = list(filters)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, cond in filters.items()
+    ]
+    wide = df.agg(F.count(F.lit(1)).alias("_total"), *aggs)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("filter"), F.col(n).alias("n_failed")
+            )
+            for n in names
+        ]
+    )
+    return wide.select(
+        F.explode(arr).alias("s"), F.col("_total").alias("n_total")
+    ).select("s.filter", "s.n_failed", "n_total")

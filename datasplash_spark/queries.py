@@ -2950,6 +2950,96 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR od IS DISTINCT FROM nd
 """
 
 
+def _audit_filters() -> dict:
+    """Named pass-predicates for the curation audit queries (the
+    quality_score components plus a token floor)."""
+    t = F.col("text")
+    return {
+        "len_range": (F.length(t) >= 50) & (F.length(t) <= 20000),
+        "min_tokens": tx.token_count(t) >= 10,
+        "punct": tx.punct_ratio(t) < 0.2,
+        "stopwords": tx.stopword_ratio(t) > 0.05,
+    }
+
+
+def q_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation audit: which named quality filters each
+    document fails (sorted, ';'-joined for the scalar gate) and
+    whether it passes all — the quarantine ledger behind every
+    drop. Pure per-row expressions, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    rep = tx.filter_report(docs, _audit_filters())
+    return rep.select(
+        "doc_id",
+        F.concat_ws(";", "failed").alias("failed"),
+        "passed",
+    )
+
+
+_AUDIT_ORACLE_BASE = f"""base AS (
+  SELECT doc_id, len(text) AS n,
+         string_split(lower(text), ' ') AS toks,
+         CASE WHEN len(text) > 0
+              THEN (len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) * 1.0 / len(text)
+              ELSE 0 END AS pr
+  FROM documents
+), f AS (
+  SELECT doc_id, n, pr, len(toks) AS tc,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains([{_EN_STOPS}], t))) * 1.0 / len(toks)
+              ELSE 0 END AS sr
+  FROM base
+), flags AS (
+  SELECT doc_id,
+         CASE WHEN NOT coalesce(n >= 50 AND n <= 20000, FALSE) THEN 1 ELSE 0 END AS x_len,
+         CASE WHEN NOT coalesce(tc >= 10, FALSE) THEN 1 ELSE 0 END AS x_tok,
+         CASE WHEN NOT coalesce(pr < 0.2, FALSE) THEN 1 ELSE 0 END AS x_punct,
+         CASE WHEN NOT coalesce(sr > 0.05, FALSE) THEN 1 ELSE 0 END AS x_stop
+  FROM f
+)"""
+
+
+ORACLE_FILTER_REPORT = f"""
+WITH {_AUDIT_ORACLE_BASE}, r AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN x_len = 1 THEN 'len_range' END,
+           CASE WHEN x_tok = 1 THEN 'min_tokens' END,
+           CASE WHEN x_punct = 1 THEN 'punct' END,
+           CASE WHEN x_stop = 1 THEN 'stopwords' END
+         ], x -> x IS NOT NULL)) AS failed
+  FROM flags
+)
+SELECT doc_id,
+       coalesce(array_to_string(failed, ';'), '') AS failed,
+       CAST(len(failed) = 0 AS INTEGER) AS passed
+FROM r
+"""
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level filter funnel: per-filter failure totals in one
+    aggregation pass (conditional sums — no per-filter scans)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.filter_counts(docs, _audit_filters())
+
+
+ORACLE_FILTER_FUNNEL = f"""
+WITH {_AUDIT_ORACLE_BASE}, tot AS (
+  SELECT count(*) AS n_total,
+         CAST(sum(x_len) AS BIGINT) AS c_len,
+         CAST(sum(x_tok) AS BIGINT) AS c_tok,
+         CAST(sum(x_punct) AS BIGINT) AS c_punct,
+         CAST(sum(x_stop) AS BIGINT) AS c_stop
+  FROM flags
+)
+SELECT 'len_range' AS filter, c_len AS n_failed, n_total FROM tot
+UNION ALL SELECT 'min_tokens', c_tok, n_total FROM tot
+UNION ALL SELECT 'punct', c_punct, n_total FROM tot
+UNION ALL SELECT 'stopwords', c_stop, n_total FROM tot
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3245,6 +3335,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
     "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
     "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
+    "filter_report": (q_filter_report, ORACLE_FILTER_REPORT),
+    "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,

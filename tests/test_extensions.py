@@ -1358,3 +1358,32 @@ def test_corpus_diff_statuses(spark):
     )
     got2 = {r.doc_id: r.status for r in corpus_diff(old2, new2).collect()}
     assert got2 == {1: "removed", 2: "changed", 5: "added"}
+
+
+def test_filter_report_and_counts_fail_closed(spark):
+    """filter_report: failed lists are sorted, passed mirrors an
+    empty list, and a NULL predicate counts as a failure
+    (fail-closed); filter_counts agrees with the per-doc report."""
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions.text import filter_counts, filter_report
+
+    df = generate_input(
+        spark,
+        [(1, "good text", 5), (2, "bad", None), (3, None, 2)],
+        "doc_id bigint, text string, score int",
+    )
+    filters = {
+        "has_text": F.length("text") > 4,       # NULL text -> NULL -> fail
+        "scored": F.col("score") >= 2,          # NULL score -> fail
+    }
+    rep = {r.doc_id: r for r in filter_report(df, filters).collect()}
+    assert rep[1].failed == [] and rep[1].passed == 1
+    assert rep[2].failed == ["has_text", "scored"] and rep[2].passed == 0
+    assert rep[3].failed == ["has_text"] and rep[3].passed == 0
+
+    counts = {
+        r.filter: (r.n_failed, r.n_total)
+        for r in filter_counts(df, filters).collect()
+    }
+    assert counts == {"has_text": (2, 3), "scored": (1, 3)}
