@@ -3040,6 +3040,63 @@ UNION ALL SELECT 'stopwords', c_stop, n_total FROM tot
 """
 
 
+def q_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context-pretraining-style packing (Shi et al. 2023,
+    arXiv:2310.10638): pack the training token stream WITHIN semantic
+    cells — each document joins its embedding's nearest-centroid cell
+    (codegen'd fold) and ``pack_sequences`` runs with the cell as the
+    packing partition, so every fixed-length sequence draws from
+    semantically related documents instead of arbitrary neighbors.
+    Pure composition of the IVF quantizer and the packing plan: one
+    broadcast-ish id join + one per-cell window cumsum."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, 16)
+    cells = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        sim.ivf_cell("embedding", cents).alias("cell"),
+    )
+    joined = docs.join(cells, "doc_id")
+    return tx.pack_sequences(joined, 512, part="cell")
+
+
+ORACLE_SEMANTIC_PACK = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_IVF_COS.format(a="e", b="cvec")} DESC, cell ASC
+         ) AS rn
+  FROM vecs, cent
+), a1 AS (
+  SELECT vec_id AS doc_id, CAST(cell AS INTEGER) AS part
+  FROM assign WHERE rn = 1
+), d AS (
+  SELECT d.doc_id, a1.part,
+         len(string_split(lower(d.text), ' '))::BIGINT AS n_tok
+  FROM documents d JOIN a1 USING (doc_id)
+), c AS (
+  SELECT doc_id, part, n_tok,
+         (sum(n_tok) OVER (PARTITION BY part ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tok)::BIGINT AS start_tok
+  FROM d
+)
+SELECT doc_id, part, n_tok, start_tok,
+       (start_tok // 512)::BIGINT AS pack_id,
+       (start_tok % 512)::BIGINT AS pack_offset
+FROM c
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3337,6 +3394,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
     "filter_report": (q_filter_report, ORACLE_FILTER_REPORT),
     "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
+    "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,
