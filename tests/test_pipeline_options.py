@@ -151,6 +151,30 @@ def test_recipes_compose(spark):
     n_raw, n_sel = raw.count(), sel.count()
     assert 0 < n_sel <= n_raw * 0.2 + 1
 
+    # Semantic-curation style (SemDeDup + In-Context Pretraining):
+    # audit filter -> semantic dedup survivors -> pack within cells
+    from datasplash_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf, "embeddings")
+    report = tx.filter_report(
+        docs, {"min_tokens": tx.token_count("text") >= 5}
+    )
+    clean2 = docs.join(
+        report.filter("passed = 1").select("doc_id"), "doc_id"
+    )
+    marked = sim.semantic_dedup(emb, n_cells=8, eps=0.8)
+    keep = clean2.join(
+        marked.filter("keep = 1").selectExpr("vec_id AS doc_id"), "doc_id"
+    )
+    cells = marked.selectExpr("vec_id AS doc_id", "cell")
+    packed = tx.pack_sequences(keep.join(cells, "doc_id"), 512, part="cell")
+    n_keep, n_packed = keep.count(), packed.count()
+    assert 0 < n_keep and n_packed == n_keep
+    # packing is per-cell: offsets restart within each cell stream
+    assert packed.filter("start_tok = 0").count() == packed.select(
+        "part"
+    ).distinct().count()
+
 
 def test_filter_side_input_example_composes(spark):
     """filter_side_input example rot guard: the native 1-row-agg
