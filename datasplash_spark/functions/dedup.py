@@ -920,3 +920,54 @@ def corpus_diff(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+def lsh_tune(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(bands, rows_per_band)`` for the banded MinHash LSH
+    whose candidate S-curve best matches a target Jaccard
+    ``threshold`` — the standard banding construction (Leskovec/
+    Rajaraman/Ullman, MMDS §3.4): a pair with Jaccard ``s`` becomes
+    a candidate with probability ``1 - (1 - s^r)^b``.
+
+    Driver-side arithmetic over every factorization ``b*r ==
+    num_hashes``; cost = ``fp_weight * FP + (1-fp_weight) * FN``
+    where FP = ∫₀ᵗ P(s) ds (below-threshold pairs that still collide
+    → wasted verify work) and FN = ∫ᵗ¹ (1−P(s)) ds (true near-dups
+    the bucketing misses), via a 1000-point midpoint rule. Raise
+    ``fp_weight`` when the verify stage is the bottleneck, lower it
+    when recall matters more.
+
+    Use before :func:`lsh_candidate_pairs` /
+    :func:`materialize_banded` instead of hand-picking bands:
+    ``b, r = lsh_tune(64, 0.8); lsh_candidate_pairs(docs,
+    num_hashes=64, bands=b, ...)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes <= 0:
+        raise ValueError("num_hashes must be positive")
+    if not 0.0 <= fp_weight <= 1.0:
+        raise ValueError("fp_weight must be in [0, 1]")
+    best: tuple[float, int, int] | None = None
+    n_steps = 1000
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for i in range(n_steps):
+            s = (i + 0.5) / n_steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        cost = (fp_weight * fp + (1.0 - fp_weight) * fn) / n_steps
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    assert best is not None
+    return best[1], best[2]

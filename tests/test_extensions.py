@@ -1387,3 +1387,26 @@ def test_filter_report_and_counts_fail_closed(spark):
         for r in filter_counts(df, filters).collect()
     }
     assert counts == {"has_text": (2, 3), "scored": (1, 3)}
+
+
+def test_lsh_tune_matches_scurve_theory():
+    """lsh_tune picks the MMDS banding whose implied threshold
+    (1/b)^(1/r) brackets the target; extremes of fp_weight push
+    toward all-rows / all-bands as theory predicts."""
+    from datasplash_spark.functions.dedup import lsh_tune
+
+    assert lsh_tune(16, 0.5) == (4, 4)       # implied t ≈ 0.707 closest
+    assert lsh_tune(16, 0.3) == (8, 2)       # implied t ≈ 0.354
+    # higher threshold → more rows per band (later, steeper S-curve)
+    assert lsh_tune(16, 0.8)[1] > lsh_tune(16, 0.3)[1]
+    # caring only about FPs → max rows; only about FNs → max bands
+    assert lsh_tune(16, 0.5, fp_weight=1.0) == (1, 16)
+    assert lsh_tune(16, 0.5, fp_weight=0.0) == (16, 1)
+    b, r = lsh_tune(60, 0.7)
+    assert b * r == 60
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_tune(16, 0.0)
+    with _pt.raises(ValueError):
+        lsh_tune(0, 0.5)
