@@ -749,3 +749,136 @@ def ivf_knn_join(
         .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def embedding_mean_cov(df: DataFrame, vec_col: ColumnLike = "embedding"):
+    """Corpus mean vector and covariance matrix of an embedding
+    column, via Arrow-batched PARTIAL aggregation: every partition
+    reduces its rows to one ``(n, Σx, Σxxᵀ)`` row with numpy (a
+    single einsum per Arrow batch), and only those d²-float partials
+    cross the wire — at 100 TB the driver combines #partitions rows,
+    never sees a vector, and d≲4096 keeps the partial itself a few
+    MB. The canonical two-phase distributed-covariance shape (same
+    algebra MLlib's RowMatrix uses).
+
+    Returns ``(n, mean, cov)`` with numpy arrays (cov is the
+    unbiased / n−1 estimator). Raises on an empty input or on
+    inconsistent vector widths.
+
+    Float caveat: partial-sum order varies with partitioning, so
+    results are reproducible only to float tolerance (like
+    :func:`kmeans_refine`) — pytest-pinned against numpy, no DuckDB
+    oracle by design."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.elementwise import _col as _c
+
+    def _partials(it):
+        n = 0
+        s = None
+        o = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            arr = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            if arr.ndim != 2:
+                raise ValueError("inconsistent embedding widths")
+            n += arr.shape[0]
+            if s is None:
+                s = arr.sum(axis=0)
+                o = arr.T @ arr
+            else:
+                s += arr.sum(axis=0)
+                o += arr.T @ arr
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "o": [o.reshape(-1).tolist()],
+                }
+            )
+
+    rows = (
+        df.select(_c(vec_col).alias("v"))
+        .mapInPandas(_partials, "n long, s array<double>, o array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("embedding_mean_cov: empty input")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    o = np.sum([np.asarray(r.o) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    if n < 2:
+        raise ValueError("embedding_mean_cov: need at least 2 vectors")
+    cov = (o.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, cov
+
+
+def pca_components(
+    df: DataFrame,
+    k: int,
+    vec_col: ColumnLike = "embedding",
+):
+    """Top-``k`` principal components of an embedding column:
+    distributed covariance (:func:`embedding_mean_cov`) + a
+    driver-side ``eigh`` on the d×d matrix (d≲4096 is milliseconds;
+    the data never leaves the cluster). Eigenvector SIGNS are fixed
+    deterministically (largest-|entry| coordinate made positive) so
+    repeated runs agree up to float noise.
+
+    Returns ``(mean, components, explained)``: components is a
+    (k, d) numpy array sorted by decreasing eigenvalue, explained
+    the corresponding variance-ratio vector."""
+    import numpy as np
+
+    _, mean, cov = embedding_mean_cov(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    total = float(vals.sum()) or 1.0
+    explained = vals[order] / total
+    return mean, comps, explained
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: ColumnLike = "embedding",
+    out_col: str = "pca",
+    whiten: list | None = None,
+) -> DataFrame:
+    """Project vectors onto precomputed principal components as a
+    PURE JVM expression: per output dim j the projection is
+    ``dot(v, comp_j) − ⟨mean, comp_j⟩`` with the component and the
+    centering constant folded in as literals — no Python, no
+    shuffle, whole-row codegen, the same literal-fold shape as
+    :func:`ivf_assign`. Pass ``whiten`` (the per-component variances,
+    e.g. eigenvalues) to scale each dim by 1/√variance.
+
+    Adds ``out_col`` (array<double>, length k) to ``df``."""
+    comps = [[float(x) for x in c] for c in components]
+    mu = [float(x) for x in mean]
+    scales = None
+    if whiten is not None:
+        scales = [1.0 / (float(w) ** 0.5) if w > 0 else 0.0 for w in whiten]
+    cols = []
+    for j, c in enumerate(comps):
+        shift = _pydot(mu, c)
+        expr = dot(_col(vec_col), F.array(*[F.lit(x) for x in c])) - F.lit(
+            shift
+        )
+        if scales is not None:
+            expr = expr * F.lit(scales[j])
+        cols.append(expr)
+    return df.withColumn(out_col, F.array(*cols))

@@ -1410,3 +1410,60 @@ def test_lsh_tune_matches_scurve_theory():
         lsh_tune(16, 0.0)
     with _pt.raises(ValueError):
         lsh_tune(0, 0.5)
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed covariance (Arrow partial agg) and PCA projection
+    agree with numpy to float tolerance; whitened projections have
+    ~unit variance per component."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(6, 6) * np.array([3.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    X = rng.randn(200, 6) @ A.T + rng.randn(6)
+    df = generate_input(
+        spark,
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(5)
+
+    n, mean, cov = sim.embedding_mean_cov(df)
+    assert n == 200
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X.T, ddof=1), atol=1e-8)
+
+    mean2, comps, explained = sim.pca_components(df, 3)
+    vals, vecs = np.linalg.eigh(np.cov(X.T, ddof=1))
+    order = np.argsort(vals)[::-1][:3]
+    ref = vecs[:, order].T.copy()
+    for row in ref:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert explained[0] >= explained[1] >= explained[2] > 0
+
+    got = {
+        r.vec_id: np.asarray(r.pca)
+        for r in sim.pca_project(df, mean2, comps).select(
+            "vec_id", "pca"
+        ).collect()
+    }
+    exp = (X - mean2) @ np.asarray(comps).T
+    for i in range(200):
+        assert np.allclose(got[i], exp[i], atol=1e-6)
+
+    # whitening: projected variance ≈ 1 per kept component
+    eigvals = vals[order]
+    white = np.stack(
+        [
+            np.asarray(r.pca)
+            for r in sim.pca_project(
+                df, mean2, comps, whiten=list(eigvals)
+            ).collect()
+        ]
+    )
+    assert np.allclose(white.var(axis=0, ddof=1), 1.0, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        sim.embedding_mean_cov(df.filter("vec_id < 0"))
