@@ -806,3 +806,106 @@ def filter_counts(
     return wide.select(
         F.explode(arr).alias("s"), F.col("_total").alias("n_total")
     ).select("s.filter", "s.n_failed", "n_total")
+
+
+def train_linear_classifier(
+    df: "DataFrame",
+    label_col: str = "label",
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    n_buckets: int = 4096,
+    epochs: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+):
+    """Train the hashed-feature linear quality classifier with
+    full-batch logistic-regression gradient descent, distributed:
+    the model whose weights :func:`linear_doc_scores` applies at
+    corpus scale (same featurization — ``x_b = count_b / n_toks``,
+    so ``logit = mean over tokens of w[bucket]``).
+
+    Per epoch, two jobs over the persisted (doc, bucket, x) feature
+    table: (1) logits via a BROADCAST weight join + per-doc sum,
+    residuals ``sigmoid(logit) − y``; (2) the gradient via a doc-keyed
+    join + per-bucket sum — ``n_buckets`` floats collect to the
+    driver, which applies ``w ← w − lr·(∇/N + l2·w)``. Weights are
+    model-sized (bounded collect); documents never move after the
+    one-time featurization shuffle. At 100 TB train on a labeled
+    SAMPLE (labels are the scarce resource anyway) and apply the
+    weights corpus-wide via ``linear_doc_scores`` — the train loop's
+    per-epoch cost is two shuffles over the labeled set only.
+
+    Zero-token documents contribute no features and are ignored.
+    Returns a ``(bucket, weight)`` DataFrame ready for
+    :func:`linear_doc_scores`.
+
+    Float caveat: partial sums follow partition order, so training is
+    reproducible to float tolerance only (numpy-differential pytest,
+    same contract as ``kmeans_refine``/PCA — no DuckDB oracle).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if epochs < 0:
+        raise ValueError("epochs must be >= 0")
+    spark = df.sparkSession
+    toks = df.select(
+        _col(id_col).alias("doc_id"),
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(tokens(text)).alias("term"),
+    ).filter(F.col("term") != "")
+    bucketed = (
+        toks.select("doc_id", "y", hash_bucket("term", n_buckets).alias("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ntok = bucketed.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
+    feat = (
+        bucketed.join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "y",
+            "bucket",
+            (F.col("cnt").cast("double") / F.col("n_toks")).alias("x"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_docs = feat.select("doc_id").distinct().count()
+        if n_docs == 0:
+            raise ValueError("train_linear_classifier: no non-empty documents")
+        w: dict[int, float] = {}
+        for _ in range(int(epochs)):
+            wrows = [(b, wt) for b, wt in w.items()] or [(0, 0.0)]
+            wdf = spark.createDataFrame(wrows, "bucket long, w double")
+            resid = (
+                feat.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("doc_id", "y")
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("x") * F.col("w"), F.lit(0.0))
+                    ).alias("logit")
+                )
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+                        - F.col("y")
+                    ).alias("r"),
+                )
+            )
+            grad = {
+                int(row.bucket): float(row.g)
+                for row in feat.join(resid, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                .collect()
+            }
+            touched = set(grad) | (set(w) if l2 else set())
+            for b in touched:
+                w[b] = w.get(b, 0.0) - lr * (
+                    grad.get(b, 0.0) / n_docs + l2 * w.get(b, 0.0)
+                )
+    finally:
+        feat.unpersist()
+    rows = [(b, wt) for b, wt in sorted(w.items())] or [(0, 0.0)]
+    return spark.createDataFrame(rows, "bucket long, weight double")

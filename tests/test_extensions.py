@@ -1467,3 +1467,60 @@ def test_pca_matches_numpy(spark):
 
     with pytest.raises(ValueError):
         sim.embedding_mean_cov(df.filter("vec_id < 0"))
+
+
+def test_train_linear_classifier_matches_numpy_gd(spark):
+    """Distributed full-batch GD equals a pure-numpy reference on the
+    same hashed featurization (to float tolerance), separates the
+    training set, and its weights slot into linear_doc_scores."""
+    import hashlib
+
+    import numpy as np
+
+    from datasplash_spark.functions.text import (
+        linear_doc_scores,
+        train_linear_classifier,
+    )
+
+    pos = ["good great fine solid prose here"] * 4
+    neg = ["bad junk spam noise garbage words"] * 4
+    docs = [(i, t, 1) for i, t in enumerate(pos)] + [
+        (10 + i, t, 0) for i, t in enumerate(neg)
+    ]
+    df = generate_input(
+        spark, docs, "doc_id bigint, text string, label int"
+    ).repartition(4)
+    n_buckets, epochs, lr = 64, 15, 2.0
+
+    wdf = train_linear_classifier(
+        df, n_buckets=n_buckets, epochs=epochs, lr=lr
+    )
+    got = {r.bucket: r.weight for r in wdf.collect()}
+
+    # numpy reference on the identical featurization
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+    X = np.zeros((len(docs), n_buckets))
+    y = np.zeros(len(docs))
+    for row_i, (_, t, lab) in enumerate(docs):
+        toks = [tk for tk in t.lower().split(" ") if tk]
+        for tk in toks:
+            X[row_i, bucket(tk)] += 1.0 / len(toks)
+        y[row_i] = lab
+    w = np.zeros(n_buckets)
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w -= lr * (X.T @ (p - y)) / len(docs)
+    for b in range(n_buckets):
+        assert abs(got.get(b, 0.0) - w[b]) < 1e-9, b
+
+    # the trained weights separate the training set via the shared
+    # inference path (logit = mean token weight)
+    scored = linear_doc_scores(df, wdf, n_buckets=n_buckets)
+    logits = {
+        r.doc_id: r.logit
+        for r in scored.collect()
+    }
+    for i, (_, _, lab) in zip([d[0] for d in docs], docs):
+        assert (logits[i] > 0) == (lab == 1)
