@@ -137,6 +137,8 @@ def ivf_assign(
     ``norm_col`` to share it across the row) — one dot product per
     centroid instead of three. The float ops stay bit-identical to
     ``cosine()``: same left-to-right sums, same sqrt/multiply order."""
+    if not centroids:
+        raise ValueError("ivf_assign: centroids must be non-empty")
     v = _col(vec)
     nv = norm(v) if norm_col is None else norm_col
 
@@ -582,6 +584,14 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    if not centroids:  # empty corpus → empty, correctly-typed result
+        return df.limit(0).select(
+            _col(id_col).alias("vec_id"),
+            F.lit(0).alias("cell"),
+            _col(id_col).alias("component"),
+            F.lit(0.0).alias("centroid_cos"),
+            F.lit(0).alias("keep"),
+        )
     # ONE fold per row yields both the cell and its 9-dp score (no
     # centroid re-join, no second cosine); the row norm is computed
     # once here and HOISTED out of the quadratic pair stage below —
@@ -686,6 +696,10 @@ def ivf_knn_join(
 
     if centroids is None:
         centroids = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    if not centroids:  # empty corpus → empty, correctly-typed result
+        q0 = queries.limit(0).select(_col(query_id_col).alias("query_id"))
+        c0 = corpus.limit(0).select(_col(id_col).alias("vec_id"))
+        return q0.crossJoin(c0).withColumn("score", F.lit(0.0))
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
         [

@@ -1524,3 +1524,19 @@ def test_train_linear_classifier_matches_numpy_gd(spark):
     }
     for i, (_, _, lab) in zip([d[0] for d in docs], docs):
         assert (logits[i] > 0) == (lab == 1)
+
+
+def test_embedding_ops_empty_inputs(spark):
+    """Empty corpora degrade to empty, correctly-typed results (or a
+    clear ValueError for the raw fold), never a cryptic
+    AnalysisException."""
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = sim.semantic_dedup(empty, n_cells=4, eps=0.5)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cell", "component", "centroid_cos", "keep"]
+    q = empty.selectExpr("vec_id AS query_id", "embedding")
+    knn = sim.ivf_knn_join(empty, q, k=3, n_cells=4)
+    assert knn.count() == 0
+    assert knn.columns == ["query_id", "vec_id", "score"]
+    with pytest.raises(ValueError, match="non-empty"):
+        sim.ivf_assign("embedding", [])

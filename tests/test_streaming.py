@@ -667,3 +667,23 @@ def test_semantic_ingest_micro_batches(spark, tmp_path):
     # store carries the write-time probe columns
     cols = set(spark.read.parquet(store).columns)
     assert {"vec_id", "embedding", "norm", "cell", "_batch_id"} <= cols
+
+
+def test_semantic_admitter_empty_batch(spark, tmp_path):
+    """Streams deliver empty micro-batches: the admitter must write
+    an empty (or no-row) partition and leave existing store rows
+    untouched rather than erroring."""
+    from datasplash_spark.streaming import semantic_admitter
+
+    store = str(tmp_path / "estore2")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    admit = semantic_admitter(store, cents, eps=0.9)
+    b0 = generate_input(
+        spark, [(1, [1.0, 0.1])], "vec_id bigint, embedding array<double>"
+    )
+    admit(b0, 0)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    admit(empty, 1)  # must not raise
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(store).collect()
+    ) == [1]
