@@ -151,6 +151,24 @@ def test_recipes_compose(spark):
     n_raw, n_sel = raw.count(), sel.count()
     assert 0 < n_sel <= n_raw * 0.2 + 1
 
+    # Model-based quality filtering: train on a tiny labeled sample
+    # (top vs bottom quality_score docs), apply corpus-wide, cut at
+    # the median logit
+    labeled = (
+        docs.withColumn("q", tx.quality_score("text"))
+        .filter((F.col("q") >= 0.7) | (F.col("q") <= 0.3))
+        .withColumn("label", (F.col("q") >= 0.7).cast("int"))
+        .limit(60)
+    )
+    weights = tx.train_linear_classifier(
+        labeled, n_buckets=256, epochs=5, lr=1.0
+    )
+    scored2 = tx.linear_doc_scores(docs, weights, n_buckets=256)
+    kept_model = ops.filter_by_quantile(
+        docs.join(scored2, "doc_id"), "logit", 0.5, keep="above"
+    )
+    assert 0 < kept_model.count() <= n0
+
     # Semantic-curation style (SemDeDup + In-Context Pretraining):
     # audit filter -> semantic dedup survivors -> pack within cells
     from datasplash_spark.functions import similarity as sim
