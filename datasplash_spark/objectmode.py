@@ -1021,3 +1021,42 @@ def concat(*pcolls: PCollection) -> PCollection:
     for p in pcolls[1:]:
         df = df.unionAll(p.df)
     return PCollection(df)
+
+
+# ------------------------------------------------------------------
+# API-name parity shims (datasplash.api symbols whose Spark analog is
+# trivial but deserves the reference's name)
+# ------------------------------------------------------------------
+
+def make_kv(k, v) -> tuple:
+    """``make-kv`` (api.clj): KV pairs in object mode ARE Python
+    2-tuples (the KV coder is cloudpickle; no wrapper class)."""
+    return (k, v)
+
+
+def kv_key(kv):
+    """``key`` (api.clj) for object-mode KV tuples."""
+    return kv[0]
+
+
+def kv_val(kv):
+    """``val`` (api.clj) for object-mode KV tuples."""
+    return kv[1]
+
+
+def from_edn(pcoll: PCollection) -> PCollection:
+    """``from-edn`` (api.clj / core.clj): parse each EDN-string
+    element into data — ``map`` of the full EDN reader
+    (``functions.edn.loads``: tagged literals, ``#inst``, ``#uuid``,
+    ``#_`` discard)."""
+    from .functions.edn import loads as _edn_loads
+
+    return pcoll.map(_edn_loads)
+
+
+def to_edn(pcoll: PCollection) -> PCollection:
+    """``to-edn`` (api.clj / core.clj): render each element as an
+    EDN string (``functions.edn.dumps``)."""
+    from .functions.edn import dumps as _edn_dumps
+
+    return pcoll.map(_edn_dumps)

@@ -143,3 +143,24 @@ def dmap_in_pandas(
     """``pardo`` escape hatch (core.clj:602-610): per-batch imperative
     logic via Arrow-batched ``mapInPandas`` (never row-at-a-time)."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def make_partition_mapping(coll) -> dict:
+    """``make-partition-mapping`` (core.clj:1496-1498): value →
+    partition-index mapping (insertion order), the routing table for
+    :func:`partition_by` / by-transform file writes."""
+    return {v: i for i, v in enumerate(coll)}
+
+
+def mapping_to_column(mapping: dict, col: ColumnLike, default: int = 0):
+    """Chained-CASE Column for a value→index ``mapping`` (the Spark
+    form of the reference's ``(get mapping (f elt) 0)`` routing,
+    core.clj:1507-1512): unknown values fall to ``default``. Feed the
+    result to :func:`partition_by` as the partition expression."""
+    from pyspark.sql import functions as F
+
+    c = _col(col)
+    expr = F.lit(int(default))
+    for v, i in reversed(list(mapping.items())):
+        expr = F.when(c == F.lit(v), F.lit(int(i))).otherwise(expr)
+    return expr

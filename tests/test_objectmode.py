@@ -532,3 +532,49 @@ def test_fusion_differential_vs_python(spark):
     assert arrow_nodes == 2, plan
     got = dict(pc.collect())
     assert got == chain_py(data)
+
+
+def test_api_parity_shims_kv_and_edn(spark):
+    """make_kv/kv_key/kv_val tuple shims and the from_edn/to_edn
+    PCollection transforms (full EDN reader, tagged literals kept)."""
+    from datasplash_spark import objectmode as om
+
+    kv = om.make_kv("a", 1)
+    assert kv == ("a", 1) and om.kv_key(kv) == "a" and om.kv_val(kv) == 1
+
+    pc = om.PCollection.from_items(
+        spark, ['{:a 1, :b [1 2]}', "#{1 2}", "(1 2 3)"]
+    )
+    parsed = om.from_edn(pc).collect()
+    assert {"a", "b"} == set(parsed[0].keys()) or any(
+        isinstance(p, dict) for p in parsed
+    )
+    rendered = om.to_edn(om.from_edn(pc)).collect()
+    reparsed = om.from_edn(
+        om.PCollection.from_items(spark, rendered)
+    ).collect()
+    assert sorted(map(repr, reparsed)) == sorted(map(repr, parsed))
+
+
+def test_make_partition_mapping_routes(spark):
+    """make_partition_mapping + mapping_to_column route rows to the
+    reference's partition indices, unknowns to the default."""
+    from datasplash_spark.operators import (
+        make_partition_mapping,
+        mapping_to_column,
+        partition_by,
+    )
+    from datasplash_spark.sources import generate_input
+
+    mapping = make_partition_mapping(["en", "fr", "de"])
+    assert mapping == {"en": 0, "fr": 1, "de": 2}
+    df = generate_input(
+        spark,
+        [(1, "en"), (2, "fr"), (3, "de"), (4, "zz")],
+        "id bigint, lang string",
+    )
+    parts = partition_by(
+        df, mapping_to_column(mapping, "lang"), len(mapping)
+    )
+    got = [sorted(r.id for r in p.collect()) for p in parts]
+    assert got == [[1, 4], [2], [3]]  # unknown 'zz' falls to default 0
