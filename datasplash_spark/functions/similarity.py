@@ -582,9 +582,18 @@ def semantic_dedup(
 
     from .graph import connected_components
 
-    if centroids is None:
+    derived = centroids is None
+    if derived:
         centroids = ivf_centroids(df, n_cells, vec_col, id_col)
-    if not centroids:  # empty corpus → empty, correctly-typed result
+    if not centroids:
+        # a DERIVED empty quantizer means the corpus itself is empty
+        # → empty typed result; an explicitly passed empty list is a
+        # caller bug (e.g. a missing persisted quantizer loaded as
+        # []) and silently dropping the corpus would be catastrophic
+        if not derived:
+            raise ValueError(
+                "semantic_dedup: explicit centroids list is empty"
+            )
         return df.limit(0).select(
             _col(id_col).alias("vec_id"),
             F.lit(0).alias("cell"),
@@ -694,9 +703,16 @@ def ivf_knn_join(
     (engine-independent, oracle-stable)."""
     from pyspark.sql import Window
 
-    if centroids is None:
+    derived = centroids is None
+    if derived:
         centroids = ivf_centroids(corpus, n_cells, vec_col, id_col)
-    if not centroids:  # empty corpus → empty, correctly-typed result
+    if not centroids:
+        # same contract as semantic_dedup: derived-empty = empty
+        # corpus (typed empty result); explicit empty = caller bug
+        if not derived:
+            raise ValueError(
+                "ivf_knn_join: explicit centroids list is empty"
+            )
         q0 = queries.limit(0).select(_col(query_id_col).alias("query_id"))
         c0 = corpus.limit(0).select(_col(id_col).alias("vec_id"))
         return q0.crossJoin(c0).withColumn("score", F.lit(0.0))
@@ -770,14 +786,20 @@ def embedding_mean_cov(df: DataFrame, vec_col: ColumnLike = "embedding"):
     column, via Arrow-batched PARTIAL aggregation: every partition
     reduces its rows to one ``(n, Σx, Σxxᵀ)`` row with numpy (a
     single einsum per Arrow batch), and only those d²-float partials
-    cross the wire — at 100 TB the driver combines #partitions rows,
-    never sees a vector, and d≲4096 keeps the partial itself a few
-    MB. The canonical two-phase distributed-covariance shape (same
-    algebra MLlib's RowMatrix uses).
+    cross the wire — at 100 TB the driver combines #partitions rows
+    and never sees a vector. The canonical two-phase
+    distributed-covariance shape (same algebra MLlib's RowMatrix
+    uses).
 
-    Returns ``(n, mean, cov)`` with numpy arrays (cov is the
-    unbiased / n−1 estimator). Raises on an empty input or on
-    inconsistent vector widths.
+    Partial size is d² doubles: ~8 MB at d=1024 but ~134 MB at
+    d=4096 — for wide embeddings ``coalesce`` the input first so
+    #partitions × d² stays driver-friendly (the combine is a plain
+    sum, so fewer/larger partials lose nothing).
+
+    NULL vectors are excluded. Returns ``(n, mean, cov)`` with numpy
+    arrays (cov is the unbiased / n−1 estimator). Raises ValueError
+    on an empty input or on inconsistent vector widths (checked both
+    within partials and across them).
 
     Float caveat: partial-sum order varies with partitioning, so
     results are reproducible only to float tolerance (like
@@ -795,11 +817,26 @@ def embedding_mean_cov(df: DataFrame, vec_col: ColumnLike = "embedding"):
         for pdf in it:
             if not len(pdf):
                 continue
-            arr = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
-            )
+            vals = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["v"]
+                if v is not None
+            ]
+            if not vals:
+                continue
+            widths = {v.shape[0] for v in vals}
+            if s is not None:
+                widths.add(s.shape[0])
+            if len(widths) != 1:
+                raise ValueError(
+                    "embedding_mean_cov: inconsistent embedding widths "
+                    f"{sorted(widths)}"
+                )
+            arr = np.asarray(vals)
             if arr.ndim != 2:
-                raise ValueError("inconsistent embedding widths")
+                raise ValueError(
+                    "embedding_mean_cov: inconsistent embedding widths"
+                )
             n += arr.shape[0]
             if s is None:
                 s = arr.sum(axis=0)
@@ -824,6 +861,11 @@ def embedding_mean_cov(df: DataFrame, vec_col: ColumnLike = "embedding"):
     if not rows:
         raise ValueError("embedding_mean_cov: empty input")
     n = sum(r.n for r in rows)
+    if len({len(r.s) for r in rows}) != 1:
+        raise ValueError(
+            "embedding_mean_cov: inconsistent embedding widths "
+            "across partitions"
+        )
     s = np.sum([np.asarray(r.s) for r in rows], axis=0)
     o = np.sum([np.asarray(r.o) for r in rows], axis=0)
     d = s.shape[0]

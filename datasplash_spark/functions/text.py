@@ -787,24 +787,30 @@ def filter_counts(
     of :func:`filter_report`. NULL predicates count as failures
     (fail-closed). Returns ``(filter, n_failed, n_total)`` — one row
     per filter, ``n_total`` the corpus size."""
+    # filter NAMES never become column identifiers (a name with dots
+    # would parse as struct access, and a name colliding with the
+    # total alias would break the agg) — aggregates use positional
+    # aliases and names appear only as literals, matching
+    # filter_report's acceptance of arbitrary display names
     names = list(filters)
     aggs = [
         F.sum(
             F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
-        ).alias(name)
-        for name, cond in filters.items()
+        ).alias(f"_f{i}")
+        for i, (_, cond) in enumerate(filters.items())
     ]
-    wide = df.agg(F.count(F.lit(1)).alias("_total"), *aggs)
+    wide = df.agg(F.count(F.lit(1)).alias("_ft"), *aggs)
     arr = F.array(
         *[
             F.struct(
-                F.lit(n).alias("filter"), F.col(n).alias("n_failed")
+                F.lit(n).alias("filter"),
+                F.col(f"_f{i}").alias("n_failed"),
             )
-            for n in names
+            for i, n in enumerate(names)
         ]
     )
     return wide.select(
-        F.explode(arr).alias("s"), F.col("_total").alias("n_total")
+        F.explode(arr).alias("s"), F.col("_ft").alias("n_total")
     ).select("s.filter", "s.n_failed", "n_total")
 
 
@@ -848,6 +854,14 @@ def train_linear_classifier(
     if epochs < 0:
         raise ValueError("epochs must be >= 0")
     spark = df.sparkSession
+    if df.filter(F.col(label_col).isNull()).head(1):
+        # NULL labels would silently drop out of every gradient sum
+        # while still inflating the n_docs divisor (shrinking the
+        # effective lr) — refuse instead of mistraining
+        raise ValueError(
+            "train_linear_classifier: NULL labels present — filter or "
+            "impute them first"
+        )
     toks = df.select(
         _col(id_col).alias("doc_id"),
         F.col(label_col).cast("double").alias("y"),
@@ -907,5 +921,10 @@ def train_linear_classifier(
                 )
     finally:
         feat.unpersist()
-    rows = [(b, wt) for b, wt in sorted(w.items())] or [(0, 0.0)]
+    # DENSE weights over every bucket: linear_doc_scores inner-joins
+    # on bucket, so a sparse (touched-only) table would inflate the
+    # per-token mean for docs hitting untrained buckets and silently
+    # DROP docs whose every token is unseen — dense zeros keep the
+    # train-on-sample / apply-corpus-wide contract exact.
+    rows = [(b, w.get(b, 0.0)) for b in range(int(n_buckets))]
     return spark.createDataFrame(rows, "bucket long, weight double")

@@ -3052,9 +3052,11 @@ def q_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.ivf_centroids(emb, 16)
-    cells = emb.select(
+    cells = emb.withColumn("_nv", sim.norm(F.col("embedding"))).select(
         F.col("vec_id").alias("doc_id"),
-        sim.ivf_cell("embedding", cents).alias("cell"),
+        sim.ivf_cell(
+            "embedding", cents, norm_col=F.col("_nv")
+        ).alias("cell"),
     )
     joined = docs.join(cells, "doc_id")
     return tx.pack_sequences(joined, 512, part="cell")

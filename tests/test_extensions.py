@@ -1388,6 +1388,16 @@ def test_filter_report_and_counts_fail_closed(spark):
     }
     assert counts == {"has_text": (2, 3), "scored": (1, 3)}
 
+    # names are display literals, never column identifiers: dots and
+    # alias-colliding names must work in BOTH report and counts
+    odd = {"len.min": F.length("text") > 4, "_ft": F.col("score") >= 2}
+    rep_odd = {r.doc_id: r.failed for r in filter_report(df, odd).collect()}
+    assert rep_odd[2] == ["_ft", "len.min"]
+    counts_odd = {
+        r.filter: r.n_failed for r in filter_counts(df, odd).collect()
+    }
+    assert counts_odd == {"len.min": 2, "_ft": 1}
+
 
 def test_lsh_tune_matches_scurve_theory():
     """lsh_tune picks the MMDS banding whose implied threshold
@@ -1512,8 +1522,9 @@ def test_train_linear_classifier_matches_numpy_gd(spark):
     for _ in range(epochs):
         p = 1.0 / (1.0 + np.exp(-(X @ w)))
         w -= lr * (X.T @ (p - y)) / len(docs)
+    assert set(got) == set(range(n_buckets))  # DENSE weight table
     for b in range(n_buckets):
-        assert abs(got.get(b, 0.0) - w[b]) < 1e-9, b
+        assert abs(got[b] - w[b]) < 1e-9, b
 
     # the trained weights separate the training set via the shared
     # inference path (logit = mean token weight)
@@ -1524,6 +1535,27 @@ def test_train_linear_classifier_matches_numpy_gd(spark):
     }
     for i, (_, _, lab) in zip([d[0] for d in docs], docs):
         assert (logits[i] > 0) == (lab == 1)
+
+    # docs whose every token hits an untrained bucket still score
+    # (logit 0), and NULL labels refuse to train
+    import pyspark.sql.functions as _F
+
+    unseen = generate_input(
+        spark, [(99, "zzzz qqqq wwww", 0)], "doc_id bigint, text string, label int"
+    )
+    s99 = linear_doc_scores(unseen, wdf, n_buckets=n_buckets).collect()
+    assert len(s99) == 1 and s99[0].n_toks == 3
+    with pytest.raises(ValueError, match="NULL labels"):
+        train_linear_classifier(
+            df.withColumn(
+                "label",
+                _F.when(_F.col("doc_id") == 0, None).otherwise(
+                    _F.col("label")
+                ),
+            ),
+            n_buckets=n_buckets,
+            epochs=1,
+        )
 
 
 def test_embedding_ops_empty_inputs(spark):
@@ -1540,3 +1572,17 @@ def test_embedding_ops_empty_inputs(spark):
     assert knn.columns == ["query_id", "vec_id", "score"]
     with pytest.raises(ValueError, match="non-empty"):
         sim.ivf_assign("embedding", [])
+    # explicit empty centroids on a NON-empty corpus is a caller bug
+    # (e.g. a missing persisted quantizer loaded as []) — raise, never
+    # silently drop the corpus
+    nonempty = generate_input(
+        spark, [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="explicit centroids"):
+        sim.semantic_dedup(nonempty, centroids=[])
+    with pytest.raises(ValueError, match="explicit centroids"):
+        sim.ivf_knn_join(
+            nonempty,
+            nonempty.selectExpr("vec_id AS query_id", "embedding"),
+            centroids=[],
+        )
