@@ -778,3 +778,81 @@ def global_shuffle(
     if keep_key:
         return out.withColumnRenamed("_gs_key", "shuffle_key")
     return out.drop("_gs_key")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list,
+    bits: int = 4,
+    key_name: str = "zkey",
+    approx: bool = False,
+) -> DataFrame:
+    """Z-order (Morton) clustering key over quantile-ranked columns —
+    the multi-dimensional layout key behind data-skipping file
+    organization (Delta ``OPTIMIZE ZORDER BY``, Hudi space-filling
+    curves): rows close in EVERY keyed dimension get close keys, so
+    range-partitioning on the key yields parquet files with tight
+    min/max stats on all keyed columns at once (a plain sort only
+    helps its leading column).
+
+    Per column: ONE aggregate computes the 2^bits − 1 quantile cut
+    points (exact ``percentile`` for oracle parity; ``approx=True``
+    for the scale default — same contract as
+    :func:`quantile_buckets`), broadcast as a single row; the rank is
+    ``#cuts <= value`` (0 .. 2^bits−1), and the key interleaves rank
+    bits round-robin (earlier ``cols`` take the more significant bit
+    of each round). No sort, no window, one scan.
+
+    Reference anchor: no analog (Beam has no storage layout);
+    LLM-pipeline extension for 100 TB parquet curation.
+    """
+    d = len(cols)
+    if d == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if bits <= 0 or d * bits > 63:
+        raise ValueError("zorder_key: need 0 < cols*bits <= 63")
+    n = 1 << bits
+    probs = F.array(*[F.lit(i / n) for i in range(1, n)])
+    perc = F.approx_percentile if approx else F.percentile
+    cuts = df.agg(
+        *[
+            perc(_col(c).cast("double"), probs).alias(f"_zc{j}")
+            for j, c in enumerate(cols)
+        ]
+    )
+
+    def _ge(e):
+        return lambda cut: e >= cut  # closure factory: HOF arity = 1
+
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        e = _col(c).cast("double")
+        rank = F.size(F.filter(F.col(f"_zc{j}"), _ge(e))).cast("long")
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(rank, b).bitwiseAND(F.lit(1).cast("long")),
+                b * d + (d - 1 - j),
+            )
+    out = df.crossJoin(F.broadcast(cuts)).select(
+        "*", key.alias(key_name)
+    )
+    return out.drop(*[f"_zc{j}" for j in range(d)])
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list,
+    num_partitions: int,
+    bits: int = 8,
+    approx: bool = True,
+) -> DataFrame:
+    """Range-partition + sort by the Z-order key: the write-side
+    layout step (``zorder_layout(df, ["a", "b"], 1024).write...``).
+    Each output partition covers a contiguous z-range, so every file
+    gets tight min/max on all keyed columns — the distributed sort is
+    Spark's range-partitioned TeraSort shape, never a single
+    partition."""
+    keyed = zorder_key(df, cols, bits=bits, approx=approx)
+    return keyed.repartitionByRange(
+        int(num_partitions), "zkey"
+    ).sortWithinPartitions("zkey")

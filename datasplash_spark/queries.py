@@ -3099,6 +3099,42 @@ FROM c
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (value, user_id) on the events
+    table: per-column exact-percentile ranks (16 levels each),
+    bit-interleaved — the data-skipping layout key; at scale the
+    write path is ``zorder_layout`` (range-partition + sort on this
+    key)."""
+    from .operators import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zorder_key(ev, ["value", "user_id"], bits=4).select(
+        "event_id", "zkey"
+    )
+
+
+_Z_PROBS = ", ".join(str(i / 16) for i in range(1, 16))
+
+ORACLE_ZORDER_KEY = f"""
+WITH t AS (
+  SELECT quantile_cont(value::DOUBLE, [{_Z_PROBS}]) AS c0,
+         quantile_cont(user_id::DOUBLE, [{_Z_PROBS}]) AS c1
+  FROM events
+), r AS (
+  SELECT e.event_id,
+         len(list_filter(t.c0, c -> e.value::DOUBLE >= c)) AS r0,
+         len(list_filter(t.c1, c -> e.user_id::DOUBLE >= c)) AS r1
+  FROM events e, t
+)
+SELECT event_id,
+       ( ((r0 >> 0) & 1) << 1 ) + ( ((r1 >> 0) & 1) << 0 )
+     + ( ((r0 >> 1) & 1) << 3 ) + ( ((r1 >> 1) & 1) << 2 )
+     + ( ((r0 >> 2) & 1) << 5 ) + ( ((r1 >> 2) & 1) << 4 )
+     + ( ((r0 >> 3) & 1) << 7 ) + ( ((r1 >> 3) & 1) << 6 ) AS zkey
+FROM r
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3397,6 +3433,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_report": (q_filter_report, ORACLE_FILTER_REPORT),
     "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
     "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
+    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,

@@ -349,3 +349,62 @@ def test_token_budget_sample_exact_prefix(spark):
     assert other != again
     # strata without a budget are dropped entirely
     assert not {r.src for r in rows} - {"a", "b"}
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """zorder_key equals a numpy percentile-rank + bit-interleave
+    reference on integer data (cuts are exact rationals in both);
+    zorder_layout yields disjoint, ordered zkey ranges per
+    partition."""
+    import numpy as np
+
+    from datasplash_spark.operators import zorder_key, zorder_layout
+    from datasplash_spark.sources import generate_input
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, int(rng.randint(0, 1000)), int(rng.randint(0, 50)))
+        for i in range(300)
+    ]
+    df = generate_input(spark, rows, "id bigint, a bigint, b bigint")
+    got = {
+        r.id: r.zkey
+        for r in zorder_key(df, ["a", "b"], bits=4).collect()
+    }
+
+    bits, d = 4, 2
+    avals = np.array([r[1] for r in rows], dtype=float)
+    bvals = np.array([r[2] for r in rows], dtype=float)
+    probs = [100.0 * i / 16 for i in range(1, 16)]
+    ca = np.percentile(avals, probs)
+    cb = np.percentile(bvals, probs)
+
+    def rank(v, cuts):
+        return int(sum(v >= c for c in cuts))
+
+    for i, a, b in rows:
+        ra, rb = rank(a, ca), rank(b, cb)
+        z = 0
+        for bit in range(bits):
+            z += ((ra >> bit) & 1) << (bit * d + 1)
+            z += ((rb >> bit) & 1) << (bit * d + 0)
+        assert got[i] == z, (i, a, b)
+
+    parts = (
+        zorder_layout(df, ["a", "b"], 4, bits=4, approx=False)
+        .select(F.spark_partition_id().alias("p"), "zkey")
+        .collect()
+    )
+    by_p: dict[int, list] = {}
+    for r in parts:
+        by_p.setdefault(r.p, []).append(r.zkey)
+    ranges = sorted((min(v), max(v)) for v in by_p.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered z-ranges
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zorder_key(df, [], bits=4)
+    with _pt.raises(ValueError):
+        zorder_key(df, ["a", "b"], bits=40)
