@@ -524,3 +524,23 @@ def test_semantic_dedup_single_assignment_no_python(spark):
             assert rel_depths and any(
                 _node_depth(l) > d for d in rel_depths
             ), l
+
+
+def test_zorder_layout_is_range_partitioned(spark):
+    """zorder_layout: the write-side layout is a RangePartitioning
+    exchange + in-partition sort on the z-key (TeraSort shape), with
+    no window and no Python; the key stage itself adds no shuffle
+    beyond the single cut-point aggregate."""
+    from datasplash_spark.operators import zorder_layout
+    from datasplash_spark.pipeline import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    plan = plan_of(
+        zorder_layout(ev, ["value", "user_id"], 8, bits=4, approx=False),
+        mode="simple",
+    )
+    assert "rangepartitioning(zkey" in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
