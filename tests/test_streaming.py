@@ -687,3 +687,32 @@ def test_semantic_admitter_empty_batch(spark, tmp_path):
     assert sorted(
         r.vec_id for r in spark.read.parquet(store).collect()
     ) == [1]
+
+
+def test_semantic_ingest_streaming_query(spark, tmp_path):
+    """The semantic_ingest writeStream wrapper drains a file stream
+    of vectors through the admitter (trigger=once): intra-batch
+    near-dups collapse, the orthogonal vector is admitted."""
+    from datasplash_spark.streaming import semantic_ingest
+
+    src = str(tmp_path / "esrc")
+    store = str(tmp_path / "estore3")
+    ckpt = str(tmp_path / "eckpt")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    vecs = generate_input(
+        spark,
+        [
+            (1, [1.0, 0.02, 0.0]),
+            (2, [1.0, 0.03, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.05]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    vecs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(src)
+    q = semantic_ingest(stream, store, ckpt, cents, eps=0.9, trigger="once")
+    q.awaitTermination(120)
+    ids = sorted(r.vec_id for r in spark.read.parquet(store).collect())
+    assert 3 in ids and len(ids) == 2      # 1/2 collapsed to one
