@@ -3135,6 +3135,51 @@ FROM r
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a 3-term query —
+    inverted-index probe shape: the query-term broadcast prunes the
+    tf table to matching postings before any per-doc shuffle;
+    fixed-point nano scores keep the sum order-independent and
+    cross-engine exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_scores(docs, ["spark", "hash", "window"])
+
+
+ORACLE_BM25_SEARCH = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), dfq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), q AS (
+  SELECT DISTINCT unnest(['spark', 'hash', 'window']) AS term
+), c AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (ln(1 + (st.n_docs - dfq.dfq + 0.5) / (dfq.dfq + 0.5))
+            * ((tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / st.avgdl))))
+           * 1e9) AS BIGINT) AS c
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id), st
+)
+SELECT doc_id, count(*) AS n_matched,
+       CAST(sum(c) AS BIGINT) AS score_nano
+FROM c GROUP BY doc_id
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3434,6 +3479,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
     "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
+    "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,
