@@ -3180,6 +3180,48 @@ FROM c GROUP BY doc_id
 """
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment on adjacent-id doc pairs — the
+    quote/excerpt-detection signal (|∩|/|grams(A)| vs Jaccard's
+    symmetric denominator), both directions per pair. Pure
+    array-HOF expressions over a single self-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") + 1 == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                dd.ngram_containment(F.col("ta"), F.col("tb"), k=3), 6
+            ).alias("cont_ab"),
+            F.round(
+                dd.ngram_containment(F.col("tb"), F.col("ta"), k=3), 6
+            ).alias("cont_ba"),
+        )
+    )
+
+
+ORACLE_NGRAM_CONTAINMENT = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN len(a.s) > 0
+             THEN len(list_intersect(a.s, b.s)) * 1.0 / len(a.s)
+             ELSE 0 END, 6) AS cont_ab,
+       round(CASE WHEN len(b.s) > 0
+             THEN len(list_intersect(b.s, a.s)) * 1.0 / len(b.s)
+             ELSE 0 END, 6) AS cont_ba
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+"""
+
+
 def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-threshold quality cut: keep documents at or above the
     corpus MEDIAN quality score (absolute thresholds don't transfer
@@ -3480,6 +3522,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
     "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
     "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
+    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
     "quality_above_median": (
         q_quality_above_median,
         ORACLE_QUALITY_ABOVE_MEDIAN,
