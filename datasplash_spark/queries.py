@@ -3395,13 +3395,86 @@ SELECT doc_id FROM ranked WHERE rk = 1
 # block the previous round already proved green. Over consecutive
 # rounds every query gets a driver-green row.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # --- round-4 gate window (driver checks the FIRST 50) ---
-    # Window MEMBERSHIP is the gate contract; within the window the
-    # cheap relational block leads so the session's residual first-
-    # query costs (bench runs in this order too) land on sub-second
-    # queries, not the multi-job clustering compositions.
-    # relational block last driver-gated in round 2 — rotated into
-    # the window so CORRECTNESS_r04 re-proves it on current code:
+    # --- round-5 gate window (driver checks the FIRST 50) ---
+    # Window MEMBERSHIP is the gate contract. Leads: the 41-query
+    # r2/r3-proven block that round 4's rotation pushed out of the
+    # window (cheap relational/elementwise first so session residue
+    # lands on sub-second queries), then the 8 queries that had
+    # NEVER earned a driver CORRECTNESS row (VERDICT r4 item 1),
+    # then semantic_dedup, whose implementation changed this round.
+    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
+    "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
+    "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
+    "keep": (q_keep, ORACLE_KEEP),
+    "frequencies_by": (q_frequencies_by, ORACLE_FREQUENCIES_BY),
+    "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
+    "flatten": (q_flatten, ORACLE_FLATTEN),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
+    "price_percentiles": (q_price_percentiles, ORACLE_PRICE_PERCENTILES),
+    "combiner_mapper_predicate": (
+        q_combiner_mapper_predicate,
+        ORACLE_COMBINER_MAPPER_PREDICATE,
+    ),
+    "quality_above_median": (
+        q_quality_above_median,
+        ORACLE_QUALITY_ABOVE_MEDIAN,
+    ),
+    "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
+    "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
+    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
+    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
+    "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
+    "stateful_running_sum": (
+        q_stateful_running_sum,
+        ORACLE_STATEFUL_RUNNING_SUM,
+    ),
+    "stateful_distinct_types": (
+        q_stateful_distinct_types,
+        ORACLE_STATEFUL_DISTINCT_TYPES,
+    ),
+    "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
+    "repeated_ngrams": (q_repeated_ngrams, ORACLE_REPEATED_NGRAMS),
+    "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
+    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
+    "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
+    "similarity_ivf": (q_similarity_ivf, ORACLE_SIMILARITY_IVF),
+    "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
+    "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
+    "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
+    "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
+    # the 8 never-driver-gated round-4 additions:
+    "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
+    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
+    "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
+    "filter_report": (q_filter_report, ORACLE_FILTER_REPORT),
+    "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
+    "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
+    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
+    "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
+    # implementation changed round 5 (mega-cell skew guard) -> re-gate:
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    # --- OUTSIDE the round-5 window (positions 51+) ---
+    # deferred one extra round to make room for the 8 never-gated
+    # + changed semantic_dedup: sample_per_key is rows-only by
+    # design (its deterministic twin sample_per_key_det is r4-
+    # green) and multimodal_features is r3-green and unchanged.
+    # Both lead the round-6 rotation.
+    "sample_per_key": (q_sample_per_key, None),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),
     "join_required": (q_join_required, ORACLE_JOIN_REQUIRED),
@@ -3442,7 +3515,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "side_input_filter": (q_side_input_filter, ORACLE_SIDE_INPUT_FILTER),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
-    # new in the round-4 continuation session:
     "remove_repeated_spans": (
         q_remove_repeated_spans,
         ORACLE_REMOVE_REPEATED_SPANS,
@@ -3450,7 +3522,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "global_shuffle": (q_global_shuffle, ORACLE_GLOBAL_SHUFFLE),
     "temperature_mix": (q_temperature_mix, ORACLE_TEMPERATURE_MIX),
     "dsir_scores": (q_dsir_scores, ORACLE_DSIR_SCORES),
-    # new or implementation-changed earlier this round:
     "dedup_cluster_report": (
         q_dedup_cluster_report,
         ORACLE_DEDUP_CLUSTER_REPORT,
@@ -3467,77 +3538,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_objectmode_side_outputs,
         ORACLE_OBJECTMODE_SIDE_OUTPUTS,
     ),
-    # the first-50 window ends after semantic_dedup (pricing_summary
-    # fills slot 49; the new semantic_dedup takes slot 50, displacing
-    # the filler filter_project — green r2 AND r3 — out); everything
-    # from filter_project down is OUTSIDE this round's gate — last
-    # driver-gated r2/r3, rotate to the front next round:
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
-    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
-    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
-    "group_by_key": (q_group_by_key, ORACLE_GROUP_BY_KEY),
-    "frequencies": (q_frequencies, ORACLE_FREQUENCIES),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, ORACLE_DEDUP_MINHASH),
-    "similarity_topk": (q_similarity_topk, ORACLE_SIMILARITY_TOPK),
-    # --- driver-green in round 3 (CORRECTNESS_r03.json), unchanged ---
-    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
-    "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
-    "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
-    "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
-    "repeated_ngrams": (q_repeated_ngrams, ORACLE_REPEATED_NGRAMS),
-    "dedup_cross_corpus": (q_dedup_cross_corpus, ORACLE_DEDUP_CROSS_CORPUS),
-    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
-    "dedup_embedding_pairs": (q_dedup_embedding_pairs, ORACLE_DEDUP_EMBEDDING),
-    "ngram_jaccard_verify": (q_ngram_jaccard_verify, ORACLE_NGRAM_JACCARD),
-    "fingerprint_rolling": (q_fingerprint_rolling, ORACLE_FINGERPRINT_ROLLING),
-    "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
-    "similarity_ann": (q_similarity_ann, ORACLE_SIMILARITY_ANN),
-    "similarity_ivf": (q_similarity_ivf, ORACLE_SIMILARITY_IVF),
-    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "sample_per_key": (q_sample_per_key, None),
-    "flatten": (q_flatten, ORACLE_FLATTEN),
-    "salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
-    "stateful_running_sum": (
-        q_stateful_running_sum,
-        ORACLE_STATEFUL_RUNNING_SUM,
-    ),
-    "stateful_distinct_types": (
-        q_stateful_distinct_types,
-        ORACLE_STATEFUL_DISTINCT_TYPES,
-    ),
-    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
-    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
-    "lang_id": (q_lang_id, ORACLE_LANG_ID),
-    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
-    "corpus_prep_pipeline": (q_corpus_prep_pipeline, ORACLE_CORPUS_PREP),
-    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
-    "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
-    "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
-    "source_overlap": (q_source_overlap, ORACLE_SOURCE_OVERLAP),
-    "knn_search": (q_knn_search, ORACLE_KNN_SEARCH),
-    "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
-    "corpus_diff": (q_corpus_diff, ORACLE_CORPUS_DIFF),
-    "filter_report": (q_filter_report, ORACLE_FILTER_REPORT),
-    "filter_funnel": (q_filter_funnel, ORACLE_FILTER_FUNNEL),
-    "semantic_pack": (q_semantic_pack, ORACLE_SEMANTIC_PACK),
-    "zorder_key": (q_zorder_key, ORACLE_ZORDER_KEY),
-    "bm25_search": (q_bm25_search, ORACLE_BM25_SEARCH),
-    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
-    "quality_above_median": (
-        q_quality_above_median,
-        ORACLE_QUALITY_ABOVE_MEDIAN,
-    ),
-    "length_quartiles": (q_length_quartiles, ORACLE_LENGTH_QUARTILES),
-    "keep": (q_keep, ORACLE_KEEP),
-    "frequencies_by": (q_frequencies_by, ORACLE_FREQUENCIES_BY),
-    "combine_global": (q_combine_global, ORACLE_COMBINE_GLOBAL),
-    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
-    "top_per_nation": (q_top_per_nation, ORACLE_TOP_PER_NATION),
-    "price_percentiles": (q_price_percentiles, ORACLE_PRICE_PERCENTILES),
-    "combiner_mapper_predicate": (
-        q_combiner_mapper_predicate,
-        ORACLE_COMBINER_MAPPER_PREDICATE,
-    ),
 }
 
 
