@@ -535,6 +535,9 @@ def semantic_dedup(
     id_col: ColumnLike = "vec_id",
     centroids: list[list[float]] | None = None,
     cache: bool = False,
+    max_cell_rows: int = 1 << 16,
+    max_salt: int = 64,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate marking driven by a coarse k-means/IVF partition of
@@ -565,7 +568,29 @@ def semantic_dedup(
     All cosines round to 9 dp (engine-stable argmax/threshold, same
     quantization as :func:`ivf_cell`). ``cache=True`` persists the
     assigned/scored table so the pair join and the final assignment
-    read one computation.
+    read one computation; the persisted table lives until session
+    end (or ``spark.catalog.clearCache()``) unless the caller passes
+    ``cache_registry=[]`` — the persisted DataFrame is appended to it
+    so the caller can ``unpersist()`` after consuming the result
+    (long-lived sessions invoking repeatedly should do one or the
+    other; the streaming admitter forces ``cache=False``).
+
+    Mega-cell skew guard: relying on AQE to split uneven cells is not
+    enough at 100 TB — a duplicate-heavy corpus can put a large slice
+    of the corpus in ONE cell, and the intra-cell quadratic stage
+    becomes a single straggler task. Cells whose row count exceeds
+    ``max_cell_rows`` are block-decomposed exactly (the
+    ``salted_join`` pattern applied to a self-join): each row gets a
+    deterministic sub-group in ``[0, s)`` with
+    ``s = min(ceil(n / max_cell_rows), max_salt)``, the left side
+    replicates each row across all ``s`` right-sub-groups and vice
+    versa, and the join key becomes ``(cell, ga, gb)`` — every
+    ordered pair lands in exactly ONE of the s² blocks, so the pair
+    set (and the result) is bit-identical to the unguarded join
+    while the mega-cell's quadratic work spreads over s² tasks.
+    Normal cells get ``s = 1`` (single block, plan unchanged beyond
+    the count-aggregate that sizes the salt, itself a broadcast-
+    joined K-row table).
 
     Returns one row per input vector:
     ``(vec_id, cell, component, centroid_cos, keep)`` — ``keep`` is
@@ -619,6 +644,21 @@ def semantic_dedup(
     )
     if cache:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(scored)
+    # per-cell salt width: ONE count aggregate over the K-row cell
+    # space, broadcast back; s = 1 for every cell under the bound
+    cell_salt = scored.groupBy("cell").agg(
+        F.greatest(
+            F.least(
+                F.ceil(F.count(F.lit(1)) / F.lit(int(max_cell_rows))),
+                F.lit(int(max_salt)),
+            ),
+            F.lit(1),
+        )
+        .cast("int")
+        .alias("_s")
+    )
     l = scored.select(
         "cell",
         F.col("vec_id").alias("a"),
@@ -631,6 +671,33 @@ def semantic_dedup(
         F.col("e").alias("eb"),
         F.col("_nv").alias("_nb"),
     )
+    # block decomposition: deterministic own-group via xxhash64 (the
+    # pair SET is invariant to the salt assignment, so any per-run-
+    # stable hash keeps results exact); replicate across the other
+    # side's s groups so ordered pair (a,b) lands in exactly block
+    # (ga(a), gb(b)) — once.
+    l = (
+        l.join(F.broadcast(cell_salt), "cell")
+        .withColumn(
+            "_ga",
+            F.pmod(F.xxhash64(F.col("a")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_gb", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
+    )
+    r = (
+        r.join(F.broadcast(cell_salt), "cell")
+        .withColumn(
+            "_gb",
+            F.pmod(F.xxhash64(F.col("b")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_ga", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
+    )
     denom = F.col("_na") * F.col("_nb")
     pscore = F.round(
         F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
@@ -639,7 +706,7 @@ def semantic_dedup(
         9,
     )
     pairs = (
-        l.join(r, "cell")
+        l.join(r, ["cell", "_ga", "_gb"])
         .filter(F.col("a") < F.col("b"))
         .filter(pscore >= eps)
         .select("a", "b")

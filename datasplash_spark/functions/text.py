@@ -766,6 +766,16 @@ def filter_report(
 
     Reference anchor: no analog (datasplash filters drop silently);
     LLM-curation extension surface (BASELINE.json north_star)."""
+    if not filters:
+        # zero filters = trivially all-passed; F.array() with no
+        # elements is ARRAY<VOID> and breaks array_sort/array_compact
+        # with an opaque AnalysisException (ADVICE r4) — short-circuit
+        # with a typed empty array instead
+        return df.select(
+            _col(id_col).alias("doc_id"),
+            F.array().cast("array<string>").alias("failed"),
+            F.lit(1).alias("passed"),
+        )
     checks = [
         F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
         for name, cond in filters.items()
@@ -793,6 +803,14 @@ def filter_counts(
     # aliases and names appear only as literals, matching
     # filter_report's acceptance of arbitrary display names
     names = list(filters)
+    if not names:
+        # same ARRAY<VOID> trap as filter_report: explode of an
+        # untyped empty array fails analysis — return a zero-row
+        # frame with the contract schema instead
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "filter string, n_failed bigint, n_total bigint"
+        )
     aggs = [
         F.sum(
             F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)

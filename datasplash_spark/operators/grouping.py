@@ -801,7 +801,10 @@ def zorder_key(
     :func:`quantile_buckets`), broadcast as a single row; the rank is
     ``#cuts <= value`` (0 .. 2^bits−1), and the key interleaves rank
     bits round-robin (earlier ``cols`` take the more significant bit
-    of each round). No sort, no window, one scan.
+    of each round). No sort, no window, one scan. NULL cells rank 0
+    (NULLS FIRST), and an all-NULL column degrades to rank 0 for all
+    rows — ``zkey`` is never NULL, so downstream
+    ``repartitionByRange`` keeps its spread.
 
     Reference anchor: no analog (Beam has no storage layout);
     LLM-pipeline extension for 100 TB parquet curation.
@@ -824,10 +827,21 @@ def zorder_key(
     def _ge(e):
         return lambda cut: e >= cut  # closure factory: HOF arity = 1
 
+    # NULL contract (explicit, not incidental): a NULL cell ranks 0
+    # (NULLS FIRST — NULLs cluster with the minimum, the same corner
+    # range-partitioned sorts put them in), and an all-NULL column
+    # (percentile returns a NULL cut array) contributes rank 0 for
+    # every row instead of poisoning the whole key to NULL — without
+    # this, repartitionByRange on an all-NULL zkey funnels the entire
+    # dataset into ONE partition with no error (ADVICE r4).
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         e = _col(c).cast("double")
-        rank = F.size(F.filter(F.col(f"_zc{j}"), _ge(e))).cast("long")
+        rank = F.when(
+            e.isNull() | F.col(f"_zc{j}").isNull(), F.lit(0)
+        ).otherwise(
+            F.size(F.filter(F.col(f"_zc{j}"), _ge(e)))
+        ).cast("long")
         for b in range(bits):
             key = key + F.shiftleft(
                 F.shiftright(rank, b).bitwiseAND(F.lit(1).cast("long")),

@@ -42,6 +42,32 @@ from pyspark.sql import functions as F
 from .sinks import foreach_batch_sink
 
 
+def _store_has_data(spark, path: str) -> bool:
+    """Explicit store-existence probe via Hadoop ``FileSystem`` —
+    replaces classifying ``AnalysisException`` message text (ADVICE
+    r4: a genuine read failure whose message happened to contain
+    'does not exist' was silently treated as 'no store', skipping
+    the dedup probe and admitting duplicates). True iff ``path``
+    exists and holds at least one data file (recursive; Spark's
+    hidden-file convention: names starting with ``_`` or ``.`` —
+    ``_SUCCESS``, ``.part-…crc`` — are metadata, so a directory an
+    admit-nothing batch left behind counts as 'no store yet').
+    With this probe in place, ANY exception from the subsequent
+    read is a real failure and propagates, failing the batch so
+    Spark retries it."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def near_dedup_admitter(
     store_path: str,
     text: str = "text",
@@ -87,32 +113,18 @@ def near_dedup_admitter(
             kept = batch_df.join(survivor_ids, on=id_col, how="left_semi")
 
             # 2. admission vs the store — excluding this batch's own
-            # partition so replays are idempotent. ONLY a missing
-            # store path means "first batch"; any other read failure
-            # (transient FS error, corrupt footer) must FAIL the
-            # batch so Spark retries it — swallowing it would skip
-            # dedup for the batch and append duplicates permanently.
-            from pyspark.errors import AnalysisException
-
-            try:
+            # partition so replays are idempotent. Store existence is
+            # probed explicitly (FileSystem, not exception-message
+            # sniffing): once data exists, ANY read failure
+            # (transient FS error, corrupt footer) FAILS the batch
+            # so Spark retries it — swallowing it would skip dedup
+            # for the batch and append duplicates permanently.
+            if _store_has_data(spark, store_path):
                 store = spark.read.parquet(store_path).filter(
                     F.col("_batch_id") != int(batch_id)
                 )
                 has_store = bool(store.head(1))
-            except AnalysisException as e:
-                msg = str(e)
-                # missing path = first batch; a schema-less directory
-                # (only _SUCCESS — an earlier batch admitted nothing)
-                # is equally "no store yet"
-                if not any(
-                    m in msg
-                    for m in (
-                        "PATH_NOT_FOUND",
-                        "does not exist",
-                        "UNABLE_TO_INFER_SCHEMA",
-                    )
-                ):
-                    raise
+            else:
                 store = None
                 has_store = False
             if has_store:
@@ -221,7 +233,6 @@ def semantic_admitter(
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         from pyspark import StorageLevel
-        from pyspark.errors import AnalysisException
 
         # persist the raw batch: both the scored table below AND the
         # intra-batch semantic_dedup pass (whose internal plan
@@ -266,25 +277,15 @@ def semantic_admitter(
             kept = scored.join(kept_ids, on="vec_id", how="left_semi")
 
             # 2. store probe — excluding this batch's own partition
-            # (replay idempotence). Only a missing/empty store may be
-            # swallowed; other read failures must fail the batch so
-            # Spark retries it.
-            try:
+            # (replay idempotence). Existence is probed explicitly
+            # (FileSystem); once data exists, any read failure fails
+            # the batch so Spark retries it.
+            if _store_has_data(spark, store_path):
                 store = spark.read.parquet(store_path).filter(
                     F.col("_batch_id") != int(batch_id)
                 )
                 has_store = bool(store.head(1))
-            except AnalysisException as e:
-                msg = str(e)
-                if not any(
-                    m in msg
-                    for m in (
-                        "PATH_NOT_FOUND",
-                        "does not exist",
-                        "UNABLE_TO_INFER_SCHEMA",
-                    )
-                ):
-                    raise
+            else:
                 store = None
                 has_store = False
             if has_store:

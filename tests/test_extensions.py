@@ -1325,6 +1325,50 @@ def test_semantic_dedup_differential_random(spark):
         assert {r.vec_id for r in rows if r.keep} == exp_keep, f"trial {trial}"
 
 
+def test_semantic_dedup_mega_cell_salting_exact(spark):
+    """VERDICT r4 item 4: a planted mega-cell (duplicate-heavy slice
+    landing in ONE IVF cell) must go through the block-decomposed
+    self-join (s > 1 sub-groups) and still produce bit-identical
+    output to the unguarded join — the guard redistributes the
+    quadratic work, never changes the pair set."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # 120 near-identical vectors -> one cell; eps low enough that the
+    # pair graph inside the mega-cell is non-trivial (not one clique)
+    for i in range(120):
+        rows.append(
+            (
+                i,
+                [
+                    1.0 + rng.uniform(-0.3, 0.3),
+                    rng.uniform(-0.3, 0.3),
+                    rng.uniform(-0.1, 0.1),
+                ],
+            )
+        )
+    for i in range(120, 160):  # background spread
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(3)]))
+    df = generate_input(
+        spark, rows, "vec_id bigint, embedding array<double>"
+    )
+    cents = sim.ivf_centroids(df, 6)
+    unguarded = sorted(
+        sim.semantic_dedup(
+            df, eps=0.97, centroids=cents, max_cell_rows=1 << 30
+        ).collect()
+    )
+    # bound of 8 rows/block over a ~120-row cell -> s well above 1
+    guarded = sorted(
+        sim.semantic_dedup(
+            df, eps=0.97, centroids=cents, max_cell_rows=8, max_salt=16
+        ).collect()
+    )
+    assert guarded == unguarded
+    assert sum(r.keep for r in guarded) < len(rows)  # dedup happened
+
+
 def test_corpus_diff_statuses(spark):
     """corpus_diff labels added/removed/changed and emits nothing for
     unchanged documents."""
@@ -1397,6 +1441,31 @@ def test_filter_report_and_counts_fail_closed(spark):
         r.filter: r.n_failed for r in filter_counts(df, odd).collect()
     }
     assert counts_odd == {"len.min": 2, "_ft": 1}
+
+
+def test_filter_report_and_counts_empty_filters(spark):
+    """ADVICE r4: zero filters must be a trivially-all-passed report
+    (typed empty array, not the ARRAY<VOID> AnalysisException) and a
+    zero-row counts frame with the contract schema."""
+    from datasplash_spark.functions.text import filter_counts, filter_report
+
+    df = generate_input(
+        spark, [(1, "a"), (2, "b")], "doc_id bigint, text string"
+    )
+    rep = filter_report(df, {}).collect()
+    assert [(r.doc_id, r.failed, r.passed) for r in sorted(rep)] == [
+        (1, [], 1),
+        (2, [], 1),
+    ]
+    assert dict(filter_report(df, {}).dtypes)["failed"] == "array<string>"
+
+    counts = filter_counts(df, {})
+    assert counts.collect() == []
+    assert [f.name for f in counts.schema.fields] == [
+        "filter",
+        "n_failed",
+        "n_total",
+    ]
 
 
 def test_lsh_tune_matches_scurve_theory():

@@ -408,3 +408,34 @@ def test_zorder_key_matches_reference_interleave(spark):
         zorder_key(df, [], bits=4)
     with _pt.raises(ValueError):
         zorder_key(df, ["a", "b"], bits=40)
+
+
+def test_zorder_key_null_contract(spark):
+    """ADVICE r4: NULL cells rank 0 (NULLS FIRST, explicit not
+    incidental) and an all-NULL column degrades to rank 0 instead of
+    poisoning every zkey to NULL (which would funnel the whole
+    dataset into ONE range partition)."""
+    from datasplash_spark.operators import zorder_key
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [(1, None, 10), (2, 5, 20), (3, 9, None), (4, None, None)],
+        "id bigint, a bigint, b bigint",
+    )
+    got = {r.id: r.zkey for r in zorder_key(df, ["a", "b"], bits=2).collect()}
+    assert None not in got.values()
+    # NULL a clusters with the minimum a: rows 1 and 4 share a-rank 0
+    nn = {r.id: r.zkey for r in zorder_key(df, ["a"], bits=2).collect()}
+    assert nn[1] == nn[4] == 0
+    assert nn[2] < nn[3]  # non-NULLs still rank by value
+
+    # all-NULL column: zkey never NULL, other columns still spread
+    allnull = generate_input(
+        spark,
+        [(i, None, i * 7 % 40) for i in range(1, 9)],
+        "id bigint, a bigint, b bigint",
+    )
+    rows = zorder_key(allnull, ["a", "b"], bits=2).collect()
+    assert all(r.zkey is not None for r in rows)
+    assert len({r.zkey for r in rows}) > 1

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from datasplash_spark.objectmode import (
     CombineFn,
     PCollection,
@@ -274,6 +276,58 @@ def test_combine_by_bounded_flush(spark, monkeypatch):
     for k, v in items:
         expected[k] += v
     assert got == dict(expected)
+
+
+@pytest.mark.parametrize("n_distinct_off", [-1, 0, 1])
+def test_combine_by_cap_boundary_equals_uncapped(
+    spark, monkeypatch, n_distinct_off
+):
+    """VERDICT r4 item 6: the flush predicate changes the partial-agg
+    path exactly AT ``_PARTIAL_CACHE_CAP`` — pin cap−1 / cap / cap+1
+    distinct keys to output-equality with the uncapped path (each key
+    seen several times, interleaved, so a flush mid-stream splits
+    some key's accumulator across partial frames)."""
+    import datasplash_spark.objectmode as om
+
+    cap = 4
+    n_distinct = cap + n_distinct_off
+    items = [
+        (f"k{i % n_distinct}", i * (-1 if i % 3 else 1))
+        for i in range(10 * n_distinct)
+    ]
+    combiner = CombineFn.of(
+        {
+            "init": lambda: 0,
+            "reduce": lambda acc, kv: acc + kv[1],
+            "combine": lambda a, b: a + b,
+        }
+    )
+
+    def run() -> dict:
+        pc = PCollection.from_items(spark, items)
+        return dict(
+            pc.combine_by(lambda kv: kv[0], combiner).collect()
+        )
+
+    monkeypatch.setattr(om, "_PARTIAL_CACHE_CAP", cap)
+    capped = run()
+    monkeypatch.setattr(om, "_PARTIAL_CACHE_CAP", 1_000_000)
+    assert capped == run()
+
+
+def test_keybytes_cap_boundary_pure():
+    """_KeyBytes beyond its cap must keep returning the same bytes as
+    the direct path (new keys just stop being memoized) — straddle
+    the boundary with hypothesis-style exhaustive small cases."""
+    from datasplash_spark.objectmode import _KeyBytes, _key_bytes
+
+    for cap in (1, 2, 3):
+        for n_keys in (cap - 1, cap, cap + 1, cap + 5):
+            kb = _KeyBytes(cap)
+            keys = [("k", i) for i in range(max(n_keys, 0))] * 3
+            for k in keys:
+                assert kb(k) == _key_bytes(k)
+            assert len(kb.cache) <= cap
 
 
 # ------------------------------------------------- side outputs / timestamps

@@ -689,6 +689,69 @@ def test_semantic_admitter_empty_batch(spark, tmp_path):
     ) == [1]
 
 
+def test_semantic_admitter_out_of_order_replay(spark, tmp_path):
+    """VERDICT r4 item 7: Spark only guarantees at-least-once PER
+    batch id — after recovery an EARLIER batch can replay after a
+    later one already landed. Replaying batch 0 once batch 1 is in
+    the store must leave the store byte-identical: the store read
+    excludes only batch 0's own partition, so it sees batch 1's rows,
+    and the admission must still converge to the same survivors
+    (near-dup symmetry: batch 1 was admitted because it was far from
+    batch 0's survivors, so batch 0's survivors are equally far from
+    batch 1's rows)."""
+    from datasplash_spark.streaming import semantic_admitter
+
+    store = str(tmp_path / "estore4")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    admit = semantic_admitter(store, cents, eps=0.9)
+    b0 = generate_input(
+        spark,
+        [(1, [1.0, 0.02, 0.0]), (2, [1.0, 0.03, 0.0])],  # near-dups
+        "vec_id bigint, embedding array<double>",
+    )
+    b1 = generate_input(
+        spark,
+        [(10, [0.0, 1.0, 0.05]), (11, [1.0, 0.01, 0.0])],  # 11 ~ stored
+        "vec_id bigint, embedding array<double>",
+    )
+    admit(b0, 0)
+    admit(b1, 1)
+    before = sorted(
+        (r.vec_id, r._batch_id)
+        for r in spark.read.parquet(store).collect()
+    )
+    ids = [v for v, _ in before]
+    assert 10 in ids and 11 not in ids and len(ids) == 2
+
+    admit(b0, 0)  # out-of-order replay of the EARLIER batch
+    after = sorted(
+        (r.vec_id, r._batch_id)
+        for r in spark.read.parquet(store).collect()
+    )
+    assert after == before
+
+
+def test_store_has_data_probe(spark, tmp_path):
+    """ADVICE r4: store existence is an explicit FileSystem probe —
+    missing path and metadata-only directories (_SUCCESS from an
+    admit-nothing batch, .crc files) read as 'no store yet'; any
+    data file flips it."""
+    from datasplash_spark.streaming.neardup import _store_has_data
+
+    p = tmp_path / "probe_store"
+    assert not _store_has_data(spark, str(p))
+    p.mkdir()
+    assert not _store_has_data(spark, str(p))
+    (p / "_SUCCESS").write_text("")
+    (p / ".part-0.crc").write_text("x")
+    assert not _store_has_data(spark, str(p))
+    sub = p / "_batch_id=0"            # partition dir: name has '='
+    sub.mkdir()
+    assert not _store_has_data(spark, str(p))  # still no data FILE
+    (sub / "part-00000.parquet").write_text("stub")
+    assert _store_has_data(spark, str(p))
+
+
 def test_semantic_ingest_streaming_query(spark, tmp_path):
     """The semantic_ingest writeStream wrapper drains a file stream
     of vectors through the admitter (trigger=once): intra-batch
