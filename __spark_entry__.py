@@ -29,3 +29,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return Q.oracle_sql()
+
+
+def rows_only() -> dict[str, str]:
+    """Names in ``queries()`` that intentionally carry NO oracle
+    (RNG/sketch value-level non-determinism), mapped to the rationale
+    and the fully-oracled deterministic twin that proves the same
+    operator code path. The driver's ``err: no_oracle`` rows for
+    these are BY DESIGN, not missing coverage."""
+    return Q.rows_only()

@@ -113,6 +113,70 @@ def main() -> int:
     timings: dict[str, float] = {}
     failed: list[str] = []
     total = 0.0
+
+    # ANN store probes (bench-only entries, VERDICT r4 item 5): the
+    # materialize_ivf / materialize_lsh stores are plan-pinned for
+    # partition pruning at toy size; this times REAL probes against
+    # stores built from the bench corpus so a pruning regression
+    # shows up as a BENCH number, not just plan text. Store build is
+    # untimed (write-time cost, amortized across jobs — the stores'
+    # whole point); each timed number is 8 sequential single-query
+    # probes, the latency-sensitive serving shape.
+    try:
+        import shutil
+        import tempfile
+
+        from datasplash_spark.functions import similarity as _simb
+
+        _store_root = tempfile.mkdtemp(prefix="bench_ann_stores_")
+        _embb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        _qvecs = [
+            [float(x) for x in r.embedding]
+            for r in _embb.orderBy("vec_id").limit(8).collect()
+        ]
+        _ivf_path = os.path.join(_store_root, "ivf")
+        _lsh_path = os.path.join(_store_root, "lsh")
+        _simb.materialize_ivf(_embb, _ivf_path, n_cells=16)
+        _simb.materialize_lsh(_embb, _lsh_path, bits=6)
+
+        t0 = time.time()
+        rows = sum(
+            _simb.ivf_topk_from_store(
+                spark, _ivf_path, qv, k=10, nprobe=4
+            ).count()
+            for qv in _qvecs
+        )
+        dt = round(time.time() - t0, 3)
+        timings["bench_ivf_store_probe"] = dt
+        total += dt
+        print(
+            f"# bench_ivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
+            file=sys.stderr,
+        )
+
+        t0 = time.time()
+        rows = sum(
+            _simb.lsh_topk_from_store(
+                spark, _lsh_path, qv, k=10, bits=6, nprobe=4
+            ).count()
+            for qv in _qvecs
+        )
+        dt = round(time.time() - t0, 3)
+        timings["bench_lsh_store_probe"] = dt
+        total += dt
+        print(
+            f"# bench_lsh_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
+            file=sys.stderr,
+        )
+        shutil.rmtree(_store_root, ignore_errors=True)
+    except Exception as e:
+        timings["bench_ivf_store_probe"] = -1.0
+        timings["bench_lsh_store_probe"] = -1.0
+        failed.append("bench_ann_store_probe")
+        print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
+
     for name, fn in Q.queries().items():
         t0 = time.time()
         try:

@@ -3542,6 +3542,39 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 }
 
 
+#: Queries WITHOUT an oracle BY DESIGN (the driver records a weaker
+#: rows-only check for them and prints ``err: no_oracle`` every
+#: round): each is non-deterministic at the VALUE level (RNG / sketch
+#: internals), and each has a fully-oracled deterministic twin that
+#: proves the same operator code path. This marker exists so the
+#: rows-only status reads as intentional, not as a missing oracle.
+ROWS_ONLY: dict[str, str] = {
+    "sample_global": (
+        "Bernoulli RNG sample (operators/grouping.py sample) — row "
+        "membership is seed+partitioning dependent; deterministic "
+        "twin sample_global_det (md5-order, fully oracled) covers "
+        "the operator"
+    ),
+    "sample_per_key": (
+        "per-key RNG sample — same rationale; deterministic twin "
+        "sample_per_key_det (md5-order per key, fully oracled) "
+        "covers the operator"
+    ),
+    "approx_aggs": (
+        "HLL/KLL sketch outputs (approx_count_distinct, "
+        "approx_percentile) differ from DuckDB's sketches by "
+        "construction; exact twins (distinct counts in profile, "
+        "exact percentile in price_percentiles) are fully oracled"
+    ),
+}
+
+
+def rows_only() -> dict[str, str]:
+    """Explicit by-design marker for the no-oracle queries (see
+    :data:`ROWS_ONLY`)."""
+    return dict(ROWS_ONLY)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -544,3 +544,24 @@ def test_zorder_layout_is_range_partitioned(spark):
     assert "rangepartitioning(zkey" in plan.lower(), plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rows_only_marker_consistent():
+    """The by-design rows-only marker must name exactly the registry
+    entries that carry no oracle, and each rationale must point at a
+    fully-oracled deterministic twin (or exact-twin queries) that
+    exists in the registry."""
+    no_oracle = {
+        name for name, (_, sql) in Q.REGISTRY.items() if sql is None
+    }
+    assert set(Q.rows_only()) == no_oracle
+    oracled = set(Q.oracle_sql())
+    twins = {
+        "sample_global": ["sample_global_det"],
+        "sample_per_key": ["sample_per_key_det"],
+        "approx_aggs": ["profile", "price_percentiles"],
+    }
+    for name, reason in Q.rows_only().items():
+        for twin in twins[name]:
+            assert twin in oracled, (name, twin)
+            assert twin in reason, (name, twin)
