@@ -685,6 +685,156 @@ def filter_by_quantile(
     return df.crossJoin(F.broadcast(thr)).filter(cond).drop("_thr")
 
 
+def importance_resample(
+    df: DataFrame,
+    n: int,
+    weight: ColumnLike,
+    id_col: ColumnLike,
+    seed: int = 42,
+    keep_name: str | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling — the
+    SELECTION step of importance-resampling pipelines (DSIR et al.:
+    score the corpus, then admit documents with probability
+    proportional to weight). Row ``i`` is kept iff
+    ``u_i < n * w_i / Σw`` where ``u_i = md5(seed‖id)``-uniform —
+    expected sample size ``n`` (Bernoulli thinning, the scalable
+    standard; rows with ``n*w_i > Σw`` are always kept, shrinking the
+    expected total accordingly — use :func:`weighted_sample` for
+    exact-size draws).
+
+    Engine-exact determinism by construction: weights quantize to
+    nano fixed-point BIGINT (``Σw`` is an integer sum — order
+    independent), ``u_i`` is an exact 32-bit rational, and the only
+    float ops are single IEEE multiplies (correctly rounded, so
+    identical across Spark/DuckDB/any IEEE engine — no libm). One
+    aggregate for ``Σw`` (broadcast single row), then one scan; no
+    shuffle of the data itself. Negative/NULL weights are dropped
+    (weight 0 never admits).
+
+    ``keep_name=None`` filters; a string instead ADDS the 0/1 flag
+    (audit mode — every row kept, the curation-ledger companion).
+
+    Reference anchor: no analog (Beam samples uniformly only);
+    LLM-pipeline extension (BASELINE.json north_star).
+    """
+    if n <= 0:
+        raise ValueError("importance_resample: n must be positive")
+    w_nano = F.when(
+        _col(weight).isNotNull() & (_col(weight) > 0),
+        F.round(_col(weight).cast("double") * 1e9).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    tot = df.agg(F.sum(w_nano).alias("_wtot"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 32))
+    # u * Σw_nano < n * w_nano — both sides one exact-input IEEE
+    # multiply (n*w_nano is an exact BIGINT product while w stays
+    # under ~9e9; the comparison is then engine-exact)
+    keep = (
+        (u * F.col("_wtot").cast("double"))
+        < (F.lit(int(n)).cast("long") * w_nano).cast("double")
+    ).cast("int")
+    out = df.crossJoin(F.broadcast(tot))
+    if keep_name is None:
+        return out.filter(keep == 1).drop("_wtot")
+    return out.select("*", keep.alias(keep_name)).drop("_wtot")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: ColumnLike,
+    id_col: ColumnLike,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-size weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006): every row draws ``key = ln(u)/w`` with the
+    deterministic md5 uniform and the ``n`` LARGEST keys win —
+    equivalent to sequential draws proportional to weight. Physical
+    shape is ``TakeOrderedAndProject`` (per-partition top-n heap +
+    driver merge of n·#partitions candidates), the same no-total-sort
+    shape as :func:`sample` — never a global sort.
+
+    Cross-engine caveat (why the gated corpus query is
+    :func:`importance_resample`, not this): ``ln`` is libm — Spark
+    and another engine may disagree in the last ulp, which can swap
+    rows whose keys collide to ~1e-15. Within ONE engine the draw is
+    fully deterministic and reproducible (partitioning-independent).
+    Rows with NULL/non-positive weight never win. Ties break by id.
+    """
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be positive")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 32))
+    # guard u=0 (ln(0) = -inf is fine for ordering, but NULL weights
+    # must lose): key = ln(u)/w, larger is better; w <= 0 -> NULL key
+    # sorts last under asc_nulls_last on the DESCENDING order below
+    key = F.when(
+        _col(weight).isNotNull() & (_col(weight) > 0),
+        F.log(F.greatest(u, F.lit(2.0 ** -33))) / _col(weight).cast("double"),
+    )
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy(
+            F.col("_es_key").desc_nulls_last(), _col(id_col).asc()
+        )
+        .limit(int(n))
+        .drop("_es_key")
+    )
+
+
+def quantile_buckets_per_key(
+    df: DataFrame,
+    expr: ColumnLike,
+    n: int,
+    key: ColumnLike,
+    bucket_name: str = "qbucket",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-key :func:`quantile_buckets` — each key's rows bucket
+    against their OWN quantile cut points (the CCNet shape: per-
+    source/per-language perplexity head/middle/tail tiers, so one
+    source's score distribution never skews another's tiers).
+
+    One groupBy(key) aggregate computes each key's ``n-1`` cuts
+    (exact ``percentile`` for oracle parity, ``approx_percentile``
+    at scale), joined back BROADCAST (key cardinality ≪ rows — a
+    per-source cut table is sources-sized); the bucket is
+    ``1 + #cuts <= value`` per row. No window, no sort, no
+    single-partition ntile.
+    """
+    e = _col(expr)
+    probs = F.array(*[F.lit(i / n) for i in range(1, int(n))])
+    agg = (
+        F.approx_percentile(e, probs) if approx else F.percentile(e, probs)
+    )
+    cuts = df.groupBy(_col(key).alias("_qk")).agg(agg.alias("_cuts"))
+    bucket = (
+        F.size(
+            F.filter(F.col("_cuts"), lambda c: e.cast("double") >= c)
+        )
+        + 1
+    ).alias(bucket_name)
+    return (
+        df.join(F.broadcast(cuts), _col(key) == F.col("_qk"))
+        .select(*df.columns, bucket)
+    )
+
+
 def quantile_buckets(
     df: DataFrame,
     expr: ColumnLike,

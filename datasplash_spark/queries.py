@@ -966,6 +966,102 @@ FROM documents
 """
 
 
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli selection (the
+    DSIR resampling step's scalable form): admit documents with
+    p = n·w/Σw, weight = n_chars (length-proportional — the
+    token-budget-proportional curation draw). Engine-exact: nano
+    fixed-point Σw + single IEEE multiplies, no libm (see
+    operators/grouping.py importance_resample)."""
+    from .operators import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = importance_resample(docs, 200, "n_chars", "doc_id", seed=42)
+    return out.select("doc_id", "n_chars")
+
+
+ORACLE_IMPORTANCE_RESAMPLE = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+              THEN CAST(round(n_chars * 1e9) AS BIGINT)
+              ELSE 0 END AS w_nano,
+         CAST('0x' || substr(md5('42' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+), tot AS (SELECT sum(w_nano) AS wtot FROM w)
+SELECT doc_id, n_chars
+FROM w CROSS JOIN tot
+WHERE u * CAST(wtot AS DOUBLE) < CAST(200 * w_nano AS DOUBLE)
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tiers: per-SOURCE terciles of the
+    corpus-unigram pseudo-perplexity (each source's distribution sets
+    its own cuts — one source's register never skews another's
+    tiers). Composition: unigram_doc_scores (fixed-point nano-nats)
+    → quantile_buckets_per_key (per-key exact percentile cuts,
+    broadcast back) → tier label. Gate checks every doc's tier."""
+    from .operators import quantile_buckets_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = tx.unigram_doc_scores(docs).select(
+        "doc_id",
+        F.round(
+            -F.col("sum_logp_nano").cast("double")
+            / F.col("n_toks").cast("double")
+            / 1e9,
+            6,
+        ).alias("neg_logp"),
+    )
+    scored = docs.select("doc_id", "source").join(scores, "doc_id")
+    tiers = quantile_buckets_per_key(
+        scored, "neg_logp", 3, "source", bucket_name="tier_no"
+    )
+    tier = (
+        F.when(F.col("tier_no") == 1, "head")
+        .when(F.col("tier_no") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiers.select("doc_id", "source", tier.alias("tier"))
+
+
+ORACLE_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+), freqs AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (
+  SELECT sum(n) AS total FROM freqs
+), lm AS (
+  SELECT term,
+         CAST(round(ln(n * 1.0 / total) * 1e9) AS BIGINT) AS logp_nano
+  FROM freqs CROSS JOIN tot
+), per_doc AS (
+  SELECT toks.doc_id, count(*) AS n_toks, sum(lm.logp_nano) AS slp
+  FROM toks JOIN lm USING (term)
+  GROUP BY toks.doc_id
+), scored AS (
+  SELECT d.doc_id, d.source,
+         round(-p.slp * 1.0 / p.n_toks / 1e9, 6) AS neg_logp
+  FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+), cuts AS (
+  SELECT source,
+         percentile_cont(1.0/3) WITHIN GROUP (ORDER BY neg_logp) AS c1,
+         percentile_cont(2.0/3) WITHIN GROUP (ORDER BY neg_logp) AS c2
+  FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source,
+       CASE WHEN s.neg_logp < c.c1 THEN 'head'
+            WHEN s.neg_logp < c.c2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM scored s JOIN cuts c USING (source)
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based corpus mixing (multilingual-T5/XLM-R
     recipe): per-source token budgets ∝ (source tokens)^0.5,
@@ -3474,6 +3570,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # Both lead the round-6 rotation.
     "sample_per_key": (q_sample_per_key, None),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    # new in round 5 (gate_sim-proven; lead the round-6 rotation
+    # together with the two deferrals above):
+    "importance_resample": (
+        q_importance_resample,
+        ORACLE_IMPORTANCE_RESAMPLE,
+    ),
+    "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),

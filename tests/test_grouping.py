@@ -439,3 +439,109 @@ def test_zorder_key_null_contract(spark):
     rows = zorder_key(allnull, ["a", "b"], bits=2).collect()
     assert all(r.zkey is not None for r in rows)
     assert len({r.zkey for r in rows}) > 1
+
+
+def test_importance_resample_deterministic_proportional(spark):
+    """Bernoulli weight-proportional selection: reproducible across
+    invocations, weight-monotone in aggregate, zero/NULL/negative
+    weights never admitted, and certainty rows (n*w > sum(w)) always
+    admitted. Audit mode keeps every row with the 0/1 flag."""
+    from datasplash_spark.sources import generate_input
+
+    rows = [(i, float((i % 10) + 1)) for i in range(1, 401)]
+    rows += [(1001, None), (1002, 0.0), (1003, -5.0)]
+    df = generate_input(spark, rows, "id bigint, w double")
+
+    got1 = {r.id for r in ops.importance_resample(df, 60, "w", "id").collect()}
+    got2 = {r.id for r in ops.importance_resample(df, 60, "w", "id").collect()}
+    assert got1 == got2                      # deterministic
+    assert {1001, 1002, 1003}.isdisjoint(got1)
+    # aggregate weight-monotonicity: the high-weight half of the
+    # 1..10 weight classes must be admitted strictly more often
+    lo = sum(1 for i in got1 if (i % 10) + 1 <= 5)
+    hi = sum(1 for i in got1 if (i % 10) + 1 > 5)
+    assert hi > lo
+    # expected size ~n=60 (sd ~7; very loose band)
+    assert 30 <= len(got1) <= 95
+
+    audit = ops.importance_resample(df, 60, "w", "id", keep_name="kept")
+    assert audit.count() == len(rows)
+    assert {r.id for r in audit.filter("kept = 1").collect()} == got1
+
+    # certainty: a row with n*w > sum(w) is always admitted, and the
+    # remaining expectation shrinks accordingly (documented contract)
+    big = generate_input(
+        spark,
+        rows + [(2001, 10_000.0)],
+        "id bigint, w double",
+    )
+    got_big = {r.id for r in ops.importance_resample(big, 60, "w", "id").collect()}
+    assert 2001 in got_big
+    assert len(got_big) < len(got1)  # mass shifted to the heavy row
+
+
+def test_weighted_sample_matches_reference_es(spark):
+    """Efraimidis-Spirakis exact-size draw equals a pure-Python
+    replica using the same md5 uniform (key = ln(u)/w, top-n by key
+    desc, id tiebreak); non-positive/NULL weights never win."""
+    import hashlib
+    import math
+
+    from datasplash_spark.sources import generate_input
+
+    rows = [(i, float(((i * 7) % 13) + 1)) for i in range(1, 201)]
+    rows += [(900, 0.0), (901, -1.0), (902, None)]
+    df = generate_input(spark, rows, "id bigint, w double")
+    got = [r.id for r in ops.weighted_sample(df, 20, "w", "id", seed=9).collect()]
+    assert len(got) == 20
+
+    def u_of(i):
+        h = hashlib.md5(f"9{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+
+    keyed = []
+    for i, w in rows:
+        if w is None or w <= 0:
+            continue
+        keyed.append((math.log(max(u_of(i), 2.0 ** -33)) / w, i))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    assert sorted(got) == sorted(i for _, i in keyed[:20])
+
+
+def test_quantile_buckets_per_key_matches_numpy(spark):
+    """Per-key buckets equal numpy per-key percentile cuts; a single
+    key degenerates to the global quantile_buckets."""
+    import numpy as np
+
+    from datasplash_spark.sources import generate_input
+
+    rng = np.random.RandomState(4)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(rng.randint(0, 1000)))
+        for i in range(240)
+    ]
+    df = generate_input(spark, rows, "id bigint, k string, v double")
+    got = {
+        r.id: r.qbucket
+        for r in ops.quantile_buckets_per_key(df, "v", 4, "k").collect()
+    }
+    for key in ("a", "b", "c"):
+        vals = np.array([v for i, k, v in rows if k == key])
+        cuts = np.percentile(vals, [25.0, 50.0, 75.0])
+        for i, k, v in rows:
+            if k != key:
+                continue
+            assert got[i] == 1 + int(sum(v >= c for c in cuts)), (i, v)
+
+    one = generate_input(
+        spark, [(i, "x", float(i)) for i in range(50)],
+        "id bigint, k string, v double",
+    )
+    per_key = {
+        r.id: r.qbucket
+        for r in ops.quantile_buckets_per_key(one, "v", 3, "k").collect()
+    }
+    global_ = {
+        r.id: r.qbucket for r in ops.quantile_buckets(one, "v", 3).collect()
+    }
+    assert per_key == global_

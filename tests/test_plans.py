@@ -247,6 +247,9 @@ def test_no_python_udf_in_relational_corpus(spark):
         "repeated_ngrams",
         "remove_repeated_spans",
         "global_shuffle",
+        # round-5 additions
+        "importance_resample",
+        "ccnet_buckets",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
@@ -565,3 +568,38 @@ def test_rows_only_marker_consistent():
         for twin in twins[name]:
             assert twin in oracled, (name, twin)
             assert twin in reason, (name, twin)
+
+
+def test_weighted_sampling_plan_shapes(spark):
+    """Round-5 sampling ops keep their no-total-sort shapes:
+    weighted_sample is a TakeOrderedAndProject (per-partition heap,
+    never a global sort); importance_resample is one aggregate
+    broadcast back (no shuffle of the data rows); per-key quantile
+    buckets broadcast the per-key cut table and use no Window."""
+    from datasplash_spark.operators import (
+        importance_resample,
+        quantile_buckets_per_key,
+        weighted_sample,
+    )
+    from datasplash_spark.pipeline import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    plan = plan_of(weighted_sample(docs, 10, "n_chars", "doc_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+    plan = plan_of(importance_resample(docs, 50, "n_chars", "doc_id"), "simple")
+    # single-row total broadcast: nested-loop broadcast join, and the
+    # only shuffle Exchange is the Σw aggregate's own (SinglePartition)
+    assert "BroadcastNestedLoopJoin" in plan
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) <= 1, plan
+
+    plan = plan_of(quantile_buckets_per_key(docs, "n_chars", 3, "source"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
