@@ -316,6 +316,90 @@ def normalize_text(text: ColumnLike) -> Column:
     return F.trim(t)
 
 
+def bigram_pmi(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    min_count: int = 5,
+):
+    """Corpus-level collocation mining: pointwise mutual information
+    of ADJACENT token pairs, ``pmi = ln((c_ab/Nb) / ((c_a/N)·(c_b/N)))``
+    — the classic multi-word-expression / named-entity signal (high
+    PMI = the pair co-occurs far above chance: "san francisco", "et
+    al"). Returns ``(term_a, term_b, n_ab, pmi_nano)`` for pairs with
+    ``n_ab >= min_count``; ``pmi_nano`` is round(pmi·1e9) BIGINT (one
+    libm ``ln`` per surviving PAIR on exact-rational inputs — the
+    same fixed-point discipline as :func:`unigram_logprob_table`, so
+    the value is engine-stable).
+
+    Shape: the narrow ``(doc_id, tokens[])`` projection is persisted
+    and BOTH count passes read it (text tokenizes once — at 100 TB
+    the tokenize explode is the dominant cost); bigrams come from a
+    per-row ``zip_with`` of the array with its own shift (NO
+    self-join, no shuffle to form adjacency); unigram and bigram
+    counts are each one partial-agg shuffle; the two vocab-sized
+    unigram joins onto the (filtered, min_count-pruned) bigram table
+    are hash joins that AQE broadcasts when the vocab allows.
+
+    Reference anchor: no analog (Beam ships no text analytics);
+    LLM-pipeline extension surface (BASELINE.json north_star).
+    """
+    from pyspark import StorageLevel
+
+    toklists = (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.filter(tokens(text), lambda x: x != "").alias("l"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = (
+        toklists.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    bigrams = toklists.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                F.slice(F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+            )
+        ).alias("bg")
+    ).select("bg.ta", "bg.tb")
+    bg_counts = (
+        bigrams.groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_big"))
+    ua = uni.select(F.col("term").alias("ta"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("tb"), F.col("c").alias("cb"))
+    # the PMI argument is an explicit division chain mirrored verbatim
+    # in the oracle SQL — every step a correctly-rounded IEEE op, so
+    # the ratio is bit-identical cross-engine and the single ln +
+    # nano rounding is stable
+    ratio = (
+        F.col("n_ab").cast("double") / F.col("n_big").cast("double")
+    ) / (
+        (F.col("ca").cast("double") / F.col("n_tok").cast("double"))
+        * (F.col("cb").cast("double") / F.col("n_tok").cast("double"))
+    )
+    return (
+        bg_counts.join(ua, "ta")
+        .join(ub, "tb")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.col("ta").alias("term_a"),
+            F.col("tb").alias("term_b"),
+            "n_ab",
+            F.round(F.log(ratio) * 1e9).cast("long").alias("pmi_nano"),
+        )
+    )
+
+
 def unigram_logprob_table(df, text: ColumnLike = "text"):
     """Corpus unigram stats: ``(term, n, logp_nano)`` where
     ``logp_nano = round(ln(n / total) * 1e9)`` as BIGINT — fixed-point

@@ -996,6 +996,47 @@ WHERE u * CAST(wtot AS DOUBLE) < CAST(200 * w_nano AS DOUBLE)
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: PMI of adjacent token pairs with
+    count >= 5 (the multi-word-expression signal). One tokenize pass
+    (persisted narrow token arrays), zip-shift bigrams (no self-join),
+    fixed-point nano-nat PMI — engine-stable, full-table gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_pmi(docs, min_count=5)
+
+
+ORACLE_COLLOCATIONS = """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), uni AS (
+  SELECT t.term, count(*) AS c
+  FROM tl, unnest(l) AS t(term)
+  GROUP BY t.term
+), ntok AS (SELECT sum(c) AS n_tok FROM uni),
+bg AS (
+  SELECT u.big[1] AS ta, u.big[2] AS tb
+  FROM (SELECT list_zip(l[1:len(l)-1], l[2:len(l)]) AS bigs FROM tl),
+       unnest(bigs) AS u(big)
+), nbig AS (SELECT count(*) AS n_big FROM bg),
+bgc AS (
+  SELECT ta, tb, count(*) AS n_ab
+  FROM bg GROUP BY ta, tb HAVING count(*) >= 5
+)
+SELECT bgc.ta AS term_a, bgc.tb AS term_b, n_ab,
+       CAST(round(ln(
+         (CAST(n_ab AS DOUBLE) / CAST(n_big AS DOUBLE))
+         / ((CAST(ua.c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+            * (CAST(ub.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+       ) * 1e9) AS BIGINT) AS pmi_nano
+FROM bgc
+JOIN uni ua ON ua.term = bgc.ta
+JOIN uni ub ON ub.term = bgc.tb
+CROSS JOIN ntok CROSS JOIN nbig
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-SOURCE terciles of the
     corpus-unigram pseudo-perplexity (each source's distribution sets
@@ -3577,6 +3618,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_IMPORTANCE_RESAMPLE,
     ),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
+    "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),

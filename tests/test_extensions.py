@@ -1655,3 +1655,47 @@ def test_embedding_ops_empty_inputs(spark):
             nonempty.selectExpr("vec_id AS query_id", "embedding"),
             centroids=[],
         )
+
+
+def test_bigram_pmi_matches_reference(spark):
+    """bigram_pmi equals a pure-Python PMI computation on a tiny
+    corpus (same division chain + nano rounding); bigrams never span
+    documents; min_count prunes; empty-token filtering preserves
+    adjacency of the surviving tokens."""
+    import math
+    from collections import Counter
+
+    from datasplash_spark.functions.text import bigram_pmi
+
+    rows = [
+        (1, "new york is a big city"),
+        (2, "new york  and  new jersey"),   # double spaces -> empties
+        (3, "a big apple in new york"),
+        (4, "york new"),                     # reversed: separate pair
+        (5, "new york new york new york"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    got = {
+        (r.term_a, r.term_b): (r.n_ab, r.pmi_nano)
+        for r in bigram_pmi(df, min_count=2).collect()
+    }
+
+    toks = [t for _, s in rows for t in s.lower().split(" ") if t]
+    docs = [[t for t in s.lower().split(" ") if t] for _, s in rows]
+    uni = Counter(toks)
+    bgs = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            bgs[(a, b)] += 1
+    n_tok, n_big = sum(uni.values()), sum(bgs.values())
+    exp = {}
+    for (a, b), c in bgs.items():
+        if c < 2:
+            continue
+        ratio = (c / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok))
+        exp[(a, b)] = (c, round(math.log(ratio) * 1e9))
+    assert got == exp
+    assert ("new", "york") in got and got[("new", "york")][0] == 6
+    # cross-doc adjacency never counted: doc 4 ends with 'new', doc 5
+    # starts with 'new' — ('new','new') would need a doc boundary span
+    assert ("new", "new") not in bgs

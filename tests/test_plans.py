@@ -250,6 +250,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         # round-5 additions
         "importance_resample",
         "ccnet_buckets",
+        "collocations",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
