@@ -753,6 +753,7 @@ def weighted_sample(
     weight: ColumnLike,
     id_col: ColumnLike,
     seed: int = 42,
+    key: ColumnLike | None = None,
 ) -> DataFrame:
     """Exact-size weighted sample WITHOUT replacement (Efraimidis &
     Spirakis 2006): every row draws ``key = ln(u)/w`` with the
@@ -768,6 +769,11 @@ def weighted_sample(
     rows whose keys collide to ~1e-15. Within ONE engine the draw is
     fully deterministic and reproducible (partitioning-independent).
     Rows with NULL/non-positive weight never win. Ties break by id.
+
+    ``key=`` switches to a per-key draw (``n`` winners per key): a
+    rank-over-window in the same order — WindowGroupLimit-eligible,
+    so each partition drops beyond-``n`` rows before the per-key
+    merge (the :func:`quota_per_key` shape, weight-biased).
     """
     if n <= 0:
         raise ValueError("weighted_sample: n must be positive")
@@ -781,14 +787,24 @@ def weighted_sample(
         10,
     ).cast("long") / F.lit(float(1 << 32))
     # guard u=0 (ln(0) = -inf is fine for ordering, but NULL weights
-    # must lose): key = ln(u)/w, larger is better; w <= 0 -> NULL key
-    # sorts last under asc_nulls_last on the DESCENDING order below
-    key = F.when(
+    # must lose): es_key = ln(u)/w, larger is better; w <= 0 -> NULL
+    # key sorts last under desc_nulls_last below
+    es_key = F.when(
         _col(weight).isNotNull() & (_col(weight) > 0),
         F.log(F.greatest(u, F.lit(2.0 ** -33))) / _col(weight).cast("double"),
     )
+    if key is not None:
+        w = Window.partitionBy(_col(key)).orderBy(
+            F.col("_es_key").desc_nulls_last(), _col(id_col).asc()
+        )
+        return (
+            df.withColumn("_es_key", es_key)
+            .withColumn("_es_rn", F.row_number().over(w))
+            .filter(F.col("_es_rn") <= int(n))
+            .drop("_es_key", "_es_rn")
+        )
     return (
-        df.withColumn("_es_key", key)
+        df.withColumn("_es_key", es_key)
         .orderBy(
             F.col("_es_key").desc_nulls_last(), _col(id_col).asc()
         )

@@ -507,6 +507,27 @@ def test_weighted_sample_matches_reference_es(spark):
     keyed.sort(key=lambda t: (-t[0], t[1]))
     assert sorted(got) == sorted(i for _, i in keyed[:20])
 
+    # per-key scope: n winners per key, same order within each key
+    kdf = generate_input(
+        spark,
+        [(i, "ab"[i % 2], float(((i * 7) % 13) + 1)) for i in range(1, 101)],
+        "id bigint, k string, w double",
+    )
+    per = ops.weighted_sample(kdf, 5, "w", "id", seed=9, key="k")
+    by_k = {}
+    for r in per.collect():
+        by_k.setdefault(r.k, []).append(r.id)
+    assert all(len(v) == 5 for v in by_k.values()) and set(by_k) == {"a", "b"}
+    for kname, ids in by_k.items():
+        ranked = []
+        for i in range(1, 101):
+            if "ab"[i % 2] != kname:
+                continue
+            w = float(((i * 7) % 13) + 1)
+            ranked.append((math.log(max(u_of(i), 2.0 ** -33)) / w, i))
+        ranked.sort(key=lambda t: (-t[0], t[1]))
+        assert sorted(ids) == sorted(i for _, i in ranked[:5])
+
 
 def test_quantile_buckets_per_key_matches_numpy(spark):
     """Per-key buckets equal numpy per-key percentile cuts; a single
