@@ -138,13 +138,13 @@ def main() -> int:
         ]
         _ivf_path = os.path.join(_store_root, "ivf")
         _lsh_path = os.path.join(_store_root, "lsh")
-        _simb.materialize_ivf(_embb, _ivf_path, n_cells=16)
+        _cents = _simb.materialize_ivf(_embb, _ivf_path, n_cells=16)
         _simb.materialize_lsh(_embb, _lsh_path, bits=6)
 
         t0 = time.time()
         rows = sum(
             _simb.ivf_topk_from_store(
-                spark, _ivf_path, qv, k=10, nprobe=4
+                spark, _ivf_path, qv, k=10, nprobe=4, centroids=_cents
             ).count()
             for qv in _qvecs
         )

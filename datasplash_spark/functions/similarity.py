@@ -425,20 +425,27 @@ def ivf_topk_from_store(
     nprobe: int = 4,
     vec_col: ColumnLike = "embedding",
     id_col: ColumnLike = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Probe a :func:`materialize_ivf` store: rank cells against the
     query driver-side (centroids are model-sized JSON), then scan
     ONLY the ``nprobe`` matching partitions (``cell IN (...)`` is a
     partition filter — pinned by a plan test) and brute-force within
     them. Per-query cost is ``nprobe/n_cells`` of the corpus in both
-    IO and compute."""
+    IO and compute.
+
+    ``centroids=`` skips the sidecar read — the serving pattern: a
+    probe server loads the model-sized quantizer ONCE at startup
+    (``materialize_ivf``'s return value, or one sidecar read) instead
+    of paying a one-file Spark job per query."""
     import json
     import os
 
-    centroids = json.loads(
-        spark.read.text(os.path.join(path, "_ivf_centroids"))
-        .first()[0]
-    )
+    if centroids is None:
+        centroids = json.loads(
+            spark.read.text(os.path.join(path, "_ivf_centroids"))
+            .first()[0]
+        )
     probe = _rank_cells(centroids, query_vec, nprobe)
     store = _read_store(spark, path).filter(F.col("cell").isin(probe))
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
