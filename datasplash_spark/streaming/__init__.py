@@ -26,6 +26,8 @@ from .sinks import (
 from .neardup import (
     near_dedup_admitter,
     near_dedup_ingest,
+    quota_admitter,
+    quota_ingest,
     semantic_admitter,
     semantic_ingest,
 )
@@ -35,6 +37,8 @@ __all__ = [
     "dedup_stream",
     "near_dedup_admitter",
     "near_dedup_ingest",
+    "quota_admitter",
+    "quota_ingest",
     "semantic_admitter",
     "semantic_ingest",
     "foreach_batch_sink",

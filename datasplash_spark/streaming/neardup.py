@@ -356,3 +356,102 @@ def semantic_ingest(
         trigger=trigger,
         query_name=query_name,
     )
+
+
+def quota_admitter(
+    store_path: str,
+    key: str = "source",
+    max_rows_per_key: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Build the ``batch_fn`` for streaming per-key quota admission —
+    the cross-batch form of ``quota_per_key`` (web-corpus domain
+    caps): each micro-batch admits at most the key's REMAINING quota
+    (``max_rows_per_key`` minus rows already in the store), chosen in
+    deterministic md5(seed‖id) order within the batch.
+
+    Replay contract: Spark's micro-batch engine is strictly serial
+    (batch N+1 never starts before batch N commits), so on recovery
+    the replayed batch sees the exact store state of its first
+    attempt (its own ``_batch_id`` partition is excluded from the
+    count) and admits the identical rows — the per-batch dynamic
+    partition overwrite makes the append idempotent. NULL keys are a
+    quota key like any other (null-safe count join).
+
+    100 TB shape: the store side reduces to a key-cardinality count
+    table (one partial-agg over the key column only — document text
+    never reads); the batch-side ranking is one WindowGroupLimit-
+    eligible window per key.
+    """
+    from pyspark.sql import Window
+
+    if max_rows_per_key <= 0:
+        raise ValueError("quota_admitter: max_rows_per_key must be > 0")
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _store_has_data(spark, store_path):
+            used = (
+                spark.read.parquet(store_path)
+                .filter(F.col("_batch_id") != int(batch_id))
+                .groupBy(F.col(key).alias("_qk"))
+                .agg(F.count(F.lit(1)).alias("_used"))
+            )
+        else:
+            used = None
+        order = F.md5(
+            F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy(key).orderBy(order.asc())
+        ranked = batch_df.withColumn("_rn", F.row_number().over(w))
+        if used is not None:
+            ranked = ranked.join(
+                F.broadcast(used),
+                ranked[key].eqNullSafe(F.col("_qk")),
+                "left",
+            ).drop("_qk")
+        else:
+            ranked = ranked.withColumn("_used", F.lit(None).cast("long"))
+        admitted = ranked.filter(
+            F.col("_rn")
+            <= F.lit(int(max_rows_per_key)) - F.coalesce("_used", F.lit(0))
+        ).drop("_rn", "_used")
+        (
+            admitted.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(store_path)
+        )
+
+    return admit
+
+
+def quota_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key: str = "source",
+    max_rows_per_key: int = 1000,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    trigger: str | dict | None = None,
+    query_name: str | None = None,
+):
+    """Start the streaming quota-admission query: every micro-batch
+    admits up to each key's remaining quota and appends to the store.
+    Readers scan ``store_path`` and drop ``_batch_id``."""
+    return foreach_batch_sink(
+        stream_df,
+        quota_admitter(
+            store_path,
+            key=key,
+            max_rows_per_key=max_rows_per_key,
+            id_col=id_col,
+            seed=seed,
+        ),
+        checkpoint_dir,
+        trigger=trigger,
+        query_name=query_name,
+    )

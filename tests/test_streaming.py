@@ -779,3 +779,80 @@ def test_semantic_ingest_streaming_query(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.vec_id for r in spark.read.parquet(store).collect())
     assert 3 in ids and len(ids) == 2      # 1/2 collapsed to one
+
+
+def test_quota_admitter_cross_batch_caps(spark, tmp_path):
+    """Streaming per-key quota: batch 0 fills part of a key's quota,
+    batch 1 admits only the REMAINDER (in md5 order), an unseen key
+    gets a fresh quota, and an in-order replay of batch 1 leaves the
+    store byte-identical. NULL keys are a quota key too."""
+    from datasplash_spark.streaming import quota_admitter
+
+    store = str(tmp_path / "qstore")
+    admit = quota_admitter(store, key="src", max_rows_per_key=3, id_col="id")
+
+    b0 = generate_input(
+        spark,
+        [(1, "a"), (2, "a"), (100, None)],
+        "id bigint, src string",
+    )
+    admit(b0, 0)
+    ids0 = sorted(r.id for r in spark.read.parquet(store).collect())
+    assert ids0 == [1, 2, 100]              # under quota: all admitted
+
+    b1 = generate_input(
+        spark,
+        [(3, "a"), (4, "a"), (5, "a"), (6, "b"), (101, None)],
+        "id bigint, src string",
+    )
+    admit(b1, 1)
+    rows = spark.read.parquet(store).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.id)
+    assert len(by_src["a"]) == 3            # 2 from b0 + exactly 1 more
+    assert set(by_src["a"]) >= {1, 2}
+    assert sorted(by_src["b"]) == [6]       # fresh key, fresh quota
+    assert sorted(by_src[None]) == [100, 101]  # NULL key counted too
+
+    # md5-order determinism: the one admitted 'a' of batch 1 is the
+    # md5(seed||id)-smallest of {3,4,5}
+    import hashlib
+
+    expected = min(
+        (hashlib.md5(f"42{i}".encode()).hexdigest(), i) for i in (3, 4, 5)
+    )[1]
+    assert set(by_src["a"]) == {1, 2, expected}
+
+    before = sorted((r.id, r._batch_id) for r in rows)
+    admit(b1, 1)                            # in-order replay
+    after = sorted(
+        (r.id, r._batch_id) for r in spark.read.parquet(store).collect()
+    )
+    assert after == before
+
+
+def test_quota_ingest_streaming_query(spark, tmp_path):
+    """The quota_ingest writeStream wrapper drains a file stream
+    (trigger=once) applying the per-key cap."""
+    from datasplash_spark.streaming import quota_ingest
+
+    src = str(tmp_path / "qsrc")
+    store = str(tmp_path / "qstore2")
+    ckpt = str(tmp_path / "qckpt")
+    generate_input(
+        spark,
+        [(i, "a" if i < 8 else "b") for i in range(10)],
+        "id bigint, src string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id bigint, src string").parquet(src)
+    q = quota_ingest(
+        stream, store, ckpt, key="src", max_rows_per_key=4, id_col="id",
+        trigger="once",
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(store).collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r.src] = counts.get(r.src, 0) + 1
+    assert counts == {"a": 4, "b": 2}
