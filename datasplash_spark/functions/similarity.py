@@ -742,6 +742,126 @@ def semantic_dedup(
     )
 
 
+def contrastive_pairs(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    centroids: list[list[float]] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Contrastive training-pair mining over an embedding corpus:
+    for every vector, its HARDEST in-cell positive (the nearest
+    same-cell neighbor by 9-dp cosine — ties to the lowest id;
+    singleton cells yield NULL) and a deterministic cross-cell
+    NEGATIVE (the corpus row with the smallest ``md5(seed‖id)`` among
+    rows of OTHER cells — shared per cell, the in-batch-negative
+    idiom). The (anchor, positive, negative) triples are the data
+    shape contrastive embedding training consumes (SimCLR/DPR-style).
+
+    Shape: cell assignment is one codegen'd fold per row; positives
+    come from ONE shuffle on ``cell`` (intra-cell quadratic — the
+    SemDeDup cost model; size ``n_cells`` so |cell| stays
+    join-friendly) followed by a per-anchor WindowGroupLimit top-1;
+    negatives are TWO tiny aggregates (global min-by, then min-by
+    over cells differing from the first winner) broadcast back — no
+    corpus-scale randomness join.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    derived = centroids is None
+    if derived:
+        centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    if not centroids:
+        if not derived:
+            raise ValueError(
+                "contrastive_pairs: explicit centroids list is empty"
+            )
+        return df.limit(0).select(
+            _col(id_col).alias("vec_id"),
+            F.lit(0).alias("cell"),
+            _col(id_col).alias("pos_id"),
+            F.lit(0.0).alias("pos_cos"),
+            _col(id_col).alias("neg_id"),
+        )
+    base = df.select(
+        _col(id_col).alias("vec_id"), _col(vec_col).alias("e")
+    ).withColumn("_nv", norm(F.col("e")))
+    assigned = base.withColumn(
+        "_a", ivf_assign(F.col("e"), centroids, norm_col=F.col("_nv"))
+    ).select(
+        "vec_id", "e", "_nv", F.col("_a").getField("cid").alias("cell")
+    )
+    l = assigned.select(
+        "cell",
+        F.col("vec_id").alias("anchor"),
+        F.col("e").alias("ea"),
+        F.col("_nv").alias("_na"),
+    )
+    r = assigned.select(
+        "cell",
+        F.col("vec_id").alias("cand"),
+        F.col("e").alias("eb"),
+        F.col("_nv").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    pcos = F.round(
+        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        9,
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("_pc").desc(), F.col("cand").asc()
+    )
+    pos = (
+        l.join(r, "cell")
+        .filter(F.col("anchor") != F.col("cand"))
+        .select("anchor", "cand", pcos.alias("_pc"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("anchor").alias("vec_id"),
+            F.col("cand").alias("pos_id"),
+            F.round(F.col("_pc"), 6).alias("pos_cos"),
+        )
+    )
+    # deterministic cross-cell negatives: winner #1 = global
+    # min-md5 row; winner #2 = min-md5 row among cells other than
+    # #1's. A cell's negative is #1 unless the anchor shares #1's
+    # cell, then #2. Two keys-agnostic single-row aggregates.
+    hkey = F.md5(
+        F.concat(F.lit(str(seed)), F.col("vec_id").cast("string"))
+    )
+    m1 = assigned.agg(
+        F.min_by(F.struct("vec_id", "cell"), hkey).alias("m1")
+    ).select(
+        F.col("m1.vec_id").alias("_n1"), F.col("m1.cell").alias("_c1")
+    )
+    m2 = (
+        assigned.crossJoin(F.broadcast(m1))
+        .filter(F.col("cell") != F.col("_c1"))
+        .agg(F.min_by(F.col("vec_id"), hkey).alias("_n2"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(pos, "vec_id", "left")
+        .crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            "cell",
+            "pos_id",
+            "pos_cos",
+            F.when(F.col("cell") != F.col("_c1"), F.col("_n1"))
+            .otherwise(F.col("_n2"))
+            .alias("neg_id"),
+        )
+    )
+
+
 def ivf_knn_join(
     corpus: DataFrame,
     queries: DataFrame,

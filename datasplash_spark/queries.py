@@ -1037,6 +1037,18 @@ CROSS JOIN ntok CROSS JOIN nbig
 """
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (anchor, hardest in-cell positive, deterministic
+    cross-cell negative) triples over the embeddings corpus — the
+    training-pair mining shape for embedding models. Cell fold + one
+    cell shuffle + per-anchor WindowGroupLimit; negatives are two
+    single-row aggregates broadcast back."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.contrastive_pairs(emb, n_cells=16, seed=7)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-SOURCE terciles of the
     corpus-unigram pseudo-perplexity (each source's distribution sets
@@ -2155,6 +2167,50 @@ _IVF_COS = (
     " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     " ELSE 0 END, 9)"
 )
+
+ORACLE_CONTRASTIVE_PAIRS = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), assign AS (
+  SELECT vec_id, e, cell,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {_IVF_COS.format(a="e", b="cvec")} DESC, cell ASC
+         ) AS rn
+  FROM vecs, cent
+), a1 AS (
+  SELECT vec_id, e, cell FROM assign WHERE rn = 1
+), pos AS (
+  SELECT anchor, cand, pc FROM (
+    SELECT l.vec_id AS anchor, r.vec_id AS cand,
+           {_IVF_COS.format(a="l.e", b="r.e")} AS pc,
+           row_number() OVER (
+             PARTITION BY l.vec_id
+             ORDER BY {_IVF_COS.format(a="l.e", b="r.e")} DESC, r.vec_id ASC
+           ) AS rn
+    FROM a1 l JOIN a1 r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+  ) WHERE rn = 1
+), nk AS (
+  SELECT vec_id, cell, md5('7' || CAST(vec_id AS VARCHAR)) AS h FROM a1
+), m1 AS (
+  SELECT vec_id AS n1, cell AS c1 FROM nk ORDER BY h, vec_id LIMIT 1
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, p.cand AS pos_id,
+       round(p.pc, 6) AS pos_cos,
+       CASE WHEN a.cell <> m1.c1 THEN m1.n1
+            ELSE (SELECT nk.vec_id FROM nk, m1 WHERE nk.cell <> m1.c1
+                  ORDER BY nk.h, nk.vec_id LIMIT 1)
+       END AS neg_id
+FROM a1 a LEFT JOIN pos p ON p.anchor = a.vec_id
+CROSS JOIN m1
+"""
+
 
 ORACLE_SIMILARITY_IVF = f"""
 WITH cent AS (
@@ -3619,6 +3675,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
+    "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),

@@ -1699,3 +1699,43 @@ def test_bigram_pmi_matches_reference(spark):
     # cross-doc adjacency never counted: doc 4 ends with 'new', doc 5
     # starts with 'new' — ('new','new') would need a doc boundary span
     assert ("new", "new") not in bgs
+
+
+def test_contrastive_pairs_semantics(spark):
+    """contrastive_pairs: hardest in-cell positive (max cosine, tie
+    to lowest id), NULL positive for singleton cells, and the
+    deterministic cross-cell negative — m1 for cells other than m1's
+    own, m2 (min-md5 of OTHER cells) for m1's cell."""
+    import hashlib
+
+    # two well-separated cells: x-axis cluster + y-axis cluster, and
+    # one singleton z-axis vector as its own cell
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.05, 0.0]),
+        (3, [1.0, 0.4, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 1.0, 0.05]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    rows = {
+        r.vec_id: r
+        for r in sim.contrastive_pairs(df, centroids=cents, seed=7).collect()
+    }
+    assert rows[1].pos_id == 2 and rows[2].pos_id == 1  # nearest pair
+    assert rows[3].pos_id == 2                          # 2 closer than 1? check below
+    assert rows[10].pos_id == 11 and rows[11].pos_id == 10
+    assert rows[20].pos_id is None and rows[20].pos_cos is None
+
+    # negative: m1 = min md5('7'||id) overall; anchors in m1's cell
+    # get m2 = min md5 among OTHER cells
+    h = lambda i: hashlib.md5(f"7{i}".encode()).hexdigest()
+    m1 = min((h(i), i) for i, _ in vecs)[1]
+    cell_of = {1: 0, 2: 0, 3: 0, 10: 1, 11: 1, 20: 2}
+    m2 = min((h(i), i) for i, _ in vecs if cell_of[i] != cell_of[m1])[1]
+    for i, _ in vecs:
+        expected = m1 if cell_of[i] != cell_of[m1] else m2
+        assert rows[i].neg_id == expected, (i, rows[i].neg_id, m1, m2)
+        assert cell_of[rows[i].neg_id] != cell_of[i]    # always cross-cell

@@ -251,6 +251,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "importance_resample",
         "ccnet_buckets",
         "collocations",
+        "contrastive_pairs",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
