@@ -79,3 +79,37 @@ def funnel_counts(
             for i in range(len(stages))
         ]
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user: ColumnLike = "user_id",
+    ts: ColumnLike = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    period (the cohort), counted in every period they return —
+    ``(cohort, period, n_users)`` with periods as epoch seconds of
+    the period start (tz-neutral across engines).
+
+    Shape for 100 TB event streams: the raw stream first reduces to
+    DISTINCT (user, period) — one partial-agg shuffle on the user key
+    that collapses per-user event volume to at most #periods rows —
+    then the per-user cohort is a min over that reduced table (window
+    on the same user-hash partitioning: no second Exchange), and the
+    matrix is one count-distinct-free aggregate on (cohort, period)
+    of already-distinct rows. Raw events shuffle once.
+    """
+    p = F.unix_timestamp(F.date_trunc(period, _col(ts))).alias("period")
+    up = (
+        df.select(_col(user).alias("user_id"), p)
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    labeled = up.withColumn("cohort", F.min("period").over(w))
+    return (
+        labeled.groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1036,3 +1036,48 @@ def zorder_layout(
     return keyed.repartitionByRange(
         int(num_partitions), "zkey"
     ).sortWithinPartitions("zkey")
+
+
+def skew_report(
+    df: DataFrame,
+    key: ColumnLike,
+    top_n: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the ``top_n`` heaviest keys
+    with row count, corpus fraction, and the salt factor that would
+    split each onto ``target_rows_per_task``-row tasks — the
+    pre-flight check before any big keyed join (feeds
+    :func:`~.joins.salted_join`'s ``salt_buckets`` and the AQE
+    skew-join threshold choice).
+
+    ONE partial-agg shuffle on the key + a single-row total broadcast
+    + TakeOrdered top-n (per-partition heap, no global sort). NULL
+    keys are reported like any other key (they hash-partition
+    together and skew exactly the same way).
+
+    Returns ``(key, n, frac, salt)`` — ``frac`` rounded to 9 dp,
+    ``salt = max(1, ceil(n / target))``.
+    """
+    counts = df.groupBy(_col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 9
+            ).alias("frac"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(
+                    F.col("n") / F.lit(int(target_rows_per_task))
+                ).cast("long"),
+            ).alias("salt"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
+        .limit(int(top_n))
+    )

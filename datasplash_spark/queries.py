@@ -1049,6 +1049,55 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.contrastive_pairs(emb, n_cells=16, seed=7)
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on the events stream: heaviest event
+    types with row count, corpus fraction, and the salt factor that
+    would split each onto 1500-row tasks. One partial-agg shuffle +
+    single-row total broadcast + TakeOrdered."""
+    from .operators import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "event_type", top_n=10, target_rows_per_task=1500)
+
+
+ORACLE_SKEW_REPORT = """
+WITH c AS (
+  SELECT event_type AS key, count(*) AS n FROM events GROUP BY 1
+), t AS (SELECT sum(n) AS tot FROM c)
+SELECT key, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS frac,
+       greatest(CAST(1 AS BIGINT), CAST(ceil(n / 1500.0) AS BIGINT)) AS salt
+FROM c CROSS JOIN t
+ORDER BY n DESC, key ASC
+LIMIT 10
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events stream: users
+    bucketed by first-activity week, counted in every week they
+    return. Raw events shuffle once (distinct user-week reduction);
+    cohort is a window min on the same partitioning."""
+    from .functions.events import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+ORACLE_COHORT_RETENTION = """
+WITH up AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS period
+  FROM events
+), lab AS (
+  SELECT user_id, period,
+         min(period) OVER (PARTITION BY user_id) AS cohort
+  FROM up
+)
+SELECT cohort, period, count(*) AS n_users FROM lab GROUP BY 1, 2
+"""
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail tiers: per-SOURCE terciles of the
     corpus-unigram pseudo-perplexity (each source's distribution sets
@@ -3676,6 +3725,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
+    "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
     # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),

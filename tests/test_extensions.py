@@ -1739,3 +1739,41 @@ def test_contrastive_pairs_semantics(spark):
         expected = m1 if cell_of[i] != cell_of[m1] else m2
         assert rows[i].neg_id == expected, (i, rows[i].neg_id, m1, m2)
         assert cell_of[rows[i].neg_id] != cell_of[i]    # always cross-cell
+
+
+def test_cohort_retention_matrix(spark):
+    """cohort_retention: cohort = first activity week; per-user
+    multiple events in one week count once; returning users appear in
+    later periods under their original cohort."""
+    from datasplash_spark.functions.events import cohort_retention
+
+    # week starts (Mondays): 2024-01-01, 2024-01-08, 2024-01-15
+    rows = [
+        (1, "2024-01-02 10:00:00"),  # u1 cohort w1
+        (1, "2024-01-03 11:00:00"),  # same week, counts once
+        (1, "2024-01-09 10:00:00"),  # returns w2
+        (2, "2024-01-02 09:00:00"),  # u2 cohort w1, never returns
+        (3, "2024-01-10 09:00:00"),  # u3 cohort w2
+        (3, "2024-01-16 09:00:00"),  # returns w3
+    ]
+    df = generate_input(
+        spark, rows, "user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.cohort, r.period): r.n_users
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    import datetime as _dt
+
+    def wk(day):
+        return int(
+            _dt.datetime(2024, 1, day, tzinfo=_dt.timezone.utc).timestamp()
+        )
+
+    w1, w2, w3 = wk(1), wk(8), wk(15)
+    assert got == {
+        (w1, w1): 2,   # u1, u2 start
+        (w1, w2): 1,   # u1 returns
+        (w2, w2): 1,   # u3 starts
+        (w2, w3): 1,   # u3 returns
+    }

@@ -566,3 +566,23 @@ def test_quantile_buckets_per_key_matches_numpy(spark):
         r.id: r.qbucket for r in ops.quantile_buckets(one, "v", 3).collect()
     }
     assert per_key == global_
+
+
+def test_skew_report_counts_and_salt(spark):
+    """skew_report: ordered by count desc, NULL keys reported, frac
+    sums to <=1 over top_n, salt = ceil(n/target) with floor 1."""
+    from datasplash_spark.sources import generate_input
+
+    rows = (
+        [("hot",)] * 50 + [("warm",)] * 10 + [("cold",)] * 2 + [(None,)] * 5
+    )
+    df = generate_input(
+        spark, [(i, k) for i, (k,) in enumerate(rows)], "id bigint, k string"
+    )
+    got = ops.skew_report(df, "k", top_n=3, target_rows_per_task=20).collect()
+    assert [(r.key, r.n, r.salt) for r in got] == [
+        ("hot", 50, 3),
+        ("warm", 10, 1),
+        (None, 5, 1),
+    ]
+    assert abs(got[0].frac - 50 / 67) < 1e-9

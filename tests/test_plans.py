@@ -252,6 +252,8 @@ def test_no_python_udf_in_relational_corpus(spark):
         "ccnet_buckets",
         "collocations",
         "contrastive_pairs",
+        "skew_report",
+        "cohort_retention",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
