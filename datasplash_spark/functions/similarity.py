@@ -534,6 +534,45 @@ def lsh_topk_from_store(
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
 
 
+def _arrow_cell_pairs(eps: float, block: int = 2048):
+    """Per-cell cosine-pair kernel for ``semantic_dedup``'s Arrow
+    backend: one blocked BLAS gemm per cell instead of ~|cell|²/2
+    interpreted higher-order-function folds. Memory is bounded at
+    ``block × |cell|`` scores per step; only thresholded (a < b)
+    pairs materialize."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nv = pdf["_nv"].to_numpy().astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        Xn = np.divide(
+            X, nv[:, None], out=np.zeros_like(X), where=nv[:, None] > 0
+        )
+        out_a: list = []
+        out_b: list = []
+        for s0 in range(0, m, block):
+            S = np.round(Xn[s0 : s0 + block] @ Xn.T, 9)
+            ii, jj = np.nonzero(S >= eps)
+            gi = ii + s0
+            mask = ids[gi] < ids[jj]
+            out_a.append(ids[gi][mask])
+            out_b.append(ids[jj][mask])
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a) if out_a else [],
+                "b": np.concatenate(out_b) if out_b else [],
+            }
+        )
+
+    return f
+
+
 def semantic_dedup(
     df: DataFrame,
     n_cells: int = 16,
@@ -545,6 +584,7 @@ def semantic_dedup(
     max_cell_rows: int = 1 << 16,
     max_salt: int = 64,
     cache_registry: list | None = None,
+    pair_backend: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate marking driven by a coarse k-means/IVF partition of
@@ -599,6 +639,23 @@ def semantic_dedup(
     the count-aggregate that sizes the salt, itself a broadcast-
     joined K-row table).
 
+    ``pair_backend`` picks the intra-cell scoring engine:
+
+    - ``"expr"`` (default): the pure-Column dot-product fold —
+      JVM-side, byte-stable left-to-right sums, the oracle-gated
+      path; pairs spread over the s² salt blocks for mega-cells.
+    - ``"arrow"``: per-cell blocked BLAS gemm via ``applyInPandas``
+      (measured ~10-100× faster on the pair stage at |cell| ≳ 10³ —
+      the 100 TB scale path; the fold evaluates higher-order
+      functions interpreted, one lambda step per vector element per
+      pair). Caveats: BLAS sums floats in a different order than the
+      fold (scores within ~1e-12; a pair whose TRUE cosine sits
+      within float-sum error of ``eps`` can differ between
+      backends — threshold margins in practice dwarf this), and a
+      cell is ONE Arrow task (the salt guard does not subdivide it;
+      size ``n_cells`` so cells fit a task — the same rule as the
+      paper's K).
+
     Returns one row per input vector:
     ``(vec_id, cell, component, centroid_cos, keep)`` — ``keep`` is
     1 for the group survivor (singletons keep themselves),
@@ -649,10 +706,23 @@ def semantic_dedup(
         F.col("_a").getField("cid").alias("cell"),
         F.col("_a").getField("score").alias("_ccos"),
     )
+    if pair_backend not in ("expr", "arrow"):
+        raise ValueError(
+            f"semantic_dedup: unknown pair_backend {pair_backend!r}"
+        )
     if cache:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_registry is not None:
             cache_registry.append(scored)
+    if pair_backend == "arrow":
+        sc = df.sparkSession.sparkContext
+        pairs = (
+            scored.select("cell", "vec_id", "e", "_nv")
+            .repartition(sc.defaultParallelism, "cell")
+            .groupBy("cell")
+            .applyInPandas(_arrow_cell_pairs(eps), "a long, b long")
+        )
+        return _semantic_label(scored, pairs)
     # per-cell salt width: ONE count aggregate over the K-row cell
     # space, broadcast back; s = 1 for every cell under the bound
     cell_salt = scored.groupBy("cell").agg(
@@ -718,6 +788,18 @@ def semantic_dedup(
         .filter(pscore >= eps)
         .select("a", "b")
     )
+    return _semantic_label(scored, pairs)
+
+
+def _semantic_label(scored: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared tail of :func:`semantic_dedup`: connected components
+    over the thresholded pairs, min-id group labels, and the
+    keep-the-outlier survivor rank — identical for both pair
+    backends."""
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
     comps = connected_components(pairs, "a", "b")
     labeled = (
         scored.join(comps, scored["vec_id"] == comps["node"], "left")

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: replicate the sf0.1 corpus k× (near-dup
+replicas — each copy's text gets a replica-tag token appended, ids
+offset) and time the heavy operators at 1x/2x/5x/10x to MEASURE the
+scaling curve SCALING.md asserts. Near-linear growth = the
+bucketed/banded designs hold; super-linear growth exposes a
+quadratic leak.
+
+The replicated corpora live under /tmp (testdata is read-only) and
+are deliberately duplicate-HEAVY: every document gains k-1 near-dup
+siblings, so dedup operators face growing cluster sizes — the
+adversarial direction for LSH/CC/SemDeDup — while unique-corpus ops
+(ngram counts, spans) see plain volume growth.
+
+Usage: python scripts/scale_probe.py [k ...]   (default 1 2 5 10)
+Prints one line per (k, op): rows, seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datasplash_spark.pipeline import PipelineOptions, make_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+
+
+def build_corpus(spark, k: int) -> tuple[str, str]:
+    docs_path = f"{WORK}/docs_x{k}.parquet"
+    emb_path = f"{WORK}/emb_x{k}.parquet"
+    if not os.path.exists(docs_path):
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        n = docs.agg(F.max("doc_id")).first()[0] + 1
+        reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                (
+                    F.col("text")
+                    if i == 0
+                    else F.concat(F.col("text"), F.lit(f" replica{i}"))
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(k)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(emb_path):
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        m = emb.agg(F.max("vec_id")).first()[0] + 1
+        reps = [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * m)).alias("vec_id"),
+                (
+                    F.col("embedding")
+                    if i == 0
+                    else F.transform(
+                        "embedding",
+                        lambda x, i=i: x + F.lit(0.001 * i),
+                    )
+                ).alias("embedding"),
+                "label",
+            )
+            for i in range(k)
+        ]
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(emb_path)
+    return docs_path, emb_path
+
+
+def probe(spark, k: int) -> None:
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.functions import similarity as sim
+    from datasplash_spark.functions import text as tx
+
+    docs_path, emb_path = build_corpus(spark, k)
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    ops = {
+        "lsh_pairs": lambda: dd.lsh_candidate_pairs(
+            docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
+        ).count(),
+        "dedup_clusters": lambda: dd.dedup_clusters(
+            docs, num_hashes=16, bands=4, k=3, seed=42
+        ).count(),
+        "semantic_dedup": lambda: sim.semantic_dedup(
+            emb, eps=0.9, centroids=sim.ivf_centroids(emb, 16)
+        ).count(),
+        "remove_spans": lambda: dd.remove_repeated_spans(
+            docs, k=8, min_count=2
+        ).count(),
+        "unigram_scores": lambda: tx.unigram_doc_scores(docs).count(),
+        "exact_dedup": lambda: dd.dedup_exact(docs).count(),
+    }
+    for name, fn in ops.items():
+        t0 = time.time()
+        try:
+            rows = fn()
+        except Exception as e:
+            print(f"x{k} {name}: FAILED ({e})", flush=True)
+            continue
+        print(
+            f"x{k} {name}: {time.time() - t0:.2f}s ({rows} rows)", flush=True
+        )
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+
+def main() -> int:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 5, 10]
+    os.makedirs(WORK, exist_ok=True)
+    spark = make_session(PipelineOptions(app_name="scale-probe"))
+    # warm-up
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).groupBy(
+        "l_returnflag"
+    ).count().count()
+    for k in ks:
+        probe(spark, k)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

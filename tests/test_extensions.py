@@ -1777,3 +1777,35 @@ def test_cohort_retention_matrix(spark):
         (w2, w2): 1,   # u3 starts
         (w2, w3): 1,   # u3 returns
     }
+
+
+def test_semantic_dedup_arrow_backend_equals_expr(spark):
+    """pair_backend='arrow' (per-cell blocked BLAS gemm) must produce
+    the identical result to the expression fold on clear-margin data
+    (planted clusters far from the eps boundary), including zero-norm
+    vectors (score 0, never paired) and a sub-block-size cell mix."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(40):
+        c = [rng.uniform(-1, 1) for _ in range(8)]
+        for _ in range(rng.randint(1, 5)):
+            rows.append(
+                (len(rows), [x + rng.uniform(-0.02, 0.02) for x in c])
+            )
+    rows.append((len(rows), [0.0] * 8))  # zero-norm
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    cents = sim.ivf_centroids(df, 8)
+    a = sorted(sim.semantic_dedup(df, eps=0.9, centroids=cents).collect())
+    b = sorted(
+        sim.semantic_dedup(
+            df, eps=0.9, centroids=cents, pair_backend="arrow"
+        ).collect()
+    )
+    assert a == b
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.semantic_dedup(df, pair_backend="bogus")
