@@ -593,6 +593,11 @@ def test_weighted_sampling_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort stage
 
+    plan = plan_of(
+        weighted_sample(docs, 2, "n_chars", "doc_id", key="source")
+    )
+    assert "WindowGroupLimit" in plan  # per-key rank prunes pre-shuffle
+
     plan = plan_of(importance_resample(docs, 50, "n_chars", "doc_id"), "simple")
     # single-row total broadcast: nested-loop broadcast join, and the
     # only shuffle Exchange is the Σw aggregate's own (SinglePartition)
