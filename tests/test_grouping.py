@@ -586,3 +586,30 @@ def test_skew_report_counts_and_salt(spark):
         (None, 5, 1),
     ]
     assert abs(got[0].frac - 50 / 67) < 1e-9
+
+
+def test_importance_resample_monotone_in_n(spark):
+    """For a fixed seed, the admitted set is MONOTONE in n (the keep
+    test u < n*w/total only relaxes as n grows) — so budgets can be
+    raised without churning previously admitted documents."""
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [(i, float((i * 13) % 29 + 1)) for i in range(1, 301)],
+        "id bigint, w double",
+    )
+    sets = []
+    for n in (20, 60, 180):
+        sets.append(
+            {r.id for r in ops.importance_resample(df, n, "w", "id").collect()}
+        )
+    assert sets[0] <= sets[1] <= sets[2]
+    assert len(sets[0]) < len(sets[2])
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ops.importance_resample(df, 0, "w", "id")
+    with _pt.raises(ValueError):
+        ops.weighted_sample(df, -1, "w", "id")
