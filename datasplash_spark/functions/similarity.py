@@ -956,11 +956,21 @@ def ivf_knn_join(
     query_id_col: ColumnLike = "query_id",
     centroids: list[list[float]] | None = None,
     round_to: int = 6,
+    score_backend: str = "expr",
 ) -> DataFrame:
     """Batch ANN k-NN join: IVF-pruned retrieval for a whole query
     SET — the approximate counterpart of :func:`knn_join`, probing
     only each query's ``nprobe`` nearest cells instead of scoring the
     full corpus per query.
+
+    ``score_backend="arrow"`` scores candidates with a per-cell
+    blocked BLAS gemm over a corpus/probe COGROUP instead of one
+    interpreted higher-order-function fold per (query, candidate) —
+    the same ~10× lever as ``semantic_dedup(pair_backend="arrow")``
+    and the right shape for big batch-retrieval jobs; the expression
+    fold stays the byte-stable oracle default (BLAS float-sum order
+    and numpy's round-half-even differ in the last ulp — margins in
+    practice dwarf this).
 
     Scale shape: corpus cell assignment is one codegen'd fold pass
     (no shuffle; reuse a :func:`materialize_ivf` store to skip even
@@ -1035,18 +1045,67 @@ def ivf_knn_join(
         .filter(F.col("_rn") <= int(nprobe))
         .select("query_id", "_qv", "_qn", "cell")
     )
-    # norms hoisted: the per-candidate score is ONE dot-product fold
-    denom = F.col("_cn") * F.col("_qn")
-    scored = assigned.join(F.broadcast(probes), "cell").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            F.when(
-                denom > 0, dot(F.col("_cv"), F.col("_qv")) / denom
-            ).otherwise(F.lit(0.0)),
-            int(round_to),
-        ).alias("score"),
-    )
+    if score_backend == "arrow":
+        qid_type = dict(probes.dtypes)["query_id"]
+        vid_type = dict(assigned.dtypes)["vec_id"]
+        out_schema = (
+            f"query_id {qid_type}, vec_id {vid_type}, score double"
+        )
+
+        def score_cell(corpus_pdf, probe_pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(corpus_pdf) == 0 or len(probe_pdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "vec_id": [], "score": []}
+                )
+            X = np.stack(corpus_pdf["_cv"].to_numpy()).astype(np.float64)
+            cn = corpus_pdf["_cn"].to_numpy().astype(np.float64)
+            Q = np.stack(probe_pdf["_qv"].to_numpy()).astype(np.float64)
+            qn = probe_pdf["_qn"].to_numpy().astype(np.float64)
+            Xn = np.divide(
+                X, cn[:, None], out=np.zeros_like(X), where=cn[:, None] > 0
+            )
+            Qn = np.divide(
+                Q, qn[:, None], out=np.zeros_like(Q), where=qn[:, None] > 0
+            )
+            S = np.round(Xn @ Qn.T, int(round_to))  # (m, q)
+            m, q = S.shape
+            return pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        probe_pdf["query_id"].to_numpy(), m
+                    ),
+                    "vec_id": np.tile(corpus_pdf["vec_id"].to_numpy(), q),
+                    "score": S.T.ravel(),
+                }
+            )
+
+        scored = (
+            assigned.select("cell", "vec_id", "_cv", "_cn")
+            .groupBy("cell")
+            .cogroup(probes.groupBy("cell"))
+            .applyInPandas(score_cell, out_schema)
+        )
+    elif score_backend == "expr":
+        # norms hoisted: the per-candidate score is ONE dot-product
+        # fold
+        denom = F.col("_cn") * F.col("_qn")
+        scored = assigned.join(F.broadcast(probes), "cell").select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(
+                    denom > 0, dot(F.col("_cv"), F.col("_qv")) / denom
+                ).otherwise(F.lit(0.0)),
+                int(round_to),
+            ).alias("score"),
+        )
+    else:
+        raise ValueError(
+            f"ivf_knn_join: unknown score_backend {score_backend!r}"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("vec_id")
     )

@@ -1809,3 +1809,40 @@ def test_semantic_dedup_arrow_backend_equals_expr(spark):
 
     with _pt.raises(ValueError):
         sim.semantic_dedup(df, pair_backend="bogus")
+
+
+def test_ivf_knn_join_arrow_backend_equals_expr(spark):
+    """score_backend='arrow' (per-cell cogroup gemm) returns the
+    identical batch-ANN result as the expression fold, including
+    queries whose probed cells hold no candidates."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)
+    ]
+    corpus = generate_input(
+        spark, rows, "vec_id bigint, embedding array<double>"
+    )
+    queries = generate_input(
+        spark,
+        [(100 + j, [rng.uniform(-1, 1) for _ in range(6)]) for j in range(7)],
+        "query_id bigint, embedding array<double>",
+    )
+    kw = dict(k=4, n_cells=8, nprobe=2)
+    a = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.ivf_knn_join(corpus, queries, **kw).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.ivf_knn_join(
+            corpus, queries, score_backend="arrow", **kw
+        ).collect()
+    )
+    assert a == b and len(a) == 7 * 4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.ivf_knn_join(corpus, queries, score_backend="bogus", **kw)
