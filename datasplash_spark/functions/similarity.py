@@ -868,14 +868,20 @@ def contrastive_pairs(
             F.lit(0.0).alias("pos_cos"),
             _col(id_col).alias("neg_id"),
         )
+    from pyspark.storagelevel import StorageLevel
+
     base = df.select(
         _col(id_col).alias("vec_id"), _col(vec_col).alias("e")
     ).withColumn("_nv", norm(F.col("e")))
+    # persisted: FIVE consumers read the assignment (both pair-join
+    # sides, the two negative aggregates, and the final join) — the
+    # same one-tokenize-pass rule as unigram_doc_scores; without it
+    # the K-fold assignment runs per consumer
     assigned = base.withColumn(
         "_a", ivf_assign(F.col("e"), centroids, norm_col=F.col("_nv"))
     ).select(
         "vec_id", "e", "_nv", F.col("_a").getField("cid").alias("cell")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l = assigned.select(
         "cell",
         F.col("vec_id").alias("anchor"),
