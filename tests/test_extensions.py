@@ -1846,3 +1846,35 @@ def test_ivf_knn_join_arrow_backend_equals_expr(spark):
 
     with _pt.raises(ValueError):
         sim.ivf_knn_join(corpus, queries, score_backend="bogus", **kw)
+
+
+def test_round5_ops_degenerate_inputs(spark):
+    """Degenerate-input pins for the round-5 surface: empty corpora
+    and sub-minimal documents return empty (typed) results, never
+    errors; singleton cells/keys take their defined fallbacks."""
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions.text import bigram_pmi
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert bigram_pmi(empty_docs).count() == 0
+    one_tok = generate_input(
+        spark, [(1, "hello"), (2, "")], "doc_id bigint, text string"
+    )
+    assert bigram_pmi(one_tok, min_count=1).count() == 0  # no adjacency
+
+    two = generate_input(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = sorted(
+        (r.vec_id, r.pos_id, r.neg_id)
+        for r in sim.contrastive_pairs(two, n_cells=16).collect()
+    )
+    assert rows == [(1, None, 2), (2, None, 1)]  # singleton cells
+
+    empty_vec = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert sim.contrastive_pairs(empty_vec).count() == 0
