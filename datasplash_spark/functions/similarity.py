@@ -824,6 +824,53 @@ def _semantic_label(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _arrow_cell_hardest_positive(block: int = 2048):
+    """Per-cell kernel for ``contrastive_pairs(backend="arrow")``:
+    blocked gemm + per-anchor argmax (ties to the lowest candidate
+    id — identical to the expression path's (score desc, id asc)
+    rank) instead of one interpreted fold per intra-cell pair."""
+    import numpy as np
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "pos_id": pd.Series(dtype="int64"),
+                    "pos_cos": pd.Series(dtype="float64"),
+                }
+            )
+        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nv = pdf["_nv"].to_numpy().astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        Xn = np.divide(
+            X, nv[:, None], out=np.zeros_like(X), where=nv[:, None] > 0
+        )
+        out_id, out_pos, out_cos = [], [], []
+        sentinel = ids.max() + 1
+        for s0 in range(0, m, block):
+            S = np.round(Xn[s0 : s0 + block] @ Xn.T, 9)
+            rows = np.arange(S.shape[0])
+            S[rows, rows + s0] = -np.inf  # exclude self
+            best = S.max(axis=1)
+            cand = np.where(S == best[:, None], ids[None, :], sentinel)
+            pos = cand.min(axis=1)
+            out_id.append(ids[s0 : s0 + block])
+            out_pos.append(pos)
+            out_cos.append(np.round(best, 6))
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id),
+                "pos_id": np.concatenate(out_pos),
+                "pos_cos": np.concatenate(out_cos),
+            }
+        )
+
+    return f
+
+
 def contrastive_pairs(
     df: DataFrame,
     n_cells: int = 16,
@@ -831,6 +878,7 @@ def contrastive_pairs(
     id_col: ColumnLike = "vec_id",
     centroids: list[list[float]] | None = None,
     seed: int = 7,
+    backend: str = "expr",
 ) -> DataFrame:
     """Contrastive training-pair mining over an embedding corpus:
     for every vector, its HARDEST in-cell positive (the nearest
@@ -848,6 +896,13 @@ def contrastive_pairs(
     negatives are TWO tiny aggregates (global min-by, then min-by
     over cells differing from the first winner) broadcast back — no
     corpus-scale randomness join.
+
+    ``backend="arrow"`` mines positives with a per-cell blocked BLAS
+    gemm + vectorized argmax (ties to lowest id, identical rank
+    semantics) instead of the interpreted per-pair fold — the same
+    scale lever as ``semantic_dedup(pair_backend="arrow")``; requires
+    an integral id column, and the expression path stays the
+    oracle-gated default.
 
     Reference anchor: no analog; LLM-pipeline extension surface
     (BASELINE.json north_star)."""
@@ -882,6 +937,20 @@ def contrastive_pairs(
     ).select(
         "vec_id", "e", "_nv", F.col("_a").getField("cid").alias("cell")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if backend not in ("expr", "arrow"):
+        raise ValueError(f"contrastive_pairs: unknown backend {backend!r}")
+    if backend == "arrow":
+        sc = df.sparkSession.sparkContext
+        pos = (
+            assigned.select("cell", "vec_id", "e", "_nv")
+            .repartition(sc.defaultParallelism, "cell")
+            .groupBy("cell")
+            .applyInPandas(
+                _arrow_cell_hardest_positive(),
+                "vec_id long, pos_id long, pos_cos double",
+            )
+        )
+        return _contrastive_negatives(assigned, pos, seed)
     l = assigned.select(
         "cell",
         F.col("vec_id").alias("anchor"),
@@ -916,10 +985,17 @@ def contrastive_pairs(
             F.round(F.col("_pc"), 6).alias("pos_cos"),
         )
     )
-    # deterministic cross-cell negatives: winner #1 = global
-    # min-md5 row; winner #2 = min-md5 row among cells other than
-    # #1's. A cell's negative is #1 unless the anchor shares #1's
-    # cell, then #2. Two keys-agnostic single-row aggregates.
+    return _contrastive_negatives(assigned, pos, seed)
+
+
+def _contrastive_negatives(
+    assigned: DataFrame, pos: DataFrame, seed: int
+) -> DataFrame:
+    """Shared tail of :func:`contrastive_pairs`: deterministic
+    cross-cell negatives — winner #1 = global min-md5 row; winner #2
+    = min-md5 row among cells other than #1's. A cell's negative is
+    #1 unless the anchor shares #1's cell, then #2. Two keys-agnostic
+    single-row aggregates, broadcast back."""
     hkey = F.md5(
         F.concat(F.lit(str(seed)), F.col("vec_id").cast("string"))
     )

@@ -107,6 +107,16 @@ def probe(spark, k: int) -> None:
         ).count(),
         "unigram_scores": lambda: tx.unigram_doc_scores(docs).count(),
         "exact_dedup": lambda: dd.dedup_exact(docs).count(),
+        "bigram_pmi": lambda: tx.bigram_pmi(docs, min_count=5).count(),
+        "bm25": lambda: tx.bm25_scores(
+            docs, ["spark", "table", "row"]
+        ).count(),
+        "dsir": lambda: tx.dsir_scores(
+            docs, docs.limit(500), n_buckets=4096
+        ).count(),
+        "contrastive": lambda: sim.contrastive_pairs(
+            emb, centroids=sim.ivf_centroids(emb, 16)
+        ).count(),
     }
     for name, fn in ops.items():
         t0 = time.time()

@@ -1878,3 +1878,42 @@ def test_round5_ops_degenerate_inputs(spark):
         [], "vec_id bigint, embedding array<double>"
     )
     assert sim.contrastive_pairs(empty_vec).count() == 0
+
+
+def test_contrastive_pairs_arrow_backend_equals_expr(spark):
+    """backend='arrow' (per-cell gemm + argmax, ties to lowest id)
+    returns the identical triples as the expression rank, including
+    singleton-cell NULL positives and tie candidates."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(30):
+        c = [rng.uniform(-1, 1) for _ in range(6)]
+        for _ in range(rng.randint(1, 4)):
+            rows.append(
+                (len(rows), [x + rng.uniform(-0.03, 0.03) for x in c])
+            )
+    # planted exact tie: two identical candidates for one anchor
+    rows.append((500, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((501, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((502, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0]))  # same as 501
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    cents = sim.ivf_centroids(df, 8)
+    a = sorted(
+        map(tuple, sim.contrastive_pairs(df, centroids=cents).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.contrastive_pairs(
+                df, centroids=cents, backend="arrow"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sim.contrastive_pairs(df, backend="bogus")
