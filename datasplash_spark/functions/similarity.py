@@ -879,6 +879,7 @@ def contrastive_pairs(
     centroids: list[list[float]] | None = None,
     seed: int = 7,
     backend: str = "expr",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Contrastive training-pair mining over an embedding corpus:
     for every vector, its HARDEST in-cell positive (the nearest
@@ -937,6 +938,11 @@ def contrastive_pairs(
     ).select(
         "vec_id", "e", "_nv", F.col("_a").getField("cid").alias("cell")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        # same lifetime contract as semantic_dedup(cache=True): the
+        # persisted assignment lives until session end unless the
+        # caller unpersists it through this handle
+        cache_registry.append(assigned)
     if backend not in ("expr", "arrow"):
         raise ValueError(f"contrastive_pairs: unknown backend {backend!r}")
     if backend == "arrow":
