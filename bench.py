@@ -97,6 +97,12 @@ def main() -> int:
         _sim.semantic_dedup(
             _s, eps=0.3, centroids=_sim.ivf_centroids(_s, 4)
         ).count()
+        # contrastive-pair expression family (min_by negative
+        # aggregates + the double-sided cell join) compiles once per
+        # session; a 10-vector run-through covers it
+        _sim.contrastive_pairs(
+            _s, n_cells=4, centroids=_sim.ivf_centroids(_s, 4)
+        ).count()
         # window-function codegen (rank/row_number family)
         from pyspark.sql import Window as _W
         from pyspark.sql import functions as _F
