@@ -831,7 +831,9 @@ def quantile_buckets_per_key(
     at scale), joined back BROADCAST (key cardinality ≪ rows — a
     per-source cut table is sources-sized); the bucket is
     ``1 + #cuts <= value`` per row. No window, no sort, no
-    single-partition ntile.
+    single-partition ntile. NULL keys are a key like any other
+    (null-safe join — their rows bucket against the NULL group's own
+    cuts instead of silently dropping).
     """
     e = _col(expr)
     probs = F.array(*[F.lit(i / n) for i in range(1, int(n))])
@@ -846,7 +848,7 @@ def quantile_buckets_per_key(
         + 1
     ).alias(bucket_name)
     return (
-        df.join(F.broadcast(cuts), _col(key) == F.col("_qk"))
+        df.join(F.broadcast(cuts), _col(key).eqNullSafe(F.col("_qk")))
         .select(*df.columns, bucket)
     )
 

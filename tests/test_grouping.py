@@ -567,6 +567,18 @@ def test_quantile_buckets_per_key_matches_numpy(spark):
     }
     assert per_key == global_
 
+    # NULL keys are a key like any other (null-safe join, no drops)
+    withnull = generate_input(
+        spark,
+        [(1, None, 1.0), (2, None, 9.0), (3, "x", 5.0)],
+        "id bigint, k string, v double",
+    )
+    got_null = {
+        r.id: r.qbucket
+        for r in ops.quantile_buckets_per_key(withnull, "v", 2, "k").collect()
+    }
+    assert got_null == {1: 1, 2: 2, 3: 2}  # NULL group has its own cuts
+
 
 def test_skew_report_counts_and_salt(spark):
     """skew_report: ordered by count desc, NULL keys reported, frac
