@@ -643,6 +643,83 @@ def bm25_scores(
     )
 
 
+def bm25_batch(
+    df,
+    queries: dict,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    top_k: int | None = None,
+):
+    """Batch BM25: score MANY queries in one corpus pass — the
+    retrieval-serving shape (``queries`` maps query_id → term list).
+    One tokenize/tf/df/doc-length computation is shared by every
+    query; the (query_id, term) probe list is a broadcast literal
+    that prunes postings BEFORE the (query, doc) shuffle, so total
+    work is Σ_q postings(q's terms), not |queries| × corpus. Same
+    fixed-point nano contributions as :func:`bm25_scores` (each
+    query's rows are bit-identical to a single-query run).
+
+    Returns ``(query_id, doc_id, n_matched, score_nano)``; with
+    ``top_k`` set, only each query's top-k docs survive (rank by
+    score desc, doc_id asc — a WindowGroupLimit, pruned before the
+    final per-query merge).
+
+    Reference anchor: no analog; LLM-pipeline extension
+    (BASELINE.json north_star)."""
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError(
+            "bm25_batch: queries must be non-empty with non-empty terms"
+        )
+    toks = df.select(
+        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    probe = df.sparkSession.createDataFrame(
+        sorted({(str(q), str(t)) for q, ts in queries.items() for t in ts}),
+        "query_id string, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib_nano = F.round(idf * tf_norm * 1e9).cast("long")
+    scored = (
+        tf.join(F.broadcast(probe), on="term")
+        .join(dfreq, on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib_nano.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("_c").alias("score_nano"),
+        )
+    )
+    if top_k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(top_k))
+        .drop("_rk")
+    )
+
+
 def char_entropy(text: ColumnLike, round_to: int = 6) -> Column:
     """Per-document Shannon entropy (bits) of the character
     distribution -- a cheap gibberish/boilerplate signal (near-zero

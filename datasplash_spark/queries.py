@@ -3422,6 +3422,66 @@ FROM c GROUP BY doc_id
 """
 
 
+def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: three queries share one tokenize/tf/df pass; the
+    (query_id, term) probe broadcast prunes postings before the
+    (query, doc) shuffle; per-query top-20 is a WindowGroupLimit on
+    exact integer scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_batch(
+        docs,
+        {
+            "q_exec": ["spark", "hash", "window"],
+            "q_store": ["table", "row", "scan"],
+            "q_mixed": ["spark", "table"],
+        },
+        top_k=20,
+    )
+
+
+ORACLE_BM25_MULTI = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), dfq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), probe(query_id, term) AS (
+  VALUES ('q_exec', 'spark'), ('q_exec', 'hash'), ('q_exec', 'window'),
+         ('q_store', 'table'), ('q_store', 'row'), ('q_store', 'scan'),
+         ('q_mixed', 'spark'), ('q_mixed', 'table')
+), c AS (
+  SELECT probe.query_id, tf.doc_id,
+         CAST(round(
+           (ln(1 + (st.n_docs - dfq.dfq + 0.5) / (dfq.dfq + 0.5))
+            * ((tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / st.avgdl))))
+           * 1e9) AS BIGINT) AS c
+  FROM tf
+  JOIN probe USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id), st
+), agg AS (
+  SELECT query_id, doc_id, count(*) AS n_matched,
+         CAST(sum(c) AS BIGINT) AS score_nano
+  FROM c GROUP BY query_id, doc_id
+), rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_nano DESC, doc_id ASC) AS rn
+  FROM agg
+)
+SELECT query_id, doc_id, n_matched, score_nano FROM rk WHERE rn <= 20
+"""
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment on adjacent-id doc pairs — the
     quote/excerpt-detection signal (|∩|/|grams(A)| vs Jaccard's
@@ -3727,6 +3787,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
+    "bm25_multi": (q_bm25_multi, ORACLE_BM25_MULTI),
     # --- driver-green in round 4 (CORRECTNESS_r04.json), unchanged ---
     "distinct": (q_distinct, ORACLE_DISTINCT),
     "distinct_by": (q_distinct_by, ORACLE_DISTINCT_BY),

@@ -1917,3 +1917,49 @@ def test_contrastive_pairs_arrow_backend_equals_expr(spark):
 
     with _pt.raises(ValueError):
         sim.contrastive_pairs(df, backend="bogus")
+
+
+def test_bm25_batch_matches_single_query_runs(spark):
+    """bm25_batch: each query's rows are bit-identical to a
+    single-query bm25_scores run (shared tf/df/dl pass changes
+    nothing); top_k prunes per query by (score desc, id asc)."""
+    from datasplash_spark.functions.text import bm25_batch, bm25_scores
+
+    docs = generate_input(
+        spark,
+        [
+            (1, "spark table row"),
+            (2, "spark spark window"),
+            (3, "table scan row row"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qs = {"a": ["spark", "row"], "b": ["table"]}
+    batch = bm25_batch(docs, qs)
+    for qid, terms in qs.items():
+        single = {
+            (r.doc_id, r.n_matched, r.score_nano)
+            for r in bm25_scores(docs, terms).collect()
+        }
+        got = {
+            (r.doc_id, r.n_matched, r.score_nano)
+            for r in batch.filter(F.col("query_id") == qid).collect()
+        }
+        assert got == single, qid
+
+    top1 = bm25_batch(docs, qs, top_k=1).collect()
+    assert len(top1) == 2
+    for r in top1:
+        full = sorted(
+            ((x.score_nano, -x.doc_id), x.doc_id)
+            for x in batch.filter(F.col("query_id") == r.query_id).collect()
+        )
+        assert r.doc_id == full[-1][1]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bm25_batch(docs, {})
+    with _pt.raises(ValueError):
+        bm25_batch(docs, {"a": []})

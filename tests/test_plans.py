@@ -254,6 +254,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "contrastive_pairs",
         "skew_report",
         "cohort_retention",
+        "bm25_multi",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
