@@ -26,6 +26,7 @@ from .sinks import (
 from .neardup import (
     near_dedup_admitter,
     near_dedup_ingest,
+    compact_store,
     quota_admitter,
     quota_ingest,
     semantic_admitter,
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_stream",
     "near_dedup_admitter",
     "near_dedup_ingest",
+    "compact_store",
     "quota_admitter",
     "quota_ingest",
     "semantic_admitter",

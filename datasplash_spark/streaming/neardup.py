@@ -376,8 +376,12 @@ def quota_admitter(
     the replayed batch sees the exact store state of its first
     attempt (its own ``_batch_id`` partition is excluded from the
     count) and admits the identical rows — the per-batch dynamic
-    partition overwrite makes the append idempotent. NULL keys are a
-    quota key like any other (null-safe count join).
+    partition overwrite makes the append idempotent. An id LEDGER
+    (left-anti on stored ids) additionally guarantees a re-sent id
+    never consumes quota twice — and makes the admitter safe under
+    :func:`compact_store` (whose absorbed rows stay visible to the
+    ledger even when the batch-id exclusion no longer hides them).
+    NULL keys are a quota key like any other (null-safe count join).
 
     100 TB shape: the store side reduces to a key-cardinality count
     table (one partial-agg over the key column only — document text
@@ -392,11 +396,16 @@ def quota_admitter(
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _store_has_data(spark, store_path):
-            used = (
-                spark.read.parquet(store_path)
-                .filter(F.col("_batch_id") != int(batch_id))
-                .groupBy(F.col(key).alias("_qk"))
-                .agg(F.count(F.lit(1)).alias("_used"))
+            store = spark.read.parquet(store_path).filter(
+                F.col("_batch_id") != int(batch_id)
+            )
+            used = store.groupBy(F.col(key).alias("_qk")).agg(
+                F.count(F.lit(1)).alias("_used")
+            )
+            # id ledger: re-sent ids never re-admit (and never consume
+            # quota twice); also the compaction-safety anchor
+            batch_df = batch_df.join(
+                store.select(id_col), on=id_col, how="left_anti"
             )
         else:
             used = None
@@ -455,3 +464,97 @@ def quota_ingest(
         trigger=trigger,
         query_name=query_name,
     )
+
+
+def compact_store(
+    spark,
+    store_path: str,
+    compact_id: int = -1,
+    id_col: str | None = None,
+    keep_last: int = 1,
+) -> int:
+    """Offline small-file maintenance for the streaming stores: every
+    micro-batch append leaves its own ``_batch_id=<n>`` partition, so
+    a long-running ingest accumulates one file set per batch;
+    compaction rewrites ALL current rows into the single partition
+    ``_batch_id=<compact_id>`` (default −1 — never a real batch id,
+    Spark batch ids are non-negative) and deletes the absorbed batch
+    partitions. Returns the number of partitions absorbed.
+
+    Contracts preserved:
+
+    - **replay**: a recovered batch N excludes only ``_batch_id = N``
+      from its store read; its rows now live under ``compact_id``, so
+      the id ledger still sees them, admits nothing new, and its
+      (empty) dynamic overwrite touches no partition — no duplicates,
+      no data loss.
+    - **crash window**: without a transactional table format there is
+      an interval after the compacted write and before the old-dir
+      deletes where rows exist twice. Compaction therefore drops
+      exact duplicate ids at read time (keeping one row per id), so
+      RE-RUNNING it after any partial failure self-heals; readers in
+      the window should dedup by id (the admitters' own probes are
+      membership tests, for which duplicates are harmless).
+
+    ``keep_last`` (default 1) leaves the N highest-numbered batch
+    partitions untouched: only the LAST batch can ever replay (the
+    engine is serial), and leaving it un-absorbed preserves the
+    batch-id-exclusion semantics for that replay even for admitters
+    whose idempotence depends on it. The dedup-store admitters
+    (near-dup/semantic/quota) all carry id ledgers, so ``keep_last=0``
+    is also safe for them.
+
+    Run it from a maintenance job while the stream is STOPPED (or
+    between triggers): it must not race a concurrent batch write.
+    """
+    from pyspark.sql import Window
+
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not _store_has_data(spark, store_path):
+        return 0
+    candidates = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("_batch_id=")
+            and st.getPath().getName() != f"_batch_id={int(compact_id)}"
+        ),
+        key=lambda p: int(p.getName().split("=", 1)[1]),
+    )
+    old_parts = candidates[: len(candidates) - int(keep_last)] if keep_last else candidates
+    if not old_parts:
+        return 0
+    keep_names = {p.getName() for p in candidates} - {
+        p.getName() for p in old_parts
+    }
+    store = spark.read.parquet(store_path).filter(
+        ~F.col("_batch_id").isin(
+            [int(n.split("=", 1)[1]) for n in keep_names]
+        )
+        if keep_names
+        else F.lit(True)
+    )
+    # the admitters write the input frame's columns verbatim with the
+    # id first (doc_id / vec_id); pass id_col= for stores whose id is
+    # elsewhere — it is the self-heal dedup key
+    if id_col is None:
+        id_col = store.columns[0]
+    w = Window.partitionBy(id_col).orderBy(F.col("_batch_id").asc())
+    deduped = (
+        store.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+    (
+        deduped.withColumn("_batch_id", F.lit(int(compact_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(store_path)
+    )
+    for p in old_parts:
+        fs.delete(p, True)
+    return len(old_parts)

@@ -856,3 +856,62 @@ def test_quota_ingest_streaming_query(spark, tmp_path):
     for r in rows:
         counts[r.src] = counts.get(r.src, 0) + 1
     assert counts == {"a": 4, "b": 2}
+
+
+def test_compact_store_preserves_contracts(spark, tmp_path):
+    """compact_store: absorbs per-batch partitions into one, readers
+    see identical rows, a replayed batch still admits nothing (its
+    rows now live under the compact partition but the id ledger sees
+    them), and re-running after a simulated partial failure (old
+    partition left behind -> duplicate ids) self-heals."""
+    import shutil
+
+    from datasplash_spark.streaming import compact_store, quota_admitter
+
+    store = str(tmp_path / "cstore")
+    admit = quota_admitter(store, key="src", max_rows_per_key=10, id_col="id")
+    for b, ids in enumerate(([1, 2], [3, 4], [5])):
+        admit(
+            generate_input(
+                spark, [(i, "a") for i in ids], "id bigint, src string"
+            ),
+            b,
+        )
+    before = sorted(r.id for r in spark.read.parquet(store).collect())
+    assert before == [1, 2, 3, 4, 5]
+
+    # default keep_last=1 preserves the newest batch partition
+    absorbed = compact_store(spark, store)
+    assert absorbed == 2
+    rows = spark.read.parquet(store).collect()
+    assert sorted(r.id for r in rows) == before
+    assert {r._batch_id for r in rows} == {-1, 2}
+
+    # full absorption is safe too: every admitter carries an id ledger
+    assert compact_store(spark, store, keep_last=0) == 1
+    rows = spark.read.parquet(store).collect()
+    assert sorted(r.id for r in rows) == before
+    assert {r._batch_id for r in rows} == {-1}
+
+    # replayed batch 1 after compaction: the id LEDGER still sees ids
+    # 3,4 (now under the compact partition) and admits nothing
+    admit(
+        generate_input(spark, [(3, "a"), (4, "a")], "id bigint, src string"),
+        1,
+    )
+    assert sorted(r.id for r in spark.read.parquet(store).collect()) == before
+
+    # simulated crash window: copy the compact partition to a fake
+    # old batch dir (duplicate ids on disk) -> recompaction heals
+    shutil.copytree(
+        str(tmp_path / "cstore" / "_batch_id=-1"),
+        str(tmp_path / "cstore" / "_batch_id=9"),
+    )
+    assert len(spark.read.parquet(store).collect()) == 10  # dup state
+    compact_store(spark, store, keep_last=0)
+    healed = spark.read.parquet(store).collect()
+    assert sorted(r.id for r in healed) == before
+
+    # empty / missing store is a no-op
+    assert compact_store(spark, str(tmp_path / "nope")) == 0
+    assert compact_store(spark, store) == 0  # already compacted
