@@ -86,3 +86,72 @@ def view(df: DataFrame, view_type: str = "list"):
     else:
         raise ValueError(f"unknown view type {view_type!r}")
     return df.sparkSession.sparkContext.broadcast(payload)
+
+
+class PlanGuardError(AssertionError):
+    """Raised by :func:`plan_guard` with the offending plan excerpt."""
+
+
+#: The plan nodes that sink 100 TB jobs: accidental cartesian
+#: products, row-at-a-time Python evaluation, and single-partition
+#: global sorts. ``plan_guard``'s default forbid list.
+DEFAULT_FORBIDDEN = (
+    "CartesianProduct",
+    "BatchEvalPython",
+)
+
+
+def plan_guard(
+    df: DataFrame,
+    forbid: tuple | list = DEFAULT_FORBIDDEN,
+    require: tuple | list = (),
+    mode: str = "extended",
+) -> DataFrame:
+    """Assert physical-plan shape at pipeline-build time — the
+    repo's own plan-pinning discipline (``tests/test_plans.py``)
+    exported as a production guardrail: call it on any DataFrame
+    before a big run (or in CI) and it raises :class:`PlanGuardError`
+    naming the first forbidden node (or missing required node) with
+    a plan excerpt, instead of letting a silent plan regression —
+    a lost broadcast, a Python UDF sneaking into the hot path, a
+    join degenerating to a cartesian product — surface as a
+    1000-executor incident.
+
+    ``forbid`` defaults to the scale sinkholes (cartesian product,
+    row-at-a-time Python). ``require`` asserts markers that must be
+    present (e.g. ``("PushedFilters: [IsNotNull",)`` or
+    ``("BroadcastHashJoin",)``). Returns ``df`` unchanged so it
+    chains: ``plan_guard(big_join).write...``.
+
+    Matching is plain substring over ``df.explain(mode)`` text —
+    the same contract the plan tests use.
+    """
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    plan = buf.getvalue()
+
+    def excerpt(marker: str) -> str:
+        lines = plan.splitlines()
+        hits = [i for i, l in enumerate(lines) if marker in l]
+        if not hits:
+            return "\n".join(lines[:12])
+        i = hits[0]
+        return "\n".join(lines[max(0, i - 2) : i + 3])
+
+    for marker in forbid:
+        if marker in plan:
+            raise PlanGuardError(
+                f"forbidden plan node {marker!r} present:\n"
+                f"{excerpt(marker)}"
+            )
+    for marker in require:
+        if marker not in plan:
+            raise PlanGuardError(
+                f"required plan marker {marker!r} absent; plan head:\n"
+                f"{excerpt('__none__')}"
+            )
+    return df

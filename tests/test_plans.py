@@ -613,3 +613,43 @@ def test_weighted_sampling_plan_shapes(spark):
     plan = plan_of(quantile_buckets_per_key(docs, "n_chars", 3, "source"))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_plan_guard_api(spark):
+    """plan_guard: passes clean plans through unchanged, names the
+    forbidden node with an excerpt, enforces required markers."""
+    import pytest
+
+    from datasplash_spark.plans import PlanGuardError, plan_guard
+    from datasplash_spark.pipeline import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    clean = docs.filter("n_chars > 10").select("doc_id")
+    assert plan_guard(clean) is clean
+
+    # forbidden: a genuine cartesian product (kill broadcast so the
+    # tiny table can't take the BroadcastNestedLoopJoin shape)
+    from pyspark.sql import functions as F
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big_cross = docs.crossJoin(
+            docs.select(F.col("doc_id").alias("d2"))
+        )
+        with pytest.raises(PlanGuardError, match="CartesianProduct"):
+            plan_guard(big_cross)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    # forbidden: row-at-a-time Python in the hot path
+    from pyspark.sql.functions import udf
+
+    slow = docs.select(udf(lambda s: s and s.upper())("text"))
+    with pytest.raises(PlanGuardError, match="BatchEvalPython"):
+        plan_guard(slow)
+
+    # require: pushdown marker must be present
+    plan_guard(clean, require=("PushedFilters",))
+    with pytest.raises(PlanGuardError, match="NoSuchMarker"):
+        plan_guard(clean, require=("NoSuchMarker",))
