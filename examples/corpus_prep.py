@@ -34,6 +34,7 @@ import datasplash_spark  # noqa: F401
 from datasplash_spark.functions import dedup as dd
 from datasplash_spark.functions import text as tx
 from datasplash_spark.pipeline import load_table, make_session, options_from_args
+from datasplash_spark.plans import plan_guard
 
 
 def main(argv: list[str]) -> int:
@@ -79,6 +80,9 @@ def main(argv: list[str]) -> int:
 
     # 5. chunking — token-budget chunks with overlap
     chunks = tx.chunk_documents(trimmed, chunk_tokens, overlap)
+    # plan guardrail: fail fast if a refactor ever drops a Python
+    # UDF or a cartesian product into the hot path (CI-able)
+    plan_guard(chunks)
     n5 = chunks.count()
 
     # 6. reproducible training order — distributed total order on
