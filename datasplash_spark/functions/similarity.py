@@ -791,6 +791,80 @@ def semantic_dedup(
     return _semantic_label(scored, pairs)
 
 
+def bucketed_cosine_pairs(
+    df: DataFrame,
+    eps: float,
+    bits: int = 8,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    seed: int = 7,
+    backend: str = "expr",
+) -> DataFrame:
+    """Cosine-thresholded near-dup pairs via hyperplane-LSH buckets —
+    the generic pair stage behind the `dedup_embedding_pairs` /
+    `embedding_clusters` corpus queries, exposed as API: bucket on
+    sign-projections (:func:`hyperplane_bucket` — linear), compare
+    only WITHIN buckets (quadratic per bucket — size ``bits`` so
+    buckets stay join-friendly), keep 9-dp cosine ≥ ``eps``. Returns
+    ``(a, b)`` with ``a < b``.
+
+    ``backend="arrow"`` scores each bucket with the blocked BLAS gemm
+    kernel (:func:`semantic_dedup`'s scale path — same float-sum
+    caveat, same identical-output expectation at practical margins);
+    the expression fold is the byte-stable default. Recall is the
+    single-table LSH recall — union pairs over several ``seed``s for
+    the multi-table boost, or use MinHash/:func:`semantic_dedup` for
+    the cell-partitioned variants."""
+    if backend not in ("expr", "arrow"):
+        raise ValueError(
+            f"bucketed_cosine_pairs: unknown backend {backend!r}"
+        )
+    first = df.select(_col(vec_col)).first()
+    if first is None:
+        return df.limit(0).select(
+            _col(id_col).alias("a"), _col(id_col).alias("b")
+        )
+    planes = random_hyperplanes(len(first[0]), bits, seed)
+    base = df.select(
+        _col(id_col).alias("vec_id"), _col(vec_col).alias("e")
+    ).withColumn("_nv", norm(F.col("e"))).withColumn(
+        "cell", hyperplane_bucket(F.col("e"), planes)
+    )
+    if backend == "arrow":
+        sc = df.sparkSession.sparkContext
+        return (
+            base.select("cell", "vec_id", "e", "_nv")
+            .repartition(sc.defaultParallelism, "cell")
+            .groupBy("cell")
+            .applyInPandas(_arrow_cell_pairs(eps), "a long, b long")
+        )
+    l = base.select(
+        "cell",
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("ea"),
+        F.col("_nv").alias("_na"),
+    )
+    r = base.select(
+        "cell",
+        F.col("vec_id").alias("b"),
+        F.col("e").alias("eb"),
+        F.col("_nv").alias("_nb"),
+    )
+    denom = F.col("_na") * F.col("_nb")
+    pscore = F.round(
+        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        l.join(r, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(pscore >= eps)
+        .select("a", "b")
+    )
+
+
 def _semantic_label(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     """Shared tail of :func:`semantic_dedup`: connected components
     over the thresholded pairs, min-id group labels, and the

@@ -1963,3 +1963,35 @@ def test_bm25_batch_matches_single_query_runs(spark):
         bm25_batch(docs, {})
     with _pt.raises(ValueError):
         bm25_batch(docs, {"a": []})
+
+
+def test_bucketed_cosine_pairs_backends_agree(spark):
+    """bucketed_cosine_pairs: expr and arrow backends return the
+    identical pair set on clear-margin data; empty input yields an
+    empty typed frame; symmetric by construction (a < b)."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(25):
+        c = [rng.uniform(-1, 1) for _ in range(8)]
+        for _ in range(rng.randint(1, 4)):
+            rows.append(
+                (len(rows), [x + rng.uniform(-0.02, 0.02) for x in c])
+            )
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    a = sorted(
+        (r.a, r.b)
+        for r in sim.bucketed_cosine_pairs(df, eps=0.95, bits=4).collect()
+    )
+    b = sorted(
+        (r.a, r.b)
+        for r in sim.bucketed_cosine_pairs(
+            df, eps=0.95, bits=4, backend="arrow"
+        ).collect()
+    )
+    assert a == b and a  # non-trivial pair set
+    assert all(x < y for x, y in a)
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert sim.bucketed_cosine_pairs(empty, eps=0.5).count() == 0
