@@ -3690,13 +3690,13 @@ SELECT doc_id FROM ranked WHERE rk = 1
 # =====================================================================
 
 #: name → (query fn, oracle SQL or None for rows-only checks)
-# Registry order = the order the external driver gates queries in.
-# The round-2 driver checked exactly the FIRST 50 entries, so ordering
-# rotates: queries the last round's gate did not reach come first
-# (plus anything whose implementation changed this round), then the
-# block the previous round already proved green. Over consecutive
-# rounds every query gets a driver-green row.
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+# _ALL holds every query; the DRIVER GATE ORDER is the explicit
+# ``_ORDER`` list below the literal (the driver checks the FIRST 50
+# registry entries per round, so rotation = editing that list, not
+# moving 50-line blocks around). The historical per-round window
+# comments inside the literal are retained as provenance only —
+# literal order is no longer meaningful.
+_ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query
     # r2/r3-proven block that round 4's rotation pushed out of the
@@ -3853,6 +3853,162 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         ORACLE_OBJECTMODE_SIDE_OUTPUTS,
     ),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+}
+
+
+# ---------------------------------------------------------------------
+# Driver gate order (round 6).  The external driver gates exactly the
+# FIRST 50 entries of REGISTRY each round; window membership below IS
+# the round-6 gate contract.
+#
+# Window composition:
+#   1. The 9 queries with NO driver CORRECTNESS row yet — the 7 new-in-
+#      round-5 queries (VERDICT r5 item 1) plus the two round-5
+#      deferrals (sample_per_key rows-only, multimodal_features last
+#      green r3).
+#   2. Queries whose implementation changed in round 6 → re-gate:
+#      semantic_dedup / contrastive_pairs (scale-safe defaults, VERDICT
+#      r5 item 2; contrastive_pairs is already in block 1) and
+#      importance_resample (decimal overflow fix, ADVICE r5; also in
+#      block 1).
+#   3. 40 of the 49 round-4-green entries — the stalest block (last
+#      driver rows are CORRECTNESS_r04); the 9 spilled entries are
+#      trivial relational ops pinned by pytest + the out-of-window
+#      tripwire, and they lead round 7.
+# After the window: the 9 spilled r4 entries, then the 49-query block
+# CORRECTNESS_r05 just proved green (nothing in it changed).
+_WINDOW_R6: list[str] = [
+    # block 1 — never driver-gated:
+    "sample_per_key",
+    "multimodal_features",
+    "importance_resample",
+    "ccnet_buckets",
+    "collocations",
+    "contrastive_pairs",
+    "skew_report",
+    "cohort_retention",
+    "bm25_multi",
+    # block 2 — implementation changed round 6, re-gate:
+    "semantic_dedup",
+    # block 3 — r4-green, stalest:
+    "join_required",
+    "join_optional",
+    "join_multiway",
+    "cogroup_counts",
+    "mapcat_tokens",
+    "sample_global_det",
+    "sample_per_key_det",
+    "window_fixed",
+    "window_sliding",
+    "window_session",
+    "dedup_exact",
+    "chunk_documents",
+    "unigram_quality",
+    "funnel",
+    "sessionize",
+    "rolling_window",
+    "stratified_sample",
+    "ngram_counts",
+    "pivot",
+    "profile",
+    "hash_split",
+    "rollup",
+    "asof_last_view",
+    "range_join_error_window",
+    "gopher_quality",
+    "side_input_filter",
+    "dedup_incremental",
+    "decontaminate",
+    "remove_repeated_spans",
+    "global_shuffle",
+    "temperature_mix",
+    "dsir_scores",
+    "dedup_cluster_report",
+    "embedding_clusters",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "objectmode_wordcount",
+    "objectmode_join",
+    "objectmode_side_outputs",
+    "pricing_summary",
+]
+
+_AFTER_WINDOW_R6: list[str] = [
+    # r4-green spill (pytest + tripwire-covered; lead round 7):
+    "distinct",
+    "distinct_by",
+    "partition_by",
+    "concat_count",
+    "setops_intersect",
+    "setops_except",
+    "setops_union",
+    "sample_global",
+    "approx_aggs",
+    # r5-green block (CORRECTNESS_r05 50/50 minus semantic_dedup,
+    # which moved into the window for re-gating):
+    "filter_project",
+    "group_by_key",
+    "frequencies",
+    "keep",
+    "frequencies_by",
+    "combine_global",
+    "flatten",
+    "top_customers",
+    "top_per_nation",
+    "price_percentiles",
+    "combiner_mapper_predicate",
+    "quality_above_median",
+    "length_quartiles",
+    "salted_agg",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "char_entropy",
+    "pack_sequences",
+    "token_budget_mix",
+    "pii_redact",
+    "dedup_lines",
+    "doc_quality",
+    "quota_sample",
+    "quality_classifier",
+    "tfidf_top_terms",
+    "stateful_running_sum",
+    "stateful_distinct_types",
+    "corpus_prep_pipeline",
+    "repeated_ngrams",
+    "fingerprint_rolling",
+    "similarity_topk",
+    "similarity_ann",
+    "similarity_ivf",
+    "knn_search",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "dedup_cross_corpus",
+    "ngram_jaccard_verify",
+    "dedup_minhash_pairs",
+    "source_overlap",
+    "bm25_search",
+    "ngram_containment",
+    "corpus_diff",
+    "filter_report",
+    "filter_funnel",
+    "semantic_pack",
+    "zorder_key",
+    "ann_recall",
+]
+
+_ORDER: list[str] = _WINDOW_R6 + _AFTER_WINDOW_R6
+if len(_ORDER) != len(set(_ORDER)):
+    raise RuntimeError("registry _ORDER contains duplicates")
+if set(_ORDER) != set(_ALL):
+    raise RuntimeError(
+        "registry _ORDER out of sync with _ALL: "
+        f"missing={sorted(set(_ALL) - set(_ORDER))} "
+        f"extra={sorted(set(_ORDER) - set(_ALL))}"
+    )
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    name: _ALL[name] for name in _ORDER
 }
 
 
