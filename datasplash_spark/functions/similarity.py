@@ -534,35 +534,178 @@ def lsh_topk_from_store(
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
 
 
-def _arrow_cell_pairs(eps: float, block: int = 2048):
-    """Per-cell cosine-pair kernel for ``semantic_dedup``'s Arrow
-    backend: one blocked BLAS gemm per cell instead of ~|cell|²/2
-    interpreted higher-order-function folds. Memory is bounded at
-    ``block × |cell|`` scores per step; only thresholded (a < b)
-    pairs materialize."""
+def _integral_id_ok(df: DataFrame, id_col: ColumnLike) -> bool:
+    """True iff ``id_col`` resolves to an integral column — the Arrow
+    pair/argmax kernels stack ids into int64 numpy arrays and declare
+    ``long`` output schemas, so string/decimal ids would fail deep in
+    Arrow with an opaque cast error. Non-column expressions (computed
+    ids) return False (can't check statically → treated as
+    non-integral; pass a materialized integral column instead)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    name = id_col if isinstance(id_col, str) else None
+    if name is None:
+        return False
+    try:
+        dt = df.schema[name].dataType
+    except KeyError:
+        return False
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType))
+
+
+def _require_integral_id(df: DataFrame, id_col: ColumnLike, fn: str) -> None:
+    if not _integral_id_ok(df, id_col):
+        raise ValueError(
+            f"{fn}: backend='arrow' requires an integral id column "
+            f"(byte/short/int/long); got {id_col!r} — cast or "
+            "re-key the ids, or use backend='expr'"
+        )
+
+
+def _cell_salt_widths(
+    cells: DataFrame, max_cell_rows: int, max_salt: int
+) -> DataFrame:
+    """Per-cell block-decomposition width: ONE count aggregate over
+    the K-row cell space (broadcast back by callers);
+    ``s = clamp(ceil(n / max_cell_rows), 1, max_salt)`` — 1 for every
+    cell under the bound, so normal cells keep a single block."""
+    return cells.groupBy("cell").agg(
+        F.greatest(
+            F.least(
+                F.ceil(F.count(F.lit(1)) / F.lit(int(max_cell_rows))),
+                F.lit(int(max_salt)),
+            ),
+            F.lit(1),
+        )
+        .cast("int")
+        .alias("_s")
+    )
+
+
+def _salt_blocks(scored: DataFrame, salt: DataFrame) -> DataFrame:
+    """Unordered block decomposition of each cell for self-pairing:
+    every row draws a deterministic sub-group ``_g = xxhash64(id) mod
+    s`` and replicates across blocks ``{_g, q}`` for ``q in [0, s)``
+    (key ``(_bp, _bq) = (min, max)``) — ``s(s+1)/2`` blocks per cell,
+    each unordered row pair lands in EXACTLY one block (intra-sub-
+    group pairs in the diagonal block ``(g, g)``, cross pairs in
+    ``{ga, gb}``), so downstream pair sets are bit-identical to the
+    unsalted join while a mega-cell's quadratic spreads over the
+    blocks. ``s = 1`` collapses to one ``(0, 0)`` block per cell."""
+    return (
+        scored.join(F.broadcast(salt), "cell")
+        .withColumn(
+            "_g",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_q", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .select(
+            "cell",
+            F.least(F.col("_g"), F.col("_q")).alias("_bp"),
+            F.greatest(F.col("_g"), F.col("_q")).alias("_bq"),
+            "_g",
+            "vec_id",
+            "e",
+            "_nv",
+        )
+    )
+
+
+def _resolve_pair_backend(
+    scored: DataFrame,
+    backend: str,
+    arrow_cell_threshold: int,
+    id_is_integral: bool,
+    fn: str,
+) -> str:
+    """``auto`` → ``arrow`` when the LARGEST cell crosses
+    ``arrow_cell_threshold`` rows (the measured regime where the
+    blocked-gemm kernel beats the interpreted expression fold by
+    10-100×), else the byte-stable ``expr`` fold. The check is ONE
+    eager count aggregate over the cell assignment — callers that
+    persist the assignment (``cache=True``) pay nothing extra beyond
+    materializing it. Non-integral ids always resolve to ``expr``
+    (the Arrow kernels require integral ids)."""
+    if backend not in ("auto", "expr", "arrow"):
+        raise ValueError(f"{fn}: unknown backend {backend!r}")
+    if backend != "auto":
+        return backend
+    if not id_is_integral:
+        return "expr"
+    row = (
+        scored.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_m"))
+        .first()
+    )
+    mx = row["_m"] if row is not None else 0
+    return "arrow" if (mx or 0) >= int(arrow_cell_threshold) else "expr"
+
+
+def _norm_rows(pdf):
+    """Stack a (e, _nv) frame slice into unit-normalized float64 rows
+    + the id array (zero-norm rows normalize to the zero vector —
+    cosine 0 against everything, same as the expression fold)."""
+    import numpy as np
+
+    X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    nv = pdf["_nv"].to_numpy().astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Xn = np.divide(
+        X, nv[:, None], out=np.zeros_like(X), where=nv[:, None] > 0
+    )
+    return Xn, ids
+
+
+def _arrow_block_pairs(eps: float, block: int = 2048):
+    """Per-BLOCK cosine-pair kernel for the Arrow backend: one
+    blocked BLAS gemm per salt block (see :func:`_salt_blocks`)
+    instead of ~|cell|²/2 interpreted higher-order-function folds.
+    Diagonal blocks (``_bp == _bq``) pair all their rows; off-
+    diagonal blocks pair sub-group ``_bp`` rows against sub-group
+    ``_bq`` rows only (intra-sub-group pairs belong to the diagonal)
+    — each unordered pair scores in exactly one block. Memory is
+    bounded at ``block × |side|`` scores per step; only thresholded
+    (a < b) pairs materialize."""
     import numpy as np
     import pandas as pd
 
+    empty = {
+        "a": pd.Series(dtype="int64"),
+        "b": pd.Series(dtype="int64"),
+    }
+
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-        nv = pdf["_nv"].to_numpy().astype(np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        Xn = np.divide(
-            X, nv[:, None], out=np.zeros_like(X), where=nv[:, None] > 0
-        )
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        p = int(pdf["_bp"].iloc[0])
+        q = int(pdf["_bq"].iloc[0])
+        if p == q:
+            A = B = pdf
+        else:
+            A = pdf[pdf["_g"] == p]
+            B = pdf[pdf["_g"] == q]
+            if not len(A) or not len(B):
+                return pd.DataFrame(empty)
+        Xa, ida = _norm_rows(A)
+        Xb, idb = (Xa, ida) if A is B else _norm_rows(B)
         out_a: list = []
         out_b: list = []
-        for s0 in range(0, m, block):
-            S = np.round(Xn[s0 : s0 + block] @ Xn.T, 9)
+        for s0 in range(0, len(ida), block):
+            S = np.round(Xa[s0 : s0 + block] @ Xb.T, 9)
             ii, jj = np.nonzero(S >= eps)
-            gi = ii + s0
-            mask = ids[gi] < ids[jj]
-            out_a.append(ids[gi][mask])
-            out_b.append(ids[jj][mask])
+            la = ida[ii + s0]
+            lb = idb[jj]
+            mask = la < lb
+            out_a.append(la[mask])
+            out_b.append(lb[mask])
         return pd.DataFrame(
             {
                 "a": np.concatenate(out_a) if out_a else [],
@@ -571,6 +714,95 @@ def _arrow_cell_pairs(eps: float, block: int = 2048):
         )
 
     return f
+
+
+def _pairs_within_cells(
+    scored: DataFrame,
+    eps: float,
+    backend: str,
+    max_cell_rows: int,
+    max_salt: int,
+    arrow_cell_threshold: int,
+    id_is_integral: bool,
+    fn: str,
+) -> DataFrame:
+    """Shared cosine-threshold pair stage over a ``(cell, vec_id, e,
+    _nv)`` assignment: resolve ``auto`` → expr/arrow on the measured
+    max-cell-size threshold, apply the mega-cell salt guard in BOTH
+    backends (``_salt_blocks`` — the pair SET is invariant to the
+    decomposition), and return thresholded ``(a, b)`` with
+    ``a < b``. The expr path scores each block with the byte-stable
+    JVM fold join; the arrow path scores each block with one blocked
+    BLAS gemm task."""
+    backend = _resolve_pair_backend(
+        scored, backend, arrow_cell_threshold, id_is_integral, fn
+    )
+    salt = _cell_salt_widths(scored, max_cell_rows, max_salt)
+    if backend == "arrow":
+        _require_integral_id(scored, "vec_id", fn)
+        sc = scored.sparkSession.sparkContext
+        blocks = _salt_blocks(scored, salt)
+        return (
+            blocks.repartition(
+                sc.defaultParallelism, "cell", "_bp", "_bq"
+            )
+            .groupBy("cell", "_bp", "_bq")
+            .applyInPandas(_arrow_block_pairs(eps), "a long, b long")
+        )
+    # expr path: ORDERED block decomposition (ga(a), gb(b)) — each
+    # side replicates across the OTHER side's s sub-groups and the
+    # join key becomes (cell, ga, gb), so every ordered pair lands in
+    # exactly one of the s² blocks: half the join work of the
+    # unordered {p, q} scheme the arrow kernel uses (which needs one
+    # grouped frame per block), and the exact plan shape the r5 gate
+    # pinned.
+    l = (
+        scored.select(
+            "cell",
+            F.col("vec_id").alias("a"),
+            F.col("e").alias("ea"),
+            F.col("_nv").alias("_na"),
+        )
+        .join(F.broadcast(salt), "cell")
+        .withColumn(
+            "_ga",
+            F.pmod(F.xxhash64(F.col("a")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_gb", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
+    )
+    r = (
+        scored.select(
+            "cell",
+            F.col("vec_id").alias("b"),
+            F.col("e").alias("eb"),
+            F.col("_nv").alias("_nb"),
+        )
+        .join(F.broadcast(salt), "cell")
+        .withColumn(
+            "_gb",
+            F.pmod(F.xxhash64(F.col("b")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_ga", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
+    )
+    denom = F.col("_na") * F.col("_nb")
+    pscore = F.round(
+        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        l.join(r, ["cell", "_ga", "_gb"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(pscore >= eps)
+        .select("a", "b")
+    )
 
 
 def semantic_dedup(
@@ -584,7 +816,8 @@ def semantic_dedup(
     max_cell_rows: int = 1 << 16,
     max_salt: int = 64,
     cache_registry: list | None = None,
-    pair_backend: str = "expr",
+    pair_backend: str = "auto",
+    arrow_cell_threshold: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate marking driven by a coarse k-means/IVF partition of
@@ -641,20 +874,27 @@ def semantic_dedup(
 
     ``pair_backend`` picks the intra-cell scoring engine:
 
-    - ``"expr"`` (default): the pure-Column dot-product fold —
-      JVM-side, byte-stable left-to-right sums, the oracle-gated
-      path; pairs spread over the s² salt blocks for mega-cells.
-    - ``"arrow"``: per-cell blocked BLAS gemm via ``applyInPandas``
-      (measured ~10-100× faster on the pair stage at |cell| ≳ 10³ —
-      the 100 TB scale path; the fold evaluates higher-order
-      functions interpreted, one lambda step per vector element per
-      pair). Caveats: BLAS sums floats in a different order than the
+    - ``"auto"`` (default — the scale-safe path is no longer
+      opt-in): ONE eager count over the cell assignment picks
+      ``"arrow"`` when the largest cell reaches
+      ``arrow_cell_threshold`` rows (the measured regime where the
+      gemm kernel wins 10-100×), else ``"expr"``; with
+      ``cache=True`` the probe doubles as cache materialization.
+      Non-integral id columns always resolve to ``"expr"``.
+    - ``"expr"``: the pure-Column dot-product fold — JVM-side,
+      byte-stable left-to-right sums, the oracle-gated path; pairs
+      spread over the s² ordered salt blocks for mega-cells.
+    - ``"arrow"``: per-block blocked BLAS gemm via ``applyInPandas``
+      (requires an integral id column; the fold evaluates higher-
+      order functions interpreted, one lambda step per vector
+      element per pair). The salt guard applies here too — a
+      mega-cell decomposes into s(s+1)/2 unordered gemm blocks
+      (:func:`_salt_blocks`), so no cell is ever one straggler
+      task. Caveat: BLAS sums floats in a different order than the
       fold (scores within ~1e-12; a pair whose TRUE cosine sits
-      within float-sum error of ``eps`` can differ between
-      backends — threshold margins in practice dwarf this), and a
-      cell is ONE Arrow task (the salt guard does not subdivide it;
-      size ``n_cells`` so cells fit a task — the same rule as the
-      paper's K).
+      within float-sum error of ``eps`` can differ between backends
+      or between block decompositions — threshold margins in
+      practice dwarf this).
 
     Returns one row per input vector:
     ``(vec_id, cell, component, centroid_cos, keep)`` — ``keep`` is
@@ -706,87 +946,19 @@ def semantic_dedup(
         F.col("_a").getField("cid").alias("cell"),
         F.col("_a").getField("score").alias("_ccos"),
     )
-    if pair_backend not in ("expr", "arrow"):
-        raise ValueError(
-            f"semantic_dedup: unknown pair_backend {pair_backend!r}"
-        )
     if cache:
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_registry is not None:
             cache_registry.append(scored)
-    if pair_backend == "arrow":
-        sc = df.sparkSession.sparkContext
-        pairs = (
-            scored.select("cell", "vec_id", "e", "_nv")
-            .repartition(sc.defaultParallelism, "cell")
-            .groupBy("cell")
-            .applyInPandas(_arrow_cell_pairs(eps), "a long, b long")
-        )
-        return _semantic_label(scored, pairs)
-    # per-cell salt width: ONE count aggregate over the K-row cell
-    # space, broadcast back; s = 1 for every cell under the bound
-    cell_salt = scored.groupBy("cell").agg(
-        F.greatest(
-            F.least(
-                F.ceil(F.count(F.lit(1)) / F.lit(int(max_cell_rows))),
-                F.lit(int(max_salt)),
-            ),
-            F.lit(1),
-        )
-        .cast("int")
-        .alias("_s")
-    )
-    l = scored.select(
-        "cell",
-        F.col("vec_id").alias("a"),
-        F.col("e").alias("ea"),
-        F.col("_nv").alias("_na"),
-    )
-    r = scored.select(
-        "cell",
-        F.col("vec_id").alias("b"),
-        F.col("e").alias("eb"),
-        F.col("_nv").alias("_nb"),
-    )
-    # block decomposition: deterministic own-group via xxhash64 (the
-    # pair SET is invariant to the salt assignment, so any per-run-
-    # stable hash keeps results exact); replicate across the other
-    # side's s groups so ordered pair (a,b) lands in exactly block
-    # (ga(a), gb(b)) — once.
-    l = (
-        l.join(F.broadcast(cell_salt), "cell")
-        .withColumn(
-            "_ga",
-            F.pmod(F.xxhash64(F.col("a")), F.col("_s")).cast("int"),
-        )
-        .withColumn(
-            "_gb", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
-        )
-        .drop("_s")
-    )
-    r = (
-        r.join(F.broadcast(cell_salt), "cell")
-        .withColumn(
-            "_gb",
-            F.pmod(F.xxhash64(F.col("b")), F.col("_s")).cast("int"),
-        )
-        .withColumn(
-            "_ga", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
-        )
-        .drop("_s")
-    )
-    denom = F.col("_na") * F.col("_nb")
-    pscore = F.round(
-        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
-            F.lit(0.0)
-        ),
-        9,
-    )
-    pairs = (
-        l.join(r, ["cell", "_ga", "_gb"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(pscore >= eps)
-        .select("a", "b")
+    pairs = _pairs_within_cells(
+        scored.select("cell", "vec_id", "e", "_nv"),
+        eps,
+        pair_backend,
+        max_cell_rows,
+        max_salt,
+        arrow_cell_threshold,
+        _integral_id_ok(df, id_col),
+        "semantic_dedup",
     )
     return _semantic_label(scored, pairs)
 
@@ -798,7 +970,10 @@ def bucketed_cosine_pairs(
     vec_col: ColumnLike = "embedding",
     id_col: ColumnLike = "vec_id",
     seed: int = 7,
-    backend: str = "expr",
+    backend: str = "auto",
+    max_cell_rows: int = 1 << 16,
+    max_salt: int = 64,
+    arrow_cell_threshold: int = 4096,
 ) -> DataFrame:
     """Cosine-thresholded near-dup pairs via hyperplane-LSH buckets —
     the generic pair stage behind the `dedup_embedding_pairs` /
@@ -808,19 +983,34 @@ def bucketed_cosine_pairs(
     buckets stay join-friendly), keep 9-dp cosine ≥ ``eps``. Returns
     ``(a, b)`` with ``a < b``.
 
-    ``backend="arrow"`` scores each bucket with the blocked BLAS gemm
-    kernel (:func:`semantic_dedup`'s scale path — same float-sum
-    caveat, same identical-output expectation at practical margins);
-    the expression fold is the byte-stable default. Recall is the
-    single-table LSH recall — union pairs over several ``seed``s for
-    the multi-table boost, or use MinHash/:func:`semantic_dedup` for
-    the cell-partitioned variants."""
-    if backend not in ("expr", "arrow"):
+    The pair stage is :func:`semantic_dedup`'s shared scale-safe
+    engine (:func:`_pairs_within_cells`): ``backend="auto"`` picks
+    the blocked-gemm Arrow kernel when the largest bucket reaches
+    ``arrow_cell_threshold`` rows (integral ids only — non-integral
+    ids resolve to the expression fold; explicit ``"arrow"`` raises
+    on them), and buckets beyond ``max_cell_rows`` block-decompose
+    under the mega-bucket salt guard in BOTH backends (exact — the
+    pair set is invariant to the decomposition). Same float-sum
+    caveat as :func:`semantic_dedup` between backends at practical
+    margins. Recall is the single-table LSH recall — union pairs
+    over several ``seed``s for the multi-table boost, or use
+    MinHash/:func:`semantic_dedup` for the cell-partitioned
+    variants.
+
+    Note: dimensionality is inferred from the first non-NULL vector,
+    which (like the ``auto`` probe) runs a small EAGER job at
+    plan-build time."""
+    if backend not in ("auto", "expr", "arrow"):
         raise ValueError(
             f"bucketed_cosine_pairs: unknown backend {backend!r}"
         )
-    first = df.select(_col(vec_col)).first()
+    first = (
+        df.select(_col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .first()
+    )
     if first is None:
+        # empty corpus (or all-NULL vectors): typed empty pair set
         return df.limit(0).select(
             _col(id_col).alias("a"), _col(id_col).alias("b")
         )
@@ -830,38 +1020,15 @@ def bucketed_cosine_pairs(
     ).withColumn("_nv", norm(F.col("e"))).withColumn(
         "cell", hyperplane_bucket(F.col("e"), planes)
     )
-    if backend == "arrow":
-        sc = df.sparkSession.sparkContext
-        return (
-            base.select("cell", "vec_id", "e", "_nv")
-            .repartition(sc.defaultParallelism, "cell")
-            .groupBy("cell")
-            .applyInPandas(_arrow_cell_pairs(eps), "a long, b long")
-        )
-    l = base.select(
-        "cell",
-        F.col("vec_id").alias("a"),
-        F.col("e").alias("ea"),
-        F.col("_nv").alias("_na"),
-    )
-    r = base.select(
-        "cell",
-        F.col("vec_id").alias("b"),
-        F.col("e").alias("eb"),
-        F.col("_nv").alias("_nb"),
-    )
-    denom = F.col("_na") * F.col("_nb")
-    pscore = F.round(
-        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
-            F.lit(0.0)
-        ),
-        9,
-    )
-    return (
-        l.join(r, "cell")
-        .filter(F.col("a") < F.col("b"))
-        .filter(pscore >= eps)
-        .select("a", "b")
+    return _pairs_within_cells(
+        base.select("cell", "vec_id", "e", "_nv"),
+        eps,
+        backend,
+        max_cell_rows,
+        max_salt,
+        arrow_cell_threshold,
+        _integral_id_ok(df, id_col),
+        "bucketed_cosine_pairs",
     )
 
 
@@ -898,51 +1065,89 @@ def _semantic_label(scored: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _arrow_cell_hardest_positive(block: int = 2048):
-    """Per-cell kernel for ``contrastive_pairs(backend="arrow")``:
+def _arrow_block_hardest_positive(block: int = 2048):
+    """Per-BLOCK kernel for ``contrastive_pairs(backend="arrow")``:
     blocked gemm + per-anchor argmax (ties to the lowest candidate
     id — identical to the expression path's (score desc, id asc)
-    rank) instead of one interpreted fold per intra-cell pair."""
+    rank) instead of one interpreted fold per intra-cell pair.
+    Under the salt guard an anchor's candidates spread across its
+    blocks, so the kernel emits a per-block PARTIAL best (9-dp
+    score) and the caller reduces per anchor with the same
+    (score desc, id asc) ordering — exact: each candidate is scored
+    in exactly one block. Diagonal blocks score all-vs-all minus
+    self; off-diagonal blocks score both cross directions."""
     import numpy as np
     import pandas as pd
 
-    def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(dtype="int64"),
-                    "pos_id": pd.Series(dtype="int64"),
-                    "pos_cos": pd.Series(dtype="float64"),
-                }
-            )
-        X = np.stack(pdf["e"].to_numpy()).astype(np.float64)
-        nv = pdf["_nv"].to_numpy().astype(np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        Xn = np.divide(
-            X, nv[:, None], out=np.zeros_like(X), where=nv[:, None] > 0
-        )
-        out_id, out_pos, out_cos = [], [], []
-        sentinel = ids.max() + 1
-        for s0 in range(0, m, block):
-            S = np.round(Xn[s0 : s0 + block] @ Xn.T, 9)
-            rows = np.arange(S.shape[0])
-            S[rows, rows + s0] = -np.inf  # exclude self
+    empty = {
+        "vec_id": pd.Series(dtype="int64"),
+        "pos_id": pd.Series(dtype="int64"),
+        "pos_cos": pd.Series(dtype="float64"),
+    }
+
+    def run(Xa, ida, Xb, idb, self_pair, out):
+        sentinel = idb.max() + 1
+        for s0 in range(0, len(ida), block):
+            S = np.round(Xa[s0 : s0 + block] @ Xb.T, 9)
+            if self_pair:
+                rows = np.arange(S.shape[0])
+                S[rows, rows + s0] = -np.inf  # exclude self
             best = S.max(axis=1)
-            cand = np.where(S == best[:, None], ids[None, :], sentinel)
+            cand = np.where(S == best[:, None], idb[None, :], sentinel)
             pos = cand.min(axis=1)
-            out_id.append(ids[s0 : s0 + block])
-            out_pos.append(pos)
-            out_cos.append(np.round(best, 6))
+            keep = best > -np.inf  # anchors with >=1 candidate
+            out[0].append(ida[s0 : s0 + block][keep])
+            out[1].append(pos[keep])
+            out[2].append(best[keep])
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        p = int(pdf["_bp"].iloc[0])
+        q = int(pdf["_bq"].iloc[0])
+        out: tuple = ([], [], [])
+        if p == q:
+            Xa, ida = _norm_rows(pdf)
+            run(Xa, ida, Xa, ida, True, out)
+        else:
+            A = pdf[pdf["_g"] == p]
+            B = pdf[pdf["_g"] == q]
+            if not len(A) or not len(B):
+                return pd.DataFrame(empty)
+            Xa, ida = _norm_rows(A)
+            Xb, idb = _norm_rows(B)
+            run(Xa, ida, Xb, idb, False, out)
+            run(Xb, idb, Xa, ida, False, out)
+        if not out[0]:
+            return pd.DataFrame(empty)
         return pd.DataFrame(
             {
-                "vec_id": np.concatenate(out_id),
-                "pos_id": np.concatenate(out_pos),
-                "pos_cos": np.concatenate(out_cos),
+                "vec_id": np.concatenate(out[0]),
+                "pos_id": np.concatenate(out[1]),
+                "pos_cos": np.concatenate(out[2]),
             }
         )
 
     return f
+
+
+def _reduce_hardest_positive(partial: DataFrame) -> DataFrame:
+    """Reduce per-block partial bests to the global per-anchor best
+    with the expression path's exact ordering: score desc (9-dp),
+    ties to the LOWEST candidate id; display-round to 6 dp last."""
+    best = F.max_by(
+        F.struct("pos_id", "pos_cos"),
+        F.struct(F.col("pos_cos"), -F.col("pos_id")),
+    )
+    return (
+        partial.groupBy("vec_id")
+        .agg(best.alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.pos_id").alias("pos_id"),
+            F.round(F.col("_b.pos_cos"), 6).alias("pos_cos"),
+        )
+    )
 
 
 def contrastive_pairs(
@@ -952,8 +1157,11 @@ def contrastive_pairs(
     id_col: ColumnLike = "vec_id",
     centroids: list[list[float]] | None = None,
     seed: int = 7,
-    backend: str = "expr",
+    backend: str = "auto",
     cache_registry: list | None = None,
+    max_cell_rows: int = 1 << 16,
+    max_salt: int = 64,
+    arrow_cell_threshold: int = 4096,
 ) -> DataFrame:
     """Contrastive training-pair mining over an embedding corpus:
     for every vector, its HARDEST in-cell positive (the nearest
@@ -972,12 +1180,23 @@ def contrastive_pairs(
     over cells differing from the first winner) broadcast back — no
     corpus-scale randomness join.
 
-    ``backend="arrow"`` mines positives with a per-cell blocked BLAS
-    gemm + vectorized argmax (ties to lowest id, identical rank
-    semantics) instead of the interpreted per-pair fold — the same
-    scale lever as ``semantic_dedup(pair_backend="arrow")``; requires
-    an integral id column, and the expression path stays the
-    oracle-gated default.
+    ``backend="auto"`` (default) resolves exactly like
+    :func:`semantic_dedup`: one eager count over the cell assignment
+    picks the blocked-gemm Arrow kernel when the largest cell
+    reaches ``arrow_cell_threshold`` rows (integral ids only), else
+    the byte-stable expression fold — and the mega-cell salt guard
+    (``max_cell_rows`` / ``max_salt``) block-decomposes oversized
+    cells in BOTH backends (exact: every (anchor, candidate) pair
+    scores in one block; partial per-block argmaxes reduce with the
+    same (score desc, id asc) ordering).
+
+    Degenerate-mining caveats (both emit valid rows, not errors):
+    singleton cells yield ``pos_id``/``pos_cos`` NULL (no in-cell
+    candidate), and if EVERY vector lands in one cell there is no
+    "other cell" to draw from, so ``neg_id`` is NULL for all rows —
+    downstream training-pair consumers should treat NULL
+    ``neg_id``/``pos_id`` as "mining degenerated here" (refine
+    centroids or raise ``n_cells``) rather than as usable triples.
 
     Reference anchor: no analog; LLM-pipeline extension surface
     (BASELINE.json north_star)."""
@@ -1017,31 +1236,67 @@ def contrastive_pairs(
         # persisted assignment lives until session end unless the
         # caller unpersists it through this handle
         cache_registry.append(assigned)
-    if backend not in ("expr", "arrow"):
-        raise ValueError(f"contrastive_pairs: unknown backend {backend!r}")
+    scored = assigned.select("cell", "vec_id", "e", "_nv")
+    backend = _resolve_pair_backend(
+        scored,
+        backend,
+        arrow_cell_threshold,
+        _integral_id_ok(df, id_col),
+        "contrastive_pairs",
+    )
+    salt = _cell_salt_widths(scored, max_cell_rows, max_salt)
     if backend == "arrow":
+        _require_integral_id(scored, "vec_id", "contrastive_pairs")
         sc = df.sparkSession.sparkContext
-        pos = (
-            assigned.select("cell", "vec_id", "e", "_nv")
-            .repartition(sc.defaultParallelism, "cell")
-            .groupBy("cell")
+        partial = (
+            _salt_blocks(scored, salt)
+            .repartition(sc.defaultParallelism, "cell", "_bp", "_bq")
+            .groupBy("cell", "_bp", "_bq")
             .applyInPandas(
-                _arrow_cell_hardest_positive(),
+                _arrow_block_hardest_positive(),
                 "vec_id long, pos_id long, pos_cos double",
             )
         )
-        return _contrastive_negatives(assigned, pos, seed)
-    l = assigned.select(
-        "cell",
-        F.col("vec_id").alias("anchor"),
-        F.col("e").alias("ea"),
-        F.col("_nv").alias("_na"),
+        return _contrastive_negatives(
+            assigned, _reduce_hardest_positive(partial), seed
+        )
+    # expr path: ORDERED salt blocks — every ordered (anchor, cand)
+    # pair lands in exactly block (ga(anchor), gb(cand)), so the
+    # per-anchor (score desc, id asc) rank sees each candidate once;
+    # s = 1 cells keep the plain single-block cell join.
+    l = (
+        assigned.select(
+            "cell",
+            F.col("vec_id").alias("anchor"),
+            F.col("e").alias("ea"),
+            F.col("_nv").alias("_na"),
+        )
+        .join(F.broadcast(salt), "cell")
+        .withColumn(
+            "_ga",
+            F.pmod(F.xxhash64(F.col("anchor")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_gb", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
     )
-    r = assigned.select(
-        "cell",
-        F.col("vec_id").alias("cand"),
-        F.col("e").alias("eb"),
-        F.col("_nv").alias("_nb"),
+    r = (
+        assigned.select(
+            "cell",
+            F.col("vec_id").alias("cand"),
+            F.col("e").alias("eb"),
+            F.col("_nv").alias("_nb"),
+        )
+        .join(F.broadcast(salt), "cell")
+        .withColumn(
+            "_gb",
+            F.pmod(F.xxhash64(F.col("cand")), F.col("_s")).cast("int"),
+        )
+        .withColumn(
+            "_ga", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+        )
+        .drop("_s")
     )
     denom = F.col("_na") * F.col("_nb")
     pcos = F.round(
@@ -1054,7 +1309,7 @@ def contrastive_pairs(
         F.col("_pc").desc(), F.col("cand").asc()
     )
     pos = (
-        l.join(r, "cell")
+        l.join(r, ["cell", "_ga", "_gb"])
         .filter(F.col("anchor") != F.col("cand"))
         .select("anchor", "cand", pcos.alias("_pc"))
         .withColumn("_rn", F.row_number().over(w))

@@ -712,6 +712,16 @@ def importance_resample(
     shuffle of the data itself. Negative/NULL weights are dropped
     (weight 0 never admits).
 
+    Overflow safety (the 100 TB regime): ``Σw_nano`` accumulates in
+    ``decimal(38,0)`` and ``n·w_nano`` multiplies in decimal — both
+    exact to 1e38, i.e. valid while ``Σw < 1e29`` and
+    ``n·w_row < 1e29`` (e.g. 1e13 rows of 1e9-char docs is 1e31
+    nano — still 7 orders under the cap on the per-row product and
+    the mirror DuckDB oracle sums in HUGEINT). A BIGINT sum would
+    wrap silently (non-ANSI) or throw (ANSI) at ~9.2e18 nano ≈
+    Σw 9.2e9 — reachable with count-like weights at trillion-row
+    scale.
+
     ``keep_name=None`` filters; a string instead ADDS the 0/1 flag
     (audit mode — every row kept, the curation-ledger companion).
 
@@ -720,11 +730,14 @@ def importance_resample(
     """
     if n <= 0:
         raise ValueError("importance_resample: n must be positive")
-    w_nano = F.when(
+    # per-row nano weight in decimal(28,0) — a long would overflow at
+    # w >= ~9.2e9 per row; decimal is exact to 1e28 nano (w < 1e19)
+    w_nano_dec = F.when(
         _col(weight).isNotNull() & (_col(weight) > 0),
-        F.round(_col(weight).cast("double") * 1e9).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    tot = df.agg(F.sum(w_nano).alias("_wtot"))
+        F.round(_col(weight).cast("double") * 1e9).cast("decimal(28,0)"),
+    ).otherwise(F.lit(0).cast("decimal(28,0)"))
+    # sum(decimal(28,0)) widens to decimal(38,0) — exact to 1e38
+    tot = df.agg(F.sum(w_nano_dec).alias("_wtot"))
     u = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))),
@@ -734,12 +747,12 @@ def importance_resample(
         16,
         10,
     ).cast("long") / F.lit(float(1 << 32))
-    # u * Σw_nano < n * w_nano — both sides one exact-input IEEE
-    # multiply (n*w_nano is an exact BIGINT product while w stays
-    # under ~9e9; the comparison is then engine-exact)
+    # u * Σw_nano < n * w_nano — the products are exact (decimal),
+    # each side then takes ONE correctly-rounded double conversion/
+    # multiply, so the comparison is engine-exact (no libm)
     keep = (
         (u * F.col("_wtot").cast("double"))
-        < (F.lit(int(n)).cast("long") * w_nano).cast("double")
+        < (F.lit(int(n)).cast("decimal(10,0)") * w_nano_dec).cast("double")
     ).cast("int")
     out = df.crossJoin(F.broadcast(tot))
     if keep_name is None:

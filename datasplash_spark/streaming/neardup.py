@@ -270,6 +270,9 @@ def semantic_admitter(
                     vec_col=vec_col,
                     id_col=id_col,
                     centroids=cents,
+                    # micro-batches are admission-bounded: skip the
+                    # auto-probe's extra per-batch count job
+                    pair_backend="expr",
                 )
                 .filter(F.col("keep") == 1)
                 .select("vec_id")

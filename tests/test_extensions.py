@@ -1995,3 +1995,112 @@ def test_bucketed_cosine_pairs_backends_agree(spark):
 
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert sim.bucketed_cosine_pairs(empty, eps=0.5).count() == 0
+
+
+def test_arrow_backend_salted_blocks_exact(spark):
+    """Round-6 scale-safe defaults: the Arrow gemm backend must go
+    through the SAME mega-cell block decomposition as the expression
+    fold (a mega-cell is never one Arrow straggler task) and still
+    return the identical result — pairs (semantic_dedup) AND
+    per-anchor argmax positives (contrastive_pairs) are invariant to
+    the block split on clear-margin data."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(90):  # one near-identical mega-cluster
+        rows.append(
+            (i, [1.0 + rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)])
+        )
+    for i in range(90, 120):
+        rows.append((i, [rng.uniform(-1, 1), rng.uniform(-1, 1)]))
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    cents = sim.ivf_centroids(df, 4)
+
+    base = sorted(
+        sim.semantic_dedup(
+            df, eps=0.99, centroids=cents, pair_backend="arrow",
+            max_cell_rows=1 << 30,
+        ).collect()
+    )
+    salted = sorted(
+        sim.semantic_dedup(
+            df, eps=0.99, centroids=cents, pair_backend="arrow",
+            max_cell_rows=16, max_salt=8,
+        ).collect()
+    )
+    assert salted == base
+    assert sum(r.keep for r in salted) < len(rows)
+
+    cp = lambda **kw: sorted(
+        map(
+            tuple,
+            sim.contrastive_pairs(
+                df, centroids=cents, backend="arrow", **kw
+            ).collect(),
+        )
+    )
+    assert cp(max_cell_rows=16, max_salt=8) == cp(max_cell_rows=1 << 30)
+
+
+def test_auto_backend_resolution_and_id_validation(spark):
+    """backend='auto' picks expr under the cell-size threshold and
+    arrow above it (results identical either way on clear margins);
+    explicit arrow with a non-integral id raises a clear ValueError
+    while auto silently stays on the expr fold."""
+    import random
+
+    rng = random.Random(29)
+    rows = [
+        (i, [1.0 + rng.uniform(-0.02, 0.02), rng.uniform(-0.02, 0.02)])
+        for i in range(40)
+    ]
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    lo = sorted(
+        sim.semantic_dedup(
+            df, eps=0.999, centroids=cents, arrow_cell_threshold=10 ** 6
+        ).collect()
+    )
+    hi = sorted(
+        sim.semantic_dedup(
+            df, eps=0.999, centroids=cents, arrow_cell_threshold=2
+        ).collect()
+    )
+    assert lo == hi and sum(r.keep for r in lo) < len(rows)
+
+    sdf = df.select(
+        F.concat(F.lit("id-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        sim.semantic_dedup(
+            sdf, centroids=cents, pair_backend="arrow"
+        ).collect()
+    with pytest.raises(ValueError, match="integral id"):
+        sim.bucketed_cosine_pairs(
+            sdf, eps=0.5, bits=2, backend="arrow"
+        ).collect()
+    with pytest.raises(ValueError, match="integral id"):
+        sim.contrastive_pairs(sdf, centroids=cents, backend="arrow").collect()
+    # auto with string ids: resolves to expr, runs fine
+    assert sim.semantic_dedup(
+        sdf, centroids=cents, arrow_cell_threshold=2
+    ).count() == len(rows)
+
+
+def test_bucketed_cosine_pairs_null_first_vector(spark):
+    """A NULL vector in the first row must not break dimensionality
+    inference (dim comes from the first NON-NULL vector); NULL-vector
+    rows simply never pair. All-NULL input returns an empty typed
+    pair set instead of raising."""
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.001])]
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    got = sorted(
+        (r.a, r.b)
+        for r in sim.bucketed_cosine_pairs(df, eps=0.99, bits=2).collect()
+    )
+    assert got == [(1, 2)]
+    allnull = generate_input(
+        spark, [(0, None), (1, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert sim.bucketed_cosine_pairs(allnull, eps=0.5).count() == 0

@@ -625,3 +625,29 @@ def test_importance_resample_monotone_in_n(spark):
         ops.importance_resample(df, 0, "w", "id")
     with _pt.raises(ValueError):
         ops.weighted_sample(df, -1, "w", "id")
+
+
+def test_importance_resample_huge_weights_no_overflow(spark):
+    """ADVICE r5: Σ(w·1e9) beyond BIGINT (9.2e18) must not wrap or
+    throw — the nano sum accumulates in decimal(38,0). 200 rows of
+    w = 1e8 give Σnano = 2e19 > 2^63; every row's p = n·w/Σw = 1
+    here (uniform weights, n = 200 = rows), so ALL rows admit — a
+    wrapped (negative) Σ would admit none."""
+    from datasplash_spark.sources import generate_input
+
+    df = generate_input(
+        spark,
+        [(i, 1.0e8) for i in range(200)],
+        "id bigint, w double",
+    )
+    got = ops.importance_resample(df, 200, "w", "id").count()
+    assert got == 200
+    # and a skewed variant keeps proportionality with huge weights:
+    # one row at 199·1e8 + 199 rows at ~0 weight relative share
+    df2 = generate_input(
+        spark,
+        [(0, 199.0e8)] + [(i, 1.0e8) for i in range(1, 200)],
+        "id bigint, w double",
+    )
+    kept = {r.id for r in ops.importance_resample(df2, 2, "w", "id").collect()}
+    assert 0 in kept  # p_0 = 2*199e8/398e8 = 1 -> always admitted
