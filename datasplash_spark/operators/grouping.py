@@ -760,6 +760,60 @@ def importance_resample(
     return out.select("*", keep.alias(keep_name)).drop("_wtot")
 
 
+#: atanh-series coefficients 1/3, 1/5, … 1/13 as decimal literals —
+#: both engines parse the identical literal to the identical double,
+#: so the polynomial is a fixed sequence of correctly-rounded IEEE
+#: mul/adds (deterministic across engines, unlike libm log())
+_LN_C = (
+    "0.3333333333333333",
+    "0.2",
+    "0.14285714285714285",
+    "0.1111111111111111",
+    "0.09090909090909091",
+    "0.07692307692307693",
+)
+_LN2 = "0.6931471805599453"
+
+
+def _det_ln_u(id_col, seed: int):
+    """Engine-exact ``ln(u)`` for the md5-rational uniform
+    ``u = m / 2^32`` (``m`` = first 8 md5 hex digits of seed‖id,
+    clamped to ≥ 1): decompose ``m = t · 2^(b-1)`` with
+    ``b = len(bin(m))`` and ``t ∈ [1, 2)``, then
+    ``ln u = atanh-series(t) + (b - 33)·ln2`` — series
+    ``2z(1 + c₃s + c₅s² + …)``, ``z = (t-1)/(t+1)``, ``s = z²``,
+    truncated after z¹³ (|error| < 1e-8, identical in every IEEE
+    engine: only correctly-rounded +,-,*,/ on identical literals —
+    the :func:`importance_resample` no-libm construction applied to
+    the log). Exact SQL mirror in ``queries.ORACLE_WEIGHTED_SAMPLE_DET``."""
+    m = F.greatest(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    b = F.length(F.bin(m))
+    # 2^(b-1) built exactly as the binary string '1' + (b-1)·'0'
+    # (PySpark's shiftleft takes only literal shift amounts)
+    pow2 = F.conv(
+        F.concat(F.lit("1"), F.repeat(F.lit("0"), b - 1)), 2, 10
+    ).cast("double")
+    t = m.cast("double") / pow2
+    z = (t - F.lit(1.0)) / (t + F.lit(1.0))
+    s = z * z
+    poly = F.lit(float(_LN_C[-1]))
+    for c in reversed(_LN_C[:-1]):
+        poly = F.lit(float(c)) + s * poly
+    ln_t = F.lit(2.0) * z * (F.lit(1.0) + s * poly)
+    return ln_t + (b - F.lit(33)).cast("double") * F.lit(float(_LN2))
+
+
 def weighted_sample(
     df: DataFrame,
     n: int,
@@ -767,6 +821,7 @@ def weighted_sample(
     id_col: ColumnLike,
     seed: int = 42,
     key: ColumnLike | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Exact-size weighted sample WITHOUT replacement (Efraimidis &
     Spirakis 2006): every row draws ``key = ln(u)/w`` with the
@@ -776,11 +831,15 @@ def weighted_sample(
     driver merge of n·#partitions candidates), the same no-total-sort
     shape as :func:`sample` — never a global sort.
 
-    Cross-engine caveat (why the gated corpus query is
-    :func:`importance_resample`, not this): ``ln`` is libm — Spark
+    Cross-engine caveat of the default mode: ``ln`` is libm — Spark
     and another engine may disagree in the last ulp, which can swap
     rows whose keys collide to ~1e-15. Within ONE engine the draw is
     fully deterministic and reproducible (partitioning-independent).
+    ``deterministic=True`` swaps libm ``ln`` for the engine-exact
+    atanh-series log (:func:`_det_ln_u` — correctly-rounded IEEE
+    arithmetic only, ~1e-8 from true ln, statistically negligible),
+    making the draw bit-identical across engines — the oracle-gated
+    mode (`weighted_sample_det` corpus query, global + per-key).
     Rows with NULL/non-positive weight never win. Ties break by id.
 
     ``key=`` switches to a per-key draw (``n`` winners per key): a
@@ -790,21 +849,28 @@ def weighted_sample(
     """
     if n <= 0:
         raise ValueError("weighted_sample: n must be positive")
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(str(seed)), _col(id_col).cast("string"))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") / F.lit(float(1 << 32))
-    # guard u=0 (ln(0) = -inf is fine for ordering, but NULL weights
-    # must lose): es_key = ln(u)/w, larger is better; w <= 0 -> NULL
-    # key sorts last under desc_nulls_last below
+    if deterministic:
+        ln_u = _det_ln_u(id_col, seed)
+    else:
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(str(seed)), _col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(float(1 << 32))
+        # guard u=0 (ln(0) = -inf is fine for ordering, but NULL
+        # weights must lose)
+        ln_u = F.log(F.greatest(u, F.lit(2.0 ** -33)))
+    # es_key = ln(u)/w, larger is better; w <= 0 -> NULL key sorts
+    # last under desc_nulls_last below
     es_key = F.when(
         _col(weight).isNotNull() & (_col(weight) > 0),
-        F.log(F.greatest(u, F.lit(2.0 ** -33))) / _col(weight).cast("double"),
+        ln_u / _col(weight).cast("double"),
     )
     if key is not None:
         w = Window.partitionBy(_col(key)).orderBy(

@@ -996,6 +996,88 @@ WHERE u * CAST(wtot AS DOUBLE) < CAST(200 * w_nano AS DOUBLE)
 """
 
 
+def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement in
+    engine-exact deterministic mode: es_key = ln(u)/w with the
+    atanh-series log (correctly-rounded IEEE arithmetic only — no
+    libm; bit-identical across engines, see
+    operators/grouping.py _det_ln_u). Exercises BOTH physical
+    shapes: the global draw (TakeOrderedAndProject top-20 by
+    n_chars weight) and the per-key draw (top-3 per lang via the
+    WindowGroupLimit rank — the quota_per_key shape, weight-
+    biased)."""
+    from .operators import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    g = weighted_sample(
+        docs, 20, "n_chars", "doc_id", seed=11, deterministic=True
+    ).select(F.lit("global").alias("scope"), "doc_id", "n_chars")
+    p = weighted_sample(
+        docs, 3, "n_chars", "doc_id", seed=11, key="lang",
+        deterministic=True,
+    ).select(F.col("lang").alias("scope"), "doc_id", "n_chars")
+    return g.unionByName(p)
+
+
+#: shared fragment: the engine-exact ln(u) (atanh series over the
+#: md5-rational uniform) — the EXACT SQL mirror of _det_ln_u; the
+#: decimal literals must stay bit-identical to _LN_C/_LN2
+_SQL_DET_LNU = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         greatest(CAST('0x' || substr(md5('11' || doc_id::VARCHAR), 1, 8)
+                       AS BIGINT), 1) AS m
+  FROM documents
+), kk AS (
+  SELECT doc_id, lang, n_chars, length(bin(m)) AS b,
+         CAST(m AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << (length(bin(m)) - 1) AS DOUBLE) AS t
+  FROM h
+), zz AS (
+  SELECT doc_id, lang, n_chars, b,
+         (t - 1.0) / (t + 1.0) AS z,
+         ((t - 1.0) / (t + 1.0)) * ((t - 1.0) / (t + 1.0)) AS s
+  FROM kk
+), lnu AS (
+  SELECT doc_id, lang, n_chars,
+         2.0 * z * (1.0 + s * (0.3333333333333333 + s * (0.2
+           + s * (0.14285714285714285 + s * (0.1111111111111111
+           + s * (0.09090909090909091 + s * 0.07692307692307693))))))
+         + CAST(b - 33 AS DOUBLE) * 0.6931471805599453 AS ln_u
+  FROM zz
+), keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN n_chars IS NOT NULL AND n_chars > 0
+              THEN ln_u / CAST(n_chars AS DOUBLE) END AS es_key
+  FROM lnu
+)
+"""
+
+ORACLE_WEIGHTED_SAMPLE_DET = (
+    _SQL_DET_LNU
+    + """
+SELECT 'global' AS scope, doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars
+  FROM keyed
+  ORDER BY es_key DESC NULLS LAST, doc_id
+  LIMIT 20
+)
+UNION ALL
+SELECT lang AS scope, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY es_key DESC NULLS LAST, doc_id
+         ) AS rn
+  FROM keyed
+)
+WHERE rn <= 3
+"""
+)
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: PMI of adjacent token pairs with
     count >= 5 (the multi-word-expression signal). One tokenize pass
@@ -3783,6 +3865,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
         ORACLE_IMPORTANCE_RESAMPLE,
     ),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
+    "weighted_sample_det": (q_weighted_sample_det, ORACLE_WEIGHTED_SAMPLE_DET),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
@@ -3888,14 +3971,15 @@ _WINDOW_R6: list[str] = [
     "skew_report",
     "cohort_retention",
     "bm25_multi",
-    # block 2 — implementation changed round 6, re-gate:
+    # block 2 — new in round 6 / implementation changed, gate now:
+    "weighted_sample_det",
     "semantic_dedup",
-    # block 3 — r4-green, stalest:
+    # block 3 — r4-green, stalest (mapcat_tokens spilled to round 7
+    # to hold the window at 50):
     "join_required",
     "join_optional",
     "join_multiway",
     "cogroup_counts",
-    "mapcat_tokens",
     "sample_global_det",
     "sample_per_key_det",
     "window_fixed",
@@ -3935,6 +4019,7 @@ _WINDOW_R6: list[str] = [
 
 _AFTER_WINDOW_R6: list[str] = [
     # r4-green spill (pytest + tripwire-covered; lead round 7):
+    "mapcat_tokens",
     "distinct",
     "distinct_by",
     "partition_by",

@@ -651,3 +651,61 @@ def test_importance_resample_huge_weights_no_overflow(spark):
     )
     kept = {r.id for r in ops.importance_resample(df2, 2, "w", "id").collect()}
     assert 0 in kept  # p_0 = 2*199e8/398e8 = 1 -> always admitted
+
+
+def test_weighted_sample_deterministic_mode(spark):
+    """deterministic=True: the es_key uses the engine-exact atanh-
+    series log — pure-Python reimplementation of the series (same
+    literal coefficients, same op order) must select the identical
+    winners; and the selection approximates the libm draw (the
+    series is within ~1e-8 of true ln, so winners rarely differ)."""
+    import hashlib
+
+    from datasplash_spark.sources import generate_input
+
+    rows = [(i, float((i * 37) % 101 + 1)) for i in range(1, 401)]
+    df = generate_input(spark, rows, "id bigint, w double")
+
+    def py_key(i, w, seed=42):
+        m = int(hashlib.md5(f"{seed}{i}".encode()).hexdigest()[:8], 16)
+        m = max(m, 1)
+        b = m.bit_length()
+        t = float(m) / float(1 << (b - 1))
+        z = (t - 1.0) / (t + 1.0)
+        s = z * z
+        cs = [0.3333333333333333, 0.2, 0.14285714285714285,
+              0.1111111111111111, 0.09090909090909091,
+              0.07692307692307693]
+        poly = cs[-1]
+        for c in reversed(cs[:-1]):
+            poly = c + s * poly
+        ln_t = 2.0 * z * (1.0 + s * poly)
+        ln_u = ln_t + float(b - 33) * 0.6931471805599453
+        return ln_u / w
+
+    expect = {
+        i
+        for i, _ in sorted(
+            ((i, py_key(i, w)) for i, w in rows),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:50]
+    }
+    got = {
+        r.id
+        for r in ops.weighted_sample(
+            df, 50, "w", "id", deterministic=True
+        ).collect()
+    }
+    assert got == expect
+    libm = {r.id for r in ops.weighted_sample(df, 50, "w", "id").collect()}
+    assert len(got & libm) >= 48  # series ≈ ln: near-identical draw
+
+    # per-key deterministic draw: 2 winners per bucket of 4 keys
+    kdf = df.withColumn("k", F.pmod(F.col("id"), F.lit(4)))
+    per = ops.weighted_sample(
+        kdf, 2, "w", "id", key="k", deterministic=True
+    ).collect()
+    assert len(per) == 8
+    from collections import Counter
+
+    assert set(Counter(r.k for r in per).values()) == {2}
