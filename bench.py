@@ -216,18 +216,37 @@ def main() -> int:
 
     # a partially-failing run must not read as a faster full run:
     # failures are named, and the headline value is poisoned
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_wall",
-                "value": round(total, 3) if not failed else -1.0,
-                "unit": "sec",
-                "queries": timings,
-                "failed": failed,
-                "sf": sf_num,
-            }
-        )
-    )
+    payload = {
+        "metric": "corpus_wall",
+        "value": round(total, 3) if not failed else -1.0,
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "sf": sf_num,
+    }
+    # Persist the FULL per-query timings to a round-stamped local
+    # artifact (VERDICT r5 item 3: the driver's tail capture
+    # truncated ~30 of the printed timings in r4 AND r5 — the
+    # printed line stays the full driver contract, the file is the
+    # loss-proof history). Round = 1 + highest driver-recorded
+    # BENCH_rNN.json in the repo root.
+    try:
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
+        local = os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json")
+        with open(local, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"# full timings -> {local}", file=sys.stderr)
+    except Exception as e:  # the artifact must never fail the bench
+        print(f"# local artifact warning: {e}", file=sys.stderr)
+    print(json.dumps(payload))
     spark.stop()
     return 0
 

@@ -53,16 +53,24 @@ def _hash(df: pd.DataFrame) -> int:
     return int(pd.util.hash_pandas_object(pd.DataFrame(out), index=False).sum())
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = make_session(PipelineOptions(app_name="gate-sim"))
+def oracle_views(sf_dir: str):
+    """A DuckDB connection with the testdata tables registered as
+    views — the driver's oracle side."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
 
+
+def run_gate(spark, con, sf_dir: str, only=None, echo=print) -> list:
+    """Run the driver-faithful comparison over the registry (or the
+    ``only`` subset); returns the list of failing query names.
+    Importable — the out-of-window tripwire test
+    (tests/test_gate_all.py) runs this under plain pytest so a
+    regression in a query outside the driver's 50-entry window
+    fails CI immediately instead of two rounds later."""
     failures = []
     for name, (fn, sql) in Q.REGISTRY.items():
         if only and name not in only:
@@ -71,20 +79,20 @@ def main() -> int:
         try:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"ERR  {name}: spark: {type(e).__name__}: {e}")
+            echo(f"ERR  {name}: spark: {type(e).__name__}: {e}")
             failures.append(name)
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+            echo(f"ok   {name}: rows-only ({len(spdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.sql(sql).df()
         except Exception as e:
-            print(f"ERR  {name}: duckdb: {type(e).__name__}: {e}")
+            echo(f"ERR  {name}: duckdb: {type(e).__name__}: {e}")
             failures.append(name)
             continue
         if sorted(spdf.columns) != sorted(odf.columns):
-            print(
+            echo(
                 f"FAIL {name}: columns spark={sorted(spdf.columns)}"
                 f" oracle={sorted(odf.columns)}"
             )
@@ -93,7 +101,7 @@ def main() -> int:
         try:
             sc, oc = _canon(spdf), _canon(odf)
         except TypeError as e:
-            print(f"ERR  {name}: canonicalize: {e}  (unhashable cell?)")
+            echo(f"ERR  {name}: canonicalize: {e}  (unhashable cell?)")
             failures.append(name)
             continue
         rows_ok = len(sc) == len(oc)
@@ -108,12 +116,12 @@ def main() -> int:
         try:
             hash_ok = rows_ok and _hash(sc) == _hash(oc)
         except TypeError as e:
-            print(f"ERR  {name}: hash: {e}")
+            echo(f"ERR  {name}: hash: {e}")
             failures.append(name)
             continue
         if rows_ok and hash_ok:
             note = f"  [dtype note: {dtype_mismatch}]" if dtype_mismatch else ""
-            print(f"PASS {name} ({len(sc)} rows, {time.time()-t0:.1f}s){note}")
+            echo(f"PASS {name} ({len(sc)} rows, {time.time()-t0:.1f}s){note}")
         else:
             why = []
             if not rows_ok:
@@ -125,8 +133,16 @@ def main() -> int:
                 why.append(
                     f"hash mismatch; first diffs:\n{neq.head(5) if neq is not None else '?'}"
                 )
-            print(f"FAIL {name}: " + "; ".join(why))
+            echo(f"FAIL {name}: " + "; ".join(why))
             failures.append(name)
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = make_session(PipelineOptions(app_name="gate-sim"))
+    failures = run_gate(spark, oracle_views(sf_dir), sf_dir, only)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0

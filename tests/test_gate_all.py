@@ -1,0 +1,48 @@
+"""Out-of-window regression tripwire (VERDICT r5 item 7).
+
+The external driver gates only the FIRST 50 registry entries per
+round, so a regression in an out-of-window query would otherwise go
+unseen for up to two rounds. This test runs the driver-faithful
+comparison (scripts/gate_sim.run_gate — dtype-sensitive canonical
+hash, the same pipeline the driver uses) over EVERY oracle-paired
+registry query at sf0.01 inside plain ``pytest tests/``, so any
+oracle mismatch fails CI immediately.
+
+Set ``SPARK_GRAFT_SKIP_GATE=1`` to skip during quick local
+iteration (the driver and CI never set it).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+if _SCRIPTS not in sys.path:
+    sys.path.insert(0, _SCRIPTS)
+
+GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_GATE") == "1",
+    reason="explicitly skipped for quick local iteration",
+)
+@pytest.mark.skipif(
+    not os.path.isdir(GATE_SF_DIR), reason="gate testdata not present"
+)
+def test_every_oracle_paired_query_matches_duckdb(spark):
+    from gate_sim import oracle_views, run_gate
+
+    lines: list[str] = []
+    failures = run_gate(
+        spark, oracle_views(GATE_SF_DIR), GATE_SF_DIR, echo=lines.append
+    )
+    detail = "\n".join(
+        l for l in lines if l.startswith(("FAIL", "ERR"))
+    )
+    assert failures == [], f"gate regressions: {failures}\n{detail}"
