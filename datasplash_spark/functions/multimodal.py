@@ -5,13 +5,16 @@ Design for 100 TB: media bytes ride in a ``binary`` column next to a
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` stages so bytes stream through
 workers without driver involvement, and the *metadata* (small) is
-what shuffles. The image/audio codec libraries are NOT in this
-container (environment contract), so the decode kernels are stubbed:
-:func:`decode_image` raises ``NotImplementedError`` where a real
-codec would run, while :func:`media_features` uses a deterministic
-byte-level extractor so the full Spark plumbing — schema, batch
-shape, partitioning — is real and testable (and oracle-checkable:
-byte length + a rolling byte checksum are engine-independent).
+what shuffles. No image/audio codec LIBRARIES exist in this
+container (environment contract), but since round 6 the image path
+is REAL without them: :func:`decode_image` decodes PNG (stdlib
+zlib, all five scanline filters) and binary PNM end-to-end, with
+:func:`resize_nearest` + :func:`encode_png` completing the resize
+stage; formats that genuinely need a codec library (JPEG/video/
+audio) plug into the same kernel slots. :func:`media_features`
+additionally keeps a deterministic byte-level extractor so the
+multimodal plumbing stays oracle-checkable from the text corpus
+(byte length + rolling checksum are engine-independent).
 """
 
 from __future__ import annotations
@@ -52,14 +55,225 @@ def as_media(
     )
 
 
-def decode_image(raw: bytes) -> "object":
-    """Real image decode — requires a codec library (PIL/opencv), not
-    present in this container by contract. The mapInPandas plumbing
-    around it is exercised with :func:`media_features` instead."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; "
-        "plug PIL/cv2 here in a full deployment"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type → channel count (8-bit depth, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _png_unfilter(data, width: int, height: int, ch: int):
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) over the inflated IDAT stream. Up/None are
+    numpy-vectorized; Sub/Average/Paeth walk the row (their inputs
+    are prior RECONSTRUCTED bytes of the same row — inherently
+    sequential). Returns uint8 (height, width, ch)."""
+    import numpy as np
+
+    stride = width * ch
+    if len(data) != height * (stride + 1):
+        raise ValueError(
+            f"png: IDAT length {len(data)} != {height}x({stride}+1)"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        f = data[pos]
+        row = np.frombuffer(
+            data[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).copy()
+        pos += 1 + stride
+        if f == 0:
+            rec = row
+        elif f == 2:
+            rec = row + prev  # uint8 wrap == mod 256
+        elif f in (1, 3, 4):
+            rec = row
+            ri = rec.astype(np.int32)
+            pi = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                if f == 1:
+                    rec[i] = (ri[i] + a) & 0xFF
+                elif f == 3:
+                    rec[i] = (ri[i] + ((a + int(pi[i])) >> 1)) & 0xFF
+                else:  # Paeth
+                    b = int(pi[i])
+                    c = int(pi[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    rec[i] = (ri[i] + pr) & 0xFF
+                ri[i] = rec[i]
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(height, width, ch)
+
+
+def _decode_png(raw: bytes):
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = len(_PNG_SIG)
+    width = height = None
+    ch = None
+    mode = None
+    idat = b""
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + CRC
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"png: unsupported bit depth {depth}")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"png: unsupported color type {color} (palette?)"
+                )
+            if interlace:
+                raise ValueError("png: interlaced images unsupported")
+            ch = _PNG_CHANNELS[color]
+            mode = _PNG_MODE[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    pixels = _png_unfilter(
+        np.frombuffer(zlib.decompress(idat), dtype=np.uint8).tobytes(),
+        width,
+        height,
+        ch,
     )
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "mode": mode,
+        "pixels": pixels,
+    }
+
+
+def _decode_pnm(raw: bytes):
+    """P5 (gray) / P6 (RGB) binary PNM, maxval <= 255."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    pos = 2  # past magic
+    while len(tokens) < 3 and pos < len(raw):
+        c = raw[pos : pos + 1]
+        if c == b"#":  # comment to EOL
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(raw[start:pos])
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError(f"pnm: 16-bit maxval {maxval} unsupported")
+    ch = 3 if raw[:2] == b"P6" else 1
+    need = width * height * ch
+    body = raw[pos : pos + need]
+    if len(body) != need:
+        raise ValueError(f"pnm: body {len(body)} != {need}")
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "mode": "RGB" if ch == 3 else "L",
+        "pixels": np.frombuffer(body, dtype=np.uint8).reshape(
+            height, width, ch
+        ),
+    }
+
+
+def decode_image(raw: bytes) -> dict:
+    """Zero-dependency image decode (round-6: the former stub is now
+    a real decoder — no codec libraries exist in this container, but
+    PNG needs only stdlib ``zlib`` and PNM none at all).
+
+    Supports: PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced —
+    all five scanline filters) and binary PNM (P5/P6, maxval ≤ 255).
+    Returns ``{"width", "height", "channels", "mode",
+    "pixels": uint8 ndarray (H, W, C)}``. Unsupported/unknown
+    formats raise ``ValueError`` (JPEG etc. genuinely need a codec
+    library — plug PIL/cv2 into the same kernel slot in a full
+    deployment; the per-row unfilter loop is also where a SIMD codec
+    would slot for hot-path throughput)."""
+    if raw[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(raw)
+    if raw[:2] in (b"P5", b"P6"):
+        return _decode_pnm(raw)
+    raise ValueError(
+        f"decode_image: unrecognized format (magic {raw[:4]!r}); "
+        "PNG and binary PNM are supported without codec libraries"
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal PNG encoder (filter 0, 8-bit, non-interlaced) for
+    uint8 ``(H, W)`` or ``(H, W, C)`` arrays with C in {1, 2, 3, 4}
+    — the re-encode half of the resize stage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(pixels, target_w: int, target_h: int):
+    """Nearest-neighbor resize (pixel-center sampling) via pure numpy
+    fancy indexing — the default pixel kernel for
+    :func:`resize_images`."""
+    import numpy as np
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = np.minimum(
+        ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64), h - 1
+    )
+    xs = np.minimum(
+        ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64), w - 1
+    )
+    return pixels[ys][:, xs]
 
 
 def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
@@ -103,6 +317,54 @@ def media_features(df: DataFrame, id_col: str = "doc_id", media_col: str = "medi
             )
 
     return df.select(id_col, media_col).mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, mode string, "
+    "n_bytes int, ok boolean, err string"
+)
+
+
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decoded image metadata via ``mapInPandas``: per image,
+    :func:`decode_image` dimensions/channels/mode. Undecodable rows
+    (unknown format, truncated stream) yield ``ok=false`` with the
+    error text instead of failing the stage — at corpus scale a
+    poison image must never kill the pipeline; filter ``ok`` and
+    route failures to a quarantine sink. Bytes never shuffle: the
+    stage consumes the binary column where it lives and emits only
+    the small typed feature row."""
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, raw in zip(b[id_col], b[media_col]):
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    d = decode_image(data)
+                    rows.append(
+                        (doc_id, d["width"], d["height"], d["channels"],
+                         d["mode"], len(data), True, None)
+                    )
+                except Exception as e:
+                    rows.append(
+                        (doc_id, None, None, None, None, len(data),
+                         False, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "mode",
+                    "n_bytes", "ok", "err",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        extract, schema=IMAGE_FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(
@@ -166,16 +428,19 @@ def resize_images(
     media_col: str = "media",
 ) -> DataFrame:
     """Arrow-batched resize stage: bytes → ``kernel(raw, w, h)`` →
-    resized bytes. The default kernel is :func:`decode_image` (raises
-    — codec libs absent by environment contract); tests inject a
-    deterministic fake. Output schema ``(doc_id, media binary)``;
-    bytes stay executor-side, only metadata shuffles downstream.
+    resized bytes. The default kernel is the REAL zero-dependency
+    path: :func:`decode_image` (PNG/PNM) → :func:`resize_nearest` →
+    :func:`encode_png`; pass ``kernel=`` to plug a codec-library
+    implementation (JPEG, SIMD resizers) with the same signature.
+    Output schema ``(doc_id, media binary)``; bytes stay
+    executor-side, only metadata shuffles downstream.
     """
     import pandas as pd
 
-    k = kernel if kernel is not None else (
-        lambda raw, w, h: decode_image(raw)
-    )
+    def default_kernel(raw: bytes, w: int, h: int) -> bytes:
+        return encode_png(resize_nearest(decode_image(raw)["pixels"], w, h))
+
+    k = kernel if kernel is not None else default_kernel
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

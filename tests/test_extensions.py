@@ -120,8 +120,8 @@ def test_multimodal_features_and_stub(spark):
     feats = {r.doc_id: (r.n_bytes, r.checksum) for r in mm.media_features(media).collect()}
     assert feats[1][0] == 3 and feats[2] == (0, 0)
     assert feats[3][0] == 6  # é is 2 UTF-8 bytes
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+    with pytest.raises(ValueError, match="unrecognized format"):
+        mm.decode_image(b"not an image")
 
 
 def test_frame_sample_plan(spark):
@@ -2104,3 +2104,148 @@ def test_bucketed_cosine_pairs_null_first_vector(spark):
         spark, [(0, None), (1, None)], "vec_id bigint, embedding array<double>"
     )
     assert sim.bucketed_cosine_pairs(allnull, eps=0.5).count() == 0
+
+
+def _hand_png(filters=(0, 1, 2, 3, 4)):
+    """Hand-construct a 4x5 RGB PNG whose five scanlines use the five
+    filter types — built with struct/zlib directly (independent of
+    encode_png) — plus the expected pixel array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = len(filters), 4, 3
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in enumerate(filters):
+        row = pixels[y].reshape(-1).astype(np.int32)
+        out = []
+        for i in range(w * ch):
+            a = int(row[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - a
+            elif f == 2:
+                v = row[i] - b
+            elif f == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:
+                v = row[i] - paeth(a, b, c)
+            out.append(int(v) & 0xFF)
+        scan += bytes([f]) + bytes(out)
+        prev = row
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    return raw, pixels
+
+
+def test_decode_image_png_all_filters():
+    """The zero-dependency PNG decoder reconstructs exact pixels
+    through all five scanline filters (hand-built stream, not our
+    encoder), and encode_png round-trips."""
+    import numpy as np
+
+    raw, pixels = _hand_png()
+    d = mm.decode_image(raw)
+    assert (d["width"], d["height"], d["channels"], d["mode"]) == (4, 5, 3, "RGB")
+    assert np.array_equal(d["pixels"], pixels)
+    # roundtrip through our own encoder
+    rt = mm.decode_image(mm.encode_png(pixels))
+    assert np.array_equal(rt["pixels"], pixels)
+    # grayscale roundtrip
+    g = pixels[:, :, 0]
+    assert np.array_equal(
+        mm.decode_image(mm.encode_png(g))["pixels"][:, :, 0], g
+    )
+
+
+def test_decode_image_pnm_and_errors():
+    import numpy as np
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    p6 = b"P6\n# comment\n4 2\n255\n" + px.tobytes()
+    d = mm.decode_image(p6)
+    assert (d["width"], d["height"], d["mode"]) == (4, 2, "RGB")
+    assert np.array_equal(d["pixels"], px)
+    p5 = b"P5 3 2 255 " + bytes(range(6))
+    d5 = mm.decode_image(p5)
+    assert (d5["width"], d5["height"], d5["channels"]) == (3, 2, 1)
+    with pytest.raises(ValueError, match="16-bit"):
+        mm.decode_image(b"P5 1 1 65535 \x00\x00")
+    with pytest.raises(ValueError, match="bit depth"):
+        import struct as _s
+        import zlib as _z
+
+        body = _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _s.pack(">I", len(body)) + b"IHDR" + body
+            + _s.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        )
+        mm.decode_image(bad)
+
+
+def test_resize_nearest_and_default_kernel(spark):
+    """resize_nearest downsamples by pixel-center sampling; the
+    DEFAULT resize_images kernel now really decodes -> resizes ->
+    re-encodes PNG through Arrow batches (round-6 unstub)."""
+    import numpy as np
+
+    raw, pixels = _hand_png()
+    small = mm.resize_nearest(pixels, 2, 2)
+    assert small.shape == (2, 2, 3)
+    # pixel-center sampling: rows 5->2 pick y=1,3; cols 4->2 pick x=1,3
+    assert np.array_equal(small, pixels[[1, 3]][:, [1, 3]])
+
+    df = generate_input(
+        spark, [(1, raw), (2, raw)], "doc_id bigint, media binary"
+    )
+    out = {
+        r.doc_id: bytes(r.media)
+        for r in mm.resize_images(df, 2, 2).collect()
+    }
+    d = mm.decode_image(out[1])
+    assert (d["width"], d["height"]) == (2, 2)
+    assert np.array_equal(d["pixels"], small)
+
+
+def test_image_features_stage(spark):
+    """image_features: real decoded dims per row; poison rows yield
+    ok=false + err instead of failing the stage."""
+    raw, _ = _hand_png()
+    import numpy as np
+
+    p6 = b"P6 4 2 255 " + bytes(range(24))
+    df = generate_input(
+        spark,
+        [(1, raw), (2, p6), (3, b"JUNK****"), (4, None)],
+        "doc_id bigint, media binary",
+    )
+    got = {r.doc_id: r for r in mm.image_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].mode, got[1].ok) == (4, 5, "RGB", True)
+    assert (got[2].width, got[2].height, got[2].channels) == (4, 2, 3)
+    assert got[3].ok is False and "unrecognized" in got[3].err
+    assert got[4].ok is False and got[4].n_bytes == 0
