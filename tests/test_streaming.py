@@ -915,3 +915,61 @@ def test_compact_store_preserves_contracts(spark, tmp_path):
     # empty / missing store is a no-op
     assert compact_store(spark, str(tmp_path / "nope")) == 0
     assert compact_store(spark, store) == 0  # already compacted
+
+
+def test_compaction_then_out_of_order_replay_crossed(spark, tmp_path):
+    """VERDICT r5 item 8 — the CROSSED failure window: a store is
+    compacted (batch partitions absorbed into _batch_id=-1), and
+    only afterwards does the runtime replay an EARLIER batch whose
+    own partition no longer exists. The replay's self-partition
+    exclusion now excludes an EMPTY partition, so idempotence must
+    come entirely from content: the near-dup probe (semantic) / id
+    ledger (quota) must see the absorbed rows under the compact
+    partition and admit nothing, leaving the store row-identical."""
+    from datasplash_spark.streaming import (
+        compact_store,
+        quota_admitter,
+        semantic_admitter,
+    )
+
+    # --- semantic admitter ---
+    store = str(tmp_path / "xstore")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    admit = semantic_admitter(store, cents, eps=0.9)
+    b0 = generate_input(
+        spark,
+        [(1, [1.0, 0.02, 0.0]), (2, [1.0, 0.03, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    b1 = generate_input(
+        spark,
+        [(10, [0.0, 1.0, 0.05]), (11, [1.0, 0.01, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    admit(b0, 0)
+    admit(b1, 1)
+    assert compact_store(spark, store, keep_last=0) >= 1
+    before = sorted(r.vec_id for r in spark.read.parquet(store).collect())
+    admit(b0, 0)  # replay of a batch whose partition was absorbed
+    rows = spark.read.parquet(store).collect()
+    assert sorted(r.vec_id for r in rows) == before
+    assert {r._batch_id for r in rows} == {-1}
+
+    # --- quota admitter, partial compaction (keep_last=1) ---
+    qstore = str(tmp_path / "xqstore")
+    qadmit = quota_admitter(qstore, key="src", max_rows_per_key=10, id_col="id")
+    for b, ids in enumerate(([1, 2], [3, 4], [5])):
+        qadmit(
+            generate_input(
+                spark, [(i, "a") for i in ids], "id bigint, src string"
+            ),
+            b,
+        )
+    assert compact_store(spark, qstore) == 2  # batch 2 partition kept
+    qadmit(  # replay ABSORBED batch 0 while batch 2's partition lives
+        generate_input(spark, [(1, "a"), (2, "a")], "id bigint, src string"),
+        0,
+    )
+    rows = spark.read.parquet(qstore).collect()
+    assert sorted(r.id for r in rows) == [1, 2, 3, 4, 5]
+    assert {r._batch_id for r in rows} == {-1, 2}
