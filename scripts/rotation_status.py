@@ -84,16 +84,22 @@ def build_section() -> str:
         f"by `scripts/rotation_status.py` from rounds {rounds} — regenerate",
         "after each round's artifacts land.",
         "",
-        "| Status | Queries |",
-        "| --- | --- |",
+        "| Status | Rounds since driver row | Queries |",
+        "| --- | --- | --- |",
     ]
     for tag in sorted(buckets, reverse=True):
         qnames = buckets[tag]
+        m = re.search(r"r(\d+)(?: driver row)?\)?$", tag)
+        stale = (
+            str(latest_round - int(m.group(1)))
+            if m
+            else ("n/a" if "never" in tag or "no driver" in tag else "—")
+        )
         shown = ", ".join(
             f"`{n}`" + (" *(in current window)*" if n in qnames and n in window and "never" in tag else "")
             for n in qnames
         )
-        lines.append(f"| {tag} ({len(qnames)}) | {shown} |")
+        lines.append(f"| {tag} ({len(qnames)}) | {stale} | {shown} |")
     in_window_unproven = [
         n for n in names[:50] if n not in latest_green and n not in rows_only
     ]

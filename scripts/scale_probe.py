@@ -38,45 +38,34 @@ def build_corpus(spark, k: int) -> tuple[str, str]:
     if not os.path.exists(docs_path):
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         n = docs.agg(F.max("doc_id")).first()[0] + 1
-        reps = [
-            docs.select(
-                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-                (
-                    F.col("text")
-                    if i == 0
-                    else F.concat(F.col("text"), F.lit(f" replica{i}"))
-                ).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
+        # explode-based replication (a k-way union plans fine at k=10
+        # but not at the ×100 tier): replica 0 keeps the exact text,
+        # replicas 1..k-1 gain a tag token → near-dup siblings
+        rep = F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("_i")
+        out = docs.select("*", rep).select(
+            (F.col("doc_id") + F.col("_i") * F.lit(int(n))).alias("doc_id"),
+            F.when(F.col("_i") == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" replica"), F.col("_i"))
             )
-            for i in range(k)
-        ]
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
         out.repartition(32).write.mode("overwrite").parquet(docs_path)
     if not os.path.exists(emb_path):
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         m = emb.agg(F.max("vec_id")).first()[0] + 1
-        reps = [
-            emb.select(
-                (F.col("vec_id") + F.lit(i * m)).alias("vec_id"),
-                (
-                    F.col("embedding")
-                    if i == 0
-                    else F.transform(
-                        "embedding",
-                        lambda x, i=i: x + F.lit(0.001 * i),
-                    )
-                ).alias("embedding"),
-                "label",
-            )
-            for i in range(k)
-        ]
-        out = reps[0]
-        for r in reps[1:]:
-            out = out.unionByName(r)
+        rep = F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("_i")
+        out = emb.select("*", rep).select(
+            (F.col("vec_id") + F.col("_i") * F.lit(int(m))).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + F.col("_i").cast("double") * F.lit(0.001),
+            ).alias("embedding"),
+            "label",
+        )
         out.repartition(32).write.mode("overwrite").parquet(emb_path)
     return docs_path, emb_path
 
@@ -91,6 +80,12 @@ def probe(spark, k: int) -> None:
     emb = spark.read.parquet(emb_path).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    # the documented sizing rule, applied rather than asserted: pick
+    # n_cells so |cell| ≈ corpus/K stays join-friendly (~1k rows);
+    # k<=10 tiers keep the historical fixed K=16 for curve continuity
+    n_vec = emb.count()
+    n_cells = 16 if k <= 10 else max(16, n_vec // 1000)
+    print(f"x{k}: {n_vec} vectors, n_cells={n_cells}", flush=True)
 
     ops = {
         "lsh_pairs": lambda: dd.lsh_candidate_pairs(
@@ -100,7 +95,7 @@ def probe(spark, k: int) -> None:
             docs, num_hashes=16, bands=4, k=3, seed=42
         ).count(),
         "semantic_dedup": lambda: sim.semantic_dedup(
-            emb, eps=0.9, centroids=sim.ivf_centroids(emb, 16)
+            emb, eps=0.9, centroids=sim.ivf_centroids(emb, n_cells)
         ).count(),
         "remove_spans": lambda: dd.remove_repeated_spans(
             docs, k=8, min_count=2
@@ -115,9 +110,13 @@ def probe(spark, k: int) -> None:
             docs, docs.limit(500), n_buckets=4096
         ).count(),
         "contrastive": lambda: sim.contrastive_pairs(
-            emb, centroids=sim.ivf_centroids(emb, 16)
+            emb, centroids=sim.ivf_centroids(emb, n_cells)
         ).count(),
     }
+    only = os.environ.get("SCALE_PROBE_OPS")
+    if only:
+        want = {o.strip() for o in only.split(",")}
+        ops = {n: f for n, f in ops.items() if n in want}
     for name, fn in ops.items():
         t0 = time.time()
         try:
