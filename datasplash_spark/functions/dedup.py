@@ -213,6 +213,52 @@ def rolling_fingerprint(text: ColumnLike, base: int = 1000003) -> Column:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every token
+    k-gram in POSITION ORDER, slide a window of ``w`` consecutive
+    hashes, and record the MINIMUM hash of each window (distinct per
+    doc). Guarantees every shared run of ``w + k - 1`` tokens
+    between two documents shares at least one fingerprint — the
+    local-sampling property that makes winnowing the standard
+    plagiarism/near-copy detector (contrast MinHash, which samples
+    globally per permutation and carries no locality guarantee).
+
+    Pure-Column construction (O(n·w) comparisons per doc — both the
+    k-gram join and the window min are array expressions inside
+    whole-stage codegen; no shuffle until the caller aggregates):
+    returns the exploded ``(doc_id, fp)`` table — feed to a
+    fp-equality self-join for copy candidates (each fp bucket is
+    corpus-rare by construction) or aggregate per doc. md5-based
+    hashing keeps the oracle engine bit-identical.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (fingerprinting family, BASELINE.json north_star).
+    """
+    toks = F.filter(tokens(_col(text)), lambda x: x != "")
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    hashes = F.transform(kgrams, md5_int31)
+    m = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(wins)).alias("fp"),
+    )
+
+
 def hamming64(a: ColumnLike, b: ColumnLike) -> Column:
     """Hamming distance between two 64-bit signatures."""
     return F.bit_count(_col(a).bitwiseXOR(_col(b)))

@@ -817,7 +817,7 @@ def semantic_dedup(
     max_salt: int = 64,
     cache_registry: list | None = None,
     pair_backend: str = "auto",
-    arrow_cell_threshold: int = 4096,
+    arrow_cell_threshold: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate marking driven by a coarse k-means/IVF partition of
@@ -973,7 +973,7 @@ def bucketed_cosine_pairs(
     backend: str = "auto",
     max_cell_rows: int = 1 << 16,
     max_salt: int = 64,
-    arrow_cell_threshold: int = 4096,
+    arrow_cell_threshold: int = 1024,
 ) -> DataFrame:
     """Cosine-thresholded near-dup pairs via hyperplane-LSH buckets —
     the generic pair stage behind the `dedup_embedding_pairs` /
@@ -1161,7 +1161,7 @@ def contrastive_pairs(
     cache_registry: list | None = None,
     max_cell_rows: int = 1 << 16,
     max_salt: int = 64,
-    arrow_cell_threshold: int = 4096,
+    arrow_cell_threshold: int = 1024,
 ) -> DataFrame:
     """Contrastive training-pair mining over an embedding corpus:
     for every vector, its HARDEST in-cell positive (the nearest

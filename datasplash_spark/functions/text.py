@@ -400,6 +400,125 @@ def bigram_pmi(
     )
 
 
+def bpe_pair_counts(
+    df,
+    text: ColumnLike = "text",
+    min_count: int = 2,
+):
+    """Byte-pair-encoding merge-step statistics: corpus counts of
+    ADJACENT character pairs within tokens — the quantity BPE
+    tokenizer training maximizes at every merge (Sennrich et al.
+    2016). Returns ``(pair, n)`` for pairs with ``n >= min_count``;
+    the argmax row is the next merge.
+
+    The classic word-frequency trick makes this scale: the corpus
+    first reduces to the VOCAB table (token → count, one partial-agg
+    shuffle over the tokenize explode), and the character-pair
+    explode runs over vocab rows weighted by count — at 100 TB the
+    pair stage touches |vocab| rows, not corpus tokens. A full BPE
+    trainer iterates merge→re-segment; this is the per-iteration
+    counting kernel (the corpus-scale part).
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (tokenizer-training statistics, BASELINE.json north_star).
+    """
+    vocab = (
+        df.select(
+            F.explode(
+                F.filter(tokens(text), lambda x: x != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.col("tok")
+    pairs = F.when(
+        F.length(t) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: F.substring(t, i, F.lit(2)),
+        )
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+
+
+def source_drift(
+    df,
+    text: ColumnLike = "text",
+    source_col: ColumnLike = "source",
+    n_buckets: int = 256,
+):
+    """Per-source token-distribution drift vs the whole corpus over
+    hashed unigram buckets — the monitoring stage of a curation
+    pipeline (a source whose distribution drifts from the mix is the
+    one to re-weight or investigate). Emits per source:
+
+    - ``chi2_nano``: round(1e12 · Σ_b (p_s(b) − p_c(b))²/p_c(b)) —
+      the χ²-divergence to the corpus distribution;
+    - ``l1_nano``: round(1e12 · Σ_b |p_s(b) − p_c(b)|) — total
+      variation ×2.
+
+    Engine-exact WITHOUT libm (no log-KL): every per-bucket term is
+    a short chain of correctly-rounded IEEE ops on exact integer
+    ratios, quantized to pico fixed-point BIGINT BEFORE the sum, so
+    the aggregate is an order-independent integer sum (the
+    :func:`~..operators.grouping.importance_resample` discipline).
+
+    Shape: ONE tokenize explode reduces the corpus to (source,
+    bucket) counts — everything after is |sources| × ``n_buckets``
+    sized: corpus bucket totals derive from the same table, the
+    dense source×bucket grid is a broadcast cross join (so buckets a
+    source never hits still contribute their (0 − p_c)²/p_c term),
+    and the final reduce is one tiny aggregate.
+    """
+    sb = (
+        df.select(
+            _col(source_col).alias("src"),
+            F.explode(
+                F.filter(tokens(text), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .select("src", hash_bucket("tok", n_buckets).alias("bucket"))
+        .groupBy("src", "bucket")
+        .agg(F.count(F.lit(1)).alias("c_sb"))
+    )
+    src_tot = sb.groupBy("src").agg(F.sum("c_sb").alias("n_s"))
+    buck_tot = sb.groupBy("bucket").agg(F.sum("c_sb").alias("c_b"))
+    corp_tot = buck_tot.agg(F.sum("c_b").alias("n"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(buck_tot))
+        .crossJoin(F.broadcast(corp_tot))
+        .join(sb, ["src", "bucket"], "left")
+        .withColumn("c_sb", F.coalesce(F.col("c_sb"), F.lit(0)))
+    )
+    p_s = F.col("c_sb").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_b").cast("double") / F.col("n").cast("double")
+    diff = p_s - p_c
+    chi_term = F.round((diff * diff / p_c) * 1e12).cast("long")
+    l1_term = F.round(F.abs(diff) * 1e12).cast("long")
+    return (
+        grid.select(
+            "src",
+            chi_term.alias("_chi"),
+            l1_term.alias("_l1"),
+        )
+        .groupBy("src")
+        .agg(
+            F.sum("_chi").alias("chi2_pico"),
+            F.sum("_l1").alias("l1_pico"),
+        )
+        .select(
+            F.col("src").alias("source"), "chi2_pico", "l1_pico"
+        )
+    )
+
+
 def unigram_logprob_table(df, text: ColumnLike = "text"):
     """Corpus unigram stats: ``(term, n, logp_nano)`` where
     ``logp_nano = round(ln(n / total) * 1e9)`` as BIGINT — fixed-point

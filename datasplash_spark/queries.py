@@ -996,6 +996,115 @@ WHERE u * CAST(wtot AS DOUBLE) < CAST(200 * w_nano AS DOUBLE)
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: per-window minimum of token
+    4-gram rolling hashes, w=4 — every shared 7-token run between
+    docs shares a fingerprint (the locality guarantee MinHash
+    lacks). Full exploded (doc_id, fp) table gated."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(docs, k=4, w=4)
+
+
+ORACLE_WINNOW_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), kg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(l) - 3, 1) + 1),
+                        i -> array_to_string(l[i:i+3], ' ')) AS gs
+  FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_transform(gs,
+           s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                % 2147483648) AS hh
+  FROM kg
+)
+SELECT doc_id,
+       unnest(list_distinct(
+         list_transform(range(1, greatest(len(hh) - 3, 1) + 1),
+                        i -> list_min(hh[i:i+3])))) AS fp
+FROM hs
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistics: adjacent character-pair counts
+    within tokens, via the word-frequency trick (pair explode runs
+    over the VOCAB table weighted by token count, not the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bpe_pair_counts(docs, min_count=5)
+
+
+ORACLE_BPE_PAIRS = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), v AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+), p AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, i, 2))) AS pair,
+         c
+  FROM v WHERE length(tok) >= 2
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n
+FROM p GROUP BY pair HAVING sum(c) >= 5
+"""
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus over 256
+    hashed unigram buckets: χ² and L1 divergence in pico fixed-point
+    (order-independent integer sums — no libm)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.source_drift(docs, n_buckets=256)
+
+
+ORACLE_SOURCE_DRIFT = """
+WITH tk AS (
+  SELECT source AS src,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), sb AS (
+  SELECT src,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket,
+         count(*) AS c_sb
+  FROM tk GROUP BY 1, 2
+), st AS (SELECT src, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY src),
+bt AS (SELECT bucket, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY bucket),
+ct AS (SELECT CAST(sum(c_b) AS BIGINT) AS n FROM bt),
+grid AS (
+  SELECT st.src, bt.bucket, st.n_s, bt.c_b, ct.n,
+         COALESCE(sb.c_sb, 0) AS c_sb
+  FROM st CROSS JOIN bt CROSS JOIN ct
+  LEFT JOIN sb ON sb.src = st.src AND sb.bucket = bt.bucket
+), terms AS (
+  SELECT src,
+    CAST(round(
+      (CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+        - CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+        - CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12
+    ) AS BIGINT) AS chi,
+    CAST(round(abs(
+      CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+      - CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE)) * 1e12
+    ) AS BIGINT) AS l1
+  FROM grid
+)
+SELECT src AS source,
+       CAST(sum(chi) AS BIGINT) AS chi2_pico,
+       CAST(sum(l1) AS BIGINT) AS l1_pico
+FROM terms GROUP BY src
+"""
+
+
 def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling WITHOUT replacement in
     engine-exact deterministic mode: es_key = ln(u)/w with the
@@ -3866,6 +3975,9 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     ),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     "weighted_sample_det": (q_weighted_sample_det, ORACLE_WEIGHTED_SAMPLE_DET),
+    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS),
+    "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
+    "source_drift": (q_source_drift, ORACLE_SOURCE_DRIFT),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
@@ -4018,6 +4130,11 @@ _WINDOW_R6: list[str] = [
 ]
 
 _AFTER_WINDOW_R6: list[str] = [
+    # new in round 6 (gate_sim + tripwire-proven; lead the round-7
+    # window together with the spill below):
+    "winnow_fingerprints",
+    "bpe_pairs",
+    "source_drift",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

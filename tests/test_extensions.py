@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from datasplash_spark.functions import dedup as dd
 from datasplash_spark.functions import multimodal as mm
 from datasplash_spark.functions import similarity as sim
+from datasplash_spark.functions import text as tx
 from datasplash_spark.sources import generate_input
 
 
@@ -2249,3 +2250,106 @@ def test_image_features_stage(spark):
     assert (got[2].width, got[2].height, got[2].channels) == (4, 2, 3)
     assert got[3].ok is False and "unrecognized" in got[3].err
     assert got[4].ok is False and got[4].n_bytes == 0
+
+
+def test_winnow_fingerprints_locality_guarantee(spark):
+    """Winnowing property (Schleimer et al. 2003): two documents
+    sharing a run of >= w+k-1 tokens MUST share at least one
+    fingerprint; disjoint-vocabulary docs share none. Also pins the
+    pure-Python reference construction."""
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w+k-1
+    d1 = "one two " + shared + " x1 y1"
+    d2 = "uno dos tres " + shared + " z9"
+    d3 = "completely different words entirely here now friend"
+    df = generate_input(
+        spark, [(1, d1), (2, d2), (3, d3)], "doc_id bigint, text string"
+    )
+    got: dict[int, set] = {}
+    for r in dd.winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got[1] & got[2]          # locality guarantee
+    assert not (got[1] & got[3])    # disjoint vocab -> no sharing
+
+    def py_winnow(text, k=4, w=4):
+        toks = [t for t in text.lower().split(" ") if t]
+        n = len(toks)
+        grams = [
+            " ".join(toks[i : i + k])
+            for i in range(max(n - k + 1, 1))
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % (1 << 31)
+            for g in grams
+        ]
+        return {
+            min(hs[i : i + w]) for i in range(max(len(hs) - w + 1, 1))
+        }
+
+    for doc_id, text in ((1, d1), (2, d2), (3, d3)):
+        assert got[doc_id] == py_winnow(text), doc_id
+
+
+def test_bpe_pair_counts_matches_reference(spark):
+    """bpe_pair_counts equals a direct pure-Python count of adjacent
+    char pairs within tokens, weighted by token frequency; the argmax
+    is the next BPE merge."""
+    from collections import Counter
+
+    rows = [(1, "low lower lowest low"), (2, "low newer newest")]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    expect: Counter = Counter()
+    for _, t in rows:
+        for tok in t.lower().split(" "):
+            for i in range(len(tok) - 1):
+                expect[tok[i : i + 2]] += 1
+    got = {r.pair: r.n for r in tx.bpe_pair_counts(df, min_count=1).collect()}
+    assert got == dict(expect)
+    assert max(got, key=lambda p: (got[p], p)) in ("lo", "ow")  # 'lo'/'ow' tie at 4
+    top = tx.bpe_pair_counts(df, min_count=4).collect()
+    assert {r.pair for r in top} == {"lo", "ow", "we"}
+
+
+def test_source_drift_semantics(spark):
+    """source_drift: a source distributed like the corpus scores ~0;
+    a divergent source scores strictly higher; values match a direct
+    pure-Python fixed-point computation."""
+    import hashlib
+
+    rows = (
+        [(i, "aa bb cc dd", "s1") for i in range(6)]
+        + [(10 + i, "aa bb cc dd", "s2") for i in range(3)]
+        + [(20 + i, "zz zz qq rr ss tt", "s3") for i in range(3)]
+    )
+    df = generate_input(
+        spark, rows, "doc_id bigint, text string, source string"
+    )
+    got = {r.source: (r.chi2_pico, r.l1_pico) for r in tx.source_drift(df, n_buckets=16).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    from collections import Counter
+
+    sb: dict[str, Counter] = {}
+    for _, t, s in rows:
+        for tok in t.lower().split(" "):
+            sb.setdefault(s, Counter())[bucket(tok)] += 1
+    corpus: Counter = Counter()
+    for c in sb.values():
+        corpus += c
+    n = sum(corpus.values())
+    for s, cnt in sb.items():
+        ns = sum(cnt.values())
+        chi = l1 = 0
+        for b, cb in corpus.items():
+            ps = cnt.get(b, 0) / ns
+            pc = cb / n
+            d = ps - pc
+            chi += round(d * d / pc * 1e12)
+            l1 += round(abs(d) * 1e12)
+        assert got[s] == (chi, l1), s
+    # s1/s2 share the corpus-dominant distribution; s3 diverges
+    assert got["s3"][0] > got["s1"][0]
+    assert got["s3"][1] > got["s1"][1]
