@@ -230,32 +230,54 @@ def winnow_fingerprints(
     plagiarism/near-copy detector (contrast MinHash, which samples
     globally per permutation and carries no locality guarantee).
 
-    Pure-Column construction (O(n·w) comparisons per doc — both the
-    k-gram join and the window min are array expressions inside
-    whole-stage codegen; no shuffle until the caller aggregates):
-    returns the exploded ``(doc_id, fp)`` table — feed to a
-    fp-equality self-join for copy candidates (each fp bucket is
-    corpus-rare by construction) or aggregate per doc. md5-based
-    hashing keeps the oracle engine bit-identical.
+    Physical shape: the k-gram hash ARRAY computes once per doc
+    (the token array is staged as a real column with two references,
+    so CollapseProject cannot inline-duplicate it), then the window
+    minima run as a posexplode + running ``min OVER (ROWS w-1
+    FOLLOWING)`` — one shuffle of the small (doc_id, pos, hash)
+    table, strictly linear work. (A first cut expressed the window
+    min as a nested array lambda over the hash expression; Catalyst
+    inlines single-reference expressions into lambda bodies, so the
+    md5 array re-evaluated PER WINDOW INDEX — O(n²) hashing, 174 s
+    at sf0.1 vs ~2 s for this shape. Lesson recorded in
+    SCALING.md.) md5-based hashing keeps the oracle engine
+    bit-identical.
 
     Reference anchor: no analog; LLM-pipeline extension surface
     (fingerprinting family, BASELINE.json north_star).
     """
-    toks = F.filter(tokens(_col(text)), lambda x: x != "")
-    n = F.size(toks)
+    from pyspark.sql import Window
+
+    staged = df.select(
+        _col(id_col).alias("doc_id"),
+        F.filter(tokens(_col(text)), lambda x: x != "").alias("_t"),
+    )
+    n = F.size(F.col("_t"))
     kgrams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
+        lambda i: F.array_join(F.slice(F.col("_t"), i, k), " "),
     )
-    hashes = F.transform(kgrams, md5_int31)
-    m = F.size(hashes)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
+    hashed = staged.select(
+        "doc_id", F.posexplode(F.transform(kgrams, md5_int31))
+    ).withColumnsRenamed({"pos": "_pos", "col": "_h"})
+    wspec = (
+        Window.partitionBy("doc_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
     )
-    return df.select(
-        _col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(wins)).alias("fp"),
+    nspec = Window.partitionBy("doc_id")
+    return (
+        hashed.select(
+            "doc_id",
+            "_pos",
+            F.min("_h").over(wspec).alias("fp"),
+            F.count(F.lit(1)).over(nspec).alias("_n"),
+        )
+        .filter(
+            F.col("_pos") <= F.greatest(F.col("_n") - w, F.lit(0))
+        )
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

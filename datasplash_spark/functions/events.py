@@ -113,3 +113,68 @@ def cohort_retention(
         labeled.groupBy("cohort", "period")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    user_col: ColumnLike = "user_id",
+    type_col: ColumnLike = "event_type",
+    ts_col: ColumnLike = "ts",
+    id_col: ColumnLike = "event_id",
+    min_count: int = 1,
+    sep: str = ">",
+) -> DataFrame:
+    """Behavioral path mining: counts of length-``n`` event-type
+    sequences users actually walk (the product-analytics "common
+    paths" report — 'view>view>purchase'). One groupBy(user)
+    assembles each user's deterministic timeline (sort by
+    ``(ts, id)`` — the id tiebreak makes simultaneous events
+    stable), n-grams slide per user as an array expression, and one
+    vocab-bounded count aggregate finishes — two shuffles total,
+    both on small rows (the event payload never moves past the
+    first).
+
+    Users with fewer than ``n`` events contribute nothing (guarded —
+    Spark's ``sequence(1, k)`` with ``k < 1`` would DESCEND).
+    Returns ``(path, n_users_walks)`` with counts >= ``min_count``;
+    ``path`` joins types with ``sep``.
+
+    Reference anchor: no analog; analytics extension surface
+    (BASELINE.json north_star).
+    """
+    seq = df.groupBy(_col(user_col).alias("user")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    _col(ts_col).alias("ts"),
+                    _col(id_col).alias("eid"),
+                    _col(type_col).alias("et"),
+                )
+            )
+        ).alias("seq")
+    )
+    # slice the MATERIALIZED seq column inside the lambda (cheap
+    # array read), never a derived expression — Catalyst inlines
+    # single-reference expressions into lambda bodies, which would
+    # re-evaluate the projection per gram index (the winnowing
+    # O(n²) lesson, SCALING.md)
+    m = F.size(F.col("seq"))
+    grams = F.when(m < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - n + 1),
+            lambda i: F.array_join(
+                F.transform(
+                    F.slice(F.col("seq"), i, n),
+                    lambda s: s.getField("et"),
+                ),
+                sep,
+            ),
+        )
+    )
+    return (
+        seq.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("walks"))
+        .filter(F.col("walks") >= int(min_count))
+    )

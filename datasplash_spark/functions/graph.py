@@ -368,3 +368,88 @@ def connected_components_star(
     return all_nodes.join(labeled, on="node", how="left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    a: ColumnLike = "a",
+    b: ColumnLike = "b",
+    directed: bool = False,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank in ENGINE-EXACT integer fixed-point: scores live as
+    nano-scaled BIGINTs, each iteration's contribution is
+    ``((score_nano div degree) * damping) div 100`` and the gather is
+    an INTEGER sum — order-independent, so the result is
+    bit-identical across engines and partitionings (the
+    :func:`~..operators.grouping.importance_resample` no-float-sum
+    discipline applied to an iterative graph algorithm; an
+    unrollable chain of CTEs is a valid oracle). Classic PR uses
+    float division; the integer floor loses < 1e-9 per hop —
+    immaterial for ranking, decisive for reproducibility.
+
+    ``directed=False`` (default) symmetrizes the edge list. Scores
+    start at 1e9 per node and converge to
+    ``(100-damping)% · 1e9 + damping% · Σ in-contributions`` —
+    the unnormalized per-node form (sum ≈ N·1e9). Returns
+    ``(node, score_nano)``.
+
+    Shape per iteration: one degree-broadcast join + one shuffle on
+    the destination node (the gather) — the textbook distributed PR;
+    at 100 TB the edge list partitions on dst so the gather is the
+    only exchange, and ``iterations`` bounds total passes.
+
+    Reference anchor: no analog; analytics extension surface
+    (TextRank/graph centrality, BASELINE.json north_star).
+    """
+    e = edges.select(_col(a).alias("src"), _col(b).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = int((100 - damping_pct) * 10_000_000)  # (1-d) · 1e9
+    scores = nodes.select(
+        "node", F.lit(1_000_000_000).cast("long").alias("score_nano")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(deg, "src")
+            .join(
+                scores.select(
+                    F.col("node").alias("src"),
+                    F.col("score_nano").alias("_s"),
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                # floor() (not cast) on both hops: Spark's BIGINT
+                # cast truncates where DuckDB's rounds, but floor of
+                # the identical IEEE quotient is identical everywhere
+                F.floor(
+                    F.floor(F.col("_s") / F.col("deg"))
+                    * F.lit(int(damping_pct))
+                    / F.lit(100)
+                )
+                .cast("long")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        scores = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("_in"), F.lit(0))
+            ).alias("score_nano"),
+        )
+    return scores

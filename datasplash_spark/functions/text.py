@@ -316,6 +316,38 @@ def normalize_text(text: ColumnLike) -> Column:
     return F.trim(t)
 
 
+def bigram_counts(
+    df,
+    text: ColumnLike = "text",
+    min_count: int = 1,
+):
+    """Adjacent-token bigram counts ``(ta, tb, n_ab)`` — the raw
+    co-occurrence table behind :func:`bigram_pmi`, exposed for graph
+    consumers (TextRank edges, Markov chains). Zip-shift adjacency
+    per row (no self-join), one vocab-bounded partial-agg shuffle."""
+    toklists = df.select(
+        F.filter(tokens(text), lambda x: x != "").alias("l")
+    )
+    return (
+        toklists.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        F.col("l"), 2, F.greatest(F.size("l") - 1, F.lit(0))
+                    ),
+                    lambda x, y: F.struct(x.alias("ta"), y.alias("tb")),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.ta", "bg.tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_count))
+    )
+
+
 def bigram_pmi(
     df,
     text: ColumnLike = "text",
@@ -446,6 +478,141 @@ def bpe_pair_counts(
         .agg(F.sum("c").alias("n"))
         .filter(F.col("n") >= int(min_count))
     )
+
+
+def _bpe_merge_fold(symbols: Column, a: str, b: str) -> Column:
+    """One BPE merge pass over a symbol array, as a pure-Column fold:
+    scan left to right accumulating a space-joined string; when the
+    accumulator ends in symbol ``a`` and the next symbol is ``b``,
+    fuse them (leftmost-greedy — the reference BPE behavior, e.g.
+    merge (a,a) on 'a a a' → 'aa a'). String replace() can't express
+    this (a one-pass replace misses overlapping boundaries and
+    substring-of-symbol false matches, and DuckDB's RE2 has no
+    lookbehind), but the fold mirrors exactly:
+    ``list_reduce(list_prepend('', l), ...)`` on the oracle side.
+    Returns the NEW symbol array."""
+    ab = a + b
+    sep_a = " " + a
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.endswith(acc, F.lit(sep_a)) | (acc == F.lit(a)))
+            & (x == F.lit(b))
+        )
+        fused = F.concat(
+            F.substring(
+                acc, F.lit(1), F.length(acc) - F.lit(len(a))
+            ),
+            F.lit(ab),
+        )
+        grown = F.when(acc == "", x).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+        return F.when(hit, fused).otherwise(grown)
+
+    return F.split(F.aggregate(symbols, F.lit(""), step), " ")
+
+
+def bpe_apply(
+    df,
+    merges: list[tuple[str, str]],
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    out_col: str = "subwords",
+):
+    """Apply an ordered BPE merge list (Sennrich et al. 2016) to the
+    corpus: each token explodes to characters, then every merge
+    ``(a, b)`` fuses adjacent symbol pairs in priority order
+    (:func:`_bpe_merge_fold` — leftmost-greedy, engine-mirrorable).
+    Returns ``(id_col, out_col)`` with the per-doc subword array
+    (token-internal merges only — merges never cross token
+    boundaries, the standard word-level BPE contract).
+
+    Stateless per row — one codegen'd scan, no shuffle; expression
+    depth grows with ``len(merges)``, so apply long merge lists in
+    :func:`bpe_apply` stages of ~32 (Catalyst handles the chain, but
+    codegen size is the practical bound).
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (tokenizer application, BASELINE.json north_star)."""
+    toks = F.filter(tokens(text), lambda x: x != "")
+
+    def segment(tok: Column) -> Column:
+        sym = F.split(F.trim(F.regexp_replace(tok, "(.)", "$1 ")), " ")
+        for a, b in merges:
+            sym = _bpe_merge_fold(sym, a, b)
+        return sym
+
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        F.flatten(F.transform(toks, segment)).alias(out_col),
+    )
+
+
+def bpe_learn(
+    df,
+    n_merges: int = 10,
+    text: ColumnLike = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus — the full tokenizer-
+    training loop, at scale: the corpus reduces ONCE to the vocab
+    table (token → count; the only corpus-scale pass), and each of
+    the ``n_merges`` iterations runs two vocab-sized jobs (adjacent-
+    pair count aggregate → deterministic argmax (count desc, pair
+    asc) → one merge fold over the vocab's symbol strings). Driver
+    state is the merges list alone; the vocab table is persisted and
+    evolved functionally.
+
+    Stops early when no pair reaches ``min_count``. Returns the
+    ordered merges, ready for :func:`bpe_apply`."""
+    from pyspark import StorageLevel
+
+    vocab = (
+        df.select(
+            F.explode(
+                F.filter(tokens(text), lambda x: x != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.split(
+                F.trim(F.regexp_replace("tok", "(.)", "$1 ")), " "
+            ).alias("sym"),
+            "c",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(int(n_merges)):
+            n = F.size("sym")
+            pairs = F.zip_with(
+                F.slice(F.col("sym"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("sym"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+            top = (
+                vocab.select(F.explode(pairs).alias("p"), "c")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("c").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+                .first()
+            )
+            if top is None or top.n < int(min_count):
+                break
+            merges.append((top.a, top.b))
+            upd = vocab.select(
+                _bpe_merge_fold(F.col("sym"), top.a, top.b).alias("sym"),
+                "c",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            upd.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = upd
+    finally:
+        vocab.unpersist()
+    return merges
 
 
 def source_drift(

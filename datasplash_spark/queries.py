@@ -1105,6 +1105,157 @@ FROM terms GROUP BY src
 """
 
 
+#: fixed merge list for the gated BPE query — learned once from the
+#: sf0.01 corpus with the reference Python BPE (count desc, pair asc
+#: tie-break) and pinned as literals so query and oracle share it;
+#: ('m','er') exercises a chained multi-char merge
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+]
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application: segment every document with the pinned
+    8-merge list via the leftmost-greedy merge fold (text.bpe_apply
+    — pure Column, one codegen'd scan). Gate compares the full
+    (doc_id, subword) multiset."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.bpe_apply(docs, _BPE_MERGES)
+    return out.select("doc_id", F.explode("subwords").alias("subword"))
+
+
+def _bpe_fold_sql(expr: str, a: str, b: str) -> str:
+    """DuckDB mirror of text._bpe_merge_fold: string-accumulator
+    reduce with '' prepended as the initial value (the
+    fingerprint_rolling list_prepend trick)."""
+    ab = a + b
+    return (
+        f"string_split(list_reduce(list_prepend('', {expr}), (acc, x) -> "
+        f"CASE WHEN (acc = '{a}' OR ends_with(acc, ' {a}')) AND x = '{b}' "
+        f"THEN left(acc, length(acc) - {len(a)}) || '{ab}' "
+        f"WHEN acc = '' THEN x "
+        f"ELSE acc || ' ' || x END), ' ')"
+    )
+
+
+def _bpe_oracle() -> str:
+    expr = "string_split(trim(regexp_replace(tok, '(.)', '\\1 ', 'g')), ' ')"
+    for a, b in _BPE_MERGES:
+        expr = _bpe_fold_sql(expr, a, b)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT doc_id, unnest({expr}) AS subword
+FROM tok
+"""
+
+
+ORACLE_BPE_TOKENIZE = _bpe_oracle()
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank over the adjacent-
+    token co-occurrence graph (bigram count >= 5 edges,
+    symmetrized) — corpus keyword salience. 5 iterations of the
+    ENGINE-EXACT integer fixed-point PageRank (graph.pagerank: all
+    gathers are BIGINT sums, order-independent; the oracle is the
+    same recurrence unrolled as chained CTEs)."""
+    from .functions.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = tx.bigram_counts(docs, min_count=5).select(
+        F.col("ta").alias("a"), F.col("tb").alias("b")
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.select(F.col("node").alias("term"), "score_nano")
+
+
+def _textrank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH tl AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT u.big[1] AS ta, u.big[2] AS tb, count(*) AS n_ab
+  FROM tl, unnest(list_transform(range(1, len(l)),
+        i -> [l[i], l[i + 1]])) AS u(big)
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+), e AS (
+  SELECT ta AS src, tb AS dst FROM bg
+  UNION
+  SELECT tb AS src, ta AS dst FROM bg
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), s0 AS (
+  SELECT node, CAST(1000000000 AS BIGINT) AS score FROM nodes
+)"""
+    blocks = []
+    for i in range(1, iterations + 1):
+        blocks.append(f""", s{i} AS (
+  SELECT n.node,
+         CAST(150000000 + COALESCE(c.inn, 0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(floor(s.score / d.deg) * 85 / 100)
+                         AS BIGINT)) AS BIGINT) AS inn
+    FROM e
+    JOIN deg d ON e.src = d.src
+    JOIN s{i - 1} s ON s.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"\nSELECT node AS term, score AS score_nano FROM s{iterations}\n"
+    )
+
+
+ORACLE_TEXTRANK = _textrank_oracle()
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: counts of event-type trigram paths
+    users walk (deterministic (ts, event_id) timeline order), one
+    timeline shuffle + one count shuffle."""
+    from .functions.events import event_path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_path_ngrams(ev, n=3, min_count=2)
+
+
+ORACLE_EVENT_PATHS = """
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS tl
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT unnest(
+    CASE WHEN len(tl) >= 3
+         THEN list_transform(range(1, len(tl) - 1),
+                             i -> array_to_string(tl[i:i+2], '>'))
+         ELSE CAST([] AS VARCHAR[]) END) AS path
+  FROM seq
+)
+SELECT path, count(*) AS walks
+FROM g GROUP BY path HAVING count(*) >= 2
+"""
+
+
 def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling WITHOUT replacement in
     engine-exact deterministic mode: es_key = ln(u)/w with the
@@ -3978,6 +4129,9 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW_FINGERPRINTS),
     "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
     "source_drift": (q_source_drift, ORACLE_SOURCE_DRIFT),
+    "bpe_tokenize": (q_bpe_tokenize, ORACLE_BPE_TOKENIZE),
+    "textrank": (q_textrank, ORACLE_TEXTRANK),
+    "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
@@ -4135,6 +4289,9 @@ _AFTER_WINDOW_R6: list[str] = [
     "winnow_fingerprints",
     "bpe_pairs",
     "source_drift",
+    "bpe_tokenize",
+    "textrank",
+    "event_paths",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

@@ -2353,3 +2353,150 @@ def test_source_drift_semantics(spark):
     # s1/s2 share the corpus-dominant distribution; s3 diverges
     assert got["s3"][0] > got["s1"][0]
     assert got["s3"][1] > got["s1"][1]
+
+
+def test_bpe_learn_and_apply_match_reference(spark):
+    """bpe_learn reproduces the reference Python BPE (count desc,
+    pair asc tie-break; leftmost-greedy merges), and bpe_apply
+    segments exactly as the reference applier — including chained
+    multi-char merges."""
+    corpus = ["low lower lowest", "new newer newest", "low low newer"]
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+
+    from collections import Counter
+
+    vocab = Counter()
+    for t in corpus:
+        vocab.update(x for x in t.split(" ") if x)
+    syms = {tok: list(tok) for tok in vocab}
+
+    def learn(n):
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for tok, c in vocab.items():
+                s = syms[tok]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if cnt < 2:
+                break
+            out.append((a, b))
+            for tok in syms:
+                s, new = syms[tok], []
+                for x in s:
+                    if new and new[-1] == a and x == b:
+                        new[-1] = a + b
+                    else:
+                        new.append(x)
+                syms[tok] = new
+        return out
+
+    expect_merges = learn(6)
+    got_merges = tx.bpe_learn(df, n_merges=6, min_count=2)
+    assert got_merges == expect_merges
+
+    def apply_ref(text, merges):
+        out = []
+        for tok in text.lower().split(" "):
+            if not tok:
+                continue
+            s = list(tok)
+            for a, b in merges:
+                new = []
+                for x in s:
+                    if new and new[-1] == a and x == b:
+                        new[-1] = a + b
+                    else:
+                        new.append(x)
+                s = new
+            out.extend(s)
+        return out
+
+    seg = {
+        r.doc_id: list(r.subwords)
+        for r in tx.bpe_apply(df, got_merges).collect()
+    }
+    for i, t in rows:
+        assert seg[i] == apply_ref(t, got_merges), i
+    # leftmost-greedy pin: merge (a,a) on 'aaa' -> ['aa', 'a']
+    tri = generate_input(spark, [(1, "aaa")], "doc_id bigint, text string")
+    got = tx.bpe_apply(tri, [("a", "a")]).collect()[0].subwords
+    assert list(got) == ["aa", "a"]
+
+
+def test_pagerank_integer_fixed_point(spark):
+    """pagerank matches a pure-Python integer fixed-point reference
+    on an asymmetric graph (hub ranks above leaves), and is
+    partition-count invariant (order-independent integer sums)."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (5, 1)]
+    df = generate_input(spark, edges, "a bigint, b bigint")
+    from datasplash_spark.functions.graph import pagerank
+
+    got = {
+        r.node: r.score_nano for r in pagerank(df, iterations=5).collect()
+    }
+
+    import math
+
+    e = set()
+    for a, b in edges:
+        e.add((a, b))
+        e.add((b, a))
+    nodes = sorted({x for p in e for x in p})
+    deg = {n: sum(1 for s, _ in e if s == n) for n in nodes}
+    score = {n: 10 ** 9 for n in nodes}
+    for _ in range(5):
+        inn = {n: 0 for n in nodes}
+        for s, d in e:
+            inn[d] += math.floor(
+                math.floor(score[s] / deg[s]) * 85 / 100
+            )
+        score = {n: 150_000_000 + inn[n] for n in nodes}
+    assert got == score
+    # hub 1 outranks leaf 4
+    assert got[1] > got[4]
+    repart = {
+        r.node: r.score_nano
+        for r in pagerank(df.repartition(7), iterations=5).collect()
+    }
+    assert repart == got
+
+
+def test_event_path_ngrams_order_and_guard(spark):
+    """Paths follow (ts, event_id) order; users with < n events
+    contribute nothing; counts aggregate across users."""
+    rows = [
+        (1, 100, 10, "view"),
+        (2, 100, 20, "cart"),
+        (3, 100, 30, "buy"),
+        (4, 200, 10, "view"),
+        (5, 200, 20, "cart"),
+        (6, 200, 30, "buy"),
+        (7, 300, 10, "view"),  # only one event
+        (8, 400, 10, "cart"),
+        (9, 400, 10, "view"),  # same ts: event_id 8 < 9 -> cart first
+        (10, 400, 20, "buy"),
+    ]
+    df = generate_input(
+        spark,
+        [(e, u, float(t), ty) for e, u, t, ty in rows],
+        "event_id bigint, user_id bigint, tsec double, event_type string",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("tsec").alias("ts"),
+        "event_type",
+    )
+    from datasplash_spark.functions.events import event_path_ngrams
+
+    got = {
+        r.path: r.walks
+        for r in event_path_ngrams(df, n=3, min_count=1).collect()
+    }
+    assert got == {"view>cart>buy": 2, "cart>view>buy": 1}

@@ -255,6 +255,14 @@ def test_no_python_udf_in_relational_corpus(spark):
         "skew_report",
         "cohort_retention",
         "bm25_multi",
+        # round-6 additions
+        "weighted_sample_det",
+        "winnow_fingerprints",
+        "bpe_pairs",
+        "source_drift",
+        "bpe_tokenize",
+        "textrank",
+        "event_paths",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
