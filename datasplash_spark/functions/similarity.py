@@ -1690,3 +1690,144 @@ def pca_project(
             expr = expr * F.lit(scales[j])
         cols.append(expr)
     return df.withColumn(out_col, F.array(*cols))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization of an embedding
+    column to ``bits``-bit integer codes — the 4× (float32→int8)
+    memory/IO lever for corpus-scale ANN stores: at 100 TB the
+    dominant ANN cost is streaming vectors, and int8 codes cut that
+    stream 4× while keeping cosine recall high (codes are exact
+    rationals, so downstream score arithmetic stays oracle-exact).
+
+    Per vector: ``scale = max(|x_i|) / (2^(bits-1) - 1)`` and
+    ``code_i = round(x_i / scale)`` (zero vectors → scale 0, all
+    codes 0). Dequantization is ``code_i · scale``; cosine between
+    dequantized vectors equals cosine between CODE vectors (the
+    per-vector scale cancels), so :func:`quantized_topk` ranks on
+    integer-dot arithmetic. Returns
+    ``(vec_id, codes array<smallint>, scale)``.
+
+    Reference anchor: no analog; ANN store extension surface
+    (BASELINE.json north_star).
+    """
+    qmax = (1 << (int(bits) - 1)) - 1
+    v = _col(vec_col)
+    # stage the max as a real multi-reference column so the lambda
+    # below reads it instead of re-deriving it per element (the
+    # CollapseProject inlining rule — SCALING.md round-6 lesson)
+    staged = df.select(
+        _col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_amax"),
+    )
+    amax = F.col("_amax")
+    scale = amax / F.lit(float(qmax))
+    codes = F.when(
+        amax > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(
+                x / (F.col("_amax") / F.lit(float(qmax)))
+            ).cast("smallint"),
+        ),
+    ).otherwise(
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("smallint"))
+    )
+    return staged.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(scale, 9).alias("scale"),
+    )
+
+
+def quantized_topk(
+    codes_df: DataFrame,
+    query_codes: list[int],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k over a :func:`quantize_embeddings`
+    store: the per-vector scale cancels in cosine, so the score is
+    the INTEGER dot of code vectors over integer norms — exact
+    BIGINT accumulation (codes ≤ 127 ⇒ products < 2^14·dim, no
+    overflow to dim ≈ 2^48), one scan + TakeOrdered. 9-dp rounding
+    for the usual engine-stable ordering; ties to lowest id."""
+    q = [int(x) for x in query_codes]
+    qn = sum(x * x for x in q) ** 0.5
+    c = F.col("codes")
+    idot = F.aggregate(
+        F.zip_with(
+            c,
+            F.array(*[F.lit(x).cast("int") for x in q]),
+            lambda a, b: (a.cast("long") * b.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cn = F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    score = F.round(
+        F.when(
+            (cn > 0) & (F.lit(float(qn)) > 0),
+            idot.cast("double") / (cn * F.lit(float(qn))),
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+    return (
+        codes_df.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(int(k))
+    )
+
+
+def edit_distance_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_dist_ratio: float = 0.2,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """VERIFY near-duplicate candidate pairs with true Levenshtein
+    distance — the exact second stage after a recall-oriented
+    candidate generator (MinHash/SimHash/winnowing): joins the text
+    back onto ``(a, b)`` pairs and keeps pairs whose edit distance
+    is at most ``max_dist_ratio`` of the longer text. Returns
+    ``(a, b, dist, dist_ratio)``.
+
+    Candidate pairs are corpus-rare by construction, so the two text
+    joins touch only candidate rows (broadcast when pairs are small;
+    shuffle-hash otherwise) and the O(len²) Levenshtein runs
+    JVM-side per surviving pair — never all-pairs. ``dist_ratio``
+    rounds to 6 dp (engine-stable)."""
+    ta = df.select(
+        _col(id_col).alias("a"), _col(text).alias("_ta")
+    )
+    tb = df.select(
+        _col(id_col).alias("b"), _col(text).alias("_tb")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    longer = F.greatest(F.length("_ta"), F.length("_tb"))
+    ratio = F.when(longer > 0, dist.cast("double") / longer.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            dist.cast("long").alias("dist"),
+            F.round(ratio, 6).alias("dist_ratio"),
+        )
+        .filter(F.col("dist_ratio") <= float(max_dist_ratio))
+    )

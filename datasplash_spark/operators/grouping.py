@@ -1162,3 +1162,50 @@ def skew_report(
         .orderBy(F.col("n").desc(), F.col("key").asc_nulls_last())
         .limit(int(top_n))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    expr: ColumnLike,
+    z: float = 3.5,
+    flag_name: str | None = None,
+) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation
+    (Iglewicz & Hoaglin 1993): modified z-score
+    ``0.6745 · (x − median) / MAD`` with MAD = median(|x − median|)
+    — the curation-grade outlier rule (mean/stddev break down when
+    the outliers themselves move the mean; the median pair does
+    not). Default cutoff 3.5 is the standard recommendation.
+
+    ``flag_name=None`` FILTERS outliers out; a string instead ADDS
+    the 0/1 outlier flag (audit mode — keep every row, the
+    filter_report companion shape).
+
+    Two aggregate passes by necessity (MAD is a statistic of the
+    residuals of a statistic): each is ONE exact-percentile
+    aggregate reduced to a single broadcast row — no window, no
+    sort of the data. All arithmetic is correctly-rounded IEEE on
+    the exact aggregate outputs (0.6745 is the same literal both
+    engines parse) — oracle-exact without libm. A constant column
+    (MAD = 0) flags nothing (every modified z is NULL → not an
+    outlier), matching the reference treatment.
+    """
+    e = _col(expr).cast("double")
+    med = df.agg(F.percentile(e, F.lit(0.5)).alias("_med"))
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.percentile(F.abs(e - F.col("_med")), F.lit(0.5)).alias("_mad")
+    )
+    mz = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (e - F.col("_med")) / F.col("_mad"),
+    )
+    is_out = (F.abs(mz) > F.lit(float(z))).cast("int")
+    out = with_med.crossJoin(F.broadcast(mad))
+    if flag_name is None:
+        return out.filter(
+            F.coalesce(is_out, F.lit(0)) == 0
+        ).drop("_med", "_mad")
+    return out.select(
+        "*", F.coalesce(is_out, F.lit(0)).alias(flag_name)
+    ).drop("_med", "_mad")

@@ -1256,6 +1256,142 @@ FROM g GROUP BY path HAVING count(*) >= 2
 """
 
 
+def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN: quantize the embedding corpus
+    (per-vector symmetric scale — similarity.quantize_embeddings),
+    then brute-force cosine top-10 against vec_id=0's CODE vector.
+    The per-vector scale cancels in cosine, so scoring is integer
+    dot / integer norms — exact BIGINT accumulation over the 4×
+    smaller code stream (the 100 TB ANN memory lever)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    codes = sim.quantize_embeddings(emb)
+    q = codes.filter(F.col("vec_id") == 0).select(
+        F.col("codes").alias("qc")
+    )
+    prod = F.zip_with(
+        F.col("codes"),
+        F.col("qc"),
+        lambda a, b: a.cast("long") * b.cast("long"),
+    )
+    idot = F.aggregate(
+        prod, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cn = F.sqrt(sq(F.col("codes")).cast("double"))
+    qn = F.sqrt(sq(F.col("qc")).cast("double"))
+    score = F.round(
+        F.when((cn > 0) & (qn > 0), idot.cast("double") / (cn * qn))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_QUANTIZED_SEARCH = """
+WITH amax AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS am
+  FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         CASE WHEN am > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE / (am / 127.0)) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS c
+  FROM amax
+), q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+flat AS (
+  SELECT vec_id, unnest(c) AS x, generate_subscripts(c, 1) AS i FROM codes
+), qflat AS (
+  SELECT unnest(qc) AS qx, generate_subscripts(qc, 1) AS i FROM q
+), dots AS (
+  SELECT f.vec_id,
+         CAST(sum(f.x * qf.qx) AS BIGINT) AS idot,
+         CAST(sum(f.x * f.x) AS BIGINT) AS nsq
+  FROM flat f JOIN qflat qf USING (i)
+  GROUP BY f.vec_id
+), qn AS (SELECT CAST(sum(qx * qx) AS BIGINT) AS qsq FROM qflat)
+SELECT vec_id,
+       round(CASE WHEN nsq > 0 AND qsq > 0
+                  THEN idot::DOUBLE / (sqrt(nsq::DOUBLE) * sqrt(qsq::DOUBLE))
+                  ELSE 0 END, 6) AS score
+FROM dots CROSS JOIN qn
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verification of MinHash candidate pairs by TRUE
+    Levenshtein distance (the recall-then-precision dedup shape):
+    pairs are corpus-rare, so the O(len²) distance runs on
+    candidates only, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return sim.edit_distance_verify(docs, pairs, max_dist_ratio=0.4)
+
+
+ORACLE_EDIT_VERIFY = (
+    "WITH "
+    + _minhash_cte_block(16, 4, 3, 42)
+    + """
+SELECT p.doc_a AS a, p.doc_b AS b,
+       levenshtein(da.text, db.text) AS dist,
+       round(CASE WHEN greatest(length(da.text), length(db.text)) > 0
+                  THEN levenshtein(da.text, db.text)::DOUBLE
+                       / greatest(length(da.text), length(db.text))
+                  ELSE 0 END, 6) AS dist_ratio
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE CASE WHEN greatest(length(da.text), length(db.text)) > 0
+           THEN levenshtein(da.text, db.text)::DOUBLE
+                / greatest(length(da.text), length(db.text))
+           ELSE 0 END <= 0.4
+"""
+)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit on document lengths: modified z-score
+    0.6745·(x−median)/MAD with cutoff 3.5 (Iglewicz & Hoaglin) in
+    flag mode — every doc kept, outliers marked. Two single-row
+    exact-percentile aggregates broadcast back; no sort, no libm."""
+    from .operators import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mad_outliers(docs, "n_chars", z=3.5, flag_name="is_outlier")
+    return out.select("doc_id", "n_chars", "is_outlier")
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT quantile_cont(n_chars::DOUBLE, 0.5) AS m FROM documents
+), mad AS (
+  SELECT quantile_cont(abs(n_chars::DOUBLE - m), 0.5) AS d
+  FROM documents CROSS JOIN med
+)
+SELECT doc_id, n_chars,
+       CASE WHEN d > 0
+              AND abs(0.6745 * (n_chars::DOUBLE - m) / d) > 3.5
+            THEN 1 ELSE 0 END AS is_outlier
+FROM documents CROSS JOIN med CROSS JOIN mad
+"""
+
+
 def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling WITHOUT replacement in
     engine-exact deterministic mode: es_key = ln(u)/w with the
@@ -4132,6 +4268,9 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "bpe_tokenize": (q_bpe_tokenize, ORACLE_BPE_TOKENIZE),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
+    "quantized_search": (q_quantized_search, ORACLE_QUANTIZED_SEARCH),
+    "edit_verify": (q_edit_verify, ORACLE_EDIT_VERIFY),
+    "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
     "collocations": (q_collocations, ORACLE_COLLOCATIONS),
     "contrastive_pairs": (q_contrastive_pairs, ORACLE_CONTRASTIVE_PAIRS),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
@@ -4292,6 +4431,9 @@ _AFTER_WINDOW_R6: list[str] = [
     "bpe_tokenize",
     "textrank",
     "event_paths",
+    "quantized_search",
+    "edit_verify",
+    "mad_outliers",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

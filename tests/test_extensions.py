@@ -12,6 +12,7 @@ from datasplash_spark.functions import multimodal as mm
 from datasplash_spark.functions import similarity as sim
 from datasplash_spark.functions import text as tx
 from datasplash_spark.sources import generate_input
+from datasplash_spark import operators as ops
 
 
 def test_simhash_similar_docs_close(spark):
@@ -2500,3 +2501,86 @@ def test_event_path_ngrams_order_and_guard(spark):
         for r in event_path_ngrams(df, n=3, min_count=1).collect()
     }
     assert got == {"view>cart>buy": 2, "cart>view>buy": 1}
+
+
+def test_quantize_embeddings_and_topk(spark):
+    """int8 quantization: codes bounded to [-127,127], scale
+    reconstructs within quantization error; quantized top-k ranks
+    clear-margin neighbors identically to exact cosine; zero vectors
+    quantize to all-zero codes with scale 0."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(8)]) for i in range(40)
+    ]
+    rows.append((40, [0.0] * 8))
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    qt = {r.vec_id: r for r in sim.quantize_embeddings(df).collect()}
+    for i, v in rows:
+        codes = list(qt[i].codes)
+        assert max(abs(c) for c in codes) <= 127
+        if any(v):
+            s = max(abs(x) for x in v) / 127.0
+            for c, x in zip(codes, v):
+                assert abs(c * s - x) <= s / 2 + 1e-12
+        else:
+            assert codes == [0] * 8 and qt[i].scale == 0.0
+
+    # exact top-5 (excluding the zero vector) vs quantized top-5
+    q = rows[0][1]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb) if na and nb else 0.0
+
+    exact = sorted(
+        ((cos(v, q), i) for i, v in rows), key=lambda t: (-t[0], t[1])
+    )[:5]
+    got = sim.quantized_topk(
+        sim.quantize_embeddings(df), list(qt[0].codes), k=5
+    ).collect()
+    assert [r.vec_id for r in got] == [i for _, i in exact]
+
+
+def test_edit_distance_verify(spark):
+    """edit_distance_verify keeps candidate pairs within the ratio
+    and reports exact Levenshtein distances."""
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumped"),   # dist 2, ratio 2/26
+        (3, "a completely different doc"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    pairs = generate_input(spark, [(1, 2), (1, 3)], "a bigint, b bigint")
+    got = {
+        (r.a, r.b): (r.dist, r.dist_ratio)
+        for r in sim.edit_distance_verify(df, pairs, 0.2).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)][0] == 2
+    loose = sim.edit_distance_verify(df, pairs, 1.0).collect()
+    assert len(loose) == 2
+
+
+def test_mad_outliers(spark):
+    """MAD outlier filter: a planted extreme value is flagged/removed;
+    a constant column flags nothing (MAD=0 guard); matches the direct
+    modified-z computation."""
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 12.5, 500.0]
+    df = generate_input(
+        spark, [(i, v) for i, v in enumerate(vals)], "id bigint, x double"
+    )
+    flagged = {
+        r.id: r.out
+        for r in ops.mad_outliers(df, "x", flag_name="out").collect()
+    }
+    assert flagged[7] == 1 and sum(flagged.values()) == 1
+    kept = ops.mad_outliers(df, "x").count()
+    assert kept == 7
+    const = generate_input(
+        spark, [(i, 5.0) for i in range(6)], "id bigint, x double"
+    )
+    assert ops.mad_outliers(const, "x").count() == 6

@@ -263,6 +263,9 @@ def test_no_python_udf_in_relational_corpus(spark):
         "bpe_tokenize",
         "textrank",
         "event_paths",
+        "quantized_search",
+        "edit_verify",
+        "mad_outliers",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
