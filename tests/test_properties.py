@@ -126,3 +126,97 @@ def test_bqize_keys_produces_clean_keys(v):
         return True
 
     assert all_keys_clean(bqize_keys(v))
+
+
+# ---------------------------------------------------------------- round 6
+# Pure-Python mirrors of the round-6 engine-exact kernels, fuzzed.
+
+
+def _py_bpe_pass(syms, a, b):
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+    st.sampled_from(["a", "b", "ab", "ba"]),
+    st.sampled_from(["a", "b", "ab", "ba"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_fold_string_accumulator_equals_list_walk(syms, a, b):
+    """The string-accumulator merge fold (the form both engines
+    evaluate) is equivalent to the reference list walk for ANY
+    symbol sequence and merge pair — incl. overlapping runs like
+    a,a,a and multi-char symbols."""
+    acc = ""
+    for x in syms:
+        if (acc == a or acc.endswith(" " + a)) and x == b:
+            acc = acc[: len(acc) - len(a)] + a + b
+        elif acc == "":
+            acc = x
+        else:
+            acc = acc + " " + x
+    via_string = acc.split(" ") if acc else [""]
+    via_list = _py_bpe_pass(list(syms), a, b)
+    if not syms:
+        assert acc == ""
+    else:
+        assert via_string == via_list
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2 ** 31 - 1),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_density_and_coverage(hashes, w):
+    """Winnowing invariants on arbitrary hash sequences: every
+    selected fingerprint IS a sequence member; every window of w
+    consecutive hashes contains at least one selected fingerprint
+    VALUE (the coverage guarantee behind the w+k-1 sharing
+    property)."""
+    m = len(hashes)
+    wins = [
+        min(hashes[i : i + w]) for i in range(max(m - w + 1, 1))
+    ]
+    fps = set(wins)
+    assert fps <= set(hashes)
+    for i in range(max(m - w + 1, 1)):
+        assert fps & set(hashes[i : i + w])
+
+
+def _py_det_ln_u(m_hex: int) -> float:
+    m = max(m_hex, 1)
+    b = m.bit_length()
+    t = float(m) / float(1 << (b - 1))
+    z = (t - 1.0) / (t + 1.0)
+    s = z * z
+    cs = [0.3333333333333333, 0.2, 0.14285714285714285,
+          0.1111111111111111, 0.09090909090909091, 0.07692307692307693]
+    poly = cs[-1]
+    for c in reversed(cs[:-1]):
+        poly = c + s * poly
+    return 2.0 * z * (1.0 + s * poly) + float(b - 33) * 0.6931471805599453
+
+
+@given(st.integers(min_value=0, max_value=2 ** 32 - 1))
+@settings(max_examples=500, deadline=None)
+def test_det_ln_series_accuracy(m):
+    """The atanh-series ln(u) used by weighted_sample(deterministic)
+    stays within 2e-8 of true ln over the whole 32-bit uniform
+    domain (statistical fidelity bound; exactness across engines is
+    pinned separately by the oracle gate)."""
+    import math
+
+    approx = _py_det_ln_u(m)
+    true = math.log(max(m, 1) / float(1 << 32))
+    assert abs(approx - true) < 2e-8
