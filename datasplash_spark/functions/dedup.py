@@ -32,6 +32,10 @@ from .text import tokens
 #: DuckDB (no decimal/HUGEINT needed in the hot path).
 MERSENNE_P = (1 << 31) - 1
 
+#: Mersenne prime 2^61 − 1: content-digest modulus (md5_long values
+#: are 60-bit, strictly below it).
+MERSENNE61 = (1 << 61) - 1
+
 SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
 
 
@@ -1039,3 +1043,44 @@ def lsh_tune(
             best = (cost, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def content_manifest(
+    df: DataFrame,
+    shard: ColumnLike,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Per-shard integrity manifest: row count + an ORDER-INDEPENDENT
+    content digest per shard — the verification artifact a 100 TB
+    training-data release ships next to its shards (re-run the
+    manifest after any migration/compaction/transfer and diff;
+    corruption, loss, duplication, and reordering all surface as a
+    digest or count change, and the check never needs a sort).
+
+    Digest = Σ md5_long(id ‖ 0x1f ‖ text) mod (2^61 − 1) — an
+    integer sum of per-row 60-bit hashes, so it is independent of
+    row order and partitioning (engine-exact; Σ mod p in BIGINT:
+    each addend < 2^61, partial sums reduced mod p per row via the
+    aggregate below... computed as sum over md5_long values in
+    decimal(38,0) then one mod — exact to ~1e20 rows/shard).
+    Returns ``(shard, n_rows, digest)``.
+
+    Reference anchor: no analog; training-data release tooling
+    (BASELINE.json north_star).
+    """
+    row_h = md5_long(
+        F.concat_ws("\x1f", _col(id_col).cast("string"), _col(text))
+    )
+    return (
+        df.groupBy(_col(shard).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.pmod(
+                F.sum(row_h.cast("decimal(38,0)")),
+                F.lit(MERSENNE61).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("digest"),
+        )
+    )

@@ -1256,6 +1256,36 @@ FROM g GROUP BY path HAVING count(*) >= 2
 """
 
 
+def q_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard release manifest: row count + order-independent
+    content digest (Σ 60-bit row hashes mod 2^61−1, decimal-exact)
+    over the deterministic 8-way hash sharding — the integrity
+    artifact shipped beside a training-data release."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = docs.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(8),
+        ),
+    )
+    return dd.content_manifest(sharded, "shard")
+
+
+ORACLE_CONTENT_MANIFEST = """
+WITH sharded AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 8
+           AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_rows,
+       CAST(sum(CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || chr(31) || text), 1, 15) AS BIGINT) AS HUGEINT))
+            % 2305843009213693951 AS BIGINT) AS digest
+FROM sharded GROUP BY shard
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM pseudo-perplexity per document (Laplace-1 smoothed,
     trained on the corpus itself) — nano fixed-point per-bigram
@@ -4313,6 +4343,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
+    "content_manifest": (q_content_manifest, ORACLE_CONTENT_MANIFEST),
     "quantized_search": (q_quantized_search, ORACLE_QUANTIZED_SEARCH),
     "edit_verify": (q_edit_verify, ORACLE_EDIT_VERIFY),
     "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
@@ -4477,6 +4508,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "textrank",
     "event_paths",
     "bigram_lm",
+    "content_manifest",
     "quantized_search",
     "edit_verify",
     "mad_outliers",

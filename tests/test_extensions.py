@@ -2584,3 +2584,33 @@ def test_mad_outliers(spark):
         spark, [(i, 5.0) for i in range(6)], "id bigint, x double"
     )
     assert ops.mad_outliers(const, "x").count() == 6
+
+
+def test_round6_ops_empty_input(spark):
+    """Empty-corpus hardening for the round-6 operators: every op
+    returns an empty, correctly-typed result instead of raising."""
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    edges = spark.createDataFrame([], "a bigint, b bigint")
+    ev = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    from datasplash_spark.functions.events import event_path_ngrams
+    from datasplash_spark.functions.graph import pagerank
+
+    assert dd.winnow_fingerprints(docs).count() == 0
+    assert tx.bpe_pair_counts(docs).count() == 0
+    assert tx.bpe_learn(docs, n_merges=3) == []
+    assert tx.bpe_apply(docs, [("a", "b")]).count() == 0
+    assert tx.source_drift(docs).count() == 0
+    assert tx.bigram_doc_scores(docs).count() == 0
+    assert tx.bigram_counts(docs).count() == 0
+    assert dd.content_manifest(docs, F.lit(0)).count() == 0
+    assert pagerank(edges).count() == 0
+    assert event_path_ngrams(ev).count() == 0
+    assert sim.quantize_embeddings(emb).count() == 0
+    assert sim.quantized_topk(
+        sim.quantize_embeddings(emb), [1, 2], k=3
+    ).count() == 0
+    assert ops.mad_outliers(docs, "doc_id").count() == 0
+    assert sim.edit_distance_verify(docs, edges, 0.5).count() == 0

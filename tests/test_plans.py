@@ -665,3 +665,52 @@ def test_plan_guard_api(spark):
     plan_guard(clean, require=("PushedFilters",))
     with pytest.raises(PlanGuardError, match="NoSuchMarker"):
         plan_guard(clean, require=("NoSuchMarker",))
+
+
+def test_quantized_search_is_take_ordered(spark):
+    """quantized_search: the top-k must be TakeOrderedAndProject
+    (per-partition heap + driver merge), never a global Sort; the
+    query codes broadcast; no Python anywhere."""
+    plan = plan_of(_q(spark, "quantized_search"), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_fingerprints_linear_shape(spark):
+    """winnow_fingerprints: running-min Window over the posexploded
+    hash table — exactly ONE Window-producing shuffle on doc_id and
+    NO per-index array recompute (the O(n²) lambda-inlining trap:
+    md5 must appear in the plan's generator input, not inside a
+    window frame expression)."""
+    plan = plan_of(_q(spark, "winnow_fingerprints"), mode="simple")
+    assert "Window" in plan, plan
+    assert "Generate" in plan, plan  # posexplode, evaluated once per row
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_no_sort_no_window(spark):
+    """mad_outliers: two single-row percentile aggregates broadcast
+    back — the data itself is never sorted or windowed."""
+    plan = plan_of(_q(spark, "mad_outliers"), mode="simple")
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_textrank_no_cartesian(spark):
+    """textrank: 5 PageRank iterations stay hash joins on node/src —
+    no cartesian product, no Python."""
+    plan = plan_of(_q(spark, "textrank"), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_apply_vocab_sized_fold(spark):
+    """bpe_tokenize: the merge-fold chain runs on the DISTINCT token
+    vocab (an Aggregate feeds the fold), and occurrences map back by
+    join — the fold never runs per corpus token."""
+    plan = plan_of(_q(spark, "bpe_tokenize"), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the join that maps occurrences to their segmentation
+    assert "Join" in plan, plan
