@@ -1209,3 +1209,101 @@ def mad_outliers(
     return out.select(
         "*", F.coalesce(is_out, F.lit(0)).alias(flag_name)
     ).drop("_med", "_mad")
+
+
+def domain_reweight(
+    losses: DataFrame,
+    iterations: int = 5,
+    eta: float = 0.1,
+    domain: ColumnLike = "domain",
+    loss_nano: ColumnLike = "loss_nano",
+) -> DataFrame:
+    """Multiplicative-weights domain reweighting — the first-order
+    form of DoReMi-style mix optimization (Xie et al. 2023): domains
+    whose loss exceeds the current weighted mean gain weight, easier
+    domains shed it, iterated to a reweighted sampling mix. Input is
+    the DOMAIN-SIZED loss table ``(domain, loss_nano)`` (nano
+    fixed-point — e.g. per-token corpus-LM negative log-prob from
+    :func:`~..functions.text.bigram_doc_scores` aggregates); output
+    is ``(domain, weight_nano)`` with mean weight 1e9.
+
+    Per iteration (all engine-exact: integer/decimal sums are
+    order-independent, every float op is a correctly-rounded IEEE
+    step on exact aggregate outputs — an unrolled CTE chain is a
+    valid oracle):
+
+    1. ``m`` = Σ(w·loss)/Σw (decimal sums → double division);
+    2. ``x`` = max|loss − m| (0 → no-op iteration);
+    3. ``w ← round(w · (1 + η·(loss − m)/x))`` — factors bounded to
+       [1−η, 1+η], positive for η < 1;
+    4. renormalize to mean 1e9 (round(w · N·1e9/Σw)).
+
+    The table is domains-sized, so every aggregate is a tiny job;
+    the corpus is only touched by whatever produced the losses.
+
+    Reference anchor: no analog; mixing extension surface
+    (BASELINE.json north_star).
+    """
+    w = losses.select(
+        _col(domain).alias("domain"),
+        _col(loss_nano).cast("long").alias("_loss"),
+        F.lit(1_000_000_000).cast("long").alias("weight_nano"),
+    )
+    for _ in range(int(iterations)):
+        tot = w.agg(
+            F.sum(
+                (
+                    F.col("weight_nano").cast("decimal(38,0)")
+                    * F.col("_loss").cast("decimal(38,0)")
+                )
+            ).alias("_wl"),
+            F.sum(F.col("weight_nano").cast("decimal(38,0)")).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        m = F.col("_wl").cast("double") / F.col("_w").cast("double")
+        stage = w.crossJoin(F.broadcast(tot)).select(
+            "domain",
+            "_loss",
+            "weight_nano",
+            "_n",
+            (F.col("_loss").cast("double") - m).alias("_exc"),
+        )
+        mx = stage.agg(F.max(F.abs(F.col("_exc"))).alias("_x"))
+        upd = stage.crossJoin(F.broadcast(mx)).select(
+            "domain",
+            "_loss",
+            "_n",
+            F.when(
+                F.col("_x") > 0,
+                F.round(
+                    F.col("weight_nano").cast("double")
+                    * (
+                        F.lit(1.0)
+                        + F.lit(float(eta)) * F.col("_exc") / F.col("_x")
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("weight_nano"))
+            .alias("_w1"),
+        )
+        norm = upd.agg(F.sum(F.col("_w1").cast("decimal(38,0)")).alias("_s"))
+        w = upd.crossJoin(F.broadcast(norm)).select(
+            "domain",
+            "_loss",
+            F.round(
+                F.col("_w1").cast("double")
+                * (
+                    F.col("_n").cast("double")
+                    * F.lit(1e9)
+                    / F.col("_s").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("weight_nano"),
+        )
+        # three aggregate branches per iteration over the prior
+        # iteration's lineage — truncate it each round (the CC-loop
+        # rule) or the plan re-executes upstream combinatorially;
+        # the table is domains-sized, so this is a no-op cost
+        w = w.localCheckpoint(eager=True)
+    return w.select("domain", "weight_nano")

@@ -1256,6 +1256,102 @@ FROM g GROUP BY path HAVING count(*) >= 2
 """
 
 
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mix optimization (first-order multiplicative
+    weights): per-source corpus-LM loss (nano per-token neg-logprob,
+    integer-sum exact) → 5 reweighting iterations → per-domain
+    sampling weights (mean 1e9). Every aggregate is decimal/integer
+    (order-independent); the oracle is the same recurrence unrolled."""
+    from .operators import domain_reweight
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = tx.unigram_doc_scores(docs)
+    losses = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.round(
+                -(
+                    F.sum(
+                        F.col("sum_logp_nano").cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.sum(
+                        F.col("n_toks").cast("decimal(38,0)")
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("loss_nano")
+        )
+    )
+    return domain_reweight(losses, iterations=5, eta=0.1)
+
+
+def _domain_reweight_oracle(iterations: int = 5, eta: str = "0.1") -> str:
+    head = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+), freqs AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), tot AS (SELECT sum(n) AS total FROM freqs),
+lm AS (
+  SELECT term,
+         CAST(round(ln(n * 1.0 / total) * 1e9) AS BIGINT) AS logp_nano
+  FROM freqs CROSS JOIN tot
+), per_doc AS (
+  SELECT toks.doc_id, count(*) AS n_toks, sum(lm.logp_nano) AS slp
+  FROM toks JOIN lm USING (term)
+  GROUP BY toks.doc_id
+), losses AS MATERIALIZED (
+  SELECT d.source AS domain,
+         CAST(round(-(CAST(sum(CAST(p.slp AS HUGEINT)) AS DOUBLE)
+                      / CAST(sum(CAST(p.n_toks AS HUGEINT)) AS DOUBLE)))
+              AS BIGINT) AS loss
+  FROM documents d JOIN per_doc p ON p.doc_id = d.doc_id
+  GROUP BY d.source
+), s0 AS MATERIALIZED (
+  SELECT domain, loss, CAST(1000000000 AS BIGINT) AS w FROM losses
+)"""
+    blocks = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        blocks.append(f""", t{i} AS (
+  SELECT CAST(sum(CAST(w AS HUGEINT) * CAST(loss AS HUGEINT)) AS DOUBLE) AS wl,
+         CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS wsum,
+         count(*) AS n
+  FROM s{p}
+), e{i} AS MATERIALIZED (
+  SELECT s.domain, s.loss, s.w, t.n,
+         CAST(s.loss AS DOUBLE) - (t.wl / t.wsum) AS exc
+  FROM s{p} s CROSS JOIN t{i} t
+), x{i} AS (SELECT max(abs(exc)) AS x FROM e{i}),
+u{i} AS MATERIALIZED (
+  SELECT e.domain, e.loss, e.n,
+         CASE WHEN x.x > 0
+              THEN CAST(round(CAST(e.w AS DOUBLE)
+                              * (1.0 + {eta} * e.exc / x.x)) AS BIGINT)
+              ELSE e.w END AS w1
+  FROM e{i} e CROSS JOIN x{i} x
+), n{i} AS (SELECT CAST(sum(CAST(w1 AS HUGEINT)) AS DOUBLE) AS s FROM u{i}),
+s{i} AS MATERIALIZED (
+  SELECT u.domain, u.loss,
+         CAST(round(CAST(u.w1 AS DOUBLE)
+                    * (CAST(u.n AS DOUBLE) * 1e9 / n.s)) AS BIGINT) AS w
+  FROM u{i} u CROSS JOIN n{i} n
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"\nSELECT domain, w AS weight_nano FROM s{iterations}\n"
+    )
+
+
+ORACLE_DOMAIN_REWEIGHT = _domain_reweight_oracle()
+
+
 def q_content_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard release manifest: row count + order-independent
     content digest (Σ 60-bit row hashes mod 2^61−1, decimal-exact)
@@ -4344,6 +4440,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
     "content_manifest": (q_content_manifest, ORACLE_CONTENT_MANIFEST),
+    "domain_reweight": (q_domain_reweight, ORACLE_DOMAIN_REWEIGHT),
     "quantized_search": (q_quantized_search, ORACLE_QUANTIZED_SEARCH),
     "edit_verify": (q_edit_verify, ORACLE_EDIT_VERIFY),
     "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
@@ -4509,6 +4606,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "event_paths",
     "bigram_lm",
     "content_manifest",
+    "domain_reweight",
     "quantized_search",
     "edit_verify",
     "mad_outliers",

@@ -709,3 +709,46 @@ def test_weighted_sample_deterministic_mode(spark):
     from collections import Counter
 
     assert set(Counter(r.k for r in per).values()) == {2}
+
+
+def test_domain_reweight_matches_reference(spark):
+    """domain_reweight equals the pure-Python multiplicative-weights
+    recurrence; harder domains gain weight; constant losses are a
+    fixed point (x=0 guard)."""
+    from datasplash_spark.sources import generate_input
+
+    losses = [("web", 4_500_000_000), ("code", 2_000_000_000),
+              ("books", 3_000_000_000), ("wiki", 2_500_000_000)]
+    df = generate_input(spark, losses, "domain string, loss_nano bigint")
+    got = {
+        r.domain: r.weight_nano
+        for r in ops.domain_reweight(df, iterations=5, eta=0.1).collect()
+    }
+
+    w = {d: 10 ** 9 for d, _ in losses}
+    loss = dict(losses)
+    n = len(losses)
+    for _ in range(5):
+        wl = sum(w[d] * loss[d] for d in w)
+        ws = sum(w.values())
+        m = float(wl) / float(ws)
+        exc = {d: float(loss[d]) - m for d in w}
+        x = max(abs(e) for e in exc.values())
+        if x > 0:
+            w = {
+                d: round(float(w[d]) * (1.0 + 0.1 * exc[d] / x))
+                for d in w
+            }
+        s = sum(w.values())
+        w = {d: round(float(w[d]) * (n * 1e9 / float(s))) for d in w}
+    assert got == w
+    assert got["web"] > got["code"]  # hardest domain gains weight
+
+    const = generate_input(
+        spark, [("a", 5), ("b", 5)], "domain string, loss_nano bigint"
+    )
+    cw = {
+        r.domain: r.weight_nano
+        for r in ops.domain_reweight(const, iterations=3).collect()
+    }
+    assert cw == {"a": 10 ** 9, "b": 10 ** 9}
