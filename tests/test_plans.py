@@ -264,6 +264,8 @@ def test_no_python_udf_in_relational_corpus(spark):
         "textrank",
         "event_paths",
         "bigram_lm",
+        "content_manifest",
+        "domain_reweight",
         "quantized_search",
         "edit_verify",
         "mad_outliers",
