@@ -176,10 +176,32 @@ def main() -> int:
             f"# bench_lsh_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
             file=sys.stderr,
         )
+
+        # int8-quantized IVF store (round 6): same pruned probes over
+        # the 4×-smaller code stream, integer-dot scoring
+        _qivf_path = os.path.join(_store_root, "qivf")
+        _simb.materialize_ivf(
+            _embb, _qivf_path, n_cells=16, centroids=_cents, quantize=True
+        )
+        t0 = time.time()
+        rows = sum(
+            _simb.ivf_topk_from_store(
+                spark, _qivf_path, qv, k=10, nprobe=4, centroids=_cents
+            ).count()
+            for qv in _qvecs
+        )
+        dt = round(time.time() - t0, 3)
+        timings["bench_qivf_store_probe"] = dt
+        total += dt
+        print(
+            f"# bench_qivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
+            file=sys.stderr,
+        )
         shutil.rmtree(_store_root, ignore_errors=True)
     except Exception as e:
         timings["bench_ivf_store_probe"] = -1.0
         timings["bench_lsh_store_probe"] = -1.0
+        timings["bench_qivf_store_probe"] = -1.0
         failed.append("bench_ann_store_probe")
         print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
 

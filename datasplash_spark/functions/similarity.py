@@ -382,6 +382,7 @@ def materialize_ivf(
     vec_col: ColumnLike = "embedding",
     id_col: ColumnLike = "vec_id",
     centroids: list[list[float]] | None = None,
+    quantize: bool = False,
 ) -> list[list[float]]:
     """Write the IVF store: the corpus with its cell assignment,
     PARTITIONED BY ``cell`` — the cross-job ANN shape (the
@@ -391,7 +392,14 @@ def materialize_ivf(
     are opened — ``ivf_topk``'s docstring promise made literal).
     Centroids persist alongside as JSON (model-sized) so probes need
     no corpus access at all before the pruned scan. Returns the
-    centroids used."""
+    centroids used.
+
+    ``quantize=True`` stores int8 CODES + per-vector scale instead
+    of the float vectors (:func:`quantize_embeddings` — cell
+    assignment still happens at full precision at write time): the
+    probe stream shrinks ~4× and :func:`ivf_topk_from_store`
+    auto-detects the layout, scoring with exact integer-dot
+    arithmetic (the scale cancels in cosine)."""
     import json
     import os
 
@@ -402,6 +410,11 @@ def materialize_ivf(
     assigned = df.withColumn("_nv", norm(_col(vec_col))).withColumn(
         "cell", ivf_cell(vec_col, centroids, norm_col=F.col("_nv"))
     ).drop("_nv")
+    if quantize:
+        codes = quantize_embeddings(df, vec_col, id_col)
+        assigned = assigned.select(
+            _col(id_col).alias("vec_id"), "cell"
+        ).join(codes, "vec_id")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     # centroids sidecar written THROUGH Spark (one row, one file) so
     # the store works on any Hadoop filesystem (s3a/hdfs/...), not
@@ -448,6 +461,25 @@ def ivf_topk_from_store(
         )
     probe = _rank_cells(centroids, query_vec, nprobe)
     store = _read_store(spark, path).filter(F.col("cell").isin(probe))
+    if "codes" in store.columns:
+        # quantized layout (materialize_ivf(quantize=True)): quantize
+        # the query driver-side (round half away from zero, matching
+        # the store's engine rounding) and rank on integer dots —
+        # the per-vector scales cancel in cosine
+        import math
+
+        am = max(abs(x) for x in query_vec) if query_vec else 0.0
+        if am <= 0:
+            qc = [0] * len(query_vec)
+        else:
+            s = am / 127.0
+            qc = [
+                int(math.floor(x / s + 0.5))
+                if x >= 0
+                else -int(math.floor(-x / s + 0.5))
+                for x in query_vec
+            ]
+        return quantized_topk(store, qc, k)
     return brute_force_topk(store, query_vec, k, vec_col, id_col)
 
 

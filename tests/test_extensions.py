@@ -2614,3 +2614,51 @@ def test_round6_ops_empty_input(spark):
     ).count() == 0
     assert ops.mad_outliers(docs, "doc_id").count() == 0
     assert sim.edit_distance_verify(docs, edges, 0.5).count() == 0
+
+
+def test_quantized_ivf_store_probe(spark, tmp_path):
+    """materialize_ivf(quantize=True): the store holds int8 codes +
+    scale (no float vectors), probes auto-detect the layout, prune
+    partitions, and rank clear-margin neighbors identically to the
+    float store."""
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        for i in range(12):
+            rows.append(
+                (c * 100 + i,
+                 [x + rng.uniform(-0.05, 0.05) for x in base])
+            )
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    fstore = str(tmp_path / "fivf")
+    qstore = str(tmp_path / "qivf")
+    cents = sim.materialize_ivf(df, fstore, n_cells=4)
+    sim.materialize_ivf(df, qstore, n_cells=4, centroids=cents, quantize=True)
+
+    cols = spark.read.parquet(qstore).columns
+    assert "codes" in cols and "embedding" not in cols
+
+    qv = rows[0][1]
+    fl = [r.vec_id for r in sim.ivf_topk_from_store(
+        spark, fstore, qv, k=5, nprobe=2, centroids=cents).collect()]
+    qz = [r.vec_id for r in sim.ivf_topk_from_store(
+        spark, qstore, qv, k=5, nprobe=2, centroids=cents).collect()]
+    assert fl == qz
+
+    # partition pruning survives the quantized layout
+    probe = sim.ivf_topk_from_store(
+        spark, qstore, qv, k=5, nprobe=2, centroids=cents
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "cell" in part[0], plan
