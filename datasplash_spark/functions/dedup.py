@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.elementwise import ColumnLike, _col
-from .text import tokens
+from .text import doc_lines, tokens
 
 #: Mersenne prime 2^31 − 1: permutation modulus. With 31-bit base
 #: hashes, a·h + b < 2^63 — exact in native BIGINT on both Spark and
@@ -1083,4 +1083,97 @@ def content_manifest(
             .cast("long")
             .alias("digest"),
         )
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    strategy: str = "join",
+) -> DataFrame:
+    """CORPUS-frequency line removal (CCNet / C4 boilerplate pass,
+    Wenzek et al. 2020): a line is boilerplate iff it occurs in
+    ``>= min_docs`` DISTINCT documents ("subscribe to our
+    newsletter", cookie banners, nav bars); every occurrence is
+    dropped from every document, remaining lines keep their order.
+    Complements :func:`..text.dedup_lines`, which is within-doc
+    only. Empty lines are structural, not content: they are never
+    counted and never removed. Returns ``(doc_id, clean_text,
+    n_lines_in, n_lines_out)``.
+
+    Physical shape — text never shuffles in the frequency pass:
+    lines explode to ``(doc_id, pos, md5-digest)`` (16-byte
+    digests), per-doc-distinct digests aggregate to the boilerplate
+    set, and removal is per-row array surgery:
+
+    - ``strategy="join"`` (default, scale-safe): boilerplate
+      OCCURRENCE positions group per doc and left-join back on
+      ``doc_id``; the source rows shuffle at most once, and AQE
+      broadcasts the position table when it is small (it holds only
+      boilerplate hits, not all lines). Removal is an index filter
+      against the per-doc bad-position set.
+    - ``strategy="broadcast"``: the DISTINCT boilerplate digests
+      collapse to one array broadcast to every row — ZERO shuffle of
+      the source. Right when the distinct boilerplate vocabulary is
+      bounded (it usually is: by definition each entry occurs
+      ``>= min_docs`` times, so distinct count <= total_lines /
+      min_docs); wrong when that array outgrows driver/executor
+      memory — prefer ``"join"`` at unknown scale.
+
+    Reference anchor: no analog in datasplash; LLM-pipeline
+    extension surface (BASELINE.json north_star).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    if strategy not in ("join", "broadcast"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    base = df.select(
+        _col(id_col).alias("doc_id"), doc_lines(text).alias("_lines")
+    )
+    occ = (
+        base.select("doc_id", F.posexplode("_lines"))
+        .where(F.col("col") != "")
+        .select("doc_id", "pos", md5_long(F.col("col")).alias("_d"))
+    )
+    bad = (
+        occ.select("doc_id", "_d")
+        .distinct()
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= F.lit(min_docs))
+        .select("_d")
+    )
+
+    if strategy == "broadcast":
+        bad_arr = bad.agg(
+            F.sort_array(F.collect_list("_d")).alias("_bad_digests")
+        )
+        joined = base.crossJoin(F.broadcast(bad_arr))
+        kept = F.filter(
+            F.col("_lines"),
+            lambda x: (x == F.lit(""))
+            | ~F.array_contains(F.col("_bad_digests"), md5_long(x)),
+        )
+    else:
+        bad_pos = (
+            occ.join(bad, "_d")
+            .groupBy("doc_id")
+            .agg(F.collect_set("pos").alias("_bad_pos"))
+        )
+        joined = base.join(bad_pos, "doc_id", "left")
+        empty = F.array().cast("array<int>")
+        kept = F.filter(
+            F.col("_lines"),
+            lambda x, i: ~F.array_contains(
+                F.coalesce(F.col("_bad_pos"), empty), i
+            ),
+        )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_lines").cast("long").alias("n_lines_in"),
+        F.size(kept).cast("long").alias("n_lines_out"),
     )

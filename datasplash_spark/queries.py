@@ -3538,6 +3538,63 @@ FROM d
 """
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate line removal (CCNet/C4 pass):
+    synthesize multi-line docs (text + a per-lang line + a promo
+    line on every third doc + a trailing empty line), drop every
+    line that occurs in >= 5 distinct docs. The lang and promo
+    lines must vanish, unique lines and the structural empty line
+    must survive."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("lang: "), F.col("lang")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter"),
+            ).otherwise(
+                F.concat(F.lit("unique-"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(""),
+        ).alias("text"),
+    )
+    return dd.remove_boilerplate_lines(synth, min_docs=5)
+
+
+ORACLE_BOILERPLATE_REMOVAL = """
+WITH s AS (
+  SELECT doc_id,
+         text || chr(10) || 'lang: ' || lang || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+              ELSE 'unique-' || doc_id END || chr(10) AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ln FROM s
+), o AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(ln, x -> x <> ''))) AS line
+  FROM l
+), b AS (
+  SELECT line FROM o GROUP BY line HAVING count(*) >= 5
+), ba AS (
+  SELECT coalesce(list(line), []::VARCHAR[]) AS bad FROM b
+), k AS (
+  SELECT doc_id, ln,
+         list_filter(ln, x -> x = '' OR NOT list_contains(ba.bad, x))
+           AS kept
+  FROM l CROSS JOIN ba
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       len(ln)::BIGINT AS n_lines_in,
+       len(kept)::BIGINT AS n_lines_out
+FROM k
+"""
+
+
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring profile (Lee et al. window dedup):
     per-doc count of 8-token windows that occur >1 time corpus-wide.
@@ -4380,6 +4437,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "token_budget_mix": (q_token_budget_mix, ORACLE_TOKEN_BUDGET_MIX),
     "pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "dedup_lines": (q_dedup_lines, ORACLE_DEDUP_LINES),
+    "boilerplate_removal": (q_boilerplate_removal, ORACLE_BOILERPLATE_REMOVAL),
     "doc_quality": (q_doc_quality, ORACLE_DOC_QUALITY),
     "quota_sample": (q_quota_sample, ORACLE_QUOTA_SAMPLE),
     "quality_classifier": (q_quality_classifier, ORACLE_QUALITY_CLASSIFIER),
@@ -4610,6 +4668,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "quantized_search",
     "edit_verify",
     "mad_outliers",
+    "boilerplate_removal",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

@@ -2662,3 +2662,50 @@ def test_quantized_ivf_store_probe(spark, tmp_path):
     plan = buf.getvalue()
     part = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part and "cell" in part[0], plan
+
+
+def test_remove_boilerplate_lines_corpus_frequency(spark):
+    # "nav" appears in 3 docs (>= min_docs=3) -> removed everywhere;
+    # "rare" appears in 2 docs -> kept; empty lines are structural
+    # and survive even though they'd trivially cross the threshold.
+    rows = [
+        (1, "nav\nalpha\n\nrare"),
+        (2, "nav\nbeta\n\nrare"),
+        (3, "nav\ngamma\n"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dd.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1].clean_text == "alpha\n\nrare"
+    assert out[1].n_lines_in == 4 and out[1].n_lines_out == 3
+    assert out[2].clean_text == "beta\n\nrare"
+    assert out[3].clean_text == "gamma\n"
+    assert out[3].n_lines_in == 3 and out[3].n_lines_out == 2
+
+
+def test_remove_boilerplate_lines_strategies_agree(spark):
+    rows = [
+        (i, f"common header\nbody {i % 4}\nunique {i}\n") for i in range(12)
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    a = sorted(
+        dd.remove_boilerplate_lines(df, min_docs=3, strategy="join").collect()
+    )
+    b = sorted(
+        dd.remove_boilerplate_lines(
+            df, min_docs=3, strategy="broadcast"
+        ).collect()
+    )
+    assert a == b
+    # "common header" (12 docs) and "body {0..3}" (3 docs each) gone:
+    assert a[5].clean_text == "unique 5\n"
+
+
+def test_remove_boilerplate_lines_validation(spark):
+    df = generate_input(spark, [(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="min_docs"):
+        dd.remove_boilerplate_lines(df, min_docs=1)
+    with pytest.raises(ValueError, match="strategy"):
+        dd.remove_boilerplate_lines(df, strategy="nope")
