@@ -13,7 +13,7 @@ bit-for-bit across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.elementwise import ColumnLike, _col
@@ -1523,3 +1523,73 @@ def train_linear_classifier(
     # train-on-sample / apply-corpus-wide contract exact.
     rows = [(b, w.get(b, 0.0)) for b in range(int(n_buckets))]
     return spark.createDataFrame(rows, "bucket long, weight double")
+
+
+def subword_stats(
+    df,
+    merges: list[tuple[str, str]],
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Tokenizer diagnostics for a BPE merge list: per-document
+    token count, subword count, FERTILITY (subwords per token — THE
+    standard tokenizer-fit metric; high fertility on a language =
+    the vocab underserves it), and the count of single-piece tokens
+    (fully merged back to one symbol). Fertility is micro
+    fixed-point (``n_sub * 1e6 div n_tok`` in BIGINT) so the number
+    is order-independent and engine-exact — no float division.
+    Returns ``(doc_id, n_tok, n_sub, n_single, fertility_micro)``.
+
+    Physical shape — same word-frequency trick as :func:`bpe_apply`:
+    the merge-fold chain runs once per DISTINCT token (vocab-sized),
+    only per-token SUBWORD COUNTS join back to occurrences (no
+    subword arrays move), and the per-doc reduction is one
+    partial-aggregated groupBy. Docs with no tokens keep a row with
+    zero counts.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+
+    def segment(tok: Column) -> Column:
+        sym = F.split(F.trim(F.regexp_replace(tok, "(.)", "$1 ")), " ")
+        for a, b in merges:
+            sym = _bpe_merge_fold(sym, a, b)
+        return sym
+
+    occ = df.select(
+        _col(id_col).alias("doc_id"),
+        F.explode(F.filter(tokens(text), lambda x: x != "")).alias("_tok"),
+    )
+    vocab = occ.select("_tok").distinct().select(
+        "_tok", F.size(segment(F.col("_tok"))).alias("_ns")
+    )
+    per_doc = (
+        occ.join(vocab, "_tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("_ns").alias("n_sub"),
+            F.sum(F.when(F.col("_ns") == 1, 1).otherwise(0)).alias(
+                "n_single"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(_col(id_col).alias("doc_id"))
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tok"), zero).cast("long").alias("n_tok"),
+            F.coalesce(F.col("n_sub"), zero).cast("long").alias("n_sub"),
+            F.coalesce(F.col("n_single"), zero)
+            .cast("long")
+            .alias("n_single"),
+            F.coalesce(
+                F.expr("n_sub * 1000000L div n_tok"), zero
+            )
+            .cast("long")
+            .alias("fertility_micro"),
+        )
+    )

@@ -1164,6 +1164,46 @@ FROM tok
 ORACLE_BPE_TOKENIZE = _bpe_oracle()
 
 
+def q_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostics (subword fertility) for the pinned
+    8-merge BPE list: per-doc token count, subword count,
+    single-piece tokens, and fertility in micro fixed-point
+    (engine-exact integer division, no float)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.subword_stats(docs, _BPE_MERGES)
+
+
+def _subword_fertility_oracle() -> str:
+    expr = "string_split(trim(regexp_replace(tok, '(.)', '\\1 ', 'g')), ' ')"
+    for a, b in _BPE_MERGES:
+        expr = _bpe_fold_sql(expr, a, b)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), seg AS (
+  SELECT doc_id, len({expr}) AS ns FROM tok
+), a AS (
+  SELECT doc_id, count(*) AS n_tok, sum(ns) AS n_sub,
+         sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS n_single
+  FROM seg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+       coalesce(a.n_sub, 0)::BIGINT AS n_sub,
+       coalesce(a.n_single, 0)::BIGINT AS n_single,
+       coalesce((a.n_sub * 1000000) // a.n_tok, 0)::BIGINT
+         AS fertility_micro
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN a ON a.doc_id = d.doc_id
+"""
+
+
+ORACLE_SUBWORD_FERTILITY = _subword_fertility_oracle()
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank (Mihalcea & Tarau 2004): PageRank over the adjacent-
     token co-occurrence graph (bigram count >= 5 edges,
@@ -4494,6 +4534,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "bpe_pairs": (q_bpe_pairs, ORACLE_BPE_PAIRS),
     "source_drift": (q_source_drift, ORACLE_SOURCE_DRIFT),
     "bpe_tokenize": (q_bpe_tokenize, ORACLE_BPE_TOKENIZE),
+    "subword_fertility": (q_subword_fertility, ORACLE_SUBWORD_FERTILITY),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -4669,6 +4710,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "edit_verify",
     "mad_outliers",
     "boilerplate_removal",
+    "subword_fertility",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

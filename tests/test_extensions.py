@@ -2709,3 +2709,20 @@ def test_remove_boilerplate_lines_validation(spark):
         dd.remove_boilerplate_lines(df, min_docs=1)
     with pytest.raises(ValueError, match="strategy"):
         dd.remove_boilerplate_lines(df, strategy="nope")
+
+
+def test_subword_stats_manual(spark):
+    # merges [(a,b)]: "ab"->[ab] (1), "cd"->[c,d] (2), "a"->[a] (1)
+    df = generate_input(
+        spark,
+        [(1, "ab cd a"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r for r in tx.subword_stats(df, [("a", "b")]).collect()
+    }
+    assert out[1].n_tok == 3 and out[1].n_sub == 4
+    assert out[1].n_single == 2
+    assert out[1].fertility_micro == 4 * 1_000_000 // 3
+    assert out[2].n_tok == 0 and out[2].n_sub == 0
+    assert out[2].fertility_micro == 0
