@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions import chat as ch
 from .functions import dedup as dd
 from .pipeline import load_table
 from .functions import similarity as sim
@@ -1758,6 +1759,182 @@ SELECT key, n,
 FROM c CROSS JOIN t
 ORDER BY n DESC, key ASC
 LIMIT 10
+"""
+
+
+def _synth_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JSON conversation transcripts synthesized from
+    the documents table (pure-ASCII content — identical strings on
+    both engines), covering every diagnostic: malformed JSON
+    (doc_id%11), consecutive same-role turns (%5), empty content
+    (%7), a leading system turn (%3), and a clean user/assistant
+    exchange (else). CASE order is significant and mirrored in the
+    oracle SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("q about "),
+        F.col("lang"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+    )
+    d = F.col("doc_id")
+    conv = (
+        F.when(d % 11 == 0, F.lit('[{"role":"user"'))
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.lit('[{"role":"user","content":"'),
+                base,
+                F.lit(
+                    '"},{"role":"user","content":"again"},'
+                    '{"role":"assistant","content":"ok"}]'
+                ),
+            ),
+        )
+        .when(
+            d % 7 == 0,
+            F.lit(
+                '[{"role":"user","content":""},'
+                '{"role":"assistant","content":"ok"}]'
+            ),
+        )
+        .when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(
+                    '[{"role":"system","content":"be helpful"},'
+                    '{"role":"user","content":"'
+                ),
+                base,
+                F.lit('"},{"role":"assistant","content":"fine"}]'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('[{"role":"user","content":"'),
+                base,
+                F.lit('"},{"role":"assistant","content":"re: '),
+                base,
+                F.lit('"}]'),
+            )
+        )
+    )
+    return docs.select("doc_id", conv.alias("conv_json"))
+
+
+#: DuckDB mirror of _synth_conv (same CASE order, same literals).
+_SYNTH_CONV_SQL = """
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN '[{"role":"user"'
+           WHEN doc_id % 5 = 0 THEN
+             '[{"role":"user","content":"' || b ||
+             '"},{"role":"user","content":"again"},' ||
+             '{"role":"assistant","content":"ok"}]'
+           WHEN doc_id % 7 = 0 THEN
+             '[{"role":"user","content":""},' ||
+             '{"role":"assistant","content":"ok"}]'
+           WHEN doc_id % 3 = 0 THEN
+             '[{"role":"system","content":"be helpful"},' ||
+             '{"role":"user","content":"' || b ||
+             '"},{"role":"assistant","content":"fine"}]'
+           ELSE
+             '[{"role":"user","content":"' || b ||
+             '"},{"role":"assistant","content":"re: ' || b || '"}]'
+         END AS conv_json
+  FROM (SELECT doc_id, 'q about ' || lang || ' #' || doc_id AS b
+        FROM documents)
+"""
+
+
+def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-corpus QA gate: parse synthesized JSON conversations and
+    emit per-conversation structural diagnostics (turn counts, role
+    alternation, system placement, empty content, assistant-final)
+    via chat.conversation_stats — one stateless from_json scan, all
+    checks higher-order array expressions."""
+    return ch.conversation_stats(_synth_conv(spark, sf_dir))
+
+
+ORACLE_CHAT_VALIDATE = f"""
+WITH s AS ({_SYNTH_CONV_SQL}
+), p AS (
+  SELECT doc_id,
+         CASE WHEN json_valid(conv_json) THEN json_transform(
+                conv_json,
+                '[{{"role":"VARCHAR","content":"VARCHAR"}}]')
+              ELSE NULL END AS turns
+  FROM s
+), m AS (
+  SELECT doc_id, turns,
+         turns IS NOT NULL AS parse_ok,
+         list_filter(turns, t -> t.role <> 'system') AS body,
+         len(list_filter(turns, t -> t.role = 'system')) AS n_sys
+  FROM p
+)
+SELECT doc_id,
+       parse_ok,
+       CASE WHEN parse_ok THEN len(turns) ELSE 0 END::BIGINT AS n_turns,
+       CASE WHEN parse_ok
+            THEN len(list_filter(turns, t -> t.role = 'user'))
+            ELSE 0 END::BIGINT AS n_user,
+       CASE WHEN parse_ok
+            THEN len(list_filter(turns, t -> t.role = 'assistant'))
+            ELSE 0 END::BIGINT AS n_assistant,
+       CASE WHEN parse_ok THEN n_sys ELSE 0 END::BIGINT AS n_system,
+       CASE WHEN parse_ok THEN coalesce(list_aggregate(
+              list_transform(turns,
+                             t -> coalesce(length(t.content), 0)),
+              'sum'), 0)
+            ELSE 0 END::BIGINT AS content_chars,
+       coalesce(parse_ok AND (n_sys = 0 OR (n_sys = 1
+                AND turns[1].role = 'system')), FALSE) AS sys_ok,
+       coalesce(parse_ok AND len(list_filter(body, (t, i) ->
+                t.role = CASE WHEN (i - 1) % 2 = 0 THEN 'user'
+                              ELSE 'assistant' END)) = len(body),
+                FALSE) AS alt_ok,
+       coalesce(parse_ok AND len(list_filter(turns, t ->
+                t.content IS NOT NULL AND length(t.content) > 0))
+                = len(turns), FALSE) AS no_empty,
+       coalesce(parse_ok AND len(body) > 0
+                AND body[len(body)].role = 'assistant', FALSE)
+         AS ends_assistant,
+       coalesce(parse_ok
+                AND (n_sys = 0 OR (n_sys = 1
+                     AND turns[1].role = 'system'))
+                AND len(list_filter(body, (t, i) ->
+                    t.role = CASE WHEN (i - 1) % 2 = 0 THEN 'user'
+                                  ELSE 'assistant' END)) = len(body)
+                AND len(list_filter(turns, t ->
+                    t.content IS NOT NULL
+                    AND length(t.content) > 0)) = len(turns)
+                AND len(body) > 0
+                AND body[len(body)].role = 'assistant', FALSE) AS valid
+FROM m
+"""
+
+
+def q_chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn flattening of the synthesized conversations:
+    (doc_id, turn_idx, role, content) — malformed transcripts yield
+    no rows."""
+    return ch.flatten_turns(_synth_conv(spark, sf_dir))
+
+
+ORACLE_CHAT_TURNS = f"""
+WITH s AS ({_SYNTH_CONV_SQL}
+), p AS (
+  SELECT doc_id,
+         CASE WHEN json_valid(conv_json) THEN json_transform(
+                conv_json,
+                '[{{"role":"VARCHAR","content":"VARCHAR"}}]')
+              ELSE NULL END AS turns
+  FROM s
+)
+SELECT doc_id, (i - 1)::BIGINT AS turn_idx,
+       turns[i].role AS role, turns[i].content AS content
+FROM p, unnest(range(1, len(turns) + 1)) AS u(i)
+WHERE turns IS NOT NULL
 """
 
 
@@ -4535,6 +4712,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "source_drift": (q_source_drift, ORACLE_SOURCE_DRIFT),
     "bpe_tokenize": (q_bpe_tokenize, ORACLE_BPE_TOKENIZE),
     "subword_fertility": (q_subword_fertility, ORACLE_SUBWORD_FERTILITY),
+    "chat_validate": (q_chat_validate, ORACLE_CHAT_VALIDATE),
+    "chat_turns": (q_chat_turns, ORACLE_CHAT_TURNS),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -4711,6 +4890,8 @@ _AFTER_WINDOW_R6: list[str] = [
     "mad_outliers",
     "boilerplate_removal",
     "subword_fertility",
+    "chat_validate",
+    "chat_turns",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

@@ -2726,3 +2726,67 @@ def test_subword_stats_manual(spark):
     assert out[1].fertility_micro == 4 * 1_000_000 // 3
     assert out[2].n_tok == 0 and out[2].n_sub == 0
     assert out[2].fertility_micro == 0
+
+
+def test_conversation_stats_diagnostics(spark):
+    from datasplash_spark.functions import chat as ch
+
+    rows = [
+        # clean exchange
+        (1, '[{"role":"user","content":"hi"},'
+            '{"role":"assistant","content":"hello"}]'),
+        # leading system turn: still valid
+        (2, '[{"role":"system","content":"s"},'
+            '{"role":"user","content":"q"},'
+            '{"role":"assistant","content":"a"}]'),
+        # system in the middle: sys_ok false
+        (3, '[{"role":"user","content":"q"},'
+            '{"role":"system","content":"s"},'
+            '{"role":"assistant","content":"a"}]'),
+        # double user: alt_ok false
+        (4, '[{"role":"user","content":"q"},'
+            '{"role":"user","content":"q2"},'
+            '{"role":"assistant","content":"a"}]'),
+        # empty content: no_empty false
+        (5, '[{"role":"user","content":""},'
+            '{"role":"assistant","content":"a"}]'),
+        # ends on user: ends_assistant false
+        (6, '[{"role":"user","content":"q"},'
+            '{"role":"assistant","content":"a"},'
+            '{"role":"user","content":"q2"}]'),
+        # unknown role: alt_ok false
+        (7, '[{"role":"tool","content":"x"},'
+            '{"role":"assistant","content":"a"}]'),
+        # malformed JSON: everything false/zero
+        (8, '[{"role":"user"'),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, conv_json string")
+    out = {r.doc_id: r for r in ch.conversation_stats(df).collect()}
+    assert out[1].valid and out[1].n_turns == 2
+    assert out[1].content_chars == len("hi") + len("hello")
+    assert out[2].valid and out[2].n_system == 1
+    assert not out[3].sys_ok and not out[3].valid
+    assert not out[4].alt_ok and out[4].no_empty
+    assert not out[5].no_empty and out[5].alt_ok
+    assert not out[6].ends_assistant and out[6].alt_ok
+    assert not out[7].alt_ok
+    assert not out[8].parse_ok and out[8].n_turns == 0
+    assert not out[8].valid and out[8].content_chars == 0
+
+
+def test_flatten_turns_order_and_malformed(spark):
+    from datasplash_spark.functions import chat as ch
+
+    rows = [
+        (1, '[{"role":"user","content":"q"},'
+            '{"role":"assistant","content":"a"}]'),
+        (2, "not json"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, conv_json string")
+    out = sorted(
+        ch.flatten_turns(df).collect(), key=lambda r: (r.doc_id, r.turn_idx)
+    )
+    assert [(r.doc_id, r.turn_idx, r.role, r.content) for r in out] == [
+        (1, 0, "user", "q"),
+        (1, 1, "assistant", "a"),
+    ]
