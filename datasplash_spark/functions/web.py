@@ -1,0 +1,140 @@
+"""Web-corpus curation operators: URL parsing, canonicalization,
+host-level aggregation, and host/path filtering — the FIRST stage of
+a web-scale pipeline (RefinedWeb, C4, CCNet all lead with URL-level
+filtering before any text is read) — LLM-data-pipeline extensions
+(BASELINE.json north_star).
+
+Design for 100 TB:
+
+- Parsing/normalization are regexp + array expressions in one
+  stateless codegen'd scan — no Python, no shuffle, no UDF.
+- :func:`host_stats` reduces to a hosts-sized table (one partial-agg
+  groupBy on the extracted host — text never shuffles).
+- :func:`url_filter` is a broadcast-set membership check (blocklists
+  are list-sized, never corpus-sized).
+
+Engine mirror: everything is regexp_extract / string_split /
+list_filter / list_sort — DuckDB mirrors each step 1:1, so the
+oracle SQL is a direct transliteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.elementwise import ColumnLike, _col
+
+#: Query parameters that carry tracking state, never content — the
+#: standard strip set (utm_* per Google's campaign spec, click ids).
+TRACKING_PARAM_REGEX = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_scheme(url: ColumnLike) -> Column:
+    """Lowercased scheme ('' when the URL has none)."""
+    return F.lower(F.regexp_extract(_col(url), _SCHEME_RE, 1))
+
+
+def url_host(url: ColumnLike) -> Column:
+    """Lowercased host (authority) — '' when absent. Ports are part
+    of the authority and preserved; registrable-domain reduction is
+    a suffix-list problem out of scope here."""
+    return F.lower(F.regexp_extract(_col(url), _HOST_RE, 1))
+
+
+def url_path(url: ColumnLike) -> Column:
+    """Path component, case-preserved ('' when absent)."""
+    return F.regexp_extract(_col(url), _PATH_RE, 1)
+
+
+def url_query(url: ColumnLike) -> Column:
+    """Raw query string without the '?' ('' when absent; fragment
+    excluded)."""
+    return F.regexp_extract(_col(url), _QUERY_RE, 1)
+
+
+def normalize_url(url: ColumnLike) -> Column:
+    """Canonical URL for dedup keys and blocklist joins: lowercase
+    scheme+host, keep the path verbatim, DROP the fragment, strip
+    tracking parameters (:data:`TRACKING_PARAM_REGEX`), and SORT the
+    surviving query parameters so param order never splits a dup
+    group. Pure Column — regexp + split + filter + sort_array +
+    rejoin in one scan.
+
+    Reference anchor: no analog in datasplash; web-curation
+    extension surface (BASELINE.json north_star).
+    """
+    c = _col(url)
+    params = F.filter(
+        F.split(url_query(c), "&", -1),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    q = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        url_scheme(c),
+        F.lit("://"),
+        url_host(c),
+        url_path(c),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def host_stats(
+    df: DataFrame,
+    url: ColumnLike = "url",
+    text: ColumnLike = "text",
+) -> DataFrame:
+    """Per-host corpus profile: ``(host, n_docs, n_urls, total_chars)``
+    — the table a curation team eyeballs to build block/allow lists.
+    One partial-agg groupBy on the extracted host; text lengths
+    reduce map-side, document text never shuffles."""
+    return (
+        df.select(
+            url_host(url).alias("host"),
+            normalize_url(url).alias("_nu"),
+            F.length(_col(text)).cast("long").alias("_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_nu").alias("n_urls"),
+            F.sum("_chars").alias("total_chars"),
+        )
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_hosts: list[str] | None = None,
+    blocked_path_terms: list[str] | None = None,
+    url: ColumnLike = "url",
+) -> DataFrame:
+    """URL-level admission (the RefinedWeb first gate): drop rows
+    whose host is blocklisted or whose lowercased path contains any
+    blocked term. Adds ``keep`` (boolean) and ``drop_reason``
+    ('host' | 'path' | NULL) instead of filtering, so the caller can
+    audit the funnel; ``.where("keep")`` applies it. Blocklists are
+    broadcast literals — no join, no shuffle."""
+    hosts = [h.lower() for h in (blocked_hosts or [])]
+    terms = [t.lower() for t in (blocked_path_terms or [])]
+    h = url_host(url)
+    p = F.lower(url_path(url))
+    host_hit = (
+        h.isin(hosts) if hosts else F.lit(False)
+    )
+    path_hit = F.lit(False)
+    for t in terms:
+        path_hit = path_hit | p.contains(t)
+    reason = (
+        F.when(host_hit, F.lit("host"))
+        .when(path_hit, F.lit("path"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "*", reason.isNull().alias("keep"), reason.alias("drop_reason")
+    )

@@ -1938,6 +1938,126 @@ WHERE turns IS NOT NULL
 """
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URLs synthesized from documents (pure ASCII,
+    identical strings on both engines): mixed-case scheme+host,
+    four host variants, tracking params + fragment on every third
+    URL, unsorted params on doc_id%3==1, bare on the rest."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 4 == 1, F.lit("blog.example.org"))
+        .when(d % 4 == 2, F.lit("spam.example.net"))
+        .otherwise(F.lit("cdn.example.io"))
+    )
+    tail = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                d.cast("string"),
+                F.lit("&b=2#top"),
+            ),
+        )
+        .when(d % 3 == 1, F.lit("?z=9&a=1"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("HTTPS://"), host, F.lit("/Posts/"), d.cast("string"), tail
+    )
+    return docs.select("doc_id", url.alias("url"), "text")
+
+
+#: DuckDB mirror of _synth_urls (same CASE order, same literals).
+_SYNTH_URLS_SQL = """
+  SELECT doc_id,
+         'HTTPS://' ||
+         CASE WHEN doc_id % 4 = 0 THEN 'WWW.Example.COM'
+              WHEN doc_id % 4 = 1 THEN 'blog.example.org'
+              WHEN doc_id % 4 = 2 THEN 'spam.example.net'
+              ELSE 'cdn.example.io' END ||
+         '/Posts/' || doc_id ||
+         CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=feed&id=' || doc_id || '&b=2#top'
+              WHEN doc_id % 3 = 1 THEN '?z=9&a=1'
+              ELSE '' END AS url,
+         text
+  FROM documents
+"""
+
+#: shared DuckDB CTE: parse + normalize the synthesized URLs
+#: (mirrors web.normalize_url step by step).
+_URL_PARTS_SQL = """
+parts AS (
+  SELECT doc_id, url, text,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+    regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM s
+), np AS (
+  SELECT doc_id, url, text, scheme, host, path,
+    list_sort(list_filter(string_split(q, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+           '^(utm_[a-z]+|fbclid|gclid|ref)='))) AS ps
+  FROM parts
+), normed AS (
+  SELECT doc_id, url, text, host,
+    scheme || '://' || host || path ||
+    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&')
+         ELSE '' END AS norm_url
+  FROM np
+)
+"""
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the RefinedWeb dedup key): lowercase
+    scheme+host, drop fragment, strip tracking params, sort the
+    survivors — web.normalize_url, one regexp+array scan."""
+    synth = _synth_urls(spark, sf_dir)
+    from .functions import web as wb
+
+    return synth.select(
+        "doc_id",
+        "url",
+        wb.url_host("url").alias("host"),
+        wb.normalize_url("url").alias("norm_url"),
+    )
+
+
+ORACLE_URL_NORMALIZE = f"""
+WITH s AS ({_SYNTH_URLS_SQL}
+), {_URL_PARTS_SQL}
+SELECT doc_id, url, host, norm_url FROM normed
+"""
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile over the synthesized URLs: doc
+    count, distinct normalized URLs, total chars — the block/allow
+    list working table (web.host_stats, hosts-sized output)."""
+    synth = _synth_urls(spark, sf_dir)
+    from .functions import web as wb
+
+    return wb.host_stats(synth)
+
+
+ORACLE_HOST_STATS = f"""
+WITH s AS ({_SYNTH_URLS_SQL}
+), {_URL_PARTS_SQL}
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT norm_url)::BIGINT AS n_urls,
+       sum(length(text))::BIGINT AS total_chars
+FROM normed GROUP BY host
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -4714,6 +4834,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "subword_fertility": (q_subword_fertility, ORACLE_SUBWORD_FERTILITY),
     "chat_validate": (q_chat_validate, ORACLE_CHAT_VALIDATE),
     "chat_turns": (q_chat_turns, ORACLE_CHAT_TURNS),
+    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
+    "host_stats": (q_host_stats, ORACLE_HOST_STATS),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -4892,6 +5014,8 @@ _AFTER_WINDOW_R6: list[str] = [
     "subword_fertility",
     "chat_validate",
     "chat_turns",
+    "url_normalize",
+    "host_stats",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

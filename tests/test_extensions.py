@@ -2790,3 +2790,46 @@ def test_flatten_turns_order_and_malformed(spark):
         (1, 0, "user", "q"),
         (1, 1, "assistant", "a"),
     ]
+
+
+def test_normalize_url_canonicalization(spark):
+    from datasplash_spark.functions import web as wb
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM/A/b?utm_source=x&z=9&a=1#frag"),
+        (2, "https://www.ex.com/A/b?a=1&z=9"),
+        (3, "http://ex.com/plain"),
+        (4, "https://ex.com/p?fbclid=abc"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, url string")
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", wb.normalize_url("url").alias("n")
+        ).collect()
+    }
+    # tracking stripped, fragment dropped, params sorted, host lowered:
+    assert out[1] == "https://www.ex.com/A/b?a=1&z=9"
+    assert out[1] == out[2]  # param order never splits a dup group
+    assert out[3] == "http://ex.com/plain"
+    assert out[4] == "https://ex.com/p"  # all params were tracking
+
+
+def test_url_filter_reasons(spark):
+    from datasplash_spark.functions import web as wb
+
+    rows = [
+        (1, "https://good.com/article"),
+        (2, "https://SPAM.com/article"),
+        (3, "https://good.com/casino/win"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, url string")
+    out = {
+        r.doc_id: (r.keep, r.drop_reason)
+        for r in wb.url_filter(
+            df, blocked_hosts=["spam.com"], blocked_path_terms=["casino"]
+        ).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "host")  # host match is case-insensitive
+    assert out[3] == (False, "path")
