@@ -269,6 +269,13 @@ def test_no_python_udf_in_relational_corpus(spark):
         "quantized_search",
         "edit_verify",
         "mad_outliers",
+        # round-6 continuation additions
+        "boilerplate_removal",
+        "subword_fertility",
+        "chat_validate",
+        "chat_turns",
+        "url_normalize",
+        "host_stats",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
