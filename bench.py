@@ -197,11 +197,45 @@ def main() -> int:
             f"# bench_qivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
             file=sys.stderr,
         )
+        # inverted-index store (round 6): BM25 probes that open only
+        # the query terms' buckets — the text-retrieval member of
+        # the store family
+        from datasplash_spark.functions import text as _txb
+
+        _post_path = os.path.join(_store_root, "postings")
+        _docsb = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        _txb.materialize_postings(_docsb, _post_path, n_buckets=32)
+        _queries = [
+            ["data", "model"],
+            ["training", "corpus"],
+            ["quality", "filter"],
+            ["token", "count"],
+            ["language", "text"],
+            ["sample", "random"],
+            ["search", "index"],
+            ["spark", "scale"],
+        ]
+        t0 = time.time()
+        rows = sum(
+            _txb.bm25_from_store(spark, _post_path, qt).count()
+            for qt in _queries
+        )
+        dt = round(time.time() - t0, 3)
+        timings["bench_postings_store_probe"] = dt
+        total += dt
+        print(
+            f"# bench_postings_store_probe: {dt:.2f}s"
+            f" ({rows} rows, 8 probes)",
+            file=sys.stderr,
+        )
         shutil.rmtree(_store_root, ignore_errors=True)
     except Exception as e:
         timings["bench_ivf_store_probe"] = -1.0
         timings["bench_lsh_store_probe"] = -1.0
         timings["bench_qivf_store_probe"] = -1.0
+        timings["bench_postings_store_probe"] = -1.0
         failed.append("bench_ann_store_probe")
         print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
 

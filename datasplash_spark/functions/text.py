@@ -1593,3 +1593,127 @@ def subword_stats(
             .alias("fertility_micro"),
         )
     )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side mirror of dedup.md5_int31(term) % n_buckets —
+    bit-identical to the Spark expression, so a probe can compute
+    its partition set without touching the cluster."""
+    import hashlib
+
+    h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16)
+    return (h % (1 << 31)) % n_buckets
+
+
+def materialize_postings(
+    df,
+    path: str,
+    n_buckets: int = 32,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> dict:
+    """Write the INVERTED-INDEX store: per-(doc, term) postings
+    ``(term, doc_id, tf, dl)`` PARTITIONED BY a deterministic term
+    bucket — the text-retrieval member of the materialized-store
+    family (``materialize_banded`` / ``materialize_ivf`` /
+    ``materialize_lsh``). Tokenize + tf/dl aggregation is the one
+    corpus-scale pass, paid at WRITE time; every later BM25 probe is
+    partition PRUNING — only the buckets holding the query's terms
+    are opened, so per-query IO is postings-of-the-query-terms, not
+    the corpus. Corpus stats (n_docs, avgdl, n_buckets) persist as a
+    model-sized sidecar so probes need zero corpus access before the
+    pruned scan. Term df is NOT persisted: each term's document
+    frequency is derivable from its own posting list inside the
+    probed partitions (count per term), keeping the store
+    single-table and trivially mergeable. Returns the stats dict.
+
+    Reference anchor: no analog; retrieval-store extension surface
+    (BASELINE.json north_star)."""
+    import json
+    import os
+
+    from .dedup import md5_int31
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+    toks = df.select(
+        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "term_bucket",
+        (md5_int31(F.col("term")) % F.lit(n_buckets)).cast("int"),
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    row = (
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+        .collect()[0]
+    )
+    stats = {
+        "n_docs": int(row.n_docs),
+        # float round-trips exactly through json repr
+        "avgdl": float(row.avgdl) if row.avgdl is not None else 0.0,
+        "n_buckets": int(n_buckets),
+    }
+    spark = df.sparkSession
+    (
+        spark.createDataFrame([(json.dumps(stats),)], "v string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(os.path.join(path, "_postings_stats"))
+    )
+    return stats
+
+
+def bm25_from_store(
+    spark,
+    path: str,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 probe against a :func:`materialize_postings`
+    store: numerically IDENTICAL to :func:`bm25_scores` on the same
+    corpus (same expressions, same nano fixed-point rounding —
+    differential-test-pinned), but the scan touches ONLY the
+    partitions holding the query's term buckets (bucket membership
+    is driver-side md5 arithmetic — no corpus access before the
+    pruned scan). Returns ``(doc_id, n_matched, score_nano)``."""
+    import json
+    import os
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    stats_json = (
+        spark.read.text(os.path.join(path, "_postings_stats"))
+        .collect()[0][0]
+    )
+    stats = json.loads(stats_json)
+    n_buckets = int(stats["n_buckets"])
+    terms = sorted({str(t) for t in query_terms})
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    post = spark.read.parquet(path).where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(stats["n_docs"]) - F.col("dfq") + 0.5)
+        / (F.col("dfq") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.lit(stats["avgdl"]))
+    )
+    contrib_nano = F.round(idf * tf_norm * 1e9).cast("long")
+    return (
+        post.join(F.broadcast(dfreq), on="term")
+        .select("doc_id", contrib_nano.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("_c").alias("score_nano"),
+        )
+    )

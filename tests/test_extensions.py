@@ -2833,3 +2833,49 @@ def test_url_filter_reasons(spark):
     assert out[1] == (True, None)
     assert out[2] == (False, "host")  # host match is case-insensitive
     assert out[3] == (False, "path")
+
+
+def test_bm25_from_store_matches_inline(spark, tmp_path):
+    # the store probe must be numerically IDENTICAL to bm25_scores
+    # (same expressions, same nano rounding) while scanning only the
+    # query terms' buckets
+    rows = [
+        (i, f"alpha beta gamma doc{i} " + ("alpha " * (i % 4)))
+        for i in range(30)
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    path = str(tmp_path / "postings")
+    stats = tx.materialize_postings(df, path, n_buckets=8)
+    assert stats["n_docs"] == 30 and stats["n_buckets"] == 8
+    terms = ["alpha", "doc3", "missing"]
+    inline = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_scores(df, terms).collect()
+    }
+    stored = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, path, terms).collect()
+    }
+    assert inline == stored and len(inline) == 30
+
+
+def test_bm25_store_probe_prunes_partitions(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    df = generate_input(
+        spark,
+        [(i, f"w{i} shared") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "postings")
+    tx.materialize_postings(df, path, n_buckets=16)
+    probe = tx.bm25_from_store(spark, path, ["shared"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain(True)
+    plan = buf.getvalue()
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "term_bucket" in part[0], plan
+    with pytest.raises(ValueError, match="non-empty"):
+        tx.bm25_from_store(spark, path, [])
