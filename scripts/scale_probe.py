@@ -112,6 +112,56 @@ def probe(spark, k: int) -> None:
         "contrastive": lambda: sim.contrastive_pairs(
             emb, centroids=sim.ivf_centroids(emb, n_cells)
         ).count(),
+        # round-6 continuation ops: line-frequency boilerplate (the
+        # synth adds a shared lang line so a real boilerplate set
+        # exists), vocab-sized subword fertility, and the postings
+        # store (write = the corpus pass, then 3 pruned probes)
+        # .count() alone lets Catalyst prune the whole frequency
+        # pass (left join on a unique key preserves cardinality), so
+        # aggregate an OUTPUT column to force the real computation
+        "boilerplate": lambda: dd.remove_boilerplate_lines(
+            docs.select(
+                "doc_id",
+                F.concat_ws(
+                    "\n",
+                    F.col("text"),
+                    F.concat(F.lit("lang: "), F.col("lang")),
+                ).alias("text"),
+            ),
+            min_docs=3,
+        )
+        .agg(F.sum("n_lines_out"))
+        .first()[0],
+        "subword": lambda: tx.subword_stats(
+            docs,
+            [
+                ("e", "r"),
+                ("i", "n"),
+                ("o", "w"),
+                ("o", "r"),
+                ("s", "t"),
+                ("m", "er"),
+                ("a", "t"),
+                ("l", "u"),
+            ],
+        )
+        .agg(F.sum("n_sub"))
+        .first()[0],
+        "postings": lambda: (
+            tx.materialize_postings(
+                docs, f"{WORK}/post_x{k}", n_buckets=64
+            ),
+            sum(
+                tx.bm25_from_store(
+                    spark, f"{WORK}/post_x{k}", qt
+                ).count()
+                for qt in (
+                    ["spark", "table", "row"],
+                    ["data", "model"],
+                    ["quality", "filter"],
+                )
+            ),
+        )[1],
     }
     only = os.environ.get("SCALE_PROBE_OPS")
     if only:
