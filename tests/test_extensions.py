@@ -2879,3 +2879,21 @@ def test_bm25_store_probe_prunes_partitions(spark, tmp_path):
     assert part and "term_bucket" in part[0], plan
     with pytest.raises(ValueError, match="non-empty"):
         tx.bm25_from_store(spark, path, [])
+
+
+def test_conversation_stats_empty_and_system_only(spark):
+    # body-empty shapes must not trip ANSI element_at on the empty
+    # array: [] parses fine (0 turns), system-only has no trainable
+    # target — both invalid but non-throwing
+    from datasplash_spark.functions import chat as ch
+
+    rows = [
+        (1, "[]"),
+        (2, '[{"role":"system","content":"s"}]'),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, conv_json string")
+    out = {r.doc_id: r for r in ch.conversation_stats(df).collect()}
+    assert out[1].parse_ok and out[1].n_turns == 0
+    assert not out[1].ends_assistant and not out[1].valid
+    assert out[2].parse_ok and out[2].n_system == 1 and out[2].sys_ok
+    assert not out[2].ends_assistant and not out[2].valid
