@@ -1092,6 +1092,7 @@ def remove_boilerplate_lines(
     text: ColumnLike = "text",
     id_col: ColumnLike = "doc_id",
     strategy: str = "join",
+    sep: str = "\n",
 ) -> DataFrame:
     """CORPUS-frequency line removal (CCNet / C4 boilerplate pass,
     Wenzek et al. 2020): a line is boilerplate iff it occurs in
@@ -1122,6 +1123,11 @@ def remove_boilerplate_lines(
       min_docs); wrong when that array outgrows driver/executor
       memory — prefer ``"join"`` at unknown scale.
 
+    ``sep`` picks the removal granularity: the default ``"\\n"`` is
+    line-level (CCNet); ``"\\n\\n"`` gives PARAGRAPH-level removal
+    (C4's unit for its dedup pass) with no other change — the
+    frequency/removal machinery is granularity-agnostic.
+
     Reference anchor: no analog in datasplash; LLM-pipeline
     extension surface (BASELINE.json north_star).
     """
@@ -1129,9 +1135,18 @@ def remove_boilerplate_lines(
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
     if strategy not in ("join", "broadcast"):
         raise ValueError(f"unknown strategy: {strategy!r}")
+    if not sep:
+        raise ValueError("sep must be non-empty")
 
+    import re as _re
+
+    units = (
+        doc_lines(text)
+        if sep == "\n"
+        else F.split(_col(text), _re.escape(sep), -1)
+    )
     base = df.select(
-        _col(id_col).alias("doc_id"), doc_lines(text).alias("_lines")
+        _col(id_col).alias("doc_id"), units.alias("_lines")
     )
     occ = (
         base.select("doc_id", F.posexplode("_lines"))
@@ -1173,7 +1188,7 @@ def remove_boilerplate_lines(
         )
     return joined.select(
         "doc_id",
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.array_join(kept, sep).alias("clean_text"),
         F.size("_lines").cast("long").alias("n_lines_in"),
         F.size(kept).cast("long").alias("n_lines_out"),
     )

@@ -2897,3 +2897,26 @@ def test_conversation_stats_empty_and_system_only(spark):
     assert not out[1].ends_assistant and not out[1].valid
     assert out[2].parse_ok and out[2].n_system == 1 and out[2].sys_ok
     assert not out[2].ends_assistant and not out[2].valid
+
+
+def test_remove_boilerplate_paragraph_granularity(spark):
+    # sep="\n\n" switches the unit to paragraphs (C4's dedup unit):
+    # the shared footer paragraph vanishes, multi-line paragraphs
+    # survive intact
+    rows = [
+        (1, "intro one\nline two\n\nshared footer"),
+        (2, "different body\n\nshared footer"),
+        (3, "third doc\n\nshared footer"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dd.remove_boilerplate_lines(
+            df, min_docs=3, sep="\n\n"
+        ).collect()
+    }
+    assert out[1].clean_text == "intro one\nline two"
+    assert out[1].n_lines_in == 2 and out[1].n_lines_out == 1
+    assert out[2].clean_text == "different body"
+    with pytest.raises(ValueError, match="sep"):
+        dd.remove_boilerplate_lines(df, sep="")
