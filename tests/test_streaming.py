@@ -973,3 +973,75 @@ def test_compaction_then_out_of_order_replay_crossed(spark, tmp_path):
     rows = spark.read.parquet(qstore).collect()
     assert sorted(r.id for r in rows) == [1, 2, 3, 4, 5]
     assert {r._batch_id for r in rows} == {-1, 2}
+
+
+def test_chat_validation_streaming(spark, tmp_path):
+    """conversation_stats is stateless, so the SFT QA gate runs
+    unchanged on a stream: file source -> stats -> filter valid ->
+    append sink; only structurally valid transcripts land."""
+    from datasplash_spark.functions import chat as ch
+
+    src = str(tmp_path / "csrc")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    rows = [
+        (1, '[{"role":"user","content":"q"},'
+            '{"role":"assistant","content":"a"}]'),
+        (2, '[{"role":"user","content":"q"}]'),      # no target
+        (3, "broken json"),
+    ]
+    generate_input(
+        spark, rows, "doc_id bigint, conv_json string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id bigint, conv_json string"
+    ).parquet(src)
+    q = (
+        ch.conversation_stats(stream)
+        .where("valid")
+        .select("doc_id", "n_turns")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.doc_id, r.n_turns) for r in spark.read.parquet(out).collect()]
+    assert got == [(1, 2)]
+
+
+def test_url_normalized_dedup_streaming(spark, tmp_path):
+    """normalize_url as a streaming dedup key: tracking-param and
+    param-order variants of the same page collapse through Spark's
+    stateful streaming dropDuplicates."""
+    from datasplash_spark.functions import web as wb
+
+    src = str(tmp_path / "usrc")
+    out = str(tmp_path / "uout")
+    ckpt = str(tmp_path / "uckpt")
+    rows = [
+        (1, "https://ex.com/p?a=1&z=9"),
+        (2, "HTTPS://EX.com/p?z=9&utm_source=x&a=1#f"),  # same page
+        (3, "https://ex.com/other"),
+    ]
+    generate_input(spark, rows, "doc_id bigint, url string").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("doc_id bigint, url string").parquet(
+        src
+    )
+    q = (
+        stream.withColumn("url_key", wb.normalize_url("url"))
+        .dropDuplicates(["url_key"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    keys = sorted(r.url_key for r in got)
+    assert len(got) == 2
+    assert keys == ["https://ex.com/other", "https://ex.com/p?a=1&z=9"]
