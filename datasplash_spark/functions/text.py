@@ -1717,3 +1717,52 @@ def bm25_from_store(
             F.sum("_c").alias("score_nano"),
         )
     )
+
+
+def topic_tags(
+    df,
+    topics: dict[str, list[str]],
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Dictionary-based topic tagging (the curation pass that routes
+    docs into domain buckets before mixing): for each topic, count
+    how many of its DISTINCT dictionary terms appear in the doc's
+    token set. Long output ``(doc_id, topic, n_terms_hit)``, one row
+    per (doc, topic) with at least one hit. Pure Column: the doc
+    tokenizes once (distinct token array), each topic is one
+    array_intersect against a literal term array — topics-count
+    expressions over one scan, no shuffle, no Python, no join.
+
+    Counting DISTINCT matched terms (not occurrences) makes the
+    signal robust to keyword stuffing; combine with
+    :func:`token_count` for a density score. At 100 TB the
+    dictionary is a broadcast literal — dictionaries are
+    human-curated and small by construction.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if not topics:
+        raise ValueError("topics must be non-empty")
+    toks = F.array_distinct(tokens(text))
+    pairs = [
+        F.struct(
+            F.lit(name).alias("topic"),
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(t) for t in terms])
+                )
+            )
+            .cast("long")
+            .alias("n_terms_hit"),
+        )
+        for name, terms in sorted(topics.items())
+    ]
+    return (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.explode(F.array(*pairs)).alias("_t"),
+        )
+        .select("doc_id", "_t.topic", "_t.n_terms_hit")
+        .where(F.col("n_terms_hit") > 0)
+    )

@@ -2058,6 +2058,50 @@ FROM normed GROUP BY host
 """
 
 
+#: pinned dictionary for the gated topic-tagging query (terms chosen
+#: from the corpus vocabulary so every topic actually fires)
+_TOPIC_DICT: dict[str, list[str]] = {
+    "joins": ["join", "merge", "hash"],
+    "scans": ["scan", "filter", "column"],
+    "streaming": ["stream", "window", "batch"],
+}
+
+
+def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary topic tagging: distinct-term hit counts per
+    (doc, topic) over a pinned 3-topic dictionary — one tokenize
+    scan, one array_intersect per topic (text.topic_tags)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.topic_tags(docs, _TOPIC_DICT)
+
+
+def _topic_tags_oracle() -> str:
+    branches = "\n".join(
+        "    SELECT doc_id, '{name}' AS topic,"
+        " len(list_intersect(toks, {terms}))::BIGINT AS n_terms_hit"
+        " FROM tok{union}".format(
+            name=name,
+            terms="[" + ", ".join(f"'{t}'" for t in terms) + "]",
+            union="" if i == len(_TOPIC_DICT) - 1 else "\n    UNION ALL",
+        )
+        for i, (name, terms) in enumerate(sorted(_TOPIC_DICT.items()))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), tagged AS (
+{branches}
+)
+SELECT doc_id, topic, n_terms_hit FROM tagged WHERE n_terms_hit > 0
+"""
+
+
+ORACLE_TOPIC_TAGS = _topic_tags_oracle()
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -4836,6 +4880,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "chat_turns": (q_chat_turns, ORACLE_CHAT_TURNS),
     "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
     "host_stats": (q_host_stats, ORACLE_HOST_STATS),
+    "topic_tags": (q_topic_tags, ORACLE_TOPIC_TAGS),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5016,6 +5061,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "chat_turns",
     "url_normalize",
     "host_stats",
+    "topic_tags",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

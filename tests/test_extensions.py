@@ -2920,3 +2920,24 @@ def test_remove_boilerplate_paragraph_granularity(spark):
     assert out[2].clean_text == "different body"
     with pytest.raises(ValueError, match="sep"):
         dd.remove_boilerplate_lines(df, sep="")
+
+
+def test_topic_tags_distinct_term_counts(spark):
+    df = generate_input(
+        spark,
+        [
+            (1, "cats cats dogs fish"),
+            (2, "stocks bonds"),
+            (3, "nothing relevant"),
+        ],
+        "doc_id bigint, text string",
+    )
+    topics = {"pets": ["cats", "dogs", "hamster"], "finance": ["stocks"]}
+    out = {
+        (r.doc_id, r.topic): r.n_terms_hit
+        for r in tx.topic_tags(df, topics).collect()
+    }
+    # distinct terms, not occurrences: "cats cats" counts once
+    assert out == {(1, "pets"): 2, (2, "finance"): 1}
+    with pytest.raises(ValueError, match="topics"):
+        tx.topic_tags(df, {})
