@@ -1766,3 +1766,63 @@ def topic_tags(
         .select("doc_id", "_t.topic", "_t.n_terms_hit")
         .where(F.col("n_terms_hit") > 0)
     )
+
+
+def compression_ratio(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib-deflate compressibility per document — the classic
+    gibberish/boilerplate signal SQL can't express (highly
+    repetitive machine text compresses far below prose; random
+    gibberish barely compresses): ``(doc_id, raw_len, comp_len,
+    ratio_micro)`` with ``ratio_micro = comp_len * 1e6 div
+    raw_len`` (BIGINT fixed point; 0 for empty docs). Typical prose
+    sits ~300k-600k micro; << that = repetition, >> that = noise.
+
+    This is a deliberate ARROW-SEAM operator (like multimodal
+    decode): zlib is a Python kernel, so it runs via `mapInPandas`
+    — Arrow-batched, never per-row, one stateless pass, only the
+    4-column result crosses back. Deterministic for a fixed zlib
+    and level (RFC 1950 output is implementation-defined, so no
+    cross-engine oracle — pinned by a direct-zlib differential test
+    instead).
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if not 0 <= level <= 9:
+        raise ValueError("level must be in 0..9")
+    src = df.select(
+        _col(id_col).alias("doc_id"), _col(text).alias("_t")
+    )
+
+    def compute(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [
+                (s if isinstance(s, str) else "").encode("utf-8")
+                for s in pdf["_t"]
+            ]
+            rl = [len(b) for b in raw]
+            cl = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": rl,
+                    "comp_len": cl,
+                    "ratio_micro": [
+                        (c * 1_000_000) // r if r else 0
+                        for c, r in zip(cl, rl)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(
+        compute,
+        "doc_id long, raw_len long, comp_len long, ratio_micro long",
+    )

@@ -2941,3 +2941,26 @@ def test_topic_tags_distinct_term_counts(spark):
     assert out == {(1, "pets"): 2, (2, "finance"): 1}
     with pytest.raises(ValueError, match="topics"):
         tx.topic_tags(df, {})
+
+
+def test_compression_ratio_differential_and_signal(spark):
+    import zlib
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "q7#kP!v9@xZ&m2§wL5^rT8*bN1%hJ4"),
+        (3, ""),
+        (4, None),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in tx.compression_ratio(df).collect()}
+    # differential: exact zlib parity, not just monotonicity
+    for doc_id, s in rows:
+        b = (s or "").encode("utf-8")
+        assert out[doc_id].raw_len == len(b)
+        assert out[doc_id].comp_len == len(zlib.compress(b, 6))
+    # repetition compresses far below gibberish
+    assert out[1].ratio_micro < out[2].ratio_micro
+    assert out[3].ratio_micro == 0 and out[4].ratio_micro == 0
+    with pytest.raises(ValueError, match="level"):
+        tx.compression_ratio(df, level=11)
