@@ -1826,3 +1826,74 @@ def compression_ratio(
         compute,
         "doc_id long, raw_len long, comp_len long, ratio_micro long",
     )
+
+
+def bm25_batch_from_store(
+    spark,
+    path: str,
+    queries: dict,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Batch BM25 against a :func:`materialize_postings` store: many
+    queries share ONE pruned scan (the partition set is the union of
+    every query's term buckets, computed driver-side), and each
+    query's rows are bit-identical to :func:`bm25_batch` /
+    :func:`bm25_scores` on the same corpus (same expressions, same
+    nano rounding). Returns ``(query_id, doc_id, n_matched,
+    score_nano)``; ``top_k`` keeps each query's top-k (score desc,
+    doc_id asc — WindowGroupLimit)."""
+    import json
+    import os
+
+    if not queries or any(not ts for ts in queries.values()):
+        raise ValueError(
+            "bm25_batch_from_store: queries must be non-empty with"
+            " non-empty terms"
+        )
+    stats = json.loads(
+        spark.read.text(os.path.join(path, "_postings_stats"))
+        .collect()[0][0]
+    )
+    n_buckets = int(stats["n_buckets"])
+    pairs = sorted({(str(q), str(t)) for q, ts in queries.items() for t in ts})
+    terms = sorted({t for _, t in pairs})
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+    post = spark.read.parquet(path).where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    probe = spark.createDataFrame(pairs, "query_id string, term string")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(stats["n_docs"]) - F.col("dfq") + 0.5)
+        / (F.col("dfq") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.lit(stats["avgdl"]))
+    )
+    contrib_nano = F.round(idf * tf_norm * 1e9).cast("long")
+    scored = (
+        post.join(F.broadcast(probe), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .select("query_id", "doc_id", contrib_nano.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("_c").alias("score_nano"),
+        )
+    )
+    if top_k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(top_k))
+        .drop("_rk")
+    )

@@ -113,20 +113,27 @@ def url_filter(
     blocked_hosts: list[str] | None = None,
     blocked_path_terms: list[str] | None = None,
     url: ColumnLike = "url",
+    blocked_host_suffixes: list[str] | None = None,
 ) -> DataFrame:
     """URL-level admission (the RefinedWeb first gate): drop rows
-    whose host is blocklisted or whose lowercased path contains any
-    blocked term. Adds ``keep`` (boolean) and ``drop_reason``
-    ('host' | 'path' | NULL) instead of filtering, so the caller can
-    audit the funnel; ``.where("keep")`` applies it. Blocklists are
-    broadcast literals — no join, no shuffle."""
+    whose host is blocklisted (exact, or — via
+    ``blocked_host_suffixes`` — any subdomain: 'spam.com' blocks
+    'a.spam.com' and 'spam.com' but NOT 'notspam.com') or whose
+    lowercased path contains any blocked term. Adds ``keep``
+    (boolean) and ``drop_reason`` ('host' | 'path' | NULL) instead
+    of filtering, so the caller can audit the funnel;
+    ``.where("keep")`` applies it. Blocklists are broadcast
+    literals — no join, no shuffle."""
     hosts = [h.lower() for h in (blocked_hosts or [])]
+    suffixes = [s.lower().lstrip(".") for s in (blocked_host_suffixes or [])]
     terms = [t.lower() for t in (blocked_path_terms or [])]
     h = url_host(url)
     p = F.lower(url_path(url))
     host_hit = (
         h.isin(hosts) if hosts else F.lit(False)
     )
+    for s in suffixes:
+        host_hit = host_hit | (h == s) | h.endswith("." + s)
     path_hit = F.lit(False)
     for t in terms:
         path_hit = path_hit | p.contains(t)

@@ -2964,3 +2964,43 @@ def test_compression_ratio_differential_and_signal(spark):
     assert out[3].ratio_micro == 0 and out[4].ratio_micro == 0
     with pytest.raises(ValueError, match="level"):
         tx.compression_ratio(df, level=11)
+
+
+def test_bm25_batch_from_store_matches_inline(spark, tmp_path):
+    rows = [
+        (i, f"alpha beta gamma doc{i} " + ("beta " * (i % 3)))
+        for i in range(25)
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    path = str(tmp_path / "postings")
+    tx.materialize_postings(df, path, n_buckets=8)
+    qs = {"q1": ["alpha", "doc2"], "q2": ["beta"]}
+    inline = {
+        (r.query_id, r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_batch(df, qs, top_k=5).collect()
+    }
+    stored = {
+        (r.query_id, r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_batch_from_store(
+            spark, path, qs, top_k=5
+        ).collect()
+    }
+    assert inline == stored and len(inline) == 10
+
+
+def test_url_filter_host_suffixes(spark):
+    from datasplash_spark.functions import web as wb
+
+    rows = [
+        (1, "https://spam.com/x"),
+        (2, "https://a.b.SPAM.com/x"),
+        (3, "https://notspam.com/x"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, url string")
+    out = {
+        r.doc_id: r.keep
+        for r in wb.url_filter(
+            df, blocked_host_suffixes=["spam.com"]
+        ).collect()
+    }
+    assert out == {1: False, 2: False, 3: True}
