@@ -1863,3 +1863,44 @@ def edit_distance_verify(
         )
         .filter(F.col("dist_ratio") <= float(max_dist_ratio))
     )
+
+
+def embedding_audit(
+    df: DataFrame,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+) -> DataFrame:
+    """Embedding-table integrity audit — the pre-flight every ANN /
+    dedup job should run, because one NaN vector silently poisons
+    cosine scores and centroid folds: per vector, its dimensionality
+    and the degenerate-value counts ``(vec_id, dim, n_nan, n_inf,
+    is_zero, is_null)``. NULL vectors get ``dim = 0`` and
+    ``is_null = true`` instead of failing the scan. Pure Column
+    (higher-order filters over the array), one stateless pass, no
+    shuffle — run it as a filter (``is_null OR n_nan > 0 OR n_inf >
+    0 OR is_zero``) to quarantine bad rows before indexing.
+
+    Reference anchor: no analog; similarity extension surface
+    (BASELINE.json north_star)."""
+    v = _col(vec_col)
+    null = v.isNull()
+    n_nan = F.size(F.filter(v, F.isnan))
+    n_inf = F.size(
+        F.filter(v, lambda x: (x == float("inf")) | (x == float("-inf")))
+    )
+    sq = F.aggregate(
+        F.filter(v, lambda x: ~F.isnan(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    zero = F.lit(0).cast("long")
+    return df.select(
+        _col(id_col).alias("vec_id"),
+        F.when(null, F.lit(0)).otherwise(F.size(v)).cast("long").alias("dim"),
+        F.when(null, zero).otherwise(n_nan.cast("long")).alias("n_nan"),
+        F.when(null, zero).otherwise(n_inf.cast("long")).alias("n_inf"),
+        F.when(null, F.lit(False))
+        .otherwise((sq == 0.0) & (n_nan == 0))
+        .alias("is_zero"),
+        null.alias("is_null"),
+    )

@@ -2102,6 +2102,64 @@ SELECT doc_id, topic, n_terms_hit FROM tagged WHERE n_terms_hit > 0
 ORACLE_TOPIC_TAGS = _topic_tags_oracle()
 
 
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding integrity audit: inject degenerate vectors
+    deterministically (NULL at %13, all-zero at %11, NaN-poisoned
+    first element at %7) and flag them via similarity.embedding_audit
+    — the pre-flight ANN/dedup jobs run to quarantine bad rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    k = F.col("vec_id")
+    synth = emb.select(
+        "vec_id",
+        F.when(k % 13 == 0, F.lit(None).cast("array<float>"))
+        .when(k % 11 == 0, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(
+            k % 7 == 0,
+            F.transform(
+                v,
+                lambda x, i: F.when(
+                    i == 0, F.lit(float("nan")).cast("float")
+                ).otherwise(x),
+            ),
+        )
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    return sim.embedding_audit(synth)
+
+
+ORACLE_EMBEDDING_AUDIT = """
+WITH s AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 13 = 0 THEN NULL
+         WHEN vec_id % 11 = 0
+           THEN list_transform(embedding, x -> 0.0::FLOAT)
+         WHEN vec_id % 7 = 0
+           THEN list_transform(embedding, (x, i) ->
+                CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
+         ELSE embedding END AS v
+  FROM embeddings
+)
+SELECT vec_id,
+  (CASE WHEN v IS NULL THEN 0 ELSE len(v) END)::BIGINT AS dim,
+  (CASE WHEN v IS NULL THEN 0
+        ELSE len(list_filter(v, x -> isnan(x))) END)::BIGINT AS n_nan,
+  (CASE WHEN v IS NULL THEN 0
+        ELSE len(list_filter(v, x -> x = 'infinity'::FLOAT
+                                  OR x = '-infinity'::FLOAT))
+   END)::BIGINT AS n_inf,
+  CASE WHEN v IS NULL THEN FALSE
+       ELSE coalesce(list_aggregate(
+              list_transform(list_filter(v, x -> NOT isnan(x)),
+                             x -> x * x), 'sum'), 0) = 0
+            AND len(list_filter(v, x -> isnan(x))) = 0
+  END AS is_zero,
+  v IS NULL AS is_null
+FROM s
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -4881,6 +4939,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
     "host_stats": (q_host_stats, ORACLE_HOST_STATS),
     "topic_tags": (q_topic_tags, ORACLE_TOPIC_TAGS),
+    "embedding_audit": (q_embedding_audit, ORACLE_EMBEDDING_AUDIT),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5062,6 +5121,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "url_normalize",
     "host_stats",
     "topic_tags",
+    "embedding_audit",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

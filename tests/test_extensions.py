@@ -3004,3 +3004,22 @@ def test_url_filter_host_suffixes(spark):
         ).collect()
     }
     assert out == {1: False, 2: False, 3: True}
+
+
+def test_embedding_audit_flags(spark):
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [0.0, 0.0]),
+        (3, [float("nan"), 1.0]),
+        (4, None),
+        (5, [float("inf"), 1.0]),
+    ]
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in sim.embedding_audit(df).collect()}
+    assert out[1].dim == 2 and not (
+        out[1].is_zero or out[1].is_null
+    ) and out[1].n_nan == 0
+    assert out[2].is_zero and out[2].n_nan == 0
+    assert out[3].n_nan == 1 and not out[3].is_zero
+    assert out[4].is_null and out[4].dim == 0
+    assert out[5].n_inf == 1
