@@ -1897,3 +1897,96 @@ def bm25_batch_from_store(
         .filter(F.col("_rk") <= int(top_k))
         .drop("_rk")
     )
+
+
+def chunk_by_sentences(
+    df,
+    max_tokens: int,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking (the RAG/embedding-index splitter):
+    split on sentence boundaries (``[.!?]`` + space) and GREEDILY
+    pack consecutive sentences into chunks of ``<= max_tokens``
+    whitespace tokens — a chunk never splits a sentence, and a
+    single sentence longer than the budget gets its own (oversized)
+    chunk rather than being cut. Returns ``(doc_id, chunk_id,
+    chunk_text, n_tok)``; chunk_ids are 0-based document order.
+    Complements :func:`chunk_documents` (fixed token windows with
+    overlap — which DOES cut mid-sentence).
+
+    Pure Column, one stateless scan, no shuffle: boundary marking is
+    one regexp_replace (a 0x1E sentinel — text must not contain that
+    control char), the greedy pass is ONE aggregate fold over the
+    per-sentence token counts (state = (chunk, acc, ids)), and
+    chunk assembly is index-filtered array_join per chunk id. The
+    DuckDB oracle mirrors the fold as a recursive CTE — same
+    integer recurrence, engine-exact.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    sent_sep = "\x1e"
+    marked = F.regexp_replace(_col(text), r"([.!?]) ", "$1" + sent_sep)
+    sents = F.split(marked, sent_sep, -1)
+    counts = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, " ", -1), lambda x: x != "")),
+    )
+    init = F.struct(
+        F.lit(0).alias("chunk"),
+        F.lit(0).alias("acc"),
+        F.array().cast("array<int>").alias("ids"),
+    )
+
+    def step(st: Column, cnt: Column) -> Column:
+        overflow = ((st.getField("acc") + cnt) > F.lit(max_tokens)) & (
+            st.getField("acc") > 0
+        )
+        new_chunk = F.when(overflow, st.getField("chunk") + 1).otherwise(
+            st.getField("chunk")
+        )
+        new_acc = F.when(overflow, cnt).otherwise(st.getField("acc") + cnt)
+        return F.struct(
+            new_chunk.alias("chunk"),
+            new_acc.alias("acc"),
+            F.concat(st.getField("ids"), F.array(new_chunk)).alias("ids"),
+        )
+
+    with_state = df.select(
+        _col(id_col).alias("doc_id"),
+        sents.alias("_s"),
+        counts.alias("_c"),
+        F.aggregate(counts, init, step).getField("ids").alias("_ids"),
+    )
+
+    def chunk_struct(c: Column) -> Column:
+        members = F.filter(
+            F.col("_s"),
+            lambda x, i: F.element_at(F.col("_ids"), i + F.lit(1)) == c,
+        )
+        toks = F.filter(
+            F.col("_c"),
+            lambda x, i: F.element_at(F.col("_ids"), i + F.lit(1)) == c,
+        )
+        return F.struct(
+            c.cast("long").alias("chunk_id"),
+            F.array_join(members, " ").alias("chunk_text"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("n_tok"),
+        )
+
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.element_at(F.col("_ids"), -1)), chunk_struct
+    )
+    return (
+        with_state.select("doc_id", F.explode(chunks).alias("_ch"))
+        .select(
+            "doc_id",
+            "_ch.chunk_id",
+            "_ch.chunk_text",
+            "_ch.n_tok",
+        )
+    )

@@ -2160,6 +2160,67 @@ FROM s
 """
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware greedy chunking (RAG splitter) at a 32-token
+    budget: chunks never split a sentence; the greedy fold is one
+    aggregate expression, mirrored by a recursive CTE in the
+    oracle. Corpus texts have no sentence punctuation, so the synth
+    slices each doc into three '.'-terminated sentences to exercise
+    multi-chunk packing."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 97),
+            F.lit(". "),
+            F.substring("text", 98, 95),
+            F.lit(". "),
+            F.substring("text", 193, 90),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return tx.chunk_by_sentences(synth, 32)
+
+
+ORACLE_SENTENCE_CHUNKS = """
+WITH RECURSIVE s0 AS (
+  SELECT doc_id,
+         substr(text, 1, 97) || '. ' || substr(text, 98, 95) || '. '
+           || substr(text, 193, 90) || '.' AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?]) ',
+                                     '\\1' || chr(30), 'g'),
+                      chr(30)) AS sents
+  FROM s0
+), c AS (
+  SELECT doc_id, sents,
+         list_transform(sents, x ->
+           len(list_filter(string_split(x, ' '), t -> t <> ''))) AS cnts
+  FROM s
+), walk AS (
+  SELECT doc_id, 1 AS idx, 0 AS chunk, cnts[1] AS acc
+  FROM c WHERE len(cnts) >= 1
+  UNION ALL
+  SELECT w.doc_id, w.idx + 1,
+         CASE WHEN w.acc + c.cnts[w.idx + 1] > 32 AND w.acc > 0
+              THEN w.chunk + 1 ELSE w.chunk END,
+         CASE WHEN w.acc + c.cnts[w.idx + 1] > 32 AND w.acc > 0
+              THEN c.cnts[w.idx + 1]
+              ELSE w.acc + c.cnts[w.idx + 1] END
+  FROM walk w JOIN c USING (doc_id)
+  WHERE w.idx < len(c.cnts)
+)
+SELECT w.doc_id,
+       w.chunk::BIGINT AS chunk_id,
+       string_agg(c.sents[w.idx], ' ' ORDER BY w.idx) AS chunk_text,
+       sum(c.cnts[w.idx])::BIGINT AS n_tok
+FROM walk w JOIN c USING (doc_id)
+GROUP BY w.doc_id, w.chunk
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -4940,6 +5001,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "host_stats": (q_host_stats, ORACLE_HOST_STATS),
     "topic_tags": (q_topic_tags, ORACLE_TOPIC_TAGS),
     "embedding_audit": (q_embedding_audit, ORACLE_EMBEDDING_AUDIT),
+    "sentence_chunks": (q_sentence_chunks, ORACLE_SENTENCE_CHUNKS),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5122,6 +5184,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "host_stats",
     "topic_tags",
     "embedding_audit",
+    "sentence_chunks",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

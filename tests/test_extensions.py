@@ -3023,3 +3023,34 @@ def test_embedding_audit_flags(spark):
     assert out[3].n_nan == 1 and not out[3].is_zero
     assert out[4].is_null and out[4].dim == 0
     assert out[5].n_inf == 1
+
+
+def test_chunk_by_sentences_greedy_packing(spark):
+    rows = [
+        # 3+3+3 tokens, budget 6: [s1 s2][s3]
+        (1, "one two three. four five six. seven eight nine."),
+        # oversized sentence gets its own chunk, then packing resumes
+        (2, "a b c d e f g h. x y."),
+        (3, ""),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = sorted(
+        tx.chunk_by_sentences(df, 6).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_text, r.n_tok)
+        )
+    assert by_doc[1] == [
+        (0, "one two three. four five six.", 6),
+        (1, "seven eight nine.", 3),
+    ]
+    assert by_doc[2] == [
+        (0, "a b c d e f g h.", 8),   # oversized, never cut
+        (1, "x y.", 2),
+    ]
+    assert by_doc[3] == [(0, "", 0)]
+    with pytest.raises(ValueError, match="max_tokens"):
+        tx.chunk_by_sentences(df, 0)
