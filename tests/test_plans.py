@@ -276,6 +276,9 @@ def test_no_python_udf_in_relational_corpus(spark):
         "chat_turns",
         "url_normalize",
         "host_stats",
+        "topic_tags",
+        "embedding_audit",
+        "sentence_chunks",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
