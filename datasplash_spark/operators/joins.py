@@ -436,3 +436,61 @@ def salted_join(
     )
     out = b.join(s, on=keys + ["_salt"], how=how)
     return out.drop("_salt")
+
+
+def fk_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: ColumnLike,
+    parent_key: ColumnLike | None = None,
+) -> DataFrame:
+    """Referential-integrity audit — the join pre-flight: how many
+    child rows reference a parent key that does not exist (orphans),
+    how many have a NULL key, how many match. One summary row:
+    ``(n_child, n_null_key, n_orphan, n_matched)``.
+
+    Scale shape: the child reduces to a (key, count) table FIRST
+    (one partial-agg shuffle on the key — child rows never move),
+    the parent reduces to its distinct keys, and the verdict is one
+    left join over two key-cardinality tables + integer sums. At
+    100 TB both sides of the final join are vocab-sized, and AQE
+    broadcasts the smaller one.
+
+    Reference anchor: no analog; data-quality extension surface
+    (BASELINE.json north_star)."""
+    ck = _col(child_key)
+    pk = _col(parent_key if parent_key is not None else child_key)
+    counts = (
+        child.select(ck.alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pkeys = parent.select(pk.alias("_k")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    joined = counts.join(pkeys, "_k", "left")
+    zero = F.lit(0).cast("long")
+    return joined.agg(
+        F.coalesce(F.sum("_n"), zero).cast("long").alias("n_child"),
+        F.coalesce(
+            F.sum(F.when(F.col("_k").isNull(), F.col("_n"))), zero
+        )
+        .cast("long")
+        .alias("n_null_key"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull() & F.col("_hit").isNull(),
+                    F.col("_n"),
+                )
+            ),
+            zero,
+        )
+        .cast("long")
+        .alias("n_orphan"),
+        F.coalesce(
+            F.sum(F.when(F.col("_hit").isNotNull(), F.col("_n"))), zero
+        )
+        .cast("long")
+        .alias("n_matched"),
+    )

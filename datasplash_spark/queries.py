@@ -2221,6 +2221,44 @@ GROUP BY w.doc_id, w.chunk
 """
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators.fk_audit): orders →
+    customer with deterministically corrupted keys (orphaned at
+    %97 == 0, NULLed at %89 == 0) so every counter is exercised.
+    Child rows never shuffle — the child reduces to a key-count
+    table first."""
+    from .operators import fk_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    synth = orders.select(
+        F.when(k % 89 == 0, F.lit(None).cast("long"))
+        .when(k % 97 == 0, F.col("o_custkey") + 10_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey")
+    )
+    return fk_audit(synth, cust, "o_custkey", "c_custkey")
+
+
+ORACLE_FK_AUDIT = """
+WITH s AS (
+  SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL
+              WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+              ELSE o_custkey END AS k
+  FROM orders
+), p AS (SELECT DISTINCT c_custkey FROM customer)
+SELECT count(*)::BIGINT AS n_child,
+       sum(CASE WHEN s.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_key,
+       sum(CASE WHEN s.k IS NOT NULL AND p.c_custkey IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_orphan,
+       sum(CASE WHEN p.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_matched
+FROM s LEFT JOIN p ON s.k = p.c_custkey
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -5002,6 +5040,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "topic_tags": (q_topic_tags, ORACLE_TOPIC_TAGS),
     "embedding_audit": (q_embedding_audit, ORACLE_EMBEDDING_AUDIT),
     "sentence_chunks": (q_sentence_chunks, ORACLE_SENTENCE_CHUNKS),
+    "fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5185,6 +5224,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "topic_tags",
     "embedding_audit",
     "sentence_chunks",
+    "fk_audit",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

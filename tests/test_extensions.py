@@ -3054,3 +3054,14 @@ def test_chunk_by_sentences_greedy_packing(spark):
     assert by_doc[3] == [(0, "", 0)]
     with pytest.raises(ValueError, match="max_tokens"):
         tx.chunk_by_sentences(df, 0)
+
+
+def test_fk_audit_counts(spark):
+    child = generate_input(
+        spark,
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)],
+        "id bigint, fk bigint",
+    )
+    parent = generate_input(spark, [(10,), (20,), (30,)], "pk bigint")
+    r = ops.fk_audit(child, parent, "fk", "pk").collect()[0]
+    assert (r.n_child, r.n_null_key, r.n_orphan, r.n_matched) == (5, 1, 1, 3)
