@@ -3065,3 +3065,98 @@ def test_fk_audit_counts(spark):
     parent = generate_input(spark, [(10,), (20,), (30,)], "pk bigint")
     r = ops.fk_audit(child, parent, "fk", "pk").collect()[0]
     assert (r.n_child, r.n_null_key, r.n_orphan, r.n_matched) == (5, 1, 1, 3)
+
+
+def test_chunk_by_sentences_differential_random(spark):
+    """Differential check: the Spark greedy fold equals a direct
+    pure-Python greedy packer on random corpora across budgets."""
+    import random
+
+    def py_chunks(text, budget):
+        import re
+
+        sents = re.sub(r"([.!?]) ", lambda m: m.group(1) + "\x1e", text).split(
+            "\x1e"
+        )
+        cnts = [len([t for t in s.split(" ") if t]) for s in sents]
+        chunk, acc, ids = 0, 0, []
+        for c in cnts:
+            if acc + c > budget and acc > 0:
+                chunk, acc = chunk + 1, c
+            else:
+                acc += c
+            ids.append(chunk)
+        out = []
+        for cid in range(ids[-1] + 1):
+            mem = [s for s, i in zip(sents, ids) if i == cid]
+            tok = sum(c for c, i in zip(cnts, ids) if i == cid)
+            out.append((cid, " ".join(mem), tok))
+        return out
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for budget in (2, 4, 7):
+        rows = []
+        for d in range(12):
+            n_sents = rng.randint(1, 6)
+            sents = [
+                " ".join(rng.choices(vocab, k=rng.randint(0, 5)))
+                for _ in range(n_sents)
+            ]
+            rows.append((d, ". ".join(sents) + rng.choice(["", ".", "!"])))
+        df = generate_input(spark, rows, "doc_id bigint, text string")
+        got = {}
+        for r in tx.chunk_by_sentences(df, budget).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_text, r.n_tok)
+            )
+        for d, text in rows:
+            assert sorted(got[d]) == py_chunks(text, budget), (
+                budget,
+                d,
+                text,
+            )
+
+
+def test_remove_boilerplate_differential_random(spark):
+    """Differential check: Spark corpus-frequency removal equals a
+    pure-Python reference on random corpora from a tiny line
+    vocabulary (dense cross-doc collisions)."""
+    import random
+
+    def py_clean(docs, min_docs):
+        from collections import Counter
+
+        lines_by = {d: t.split("\n") for d, t in docs}
+        freq = Counter()
+        for lines in lines_by.values():
+            for ln in {x for x in lines if x != ""}:
+                freq[ln] += 1
+        bad = {ln for ln, n in freq.items() if n >= min_docs}
+        return {
+            d: "\n".join(x for x in lines if x == "" or x not in bad)
+            for d, lines in lines_by.items()
+        }
+
+    rng = random.Random(11)
+    vocab = ["head", "body", "foot", "", "promo"]
+    for min_docs in (2, 3):
+        rows = [
+            (
+                d,
+                "\n".join(
+                    rng.choice(vocab) + (str(d) if rng.random() < 0.3 else "")
+                    for _ in range(rng.randint(1, 6))
+                ),
+            )
+            for d in range(10)
+        ]
+        df = generate_input(spark, rows, "doc_id bigint, text string")
+        expect = py_clean(rows, min_docs)
+        got = {
+            r.doc_id: r.clean_text
+            for r in dd.remove_boilerplate_lines(
+                df, min_docs=min_docs
+            ).collect()
+        }
+        assert got == expect, (min_docs, rows)

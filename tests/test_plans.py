@@ -279,6 +279,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "topic_tags",
         "embedding_audit",
         "sentence_chunks",
+        "fk_audit",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
