@@ -66,6 +66,10 @@ def normalize_url(url: ColumnLike) -> Column:
     group. Pure Column — regexp + split + filter + sort_array +
     rejoin in one scan.
 
+    Inputs that don't parse (no ``scheme://host``) pass through
+    VERBATIM — collapsing every malformed URL to an empty canonical
+    form would silently merge them into one dedup group.
+
     Reference anchor: no analog in datasplash; web-curation
     extension surface (BASELINE.json north_star).
     """
@@ -75,13 +79,14 @@ def normalize_url(url: ColumnLike) -> Column:
         lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
     )
     q = F.array_join(F.sort_array(params), "&")
-    return F.concat(
+    canon = F.concat(
         url_scheme(c),
         F.lit("://"),
         url_host(c),
         url_path(c),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    return F.when(url_host(c) != "", canon).otherwise(c)
 
 
 def host_stats(

@@ -3160,3 +3160,19 @@ def test_remove_boilerplate_differential_random(spark):
             ).collect()
         }
         assert got == expect, (min_docs, rows)
+
+
+def test_normalize_url_malformed_passthrough(spark):
+    # scheme-less inputs must NOT collapse to an empty canonical
+    # form (that would merge every malformed URL into one dup group)
+    from datasplash_spark.functions import web as wb
+
+    rows = [(1, "example.com/p"), (2, "not a url"), (3, "")]
+    df = generate_input(spark, rows, "doc_id bigint, url string")
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", wb.normalize_url("url").alias("n")
+        ).collect()
+    }
+    assert out == {1: "example.com/p", 2: "not a url", 3: ""}
