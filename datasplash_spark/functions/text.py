@@ -1648,22 +1648,118 @@ def materialize_postings(
     postings.write.mode("overwrite").partitionBy("term_bucket").parquet(path)
     row = (
         df.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+        .crossJoin(
+            dl.agg(
+                F.sum("dl").alias("sum_dl"),
+                F.count(F.lit(1)).alias("n_dl"),
+            )
+        )
         .collect()[0]
     )
-    stats = {
-        "n_docs": int(row.n_docs),
+    stats = _postings_stats_dict(
+        int(row.n_docs),
+        int(row.sum_dl or 0),
+        int(row.n_dl),
+        int(n_buckets),
+    )
+    _write_postings_stats(df.sparkSession, path, stats)
+    return stats
+
+
+def _postings_stats_dict(
+    n_docs: int, sum_dl: int, n_dl: int, n_buckets: int
+) -> dict:
+    """Sidecar stats with MERGEABLE integer components (n_docs,
+    sum_dl, n_dl) and the derived avgdl. ``sum_dl/n_dl`` as a
+    double division is bit-identical to Spark's ``avg`` over longs
+    (Average casts the exact long sum and count to double), so
+    store probes stay exactly equal to the inline scorers."""
+    return {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "n_dl": n_dl,
         # float round-trips exactly through json repr
-        "avgdl": float(row.avgdl) if row.avgdl is not None else 0.0,
-        "n_buckets": int(n_buckets),
+        "avgdl": (float(sum_dl) / float(n_dl)) if n_dl else 0.0,
+        "n_buckets": n_buckets,
     }
-    spark = df.sparkSession
+
+
+def _write_postings_stats(spark, path: str, stats: dict) -> None:
+    import json
+    import os
+
     (
         spark.createDataFrame([(json.dumps(stats),)], "v string")
         .coalesce(1)
         .write.mode("overwrite")
         .text(os.path.join(path, "_postings_stats"))
     )
+
+
+def append_postings(
+    df,
+    path: str,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> dict:
+    """Append a NEW batch of documents to an existing
+    :func:`materialize_postings` store without touching existing
+    rows: the batch's postings land in the same term-bucket
+    partition layout (append mode — probes keep pruning), and the
+    stats sidecar merges by integer sum (n_docs, sum_dl, n_dl are
+    mergeable by construction; avgdl re-derives). After the append,
+    :func:`bm25_from_store` is bit-identical to
+    :func:`bm25_scores` over the UNION corpus (term df re-derives
+    from the posting lists, so it needs no merging at all).
+
+    NOT idempotent and NOT doc-id-deduplicating — the caller owns
+    batch-replay protection (re-appending a batch double-counts its
+    postings); for replay-safe streaming admission compose with the
+    ``streaming`` admitters' id-ledger pattern. Returns the merged
+    stats dict."""
+    import json
+    import os
+
+    from .dedup import md5_int31
+
+    spark = df.sparkSession
+    prev = json.loads(
+        spark.read.text(os.path.join(path, "_postings_stats"))
+        .collect()[0][0]
+    )
+    if "sum_dl" not in prev:
+        raise ValueError(
+            "store was written by an older materialize_postings without"
+            " mergeable stats; rebuild it to enable appends"
+        )
+    n_buckets = int(prev["n_buckets"])
+    toks = df.select(
+        _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "term_bucket",
+        (md5_int31(F.col("term")) % F.lit(n_buckets)).cast("int"),
+    )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(path)
+    row = (
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            dl.agg(
+                F.sum("dl").alias("sum_dl"),
+                F.count(F.lit(1)).alias("n_dl"),
+            )
+        )
+        .collect()[0]
+    )
+    stats = _postings_stats_dict(
+        int(prev["n_docs"]) + int(row.n_docs),
+        int(prev["sum_dl"]) + int(row.sum_dl or 0),
+        int(prev["n_dl"]) + int(row.n_dl),
+        n_buckets,
+    )
+    _write_postings_stats(spark, path, stats)
     return stats
 
 

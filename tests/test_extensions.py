@@ -3176,3 +3176,30 @@ def test_normalize_url_malformed_passthrough(spark):
         ).collect()
     }
     assert out == {1: "example.com/p", 2: "not a url", 3: ""}
+
+
+def test_append_postings_matches_union_inline(spark, tmp_path):
+    # after an append, store probes must stay bit-identical to the
+    # inline scorer over the UNION corpus (mergeable sidecar stats,
+    # df re-derived from posting lists)
+    a = [(i, f"alpha beta doc{i} " + "alpha " * (i % 3)) for i in range(15)]
+    b = [
+        (100 + i, f"alpha gamma doc{100 + i} " + "beta " * (i % 4))
+        for i in range(10)
+    ]
+    dfa = generate_input(spark, a, "doc_id bigint, text string")
+    dfb = generate_input(spark, b, "doc_id bigint, text string")
+    path = str(tmp_path / "postings")
+    s0 = tx.materialize_postings(dfa, path, n_buckets=8)
+    s1 = tx.append_postings(dfb, path)
+    assert s1["n_docs"] == 25 and s1["n_docs"] == s0["n_docs"] + 10
+    terms = ["alpha", "beta", "doc102"]
+    inline = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_scores(dfa.union(dfb), terms).collect()
+    }
+    stored = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, path, terms).collect()
+    }
+    assert inline == stored and len(inline) == 25
