@@ -28,6 +28,8 @@ from .neardup import (
     near_dedup_ingest,
     compact_store,
     quota_admitter,
+    postings_admitter,
+    postings_ingest,
     quota_ingest,
     semantic_admitter,
     semantic_ingest,
@@ -40,6 +42,8 @@ __all__ = [
     "near_dedup_ingest",
     "compact_store",
     "quota_admitter",
+    "postings_admitter",
+    "postings_ingest",
     "quota_ingest",
     "semantic_admitter",
     "semantic_ingest",

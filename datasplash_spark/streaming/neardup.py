@@ -561,3 +561,111 @@ def compact_store(
     for p in old_parts:
         fs.delete(p, True)
     return len(old_parts)
+
+
+def postings_admitter(
+    store_path: str,
+    n_buckets: int = 32,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """``batch_fn`` for :func:`.sinks.foreach_batch_sink`: per
+    micro-batch, tokenize the batch into (term, doc_id, tf, dl)
+    postings and land them under the store's term-bucket layout as
+    ``_batch_id=<id>`` partitions with dynamic OVERWRITE — a
+    replayed batch rewrites exactly its own (batch, bucket) leaves,
+    so the index is replay-idempotent keyed on the batch id (the
+    same contract as the near-dup/semantic/quota stores). After the
+    write, the stats sidecar RECOMPUTES from the full store
+    (idempotent by construction — no merge state to corrupt on
+    replay): one distinct (doc_id, dl) aggregate, store-sized but
+    postings-narrow.
+
+    Caveats vs the batch path (:func:`..functions.text
+    .append_postings`): documents with zero tokens produce no
+    postings, so the streaming sidecar's ``n_docs`` counts only
+    tokenized docs — probe scores equal the inline scorer exactly
+    when every ingested doc has at least one token (pinned by the
+    e2e test). Duplicate doc_ids ACROSS batches double-count, as in
+    any append-only index — dedup upstream (the admitters compose).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.dedup import md5_int31
+    from ..functions.text import (
+        _postings_stats_dict,
+        _write_postings_stats,
+        tokens,
+    )
+
+    def admit(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(text)).alias("term"),
+        ).filter(F.col("term") != "")
+        tf = toks.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        postings = (
+            tf.join(dl, "doc_id")
+            .withColumn(
+                "term_bucket",
+                (md5_int31(F.col("term")) % F.lit(n_buckets)).cast("int"),
+            )
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        )
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", "term_bucket")
+            .parquet(store_path)
+        )
+        row = (
+            spark.read.parquet(store_path)
+            .select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s"),
+            )
+            .collect()[0]
+        )
+        _write_postings_stats(
+            spark,
+            store_path,
+            _postings_stats_dict(
+                int(row.n), int(row.s or 0), int(row.n), int(n_buckets)
+            ),
+        )
+
+    return admit
+
+
+def postings_ingest(
+    stream_df,
+    store_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    text: str = "text",
+    id_col: str = "doc_id",
+    trigger: str | dict | None = None,
+    query_name: str | None = None,
+):
+    """Start the streaming inverted-index ingestion: every
+    micro-batch lands its postings replay-idempotently and refreshes
+    the stats sidecar; ``bm25_from_store`` probes the live store
+    unchanged (term-bucket pruning still applies — `_batch_id` is
+    just an extra partition level)."""
+    from .sinks import foreach_batch_sink
+
+    return foreach_batch_sink(
+        stream_df,
+        postings_admitter(
+            store_path, n_buckets=n_buckets, text=text, id_col=id_col
+        ),
+        checkpoint_dir,
+        trigger=trigger,
+        query_name=query_name,
+    )
