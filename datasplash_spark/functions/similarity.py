@@ -1904,3 +1904,45 @@ def embedding_audit(
         .alias("is_zero"),
         null.alias("is_null"),
     )
+
+
+def append_ivf(
+    df: DataFrame,
+    path: str,
+    vec_col: ColumnLike = "embedding",
+    id_col: ColumnLike = "vec_id",
+) -> None:
+    """Append NEW vectors to an existing :func:`materialize_ivf`
+    store: the persisted centroids (the store's on-disk contract)
+    assign each vector its cell, and the rows land in the matching
+    ``cell=`` partitions in append mode — existing files untouched,
+    probes keep pruning, no rebuild. The quantized layout is
+    auto-detected and preserved (codes + scale, same rounding).
+
+    The QUANTIZER does not move: appended vectors are binned by the
+    ORIGINAL centroids, which is exactly what a serving index wants
+    (re-clustering would invalidate every probe's cell ranking).
+    If the corpus drifts far from the quantizer, rebuild with
+    :func:`materialize_ivf` / :func:`kmeans_refine`. NOT idempotent
+    — replay protection is the caller's (compose with the streaming
+    admitters' ledger for streaming cadence). Duplicate ids are not
+    checked, as in any append-only index."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    centroids = json.loads(
+        spark.read.text(os.path.join(path, "_ivf_centroids")).first()[0]
+    )
+    assigned = (
+        df.withColumn("_nv", norm(_col(vec_col)))
+        .withColumn("cell", ivf_cell(vec_col, centroids, norm_col=F.col("_nv")))
+        .drop("_nv")
+    )
+    quantized = "codes" in spark.read.parquet(path).columns
+    if quantized:
+        codes = quantize_embeddings(df, vec_col, id_col)
+        assigned = assigned.select(
+            _col(id_col).alias("vec_id"), "cell"
+        ).join(codes, "vec_id")
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
