@@ -1946,3 +1946,29 @@ def append_ivf(
             _col(id_col).alias("vec_id"), "cell"
         ).join(codes, "vec_id")
     assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def append_lsh(
+    df: DataFrame,
+    path: str,
+    bits: int = 8,
+    vec_col: ColumnLike = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> None:
+    """Append NEW vectors to a :func:`materialize_lsh` store: the
+    planes are a pure function of ``(dim, bits, seed)`` — pass the
+    SAME parameters the store was written with and the new rows land
+    in the matching ``bucket=`` partitions in append mode (existing
+    files untouched, probes keep pruning). Same non-idempotence
+    caveats as :func:`append_ivf`."""
+    if dim is None:
+        first = df.select(_col(vec_col)).first()
+        if first is None:
+            return
+        dim = len(first[0])
+    planes = random_hyperplanes(dim, bits, seed)
+    assigned = df.withColumn(
+        "bucket", hyperplane_bucket(_col(vec_col), planes)
+    )
+    assigned.write.mode("append").partitionBy("bucket").parquet(path)

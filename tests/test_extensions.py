@@ -3236,3 +3236,33 @@ def test_append_ivf_matches_full_build(spark, tmp_path):
     ]
     assert r1 == r2 and len(r1) == 5
     assert any(v >= 100 for v, _ in r1 + r2) or True  # sanity only
+
+
+def test_append_lsh_matches_full_build(spark, tmp_path):
+    import random
+
+    rng = random.Random(5)
+    mk = lambda i: (i, [rng.uniform(-1, 1) for _ in range(8)])
+    a = [mk(i) for i in range(30)]
+    b = [mk(100 + i) for i in range(15)]
+    dfa = generate_input(spark, a, "vec_id bigint, embedding array<double>")
+    dfb = generate_input(spark, b, "vec_id bigint, embedding array<double>")
+    p1 = str(tmp_path / "lsh_inc")
+    p2 = str(tmp_path / "lsh_full")
+    sim.materialize_lsh(dfa, p1, bits=4)
+    sim.append_lsh(dfb, p1, bits=4)
+    sim.materialize_lsh(dfa.union(dfb), p2, bits=4)
+    q = a[1][1]
+    r1 = [
+        (r.vec_id, r.score)
+        for r in sim.lsh_topk_from_store(
+            spark, p1, q, k=5, bits=4, nprobe=3
+        ).collect()
+    ]
+    r2 = [
+        (r.vec_id, r.score)
+        for r in sim.lsh_topk_from_store(
+            spark, p2, q, k=5, bits=4, nprobe=3
+        ).collect()
+    ]
+    assert r1 == r2 and len(r1) == 5
