@@ -5202,7 +5202,13 @@ _WINDOW_R6: list[str] = [
 
 _AFTER_WINDOW_R6: list[str] = [
     # new in round 6 (gate_sim + tripwire-proven; lead the round-7
-    # window together with the spill below):
+    # window together with the spill below). ROUND-7 ROTATION PLAN:
+    # the 22 never-driver-gated queries below (12 from the main
+    # session + 10 from the continuation: boilerplate_removal..
+    # fk_audit) plus the 10-query r4 spill form the round-7 window
+    # exactly — promote this block's head to _WINDOW_R7 and push the
+    # r5/r6-green blocks down; after that every registry query has a
+    # driver row at most two rounds old.
     "winnow_fingerprints",
     "bpe_pairs",
     "source_drift",
