@@ -2086,3 +2086,60 @@ def chunk_by_sentences(
             "_ch.n_tok",
         )
     )
+
+
+def bm25_hard_negatives(
+    df,
+    labeled_queries: dict,
+    n_negatives: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Lexical HARD-NEGATIVE mining for retrieval training (the DPR
+    recipe: the strongest BM25 hits that are NOT the labeled
+    positive make the best contrastive negatives — random negatives
+    are too easy): ``labeled_queries`` maps query_id → ``(terms,
+    positive_doc_id)``; returns ``(query_id, pos_doc_id,
+    neg_doc_id, neg_rank, score_nano)`` with each query's top
+    ``n_negatives`` non-positive docs, ranked by exact fixed-point
+    score (desc, doc_id asc ties).
+
+    The embedding-space sibling of ``similarity.contrastive_pairs``.
+    One shared corpus pass for every query (:func:`bm25_batch`
+    shape); the positive exclusion is a broadcast literal filter
+    BEFORE the per-query WindowGroupLimit, so a positive never
+    displaces a negative inside the top-k.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    if not labeled_queries:
+        raise ValueError("labeled_queries must be non-empty")
+    if n_negatives < 1:
+        raise ValueError("n_negatives must be positive")
+    queries = {q: terms for q, (terms, _pos) in labeled_queries.items()}
+    scored = bm25_batch(df, queries, k1=k1, b=b, text=text, id_col=id_col)
+    spark = df.sparkSession
+    pos = spark.createDataFrame(
+        [(str(q), p) for q, (_t, p) in sorted(labeled_queries.items())],
+        "query_id string, pos_doc_id long",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(F.broadcast(pos), "query_id")
+        .filter(F.col("doc_id") != F.col("pos_doc_id"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(n_negatives))
+        .select(
+            "query_id",
+            "pos_doc_id",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            "score_nano",
+        )
+    )

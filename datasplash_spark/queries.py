@@ -4665,6 +4665,73 @@ FROM c GROUP BY doc_id
 """
 
 
+def q_bm25_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style lexical hard-negative mining: for three labeled
+    (query, positive) pairs, the top-3 non-positive BM25 hits — one
+    shared corpus pass, positives excluded before the per-query
+    WindowGroupLimit (text.bm25_hard_negatives)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_hard_negatives(
+        docs,
+        {
+            "q_exec": (["spark", "hash", "window"], 10),
+            "q_store": (["table", "row", "scan"], 20),
+            "q_mixed": (["spark", "table"], 30),
+        },
+        n_negatives=3,
+    )
+
+
+ORACLE_BM25_NEGATIVES = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), dfq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), probe(query_id, term) AS (
+  VALUES ('q_exec', 'spark'), ('q_exec', 'hash'), ('q_exec', 'window'),
+         ('q_store', 'table'), ('q_store', 'row'), ('q_store', 'scan'),
+         ('q_mixed', 'spark'), ('q_mixed', 'table')
+), pos(query_id, pos_doc_id) AS (
+  VALUES ('q_exec', 10), ('q_store', 20), ('q_mixed', 30)
+), c AS (
+  SELECT probe.query_id, tf.doc_id,
+         CAST(round(
+           (ln(1 + (st.n_docs - dfq.dfq + 0.5) / (dfq.dfq + 0.5))
+            * ((tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / st.avgdl))))
+           * 1e9) AS BIGINT) AS c
+  FROM tf
+  JOIN probe USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id), st
+), agg AS (
+  SELECT query_id, doc_id, count(*) AS n_matched,
+         CAST(sum(c) AS BIGINT) AS score_nano
+  FROM c GROUP BY query_id, doc_id
+), rk AS (
+  SELECT agg.query_id, pos.pos_doc_id, agg.doc_id, agg.score_nano,
+         row_number() OVER (
+           PARTITION BY agg.query_id
+           ORDER BY agg.score_nano DESC, agg.doc_id ASC) AS rn
+  FROM agg JOIN pos USING (query_id)
+  WHERE agg.doc_id <> pos.pos_doc_id
+)
+SELECT query_id, pos_doc_id::BIGINT AS pos_doc_id,
+       doc_id AS neg_doc_id, rn::BIGINT AS neg_rank, score_nano
+FROM rk WHERE rn <= 3
+"""
+
+
 def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch BM25: three queries share one tokenize/tf/df pass; the
     (query_id, term) probe broadcast prunes postings before the
@@ -5041,6 +5108,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "embedding_audit": (q_embedding_audit, ORACLE_EMBEDDING_AUDIT),
     "sentence_chunks": (q_sentence_chunks, ORACLE_SENTENCE_CHUNKS),
     "fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
+    "bm25_negatives": (q_bm25_negatives, ORACLE_BM25_NEGATIVES),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5231,6 +5299,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "embedding_audit",
     "sentence_chunks",
     "fk_audit",
+    "bm25_negatives",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

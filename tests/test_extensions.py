@@ -3266,3 +3266,26 @@ def test_append_lsh_matches_full_build(spark, tmp_path):
         ).collect()
     ]
     assert r1 == r2 and len(r1) == 5
+
+
+def test_bm25_hard_negatives_excludes_positive(spark):
+    rows = [
+        (1, "alpha alpha alpha"),   # strongest alpha doc
+        (2, "alpha alpha beta"),
+        (3, "alpha beta beta"),
+        (4, "gamma delta"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = sorted(
+        tx.bm25_hard_negatives(
+            df, {"q": (["alpha"], 1)}, n_negatives=2
+        ).collect(),
+        key=lambda r: r.neg_rank,
+    )
+    # doc 1 is the top alpha hit but is the positive -> excluded;
+    # negatives are the next-best alpha docs in score order
+    assert [r.neg_doc_id for r in out] == [2, 3]
+    assert all(r.pos_doc_id == 1 for r in out)
+    assert out[0].score_nano > out[1].score_nano
+    with pytest.raises(ValueError, match="n_negatives"):
+        tx.bm25_hard_negatives(df, {"q": (["alpha"], 1)}, n_negatives=0)
