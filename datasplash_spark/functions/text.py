@@ -2143,3 +2143,64 @@ def bm25_hard_negatives(
             "score_nano",
         )
     )
+
+
+def length_batches(
+    df,
+    batch_size: int,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    part: ColumnLike | None = None,
+) -> DataFrame:
+    """Length-bucketed batch planning (the padding-waste lever for
+    SFT/inference serving): order documents by token count and cut
+    consecutive runs of ``batch_size`` into batches, so each batch
+    pads to a max length close to its members' own lengths instead
+    of the corpus max. Per-doc output: ``(doc_id, n_tok, batch_id,
+    batch_max_tok, padded_tok, waste_tok)`` where ``padded_tok =
+    batch_max_tok`` (every member pads to the batch max) and
+    ``waste_tok = batch_max_tok - n_tok``. Deterministic: ties
+    break on ``doc_id``.
+
+    Scale shape — same law as :func:`pack_sequences`: the ranking
+    window partitions by ``part`` (default a single global stream,
+    fine up to one executor's worth of (id, count) pairs — it is a
+    COUNT-PAIR sort, text never enters the window). At 100 TB pass
+    a shard column (e.g. source, or a hash bucket): batches then
+    form within each shard — padding quality is unaffected because
+    batching by length is shard-local anyway — and the window
+    parallelizes across shards. ``batch_id`` is then unique per
+    (part, batch_id). The batch max is a second window over the
+    batch key on the same partitioning.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be positive")
+    base = df.select(
+        _col(id_col).alias("doc_id"),
+        token_count(text).cast("long").alias("n_tok"),
+        *([_col(part).alias("part")] if part is not None else []),
+    )
+    pcols = ["part"] if part is not None else []
+    w = Window.partitionBy(*pcols).orderBy(
+        F.col("n_tok").asc(), F.col("doc_id").asc()
+    )
+    ranked = base.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("long"),
+    )
+    wb = Window.partitionBy(*pcols, "batch_id")
+    return ranked.select(
+        *pcols,
+        "doc_id",
+        "n_tok",
+        "batch_id",
+        F.max("n_tok").over(wb).alias("batch_max_tok"),
+    ).select(
+        "*",
+        F.col("batch_max_tok").alias("padded_tok"),
+        (F.col("batch_max_tok") - F.col("n_tok")).alias("waste_tok"),
+    )

@@ -4732,6 +4732,39 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning per source shard (batch 16):
+    consecutive runs in (n_tok, doc_id) order form batches; per-doc
+    padding waste falls out of the batch max
+    (text.length_batches)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.length_batches(docs, 16, part="source")
+
+
+ORACLE_LENGTH_BATCHES = """
+WITH n AS (
+  -- mirrors text.token_count exactly: split size, empties included
+  SELECT source AS part, doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+), r AS (
+  SELECT part, doc_id, n_tok,
+         ((row_number() OVER (
+             PARTITION BY part ORDER BY n_tok ASC, doc_id ASC) - 1)
+          // 16)::BIGINT AS batch_id
+  FROM n
+)
+SELECT part, doc_id, n_tok, batch_id,
+       max(n_tok) OVER (PARTITION BY part, batch_id)::BIGINT
+         AS batch_max_tok,
+       max(n_tok) OVER (PARTITION BY part, batch_id)::BIGINT
+         AS padded_tok,
+       (max(n_tok) OVER (PARTITION BY part, batch_id)
+        - n_tok)::BIGINT AS waste_tok
+FROM r
+"""
+
+
 def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch BM25: three queries share one tokenize/tf/df pass; the
     (query_id, term) probe broadcast prunes postings before the
@@ -5109,6 +5142,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "sentence_chunks": (q_sentence_chunks, ORACLE_SENTENCE_CHUNKS),
     "fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
     "bm25_negatives": (q_bm25_negatives, ORACLE_BM25_NEGATIVES),
+    "length_batches": (q_length_batches, ORACLE_LENGTH_BATCHES),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5300,6 +5334,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "sentence_chunks",
     "fk_audit",
     "bm25_negatives",
+    "length_batches",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

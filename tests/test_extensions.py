@@ -3289,3 +3289,17 @@ def test_bm25_hard_negatives_excludes_positive(spark):
     assert out[0].score_nano > out[1].score_nano
     with pytest.raises(ValueError, match="n_negatives"):
         tx.bm25_hard_negatives(df, {"q": (["alpha"], 1)}, n_negatives=0)
+
+
+def test_length_batches_padding_accounting(spark):
+    rows = [(i, "w " * (i + 1)) for i in range(7)]  # 2,3,...,8 tokens
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in tx.length_batches(df, 3).collect()}
+    # ordered by n_tok: docs 0,1,2 -> batch 0; 3,4,5 -> batch 1;
+    # ragged last batch keeps doc 6
+    assert [out[i].batch_id for i in range(7)] == [0, 0, 0, 1, 1, 1, 2]
+    assert out[0].batch_max_tok == out[2].n_tok
+    assert out[0].waste_tok == out[2].n_tok - out[0].n_tok
+    assert out[6].waste_tok == 0
+    with pytest.raises(ValueError, match="batch_size"):
+        tx.length_batches(df, 0)
