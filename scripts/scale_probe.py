@@ -147,6 +147,48 @@ def probe(spark, k: int) -> None:
         )
         .agg(F.sum("n_sub"))
         .first()[0],
+        # stateless-scan curation ops: expected flat-per-row; the
+        # sum() forces the full expression tree like boilerplate
+        "chat_qa": lambda: __import__(
+            "datasplash_spark.functions.chat", fromlist=["chat"]
+        )
+        .conversation_stats(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit('[{"role":"user","content":"'),
+                    F.col("lang"),
+                    F.lit('"},{"role":"assistant","content":"re '),
+                    F.col("doc_id").cast("string"),
+                    F.lit('"}]'),
+                ).alias("conv_json"),
+            )
+        )
+        .agg(F.sum("content_chars"))
+        .first()[0],
+        "url_norm": lambda: __import__(
+            "datasplash_spark.functions.web", fromlist=["web"]
+        )
+        .host_stats(
+            docs.select(
+                "doc_id",
+                "text",
+                F.concat(
+                    F.lit("https://h"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit(".ex.com/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("?utm_source=x&a=1"),
+                ).alias("url"),
+            )
+        )
+        .agg(F.sum("n_urls"))
+        .first()[0],
+        "length_batches": lambda: tx.length_batches(
+            docs, 64, part="source"
+        )
+        .agg(F.sum("waste_tok"))
+        .first()[0],
         "postings": lambda: (
             tx.materialize_postings(
                 docs, f"{WORK}/post_x{k}", n_buckets=64
