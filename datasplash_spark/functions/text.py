@@ -2204,3 +2204,53 @@ def length_batches(
         F.col("batch_max_tok").alias("padded_tok"),
         (F.col("batch_max_tok") - F.col("n_tok")).alias("waste_tok"),
     )
+
+
+def unicode_normalize(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    form: str = "NFKC",
+    casefold: bool = False,
+) -> DataFrame:
+    """Unicode normalization (stdlib ``unicodedata``) — the pass
+    multilingual dedup keys need before hashing: fullwidth forms
+    fold to ASCII, compatibility ligatures expand, combining marks
+    canonicalize, so visually identical strings stop hashing apart.
+    ``casefold=True`` adds ``str.casefold()`` (aggressive lowercase
+    — the dedup-key choice). Returns ``(doc_id, text_norm,
+    changed)``.
+
+    Arrow-seam operator like :func:`compression_ratio`: Spark has no
+    Unicode-normalization expression, so this is a ``mapInPandas``
+    batch kernel — stateless, shuffle-free, deterministic per
+    Unicode database version (pinned by a direct-unicodedata
+    differential test, not a cross-engine oracle).
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    src = df.select(_col(id_col).alias("doc_id"), _col(text).alias("_t"))
+
+    def compute(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            orig = [(s if isinstance(s, str) else "") for s in pdf["_t"]]
+            norm = [unicodedata.normalize(form, s) for s in orig]
+            if casefold:
+                norm = [s.casefold() for s in norm]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_norm": norm,
+                    "changed": [a != b for a, b in zip(orig, norm)],
+                }
+            )
+
+    return src.mapInPandas(
+        compute, "doc_id long, text_norm string, changed boolean"
+    )

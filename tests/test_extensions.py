@@ -3303,3 +3303,31 @@ def test_length_batches_padding_accounting(spark):
     assert out[6].waste_tok == 0
     with pytest.raises(ValueError, match="batch_size"):
         tx.length_batches(df, 0)
+
+
+def test_unicode_normalize_differential(spark):
+    import unicodedata
+
+    rows = [
+        (1, "ＦＵＬＬｗｉｄｔｈ　ｔｅｘｔ"),       # fullwidth + ideographic space
+        (2, "ﬁne ﬂow"),                        # ligatures
+        (3, "café"),                     # combining acute
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in tx.unicode_normalize(df).collect()}
+    for i, s in rows:
+        expect = unicodedata.normalize("NFKC", s or "")
+        assert out[i].text_norm == expect
+        assert out[i].changed == ((s or "") != expect)
+    assert out[1].text_norm == "FULLwidth text"
+    assert out[2].text_norm == "fine flow"
+    assert out[3].text_norm == "café"
+    folded = {
+        r.doc_id: r.text_norm
+        for r in tx.unicode_normalize(df, casefold=True).collect()
+    }
+    assert folded[1] == "fullwidth text"
+    with pytest.raises(ValueError, match="form"):
+        tx.unicode_normalize(df, form="NFX")
