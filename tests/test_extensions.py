@@ -3331,3 +3331,35 @@ def test_unicode_normalize_differential(spark):
     assert folded[1] == "fullwidth text"
     with pytest.raises(ValueError, match="form"):
         tx.unicode_normalize(df, form="NFX")
+
+
+def test_round6_continuation_ops_empty_input(spark):
+    """Every new op must plan and execute on an EMPTY input without
+    throwing (the behavior a pipeline hits on an empty partition of
+    a date-partitioned corpus)."""
+    from datasplash_spark.functions import chat as ch
+    from datasplash_spark.functions import web as wb
+
+    docs = generate_input(spark, [], "doc_id bigint, text string")
+    conv = generate_input(spark, [], "doc_id bigint, conv_json string")
+    urls = generate_input(spark, [], "doc_id bigint, url string, text string")
+    vecs = generate_input(spark, [], "vec_id bigint, embedding array<double>")
+    assert dd.remove_boilerplate_lines(docs).count() == 0
+    assert dd.remove_boilerplate_lines(docs, strategy="broadcast").count() == 0
+    assert tx.subword_stats(docs, [("a", "b")]).count() == 0
+    assert ch.conversation_stats(conv).count() == 0
+    assert ch.flatten_turns(conv).count() == 0
+    assert wb.host_stats(urls).count() == 0
+    assert wb.url_filter(urls, blocked_hosts=["x.com"]).count() == 0
+    assert tx.topic_tags(docs, {"t": ["x"]}).count() == 0
+    assert sim.embedding_audit(vecs).count() == 0
+    assert tx.chunk_by_sentences(docs, 8).count() == 0
+    assert tx.length_batches(docs, 4).count() == 0
+    assert tx.compression_ratio(docs).count() == 0
+    assert tx.unicode_normalize(docs).count() == 0
+    parent = generate_input(spark, [], "pk bigint")
+    r = ops.fk_audit(docs, parent, "doc_id", "pk").collect()[0]
+    assert (r.n_child, r.n_orphan, r.n_matched) == (0, 0, 0)
+    assert tx.bm25_hard_negatives(
+        docs, {"q": (["alpha"], 1)}
+    ).count() == 0
