@@ -281,6 +281,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "sentence_chunks",
         "fk_audit",
         "bm25_negatives",
+        "length_batches",
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
