@@ -3363,3 +3363,43 @@ def test_round6_continuation_ops_empty_input(spark):
     assert tx.bm25_hard_negatives(
         docs, {"q": (["alpha"], 1)}
     ).count() == 0
+
+
+def test_normalize_url_idempotent_random(spark):
+    """Idempotence: normalize(normalize(u)) == normalize(u) for a
+    random zoo of URL-ish strings (well-formed, tracking-laden,
+    fragment-bearing, and malformed) — the property a dedup key
+    MUST have, or re-running a pipeline re-keys the corpus."""
+    import random
+
+    from datasplash_spark.functions import web as wb
+
+    rng = random.Random(13)
+    parts = lambda: "".join(
+        rng.choices("abXY09.-_/?&=#%", k=rng.randint(0, 12))
+    )
+    urls = []
+    for i in range(120):
+        shape = rng.randrange(4)
+        if shape == 0:
+            urls.append(
+                f"HTTPS://Host{rng.randrange(5)}.COM/p/{i}"
+                f"?utm_source=x&b={i}&a=1#frag"
+            )
+        elif shape == 1:
+            urls.append(f"http://h{i}.org" + parts())
+        elif shape == 2:
+            urls.append(parts())          # malformed
+        else:
+            urls.append(f"ftp://f.example/{parts()}")
+    df = generate_input(
+        spark, list(enumerate(urls)), "doc_id bigint, url string"
+    )
+    once = df.select(
+        "doc_id", wb.normalize_url("url").alias("u")
+    )
+    twice = once.select(
+        "doc_id", wb.normalize_url("u").alias("u2"), "u"
+    ).collect()
+    for r in twice:
+        assert r.u2 == r.u, (r.u, r.u2)
