@@ -2254,3 +2254,65 @@ def unicode_normalize(
     return src.mapInPandas(
         compute, "doc_id long, text_norm string, changed boolean"
     )
+
+
+def token_budget_batches(
+    df,
+    capacity: int,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    part: ColumnLike = "source",
+) -> DataFrame:
+    """Token-BUDGET batching (the inference-serving shape
+    :func:`length_batches` doesn't cover — batches bounded by total
+    tokens, not row count, documents never split): within each
+    shard, walk docs in (n_tok desc, doc_id asc) order and start a
+    new batch whenever adding the next doc would exceed
+    ``capacity`` (next-fit-decreasing; an oversized doc gets its
+    own over-budget batch rather than being cut — same no-split
+    contract as :func:`chunk_by_sentences`). Returns ``(part,
+    doc_id, n_tok, batch_id, batch_tok)``.
+
+    The greedy reset-fold is NON-associative, so this runs on the
+    documented pandas seam (``applyInPandas`` — one Arrow batch per
+    shard, like ``streaming.batch_stateful``): only (id, count)
+    pairs enter the group, text never moves. Pass fine-grained
+    shards at scale — a shard's (id, count) pairs must fit one
+    executor, the same law every per-key pandas op obeys. The
+    descending walk keeps big docs from stranding capacity behind
+    small ones (the classic NFD improvement over arrival order).
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if capacity < 1:
+        raise ValueError("capacity must be positive")
+    base = df.select(
+        _col(part).alias("part"),
+        _col(id_col).alias("doc_id"),
+        token_count(text).cast("long").alias("n_tok"),
+    )
+
+    def assign(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        batch, acc, ids, fills = 0, 0, [], []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if acc + n > capacity and acc > 0:
+                batch, acc = batch + 1, n
+            else:
+                acc += n
+            ids.append(batch)
+        pdf["batch_id"] = ids
+        fill = pdf.groupby("batch_id")["n_tok"].transform("sum")
+        pdf["batch_tok"] = fill
+        return pdf[["part", "doc_id", "n_tok", "batch_id", "batch_tok"]]
+
+    return base.groupBy("part").applyInPandas(
+        assign,
+        "part string, doc_id long, n_tok long, batch_id long,"
+        " batch_tok long",
+    )

@@ -4765,6 +4765,42 @@ FROM r
 """
 
 
+def q_budget_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batching per source shard (capacity 1024):
+    next-fit-decreasing walk, docs never split — the documented
+    pandas seam for a non-associative reset-fold; the oracle
+    mirrors the walk as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_budget_batches(docs, 1024)
+
+
+ORACLE_BUDGET_BATCHES = """
+WITH RECURSIVE n AS (
+  SELECT source AS part, doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+), o AS (
+  SELECT part, doc_id, n_tok,
+         row_number() OVER (
+           PARTITION BY part ORDER BY n_tok DESC, doc_id ASC) AS idx
+  FROM n
+), walk AS (
+  SELECT part, idx, doc_id, n_tok, 0 AS batch, n_tok AS acc
+  FROM o WHERE idx = 1
+  UNION ALL
+  SELECT o.part, o.idx, o.doc_id, o.n_tok,
+         CASE WHEN w.acc + o.n_tok > 1024 AND w.acc > 0
+              THEN w.batch + 1 ELSE w.batch END,
+         CASE WHEN w.acc + o.n_tok > 1024 AND w.acc > 0
+              THEN o.n_tok ELSE w.acc + o.n_tok END
+  FROM walk w JOIN o ON o.part = w.part AND o.idx = w.idx + 1
+)
+SELECT part, doc_id, n_tok, batch::BIGINT AS batch_id,
+       sum(n_tok) OVER (PARTITION BY part, batch)::BIGINT AS batch_tok
+FROM walk
+"""
+
+
 def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch BM25: three queries share one tokenize/tf/df pass; the
     (query_id, term) probe broadcast prunes postings before the
@@ -5143,6 +5179,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "fk_audit": (q_fk_audit, ORACLE_FK_AUDIT),
     "bm25_negatives": (q_bm25_negatives, ORACLE_BM25_NEGATIVES),
     "length_batches": (q_length_batches, ORACLE_LENGTH_BATCHES),
+    "budget_batches": (q_budget_batches, ORACLE_BUDGET_BATCHES),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5335,6 +5372,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "fk_audit",
     "bm25_negatives",
     "length_batches",
+    "budget_batches",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

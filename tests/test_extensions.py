@@ -3403,3 +3403,37 @@ def test_normalize_url_idempotent_random(spark):
     ).collect()
     for r in twice:
         assert r.u2 == r.u, (r.u, r.u2)
+
+
+def test_token_budget_batches_nfd_walk(spark):
+    # one shard; lengths 8,5,4,3,2 (desc), capacity 9:
+    # [8],[5+4],[3+2] — oversized-alone not hit here; verify with
+    # capacity 4 that the length-8 doc gets its own over-budget batch
+    rows = [
+        (1, "s", "w " * 8),
+        (2, "s", "w " * 5),
+        (3, "s", "w " * 4),
+        (4, "s", "w " * 3),
+        (5, "s", "w " * 2),
+    ]
+    df = generate_input(
+        spark, rows, "doc_id bigint, source string, text string"
+    )
+    out = {
+        r.doc_id: (r.batch_id, r.batch_tok)
+        for r in tx.token_budget_batches(df, 9).collect()
+    }
+    # token_count = split size: "w " * n -> n+1 tokens (trailing "").
+    # Lengths desc: 9,6,5,4,3 at capacity 9 walk as:
+    # [9] [6] [5+4] [3]
+    assert out[1] == (0, 9)
+    assert out[2] == (1, 6)
+    assert out[3] == (2, 9) and out[4] == (2, 9)
+    assert out[5] == (3, 3)
+    out_small = {
+        r.doc_id: r.batch_id
+        for r in tx.token_budget_batches(df, 4).collect()
+    }
+    assert out_small[1] == 0  # oversized doc alone, never split
+    with pytest.raises(ValueError, match="capacity"):
+        tx.token_budget_batches(df, 0)
