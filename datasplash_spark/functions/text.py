@@ -2316,3 +2316,72 @@ def token_budget_batches(
         "part string, doc_id long, n_tok long, batch_id long,"
         " batch_tok long",
     )
+
+
+def pseudonymize_pii(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    salt: str = "",
+    token_prefix: str = "PII",
+) -> DataFrame:
+    """PSEUDONYMIZE PII instead of redacting it: every PII-shaped
+    span (same :data:`PII_PATTERNS` as :func:`redact_pii`) is
+    replaced by ``[<prefix>:<category>:<md5(salt‖span)[:12]>]`` —
+    the SAME entity maps to the SAME token corpus-wide, so joins,
+    frequency analyses, and dedup keys survive the scrub (plain
+    redaction destroys them). ``salt`` keys the mapping: different
+    salts give unlinkable pseudonym spaces (rotate per release).
+    Returns ``(doc_id, text_pseudo, n_replaced)``.
+
+    Arrow-seam operator: Spark's ``regexp_replace`` cannot compute a
+    hash of each match, so this is a ``mapInPandas`` kernel
+    (stdlib ``re`` + ``hashlib`` — stateless, shuffle-free,
+    deterministic; differential-pinned, no cross-engine oracle).
+
+    Reference anchor: no analog; privacy-tooling extension surface
+    (BASELINE.json north_star)."""
+    src = df.select(_col(id_col).alias("doc_id"), _col(text).alias("_t"))
+    patterns = dict(PII_PATTERNS)
+
+    def compute(batches):
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        compiled = [(name, _re.compile(pat)) for name, pat in patterns.items()]
+
+        def scrub(s):
+            if not isinstance(s, str):
+                s = ""
+            count = 0
+
+            def sub_for(name):
+                def repl(m):
+                    nonlocal count
+                    count += 1
+                    h = hashlib.md5(
+                        (salt + m.group(0)).encode("utf-8")
+                    ).hexdigest()[:12]
+                    return f"[{token_prefix}:{name}:{h}]"
+
+                return repl
+
+            for name, rx in compiled:
+                s = rx.sub(sub_for(name), s)
+            return s, count
+
+        for pdf in batches:
+            pairs = [scrub(s) for s in pdf["_t"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_pseudo": [p[0] for p in pairs],
+                    "n_replaced": [p[1] for p in pairs],
+                }
+            )
+
+    return src.mapInPandas(
+        compute, "doc_id long, text_pseudo string, n_replaced long"
+    )

@@ -3437,3 +3437,25 @@ def test_token_budget_batches_nfd_walk(spark):
     assert out_small[1] == 0  # oversized doc alone, never split
     with pytest.raises(ValueError, match="capacity"):
         tx.token_budget_batches(df, 0)
+
+
+def test_pseudonymize_pii_stable_tokens(spark):
+    rows = [
+        (1, "mail a@b.com and again a@b.com plus c@d.org"),
+        (2, "other doc a@b.com at 10.0.0.1"),
+        (3, "clean"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in tx.pseudonymize_pii(df).collect()}
+    t1, t2 = out[1].text_pseudo, out[2].text_pseudo
+    # same entity -> same token, within and across docs
+    tok = t1.split()[1]
+    assert t1.count(tok) == 2 and tok in t2
+    assert out[1].n_replaced == 3 and out[2].n_replaced == 2
+    assert out[3].text_pseudo == "clean" and out[3].n_replaced == 0
+    # different salt -> unlinkable pseudonym space
+    salted = {
+        r.doc_id: r.text_pseudo
+        for r in tx.pseudonymize_pii(df, salt="v2").collect()
+    }
+    assert salted[1] != t1 and salted[1].split()[1] != tok
