@@ -1972,3 +1972,42 @@ def append_lsh(
         "bucket", hyperplane_bucket(_col(vec_col), planes)
     )
     assigned.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def neighbor_lists(
+    pairs: DataFrame,
+    k: int = 10,
+    id_a: ColumnLike = "a",
+    id_b: ColumnLike = "b",
+    score: ColumnLike = "score",
+) -> DataFrame:
+    """Per-node top-k neighbor table from an UNDIRECTED pair list
+    (the analysis export after any pair stage — SemDeDup cells, LSH
+    buckets, k-NN joins): symmetrize, rank each node's neighbors
+    (score desc, neighbor asc ties), keep ``k``. Flat output
+    ``(node, rank, neighbor, score)`` — no nested collections, so
+    it lands in any warehouse. The rank filter is WindowGroupLimit-
+    eligible: each partition holds at most k rows per node before
+    the shuffle.
+
+    Reference anchor: no analog; similarity extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be positive")
+    a, b, s = _col(id_a), _col(id_b), _col(score)
+    sym = pairs.select(
+        a.alias("node"), b.alias("neighbor"), s.alias("score")
+    ).unionAll(
+        pairs.select(b.alias("node"), a.alias("neighbor"), s.alias("score"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("score").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("node", F.col("rank").cast("long").alias("rank"),
+                "neighbor", "score")
+    )

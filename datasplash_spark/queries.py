@@ -3340,6 +3340,36 @@ ORACLE_DEDUP_EMBEDDING = (
 )
 
 
+def q_neighbor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector top-3 neighbor export from the cosine-thresholded
+    pair stage (similarity.neighbor_lists — WindowGroupLimit
+    shape, flat warehouse-friendly output)."""
+    pairs = q_dedup_embedding_pairs(spark, sf_dir)
+    return sim.neighbor_lists(
+        pairs, k=3, id_a="vec_a", id_b="vec_b", score="cos"
+    )
+
+
+ORACLE_NEIGHBOR_REPORT = (
+    "WITH "
+    + _emb_pairs_cte_block()
+    + """
+, sym AS (
+  SELECT vec_a AS node, vec_b AS neighbor, cos AS score FROM close
+  UNION ALL
+  SELECT vec_b AS node, vec_a AS neighbor, cos AS score FROM close
+), rk AS (
+  SELECT node, neighbor, score,
+         row_number() OVER (
+           PARTITION BY node ORDER BY score DESC, neighbor ASC) AS rank
+  FROM sym
+)
+SELECT node, rank::BIGINT AS rank, neighbor, score
+FROM rk WHERE rank <= 3
+"""
+)
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup CLUSTERING: the cosine-thresholded pair
     stage feeds the same connected-components engine as the text
@@ -5180,6 +5210,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "bm25_negatives": (q_bm25_negatives, ORACLE_BM25_NEGATIVES),
     "length_batches": (q_length_batches, ORACLE_LENGTH_BATCHES),
     "budget_batches": (q_budget_batches, ORACLE_BUDGET_BATCHES),
+    "neighbor_report": (q_neighbor_report, ORACLE_NEIGHBOR_REPORT),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5373,6 +5404,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "bm25_negatives",
     "length_batches",
     "budget_batches",
+    "neighbor_report",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

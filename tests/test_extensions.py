@@ -3459,3 +3459,21 @@ def test_pseudonymize_pii_stable_tokens(spark):
         for r in tx.pseudonymize_pii(df, salt="v2").collect()
     }
     assert salted[1] != t1 and salted[1].split()[1] != tok
+
+
+def test_neighbor_lists_topk_symmetric(spark):
+    pairs = generate_input(
+        spark,
+        [(1, 2, 0.9), (1, 3, 0.8), (2, 3, 0.7), (1, 4, 0.6)],
+        "a bigint, b bigint, score double",
+    )
+    out = {}
+    for r in sim.neighbor_lists(pairs, k=2).collect():
+        out.setdefault(r.node, []).append((r.rank, r.neighbor, r.score))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(1, 2, 0.9), (2, 3, 0.8)]   # k=2 drops node 4
+    assert out[2] == [(1, 1, 0.9), (2, 3, 0.7)]   # symmetrized
+    assert out[4] == [(1, 1, 0.6)]
+    with pytest.raises(ValueError, match="k must"):
+        sim.neighbor_lists(pairs, k=0)
