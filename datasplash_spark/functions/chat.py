@@ -158,3 +158,55 @@ def flatten_turns(
             F.col("col").getField("content").alias("content"),
         )
     )
+
+
+def sft_token_stats(
+    df: DataFrame,
+    json_col: ColumnLike = "conv_json",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """SFT token accounting — the budget numbers a fine-tuning run
+    is planned around: per conversation, total whitespace tokens
+    across all turns vs ASSISTANT-only tokens (the loss tokens under
+    the standard assistant-only masking) and their micro fixed-point
+    ratio. Returns ``(doc_id, n_turns, n_tok_total, n_tok_loss,
+    loss_frac_micro)``; malformed transcripts report zeros. One
+    stateless scan, higher-order aggregates over the parsed turns.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    turns = parse_turns(json_col)
+    parse_ok = turns.isNotNull()
+
+    def tok_count(t: Column) -> Column:
+        return F.size(F.split(F.coalesce(t, F.lit("")), " ", -1))
+
+    def tok_sum(filtered: Column) -> Column:
+        return F.aggregate(
+            filtered,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + tok_count(t.content),
+        )
+
+    total = tok_sum(turns)
+    loss = tok_sum(F.filter(turns, lambda t: t.role == F.lit("assistant")))
+    zero = F.lit(0).cast("long")
+
+    def counted(c: Column) -> Column:
+        return F.when(parse_ok, c).otherwise(zero).cast("long")
+
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        counted(F.size(turns)).alias("n_turns"),
+        counted(total).alias("n_tok_total"),
+        counted(loss).alias("n_tok_loss"),
+    ).select(
+        "*",
+        F.when(
+            F.col("n_tok_total") > 0,
+            F.expr("n_tok_loss * 1000000L div n_tok_total"),
+        )
+        .otherwise(zero)
+        .cast("long")
+        .alias("loss_frac_micro"),
+    )

@@ -2259,6 +2259,44 @@ FROM s LEFT JOIN p ON s.k = p.c_custkey
 """
 
 
+def q_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT token accounting over the synthesized transcripts: total
+    vs assistant-only (loss) whitespace tokens and the micro
+    fixed-point loss fraction (chat.sft_token_stats)."""
+    return ch.sft_token_stats(_synth_conv(spark, sf_dir))
+
+
+ORACLE_SFT_TOKENS = f"""
+WITH s AS ({_SYNTH_CONV_SQL}
+), p AS (
+  SELECT doc_id,
+         CASE WHEN json_valid(conv_json) THEN json_transform(
+                conv_json,
+                '[{{"role":"VARCHAR","content":"VARCHAR"}}]')
+              ELSE NULL END AS turns
+  FROM s
+), m AS (
+  SELECT doc_id, turns,
+         turns IS NOT NULL AS ok,
+         coalesce(list_aggregate(list_transform(turns, t ->
+           len(string_split(coalesce(t.content, ''), ' '))), 'sum'), 0)
+           AS total,
+         coalesce(list_aggregate(list_transform(
+           list_filter(turns, t -> t.role = 'assistant'), t ->
+           len(string_split(coalesce(t.content, ''), ' '))), 'sum'), 0)
+           AS loss
+  FROM p
+)
+SELECT doc_id,
+       (CASE WHEN ok THEN len(turns) ELSE 0 END)::BIGINT AS n_turns,
+       (CASE WHEN ok THEN total ELSE 0 END)::BIGINT AS n_tok_total,
+       (CASE WHEN ok THEN loss ELSE 0 END)::BIGINT AS n_tok_loss,
+       (CASE WHEN ok AND total > 0 THEN (loss * 1000000) // total
+             ELSE 0 END)::BIGINT AS loss_frac_micro
+FROM m
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -5211,6 +5249,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "length_batches": (q_length_batches, ORACLE_LENGTH_BATCHES),
     "budget_batches": (q_budget_batches, ORACLE_BUDGET_BATCHES),
     "neighbor_report": (q_neighbor_report, ORACLE_NEIGHBOR_REPORT),
+    "sft_tokens": (q_sft_tokens, ORACLE_SFT_TOKENS),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5405,6 +5444,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "length_batches",
     "budget_batches",
     "neighbor_report",
+    "sft_tokens",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

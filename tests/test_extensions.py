@@ -3477,3 +3477,18 @@ def test_neighbor_lists_topk_symmetric(spark):
     assert out[4] == [(1, 1, 0.6)]
     with pytest.raises(ValueError, match="k must"):
         sim.neighbor_lists(pairs, k=0)
+
+
+def test_sft_token_stats_loss_masking(spark):
+    from datasplash_spark.functions import chat as ch
+
+    rows = [
+        (1, '[{"role":"user","content":"a b c"},'
+            '{"role":"assistant","content":"d e"}]'),
+        (2, "broken"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, conv_json string")
+    out = {r.doc_id: r for r in ch.sft_token_stats(df).collect()}
+    assert out[1].n_tok_total == 5 and out[1].n_tok_loss == 2
+    assert out[1].loss_frac_micro == 2 * 1_000_000 // 5
+    assert out[2].n_tok_total == 0 and out[2].loss_frac_micro == 0
