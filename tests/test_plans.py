@@ -282,6 +282,10 @@ def test_no_python_udf_in_relational_corpus(spark):
         "fk_audit",
         "bm25_negatives",
         "length_batches",
+        "neighbor_report",
+        "sft_tokens",
+        # budget_batches is EXCLUDED: its reset-fold is pandas BY
+        # DESIGN (applyInPandas seam, like stateful_distinct_types)
     ]:
         assert name not in python_ok
         plan = plan_of(_q(spark, name), mode="extended")
