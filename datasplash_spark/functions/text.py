@@ -2181,7 +2181,11 @@ def length_batches(
         raise ValueError("batch_size must be positive")
     base = df.select(
         _col(id_col).alias("doc_id"),
-        token_count(text).cast("long").alias("n_tok"),
+        # NULL text counts as 0 tokens (ANSI size(NULL) is NULL and
+        # would otherwise poison the batch walk)
+        F.coalesce(
+            token_count(text).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tok"),
         *([_col(part).alias("part")] if part is not None else []),
     )
     pcols = ["part"] if part is not None else []
@@ -2289,7 +2293,11 @@ def token_budget_batches(
     base = df.select(
         _col(part).alias("part"),
         _col(id_col).alias("doc_id"),
-        token_count(text).cast("long").alias("n_tok"),
+        # NULL text counts as 0 tokens (ANSI size(NULL) is NULL and
+        # int(NaN) would crash the pandas walk)
+        F.coalesce(
+            token_count(text).cast("long"), F.lit(0).cast("long")
+        ).alias("n_tok"),
     )
 
     def assign(pdf):

@@ -3492,3 +3492,17 @@ def test_sft_token_stats_loss_masking(spark):
     assert out[1].n_tok_total == 5 and out[1].n_tok_loss == 2
     assert out[1].loss_frac_micro == 2 * 1_000_000 // 5
     assert out[2].n_tok_total == 0 and out[2].loss_frac_micro == 0
+
+
+def test_batching_ops_null_text(spark):
+    # NULL text = 0 tokens; neither batching op may emit NULL counts
+    # or crash the pandas walk
+    df = generate_input(
+        spark,
+        [(1, "s", None), (2, "s", "a b")],
+        "doc_id bigint, source string, text string",
+    )
+    lb = {r.doc_id: r for r in tx.length_batches(df, 2).collect()}
+    assert lb[1].n_tok == 0 and lb[1].waste_tok == lb[1].batch_max_tok
+    bb = {r.doc_id: r for r in tx.token_budget_batches(df, 4).collect()}
+    assert bb[1].n_tok == 0 and bb[2].n_tok == 2
