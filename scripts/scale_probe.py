@@ -189,6 +189,9 @@ def probe(spark, k: int) -> None:
         )
         .agg(F.sum("waste_tok"))
         .first()[0],
+        "budget_batches": lambda: tx.token_budget_batches(docs, 2048)
+        .agg(F.sum("batch_tok"))
+        .first()[0],
         "postings": lambda: (
             tx.materialize_postings(
                 docs, f"{WORK}/post_x{k}", n_buckets=64
