@@ -1192,3 +1192,109 @@ def remove_boilerplate_lines(
         F.size("_lines").cast("long").alias("n_lines_in"),
         F.size(kept).cast("long").alias("n_lines_out"),
     )
+
+
+def canary_string(tag: ColumnLike, seed: int = 0) -> Column:
+    """Deterministic canary token for ``tag``: a 32-hex md5 of
+    (seed ‖ tag) wrapped in an unambiguous sentinel —
+    ``⟦CANARY:<hex>⟧``-style but pure ASCII: ``[[CANARY-<hex>]]``.
+    Unique, incompressible, and never colliding with natural text."""
+    return F.concat(
+        F.lit("[[CANARY-"),
+        F.md5(F.concat(F.lit(str(seed) + "\x1f"), _col(tag).cast("string"))),
+        F.lit("]]"),
+    )
+
+
+def insert_canaries(
+    df: DataFrame,
+    every: int = 100,
+    seed: int = 0,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Dataset TRACING canaries (memorization / leak probes, the
+    release-tooling companion of :func:`content_manifest`): every
+    ``every``-th document (by ``md5(seed‖id) % every == 0`` — a
+    deterministic, uniformly spread choice, not id arithmetic)
+    gets a unique :func:`canary_string` appended. Re-running with
+    the same seed reproduces the exact canary set; a different
+    seed traces a different release. Returns the corpus with
+    ``text`` rewritten plus a ``canary`` column (NULL for
+    untouched docs). Detection after the corpus round-trips
+    through shuffles/packs/training sets is
+    :func:`detect_canaries` — containment, not equality, so
+    truncation/concatenation don't hide it.
+
+    Reference anchor: no analog; release-tooling extension surface
+    (BASELINE.json north_star)."""
+    if every < 1:
+        raise ValueError("every must be positive")
+    if not isinstance(text, str):
+        raise ValueError("insert_canaries requires text as a column NAME")
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(seed) + "\x1f"),
+                        _col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(every)
+        == 0
+    )
+    canary = canary_string(id_col, seed)
+    return df.withColumn(
+        text,
+        F.when(pick, F.concat(F.col(text), F.lit(" "), canary)).otherwise(
+            F.col(text)
+        ),
+    ).withColumn(
+        "canary",
+        F.when(pick, canary).otherwise(F.lit(None).cast("string")),
+    )
+
+
+def detect_canaries(
+    df: DataFrame,
+    expected: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Scan a corpus for planted canaries: ``expected`` is the
+    ``(doc_id, canary)`` table :func:`insert_canaries` produced
+    (non-NULL rows). Returns one row per expected canary with
+    ``found`` (seen in ANY document) and ``n_docs`` carrying it —
+    >1 means the canary leaked across documents (a span-copy or
+    packing bug), 0 means the release lost it. CONTAINMENT match
+    (``F.contains``), so truncation and concatenation don't hide a
+    hit; the expected set broadcasts (canary tables are
+    sample-sized by construction)."""
+    exp = expected.select(
+        _col(id_col).alias("src_doc_id"), F.col("canary")
+    ).where(F.col("canary").isNotNull())
+    hits = (
+        df.select(_col(text).alias("_t"))
+        .join(F.broadcast(exp))
+        .where(F.col("_t").contains(F.col("canary")))
+        .groupBy("src_doc_id", "canary")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        exp.join(hits, ["src_doc_id", "canary"], "left")
+        .select(
+            "src_doc_id",
+            "canary",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            (F.coalesce(F.col("n_docs"), F.lit(0)) > 0).alias("found"),
+        )
+    )

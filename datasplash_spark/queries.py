@@ -2297,6 +2297,42 @@ FROM m
 """
 
 
+def q_canary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-tracing canaries end-to-end: plant deterministic
+    canaries in every ~10th doc (md5 pick, seed 3), then detect
+    them in the released corpus by containment — every planted
+    canary must be found exactly once (dedup.insert_canaries /
+    detect_canaries)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = dd.insert_canaries(docs, every=10, seed=3)
+    planted = marked.where(F.col("canary").isNotNull()).select(
+        "doc_id", "canary"
+    )
+    return dd.detect_canaries(marked, planted)
+
+
+ORACLE_CANARY_REPORT = """
+WITH m AS (
+  SELECT doc_id, text,
+         (CAST('0x' || substr(md5('3' || chr(31) || doc_id), 1, 8)
+               AS BIGINT) % 10 = 0) AS pick,
+         '[[CANARY-' || md5('3' || chr(31) || doc_id) || ']]' AS can
+  FROM documents
+), rel AS (
+  SELECT doc_id,
+         CASE WHEN pick THEN text || ' ' || can ELSE text END AS text
+  FROM m
+), exp AS (
+  SELECT doc_id AS src_doc_id, can AS canary FROM m WHERE pick
+)
+SELECT e.src_doc_id, e.canary,
+       count(r.doc_id)::BIGINT AS n_docs,
+       count(r.doc_id) > 0 AS found
+FROM exp e LEFT JOIN rel r ON contains(r.text, e.canary)
+GROUP BY 1, 2
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events stream: users
     bucketed by first-activity week, counted in every week they
@@ -5250,6 +5286,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "budget_batches": (q_budget_batches, ORACLE_BUDGET_BATCHES),
     "neighbor_report": (q_neighbor_report, ORACLE_NEIGHBOR_REPORT),
     "sft_tokens": (q_sft_tokens, ORACLE_SFT_TOKENS),
+    "canary_report": (q_canary_report, ORACLE_CANARY_REPORT),
     "textrank": (q_textrank, ORACLE_TEXTRANK),
     "event_paths": (q_event_paths, ORACLE_EVENT_PATHS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
@@ -5445,6 +5482,7 @@ _AFTER_WINDOW_R6: list[str] = [
     "budget_batches",
     "neighbor_report",
     "sft_tokens",
+    "canary_report",
     # r4-green spill (pytest + tripwire-covered; lead round 7):
     "mapcat_tokens",
     "distinct",

@@ -3506,3 +3506,48 @@ def test_batching_ops_null_text(spark):
     assert lb[1].n_tok == 0 and lb[1].waste_tok == lb[1].batch_max_tok
     bb = {r.doc_id: r for r in tx.token_budget_batches(df, 4).collect()}
     assert bb[1].n_tok == 0 and bb[2].n_tok == 2
+
+
+def test_canary_roundtrip_and_leak_detection(spark):
+    docs = generate_input(
+        spark,
+        [(i, f"doc body {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    marked = dd.insert_canaries(docs, every=4, seed=7)
+    planted = marked.where("canary is not null")
+    n_planted = planted.count()
+    assert 0 < n_planted < 40
+    # deterministic: same seed reproduces the set exactly
+    again = dd.insert_canaries(docs, every=4, seed=7)
+    assert sorted(
+        r.canary for r in again.where("canary is not null").collect()
+    ) == sorted(r.canary for r in planted.collect())
+    # detection through a shuffle + truncation: all found once
+    released = marked.select(
+        "doc_id",
+        F.concat(F.lit("prefix "), F.col("text"), F.lit(" suffix")).alias(
+            "text"
+        ),
+    )
+    rep = dd.detect_canaries(released, planted)
+    assert rep.count() == n_planted
+    assert rep.where("NOT found").count() == 0
+    assert rep.where("n_docs != 1").count() == 0
+    # drop one canary-carrying doc -> reported missing
+    victim = planted.limit(1).collect()[0].doc_id
+    lost = dd.detect_canaries(
+        released.where(F.col("doc_id") != victim), planted
+    )
+    assert lost.where("NOT found").count() == 1
+    # leak: duplicate a canary into another doc -> n_docs == 2
+    leak_text = planted.limit(1).collect()[0].canary
+    leaked = released.union(
+        spark.createDataFrame(
+            [(999, "stray " + leak_text)], "doc_id bigint, text string"
+        )
+    )
+    rep2 = dd.detect_canaries(leaked, planted)
+    assert rep2.where("n_docs = 2").count() == 1
+    with pytest.raises(ValueError, match="every"):
+        dd.insert_canaries(docs, every=0)
