@@ -284,6 +284,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "length_batches",
         "neighbor_report",
         "sft_tokens",
+        "canary_report",
         # budget_batches is EXCLUDED: its reset-fold is pandas BY
         # DESIGN (applyInPandas seam, like stateful_distinct_types)
     ]:
