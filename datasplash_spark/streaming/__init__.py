@@ -28,6 +28,7 @@ from .neardup import (
     near_dedup_ingest,
     compact_store,
     quota_admitter,
+    compact_postings,
     postings_admitter,
     postings_ingest,
     quota_ingest,
@@ -42,6 +43,7 @@ __all__ = [
     "near_dedup_ingest",
     "compact_store",
     "quota_admitter",
+    "compact_postings",
     "postings_admitter",
     "postings_ingest",
     "quota_ingest",

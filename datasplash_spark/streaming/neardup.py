@@ -669,3 +669,94 @@ def postings_ingest(
         trigger=trigger,
         query_name=query_name,
     )
+
+
+def compact_postings(
+    spark,
+    store_path: str,
+    compact_id: int = -1,
+    keep_last: int = 1,
+) -> int:
+    """:func:`compact_store` for the streaming INVERTED-INDEX store
+    (:func:`postings_ingest`): absorbs old ``_batch_id=<n>`` levels
+    into ``_batch_id=<compact_id>`` while PRESERVING the
+    ``term_bucket`` partition level — probes keep pruning after
+    compaction (the generic compactor would flatten the bucket
+    layout and its single-id dedup would collapse a doc's posting
+    list to one term). Self-heal dedup key is ``(doc_id, term)``
+    (keep the lowest batch), and the stats sidecar recomputes from
+    the store after the rewrite — the same idempotent-by-derivation
+    contract the admitter uses, so re-running after any partial
+    failure converges. Same ``keep_last`` and stopped-stream rules
+    as :func:`compact_store`. Returns partitions absorbed."""
+    from pyspark.sql import Window
+
+    from ..functions.text import _postings_stats_dict, _write_postings_stats
+
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not _store_has_data(spark, store_path):
+        return 0
+    candidates = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("_batch_id=")
+            and st.getPath().getName() != f"_batch_id={int(compact_id)}"
+        ),
+        key=lambda p: int(p.getName().split("=", 1)[1]),
+    )
+    old_parts = (
+        candidates[: len(candidates) - int(keep_last)]
+        if keep_last
+        else candidates
+    )
+    if not old_parts:
+        return 0
+    keep_ids = [
+        int(p.getName().split("=", 1)[1])
+        for p in candidates
+        if p not in old_parts
+    ]
+    store = spark.read.parquet(store_path)
+    absorb = store.filter(
+        ~F.col("_batch_id").isin(keep_ids) if keep_ids else F.lit(True)
+    )
+    w = Window.partitionBy("doc_id", "term").orderBy(
+        F.col("_batch_id").asc()
+    )
+    deduped = (
+        absorb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+    (
+        deduped.withColumn("_batch_id", F.lit(int(compact_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id", "term_bucket")
+        .parquet(store_path)
+    )
+    for p in old_parts:
+        fs.delete(p, True)
+    row = (
+        spark.read.parquet(store_path)
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    prev = __import__("json").loads(
+        spark.read.text(store_path + "/_postings_stats").collect()[0][0]
+    )
+    _write_postings_stats(
+        spark,
+        store_path,
+        _postings_stats_dict(
+            int(row.n), int(row.s or 0), int(row.n),
+            int(prev["n_buckets"]),
+        ),
+    )
+    return len(old_parts)

@@ -1085,3 +1085,55 @@ def test_postings_ingest_streaming_and_replay(spark, tmp_path):
         for r in tx.bm25_from_store(spark, store, terms).collect()
     }
     assert replayed == inline
+
+
+def test_compact_postings_preserves_probe_parity(spark, tmp_path):
+    """Compacting the streaming postings store must preserve both the
+    term-bucket pruning layout and exact probe scores; re-running
+    compaction (crash self-heal) converges."""
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.streaming import compact_postings, postings_admitter
+
+    store = str(tmp_path / "cstore")
+    rows_a = [(i, f"alpha beta doc{i}") for i in range(8)]
+    rows_b = [(100 + i, f"alpha gamma doc{100 + i}") for i in range(6)]
+    dfa = generate_input(spark, rows_a, "doc_id bigint, text string")
+    dfb = generate_input(spark, rows_b, "doc_id bigint, text string")
+    admit = postings_admitter(store, n_buckets=8)
+    admit(dfa, 0)
+    admit(dfb, 1)
+    union = dfa.union(dfb)
+    terms = ["alpha", "doc102"]
+    before = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, terms).collect()
+    }
+    n = compact_postings(spark, store, keep_last=0)
+    assert n == 2
+    after = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, terms).collect()
+    }
+    inline = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_scores(union, terms).collect()
+    }
+    assert before == after == inline
+    # bucket pruning still present after compaction
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tx.bm25_from_store(spark, store, ["alpha"]).explain(True)
+    part = [
+        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+    ]
+    assert part and "term_bucket" in part[0]
+    # self-heal: compacting again is a no-op that stays exact
+    assert compact_postings(spark, store, keep_last=0) == 0
+    again = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, terms).collect()
+    }
+    assert again == inline
