@@ -1715,8 +1715,12 @@ def append_postings(
     NOT idempotent and NOT doc-id-deduplicating — the caller owns
     batch-replay protection (re-appending a batch double-counts its
     postings); for replay-safe streaming admission compose with the
-    ``streaming`` admitters' id-ledger pattern. Returns the merged
-    stats dict."""
+    ``streaming`` admitters' id-ledger pattern. LAYOUT NOTE: a
+    store is either batch-grown (this function, flat ``term_bucket=``
+    partitions) or stream-grown (``streaming.postings_ingest``,
+    ``_batch_id=/term_bucket=`` levels) — never both on one path
+    (parquet partition discovery rejects mixed structures). Returns
+    the merged stats dict."""
     import json
     import os
 

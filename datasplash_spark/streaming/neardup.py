@@ -588,6 +588,10 @@ def postings_admitter(
     when every ingested doc has at least one token (pinned by the
     e2e test). Duplicate doc_ids ACROSS batches double-count, as in
     any append-only index — dedup upstream (the admitters compose).
+    LAYOUT NOTE: stream-grown stores use ``_batch_id=/term_bucket=``
+    levels and are incompatible on one path with the flat layout of
+    the batch ``text.append_postings`` (parquet partition discovery
+    rejects mixed structures) — pick one growth mode per store.
     """
     from pyspark.sql import functions as F
 
