@@ -1273,17 +1273,30 @@ def detect_canaries(
     (non-NULL rows). Returns one row per expected canary with
     ``found`` (seen in ANY document) and ``n_docs`` carrying it —
     >1 means the canary leaked across documents (a span-copy or
-    packing bug), 0 means the release lost it. CONTAINMENT match
-    (``F.contains``), so truncation and concatenation don't hide a
-    hit; the expected set broadcasts (canary tables are
-    sample-sized by construction)."""
+    packing bug), 0 means the release lost it.
+
+    Scale shape — EXTRACTION, not containment scanning: canaries
+    have a fixed sentinel syntax, so one ``regexp_extract_all``
+    pulls every canary-shaped token out of the corpus (linear, one
+    scan) and the match is an EQUI-join on the token (a containment
+    predicate against the expected set would be a broadcast
+    nested-loop — |corpus| × |canaries| comparisons, quadratic-ish
+    at release scale). Truncation/concatenation still can't hide a
+    hit: any intact canary token is extracted wherever it sits."""
     exp = expected.select(
         _col(id_col).alias("src_doc_id"), F.col("canary")
     ).where(F.col("canary").isNotNull())
+    found_tokens = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                _col(text),
+                F.lit(r"\[\[CANARY-[0-9a-f]{32}\]\]"),
+                0,
+            )
+        ).alias("canary")
+    )
     hits = (
-        df.select(_col(text).alias("_t"))
-        .join(F.broadcast(exp))
-        .where(F.col("_t").contains(F.col("canary")))
+        found_tokens.join(exp.hint("broadcast"), "canary")
         .groupBy("src_doc_id", "canary")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
