@@ -1311,3 +1311,78 @@ def detect_canaries(
             (F.coalesce(F.col("n_docs"), F.lit(0)) > 0).alias("found"),
         )
     )
+
+
+def explain_pair(
+    df: DataFrame,
+    id_a,
+    id_b,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Debug ONE candidate pair: why did (or didn't) these two docs
+    pair? One row with every signal the dedup stack uses —
+    shingle counts, shared shingles, exact Jaccard, how many LSH
+    bands collide under the given (num_hashes, bands, seed),
+    SimHash Hamming distance, and Levenshtein distance/ratio — the
+    threshold-tuning companion of :func:`lsh_tune` (that one is
+    corpus-statistical; this one is a microscope for a single
+    pair). Driver-friendly by construction: the scan prunes to two
+    ids, everything downstream is two rows wide.
+
+    Reference anchor: no analog; curation-debug extension surface
+    (BASELINE.json north_star)."""
+    rows = (
+        df.filter(_col(id_col).isin([id_a, id_b]))
+        .select(
+            _col(id_col).alias("doc_id"),
+            shingles(text, k).alias("_sh"),
+            minhash_signature(text, num_hashes, k, seed).alias("_sig"),
+            simhash(text).alias("_sim"),
+            _col(text).alias("_t"),
+        )
+    )
+    a = rows.filter(F.col("doc_id") == id_a).alias("a")
+    b = rows.filter(F.col("doc_id") == id_b).alias("b")
+    rows_per_band = num_hashes // bands
+    band_hits = sum(
+        (
+            F.when(
+                F.slice(F.col("a._sig"), i * rows_per_band + 1, rows_per_band)
+                == F.slice(
+                    F.col("b._sig"), i * rows_per_band + 1, rows_per_band
+                ),
+                1,
+            ).otherwise(0)
+            for i in range(bands)
+        ),
+        F.lit(0),
+    )
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    maxlen = F.greatest(
+        F.length(F.col("a._t")), F.length(F.col("b._t"))
+    )
+    dist = F.levenshtein(F.col("a._t"), F.col("b._t"))
+    return a.crossJoin(b).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.col("a._sh")).cast("long").alias("n_shingles_a"),
+        F.size(F.col("b._sh")).cast("long").alias("n_shingles_b"),
+        inter.cast("long").alias("n_shared_shingles"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias(
+            "jaccard"
+        ),
+        band_hits.cast("long").alias("lsh_bands_colliding"),
+        hamming64(F.col("a._sim"), F.col("b._sim"))
+        .cast("long")
+        .alias("simhash_hamming"),
+        dist.cast("long").alias("edit_distance"),
+        F.when(maxlen > 0, dist / maxlen).otherwise(F.lit(0.0)).alias(
+            "edit_ratio"
+        ),
+    )

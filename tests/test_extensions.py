@@ -3551,3 +3551,20 @@ def test_canary_roundtrip_and_leak_detection(spark):
     assert rep2.where("n_docs = 2").count() == 1
     with pytest.raises(ValueError, match="every"):
         dd.insert_canaries(docs, every=0)
+
+
+def test_explain_pair_signals(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content entirely here now"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    near = dd.explain_pair(df, 1, 2).collect()[0]
+    far = dd.explain_pair(df, 1, 3).collect()[0]
+    assert near.n_shared_shingles > 0 and near.jaccard > far.jaccard
+    assert near.lsh_bands_colliding >= far.lsh_bands_colliding
+    assert near.simhash_hamming < far.simhash_hamming
+    assert near.edit_distance == 3  # dog -> cat
+    assert 0 < near.edit_ratio < far.edit_ratio
+    assert far.n_shared_shingles == 0
