@@ -1137,3 +1137,41 @@ def test_compact_postings_preserves_probe_parity(spark, tmp_path):
         for r in tx.bm25_from_store(spark, store, terms).collect()
     }
     assert again == inline
+
+
+def test_compact_postings_crash_window_self_heal(spark, tmp_path):
+    """Simulated partial compaction failure: the compacted rows exist
+    AND an absorbed batch directory is still present (the crash
+    window before the deletes). Probes in the window tolerate the
+    duplicates only by luck of term df doubling — the CONTRACT is
+    that re-running compaction converges to the exact pre-crash
+    scores."""
+    import shutil
+
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.streaming import compact_postings, postings_admitter
+
+    store = str(tmp_path / "chstore")
+    rows = [(i, f"alpha beta doc{i}") for i in range(10)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    admit = postings_admitter(store, n_buckets=8)
+    admit(df.where("doc_id < 5"), 0)
+    admit(df.where("doc_id >= 5"), 1)
+    terms = ["alpha", "doc7"]
+    clean = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, terms).collect()
+    }
+    # stash a batch dir, compact, then restore it = crashed deletes
+    batch0 = f"{store}/_batch_id=0"
+    stash = str(tmp_path / "stash")
+    shutil.copytree(batch0, stash)
+    assert compact_postings(spark, store, keep_last=0) == 2
+    shutil.copytree(stash, batch0)
+    # re-run heals: duplicate (doc, term) postings collapse again
+    assert compact_postings(spark, store, keep_last=0) == 1
+    healed = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, terms).collect()
+    }
+    assert healed == clean
