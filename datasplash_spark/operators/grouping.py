@@ -1033,6 +1033,7 @@ def zorder_key(
     bits: int = 4,
     key_name: str = "zkey",
     approx: bool = False,
+    cut_round: int | None = 6,
 ) -> DataFrame:
     """Z-order (Morton) clustering key over quantile-ranked columns —
     the multi-dimensional layout key behind data-skipping file
@@ -1052,6 +1053,15 @@ def zorder_key(
     (NULLS FIRST), and an all-NULL column degrades to rank 0 for all
     rows — ``zkey`` is never NULL, so downstream
     ``repartitionByRange`` keeps its spread.
+
+    ``cut_round`` (default 6) rounds both the interpolated cut
+    points and the compared values before ranking: interpolated
+    percentiles differ across engines in the last ulp, and a row
+    whose value sits exactly ON a cut would otherwise rank
+    differently per engine (observed at sf0.1, where the corpus is
+    large enough for a value to tie a cut) — for a LAYOUT key the
+    sub-1e-6 tie direction is irrelevant, engine-exactness is not.
+    ``None`` disables.
 
     Reference anchor: no analog (Beam has no storage layout);
     LLM-pipeline extension for 100 TB parquet curation.
@@ -1084,10 +1094,15 @@ def zorder_key(
     key = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         e = _col(c).cast("double")
+        cuts_j = F.col(f"_zc{j}")
+        if cut_round is not None:
+            e = F.round(e, cut_round)
+            cuts_j = F.transform(cuts_j, lambda cc: F.round(cc, cut_round))
         rank = F.when(
-            e.isNull() | F.col(f"_zc{j}").isNull(), F.lit(0)
+            _col(c).cast("double").isNull() | F.col(f"_zc{j}").isNull(),
+            F.lit(0),
         ).otherwise(
-            F.size(F.filter(F.col(f"_zc{j}"), _ge(e)))
+            F.size(F.filter(cuts_j, _ge(e)))
         ).cast("long")
         for b in range(bits):
             key = key + F.shiftleft(

@@ -4711,8 +4711,10 @@ WITH t AS (
   FROM events
 ), r AS (
   SELECT e.event_id,
-         len(list_filter(t.c0, c -> e.value::DOUBLE >= c)) AS r0,
-         len(list_filter(t.c1, c -> e.user_id::DOUBLE >= c)) AS r1
+         len(list_filter(t.c0, c ->
+             round(e.value::DOUBLE, 6) >= round(c, 6))) AS r0,
+         len(list_filter(t.c1, c ->
+             round(e.user_id::DOUBLE, 6) >= round(c, 6))) AS r1
   FROM events e, t
 )
 SELECT event_id,
