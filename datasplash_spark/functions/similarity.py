@@ -735,9 +735,22 @@ def _arrow_block_pairs(eps: float, block: int = 2048):
             ii, jj = np.nonzero(S >= eps)
             la = ida[ii + s0]
             lb = idb[jj]
-            mask = la < lb
-            out_a.append(la[mask])
-            out_b.append(lb[mask])
+            if p == q:
+                # Diagonal: every unordered pair appears twice in the
+                # symmetric gemm (and once as a self-pair) — keep the
+                # strict upper triangle.
+                mask = la < lb
+                out_a.append(la[mask])
+                out_b.append(lb[mask])
+            else:
+                # Off-diagonal: A (sub-group p) and B (sub-group q)
+                # are DISJOINT, so each unordered cross pair scores
+                # exactly once and self-pairs are impossible — emit
+                # every hit, normalized to (min, max). An `la < lb`
+                # mask here would silently drop the ~half of cross
+                # pairs whose A-side id is the larger one.
+                out_a.append(np.minimum(la, lb))
+                out_b.append(np.maximum(la, lb))
         return pd.DataFrame(
             {
                 "a": np.concatenate(out_a) if out_a else [],

@@ -2045,6 +2045,48 @@ def test_arrow_backend_salted_blocks_exact(spark):
     assert cp(max_cell_rows=16, max_salt=8) == cp(max_cell_rows=1 << 30)
 
 
+def test_arrow_salted_raw_pair_set_sparse_graph(spark):
+    """ADVICE r6 (high): off-diagonal salt blocks pair DISJOINT
+    sub-groups, so each unordered cross pair is scored exactly once —
+    an ``la < lb`` mask there silently drops every cross pair whose
+    A-side id is the larger one (~half). The earlier guards compared
+    post-connected-components output, where a near-clique hides
+    missing edges; this test pins the RAW pair set, salted vs
+    unsalted, expr vs arrow, on a SPARSE pair graph where each
+    dropped edge changes the result."""
+    import random
+
+    rng = random.Random(97)
+    rows = []
+    # 160 vectors drifting along a circle: each is similar only to a
+    # handful of angular neighbours -> sparse chain-like pair graph,
+    # ids interleaved across salt sub-groups in both orders.
+    import math
+
+    for i in range(160):
+        t = i * 0.045 + rng.uniform(-0.004, 0.004)
+        rows.append((i, [math.cos(t), math.sin(t)]))
+    df = generate_input(spark, rows, "vec_id bigint, embedding array<double>")
+
+    def pairs(backend, **kw):
+        return sorted(
+            (r.a, r.b)
+            for r in sim.bucketed_cosine_pairs(
+                df, eps=0.995, bits=2, backend=backend, **kw
+            ).collect()
+        )
+
+    base = pairs("expr", max_cell_rows=1 << 30)
+    assert len(base) > 100  # sparse but non-trivial
+    n = len({a for a, _ in base} | {b for _, b in base})
+    assert len(base) < n * (n - 1) // 4  # nowhere near a clique
+    assert pairs("expr", max_cell_rows=8, max_salt=16) == base
+    assert pairs("arrow", max_cell_rows=1 << 30) == base
+    # the regression case: arrow + salt (off-diagonal blocks active)
+    assert pairs("arrow", max_cell_rows=8, max_salt=16) == base
+    assert all(a < b for a, b in base)
+
+
 def test_auto_backend_resolution_and_id_validation(spark):
     """backend='auto' picks expr under the cell-size threshold and
     arrow above it (results identical either way on clear margins);
