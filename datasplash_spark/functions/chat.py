@@ -179,7 +179,15 @@ def sft_token_stats(
     parse_ok = turns.isNotNull()
 
     def tok_count(t: Column) -> Column:
-        return F.size(F.split(F.coalesce(t, F.lit("")), " ", -1))
+        # Non-empty pieces only: '' is 0 tokens and runs of spaces
+        # add no phantom tokens (matches the tokens() discipline
+        # used by the text stack; ADVICE r6).
+        return F.size(
+            F.filter(
+                F.split(F.coalesce(t, F.lit("")), " ", -1),
+                lambda x: x != F.lit(""),
+            )
+        )
 
     def tok_sum(filtered: Column) -> Column:
         return F.aggregate(

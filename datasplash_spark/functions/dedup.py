@@ -1287,18 +1287,22 @@ def detect_canaries(
         _col(id_col).alias("src_doc_id"), F.col("canary")
     ).where(F.col("canary").isNotNull())
     found_tokens = df.select(
+        _col(id_col).alias("_carrier_doc"),
         F.explode(
             F.regexp_extract_all(
                 _col(text),
                 F.lit(r"\[\[CANARY-[0-9a-f]{32}\]\]"),
                 0,
             )
-        ).alias("canary")
+        ).alias("canary"),
     )
+    # countDistinct over the CARRIER doc id: a doc containing the
+    # same canary twice (in-doc span repeat) is one carrier, not a
+    # phantom cross-document leak (ADVICE r6).
     hits = (
         found_tokens.join(exp.hint("broadcast"), "canary")
         .groupBy("src_doc_id", "canary")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.countDistinct("_carrier_doc").alias("n_docs"))
     )
     return (
         exp.join(hits, ["src_doc_id", "canary"], "left")

@@ -459,6 +459,11 @@ def ivf_topk_from_store(
             spark.read.text(os.path.join(path, "_ivf_centroids"))
             .first()[0]
         )
+    if centroids and len(query_vec) != len(centroids[0]):
+        raise ValueError(
+            f"ivf_topk_from_store: query dimension {len(query_vec)} != "
+            f"store dimension {len(centroids[0])}"
+        )
     probe = _rank_cells(centroids, query_vec, nprobe)
     store = _read_store(spark, path).filter(F.col("cell").isin(probe))
     if "codes" in store.columns:
@@ -1801,8 +1806,19 @@ def quantized_topk(
     the INTEGER dot of code vectors over integer norms — exact
     BIGINT accumulation (codes ≤ 127 ⇒ products < 2^14·dim, no
     overflow to dim ≈ 2^48), one scan + TakeOrdered. 9-dp rounding
-    for the usual engine-stable ordering; ties to lowest id."""
+    for the usual engine-stable ordering; ties to lowest id.
+
+    The query length is validated against the store's code dimension
+    (first-row probe): a mismatch would make ``zip_with`` NULL-pad
+    and the integer dot NULL, silently sorting mismatched queries
+    last instead of surfacing the caller bug (ADVICE r6)."""
     q = [int(x) for x in query_codes]
+    probe = codes_df.select(F.size("codes").alias("_d")).first()
+    if probe is not None and probe["_d"] != len(q):
+        raise ValueError(
+            f"quantized_topk: query has {len(q)} codes but the store's "
+            f"code dimension is {probe['_d']}"
+        )
     qn = sum(x * x for x in q) ** 0.5
     c = F.col("codes")
     idot = F.aggregate(

@@ -2279,11 +2279,13 @@ WITH s AS ({_SYNTH_CONV_SQL}
   SELECT doc_id, turns,
          turns IS NOT NULL AS ok,
          coalesce(list_aggregate(list_transform(turns, t ->
-           len(string_split(coalesce(t.content, ''), ' '))), 'sum'), 0)
+           len(list_filter(string_split(coalesce(t.content, ''), ' '),
+               x -> x != ''))), 'sum'), 0)
            AS total,
          coalesce(list_aggregate(list_transform(
            list_filter(turns, t -> t.role = 'assistant'), t ->
-           len(string_split(coalesce(t.content, ''), ' '))), 'sum'), 0)
+           len(list_filter(string_split(coalesce(t.content, ''), ' '),
+               x -> x != ''))), 'sum'), 0)
            AS loss
   FROM p
 )

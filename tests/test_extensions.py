@@ -2585,6 +2585,10 @@ def test_quantize_embeddings_and_topk(spark):
         sim.quantize_embeddings(df), list(qt[0].codes), k=5
     ).collect()
     assert [r.vec_id for r in got] == [i for _, i in exact]
+    # ADVICE r6: a dimension-mismatched query must raise, not
+    # NULL-pad the dot and silently sort last
+    with pytest.raises(ValueError, match="code dimension"):
+        sim.quantized_topk(sim.quantize_embeddings(df), [1, 2, 3], k=5)
 
 
 def test_edit_distance_verify(spark):
@@ -3534,6 +3538,19 @@ def test_sft_token_stats_loss_masking(spark):
     assert out[1].n_tok_total == 5 and out[1].n_tok_loss == 2
     assert out[1].loss_frac_micro == 2 * 1_000_000 // 5
     assert out[2].n_tok_total == 0 and out[2].loss_frac_micro == 0
+    # ADVICE r6: whitespace tokens = NON-EMPTY pieces — empty content
+    # is 0 tokens (not 1) and runs of spaces add no phantom tokens
+    edge = generate_input(
+        spark,
+        [
+            (3, '[{"role":"user","content":""},'
+                '{"role":"assistant","content":"a  b   c"}]'),
+        ],
+        "doc_id bigint, conv_json string",
+    )
+    e3 = ch.sft_token_stats(edge).collect()[0]
+    assert e3.n_tok_total == 3 and e3.n_tok_loss == 3
+    assert e3.n_turns == 2
 
 
 def test_batching_ops_null_text(spark):
@@ -3591,6 +3608,20 @@ def test_canary_roundtrip_and_leak_detection(spark):
     )
     rep2 = dd.detect_canaries(leaked, planted)
     assert rep2.where("n_docs = 2").count() == 1
+    # in-doc span repeat: the SAME doc carrying its canary twice is
+    # ONE carrier, not a phantom cross-document leak (ADVICE r6 —
+    # n_docs counts distinct carrying documents)
+    repeated = released.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == victim,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep3 = dd.detect_canaries(repeated, planted)
+    assert rep3.where("n_docs != 1").count() == 0
     with pytest.raises(ValueError, match="every"):
         dd.insert_canaries(docs, every=0)
 
