@@ -5373,92 +5373,24 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 6).  The external driver gates exactly the
-# FIRST 50 entries of REGISTRY each round; window membership below IS
-# the round-6 gate contract.
+# Driver gate order (round 7).  The external driver gates exactly the
+# FIRST 50 entries of REGISTRY each round; list order below IS the
+# round-7 gate contract.
 #
-# Window composition:
-#   1. The 9 queries with NO driver CORRECTNESS row yet — the 7 new-in-
-#      round-5 queries (VERDICT r5 item 1) plus the two round-5
-#      deferrals (sample_per_key rows-only, multimodal_features last
-#      green r3).
-#   2. Queries whose implementation changed in round 6 → re-gate:
-#      semantic_dedup / contrastive_pairs (scale-safe defaults, VERDICT
-#      r5 item 2; contrastive_pairs is already in block 1) and
-#      importance_resample (decimal overflow fix, ADVICE r5; also in
-#      block 1).
-#   3. 40 of the 49 round-4-green entries — the stalest block (last
-#      driver rows are CORRECTNESS_r04); the 9 spilled entries are
-#      trivial relational ops pinned by pytest + the out-of-window
-#      tripwire, and they lead round 7.
-# After the window: the 9 spilled r4 entries, then the 49-query block
-# CORRECTNESS_r05 just proved green (nothing in it changed).
-_WINDOW_R6: list[str] = [
-    # block 1 — never driver-gated:
-    "sample_per_key",
-    "multimodal_features",
-    "importance_resample",
-    "ccnet_buckets",
-    "collocations",
-    "contrastive_pairs",
-    "skew_report",
-    "cohort_retention",
-    "bm25_multi",
-    # block 2 — new in round 6 / implementation changed, gate now:
-    "weighted_sample_det",
-    "semantic_dedup",
-    # block 3 — r4-green, stalest (mapcat_tokens spilled to round 7
-    # to hold the window at 50):
-    "join_required",
-    "join_optional",
-    "join_multiway",
-    "cogroup_counts",
-    "sample_global_det",
-    "sample_per_key_det",
-    "window_fixed",
-    "window_sliding",
-    "window_session",
-    "dedup_exact",
-    "chunk_documents",
-    "unigram_quality",
-    "funnel",
-    "sessionize",
-    "rolling_window",
-    "stratified_sample",
-    "ngram_counts",
-    "pivot",
-    "profile",
-    "hash_split",
-    "rollup",
-    "asof_last_view",
-    "range_join_error_window",
-    "gopher_quality",
-    "side_input_filter",
-    "dedup_incremental",
-    "decontaminate",
-    "remove_repeated_spans",
-    "global_shuffle",
-    "temperature_mix",
-    "dsir_scores",
-    "dedup_cluster_report",
-    "embedding_clusters",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "objectmode_wordcount",
-    "objectmode_join",
-    "objectmode_side_outputs",
-    "pricing_summary",
-]
-
-_AFTER_WINDOW_R6: list[str] = [
-    # new in round 6 (gate_sim + tripwire-proven; lead the round-7
-    # window together with the spill below). ROUND-7 ROTATION PLAN:
-    # the 22 never-driver-gated queries below (12 from the main
-    # session + 10 from the continuation: boilerplate_removal..
-    # fk_audit) plus the 10-query r4 spill form the round-7 window
-    # exactly — promote this block's head to _WINDOW_R7 and push the
-    # r5/r6-green blocks down; after that every registry query has a
-    # driver row at most two rounds old.
+# Window composition (VERDICT r6 item 1 — land the planned rotation):
+#   1. The 28 round-6 queries that have never had a driver
+#      CORRECTNESS row (gate_sim + tripwire green since they landed).
+#   2. The 10-query r4-green spill deferred from round 6.
+#   3. Re-gates: semantic_dedup / contrastive_pairs — their shared
+#      Arrow salt-block kernel was fixed AFTER the round-6 driver run
+#      (cross-block pair drop, commit 3f962b1), so their r6 rows
+#      predate the current code.
+#   4. _NEW_R7 — queries added during round 7 (capped by the
+#      rotation-debt invariant below).
+# Whatever headroom remains inside the first 50 is auto-filled by the
+# head of _AFTER_WINDOW_R7 (the stalest r5-green block), so the
+# window is always exactly 50 without hand-padding.
+_NEVER_DRIVER_GATED: list[str] = [
     "winnow_fingerprints",
     "bpe_pairs",
     "source_drift",
@@ -5487,7 +5419,9 @@ _AFTER_WINDOW_R6: list[str] = [
     "neighbor_report",
     "sft_tokens",
     "canary_report",
-    # r4-green spill (pytest + tripwire-covered; lead round 7):
+]
+
+_R4_SPILL: list[str] = [
     "mapcat_tokens",
     "distinct",
     "distinct_by",
@@ -5498,8 +5432,25 @@ _AFTER_WINDOW_R6: list[str] = [
     "setops_union",
     "sample_global",
     "approx_aggs",
-    # r5-green block (CORRECTNESS_r05 50/50 minus semantic_dedup,
-    # which moved into the window for re-gating):
+]
+
+_REGATE_R7: list[str] = [
+    "semantic_dedup",
+    "contrastive_pairs",
+]
+
+#: Queries ADDED in round 7 (each starts life never-driver-gated, so
+#: each consumes one slot of window headroom — see the invariant).
+_NEW_R7: list[str] = []
+
+_WINDOW_HEAD_R7: list[str] = (
+    _NEVER_DRIVER_GATED + _R4_SPILL + _REGATE_R7 + _NEW_R7
+)
+
+_AFTER_WINDOW_R7: list[str] = [
+    # r5-green block — stalest driver rows (CORRECTNESS_r05); its head
+    # fills the window's remaining slots this round and the rest leads
+    # round 8:
     "filter_project",
     "group_by_key",
     "frequencies",
@@ -5549,9 +5500,58 @@ _AFTER_WINDOW_R6: list[str] = [
     "semantic_pack",
     "zorder_key",
     "ann_recall",
+    # r6-green block (CORRECTNESS_r06 48/48 of these; freshest):
+    "sample_per_key",
+    "multimodal_features",
+    "importance_resample",
+    "ccnet_buckets",
+    "collocations",
+    "skew_report",
+    "cohort_retention",
+    "bm25_multi",
+    "weighted_sample_det",
+    "join_required",
+    "join_optional",
+    "join_multiway",
+    "cogroup_counts",
+    "sample_global_det",
+    "sample_per_key_det",
+    "window_fixed",
+    "window_sliding",
+    "window_session",
+    "dedup_exact",
+    "chunk_documents",
+    "unigram_quality",
+    "funnel",
+    "sessionize",
+    "rolling_window",
+    "stratified_sample",
+    "ngram_counts",
+    "pivot",
+    "profile",
+    "hash_split",
+    "rollup",
+    "asof_last_view",
+    "range_join_error_window",
+    "gopher_quality",
+    "side_input_filter",
+    "dedup_incremental",
+    "decontaminate",
+    "remove_repeated_spans",
+    "global_shuffle",
+    "temperature_mix",
+    "dsir_scores",
+    "dedup_cluster_report",
+    "embedding_clusters",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "objectmode_wordcount",
+    "objectmode_join",
+    "objectmode_side_outputs",
+    "pricing_summary",
 ]
 
-_ORDER: list[str] = _WINDOW_R6 + _AFTER_WINDOW_R6
+_ORDER: list[str] = _WINDOW_HEAD_R7 + _AFTER_WINDOW_R7
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
 if set(_ORDER) != set(_ALL):
@@ -5559,6 +5559,28 @@ if set(_ORDER) != set(_ALL):
         "registry _ORDER out of sync with _ALL: "
         f"missing={sorted(set(_ALL) - set(_ORDER))} "
         f"extra={sorted(set(_ORDER) - set(_ALL))}"
+    )
+# Rotation-debt invariant (VERDICT r6 item 2): every query that has
+# never had a driver CORRECTNESS row MUST sit inside the 50-entry
+# driver window, i.e. the carried backlog plus this round's additions
+# can never exceed 50.  Adding a 51st never-gated query fails import
+# (and therefore every test) until the registry stops over-adding.
+_DRIVER_WINDOW = 50
+_never_gated_now = _NEVER_DRIVER_GATED + _NEW_R7
+if len(_never_gated_now) > _DRIVER_WINDOW:
+    raise RuntimeError(
+        f"rotation-debt invariant violated: {len(_never_gated_now)} "
+        f"never-driver-gated queries exceed the {_DRIVER_WINDOW}-row "
+        "driver window — stop adding gated queries this round"
+    )
+_missing_from_window = [
+    q for q in _never_gated_now if q not in _ORDER[:_DRIVER_WINDOW]
+]
+if _missing_from_window:
+    raise RuntimeError(
+        "rotation-debt invariant violated: never-driver-gated queries "
+        f"outside the first {_DRIVER_WINDOW} registry entries: "
+        f"{_missing_from_window}"
     )
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
