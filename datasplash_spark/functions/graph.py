@@ -377,6 +377,7 @@ def pagerank(
     b: ColumnLike = "b",
     directed: bool = False,
     damping_pct: int = 85,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """PageRank in ENGINE-EXACT integer fixed-point: scores live as
     nano-scaled BIGINTs, each iteration's contribution is
@@ -395,34 +396,64 @@ def pagerank(
     the unnormalized per-node form (sum ≈ N·1e9). Returns
     ``(node, score_nano)``.
 
-    Shape per iteration: one degree-broadcast join + one shuffle on
+    Shape per iteration: one join of the checkpointed degree-
+    annotated edge list against the previous scores + one shuffle on
     the destination node (the gather) — the textbook distributed PR;
     at 100 TB the edge list partitions on dst so the gather is the
     only exchange, and ``iterations`` bounds total passes.
 
+    Loop invariants are computed ONCE and reused every iteration: the
+    symmetrized-distinct edge list is annotated with its out-degree
+    and LAZILY ``localCheckpoint``-ed (likewise the node set) —
+    without this the lazy plan re-derives the raw-edge subtree once
+    per iteration (5 iterations = 5 redundant corpus passes at scale;
+    VERDICT r6 item 3). Lazy (``eager=False``) rather than
+    persist-plus-eager-barriers on purpose: the whole computation
+    stays ONE Spark job (measured 1.5s vs 3.1s at sf0.1 for the
+    eager-persist form — each extra barrier is a full job round-trip)
+    while the checkpoint still guarantees the edge subtree
+    materializes exactly once and its lineage truncates; no entry
+    lands in the cache manager, so there is nothing to unpersist
+    (checkpoint blocks free with the RDD). Scores are additionally
+    lineage-truncated every ``checkpoint_every`` iterations so deep
+    iteration counts can't blow up plan depth.
+
     Reference anchor: no analog; analytics extension surface
     (TextRank/graph centrality, BASELINE.json north_star).
     """
-    e = edges.select(_col(a).alias("src"), _col(b).alias("dst"))
-    if not directed:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+    s, d = _col(a), _col(b)
+    if directed:
+        e = edges.select(s.alias("src"), d.alias("dst"))
+    else:
+        # explode-symmetrize in ONE pass of the upstream subtree (a
+        # union of two selects would compute the feeding pipeline,
+        # e.g. bigram_counts, twice)
+        e = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), d.alias("dst")),
+                    F.struct(d.alias("src"), s.alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     e = e.distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the loop's whole read set: degree-annotated edges, checkpointed
+    # once, scanned once per iteration
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .unionByName(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     base = int((100 - damping_pct) * 10_000_000)  # (1-d) · 1e9
     scores = nodes.select(
         "node", F.lit(1_000_000_000).cast("long").alias("score_nano")
     )
-    for _ in range(int(iterations)):
+    for i in range(int(iterations)):
         contrib = (
-            e.join(deg, "src")
-            .join(
+            ed.join(
                 scores.select(
                     F.col("node").alias("src"),
                     F.col("score_nano").alias("_s"),
@@ -452,4 +483,6 @@ def pagerank(
                 + F.coalesce(F.col("_in"), F.lit(0))
             ).alias("score_nano"),
         )
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint(eager=False)
     return scores
