@@ -8,8 +8,14 @@
 
 (keys are the registry names from ``queries()``). Per-query timing =
 full plan → action (count) wall time, after a warm-up action that
-absorbs session + JVM startup. A failing query records -1 for that
-key and the run continues — the JSON line is always emitted.
+absorbs session + JVM startup. Sub-second queries are run TWICE and
+report the MIN (VERDICT r6 item 4: with 141 queries in one JVM,
+scheduler/GC density injects ±0.2s spikes that read as fake 1.5×
+regressions on 0.4s queries; the min of 2 reps is stable while >1s
+queries — where a real regression is visible above the noise floor —
+stay single-rep to bound total wall). Rep counts land in the local
+artifact (``reps``). A failing query records -1 for that key and the
+run continues — the JSON line is always emitted.
 """
 
 from __future__ import annotations
@@ -23,6 +29,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datasplash_spark import queries as Q
 from datasplash_spark.pipeline import PipelineOptions, make_session
+
+
+def _hygiene(spark) -> None:
+    """Inter-measurement cleanup (untimed): queries that persist
+    intermediates (LSH banded tables, object-mode side-output
+    routing, localCheckpoint rounds in the CC loop) would otherwise
+    leak storage blocks into later timings, and 141 queries in one
+    JVM accumulate GC debt that lands as multi-second pauses inside
+    whichever query triggers the full GC — pay it between
+    measurements instead. Must never fail the bench."""
+    try:
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    except Exception as e:
+        print(f"# cleanup warning: {e}", file=sys.stderr)
 
 
 def main() -> int:
@@ -239,36 +265,34 @@ def main() -> int:
         failed.append("bench_ann_store_probe")
         print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
 
+    reps: dict[str, int] = {}
     for name, fn in Q.queries().items():
-        t0 = time.time()
+        best = -1.0
+        n = -1
         try:
-            n = fn(spark, sf_dir).count()
+            for rep in range(2):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if rep == 0 else min(best, dt)
+                reps[name] = rep + 1
+                _hygiene(spark)
+                if best >= 1.0:
+                    # real regressions on >1s queries clear the noise
+                    # floor on their own; don't double total wall
+                    break
         except Exception as e:  # record and continue; always emit JSON
             timings[name] = -1.0
             failed.append(name)
             print(f"# {name}: FAILED ({e})", file=sys.stderr)
             continue
-        dt = round(time.time() - t0, 3)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-        # inter-query hygiene (untimed): queries that persist
-        # intermediates (LSH banded tables, object-mode side-output
-        # routing, localCheckpoint rounds in the CC loop) would
-        # otherwise leak storage blocks into later timings, and 85
-        # queries in one JVM accumulate GC debt that lands as multi-
-        # second pauses inside whichever query triggers the full GC —
-        # pay it between measurements instead.
-        try:
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist(False)
-            import gc
-
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-        except Exception as e:  # hygiene must never fail the bench
-            print(f"# cleanup warning: {e}", file=sys.stderr)
+        print(
+            f"# {name}: {dt:.2f}s ({n} rows, min of {reps[name]})",
+            file=sys.stderr,
+        )
 
     # a partially-failing run must not read as a faster full run:
     # failures are named, and the headline value is poisoned
@@ -298,7 +322,9 @@ def main() -> int:
         rnd = (max(rounds) if rounds else 0) + 1
         local = os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json")
         with open(local, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
+            # reps lives only here, NOT in the printed driver line —
+            # the driver's tail capture already truncates long lines
+            json.dump({**payload, "reps": reps}, fh, indent=1, sort_keys=True)
         print(f"# full timings -> {local}", file=sys.stderr)
     except Exception as e:  # the artifact must never fail the bench
         print(f"# local artifact warning: {e}", file=sys.stderr)
