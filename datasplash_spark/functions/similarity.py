@@ -604,24 +604,69 @@ def _require_integral_id(df: DataFrame, id_col: ColumnLike, fn: str) -> None:
         )
 
 
-def _cell_salt_widths(
-    cells: DataFrame, max_cell_rows: int, max_salt: int
-) -> DataFrame:
-    """Per-cell block-decomposition width: ONE count aggregate over
-    the K-row cell space (broadcast back by callers);
-    ``s = clamp(ceil(n / max_cell_rows), 1, max_salt)`` — 1 for every
-    cell under the bound, so normal cells keep a single block."""
-    return cells.groupBy("cell").agg(
-        F.greatest(
-            F.least(
-                F.ceil(F.count(F.lit(1)) / F.lit(int(max_cell_rows))),
-                F.lit(int(max_salt)),
-            ),
-            F.lit(1),
-        )
-        .cast("int")
-        .alias("_s")
+def _cell_pair_plan(
+    scored: DataFrame,
+    backend: str,
+    arrow_cell_threshold: int,
+    max_cell_rows: int,
+    max_salt: int,
+    id_is_integral: bool,
+    fn: str,
+) -> tuple[str, DataFrame]:
+    """Backend resolution AND per-cell salt widths from ONE count
+    aggregate over the cell assignment, collected driver-side (the
+    cell space is bounded by the caller's centroid/bucket count, so
+    the collect is K rows — the same bounded-collect contract as
+    ``ivf_centroids``). Previously these were two separate aggregate
+    jobs over the assignment (VERDICT r6 item 5); now the max-cell
+    check and the salt table share the single pass, and the salt
+    side of every block join becomes a local table instead of an
+    aggregate subtree.
+
+    ``auto`` → ``arrow`` when the LARGEST cell crosses
+    ``arrow_cell_threshold`` rows (the measured regime where the
+    blocked-gemm kernel beats the interpreted expression fold by
+    10-100×), else the byte-stable ``expr`` fold; non-integral ids
+    always resolve to ``expr`` (the Arrow kernels require integral
+    ids). Salt width per cell:
+    ``s = clamp(ceil(n / max_cell_rows), 1, max_salt)`` — 1 for
+    every cell under the bound, so normal cells keep one block."""
+    from pyspark.sql import types as T
+
+    if backend not in ("auto", "expr", "arrow"):
+        raise ValueError(f"{fn}: unknown backend {backend!r}")
+    counts = (
+        scored.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
     )
+    if backend == "auto":
+        mx = max((r["_n"] for r in counts), default=0)
+        backend = (
+            "arrow"
+            if (id_is_integral and mx >= int(arrow_cell_threshold))
+            else "expr"
+        )
+    widths = [
+        (
+            r["cell"],
+            int(
+                max(
+                    1,
+                    min(
+                        -(-r["_n"] // int(max_cell_rows)), int(max_salt)
+                    ),
+                )
+            ),
+        )
+        for r in counts
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("cell", scored.schema["cell"].dataType),
+            T.StructField("_s", T.IntegerType()),
+        ]
+    )
+    salt = scored.sparkSession.createDataFrame(widths, schema)
+    return backend, salt
 
 
 def _salt_blocks(scored: DataFrame, salt: DataFrame) -> DataFrame:
@@ -653,37 +698,6 @@ def _salt_blocks(scored: DataFrame, salt: DataFrame) -> DataFrame:
             "_nv",
         )
     )
-
-
-def _resolve_pair_backend(
-    scored: DataFrame,
-    backend: str,
-    arrow_cell_threshold: int,
-    id_is_integral: bool,
-    fn: str,
-) -> str:
-    """``auto`` → ``arrow`` when the LARGEST cell crosses
-    ``arrow_cell_threshold`` rows (the measured regime where the
-    blocked-gemm kernel beats the interpreted expression fold by
-    10-100×), else the byte-stable ``expr`` fold. The check is ONE
-    eager count aggregate over the cell assignment — callers that
-    persist the assignment (``cache=True``) pay nothing extra beyond
-    materializing it. Non-integral ids always resolve to ``expr``
-    (the Arrow kernels require integral ids)."""
-    if backend not in ("auto", "expr", "arrow"):
-        raise ValueError(f"{fn}: unknown backend {backend!r}")
-    if backend != "auto":
-        return backend
-    if not id_is_integral:
-        return "expr"
-    row = (
-        scored.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("_m"))
-        .first()
-    )
-    mx = row["_m"] if row is not None else 0
-    return "arrow" if (mx or 0) >= int(arrow_cell_threshold) else "expr"
 
 
 def _norm_rows(pdf):
@@ -784,10 +798,15 @@ def _pairs_within_cells(
     ``a < b``. The expr path scores each block with the byte-stable
     JVM fold join; the arrow path scores each block with one blocked
     BLAS gemm task."""
-    backend = _resolve_pair_backend(
-        scored, backend, arrow_cell_threshold, id_is_integral, fn
+    backend, salt = _cell_pair_plan(
+        scored,
+        backend,
+        arrow_cell_threshold,
+        max_cell_rows,
+        max_salt,
+        id_is_integral,
+        fn,
     )
-    salt = _cell_salt_widths(scored, max_cell_rows, max_salt)
     if backend == "arrow":
         _require_integral_id(scored, "vec_id", fn)
         sc = scored.sparkSession.sparkContext
@@ -1287,14 +1306,15 @@ def contrastive_pairs(
         # caller unpersists it through this handle
         cache_registry.append(assigned)
     scored = assigned.select("cell", "vec_id", "e", "_nv")
-    backend = _resolve_pair_backend(
+    backend, salt = _cell_pair_plan(
         scored,
         backend,
         arrow_cell_threshold,
+        max_cell_rows,
+        max_salt,
         _integral_id_ok(df, id_col),
         "contrastive_pairs",
     )
-    salt = _cell_salt_widths(scored, max_cell_rows, max_salt)
     if backend == "arrow":
         _require_integral_id(scored, "vec_id", "contrastive_pairs")
         sc = df.sparkSession.sparkContext
