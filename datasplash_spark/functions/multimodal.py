@@ -62,15 +62,17 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
 
 
-def _png_unfilter(data, width: int, height: int, ch: int):
+def _png_unfilter(data, height: int, stride: int, bpp: int):
     """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
-    3 Average, 4 Paeth) over the inflated IDAT stream. Up/None are
-    numpy-vectorized; Sub/Average/Paeth walk the row (their inputs
-    are prior RECONSTRUCTED bytes of the same row — inherently
-    sequential). Returns uint8 (height, width, ch)."""
+    3 Average, 4 Paeth) over the inflated IDAT stream. Filtering is
+    BYTE-wise per spec: ``stride`` is the scanline length in bytes
+    and ``bpp`` the filter offset (bytes per pixel, min 1 — so this
+    same loop serves 8-bit, 16-bit, and sub-byte palette rows).
+    Up/None are numpy-vectorized; Sub/Average/Paeth walk the row
+    (their inputs are prior RECONSTRUCTED bytes of the same row —
+    inherently sequential). Returns uint8 (height, stride)."""
     import numpy as np
 
-    stride = width * ch
     if len(data) != height * (stride + 1):
         raise ValueError(
             f"png: IDAT length {len(data)} != {height}x({stride}+1)"
@@ -93,14 +95,14 @@ def _png_unfilter(data, width: int, height: int, ch: int):
             ri = rec.astype(np.int32)
             pi = prev.astype(np.int32)
             for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
+                a = int(rec[i - bpp]) if i >= bpp else 0
                 if f == 1:
                     rec[i] = (ri[i] + a) & 0xFF
                 elif f == 3:
                     rec[i] = (ri[i] + ((a + int(pi[i])) >> 1)) & 0xFF
                 else:  # Paeth
                     b = int(pi[i])
-                    c = int(pi[i - ch]) if i >= ch else 0
+                    c = int(pi[i - bpp]) if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (
@@ -112,10 +114,27 @@ def _png_unfilter(data, width: int, height: int, ch: int):
             raise ValueError(f"png: unknown filter type {f}")
         out[y] = rec
         prev = out[y]
-    return out.reshape(height, width, ch)
+    return out
+
+
+def _unpack_subbyte(rows, width: int, depth: int):
+    """Unpack 1/2/4-bit packed scanlines (big-endian bit order within
+    each byte, per PNG spec) into one value per pixel: uint8
+    (height, width)."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)  # (h, stride*8)
+    per = bits[:, : width * depth].reshape(rows.shape[0], width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2).astype(np.uint8)
 
 
 def _decode_png(raw: bytes):
+    """PNG decode: 8- and 16-bit gray/LA/RGB/RGBA, 1/2/4/8-bit
+    palette (color type 3, PLTE + optional tRNS → RGBA), 1/2/4-bit
+    grayscale. 16-bit samples down-convert to their high byte —
+    pixels are always uint8 (H, W, C); the source precision is
+    reported in ``bit_depth``."""
     import struct
     import zlib
 
@@ -123,8 +142,9 @@ def _decode_png(raw: bytes):
 
     pos = len(_PNG_SIG)
     width = height = None
-    ch = None
-    mode = None
+    depth = color = None
+    plte = None
+    trns = None
     idat = b""
     while pos + 8 <= len(raw):
         (length,) = struct.unpack(">I", raw[pos : pos + 4])
@@ -135,39 +155,85 @@ def _decode_png(raw: bytes):
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if depth != 8:
-                raise ValueError(f"png: unsupported bit depth {depth}")
-            if color not in _PNG_CHANNELS:
-                raise ValueError(
-                    f"png: unsupported color type {color} (palette?)"
-                )
             if interlace:
                 raise ValueError("png: interlaced images unsupported")
-            ch = _PNG_CHANNELS[color]
-            mode = _PNG_MODE[color]
+            if color in _PNG_CHANNELS and depth not in (8, 16):
+                if not (color == 0 and depth in (1, 2, 4)):
+                    raise ValueError(
+                        f"png: unsupported bit depth {depth} for "
+                        f"color type {color}"
+                    )
+            elif color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(
+                        f"png: unsupported bit depth {depth} for "
+                        "palette"
+                    )
+            elif color not in _PNG_CHANNELS:
+                raise ValueError(f"png: unsupported color type {color}")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("png: missing IHDR/IDAT")
-    pixels = _png_unfilter(
+    samples = 1 if color == 3 else _PNG_CHANNELS[color]
+    stride = (width * samples * depth + 7) // 8
+    bpp = max(1, (samples * depth) // 8)
+    rows = _png_unfilter(
         np.frombuffer(zlib.decompress(idat), dtype=np.uint8).tobytes(),
-        width,
         height,
-        ch,
+        stride,
+        bpp,
     )
+    if color == 3:
+        if plte is None:
+            raise ValueError("png: palette image without PLTE")
+        idx = (
+            rows.reshape(height, width)
+            if depth == 8
+            else _unpack_subbyte(rows, width, depth)
+        )
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("png: palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            pixels = np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+            mode, ch = "RGBA", 4
+        else:
+            pixels, mode, ch = rgb, "RGB", 3
+    elif depth == 16:
+        # big-endian high byte == round-toward-zero 16→8 conversion
+        pixels = rows[:, 0::2].reshape(height, width, samples)
+        mode, ch = _PNG_MODE[color], samples
+    elif depth in (1, 2, 4):  # grayscale sub-byte
+        vals = _unpack_subbyte(rows, width, depth)
+        scale = 255 // ((1 << depth) - 1)  # 1→255, 2→85, 4→17: exact
+        pixels = (vals * np.uint8(scale))[..., None]
+        mode, ch = "L", 1
+    else:
+        pixels = rows.reshape(height, width, samples)
+        mode, ch = _PNG_MODE[color], samples
     return {
         "width": width,
         "height": height,
         "channels": ch,
         "mode": mode,
+        "bit_depth": int(depth),
         "pixels": pixels,
     }
 
 
 def _decode_pnm(raw: bytes):
-    """P5 (gray) / P6 (RGB) binary PNM, maxval <= 255."""
+    """P5 (gray) / P6 (RGB) binary PNM. maxval > 255 means 2-byte
+    big-endian samples (16-bit); those down-convert to the high byte,
+    same contract as 16-bit PNG."""
     import numpy as np
 
     tokens: list[bytes] = []
@@ -186,21 +252,24 @@ def _decode_pnm(raw: bytes):
             tokens.append(raw[start:pos])
     pos += 1  # single whitespace after maxval
     width, height, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        raise ValueError(f"pnm: 16-bit maxval {maxval} unsupported")
+    if maxval > 65535:
+        raise ValueError(f"pnm: maxval {maxval} out of spec")
+    wide = maxval > 255
     ch = 3 if raw[:2] == b"P6" else 1
-    need = width * height * ch
+    need = width * height * ch * (2 if wide else 1)
     body = raw[pos : pos + need]
     if len(body) != need:
         raise ValueError(f"pnm: body {len(body)} != {need}")
+    arr = np.frombuffer(body, dtype=np.uint8)
+    if wide:
+        arr = arr[0::2]  # big-endian high byte
     return {
         "width": width,
         "height": height,
         "channels": ch,
         "mode": "RGB" if ch == 3 else "L",
-        "pixels": np.frombuffer(body, dtype=np.uint8).reshape(
-            height, width, ch
-        ),
+        "bit_depth": 16 if wide else 8,
+        "pixels": arr.reshape(height, width, ch),
     }
 
 
@@ -209,9 +278,12 @@ def decode_image(raw: bytes) -> dict:
     a real decoder — no codec libraries exist in this container, but
     PNG needs only stdlib ``zlib`` and PNM none at all).
 
-    Supports: PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced —
-    all five scanline filters) and binary PNM (P5/P6, maxval ≤ 255).
-    Returns ``{"width", "height", "channels", "mode",
+    Supports: PNG (8/16-bit gray/gray+alpha/RGB/RGBA, 1/2/4-bit
+    grayscale, 1/2/4/8-bit palette with optional tRNS transparency,
+    non-interlaced — all five scanline filters) and binary PNM
+    (P5/P6, 8- and 16-bit). 16-bit samples down-convert to their
+    high byte; ``bit_depth`` reports the source precision. Returns
+    ``{"width", "height", "channels", "mode", "bit_depth",
     "pixels": uint8 ndarray (H, W, C)}``. Unsupported/unknown
     formats raise ``ValueError`` (JPEG etc. genuinely need a codec
     library — plug PIL/cv2 into the same kernel slot in a full

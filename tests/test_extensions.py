@@ -2237,19 +2237,133 @@ def test_decode_image_pnm_and_errors():
     p5 = b"P5 3 2 255 " + bytes(range(6))
     d5 = mm.decode_image(p5)
     assert (d5["width"], d5["height"], d5["channels"]) == (3, 2, 1)
-    with pytest.raises(ValueError, match="16-bit"):
-        mm.decode_image(b"P5 1 1 65535 \x00\x00")
+    # 16-bit P5: big-endian samples down-convert to the high byte
+    d16 = mm.decode_image(
+        b"P5 2 1 65535 " + bytes([0xAB, 0xCD, 0x01, 0x02])
+    )
+    assert d16["bit_depth"] == 16
+    assert list(d16["pixels"].reshape(-1)) == [0xAB, 0x01]
+    with pytest.raises(ValueError, match="out of spec"):
+        mm.decode_image(b"P5 1 1 70000 \x00\x00")
     with pytest.raises(ValueError, match="bit depth"):
         import struct as _s
         import zlib as _z
 
-        body = _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        body = _s.pack(">IIBBBBB", 1, 1, 3, 2, 0, 0, 0)
         bad = (
             b"\x89PNG\r\n\x1a\n"
             + _s.pack(">I", len(body)) + b"IHDR" + body
             + _s.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
         )
         mm.decode_image(bad)
+
+
+def _png_chunk(t, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + t + body
+        + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_image_png_palette():
+    """Round-7: palette PNGs (color type 3) decode — PLTE lookup,
+    tRNS -> RGBA, 8-bit and 4-bit (sub-byte) indices, filter
+    coverage on the index rows. Hand-built streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # index rows [0,1,2] then [1,2,3]; row 2 uses the Up filter
+    scan = bytes([0, 0, 1, 2]) + bytes([2, 1, 1, 1])
+    raw = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"tRNS", bytes([128]))
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = mm.decode_image(raw)
+    assert (d["mode"], d["channels"], d["bit_depth"]) == ("RGBA", 4, 8)
+    exp = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+            [[0, 255, 0], [0, 0, 255], [10, 20, 30]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(d["pixels"][..., :3], exp)
+    # tRNS covers index 0 only; the rest default opaque
+    assert list(d["pixels"][..., 3].reshape(-1)) == [128, 255, 255, 255, 255, 255]
+
+    # 4-bit indices: width 5 packs into ceil(5*4/8)=3 bytes, big-
+    # endian bit order, pad bits ignored; no tRNS -> RGB
+    scan4 = bytes([0, 0x01, 0x23, 0x10])  # indices 0,1,2,3,1
+    raw4 = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 4, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(scan4))
+        + _png_chunk(b"IEND", b"")
+    )
+    d4 = mm.decode_image(raw4)
+    assert (d4["mode"], d4["channels"], d4["bit_depth"]) == ("RGB", 3, 4)
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(d4["pixels"][0], lut[[0, 1, 2, 3, 1]])
+
+    # palette stream without a PLTE chunk must raise, not crash
+    rawbad = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0, 1, 2])))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_image(rawbad)
+
+
+def test_decode_image_png_16bit_and_subbyte_gray():
+    """Round-7: 16-bit PNGs down-convert to the high byte (filters
+    run byte-wise with bpp=6 for RGB16); 1-bit grayscale unpacks and
+    scales to full range."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x1 RGB16, Sub filter: second pixel stored as delta at offset 6
+    row = bytes([1, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06] + [0xF0] * 6)
+    raw = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(row))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = mm.decode_image(raw)
+    assert (d["mode"], d["channels"], d["bit_depth"]) == ("RGB", 3, 16)
+    assert np.array_equal(
+        d["pixels"][0], np.array([[0x01, 0x03, 0x05], [0xF1, 0xF3, 0xF5]])
+    )
+
+    # 1-bit gray, 10 px wide -> 2-byte stride, alternating rows
+    scan = bytes([0, 0xAA, 0x80]) + bytes([0, 0x55, 0x40])
+    raw1 = (
+        sig
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    d1 = mm.decode_image(raw1)
+    assert (d1["mode"], d1["channels"], d1["bit_depth"]) == ("L", 1, 1)
+    flat = list(d1["pixels"].reshape(-1))
+    assert flat[:10] == [255, 0] * 5 and flat[10:] == [0, 255] * 5
 
 
 def test_resize_nearest_and_default_kernel(spark):
