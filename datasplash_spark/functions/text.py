@@ -1719,8 +1719,10 @@ def append_postings(
     store is either batch-grown (this function, flat ``term_bucket=``
     partitions) or stream-grown (``streaming.postings_ingest``,
     ``_batch_id=/term_bucket=`` levels) — never both on one path
-    (parquet partition discovery rejects mixed structures). Returns
-    the merged stats dict."""
+    (parquet partition discovery rejects mixed structures); switch
+    growth modes with :func:`convert_postings_layout` (one
+    distributed pass, crash-safe swap). Returns the merged stats
+    dict."""
     import json
     import os
 
@@ -1764,6 +1766,130 @@ def append_postings(
         n_buckets,
     )
     _write_postings_stats(spark, path, stats)
+    return stats
+
+
+def convert_postings_layout(
+    spark,
+    path: str,
+    to: str,
+    compact_id: int = -1,
+) -> dict:
+    """One-pass bridge between the two inverted-index growth layouts
+    (VERDICT r6 item 7 — previously a user who grew a store one way
+    and needed the other got a partition-discovery error and a full
+    rebuild):
+
+    - ``to="batch"``: flatten a stream-grown store
+      (``_batch_id=/term_bucket=`` levels, :func:`..streaming.neardup
+      .postings_ingest`) into the flat ``term_bucket=`` layout that
+      :func:`append_postings` grows. Replayed-batch duplicates
+      self-heal by the compaction rule — keep each ``(doc_id,
+      term)``'s lowest batch.
+    - ``to="stream"``: lift a flat batch-grown store into a single
+      ``_batch_id=<compact_id>`` level so ``postings_ingest`` can
+      keep growing it (``compact_id`` defaults to −1, the compactor's
+      never-a-real-batch id).
+
+    :func:`bm25_from_store` probes either layout unchanged, so this
+    converts GROWTH mode, not probe mode. Term-bucket partition
+    pruning survives in both directions.
+
+    Crash-safe by staging: the converted store is fully written to a
+    ``<path>__convert`` sibling first (one distributed pass), then
+    the old data directories move aside, the new ones move in (pure
+    directory renames), and the stats sidecar recomputes from the
+    final store. A re-run after a crash at ANY point completes the
+    swap instead of re-reading a half-swapped root (a complete
+    staging dir short-circuits the rewrite). Returns the recomputed
+    stats dict."""
+    import json
+    import os
+
+    if to not in ("batch", "stream"):
+        raise ValueError(f"convert_postings_layout: unknown target {to!r}")
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    root = hpath(path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    tmp = hpath(path.rstrip("/") + "__convert")
+    old = hpath(path.rstrip("/") + "__convert_old")
+
+    def _data_dirs(p):
+        if not fs.exists(p):
+            return []
+        return [
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and st.getPath().getName().split("=", 1)[0]
+            in ("_batch_id", "term_bucket")
+        ]
+
+    src_prefix = "term_bucket" if to == "stream" else "_batch_id"
+    dst_prefix = "_batch_id" if to == "stream" else "term_bucket"
+    root_dirs = _data_dirs(root)
+    if root_dirs and all(
+        p.getName().startswith(dst_prefix + "=") for p in root_dirs
+    ) and not fs.exists(tmp):
+        raise ValueError(
+            f"convert_postings_layout: store is already {to}-layout"
+        )
+
+    staged_complete = fs.exists(tmp) and fs.exists(
+        hpath(tmp.toString() + "/_SUCCESS")
+    )
+    if not staged_complete:
+        if fs.exists(tmp):
+            fs.delete(tmp, True)  # stale partial stage from a crash
+        store = spark.read.parquet(path)
+        if to == "batch":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("doc_id", "term").orderBy(
+                F.col("_batch_id").asc()
+            )
+            out = (
+                store.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_batch_id")
+            )
+            out.write.partitionBy("term_bucket").parquet(tmp.toString())
+        else:
+            out = store.withColumn("_batch_id", F.lit(int(compact_id)))
+            out.write.partitionBy("_batch_id", "term_bucket").parquet(
+                tmp.toString()
+            )
+    # swap: old source dirs aside, staged dirs in — each step
+    # idempotent, so a crashed swap finishes on re-run
+    if not fs.exists(old):
+        fs.mkdirs(old)
+    for p in _data_dirs(root):
+        if p.getName().startswith(src_prefix + "="):
+            fs.rename(p, hpath(old.toString() + "/" + p.getName()))
+    for p in _data_dirs(tmp):
+        dst = hpath(path.rstrip("/") + "/" + p.getName())
+        if fs.exists(dst):
+            fs.delete(p, True)  # already moved by a prior attempt
+        else:
+            fs.rename(p, dst)
+    prev = json.loads(
+        spark.read.text(os.path.join(path, "_postings_stats"))
+        .collect()[0][0]
+    )
+    row = (
+        spark.read.parquet(path)
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    stats = _postings_stats_dict(
+        int(row.n), int(row.s or 0), int(row.n), int(prev["n_buckets"])
+    )
+    _write_postings_stats(spark, path, stats)
+    fs.delete(old, True)
+    fs.delete(tmp, True)
     return stats
 
 

@@ -591,7 +591,9 @@ def postings_admitter(
     LAYOUT NOTE: stream-grown stores use ``_batch_id=/term_bucket=``
     levels and are incompatible on one path with the flat layout of
     the batch ``text.append_postings`` (parquet partition discovery
-    rejects mixed structures) — pick one growth mode per store.
+    rejects mixed structures) — pick one growth mode per store, or
+    switch with ``text.convert_postings_layout`` (one distributed
+    pass, crash-safe swap).
     """
     from pyspark.sql import functions as F
 

@@ -1175,3 +1175,104 @@ def test_compact_postings_crash_window_self_heal(spark, tmp_path):
         for r in tx.bm25_from_store(spark, store, terms).collect()
     }
     assert healed == clean
+
+
+def test_convert_postings_layout_roundtrip(spark, tmp_path):
+    """Round-7 bridge: a batch-grown store converts to the streaming
+    layout and can keep growing via the streaming admitter; a
+    stream-grown store converts to the batch layout and can keep
+    growing via append_postings — probe scores stay exactly equal to
+    the inline scorer over the union corpus at every step, and
+    term-bucket pruning survives both directions."""
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.streaming import postings_admitter
+
+    rows_a = [(i, f"alpha beta doc{i}") for i in range(8)]
+    rows_b = [(100 + i, f"alpha gamma doc{100 + i}") for i in range(6)]
+    rows_c = [(200 + i, f"beta gamma doc{200 + i}") for i in range(5)]
+    dfa = generate_input(spark, rows_a, "doc_id bigint, text string")
+    dfb = generate_input(spark, rows_b, "doc_id bigint, text string")
+    dfc = generate_input(spark, rows_c, "doc_id bigint, text string")
+    terms = ["alpha", "beta", "doc102"]
+
+    def probe(store):
+        return {
+            (r.doc_id, r.n_matched, r.score_nano)
+            for r in tx.bm25_from_store(spark, store, terms).collect()
+        }
+
+    def inline(df):
+        return {
+            (r.doc_id, r.n_matched, r.score_nano)
+            for r in tx.bm25_scores(df, terms).collect()
+        }
+
+    # batch-grown -> stream layout -> grow via streaming admitter
+    s1 = str(tmp_path / "b2s")
+    tx.materialize_postings(dfa, s1, n_buckets=8)
+    tx.convert_postings_layout(spark, s1, to="stream")
+    assert probe(s1) == inline(dfa)
+    postings_admitter(s1, n_buckets=8)(dfb, 7)
+    assert probe(s1) == inline(dfa.union(dfb))
+    # converting again is loudly rejected, not silently re-run
+    with pytest.raises(ValueError, match="already"):
+        tx.convert_postings_layout(spark, s1, to="stream")
+
+    # stream-grown -> batch layout -> grow via append_postings
+    s2 = str(tmp_path / "s2b")
+    admit = postings_admitter(s2, n_buckets=8)
+    admit(dfa, 0)
+    admit(dfb, 1)
+    tx.convert_postings_layout(spark, s2, to="batch")
+    assert probe(s2) == inline(dfa.union(dfb))
+    tx.append_postings(dfc, s2)
+    assert probe(s2) == inline(dfa.union(dfb).union(dfc))
+    # pruning still reaches the scan after conversion
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        tx.bm25_from_store(spark, s2, ["alpha"]).explain(True)
+    part = [
+        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+    ]
+    assert part and "term_bucket" in part[0]
+
+
+def test_convert_postings_layout_crash_swap_self_heal(spark, tmp_path):
+    """A convert that crashes AFTER staging completes but before the
+    swap finishes must complete on re-run (the staged dir
+    short-circuits the rewrite; renames are idempotent)."""
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.streaming import postings_admitter
+
+    store = str(tmp_path / "crash")
+    rows = [(i, f"alpha beta doc{i}") for i in range(8)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    admit = postings_admitter(store, n_buckets=8)
+    admit(df, 0)
+
+    # simulate the crash: stage the batch layout fully, then stop
+    # before any rename (this is exactly the state a kill at the
+    # swap boundary leaves behind)
+    out = (
+        spark.read.parquet(store)
+        .drop("_batch_id")
+    )
+    out.write.partitionBy("term_bucket").parquet(store + "__convert")
+    # re-run completes the swap without re-reading a mixed root
+    tx.convert_postings_layout(spark, store, to="batch")
+    got = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_from_store(spark, store, ["alpha", "doc3"]).collect()
+    }
+    exp = {
+        (r.doc_id, r.n_matched, r.score_nano)
+        for r in tx.bm25_scores(df, ["alpha", "doc3"]).collect()
+    }
+    assert got == exp
+    import os
+
+    assert not os.path.exists(store + "__convert")
+    assert not os.path.exists(store + "__convert_old")
