@@ -285,6 +285,85 @@ def winnow_fingerprints(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    divisor: int = 32,
+    k: int = 4,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync boundary idea at
+    token granularity): cut a document AFTER token ``i + k - 1``
+    whenever the hash of the k-gram starting at token ``i`` is ``0
+    mod divisor`` — boundaries depend only on local content, so an
+    insertion early in a document shifts chunk CONTENT but not the
+    boundaries downstream of it (contrast fixed-size chunking, where
+    one inserted token re-chunks everything after it). Expected
+    chunk length ≈ ``divisor`` tokens. The chunk digest stream is
+    the storage-style dedup unit: shared chunks between corpus
+    versions dedupe by digest regardless of position.
+
+    Returns ``(doc_id, chunk_idx, start_tok, n_toks, chunk_digest)``
+    — digest = md5 of the chunk's space-joined tokens. Documents
+    with fewer than ``k`` tokens are one whole-document chunk;
+    zero-token documents yield no rows.
+
+    Shape: pure array expressions (the winnowing k-gram staging —
+    the token array lands as a real column so Catalyst can't
+    inline-duplicate it into the lambda) + one posexplode — linear,
+    no shuffle, no Python. The boundary rule is md5-based, so the
+    oracle replays it exactly.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    staged = df.select(
+        _col(id_col).alias("doc_id"),
+        F.filter(tokens(_col(text)), lambda x: x != "").alias("_t"),
+    )
+    n = F.size(F.col("_t"))
+    # cut positions: AFTER token i+k-1 for qualifying k-gram starts i
+    # (a cut at the last token is a no-op and is excluded)
+    cuts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.when(
+                (n >= k)
+                & (F.pmod(md5_int31(F.array_join(F.slice(F.col("_t"), i, k), " ")), F.lit(int(divisor))) == 0)
+                & (i + k - 1 < n),
+                i + k - 1,
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start_tok"),
+            (e - s + 1).alias("n_toks"),
+            F.md5(F.array_join(F.slice(F.col("_t"), s, e - s + 1), " ")).alias(
+                "chunk_digest"
+            ),
+        ),
+    )
+    out = staged.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "_c")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.col("_c.start_tok").cast("long").alias("start_tok"),
+        F.col("_c.n_toks").cast("long").alias("n_toks"),
+        F.col("_c.chunk_digest"),
+    ).filter(F.col("n_toks") > 0)
+
+
 def hamming64(a: ColumnLike, b: ColumnLike) -> Column:
     """Hamming distance between two 64-bit signatures."""
     return F.bit_count(_col(a).bitwiseXOR(_col(b)))

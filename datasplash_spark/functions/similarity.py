@@ -1871,6 +1871,60 @@ def quantized_topk(
     )
 
 
+def rrf_fuse(
+    scored,
+    k: int = 60,
+    id_col: ColumnLike = "doc_id",
+    score_col: ColumnLike = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR
+    2009) of N independently-scored candidate lists — the standard
+    hybrid-retrieval combiner (BM25 ⊕ dense cosine, plus any other
+    signal): each list ranks deterministically by ``(score DESC, id
+    ASC)``, a doc earns ``1e9 div (k + rank)`` nano-points per list
+    it appears in, and the fused table sums them. Integer division
+    on BIGINT — rank math is engine-exact with no float in sight.
+    Returns ``(doc_id, n_lists, rrf_nano)``.
+
+    Scale: inputs are top-K candidate frames by construction (the
+    output of a retrieval stage, not a corpus), so the per-list
+    global rank window is a K-row single-partition sort and the fuse
+    is one union + one groupBy on K·N rows. Feeding an unbounded
+    corpus-sized frame through a global window would serialize on
+    one task — bound the lists first (``.limit``/top-k), which is
+    also what RRF's rank semantics assume.
+
+    Reference anchor: no analog; retrieval extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    frames = list(scored.values()) if isinstance(scored, dict) else list(scored)
+    if len(frames) < 2:
+        raise ValueError("rrf_fuse: need at least two scored lists")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    out_name = id_col if isinstance(id_col, str) else "doc_id"
+    w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    parts = [
+        f.select(
+            _col(id_col).alias("_id"), _col(score_col).alias("_s")
+        )
+        .withColumn("_rnk", F.row_number().over(w))
+        .select(
+            "_id",
+            F.expr(f"1000000000 DIV (_rnk + {int(k)})").alias("_pts"),
+        )
+        for f in frames
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    return fused.groupBy(F.col("_id").alias(out_name)).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("_pts").alias("rrf_nano"),
+    )
+
+
 def edit_distance_verify(
     df: DataFrame,
     pairs: DataFrame,
@@ -1888,8 +1942,15 @@ def edit_distance_verify(
     Candidate pairs are corpus-rare by construction, so the two text
     joins touch only candidate rows (broadcast when pairs are small;
     shuffle-hash otherwise) and the O(len²) Levenshtein runs
-    JVM-side per surviving pair — never all-pairs. ``dist_ratio``
-    rounds to 6 dp (engine-stable)."""
+    JVM-side per surviving pair — never all-pairs. A LENGTH
+    prefilter runs before the DP: edit distance is at least the
+    length difference, so any pair whose (6-dp-rounded, same as the
+    final ratio) length-gap ratio already exceeds the bound skips
+    the quadratic kernel entirely — EXACT (zero false drops), and at
+    scale it eliminates the LSH false-positive band's worst cells
+    (hash-collision pairs tend to be length-mismatched; true
+    near-dups aren't). ``dist_ratio`` rounds to 6 dp
+    (engine-stable)."""
     ta = df.select(
         _col(id_col).alias("a"), _col(text).alias("_ta")
     )
@@ -1898,12 +1959,17 @@ def edit_distance_verify(
     )
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     longer = F.greatest(F.length("_ta"), F.length("_tb"))
+    len_gap = F.abs(F.length("_ta") - F.length("_tb"))
+    gap_ratio = F.when(
+        longer > 0, len_gap.cast("double") / longer.cast("double")
+    ).otherwise(F.lit(0.0))
     ratio = F.when(longer > 0, dist.cast("double") / longer.cast("double")).otherwise(
         F.lit(0.0)
     )
     return (
         pairs.join(ta, "a")
         .join(tb, "b")
+        .filter(F.round(gap_ratio, 6) <= float(max_dist_ratio))
         .select(
             "a",
             "b",

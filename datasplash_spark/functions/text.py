@@ -112,6 +112,74 @@ def lang_id(text: ColumnLike) -> Column:
     return expr
 
 
+#: Unicode-script character classes for :func:`script_profile` —
+#: BMP ranges only (regex-safe in both Java and RE2), ordered; the
+#: classes are disjoint so the counts partition ``n_chars`` exactly.
+_SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("digit", "[0-9]"),
+    ("space", r"[ \t\r\n]"),
+    ("cjk", "[぀-ヿ㐀-䶿一-鿿가-힯]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+)
+
+
+def script_profile(
+    df,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode-script histogram — the multilingual-
+    curation complement of :func:`lang_id` (which only separates
+    Latin-script languages): counts of Latin, digit, whitespace,
+    CJK (kana+han+hangul), Cyrillic, and Arabic characters, the
+    ``other`` remainder, and ``nonlatin_micro`` = non-Latin letters
+    per million non-space characters — the routing signal for
+    script-specific pipelines and the tripwire for mojibake /
+    mixed-script spam (a nominally-English corpus with
+    ``nonlatin_micro`` spikes has an encoding problem).
+
+    Each count is ``length(text) - length(regexp_replace(text,
+    class, ''))`` — one stateless scan, seven regex passes per row,
+    no shuffle, no Python; the classes are disjoint BMP ranges so
+    the counts partition ``n_chars`` exactly (pinned by the unit
+    test). Flat per-row work at any corpus size.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    t = F.coalesce(_col(text), F.lit(""))
+    total = F.length(t)
+
+    def cnt(pattern: str) -> Column:
+        return total - F.length(F.regexp_replace(t, pattern, ""))
+
+    counts = {name: cnt(p) for name, p in _SCRIPT_CLASSES}
+    known = None
+    for c in counts.values():
+        known = c if known is None else known + c
+    nonspace = total - counts["space"]
+    nonlatin = nonspace - counts["latin"] - counts["digit"]
+    return df.select(
+        _col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_chars"),
+        *[counts[n].cast("long").alias(f"n_{n}") for n, _ in _SCRIPT_CLASSES],
+        (total - known).cast("long").alias("n_other"),
+        F.when(
+            nonspace > 0,
+            # floor of the identical IEEE quotient — engine-exact
+            # (the pagerank discipline; numerator < 2^53 so the
+            # double is the exact integer)
+            F.floor(
+                (nonlatin.cast("long") * F.lit(1_000_000)) / nonspace
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("nonlatin_micro"),
+    )
+
+
 def fingerprint(text: ColumnLike) -> Column:
     """Document fingerprint: md5 over the sorted distinct token bag.
     Robust to word order (bag-of-words identity); oracle-exact via
@@ -1767,6 +1835,142 @@ def append_postings(
     )
     _write_postings_stats(spark, path, stats)
     return stats
+
+
+def ngram_novelty(
+    df,
+    k: int = 3,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty — the data-valuation signal for
+    incremental corpus growth: of a document's DISTINCT word
+    k-shingles, what fraction first appears in THIS document under
+    the corpus's id order (min doc_id owns the gram)? Documents that
+    only re-combine existing phrasing score near 0; genuinely new
+    content scores near 1. Returns ``(doc_id, n_grams, n_novel,
+    novelty_micro)`` with ``novelty_micro = floor(n_novel · 1e6 /
+    n_grams)`` (0-gram docs score 0).
+
+    Shape: one shingle explode → grams shuffle ONCE on a 16-byte
+    md5 digest of the gram (never the gram text — at 100 TB the
+    shuffle width is what hurts) for the min-owner aggregate → join
+    back on (digest) → per-doc count aggregate. Everything
+    partial-aggregates map-side; no Python.
+
+    Reference anchor: no analog; LLM-pipeline extension surface
+    (BASELINE.json north_star)."""
+    from .dedup import shingles
+
+    grams = (
+        df.select(
+            _col(id_col).alias("doc_id"),
+            F.explode(shingles(_col(text), k)).alias("_g"),
+        )
+        # empty docs shingle to [""] — not a gram, not novelty
+        .filter(F.col("_g") != "")
+        .select("doc_id", F.md5(F.col("_g")).alias("_d"))
+    )
+    owner = grams.groupBy("_d").agg(F.min("doc_id").alias("_owner"))
+    per_doc = (
+        grams.join(owner, "_d")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return df.select(_col(id_col).alias("doc_id")).join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.floor(
+                (F.col("n_novel").cast("long") * F.lit(1_000_000))
+                / F.col("n_grams")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("novelty_micro"),
+    )
+
+
+def zipf_slopes(
+    df,
+    text: ColumnLike = "text",
+    key: ColumnLike = "source",
+) -> DataFrame:
+    """Zipf's-law fit per corpus slice — the vocabulary-health audit
+    (natural text follows ``freq ∝ rank^s`` with s ≈ −1; scraped
+    boilerplate, generated spam, and truncated corpora bend the
+    curve): per ``key``, the OLS slope and intercept of ``ln freq ~
+    ln rank`` over the slice's term-frequency table, plus vocab and
+    token counts. Returns ``(key, n_terms, n_tokens, zipf_slope,
+    zipf_intercept)`` with slope/intercept rounded to 6 dp.
+
+    Engine-exactness: per-term ``ln`` values quantize to nano BIGINT
+    before summation (the bm25 discipline — libm ulp differences
+    vanish under 1e-9 rounding), and all four regression sums are
+    decimal(38,0) integer sums (order-independent); the final slope
+    is one double division. Shape: one tokenize pass → (key, term)
+    count → per-key rank window (vocab-sized, not corpus-sized) →
+    one per-key aggregate. Slices with < 2 distinct terms return
+    NULL slope (no line to fit).
+
+    Reference anchor: no analog; corpus-audit extension surface
+    (BASELINE.json north_star)."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            _col(key).alias("key"),
+            F.explode(tokens(_col(text))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("key", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    )
+    nano = lambda c: F.round(F.log(c.cast("double")) * 1e9).cast("long")  # noqa: E731
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).select(
+        "key",
+        "freq",
+        nano(F.col("rnk")).alias("_x"),
+        nano(F.col("freq")).alias("_y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.sum(d(F.col("_x"))).alias("_sx"),
+        F.sum(d(F.col("_y"))).alias("_sy"),
+        F.sum(d(F.col("_x")) * d(F.col("_y"))).alias("_sxy"),
+        F.sum(d(F.col("_x")) * d(F.col("_x"))).alias("_sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("_sx").cast("double") / 1e9
+    sy = F.col("_sy").cast("double") / 1e9
+    sxy = F.col("_sxy").cast("double") / 1e18
+    sxx = F.col("_sxx").cast("double") / 1e18
+    denom = n * sxx - sx * sx
+    slope = F.when(denom > 0, (n * sxy - sx * sy) / denom)
+    return agg.select(
+        "key",
+        F.col("n_terms").cast("long"),
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            F.when(denom > 0, (sy - slope * sx) / n), 6
+        ).alias("zipf_intercept"),
+    )
 
 
 def convert_postings_layout(

@@ -5183,6 +5183,276 @@ SELECT doc_id FROM ranked WHERE rk = 1
 # moving 50-line blocks around). The historical per-round window
 # comments inside the literal are retained as provenance only —
 # literal order is no longer meaningful.
+# --------------------------------------------------------------- round 7
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (3-term lexical query) fused with
+    dense cosine (vec_id=0 query vector) by reciprocal-rank fusion —
+    each list bounded to its deterministic top-100 before fusion
+    (rank membership ties break on id), integer-division rank
+    points, top-20 fused. The oracle replays both scorers and the
+    integer RRF exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (
+        tx.bm25_scores(docs, ["spark", "hash", "window"])
+        .select("doc_id", F.col("score_nano").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(sim.cosine("embedding", "qe"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    fused = sim.rrf_fuse([lex, dense], k=60)
+    return fused.orderBy(F.desc("rrf_nano"), F.asc("doc_id")).limit(20)
+
+
+ORACLE_HYBRID_SEARCH = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), dfq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), st AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), qq AS (
+  SELECT DISTINCT unnest(['spark', 'hash', 'window']) AS term
+), c AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (ln(1 + (st.n_docs - dfq.dfq + 0.5) / (dfq.dfq + 0.5))
+            * ((tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / st.avgdl))))
+           * 1e9) AS BIGINT) AS c
+  FROM tf
+  JOIN qq USING (term)
+  JOIN dfq USING (term)
+  JOIN dl USING (doc_id), st
+), lex AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY doc_id
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         generate_subscripts(e.embedding, 1) AS i
+  FROM embeddings e
+), qflat AS (
+  SELECT unnest(qe)::DOUBLE AS y, generate_subscripts(qe, 1) AS i FROM q
+), dense AS (
+  SELECT f.vec_id AS doc_id,
+         round(CASE WHEN sqrt(sum(f.x * f.x)) * sqrt(sum(qf.y * qf.y)) > 0
+               THEN sum(f.x * qf.y)
+                    / (sqrt(sum(f.x * f.x)) * sqrt(sum(qf.y * qf.y)))
+               ELSE 0 END, 6) AS score
+  FROM flat f JOIN qflat qf USING (i)
+  GROUP BY f.vec_id
+), r1 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM lex
+), r2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM dense
+), u AS (
+  SELECT doc_id, 1000000000 // (60 + rn) AS pts FROM r1 WHERE rn <= 100
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + rn) AS pts FROM r2 WHERE rn <= 100
+)
+SELECT doc_id, count(*) AS n_lists, CAST(sum(pts) AS BIGINT) AS rrf_nano
+FROM u GROUP BY doc_id
+ORDER BY rrf_nano DESC, doc_id LIMIT 20
+"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script histogram (multilingual routing +
+    mojibake tripwire): disjoint char-class counts partitioning
+    n_chars, plus non-Latin-per-million. Stateless regex scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.script_profile(docs)
+
+
+def _script_mix_oracle() -> str:
+    from .functions.text import _SCRIPT_CLASSES
+
+    cols = []
+    for name, pat in _SCRIPT_CLASSES:
+        # DuckDB '...' literals pass backslashes through verbatim, so
+        # RE2 sees the same \t\r\n escapes Java does — don't double
+        p = pat.replace("'", "''")
+        cols.append(
+            f"length(t) - length(regexp_replace(t, '{p}', '', 'g'))"
+            f" AS n_{name}"
+        )
+    known = " + ".join(f"n_{n}" for n, _ in _SCRIPT_CLASSES)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), cnt AS (
+  SELECT doc_id, length(t) AS n_chars, {", ".join(cols)}
+  FROM raw
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       {", ".join(f"CAST(n_{n} AS BIGINT) AS n_{n}" for n, _ in _SCRIPT_CLASSES)},
+       CAST(n_chars - ({known}) AS BIGINT) AS n_other,
+       CAST(CASE WHEN n_chars - n_space > 0
+            THEN floor(((n_chars - n_space - n_latin - n_digit) * 1000000)
+                       / (n_chars - n_space))
+            ELSE 0 END AS BIGINT) AS nonlatin_micro
+FROM cnt
+"""
+
+
+ORACLE_SCRIPT_MIX = _script_mix_oracle()
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: fraction of a doc's distinct
+    3-shingles first owned (min doc_id) by that doc — the
+    incremental-value signal. One digest shuffle, min-owner join."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.ngram_novelty(docs, k=3)
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+), g AS (
+  SELECT doc_id, md5(u.g) AS d FROM sh, unnest(s) AS u(g)
+  WHERE u.g <> ''
+), own AS (
+  SELECT d, min(doc_id) AS owner FROM g GROUP BY d
+), per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN own USING (d) GROUP BY g.doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(CASE WHEN coalesce(n_grams, 0) > 0
+            THEN floor((n_novel * 1000000) / n_grams) ELSE 0 END
+            AS BIGINT) AS novelty_micro
+FROM (SELECT DISTINCT doc_id FROM documents) dd
+LEFT JOIN per ON per.doc_id = dd.doc_id
+"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: md5-gated k-gram boundaries (cut
+    when hash % 32 == 0) — position-independent chunk digests, the
+    storage-style dedup unit. Pure array expressions + one
+    posexplode."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.cdc_chunks(docs, divisor=32, k=4)
+
+
+ORACLE_CDC_CHUNKS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+), cu AS (
+  SELECT doc_id, t, len(t) AS n,
+    list_filter(
+      list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+        i -> CASE WHEN len(t) >= 4
+                  AND (CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)
+                       AS BIGINT) % 2147483648) % 32 = 0
+                  AND i + 3 < len(t)
+             THEN i + 3 END),
+      x -> x IS NOT NULL) AS cuts
+  FROM toks
+), se AS (
+  SELECT doc_id, t, n,
+         list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+         list_append(cuts, n) AS ends
+  FROM cu
+)
+SELECT doc_id,
+       CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+       CAST(starts[u.i] AS BIGINT) AS start_tok,
+       CAST(ends[u.i] - starts[u.i] + 1 AS BIGINT) AS n_toks,
+       md5(array_to_string(t[starts[u.i]:ends[u.i]], ' ')) AS chunk_digest
+FROM se, unnest(range(1, len(starts) + 1)) AS u(i)
+WHERE ends[u.i] - starts[u.i] + 1 > 0
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope/intercept of ln freq ~
+    ln rank over each slice's term table — nano-quantized ln,
+    decimal regression sums (engine-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.zipf_slopes(docs, key="source")
+
+
+ORACLE_ZIPF_FIT = """
+WITH tk AS (
+  SELECT source AS key, u.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS u(term)
+  WHERE u.term <> ''
+), tf AS (
+  SELECT key, term, count(*) AS freq FROM tk GROUP BY key, term
+), rk AS (
+  SELECT key, freq,
+         CAST(round(ln(row_number() OVER (
+           PARTITION BY key ORDER BY freq DESC, term ASC)) * 1e9)
+           AS BIGINT) AS x,
+         CAST(round(ln(freq) * 1e9) AS BIGINT) AS y
+  FROM tf
+), ag AS (
+  SELECT key, count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS n_tokens,
+         sum(CAST(x AS HUGEINT)) AS sx_,
+         sum(CAST(y AS HUGEINT)) AS sy_,
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy_,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx_
+  FROM rk GROUP BY key
+)
+SELECT key, CAST(n_terms AS BIGINT) AS n_terms, n_tokens,
+       round(CASE WHEN CAST(n_terms AS DOUBLE) * (CAST(sxx_ AS DOUBLE) / 1e18)
+                       - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sx_ AS DOUBLE) / 1e9) > 0
+             THEN (CAST(n_terms AS DOUBLE) * (CAST(sxy_ AS DOUBLE) / 1e18)
+                   - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sy_ AS DOUBLE) / 1e9))
+                  / (CAST(n_terms AS DOUBLE) * (CAST(sxx_ AS DOUBLE) / 1e18)
+                     - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sx_ AS DOUBLE) / 1e9))
+             END, 6) AS zipf_slope,
+       round(CASE WHEN CAST(n_terms AS DOUBLE) * (CAST(sxx_ AS DOUBLE) / 1e18)
+                       - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sx_ AS DOUBLE) / 1e9) > 0
+             THEN ((CAST(sy_ AS DOUBLE) / 1e9)
+                   - ((CAST(n_terms AS DOUBLE) * (CAST(sxy_ AS DOUBLE) / 1e18)
+                       - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sy_ AS DOUBLE) / 1e9))
+                      / (CAST(n_terms AS DOUBLE) * (CAST(sxx_ AS DOUBLE) / 1e18)
+                         - (CAST(sx_ AS DOUBLE) / 1e9) * (CAST(sx_ AS DOUBLE) / 1e9)))
+                     * (CAST(sx_ AS DOUBLE) / 1e9))
+                  / CAST(n_terms AS DOUBLE)
+             END, 6) AS zipf_intercept
+FROM ag
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query
@@ -5369,6 +5639,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
         ORACLE_OBJECTMODE_SIDE_OUTPUTS,
     ),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    # --- round 7 ---
+    "hybrid_search": (q_hybrid_search, ORACLE_HYBRID_SEARCH),
+    "script_mix": (q_script_mix, ORACLE_SCRIPT_MIX),
+    "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "cdc_chunks": (q_cdc_chunks, ORACLE_CDC_CHUNKS),
+    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
 }
 
 
@@ -5441,7 +5717,13 @@ _REGATE_R7: list[str] = [
 
 #: Queries ADDED in round 7 (each starts life never-driver-gated, so
 #: each consumes one slot of window headroom — see the invariant).
-_NEW_R7: list[str] = []
+_NEW_R7: list[str] = [
+    "hybrid_search",
+    "script_mix",
+    "ngram_novelty",
+    "cdc_chunks",
+    "zipf_fit",
+]
 
 _WINDOW_HEAD_R7: list[str] = (
     _NEVER_DRIVER_GATED + _R4_SPILL + _REGATE_R7 + _NEW_R7

@@ -192,6 +192,47 @@ def probe(spark, k: int) -> None:
         "budget_batches": lambda: tx.token_budget_batches(docs, 2048)
         .agg(F.sum("batch_tok"))
         .first()[0],
+        # round-7 probes (VERDICT r6 item 6): the verify/mining stages
+        # without a measured tier. edit_verify's law is candidate
+        # count x O(len^2) per candidate — it reuses the lsh_pairs
+        # banding so the candidate volume matches that curve;
+        # winnowing is posexplode-linear; domain_reweight is one
+        # token-scan loss pass + domain-sized iterations.
+        "winnow": lambda: dd.winnow_fingerprints(docs, k=4, w=4)
+        .agg(F.countDistinct("fp"))
+        .first()[0],
+        "edit_verify": lambda: sim.edit_distance_verify(
+            docs,
+            dd.lsh_candidate_pairs(
+                docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
+            ),
+            max_dist_ratio=0.3,
+        ).count(),
+        "domain_reweight": lambda: __import__(
+            "datasplash_spark.operators", fromlist=["operators"]
+        )
+        .domain_reweight(
+            docs.select("doc_id", "source")
+            .join(tx.unigram_doc_scores(docs), "doc_id")
+            .groupBy(F.col("source").alias("domain"))
+            .agg(
+                F.round(
+                    -(
+                        F.sum(
+                            F.col("sum_logp_nano").cast("decimal(38,0)")
+                        ).cast("double")
+                        / F.sum(
+                            F.col("n_toks").cast("decimal(38,0)")
+                        ).cast("double")
+                    )
+                )
+                .cast("long")
+                .alias("loss_nano")
+            ),
+            iterations=5,
+        )
+        .agg(F.sum("weight_nano"))
+        .first()[0],
         "postings": lambda: (
             tx.materialize_postings(
                 docs, f"{WORK}/post_x{k}", n_buckets=64

@@ -2723,6 +2723,24 @@ def test_edit_distance_verify(spark):
     assert got[(1, 2)][0] == 2
     loose = sim.edit_distance_verify(df, pairs, 1.0).collect()
     assert len(loose) == 2
+    # length prefilter exactness (round 7): a pair sitting exactly ON
+    # the bound where dist == length gap must survive (the prefilter
+    # rounds identically to the final ratio), and a pair whose
+    # length gap alone exceeds the bound is dropped without DP —
+    # same result set as the unfiltered form
+    edge = generate_input(
+        spark,
+        [(10, "aaaaaaaaaa"), (11, "aaaaaaaa"), (12, "aa")],
+        "doc_id bigint, text string",
+    )
+    ep = generate_input(spark, [(10, 11), (10, 12)], "a bigint, b bigint")
+    kept = {
+        (r.a, r.b): r.dist
+        for r in sim.edit_distance_verify(edge, ep, 0.2).collect()
+    }
+    # (10,11): gap 2/10 = 0.2 == bound, dist 2 -> kept
+    # (10,12): gap 8/10 = 0.8 > bound -> prefiltered
+    assert kept == {(10, 11): 2}
 
 
 def test_mad_outliers(spark):
@@ -3755,3 +3773,121 @@ def test_explain_pair_signals(spark):
     assert near.edit_distance == 3  # dog -> cat
     assert 0 < near.edit_ratio < far.edit_ratio
     assert far.n_shared_shingles == 0
+
+
+def test_rrf_fuse_integer_points(spark):
+    """rrf_fuse: deterministic (score desc, id asc) ranks, integer
+    1e9 div (k+rank) points, per-doc list count; <2 lists rejected."""
+    a = generate_input(
+        spark, [(1, 9.0), (2, 5.0), (3, 5.0)], "doc_id bigint, score double"
+    )
+    b = generate_input(
+        spark, [(2, 100), (4, 50)], "doc_id bigint, score bigint"
+    )
+    got = {
+        r.doc_id: (r.n_lists, r.rrf_nano)
+        for r in sim.rrf_fuse([a, b], k=60).collect()
+    }
+    # list a ranks: 1->1, 2->2 (5.0 tie broken by id), 3->3
+    # list b ranks: 2->1, 4->2
+    p = lambda rnk: 1_000_000_000 // (60 + rnk)
+    assert got[1] == (1, p(1))
+    assert got[2] == (2, p(2) + p(1))
+    assert got[3] == (1, p(3))
+    assert got[4] == (1, p(2))
+    with pytest.raises(ValueError, match="two"):
+        sim.rrf_fuse([a])
+
+
+def test_script_profile_partitions_chars(spark):
+    """script_profile: disjoint class counts partition n_chars
+    exactly (latin+digit+space+cjk+cyrillic+arabic+other == total),
+    per-class counts match hand counts, NULL text is all zeros."""
+    rows = [
+        (1, "Hello 世界 мир 123"),
+        (2, "abc"),
+        (3, None),
+        (4, "مرحبا بالعالم"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.asDict() for r in tx.script_profile(df).collect()}
+    for d in got.values():
+        parts = (
+            d["n_latin"] + d["n_digit"] + d["n_space"] + d["n_cjk"]
+            + d["n_cyrillic"] + d["n_arabic"] + d["n_other"]
+        )
+        assert parts == d["n_chars"], d
+    assert got[1]["n_cjk"] == 2 and got[1]["n_cyrillic"] == 3
+    assert got[1]["n_digit"] == 3 and got[1]["n_latin"] == 5
+    assert got[2]["n_latin"] == 3 and got[2]["nonlatin_micro"] == 0
+    assert got[3]["n_chars"] == 0 and got[3]["nonlatin_micro"] == 0
+    assert got[4]["n_arabic"] == 12 and got[4]["n_space"] == 1
+    # doc 1 non-space = 13, non-latin letters = 13 - 5 - 3 = 5
+    assert got[1]["nonlatin_micro"] == 5 * 1_000_000 // 13
+
+
+def test_ngram_novelty_min_owner(spark):
+    """ngram_novelty: the lowest doc_id owns each gram; a full copy
+    scores 0; a half-copy scores its new half; 0-gram docs score 0."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact copy -> 0 novel
+        (3, "a b c x y z"),        # shares 'a b c' only
+        (4, ""),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_micro)
+        for r in tx.ngram_novelty(df, k=3).collect()
+    }
+    assert got[1] == (3, 3, 1_000_000)
+    assert got[2] == (3, 0, 0)
+    # doc 3 grams: 'a b c','b c x','c x y','x y z' -> 3 novel of 4
+    assert got[3] == (4, 3, 750_000)
+    assert got[4][2] == 0
+
+
+def test_cdc_chunks_properties(spark):
+    """cdc_chunks: chunks tile the token stream exactly (contiguous,
+    sum == token count); a prefix insertion leaves every chunk AFTER
+    the first boundary digest-identical (the content-defined
+    property fixed-size chunking lacks); short docs are one chunk."""
+    words = " ".join(f"w{i % 97}x{i % 31}" for i in range(400))
+    rows = [(1, words), (2, "tiny doc here"), (3, "prefixtok " + words)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    out = dd.cdc_chunks(df, divisor=8, k=4)
+    rowsby = {}
+    for r in out.collect():
+        rowsby.setdefault(r.doc_id, []).append(r)
+    for did, chunks in rowsby.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        pos = 1
+        for c in chunks:
+            assert c.start_tok == pos, (did, c)
+            pos += c.n_toks
+        n_toks = len([t for t in {1: words, 2: "tiny doc here", 3: "prefixtok " + words}[did].split(" ") if t])
+        assert pos - 1 == n_toks, did
+    assert len(rowsby[2]) == 1 and rowsby[2][0].n_toks == 3
+    d1 = [c.chunk_digest for c in rowsby[1]]
+    d3 = [c.chunk_digest for c in rowsby[3]]
+    assert len(d1) > 2, "fixture too short to exercise boundaries"
+    # all of doc 1's chunks except its first survive the prefix edit
+    assert set(d1[1:]) <= set(d3)
+
+
+def test_zipf_slopes_fit(spark):
+    """zipf_slopes: a synthetic Zipfian slice fits slope ~ -1; a
+    near-singleton slice returns NULL slope (no line); counts are
+    exact."""
+    words = []
+    for i in range(1, 60):
+        words += [f"term{i:03d}"] * max(1, round(600 / i))
+    rows = [(1, " ".join(words), "zipfy"), (2, "solo", "tiny")]
+    df = generate_input(
+        spark, rows, "doc_id bigint, text string, source string"
+    )
+    got = {r.key: r for r in tx.zipf_slopes(df, key="source").collect()}
+    z = got["zipfy"]
+    assert z.n_terms == 59 and z.n_tokens == len(words)
+    assert -1.25 < z.zipf_slope < -0.8, z.zipf_slope
+    assert got["tiny"].zipf_slope is None
