@@ -764,3 +764,68 @@ def test_pagerank_checkpoints_loop_invariants(spark):
     assert len(ed_scans) == 3, plan
     assert "Scan parquet" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
+
+
+def test_script_profile_is_shuffle_free(spark):
+    """script_mix: per-row regex counting — NO Exchange, no Python."""
+    plan = plan_of(_q(spark, "script_mix"), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunks_single_generate_no_shuffle(spark):
+    """cdc_chunks: pure array expressions + ONE posexplode — no
+    Exchange, no Python, exactly one Generate."""
+    plan = plan_of(_q(spark, "cdc_chunks"), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_ngram_novelty_digest_shuffle_partial_agg(spark):
+    """ngram_novelty: grams shuffle on the 16-byte md5 digest (never
+    the gram text) and both aggregates partial-aggregate map-side."""
+    plan = plan_of(_q(spark, "ngram_novelty"), mode="simple")
+    assert "partial_count" in plan or "partial_min" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the gram string itself must not survive past the md5 projection
+    # into any exchange (shuffle width discipline)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_g" not in line, line
+
+
+def test_hybrid_search_windows_are_bounded(spark):
+    """hybrid_search: the two global rank windows run over top-100
+    TakeOrdered results, never the corpus — the plan must bound each
+    window input with a limit/TakeOrdered below it."""
+    plan = plan_of(_q(spark, "hybrid_search"), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    lines = plan.splitlines()
+    win_depths = [
+        _node_depth(l) for l in lines if l.lstrip(" :+-*(0123456789)").startswith("Window")
+    ]
+    assert win_depths, plan
+    # beneath every Window there is a limit stage before any scan
+    for i, l in enumerate(lines):
+        if "Window" in l and "WindowGroupLimit" not in l:
+            d = _node_depth(l)
+            sub = []
+            for m in lines[i + 1 :]:
+                if _node_depth(m) <= d and m.strip():
+                    break
+                sub.append(m)
+            assert any(
+                "TakeOrdered" in s or "GlobalLimit" in s or "Limit" in s
+                for s in sub
+            ), "\n".join([l] + sub)
+
+
+def test_edit_verify_length_prefilter_before_levenshtein(spark):
+    """edit_verify: the length-gap prefilter must sit in the join
+    filter stage so the levenshtein projection only sees surviving
+    pairs."""
+    plan = plan_of(_q(spark, "edit_verify"), mode="simple")
+    assert "levenshtein" in plan, plan
+    # the abs(length-length) gap predicate exists as a Filter
+    assert "abs(" in plan and "length(" in plan, plan
