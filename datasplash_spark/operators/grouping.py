@@ -1254,7 +1254,12 @@ def domain_reweight(
     4. renormalize to mean 1e9 (round(w · N·1e9/Σw)).
 
     The table is domains-sized, so every aggregate is a tiny job;
-    the corpus is only touched by whatever produced the losses.
+    the corpus is only touched by whatever produced the losses —
+    ONCE: the loss table is lazily ``localCheckpoint``-ed before the
+    loop, because each iteration runs two eager aggregates whose
+    lineage would otherwise re-derive the corpus loss pass (measured
+    at the ×100 probe tier: 11 corpus token scans → 1; same fix as
+    ``pagerank``'s loop invariants).
 
     Reference anchor: no analog; mixing extension surface
     (BASELINE.json north_star).
@@ -1263,7 +1268,7 @@ def domain_reweight(
         _col(domain).alias("domain"),
         _col(loss_nano).cast("long").alias("_loss"),
         F.lit(1_000_000_000).cast("long").alias("weight_nano"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(int(iterations)):
         tot = w.agg(
             F.sum(

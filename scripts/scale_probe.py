@@ -205,7 +205,7 @@ def probe(spark, k: int) -> None:
             docs,
             dd.lsh_candidate_pairs(
                 docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
-            ),
+            ).selectExpr("doc_a AS a", "doc_b AS b"),
             max_dist_ratio=0.3,
         ).count(),
         "domain_reweight": lambda: __import__(
