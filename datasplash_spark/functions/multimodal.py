@@ -524,6 +524,188 @@ def resize_images(
     )
 
 
+def decode_wav(raw: bytes) -> dict:
+    """Zero-dependency WAV decode (round 7 — the audio analog of the
+    round-6 PNG unstub: RIFF/WAVE needs only ``struct`` + numpy):
+    PCM 8-bit unsigned and 16-bit signed little-endian, any channel
+    count. Returns ``{"sample_rate", "n_channels", "bit_depth",
+    "n_samples", "samples": int16/uint8 ndarray (frames, channels)}``.
+    Float/compressed codecs raise ``ValueError`` (they genuinely
+    need a codec library — same pluggable-kernel contract as
+    JPEG)."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"wav: non-PCM format {audio_format} unsupported")
+    if bits == 16:
+        arr = np.frombuffer(
+            data[: len(data) - (len(data) % (2 * n_channels))], "<i2"
+        )
+    elif bits == 8:
+        arr = np.frombuffer(
+            data[: len(data) - (len(data) % n_channels)], np.uint8
+        )
+    else:
+        raise ValueError(f"wav: bit depth {bits} unsupported")
+    frames = len(arr) // n_channels if n_channels else 0
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "bit_depth": int(bits),
+        "n_samples": int(frames),
+        "samples": arr[: frames * n_channels].reshape(frames, n_channels),
+    }
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM-16 WAV encoder for int16 ``(frames,)`` or
+    ``(frames, channels)`` arrays — the produce half of the audio
+    round-trip (and the synthetic-corpus generator's backend)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, ch = arr.shape
+    payload = arr.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            ch,
+            sample_rate,
+            sample_rate * ch * 2,
+            ch * 2,
+            16,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+    )
+    return hdr + payload
+
+
+def synthesize_wav_from_text(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    sample_rate: int = 16000,
+    max_samples: int = 2048,
+) -> DataFrame:
+    """Deterministic synthetic audio corpus: per doc, a REAL mono
+    PCM-16 WAV whose samples derive from the text's code points
+    (``((cp · 2654435761) mod 65536) − 32768`` — exact BIGINT math,
+    reproducible in SQL), truncated at ``max_samples``. This is the
+    audio analog of the multimodal text-bytes fixture: it gives the
+    decode/feature plumbing a value-level oracle without shipping
+    binary fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    name_id = id_col if isinstance(id_col, str) else "doc_id"
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            wavs = []
+            for t in b["_t"]:
+                t = (t or "")[: int(max_samples)]
+                codes = (
+                    np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                    .astype(np.int64)
+                )
+                v = ((codes * 2654435761) % 65536 - 32768).astype(np.int16)
+                wavs.append(encode_wav(v, sample_rate))
+            yield pd.DataFrame(
+                {name_id: b[name_id].to_numpy(), "media": wavs}
+            )
+
+    return df.select(
+        _col(id_col).alias(name_id), _col(text).alias("_t")
+    ).mapInPandas(synth, schema=f"{name_id} bigint, media binary")
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bit_depth int, "
+    "n_samples bigint, peak int, sum_sq bigint, zero_crossings bigint, "
+    "ok boolean, err string"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL decoded audio features via ``mapInPandas``: per clip,
+    :func:`decode_wav` header fields plus first-channel signal stats
+    — peak amplitude, exact int64 energy (Σ v²), and strict
+    zero-crossing count. Poison rows (truncated/unknown codec) yield
+    ``ok=false`` + the error instead of failing the stage, the same
+    quarantine contract as :func:`image_features`. Bytes never
+    shuffle; only the typed feature row crosses back."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for doc_id, raw in zip(b[id_col], b[media_col]):
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    d = decode_wav(data)
+                    v = d["samples"][:, 0].astype(np.int64)
+                    peak = int(np.abs(v).max()) if len(v) else 0
+                    sum_sq = int((v * v).sum())
+                    zc = (
+                        int(((v[1:] * v[:-1]) < 0).sum()) if len(v) > 1 else 0
+                    )
+                    rows.append(
+                        (doc_id, d["sample_rate"], d["n_channels"],
+                         d["bit_depth"], d["n_samples"], peak, sum_sq, zc,
+                         True, None)
+                    )
+                except Exception as e:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         False, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "bit_depth",
+                    "n_samples", "peak", "sum_sq", "zero_crossings",
+                    "ok", "err",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def audio_chunk_plan(
     df: DataFrame,
     window_s: float,

@@ -1941,38 +1941,29 @@ def edit_distance_verify(
 
     Candidate pairs are corpus-rare by construction, so the two text
     joins touch only candidate rows (broadcast when pairs are small;
-    shuffle-hash otherwise) and the Levenshtein runs JVM-side per
-    surviving pair — never all-pairs. Two EXACT cost bounds (zero
-    false drops — pinned by tests):
+    shuffle-hash otherwise) and the O(len²) Levenshtein runs
+    JVM-side per surviving pair — never all-pairs. A LENGTH
+    prefilter runs before the DP: edit distance is at least the
+    length difference, so any pair whose (6-dp-rounded, same as the
+    final ratio) length-gap ratio already exceeds the bound skips
+    the quadratic kernel entirely — EXACT (zero false drops), and at
+    scale it eliminates the LSH false-positive band's worst cells
+    (hash-collision pairs tend to be length-mismatched; true
+    near-dups aren't). ``dist_ratio`` rounds to 6 dp (engine-stable).
 
-    - a LENGTH prefilter before the DP: edit distance is at least
-      the length difference, so any pair whose (6-dp-rounded, same
-      as the final ratio) length-gap ratio already exceeds the bound
-      skips the kernel entirely — at scale this kills the LSH
-      false-positive band's worst cells (hash-collision pairs tend
-      to be length-mismatched; true near-dups aren't);
-    - a BANDED DP: the kernel runs with ``threshold = ceil(ratio ·
-      max corpus length)`` (one eager max-length aggregate —
-      Spark's thresholded ``levenshtein`` is O(len·threshold), not
-      O(len²)), returning −1 for pairs beyond it; −1 rows and
-      over-allowance rows are filtered by the same exact ratio
-      predicate, so the result set is identical to the unbanded
-      form while the per-pair cost drops by ~1/ratio.
-
-    ``dist_ratio`` rounds to 6 dp (engine-stable)."""
-    import math
-
+    Deliberately NOT banded: Spark's thresholded ``levenshtein``
+    (O(len·threshold)) with ``threshold = ceil(ratio · max corpus
+    length)`` measured 1.4× SLOWER at the ×100 probe tier (1996 s vs
+    1391 s over 27.1 M candidates) — near-dup candidates are
+    similar-length, so a corpus-max-based band barely prunes while
+    the thresholded kernel costs more per cell (SCALING.md)."""
     ta = df.select(
         _col(id_col).alias("a"), _col(text).alias("_ta")
     )
     tb = df.select(
         _col(id_col).alias("b"), _col(text).alias("_tb")
     )
-    max_len = (
-        df.agg(F.max(F.length(_col(text)))).first()[0] or 0
-    )
-    thr = max(1, int(math.ceil(float(max_dist_ratio) * max_len)))
-    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), thr)
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     longer = F.greatest(F.length("_ta"), F.length("_tb"))
     len_gap = F.abs(F.length("_ta") - F.length("_tb"))
     gap_ratio = F.when(
@@ -1991,10 +1982,7 @@ def edit_distance_verify(
             dist.cast("long").alias("dist"),
             F.round(ratio, 6).alias("dist_ratio"),
         )
-        .filter(
-            (F.col("dist") >= 0)  # −1 = beyond the DP band
-            & (F.col("dist_ratio") <= float(max_dist_ratio))
-        )
+        .filter(F.col("dist_ratio") <= float(max_dist_ratio))
     )
 
 

@@ -5401,6 +5401,56 @@ WHERE ends[u.i] - starts[u.i] + 1 > 0
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end with a VALUE-level oracle: per doc,
+    a real mono PCM-16 WAV synthesized deterministically from the
+    text's code points (encode kernel) → RIFF/WAVE decode + signal
+    stats (decode kernel) — peak, exact int64 energy, strict
+    zero-crossings. The oracle replays the sample formula from the
+    text in SQL; the WAV byte round-trip happens only on the Spark
+    side, so a header/codec bug breaks the hash."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    wavs = mm.synthesize_wav_from_text(docs, max_samples=2048)
+    return mm.audio_features(wavs).select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bit_depth",
+        "n_samples",
+        "peak",
+        "sum_sq",
+        "zero_crossings",
+        "ok",
+    )
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(range(1, least(length(text), 2048) + 1),
+           i -> ((unicode(text[i:i])::BIGINT * 2654435761) % 65536)
+                - 32768) AS v
+  FROM documents
+)
+SELECT doc_id,
+       16000 AS sample_rate,
+       1 AS n_channels,
+       16 AS bit_depth,
+       CAST(len(v) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_max(list_transform(v, x -> abs(x))), 0)
+            AS INT) AS peak,
+       CAST(coalesce(list_aggregate(list_transform(v, x -> x * x),
+                                    'sum'), 0) AS BIGINT) AS sum_sq,
+       CAST(coalesce(len(list_filter(range(2, len(v) + 1),
+                                     i -> v[i] * v[i - 1] < 0)), 0)
+            AS BIGINT) AS zero_crossings,
+       TRUE AS ok
+FROM cp
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per source: OLS slope/intercept of ln freq ~
     ln rank over each slice's term table — nano-quantized ln,
@@ -5645,6 +5695,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
     "cdc_chunks": (q_cdc_chunks, ORACLE_CDC_CHUNKS),
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
+    "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
 }
 
 
@@ -5723,6 +5774,7 @@ _NEW_R7: list[str] = [
     "ngram_novelty",
     "cdc_chunks",
     "zipf_fit",
+    "audio_features",
 ]
 
 _WINDOW_HEAD_R7: list[str] = (

@@ -3891,3 +3891,70 @@ def test_zipf_slopes_fit(spark):
     assert z.n_terms == 59 and z.n_tokens == len(words)
     assert -1.25 < z.zipf_slope < -0.8, z.zipf_slope
     assert got["tiny"].zipf_slope is None
+
+
+def test_wav_roundtrip_and_decode():
+    """Zero-dependency WAV codec: encode/decode round-trips int16
+    mono and stereo exactly; 8-bit PCM and word-aligned odd chunks
+    decode; truncated / non-PCM streams raise."""
+    import struct
+
+    import numpy as np
+
+    mono = (np.arange(-500, 500, 7)).astype(np.int16)
+    d = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert (d["sample_rate"], d["n_channels"], d["bit_depth"]) == (8000, 1, 16)
+    assert np.array_equal(d["samples"][:, 0], mono)
+    st = np.stack([mono, mono[::-1]], axis=1)
+    d2 = mm.decode_wav(mm.encode_wav(st, 44100))
+    assert d2["n_channels"] == 2 and np.array_equal(d2["samples"], st)
+    # hand-built 8-bit mono fixture
+    payload = bytes([0, 128, 255, 64])
+    raw = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    d8 = mm.decode_wav(raw)
+    assert d8["bit_depth"] == 8 and list(d8["samples"][:, 0]) == [0, 128, 255, 64]
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"nope")
+    with pytest.raises(ValueError, match="non-PCM"):
+        bad = raw.replace(
+            struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8),
+            struct.pack("<IHHIIHH", 16, 3, 1, 16000, 16000, 1, 8),
+        )
+        mm.decode_wav(bad)
+
+
+def test_audio_features_pipeline(spark):
+    """synthesize → decode → features matches a direct numpy replay
+    of the sample formula; poison rows quarantine with ok=false."""
+    import numpy as np
+
+    rows = [(1, "hello world"), (2, ""), (3, "aAzZ09")]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    wavs = mm.synthesize_wav_from_text(df)
+    got = {r.doc_id: r for r in mm.audio_features(wavs).collect()}
+
+    def replay(t):
+        codes = np.array([ord(c) for c in t], dtype=np.int64)
+        v = (codes * 2654435761) % 65536 - 32768
+        peak = int(np.abs(v).max()) if len(v) else 0
+        zc = int(((v[1:] * v[:-1]) < 0).sum()) if len(v) > 1 else 0
+        return len(v), peak, int((v * v).sum()), zc
+
+    for did, t in rows:
+        n, peak, ss, zc = replay(t)
+        r = got[did]
+        assert (r.n_samples, r.peak, r.sum_sq, r.zero_crossings) == (
+            n, peak, ss, zc,
+        ), (did, r)
+        assert r.ok and r.sample_rate == 16000 and r.bit_depth == 16
+    poison = generate_input(
+        spark,
+        [(9, bytearray(b"not a wav at all"))],
+        "doc_id bigint, media binary",
+    )
+    p = mm.audio_features(poison).collect()[0]
+    assert p.ok is False and "RIFF" in p.err
