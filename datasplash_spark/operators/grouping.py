@@ -990,6 +990,61 @@ def shuffle_key(
     return F.md5(F.concat(*parts)).alias(alias)
 
 
+def curriculum_order(
+    df: DataFrame,
+    difficulty: ColumnLike,
+    n_stages: int = 3,
+    seed: int = 42,
+    key: ColumnLike | None = None,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Difficulty-staged deterministic training order (curriculum
+    learning, Bengio et al. 2009) — the missing third leg of the
+    training-order family (:func:`global_shuffle` = uniform order,
+    :func:`zorder_key` = locality order, this = staged order): each
+    row lands in difficulty stage 1..n via exact quantile cuts
+    (per-``key`` cuts when given, so one source's difficulty
+    distribution never skews another's stages; global cuts
+    otherwise), and ``curriculum_key`` = zero-padded stage ‖
+    md5(seed‖id) — lexicographic order is easy-stages-first with a
+    deterministic md5 shuffle WITHIN each stage.
+
+    The key is a SORT KEY, not a rank: write the corpus with a
+    range-partitioned sort on it (``repartitionByRange`` +
+    ``sortWithinPartitions`` — the :func:`global_shuffle`
+    discipline), so there is no global window, no single-partition
+    ntile, no rank materialization. A different seed reshuffles
+    within stages without moving anything across stages. Returns the
+    input columns + ``(stage, curriculum_key)``.
+
+    Reference anchor: no analog; training-order extension surface
+    (BASELINE.json north_star)."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    if key is not None:
+        staged = quantile_buckets_per_key(
+            df, difficulty, n_stages, key, bucket_name="stage"
+        )
+    else:
+        staged = quantile_buckets(
+            df, difficulty, n_stages, bucket_name="stage"
+        )
+    ck = F.concat(
+        F.lpad(F.col("stage").cast("string"), 2, "0"),
+        F.lit("-"),
+        F.md5(
+            F.concat(
+                F.lit(str(seed)),
+                F.lit("\x1f"),
+                _col(id_col).cast("string"),
+            )
+        ),
+    )
+    return staged.select(
+        *df.columns, "stage", ck.alias("curriculum_key")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     seed: int,

@@ -5401,6 +5401,40 @@ WHERE ends[u.i] - starts[u.i] + 1 > 0
 """
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: per-source difficulty stages (doc
+    length as the difficulty proxy, exact per-key quantile cuts — no
+    ntile, no window) + a deterministic md5 shuffle within each
+    stage, emitted as a SORT KEY for the range-partitioned write."""
+    from .operators import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curriculum_order(
+        docs, "n_chars", n_stages=3, seed=42, key="source"
+    )
+    return out.select("doc_id", "source", "stage", "curriculum_key")
+
+
+ORACLE_CURRICULUM = """
+WITH cuts AS (
+  SELECT source,
+         percentile_cont(1.0/3) WITHIN GROUP (ORDER BY n_chars) AS c1,
+         percentile_cont(2.0/3) WITHIN GROUP (ORDER BY n_chars) AS c2
+  FROM documents GROUP BY source
+), staged AS (
+  SELECT d.doc_id, d.source,
+         CAST(1 + CASE WHEN d.n_chars >= c.c1 THEN 1 ELSE 0 END
+                + CASE WHEN d.n_chars >= c.c2 THEN 1 ELSE 0 END
+              AS INT) AS stage
+  FROM documents d JOIN cuts c USING (source)
+)
+SELECT doc_id, source, stage,
+       lpad(stage::VARCHAR, 2, '0') || '-'
+         || md5('42' || chr(31) || doc_id::VARCHAR) AS curriculum_key
+FROM staged
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality end-to-end with a VALUE-level oracle: per doc,
     a real mono PCM-16 WAV synthesized deterministically from the
@@ -5696,6 +5730,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_chunks": (q_cdc_chunks, ORACLE_CDC_CHUNKS),
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
+    "curriculum": (q_curriculum, ORACLE_CURRICULUM),
 }
 
 
@@ -5775,6 +5810,7 @@ _NEW_R7: list[str] = [
     "cdc_chunks",
     "zipf_fit",
     "audio_features",
+    "curriculum",
 ]
 
 _WINDOW_HEAD_R7: list[str] = (

@@ -3958,3 +3958,30 @@ def test_audio_features_pipeline(spark):
     )
     p = mm.audio_features(poison).collect()[0]
     assert p.ok is False and "RIFF" in p.err
+
+
+def test_curriculum_order_stages_and_key(spark):
+    """curriculum_order: per-key quantile stages, easy-first sort
+    key with deterministic within-stage shuffle; a seed change moves
+    nothing across stages."""
+    rows = [(i, (i % 10 + 1) * 10, "s" + str(i % 2)) for i in range(40)]
+    df = generate_input(spark, rows, "doc_id bigint, diff int, src string")
+    out = ops.curriculum_order(
+        df, "diff", n_stages=4, seed=1, key="src"
+    ).collect()
+    assert len(out) == 40
+    by_key = sorted(out, key=lambda r: r.curriculum_key)
+    stages = [r.stage for r in by_key]
+    assert stages == sorted(stages), "key order must be stage-major"
+    assert set(stages) == {1, 2, 3, 4}
+    # difficulty is monotone across stages
+    for lo in range(1, 4):
+        hi_min = min(r.diff for r in out if r.stage == lo + 1)
+        lo_max = max(r.diff for r in out if r.stage == lo)
+        assert lo_max <= hi_min
+    out2 = ops.curriculum_order(df, "diff", n_stages=4, seed=2, key="src")
+    s1 = {r.doc_id: r.stage for r in out}
+    s2 = {r.doc_id: r.stage for r in out2.collect()}
+    assert s1 == s2, "seed must only reshuffle within stages"
+    with pytest.raises(ValueError, match="n_stages"):
+        ops.curriculum_order(df, "diff", n_stages=0)
