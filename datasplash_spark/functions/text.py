@@ -116,7 +116,8 @@ def lang_id(text: ColumnLike) -> Column:
 #: BMP ranges only (regex-safe in both Java and RE2), ordered; the
 #: classes are disjoint so the counts partition ``n_chars`` exactly.
 _SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
-    ("latin", "[A-Za-zÀ-ɏ]"),
+    # U+00C0–U+024F minus the two math signs × (D7) ÷ (F7)
+    ("latin", "[A-Za-zÀ-ÖØ-öø-ɏ]"),
     ("digit", "[0-9]"),
     ("space", r"[ \t\r\n]"),
     ("cjk", "[぀-ヿ㐀-䶿一-鿿가-힯]"),
@@ -1852,46 +1853,45 @@ def ngram_novelty(
     novelty_micro)`` with ``novelty_micro = floor(n_novel · 1e6 /
     n_grams)`` (0-gram docs score 0).
 
-    Shape: one shingle explode → grams shuffle ONCE on a 16-byte
-    md5 digest of the gram (never the gram text — at 100 TB the
-    shuffle width is what hurts) for the min-owner aggregate → join
-    back on (digest) → per-doc count aggregate. Everything
+    Shape: ``n_grams`` is a PER-ROW expression (size of the distinct
+    shingle set — no shuffle at all), and ``n_novel`` needs only the
+    min-owner aggregate: one shuffle of 16-byte gram digests (never
+    the gram text — at 100 TB the shuffle width is what hurts), then
+    a vocabulary-sized owner count. The first cut joined the
+    corpus-scale gram stream back onto the owner table — a SECOND
+    corpus-scale shuffle that measured 304 s at the ×100 tier; this
+    form pays one (measured ~2×, SCALING.md). Everything
     partial-aggregates map-side; no Python.
 
     Reference anchor: no analog; LLM-pipeline extension surface
     (BASELINE.json north_star)."""
     from .dedup import shingles
 
-    grams = (
-        df.select(
-            _col(id_col).alias("doc_id"),
-            F.explode(shingles(_col(text), k)).alias("_g"),
-        )
-        # empty docs shingle to [""] — not a gram, not novelty
-        .filter(F.col("_g") != "")
-        .select("doc_id", F.md5(F.col("_g")).alias("_d"))
+    # empty docs shingle to [""] — not a gram, not novelty
+    sh = F.filter(shingles(_col(text), k), lambda x: x != "")
+    base = df.select(
+        _col(id_col).alias("doc_id"),
+        F.size(sh).cast("long").alias("n_grams"),
+        sh.alias("_sh"),
     )
+    grams = base.select(
+        "doc_id", F.explode("_sh").alias("_g")
+    ).select("doc_id", F.md5(F.col("_g")).alias("_d"))
     owner = grams.groupBy("_d").agg(F.min("doc_id").alias("_owner"))
-    per_doc = (
-        grams.join(owner, "_d")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("_owner") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = owner.groupBy(F.col("_owner").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
-    return df.select(_col(id_col).alias("doc_id")).join(
-        per_doc, "doc_id", "left"
-    ).select(
+    return base.drop("_sh").join(novel, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
         F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         F.when(
             F.coalesce("n_grams", F.lit(0)) > 0,
             F.floor(
-                (F.col("n_novel").cast("long") * F.lit(1_000_000))
+                (
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    * F.lit(1_000_000)
+                )
                 / F.col("n_grams")
             ),
         )

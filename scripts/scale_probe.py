@@ -233,6 +233,32 @@ def probe(spark, k: int) -> None:
         )
         .agg(F.sum("weight_nano"))
         .first()[0],
+        # round-7 new-operator tiers: each forces its real output
+        # column (the boilerplate .count()-pruning lesson)
+        "script_profile": lambda: tx.script_profile(docs)
+        .agg(F.sum("nonlatin_micro"))
+        .first()[0],
+        "cdc_chunks": lambda: dd.cdc_chunks(docs, divisor=32, k=4)
+        .agg(F.count(F.lit(1)), F.countDistinct("chunk_digest"))
+        .first()[1],
+        "ngram_novelty": lambda: tx.ngram_novelty(docs, k=3)
+        .agg(F.sum("novelty_micro"))
+        .first()[0],
+        "zipf": lambda: tx.zipf_slopes(docs, key="source")
+        .agg(F.sum("zipf_slope"))
+        .first()[0],
+        "audio": lambda: __import__(
+            "datasplash_spark.functions.multimodal",
+            fromlist=["multimodal"],
+        )
+        .audio_features(
+            __import__(
+                "datasplash_spark.functions.multimodal",
+                fromlist=["multimodal"],
+            ).synthesize_wav_from_text(docs, max_samples=512)
+        )
+        .agg(F.sum("sum_sq"))
+        .first()[0],
         "postings": lambda: (
             tx.materialize_postings(
                 docs, f"{WORK}/post_x{k}", n_buckets=64
