@@ -5735,95 +5735,33 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 7).  The external driver gates exactly the
+# Driver gate order (round 8).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-7 gate contract.
+# round-8 gate contract.
 #
-# Window composition (VERDICT r6 item 1 — land the planned rotation):
-#   1. The 28 round-6 queries that have never had a driver
-#      CORRECTNESS row (gate_sim + tripwire green since they landed).
-#   2. The 10-query r4-green spill deferred from round 6.
-#   3. Re-gates: semantic_dedup / contrastive_pairs — their shared
-#      Arrow salt-block kernel was fixed AFTER the round-6 driver run
-#      (cross-block pair drop, commit 3f962b1), so their r6 rows
-#      predate the current code.
-#   4. _NEW_R7 — queries added during round 7 (capped by the
-#      rotation-debt invariant below).
-# Whatever headroom remains inside the first 50 is auto-filled by the
-# head of _AFTER_WINDOW_R7 (the stalest r5-green block), so the
-# window is always exactly 50 without hand-padding.
-_NEVER_DRIVER_GATED: list[str] = [
-    "winnow_fingerprints",
-    "bpe_pairs",
-    "source_drift",
-    "bpe_tokenize",
-    "textrank",
-    "event_paths",
-    "bigram_lm",
-    "content_manifest",
-    "domain_reweight",
-    "quantized_search",
-    "edit_verify",
-    "mad_outliers",
-    "boilerplate_removal",
-    "subword_fertility",
-    "chat_validate",
-    "chat_turns",
-    "url_normalize",
-    "host_stats",
-    "topic_tags",
-    "embedding_audit",
-    "sentence_chunks",
-    "fk_audit",
-    "bm25_negatives",
-    "length_batches",
-    "budget_batches",
-    "neighbor_report",
-    "sft_tokens",
-    "canary_report",
-]
+# Window composition (VERDICT r7 item 1 — adopt a max-staleness
+# rotation): rotation DEBT (never-gated queries) was retired in round
+# 7; the remaining risk is STALENESS — a query whose newest driver
+# row keeps aging while fresher blocks hog the window. The policy is
+# GREEDY-BY-STALENESS: the window always holds the stalest 50 queries
+# (never-gated counts as infinitely stale), so no query outside the
+# window can ever be staler than one inside it, and with ~150 queries
+# at 50/round nothing ages past ~3 rounds. The import-time invariant
+# below derives each query's newest driver row from the
+# CORRECTNESS_r*.json artifacts themselves (not a hand-kept table)
+# and fails the registry — and therefore every test — if the order
+# violates greedy fill or the staleness cap.
+#
+# Round-8 window = the 46-query r5-green block (stalest: newest
+# driver row is CORRECTNESS_r05, two rounds old — includes the two
+# round-7 single-rep bench outliers stateful_distinct_types /
+# bpe_tokenize and the pre-salt-fix arrow heavies dedup_simhash /
+# dedup_embedding_pairs) + _NEW_R8 (queries added this round, capped
+# by the invariant).
 
-_R4_SPILL: list[str] = [
-    "mapcat_tokens",
-    "distinct",
-    "distinct_by",
-    "partition_by",
-    "concat_count",
-    "setops_intersect",
-    "setops_except",
-    "setops_union",
-    "sample_global",
-    "approx_aggs",
-]
-
-_REGATE_R7: list[str] = [
-    "semantic_dedup",
-    "contrastive_pairs",
-]
-
-#: Queries ADDED in round 7 (each starts life never-driver-gated, so
-#: each consumes one slot of window headroom — see the invariant).
-_NEW_R7: list[str] = [
-    "hybrid_search",
-    "script_mix",
-    "ngram_novelty",
-    "cdc_chunks",
-    "zipf_fit",
-    "audio_features",
-    "curriculum",
-]
-
-_WINDOW_HEAD_R7: list[str] = (
-    _NEVER_DRIVER_GATED + _R4_SPILL + _REGATE_R7 + _NEW_R7
-)
-
-_AFTER_WINDOW_R7: list[str] = [
-    # r5-green block — stalest driver rows (CORRECTNESS_r05); its head
-    # fills the window's remaining slots this round and the rest leads
-    # round 8:
-    "filter_project",
-    "group_by_key",
-    "frequencies",
+#: the r5-green block — every query whose newest driver row is
+#: CORRECTNESS_r05 (order: registry order of rounds 5-7).
+_STALE_R5: list[str] = [
     "keep",
     "frequencies_by",
     "combine_global",
@@ -5870,7 +5808,17 @@ _AFTER_WINDOW_R7: list[str] = [
     "semantic_pack",
     "zorder_key",
     "ann_recall",
-    # r6-green block (CORRECTNESS_r06 48/48 of these; freshest):
+]
+
+#: Queries ADDED in round 8 (each starts life never-driver-gated, so
+#: each consumes one slot of window headroom — see the invariant).
+_NEW_R8: list[str] = []
+
+_WINDOW_HEAD_R8: list[str] = _STALE_R5 + _NEW_R8
+
+_AFTER_WINDOW_R8: list[str] = [
+    # r6-green block (CORRECTNESS_r06; staleness 2 at the r8 run —
+    # leads the round-9 window):
     "sample_per_key",
     "multimodal_features",
     "importance_resample",
@@ -5919,9 +5867,60 @@ _AFTER_WINDOW_R7: list[str] = [
     "objectmode_join",
     "objectmode_side_outputs",
     "pricing_summary",
+    # r7-green block (CORRECTNESS_r07; freshest):
+    "winnow_fingerprints",
+    "bpe_pairs",
+    "source_drift",
+    "bpe_tokenize",
+    "textrank",
+    "event_paths",
+    "bigram_lm",
+    "content_manifest",
+    "domain_reweight",
+    "quantized_search",
+    "edit_verify",
+    "mad_outliers",
+    "boilerplate_removal",
+    "subword_fertility",
+    "chat_validate",
+    "chat_turns",
+    "url_normalize",
+    "host_stats",
+    "topic_tags",
+    "embedding_audit",
+    "sentence_chunks",
+    "fk_audit",
+    "bm25_negatives",
+    "length_batches",
+    "budget_batches",
+    "neighbor_report",
+    "sft_tokens",
+    "canary_report",
+    "mapcat_tokens",
+    "distinct",
+    "distinct_by",
+    "partition_by",
+    "concat_count",
+    "setops_intersect",
+    "setops_except",
+    "setops_union",
+    "sample_global",
+    "approx_aggs",
+    "semantic_dedup",
+    "contrastive_pairs",
+    "hybrid_search",
+    "script_mix",
+    "ngram_novelty",
+    "cdc_chunks",
+    "zipf_fit",
+    "audio_features",
+    "curriculum",
+    "filter_project",
+    "group_by_key",
+    "frequencies",
 ]
 
-_ORDER: list[str] = _WINDOW_HEAD_R7 + _AFTER_WINDOW_R7
+_ORDER: list[str] = _WINDOW_HEAD_R8 + _AFTER_WINDOW_R8
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
 if set(_ORDER) != set(_ALL):
@@ -5930,28 +5929,123 @@ if set(_ORDER) != set(_ALL):
         f"missing={sorted(set(_ALL) - set(_ORDER))} "
         f"extra={sorted(set(_ORDER) - set(_ALL))}"
     )
-# Rotation-debt invariant (VERDICT r6 item 2): every query that has
-# never had a driver CORRECTNESS row MUST sit inside the 50-entry
-# driver window, i.e. the carried backlog plus this round's additions
-# can never exceed 50.  Adding a 51st never-gated query fails import
-# (and therefore every test) until the registry stops over-adding.
+
 _DRIVER_WINDOW = 50
-_never_gated_now = _NEVER_DRIVER_GATED + _NEW_R7
-if len(_never_gated_now) > _DRIVER_WINDOW:
-    raise RuntimeError(
-        f"rotation-debt invariant violated: {len(_never_gated_now)} "
-        f"never-driver-gated queries exceed the {_DRIVER_WINDOW}-row "
-        "driver window — stop adding gated queries this round"
-    )
-_missing_from_window = [
-    q for q in _never_gated_now if q not in _ORDER[:_DRIVER_WINDOW]
-]
-if _missing_from_window:
-    raise RuntimeError(
-        "rotation-debt invariant violated: never-driver-gated queries "
-        f"outside the first {_DRIVER_WINDOW} registry entries: "
-        f"{_missing_from_window}"
-    )
+#: hard staleness backstop: any query whose driver row would be this
+#: many rounds old at the NEXT driver run MUST sit inside the window
+#: (so nothing can ever age past it). Greedy fill keeps the CURRENT
+#: 144-query registry at staleness ≤ 3 on its own; the backstop at 4
+#: is what fails the build if the registry grows past ~200 gated
+#: queries (4 × 50-row windows) without splitting the rotation —
+#: the "stop over-adding" forcing function, same role the round-6
+#: debt invariant played for never-gated queries.
+_MAX_STALENESS = 4
+
+
+def _latest_driver_rows() -> tuple[int, dict[str, int]]:
+    """Newest driver CORRECTNESS row per query, derived from the
+    repo-root ``CORRECTNESS_r*.json`` artifacts (same green criterion
+    as ``scripts/rotation_status.py``: full hash match, or a
+    ``no_oracle`` row with a successful Spark run for the by-design
+    rows-only queries). Returns ``(latest_round, {name: round})``;
+    ``(0, {})`` when no artifacts exist (installed-package case — the
+    staleness invariant then has nothing to check)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    max_round = 0
+    for p in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        entries = data.get("queries") or data
+        if not isinstance(entries, dict):
+            continue
+        max_round = max(max_round, rnd)
+        for name, row in entries.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only_ok = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only_ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return max_round, latest
+
+
+# Max-staleness rotation invariant (VERDICT r7 item 1, generalizing
+# the r6 rotation-DEBT invariant): the window must be a GREEDY fill
+# by staleness — no query outside the first 50 registry entries may
+# be staler than any query inside them (never-driver-gated = +inf,
+# so the old "never-gated must sit inside the window" rule is the
+# special case) — and nothing outside the window may exceed
+# _MAX_STALENESS rounds unless its whole staleness class overflows
+# the window. Both derived from the artifacts at import, so a
+# violation fails the registry (and every test) the moment the order
+# rots, not at judge time.
+def _check_rotation_invariants(
+    order: list[str],
+    max_round: int,
+    latest: dict[str, int],
+    window: int = _DRIVER_WINDOW,
+    cap: int = _MAX_STALENESS,
+) -> None:
+    """Raise ``RuntimeError`` when ``order`` violates the greedy-fill
+    or staleness-cap rule. Factored out of the module body so the
+    rules themselves are unit-testable with synthetic artifacts
+    (``tests/test_plans.py::test_rotation_invariant_fires``)."""
+    if not max_round:
+        return
+
+    def staleness(name: str) -> float:
+        last = latest.get(name)
+        return float("inf") if last is None else float(max_round + 1 - last)
+
+    inside, outside = order[:window], order[window:]
+    inside_min = min(staleness(q) for q in inside)
+    greedy_violators = [q for q in outside if staleness(q) > inside_min]
+    if greedy_violators:
+        raise RuntimeError(
+            "rotation staleness invariant violated: queries outside "
+            f"the {window}-row driver window are staler than the "
+            f"freshest query inside it (inside min staleness "
+            f"{inside_min}): "
+            + ", ".join(
+                f"{q} (staleness {staleness(q)})"
+                for q in greedy_violators[:10]
+            )
+        )
+    cap_violators = [q for q in outside if staleness(q) >= cap]
+    if cap_violators:
+        raise RuntimeError(
+            "rotation staleness invariant violated: queries at the "
+            f"{cap}-round staleness backstop sit outside the driver "
+            "window (the registry has outgrown the rotation rate — "
+            "stop adding gated queries until the backlog drains): "
+            + ", ".join(
+                f"{q} (staleness {staleness(q)})"
+                for q in cap_violators[:10]
+            )
+        )
+
+
+_max_round, _latest_rows = _latest_driver_rows()
+_check_rotation_invariants(_ORDER, _max_round, _latest_rows)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     name: _ALL[name] for name in _ORDER

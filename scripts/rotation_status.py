@@ -27,36 +27,18 @@ END = "<!-- rotation-status:end -->"
 def build_section() -> str:
     from datasplash_spark import queries as Q
 
-    latest_green: dict[str, int] = {}
-    rounds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
-        rounds.append(rnd)
-        data = json.load(open(path))
-        entries = data.get("queries") or data
-        for name, row in entries.items():
-            if not isinstance(row, dict):
-                continue
-            # driver-green = full hash match; a no_oracle row with a
-            # successful Spark run counts as the (weaker, by-design)
-            # rows-only driver row
-            green = bool(
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            )
-            rows_only_ok = (
-                row.get("err") == "no_oracle"
-                and (row.get("spark_rows") or 0) >= 0
-                and row.get("spark_rows") is not None
-            )
-            if green or rows_only_ok:
-                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    # same green criterion as the registry's import-time staleness
+    # invariant — ONE parser, so this report can never disagree with
+    # what the invariant enforces
+    latest_round, latest_green = Q._latest_driver_rows()
+    rounds = sorted(
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
 
     names = list(Q.queries())
     rows_only = Q.rows_only()
     window = set(names[:50])
-    latest_round = max(rounds) if rounds else 0
 
     buckets: dict[str, list[str]] = {}
     for name in names:
@@ -100,6 +82,34 @@ def build_section() -> str:
             for n in qnames
         )
         lines.append(f"| {tag} ({len(qnames)}) | {stale} | {shown} |")
+    # staleness histogram (VERDICT r7 item 9): rounds-old at the NEXT
+    # driver run, by window membership — the at-a-glance view of the
+    # greedy-fill invariant's state
+    hist: dict[tuple[str, str], int] = {}
+    for n in names:
+        last = latest_green.get(n)
+        s = "never" if last is None else str(latest_round + 1 - last)
+        loc = "in window" if n in window else "outside"
+        hist[(s, loc)] = hist.get((s, loc), 0) + 1
+    lines += [
+        "",
+        "Staleness histogram (rounds since newest driver row, measured",
+        f"at the next driver run r{latest_round + 1}; the import-time",
+        "invariant in `queries.py` enforces greedy-fill — nothing",
+        "outside the window may be staler than anything inside — and a",
+        "hard in-window backstop at staleness 4):",
+        "",
+        "| Staleness | In window | Outside |",
+        "| --- | --- | --- |",
+    ]
+    for s in sorted(
+        {k[0] for k in hist},
+        key=lambda v: (v != "never", -int(v) if v != "never" else 0),
+    ):
+        lines.append(
+            f"| {s} | {hist.get((s, 'in window'), 0)} "
+            f"| {hist.get((s, 'outside'), 0)} |"
+        )
     in_window_unproven = [
         n for n in names[:50] if n not in latest_green and n not in rows_only
     ]

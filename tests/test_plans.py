@@ -829,3 +829,45 @@ def test_edit_verify_length_prefilter_before_levenshtein(spark):
     assert "levenshtein" in plan, plan
     # the abs(length-length) gap predicate exists as a Filter
     assert "abs(" in plan and "length(" in plan, plan
+
+
+def test_rotation_invariant_fires():
+    """The greedy-by-staleness rotation invariant (queries.py) must
+    reject (a) a window that skips a staler query, (b) an out-of-
+    window query past the staleness cap when its class would fit,
+    and accept (c) the overflow relief when one staleness class is
+    bigger than the window, plus (d) the live registry order."""
+    import pytest
+
+    from datasplash_spark import queries as Q
+
+    check = Q._check_rotation_invariants
+
+    # (a) greedy violation: q0 (never gated, inf) sits OUTSIDE a
+    # 2-row window holding fresher queries
+    latest = {"a": 5, "b": 5, "q0": None}
+    with pytest.raises(RuntimeError, match="staler than"):
+        check(["a", "b", "q0"], max_round=5, latest=latest, window=2)
+    # fixed order passes
+    check(["q0", "a", "b"], max_round=5, latest=latest, window=2)
+
+    # (b) backstop violation: "old" last gated r1 (staleness 5 ≥ the
+    # cap) outside the window — fires even though greedy fill holds
+    # (the window is full of staler never-gated queries): the
+    # registry outgrew the rotation rate
+    latest = {"w1": None, "w2": None, "old": 1}
+    with pytest.raises(RuntimeError, match="backstop"):
+        check(
+            ["w1", "w2", "old"], max_round=5, latest=latest,
+            window=2, cap=3,
+        )
+
+    # (c) below the backstop, greedy fill alone decides: staleness 3
+    # outside a window of never-gated queries passes with cap=4
+    latest = {"n1": None, "n2": None, "mid": 3}
+    check(
+        ["n1", "n2", "mid"], max_round=5, latest=latest, window=2, cap=4
+    )
+
+    # (d) the live registry order passes against the real artifacts
+    check(Q._ORDER, *reversed([Q._latest_rows, Q._max_round]))
