@@ -8,14 +8,18 @@
 
 (keys are the registry names from ``queries()``). Per-query timing =
 full plan → action (count) wall time, after a warm-up action that
-absorbs session + JVM startup. Sub-second queries are run TWICE and
-report the MIN (VERDICT r6 item 4: with 141 queries in one JVM,
-scheduler/GC density injects ±0.2s spikes that read as fake 1.5×
-regressions on 0.4s queries; the min of 2 reps is stable while >1s
-queries — where a real regression is visible above the noise floor —
-stay single-rep to bound total wall). Rep counts land in the local
-artifact (``reps``). A failing query records -1 for that key and the
-run continues — the JSON line is always emitted.
+absorbs session + JVM startup. Queries under 3 s run TWICE and
+report the MIN (VERDICT r6 item 4 + r7 item 3: with ~150 queries in
+one JVM, scheduler/GC density injects spikes that read as fake 1.5×
+regressions; round 7's two ambiguous movers — stateful_distinct_types
+0.88→1.49 s, bpe_tokenize 2.07→2.48 s — both sat in the former
+single-rep 1–3 s band, so the band is now min-of-2 too). Queries ≥3 s
+stay single-rep to bound total wall UNLESS their first rep deviates
+more than 1.5× from the previous round's BENCH_LOCAL value — then a
+confirmation rep runs, so every >1.5× mover in the artifact carries
+≥2 reps by construction. Rep counts land in the local artifact
+(``reps``). A failing query records -1 for that key and the run
+continues — the JSON line is always emitted.
 """
 
 from __future__ import annotations
@@ -265,10 +269,33 @@ def main() -> int:
         failed.append("bench_ann_store_probe")
         print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
 
+    # previous round's per-query walls, for the >1.5×-mover re-rep
+    # rule (missing/failed entries simply get no comparison)
+    prev_walls: dict[str, float] = {}
+    try:
+        import glob as _glob
+        import re as _re
+
+        _here = os.path.dirname(os.path.abspath(__file__))
+        _locals = sorted(
+            _glob.glob(os.path.join(_here, "BENCH_LOCAL_r*.json")),
+            key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+        )
+        if _locals:
+            with open(_locals[-1]) as fh:
+                prev_walls = {
+                    k: v
+                    for k, v in (json.load(fh).get("queries") or {}).items()
+                    if isinstance(v, (int, float)) and v > 0
+                }
+    except Exception as e:
+        print(f"# prev-walls warning: {e}", file=sys.stderr)
+
     reps: dict[str, int] = {}
     for name, fn in Q.queries().items():
         best = -1.0
         n = -1
+        prev = prev_walls.get(name)
         try:
             for rep in range(2):
                 t0 = time.time()
@@ -277,9 +304,14 @@ def main() -> int:
                 best = dt if rep == 0 else min(best, dt)
                 reps[name] = rep + 1
                 _hygiene(spark)
-                if best >= 1.0:
-                    # real regressions on >1s queries clear the noise
-                    # floor on their own; don't double total wall
+                moved = prev is not None and (
+                    best > prev * 1.5 or best < prev / 1.5
+                )
+                if best >= 3.0 and not moved:
+                    # real regressions on ≥3s queries clear the noise
+                    # floor on their own; don't double total wall —
+                    # but any >1.5× round-over-round mover gets a
+                    # confirmation rep regardless of band
                     break
         except Exception as e:  # record and continue; always emit JSON
             timings[name] = -1.0
