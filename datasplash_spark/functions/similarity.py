@@ -1876,6 +1876,7 @@ def rrf_fuse(
     k: int = 60,
     id_col: ColumnLike = "doc_id",
     score_col: ColumnLike = "score",
+    max_list_rows: int | None = 10_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR
     2009) of N independently-scored candidate lists — the standard
@@ -1892,7 +1893,13 @@ def rrf_fuse(
     is one union + one groupBy on K·N rows. Feeding an unbounded
     corpus-sized frame through a global window would serialize on
     one task — bound the lists first (``.limit``/top-k), which is
-    also what RRF's rank semantics assume.
+    also what RRF's rank semantics assume. ``max_list_rows``
+    (VERDICT r7 item 4) enforces that precondition at the API edge:
+    each list is probe-counted (a ``limit(max+1).count()`` — a tiny
+    job on a conforming top-K frame, an early-abort scan on a
+    corpus-sized one) and a list exceeding the bound raises instead
+    of silently serializing on one task. Pass ``None`` to skip the
+    probes when the caller already guarantees boundedness.
 
     Reference anchor: no analog; retrieval extension surface
     (BASELINE.json north_star)."""
@@ -1903,6 +1910,18 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: need at least two scored lists")
     if k < 1:
         raise ValueError("rrf_fuse: k must be >= 1")
+    if max_list_rows is not None:
+        if max_list_rows < 1:
+            raise ValueError("rrf_fuse: max_list_rows must be >= 1")
+        for i, f in enumerate(frames):
+            if f.limit(int(max_list_rows) + 1).count() > max_list_rows:
+                raise ValueError(
+                    f"rrf_fuse: scored list {i} exceeds max_list_rows="
+                    f"{max_list_rows}; RRF expects bounded top-K "
+                    "candidate lists (rank over an unbounded frame "
+                    "serializes on one task) — .limit() the list or "
+                    "raise/disable max_list_rows explicitly"
+                )
     out_name = id_col if isinstance(id_col, str) else "doc_id"
     w = Window.orderBy(F.col("_s").desc(), F.col("_id").asc())
     parts = [

@@ -3799,6 +3799,27 @@ def test_rrf_fuse_integer_points(spark):
         sim.rrf_fuse([a])
 
 
+def test_rrf_fuse_bounds_unbounded_lists(spark):
+    """rrf_fuse max_list_rows guard (VERDICT r7 item 4): a list
+    bigger than the bound raises instead of silently serializing the
+    rank window on one task; a conforming list passes; None skips
+    the probe entirely."""
+    big = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("score")
+    )
+    small = generate_input(
+        spark, [(1, 2.0), (2, 1.0)], "doc_id bigint, score double"
+    )
+    with pytest.raises(ValueError, match="max_list_rows"):
+        sim.rrf_fuse([big, small], max_list_rows=10)
+    # bound respected -> normal fuse
+    assert sim.rrf_fuse([big, small], max_list_rows=50).count() == 50
+    # opt-out skips the probe (still correct on bounded inputs)
+    assert sim.rrf_fuse([big, small], max_list_rows=None).count() == 50
+    with pytest.raises(ValueError, match=">= 1"):
+        sim.rrf_fuse([big, small], max_list_rows=0)
+
+
 def test_script_profile_partitions_chars(spark):
     """script_profile: disjoint class counts partition n_chars
     exactly (latin+digit+space+cjk+cyrillic+arabic+other == total),
