@@ -527,12 +527,18 @@ def resize_images(
 def decode_wav(raw: bytes) -> dict:
     """Zero-dependency WAV decode (round 7 — the audio analog of the
     round-6 PNG unstub: RIFF/WAVE needs only ``struct`` + numpy):
-    PCM 8-bit unsigned and 16-bit signed little-endian, any channel
-    count. Returns ``{"sample_rate", "n_channels", "bit_depth",
+    integer PCM (format 1: 8-bit unsigned, 16-bit signed LE) and —
+    since round 8 (VERDICT r7 item 6) — IEEE float (format 3: 32/64
+    bit), the most common real-corpus variant after PCM, any channel
+    count in all cases. Float samples convert to the int16 domain
+    (clip [-1, 1] → round(v · 32767)) so every downstream consumer
+    sees ONE integer sample type; ``bit_depth`` reports the SOURCE
+    precision and ``audio_format`` the source codec. Returns
+    ``{"sample_rate", "n_channels", "bit_depth", "audio_format",
     "n_samples", "samples": int16/uint8 ndarray (frames, channels)}``.
-    Float/compressed codecs raise ``ValueError`` (they genuinely
-    need a codec library — same pluggable-kernel contract as
-    JPEG)."""
+    Compressed codecs (ADPCM, mp3-in-RIFF, …) raise ``ValueError``
+    (they genuinely need a codec library — same pluggable-kernel
+    contract as JPEG)."""
     import struct
 
     import numpy as np
@@ -554,23 +560,35 @@ def decode_wav(raw: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("wav: missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"wav: non-PCM format {audio_format} unsupported")
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         arr = np.frombuffer(
             data[: len(data) - (len(data) % (2 * n_channels))], "<i2"
         )
-    elif bits == 8:
+    elif audio_format == 1 and bits == 8:
         arr = np.frombuffer(
             data[: len(data) - (len(data) % n_channels)], np.uint8
         )
+    elif audio_format == 3 and bits in (32, 64):
+        width = bits // 8
+        fl = np.frombuffer(
+            data[: len(data) - (len(data) % (width * n_channels))],
+            "<f4" if bits == 32 else "<f8",
+        )
+        arr = np.round(np.clip(fl, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif audio_format == 1:
+        raise ValueError(f"wav: PCM bit depth {bits} unsupported")
+    elif audio_format == 3:
+        raise ValueError(f"wav: float bit depth {bits} unsupported")
     else:
-        raise ValueError(f"wav: bit depth {bits} unsupported")
+        raise ValueError(
+            f"wav: compressed format {audio_format} unsupported"
+        )
     frames = len(arr) // n_channels if n_channels else 0
     return {
         "sample_rate": int(sample_rate),
         "n_channels": int(n_channels),
         "bit_depth": int(bits),
+        "audio_format": int(audio_format),
         "n_samples": int(frames),
         "samples": arr[: frames * n_channels].reshape(frames, n_channels),
     }
@@ -603,6 +621,40 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
             sample_rate * ch * 2,
             ch * 2,
             16,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+    )
+    return hdr + payload
+
+
+def encode_wav_float(samples, sample_rate: int = 16000) -> bytes:
+    """IEEE-float (format 3, 32-bit) WAV encoder for float ``(frames,)``
+    or ``(frames, channels)`` arrays in [-1, 1] — fixture/synthesis
+    backend for the float decode path (:func:`decode_wav` format 3)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, ch = arr.shape
+    payload = arr.astype("<f4").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            3,
+            ch,
+            sample_rate,
+            sample_rate * ch * 4,
+            ch * 4,
+            32,
         )
         + b"data"
         + struct.pack("<I", len(payload))

@@ -3940,12 +3940,89 @@ def test_wav_roundtrip_and_decode():
     assert d8["bit_depth"] == 8 and list(d8["samples"][:, 0]) == [0, 128, 255, 64]
     with pytest.raises(ValueError, match="RIFF"):
         mm.decode_wav(b"nope")
-    with pytest.raises(ValueError, match="non-PCM"):
+    # format 3 with a non-float bit depth is a malformed float stream
+    with pytest.raises(ValueError, match="float bit depth"):
         bad = raw.replace(
             struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8),
             struct.pack("<IHHIIHH", 16, 3, 1, 16000, 16000, 1, 8),
         )
         mm.decode_wav(bad)
+    # genuinely compressed codecs (ADPCM = format 2) stay rejected
+    with pytest.raises(ValueError, match="compressed format 2"):
+        bad = raw.replace(
+            struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8),
+            struct.pack("<IHHIIHH", 16, 2, 1, 16000, 16000, 1, 8),
+        )
+        mm.decode_wav(bad)
+
+
+def test_wav_float_decode():
+    """IEEE-float WAV (format 3, VERDICT r7 item 6): 32-bit mono and
+    stereo round-trip through the int16 conversion (clip ± round),
+    64-bit decodes, out-of-range samples clip instead of wrapping,
+    and the source codec/precision are reported."""
+    import struct
+
+    import numpy as np
+
+    v = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.25], dtype=np.float32)
+    d = mm.decode_wav(mm.encode_wav_float(v, 22050))
+    assert (d["sample_rate"], d["n_channels"]) == (22050, 1)
+    assert (d["audio_format"], d["bit_depth"]) == (3, 32)
+    want = np.round(np.clip(v, -1, 1) * 32767).astype(np.int16)
+    assert np.array_equal(d["samples"][:, 0], want)
+    # stereo
+    st = np.stack([v, -v], axis=1)
+    d2 = mm.decode_wav(mm.encode_wav_float(st, 8000))
+    assert d2["n_channels"] == 2 and d2["n_samples"] == len(v)
+    assert np.array_equal(
+        d2["samples"],
+        np.round(np.clip(st, -1, 1) * 32767).astype(np.int16),
+    )
+    # clipping: ±2.0 lands exactly on ±32767, no int16 wraparound
+    dc = mm.decode_wav(
+        mm.encode_wav_float(np.array([2.0, -2.0], dtype=np.float32))
+    )
+    assert list(dc["samples"][:, 0]) == [32767, -32767]
+    # hand-built float64 fixture (format 3, bits 64)
+    f64 = np.array([0.5, -0.25], dtype="<f8").tobytes()
+    raw64 = (
+        b"RIFF" + struct.pack("<I", 36 + len(f64)) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 3, 1, 48000, 48000 * 8, 8, 64)
+        + b"data" + struct.pack("<I", len(f64)) + f64
+    )
+    d64 = mm.decode_wav(raw64)
+    assert (d64["audio_format"], d64["bit_depth"]) == (3, 64)
+    assert list(d64["samples"][:, 0]) == [16384, -8192]
+
+
+def test_audio_features_mixed_pcm_float_corpus(spark):
+    """audio_features over a MIXED corpus — PCM-16, float32, and a
+    poison row in one frame — extracts per-codec features without
+    the float rows poisoning the stage (the r7 quarantine contract
+    extended to format 3)."""
+    import numpy as np
+
+    pcm = mm.encode_wav(np.array([100, -200, 300], dtype=np.int16), 8000)
+    flt = mm.encode_wav_float(
+        np.array([0.5, -0.5, 0.5], dtype=np.float32), 16000
+    )
+    df = generate_input(
+        spark,
+        [
+            (1, bytearray(pcm)),
+            (2, bytearray(flt)),
+            (3, bytearray(b"junk")),
+        ],
+        "doc_id bigint, media binary",
+    )
+    got = {r.doc_id: r for r in mm.audio_features(df).collect()}
+    assert got[1].ok and got[1].bit_depth == 16 and got[1].peak == 300
+    assert got[2].ok and got[2].bit_depth == 32
+    assert got[2].peak == 16384 and got[2].zero_crossings == 2
+    assert got[2].sum_sq == 3 * 16384 * 16384
+    assert got[3].ok is False and "RIFF" in got[3].err
 
 
 def test_audio_features_pipeline(spark):
