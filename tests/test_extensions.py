@@ -4083,3 +4083,143 @@ def test_curriculum_order_stages_and_key(spark):
     assert s1 == s2, "seed must only reshuffle within stages"
     with pytest.raises(ValueError, match="n_stages"):
         ops.curriculum_order(df, "diff", n_stages=0)
+
+
+# ---------------------------------------------------------------------
+# JPEG baseline codec (round 8, VERDICT r7 item 2)
+# ---------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    """encode→decode round-trips smooth gradients within tight JPEG
+    error bounds, exact dims on non-multiple-of-8 images, flat color
+    is lossless, and the stream is a real JFIF (SOI/APP0 magic)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    h, w = 13, 21
+    gray = ((np.arange(h)[:, None] * 7 + np.arange(w)[None, :] * 5) % 256).astype(
+        np.uint8
+    )
+    raw = J.encode_jpeg_baseline(gray, quality=90)
+    assert raw[:3] == b"\xff\xd8\xff" and raw[6:10] == b"JFIF"
+    d = J.decode_jpeg(raw)
+    assert (d["width"], d["height"], d["channels"], d["mode"]) == (
+        w, h, 1, "L",
+    )
+    err = np.abs(d["pixels"][:, :, 0].astype(int) - gray.astype(int))
+    assert err.mean() < 2 and err.max() <= 10, (err.mean(), err.max())
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    rgb = np.stack(
+        [(yy * 9) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], axis=2
+    ).astype(np.uint8)
+    d2 = J.decode_jpeg(J.encode_jpeg_baseline(rgb, quality=92))
+    assert (d2["width"], d2["height"], d2["channels"], d2["mode"]) == (
+        17, 24, 3, "RGB",
+    )
+    err2 = np.abs(d2["pixels"].astype(int) - rgb.astype(int))
+    assert err2.mean() < 2 and err2.max() <= 12, (err2.mean(), err2.max())
+
+    flat = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    d3 = J.decode_jpeg(J.encode_jpeg_baseline(flat, quality=85))
+    assert np.array_equal(d3["pixels"], flat)
+
+
+def test_jpeg_subsampled_and_restart_markers():
+    """4:2:0 streams decode through the replication upsampler within
+    chroma-smooth error bounds; DRI/RSTn streams decode bit-identically
+    to their marker-free twin (predictor reset + realign correct)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    yy, xx = np.mgrid[0:37, 0:29]
+    img = np.stack(
+        [
+            (yy * 3 + xx * 2) % 200 + 20,
+            (yy * 2 + 60) % 180 + 30,
+            (xx * 2 + 80) % 150 + 40,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    raw = J.encode_jpeg_baseline(img, quality=90, subsample=True)
+    d = J.decode_jpeg(raw)
+    assert (d["width"], d["height"]) == (29, 37)
+    err = np.abs(d["pixels"].astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 16, (err.mean(), err.max())
+
+    base = J.decode_jpeg(J.encode_jpeg_baseline(img, quality=88))["pixels"]
+    for ri in (1, 3, 7):
+        got = J.decode_jpeg(
+            J.encode_jpeg_baseline(img, quality=88, restart_interval=ri)
+        )["pixels"]
+        assert np.array_equal(base, got), f"restart_interval={ri}"
+    # 4:2:0 with restarts too (multi-block MCUs + predictor resets)
+    sub_base = J.decode_jpeg(
+        J.encode_jpeg_baseline(img, quality=88, subsample=True)
+    )["pixels"]
+    sub_rst = J.decode_jpeg(
+        J.encode_jpeg_baseline(
+            img, quality=88, subsample=True, restart_interval=2
+        )
+    )["pixels"]
+    assert np.array_equal(sub_base, sub_rst)
+
+
+def test_jpeg_rejects_unsupported_and_truncated():
+    """Progressive (SOF2) raises naming the feature; truncated
+    entropy data raises; both quarantine through image_features
+    instead of failing the stage; decode_image dispatches on the
+    JPEG magic."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    raw = J.encode_jpeg_baseline(img, quality=85)
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be named
+    prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
+        J.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(raw[: len(raw) - 8])
+    # decode_image magic dispatch == direct decode
+    d = mm.decode_image(raw)
+    assert d["mode"] == "L" and d["width"] == 8 and d["bit_depth"] == 8
+    assert np.array_equal(d["pixels"], J.decode_jpeg(raw)["pixels"])
+
+
+def test_image_features_mixed_png_jpeg_corpus(spark):
+    """image_features over a MIXED corpus — PNG, 4:4:4 JPEG, 4:2:0
+    JPEG, progressive-JPEG poison — extracts real dims per format
+    with the quarantine contract intact."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    rgb = np.tile(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3), (3, 5, 1)
+    )  # 12x20x3
+    png = mm.encode_png(rgb)
+    j444 = J.encode_jpeg_baseline(rgb, quality=90)
+    j420 = J.encode_jpeg_baseline(rgb, quality=90, subsample=True)
+    poison = j444.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df = generate_input(
+        spark,
+        [
+            (1, bytearray(png)),
+            (2, bytearray(j444)),
+            (3, bytearray(j420)),
+            (4, bytearray(poison)),
+        ],
+        "doc_id bigint, media binary",
+    )
+    got = {r.doc_id: r for r in mm.image_features(df).collect()}
+    for did in (1, 2, 3):
+        r = got[did]
+        assert (r.width, r.height, r.channels, r.mode, r.ok) == (
+            20, 12, 3, "RGB", True,
+        ), r
+    assert got[4].ok is False and "progressive" in got[4].err
