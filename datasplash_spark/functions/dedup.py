@@ -1469,3 +1469,66 @@ def explain_pair(
             "edit_ratio"
         ),
     )
+
+
+def word_paragraphs(text: ColumnLike, words_per_para: int = 10) -> Column:
+    """Re-chunk a flat word stream into fixed-width pseudo-paragraphs
+    (``words_per_para`` words each, last one ragged) — the synthetic
+    paragraph source for corpora whose text carries no newlines.
+    Pure array expressions: split → index sequence → slice+join per
+    chunk; no shuffle, no Python."""
+    t = _col(text)
+    ws = F.split(t, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 1, F.lit(int(words_per_para))),
+        lambda i: F.array_join(
+            F.slice(ws, i + 1, F.lit(int(words_per_para))), " "
+        ),
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    paras: ColumnLike,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Cross-corpus EXACT paragraph dedup with keep-first semantics
+    (the CCNet/C4 paragraph pass, one granularity below document
+    dedup): explode the paragraph arrays, digest each paragraph to
+    md5, and keep exactly the occurrence with the smallest
+    ``(doc_id, para_idx)`` per digest. Returns one row per paragraph
+    occurrence: ``(doc_id, para_idx, para_digest, keep)`` — filter
+    ``keep`` and re-join/re-assemble per doc, or aggregate for a
+    dedup report.
+
+    Scale: ONE shuffle, and it is digest-keyed — the window
+    partitions by the 16-byte md5 (never the paragraph text; texts
+    stay where they exploded) and each partition is one duplicate
+    set, so skew is bounded by the most-duplicated paragraph (the
+    boilerplate case — exactly what CCNet measures; a pathological
+    mega-cluster only ranks within itself). No corpus-scale join
+    back: `keep` is decided in the window projection.
+
+    Reference anchor: distinct-by (core.clj:1182) is the
+    document-level cousin; paragraph granularity is north-star
+    extension surface."""
+    from pyspark.sql import Window
+
+    src = df.select(
+        _col(id_col).alias("doc_id"),
+        F.posexplode(_col(paras)).alias("para_idx", "_para"),
+    ).select(
+        "doc_id",
+        "para_idx",
+        F.md5(F.col("_para")).alias("para_digest"),
+    )
+    w = (
+        Window.partitionBy("para_digest")
+        .orderBy(F.col("doc_id").asc(), F.col("para_idx").asc())
+    )
+    return src.select(
+        "doc_id",
+        "para_idx",
+        "para_digest",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

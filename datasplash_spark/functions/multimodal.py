@@ -408,7 +408,10 @@ IMAGE_FEATURE_SCHEMA = (
 
 
 def image_features(
-    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """REAL decoded image metadata via ``mapInPandas``: per image,
     :func:`decode_image` dimensions/channels/mode. Undecodable rows
@@ -417,35 +420,50 @@ def image_features(
     poison image must never kill the pipeline; filter ``ok`` and
     route failures to a quarantine sink. Bytes never shuffle: the
     stage consumes the binary column where it lives and emits only
-    the small typed feature row."""
+    the small typed feature row. ``passthrough`` names extra input
+    columns copied onto the output (metadata rides WITH the feature
+    row instead of a corpus-scale join back afterwards — at 100 TB
+    the join-back is the expensive anti-pattern)."""
     import pandas as pd
+
+    extra = list(passthrough or [])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, raw in zip(b[id_col], b[media_col]):
+            for i, (doc_id, raw) in enumerate(zip(b[id_col], b[media_col])):
                 data = bytes(raw) if raw is not None else b""
+                tail = tuple(b[c].iloc[i] for c in extra)
                 try:
                     d = decode_image(data)
                     rows.append(
                         (doc_id, d["width"], d["height"], d["channels"],
-                         d["mode"], len(data), True, None)
+                         d["mode"], len(data), True, None) + tail
                     )
                 except Exception as e:
                     rows.append(
                         (doc_id, None, None, None, None, len(data),
-                         False, f"{type(e).__name__}: {e}")
+                         False, f"{type(e).__name__}: {e}") + tail
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "channels", "mode",
-                    "n_bytes", "ok", "err",
+                    "n_bytes", "ok", "err", *extra,
                 ],
             )
 
-    return df.select(id_col, media_col).mapInPandas(
-        extract, schema=IMAGE_FEATURE_SCHEMA
+    schema = IMAGE_FEATURE_SCHEMA
+    if extra:
+        by_name = {f.name: f for f in df.schema.fields}
+        from pyspark.sql.types import StructType
+
+        tail_schema = StructType([by_name[c] for c in extra])
+        schema = IMAGE_FEATURE_SCHEMA + ", " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in tail_schema
+        )
+    return df.select(id_col, media_col, *extra).mapInPandas(
+        extract, schema=schema
     )
 
 
@@ -709,6 +727,147 @@ def synthesize_wav_from_text(
     return df.select(
         _col(id_col).alias(name_id), _col(text).alias("_t")
     ).mapInPandas(synth, schema=f"{name_id} bigint, media binary")
+
+
+def synthesize_image_from_text(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    fmt: "ColumnLike | str" = "png",
+    size: tuple[int, int] | None = None,
+    quality: int = 90,
+) -> DataFrame:
+    """Deterministic synthetic image corpus — the image analog of
+    :func:`synthesize_wav_from_text`: per doc, REAL container bytes
+    (PNG or baseline JPEG) whose pixels derive from the text's code
+    points, so the decode plumbing gets a value-level oracle without
+    shipping binary fixtures.
+
+    Dimensions: ``size=(w, h)`` fixed, else text-derived
+    ``w = 8 + len(text) % 9``, ``h = 8 + len(text) % 7`` (both
+    SQL-reproducible). Pixel ``j`` (row-major), channel ``c``:
+    ``((cp_j + 1 + c) · 2654435761) mod 256`` with ``cp_j`` the
+    j-th code point (0 past the end). ``fmt`` is a per-row column
+    (or constant string): ``'png'`` → RGB PNG (lossless),
+    ``'pngL'`` → grayscale PNG (lossless, c = 0 only),
+    ``'jpeg'`` → grayscale baseline 4:4:4, ``'jpeg420'`` →
+    grayscale with restart markers (the 4:2:0 layout is a chroma
+    concept; for grayscale the variant exercises DRI instead).
+    Returns ``(doc_id, fmt, media binary)``."""
+    import numpy as np
+    import pandas as pd
+
+    from .jpeg import encode_jpeg_baseline
+
+    name_id = id_col if isinstance(id_col, str) else "doc_id"
+    fmt_col = F.lit(fmt) if isinstance(fmt, str) else _col(fmt)
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            medias = []
+            for t, f in zip(b["_t"], b["_fmt"]):
+                t = t or ""
+                if size is not None:
+                    w, h = size
+                else:
+                    w, h = 8 + len(t) % 9, 8 + len(t) % 7
+                n = w * h
+                cps = np.zeros(n, dtype=np.int64)
+                m = min(len(t), n)
+                if m:
+                    cps[:m] = np.frombuffer(
+                        t[:m].encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                if f in ("png", "pngL"):
+                    nch = 3 if f == "png" else 1
+                    chans = [
+                        (((cps + 1 + c) * 2654435761) % 256).astype(np.uint8)
+                        for c in range(nch)
+                    ]
+                    px = np.stack(chans, axis=1).reshape(h, w, nch)
+                    medias.append(encode_png(px))
+                else:
+                    gray = (((cps + 1) * 2654435761) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w)
+                    medias.append(
+                        encode_jpeg_baseline(
+                            gray,
+                            quality=quality,
+                            restart_interval=2 if f == "jpeg420" else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    name_id: b[name_id].to_numpy(),
+                    "fmt": b["_fmt"].to_numpy(),
+                    "media": medias,
+                }
+            )
+
+    return df.select(
+        _col(id_col).alias(name_id),
+        _col(text).alias("_t"),
+        fmt_col.alias("_fmt"),
+    ).mapInPandas(
+        synth, schema=f"{name_id} bigint, fmt string, media binary"
+    )
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, px_sum bigint, ahash string, ok boolean, err string"
+)
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint — the classic
+    near-duplicate-image signal: decode → drop alpha → integer
+    grayscale (floor channel mean) → 8×8 nearest resize →
+    64-bit hash where bit ``j`` (row-major, MSB first) is set iff
+    ``px_j · 64 > Σpx`` (strictly above the mean — integer-exact,
+    no float in the hash). Returns ``(doc_id, px_sum, ahash)`` with
+    ``ahash`` a 64-char '0'/'1' string (engine-portable; group or
+    band it for bucketed near-dup joins exactly like simhash).
+    Poison rows quarantine with ``ok=false``. Bytes never shuffle —
+    only the 64-bit signature row crosses back; at corpus scale the
+    hash groupBy is digest-width, same posture as exact dedup."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            rows = []
+            for doc_id, raw in zip(b[id_col], b[media_col]):
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    d = decode_image(data)
+                    px = d["pixels"].astype(np.int64)
+                    if d["channels"] == 4:
+                        px = px[:, :, :3]
+                    elif d["channels"] == 2:
+                        px = px[:, :, :1]
+                    gray = px.sum(axis=2) // px.shape[2]
+                    g8 = resize_nearest(gray, 8, 8).reshape(64)
+                    s = int(g8.sum())
+                    bits = "".join(
+                        "1" if int(v) * 64 > s else "0" for v in g8
+                    )
+                    rows.append((doc_id, s, bits, True, None))
+                except Exception as e:
+                    rows.append(
+                        (doc_id, None, None, False,
+                         f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "px_sum", "ahash", "ok", "err"],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        extract, schema=AHASH_SCHEMA
+    )
 
 
 AUDIO_FEATURE_SCHEMA = (

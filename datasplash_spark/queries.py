@@ -5537,6 +5537,176 @@ FROM ag
 """
 
 
+# --------------------------------------------------------------- round 8
+
+
+def q_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container image decode at corpus scale: synthesize ONE
+    real image per doc — baseline JPEG (grayscale; every 4th doc a
+    restart-marker variant) for even doc_ids, RGB PNG for odd — with
+    text-derived dimensions, then recover dims/channels/mode through
+    the real decoders (``image_features`` with the container label
+    riding as a passthrough column, no join back). The oracle
+    replays the dimension rule and container routing arithmetically;
+    ``mode``/``channels`` come from the DECODER, so a mislabeled or
+    undecodable container cannot hash-match."""
+    from .functions import multimodal as mm
+
+    # the JPEG entropy coder is the per-block Python slow path, so
+    # the codec stage must be wider than the input's split count: a
+    # small parquet file scans as ONE split (measured 8.8 s serial at
+    # sf0.1 vs ~1 s wide) — trade one narrow (doc_id, text) shuffle
+    # for kernel parallelism, the standard move whenever a
+    # codec-bound Python stage is fed by fewer splits than cores
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("jpeg420"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("png"))
+    )
+    media = mm.synthesize_image_from_text(docs, fmt=fmt)
+    feats = mm.image_features(media, passthrough=["fmt"])
+    return feats.select(
+        "doc_id", "fmt", "width", "height", "channels", "mode", "ok"
+    )
+
+
+ORACLE_IMAGE_FORMATS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'jpeg420'
+            WHEN doc_id % 2 = 0 THEN 'jpeg'
+            ELSE 'png' END AS fmt,
+       CAST(8 + length(text) % 9 AS INT) AS width,
+       CAST(8 + length(text) % 7 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+       CASE WHEN doc_id % 2 = 0 THEN 'L' ELSE 'RGB' END AS mode,
+       TRUE AS ok
+FROM documents
+"""
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints over the corpus: synthesize an
+    8×8 grayscale PNG per doc (pixels from text code points),
+    decode through the real PNG codec, and emit the integer-exact
+    average-hash — the near-duplicate-image signal (group/band the
+    64-bit string exactly like simhash). The oracle replays the
+    pixel formula and the strict px·64 > Σpx bit rule in SQL, so a
+    single wrong pixel anywhere in the decode path flips a bit and
+    fails the hash match."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_image_from_text(docs, fmt="pngL", size=(8, 8))
+    return mm.image_ahash(media).select("doc_id", "px_sum", "ahash")
+
+
+ORACLE_IMAGE_AHASH = """
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN t.i < length(d.text)
+              THEN ((unicode(substring(d.text, CAST(t.i + 1 AS INT), 1))
+                     + 1) * 2654435761) % 256
+              ELSE 2654435761 % 256 END AS p
+  FROM documents d, (SELECT unnest(range(64)) AS i) t
+), s AS (
+  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum FROM px GROUP BY doc_id
+)
+SELECT px.doc_id, s.px_sum,
+       string_agg(CASE WHEN px.p * 64 > s.px_sum THEN '1' ELSE '0' END,
+                  '' ORDER BY px.i) AS ahash
+FROM px JOIN s USING (doc_id)
+GROUP BY px.doc_id, s.px_sum
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact paragraph dedup (CCNet/C4 paragraph pass):
+    re-chunk each doc's word stream into 10-word pseudo-paragraphs
+    (the corpus carries no newlines), keep only the first occurrence
+    of each paragraph corpus-wide by (doc_id, para_idx), and report
+    per-doc kept/dropped counts. One digest-keyed shuffle decides
+    keep/drop; the doc_id aggregate is the second. The tiny shared
+    vocabulary makes real cross-doc collisions, so kept < total."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = dd.dedup_paragraphs(docs, dd.word_paragraphs("text", 10))
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws), 10)) AS i FROM w
+), p AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, CAST(i + 1 AS BIGINT),
+                                    CAST(i + 10 AS BIGINT)), ' ') AS para
+  FROM idx
+), r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, i) AS rn
+  FROM p
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease over the corpus: synthesize sentence
+    structure (the corpus text carries no punctuation — append
+    '. lang! source?' so the terminator scan has real work), then
+    count words / sentence terminators / vowel-group syllables and
+    apply the public Flesch formula, all as JVM regexp expressions.
+    The oracle replays every regexp and the formula exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"), F.lit(". "), F.col("lang"), F.lit("! "),
+        F.col("source"), F.lit("?"),
+    )
+    rs = tx.readability_scores(synth)
+    return docs.select(
+        "doc_id",
+        rs["n_words"].alias("n_words"),
+        rs["n_sentences"].alias("n_sentences"),
+        rs["n_syllables"].alias("n_syllables"),
+        rs["flesch"].alias("flesch"),
+    )
+
+
+ORACLE_READABILITY = """
+WITH s AS (
+  SELECT doc_id,
+         text || '. ' || lang || '! ' || source || '?' AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+  FROM s
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         ROUND(206.835
+               - 1.015 * n_words / n_sentences
+               - 84.6 * n_syllables / n_words, 4)
+       END AS flesch
+FROM c
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query
@@ -5731,6 +5901,11 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "curriculum": (q_curriculum, ORACLE_CURRICULUM),
+    # --- round 8 ---
+    "image_formats": (q_image_formats, ORACLE_IMAGE_FORMATS),
+    "image_ahash": (q_image_ahash, ORACLE_IMAGE_AHASH),
+    "paragraph_dedup": (q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP),
+    "readability": (q_readability, ORACLE_READABILITY),
 }
 
 
@@ -5812,7 +5987,12 @@ _STALE_R5: list[str] = [
 
 #: Queries ADDED in round 8 (each starts life never-driver-gated, so
 #: each consumes one slot of window headroom — see the invariant).
-_NEW_R8: list[str] = []
+_NEW_R8: list[str] = [
+    "image_formats",
+    "image_ahash",
+    "paragraph_dedup",
+    "readability",
+]
 
 _WINDOW_HEAD_R8: list[str] = _STALE_R5 + _NEW_R8
 

@@ -259,6 +259,91 @@ def probe(spark, k: int) -> None:
         )
         .agg(F.sum("sum_sq"))
         .first()[0],
+        # round-8 probes: the two r7 ops without a recorded ×100 row
+        # (VERDICT r7 item 5) plus this round's new operators and the
+        # objectmode parity layer (item 8). Each forces a real output
+        # column; hybrid includes the corpus-scale scorers (linear)
+        # feeding K-bounded lists into rrf.
+        "hybrid": lambda: (
+            lambda lex, dense: sim.rrf_fuse([lex, dense], k=60)
+            .agg(F.sum("rrf_nano"))
+            .first()[0]
+        )(
+            tx.bm25_scores(docs, ["spark", "hash", "window"])
+            .select("doc_id", F.col("score_nano").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(100),
+            emb.crossJoin(
+                F.broadcast(
+                    emb.orderBy("vec_id")
+                    .limit(1)
+                    .select(F.col("embedding").alias("qe"))
+                )
+            )
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(sim.cosine("embedding", "qe"), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(100),
+        ),
+        "curriculum": lambda: __import__(
+            "datasplash_spark.operators", fromlist=["operators"]
+        )
+        .curriculum_order(docs, "n_chars", n_stages=3, seed=42, key="source")
+        .agg(F.count(F.lit(1)), F.sum("stage"))
+        .first()[1],
+        "objectmode_wc": lambda: _objectmode_wordcount(spark, docs),
+        "paragraph_dedup": lambda: dd.dedup_paragraphs(
+            docs, dd.word_paragraphs("text", 10)
+        )
+        .agg(F.sum(F.col("keep").cast("long")))
+        .first()[0],
+        "readability": lambda: docs.select(
+            tx.readability_scores(
+                F.concat(F.col("text"), F.lit(". end!"))
+            )["flesch"].alias("f")
+        )
+        .agg(F.sum("f"))
+        .first()[0],
+        "image_formats": lambda: (
+            lambda mm: mm.image_features(
+                mm.synthesize_image_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    fmt=F.when(
+                        F.col("doc_id") % 2 == 0, F.lit("jpeg")
+                    ).otherwise(F.lit("png")),
+                ),
+                passthrough=["fmt"],
+            )
+            .agg(F.sum(F.col("width").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.multimodal",
+                fromlist=["multimodal"],
+            )
+        ),
+        "image_ahash": lambda: (
+            lambda mm: mm.image_ahash(
+                mm.synthesize_image_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    fmt="pngL",
+                    size=(8, 8),
+                )
+            )
+            .agg(F.sum("px_sum"))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.multimodal",
+                fromlist=["multimodal"],
+            )
+        ),
         "postings": lambda: (
             tx.materialize_postings(
                 docs, f"{WORK}/post_x{k}", n_buckets=64
@@ -296,6 +381,32 @@ def probe(spark, k: int) -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+
+def _objectmode_wordcount(spark, docs):
+    """Mirror of q_objectmode_wordcount on the probe corpus: the
+    pickled-row parity layer's scaling evidence (VERDICT r7 item 8)."""
+    from datasplash_spark.objectmode import CombineFn, PCollection
+
+    pc = PCollection.from_dataframe(docs.select("text"))
+    counts = (
+        pc.mapcat(lambda d: d["text"].lower().split(" "))
+        .map(lambda w: (w, 1))
+        .combine_by(
+            lambda kv: kv[0],
+            CombineFn(
+                initf=lambda: 0,
+                reducef=lambda acc, kv: acc + kv[1],
+                combinef=lambda a, b: a + b,
+            ),
+        )
+        .map(lambda kv: {"token": kv[0], "n": kv[1]})
+    )
+    return (
+        counts.to_dataframe(spark, "token string, n bigint")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
 
 
 def main() -> int:

@@ -3801,21 +3801,29 @@ def test_rrf_fuse_integer_points(spark):
 
 def test_rrf_fuse_bounds_unbounded_lists(spark):
     """rrf_fuse max_list_rows guard (VERDICT r7 item 4): a list
-    bigger than the bound raises instead of silently serializing the
-    rank window on one task; a conforming list passes; None skips
-    the probe entirely."""
+    bigger than the bound fails the job at execution (in-plan
+    raise_error tripwire — zero extra jobs, the window physically
+    capped at max+1 rows) instead of silently serializing a corpus
+    on one task; a conforming list fuses identically with the guard
+    on, off, or absent."""
     big = spark.range(0, 50).select(
         F.col("id").alias("doc_id"), F.col("id").cast("double").alias("score")
     )
     small = generate_input(
         spark, [(1, 2.0), (2, 1.0)], "doc_id bigint, score double"
     )
-    with pytest.raises(ValueError, match="max_list_rows"):
-        sim.rrf_fuse([big, small], max_list_rows=10)
-    # bound respected -> normal fuse
-    assert sim.rrf_fuse([big, small], max_list_rows=50).count() == 50
-    # opt-out skips the probe (still correct on bounded inputs)
-    assert sim.rrf_fuse([big, small], max_list_rows=None).count() == 50
+    # .collect() forces rrf_nano; (a bare .count() prunes the points
+    # column AND the rank window with it — no window, no hazard, no
+    # tripwire: the guard is exactly hazard-proportional)
+    with pytest.raises(Exception, match="max_list_rows"):
+        sim.rrf_fuse([big, small], max_list_rows=10).collect()
+    # bound respected -> normal fuse, identical with guard on/off
+    guarded = sim.rrf_fuse([big, small], max_list_rows=50)
+    unguarded = sim.rrf_fuse([big, small], max_list_rows=None)
+    assert guarded.count() == 50 and unguarded.count() == 50
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
     with pytest.raises(ValueError, match=">= 1"):
         sim.rrf_fuse([big, small], max_list_rows=0)
 
@@ -4223,3 +4231,114 @@ def test_image_features_mixed_png_jpeg_corpus(spark):
             20, 12, 3, "RGB", True,
         ), r
     assert got[4].ok is False and "progressive" in got[4].err
+
+
+def test_readability_scores_formula(spark):
+    """readability_scores: hand-counted words/sentences/vowel-group
+    syllables and the exact Flesch value; zero-denominator rows
+    yield null flesch."""
+    rows = [
+        (1, "The cat sat. It purred! Good?"),
+        (2, "no terminators here"),
+        (3, ""),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    rs = tx.readability_scores("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            rs["n_words"].alias("w"),
+            rs["n_sentences"].alias("s"),
+            rs["n_syllables"].alias("y"),
+            rs["flesch"].alias("f"),
+        ).collect()
+    }
+    # doc 1: words The,cat,sat,It,purred,Good=6; sents=3 (., !, ?);
+    # syllables: e,a,a,I,u+e(2),oo -> 7 vowel groups
+    assert (got[1].w, got[1].s, got[1].y) == (6, 3, 7)
+    expect = round(206.835 - 1.015 * 6 / 3 - 84.6 * 7 / 6, 4)
+    assert abs(got[1].f - expect) < 1e-9
+    assert got[2].s == 0 and got[2].f is None
+    assert got[3].w == 0 and got[3].f is None
+
+
+def test_word_paragraphs_and_dedup(spark):
+    """word_paragraphs chunks exactly (ragged tail); dedup_paragraphs
+    keeps the smallest (doc_id, para_idx) occurrence per identical
+    paragraph corpus-wide and nothing else."""
+    a = " ".join(f"w{i}" for i in range(25))          # 3 paras (10/10/5)
+    b = " ".join(f"w{i}" for i in range(10)) + " unique tail"
+    rows = [(1, a), (2, b), (3, a)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    paras = df.select(
+        "doc_id", dd.word_paragraphs("text", 10).alias("ps")
+    ).collect()
+    by_id = {r.doc_id: r.ps for r in paras}
+    assert len(by_id[1]) == 3 and by_id[1][2] == " ".join(
+        f"w{i}" for i in range(20, 25)
+    )
+    occ = dd.dedup_paragraphs(df, dd.word_paragraphs("text", 10))
+    got = {(r.doc_id, r.para_idx): r.keep for r in occ.collect()}
+    # doc1 all first occurrences; doc3 (same text) all dropped
+    assert got[(1, 0)] and got[(1, 1)] and got[(1, 2)]
+    assert not got[(3, 0)] and not got[(3, 1)] and not got[(3, 2)]
+    # doc2 para0 == doc1 para0 -> dropped; its ragged tail is novel
+    assert not got[(2, 0)] and got[(2, 1)]
+
+
+def test_synthesize_image_formats_and_ahash(spark):
+    """synthesize_image_from_text emits real PNG/JPEG containers per
+    the fmt column; image_features passthrough carries fmt without a
+    join; image_ahash is exact on the lossless gray path and handles
+    RGB via floor-mean + resize; poison rows quarantine."""
+    import numpy as np
+
+    rows = [(2, "hello world"), (3, "spark"), (4, "x" * 100)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("jpeg420"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("jpeg"))
+        .otherwise(F.lit("png"))
+    )
+    media = mm.synthesize_image_from_text(df, fmt=fmt)
+    feats = {
+        r.doc_id: r
+        for r in mm.image_features(media, passthrough=["fmt"]).collect()
+    }
+    for did, t in rows:
+        r = feats[did]
+        assert r.ok and (r.width, r.height) == (
+            8 + len(t) % 9, 8 + len(t) % 7,
+        )
+        want_fmt = (
+            "jpeg420" if did % 4 == 0 else "jpeg" if did % 2 == 0 else "png"
+        )
+        assert r.fmt == want_fmt
+        assert (r.mode, r.channels) == (
+            ("L", 1) if did % 2 == 0 else ("RGB", 3)
+        )
+    # gray 8x8 PNG -> ahash replays the pixel formula exactly
+    g = mm.synthesize_image_from_text(df, fmt="pngL", size=(8, 8))
+    got = {r.doc_id: r for r in mm.image_ahash(g).collect()}
+    for did, t in rows:
+        cps = np.zeros(64, dtype=np.int64)
+        m = min(len(t), 64)
+        cps[:m] = [ord(c) for c in t[:64]]
+        px = ((cps + 1) * 2654435761) % 256
+        s = int(px.sum())
+        bits = "".join("1" if int(v) * 64 > s else "0" for v in px)
+        assert (got[did].px_sum, got[did].ahash) == (s, bits), did
+    # RGB path: flat color -> mean below-or-equal everywhere -> all 0
+    flat = mm.encode_png(np.full((16, 12, 3), 77, dtype=np.uint8))
+    one = generate_input(
+        spark, [(9, bytearray(flat))], "doc_id bigint, media binary"
+    )
+    r9 = mm.image_ahash(one).collect()[0]
+    assert r9.ok and r9.ahash == "0" * 64 and r9.px_sum == 77 * 64
+    # poison
+    bad = generate_input(
+        spark, [(8, bytearray(b"nope"))], "doc_id bigint, media binary"
+    )
+    rb = mm.image_ahash(bad).collect()[0]
+    assert rb.ok is False and rb.err

@@ -871,3 +871,42 @@ def test_rotation_invariant_fires():
 
     # (d) the live registry order passes against the real artifacts
     check(Q._ORDER, *reversed([Q._latest_rows, Q._max_round]))
+
+
+def test_paragraph_dedup_digest_shuffle_only(spark):
+    """paragraph_dedup: the keep/drop decision shuffles 16-byte md5
+    digests, never paragraph text — the Window partitions by
+    para_digest, the paragraph string is gone before any Exchange,
+    and the whole query is exactly two shuffles (digest window +
+    doc_id aggregate)."""
+    plan = plan_of(_q(spark, "paragraph_dedup"), mode="simple")
+    assert "md5" in plan and "Window" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    # the digest exchange keys on para_digest, not the text
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("para_digest" in l for l in exch), exch
+    assert "_para" not in "".join(exch), exch
+
+
+def test_readability_is_shuffle_free(spark):
+    """readability: pure regexp projection — one scan stage, no
+    Exchange, no Python (JVM regexp only)."""
+    plan = plan_of(_q(spark, "readability"), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "regexp_extract_all" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_image_queries_codec_stage_shape(spark):
+    """image_formats / image_ahash: the codec stages are sanctioned
+    mapInPandas batch kernels; bytes never shuffle AFTER synthesis —
+    image_formats' only Exchange is the deliberate pre-codec
+    parallelism widening on (doc_id, text), and image_ahash has no
+    Exchange at all."""
+    plan = plan_of(_q(spark, "image_formats"), mode="simple")
+    assert plan.count("MapInPandas") == 2, plan  # synth + decode
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exch) == 1 and "media" not in exch[0], exch
+    plan2 = plan_of(_q(spark, "image_ahash"), mode="simple")
+    assert plan2.count("MapInPandas") == 2, plan2
+    assert "Exchange" not in plan2, plan2
