@@ -4441,3 +4441,98 @@ def test_append_lsh_replay_idempotent(spark, tmp_path):
     # the opt-out really opts out
     sim.append_lsh(dfb, p, bits=4, skip_existing_ids=False)
     assert spark.read.parquet(p).count() == 60
+
+
+def test_mjpeg_split_and_video_frame_features(spark):
+    """MJPEG video path: split_mjpeg finds exact frame boundaries by
+    marker structure (restart markers and all); video_frame_features
+    decodes sampled frames with per-FRAME quarantine (a poison frame
+    doesn't kill its siblings); an unsplittable stream quarantines
+    the doc row."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    # three frames, one with restart markers (FFD0-D7 inside scan)
+    f0 = J.encode_jpeg_baseline(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), quality=90
+    )
+    f1 = J.encode_jpeg_baseline(
+        (np.arange(64, dtype=np.uint8)[::-1]).reshape(8, 8).copy(),
+        quality=90, restart_interval=1,
+    )
+    f2 = J.encode_jpeg_baseline(
+        np.full((16, 8), 200, dtype=np.uint8), quality=90
+    )
+    stream = f0 + f1 + f2
+    bounds = mm.split_mjpeg(stream)
+    assert bounds == [
+        (0, len(f0)), (len(f0), len(f1)), (len(f0) + len(f1), len(f2)),
+    ]
+    with pytest.raises(ValueError, match="SOI"):
+        mm.split_mjpeg(b"xx" + stream)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.split_mjpeg(stream[:-4])
+
+    # corpus: a clean 3-frame stream, a stream with a poison middle
+    # frame (progressive), and junk
+    poison_mid = f0 + f1.replace(b"\xff\xc0", b"\xff\xc2", 1) + f2
+    df = generate_input(
+        spark,
+        [
+            (1, bytearray(stream)),
+            (2, bytearray(poison_mid)),
+            (3, bytearray(b"AVI?not really")),
+        ],
+        "doc_id bigint, media binary",
+    )
+    got = {}
+    for r in mm.video_frame_features(df, every_n=1).collect():
+        got[(r.doc_id, r.frame_idx)] = r
+    for idx, (w, h) in enumerate([(8, 8), (8, 8), (8, 16)]):
+        r = got[(1, idx)]
+        assert r.ok and (r.width, r.height, r.n_frames) == (w, h, 3)
+    assert got[(2, 0)].ok and got[(2, 2)].ok            # siblings live
+    assert got[(2, 1)].ok is False and "progressive" in got[(2, 1)].err
+    assert got[(3, -1)].ok is False                      # doc quarantine
+    # frame sampling: every 2nd frame only
+    sampled = mm.video_frame_features(
+        df.where("doc_id = 1"), every_n=2
+    ).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
+
+
+def test_synthesize_video_roundtrip(spark):
+    """synthesize_video_from_text: frame count follows the length
+    rule, every frame decodes, and frame 0's pixels equal the image
+    synthesizer's formula (shared pixel law across modalities)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    rows = [(1, "hello"), (2, ""), (3, "x" * 23)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    vids = mm.synthesize_video_from_text(df, max_frames=5)
+    raw = {r.doc_id: (r.n_frames, bytes(r.media)) for r in vids.collect()}
+    feats = {}
+    for r in mm.video_frame_features(vids).collect():
+        feats.setdefault(r.doc_id, []).append(r)
+    for did, t in rows:
+        nf_want = 1 + len(t) % 5
+        nf, stream = raw[did]
+        assert nf == nf_want
+        assert len(mm.split_mjpeg(stream)) == nf_want
+        assert len(feats[did]) == nf_want and all(
+            r.ok and (r.width, r.height) == (8, 8) for r in feats[did]
+        )
+    # frame-0 pixel parity with the formula (lossy codec: compare
+    # through a decode of an identically-encoded reference)
+    t = "hello"
+    cps = np.zeros(64, dtype=np.int64)
+    cps[: len(t)] = [ord(c) for c in t]
+    ref = J.encode_jpeg_baseline(
+        (((cps + 1) * 2654435761) % 256).astype(np.uint8).reshape(8, 8),
+        quality=88,
+    )
+    off, ln = mm.split_mjpeg(raw[1][1])[0]
+    assert raw[1][1][off : off + ln] == ref
