@@ -150,3 +150,62 @@ def url_filter(
     return df.select(
         "*", reason.isNull().alias("keep"), reason.alias("drop_reason")
     )
+
+
+def html_extract(html: ColumnLike) -> dict[str, Column]:
+    """Regexp-based HTML main-content extraction — the decisive first
+    text pass of a web-crawl pipeline (C4/RefinedWeb strip markup
+    before any quality scoring), built entirely from JVM regexp
+    expressions so it runs inside the codegen'd scan stage with no
+    Python and no shuffle:
+
+    1. drop ``<script>``/``<style>``/``<!-- -->`` blocks wholesale
+       (their CONTENT is never corpus text),
+    2. capture ``<title>`` before stripping,
+    3. convert block-level closers to newlines (paragraph structure
+       survives for the downstream line/paragraph dedup passes),
+    4. strip every remaining tag, decode the five core entities +
+       numeric references are left intact (a full entity table is a
+       kernel-slot concern), collapse runs of whitespace.
+
+    Returns ``{"title", "text", "n_tags", "n_links"}`` Columns.
+    Regexp-based extraction is deliberate: at 100 TB a DOM parse per
+    document is a Python-kernel cost (and trafilatura-class recall
+    needs one — that plugs into the mapInPandas slot); the regexp
+    pass is the cheap high-precision bulk path the big public
+    pipelines actually ship."""
+    h = _col(html)
+    # 1. script/style/comment blocks (dotall via (?s), case-insensitive)
+    cleaned = F.regexp_replace(
+        h, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    cleaned = F.regexp_replace(cleaned, r"(?s)<!--.*?-->", " ")
+    title = F.regexp_extract(cleaned, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    n_tags = F.size(
+        F.regexp_extract_all(h, F.lit(r"(?s)<[A-Za-z/!][^>]*>"), F.lit(0))
+    ).cast("long")
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit(r"(?is)<a\s[^>]*href"), F.lit(0))
+    ).cast("long")
+    # 3. block closers -> newline, then 4. strip tags
+    blocky = F.regexp_replace(
+        cleaned,
+        r"(?i)</(p|div|h[1-6]|li|tr|br|section|article)\s*>|<br\s*/?>",
+        "\n",
+    )
+    text = F.regexp_replace(blocky, r"(?s)<[A-Za-z/!][^>]*>", " ")
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        text = F.replace(text, F.lit(ent), F.lit(rep))
+    # collapse horizontal whitespace, keep the paragraph newlines
+    text = F.regexp_replace(text, r"[ \t\r\f]+", " ")
+    text = F.regexp_replace(text, r" ?\n ?", "\n")
+    text = F.regexp_replace(text, r"\n{2,}", "\n")
+    return {
+        "title": F.trim(title),
+        "text": F.trim(text),
+        "n_tags": n_tags,
+        "n_links": n_links,
+    }

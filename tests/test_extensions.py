@@ -4536,3 +4536,48 @@ def test_synthesize_video_roundtrip(spark):
     )
     off, ln = mm.split_mjpeg(raw[1][1])[0]
     assert raw[1][1][off : off + ln] == ref
+
+
+def test_html_extract(spark):
+    """html_extract: scripts/styles/comments vanish with their
+    content, title captured, block structure becomes newlines, tags
+    strip, core entities decode, link/tag counts match hand counts —
+    and the whole thing is a shuffle-free JVM expression."""
+    from datasplash_spark.functions import web as wb
+
+    html = (
+        "<!DOCTYPE html><html><head><title> My Page </title>"
+        "<style>body { color: red }</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Header</h1>"
+        "<p>Hello &amp; welcome to <a href='/x'>the site</a>.</p>"
+        "<div>Second &lt;block&gt;</div>"
+        "<ul><li>one</li><li>two</li></ul>"
+        "</body></html>"
+    )
+    df = generate_input(spark, [(1, html), (2, "plain, no markup"), (3, None)],
+                        "doc_id bigint, html string")
+    ex = wb.html_extract("html")
+    out = df.select(
+        "doc_id", ex["title"].alias("title"), ex["text"].alias("text"),
+        ex["n_tags"].alias("n_tags"), ex["n_links"].alias("n_links"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    r = got[1]
+    assert r.title == "My Page"
+    assert "not text" not in r.text and "color" not in r.text
+    assert "hidden" not in r.text
+    lines = r.text.split("\n")
+    assert "Header" in lines[0]
+    assert "Hello & welcome to the site ." in r.text
+    assert "Second <block>" in r.text
+    assert "one" in r.text and "two" in r.text
+    assert r.n_links == 1 and r.n_tags > 15
+    assert got[2].text == "plain, no markup" and got[2].n_tags == 0
+    assert got[3].text is None
+    # shuffle-free plan
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "Exchange" not in buf.getvalue()
