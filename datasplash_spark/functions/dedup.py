@@ -1532,3 +1532,83 @@ def dedup_paragraphs(
         "para_digest",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def bitstring64_to_long(bits: ColumnLike) -> Column:
+    """Parse a 64-char '0'/'1' string (e.g. :func:`multimodal.
+    image_ahash`'s output) into one BIGINT, exactly — two 32-bit
+    ``conv`` halves recombined by shift (a single 64-bit conv would
+    overflow the signed cast for MSB-set values)."""
+    b = _col(bits)
+    hi = F.conv(F.substring(b, 1, 32), 2, 10).cast("long")
+    lo = F.conv(F.substring(b, 33, 32), 2, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    sig: ColumnLike,
+    max_hamming: int,
+    bits: int = 64,
+    id_col: ColumnLike = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs from FIXED-WIDTH Hamming signatures
+    (simhash for text, aHash for images — any ``bits``-wide BIGINT):
+    band each signature into ``max_hamming + 1`` contiguous slices,
+    bucket-join on identical (band, slice) values, then verify exact
+    Hamming distance. By pigeonhole, two signatures within
+    ``max_hamming`` differ in at most ``max_hamming`` bands, so they
+    MATCH in at least one of ``max_hamming + 1`` — zero false
+    negatives; the bucket join is the linear-plus-collisions path
+    (never all-pairs), the same posture as minhash banding. Returns
+    ``(a, b, hamming)`` with ``a < b``.
+
+    Scale: the shuffle carries (id, band, slice) triples —
+    signature-width integers, never content; intra-bucket work is
+    quadratic only in per-bucket collisions (ordinary-corpus buckets
+    are tiny; an adversarial all-identical corpus degenerates to its
+    true pair count, which is the output size anyway).
+
+    Reference anchor: distinct-by (core.clj:1182) is the exact-key
+    cousin; Hamming banding is north-star extension surface."""
+    if max_hamming < 0:
+        raise ValueError("hamming_band_pairs: max_hamming must be >= 0")
+    n_bands = int(max_hamming) + 1
+    width = bits // n_bands
+    if width < 1:
+        raise ValueError(
+            f"hamming_band_pairs: {n_bands} bands do not fit {bits} bits"
+        )
+    s = _col(sig)
+    # band slice b: bits [b*width, ...) — last band takes the remainder
+    slices = []
+    for b in range(n_bands):
+        take = bits - b * width if b == n_bands - 1 else width
+        mask = (1 << take) - 1
+        slices.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(s, b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("slice"),
+            )
+        )
+    banded = df.select(
+        _col(id_col).alias("_id"), s.alias("_sig"),
+        F.explode(F.array(*slices)).alias("_b"),
+    ).select("_id", "_sig", F.col("_b.band").alias("band"),
+             F.col("_b.slice").alias("slice"))
+    left = banded.select(
+        F.col("_id").alias("a"), F.col("_sig").alias("_sa"), "band", "slice"
+    )
+    right = banded.select(
+        F.col("_id").alias("b"), F.col("_sig").alias("_sb"), "band", "slice"
+    )
+    pairs = (
+        left.join(right, ["band", "slice"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", hamming64("_sa", "_sb").alias("hamming"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+    return pairs

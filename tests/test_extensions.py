@@ -4581,3 +4581,62 @@ def test_html_extract(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_hamming_band_pairs_and_bitstring(spark):
+    """hamming_band_pairs: pigeonhole recall is exact — every pair
+    within max_hamming is found (verified against a brute-force
+    enumeration), nothing beyond the bound survives, and the image
+    path composes: ahash bit strings -> bigint -> banded pairs."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    base = rng.getrandbits(64)
+
+    def flip(v, n):
+        for b in rng.sample(range(64), n):
+            v ^= 1 << b
+        return v
+
+    sigs = [
+        (0, base), (1, flip(base, 1)), (2, flip(base, 2)),
+        (3, flip(base, 3)), (4, rng.getrandbits(64)),
+        (5, flip(base, 12)),
+    ]
+    # signed view, as image_ahash->bitstring64_to_long would give
+    rows = [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in sigs]
+    df = generate_input(spark, rows, "doc_id bigint, sig long")
+    got = {
+        (r.a, r.b): r.hamming
+        for r in dd.hamming_band_pairs(df, "sig", max_hamming=3).collect()
+    }
+    brute = {}
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        h = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            brute[(min(ia, ib), max(ia, ib))] = h
+    assert got == brute and (0, 1) in got and got[(0, 1)] == 1
+    assert all(h <= 3 for h in got.values())
+
+    # image composition: two near-identical synthesized images and a
+    # far one -> ahash bigints -> pairs finds exactly the near pair
+    texts = [(10, "hello world"), (11, "hello world!"), (12, "zz " * 20)]
+    tdf = generate_input(spark, texts, "doc_id bigint, text string")
+    media = mm.synthesize_image_from_text(tdf, fmt="pngL", size=(8, 8))
+    hashes = mm.image_ahash(media).select(
+        "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
+    )
+    # round-trip parity of the bitstring parse
+    raw = {r.doc_id: r.ahash for r in mm.image_ahash(media).collect()}
+    parsed = {r.doc_id: r.sig for r in hashes.collect()}
+    for did, bits in raw.items():
+        want = int(bits, 2)
+        want = want - (1 << 64) if want >= (1 << 63) else want
+        assert parsed[did] == want
+    pairs = dd.hamming_band_pairs(hashes, "sig", max_hamming=8).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (10, 11) in found
+    assert all({a, b} != {10, 12} and {a, b} != {11, 12} for a, b in found)
