@@ -1612,3 +1612,57 @@ def hamming_band_pairs(
         .distinct()
     )
     return pairs
+
+
+def apply_paragraph_dedup(
+    df: DataFrame,
+    paras: ColumnLike,
+    id_col: ColumnLike = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """REBUILD documents after cross-corpus paragraph dedup: the
+    cleaning-pipeline half of :func:`dedup_paragraphs` (which emits
+    the keep/drop report without ever shuffling text). Keep decisions
+    come from the same one-digest-shuffle window; the kept
+    ``(doc_id, para_idx)`` pairs then join back to the exploded
+    paragraphs co-partitioned on ``doc_id``, and the surviving
+    paragraphs reassemble in positional order. Returns ``(doc_id,
+    text, n_paras, n_kept)`` — docs whose every paragraph was seen
+    earlier come back with empty text (filter on ``n_kept`` to drop
+    them).
+
+    Scale: two shuffles — the digest window (16-byte keys) and the
+    doc_id join-back/reassembly. The join-back moves paragraph text
+    once, which is unavoidable for a rebuild (the report-only op
+    stays one-shuffle; use it when you only need counts). The
+    reassembly aggregate sorts within each doc by index — doc-sized
+    groups, no global sort."""
+    exploded = df.select(
+        _col(id_col).alias("doc_id"),
+        F.posexplode(_col(paras)).alias("para_idx", "para"),
+    )
+    keep = dedup_paragraphs(df, paras, id_col=id_col).where("keep").select(
+        "doc_id", "para_idx"
+    )
+    kept = exploded.join(keep, ["doc_id", "para_idx"], "left_semi")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "para"))
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

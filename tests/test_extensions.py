@@ -4640,3 +4640,38 @@ def test_hamming_band_pairs_and_bitstring(spark):
     found = {(r.a, r.b) for r in pairs}
     assert (10, 11) in found
     assert all({a, b} != {10, 12} and {a, b} != {11, 12} for a, b in found)
+
+
+def test_apply_paragraph_dedup_rebuild(spark):
+    """apply_paragraph_dedup: surviving paragraphs reassemble in
+    positional order, fully-duplicate docs come back empty with
+    n_kept=0, and the rebuild agrees with the report op's counts."""
+    a = " ".join(f"w{i}" for i in range(25))          # paras 0,1,2
+    b = " ".join(f"w{i}" for i in range(10)) + " unique tail"
+    rows = [(1, a), (2, b), (3, a)]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    paras = dd.word_paragraphs("text", 10)
+    out = {r.doc_id: r for r in dd.apply_paragraph_dedup(df, paras).collect()}
+    assert out[1].text == "\n".join(
+        [
+            " ".join(f"w{i}" for i in range(10)),
+            " ".join(f"w{i}" for i in range(10, 20)),
+            " ".join(f"w{i}" for i in range(20, 25)),
+        ]
+    )
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    assert out[2].text == "unique tail" and out[2].n_kept == 1
+    assert out[3].text == "" and (out[3].n_paras, out[3].n_kept) == (3, 0)
+    # count parity with the report op
+    rep = {
+        r.doc_id: (r.n_paras, r.n_kept)
+        for r in dd.dedup_paragraphs(df, paras)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .collect()
+    }
+    for did in (1, 2, 3):
+        assert rep[did] == (out[did].n_paras, out[did].n_kept)
