@@ -5707,6 +5707,163 @@ FROM c
 """
 
 
+# ----------------------------------------------------------- round 9 staging
+# Fully-written, oracle-paired, gate-sim-tested queries that CANNOT
+# register this round: the round-8 window is exactly full (46 r5-stale
+# + 4 new), and the rotation invariant correctly rejects a 51st
+# never-gated query. Round 9 promotes each with one _ALL entry + one
+# _NEW_R9 line. Tested now by tests/test_extensions.py::
+# test_round9_staged_queries_match_oracle (driver-faithful compare).
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end-to-end: per doc a REAL MJPEG stream
+    (1 + len(text) % 5 grayscale 8×8 JPEG frames), then sampled
+    decode (every 2nd frame) through the marker-structure splitter +
+    baseline JPEG decoder. The oracle replays the frame-count rule
+    and the sampling arithmetic; dims/ok come from the DECODER."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    vids = mm.synthesize_video_from_text(docs, max_frames=5)
+    return mm.video_frame_features(vids, every_n=2).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height", "ok"
+    )
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH f AS (
+  SELECT doc_id, CAST(1 + length(text) % 5 AS INT) AS nf FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, nf AS n_frames,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, TRUE AS ok
+FROM f, (SELECT unnest(range(0, 5, 2)) AS i) t
+WHERE i < nf
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction over a synthesized page per doc
+    (title from lang/source, script+style+comment noise, heading/
+    paragraph/div structure around the text). The oracle replays the
+    regexp pipeline step for step — the one divergence is Java's
+    backreference ``</\\1>`` in the script/style pass, which RE2
+    lacks, so the oracle runs two explicit passes."""
+    from .functions import web as wb
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("lang"), F.lit("-"),
+        F.col("source"), F.lit("</title><style>p{margin:0}</style>"
+        "<script>var x='<p>no</p>';</script></head><body>"
+        "<!-- nav --><h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.col("text"), F.lit(" &amp; more</p><div>"), F.col("lang"),
+        F.lit("</div></body></html>"),
+    )
+    ex = wb.html_extract(html)
+    return docs.select(
+        "doc_id",
+        ex["title"].alias("title"),
+        ex["text"].alias("text"),
+        ex["n_tags"].alias("n_tags"),
+        ex["n_links"].alias("n_links"),
+    )
+
+
+ORACLE_HTML_EXTRACT = """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>' || lang || '-' || source ||
+         '</title><style>p{margin:0}</style>' ||
+         '<script>var x=''<p>no</p>'';</script></head><body>' ||
+         '<!-- nav --><h1>' || source || '</h1><p>' || text ||
+         ' &amp; more</p><div>' || lang || '</div></body></html>' AS html
+  FROM documents
+), c AS (
+  SELECT doc_id, html,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(html,
+               '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS cleaned
+  FROM h
+), t AS (
+  SELECT doc_id, html,
+         regexp_extract(cleaned,
+           '(?is)<title\\b[^>]*>(.*?)</title\\s*>', 1) AS title,
+         regexp_replace(cleaned,
+           '(?i)</(p|div|h[1-6]|li|tr|br|section|article)\\s*>|<br\\s*/?>',
+           chr(10), 'g') AS blocky
+  FROM c
+), s AS (
+  SELECT doc_id, html, title,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(blocky, '(?s)<[A-Za-z/!][^>]*>', ' ', 'g'),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ') AS text0
+  FROM t
+)
+SELECT doc_id, trim(title) AS title,
+       trim(regexp_replace(regexp_replace(regexp_replace(text0,
+         '[ \\t\\r\\f]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'),
+         '\\n{2,}', chr(10), 'g')) AS text,
+       CAST(len(regexp_extract_all(html, '(?s)<[A-Za-z/!][^>]*>'))
+            AS BIGINT) AS n_tags,
+       CAST(len(regexp_extract_all(html, '(?is)<a\\s[^>]*href'))
+            AS BIGINT) AS n_links
+FROM s
+"""
+
+
+def q_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs end-to-end: synthesize 8×8 gray
+    PNGs, decode → aHash → banded Hamming join (max 10). The oracle
+    computes the BRUTE-FORCE pair set from the replayed pixel
+    formula — so this gate proves the banding's pigeonhole recall is
+    EXACT at corpus scale, not just that the plumbing runs."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_image_from_text(docs, fmt="pngL", size=(8, 8))
+    sigs = mm.image_ahash(media).select(
+        "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
+    )
+    return dd.hamming_band_pairs(sigs, "sig", max_hamming=10).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+ORACLE_AHASH_PAIRS = """
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN t.i < length(d.text)
+              THEN ((unicode(substring(d.text, CAST(t.i + 1 AS INT), 1))
+                     + 1) * 2654435761) % 256
+              ELSE 2654435761 % 256 END AS p
+  FROM documents d, (SELECT unnest(range(64)) AS i) t
+), s AS (
+  SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id
+), h AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN px.p * 64 > s.px_sum THEN '1' ELSE '0' END,
+                    '' ORDER BY px.i) AS bits
+  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(len(list_filter(range(64),
+         i -> substring(a.bits, CAST(i + 1 AS INT), 1)
+              <> substring(b.bits, CAST(i + 1 AS INT), 1))) AS INT)
+         AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE len(list_filter(range(64),
+        i -> substring(a.bits, CAST(i + 1 AS INT), 1)
+             <> substring(b.bits, CAST(i + 1 AS INT), 1))) <= 10
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query

@@ -4675,3 +4675,41 @@ def test_apply_paragraph_dedup_rebuild(spark):
     }
     for did in (1, 2, 3):
         assert rep[did] == (out[did].n_paras, out[did].n_kept)
+
+
+def test_round9_staged_queries_match_oracle(spark):
+    """The three round-9 staged queries (written this round, blocked
+    from registering by the full rotation window) must already match
+    their DuckDB oracles value-for-value at sf0.001 with
+    driver-faithful canonicalization (columns sorted by name, rows
+    sorted, value equality) — so round-9 promotion is one registry
+    line each, not new work."""
+    import duckdb
+
+    from datasplash_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    staged = {
+        "video_frames": (Q.q_video_frames, Q.ORACLE_VIDEO_FRAMES),
+        "html_extract": (Q.q_html_extract, Q.ORACLE_HTML_EXTRACT),
+        "ahash_pairs": (Q.q_ahash_pairs, Q.ORACLE_AHASH_PAIRS),
+    }
+    for name, (fn, osql) in staged.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(osql).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        got = got[sorted(got.columns)].sort_values(
+            sorted(got.columns), kind="mergesort"
+        ).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(
+            sorted(want.columns), kind="mergesort"
+        ).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0, (
+            name, len(got), len(want),
+        )
+        for col in got.columns:
+            assert list(got[col]) == list(want[col]), (name, col)
