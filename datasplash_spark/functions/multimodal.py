@@ -1133,3 +1133,40 @@ def video_frame_features(
     return df.select(id_col, media_col).mapInPandas(
         extract, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+def sniff_media_type(media: ColumnLike) -> Column:
+    """Container detection from magic bytes as a pure JVM expression —
+    the routing stage BEFORE any decode kernel: route each row to its
+    codec (or quarantine) without a Python round-trip, so a mixed
+    media column fans out to per-format pipelines with zero overhead
+    on the non-matching rows. Detects ``png``/``jpeg``/``pnm``/
+    ``wav``/``gif``/``bmp``/``webp`` (+ ``empty``/``unknown``);
+    ``jpeg`` covers MJPEG streams too (same SOI magic — use
+    :func:`video_frame_features` when frame counts say video).
+
+    hex(substring(...)) comparisons keep everything inside codegen;
+    at 100 TB this predicate pushes into the scan stage and prunes
+    decode work before bytes ever reach a worker kernel."""
+    m = _col(media)
+    hex4 = F.hex(F.substring(m, 1, 4))
+    hex3 = F.hex(F.substring(m, 1, 3))
+    hex2 = F.hex(F.substring(m, 1, 2))
+    riff = F.hex(F.substring(m, 9, 4))
+    return (
+        F.when(m.isNull() | (F.length(m) == 0), F.lit("empty"))
+        .when(hex4 == F.lit("89504E47"), F.lit("png"))
+        .when(hex3 == F.lit("FFD8FF"), F.lit("jpeg"))
+        .when(hex2.isin("5035", "5036"), F.lit("pnm"))  # P5 / P6
+        .when(
+            (hex4 == F.lit("52494646")) & (riff == F.lit("57415645")),
+            F.lit("wav"),
+        )
+        .when(hex3 == F.lit("474946"), F.lit("gif"))
+        .when(hex2 == F.lit("424D"), F.lit("bmp"))
+        .when(
+            (hex4 == F.lit("52494646")) & (riff == F.lit("57454250")),
+            F.lit("webp"),
+        )
+        .otherwise(F.lit("unknown"))
+    )

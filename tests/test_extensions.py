@@ -4713,3 +4713,40 @@ def test_round9_staged_queries_match_oracle(spark):
         )
         for col in got.columns:
             assert list(got[col]) == list(want[col]), (name, col)
+
+
+def test_sniff_media_type(spark):
+    """sniff_media_type: magic-byte routing for every container the
+    codecs handle plus lookalike traps (RIFF-but-WEBP, truncated
+    RIFF), shuffle-free and Python-free (plan-pinned)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    png = mm.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    jpg = J.encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8))
+    wav = mm.encode_wav(np.zeros(4, dtype=np.int16))
+    rows = [
+        (1, bytearray(png)), (2, bytearray(jpg)),
+        (3, bytearray(b"P6 2 2 255 " + bytes(12))),
+        (4, bytearray(wav)),
+        (5, bytearray(b"RIFF\x04\x00\x00\x00WEBP")),
+        (6, bytearray(b"RIFF\x04\x00")),           # truncated RIFF
+        (7, bytearray(b"GIF89a....")),
+        (8, bytearray(b"BM......")),
+        (9, bytearray(b"")), (10, None),
+        (11, bytearray(b"plain text")),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, media binary")
+    out = df.select("doc_id", mm.sniff_media_type("media").alias("t"))
+    got = {r.doc_id: r.t for r in out.collect()}
+    want = {1: "png", 2: "jpeg", 3: "pnm", 4: "wav", 5: "webp",
+            6: "unknown", 7: "gif", 8: "bmp", 9: "empty",
+            10: "empty", 11: "unknown"}
+    assert got == want
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "Python" not in p
