@@ -5864,6 +5864,47 @@ WHERE len(list_filter(range(64),
 """
 
 
+def q_rebuild_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning half of paragraph dedup: cross-corpus keep-first
+    at 10-word-paragraph granularity, then REBUILD each document
+    from its surviving paragraphs in positional order (empty text
+    when every paragraph was seen earlier). The oracle reassembles
+    the same keep-set with string_agg ordered by position."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.apply_paragraph_dedup(
+        docs, dd.word_paragraphs("text", 10)
+    ).select("doc_id", "text", "n_paras", "n_kept")
+
+
+ORACLE_REBUILD_PARAGRAPHS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT doc_id, ws, unnest(range(0, len(ws), 10)) AS i FROM w
+), p AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, CAST(i + 1 AS BIGINT),
+                                    CAST(i + 10 AS BIGINT)), ' ') AS para
+  FROM idx
+), r AS (
+  SELECT doc_id, i, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, i) AS rn
+  FROM p
+), kept AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) ORDER BY i) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM r WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(k.text, '') AS text, t.n_paras,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query

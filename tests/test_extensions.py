@@ -4697,6 +4697,9 @@ def test_round9_staged_queries_match_oracle(spark):
         "video_frames": (Q.q_video_frames, Q.ORACLE_VIDEO_FRAMES),
         "html_extract": (Q.q_html_extract, Q.ORACLE_HTML_EXTRACT),
         "ahash_pairs": (Q.q_ahash_pairs, Q.ORACLE_AHASH_PAIRS),
+        "rebuild_paragraphs": (
+            Q.q_rebuild_paragraphs, Q.ORACLE_REBUILD_PARAGRAPHS,
+        ),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
