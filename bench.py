@@ -17,9 +17,14 @@ single-rep 1–3 s band, so the band is now min-of-2 too). Queries ≥3 s
 stay single-rep to bound total wall UNLESS their first rep deviates
 more than 1.5× from the previous round's BENCH_LOCAL value — then a
 confirmation rep runs, so every >1.5× mover in the artifact carries
-≥2 reps by construction. Rep counts land in the local artifact
-(``reps``). A failing query records -1 for that key and the run
-continues — the JSON line is always emitted.
+≥2 reps by construction. A final SPIKE-ESCAPE pass re-runs every
+remaining >1.5× mover once more at the END of the run (round 8
+measured a multi-minute external host-load event sweeping contiguous
+registry positions — both min-of-2 reps can sit inside one spike; a
+rep minutes later escapes it, while genuine regressions survive all
+three reps). Rep counts land in the local artifact (``reps``). A
+failing query records -1 for that key and the run continues — the
+JSON line is always emitted.
 """
 
 from __future__ import annotations
@@ -323,6 +328,44 @@ def main() -> int:
         total += dt
         print(
             f"# {name}: {dt:.2f}s ({n} rows, min of {reps[name]})",
+            file=sys.stderr,
+        )
+
+    # Spike-escape pass (round 8): three same-code runs measured a
+    # multi-minute EXTERNAL load event sweeping a contiguous band of
+    # registry positions at a different offset each run (semantic_pack
+    # 1.03→19.05 s with BOTH reps inside the spike — min-of-2 cannot
+    # help when the spike outlasts the pair). Any query that still
+    # reads >1.5× its previous-round wall gets ONE more rep here, at
+    # the end of the run — minutes away from whichever spike hit its
+    # original slot — and keeps the min. Genuine regressions survive
+    # (a third rep of truly-slower code is still slower); transient
+    # spikes wash out.
+    suspects = [
+        k
+        for k, v in timings.items()
+        if v > 0 and prev_walls.get(k) and v > prev_walls[k] * 1.5
+    ]
+    for name in suspects:
+        fn = Q.queries().get(name)
+        if fn is None:
+            continue
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            _hygiene(spark)
+        except Exception as e:
+            print(f"# spike-escape {name}: FAILED ({e})", file=sys.stderr)
+            continue
+        if dt < timings[name]:
+            total -= timings[name] - round(dt, 3)
+            timings[name] = round(dt, 3)
+        reps[name] = reps.get(name, 0) + 1
+        print(
+            f"# spike-escape {name}: {dt:.2f}s "
+            f"(kept {timings[name]:.2f}s, prev round "
+            f"{prev_walls[name]:.2f}s)",
             file=sys.stderr,
         )
 
