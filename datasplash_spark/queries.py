@@ -6422,8 +6422,77 @@ def _check_rotation_invariants(
         )
 
 
+def _effective_artifact_state(
+    order: list[str],
+    max_round: int,
+    latest: dict[str, int],
+    window: int = _DRIVER_WINDOW,
+) -> tuple[int, dict[str, int], bool]:
+    """Artifact state the invariant should judge THIS order against.
+
+    The newest artifact round is SELF-GATED when its green rows cover
+    most of the current window head — i.e. the driver has already run
+    this very order (it wrote that artifact mid/end-round). Judging
+    the order against an artifact it itself produced inverts the
+    greedy rule the moment the driver writes CORRECTNESS_r{N} (the
+    freshly-gated window reads fresher than everything outside — by
+    design of the rotation!), which would fail the import and brick
+    bench/entry for the rest of the round. So: drop the newest round
+    from the staleness state when it covers ≥ 80% of the window, and
+    report that fact — ``tests/test_plans.py::test_rotation_is_current``
+    turns it into the loud (but non-bricking) "rotate the registry
+    now" forcing function for the next round's first session."""
+    if not max_round:
+        return max_round, latest, False
+    head = set(order[:window])
+    covered = sum(
+        1 for q in head if latest.get(q) == max_round
+    )
+    if covered < 0.8 * min(window, len(order)):
+        return max_round, latest, False
+    # rebuild per-query latest rows EXCLUDING the self-gated round
+    reduced_max, reduced = 0, {}
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if not m or int(m.group(1)) == max_round:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        entries = data.get("queries") or data
+        if not isinstance(entries, dict):
+            continue
+        reduced_max = max(reduced_max, rnd)
+        for name, row in entries.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only_ok = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only_ok:
+                reduced[name] = max(reduced.get(name, 0), rnd)
+    return reduced_max, reduced, True
+
+
 _max_round, _latest_rows = _latest_driver_rows()
-_check_rotation_invariants(_ORDER, _max_round, _latest_rows)
+_eff_round, _eff_rows, _WINDOW_ALREADY_GATED = _effective_artifact_state(
+    _ORDER, _max_round, _latest_rows
+)
+_check_rotation_invariants(_ORDER, _eff_round, _eff_rows)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     name: _ALL[name] for name in _ORDER

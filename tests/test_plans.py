@@ -870,7 +870,40 @@ def test_rotation_invariant_fires():
     )
 
     # (d) the live registry order passes against the real artifacts
-    check(Q._ORDER, *reversed([Q._latest_rows, Q._max_round]))
+    # (the effective state — the self-gated newest round excluded)
+    check(Q._ORDER, Q._eff_round, Q._eff_rows)
+
+    # (e) self-gating detection: when the newest artifact round
+    # covers the window head, the effective state drops that round
+    # (re-derived from the remaining real artifacts) and flags it
+    fake = dict(Q._latest_rows)
+    for q in Q._ORDER[:50]:
+        fake[q] = 99
+    er, rows, gated = Q._effective_artifact_state(Q._ORDER, 99, fake)
+    assert gated and er < 99
+    check(Q._ORDER, er, rows)  # order still judged valid vs history
+    # and a NON-covering newest round passes through untouched
+    er2, rows2, gated2 = Q._effective_artifact_state(
+        Q._ORDER, Q._max_round, Q._latest_rows
+    )
+    assert not gated2 and er2 == Q._max_round and rows2 == Q._latest_rows
+
+
+def test_rotation_is_current():
+    """The loud-but-non-bricking forcing function: once the driver
+    has gated the current window (the newest CORRECTNESS artifact
+    covers it), the NEXT session must rotate the registry — this
+    test fails with instructions while import/bench/entry keep
+    working (the import-time invariant judges the order against the
+    pre-gating artifact state instead of bricking mid-round)."""
+    from datasplash_spark import queries as Q
+
+    assert not Q._WINDOW_ALREADY_GATED, (
+        f"CORRECTNESS_r{Q._max_round:02d}.json has gated the current "
+        "driver window: rotate the registry (stalest block first, "
+        "see the greedy-fill comment above _STALE_R5) and update "
+        "_NEW_R{next} before adding gated queries"
+    )
 
 
 def test_paragraph_dedup_digest_shuffle_only(spark):
