@@ -5707,13 +5707,14 @@ FROM c
 """
 
 
-# ----------------------------------------------------------- round 9 staging
-# Fully-written, oracle-paired, gate-sim-tested queries that CANNOT
-# register this round: the round-8 window is exactly full (46 r5-stale
-# + 4 new), and the rotation invariant correctly rejects a 51st
-# never-gated query. Round 9 promotes each with one _ALL entry + one
-# _NEW_R9 line. Tested now by tests/test_extensions.py::
-# test_round9_staged_queries_match_oracle (driver-faithful compare).
+# ------------------------------------------------- round 9/10 staging
+# Fully-written, oracle-paired, gate-sim-tested queries. Written in
+# round 8 when the window was full; round 9 PROMOTED ahash_pairs +
+# html_extract (one _ALL entry + one _NEW_R9 line each, exactly as
+# designed) and keeps video_frames + rebuild_paragraphs staged for
+# round 10 (the round-9 window is exactly full: 48 r6-stale + 2).
+# Staged pair tested by tests/test_extensions.py::
+# test_round10_staged_queries_match_oracle (driver-faithful compare).
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6104,13 +6105,16 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "image_ahash": (q_image_ahash, ORACLE_IMAGE_AHASH),
     "paragraph_dedup": (q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP),
     "readability": (q_readability, ORACLE_READABILITY),
+    # --- round 9 (promoted from the round-8 staging block) ---
+    "ahash_pairs": (q_ahash_pairs, ORACLE_AHASH_PAIRS),
+    "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
 }
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 8).  The external driver gates exactly the
+# Driver gate order (round 9).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-8 gate contract.
+# round-9 gate contract.
 #
 # Window composition (VERDICT r7 item 1 — adopt a max-staleness
 # rotation): rotation DEBT (never-gated queries) was retired in round
@@ -6125,78 +6129,19 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-8 window = the 46-query r5-green block (stalest: newest
-# driver row is CORRECTNESS_r05, two rounds old — includes the two
-# round-7 single-rep bench outliers stateful_distinct_types /
-# bpe_tokenize and the pre-salt-fix arrow heavies dedup_simhash /
-# dedup_embedding_pairs) + _NEW_R8 (queries added this round, capped
-# by the invariant).
+# Round-9 window = the 48-query r6-green block (stalest: newest
+# driver row is CORRECTNESS_r06, three rounds old at the r9 run) +
+# _NEW_R9 (the two queries promoted this round from the round-8
+# staging block — never driver-gated, so infinitely stale). The two
+# remaining staged queries (video_frames, rebuild_paragraphs) stay
+# staged for round 10 because the window is exactly full.
 
-#: the r5-green block — every query whose newest driver row is
-#: CORRECTNESS_r05 (order: registry order of rounds 5-7).
-_STALE_R5: list[str] = [
-    "keep",
-    "frequencies_by",
-    "combine_global",
-    "flatten",
-    "top_customers",
-    "top_per_nation",
-    "price_percentiles",
-    "combiner_mapper_predicate",
-    "quality_above_median",
-    "length_quartiles",
-    "salted_agg",
-    "text_stats",
-    "lang_id",
-    "fingerprint",
-    "char_entropy",
-    "pack_sequences",
-    "token_budget_mix",
-    "pii_redact",
-    "dedup_lines",
-    "doc_quality",
-    "quota_sample",
-    "quality_classifier",
-    "tfidf_top_terms",
-    "stateful_running_sum",
-    "stateful_distinct_types",
-    "corpus_prep_pipeline",
-    "repeated_ngrams",
-    "fingerprint_rolling",
-    "similarity_topk",
-    "similarity_ann",
-    "similarity_ivf",
-    "knn_search",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "dedup_cross_corpus",
-    "ngram_jaccard_verify",
-    "dedup_minhash_pairs",
-    "source_overlap",
-    "bm25_search",
-    "ngram_containment",
-    "corpus_diff",
-    "filter_report",
-    "filter_funnel",
-    "semantic_pack",
-    "zorder_key",
-    "ann_recall",
-]
-
-#: Queries ADDED in round 8 (each starts life never-driver-gated, so
-#: each consumes one slot of window headroom — see the invariant).
-_NEW_R8: list[str] = [
-    "image_formats",
-    "image_ahash",
-    "paragraph_dedup",
-    "readability",
-]
-
-_WINDOW_HEAD_R8: list[str] = _STALE_R5 + _NEW_R8
-
-_AFTER_WINDOW_R8: list[str] = [
-    # r6-green block (CORRECTNESS_r06; staleness 2 at the r8 run —
-    # leads the round-9 window):
+#: the r6-green block — every query whose newest driver row is
+#: CORRECTNESS_r06 (staleness 3 at the r9 run; stalest class, so the
+#: whole block leads the window by greedy fill). Order within the
+#: block: cheap relational/elementwise first so session-warmup
+#: residue lands on sub-second queries, heavies last.
+_STALE_R6: list[str] = [
     "sample_per_key",
     "multimodal_features",
     "importance_resample",
@@ -6245,7 +6190,25 @@ _AFTER_WINDOW_R8: list[str] = [
     "objectmode_join",
     "objectmode_side_outputs",
     "pricing_summary",
-    # r7-green block (CORRECTNESS_r07; freshest):
+]
+
+#: Queries ADDED in round 9 — promoted from the round-8 staging
+#: block (query + oracle were written and gate-sim-tested in round 8;
+#: promotion is exactly the one _ALL entry + this line, as designed).
+#: ahash_pairs carries the brute-force-parity oracle that proves the
+#: banded Hamming join's pigeonhole recall; html_extract is the
+#: most real-corpus-relevant of the staged four.
+_NEW_R9: list[str] = [
+    "ahash_pairs",
+    "html_extract",
+]
+
+_WINDOW_HEAD_R9: list[str] = _STALE_R6 + _NEW_R9
+
+_AFTER_WINDOW_R9: list[str] = [
+    # r7-green block (CORRECTNESS_r07; staleness 2 at the r9 run —
+    # leads the round-10 window together with the two still-staged
+    # queries video_frames / rebuild_paragraphs):
     "winnow_fingerprints",
     "bpe_pairs",
     "source_drift",
@@ -6296,9 +6259,61 @@ _AFTER_WINDOW_R8: list[str] = [
     "filter_project",
     "group_by_key",
     "frequencies",
+    # r8-green block (CORRECTNESS_r08; freshest, staleness 1 —
+    # the full round-8 window: 46 then-r5-stale + 4 added in r8):
+    "keep",
+    "frequencies_by",
+    "combine_global",
+    "flatten",
+    "top_customers",
+    "top_per_nation",
+    "price_percentiles",
+    "combiner_mapper_predicate",
+    "quality_above_median",
+    "length_quartiles",
+    "salted_agg",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "char_entropy",
+    "pack_sequences",
+    "token_budget_mix",
+    "pii_redact",
+    "dedup_lines",
+    "doc_quality",
+    "quota_sample",
+    "quality_classifier",
+    "tfidf_top_terms",
+    "stateful_running_sum",
+    "stateful_distinct_types",
+    "corpus_prep_pipeline",
+    "repeated_ngrams",
+    "fingerprint_rolling",
+    "similarity_topk",
+    "similarity_ann",
+    "similarity_ivf",
+    "knn_search",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "dedup_cross_corpus",
+    "ngram_jaccard_verify",
+    "dedup_minhash_pairs",
+    "source_overlap",
+    "bm25_search",
+    "ngram_containment",
+    "corpus_diff",
+    "filter_report",
+    "filter_funnel",
+    "semantic_pack",
+    "zorder_key",
+    "ann_recall",
+    "image_formats",
+    "image_ahash",
+    "paragraph_dedup",
+    "readability",
 ]
 
-_ORDER: list[str] = _WINDOW_HEAD_R8 + _AFTER_WINDOW_R8
+_ORDER: list[str] = _WINDOW_HEAD_R9 + _AFTER_WINDOW_R9
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
 if set(_ORDER) != set(_ALL):

@@ -4677,12 +4677,13 @@ def test_apply_paragraph_dedup_rebuild(spark):
         assert rep[did] == (out[did].n_paras, out[did].n_kept)
 
 
-def test_round9_staged_queries_match_oracle(spark):
-    """The three round-9 staged queries (written this round, blocked
-    from registering by the full rotation window) must already match
-    their DuckDB oracles value-for-value at sf0.001 with
+def test_round10_staged_queries_match_oracle(spark):
+    """The two still-staged round-10 queries (written in round 8;
+    round 9 promoted ahash_pairs + html_extract into the registry,
+    where the full-corpus oracle gate now covers them) must already
+    match their DuckDB oracles value-for-value at sf0.001 with
     driver-faithful canonicalization (columns sorted by name, rows
-    sorted, value equality) — so round-9 promotion is one registry
+    sorted, value equality) — so round-10 promotion is one registry
     line each, not new work."""
     import duckdb
 
@@ -4695,8 +4696,6 @@ def test_round9_staged_queries_match_oracle(spark):
     )
     staged = {
         "video_frames": (Q.q_video_frames, Q.ORACLE_VIDEO_FRAMES),
-        "html_extract": (Q.q_html_extract, Q.ORACLE_HTML_EXTRACT),
-        "ahash_pairs": (Q.q_ahash_pairs, Q.ORACLE_AHASH_PAIRS),
         "rebuild_paragraphs": (
             Q.q_rebuild_paragraphs, Q.ORACLE_REBUILD_PARAGRAPHS,
         ),
