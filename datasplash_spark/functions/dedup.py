@@ -1584,14 +1584,13 @@ def hamming_band_pairs(
     slices = []
     for b in range(n_bands):
         take = bits - b * width if b == n_bands - 1 else width
-        mask = (1 << take) - 1
+        sliced = F.shiftrightunsigned(s, b * width)
+        if take < 64:
+            # a full-width band (max_hamming=0, bits=64) needs no
+            # mask — and its (1<<64)-1 mask would not fit a long lit
+            sliced = sliced.bitwiseAND(F.lit((1 << take) - 1))
         slices.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(s, b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("slice"),
-            )
+            F.struct(F.lit(b).alias("band"), sliced.alias("slice"))
         )
     banded = df.select(
         _col(id_col).alias("_id"), s.alias("_sig"),

@@ -608,6 +608,15 @@ def decode_jpeg(raw: bytes) -> dict:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # a legal baseline file may carry several
+                # non-interleaved scans; decoding only the first
+                # would silently return a partial (e.g. grayscale)
+                # image — quarantine instead, per the
+                # unsupported-feature contract.
+                raise ValueError(
+                    "jpeg: multi-scan/non-interleaved unsupported"
+                )
             scan = []
             for si in range(ns):
                 cs, tda = body[1 + 2 * si : 3 + 2 * si]
@@ -719,7 +728,20 @@ def _decode_scan(raw, pos, frame, scan, qtables, htables, restart_interval):
                             if s == 0:
                                 if rs == 0xF0:  # ZRL
                                     k += 16
+                                    if k > 63:
+                                        raise ValueError(
+                                            "jpeg: AC index out of range"
+                                        )
                                     continue
+                                if rs != 0x00:
+                                    # size-0 symbols other than EOB/ZRL
+                                    # are illegal in baseline — treating
+                                    # them as EOB would decode corrupt
+                                    # streams silently
+                                    raise ValueError(
+                                        "jpeg: invalid AC symbol "
+                                        f"0x{rs:02X}"
+                                    )
                                 break  # EOB
                             k += rs >> 4
                             if k > 63:

@@ -1109,6 +1109,16 @@ def video_frame_features(
                     )
                     continue
                 nf = len(frames)
+                if nf == 0:
+                    # empty/null media splits to zero frames without
+                    # raising — quarantine explicitly (frame_idx=-1)
+                    # instead of silently dropping the doc, matching
+                    # image_features / audio_features.
+                    rows.append(
+                        (doc_id, -1, 0, None, None, None, len(data),
+                         False, "ValueError: empty stream")
+                    )
+                    continue
                 for idx in range(0, nf, max(1, int(every_n))):
                     off, ln = frames[idx]
                     try:

@@ -4199,6 +4199,75 @@ def test_jpeg_rejects_unsupported_and_truncated():
     assert np.array_equal(d["pixels"], J.decode_jpeg(raw)["pixels"])
 
 
+def _mini_jpeg(ac_symbols: list, entropy: bytes) -> bytes:
+    """Hand-assembled minimal 8×8 grayscale baseline JPEG with a
+    CUSTOM AC Huffman table (two 1-bit codes: '0'→ac_symbols[0],
+    '1'→ac_symbols[1]) and a 1-code DC table ('0'→size 0), so tests
+    can emit AC symbols the standard tables cannot express."""
+    import struct
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00")
+    dc_counts = bytes([1] + [0] * 15)
+    dht_dc = seg(0xC4, b"\x00" + dc_counts + b"\x00")
+    ac_counts = bytes([2] + [0] * 15)
+    dht_ac = seg(0xC4, b"\x10" + ac_counts + bytes(ac_symbols))
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + entropy + b"\xff\xd9"
+    )
+
+
+def test_jpeg_strict_ac_symbol_and_multiscan_contracts():
+    """Corrupt-stream strictness (ADVICE r8): a size-0 AC symbol
+    other than EOB/ZRL raises instead of masquerading as EOB; a ZRL
+    that pushes the coefficient index past 63 raises; and a
+    multi-scan (non-interleaved) SOS — fewer scan components than
+    frame components — raises per the unsupported-feature contract
+    instead of silently returning a partial image."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    # '0'→0x30 (run 3, size 0 — illegal), '1'→EOB; bits: DC '0',
+    # AC '0' → must raise, not EOB-and-decode-garbage
+    bad_sym = _mini_jpeg([0x30, 0x00], bytes([0b00111111]))
+    with pytest.raises(ValueError, match="invalid AC symbol"):
+        J.decode_jpeg(bad_sym)
+
+    # '0'→ZRL, '1'→EOB; bits: DC '0' then 4 ZRLs → k = 1+64 > 63
+    zrl_over = _mini_jpeg([0xF0, 0x00], bytes([0b00000111]))
+    with pytest.raises(ValueError, match="AC index out of range"):
+        J.decode_jpeg(zrl_over)
+
+    # sanity: the same skeleton with a LEGAL stream decodes — DC '0'
+    # (diff 0) + EOB ('1') → flat gray 128 (qt all-ones)
+    ok = _mini_jpeg([0xF0, 0x00], bytes([0b01111111]))
+    d = J.decode_jpeg(ok)
+    assert d["mode"] == "L" and (d["width"], d["height"]) == (8, 8)
+    assert np.all(d["pixels"] == 128)
+
+    # multi-scan: RGB-encoded interleaved JPEG (ns=3) rewritten to a
+    # 1-component SOS header — a non-interleaved first scan
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    raw = J.encode_jpeg_baseline(rgb, quality=90)
+    i = raw.index(b"\xff\xda")
+    # original SOS body: len=12, ns=3, 3×(cs,tda), ss, se, ahal
+    cs1, tda1 = raw[i + 5], raw[i + 6]
+    patched = (
+        raw[: i + 2]
+        + b"\x00\x08\x01" + bytes([cs1, tda1]) + b"\x00\x3f\x00"
+        + raw[i + 14 :]
+    )
+    with pytest.raises(ValueError, match="multi-scan"):
+        J.decode_jpeg(patched)
+
+
 def test_image_features_mixed_png_jpeg_corpus(spark):
     """image_features over a MIXED corpus — PNG, 4:4:4 JPEG, 4:2:0
     JPEG, progressive-JPEG poison — extracts real dims per format
@@ -4483,6 +4552,8 @@ def test_mjpeg_split_and_video_frame_features(spark):
             (1, bytearray(stream)),
             (2, bytearray(poison_mid)),
             (3, bytearray(b"AVI?not really")),
+            (4, None),
+            (5, bytearray(b"")),
         ],
         "doc_id bigint, media binary",
     )
@@ -4495,6 +4566,13 @@ def test_mjpeg_split_and_video_frame_features(spark):
     assert got[(2, 0)].ok and got[(2, 2)].ok            # siblings live
     assert got[(2, 1)].ok is False and "progressive" in got[(2, 1)].err
     assert got[(3, -1)].ok is False                      # doc quarantine
+    # empty/null media: zero frames must NOT silently drop the doc —
+    # one ok=false quarantine row each (ADVICE r8 medium)
+    for did in (4, 5):
+        r = got[(did, -1)]
+        assert r.ok is False and r.n_frames == 0
+        assert "empty stream" in r.err
+    assert len([k for k in got if k[0] in (4, 5)]) == 2
     # frame sampling: every 2nd frame only
     sampled = mm.video_frame_features(
         df.where("doc_id = 1"), every_n=2
@@ -4640,6 +4718,21 @@ def test_hamming_band_pairs_and_bitstring(spark):
     found = {(r.a, r.b) for r in pairs}
     assert (10, 11) in found
     assert all({a, b} != {10, 12} and {a, b} != {11, 12} for a, b in found)
+
+    # max_hamming=0 → one full-width 64-bit band (the (1<<64)-1 mask
+    # does not fit a long literal — ADVICE r8): exact-duplicate pairs
+    # only, including an MSB-set (negative long) signature
+    neg = (1 << 63) | 5
+    exact_rows = [
+        (0, -42), (1, -42), (2, 7), (3, neg - (1 << 64)),
+        (4, neg - (1 << 64)), (5, 8),
+    ]
+    edf = generate_input(spark, exact_rows, "doc_id bigint, sig long")
+    got0 = {
+        (r.a, r.b): r.hamming
+        for r in dd.hamming_band_pairs(edf, "sig", max_hamming=0).collect()
+    }
+    assert got0 == {(0, 1): 0, (3, 4): 0}
 
 
 def test_apply_paragraph_dedup_rebuild(spark):
