@@ -1,21 +1,26 @@
-"""Zero-dependency baseline JPEG codec (round 8 — VERDICT r7 item 2,
-the last real multimodal decode gap).
+"""Zero-dependency JPEG codec (round 8 baseline — VERDICT r7 item 2;
+round 9 adds progressive, the ~6-10%-of-web-corpora tail).
 
-Scope: BASELINE SEQUENTIAL JFIF (SOF0) — the format the overwhelming
-majority of real-corpus images use. Decoder handles grayscale and
-YCbCr color, arbitrary sampling factors 1–2 per axis (so 4:4:4,
-4:2:2, and 4:2:0 streams all decode), 8- and 16-bit quantization
-tables, restart markers (DRI/RSTn), and dimensions that are not
-multiples of the MCU size. Progressive (SOF2), arithmetic-coded,
-hierarchical, and 12-bit streams raise ``ValueError`` with the
-specific unsupported feature — at corpus scale those rows quarantine
-through the ``ok=false`` contract of ``image_features`` rather than
-killing the stage.
+Scope: BASELINE SEQUENTIAL (SOF0/SOF1) and PROGRESSIVE (SOF2) JFIF —
+together the formats essentially all real-corpus images use. Decoder
+handles grayscale and YCbCr color, arbitrary sampling factors 1–2
+per axis (so 4:4:4, 4:2:2, and 4:2:0 streams all decode), 8- and
+16-bit quantization tables, restart markers (DRI/RSTn), dimensions
+that are not multiples of the MCU size, and for progressive the full
+T.81 G.2 scan algebra: interleaved/non-interleaved DC scans, spectral
+selection, successive approximation (DC and AC refinement), and
+EOB-run coding. Arithmetic-coded, hierarchical, lossless, and 12-bit
+streams raise ``ValueError`` with the specific unsupported feature —
+at corpus scale those rows quarantine through the ``ok=false``
+contract of ``image_features`` rather than killing the stage.
 
-The encoder exists for fixtures and synthetic corpora: quality-scaled
+The encoders exist for fixtures and synthetic corpora: quality-scaled
 Annex-K quantization tables (libjpeg's 5000/q · 200−2q scaling),
-4:4:4 sampling, standard Annex-K Huffman tables, byte stuffing —
-enough to produce real JPEGs any external decoder accepts.
+4:4:4 or 4:2:0 sampling, standard Annex-K Huffman tables, byte
+stuffing; the progressive encoder emits a 4-kind scan script (DC/AC
+first + refinement) whose decode is pinned bit-identical to the
+baseline path — enough to produce real JPEGs any external decoder
+accepts.
 
 Everything here is built from the public JPEG spec (ITU-T T.81 /
 ISO 10918-1, Annex F/K) — the same tables every open codec ships.
@@ -239,19 +244,11 @@ def _encode_block(w, coef, dc_codes, ac_codes, pred: int) -> int:
     return dc
 
 
-def encode_jpeg_baseline(
-    pixels,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as a
-    baseline sequential JFIF JPEG: quality-scaled Annex-K
-    quantization, standard Annex-K Huffman tables, 4:4:4 sampling by
-    default or 4:2:0 (2×2 luma factors, box-downsampled chroma) with
-    ``subsample=True`` — the common real-corpus layout, and the
-    fixture that exercises the decoder's upsampling path. Output is
-    a real JPEG any decoder accepts."""
+def _prepare_blocks(pixels, quality: int, subsample: bool):
+    """Shared encoder front half: RGB→YCbCr, chroma downsampling,
+    forward DCT + quantization into per-component ``(gh, gw, 64)``
+    int32 zigzag coefficient grids. Used by both the baseline and
+    progressive encoders — the two differ only in entropy coding."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -313,6 +310,30 @@ def encode_jpeg_baseline(
                 coefs[by, bx] = q.reshape(64)[zz]
         blocks_per_plane.append(coefs)
 
+    return (
+        h, w, ch, qluma, qchroma, factors, hmax, vmax, mcux, mcuy,
+        blocks_per_plane,
+    )
+
+
+def encode_jpeg_baseline(
+    pixels,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as a
+    baseline sequential JFIF JPEG: quality-scaled Annex-K
+    quantization, standard Annex-K Huffman tables, 4:4:4 sampling by
+    default or 4:2:0 (2×2 luma factors, box-downsampled chroma) with
+    ``subsample=True`` — the common real-corpus layout, and the
+    fixture that exercises the decoder's upsampling path. Output is
+    a real JPEG any decoder accepts."""
+    (
+        h, w, ch, qluma, qchroma, factors, hmax, vmax, mcux, mcuy,
+        blocks_per_plane,
+    ) = _prepare_blocks(pixels, quality, subsample)
+
     dc_l = _build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -350,45 +371,271 @@ def encode_jpeg_baseline(
             mcu_count += 1
     wtr.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out = _frame_headers(
+        h, w, ch, qluma, qchroma, factors, 0xFFC0, restart_interval
     )
-    # DQT: zigzag order on the wire
-    out += seg(0xFFDB, bytes([0]) + bytes(int(qluma[z]) for z in zz))
-    if ch == 3:
-        out += seg(0xFFDB, bytes([1]) + bytes(int(qchroma[z]) for z in zz))
-    # SOF0
-    comps = b""
-    for ci in range(ch):
-        fx, fy = factors[ci]
-        comps += bytes([ci + 1, (fx << 4) | fy, 0 if ci == 0 else 1])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ch) + comps)
-    # DHT
-    out += seg(
-        0xFFC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
-    )
-    out += seg(
-        0xFFC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
-    )
-    if ch == 3:
-        out += seg(
-            0xFFC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
-        )
-        out += seg(
-            0xFFC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
-        )
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOS
     scomps = b""
     for ci in range(ch):
         scomps += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    out += seg(0xFFDA, bytes([ch]) + scomps + b"\x00\x3f\x00")
+    out += _seg(0xFFDA, bytes([ch]) + scomps + b"\x00\x3f\x00")
     out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _frame_headers(
+    h, w, ch, qluma, qchroma, factors, sof_marker, restart_interval
+) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF + DHT (+ DRI) — everything before
+    the first SOS, shared by the baseline (SOF0) and progressive
+    (SOF2) encoders."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    # DQT: zigzag order on the wire
+    out += _seg(0xFFDB, bytes([0]) + bytes(int(qluma[z]) for z in ZIGZAG))
+    if ch == 3:
+        out += _seg(
+            0xFFDB, bytes([1]) + bytes(int(qchroma[z]) for z in ZIGZAG)
+        )
+    comps = b""
+    for ci in range(ch):
+        fx, fy = factors[ci]
+        comps += bytes([ci + 1, (fx << 4) | fy, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, h, w, ch) + comps)
+    # DHT
+    out += _seg(
+        0xFFC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    )
+    out += _seg(
+        0xFFC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    )
+    if ch == 3:
+        out += _seg(
+            0xFFC4, bytes([0x01] + DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+        out += _seg(
+            0xFFC4, bytes([0x11] + AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+        )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quality: int = 85,
+    subsample: bool = False,
+    successive: bool = True,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode uint8 grayscale/RGB as a PROGRESSIVE (SOF2) JFIF JPEG —
+    the fixture generator for the progressive decode path (~6-10% of
+    real web corpora). Same DCT/quantization front half as the
+    baseline encoder (:func:`_prepare_blocks`), different entropy
+    plan: with ``successive=True`` the scan script exercises all four
+    progressive scan kinds — DC first at Al=1, per-component AC first
+    (1..63) at Al=1, DC refinement, per-component AC refinement —
+    and with ``successive=False`` a pure spectral-selection script
+    (DC then per-component AC, Al=0). EOB runs are capped at one
+    block so the standard Annex-K tables suffice (longer-run symbols
+    0x10..0xE0 are absent from them); the decoder handles arbitrary
+    runs. Output is a real progressive JPEG any decoder accepts."""
+    (
+        h, w, ch, qluma, qchroma, factors, hmax, vmax, mcux, mcuy,
+        blocks,
+    ) = _prepare_blocks(pixels, quality, subsample)
+
+    dc_tabs = [
+        _build_huffman_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_tabs = [
+        _build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    def tab(ci):  # luma tables for comp 0, chroma for the rest
+        return 0 if ci == 0 else 1
+
+    # per-comp non-interleaved block dims (AC scans cover these; the
+    # interleaved grid's extra padding blocks stay DC-only, cropped
+    # away at reconstruction)
+    nb = []
+    for ci in range(ch):
+        fx, fy = factors[ci]
+        cw, chh = -(-w * fx // hmax), -(-h * fy // vmax)
+        nb.append((-(-chh // 8), -(-cw // 8)))
+
+    def sos(ns_comps, ss, se, ah, al):
+        body = bytes([len(ns_comps)])
+        for ci in ns_comps:
+            if ss == 0:
+                body += bytes([ci + 1, tab(ci) << 4])
+            else:
+                body += bytes([ci + 1, tab(ci)])
+        return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    ri = int(restart_interval)
+
+    def maybe_restart(wtr, unit, state):
+        """Baseline-style restart emission at unit START: byte-align,
+        RSTn, and let the caller reset DC predictors."""
+        if ri and unit and unit % ri == 0:
+            wtr.flush()
+            wtr.buf += bytes([0xFF, 0xD0 + state[0]])
+            state[0] = (state[0] + 1) & 7
+            return True
+        return False
+
+    def dc_first(al):
+        wtr = _BitWriter()
+        preds = [0] * ch
+        rst = [0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if maybe_restart(wtr, my * mcux + mx, rst):
+                    preds = [0] * ch
+                for ci in range(ch):
+                    fx, fy = factors[ci]
+                    dcc = dc_tabs[tab(ci)]
+                    for by in range(fy):
+                        for bx in range(fx):
+                            v = int(
+                                blocks[ci][my * fy + by, mx * fx + bx, 0]
+                            ) >> al
+                            s, bitsv = _magnitude(v - preds[ci])
+                            c, ln = dcc[s]
+                            wtr.write(c, ln)
+                            if s:
+                                wtr.write(bitsv, s)
+                            preds[ci] = v
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def dc_refine(al):
+        wtr = _BitWriter()
+        rst = [0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(wtr, my * mcux + mx, rst)
+                for ci in range(ch):
+                    fx, fy = factors[ci]
+                    for by in range(fy):
+                        for bx in range(fx):
+                            wtr.write(
+                                (int(
+                                    blocks[ci][my * fy + by, mx * fx + bx, 0]
+                                ) >> al) & 1,
+                                1,
+                            )
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_first(ci, al):
+        wtr = _BitWriter()
+        acc = ac_tabs[tab(ci)]
+        hb, wb = nb[ci]
+        rst = [0]
+        for by in range(hb):
+            for bx in range(wb):
+                maybe_restart(wtr, by * wb + bx, rst)
+                row = blocks[ci][by, bx]
+                vals = [0] * 64
+                lnz = 0
+                for k in range(1, 64):
+                    c0 = int(row[k])
+                    t = abs(c0) >> al
+                    if t:
+                        vals[k] = t if c0 > 0 else -t
+                        lnz = k
+                run = 0
+                for k in range(1, lnz + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = acc[0xF0]
+                        wtr.write(c, ln)
+                        run -= 16
+                    s, bitsv = _magnitude(v)
+                    c, ln = acc[(run << 4) | s]
+                    wtr.write(c, ln)
+                    wtr.write(bitsv, s)
+                    run = 0
+                if lnz < 63:
+                    c, ln = acc[0x00]  # EOB (run of exactly 1)
+                    wtr.write(c, ln)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_refine(ci, al):
+        wtr = _BitWriter()
+        acc = ac_tabs[tab(ci)]
+        hb, wb = nb[ci]
+        rst = [0]
+        for by in range(hb):
+            for bx in range(wb):
+                maybe_restart(wtr, by * wb + bx, rst)
+                row = blocks[ci][by, bx]
+                t = [0] * 64
+                eob_idx = 0
+                for k in range(1, 64):
+                    t[k] = abs(int(row[k])) >> al
+                    if t[k] == 1:
+                        eob_idx = k
+                r = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    if t[k] == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_idx:
+                        c, ln = acc[0xF0]
+                        wtr.write(c, ln)
+                        r -= 16
+                        for b in br:
+                            wtr.write(b, 1)
+                        br = []
+                    if t[k] > 1:
+                        br.append(t[k] & 1)  # correction bit
+                        continue
+                    # newly-significant coefficient (magnitude 1)
+                    c, ln = acc[(r << 4) | 1]
+                    wtr.write(c, ln)
+                    wtr.write(1 if int(row[k]) > 0 else 0, 1)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    c, ln = acc[0x00]  # EOB (run of exactly 1)
+                    wtr.write(c, ln)
+                    for b in br:
+                        wtr.write(b, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    out = _frame_headers(h, w, ch, qluma, qchroma, factors, 0xFFC2, ri)
+    all_comps = list(range(ch))
+    if successive:
+        out += sos(all_comps, 0, 0, 0, 1) + dc_first(1)
+        for ci in all_comps:
+            out += sos([ci], 1, 63, 0, 1) + ac_first(ci, 1)
+        out += sos(all_comps, 0, 0, 1, 0) + dc_refine(0)
+        for ci in all_comps:
+            out += sos([ci], 1, 63, 1, 0) + ac_refine(ci, 0)
+    else:
+        out += sos(all_comps, 0, 0, 0, 0) + dc_first(0)
+        for ci in all_comps:
+            out += sos([ci], 1, 63, 0, 0) + ac_first(ci, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -487,12 +734,14 @@ class _FastBits:
         return v
 
 
-def _entropy_segments(raw: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(raw: bytes, pos: int) -> tuple[list[bytes], int]:
     """Destuffed entropy byte segments from the scan-data start to
     the terminating marker — one segment per restart interval (the
-    RSTn markers are the separators; 0xFF00 stuffing removed). The
-    single scan over 0xFF positions replaces the per-byte stuffing
-    checks of the old bit reader."""
+    RSTn markers are the separators; 0xFF00 stuffing removed), plus
+    the offset of that terminating marker's 0xFF so a multi-scan
+    (progressive) parse can resume there. The single scan over 0xFF
+    positions replaces the per-byte stuffing checks of the old bit
+    reader."""
     n = len(raw)
     segments: list[bytes] = []
     parts: list[bytes] = []
@@ -513,7 +762,7 @@ def _entropy_segments(raw: bytes, pos: int) -> list[bytes]:
         else:  # real marker: end of entropy data
             parts.append(raw[last:i])
             segments.append(b"".join(parts))
-            return segments
+            return segments, i
         i = raw.find(b"\xff", last)
     raise ValueError("jpeg: truncated entropy stream")
 
@@ -539,6 +788,8 @@ def decode_jpeg(raw: bytes) -> dict:
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    store = None  # progressive: per-comp coefficient accumulators
+    n_scans = 0
     zz = np.array(ZIGZAG)
 
     while pos + 4 <= len(raw):
@@ -583,7 +834,7 @@ def decode_jpeg(raw: bytes) -> dict:
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = (bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline DCT)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
@@ -593,9 +844,10 @@ def decode_jpeg(raw: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) unsupported")
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -608,6 +860,25 @@ def decode_jpeg(raw: bytes) -> dict:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
+            if frame["progressive"]:
+                scan = []
+                for si in range(ns):
+                    cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                    comp = next(
+                        c for c in frame["comps"] if c["id"] == cs
+                    )
+                    scan.append(
+                        {**comp, "dc": tda >> 4, "ac": tda & 0xF}
+                    )
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                if store is None:
+                    store = _alloc_coef_store(frame)
+                pos = _decode_progressive_scan(
+                    raw, pos, frame, store, scan, htables,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                )
+                n_scans += 1
+                continue
             if ns != len(frame["comps"]):
                 # a legal baseline file may carry several
                 # non-interleaved scans; decoding only the first
@@ -631,7 +902,267 @@ def decode_jpeg(raw: bytes) -> dict:
                 restart_interval,
             )
         # APPn/COM and everything else: skipped
+    if n_scans and store is not None:
+        # progressive: all scans decoded — reconstruct from the
+        # accumulated coefficients (quantization tables resolved
+        # here; a scan-less component reconstructs as flat zeros,
+        # matching libjpeg's partial-render behavior)
+        for comp, meta in zip(frame["comps"], store):
+            if comp["tq"] not in qtables:
+                raise ValueError("jpeg: missing huffman/quant table")
+            meta["qt"] = qtables[comp["tq"]]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        return _reconstruct(store, frame["h"], frame["w"], hmax, vmax)
     raise ValueError("jpeg: no SOS marker found")
+
+
+def _alloc_coef_store(frame) -> list[dict]:
+    """Per-component coefficient accumulators for a progressive
+    frame: one 64-long zigzag row per block on the INTERLEAVED grid
+    (``mcuy·v × mcux·h`` — the superset of the non-interleaved grid,
+    so single-component scans write into its top-left corner with
+    the same row stride). Rows are plain lists: the entropy loops
+    index them per-coefficient, and :func:`_reconstruct` batches
+    them into one ndarray at the end."""
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise ValueError("jpeg: sampling factors beyond 2 unsupported")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    store = []
+    for c in frame["comps"]:
+        gh, gw = mcuy * c["v"], mcux * c["h"]
+        # per-component block dims for NON-interleaved scans
+        cw = -(-fw * c["h"] // hmax)
+        chh = -(-fh * c["v"] // vmax)
+        store.append(
+            {
+                "coef": [[0] * 64 for _ in range(gh * gw)],
+                "gw": gw, "gh": gh,
+                "fx": c["h"], "fy": c["v"],
+                "wb": -(-cw // 8), "hb": -(-chh // 8),
+                "mcux": mcux, "mcuy": mcuy,
+            }
+        )
+    return store
+
+
+def _decode_progressive_scan(
+    raw, pos, frame, store, scan, htables, restart_interval, ss, se, ah, al
+):
+    """Entropy-decode ONE progressive scan (T.81 G.2) into the
+    persistent coefficient store; returns the offset of the marker
+    terminating the scan's entropy data. Four scan kinds: DC first
+    (ss=0, ah=0 — Huffman diff coding, value << al), DC refinement
+    (one raw bit per block, OR-ed at bit al), AC first (single
+    component, EOB-run coding, values << al), AC refinement
+    (correction bits for known coefficients + newly-significant
+    ±1<<al). Restart markers reset DC predictors and the EOB run,
+    exactly as in baseline."""
+    comp_idx = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    members = [store[comp_idx[c["id"]]] for c in scan]
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: invalid progressive DC scan band")
+        if ah == 0:
+            for c in scan:
+                if (0, c["dc"]) not in htables:
+                    raise ValueError("jpeg: missing huffman/quant table")
+            luts = [
+                _build_huffman_lut(*htables[(0, c["dc"])]) for c in scan
+            ]
+        else:
+            luts = [None] * len(scan)  # DC refinement: raw bits, no table
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "jpeg: progressive AC scan must be single-component"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError("jpeg: invalid progressive AC scan band")
+        if (1, scan[0]["ac"]) not in htables:
+            raise ValueError("jpeg: missing huffman/quant table")
+        ac_lut = _build_huffman_lut(*htables[(1, scan[0]["ac"])])
+
+    interleaved = len(scan) > 1
+    if ss == 0 and interleaved:
+        mcux, mcuy = members[0]["mcux"], members[0]["mcuy"]
+        total_units = mcux * mcuy
+    else:
+        # non-interleaved: one block per MCU over the comp's own grid
+        m = members[0]
+        total_units = m["wb"] * m["hb"]
+
+    segments, end = _entropy_segments(raw, pos)
+    per_seg = restart_interval if restart_interval else total_units
+    unit = 0
+    for seg in segments:
+        if unit >= total_units:
+            break
+        bits = _FastBits(seg)
+        preds = [0] * len(scan)
+        eobrun = 0
+        for _ in range(min(per_seg, total_units - unit)):
+            if ss == 0:
+                if interleaved:
+                    my, mx = divmod(unit, mcux)
+                    for ci, m in enumerate(members):
+                        fx, fy, gw = m["fx"], m["fy"], m["gw"]
+                        coef = m["coef"]
+                        for by in range(fy):
+                            for bx in range(fx):
+                                row = coef[
+                                    (my * fy + by) * gw + (mx * fx + bx)
+                                ]
+                                if ah == 0:
+                                    preds[ci] = _dc_first(
+                                        row, luts[ci], bits, preds[ci], al
+                                    )
+                                else:
+                                    if bits.get(1):
+                                        row[0] |= 1 << al
+                else:
+                    m = members[0]
+                    by, bx = divmod(unit, m["wb"])
+                    row = m["coef"][by * m["gw"] + bx]
+                    if ah == 0:
+                        preds[0] = _dc_first(
+                            row, luts[0], bits, preds[0], al
+                        )
+                    else:
+                        if bits.get(1):
+                            row[0] |= 1 << al
+            else:
+                m = members[0]
+                by, bx = divmod(unit, m["wb"])
+                row = m["coef"][by * m["gw"] + bx]
+                if ah == 0:
+                    eobrun = _ac_first_band(
+                        row, ss, se, al, bits, ac_lut, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_band(
+                        row, ss, se, al, bits, ac_lut, eobrun
+                    )
+            unit += 1
+    if unit < total_units:
+        raise ValueError("jpeg: truncated entropy stream")
+    return end
+
+
+def _dc_first(row, dc_lut, bits, pred, al):
+    """One block of a first DC scan: Huffman size + diff bits, new
+    predictor returned; the stored coefficient is pred << al."""
+    v = dc_lut[bits.peek16()]
+    if v == 0:
+        raise ValueError("jpeg: invalid huffman code")
+    bits.consume(v & 31)
+    s = v >> 5
+    if s:
+        d = bits.get(s)
+        pred += d if d >= (1 << (s - 1)) else d - (1 << s) + 1
+    row[0] = pred << al
+    return pred
+
+
+def _ac_first_band(row, ss, se, al, bits, ac_lut, eobrun):
+    """One block's band in a first AC scan: EOB-run coded runs of
+    zeros + magnitude-coded coefficients shifted left by al."""
+    if eobrun > 0:
+        return eobrun - 1
+    peek16, consume, get = bits.peek16, bits.consume, bits.get
+    k = ss
+    while k <= se:
+        v = ac_lut[peek16()]
+        if v == 0:
+            raise ValueError("jpeg: invalid huffman code")
+        consume(v & 31)
+        rs = v >> 5
+        s = rs & 15
+        r = rs >> 4
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += get(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index out of range")
+        d = get(s)
+        row[k] = (d if d >= (1 << (s - 1)) else d - (1 << s) + 1) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_band(row, ss, se, al, bits, ac_lut, eobrun):
+    """One block's band in an AC refinement scan (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1<<al with a run of
+    zero-HISTORY positions; every already-nonzero coefficient passed
+    over consumes one correction bit. An EOB run still consumes
+    correction bits for the remaining nonzero coefficients of each
+    covered block."""
+    p1 = 1 << al
+    m1 = -p1
+    peek16, consume, get = bits.peek16, bits.consume, bits.get
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            v = ac_lut[peek16()]
+            if v == 0:
+                raise ValueError("jpeg: invalid huffman code")
+            consume(v & 31)
+            rs = v >> 5
+            s = rs & 15
+            r = rs >> 4
+            val = 0
+            if s == 0:
+                if r != 15:
+                    # run INCLUDES the current block: its remaining
+                    # correction bits still stream (the tail below
+                    # consumes them, then decrements) — unlike
+                    # AC-first, where covered blocks carry no bits
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += get(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: invalid AC refinement symbol"
+                    )
+                val = p1 if get(1) else m1
+            while k <= se:
+                c = row[k]
+                if c != 0:
+                    if get(1) and (c & p1) == 0:
+                        row[k] += p1 if c > 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("jpeg: AC index out of range")
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = row[k]
+            if c != 0:
+                if get(1) and (c & p1) == 0:
+                    row[k] += p1 if c > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_scan(raw, pos, frame, scan, qtables, htables, restart_interval):
@@ -654,8 +1185,6 @@ def _decode_scan(raw, pos, frame, scan, qtables, htables, restart_interval):
         raise ValueError("jpeg: sampling factors beyond 2 unsupported")
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    M = _dct_matrix()
-    zz = np.array(ZIGZAG)
     total_mcus = mcux * mcuy
 
     luts: dict[tuple[int, int], list[int]] = {}
@@ -682,7 +1211,7 @@ def _decode_scan(raw, pos, frame, scan, qtables, htables, restart_interval):
             }
         )
 
-    segments = _entropy_segments(raw, pos)
+    segments, _ = _entropy_segments(raw, pos)
     per_seg = restart_interval if restart_interval else total_mcus
     mcu = 0
     for seg in segments:
@@ -757,8 +1286,20 @@ def _decode_scan(raw, pos, frame, scan, qtables, htables, restart_interval):
     if mcu < total_mcus:
         raise ValueError("jpeg: truncated entropy stream")
 
-    # batch reconstruction: dequantize + inverse zigzag + IDCT for
-    # ALL blocks of a component in three vectorized ops
+    return _reconstruct(comps, fh, fw, hmax, vmax)
+
+
+def _reconstruct(comps, fh, fw, hmax, vmax) -> dict:
+    """Batch reconstruction shared by the baseline and progressive
+    paths: dequantize + inverse zigzag + IDCT for ALL blocks of a
+    component in three vectorized ops, then chroma upsampling and
+    (for color) the JFIF YCbCr inverse. ``comps`` rows carry
+    ``coef`` (list of 64-long zigzag rows), ``gh``/``gw`` block-grid
+    dims, ``fx``/``fy`` sampling factors, and ``qt``."""
+    import numpy as np
+
+    M = _dct_matrix()
+    zz = np.array(ZIGZAG)
     full = []
     for comp in comps:
         coef = np.asarray(comp["coef"], dtype=np.float64)  # (n, 64) zigzag

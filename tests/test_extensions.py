@@ -4177,20 +4177,24 @@ def test_jpeg_subsampled_and_restart_markers():
 
 
 def test_jpeg_rejects_unsupported_and_truncated():
-    """Progressive (SOF2) raises naming the feature; truncated
-    entropy data raises; both quarantine through image_features
-    instead of failing the stage; decode_image dispatches on the
-    JPEG magic."""
+    """Arithmetic-coded (SOF9) raises naming the feature; a baseline
+    stream relabeled SOF2 is structurally invalid as progressive
+    (interleaved full-band scan) and raises rather than mis-decoding;
+    truncated entropy data raises; all quarantine through
+    image_features instead of failing the stage; decode_image
+    dispatches on the JPEG magic."""
     import numpy as np
 
     from datasplash_spark.functions import jpeg as J
 
     img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
     raw = J.encode_jpeg_baseline(img, quality=85)
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be named
-    prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
-        J.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="non-baseline"):
+        J.decode_jpeg(raw.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the baseline SOS (ss=0,
+    # se=63) is not a legal progressive DC scan band
+    with pytest.raises(ValueError, match="invalid progressive DC"):
+        J.decode_jpeg(raw.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jpeg(raw[: len(raw) - 8])
     # decode_image magic dispatch == direct decode
@@ -4220,6 +4224,137 @@ def _mini_jpeg(ac_symbols: list, entropy: bytes) -> bytes:
         b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
         + entropy + b"\xff\xd9"
     )
+
+
+def test_jpeg_progressive_roundtrip_bit_identical():
+    """Progressive (SOF2) decode — round 9: for every pixel corpus,
+    quality, and sampling layout, decoding the progressive encoding
+    is BIT-IDENTICAL to decoding the baseline encoding of the same
+    pixels (both paths share the DCT/quant front half, so any
+    mismatch is an entropy-coding bug). Covers both scan scripts —
+    successive approximation (all four scan kinds: DC/AC first at
+    Al=1 plus DC/AC refinement) and pure spectral selection — and
+    restart intervals (per-segment DC-predictor/EOB-run resets)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    rng = np.random.RandomState(42)
+    cases = [
+        (np.full((8, 8), 128, np.uint8), False),
+        ((np.arange(64).reshape(8, 8) * 3.9).astype(np.uint8), False),
+        (rng.randint(0, 256, (17, 24)).astype(np.uint8), False),
+        (rng.randint(0, 256, (16, 16, 3)).astype(np.uint8), False),
+        (rng.randint(0, 256, (13, 23, 3)).astype(np.uint8), True),
+        ((np.eye(40) * 255).astype(np.uint8), False),
+    ]
+    for img, sub in cases:
+        for q in (30, 85, 95):
+            want = J.decode_jpeg(
+                J.encode_jpeg_baseline(img, quality=q, subsample=sub)
+            )["pixels"]
+            for succ in (True, False):
+                prog = J.encode_jpeg_progressive(
+                    img, quality=q, subsample=sub, successive=succ
+                )
+                assert prog[3] == 0xE0 and b"\xff\xc2" in prog
+                got = J.decode_jpeg(prog)
+                assert np.array_equal(got["pixels"], want), (
+                    img.shape, sub, q, succ,
+                )
+    # restart markers inside progressive scans
+    img = rng.randint(0, 256, (13, 23, 3)).astype(np.uint8)
+    want = J.decode_jpeg(
+        J.encode_jpeg_baseline(img, quality=80, subsample=True)
+    )["pixels"]
+    for ri in (1, 3):
+        for succ in (True, False):
+            got = J.decode_jpeg(
+                J.encode_jpeg_progressive(
+                    img, quality=80, subsample=True,
+                    successive=succ, restart_interval=ri,
+                )
+            )["pixels"]
+            assert np.array_equal(got, want), (ri, succ)
+
+
+def test_jpeg_progressive_truncation_and_corpus(spark):
+    """Progressive streams quarantine on truncation like baseline
+    (missing refinement scans mid-file → truncated-segment error;
+    chopped entropy → truncated-entropy error), and the synthetic
+    corpus path decodes 'jpegP' media through image_features with
+    pixel values matching the 'jpeg' encoding of the same text."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    img = np.arange(0, 192, 3, dtype=np.uint8).reshape(8, 8)
+    prog = J.encode_jpeg_progressive(img, quality=85)
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(prog[: len(prog) // 2])
+
+    # a progressive file cut after its FIRST scan still renders (the
+    # libjpeg partial-render posture): append EOI after scan 1
+    first_sos = prog.index(b"\xff\xda")
+    second_sos = prog.index(b"\xff\xda", first_sos + 2)
+    partial = prog[:second_sos] + b"\xff\xd9"
+    d = J.decode_jpeg(partial)
+    assert (d["width"], d["height"]) == (8, 8)  # DC-only preview
+
+    texts = [(1, "alpha beta gamma"), (2, ""), (3, "x" * 40)]
+    tdf = generate_input(spark, texts, "doc_id bigint, text string")
+    for fmt in ("jpeg", "jpegP"):
+        media = mm.synthesize_image_from_text(tdf, fmt=fmt)
+        rows = {r.doc_id: r for r in mm.image_features(media).collect()}
+        assert all(r.ok for r in rows.values()), (fmt, rows)
+    # pixel-level parity between the two encodings of the same text
+    jb = {
+        r.doc_id: bytes(r.media)
+        for r in mm.synthesize_image_from_text(tdf, fmt="jpeg").collect()
+    }
+    jp = {
+        r.doc_id: bytes(r.media)
+        for r in mm.synthesize_image_from_text(tdf, fmt="jpegP").collect()
+    }
+    for did in jb:
+        assert np.array_equal(
+            J.decode_jpeg(jb[did])["pixels"],
+            J.decode_jpeg(jp[did])["pixels"],
+        ), did
+
+
+def test_jpeg_progressive_long_eob_run_decodes():
+    """The progressive AC decoder handles EOB runs covering MULTIPLE
+    blocks (symbols 0x10..0xE0 with extra bits) — our encoder caps
+    runs at one block (standard Annex-K tables lack the run symbols)
+    so this path needs a hand-assembled fixture: a 16×8 grayscale
+    SOF2 stream whose single AC scan opens with run symbol 0x10 +
+    extra bit 0 → EOB run of 2 = both blocks, all-zero band."""
+    import struct
+
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+    sof = seg(0xC2, b"\x08" + struct.pack(">HH", 8, 16) + b"\x01\x01\x11\x00")
+    dht_dc = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    # AC codes: '0' -> 0x10 (EOB run, r=1), '1' -> 0x00 (EOB run of 1)
+    dht_ac = seg(0xC4, b"\x10" + bytes([2] + [0] * 15) + bytes([0x10, 0x00]))
+    sos_dc = seg(0xDA, b"\x01\x01\x00\x00\x00\x00")
+    ent_dc = bytes([0b00111111])  # two size-0 DC diffs, pad 1s
+    sos_ac = seg(0xDA, b"\x01\x01\x00\x01\x3f\x00")
+    ent_ac = bytes([0b00111111])  # symbol '0' (run=2) + extra bit 0, pad
+    raw = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos_dc + ent_dc + sos_ac + ent_ac + b"\xff\xd9"
+    )
+    d = J.decode_jpeg(raw)
+    assert (d["width"], d["height"], d["mode"]) == (16, 8, "L")
+    assert np.all(d["pixels"] == 128)  # DC 0 + empty band everywhere
 
 
 def test_jpeg_strict_ac_symbol_and_multiscan_contracts():
@@ -4270,8 +4405,9 @@ def test_jpeg_strict_ac_symbol_and_multiscan_contracts():
 
 def test_image_features_mixed_png_jpeg_corpus(spark):
     """image_features over a MIXED corpus — PNG, 4:4:4 JPEG, 4:2:0
-    JPEG, progressive-JPEG poison — extracts real dims per format
-    with the quarantine contract intact."""
+    JPEG, PROGRESSIVE JPEG (decodes since round 9), arithmetic-coded
+    poison — extracts real dims per format with the quarantine
+    contract intact."""
     import numpy as np
 
     from datasplash_spark.functions import jpeg as J
@@ -4282,24 +4418,27 @@ def test_image_features_mixed_png_jpeg_corpus(spark):
     png = mm.encode_png(rgb)
     j444 = J.encode_jpeg_baseline(rgb, quality=90)
     j420 = J.encode_jpeg_baseline(rgb, quality=90, subsample=True)
-    poison = j444.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    jprog = J.encode_jpeg_progressive(rgb, quality=90)
+    # SOF9 = arithmetic-coded sequential: a real still-unsupported tail
+    poison = j444.replace(b"\xff\xc0", b"\xff\xc9", 1)
     df = generate_input(
         spark,
         [
             (1, bytearray(png)),
             (2, bytearray(j444)),
             (3, bytearray(j420)),
-            (4, bytearray(poison)),
+            (4, bytearray(jprog)),
+            (5, bytearray(poison)),
         ],
         "doc_id bigint, media binary",
     )
     got = {r.doc_id: r for r in mm.image_features(df).collect()}
-    for did in (1, 2, 3):
+    for did in (1, 2, 3, 4):
         r = got[did]
         assert (r.width, r.height, r.channels, r.mode, r.ok) == (
             20, 12, 3, "RGB", True,
         ), r
-    assert got[4].ok is False and "progressive" in got[4].err
+    assert got[5].ok is False and "non-baseline" in got[5].err
 
 
 def test_readability_scores_formula(spark):
