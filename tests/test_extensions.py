@@ -4931,6 +4931,9 @@ def test_round10_staged_queries_match_oracle(spark):
         "rebuild_paragraphs": (
             Q.q_rebuild_paragraphs, Q.ORACLE_REBUILD_PARAGRAPHS,
         ),
+        "image_neardup_clusters": (
+            Q.q_image_neardup_clusters, Q.ORACLE_IMAGE_NEARDUP_CLUSTERS,
+        ),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
