@@ -6,10 +6,11 @@ together the formats essentially all real-corpus images use. Decoder
 handles grayscale and YCbCr color, arbitrary sampling factors 1–2
 per axis (so 4:4:4, 4:2:2, and 4:2:0 streams all decode), 8- and
 16-bit quantization tables, restart markers (DRI/RSTn), dimensions
-that are not multiples of the MCU size, and for progressive the full
-T.81 G.2 scan algebra: interleaved/non-interleaved DC scans, spectral
-selection, successive approximation (DC and AC refinement), and
-EOB-run coding. Arithmetic-coded, hierarchical, lossless, and 12-bit
+that are not multiples of the MCU size, baseline NON-INTERLEAVED
+multi-scan files (one SOS per component subset, T.81 A.2), and for
+progressive the full T.81 G.2 scan algebra: interleaved/
+non-interleaved DC scans, spectral selection, successive
+approximation (DC and AC refinement), and EOB-run coding. Arithmetic-coded, hierarchical, lossless, and 12-bit
 streams raise ``ValueError`` with the specific unsupported feature —
 at corpus scale those rows quarantine through the ``ok=false``
 contract of ``image_features`` rather than killing the stage.
@@ -321,14 +322,19 @@ def encode_jpeg_baseline(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as a
     baseline sequential JFIF JPEG: quality-scaled Annex-K
     quantization, standard Annex-K Huffman tables, 4:4:4 sampling by
     default or 4:2:0 (2×2 luma factors, box-downsampled chroma) with
     ``subsample=True`` — the common real-corpus layout, and the
-    fixture that exercises the decoder's upsampling path. Output is
-    a real JPEG any decoder accepts."""
+    fixture that exercises the decoder's upsampling path.
+    ``interleaved=False`` (color only) writes one SOS PER COMPONENT
+    instead of the single interleaved scan — the legal-but-rare
+    non-interleaved sequential layout (T.81 A.2), the fixture for the
+    decoder's multi-scan accumulation path. Output is a real JPEG
+    any decoder accepts."""
     (
         h, w, ch, qluma, qchroma, factors, hmax, vmax, mcux, mcuy,
         blocks_per_plane,
@@ -338,6 +344,37 @@ def encode_jpeg_baseline(
     ac_l = _build_huffman_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_huffman_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_huffman_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    if not interleaved and ch > 1:
+        if restart_interval:
+            raise ValueError(
+                "jpeg encode: restart_interval unsupported with "
+                "interleaved=False"
+            )
+        out = _frame_headers(h, w, ch, qluma, qchroma, factors, 0xFFC0, 0)
+        for ci in range(ch):
+            fx, fy = factors[ci]
+            wb = -(-(-(-w * fx // hmax)) // 8)
+            hb = -(-(-(-h * fy // vmax)) // 8)
+            dc_codes = dc_l if ci == 0 else dc_c
+            ac_codes = ac_l if ci == 0 else ac_c
+            wtr = _BitWriter()
+            pred = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    pred = _encode_block(
+                        wtr, blocks_per_plane[ci][by, bx],
+                        dc_codes, ac_codes, pred,
+                    )
+            wtr.flush()
+            out += _seg(
+                0xFFDA,
+                bytes([1, ci + 1, 0x00 if ci == 0 else 0x11])
+                + b"\x00\x3f\x00",
+            )
+            out += wtr.buf
+        out += b"\xff\xd9"
+        return bytes(out)
 
     wtr = _BitWriter()
     preds = [0] * ch
@@ -860,16 +897,16 @@ def decode_jpeg(raw: bytes) -> dict:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append(
+                    {**comp, "dc": tda >> 4, "ac": tda & 0xF}
+                )
             if frame["progressive"]:
-                scan = []
-                for si in range(ns):
-                    cs, tda = body[1 + 2 * si : 3 + 2 * si]
-                    comp = next(
-                        c for c in frame["comps"] if c["id"] == cs
-                    )
-                    scan.append(
-                        {**comp, "dc": tda >> 4, "ac": tda & 0xF}
-                    )
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
                 if store is None:
                     store = _alloc_coef_store(frame)
@@ -880,23 +917,18 @@ def decode_jpeg(raw: bytes) -> dict:
                 n_scans += 1
                 continue
             if ns != len(frame["comps"]):
-                # a legal baseline file may carry several
-                # non-interleaved scans; decoding only the first
-                # would silently return a partial (e.g. grayscale)
-                # image — quarantine instead, per the
-                # unsupported-feature contract.
-                raise ValueError(
-                    "jpeg: multi-scan/non-interleaved unsupported"
+                # baseline NON-INTERLEAVED / multi-scan (T.81 A.2):
+                # each scan carries a subset of the frame components;
+                # accumulate coefficients per scan and reconstruct at
+                # EOI, sharing the progressive store machinery
+                if store is None:
+                    store = _alloc_coef_store(frame)
+                pos = _decode_baseline_partial_scan(
+                    raw, pos, frame, store, scan, htables,
+                    restart_interval,
                 )
-            scan = []
-            for si in range(ns):
-                cs, tda = body[1 + 2 * si : 3 + 2 * si]
-                comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
-                )
-                scan.append(
-                    {**comp, "dc": tda >> 4, "ac": tda & 0xF}
-                )
+                n_scans += 1
+                continue
             return _decode_scan(
                 raw, pos, frame, scan, qtables, htables,
                 restart_interval,
@@ -1052,6 +1084,114 @@ def _decode_progressive_scan(
     if unit < total_units:
         raise ValueError("jpeg: truncated entropy stream")
     return end
+
+
+def _decode_baseline_partial_scan(
+    raw, pos, frame, store, scan, htables, restart_interval
+):
+    """Entropy-decode ONE baseline scan that does not cover all frame
+    components (non-interleaved / multi-scan sequential, T.81 A.2)
+    into the coefficient store; returns the terminating marker's
+    offset. Interleaved subset scans use the FRAME's MCU structure;
+    single-component scans run one block per MCU over the component's
+    own (non-padded) block grid. The per-block entropy rules are the
+    strict baseline ones (:func:`_baseline_block` — twin of the
+    fused loop in :func:`_decode_scan`, which stays inlined because
+    it is the measured hot path)."""
+    comp_idx = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    members = [store[comp_idx[c["id"]]] for c in scan]
+    luts = []
+    for c in scan:
+        for key in ((0, c["dc"]), (1, c["ac"])):
+            if key not in htables:
+                raise ValueError("jpeg: missing huffman/quant table")
+        luts.append(
+            (
+                _build_huffman_lut(*htables[(0, c["dc"])]),
+                _build_huffman_lut(*htables[(1, c["ac"])]),
+            )
+        )
+    interleaved = len(scan) > 1
+    if interleaved:
+        mcux, mcuy = members[0]["mcux"], members[0]["mcuy"]
+        total_units = mcux * mcuy
+    else:
+        m = members[0]
+        total_units = m["wb"] * m["hb"]
+    segments, end = _entropy_segments(raw, pos)
+    per_seg = restart_interval if restart_interval else total_units
+    unit = 0
+    for seg in segments:
+        if unit >= total_units:
+            break
+        bits = _FastBits(seg)
+        preds = [0] * len(scan)
+        for _ in range(min(per_seg, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for ci, m in enumerate(members):
+                    dc_lut, ac_lut = luts[ci]
+                    fx, fy, gw = m["fx"], m["fy"], m["gw"]
+                    for by in range(fy):
+                        for bx in range(fx):
+                            row = m["coef"][
+                                (my * fy + by) * gw + (mx * fx + bx)
+                            ]
+                            preds[ci] = _baseline_block(
+                                row, dc_lut, ac_lut, bits, preds[ci]
+                            )
+            else:
+                m = members[0]
+                by, bx = divmod(unit, m["wb"])
+                row = m["coef"][by * m["gw"] + bx]
+                preds[0] = _baseline_block(
+                    row, luts[0][0], luts[0][1], bits, preds[0]
+                )
+            unit += 1
+    if unit < total_units:
+        raise ValueError("jpeg: truncated entropy stream")
+    return end
+
+
+def _baseline_block(row, dc_lut, ac_lut, bits, pred):
+    """One full-band sequential block: DC diff + run-length AC, with
+    the same strict symbol rules as the fused hot loop in
+    :func:`_decode_scan` (invalid size-0 AC symbols and index
+    overruns raise instead of mis-decoding)."""
+    peek16, consume, get = bits.peek16, bits.consume, bits.get
+    v = dc_lut[peek16()]
+    if v == 0:
+        raise ValueError("jpeg: invalid huffman code")
+    consume(v & 31)
+    s = v >> 5
+    if s:
+        d = get(s)
+        pred += d if d >= (1 << (s - 1)) else d - (1 << s) + 1
+    row[0] = pred
+    k = 1
+    while k < 64:
+        v = ac_lut[peek16()]
+        if v == 0:
+            raise ValueError("jpeg: invalid huffman code")
+        consume(v & 31)
+        rs = v >> 5
+        s = rs & 15
+        if s == 0:
+            if rs == 0xF0:  # ZRL
+                k += 16
+                if k > 63:
+                    raise ValueError("jpeg: AC index out of range")
+                continue
+            if rs != 0x00:
+                raise ValueError(f"jpeg: invalid AC symbol 0x{rs:02X}")
+            break  # EOB
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("jpeg: AC index out of range")
+        d = get(s)
+        row[k] = d if d >= (1 << (s - 1)) else d - (1 << s) + 1
+        k += 1
+    return pred
 
 
 def _dc_first(row, dc_lut, bits, pred, al):

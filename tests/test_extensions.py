@@ -4360,10 +4360,11 @@ def test_jpeg_progressive_long_eob_run_decodes():
 def test_jpeg_strict_ac_symbol_and_multiscan_contracts():
     """Corrupt-stream strictness (ADVICE r8): a size-0 AC symbol
     other than EOB/ZRL raises instead of masquerading as EOB; a ZRL
-    that pushes the coefficient index past 63 raises; and a
-    multi-scan (non-interleaved) SOS — fewer scan components than
-    frame components — raises per the unsupported-feature contract
-    instead of silently returning a partial image."""
+    that pushes the coefficient index past 63 raises; and baseline
+    NON-INTERLEAVED (multi-scan) files — fewer scan components than
+    frame components per SOS — decode bit-identically to the
+    interleaved encoding instead of quarantining (round 9: the scan
+    accumulation store closed the last structural baseline gap)."""
     import numpy as np
 
     from datasplash_spark.functions import jpeg as J
@@ -4386,21 +4387,30 @@ def test_jpeg_strict_ac_symbol_and_multiscan_contracts():
     assert d["mode"] == "L" and (d["width"], d["height"]) == (8, 8)
     assert np.all(d["pixels"] == 128)
 
-    # multi-scan: RGB-encoded interleaved JPEG (ns=3) rewritten to a
-    # 1-component SOS header — a non-interleaved first scan
-    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
-    rgb[:, :, 0] = 200
-    raw = J.encode_jpeg_baseline(rgb, quality=90)
-    i = raw.index(b"\xff\xda")
-    # original SOS body: len=12, ns=3, 3×(cs,tda), ss, se, ahal
-    cs1, tda1 = raw[i + 5], raw[i + 6]
-    patched = (
-        raw[: i + 2]
-        + b"\x00\x08\x01" + bytes([cs1, tda1]) + b"\x00\x3f\x00"
-        + raw[i + 14 :]
+    # non-interleaved sequential: one SOS per component, decoded
+    # through the scan-accumulation store — pixels bit-identical to
+    # the interleaved encoding of the same image, truncation (a
+    # missing final scan still renders the scanned components, a
+    # chopped entropy segment raises)
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (13, 23, 3)).astype(np.uint8)
+    for sub in (False, True):
+        want = J.decode_jpeg(
+            J.encode_jpeg_baseline(rgb, quality=90, subsample=sub)
+        )["pixels"]
+        ni = J.encode_jpeg_baseline(
+            rgb, quality=90, subsample=sub, interleaved=False
+        )
+        assert ni.count(b"\xff\xda") == 3
+        assert np.array_equal(J.decode_jpeg(ni)["pixels"], want), sub
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(ni[: ni.index(b"\xff\xda", 2) + 40])
+    # cut after the SECOND scan + EOI: Y+Cb rendered, Cr plane zeros
+    third = ni.index(
+        b"\xff\xda", ni.index(b"\xff\xda", ni.index(b"\xff\xda") + 2) + 2
     )
-    with pytest.raises(ValueError, match="multi-scan"):
-        J.decode_jpeg(patched)
+    partial = J.decode_jpeg(ni[:third] + b"\xff\xd9")
+    assert partial["mode"] == "RGB" and partial["pixels"].shape == (13, 23, 3)
 
 
 def test_image_features_mixed_png_jpeg_corpus(spark):
