@@ -1551,6 +1551,7 @@ def hamming_band_pairs(
     max_hamming: int,
     bits: int = 64,
     id_col: ColumnLike = "doc_id",
+    cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs from FIXED-WIDTH Hamming signatures
     (simhash for text, aHash for images — any ``bits``-wide BIGINT):
@@ -1568,6 +1569,12 @@ def hamming_band_pairs(
     quadratic only in per-bucket collisions (ordinary-corpus buckets
     are tiny; an adversarial all-identical corpus degenerates to its
     true pair count, which is the output size anyway).
+
+    ``cache=True`` persists the narrow banded table so the signature
+    pipeline UPSTREAM of ``df`` executes once instead of once per
+    self-join side — the same knob :func:`lsh_candidate_pairs` has;
+    use it whenever the signatures come from real work (a codec, a
+    model) rather than a column read.
 
     Reference anchor: distinct-by (core.clj:1182) is the exact-key
     cousin; Hamming banding is north-star extension surface."""
@@ -1597,6 +1604,8 @@ def hamming_band_pairs(
         F.explode(F.array(*slices)).alias("_b"),
     ).select("_id", "_sig", F.col("_b.band").alias("band"),
              F.col("_b.slice").alias("slice"))
+    if cache:
+        banded = banded.persist()
     left = banded.select(
         F.col("_id").alias("a"), F.col("_sig").alias("_sa"), "band", "slice"
     )

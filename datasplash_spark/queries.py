@@ -5832,9 +5832,9 @@ def q_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mm.image_ahash(media).select(
         "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
     )
-    return dd.hamming_band_pairs(sigs, "sig", max_hamming=10).select(
-        "a", "b", F.col("hamming").cast("int").alias("hamming")
-    )
+    return dd.hamming_band_pairs(
+        sigs, "sig", max_hamming=10, cache=True
+    ).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 ORACLE_AHASH_PAIRS = """
@@ -5928,7 +5928,7 @@ def q_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = mm.image_ahash(media).select(
         "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
     )
-    pairs = dd.hamming_band_pairs(sigs, "sig", max_hamming=10)
+    pairs = dd.hamming_band_pairs(sigs, "sig", max_hamming=10, cache=True)
     comp = connected_components(pairs, src="a", dst="b").withColumnRenamed(
         "node", "doc_id"
     )

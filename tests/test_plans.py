@@ -930,6 +930,40 @@ def test_readability_is_shuffle_free(spark):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_image_neardup_clusters_plan_shape(spark):
+    """image_neardup_clusters (staged for r10): the multimodal dedup
+    composition keeps its scale posture. At toy scale the CC stage
+    collapses to a driver union-find LocalTableScan (threshold-gated
+    by design — it escalates to distributed hash-min past
+    DRIVER_CC_MAX_EDGES), so the pinnable subtree is the PAIR stage:
+    codec runs once (two MapInPandas: synth + decode, no third),
+    image BYTES never appear in any Exchange (only 64-bit signatures
+    and band/slice ints move), and the pair join is the banded
+    bucket join, never a cartesian product."""
+    from datasplash_spark.functions import dedup as dd
+    from datasplash_spark.functions import multimodal as mm
+
+    docs = Q._t(spark, SF_DIR, "documents")
+    media = mm.synthesize_image_from_text(docs, fmt="pngL", size=(8, 8))
+    sigs = mm.image_ahash(media).select(
+        "doc_id", dd.bitstring64_to_long("ahash").alias("sig")
+    )
+    pairs = dd.hamming_band_pairs(sigs, "sig", max_hamming=10, cache=True)
+    plan = plan_of(pairs, mode="simple")
+    # cache=True: both self-join sides read the SAME persisted banded
+    # table (two InMemoryTableScans), so the codec pipeline executes
+    # once; explain() prints the cached definition under each scan,
+    # hence 2 MapInPandas per side in the TEXT
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("MapInPandas") == 4, plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exch and all("media" not in l for l in exch), exch
+    assert "CartesianProduct" not in plan, plan
+    # the full query stays cartesian-free end to end
+    full = plan_of(Q.q_image_neardup_clusters(spark, SF_DIR), mode="simple")
+    assert "CartesianProduct" not in full, full
+
+
 def test_image_queries_codec_stage_shape(spark):
     """image_formats / image_ahash: the codec stages are sanctioned
     mapInPandas batch kernels; bytes never shuffle AFTER synthesis —
