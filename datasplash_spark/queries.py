@@ -5975,6 +5975,46 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+def q_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide progressive-JPEG decode parity (round 9 codec,
+    staged for r10): every document synthesized TWICE — baseline
+    sequential and progressive (SOF2, the full 4-scan-kind
+    successive-approximation script) — decoded through the real
+    codec, and compared by integer pixel sum AND aHash signature.
+    The oracle is the invariant itself: every row must read TRUE,
+    because both entropy codings carry the SAME quantized
+    coefficients, so one flipped refinement bit anywhere in the
+    corpus fails the gate. Bytes never shuffle; only (doc_id, three
+    booleans) cross."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    base = mm.image_ahash(
+        mm.synthesize_image_from_text(docs, fmt="jpeg", quality=90)
+    ).select(
+        "doc_id", F.col("px_sum").alias("_bs"),
+        F.col("ahash").alias("_bh"), F.col("ok").alias("_bok"),
+    )
+    prog = mm.image_ahash(
+        mm.synthesize_image_from_text(docs, fmt="jpegP", quality=90)
+    ).select(
+        "doc_id", F.col("px_sum").alias("_ps"),
+        F.col("ahash").alias("_ph"), F.col("ok").alias("_pok"),
+    )
+    return base.join(prog, "doc_id").select(
+        "doc_id",
+        (F.col("_bs") == F.col("_ps")).alias("sum_match"),
+        (F.col("_bh") == F.col("_ph")).alias("hash_match"),
+        (F.col("_bok") & F.col("_pok")).alias("ok"),
+    )
+
+
+ORACLE_IMAGE_PROGRESSIVE = """
+SELECT doc_id, TRUE AS sum_match, TRUE AS hash_match, TRUE AS ok
+FROM documents
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query

@@ -4944,6 +4944,9 @@ def test_round10_staged_queries_match_oracle(spark):
         "image_neardup_clusters": (
             Q.q_image_neardup_clusters, Q.ORACLE_IMAGE_NEARDUP_CLUSTERS,
         ),
+        "image_progressive": (
+            Q.q_image_progressive, Q.ORACLE_IMAGE_PROGRESSIVE,
+        ),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()

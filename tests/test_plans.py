@@ -930,6 +930,16 @@ def test_readability_is_shuffle_free(spark):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
 
 
+def test_html_extract_is_shuffle_free(spark):
+    """html_extract (promoted r9): pure JVM regexp projection over
+    the synthesized page — one scan stage, no Exchange, no Python."""
+    plan = plan_of(_q(spark, "html_extract"), mode="simple")
+    assert "Exchange" not in plan, plan
+    assert "regexp_replace" in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
 def test_image_neardup_clusters_plan_shape(spark):
     """image_neardup_clusters (staged for r10): the multimodal dedup
     composition keeps its scale posture. At toy scale the CC stage
