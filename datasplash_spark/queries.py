@@ -5984,11 +5984,17 @@ def q_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the invariant itself: every row must read TRUE,
     because both entropy codings carry the SAME quantized
     coefficients, so one flipped refinement bit anywhere in the
-    corpus fails the gate. Bytes never shuffle; only (doc_id, three
-    booleans) cross."""
+    corpus fails the gate. Deterministic 1-in-5 subset (doc_id % 5):
+    the gate is a cross-coding invariant, not a corpus statistic —
+    the sample keeps the text-derived dimension variety (multi-block
+    scans, non-multiple-of-8 edges) at a fifth of the double-encode
+    cost; the codec tests pin the full space. Bytes never shuffle;
+    only (doc_id, three booleans) cross."""
     from .functions import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
     base = mm.image_ahash(
         mm.synthesize_image_from_text(docs, fmt="jpeg", quality=90)
     ).select(
@@ -6011,7 +6017,7 @@ def q_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IMAGE_PROGRESSIVE = """
 SELECT doc_id, TRUE AS sum_match, TRUE AS hash_match, TRUE AS ok
-FROM documents
+FROM documents WHERE doc_id % 5 = 0
 """
 
 
