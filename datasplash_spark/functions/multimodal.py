@@ -304,10 +304,18 @@ def decode_image(raw: bytes) -> dict:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(raw)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifbmp import decode_gif
+
+        return decode_gif(raw)
+    if raw[:2] == b"BM":
+        from .gifbmp import decode_bmp
+
+        return decode_bmp(raw)
     raise ValueError(
         f"decode_image: unrecognized format (magic {raw[:4]!r}); "
-        "PNG, binary PNM, and baseline JPEG are supported without "
-        "codec libraries"
+        "PNG, binary PNM, JPEG (baseline+progressive), GIF, and BMP "
+        "are supported without codec libraries"
     )
 
 
