@@ -765,11 +765,14 @@ def synthesize_image_from_text(
     concept; for grayscale the variant exercises DRI instead),
     ``'jpegP'`` → grayscale PROGRESSIVE (SOF2, the full 4-scan-kind
     successive-approximation script — decodes bit-identically to the
-    baseline encoding of the same pixels).
+    baseline encoding of the same pixels), ``'gif'`` → grayscale
+    GIF89a (palette from the distinct pixel values, lossless),
+    ``'bmp'`` → grayscale 8-bit-palette BMP (lossless).
     Returns ``(doc_id, fmt, media binary)``."""
     import numpy as np
     import pandas as pd
 
+    from .gifbmp import encode_bmp, encode_gif
     from .jpeg import encode_jpeg_baseline, encode_jpeg_progressive
 
     name_id = id_col if isinstance(id_col, str) else "doc_id"
@@ -807,6 +810,10 @@ def synthesize_image_from_text(
                         medias.append(
                             encode_jpeg_progressive(gray, quality=quality)
                         )
+                    elif f == "gif":
+                        medias.append(encode_gif(gray))
+                    elif f == "bmp":
+                        medias.append(encode_bmp(gray))
                     else:
                         medias.append(
                             encode_jpeg_baseline(

@@ -4342,6 +4342,25 @@ def test_gif_bmp_through_image_features(spark):
     }
     assert hashes[2] == hashes[3]  # same pixels, GIF vs PNG
 
+    # synthetic-corpus path: 'gif' and 'bmp' are LOSSLESS grayscale,
+    # so their decode must match pngL of the same text exactly
+    texts = [(1, "alpha beta"), (2, ""), (3, "z" * 33)]
+    tdf = generate_input(spark, texts, "doc_id bigint, text string")
+    ref = {
+        r.doc_id: (r.px_sum, r.ahash)
+        for r in mm.image_ahash(
+            mm.synthesize_image_from_text(tdf, fmt="pngL")
+        ).collect()
+    }
+    for fmt in ("gif", "bmp"):
+        got = {
+            r.doc_id: (r.px_sum, r.ahash)
+            for r in mm.image_ahash(
+                mm.synthesize_image_from_text(tdf, fmt=fmt)
+            ).collect()
+        }
+        assert got == ref, fmt
+
 
 def test_jpeg_progressive_roundtrip_bit_identical():
     """Progressive (SOF2) decode — round 9: for every pixel corpus,
