@@ -5083,6 +5083,9 @@ def test_round10_staged_queries_match_oracle(spark):
         "image_progressive": (
             Q.q_image_progressive, Q.ORACLE_IMAGE_PROGRESSIVE,
         ),
+        "image_formats_all": (
+            Q.q_image_formats_all, Q.ORACLE_IMAGE_FORMATS_ALL,
+        ),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
