@@ -220,3 +220,85 @@ def test_det_ln_series_accuracy(m):
     approx = _py_det_ln_u(m)
     true = math.log(max(m, 1) / float(1 << 32))
     assert abs(approx - true) < 2e-8
+
+
+# --------------------------------------------------------------- codecs
+# Property fuzz for the round-9 codec surface: lossless containers
+# roundtrip EXACTLY for arbitrary pixel content; the two JPEG entropy
+# plans (baseline vs progressive) decode IDENTICALLY for arbitrary
+# images and qualities. Dims stay small (the DCT/entropy cost is per
+# block; the properties are about structure, not throughput).
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+)
+
+
+@given(_dims, st.booleans(), st.booleans(), st.randoms(use_true_random=False))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(dims, color, top_down, rnd):
+    import numpy as np
+
+    from datasplash_spark.functions import gifbmp as gb
+
+    h, w = dims
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    d = gb.decode_bmp(gb.encode_bmp(img, top_down=top_down))
+    exp = img if color else img[:, :, None]
+    assert np.array_equal(d["pixels"], exp)
+    assert (d["width"], d["height"]) == (w, h)
+
+
+@given(
+    _dims,
+    st.integers(min_value=2, max_value=256),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(dims, n_colors, interlace, rnd):
+    import numpy as np
+
+    from datasplash_spark.functions import gifbmp as gb
+
+    h, w = dims
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    # grayscale values drawn from a palette of n_colors distinct levels
+    levels = rng.choice(256, size=min(n_colors, 256), replace=False)
+    img = levels[rng.randint(0, len(levels), (h, w))].astype(np.uint8)
+    d = gb.decode_gif(gb.encode_gif(img, interlace=interlace))
+    assert d["n_frames"] == 1
+    assert np.array_equal(d["pixels"][:, :, 0], img)
+    assert np.array_equal(d["pixels"][:, :, 1], img)
+
+
+@given(
+    _dims,
+    st.booleans(),
+    st.sampled_from([25, 60, 85, 95]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_parity_property(dims, color, quality, succ, rnd):
+    """For ANY image, quality, and scan script, progressive decode is
+    bit-identical to baseline decode of the same pixels — both paths
+    share the DCT/quant front half, so any divergence is an
+    entropy-coding bug (the invariant the gated image_progressive
+    query pins corpus-wide)."""
+    import numpy as np
+
+    from datasplash_spark.functions import jpeg as J
+
+    h, w = dims
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    want = J.decode_jpeg(J.encode_jpeg_baseline(img, quality=quality))
+    got = J.decode_jpeg(
+        J.encode_jpeg_progressive(img, quality=quality, successive=succ)
+    )
+    assert np.array_equal(got["pixels"], want["pixels"])
