@@ -1203,5 +1203,6 @@ def sniff_media_type(media: ColumnLike) -> Column:
             (hex4 == F.lit("52494646")) & (riff == F.lit("57454250")),
             F.lit("webp"),
         )
+        .when(hex4 == F.lit("25504446"), F.lit("pdf"))  # %PDF
         .otherwise(F.lit("unknown"))
     )

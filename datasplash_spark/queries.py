@@ -6023,6 +6023,61 @@ FROM documents
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document modality end-to-end (staged for r10): per doc a REAL
+    multi-page PDF (``1 + len(text) % 3`` pages, words split across
+    pages round-robin, Flate-compressed content streams, real xref),
+    then text extraction through the zero-dependency PDF reader. The
+    oracle rebuilds the exact extracted text (pages joined by
+    form-feed) from the word round-robin in SQL and compares its
+    md5 — so the writer, the object scan, Flate, the string-escape
+    machinery, and the content-stream text machine are all
+    value-pinned corpus-wide. Bytes never shuffle."""
+    from .functions import pdf as P
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = P.pdf_text_features(P.synthesize_pdf_from_text(docs))
+    return feats.select(
+        "doc_id",
+        "n_pages",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_PDF_EXTRACT = """
+WITH base AS (
+  SELECT doc_id, CAST(1 + length(text) % 3 AS INT) AS n,
+         string_split(text, ' ') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), pg AS (
+  SELECT doc_id, i % n AS page,
+         string_agg(word, ' ' ORDER BY i) AS ptext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), allpg AS (
+  SELECT b.doc_id, b.n, CAST(t.p AS INT) AS page,
+         COALESCE(pg.ptext, '') AS ptext
+  FROM base b
+  CROSS JOIN unnest(range(b.n)) AS t(p)
+  LEFT JOIN pg ON pg.doc_id = b.doc_id AND pg.page = t.p
+), doc AS (
+  SELECT doc_id, any_value(n) AS n_pages,
+         string_agg(ptext, chr(12) ORDER BY page) AS text
+  FROM allpg GROUP BY doc_id
+)
+SELECT doc_id, n_pages, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide progressive-JPEG decode parity (round 9 codec,
     staged for r10): every document synthesized TWICE — baseline

@@ -4226,6 +4226,128 @@ def _mini_jpeg(ac_symbols: list, entropy: bytes) -> bytes:
     )
 
 
+def test_pdf_text_roundtrip_and_contracts():
+    """PDF text extraction (round 9 — the document modality): writer
+    → extractor roundtrips across compression, escapes, unicode
+    (UTF-16BE), multi-page; the extractor's lenient object scan
+    survives incremental-update-style duplicate objects; TJ kerning
+    arrays and hex strings decode; quarantine contracts for
+    non-PDF, encrypted, object-stream, and unsupported-filter
+    files."""
+    import zlib
+
+    from datasplash_spark.functions import pdf as P
+
+    pages = [
+        "hello world\nsecond line",
+        "page two (with) \\ parens\nand\ttabs",
+        "",
+    ]
+    for comp in (True, False):
+        d = P.extract_pdf_text(P.encode_pdf_text(pages, compress=comp))
+        assert d["n_pages"] == 3 and d["pages"] == pages, (comp, d)
+        assert d["text"] == "\f".join(pages)
+    uni = ["café 中文", "emoji \U0001F600 ok"]
+    assert P.extract_pdf_text(P.encode_pdf_text(uni))["pages"] == uni
+
+    # hand-built content stream: TJ with kerning (gap → space), hex
+    # string, quote operator, T*
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -40 (lo) -400 (world)] TJ T* "
+        b"<574F57> Tj "
+        b"(next) ' ET"
+    )
+    raw = P.encode_pdf_text(["placeholder"], compress=False)
+    body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    i = raw.index(b"stream")
+    j = raw.index(b"endstream") + len(b"endstream")
+    raw2 = raw[: raw.rindex(b"5 0 obj\n") + 8] + body + raw[j:]
+    d = P.extract_pdf_text(raw2)
+    # -40 ≤ kern threshold → no space; -400 → space; T* and ' break lines
+    assert d["pages"] == ["Hello world\nWOW\nnext"], d["pages"]
+
+    # incremental update: appending a NEW object 5 wins (later def)
+    upd = P.encode_pdf_text(["old text"], compress=False)
+    newc = b"BT /F1 12 Tf (new text) Tj ET"
+    patch = b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(newc), newc,
+    )
+    assert P.extract_pdf_text(upd + patch)["pages"] == ["new text"]
+
+    with pytest.raises(ValueError, match="PDF header"):
+        P.extract_pdf_text(b"not a pdf")
+    enc = P.encode_pdf_text(["x"]).replace(b"/Root", b"/Encrypt")
+    with pytest.raises(ValueError, match="encrypted"):
+        P.extract_pdf_text(enc)
+    objstm = P.encode_pdf_text(["x"]).replace(
+        b"/Type /Catalog", b"/Type /ObjStm", 1
+    )
+    with pytest.raises(ValueError, match="object streams"):
+        P.extract_pdf_text(objstm)
+    lzw = P.encode_pdf_text(["x"], compress=True).replace(
+        b"/FlateDecode", b"/LZWDecode"
+    )
+    with pytest.raises(ValueError, match="LZWDecode"):
+        P.extract_pdf_text(lzw)
+    # corrupt Flate body quarantines, doesn't crash obscurely
+    good = P.encode_pdf_text(["abc"], compress=True)
+    k = good.index(b"stream\n", good.index(b"/FlateDecode")) + 7
+    bad = good[:k] + bytes([good[k] ^ 0xFF]) + good[k + 1 :]
+    with pytest.raises(ValueError, match="Flate"):
+        P.extract_pdf_text(bad)
+    # zlib sanity: the fixture's stream really is Flate
+    assert zlib.decompress(
+        good[k : good.index(b"\nendstream", k)]
+    ).startswith(b"BT")
+
+
+def test_pdf_corpus_path(spark):
+    """The Spark surface: synthesize_pdf_from_text emits real
+    multi-page PDFs per doc; pdf_text_features extracts typed rows
+    with per-doc quarantine; reassembling the page round-robin
+    recovers every word of the source text; sniff_media_type routes
+    'pdf'."""
+    from datasplash_spark.functions import pdf as P
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, ""),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, text string")
+    media = P.synthesize_pdf_from_text(df)
+    got = {r.doc_id: r for r in media.collect()}
+    for did, t in rows:
+        assert got[did].n_pages == 1 + len(t) % 3, did
+    assert {
+        r.doc_id: r.kind
+        for r in media.select(
+            "doc_id", mm.sniff_media_type("media").alias("kind")
+        ).collect()
+    } == {1: "pdf", 2: "pdf", 3: "pdf"}
+
+    feats = {r.doc_id: r for r in P.pdf_text_features(media).collect()}
+    for did, t in rows:
+        r = feats[did]
+        assert r.ok and r.n_pages == 1 + len(t) % 3, (did, r)
+        # round-robin reassembly recovers the original word sequence
+        pages = [p.split(" ") for p in r.text.split("\f")]
+        n = len(pages)
+        words = []
+        for i in range(max(len(p) for p in pages)):
+            for p in pages:
+                if i < len(p):
+                    words.append(p[i])
+        assert [w for w in words if w] == [w for w in t.split(" ") if w], did
+
+    poison = df.limit(1).select(
+        "doc_id", F.lit(bytearray(b"%PDF-1.4 broken")).alias("media")
+    )
+    pr = P.pdf_text_features(poison).collect()[0]
+    assert pr.ok is False and pr.err
+
+
 def test_gif_bmp_roundtrip_and_contracts():
     """GIF + BMP codecs (round 9 — closes the detected-but-
     undecodable gap behind sniff_media_type): lossless roundtrips
@@ -5086,6 +5208,7 @@ def test_round10_staged_queries_match_oracle(spark):
         "image_formats_all": (
             Q.q_image_formats_all, Q.ORACLE_IMAGE_FORMATS_ALL,
         ),
+        "pdf_extract": (Q.q_pdf_extract, Q.ORACLE_PDF_EXTRACT),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
