@@ -242,9 +242,6 @@ def main() -> int:
         _simb.materialize_lsh(_embb, _lsh_path, bits=6)
 
         snap0 = cpu_snapshot() if cpu_snapshot else None
-        snap0 = cpu_snapshot() if cpu_snapshot else None
-        snap0 = cpu_snapshot() if cpu_snapshot else None
-        snap0 = cpu_snapshot() if cpu_snapshot else None
         t0 = time.time()
         rows = sum(
             _simb.ivf_topk_from_store(
@@ -262,6 +259,7 @@ def main() -> int:
             file=sys.stderr,
         )
 
+        snap0 = cpu_snapshot() if cpu_snapshot else None
         t0 = time.time()
         rows = sum(
             _simb.lsh_topk_from_store(
@@ -285,6 +283,7 @@ def main() -> int:
         _simb.materialize_ivf(
             _embb, _qivf_path, n_cells=16, centroids=_cents, quantize=True
         )
+        snap0 = cpu_snapshot() if cpu_snapshot else None
         t0 = time.time()
         rows = sum(
             _simb.ivf_topk_from_store(
@@ -311,6 +310,7 @@ def main() -> int:
             os.path.join(sf_dir, "documents.parquet")
         )
         _txb.materialize_postings(_docsb, _post_path, n_buckets=32)
+        snap0 = cpu_snapshot() if cpu_snapshot else None
         _queries = [
             ["data", "model"],
             ["training", "corpus"],

@@ -184,7 +184,9 @@ def decode_gif(raw: bytes) -> dict:
             label = raw[pos + 1]
             pos += 2
             # graphic control: transparency for the NEXT image
-            if label == 0xF9 and pos + 1 < len(raw) and raw[pos] >= 4:
+            if label == 0xF9 and pos < len(raw) and raw[pos] >= 4:
+                if pos + 5 > len(raw):
+                    raise ValueError("gif: truncated extension")
                 gce_flags = raw[pos + 1]
                 tidx = raw[pos + 4]
                 if first is None and (gce_flags & 1):

@@ -273,9 +273,19 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
     recovery strategy every serious extractor falls back to, used
     here as the primary path (robust to xref tables, xref streams,
     incremental updates; later definitions of the same object number
-    win, matching incremental-update semantics)."""
+    win, matching incremental-update semantics). Scan positions that
+    fall INSIDE a located stream's extent are skipped — compressed /
+    binary stream bytes that happen to contain ``N G obj`` would
+    otherwise create bogus objects that, under later-definition-wins,
+    could silently clobber a real object of the same number (the
+    standard recovery-scanner mitigation)."""
     objects: dict[int, tuple[dict | None, bytes | None]] = {}
-    for m in _OBJ_RE.finditer(raw):
+    scan_pos = 0
+    while True:
+        m = _OBJ_RE.search(raw, scan_pos)
+        if m is None:
+            break
+        scan_pos = m.end()
         num = int(m.group(1))
         lex = _Lexer(raw, m.end())
         try:
@@ -300,6 +310,9 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
                     if end < 0:
                         continue
                 stream = raw[p:end]
+                # resume the object scan past the stream body so its
+                # bytes can never spawn phantom objects
+                scan_pos = max(scan_pos, end)
         objects[num] = (d, stream)
     return objects
 
@@ -401,6 +414,7 @@ def _extract_page_text(content: bytes) -> str:
     out: list[str] = []
     line: list[str] = []
     in_text = False
+    prev_tm_ty: float | None = None
 
     def newline() -> None:
         out.append("".join(line))
@@ -420,6 +434,7 @@ def _extract_page_text(content: bytes) -> str:
         op = val
         if op == "BT":
             in_text = True
+            prev_tm_ty = None
         elif op == "ET":
             in_text = False
         elif not in_text:
@@ -456,10 +471,16 @@ def _extract_page_text(content: bytes) -> str:
             newline()
             stack.clear()
         elif op == "Tm":
-            # a text matrix reset that moves down = new line; simple
-            # deterministic heuristic (documented)
+            # a text matrix reset that moves DOWN the page = new
+            # line (the documented heuristic): track the previous
+            # Tm ty operand so upward / same-line repositioning
+            # (kerned or positioned spans) does not insert spurious
+            # breaks; the first Tm of a BT block never breaks
             if len(stack) >= 6 and stack[-1][0] == "num":
-                newline()
+                ty = stack[-1][1]
+                if prev_tm_ty is not None and ty < prev_tm_ty:
+                    newline()
+                prev_tm_ty = ty
             stack.clear()
         else:
             stack.clear()

@@ -5707,14 +5707,14 @@ FROM c
 """
 
 
-# ------------------------------------------------- round 9/10 staging
-# Fully-written, oracle-paired, gate-sim-tested queries. Written in
-# round 8 when the window was full; round 9 PROMOTED ahash_pairs +
-# html_extract (one _ALL entry + one _NEW_R9 line each, exactly as
-# designed) and keeps video_frames + rebuild_paragraphs staged for
-# round 10 (the round-9 window is exactly full: 48 r6-stale + 2).
-# Staged pair tested by tests/test_extensions.py::
-# test_round10_staged_queries_match_oracle (driver-faithful compare).
+# --------------------------------------------- former staging block
+# Written in round 8 when the window was full; round 9 promoted
+# ahash_pairs + html_extract, round 10 promoted the remaining six
+# (pdf_extract, image_neardup_clusters, image_progressive,
+# image_formats_all, video_frames, rebuild_paragraphs) — the staging
+# block is now EMPTY and, per the round-10 headroom policy (see the
+# gate-order comment below), the gated registry is capped at 156:
+# future promotions must retire or merge a gated row one-for-one.
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6326,13 +6326,22 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round 9 (promoted from the round-8 staging block) ---
     "ahash_pairs": (q_ahash_pairs, ORACLE_AHASH_PAIRS),
     "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
+    # --- round 10 (promoted from the round-8/9 staging block) ---
+    "pdf_extract": (q_pdf_extract, ORACLE_PDF_EXTRACT),
+    "image_neardup_clusters": (
+        q_image_neardup_clusters, ORACLE_IMAGE_NEARDUP_CLUSTERS,
+    ),
+    "image_progressive": (q_image_progressive, ORACLE_IMAGE_PROGRESSIVE),
+    "image_formats_all": (q_image_formats_all, ORACLE_IMAGE_FORMATS_ALL),
+    "video_frames": (q_video_frames, ORACLE_VIDEO_FRAMES),
+    "rebuild_paragraphs": (q_rebuild_paragraphs, ORACLE_REBUILD_PARAGRAPHS),
 }
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 9).  The external driver gates exactly the
+# Driver gate order (round 10).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-9 gate contract.
+# round-10 gate contract.
 #
 # Window composition (VERDICT r7 item 1 — adopt a max-staleness
 # rotation): rotation DEBT (never-gated queries) was retired in round
@@ -6340,23 +6349,53 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # row keeps aging while fresher blocks hog the window. The policy is
 # GREEDY-BY-STALENESS: the window always holds the stalest 50 queries
 # (never-gated counts as infinitely stale), so no query outside the
-# window can ever be staler than one inside it, and with ~150 queries
-# at 50/round nothing ages past ~3 rounds. The import-time invariant
-# below derives each query's newest driver row from the
+# window can ever be staler than one inside it, and with ~156 queries
+# at 50/round nothing ages past the 4-round backstop. The import-time
+# invariant below derives each query's newest driver row from the
 # CORRECTNESS_r*.json artifacts themselves (not a hand-kept table)
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-9 window = the 48-query r6-green block (stalest: newest
-# driver row is CORRECTNESS_r06, three rounds old at the r9 run) +
-# _NEW_R9 (the two queries promoted this round from the round-8
-# staging block — never driver-gated, so infinitely stale). The two
-# remaining staged queries (video_frames, rebuild_paragraphs) stay
-# staged for round 10 because the window is exactly full.
+# Round-10 window = _NEW_R10 (the six queries promoted this round
+# from the round-8/9 staging block — never driver-gated, so
+# infinitely stale, leading by greedy fill) + the 44 stalest queries
+# of the r7-green block (newest driver row CORRECTNESS_r07,
+# staleness 3 at the r10 run). The r7 block has 50 members but the
+# window holds only 44 of them; the 6 left outside share the inside
+# minimum staleness (equal-staleness overflow, permitted by the
+# invariant) and lead the round-11 window at the 4-round backstop.
+#
+# Steady state at 156 gated queries (VERDICT r9 item 5, the
+# headroom decision): each round gates 50, so a 6-query tail of the
+# stalest class carries over one extra round and re-enters at
+# exactly the backstop — sustainable indefinitely, but with ZERO
+# slack. Policy decided this round: the gated registry is CAPPED at
+# 156 until the driver window grows; new capability queries are
+# staged (oracle + gate-sim test, no _ALL entry) rather than gated,
+# and a promotion must retire or merge an existing gated row
+# one-for-one. tests/test_plans.py::test_registry_headroom enforces
+# the cap so growth past it fails loudly at commit time, not at
+# judge time.
 
-#: the r6-green block — every query whose newest driver row is
-#: CORRECTNESS_r06 (staleness 3 at the r9 run; stalest class, so the
-#: whole block leads the window by greedy fill). Order within the
+#: Queries PROMOTED in round 10 — the full round-8/9 staging block
+#: (query + oracle written and gate-sim-tested in rounds 8-9;
+#: promotion is exactly the one _ALL entry + this line each, as
+#: designed). Never driver-gated => infinitely stale => they lead
+#: the window. image_neardup_clusters gates codec -> aHash -> banded
+#: Hamming -> connected components under one recursive-CTE oracle;
+#: pdf_extract gates the zero-dependency PDF writer+reader pair.
+_NEW_R10: list[str] = [
+    "pdf_extract",
+    "image_neardup_clusters",
+    "image_progressive",
+    "image_formats_all",
+    "video_frames",
+    "rebuild_paragraphs",
+]
+
+#: the r6-green block, re-gated green in round 9 (newest driver row
+#: CORRECTNESS_r09 — freshest class, so the whole block sits at the
+#: BACK of the registry until it ages again). Order within the
 #: block: cheap relational/elementwise first so session-warmup
 #: residue lands on sub-second queries, heavies last.
 _STALE_R6: list[str] = [
@@ -6410,23 +6449,20 @@ _STALE_R6: list[str] = [
     "pricing_summary",
 ]
 
-#: Queries ADDED in round 9 — promoted from the round-8 staging
-#: block (query + oracle were written and gate-sim-tested in round 8;
-#: promotion is exactly the one _ALL entry + this line, as designed).
-#: ahash_pairs carries the brute-force-parity oracle that proves the
-#: banded Hamming join's pigeonhole recall; html_extract is the
-#: most real-corpus-relevant of the staged four.
+#: Queries ADDED in round 9 (promoted from the round-8 staging
+#: block), driver-gated green in CORRECTNESS_r09 — freshest class,
+#: back of the registry with the re-gated r6 block above.
 _NEW_R9: list[str] = [
     "ahash_pairs",
     "html_extract",
 ]
 
-_WINDOW_HEAD_R9: list[str] = _STALE_R6 + _NEW_R9
-
-_AFTER_WINDOW_R9: list[str] = [
-    # r7-green block (CORRECTNESS_r07; staleness 2 at the r9 run —
-    # leads the round-10 window together with the two still-staged
-    # queries video_frames / rebuild_paragraphs):
+#: the r7-green block (newest driver row CORRECTNESS_r07, staleness
+#: 3 at the r10 run — stalest gated class). The first 44 fill the
+#: round-10 window behind _NEW_R10; the last 6 (_STALE_R7_TAIL,
+#: chosen as the cheapest members so the forced round-11 re-gate is
+#: sub-second work) overflow at equal staleness and lead round 11.
+_STALE_R7: list[str] = [
     "winnow_fingerprints",
     "bpe_pairs",
     "source_drift",
@@ -6477,7 +6513,17 @@ _AFTER_WINDOW_R9: list[str] = [
     "filter_project",
     "group_by_key",
     "frequencies",
-    # r8-green block (CORRECTNESS_r08; freshest, staleness 1 —
+]
+
+#: equal-staleness overflow: the 6 r7-green queries the 50-row
+#: window cannot hold this round (all sub-second relational /
+#: elementwise queries, so their forced round-11 slot is cheap).
+_STALE_R7_TAIL: list[str] = _STALE_R7[44:]
+
+_WINDOW_HEAD_R10: list[str] = _NEW_R10 + _STALE_R7[:44]
+
+_AFTER_WINDOW_R10: list[str] = _STALE_R7_TAIL + [
+    # r8-green block (CORRECTNESS_r08; staleness 2 at the r10 run —
     # the full round-8 window: 46 then-r5-stale + 4 added in r8):
     "keep",
     "frequencies_by",
@@ -6531,7 +6577,9 @@ _AFTER_WINDOW_R9: list[str] = [
     "readability",
 ]
 
-_ORDER: list[str] = _WINDOW_HEAD_R9 + _AFTER_WINDOW_R9
+_ORDER: list[str] = (
+    _WINDOW_HEAD_R10 + _AFTER_WINDOW_R10 + _STALE_R6 + _NEW_R9
+)
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
 if set(_ORDER) != set(_ALL):

@@ -906,6 +906,27 @@ def test_rotation_is_current():
     )
 
 
+def test_registry_headroom():
+    """Round-10 headroom policy (VERDICT r9 item 5): at 50 gated
+    rows per round and a 4-round staleness backstop, 156 gated
+    queries is the steady-state maximum with a 6-query equal-
+    staleness carryover — sustainable, but with zero slack. The
+    gated registry is therefore CAPPED at 156: a new capability
+    query is staged (oracle + gate-sim test, no _ALL entry) and a
+    promotion must retire or merge an existing gated row
+    one-for-one. This test is the forcing function: growth past the
+    cap fails here at commit time, not at the rotation invariant
+    two rounds later."""
+    from datasplash_spark import queries as Q
+
+    cap = 156  # 3 full 50-row windows + the 6-query carryover tail
+    assert len(Q._ORDER) <= cap, (
+        f"gated registry has {len(Q._ORDER)} queries > cap {cap}: "
+        "retire or merge a gated row before promoting (see the "
+        "round-10 headroom policy in the gate-order comment)"
+    )
+
+
 def test_paragraph_dedup_digest_shuffle_only(spark):
     """paragraph_dedup: the keep/drop decision shuffles 16-byte md5
     digests, never paragraph text — the Window partitions by
