@@ -1,4 +1,4 @@
-"""Zero-dependency PDF text extraction (round 9).
+"""Zero-dependency PDF text extraction (rounds 9-10).
 
 PDFs are a first-class source in real training-data corpora; this is
 the text-modality analog of the image/audio codecs: a
@@ -9,22 +9,35 @@ extract where the document lives).
 
 Scope:
 
-- **Reader** (:func:`extract_pdf_text`): classic and
-  object-scan-recoverable PDFs. Objects are located by a direct
+- **Reader** (:func:`extract_pdf_text`): classic (PDF 1.4 xref
+  table) AND modern (PDF 1.5+ cross-reference-stream / compressed
+  object-stream) files. Objects are located by a direct
   ``N G obj … endobj`` scan (the standard recovery strategy — robust
-  to xref style, incremental updates, and mild damage), the page
-  tree walks ``/Catalog → /Pages → /Kids`` (falling back to
-  ``/Type /Page`` objects in object order when no catalog resolves),
-  content streams decode ``/FlateDecode`` (zlib) or raw, and the
-  text machine handles ``BT/ET``, ``Tj``, ``'``, ``"``, ``TJ`` with
-  kerning arrays (gap > 250/1000 em → space), ``Td/TD/T*/Tm``
-  line-break heuristics, literal strings with all escapes + octal +
-  line continuations, hex strings, and UTF-16BE (BOM) text.
-  Compressed object streams (``/ObjStm``), LZW, and encrypted files
-  raise ``ValueError`` naming the feature — the quarantine contract.
-- **Writer** (:func:`encode_pdf_text`): classic PDF 1.4 with a real
-  xref table, one content stream per page (optionally Flate),
-  Helvetica ``Tj`` lines — fixtures any external viewer opens.
+  to xref style, incremental updates, and mild damage; stream
+  extents are skipped so binary bytes can't spawn phantom objects),
+  then every ``/Type /ObjStm`` container is inflated and its
+  embedded objects merged in with file-offset-wins semantics
+  (round 10 — generalizes later-definition-wins to objects that
+  live inside object streams). The page tree walks
+  ``/Catalog → /Pages → /Kids`` (falling back to ``/Type /Page``
+  objects in object order when no catalog resolves), stream filters
+  decode ``/FlateDecode`` (zlib), ``/LZWDecode`` (MSB-first 9→12-bit
+  codes with EarlyChange), ``/ASCIIHexDecode``, ``/ASCII85Decode``,
+  and ``/RunLengthDecode``, honoring ``/DecodeParms`` PNG/TIFF
+  predictors, and the text machine handles ``BT/ET``, ``Tj``, ``'``,
+  ``"``, ``TJ`` with kerning arrays (gap > 250/1000 em → space),
+  ``Td/TD/T*/Tm`` line-break heuristics, literal strings with all
+  escapes + octal + line continuations, hex strings, and UTF-16BE
+  (BOM) text. Encrypted files (a ``/Encrypt`` key in a trailer or
+  xref-stream dictionary) and genuinely unknown filters raise
+  ``ValueError`` naming the feature — the quarantine contract.
+- **Writer** (:func:`encode_pdf_text`): ``layout="classic"`` writes
+  PDF 1.4 with a real xref table; ``layout="objstm"`` writes PDF 1.5
+  with the document dictionaries packed in a ``/ObjStm`` and a
+  cross-reference STREAM (``/Type /XRef``, ``/W [1 4 2]``, PNG-Up
+  predictor) — fixtures any external viewer opens, exercising both
+  reader paths. ``filter_name`` selects Flate or LZW for the
+  content streams.
 
 Reference anchor: no analog in the reference (datasplash has no
 document-decode surface); north-star multimodal/text extension
@@ -262,6 +275,245 @@ class _Lexer:
 
 
 # ---------------------------------------------------------------------
+# Stream filters (round 10): LZW, ASCIIHex, ASCII85, RunLength,
+# PNG/TIFF predictors
+# ---------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """``/LZWDecode``: MSB-first variable-width codes (9→12 bits),
+    Clear=256, EOD=257, first assigned code 258, with the PDF/TIFF
+    ``EarlyChange`` width-switch (default 1: the code width grows one
+    code earlier than strictly necessary). Width rule: after each
+    code's dictionary add, grow when ``next + early >= 1 << width``
+    (the rule pdfminer/pdf.js-family decoders use; the paired
+    encoder below uses the mirrored ``>`` form, and the roundtrip is
+    property-fuzzed across all three width boundaries)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("pdf: bad LZW code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):  # KwKwK
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("pdf: bad LZW code")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if width < 12 and len(table) + early_change >= (1 << width):
+                width += 1
+    return bytes(out)  # tolerate a missing EOD (lenient, like Flate tails)
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """LZW encoder paired with :func:`_lzw_decode` — fixture
+    generator for the writer's ``filter_name="lzw"`` path. Emits
+    Clear up front (per spec recommendation) and again when the
+    table fills."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if nxt < 4096:
+            table[wc] = nxt
+            nxt += 1
+            if width < 12 and nxt + early_change > (1 << width):
+                width += 1
+        if width == 12 and nxt + early_change > 4096:
+            emit(256, width)  # table full: clear and restart
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    digits = []
+    for c in data:
+        if c == 0x3E:  # >
+            break
+        if c in b"0123456789ABCDEFabcdef":
+            digits.append(chr(c))
+        elif c not in _WS:
+            raise ValueError("pdf: bad ASCIIHex digit")
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes(
+        int(digits[i] + digits[i + 1], 16) for i in range(0, len(digits), 2)
+    )
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x7E:  # ~> EOD
+            break
+        if c == 0x7A:  # z = four zero bytes (only between groups)
+            if group:
+                raise ValueError("pdf: ASCII85 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("pdf: bad ASCII85 character")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise ValueError("pdf: truncated ASCII85 group")
+        k = len(group)
+        group += [84] * (5 - k)  # pad with 'u'
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("pdf: truncated RunLength literal")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("pdf: truncated RunLength run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _predictor_undo(data: bytes, parms: dict) -> bytes:
+    """Undo ``/DecodeParms`` predictors: 1 = none, 2 = TIFF
+    horizontal differencing (8-bit components), 10-15 = PNG filters
+    per row (None/Sub/Up/Average/Paeth — the row filter byte selects
+    per row, so one handler covers all five). XRef streams in the
+    wild almost always use PNG Up (12)."""
+    pred = parms.get("Predictor", 1)
+    if pred == 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("pdf: TIFF predictor needs 8-bit components")
+        row_len = colors * columns
+        out = bytearray(data)
+        for r in range(0, len(out) - row_len + 1, row_len):
+            for j in range(colors, row_len):
+                out[r + j] = (out[r + j] + out[r + j - colors]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"pdf: predictor {pred} unsupported")
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (colors * bpc * columns + 7) // 8
+    out = bytearray()
+    prev_row = bytes(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ft == 1:  # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev_row[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev_row[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev_row[j]
+                c = prev_row[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"pdf: PNG filter type {ft} unsupported")
+        out += row
+        prev_row = bytes(row)
+    if pos != len(data):
+        raise ValueError("pdf: predictor data not a whole number of rows")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
 # Document model: object scan + page tree
 # ---------------------------------------------------------------------
 
@@ -278,8 +530,11 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
     binary stream bytes that happen to contain ``N G obj`` would
     otherwise create bogus objects that, under later-definition-wins,
     could silently clobber a real object of the same number (the
-    standard recovery-scanner mitigation)."""
+    standard recovery-scanner mitigation). Also returns the byte
+    offset of each surviving definition so :func:`_expand_objstm`
+    can merge object-stream members with offset-wins semantics."""
     objects: dict[int, tuple[dict | None, bytes | None]] = {}
+    offsets: dict[int, int] = {}
     scan_pos = 0
     while True:
         m = _OBJ_RE.search(raw, scan_pos)
@@ -314,7 +569,66 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
                 # bytes can never spawn phantom objects
                 scan_pos = max(scan_pos, end)
         objects[num] = (d, stream)
-    return objects
+        offsets[num] = m.start()
+    return objects, offsets
+
+
+def _expand_objstm(objects, offsets) -> None:
+    """Inflate every ``/Type /ObjStm`` container and merge its
+    embedded objects in place (PDF 1.5+, round 10). The stream
+    layout is ``N`` pairs of ``objnum offset`` integers, then the
+    serialized objects starting at byte ``/First``. Merge rule:
+    FILE-OFFSET-WINS — an embedded object adopts its container's
+    byte offset, generalizing the scanner's later-definition-wins to
+    incremental updates that move objects into or out of object
+    streams (the newest definition in the file is live, wherever it
+    lives). Embedded objects never carry streams (spec rule), so a
+    conflict with a top-level stream object keeps whichever is
+    later in the file."""
+    containers = sorted(
+        (
+            (offsets.get(num, 0), num)
+            for num, (d, s) in objects.items()
+            if d is not None
+            and s is not None
+            and d.get("Type") == ("name", "ObjStm")
+        ),
+    )
+    for c_off, c_num in containers:
+        d, s = objects[c_num]
+        n_tok = _resolve(objects, d.get("N")) or d.get("N")
+        first_tok = _resolve(objects, d.get("First")) or d.get("First")
+        if (
+            n_tok is None or n_tok[0] != "num"
+            or first_tok is None or first_tok[0] != "num"
+        ):
+            raise ValueError("pdf: object stream missing /N or /First")
+        n, first = int(n_tok[1]), int(first_tok[1])
+        body = _decode_stream(objects, d, s)
+        lex = _Lexer(body)
+        pairs: list[tuple[int, int]] = []
+        for _ in range(n):
+            a = lex.token()
+            b = lex.token()
+            if (
+                a is None or b is None
+                or a[0] != "num" or b[0] != "num"
+            ):
+                raise ValueError("pdf: bad object-stream header")
+            pairs.append((int(a[1]), int(b[1])))
+        for objnum, rel in pairs:
+            if objnum == c_num:  # a container can't contain itself
+                continue
+            if offsets.get(objnum, -1) > c_off:
+                continue  # a later top-level/container def wins
+            olex = _Lexer(body, first + rel)
+            try:
+                t = olex.token()
+            except ValueError:
+                raise ValueError("pdf: bad object inside object stream")
+            od = t[1] if t and t[0] == "dict" else None
+            objects[objnum] = (od, None)
+            offsets[objnum] = c_off
 
 
 def _resolve(objects, val):
@@ -336,24 +650,58 @@ def _resolve(objects, val):
     return val
 
 
+def _parms_dict(objects, parms_tok) -> dict:
+    """``/DecodeParms`` token → plain ``{key: int}`` dict (refs and
+    nested num tokens resolved); None/null → {}."""
+    t = _resolve(objects, parms_tok) if parms_tok is not None else None
+    if t is None or t[0] != "dict":
+        return {}
+    out = {}
+    for k, v in t[1].items():
+        v = _resolve(objects, v) or v
+        if v is not None and v[0] == "num":
+            out[k] = int(v[1])
+    return out
+
+
 def _decode_stream(objects, d: dict, stream: bytes) -> bytes:
     filt = d.get("Filter")
     if filt is None:
         return stream
+    filt = _resolve(objects, filt) or filt
     names = []
     if filt[0] == "name":
         names = [filt[1]]
     elif filt[0] == "array":
         names = [t[1] for t in filt[1] if t[0] == "name"]
+    parms_tok = d.get("DecodeParms", d.get("DP"))
+    parms_list: list[dict] = []
+    if parms_tok is not None:
+        pt = _resolve(objects, parms_tok) or parms_tok
+        if pt[0] == "array":
+            parms_list = [_parms_dict(objects, t) for t in pt[1]]
+        else:
+            parms_list = [_parms_dict(objects, pt)]
     out = stream
-    for name in names:
-        if name == "FlateDecode":
+    for i, name in enumerate(names):
+        parms = parms_list[i] if i < len(parms_list) else {}
+        if name in ("FlateDecode", "Fl"):
             try:
                 out = zlib.decompress(out)
             except zlib.error as e:
                 raise ValueError(f"pdf: bad Flate stream ({e})") from None
+        elif name in ("LZWDecode", "LZW"):
+            out = _lzw_decode(out, parms.get("EarlyChange", 1))
+        elif name in ("ASCIIHexDecode", "AHx"):
+            out = _asciihex_decode(out)
+        elif name in ("ASCII85Decode", "A85"):
+            out = _ascii85_decode(out)
+        elif name in ("RunLengthDecode", "RL"):
+            out = _runlength_decode(out)
         else:
             raise ValueError(f"pdf: filter /{name} unsupported")
+        if parms.get("Predictor", 1) != 1:
+            out = _predictor_undo(out, parms)
     return out
 
 
@@ -492,22 +840,49 @@ def _extract_page_text(content: bytes) -> str:
     return "\n".join(out)
 
 
+_TRAILER_RE = re.compile(rb"trailer\b")
+
+
+def _is_encrypted(raw: bytes, objects) -> bool:
+    """``/Encrypt`` in a TRAILER dictionary or an xref-stream
+    (``/Type /XRef``) dictionary — the two places the spec puts it.
+    Round 10: replaces the blunt ``b"/Encrypt" in raw`` scan, which
+    false-quarantined documents whose page TEXT merely mentions
+    /Encrypt."""
+    for m in _TRAILER_RE.finditer(raw):
+        lex = _Lexer(raw, m.end())
+        try:
+            t = lex.token()
+        except ValueError:
+            continue
+        if t is not None and t[0] == "dict" and "Encrypt" in t[1]:
+            return True
+    for _num, (d, _s) in objects.items():
+        if d and d.get("Type") == ("name", "XRef") and "Encrypt" in d:
+            return True
+    return False
+
+
 def extract_pdf_text(raw: bytes) -> dict:
     """Extract text from a PDF. Returns ``{"n_pages": int,
     "pages": [str, ...], "text": str}`` (pages joined by form-feed).
-    Raises ``ValueError`` naming the unsupported feature for
-    encrypted files, object streams, and non-Flate filters — the
-    quarantine contract of the codec family."""
+    Handles classic xref-table files AND PDF 1.5+ object-stream /
+    xref-stream files (``/ObjStm`` containers are inflated and
+    merged, see :func:`_expand_objstm`; xref streams need no
+    parsing — the recovery scan already locates every top-level
+    object). Raises ``ValueError`` naming the unsupported feature
+    for encrypted files and unknown filters — the quarantine
+    contract of the codec family (the message prefix ``pdf:
+    encrypted`` vs ``pdf: <other>`` is the typed reason
+    :func:`pdf_text_features` surfaces per row)."""
     if raw[:5] != b"%PDF-":
         raise ValueError("pdf: missing %PDF header")
-    if b"/Encrypt" in raw:
-        raise ValueError("pdf: encrypted files unsupported")
-    objects = _scan_objects(raw)
+    objects, offsets = _scan_objects(raw)
     if not objects:
         raise ValueError("pdf: no objects found")
-    for _num, (d, _s) in objects.items():
-        if d and d.get("Type") == ("name", "ObjStm"):
-            raise ValueError("pdf: compressed object streams unsupported")
+    if _is_encrypted(raw, objects):
+        raise ValueError("pdf: encrypted files unsupported")
+    _expand_objstm(objects, offsets)
     page_nums = _page_content_objs(objects)
     if not page_nums:
         raise ValueError("pdf: no pages found")
@@ -563,59 +938,172 @@ def _pdf_escape(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
-    """Write a classic PDF 1.4: one Helvetica content stream per
-    page (``Tj`` per line, ``TD`` line advance), optional
-    FlateDecode, real xref table — a file any external viewer
-    opens, and the roundtrip fixture for :func:`extract_pdf_text`."""
-    objs: list[bytes] = []  # bodies, object number = index + 1
+def _content_stream(text: str) -> bytes:
+    body = bytearray(b"BT /F1 12 Tf 72 720 Td 14 TL\n")
+    for j, ln in enumerate(text.split("\n")):
+        if j:
+            body += b"0 -14 Td\n"
+        body += b"(" + _pdf_escape(ln) + b") Tj\n"
+    body += b"ET"
+    return bytes(body)
+
+
+_FILTERS = {
+    "flate": (zlib.compress, b"/FlateDecode"),
+    "lzw": (_lzw_encode, b"/LZWDecode"),
+}
+
+
+def encode_pdf_text(
+    pages: list[str],
+    compress: bool = True,
+    layout: str = "classic",
+    filter_name: str = "flate",
+) -> bytes:
+    """Write a PDF: one Helvetica content stream per page (``Tj``
+    per line, ``Td`` line advance) — fixtures any external viewer
+    opens, and the roundtrip fixture family for
+    :func:`extract_pdf_text`.
+
+    ``layout="classic"`` (default) is PDF 1.4 with a real xref
+    TABLE; ``layout="objstm"`` is PDF 1.5 with every document
+    dictionary (catalog, pages node, font, page dicts) packed in a
+    compressed ``/ObjStm`` and a cross-reference STREAM
+    (``/Type /XRef``, ``/W [1 4 2]``, PNG-Up-predicted Flate) —
+    content streams stay top-level per the spec rule that streams
+    cannot live inside object streams. ``filter_name`` ("flate" or
+    "lzw") selects the compression filter for content streams (and
+    the ObjStm body) when ``compress`` is true."""
+    if layout not in ("classic", "objstm"):
+        raise ValueError(f"pdf: unknown layout {layout!r}")
+    enc_fn, filt_name = _FILTERS[filter_name]
+
+    def stream_obj(data: bytes, extra: bytes = b"") -> bytes:
+        if compress:
+            data = enc_fn(data)
+            head = b"<< /Length %d /Filter %s%s >>" % (
+                len(data), filt_name, extra,
+            )
+        else:
+            head = b"<< /Length %d%s >>" % (len(data), extra)
+        return head + b"\nstream\n" + data + b"\nendstream"
 
     n_pages = len(pages)
-    # 1: catalog, 2: pages node, 3: font; then per page: page, stream
-    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
-    kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
-    )
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
-    for i, text in enumerate(pages):
-        stream_num = page_obj_nums[i] + 1
+    if layout == "classic":
+        objs: list[bytes] = []  # bodies, object number = index + 1
+        # 1: catalog, 2: pages node, 3: font; per page: page, stream
+        page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+        kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+        objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
         objs.append(
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 3 0 R >> >> "
-            b"/Contents %d 0 R >>" % stream_num
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
         )
-        body = bytearray(b"BT /F1 12 Tf 72 720 Td 14 TL\n")
-        for j, ln in enumerate(text.split("\n")):
-            if j:
-                body += b"0 -14 Td\n"
-            body += b"(" + _pdf_escape(ln) + b") Tj\n"
-        body += b"ET"
-        data = bytes(body)
-        if compress:
-            data = zlib.compress(data)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        else:
-            head = b"<< /Length %d >>" % len(data)
-        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+        for i, text in enumerate(pages):
+            stream_num = page_obj_nums[i] + 1
+            objs.append(
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> "
+                b"/Contents %d 0 R >>" % stream_num
+            )
+            objs.append(stream_obj(_content_stream(text)))
 
-    out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
-    offsets = [0]
-    for i, body in enumerate(objs):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
-    xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_pos)
+        out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+        offsets = [0]
+        for i, body in enumerate(objs):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos)
+        )
+        return bytes(out)
+
+    # --- objstm layout (PDF 1.5) ---
+    # numbering: 1 catalog, 2 pages node, 3 font, 4..3+n page dicts
+    # (all INSIDE the ObjStm); 4+n..3+2n content streams (top-level);
+    # 4+2n the ObjStm container; 5+2n the xref stream
+    page_nums = [4 + i for i in range(n_pages)]
+    content_nums = [4 + n_pages + i for i in range(n_pages)]
+    objstm_num = 4 + 2 * n_pages
+    xref_num = objstm_num + 1
+
+    packed: list[tuple[int, bytes]] = []
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    packed.append(
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
     )
+    packed.append(
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    for pnum, cnum in zip(page_nums, content_nums):
+        packed.append(
+            (
+                pnum,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> "
+                b"/Contents %d 0 R >>" % cnum,
+            )
+        )
+    stm_body = bytearray()
+    header = bytearray()
+    for onum, obody in packed:
+        header += b"%d %d " % (onum, len(stm_body))
+        stm_body += obody + b"\n"
+    objstm_extra = b" /Type /ObjStm /N %d /First %d" % (
+        len(packed), len(header),
+    )
+    objstm_obj = stream_obj(bytes(header) + bytes(stm_body), objstm_extra)
+
+    out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    offsets_by_num: dict[int, int] = {}
+    for cnum, text in zip(content_nums, pages):
+        offsets_by_num[cnum] = len(out)
+        out += b"%d 0 obj\n" % cnum + stream_obj(
+            _content_stream(text)
+        ) + b"\nendobj\n"
+    offsets_by_num[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
+    xref_pos = len(out)
+    offsets_by_num[xref_num] = xref_pos
+
+    # xref stream entries, W = [1 4 2]: object 0 free, packed
+    # objects type 2 (container, index), top-level type 1 (offset)
+    size = xref_num + 1
+    rows: list[bytes] = []
+    for num in range(size):
+        if num == 0:
+            rows.append(struct.pack(">B I H", 0, 0, 0xFFFF))
+        elif num <= 3 + n_pages:
+            idx = next(i for i, (o, _b) in enumerate(packed) if o == num)
+            rows.append(struct.pack(">B I H", 2, objstm_num, idx))
+        else:
+            rows.append(struct.pack(">B I H", 1, offsets_by_num[num], 0))
+    row_len = 7
+    pred = bytearray()
+    prev = bytes(row_len)
+    for r in rows:  # PNG Up predictor, as real writers emit
+        pred.append(2)
+        pred += bytes((r[j] - prev[j]) & 0xFF for j in range(row_len))
+        prev = r
+    xdata = zlib.compress(bytes(pred))
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns %d >> /Length %d >>"
+        % (size, row_len, len(xdata))
+    )
+    out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
@@ -624,13 +1112,21 @@ def encode_pdf_text(pages: list[str], compress: bool = True) -> bytes:
 # ---------------------------------------------------------------------
 
 
-def synthesize_pdf_from_text(df, text="text", id_col="doc_id", pages_mod=3):
+def synthesize_pdf_from_text(
+    df, text="text", id_col="doc_id", pages_mod=3, layout="mixed"
+):
     """Deterministic synthetic PDF corpus — the document analog of
     ``synthesize_image_from_text``: per doc a REAL multi-page PDF
     (``1 + len(text) % pages_mod`` pages; the text splits across
     pages by word round-robin), so the extraction plumbing gets a
     value-level oracle without shipping binary fixtures. Returns
-    ``(doc_id, n_pages, media binary)``."""
+    ``(doc_id, n_pages, media binary)``.
+
+    ``layout``: "classic" (PDF 1.4 xref table), "objstm" (PDF 1.5
+    object + xref streams), or "mixed" (default, round 10) — the
+    corpus alternates deterministically on ``doc_id % 4``: classic /
+    objstm / classic+LZW / objstm+LZW, so one oracle gates every
+    reader path (the extracted text is layout-invariant)."""
     from pyspark.sql import functions as F
 
     def synth(batches):
@@ -646,9 +1142,16 @@ def synthesize_pdf_from_text(df, text="text", id_col="doc_id", pages_mod=3):
                 for i, w in enumerate(words):
                     page_words[i % n].append(w)
                 pages = [" ".join(ws) for ws in page_words]
+                if layout == "mixed":
+                    lay = "classic" if did % 2 == 0 else "objstm"
+                    filt = "flate" if did % 4 < 2 else "lzw"
+                else:
+                    lay, filt = layout, "flate"
                 ids.append(did)
                 npg.append(n)
-                medias.append(encode_pdf_text(pages))
+                medias.append(
+                    encode_pdf_text(pages, layout=lay, filter_name=filt)
+                )
             yield pd.DataFrame(
                 {id_col: ids, "n_pages": npg, "media": medias}
             )
@@ -681,9 +1184,19 @@ def pdf_text_features(df, id_col="doc_id", media_col="media"):
                          True, None)
                     )
                 except Exception as e:
+                    # typed quarantine reason (round 10): the prefix
+                    # distinguishes encrypted / unsupported-feature /
+                    # malformed at a glance, detail preserved after
+                    msg = str(e)
+                    if "encrypted" in msg:
+                        kind = "encrypted"
+                    elif "unsupported" in msg:
+                        kind = "unsupported"
+                    else:
+                        kind = "malformed"
                     rows.append(
                         (did, None, None, None, False,
-                         f"{type(e).__name__}: {e}")
+                         f"{kind}: {type(e).__name__}: {msg}")
                     )
             yield pd.DataFrame(
                 rows,

@@ -4232,7 +4232,7 @@ def test_pdf_text_roundtrip_and_contracts():
     (UTF-16BE), multi-page; the extractor's lenient object scan
     survives incremental-update-style duplicate objects; TJ kerning
     arrays and hex strings decode; quarantine contracts for
-    non-PDF, encrypted, object-stream, and unsupported-filter
+    non-PDF, encrypted, and unsupported-filter
     files."""
     import zlib
 
@@ -4277,19 +4277,24 @@ def test_pdf_text_roundtrip_and_contracts():
 
     with pytest.raises(ValueError, match="PDF header"):
         P.extract_pdf_text(b"not a pdf")
-    enc = P.encode_pdf_text(["x"]).replace(b"/Root", b"/Encrypt")
+    enc = P.encode_pdf_text(["x"]).replace(
+        b"/Root", b"/Encrypt 99 0 R /Root"
+    )
     with pytest.raises(ValueError, match="encrypted"):
         P.extract_pdf_text(enc)
-    objstm = P.encode_pdf_text(["x"]).replace(
-        b"/Type /Catalog", b"/Type /ObjStm", 1
+    # ... but a document whose TEXT merely mentions /Encrypt is fine
+    # (round 10: detection moved from a raw-bytes scan to the
+    # trailer / xref-stream dictionaries)
+    ok = P.extract_pdf_text(
+        P.encode_pdf_text(["about the /Encrypt key"], compress=False)
     )
-    with pytest.raises(ValueError, match="object streams"):
-        P.extract_pdf_text(objstm)
-    lzw = P.encode_pdf_text(["x"], compress=True).replace(
-        b"/FlateDecode", b"/LZWDecode"
+    assert ok["pages"] == ["about the /Encrypt key"]
+    # genuinely unknown filters still quarantine by name
+    unk = P.encode_pdf_text(["x"], compress=True).replace(
+        b"/FlateDecode", b"/JBIG2Decode"
     )
-    with pytest.raises(ValueError, match="LZWDecode"):
-        P.extract_pdf_text(lzw)
+    with pytest.raises(ValueError, match="unsupported"):
+        P.extract_pdf_text(unk)
     # corrupt Flate body quarantines, doesn't crash obscurely
     good = P.encode_pdf_text(["abc"], compress=True)
     k = good.index(b"stream\n", good.index(b"/FlateDecode")) + 7
@@ -4338,6 +4343,113 @@ def test_pdf_scan_and_tm_regressions():
     j = raw.index(b"endstream") + len(b"endstream")
     raw2 = raw[: raw.rindex(b"5 0 obj\n") + 8] + body + raw[j:]
     assert P.extract_pdf_text(raw2)["pages"] == ["abc\nd"]
+
+
+def test_pdf_objstm_xref_and_filters():
+    """PDF 1.5+ reader path (round 10): compressed object streams
+    inflate and merge with offset-wins incremental-update semantics;
+    xref-stream files extract; every filter the spec's text path
+    uses decodes (LZW incl. the ISO 32000 worked example, ASCIIHex,
+    ASCII85, RunLength, Flate) with DecodeParms predictors."""
+    import zlib
+
+    from datasplash_spark.functions import pdf as P
+
+    pages = ["hello objstm\nline two", "page (2) \\ done", "", "café 中文"]
+    for comp in (True, False):
+        for filt in ("flate", "lzw"):
+            raw = P.encode_pdf_text(
+                pages, compress=comp, layout="objstm", filter_name=filt
+            )
+            assert raw[:8] == b"%PDF-1.5"
+            d = P.extract_pdf_text(raw)
+            assert d["n_pages"] == 4 and d["pages"] == pages, (comp, filt)
+
+    # incremental update ACROSS layouts: a classic top-level object
+    # appended AFTER an objstm file must beat the packed definition
+    base = P.encode_pdf_text(["old text"], layout="objstm")
+    newc = b"BT /F1 12 Tf (new text) Tj ET"
+    # object 5 is the content stream in the 1-page objstm numbering
+    patch = b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        len(newc), newc,
+    )
+    assert P.extract_pdf_text(base + patch)["pages"] == ["new text"]
+    # ...and an ObjStm appended after a classic file wins the other
+    # way: pack a replacement PAGE dict pointing at a new stream
+    cls = P.encode_pdf_text(["classic text"], compress=False)
+    newc2 = b"BT /F1 12 Tf (swapped) Tj ET"
+    inner = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>"
+    )
+    header = b"4 0 "
+    stm = zlib.compress(header + inner)
+    objstm_obj = (
+        b"7 0 obj\n<< /Length %d /Filter /FlateDecode /Type /ObjStm "
+        b"/N 1 /First %d >>\nstream\n" % (len(stm), len(header))
+        + stm + b"\nendstream\nendobj\n"
+    )
+    content_obj = (
+        b"8 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(newc2), newc2)
+    )
+    assert P.extract_pdf_text(cls + objstm_obj + content_obj)["pages"] == [
+        "swapped"
+    ]
+
+    # LZW: the ISO 32000 7.4.4 worked example, both directions
+    assert P._lzw_decode(bytes.fromhex("800b6050220c0c8501")) == b"-----A---B"
+    assert P._lzw_encode(b"-----A---B") == bytes.fromhex("800b6050220c0c8501")
+    # width-boundary roundtrips (9→10→11→12 bits + table-full clear)
+    blob = bytes((i * 131 + (i >> 3)) % 256 for i in range(90000))
+    assert P._lzw_decode(P._lzw_encode(blob)) == blob
+    # EarlyChange=0 pairing
+    assert P._lzw_decode(P._lzw_encode(blob[:4000], 0), 0) == blob[:4000]
+
+    # per-filter content-stream decode through the document path:
+    # splice a filtered stream into object 5 of a classic file
+    content = b"BT /F1 12 Tf (filtered) Tj ET"
+    cases = {
+        b"/ASCIIHexDecode": content.hex().encode() + b">",
+        b"/ASCII85Decode": __import__("base64").a85encode(content) + b"~>",
+        b"/RunLengthDecode": bytes([len(content) - 1]) + content + b"\x80",
+        b"/LZWDecode": P._lzw_encode(content),
+    }
+    for fname, data in cases.items():
+        raw = P.encode_pdf_text(["placeholder"], compress=False)
+        body = (
+            b"<< /Length %d /Filter %s >>\nstream\n" % (len(data), fname)
+            + data + b"\nendstream"
+        )
+        j = raw.index(b"endstream") + len(b"endstream")
+        raw2 = raw[: raw.rindex(b"5 0 obj\n") + 8] + body + raw[j:]
+        assert P.extract_pdf_text(raw2)["pages"] == ["filtered"], fname
+
+    # predictors: PNG Sub/Up/Average/Paeth + TIFF undo correctness
+    rows = [bytes([(i * 37 + r * 11) % 256 for i in range(6)]) for r in range(4)]
+    flat = b"".join(rows)
+    for pnum, name in ((10, "None"), (12, "Up")):
+        enc = bytearray()
+        prev = bytes(6)
+        for r in rows:
+            if pnum == 12:
+                enc.append(2)
+                enc += bytes((r[j] - prev[j]) & 0xFF for j in range(6))
+            else:
+                enc.append(0)
+                enc += r
+            prev = r
+        got = P._predictor_undo(
+            bytes(enc), {"Predictor": pnum, "Columns": 6}
+        )
+        assert got == flat, name
+    tif = bytearray(flat)
+    for r in range(4):
+        for j in range(5, 0, -1):
+            tif[r * 6 + j] = (tif[r * 6 + j] - tif[r * 6 + j - 1]) & 0xFF
+    assert P._predictor_undo(
+        bytes(tif), {"Predictor": 2, "Columns": 6}
+    ) == flat
 
 
 def test_pdf_corpus_path(spark):

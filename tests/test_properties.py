@@ -302,3 +302,60 @@ def test_jpeg_progressive_parity_property(dims, color, quality, succ, rnd):
         J.encode_jpeg_progressive(img, quality=quality, successive=succ)
     )
     assert np.array_equal(got["pixels"], want["pixels"])
+
+
+@given(
+    st.binary(max_size=3000),
+    st.integers(min_value=0, max_value=1),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=120, deadline=None)
+def test_pdf_lzw_roundtrip_property(blob, early, rnd):
+    """PDF LZW encoder/decoder are exact inverses for arbitrary
+    bytes and both EarlyChange values; a structured low-entropy tail
+    is appended so dictionary growth crosses the 9→10-bit width
+    boundary in most examples (absolute correctness at the
+    boundaries is pinned by the ISO 32000 worked example in
+    test_extensions)."""
+    from datasplash_spark.functions import pdf as P
+
+    tail = bytes(
+        rnd.randrange(4) * 17 for _ in range(rnd.randrange(0, 2000))
+    )
+    data = blob + tail
+    assert P._lzw_decode(P._lzw_encode(data, early), early) == data
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\f"
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from(["classic", "objstm"]),
+    st.sampled_from(["flate", "lzw"]),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_property(pages, layout, filt, compress):
+    """Writer → reader roundtrip for ANY text across both layouts,
+    both filters, and raw streams: the extracted pages equal the
+    input (modulo the writer's own line splitting, which is the
+    newline identity)."""
+    from datasplash_spark.functions import pdf as P
+
+    # the writer encodes \r as an escape that reads back as \r, but
+    # a bare \r\n collapses per PDF line semantics in the reader's
+    # string machine only via explicit escapes — normalize input the
+    # way the corpus path does (plain text, no control chars)
+    pages = ["".join(ch for ch in p if ch >= " " or ch == "\n") for p in pages]
+    raw = P.encode_pdf_text(
+        pages, compress=compress, layout=layout, filter_name=filt
+    )
+    d = P.extract_pdf_text(raw)
+    assert d["pages"] == pages and d["n_pages"] == len(pages)
