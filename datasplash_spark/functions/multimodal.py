@@ -1092,9 +1092,65 @@ def synthesize_video_from_text(
     ).mapInPandas(synth, schema=f"{name_id} bigint, n_frames int, media binary")
 
 
+def synthesize_gif_from_text(
+    df: DataFrame,
+    text: ColumnLike = "text",
+    id_col: ColumnLike = "doc_id",
+    max_frames: int = 5,
+) -> DataFrame:
+    """Deterministic synthetic ANIMATED-GIF corpus (round 10): per
+    doc a real GIF89a animation of ``1 + len(text) % max_frames``
+    full-canvas 8×8 grayscale frames whose pixels use the same
+    text-derived formula as :func:`synthesize_video_from_text`
+    (``((cp_j + 1 + 7·frame) · 2654435761) mod 256``). GIF is
+    LOSSLESS, so unlike the JPEG-based video corpus the composited
+    pixel VALUES are SQL-replayable — the gif_frames oracle pins
+    ``px_sum`` exactly, gating LZW, palette expansion, compositing,
+    and the sampling arithmetic in one query. Returns ``(doc_id,
+    n_frames, media binary)``."""
+    import numpy as np
+    import pandas as pd
+
+    from .gifbmp import encode_gif_animation
+
+    name_id = id_col if isinstance(id_col, str) else "doc_id"
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            medias, counts = [], []
+            for t in b["_t"]:
+                t = t or ""
+                nf = 1 + len(t) % int(max_frames)
+                cps = np.zeros(64, dtype=np.int64)
+                m = min(len(t), 64)
+                if m:
+                    cps[:m] = np.frombuffer(
+                        t[:m].encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                frames = [
+                    (((cps + 1 + 7 * f) * 2654435761) % 256)
+                    .astype(np.uint8)
+                    .reshape(8, 8)
+                    for f in range(nf)
+                ]
+                medias.append(encode_gif_animation(frames))
+                counts.append(nf)
+            yield pd.DataFrame(
+                {
+                    name_id: b[name_id].to_numpy(),
+                    "n_frames": counts,
+                    "media": medias,
+                }
+            )
+
+    return df.select(
+        _col(id_col).alias(name_id), _col(text).alias("_t")
+    ).mapInPandas(synth, schema=f"{name_id} bigint, n_frames int, media binary")
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
-    "mode string, frame_bytes int, ok boolean, err string"
+    "mode string, frame_bytes int, px_sum bigint, ok boolean, err string"
 )
 
 
@@ -1104,20 +1160,27 @@ def video_frame_features(
     id_col: str = "doc_id",
     media_col: str = "media",
 ) -> DataFrame:
-    """REAL video decode: split each MJPEG stream into frames
-    (:func:`split_mjpeg` — marker-structure walk, no codec library)
-    and decode every ``every_n``-th frame through the baseline JPEG
-    decoder, emitting one typed row per SAMPLED frame with the
-    stream's total frame count. Quarantine is per-FRAME: a poison
-    frame yields its own ``ok=false`` row while sibling frames still
-    decode; an unsplittable stream yields one ``ok=false`` row for
-    the doc (``frame_idx = -1``). Bytes never shuffle — frames are
-    decoded where the stream lives and only the feature rows cross
-    back; this is the ``frame_sample_plan`` metadata shape made real
-    for the one video container a zero-dependency engine can carry
-    (plug a real demuxer into the same kernel slot for mp4/mkv)."""
+    """REAL video decode for the two containers a zero-dependency
+    engine can carry: MJPEG elementary streams (split by marker
+    structure — :func:`split_mjpeg` — each sampled frame through the
+    baseline JPEG decoder) and, round 10, ANIMATED GIF (full
+    disposal compositing — :func:`..gifbmp.decode_gif_frames` — each
+    sampled row is the canvas-sized RGBA composite). The container
+    is sniffed per row from magic bytes, so one mixed media column
+    fans out to both paths. One typed row per SAMPLED frame with the
+    stream's total frame count and the frame's integer pixel sum
+    (``px_sum`` — summed over all channels; exact for the lossless
+    GIF path, hence SQL-oracle-able). Quarantine is per-FRAME for
+    MJPEG (a poison frame yields its own ``ok=false`` row while
+    siblings decode) and per-STREAM for GIF (frames are deltas — a
+    poison frame poisons every composite after it); an unsplittable
+    or empty stream yields one ``ok=false`` row (``frame_idx =
+    -1``). Bytes never shuffle — frames decode where the stream
+    lives and only feature rows cross back (plug a real demuxer
+    into the same kernel slot for mp4/mkv)."""
     import pandas as pd
 
+    from .gifbmp import decode_gif_frames
     from .jpeg import decode_jpeg
 
     def extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1125,12 +1188,29 @@ def video_frame_features(
             rows = []
             for doc_id, raw in zip(b[id_col], b[media_col]):
                 data = bytes(raw) if raw is not None else b""
+                if data[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        for o in decode_gif_frames(data, every_n=every_n):
+                            rows.append(
+                                (doc_id, o["frame_idx"], o["n_frames"],
+                                 o["width"], o["height"], "RGBA",
+                                 o["byte_length"],
+                                 int(o["pixels"].sum(dtype="int64")),
+                                 True, None)
+                            )
+                    except Exception as e:
+                        rows.append(
+                            (doc_id, -1, None, None, None, None,
+                             len(data), None, False,
+                             f"{type(e).__name__}: {e}")
+                        )
+                    continue
                 try:
                     frames = split_mjpeg(data)
                 except Exception as e:
                     rows.append(
                         (doc_id, -1, None, None, None, None, len(data),
-                         False, f"{type(e).__name__}: {e}")
+                         None, False, f"{type(e).__name__}: {e}")
                     )
                     continue
                 nf = len(frames)
@@ -1141,7 +1221,7 @@ def video_frame_features(
                     # image_features / audio_features.
                     rows.append(
                         (doc_id, -1, 0, None, None, None, len(data),
-                         False, "ValueError: empty stream")
+                         None, False, "ValueError: empty stream")
                     )
                     continue
                 for idx in range(0, nf, max(1, int(every_n))):
@@ -1150,18 +1230,20 @@ def video_frame_features(
                         d = decode_jpeg(data[off : off + ln])
                         rows.append(
                             (doc_id, idx, nf, d["width"], d["height"],
-                             d["mode"], ln, True, None)
+                             d["mode"], ln,
+                             int(d["pixels"].sum(dtype="int64")),
+                             True, None)
                         )
                     except Exception as e:
                         rows.append(
                             (doc_id, idx, nf, None, None, None, ln,
-                             False, f"{type(e).__name__}: {e}")
+                             None, False, f"{type(e).__name__}: {e}")
                         )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "frame_idx", "n_frames", "width", "height",
-                    "mode", "frame_bytes", "ok", "err",
+                    "mode", "frame_bytes", "px_sum", "ok", "err",
                 ],
             )
 

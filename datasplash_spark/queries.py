@@ -5707,14 +5707,62 @@ FROM c
 """
 
 
-# --------------------------------------------- former staging block
+# --------------------------------------------- staging block (r10+)
 # Written in round 8 when the window was full; round 9 promoted
 # ahash_pairs + html_extract, round 10 promoted the remaining six
 # (pdf_extract, image_neardup_clusters, image_progressive,
-# image_formats_all, video_frames, rebuild_paragraphs) — the staging
-# block is now EMPTY and, per the round-10 headroom policy (see the
-# gate-order comment below), the gated registry is capped at 156:
-# future promotions must retire or merge a gated row one-for-one.
+# image_formats_all, video_frames, rebuild_paragraphs). Per the
+# round-10 headroom policy (see the gate-order comment below) the
+# gated registry is capped at 156, so NEW capability queries live
+# here — oracle-paired and gate-sim-tested
+# (tests/test_extensions.py::test_staged_queries_match_oracle) but
+# not in _ALL; promoting one must retire or merge a gated row.
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF modality end-to-end (round 10, staged): per doc
+    a REAL GIF89a animation (``1 + len(text) % 5`` full-canvas 8×8
+    grayscale frames, per-frame local color tables, NETSCAPE loop
+    extension), then sampled decode (every 2nd frame) through the
+    disposal-compositing frame iterator routed via
+    ``video_frame_features``'s per-row container sniff. GIF is
+    lossless, so the oracle replays the frame-count rule, the
+    sampling arithmetic, AND the exact per-frame pixel sums — LZW,
+    palette expansion, compositing, and sampling all value-pinned
+    corpus-wide. Bytes never shuffle."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    gifs = mm.synthesize_gif_from_text(docs, max_frames=5)
+    return mm.video_frame_features(gifs, every_n=2).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        "px_sum", "ok",
+    )
+
+
+ORACLE_GIF_FRAMES = """
+WITH f AS (
+  SELECT doc_id, text, CAST(1 + length(text) % 5 AS INT) AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, text, nf, CAST(t.i AS INT) AS frame_idx
+  FROM f, (SELECT unnest(range(0, 5, 2)) AS i) t
+  WHERE t.i < nf
+), px AS (
+  SELECT fr.doc_id, fr.frame_idx, fr.nf,
+         ((CASE WHEN t.j < length(fr.text)
+                THEN unicode(substring(fr.text, CAST(t.j + 1 AS INT), 1))
+                ELSE 0 END + 1 + 7 * fr.frame_idx) * 2654435761) % 256 AS p
+  FROM fr, (SELECT unnest(range(64)) AS j) t
+)
+SELECT doc_id, frame_idx, any_value(nf) AS n_frames,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(SUM(3 * p) + 64 * 255 AS BIGINT) AS px_sum,
+       TRUE AS ok
+FROM px GROUP BY doc_id, frame_idx
+"""
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4579,6 +4579,108 @@ def test_gif_bmp_roundtrip_and_contracts():
     )
 
 
+def test_gif_animation_compositing():
+    """decode_gif_frames (round 10): full-frame animations roundtrip
+    losslessly frame by frame; sub-rectangle frames composite at
+    their offsets; per-frame transparency leaves the canvas
+    untouched; disposal 2 clears the frame rect, disposal 3 restores
+    the pre-frame canvas; every_n sampling keeps indices 0, n, 2n;
+    n_frames agrees with decode_gif; frames outside the logical
+    screen quarantine."""
+    import numpy as np
+
+    from datasplash_spark.functions import gifbmp as gb
+
+    # full-frame animation: each composite equals its frame exactly
+    fr = [
+        ((np.arange(64).reshape(8, 8) * 3 + 7 * f) % 256).astype(np.uint8)
+        for f in range(5)
+    ]
+    raw = gb.encode_gif_animation(fr)
+    outs = gb.decode_gif_frames(raw)
+    assert [o["frame_idx"] for o in outs] == [0, 1, 2, 3, 4]
+    assert outs[0]["n_frames"] == 5 == gb.decode_gif(raw)["n_frames"]
+    for f, o in zip(fr, outs):
+        assert (o["width"], o["height"]) == (8, 8)
+        assert np.array_equal(o["pixels"][:, :, 0], f)
+        assert (o["pixels"][:, :, 3] == 255).all()
+    assert [o["frame_idx"] for o in gb.decode_gif_frames(raw, 2)] == [0, 2, 4]
+
+    # offsets + transparency + disposal 2
+    base = np.full((6, 6, 3), 10, dtype=np.uint8)
+    patch = np.zeros((2, 2, 4), dtype=np.uint8)
+    patch[:, :, :3] = 200
+    patch[:, :, 3] = 255
+    patch[0, 0, 3] = 0  # one transparent pixel
+    raw2 = gb.encode_gif_animation(
+        [base, patch, patch],
+        offsets=[(0, 0), (2, 2), (4, 4)],
+        disposals=[1, 2, 1],
+    )
+    p1, p2 = (o["pixels"] for o in gb.decode_gif_frames(raw2)[1:])
+    assert p1[2, 2, 0] == 10  # transparent pixel shows the base
+    assert p1[3, 3, 0] == 200 and p1[2, 3, 0] == 200
+    assert p2[2, 2, 3] == 0 and p2[3, 3, 3] == 0  # disposal-2 clear
+    assert p2[0, 0, 0] == 10 and p2[5, 5, 0] == 200
+
+    # disposal 3: restore-to-previous
+    f0 = np.full((4, 4, 3), 50, dtype=np.uint8)
+    f1 = np.full((2, 2, 3), 99, dtype=np.uint8)
+    f2 = np.full((1, 1, 3), 77, dtype=np.uint8)
+    o3 = gb.decode_gif_frames(
+        gb.encode_gif_animation(
+            [f0, f1, f2], offsets=[(0, 0), (1, 1), (0, 0)],
+            disposals=[1, 3, 1],
+        )
+    )
+    assert o3[1]["pixels"][1, 1, 0] == 99
+    assert o3[2]["pixels"][1, 1, 0] == 50  # f1 undone by disposal 3
+    assert o3[2]["pixels"][0, 0, 0] == 77
+
+    # frame exceeding the logical screen: strict quarantine
+    hdr = gb.encode_gif_animation([f0])
+    # shrink the declared screen to 2x2 (bytes 6-9 little-endian)
+    bad = hdr[:6] + b"\x02\x00\x02\x00" + hdr[10:]
+    with pytest.raises(ValueError, match="logical screen"):
+        gb.decode_gif_frames(bad)
+
+
+def test_video_frame_features_routes_gif(spark):
+    """video_frame_features sniffs the container per row: a mixed
+    media column of MJPEG streams and animated GIFs decodes both
+    paths in one pass, GIF rows carrying exact (lossless) px_sum and
+    canvas dims, MJPEG rows their decoded-JPEG px_sum; poison rows
+    quarantine per stream."""
+    import numpy as np
+
+    from datasplash_spark.functions import gifbmp as gb
+    from datasplash_spark.functions import jpeg as J
+
+    img = (np.arange(64).reshape(8, 8) * 3).astype(np.uint8)
+    gif = gb.encode_gif_animation([img, (img + 5) % 256])
+    mj = J.encode_jpeg_baseline(img) + J.encode_jpeg_baseline(img)
+    rows = [
+        (1, bytearray(gif)),
+        (2, bytearray(mj)),
+        (3, bytearray(b"GIF89a\x02")),  # truncated gif
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, media binary")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in mm.video_frame_features(df, every_n=1).collect()
+    }
+    g0 = got[(1, 0)]
+    assert g0.n_frames == 2 and g0.mode == "RGBA" and g0.ok
+    want0 = int(img.astype(np.int64).sum()) * 3 + 64 * 255
+    assert g0.px_sum == want0
+    g1 = got[(1, 1)]
+    assert g1.px_sum == int(((img.astype(np.int64) + 5) % 256).sum()) * 3 + 64 * 255
+    m0 = got[(2, 0)]
+    assert m0.ok and m0.n_frames == 2 and m0.px_sum is not None
+    bad = got[(3, -1)]
+    assert not bad.ok and "gif" in bad.err
+
+
 def test_gif_bmp_through_image_features(spark):
     """The corpus path: GIF and BMP media rows decode through
     image_features next to PNG/JPEG, dims + ok per row; sniffing
@@ -5338,6 +5440,43 @@ def test_apply_paragraph_dedup_rebuild(spark):
 # rebuild_paragraphs) were promoted into the gated registry, where
 # tests/test_gate_all.py runs the identical driver-faithful DuckDB
 # compare at sf0.01 — keeping the sf0.001 copy would double-run them.
+
+
+def test_staged_queries_match_oracle(spark):
+    """The post-cap staging block (round-10 headroom policy: the
+    gated registry is frozen at 156, new capability queries stage
+    here): each staged query must already match its DuckDB oracle
+    value-for-value at sf0.001 with driver-faithful canonicalization,
+    so a future promotion is one registry swap, not new work."""
+    import duckdb
+
+    from datasplash_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    staged = {
+        "gif_frames": (Q.q_gif_frames, Q.ORACLE_GIF_FRAMES),
+    }
+    for name, (fn, osql) in staged.items():
+        got = fn(spark, sf).toPandas()
+        want = con.sql(osql).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        want = want[cols].sort_values(cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        assert len(got) == len(want) and len(got) > 0, (
+            name, len(got), len(want),
+        )
+        for col in cols:
+            assert got[col].dtype == want[col].dtype, (name, col)
+            assert list(got[col]) == list(want[col]), (name, col)
 
 
 def test_sniff_media_type(spark):

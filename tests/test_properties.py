@@ -359,3 +359,33 @@ def test_pdf_roundtrip_property(pages, layout, filt, compress):
     )
     d = P.extract_pdf_text(raw)
     assert d["pages"] == pages and d["n_pages"] == len(pages)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=2, max_value=16),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_animation_roundtrip_property(n_frames, h, w, rnd):
+    """Full-frame animated GIFs roundtrip losslessly through
+    encode_gif_animation → decode_gif_frames for ANY frame count,
+    dims, and pixel content (≤256 colors per frame by construction:
+    uint8 grayscale)."""
+    import numpy as np
+
+    from datasplash_spark.functions import gifbmp as gb
+
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    frames = [
+        rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    outs = gb.decode_gif_frames(gb.encode_gif_animation(frames))
+    assert len(outs) == n_frames
+    for f, o in zip(frames, outs):
+        assert o["n_frames"] == n_frames
+        assert np.array_equal(o["pixels"][:, :, 0], f)
+        assert np.array_equal(o["pixels"][:, :, 1], f)
+        assert (o["pixels"][:, :, 3] == 255).all()
