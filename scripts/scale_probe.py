@@ -359,20 +359,53 @@ def probe(spark, k: int) -> None:
                 )
             ),
         )[1],
+        # round-10: the ×100 END-TO-END composition (VERDICT r9 item
+        # 7) — quality → paragraph dedup → minhash dedup →
+        # decontaminate → temperature mix → pack in ONE plan, so
+        # cross-op interference (persist boundaries eating the
+        # single-signature guarantee) shows up here if anywhere. The
+        # token budget scales with k so the admitted fraction stays
+        # comparable; the eval set is every 10th doc.
+        "composition": lambda: (
+            lambda prep: prep.corpus_prep_full(
+                docs.filter(F.col("doc_id") % 10 != 0),
+                docs.filter(F.col("doc_id") % 10 == 0),
+                total_budget=8000 * k,
+                seq_len=2048,
+            )
+            .agg(
+                F.count(F.lit(1)),
+                F.sum("n_tok"),
+                F.max("pack_id"),
+            )
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.prep", fromlist=["prep"]
+            )
+        ),
     }
     only = os.environ.get("SCALE_PROBE_OPS")
     if only:
         want = {o.strip() for o in only.split(",")}
         ops = {n: f for n, f in ops.items() if n in want}
+    cpu_meter = _cpu_meter(spark)
     for name, fn in ops.items():
+        snap0 = cpu_meter() if cpu_meter else None
         t0 = time.time()
         try:
             rows = fn()
         except Exception as e:
             print(f"x{k} {name}: FAILED ({e})", flush=True)
             continue
+        cpu = ""
+        if snap0 is not None:
+            cur = cpu_meter()
+            dt = sum(v - snap0.get(kk, 0) for kk, v in cur.items()) / 1e9
+            cpu = f", cpu {dt:.1f}s"
         print(
-            f"x{k} {name}: {time.time() - t0:.2f}s ({rows} rows)", flush=True
+            f"x{k} {name}: {time.time() - t0:.2f}s ({rows} rows{cpu})",
+            flush=True,
         )
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
@@ -381,6 +414,30 @@ def probe(spark, k: int) -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+
+def _cpu_meter(spark):
+    """Executor-CPU snapshot fn via the status store (same approach
+    as bench.py's cpu column — cumulative per (stage, attempt), so
+    deltas are monotone); None if the py4j surface is unavailable."""
+    try:
+        gw = spark.sparkContext._gateway
+        store = spark._jsparkSession.sparkContext().statusStore()
+        empty = gw.jvm.java.util.ArrayList()
+        quant = gw.new_array(gw.jvm.double, 0)
+
+        def snapshot() -> dict:
+            out = {}
+            it = store.stageList(empty, False, False, quant, empty).iterator()
+            while it.hasNext():
+                sd = it.next()
+                out[(sd.stageId(), sd.attemptId())] = sd.executorCpuTime()
+            return out
+
+        snapshot()
+        return snapshot
+    except Exception:
+        return None
 
 
 def _objectmode_wordcount(spark, docs):

@@ -5442,6 +5442,86 @@ def test_apply_paragraph_dedup_rebuild(spark):
 # compare at sf0.01 — keeping the sf0.001 copy would double-run them.
 
 
+def test_corpus_prep_full_invariants(spark):
+    """corpus_prep_full composes five individually-oracled stages;
+    this pins the COMPOSITION invariants the per-stage oracles can't
+    see: (a) deterministic across runs, (b) every admitted doc
+    passed the quality filter and is its own cluster survivor,
+    (c) no admitted doc shares a 3-gram with the eval set,
+    (d) per-part token intervals are contiguous from zero (the
+    packing precondition), (e) per-part admitted tokens respect the
+    temperature budget."""
+    from datasplash_spark.functions import text as tx
+    from datasplash_spark.functions.prep import corpus_prep_full
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out1 = corpus_prep_full(train, ev, total_budget=4000, seq_len=128)
+    rows = sorted(out1.collect(), key=lambda r: (r.part, r.start_tok))
+    assert rows
+    again = sorted(
+        corpus_prep_full(train, ev, total_budget=4000, seq_len=128).collect(),
+        key=lambda r: (r.part, r.start_tok),
+    )
+    assert rows == again  # (a)
+    admitted = {r.doc_id for r in rows}
+    # (b) quality filter held
+    q = {
+        r.doc_id
+        for r in train.filter(
+            (tx.token_count("text") >= 5) & (tx.punct_ratio("text") < 0.2)
+        ).collect()
+    }
+    assert admitted <= q
+    # (c) decontamination held: the stage sees the paragraph-REBUILT
+    # text (its own rebuild is oracle-gated by rebuild_paragraphs),
+    # so replay the 3-gram overlap in pure Python over that text —
+    # exact tokenizer parity: lower().split(" "), texts shorter than
+    # k yielding their single full join (shingles' contract)
+    def grams(t: str, k: int = 3) -> set:
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + k])
+            for i in range(max(len(toks) - k + 1, 1))
+        }
+
+    ev_grams: set = set()
+    for r in ev.select("text").collect():
+        ev_grams |= grams(r.text)
+    quality_train = train.filter(
+        (tx.token_count("text") >= 5) & (tx.punct_ratio("text") < 0.2)
+    )
+    from datasplash_spark.functions import dedup as dd
+
+    reb = {
+        r.doc_id: r.text
+        for r in dd.apply_paragraph_dedup(
+            quality_train, dd.word_paragraphs("text", 10)
+        )
+        .filter(F.col("n_kept") > 0)
+        .collect()
+    }
+    for did in admitted:
+        assert not (grams(reb[did]) & ev_grams), did
+    # (d) contiguous intervals per part + (e) budget ceiling
+    budgets: dict[str, int] = {}
+    by_part: dict[str, list] = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    for part, rs in by_part.items():
+        cursor = 0
+        for r in rs:
+            assert r.start_tok == cursor, (part, r)
+            assert r.pack_id == r.start_tok // 128
+            assert r.pack_offset == r.start_tok % 128
+            cursor += r.n_tok
+        budgets[part] = cursor
+    # temperature budgets: sum of admitted tokens per part never
+    # exceeds floor(4000 * share); just sanity-bound the total
+    assert sum(budgets.values()) <= 4000
+
+
 def test_staged_queries_match_oracle(spark):
     """The post-cap staging block (round-10 headroom policy: the
     gated registry is frozen at 156, new capability queries stage

@@ -507,6 +507,40 @@ def test_cluster_report_single_clustering(spark):
             ), l
 
 
+def test_corpus_prep_full_single_rebuild(spark):
+    """corpus_prep_full (round 10, the ×100 composition): the
+    paragraph-REBUILT corpus feeds three consumers (LSH signatures,
+    survivor semi-join, decontamination grams) — the composed plan
+    must read it from ONE persisted relation, and neither the
+    paragraph keep/drop window nor the minhash signature arithmetic
+    may appear outside an InMemoryRelation. This is the cross-op
+    persist-boundary guarantee the per-op pins can't see."""
+    from pyspark.sql import functions as F
+
+    from datasplash_spark.functions.prep import corpus_prep_full
+    from datasplash_spark.pipeline import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = corpus_prep_full(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        total_budget=4000,
+        seq_len=128,
+    )
+    plan = plan_of(out, mode="simple")
+    lines = plan.splitlines()
+    scans = [l for l in lines if "InMemoryTableScan" in l]
+    assert len(scans) >= 3, plan  # three consumers of the rebuild
+    rel_depths = [_node_depth(l) for l in lines if "InMemoryRelation" in l]
+    assert rel_depths, plan
+    for l in lines:
+        # posexplode = paragraph/shingle explode; partial_min =
+        # hash-min signature aggregation; para_digest = the keep
+        # window's key — none may execute outside a cached relation
+        if "posexplode" in l or "partial_min(" in l or "para_digest" in l:
+            assert any(_node_depth(l) > d for d in rel_depths), l
+
+
 def test_ivf_store_probe_prunes_partitions(spark, tmp_path):
     """The IVF store probe must reach the scan as a PARTITION filter
     (cell IN probe) — only nprobe directories are read, the literal
