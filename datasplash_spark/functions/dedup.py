@@ -1418,15 +1418,29 @@ def explain_pair(
     ids, everything downstream is two rows wide.
 
     Reference anchor: no analog; curation-debug extension surface
-    (BASELINE.json north_star)."""
+    (BASELINE.json north_star). Signatures come from the SCALE-PATH
+    builders (``minhash_signatures`` / ``simhash_signatures``) joined
+    onto the two-row base — the pure-Column forms re-inline the
+    shingle/token subtree per permutation/bit, which cost ~20 s of
+    pure plan analysis per call (round-10 fix; the joins are 2-row
+    trivia at runtime)."""
+    pruned = df.filter(_col(id_col).isin([id_a, id_b]))
+    base = pruned.select(
+        _col(id_col).alias("doc_id"),
+        shingles(text, k).alias("_sh"),
+        _col(text).alias("_t"),
+    )
+    sigs = minhash_signatures(pruned, text, id_col, num_hashes, k, seed)
+    sims = simhash_signatures(pruned, text, id_col)
     rows = (
-        df.filter(_col(id_col).isin([id_a, id_b]))
+        base.join(sigs, "doc_id")
+        .join(sims, "doc_id")
         .select(
-            _col(id_col).alias("doc_id"),
-            shingles(text, k).alias("_sh"),
-            minhash_signature(text, num_hashes, k, seed).alias("_sig"),
-            simhash(text).alias("_sim"),
-            _col(text).alias("_t"),
+            "doc_id",
+            "_sh",
+            F.col("signature").alias("_sig"),
+            F.col("simhash").alias("_sim"),
+            "_t",
         )
     )
     a = rows.filter(F.col("doc_id") == id_a).alias("a")

@@ -99,6 +99,25 @@ def join_by(
     return acc
 
 
+def _union_all_balanced(dfs: list[DataFrame]) -> DataFrame:
+    """n-ary ``unionByName`` as a BALANCED binary tree. A left-deep
+    chain (``acc = acc.unionByName(t)`` in a loop) makes Catalyst
+    re-analyze the whole accumulated subtree on every append —
+    O(n²) driver time that dominates wide cogroups (the 101-way
+    reference-parity shape measured ~80 s of plan construction).
+    The balanced tree is O(n log n) and the physical plan (one
+    flattened Union node) is identical."""
+    while len(dfs) > 1:
+        paired = [
+            dfs[i].unionByName(dfs[i + 1])
+            if i + 1 < len(dfs)
+            else dfs[i]
+            for i in range(0, len(dfs), 2)
+        ]
+        dfs = paired
+    return dfs[0]
+
+
 def cogroup_by(
     specs: list[JoinSpec],
     key_name: str = "key",
@@ -151,9 +170,7 @@ def cogroup_by(
         if spec.drop_nil:
             keyed = keyed.filter(F.col(key_name).isNotNull())
         elif not join_nil:
-            nil_singletons[i] = keyed.filter(F.col(key_name).isNull()).select(
-                F.col(key_name), F.array(F.col("_elem")).alias("_elems")
-            )
+            nil_singletons[i] = keyed.filter(F.col(key_name).isNull())
             keyed = keyed.filter(F.col(key_name).isNotNull())
         if wide:
             prepped.append(
@@ -172,9 +189,7 @@ def cogroup_by(
             ]
             prepped.append(keyed.select(F.col(key_name), *slots))
 
-    unioned = prepped[0]
-    for t in prepped[1:]:
-        unioned = unioned.unionByName(t)
+    unioned = _union_all_balanced(prepped)
 
     if wide:
         raw = unioned.groupBy(key_name).agg(
@@ -205,22 +220,67 @@ def cogroup_by(
             acc = acc.filter(F.size(F.col(f"_{names[i]}")) > 0)
 
     # nil-keyed singleton groups (dropped if any OTHER side is required,
-    # because that side is necessarily empty in the singleton group)
-    for i, nil_df in nil_singletons.items():
-        if any(s.required for j, s in enumerate(specs) if j != i):
-            continue
-        row = nil_df.select(
-            F.col(key_name),
-            *[
-                (
-                    F.col("_elems")
-                    if j == i
-                    else F.array().cast(f"array<{elem_types[j].simpleString()}>")
-                ).alias(f"_{names[j]}")
-                for j in range(n)
-            ],
+    # because that side is necessarily empty in the singleton group).
+    # Round-10 driver-cost fix: the old shape built one n-column frame
+    # PER side (n² Column objects through py4j — ~50 s of the 101-way
+    # reference-parity cogroup's ~80 s plan construction) and appended
+    # each to the deep `acc` plan one at a time (O(n²) re-analysis).
+    # Wide path now: tag the nil rows into ONE 3-column balanced
+    # union and expand to the output schema with a single n-column
+    # select; narrow path (n ≤ 8): the per-side loop is fine, merged
+    # as a balanced union.
+    allowed = [
+        i
+        for i in nil_singletons
+        if not any(s.required for j, s in enumerate(specs) if j != i)
+    ]
+    if allowed and wide:
+        nil_tagged = _union_all_balanced(
+            [
+                nil_singletons[i].select(
+                    F.col(key_name),
+                    F.lit(i).alias("_side"),
+                    F.to_json("_elem").alias("_j"),
+                )
+                for i in allowed
+            ]
         )
-        acc = acc.unionByName(row)
+        acc = acc.unionByName(
+            nil_tagged.select(
+                F.col(key_name),
+                *[
+                    F.when(
+                        F.col("_side") == j,
+                        F.array(F.from_json(F.col("_j"), elem_types[j])),
+                    )
+                    .otherwise(
+                        F.array().cast(
+                            f"array<{elem_types[j].simpleString()}>"
+                        )
+                    )
+                    .alias(f"_{names[j]}")
+                    for j in range(n)
+                ],
+            )
+        )
+    elif allowed:
+        nil_rows = [
+            nil_singletons[i].select(
+                F.col(key_name),
+                *[
+                    (
+                        F.array(F.col("_elem"))
+                        if j == i
+                        else F.array().cast(
+                            f"array<{elem_types[j].simpleString()}>"
+                        )
+                    ).alias(f"_{names[j]}")
+                    for j in range(n)
+                ],
+            )
+            for i in allowed
+        ]
+        acc = acc.unionByName(_union_all_balanced(nil_rows))
     return acc
 
 

@@ -39,14 +39,14 @@ def test_every_oracle_paired_query_matches_duckdb(spark):
     from gate_sim import oracle_views, run_gate
 
     lines: list[str] = []
-    # workers=6 (round 10, VERDICT r9 item 6): Spark's local
+    # workers=8 (round 10, VERDICT r9 item 6): Spark's local
     # scheduler takes concurrent jobs from driver threads and DuckDB
     # hands out per-thread cursors, cutting the gate from ~20 min
     # serial to a few minutes; detection is order-independent, so
     # parallelism changes wall time, never the verdict.
     failures = run_gate(
         spark, oracle_views(GATE_SF_DIR), GATE_SF_DIR,
-        echo=lines.append, workers=6,
+        echo=lines.append, workers=8,
     )
     detail = "\n".join(
         l for l in lines if l.startswith(("FAIL", "ERR"))
