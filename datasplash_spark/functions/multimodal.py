@@ -132,12 +132,43 @@ def _unpack_subbyte(rows, width: int, depth: int):
     return (per * weights).sum(axis=2).astype(np.uint8)
 
 
+#: Adam7 pass geometry (PNG spec / libpng table):
+#: (row_start, col_start, row_step, col_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
+def _png_rows_to_values(rows, width: int, samples: int, depth: int):
+    """Packed unfiltered scanlines → (h, width, samples) uint8 raw
+    sample values: 16-bit takes the big-endian high byte (round-
+    toward-zero 16→8), sub-byte depths unpack to one value per pixel
+    (palette indexes / unscaled gray levels — the caller applies
+    palette or gray scaling)."""
+    h = rows.shape[0]
+    if depth == 16:
+        return rows[:, 0::2][:, : width * samples].reshape(
+            h, width, samples
+        )
+    if depth in (1, 2, 4):
+        return _unpack_subbyte(rows, width, depth)[:, :, None]
+    return rows[:, : width * samples].reshape(h, width, samples)
+
+
 def _decode_png(raw: bytes):
     """PNG decode: 8- and 16-bit gray/LA/RGB/RGBA, 1/2/4/8-bit
     palette (color type 3, PLTE + optional tRNS → RGBA), 1/2/4-bit
-    grayscale. 16-bit samples down-convert to their high byte —
-    pixels are always uint8 (H, W, C); the source precision is
-    reported in ``bit_depth``."""
+    grayscale, interlace 0 (sequential) AND 1 (Adam7 — each of the
+    seven passes unfilters independently and scatters onto the
+    canvas by its pass geometry; round 10). 16-bit samples
+    down-convert to their high byte — pixels are always uint8
+    (H, W, C); the source precision is reported in ``bit_depth``."""
     import struct
     import zlib
 
@@ -158,8 +189,10 @@ def _decode_png(raw: bytes):
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if interlace:
-                raise ValueError("png: interlaced images unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(
+                    f"png: unknown interlace method {interlace}"
+                )
             if color in _PNG_CHANNELS and depth not in (8, 16):
                 if not (color == 0 and depth in (1, 2, 4)):
                     raise ValueError(
@@ -185,22 +218,33 @@ def _decode_png(raw: bytes):
     if width is None or not idat:
         raise ValueError("png: missing IHDR/IDAT")
     samples = 1 if color == 3 else _PNG_CHANNELS[color]
-    stride = (width * samples * depth + 7) // 8
     bpp = max(1, (samples * depth) // 8)
-    rows = _png_unfilter(
-        np.frombuffer(zlib.decompress(idat), dtype=np.uint8).tobytes(),
-        height,
-        stride,
-        bpp,
-    )
+    data = zlib.decompress(idat)
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        vals = np.zeros((height, width, samples), dtype=np.uint8)
+        pos2 = 0
+        for rs, cs, rstep, cstep in _ADAM7:
+            pw = (width - cs + cstep - 1) // cstep
+            ph = (height - rs + rstep - 1) // rstep
+            if pw <= 0 or ph <= 0:  # empty pass emits no bytes
+                continue
+            stride_p = (pw * samples * depth + 7) // 8
+            seg = data[pos2 : pos2 + ph * (stride_p + 1)]
+            pos2 += ph * (stride_p + 1)
+            rows_p = _png_unfilter(seg, ph, stride_p, bpp)
+            vals[rs::rstep, cs::cstep] = _png_rows_to_values(
+                rows_p, pw, samples, depth
+            )
+        if pos2 != len(data):
+            raise ValueError("png: IDAT length mismatch (adam7)")
+    else:
+        stride = (width * samples * depth + 7) // 8
+        rows = _png_unfilter(data, height, stride, bpp)
+        vals = _png_rows_to_values(rows, width, samples, depth)
     if color == 3:
         if plte is None:
             raise ValueError("png: palette image without PLTE")
-        idx = (
-            rows.reshape(height, width)
-            if depth == 8
-            else _unpack_subbyte(rows, width, depth)
-        )
+        idx = vals[:, :, 0]
         if idx.max(initial=0) >= len(plte):
             raise ValueError("png: palette index out of range")
         rgb = plte[idx]
@@ -211,17 +255,12 @@ def _decode_png(raw: bytes):
             mode, ch = "RGBA", 4
         else:
             pixels, mode, ch = rgb, "RGB", 3
-    elif depth == 16:
-        # big-endian high byte == round-toward-zero 16→8 conversion
-        pixels = rows[:, 0::2].reshape(height, width, samples)
-        mode, ch = _PNG_MODE[color], samples
     elif depth in (1, 2, 4):  # grayscale sub-byte
-        vals = _unpack_subbyte(rows, width, depth)
         scale = 255 // ((1 << depth) - 1)  # 1→255, 2→85, 4→17: exact
-        pixels = (vals * np.uint8(scale))[..., None]
+        pixels = (vals[:, :, 0] * np.uint8(scale))[..., None]
         mode, ch = "L", 1
-    else:
-        pixels = rows.reshape(height, width, samples)
+    else:  # 8-bit direct, or 16-bit already high-byte converted
+        pixels = vals
         mode, ch = _PNG_MODE[color], samples
     return {
         "width": width,
@@ -283,7 +322,8 @@ def decode_image(raw: bytes) -> dict:
 
     Supports: PNG (8/16-bit gray/gray+alpha/RGB/RGBA, 1/2/4-bit
     grayscale, 1/2/4/8-bit palette with optional tRNS transparency,
-    non-interlaced — all five scanline filters), binary PNM (P5/P6,
+    sequential AND Adam7-interlaced — all five scanline filters,
+    round 10 for Adam7), binary PNM (P5/P6,
     8- and 16-bit), and — rounds 8/9 (VERDICT items) — baseline
     sequential AND progressive JPEG (grayscale + YCbCr, sampling
     factors 1–2 per axis so 4:4:4/4:2:2/4:2:0 all decode, restart
@@ -319,10 +359,12 @@ def decode_image(raw: bytes) -> dict:
     )
 
 
-def encode_png(pixels) -> bytes:
-    """Minimal PNG encoder (filter 0, 8-bit, non-interlaced) for
-    uint8 ``(H, W)`` or ``(H, W, C)`` arrays with C in {1, 2, 3, 4}
-    — the re-encode half of the resize stage."""
+def encode_png(pixels, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (filter 0, 8-bit) for uint8 ``(H, W)`` or
+    ``(H, W, C)`` arrays with C in {1, 2, 3, 4} — the re-encode half
+    of the resize stage. ``interlace=True`` writes Adam7 (the seven
+    passes in spec order, each scanline filter 0) — the fixture half
+    of the round-10 interlaced decode path."""
     import struct
     import zlib
 
@@ -342,8 +384,21 @@ def encode_png(pixels) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for rs, cs, rstep, cstep in _ADAM7:
+            sub = px[rs::rstep, cs::cstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

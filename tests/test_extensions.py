@@ -2226,6 +2226,102 @@ def test_decode_image_png_all_filters():
     )
 
 
+def test_png_adam7_interlace():
+    """Adam7 decode (round 10): the pass table matches the PNG
+    spec's canonical 8×8 pass diagram; interlaced and sequential
+    encodings of the same pixels decode identically across shapes
+    (incl. dims smaller than one pass block) and channel counts;
+    Paeth/Up filters survive per-pass unfiltering (hand-filtered
+    pass); truncated interlaced IDAT quarantines; unknown interlace
+    methods quarantine by name."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from datasplash_spark.functions.multimodal import _ADAM7
+
+    grid = np.zeros((8, 8), dtype=int)
+    for p, (rs, cs, rstep, cstep) in enumerate(_ADAM7, 1):
+        grid[rs::rstep, cs::cstep] = p
+    assert grid.tolist() == [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1), (3, 5), (8, 8), (13, 17), (7, 1), (1, 9)]:
+        for ch in (None, 3, 4):
+            img = rng.randint(
+                0, 256, shape + ((ch,) if ch else ())
+            ).astype(np.uint8)
+            il = mm.decode_image(mm.encode_png(img, interlace=True))
+            seq = mm.decode_image(mm.encode_png(img))
+            assert np.array_equal(il["pixels"], seq["pixels"]), (shape, ch)
+
+    # non-zero filters inside a pass: take the filter-0 interlaced
+    # stream and re-filter every scanline as Up (2) — decode must
+    # invert it back to the identical pixels
+    img = rng.randint(0, 256, (10, 10, 3)).astype(np.uint8)
+    raw = mm.encode_png(img, interlace=True)
+    i = raw.index(b"IDAT")
+    ln = struct.unpack(">I", raw[i - 4 : i])[0]
+    body = bytearray(zlib.decompress(raw[i + 4 : i + 4 + ln]))
+    pos = 0
+    for rs, cs, rstep, cstep in _ADAM7:
+        pw = (10 - cs + cstep - 1) // cstep
+        ph = (10 - rs + rstep - 1) // rstep
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * 3
+        prev = bytes(stride)
+        for _y in range(ph):
+            row = bytes(body[pos + 1 : pos + 1 + stride])
+            body[pos] = 2  # Up
+            body[pos + 1 : pos + 1 + stride] = bytes(
+                (row[j] - prev[j]) & 0xFF for j in range(stride)
+            )
+            prev = row
+            pos += 1 + stride
+    refiltered = zlib.compress(bytes(body))
+    raw2 = (
+        raw[: i - 4]
+        + struct.pack(">I", len(refiltered))
+        + b"IDAT"
+        + refiltered
+        + struct.pack(
+            ">I", zlib.crc32(b"IDAT" + refiltered) & 0xFFFFFFFF
+        )
+        + raw[i + 8 + ln :]
+    )
+    assert np.array_equal(mm.decode_image(raw2)["pixels"], img)
+
+    # truncated interlaced IDAT quarantines
+    short = zlib.compress(zlib.decompress(raw[i + 4 : i + 4 + ln])[:-5])
+    bad = (
+        raw[: i - 4]
+        + struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + raw[i + 8 + ln :]
+    )
+    with pytest.raises(ValueError, match="IDAT length"):
+        mm.decode_image(bad)
+    # unknown interlace method quarantines by name
+    hdr = bytearray(mm.encode_png(img))
+    j = hdr.index(b"IHDR") + 4 + 12
+    hdr[j] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        mm.decode_image(bytes(hdr))
+
+
 def test_decode_image_pnm_and_errors():
     import numpy as np
 

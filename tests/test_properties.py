@@ -389,3 +389,28 @@ def test_gif_animation_roundtrip_property(n_frames, h, w, rnd):
         assert np.array_equal(o["pixels"][:, :, 0], f)
         assert np.array_equal(o["pixels"][:, :, 1], f)
         assert (o["pixels"][:, :, 3] == 255).all()
+
+
+@given(
+    _dims,
+    st.sampled_from([1, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_parity_property(dims, ch, rnd):
+    """For ANY image, the Adam7-interlaced encoding decodes to
+    exactly the sequential encoding's pixels — the two IDAT layouts
+    carry the same samples, so any divergence is a pass-geometry or
+    per-pass unfilter bug."""
+    import numpy as np
+
+    from datasplash_spark.functions import multimodal as mm
+
+    h, w = dims
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    il = mm.decode_image(mm.encode_png(img, interlace=True))
+    seq = mm.decode_image(mm.encode_png(img))
+    assert np.array_equal(il["pixels"], seq["pixels"])
+    assert (il["width"], il["height"]) == (w, h)
