@@ -617,6 +617,74 @@ def resize_images(
     )
 
 
+def _ulaw_table():
+    """ITU-T G.711 µ-law byte → int16 expansion table (the CCITT
+    reference ``ulaw2linear`` formula, vectorized)."""
+    import numpy as np
+
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _alaw_table():
+    """ITU-T G.711 A-law byte → int16 expansion table (the CCITT
+    reference ``alaw2linear`` formula, vectorized)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0, t + 8,
+        np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "ulaw") -> bytes:
+    """G.711 WAV encoder (format 7 µ-law / 6 A-law) for int16
+    ``(frames,)`` or ``(frames, channels)`` arrays — the fixture
+    half of the round-10 telephony-audio decode path. Compression
+    picks, per sample, the law byte whose expansion is NEAREST the
+    input (exact inverse of the decode table — so expand(compress(x))
+    is the canonical G.711 quantization of x)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    frames, ch = arr.shape
+    table = _ulaw_table() if law == "ulaw" else _alaw_table()
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int64)
+    idx = np.searchsorted(sorted_vals, arr.astype(np.int64).reshape(-1))
+    idx = np.clip(idx, 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    take_lo = np.abs(sorted_vals[lo] - arr.reshape(-1)) <= np.abs(
+        sorted_vals[idx] - arr.reshape(-1)
+    )
+    best = np.where(take_lo, lo, idx)
+    payload = order[best].astype(np.uint8).tobytes()
+    fmt_code = 7 if law == "ulaw" else 6
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(payload))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_code, ch, sample_rate,
+            sample_rate * ch, ch, 8,
+        )
+        + b"data"
+        + struct.pack("<I", len(payload))
+    )
+    return hdr + payload
+
+
 def decode_wav(raw: bytes) -> dict:
     """Zero-dependency WAV decode (round 7 — the audio analog of the
     round-6 PNG unstub: RIFF/WAVE needs only ``struct`` + numpy):
@@ -668,10 +736,21 @@ def decode_wav(raw: bytes) -> dict:
             "<f4" if bits == 32 else "<f8",
         )
         arr = np.round(np.clip(fl, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711 A-law (6) / µ-law (7) — round 10: the telephony/
+        # call-center corpus formats; pure 256-entry table expansion
+        table = _alaw_table() if audio_format == 6 else _ulaw_table()
+        arr = table[
+            np.frombuffer(
+                data[: len(data) - (len(data) % n_channels)], np.uint8
+            )
+        ]
     elif audio_format == 1:
         raise ValueError(f"wav: PCM bit depth {bits} unsupported")
     elif audio_format == 3:
         raise ValueError(f"wav: float bit depth {bits} unsupported")
+    elif audio_format in (6, 7):
+        raise ValueError(f"wav: G.711 bit depth {bits} unsupported")
     else:
         raise ValueError(
             f"wav: compressed format {audio_format} unsupported"
@@ -815,6 +894,8 @@ def synthesize_image_from_text(
     j-th code point (0 past the end). ``fmt`` is a per-row column
     (or constant string): ``'png'`` → RGB PNG (lossless),
     ``'pngL'`` → grayscale PNG (lossless, c = 0 only),
+    ``'pngI'`` → RGB PNG with Adam7 interlace (lossless — same
+    pixels as ``'png'`` through the interlaced layout, round 10),
     ``'jpeg'`` → grayscale baseline 4:4:4, ``'jpeg420'`` →
     grayscale with restart markers (the 4:2:0 layout is a chroma
     concept; for grayscale the variant exercises DRI instead),
@@ -849,14 +930,14 @@ def synthesize_image_from_text(
                     cps[:m] = np.frombuffer(
                         t[:m].encode("utf-32-le"), dtype=np.uint32
                     ).astype(np.int64)
-                if f in ("png", "pngL"):
-                    nch = 3 if f == "png" else 1
+                if f in ("png", "pngL", "pngI"):
+                    nch = 3 if f in ("png", "pngI") else 1
                     chans = [
                         (((cps + 1 + c) * 2654435761) % 256).astype(np.uint8)
                         for c in range(nch)
                     ]
                     px = np.stack(chans, axis=1).reshape(h, w, nch)
-                    medias.append(encode_png(px))
+                    medias.append(encode_png(px, interlace=f == "pngI"))
                 else:
                     gray = (((cps + 1) * 2654435761) % 256).astype(
                         np.uint8

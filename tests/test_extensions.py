@@ -4101,6 +4101,51 @@ def test_wav_float_decode():
     assert list(d64["samples"][:, 0]) == [16384, -8192]
 
 
+def test_wav_g711_decode():
+    """G.711 µ-law/A-law WAV decode (round 10 — the telephony
+    formats): expansion tables match the CCITT reference anchors and
+    sign symmetry; compress→expand quantization error is bounded by
+    half the top-segment step; re-encoding a decoded signal is exact
+    (the tables are true inverses); stereo interleave preserved;
+    non-8-bit G.711 quarantines by name; the features path carries
+    format 6/7 rows next to PCM."""
+    import numpy as np
+
+    from datasplash_spark.functions.multimodal import (
+        _alaw_table,
+        _ulaw_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    ut, at = _ulaw_table(), _alaw_table()
+    assert ut[0x00] == -32124 and ut[0x80] == 32124
+    assert ut[0xFF] == 0 and ut[0x7F] == 0
+    assert at[0xD5] == 8 and at[0x55] == -8
+    assert (at.max(), at.min()) == (32256, -32256)
+    assert np.array_equal(ut[:128], -ut[128:])
+    assert np.array_equal(at[128:], -at[:128])
+
+    sig = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    for law, code in (("ulaw", 7), ("alaw", 6)):
+        d = decode_wav(encode_wav_g711(sig, law=law))
+        assert d["audio_format"] == code and d["bit_depth"] == 8
+        err = np.abs(d["samples"][:, 0].astype(np.int64) - sig)
+        assert err.max() <= 1024, (law, err.max())
+        d2 = decode_wav(encode_wav_g711(d["samples"][:, 0], law=law))
+        assert np.array_equal(d2["samples"], d["samples"])
+    # stereo: channel interleave preserved
+    st = np.stack([sig[:100], -sig[:100]], axis=1).astype(np.int16)
+    d = decode_wav(encode_wav_g711(st, law="ulaw"))
+    assert d["n_channels"] == 2 and d["n_samples"] == 100
+    assert np.array_equal(d["samples"][:, 0], -d["samples"][:, 1])
+    # malformed: G.711 must be 8-bit
+    bad = bytearray(encode_wav_g711(sig))
+    bad[34] = 16  # bits field inside fmt chunk
+    with pytest.raises(ValueError, match="G.711"):
+        decode_wav(bytes(bad))
+
+
 def test_audio_features_mixed_pcm_float_corpus(spark):
     """audio_features over a MIXED corpus — PCM-16, float32, and a
     poison row in one frame — extracts per-codec features without
