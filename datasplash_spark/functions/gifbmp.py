@@ -506,6 +506,109 @@ def encode_gif(pixels, interlace: bool = False) -> bytes:
 # ---------------------------------------------------------------------
 
 
+def _bmp_rle8(data: bytes, w: int, h: int, stride: int):
+    """BI_RLE8 decompression (round 10): encoded runs
+    ``(count, index)``, escapes ``00 00`` end-of-line, ``00 01``
+    end-of-bitmap, ``00 02 dx dy`` delta (skipped pixels stay 0,
+    the spec's undefined-pixel convention), ``00 n≥3`` absolute mode
+    (word-aligned). Returns uint8 ``(h, stride)`` in FILE order
+    (bottom-up; the caller flips)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if y >= h or x + c > w:
+                raise ValueError("bmp: RLE8 run outside bitmap")
+            out[y, x : x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("bmp: truncated RLE8 delta")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("bmp: RLE8 delta outside bitmap")
+        else:  # absolute mode: v literal indexes, word-aligned
+            if y >= h or x + v > w or i + v > n:
+                raise ValueError("bmp: RLE8 absolute run outside bitmap")
+            out[y, x : x + v] = np.frombuffer(
+                data[i : i + v], dtype=np.uint8
+            )
+            x += v
+            i += v + (v & 1)
+    raise ValueError("bmp: RLE8 stream missing end-of-bitmap")
+
+
+def encode_bmp_rle8(pixels) -> bytes:
+    """8-bit grayscale-palette BMP with BI_RLE8 compression (fixture
+    half): encodes each row as maximal runs with absolute-mode
+    spans for non-repeating stretches, EOL after each row, EOD at
+    the end. Input: uint8 ``(H, W)``."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("bmp rle8 encode: expected (H, W) grayscale")
+    h, w = px.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3 or (x + run >= w and run >= 1):
+                body += bytes([run, row[x]])
+                x += run
+            else:
+                # absolute span until the next run of >= 3
+                start = x
+                while x < w and x - start < 255:
+                    r2 = 1
+                    while (
+                        x + r2 < w and row[x + r2] == row[x] and r2 < 3
+                    ):
+                        r2 += 1
+                    if r2 >= 3:
+                        break
+                    x += r2
+                span = x - start
+                if span >= 3:
+                    body += bytes([0, span]) + row[start:x].tobytes()
+                    if span & 1:
+                        body += b"\x00"
+                else:  # too short for absolute mode: tiny runs
+                    for j in range(start, x):
+                        body += bytes([1, row[j]])
+        body += b"\x00\x00"  # EOL
+    body += b"\x00\x01"  # EOD
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes([i, i, i, 0])
+    data_off = 14 + 40 + 1024
+    size = data_off + len(body)
+    out = bytearray(b"BM")
+    out += struct.pack("<IHHI", size, 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, 256, 0,
+    )
+    out += bytes(pal)
+    out += bytes(body)
+    return bytes(out)
+
+
 def decode_bmp(raw: bytes) -> dict:
     """Decode an uncompressed (BI_RGB) Windows BMP —
     BITMAPINFOHEADER or its V4/V5 supersets — at 8 (palette), 24
@@ -523,7 +626,9 @@ def decode_bmp(raw: bytes) -> dict:
     w, h_raw = struct.unpack("<ii", raw[18:26])
     planes, bpp = struct.unpack("<HH", raw[26:30])
     compression = struct.unpack("<I", raw[30:34])[0]
-    if compression != 0:
+    if compression == 1 and bpp != 8:
+        raise ValueError("bmp: BI_RLE8 requires 8-bit pixels")
+    if compression not in (0, 1):
         raise ValueError(f"bmp: compression {compression} unsupported")
     if bpp not in (8, 24, 32):
         raise ValueError(f"bmp: {bpp}-bit unsupported")
@@ -531,15 +636,22 @@ def decode_bmp(raw: bytes) -> dict:
         raise ValueError("bmp: invalid dimensions")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
-    stride = (w * bpp // 8 + 3) & ~3
-    end = data_off + stride * h
-    if end > len(raw):
-        raise ValueError("bmp: truncated pixel data")
-    rows = np.frombuffer(raw[data_off:end], dtype=np.uint8).reshape(
-        h, stride
-    )
-    if not top_down:
+    if compression == 1:
+        if top_down:  # RLE bitmaps are bottom-up per spec
+            raise ValueError("bmp: top-down RLE8 is invalid")
+        stride = (w + 3) & ~3
+        rows = _bmp_rle8(raw[data_off:], w, h, stride)
         rows = rows[::-1]
+    else:
+        stride = (w * bpp // 8 + 3) & ~3
+        end = data_off + stride * h
+        if end > len(raw):
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(raw[data_off:end], dtype=np.uint8).reshape(
+            h, stride
+        )
+        if not top_down:
+            rows = rows[::-1]
     if bpp == 8:
         n_colors = struct.unpack("<I", raw[46:50])[0] or 256
         pal_off = 14 + dib

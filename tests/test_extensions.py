@@ -4703,10 +4703,26 @@ def test_gif_bmp_roundtrip_and_contracts():
     bmp = gb.encode_bmp(rng.randint(0, 256, (10, 10, 3)).astype(np.uint8))
     with pytest.raises(ValueError, match="truncated pixel data"):
         gb.decode_bmp(bmp[:-20])
-    rle = bytearray(bmp)
-    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    rle4 = bytearray(bmp)
+    rle4[30:34] = struct.pack("<I", 2)  # BI_RLE4: still unsupported
     with pytest.raises(ValueError, match="compression"):
-        gb.decode_bmp(bytes(rle))
+        gb.decode_bmp(bytes(rle4))
+    rle8on24 = bytearray(bmp)
+    rle8on24[30:34] = struct.pack("<I", 1)  # RLE8 on a 24-bit image
+    with pytest.raises(ValueError, match="8-bit"):
+        gb.decode_bmp(bytes(rle8on24))
+    # BI_RLE8 proper (round 10): lossless roundtrip across run-heavy,
+    # absolute-heavy, and mixed rows; truncation quarantines
+    for img8 in (
+        np.repeat(rng.randint(0, 4, (6, 3)), 4, axis=1).astype(np.uint8) * 60,
+        (np.arange(35).reshape(5, 7) % 256).astype(np.uint8),
+        rng.randint(0, 256, (16, 13)).astype(np.uint8),
+    ):
+        d8 = gb.decode_bmp(gb.encode_bmp_rle8(img8))
+        assert d8["mode"] == "L"
+        assert np.array_equal(d8["pixels"][:, :, 0], img8)
+    with pytest.raises(ValueError, match="RLE8|truncated"):
+        gb.decode_bmp(gb.encode_bmp_rle8(img8)[:-30])
     # decode_image dispatch + cross-format parity vs PNG
     img = rng.randint(0, 256, (12, 20, 3)).astype(np.uint8)
     via_bmp = mm.decode_image(gb.encode_bmp(img))
