@@ -352,10 +352,14 @@ def decode_image(raw: bytes) -> dict:
         from .gifbmp import decode_bmp
 
         return decode_bmp(raw)
+    if raw[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(raw)
     raise ValueError(
         f"decode_image: unrecognized format (magic {raw[:4]!r}); "
-        "PNG, binary PNM, JPEG (baseline+progressive), GIF, and BMP "
-        "are supported without codec libraries"
+        "PNG, binary PNM, JPEG (baseline+progressive), GIF, BMP, and "
+        "TIFF are supported without codec libraries"
     )
 
 
@@ -950,6 +954,12 @@ def synthesize_image_from_text(
                         medias.append(encode_gif(gray))
                     elif f == "bmp":
                         medias.append(encode_bmp(gray))
+                    elif f == "tiff":
+                        from .tiff import encode_tiff
+
+                        medias.append(
+                            encode_tiff(gray, compression="lzw")
+                        )
                     else:
                         medias.append(
                             encode_jpeg_baseline(
@@ -1394,7 +1404,8 @@ def sniff_media_type(media: ColumnLike) -> Column:
     codec (or quarantine) without a Python round-trip, so a mixed
     media column fans out to per-format pipelines with zero overhead
     on the non-matching rows. Detects ``png``/``jpeg``/``pnm``/
-    ``wav``/``gif``/``bmp``/``webp`` (+ ``empty``/``unknown``);
+    ``wav``/``gif``/``bmp``/``tiff``/``webp`` (+ ``empty``/
+    ``unknown``);
     ``jpeg`` covers MJPEG streams too (same SOI magic — use
     :func:`video_frame_features` when frame counts say video).
 
@@ -1417,6 +1428,9 @@ def sniff_media_type(media: ColumnLike) -> Column:
         )
         .when(hex3 == F.lit("474946"), F.lit("gif"))
         .when(hex2 == F.lit("424D"), F.lit("bmp"))
+        .when(
+            hex4.isin("49492A00", "4D4D002A"), F.lit("tiff")
+        )
         .when(
             (hex4 == F.lit("52494646")) & (riff == F.lit("57454250")),
             F.lit("webp"),

@@ -6028,8 +6028,9 @@ def q_image_formats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gated r10 — extends the r8-gated ``image_formats`` pair to the
     full decoder surface): per doc_id % 8 the synthesizer emits RGB
     PNG, grayscale PNG, baseline JPEG, restart-marker JPEG,
-    PROGRESSIVE JPEG, GIF, BMP, or Adam7-INTERLACED RGB PNG (round
-    10), all with text-derived dimensions; dims/channels/mode then
+    PROGRESSIVE JPEG, GIF, BMP, Adam7-INTERLACED RGB PNG, or
+    LZW-compressed TIFF (round 10), all with text-derived
+    dimensions; dims/channels/mode then
     come back through the REAL decoders. The oracle replays the
     routing and dimension rules — a mislabeled, mis-dimensioned, or
     undecodable container anywhere in the corpus fails the hash."""
@@ -6038,7 +6039,7 @@ def q_image_formats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 9
     fmt = (
         F.when(m == 0, F.lit("png"))
         .when(m == 1, F.lit("pngL"))
@@ -6047,7 +6048,8 @@ def q_image_formats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.lit("jpegP"))
         .when(m == 5, F.lit("gif"))
         .when(m == 6, F.lit("bmp"))
-        .otherwise(F.lit("pngI"))
+        .when(m == 7, F.lit("pngI"))
+        .otherwise(F.lit("tiff"))
     )
     media = mm.synthesize_image_from_text(docs, fmt=fmt)
     feats = mm.image_features(media, passthrough=["fmt"])
@@ -6058,15 +6060,16 @@ def q_image_formats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_IMAGE_FORMATS_ALL = """
 SELECT doc_id,
-       CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'pngL'
+       CASE doc_id % 9 WHEN 0 THEN 'png' WHEN 1 THEN 'pngL'
             WHEN 2 THEN 'jpeg' WHEN 3 THEN 'jpeg420'
             WHEN 4 THEN 'jpegP' WHEN 5 THEN 'gif'
-            WHEN 6 THEN 'bmp' ELSE 'pngI' END AS fmt,
+            WHEN 6 THEN 'bmp' WHEN 7 THEN 'pngI'
+            ELSE 'tiff' END AS fmt,
        CAST(8 + length(text) % 9 AS INT) AS width,
        CAST(8 + length(text) % 7 AS INT) AS height,
-       CAST(CASE WHEN doc_id % 8 IN (0, 5, 7) THEN 3 ELSE 1 END AS INT)
+       CAST(CASE WHEN doc_id % 9 IN (0, 5, 7) THEN 3 ELSE 1 END AS INT)
            AS channels,
-       CASE WHEN doc_id % 8 IN (0, 5, 7) THEN 'RGB' ELSE 'L' END AS mode,
+       CASE WHEN doc_id % 9 IN (0, 5, 7) THEN 'RGB' ELSE 'L' END AS mode,
        TRUE AS ok
 FROM documents
 """

@@ -4736,6 +4736,81 @@ def test_gif_bmp_roundtrip_and_contracts():
     )
 
 
+def test_tiff_codec_and_corpus_path(spark):
+    """TIFF baseline codec (round 10 — completes the still-image
+    container family): lossless roundtrips across gray/RGB/RGBA,
+    both byte orders, single/multi strip, compressions
+    none/LZW/PackBits, and the horizontal-differencing predictor;
+    WhiteIsZero inverts; multi-page chains report n_pages; unsupported
+    features quarantine by name; sniff routes 'tiff' and the corpus
+    synthesizer + image_features carry it end-to-end."""
+    import struct
+
+    import numpy as np
+
+    from datasplash_spark.functions import tiff as T
+
+    rng = np.random.RandomState(5)
+    for shape, ch in [((6, 9), None), ((13, 7), 3), ((8, 8), 4)]:
+        img = rng.randint(
+            0, 256, shape + ((ch,) if ch else ())
+        ).astype(np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            for be in (False, True):
+                raw = T.encode_tiff(
+                    img, compression=comp, big_endian=be, rows_per_strip=4
+                )
+                d = mm.decode_image(raw)
+                exp = img if ch else img[:, :, None]
+                assert np.array_equal(d["pixels"], exp), (shape, comp, be)
+    # predictor-2 LZW (the scanned-document default)
+    img = rng.randint(0, 256, (10, 12, 3)).astype(np.uint8)
+    d = mm.decode_image(T.encode_tiff(img, compression="lzw", predictor=True))
+    assert np.array_equal(d["pixels"], img)
+    # WhiteIsZero: photometric 0 inverts
+    g = rng.randint(0, 256, (4, 4)).astype(np.uint8)
+    raw = bytearray(T.encode_tiff(g))
+    i = raw.index(struct.pack("<HHI", 262, 3, 1))
+    raw[i + 8] = 0
+    assert np.array_equal(
+        T.decode_tiff(bytes(raw))["pixels"][:, :, 0], 255 - g
+    )
+    # multi-page: the scanned-document shape — first page decodes,
+    # n_pages reports the chain length
+    one = T.encode_tiff(g)
+    assert T.decode_tiff(one)["n_pages"] == 1
+    g2 = rng.randint(0, 256, (6, 5)).astype(np.uint8)
+    multi = T.encode_tiff_multipage([g, g2, g], compression="packbits")
+    d = T.decode_tiff(multi)
+    assert d["n_pages"] == 3
+    assert np.array_equal(d["pixels"][:, :, 0], g)  # first page
+    # quarantine contracts
+    with pytest.raises(ValueError, match="magic"):
+        T.decode_tiff(b"II\x2b\x00" + b"\x00" * 8)  # BigTIFF
+    with pytest.raises(ValueError, match="truncated"):
+        T.decode_tiff(one[:40])
+    bad = bytearray(one)
+    j = bad.index(struct.pack("<HHI", 259, 3, 1))
+    bad[j + 8] = 6  # JPEG-in-TIFF
+    with pytest.raises(ValueError, match="compression 6"):
+        T.decode_tiff(bytes(bad))
+    # sniff + features corpus path
+    rows = [
+        (1, bytearray(T.encode_tiff(g, compression="lzw"))),
+        (2, bytearray(T.encode_tiff(g, big_endian=True))),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, media binary")
+    assert {
+        r.t for r in df.select(
+            mm.sniff_media_type("media").alias("t")
+        ).collect()
+    } == {"tiff"}
+    feats = {r.doc_id: r for r in mm.image_features(df).collect()}
+    for did in (1, 2):
+        assert feats[did].ok and (feats[did].width, feats[did].height) == (4, 4)
+        assert feats[did].mode == "L"
+
+
 def test_gif_animation_compositing():
     """decode_gif_frames (round 10): full-frame animations roundtrip
     losslessly frame by frame; sub-rectangle frames composite at

@@ -414,3 +414,33 @@ def test_png_adam7_parity_property(dims, ch, rnd):
     seq = mm.decode_image(mm.encode_png(img))
     assert np.array_equal(il["pixels"], seq["pixels"])
     assert (il["width"], il["height"]) == (w, h)
+
+
+@given(
+    _dims,
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from(["none", "lzw", "packbits"]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(dims, ch, comp, be, rnd):
+    """TIFF writer → reader is lossless for ANY 8-bit image across
+    channels, compressions, and byte orders (predictor exercised on
+    the LZW path)."""
+    import numpy as np
+
+    from datasplash_spark.functions import tiff as T
+
+    h, w = dims
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    raw = T.encode_tiff(
+        img, compression=comp, predictor=comp == "lzw", big_endian=be,
+        rows_per_strip=max(1, h // 2),
+    )
+    d = T.decode_tiff(raw)
+    exp = img if ch != 1 else img[:, :, None]
+    assert np.array_equal(d["pixels"], exp)
+    assert (d["width"], d["height"]) == (w, h)
