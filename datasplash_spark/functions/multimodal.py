@@ -844,30 +844,44 @@ def synthesize_wav_from_text(
     id_col: ColumnLike = "doc_id",
     sample_rate: int = 16000,
     max_samples: int = 2048,
+    container: str = "wav",
 ) -> DataFrame:
     """Deterministic synthetic audio corpus: per doc, a REAL mono
-    PCM-16 WAV whose samples derive from the text's code points
+    clip whose samples derive from the text's code points
     (``((cp · 2654435761) mod 65536) − 32768`` — exact BIGINT math,
-    reproducible in SQL), truncated at ``max_samples``. This is the
+    reproducible in SQL), truncated at ``max_samples``.
+    ``container``: "wav" (PCM-16 RIFF), "flac" (round 10 — the
+    lossless codec, same exact samples), or "mixed" (doc_id % 2
+    alternates, so ONE oracle gates both decode paths — the signal
+    stats are container-invariant by losslessness). This is the
     audio analog of the multimodal text-bytes fixture: it gives the
     decode/feature plumbing a value-level oracle without shipping
     binary fixtures."""
     import numpy as np
     import pandas as pd
 
+    from .flac import encode_flac
+
     name_id = id_col if isinstance(id_col, str) else "doc_id"
 
     def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for b in batches:
             wavs = []
-            for t in b["_t"]:
+            for did, t in zip(b[name_id], b["_t"]):
                 t = (t or "")[: int(max_samples)]
                 codes = (
                     np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
                     .astype(np.int64)
                 )
                 v = ((codes * 2654435761) % 65536 - 32768).astype(np.int16)
-                wavs.append(encode_wav(v, sample_rate))
+                use_flac = container == "flac" or (
+                    container == "mixed" and did % 2 == 1
+                )
+                wavs.append(
+                    encode_flac(v.astype(np.int64), sample_rate)
+                    if use_flac
+                    else encode_wav(v, sample_rate)
+                )
             yield pd.DataFrame(
                 {name_id: b[name_id].to_numpy(), "media": wavs}
             )
@@ -1052,14 +1066,18 @@ def audio_features(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:
     """REAL decoded audio features via ``mapInPandas``: per clip,
-    :func:`decode_wav` header fields plus first-channel signal stats
-    — peak amplitude, exact int64 energy (Σ v²), and strict
-    zero-crossing count. Poison rows (truncated/unknown codec) yield
-    ``ok=false`` + the error instead of failing the stage, the same
-    quarantine contract as :func:`image_features`. Bytes never
-    shuffle; only the typed feature row crosses back."""
+    :func:`decode_wav` (RIFF/WAVE: PCM, IEEE float, G.711) or —
+    round 10, routed by the ``fLaC`` magic per row —
+    :func:`..flac.decode_flac` header fields plus first-channel
+    signal stats — peak amplitude, exact int64 energy (Σ v²), and
+    strict zero-crossing count. Poison rows (truncated/unknown
+    codec) yield ``ok=false`` + the error instead of failing the
+    stage, the same quarantine contract as :func:`image_features`.
+    Bytes never shuffle; only the typed feature row crosses back."""
     import numpy as np
     import pandas as pd
+
+    from .flac import decode_flac
 
     def extract(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for b in batches:
@@ -1067,7 +1085,11 @@ def audio_features(
             for doc_id, raw in zip(b[id_col], b[media_col]):
                 data = bytes(raw) if raw is not None else b""
                 try:
-                    d = decode_wav(data)
+                    d = (
+                        decode_flac(data)
+                        if data[:4] == b"fLaC"
+                        else decode_wav(data)
+                    )
                     v = d["samples"][:, 0].astype(np.int64)
                     peak = int(np.abs(v).max()) if len(v) else 0
                     sum_sq = int((v * v).sum())
@@ -1404,8 +1426,8 @@ def sniff_media_type(media: ColumnLike) -> Column:
     codec (or quarantine) without a Python round-trip, so a mixed
     media column fans out to per-format pipelines with zero overhead
     on the non-matching rows. Detects ``png``/``jpeg``/``pnm``/
-    ``wav``/``gif``/``bmp``/``tiff``/``webp`` (+ ``empty``/
-    ``unknown``);
+    ``wav``/``flac``/``gif``/``bmp``/``tiff``/``webp`` (+
+    ``empty``/``unknown``);
     ``jpeg`` covers MJPEG streams too (same SOI magic — use
     :func:`video_frame_features` when frame counts say video).
 
@@ -1431,6 +1453,7 @@ def sniff_media_type(media: ColumnLike) -> Column:
         .when(
             hex4.isin("49492A00", "4D4D002A"), F.lit("tiff")
         )
+        .when(hex4 == F.lit("664C6143"), F.lit("flac"))
         .when(
             (hex4 == F.lit("52494646")) & (riff == F.lit("57454250")),
             F.lit("webp"),

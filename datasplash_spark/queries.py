@@ -5437,16 +5437,21 @@ FROM staged
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality end-to-end with a VALUE-level oracle: per doc,
-    a real mono PCM-16 WAV synthesized deterministically from the
-    text's code points (encode kernel) → RIFF/WAVE decode + signal
-    stats (decode kernel) — peak, exact int64 energy, strict
-    zero-crossings. The oracle replays the sample formula from the
-    text in SQL; the WAV byte round-trip happens only on the Spark
-    side, so a header/codec bug breaks the hash."""
+    a real mono clip synthesized deterministically from the text's
+    code points (encode kernel) → container decode + signal stats
+    (decode kernel) — peak, exact int64 energy, strict
+    zero-crossings. Round 10: the corpus alternates PCM-16 WAV and
+    FLAC on doc_id % 2 — both are lossless, so ONE oracle replaying
+    the sample formula in SQL gates the RIFF parser AND the whole
+    FLAC stack (rice residuals, fixed predictors, CRCs); the byte
+    round-trips happen only on the Spark side, so a header/codec
+    bug in either container breaks the hash."""
     from .functions import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
-    wavs = mm.synthesize_wav_from_text(docs, max_samples=2048)
+    wavs = mm.synthesize_wav_from_text(
+        docs, max_samples=2048, container="mixed"
+    )
     return mm.audio_features(wavs).select(
         "doc_id",
         "sample_rate",

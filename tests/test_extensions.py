@@ -4101,6 +4101,95 @@ def test_wav_float_decode():
     assert list(d64["samples"][:, 0]) == [16384, -8192]
 
 
+def test_flac_codec(spark):
+    """FLAC codec (round 10 — the speech-corpus container):
+    lossless roundtrips across block sizes / frame counts / bit
+    depths / all four stereo decorrelation modes / constant-verbatim
+    -fixed subframes; CRC-8 and CRC-16 match the published check
+    values and tampering quarantines at both levels; sniff routes
+    'flac'; audio_features produces IDENTICAL stats for the same
+    signal in WAV and FLAC containers (the container-invariance the
+    gated mixed-corpus oracle relies on)."""
+    import numpy as np
+
+    from datasplash_spark.functions import flac as FL
+    from datasplash_spark.functions.flac import _crc8, _crc16
+
+    # published check values: CRC-8 poly 0x07 and CRC-16/BUYPASS
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+    rng = np.random.RandomState(9)
+    for n in (0, 1, 5, 100, 5000):
+        sig = (
+            (rng.randn(n) * 3000).clip(-32768, 32767).astype(np.int64)
+        )
+        d = FL.decode_flac(FL.encode_flac(sig, block_size=1024))
+        assert d["n_samples"] == n
+        assert np.array_equal(d["samples"][:, 0], sig), n
+    sig2 = np.stack(
+        [
+            (np.sin(np.linspace(0, 30, 4000)) * 20000).astype(np.int64),
+            (np.cos(np.linspace(0, 30, 4000)) * 15000).astype(np.int64),
+        ],
+        axis=1,
+    )
+    for mode in ("independent", "left-side", "right-side", "mid-side"):
+        d = FL.decode_flac(
+            FL.encode_flac(sig2, channel_mode=mode, block_size=1000)
+        )
+        assert np.array_equal(d["samples"], sig2), mode
+    for bits in (8, 16, 24):
+        lim = 1 << (bits - 1)
+        s = rng.randint(-lim, lim, 700).astype(np.int64)
+        d = FL.decode_flac(FL.encode_flac(s, bits=bits, block_size=256))
+        assert d["bit_depth"] == bits
+        assert np.array_equal(d["samples"][:, 0], s), bits
+    const = np.full(500, -123, dtype=np.int64)
+    assert np.array_equal(
+        FL.decode_flac(FL.encode_flac(const))["samples"][:, 0], const
+    )
+    verb = rng.randint(-32768, 32767, 300).astype(np.int64)
+    assert np.array_equal(
+        FL.decode_flac(FL.encode_flac(verb, strategy="verbatim"))[
+            "samples"
+        ][:, 0],
+        verb,
+    )
+    # CRC quarantines: frame CRC-16 and header CRC-8
+    sig3 = (np.sin(np.linspace(0, 9, 500)) * 10000).astype(np.int64)
+    raw = bytearray(FL.encode_flac(sig3))
+    raw[-1] ^= 0x01
+    with pytest.raises(ValueError, match="frame CRC"):
+        FL.decode_flac(bytes(raw))
+    raw2 = bytearray(FL.encode_flac(sig3))
+    i = bytes(raw2).index(b"\xff\xf8", 4)
+    raw2[i + 7] ^= 0xFF  # the CRC-8 byte itself
+    with pytest.raises(ValueError, match="header CRC"):
+        FL.decode_flac(bytes(raw2))
+    with pytest.raises(ValueError, match="magic"):
+        FL.decode_flac(b"not flac")
+
+    # Spark path: identical stats across containers + sniff routing
+    rows = [
+        (1, bytearray(FL.encode_flac(sig3))),
+        (2, bytearray(mm.encode_wav(sig3.astype(np.int16)))),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, media binary")
+    got = {r.doc_id: r for r in mm.audio_features(df).collect()}
+    assert got[1].ok and got[2].ok
+    for f in ("sum_sq", "peak", "zero_crossings", "n_samples",
+              "bit_depth", "sample_rate"):
+        assert getattr(got[1], f) == getattr(got[2], f), f
+    t = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", mm.sniff_media_type("media").alias("t")
+        ).collect()
+    }
+    assert t == {1: "flac", 2: "wav"}
+
+
 def test_wav_g711_decode():
     """G.711 µ-law/A-law WAV decode (round 10 — the telephony
     formats): expansion tables match the CCITT reference anchors and

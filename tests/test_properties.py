@@ -444,3 +444,39 @@ def test_tiff_roundtrip_property(dims, ch, comp, be, rnd):
     exp = img if ch != 1 else img[:, :, None]
     assert np.array_equal(d["pixels"], exp)
     assert (d["width"], d["height"]) == (w, h)
+
+
+@given(
+    st.integers(min_value=0, max_value=3000),
+    st.sampled_from([1, 2]),
+    st.sampled_from(["independent", "left-side", "right-side", "mid-side"]),
+    st.sampled_from([8, 16, 24]),
+    st.integers(min_value=16, max_value=1024),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_property(n, nch, mode, bits, block, rnd):
+    """FLAC writer → reader is LOSSLESS for any signal, channel
+    count, stereo decorrelation mode, bit depth, and block size
+    (stereo modes only apply to 2-channel input)."""
+    import numpy as np
+
+    from datasplash_spark.functions import flac as FL
+
+    if nch == 1:
+        mode = "independent"
+    rng = np.random.RandomState(rnd.randrange(2 ** 31))
+    lim = 1 << (bits - 1)
+    # mix of smooth (predictor-friendly) and noisy segments
+    smooth = (
+        np.sin(np.linspace(0, 11, n)) * (lim // 2)
+    ).astype(np.int64)
+    noise = rng.randint(-lim, lim, n).astype(np.int64)
+    sig = np.where(np.arange(n) % 3 == 0, noise, smooth)
+    if nch == 2:
+        sig = np.stack([sig, noise], axis=1)
+    d = FL.decode_flac(
+        FL.encode_flac(sig, bits=bits, block_size=block, channel_mode=mode)
+    )
+    exp = sig if nch == 2 else sig[:, None]
+    assert d["n_samples"] == n and np.array_equal(d["samples"], exp)
