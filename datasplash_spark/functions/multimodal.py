@@ -1426,7 +1426,7 @@ def sniff_media_type(media: ColumnLike) -> Column:
     codec (or quarantine) without a Python round-trip, so a mixed
     media column fans out to per-format pipelines with zero overhead
     on the non-matching rows. Detects ``png``/``jpeg``/``pnm``/
-    ``wav``/``flac``/``gif``/``bmp``/``tiff``/``webp`` (+
+    ``wav``/``flac``/``gif``/``bmp``/``tiff``/``mp4``/``webp`` (+
     ``empty``/``unknown``);
     ``jpeg`` covers MJPEG streams too (same SOI magic — use
     :func:`video_frame_features` when frame counts say video).
@@ -1454,6 +1454,10 @@ def sniff_media_type(media: ColumnLike) -> Column:
             hex4.isin("49492A00", "4D4D002A"), F.lit("tiff")
         )
         .when(hex4 == F.lit("664C6143"), F.lit("flac"))
+        .when(
+            F.hex(F.substring(m, 5, 4)) == F.lit("66747970"),
+            F.lit("mp4"),  # ISO BMFF: 'ftyp' at offset 4
+        )
         .when(
             (hex4 == F.lit("52494646")) & (riff == F.lit("57454250")),
             F.lit("webp"),

@@ -4101,6 +4101,71 @@ def test_wav_float_decode():
     assert list(d64["samples"][:, 0]) == [16384, -8192]
 
 
+def test_mp4_metadata(spark):
+    """ISO BMFF metadata extraction (round 10 — the routing stage a
+    video corpus runs before any codec kernel): skeleton writer →
+    parser roundtrips movie duration, brands, per-track handler /
+    codec fourcc / dims / channels / sample rate / sample counts;
+    64-bit largesize boxes walk; truncation and missing-ftyp/moov
+    quarantine; sniff routes 'mp4'; the Spark feature surface emits
+    typed rows with per-doc quarantine."""
+    import struct
+
+    from datasplash_spark.functions import mp4 as M
+
+    raw = M.encode_mp4_skeleton(
+        [
+            {"handler": "vide", "codec": "avc1", "width": 1920,
+             "height": 1080, "n_samples": 300},
+            {"handler": "soun", "codec": "mp4a", "channels": 2,
+             "sample_rate": 48000},
+        ],
+        timescale=600,
+        duration_s=12.5,
+    )
+    d = M.parse_mp4(raw)
+    assert d["brand"] == "isom" and d["duration_s"] == 12.5
+    v, a = d["tracks"]
+    assert (v["handler"], v["codec"]) == ("vide", "avc1")
+    assert (v["width"], v["height"], v["n_samples"]) == (1920, 1080, 300)
+    assert (a["handler"], a["codec"]) == ("soun", "mp4a")
+    assert (a["channels"], a["sample_rate"]) == (2, 48000)
+    # 64-bit largesize boxes
+    (sz,) = struct.unpack(">I", raw[:4])
+    body = raw[8:sz]
+    large = (
+        struct.pack(">I", 1) + b"ftyp"
+        + struct.pack(">Q", 16 + len(body)) + body
+    )
+    assert M.parse_mp4(large + raw[sz:])["brand"] == "isom"
+    with pytest.raises(ValueError, match="moov"):
+        M.parse_mp4(raw[:30])
+    with pytest.raises(ValueError, match="ftyp"):
+        M.parse_mp4(b"\x00\x00\x00\x10mdat" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="box size"):
+        M.parse_mp4(b"\x00\x00\x00\x03ftypisom\x00\x00\x00\x00")
+
+    rows = [
+        (1, bytearray(raw)),
+        (2, bytearray(b"\x00\x00\x00\x10ftypmp42\x00\x00\x00\x00")),
+        (3, bytearray(b"junk")),
+    ]
+    df = generate_input(spark, rows, "doc_id bigint, media binary")
+    t = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", mm.sniff_media_type("media").alias("t")
+        ).collect()
+    }
+    assert t == {1: "mp4", 2: "mp4", 3: "unknown"}
+    got = {r.doc_id: r for r in M.mp4_metadata_features(df).collect()}
+    assert got[1].ok and got[1].video_codec == "avc1"
+    assert got[1].width == 1920 and got[1].sample_rate == 48000
+    assert got[1].duration_s == 12.5 and got[1].n_tracks == 2
+    assert not got[2].ok and "moov" in got[2].err
+    assert not got[3].ok
+
+
 def test_flac_codec(spark):
     """FLAC codec (round 10 — the speech-corpus container):
     lossless roundtrips across block sizes / frame counts / bit
