@@ -281,6 +281,46 @@ def encode_mp4_skeleton(
     )
 
 
+def synthesize_mp4_from_text(df, text="text", id_col="doc_id"):
+    """Deterministic synthetic MP4 corpus: per doc a structurally
+    valid metadata-only MP4 whose track fields derive from the text
+    (video ``8+len%9 × 8+len%7`` at ``1+len%30`` seconds with
+    ``len`` samples; mono/stereo mp4a audio at 16 kHz alternating on
+    ``len%2``) — SQL-replayable, so the box walk gets a value-level
+    oracle without shipping binary fixtures. Returns
+    ``(doc_id, media binary)``."""
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    def synth(batches):
+        for b in batches:
+            medias = []
+            for t in b["_t"]:
+                t = t or ""
+                n = len(t)
+                medias.append(
+                    encode_mp4_skeleton(
+                        [
+                            {"handler": "vide", "codec": "avc1",
+                             "width": 8 + n % 9, "height": 8 + n % 7,
+                             "n_samples": n},
+                            {"handler": "soun", "codec": "mp4a",
+                             "channels": 1 + n % 2,
+                             "sample_rate": 16000},
+                        ],
+                        timescale=1000,
+                        duration_s=float(1 + n % 30),
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: b[id_col].to_numpy(), "media": medias}
+            )
+
+    return df.select(
+        F.col(id_col), F.col(text).alias("_t")
+    ).mapInPandas(synth, schema=f"{id_col} bigint, media binary")
+
+
 MP4_META_SCHEMA = (
     "doc_id bigint, brand string, duration_s double, n_tracks int, "
     "video_codec string, width int, height int, n_samples bigint, "

@@ -5747,6 +5747,43 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container routing metadata (round 10, staged): per doc
+    a structurally valid metadata-only MP4 (text-derived track
+    fields), parsed back through the ISO BMFF box walk into typed
+    rows. The oracle replays every field rule in SQL — a mis-walked
+    box, wrong fixed-point conversion, or mis-offset sample-entry
+    field anywhere in the corpus fails the hash. Bytes never
+    shuffle."""
+    from .functions import mp4 as M
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return M.mp4_metadata_features(M.synthesize_mp4_from_text(docs)).select(
+        "doc_id", "brand", "duration_s", "n_tracks", "video_codec",
+        "width", "height", "n_samples", "audio_codec", "channels",
+        "sample_rate", "ok",
+    )
+
+
+ORACLE_MP4_METADATA = """
+SELECT doc_id,
+       'isom' AS brand,
+       CAST(1 + length(text) % 30 AS DOUBLE) AS duration_s,
+       CAST(2 AS INT) AS n_tracks,
+       'avc1' AS video_codec,
+       CAST(8 + length(text) % 9 AS INT) AS width,
+       CAST(8 + length(text) % 7 AS INT) AS height,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       'mp4a' AS audio_codec,
+       CAST(1 + length(text) % 2 AS INT) AS channels,
+       CAST(16000 AS INT) AS sample_rate,
+       TRUE AS ok
+FROM documents
+"""
+
+
 ORACLE_GIF_FRAMES = """
 WITH f AS (
   SELECT doc_id, text, CAST(1 + length(text) % 5 AS INT) AS nf

@@ -5925,6 +5925,7 @@ def test_staged_queries_match_oracle(spark):
     )
     staged = {
         "gif_frames": (Q.q_gif_frames, Q.ORACLE_GIF_FRAMES),
+        "mp4_metadata": (Q.q_mp4_metadata, Q.ORACLE_MP4_METADATA),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
