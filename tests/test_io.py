@@ -576,3 +576,110 @@ def test_write_training_shards_replays_order(spark, tmp_path):
     assert ids1 == ids2 == list(range(300))
     k2 = [r.shuffle_key for r in spark.read.parquet(out2).collect()]
     assert sorted(k2) != keys
+
+
+def test_tar_shards_webdataset_roundtrip(spark, tmp_path):
+    """WebDataset tar shards (round 10): reader splits every shard
+    member into (shard, key, ext, data) rows with the basename
+    grouping convention; the writer lays the same structure back one
+    tar per shard id (atomic rename), and a read-back roundtrips
+    byte-for-byte. Samples reassemble by (shard, key)."""
+    import io
+    import tarfile
+
+    from datasplash_spark.sources.archives import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    want = {}
+    for s in range(2):
+        with tarfile.open(src / f"shard{s}.tar", "w") as tf:
+            for k in range(3):
+                for ext, data in (
+                    ("txt", f"text {s}-{k}".encode()),
+                    ("json", b'{"a":%d}' % k),
+                ):
+                    name = f"{s:03d}{k:03d}.{ext}"
+                    info = tarfile.TarInfo(name)
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+                    want[(f"{s:03d}{k:03d}", ext)] = data
+    df = read_tar_shards(spark, str(src / "*.tar"))
+    rows = df.collect()
+    assert len(rows) == 12
+    got = {(r.key, r.ext): bytes(r.data) for r in rows}
+    assert got == want
+    # sample grouping: every key has exactly its two extensions
+    groups = {
+        r.key: sorted(r.exts)
+        for r in df.groupBy("key")
+        .agg(F.sort_array(F.collect_list("ext")).alias("exts"))
+        .collect()
+    }
+    assert all(v == ["json", "txt"] for v in groups.values())
+    # write back sharded by key prefix, read back identical
+    out = str(tmp_path / "out")
+    res = write_tar_shards(
+        df.select(
+            F.substring("key", 1, 3).alias("shard_id"), "key", "ext",
+            "data",
+        ),
+        out,
+    ).collect()
+    assert sorted(r.n_members for r in res) == [6, 6]
+    assert all(r.path.endswith(".tar") for r in res)
+    back = read_tar_shards(spark, out + "/*.tar")
+    assert {
+        (r.key, r.ext): bytes(r.data) for r in back.collect()
+    } == want
+
+
+def test_warc_roundtrip_and_reader(spark, tmp_path):
+    """WARC (round 10): writer → parser roundtrips plain and
+    per-record-gzipped layouts; framing is strictly Content-Length
+    (a payload containing 'WARC/1.0' must NOT split a record);
+    malformed records quarantine by name; the Spark reader types
+    every record of every shard."""
+    from datasplash_spark.sources.archives import (
+        encode_warc,
+        parse_warc_records,
+        read_warc,
+    )
+
+    recs = [
+        {"warc_type": "response", "target_uri": "http://ex.com/a",
+         "content_type": "text/html", "payload": b"<html>hi</html>"},
+        {"warc_type": "warcinfo",
+         "payload": b"trap\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"},
+        {"warc_type": "response", "target_uri": "http://ex.com/b",
+         "payload": bytes(range(256))},
+    ]
+    for gz in (False, True):
+        raw = encode_warc(recs, gzip_members=gz)
+        got = parse_warc_records(raw)
+        assert [g["warc_type"] for g in got] == [
+            "response", "warcinfo", "response",
+        ]
+        assert got[1]["payload"] == recs[1]["payload"]  # framing held
+        assert got[2]["payload"] == bytes(range(256))
+        assert got[0]["content_type"] == "text/html"
+        fn = tmp_path / (f"t{gz}.warc" + (".gz" if gz else ""))
+        fn.write_bytes(raw)
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_records(
+            b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+        )
+
+    df = read_warc(spark, str(tmp_path / "*.warc*"))
+    assert df.count() == 6
+    resp = df.where("warc_type = 'response'")
+    assert resp.count() == 4
+    uris = {r.target_uri for r in resp.collect()}
+    assert uris == {"http://ex.com/a", "http://ex.com/b"}
