@@ -7,14 +7,17 @@ as Arrow-batched ``mapInPandas`` stages so bytes stream through
 workers without driver involvement, and the *metadata* (small) is
 what shuffles. No image/audio codec LIBRARIES exist in this
 container (environment contract), but the decode paths are REAL
-without them: :func:`decode_image` decodes PNG (stdlib zlib, all
-five scanline filters), binary PNM, and baseline JPEG (round 8 —
-:mod:`.jpeg`, spec-derived Annex-K tables; progressive SOF2 since
-round 9) end-to-end; :func:`decode_wav` covers PCM + IEEE-float
-audio; with :func:`resize_nearest` + :func:`encode_png` completing
-the resize stage. Formats that still need a codec library
-(arithmetic-coded JPEG, non-MJPEG video) plug into the same kernel
-slots. :func:`media_features`
+without them: :func:`decode_image` decodes PNG (all five scanline
+filters, sequential + Adam7), binary PNM, baseline + progressive
+JPEG (:mod:`.jpeg`), GIF incl. full animation compositing and BMP
+incl. RLE8 (:mod:`.gifbmp`), and baseline TIFF (:mod:`.tiff`);
+:func:`decode_wav` covers PCM, IEEE-float, and G.711 audio with
+FLAC beside it (:mod:`.flac`); MP4/MOV structure parses via
+:mod:`.mp4`; PDFs extract via :mod:`.pdf`; with
+:func:`resize_nearest` + :func:`encode_png` completing the resize
+stage. Formats that still genuinely need a codec library
+(arithmetic-coded JPEG, lossy video/audio essence) plug into the
+same kernel slots. :func:`media_features`
 additionally keeps a deterministic byte-level extractor so the
 multimodal plumbing stays oracle-checkable from the text corpus
 (byte length + rolling checksum are engine-independent).
