@@ -149,6 +149,19 @@ def write_tar_shards(
     )
 
 
+def tar_samples(members: DataFrame, exts: list[str]) -> DataFrame:
+    """Reassemble WebDataset SAMPLES from member rows: one row per
+    ``(shard, key)`` with one binary column per extension in
+    ``exts`` (explicit value list — no pivot discovery scan, the
+    same rule as ``pivot_table``). Missing members are null; route
+    each column to its decoder from here."""
+    return (
+        members.groupBy("shard", "key")
+        .pivot("ext", list(exts))
+        .agg(F.first("data"))
+    )
+
+
 # ---------------------------------------------------------------------
 # WARC
 # ---------------------------------------------------------------------

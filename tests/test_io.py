@@ -683,3 +683,36 @@ def test_warc_roundtrip_and_reader(spark, tmp_path):
     assert resp.count() == 4
     uris = {r.target_uri for r in resp.collect()}
     assert uris == {"http://ex.com/a", "http://ex.com/b"}
+
+
+def test_tar_samples_reassembly(spark, tmp_path):
+    """tar_samples: member rows pivot back into one row per sample
+    with a binary column per extension (explicit value list, no
+    discovery scan); missing members are null."""
+    import io
+    import tarfile
+
+    from datasplash_spark.sources.archives import (
+        read_tar_shards,
+        tar_samples,
+    )
+
+    with tarfile.open(tmp_path / "s.tar", "w") as tf:
+        for name, data in (
+            ("a.txt", b"alpha"), ("a.json", b"{}"),
+            ("b.txt", b"beta"),  # no json for b
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    members = read_tar_shards(spark, str(tmp_path / "*.tar"))
+    samples = {
+        r.key: r for r in tar_samples(members, ["txt", "json"]).collect()
+    }
+    assert bytes(samples["a"].txt) == b"alpha"
+    assert bytes(samples["a"].json) == b"{}"
+    assert bytes(samples["b"].txt) == b"beta"
+    assert samples["b"].json is None
+    # explicit-values pivot: no discovery aggregate in the plan
+    plan = tar_samples(members, ["txt", "json"])._jdf.queryExecution().optimizedPlan().toString()
+    assert "pivotfirst" in plan.lower() or "first(" in plan.lower()
