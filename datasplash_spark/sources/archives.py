@@ -55,17 +55,38 @@ WARC_RECORD_SCHEMA = (
 )
 
 
-def read_tar_shards(spark, path_glob: str) -> DataFrame:
+#: the (fixed) binaryFile source schema — needed explicitly for the
+#: STREAMING reader (file stream sources require a user schema)
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, "
+    "content binary"
+)
+
+
+def read_tar_shards(
+    spark, path_glob: str, watch_new_files: bool = False
+) -> DataFrame:
     """WebDataset-style reader: every regular member of every tar
     shard under ``path_glob`` as one row ``(shard, member, key,
     ext, data)`` where ``key`` is the member name up to the first
     dot and ``ext`` the rest — the WebDataset sample-grouping
     convention (group by ``(shard, key)`` to reassemble samples).
     Sparse/invalid tars raise inside the task (fail loudly; a
-    corrupt shard is an ingest incident, not a row-level poison)."""
+    corrupt shard is an ingest incident, not a row-level poison).
+    ``watch_new_files=True`` returns a STREAMING DataFrame polling
+    the directory — new shards flow through the same member split
+    into any streaming sink/admitter (same contract as
+    ``read_text_file(watch_new_files=True)``)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path_glob)
+    if watch_new_files:
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA)
+            .load(path_glob)
+        )
+    else:
+        files = spark.read.format("binaryFile").load(path_glob)
 
     def split(batches):
         for b in batches:

@@ -1276,3 +1276,53 @@ def test_convert_postings_layout_crash_swap_self_heal(spark, tmp_path):
 
     assert not os.path.exists(store + "__convert")
     assert not os.path.exists(store + "__convert_old")
+
+
+def test_tar_shard_streaming_ingest(spark, tmp_path):
+    """Streaming WebDataset ingest (round 10): new tar shards landing
+    in a watched directory flow through the member split into a
+    parquet sink; a second shard arriving between availableNow drains
+    appends only its members (file-source exactly-once)."""
+    import io
+    import tarfile
+
+    from datasplash_spark.sources.archives import read_tar_shards
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(s, n):
+        with tarfile.open(src / f"s{s}.tar", "w") as tf:
+            for k in range(n):
+                data = f"{s}-{k}".encode()
+                info = tarfile.TarInfo(f"{s:02d}{k:02d}.txt")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    shard(0, 3)
+    stream = read_tar_shards(spark, str(src), watch_new_files=True)
+    assert stream.isStreaming
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    shard(1, 2)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    assert {bytes(r.data).decode() for r in rows} == {
+        "0-0", "0-1", "0-2", "1-0", "1-1",
+    }
+    assert {r.ext for r in rows} == {"txt"}
