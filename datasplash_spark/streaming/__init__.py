@@ -10,13 +10,18 @@ allowed-lateness / accumulation mode are core.clj:2082-2094.
 
 Spark mapping: Structured Streaming uses the same DataFrame API
 (``isStreaming`` flag); state = ``applyInPandasWithState``; triggers
-map onto ``writeStream.trigger`` + output modes. Beam's pane-level
-accumulate/discard semantics are only approximable (SURVEY §7.3a):
-``update`` mode ≈ accumulating panes, ``append`` + watermark ≈
-discard-on-final — documented gap.
+map onto ``writeStream.trigger`` + output modes for the COARSE
+shapes, and — round 10 — :mod:`.triggers` EMULATES Beam's pane model
+directly on the keyed state store for the common trigger shapes
+(AfterWatermark with early/late firings, Repeatedly-AfterCount) with
+real PaneInfo metadata (pane_index, EARLY/ON_TIME/LATE timing,
+is_last) and exact accumulating/discarding accumulation. What stays
+approximate: processing-time triggers tie to micro-batch cadence
+(SURVEY §7.3a).
 """
 
 from .stateful import batch_stateful, dedup_stream, rolling_agg, running_agg, stateful_map_groups
+from .triggers import PANED_OUTPUT_SCHEMA, paned_window_agg
 from .sinks import (
     beam_trigger_to_spark,
     foreach_batch_sink,
@@ -55,5 +60,7 @@ __all__ = [
     "rolling_agg",
     "running_agg",
     "stateful_map_groups",
+    "PANED_OUTPUT_SCHEMA",
+    "paned_window_agg",
     "write_stream",
 ]

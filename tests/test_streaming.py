@@ -1326,3 +1326,131 @@ def test_tar_shard_streaming_ingest(spark, tmp_path):
         "0-0", "0-1", "0-2", "1-0", "1-1",
     }
     assert {r.ext for r in rows} == {"txt"}
+
+
+def test_paned_window_agg_after_watermark(spark, tmp_path):
+    """Beam pane emulation, AfterWatermark shape (round 10): EARLY
+    panes every early_count elements, one ON_TIME pane when the
+    watermark passes the window end, LATE panes for late data inside
+    allowed_lateness — pane_index increments across firings and
+    accumulating mode emits the running aggregate in every pane."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "panes_src"
+    src.mkdir()
+    # batch 1: two early rows for a's [0,60) window
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:10,1\na,2024-01-01 00:00:20,2\n"
+    )
+    time.sleep(0.05)
+    # batch 2: one more on-time row (below early_count)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:30,4\n")
+    time.sleep(0.05)
+    # batch 3: watermark jumper (other key, far future)
+    (src / "f3.txt").write_text("b,2024-01-01 00:02:30,9\n")
+    time.sleep(0.05)
+    # batch 4: LATE data for a's window (watermark already past end)
+    (src / "f4.txt").write_text("a,2024-01-01 00:00:50,10\n")
+    time.sleep(0.05)
+    # batch 5: advance watermark past window_end + lateness
+    (src / "f5.txt").write_text("b,2024-01-01 00:09:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger="after-watermark",
+        accumulation="accumulating",
+        early_count=2,
+        allowed_lateness="60 seconds",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_panes"),
+        trigger="once",
+        output_mode="append",
+        query_name="panes_test",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last)
+        for r in spark.sql(
+            "SELECT * FROM panes_test WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False),     # 1+2 at early_count
+        (1, "ON_TIME", 7, False),   # +4, watermark passed window end
+        (2, "LATE", 17, False),     # +10 late within lateness
+    ], rows
+
+
+def test_paned_window_agg_after_count_discarding(spark, tmp_path):
+    """Beam pane emulation, Repeatedly(AfterCount N) + DISCARDING:
+    each pane carries only the delta since the previous pane, a
+    residual final pane fires at window close with is_last=True, and
+    the discarding panes sum to the window total."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "cnt_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,1\na,2024-01-01 00:00:06,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,4\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-count": 2},
+        accumulation="discarding",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_cnt"),
+        trigger="once",
+        output_mode="append",
+        query_name="cnt_test",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM cnt_test WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False, 2),
+        (1, "ON_TIME", 4, True, 1),
+    ], rows
+    assert sum(r[2] for r in rows) == 7  # discarding panes sum to total
