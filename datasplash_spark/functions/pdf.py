@@ -28,8 +28,11 @@ Scope:
   ``"``, ``TJ`` with kerning arrays (gap > 250/1000 em → space),
   ``Td/TD/T*/Tm`` line-break heuristics, literal strings with all
   escapes + octal + line continuations, hex strings, and UTF-16BE
-  (BOM) text. Encrypted files (a ``/Encrypt`` key in a trailer or
-  xref-stream dictionary) and genuinely unknown filters raise
+  (BOM) text. ENCRYPTED files with an empty user or owner password
+  — the common owner-locked case — decrypt via the standard
+  security handler (:mod:`.pdfcrypt`: RC4 R2-R4, AES-128 /AESV2,
+  AES-256 R6 /AESV3); genuinely password-protected files,
+  non-Standard security handlers, and unknown filters raise
   ``ValueError`` naming the feature — the quarantine contract.
 - **Writer** (:func:`encode_pdf_text`): ``layout="classic"`` writes
   PDF 1.4 with a real xref table; ``layout="objstm"`` writes PDF 1.5
@@ -46,6 +49,7 @@ document-decode surface); north-star multimodal/text extension
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct  # noqa: F401  (kept with the codec family's imports)
 import zlib
@@ -369,6 +373,15 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        # the decoder adds a dictionary entry for this final code
+        # (it cannot know EOD follows) and may grow the code width
+        # before reading EOD — mirror that growth or the EOD is
+        # written one bit narrower than it is read (end-of-stream
+        # desync found by the roundtrip property fuzz)
+        if nxt < 4096:
+            nxt += 1
+            if width < 12 and nxt + early_change > (1 << width):
+                width += 1
     emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -532,9 +545,12 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
     could silently clobber a real object of the same number (the
     standard recovery-scanner mitigation). Also returns the byte
     offset of each surviving definition so :func:`_expand_objstm`
-    can merge object-stream members with offset-wins semantics."""
+    can merge object-stream members with offset-wins semantics.
+    Generation numbers are recorded too (``gens``) — the standard
+    security handler keys per-object decryption on (num, gen)."""
     objects: dict[int, tuple[dict | None, bytes | None]] = {}
     offsets: dict[int, int] = {}
+    gens: dict[int, int] = {}
     scan_pos = 0
     while True:
         m = _OBJ_RE.search(raw, scan_pos)
@@ -570,7 +586,8 @@ def _scan_objects(raw: bytes) -> dict[int, tuple[dict | None, bytes | None]]:
                 scan_pos = max(scan_pos, end)
         objects[num] = (d, stream)
         offsets[num] = m.start()
-    return objects, offsets
+        gens[num] = int(m.group(2))
+    return objects, offsets, gens
 
 
 def _expand_objstm(objects, offsets) -> None:
@@ -763,10 +780,24 @@ def _extract_page_text(content: bytes) -> str:
     line: list[str] = []
     in_text = False
     prev_tm_ty: float | None = None
+    shown = False  # a show operator touched the CURRENT line
+    any_shown = False  # a show operator occurred anywhere on the page
 
     def newline() -> None:
-        out.append("".join(line))
+        # drop empty lines that precede the first text-show operator
+        # (the ' / " pre-advance artifact) but keep every line a
+        # show operator touched — an ("") Tj is real (empty) content
+        nonlocal shown
+        if line or shown or any_shown:
+            out.append("".join(line))
         line.clear()
+        shown = False
+
+    def show(s: str) -> None:
+        nonlocal shown, any_shown
+        line.append(s)
+        shown = True
+        any_shown = True
 
     while True:
         try:
@@ -789,23 +820,23 @@ def _extract_page_text(content: bytes) -> str:
             stack.clear()
         elif op == "Tj":
             if stack and stack[-1][0] == "str":
-                line.append(_pdf_str_to_text(stack[-1][1]))
+                show(_pdf_str_to_text(stack[-1][1]))
             stack.clear()
         elif op == "'":
             newline()
             if stack and stack[-1][0] == "str":
-                line.append(_pdf_str_to_text(stack[-1][1]))
+                show(_pdf_str_to_text(stack[-1][1]))
             stack.clear()
         elif op == '"':
             newline()
             if stack and stack[-1][0] == "str":
-                line.append(_pdf_str_to_text(stack[-1][1]))
+                show(_pdf_str_to_text(stack[-1][1]))
             stack.clear()
         elif op == "TJ":
             if stack and stack[-1][0] == "array":
                 for el in stack[-1][1]:
                     if el[0] == "str":
-                        line.append(_pdf_str_to_text(el[1]))
+                        show(_pdf_str_to_text(el[1]))
                     elif el[0] == "num" and el[1] < -250:
                         line.append(" ")
             stack.clear()
@@ -832,35 +863,77 @@ def _extract_page_text(content: bytes) -> str:
             stack.clear()
         else:
             stack.clear()
-    if line:
+    if line or shown:
         newline()
-    # drop leading empty line artifacts but keep interior blanks
-    while out and out[0] == "":
-        out.pop(0)
     return "\n".join(out)
 
 
 _TRAILER_RE = re.compile(rb"trailer\b")
 
 
-def _is_encrypted(raw: bytes, objects) -> bool:
-    """``/Encrypt`` in a TRAILER dictionary or an xref-stream
-    (``/Type /XRef``) dictionary — the two places the spec puts it.
-    Round 10: replaces the blunt ``b"/Encrypt" in raw`` scan, which
+def _plain(objects, tok, depth: int = 0):
+    """Token tree → plain Python values (names → str, strings →
+    bytes, numbers → int/float, true/false → bool, dict/array →
+    dict/list), refs resolved — the shape
+    :func:`pdfcrypt.open_standard_security` consumes."""
+    if depth > 16 or tok is None:
+        return None
+    t = _resolve(objects, tok) or tok
+    kind, v = t[0], t[1]
+    if kind in ("name", "str", "num"):
+        return v
+    if kind == "kw":
+        return {"true": True, "false": False}.get(v)
+    if kind == "dict":
+        return {k: _plain(objects, x, depth + 1) for k, x in v.items()}
+    if kind == "array":
+        return [_plain(objects, x, depth + 1) for x in v]
+    return None
+
+
+def _find_encryption(raw: bytes, objects):
+    """Locate the live ``/Encrypt`` dictionary: a TRAILER dictionary
+    or an xref-stream (``/Type /XRef``) dictionary — the two places
+    the spec puts it (a lenient scan over all of them, LAST trailer
+    wins, matching incremental-update semantics). Returns
+    ``(plain_encrypt_dict, id0_bytes)`` or ``None``. Replaces the
+    round-9 blunt ``b"/Encrypt" in raw`` scan, which
     false-quarantined documents whose page TEXT merely mentions
     /Encrypt."""
+    candidates: list[dict] = []
     for m in _TRAILER_RE.finditer(raw):
         lex = _Lexer(raw, m.end())
         try:
             t = lex.token()
         except ValueError:
             continue
-        if t is not None and t[0] == "dict" and "Encrypt" in t[1]:
-            return True
+        if t is not None and t[0] == "dict":
+            candidates.append(t[1])
     for _num, (d, _s) in objects.items():
-        if d and d.get("Type") == ("name", "XRef") and "Encrypt" in d:
-            return True
-    return False
+        if d and d.get("Type") == ("name", "XRef"):
+            candidates.append(d)
+    enc_tok = None
+    id_tok = None
+    for d in candidates:
+        if "Encrypt" in d:
+            enc_tok = d["Encrypt"]
+        if "ID" in d:
+            id_tok = d["ID"]
+    if enc_tok is None:
+        return None
+    enc = _plain(objects, enc_tok)
+    if not isinstance(enc, dict):
+        raise ValueError("pdf: encrypted (malformed /Encrypt)")
+    id0 = b""
+    ids = _plain(objects, id_tok) if id_tok is not None else None
+    if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+        id0 = ids[0]
+    return enc, id0
+
+
+def _is_encrypted(raw: bytes, objects) -> bool:
+    """True when the file carries a live ``/Encrypt`` dictionary."""
+    return _find_encryption(raw, objects) is not None
 
 
 def extract_pdf_text(raw: bytes) -> dict:
@@ -870,18 +943,39 @@ def extract_pdf_text(raw: bytes) -> dict:
     xref-stream files (``/ObjStm`` containers are inflated and
     merged, see :func:`_expand_objstm`; xref streams need no
     parsing — the recovery scan already locates every top-level
-    object). Raises ``ValueError`` naming the unsupported feature
-    for encrypted files and unknown filters — the quarantine
-    contract of the codec family (the message prefix ``pdf:
-    encrypted`` vs ``pdf: <other>`` is the typed reason
-    :func:`pdf_text_features` surfaces per row)."""
+    object). Files encrypted under the STANDARD security handler
+    with an empty user or owner password decrypt transparently
+    (round 10, :mod:`.pdfcrypt`). Raises ``ValueError`` naming the
+    unsupported feature for password-protected files, non-Standard
+    handlers, and unknown filters — the quarantine contract of the
+    codec family (the message prefix ``pdf: encrypted`` vs ``pdf:
+    <other>`` is the typed reason :func:`pdf_text_features`
+    surfaces per row)."""
     if raw[:5] != b"%PDF-":
         raise ValueError("pdf: missing %PDF header")
-    objects, offsets = _scan_objects(raw)
+    objects, offsets, gens = _scan_objects(raw)
     if not objects:
         raise ValueError("pdf: no objects found")
-    if _is_encrypted(raw, objects):
-        raise ValueError("pdf: encrypted files unsupported")
+    found = _find_encryption(raw, objects)
+    if found is not None:
+        # standard security handler, empty password (round 10):
+        # verify, derive the file key, and decrypt every top-level
+        # stream IN PLACE before ObjStm expansion / filter decoding
+        # (the spec order: decryption precedes filters). XRef
+        # streams are never encrypted (spec rule — the reader must
+        # parse them before it knows the key).
+        from .pdfcrypt import open_standard_security
+
+        enc_dict, id0 = found
+        handler = open_standard_security(enc_dict, id0)
+        for num, (d, s) in list(objects.items()):
+            if s is None:
+                continue
+            if d and d.get("Type") == ("name", "XRef"):
+                continue
+            objects[num] = (
+                d, handler.decrypt_stream(num, gens.get(num, 0), s)
+            )
     _expand_objstm(objects, offsets)
     page_nums = _page_content_objs(objects)
     if not page_nums:
@@ -959,6 +1053,7 @@ def encode_pdf_text(
     compress: bool = True,
     layout: str = "classic",
     filter_name: str = "flate",
+    encrypt: str | None = None,
 ) -> bytes:
     """Write a PDF: one Helvetica content stream per page (``Tj``
     per line, ``Td`` line advance) — fixtures any external viewer
@@ -973,19 +1068,45 @@ def encode_pdf_text(
     content streams stay top-level per the spec rule that streams
     cannot live inside object streams. ``filter_name`` ("flate" or
     "lzw") selects the compression filter for content streams (and
-    the ObjStm body) when ``compress`` is true."""
+    the ObjStm body) when ``compress`` is true.
+
+    ``encrypt`` (round 10): ``None`` | ``"rc4-40"`` (R2) | ``"rc4"``
+    (R3 128-bit) | ``"aes"`` (R4 /AESV2) | ``"aes256"`` (R6 /AESV3)
+    — writes a standard-security-handler file with EMPTY user+owner
+    passwords (the owner-locked shape), every stream encrypted
+    except the xref stream, ``/Encrypt`` + ``/ID`` in the trailer /
+    xref-stream dictionary. Fixture half of
+    :mod:`.pdfcrypt` — deterministic (salts/IVs derive from the
+    document ID, which derives from the page text)."""
     if layout not in ("classic", "objstm"):
         raise ValueError(f"pdf: unknown layout {layout!r}")
     enc_fn, filt_name = _FILTERS[filter_name]
 
-    def stream_obj(data: bytes, extra: bytes = b"") -> bytes:
+    crypt = None
+    enc_trailer = b""
+    if encrypt is not None:
+        from .pdfcrypt import make_encryption
+
+        id0 = hashlib.md5(
+            "\f".join(pages).encode("utf-8", "replace")
+        ).digest()
+        enc_dict_bytes, crypt = make_encryption(encrypt, id0)
+        idhex = b"<" + id0.hex().encode() + b">"
+        enc_trailer = (
+            b" /Encrypt " + enc_dict_bytes
+            + b" /ID [" + idhex + idhex + b"]"
+        )
+
+    def stream_obj(data: bytes, extra: bytes = b"", num: int = 0) -> bytes:
+        filt = b""
         if compress:
             data = enc_fn(data)
-            head = b"<< /Length %d /Filter %s%s >>" % (
-                len(data), filt_name, extra,
-            )
-        else:
-            head = b"<< /Length %d%s >>" % (len(data), extra)
+            filt = b" /Filter " + filt_name
+        if crypt is not None:
+            # spec order: filters encode, THEN encryption (readers
+            # decrypt before filter decoding)
+            data = crypt.encrypt_stream(num, 0, data)
+        head = b"<< /Length %d%s%s >>" % (len(data), filt, extra)
         return head + b"\nstream\n" + data + b"\nendstream"
 
     n_pages = len(pages)
@@ -1008,7 +1129,7 @@ def encode_pdf_text(
                 b"/Resources << /Font << /F1 3 0 R >> >> "
                 b"/Contents %d 0 R >>" % stream_num
             )
-            objs.append(stream_obj(_content_stream(text)))
+            objs.append(stream_obj(_content_stream(text), num=stream_num))
 
         out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
         offsets = [0]
@@ -1021,8 +1142,8 @@ def encode_pdf_text(
         for off in offsets[1:]:
             out += b"%010d 00000 n \n" % off
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_pos)
+            b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, enc_trailer, xref_pos)
         )
         return bytes(out)
 
@@ -1061,14 +1182,16 @@ def encode_pdf_text(
     objstm_extra = b" /Type /ObjStm /N %d /First %d" % (
         len(packed), len(header),
     )
-    objstm_obj = stream_obj(bytes(header) + bytes(stm_body), objstm_extra)
+    objstm_obj = stream_obj(
+        bytes(header) + bytes(stm_body), objstm_extra, num=objstm_num
+    )
 
     out = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
     offsets_by_num: dict[int, int] = {}
     for cnum, text in zip(content_nums, pages):
         offsets_by_num[cnum] = len(out)
         out += b"%d 0 obj\n" % cnum + stream_obj(
-            _content_stream(text)
+            _content_stream(text), num=cnum
         ) + b"\nendobj\n"
     offsets_by_num[objstm_num] = len(out)
     out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
@@ -1097,10 +1220,10 @@ def encode_pdf_text(
     xdata = zlib.compress(bytes(pred))
     out += b"%d 0 obj\n" % xref_num
     out += (
-        b"<< /Type /XRef /Size %d /Root 1 0 R /W [1 4 2] "
+        b"<< /Type /XRef /Size %d /Root 1 0 R%s /W [1 4 2] "
         b"/Filter /FlateDecode "
         b"/DecodeParms << /Predictor 12 /Columns %d >> /Length %d >>"
-        % (size, row_len, len(xdata))
+        % (size, enc_trailer, row_len, len(xdata))
     )
     out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
@@ -1124,9 +1247,13 @@ def synthesize_pdf_from_text(
 
     ``layout``: "classic" (PDF 1.4 xref table), "objstm" (PDF 1.5
     object + xref streams), or "mixed" (default, round 10) — the
-    corpus alternates deterministically on ``doc_id % 4``: classic /
-    objstm / classic+LZW / objstm+LZW, so one oracle gates every
-    reader path (the extracted text is layout-invariant)."""
+    corpus alternates deterministically on ``doc_id``: layout on
+    ``% 2`` (classic / objstm), filter on ``% 4`` (Flate / LZW), and
+    ENCRYPTION on ``% 8`` (none / RC4-40 / RC4-128 / AES-128 /
+    AES-256, 5 of 8 docs encrypted with empty passwords — the
+    owner-locked shape), so ONE oracle gates every reader path
+    including the standard security handler (the extracted text is
+    layout/filter/encryption-invariant)."""
     from pyspark.sql import functions as F
 
     def synth(batches):
@@ -1145,12 +1272,18 @@ def synthesize_pdf_from_text(
                 if layout == "mixed":
                     lay = "classic" if did % 2 == 0 else "objstm"
                     filt = "flate" if did % 4 < 2 else "lzw"
+                    enc = (
+                        None, "rc4", "aes", None,
+                        "aes256", None, "rc4-40", "aes",
+                    )[did % 8]
                 else:
-                    lay, filt = layout, "flate"
+                    lay, filt, enc = layout, "flate", None
                 ids.append(did)
                 npg.append(n)
                 medias.append(
-                    encode_pdf_text(pages, layout=lay, filter_name=filt)
+                    encode_pdf_text(
+                        pages, layout=lay, filter_name=filt, encrypt=enc
+                    )
                 )
             yield pd.DataFrame(
                 {id_col: ids, "n_pages": npg, "media": medias}

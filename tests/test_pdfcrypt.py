@@ -1,0 +1,214 @@
+"""PDF standard-security-handler tests (round 10): AES/RC4 kernels
+against published vectors, key-derivation/verification per ISO
+32000-1 §7.6.3 + ISO 32000-2 Algorithm 2.B, and encrypted
+writer→reader roundtrips across every layout × filter × cipher.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasplash_spark.functions import pdfcrypt as pc
+from datasplash_spark.functions import pdf as P
+
+
+# ---------------------------------------------------------------------
+# kernels vs published vectors
+# ---------------------------------------------------------------------
+
+
+def test_aes_fips197_vectors():
+    # FIPS-197 Appendix C.1 (AES-128) and C.3 (AES-256)
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    c128 = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert pc.aes_encrypt_block(k128, pt) == c128
+    assert pc.aes_decrypt_block(k128, c128) == pt
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    c256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert pc.aes_encrypt_block(k256, pt) == c256
+    assert pc.aes_decrypt_block(k256, c256) == pt
+    # NIST SP 800-38A F.2.5: AES-256-CBC, first two blocks
+    key = bytes.fromhex(
+        "603deb1015ca71be2b73aef0857d7781"
+        "1f352c073b6108d72d9810a30914dff4"
+    )
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    blocks = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172a"
+        "ae2d8a571e03ac9c9eb76fac45af8e51"
+    )
+    ct = bytes.fromhex(
+        "f58c4c04d6e5f1ba779eabfb5f7bfbd6"
+        "9cfc4e967edb808d679f777bc6702c7d"
+    )
+    assert pc.aes_cbc_encrypt(key, iv, blocks) == ct
+    assert pc.aes_cbc_decrypt(key, iv, ct) == blocks
+
+
+def test_aes_sbox_generated_correctly():
+    # spot values from the FIPS-197 S-box table, incl. the x=1 cell
+    # (inverse of 1 is 1 — the exp-table wraparound regression)
+    assert pc._SBOX[0x00] == 0x63
+    assert pc._SBOX[0x01] == 0x7C
+    assert pc._SBOX[0x53] == 0xED
+    assert pc._SBOX[0xFF] == 0x16
+    assert all(pc._INV_SBOX[pc._SBOX[i]] == i for i in range(256))
+
+
+def test_rc4_published_vectors():
+    assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert pc.rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert (
+        pc.rc4(b"Secret", b"Attack at dawn").hex().upper()
+        == "45A01F645FC35B383552544B9BF5"
+    )
+    # symmetric
+    assert pc.rc4(b"Key", pc.rc4(b"Key", b"roundtrip")) == b"roundtrip"
+
+
+def test_aes_cbc_alignment_errors():
+    with pytest.raises(ValueError, match="block-aligned"):
+        pc.aes_cbc_encrypt(bytes(16), bytes(16), b"short")
+    with pytest.raises(ValueError, match="block-aligned"):
+        pc.aes_cbc_decrypt(bytes(16), bytes(16), b"0123456789")
+
+
+# ---------------------------------------------------------------------
+# handler: verification + password paths
+# ---------------------------------------------------------------------
+
+
+def _r3_entries(user_pw: bytes, owner_pw: bytes, id0: bytes):
+    o = pc._make_o_entry(owner_pw, user_pw, 3, 16)
+    key = pc._key_algo2(user_pw, o, -3904, id0, 3, 16)
+    u = pc._make_u_entry(key, id0, 3)
+    return {
+        "Filter": "Standard", "V": 2, "R": 3, "Length": 128,
+        "P": -3904, "O": o, "U": u[:32],
+    }, key
+
+
+def test_password_required_raises():
+    id0 = b"\x02" * 16
+    enc, _ = _r3_entries(b"secret", b"", id0)
+    with pytest.raises(ValueError, match="password required"):
+        pc.open_standard_security(enc, id0)
+    # correct user password opens
+    h = pc.open_standard_security(enc, id0, password=b"secret")
+    assert h.method == "rc4" and len(h.key) == 16
+
+
+def test_owner_locked_and_algorithm7():
+    # owner password set, user password EMPTY: opens with no
+    # password (the owner-locked case) AND with the owner password
+    # (Algorithm 7 recovers the user password from /O)
+    id0 = b"\x03" * 16
+    enc, key = _r3_entries(b"", b"own", id0)
+    h_empty = pc.open_standard_security(enc, id0)
+    h_owner = pc.open_standard_security(enc, id0, password=b"own")
+    assert h_empty.key == h_owner.key == key
+
+
+def test_r6_validation_and_tamper():
+    d, sess = pc.make_encryption("aes256", b"\x07" * 16)
+    # parse our own dict bytes through the PDF lexer → plain values
+    lex = P._Lexer(d)
+    tok = lex.token()
+    assert tok[0] == "dict"
+    plain = P._plain({}, tok)
+    h = pc.open_standard_security(plain, b"\x07" * 16)
+    assert h.key == sess.key and h.method == "aesv3"
+    # tampered U (validation hash byte flipped) → password required
+    bad = dict(plain)
+    bad["U"] = bytes([plain["U"][0] ^ 1]) + plain["U"][1:]
+    with pytest.raises(ValueError, match="password required"):
+        pc.open_standard_security(bad, b"\x07" * 16)
+
+
+def test_unsupported_handlers_quarantine_typed():
+    with pytest.raises(ValueError, match="security handler"):
+        pc.open_standard_security({"Filter": "Adobe.PubSec"}, b"")
+    with pytest.raises(ValueError, match="revision"):
+        pc.open_standard_security(
+            {"Filter": "Standard", "V": 6, "R": 99, "O": b"0" * 32,
+             "U": b"0" * 32}, b"",
+        )
+    with pytest.raises(ValueError, match="crypt filter"):
+        pc.open_standard_security(
+            {"Filter": "Standard", "V": 4, "R": 4, "O": b"0" * 32,
+             "U": b"0" * 32, "StmF": "StdCF",
+             "CF": {"StdCF": {"CFM": "AESV9"}}}, b"",
+        )
+
+
+# ---------------------------------------------------------------------
+# end-to-end: encrypted writer → reader
+# ---------------------------------------------------------------------
+
+
+def test_encrypted_pdf_roundtrip_all_combos():
+    pages = [
+        "hello world line one\nsecond line",
+        "page two with (parens) and \\ backslash",
+        "unicode: żółć",
+    ]
+    base = P.extract_pdf_text(P.encode_pdf_text(pages))
+    for layout in ("classic", "objstm"):
+        for filt in ("flate", "lzw"):
+            for enc in (None, "rc4-40", "rc4", "aes", "aes256"):
+                raw = P.encode_pdf_text(
+                    pages, layout=layout, filter_name=filt, encrypt=enc
+                )
+                assert P.extract_pdf_text(raw) == base, (layout, filt, enc)
+
+
+def test_encrypted_pdf_is_actually_encrypted():
+    # the plaintext must NOT appear in the file bytes (streams are
+    # really ciphered, not just flagged)
+    marker = "zq unique marker zq"
+    for enc in ("rc4-40", "rc4", "aes", "aes256"):
+        raw = P.encode_pdf_text([marker], compress=False, encrypt=enc)
+        assert b"zq unique marker zq" not in raw, enc
+        assert P.extract_pdf_text(raw)["pages"] == [marker]
+
+
+def test_password_protected_file_quarantines():
+    # splice R3 entries derived for a NON-empty user password into a
+    # real file's trailer: extraction must raise the typed reason
+    raw = P.encode_pdf_text(["x"], compress=False)
+    enc, key = _r3_entries(b"secret", b"", b"\x05" * 16)
+    d = (
+        b"/Encrypt << /Filter /Standard /V 2 /R 3 /Length 128 /P -3904"
+        b" /O <" + enc["O"].hex().encode() + b"> /U <"
+        + enc["U"].hex().encode() + b"> >> /ID [<"
+        + (b"\x05" * 16).hex().encode() + b"><"
+        + (b"\x05" * 16).hex().encode() + b">] "
+    )
+    raw = raw.replace(b"/Root", d + b"/Root", 1)
+    with pytest.raises(ValueError, match="password required"):
+        P.extract_pdf_text(raw)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"),
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.sampled_from(["rc4-40", "rc4", "aes", "aes256"]),
+    st.sampled_from(["classic", "objstm"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_encrypted_roundtrip_property(pages, enc, layout):
+    raw = P.encode_pdf_text(pages, layout=layout, encrypt=enc)
+    d = P.extract_pdf_text(raw)
+    assert d["pages"] == pages and d["n_pages"] == len(pages)
