@@ -5784,6 +5784,66 @@ FROM documents
 """
 
 
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio routing metadata (round 10, staged): per doc
+    an MP3 (ID3v2 TIT2 tag + CBR MPEG-1 Layer III frames), an OGG
+    Vorbis, or an OGG Opus fixture (all fields text-derived), parsed
+    back through the frame/page walk into ONE typed row. The oracle
+    replays every field rule in SQL — wrong frame-length arithmetic,
+    a mis-skipped tag, a bad page CRC, or wrong granule→duration
+    math anywhere in the corpus fails the hash. Bytes never
+    shuffle."""
+    from .functions import mp3ogg as A
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return A.audio_metadata_features(
+        A.synthesize_audio_meta_from_text(docs)
+    ).select(
+        "doc_id", "container", "codec", "duration_s", "sample_rate",
+        "channels", "bitrate_kbps", "n_units", "title", "ok",
+    )
+
+
+ORACLE_AUDIO_METADATA = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'mp3' ELSE 'ogg' END AS container,
+       CASE doc_id % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'vorbis'
+            ELSE 'opus' END AS codec,
+       CASE doc_id % 3
+         WHEN 0 THEN CAST((1 + length(text) % 50) * 1152 AS DOUBLE)
+           / (CASE (length(text) // 3) % 3 WHEN 0 THEN 32000
+              WHEN 1 THEN 44100 ELSE 48000 END)
+         WHEN 1 THEN CAST(length(text) * 97 AS DOUBLE)
+           / (CASE length(text) % 3 WHEN 0 THEN 8000
+              WHEN 1 THEN 16000 ELSE 44100 END)
+         ELSE CAST(length(text) * 53 AS DOUBLE) / 48000
+       END AS duration_s,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN CASE (length(text) // 3) % 3 WHEN 0 THEN 32000
+              WHEN 1 THEN 44100 ELSE 48000 END
+         WHEN 1 THEN CASE length(text) % 3 WHEN 0 THEN 8000
+              WHEN 1 THEN 16000 ELSE 44100 END
+         ELSE 48000
+       END AS INT) AS sample_rate,
+       CAST(1 + length(text) % 2 AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN
+         CASE length(text) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
+              ELSE 192 END
+       END AS INT) AS bitrate_kbps,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN 1 + length(text) % 50
+         WHEN 1 THEN 2 + length(text) % 4
+         ELSE 2 + length(text) % 3
+       END AS BIGINT) AS n_units,
+       CASE WHEN doc_id % 3 = 0
+            THEN 't' || CAST(length(text) % 100 AS VARCHAR) END AS title,
+       TRUE AS ok
+FROM documents
+"""
+
+
 ORACLE_GIF_FRAMES = """
 WITH f AS (
   SELECT doc_id, text, CAST(1 + length(text) % 5 AS INT) AS nf

@@ -5926,6 +5926,7 @@ def test_staged_queries_match_oracle(spark):
     staged = {
         "gif_frames": (Q.q_gif_frames, Q.ORACLE_GIF_FRAMES),
         "mp4_metadata": (Q.q_mp4_metadata, Q.ORACLE_MP4_METADATA),
+        "audio_metadata": (Q.q_audio_metadata, Q.ORACLE_AUDIO_METADATA),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
@@ -5941,9 +5942,11 @@ def test_staged_queries_match_oracle(spark):
         assert len(got) == len(want) and len(got) > 0, (
             name, len(got), len(want),
         )
-        for col in cols:
-            assert got[col].dtype == want[col].dtype, (name, col)
-            assert list(got[col]) == list(want[col]), (name, col)
+        import pandas.testing as pdt
+
+        # NaN-safe value compare (the driver canonicalizes NULLs;
+        # list equality would fail on NaN != NaN)
+        pdt.assert_frame_equal(got, want, check_dtype=True)
 
 
 def test_sniff_media_type(spark):

