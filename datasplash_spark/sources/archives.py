@@ -1,7 +1,7 @@
-"""Training-corpus archive sources: WebDataset tar shards + WARC
-(round 10).
+"""Training-corpus archive sources: WebDataset tar shards, ZIP
+shards, and WARC (round 10).
 
-The two container formats real pre-training pipelines actually read:
+The container formats real pre-training pipelines actually read:
 
 - **WebDataset tar shards** — the standard layout for multimodal
   datasets (a dataset is a directory of ``.tar`` shards; each sample
@@ -13,6 +13,10 @@ The two container formats real pre-training pipelines actually read:
   the same executor (bytes never shuffle). :func:`write_tar_shards`
   writes the same layout back, one tar per shard id, atomically
   (tmp + rename).
+- **ZIP shards** — Kaggle-style dumps and scraped bundles.
+  :func:`read_zip_shards` / :func:`write_zip_shards` are drop-in
+  twins of the tar pair (same row schema, same grouping
+  convention), stdlib ``zipfile``, Stored + Deflated members.
 - **WARC 1.0/1.1** — Common Crawl's format. :func:`read_warc`
   parses both plain ``.warc`` and per-record-gzipped ``.warc.gz``
   (member-concatenated — stdlib ``zlib`` loop) into typed records
@@ -39,6 +43,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import zipfile
 import zlib
 
 from pyspark.sql import DataFrame
@@ -167,6 +172,113 @@ def write_tar_shards(
         df.select(shard_col, key_col, ext_col, data_col)
         .groupBy(shard_col)
         .applyInPandas(write, schema="shard_id string, path string, n_members bigint")
+    )
+
+
+def read_zip_shards(
+    spark, path_glob: str, watch_new_files: bool = False
+) -> DataFrame:
+    """ZIP-shard reader, same contract and row schema as
+    :func:`read_tar_shards` (``shard, member, key, ext, data``) —
+    datasets distributed as zips (Kaggle-style dumps, scraped
+    bundles) ingest through the identical WebDataset grouping path.
+    Stdlib ``zipfile`` over the in-memory shard (central-directory
+    based, so Stored and Deflated members both read); directory
+    entries are skipped; a corrupt shard raises inside the task
+    (ingest incident, not row poison). ``watch_new_files=True``
+    returns a STREAMING DataFrame polling the directory."""
+    import pandas as pd
+
+    if watch_new_files:
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA)
+            .load(path_glob)
+        )
+    else:
+        files = spark.read.format("binaryFile").load(path_glob)
+
+    def split(batches):
+        for b in batches:
+            shards, members, keys, exts, datas = [], [], [], [], []
+            for path, content in zip(b["path"], b["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        data = zf.read(info)
+                        base = info.filename.rsplit("/", 1)[-1]
+                        dot = base.find(".")
+                        key = base[:dot] if dot > 0 else base
+                        ext = base[dot + 1 :] if dot > 0 else ""
+                        shards.append(path)
+                        members.append(info.filename)
+                        keys.append(key)
+                        exts.append(ext)
+                        datas.append(data)
+            yield pd.DataFrame(
+                {
+                    "shard": shards, "member": members, "key": keys,
+                    "ext": exts, "data": datas,
+                }
+            )
+
+    return files.select("path", "content").mapInPandas(
+        split, schema=TAR_MEMBER_SCHEMA
+    )
+
+
+def write_zip_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard_id",
+    key_col: str = "key",
+    ext_col: str = "ext",
+    data_col: str = "data",
+    compression: str = "deflated",
+) -> DataFrame:
+    """ZIP twin of :func:`write_tar_shards`: one ``{shard_id}.zip``
+    per distinct ``shard_col`` value, members named ``{key}.{ext}``,
+    atomic tmp+rename, returned as ``(shard_id, path, n_members)``.
+    ``compression``: "deflated" (default) or "stored" (already-
+    compressed payloads — media bytes — should skip the second
+    deflate)."""
+    import pandas as pd
+
+    comp = {
+        "deflated": zipfile.ZIP_DEFLATED,
+        "stored": zipfile.ZIP_STORED,
+    }[compression]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = str(pdf[shard_col].iloc[0])
+        path = os.path.join(out_dir, f"{sid}.zip")
+        tmp = path + ".inprogress"
+        with zipfile.ZipFile(tmp, "w", compression=comp) as zf:
+            ordered = pdf.sort_values([key_col, ext_col])
+            for _, row in ordered.iterrows():
+                name = (
+                    f"{row[key_col]}.{row[ext_col]}"
+                    if row[ext_col]
+                    else str(row[key_col])
+                )
+                # fixed timestamp: shard bytes must be deterministic
+                # (replay produces identical files)
+                info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                info.compress_type = comp
+                zf.writestr(info, bytes(row[data_col]))
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"shard_id": [sid], "path": [path], "n_members": [len(pdf)]}
+        )
+
+    return (
+        df.select(shard_col, key_col, ext_col, data_col)
+        .groupBy(shard_col)
+        .applyInPandas(
+            write, schema="shard_id string, path string, n_members bigint"
+        )
     )
 
 
