@@ -852,12 +852,26 @@ def remove_repeated_spans(
     k: int = 8,
     min_count: int = 2,
     persist: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact repeated-span REMOVAL (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr
     dedup, token-window approximation): every k-token window whose
     text occurs ≥ ``min_count`` times corpus-wide marks its covered
     token positions, and those tokens are cut from the document.
+
+    ``keep_first=False`` (default) cuts EVERY occurrence — the
+    boilerplate/licence-block trim. ``keep_first=True`` preserves
+    the corpus-canonical occurrence of each duplicated window — the
+    lexicographically first ``(doc_id, start)`` — and cuts the rest,
+    the Lee-et-al. semantics where one copy of the duplicated span
+    survives training. (Window-level approximation: where
+    overlapping windows elect canonicals in different documents, the
+    boundary tokens of a long span may still trim — exact-substring
+    byte semantics would need a suffix array; this is the
+    shuffle-friendly form.) Canonical election costs one extra
+    ``min(struct(doc_id, start))`` inside the same aggregate — no
+    additional shuffle.
     Output: ``doc_id, text_clean, n_tokens, n_removed`` — the
     curation step that *trims* boilerplate/licence blocks instead of
     dropping whole documents (reference has no analog; this is the
@@ -902,17 +916,39 @@ def remove_repeated_spans(
     )
     if persist:
         wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        wins.groupBy("window_md5")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_count)
-        .select("window_md5")
-    )
-    dup_starts = (
-        wins.join(dup, "window_md5")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
-    )
+    if keep_first:
+        dup = (
+            wins.groupBy("window_md5")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min(F.struct("doc_id", "start")).alias("_keep"),
+            )
+            .filter(F.col("_n") >= min_count)
+            .select("window_md5", "_keep")
+        )
+        dup_starts = (
+            wins.join(dup, "window_md5")
+            .filter(
+                ~(
+                    (F.col("doc_id") == F.col("_keep.doc_id"))
+                    & (F.col("start") == F.col("_keep.start"))
+                )
+            )
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+        )
+    else:
+        dup = (
+            wins.groupBy("window_md5")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_count)
+            .select("window_md5")
+        )
+        dup_starts = (
+            wins.join(dup, "window_md5")
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+        )
     base = df.select(
         _col(id_col).alias("doc_id"), _col(text).alias("_text")
     ).join(dup_starts, "doc_id", "left")

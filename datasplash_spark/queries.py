@@ -4026,6 +4026,64 @@ FROM built
 """
 
 
+def q_remove_spans_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr with a SURVIVOR (round 10, staged): like
+    remove_repeated_spans, but the corpus-canonical occurrence of
+    each duplicated 8-token window — lexicographically first
+    ``(doc_id, start)`` — keeps its tokens; only the other copies
+    trim. The Lee-et-al. semantics where one copy of every
+    duplicated span survives training. Canonical election is a
+    ``min(struct)`` inside the existing digest aggregate — same
+    shuffle count as the remove-all form."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.remove_repeated_spans(
+        docs, k=8, min_count=2, keep_first=True
+    )
+
+
+ORACLE_REMOVE_SPANS_KEEP_FIRST = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS start,
+         unnest(list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                i -> md5(array_to_string(t[i:i+7], ' ')))) AS w
+  FROM toks
+), dup AS (
+  SELECT w, min(doc_id) AS d0 FROM wins
+  GROUP BY w HAVING count(*) >= 2
+), firsts AS (
+  SELECT wins.w, dup.d0, min(wins.start) AS s0
+  FROM wins JOIN dup ON wins.w = dup.w AND wins.doc_id = dup.d0
+  GROUP BY wins.w, dup.d0
+), ds AS (
+  SELECT wins.doc_id, list_sort(list(wins.start)) AS starts
+  FROM wins JOIN firsts f USING (w)
+  WHERE NOT (wins.doc_id = f.d0 AND wins.start = f.s0)
+  GROUP BY wins.doc_id
+), j AS (
+  SELECT t.doc_id, t.t, coalesce(d.starts, []) AS starts
+  FROM toks t LEFT JOIN ds d USING (doc_id)
+), built AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(range(1, len(t) + 1),
+           j -> CASE WHEN len(list_filter(starts,
+                       s -> s <= j AND j < s + 8)) > 0
+                THEN NULL ELSE t[j] END),
+           x -> x IS NOT NULL) AS kept
+  FROM j
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       len(t)::BIGINT AS n_tokens,
+       (len(t) - len(kept))::BIGINT AS n_removed
+FROM built
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: each doc's token interval in
     its source's stream + the pack (seq_len=512) holding its first

@@ -642,6 +642,48 @@ def test_remove_repeated_spans_min_count(spark):
     assert rows == {1: 0, 2: 0, 3: 0}
 
 
+def test_remove_repeated_spans_keep_first(spark):
+    # keep_first=True: the lexicographically-first (doc_id, start)
+    # occurrence of each duplicated window survives; the rest trim.
+    docs = generate_input(
+        spark,
+        [
+            (1, "a b c"),   # canonical for "a b": keeps everything
+            (2, "a b d"),   # loses "a b", keeps "d"
+            (3, "x a b"),   # loses "a b" (start 2-3), keeps "x"
+            (4, "solo"),    # canonical whole-text window
+            (5, "solo"),    # duplicate: empties
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dd.remove_repeated_spans(
+            docs, k=2, keep_first=True
+        ).collect()
+    }
+    assert rows == {
+        1: ("a b c", 0),
+        2: ("d", 2),
+        3: ("x", 2),
+        4: ("solo", 0),
+        5: ("", 1),
+    }
+    # intra-doc duplicate: earliest start in the canonical doc wins
+    docs2 = generate_input(
+        spark,
+        [(7, "a b z a b"), (9, "a b q")],
+        "doc_id bigint, text string",
+    )
+    rows2 = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in dd.remove_repeated_spans(
+            docs2, k=2, keep_first=True
+        ).collect()
+    }
+    assert rows2 == {7: ("a b z", 2), 9: ("q", 2)}
+
+
 def test_global_shuffle_total_order_and_determinism(spark):
     from datasplash_spark.operators import global_shuffle, shuffle_key
 
@@ -5927,6 +5969,10 @@ def test_staged_queries_match_oracle(spark):
         "gif_frames": (Q.q_gif_frames, Q.ORACLE_GIF_FRAMES),
         "mp4_metadata": (Q.q_mp4_metadata, Q.ORACLE_MP4_METADATA),
         "audio_metadata": (Q.q_audio_metadata, Q.ORACLE_AUDIO_METADATA),
+        "remove_spans_keep_first": (
+            Q.q_remove_spans_keep_first,
+            Q.ORACLE_REMOVE_SPANS_KEEP_FIRST,
+        ),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
