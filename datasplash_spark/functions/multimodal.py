@@ -1429,8 +1429,9 @@ def sniff_media_type(media: ColumnLike) -> Column:
     codec (or quarantine) without a Python round-trip, so a mixed
     media column fans out to per-format pipelines with zero overhead
     on the non-matching rows. Detects ``png``/``jpeg``/``pnm``/
-    ``wav``/``flac``/``gif``/``bmp``/``tiff``/``mp4``/``webp`` (+
-    ``empty``/``unknown``);
+    ``wav``/``flac``/``gif``/``bmp``/``tiff``/``mp4``/``webp``/
+    ``pdf``/``ogg``/``mp3`` (ID3 or bare frame sync)/``zip``/
+    ``gzip``/``warc``/``tar`` (+ ``empty``/``unknown``);
     ``jpeg`` covers MJPEG streams too (same SOI magic — use
     :func:`video_frame_features` when frame counts say video).
 
@@ -1466,5 +1467,20 @@ def sniff_media_type(media: ColumnLike) -> Column:
             F.lit("webp"),
         )
         .when(hex4 == F.lit("25504446"), F.lit("pdf"))  # %PDF
+        .when(hex4 == F.lit("4F676753"), F.lit("ogg"))  # OggS
+        .when(hex3 == F.lit("494433"), F.lit("mp3"))  # ID3
+        .when(
+            # bare MPEG audio frame sync: FF Ex / FF Fx (FFD8 jpeg
+            # already matched above)
+            F.substring(hex2, 1, 3).isin("FFE", "FFF"),
+            F.lit("mp3"),
+        )
+        .when(hex4 == F.lit("504B0304"), F.lit("zip"))
+        .when(hex2 == F.lit("1F8B"), F.lit("gzip"))
+        .when(hex4 == F.lit("57415243"), F.lit("warc"))  # WARC
+        .when(
+            F.hex(F.substring(m, 258, 5)) == F.lit("7573746172"),
+            F.lit("tar"),  # 'ustar' at offset 257 (0-based)
+        )
         .otherwise(F.lit("unknown"))
     )

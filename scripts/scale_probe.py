@@ -97,6 +97,28 @@ def probe(spark, k: int) -> None:
         "semantic_dedup": lambda: sim.semantic_dedup(
             emb, eps=0.9, centroids=sim.ivf_centroids(emb, n_cells)
         ).count(),
+        "spans_keep_first": lambda: dd.remove_repeated_spans(
+            docs, k=8, min_count=2, keep_first=True
+        )
+        .agg(F.sum("n_removed"))
+        .first()[0],
+        # round-10 session 2: compressed-audio metadata tier (MP3
+        # frame walk + ID3 + OGG CRC-verified pages, per-doc)
+        "audio_metadata": lambda: (
+            lambda A: A.audio_metadata_features(
+                A.synthesize_audio_meta_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum("n_units"))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.mp3ogg", fromlist=["mp3ogg"]
+            )
+        ),
         "remove_spans": lambda: dd.remove_repeated_spans(
             docs, k=8, min_count=2
         ).count(),

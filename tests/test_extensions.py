@@ -6016,13 +6016,23 @@ def test_sniff_media_type(spark):
         (8, bytearray(b"BM......")),
         (9, bytearray(b"")), (10, None),
         (11, bytearray(b"plain text")),
+        (12, bytearray(b"OggS\x00......")),
+        (13, bytearray(b"ID3\x03\x00....")),
+        (14, bytearray(b"\xff\xfb\x90\x00" + bytes(8))),  # bare sync
+        (15, bytearray(b"PK\x03\x04....")),
+        (16, bytearray(b"\x1f\x8b\x08\x00....")),
+        (17, bytearray(b"WARC/1.1\r\n...")),
+        (18, bytearray(bytes(257) + b"ustar\x00" + bytes(20))),
+        (19, bytearray(b"%PDF-1.4\n...")),
     ]
     df = generate_input(spark, rows, "doc_id bigint, media binary")
     out = df.select("doc_id", mm.sniff_media_type("media").alias("t"))
     got = {r.doc_id: r.t for r in out.collect()}
     want = {1: "png", 2: "jpeg", 3: "pnm", 4: "wav", 5: "webp",
             6: "unknown", 7: "gif", 8: "bmp", 9: "empty",
-            10: "empty", 11: "unknown"}
+            10: "empty", 11: "unknown", 12: "ogg", 13: "mp3",
+            14: "mp3", 15: "zip", 16: "gzip", 17: "warc",
+            18: "tar", 19: "pdf"}
     assert got == want
     import contextlib, io
     buf = io.StringIO()
