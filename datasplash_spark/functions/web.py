@@ -209,3 +209,134 @@ def html_extract(html: ColumnLike) -> dict[str, Column]:
         "n_tags": n_tags,
         "n_links": n_links,
     }
+
+
+# ---------------------------------------------------------------------
+# robots.txt (round 10 s2)
+# ---------------------------------------------------------------------
+
+
+def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt and resolve the rule group for
+    ``agent``: original-REP semantics — consecutive ``User-agent``
+    lines open a shared group; directives are case-insensitive;
+    ``#`` comments strip; an exact agent group beats the ``*``
+    group; empty ``Disallow:`` matches nothing (allow-all). Returns
+    ``[(allow, path_prefix), ...]`` for the resolved group (prefix
+    matching only — the 1994 REP; Google-extension wildcards are a
+    documented non-goal). Runs driver/kernel-side over the
+    hosts-sized robots table, never per URL."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_agents = False
+    for raw_line in (txt or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_agents = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if key == "disallow" and val == "":
+                continue  # empty Disallow = allow everything
+            if val:
+                rules.append((key == "allow", val))
+        else:
+            in_agents = False  # crawl-delay / sitemap etc.: ignored
+    if agents:
+        groups.append((agents, rules))
+    a = agent.lower()
+    for ags, rs in groups:  # exact agent group wins
+        if a in ags:
+            return rs
+    for ags, rs in groups:
+        if "*" in ags:
+            return rs
+    return []
+
+
+ROBOTS_RULES_SCHEMA = (
+    "host string, rules array<struct<allow:boolean,path:string>>"
+)
+
+
+def robots_rules_table(
+    robots_df: DataFrame,
+    agent: str = "*",
+    host_col: ColumnLike = "host",
+    text_col: ColumnLike = "robots_txt",
+) -> DataFrame:
+    """``(host, rules)`` — one resolved rule group per host for
+    ``agent``. The robots corpus is HOSTS-sized (a few million rows
+    at web scale, KBs each), so the parse is a cheap mapInPandas and
+    the result broadcasts into the per-URL decision join."""
+    import pandas as pd
+
+    def parse(batches):
+        for b in batches:
+            hosts, rules = [], []
+            for h, t in zip(b[host_col], b[text_col]):
+                hosts.append(h)
+                rules.append(
+                    [
+                        {"allow": a, "path": p}
+                        for a, p in parse_robots_rules(t, agent)
+                    ]
+                )
+            yield pd.DataFrame({"host": hosts, "rules": rules})
+
+    return robots_df.select(
+        _col(host_col).alias(host_col), _col(text_col).alias(text_col)
+    ).mapInPandas(parse, schema=ROBOTS_RULES_SCHEMA)
+
+
+def robots_allowed(url: ColumnLike, rules: ColumnLike) -> Column:
+    """Longest-match robots decision as a PURE Column over the
+    broadcast rules array: rules whose path prefixes the URL path
+    compete on length, ties go to Allow (the REP tiebreak), no match
+    or no robots row (NULL rules) = allowed. Runs inside codegen on
+    the corpus-sized URL table — no Python in the per-URL path."""
+    path = url_path(url)
+    r = _col(rules)
+    matching = F.filter(
+        r, lambda x: path.startswith(x["path"])
+    )
+    # order by (path length, allow): longest wins, Allow wins ties
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda x: F.struct(
+                F.length(x["path"]).alias("n"),
+                x["allow"].alias("allow"),
+            ),
+        )
+    )
+    return F.coalesce(best["allow"], F.lit(True))
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots_df: DataFrame,
+    agent: str = "*",
+    url_col: ColumnLike = "url",
+) -> DataFrame:
+    """The RefinedWeb-style robots gate: join each URL's host to its
+    resolved rule group (BROADCAST — the robots table is hosts-sized)
+    and decide per URL with :func:`robots_allowed`. Adds ``host``,
+    ``allowed``; hosts with no robots.txt default to allowed. At
+    100 TB: one broadcast hash join + a codegen'd array expression;
+    URLs never shuffle."""
+    rules = robots_rules_table(robots_df, agent)
+    u = urls.withColumn("host", url_host(_col(url_col)))
+    return u.join(F.broadcast(rules), "host", "left").withColumn(
+        "allowed", robots_allowed(_col(url_col), F.col("rules"))
+    ).drop("rules")

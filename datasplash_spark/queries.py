@@ -2037,6 +2037,89 @@ SELECT doc_id, url, host, norm_url FROM normed
 """
 
 
+#: per-host robots.txt fixtures for q_robots_filter (cdn.example.io
+#: deliberately has NO robots row — the default-allow path)
+_ROBOTS_FIXTURES = [
+    (
+        "www.example.com",
+        "# site rules\nUser-agent: *\nDisallow: /private/\n"
+        "Allow: /private/ok\nDisallow:\n",
+    ),
+    (
+        "blog.example.org",
+        "User-agent: trainer\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /tmp/\n",
+    ),
+    ("spam.example.net", "User-agent: *\nDisallow: /\n"),
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (round 10 s2, staged): synthesized URLs with
+    five path shapes against per-host robots fixtures — longest-
+    match Allow/Disallow with the Allow tiebreak, agent-group
+    resolution, empty-Disallow no-op, and the missing-robots
+    default-allow all land in one corpus pass. The hosts-sized rules
+    table BROADCASTS; the per-URL decision is a codegen'd array
+    expression (no Python on the corpus-sized side)."""
+    from .functions import web as wb
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 4 == 1, F.lit("blog.example.org"))
+        .when(d % 4 == 2, F.lit("spam.example.net"))
+        .otherwise(F.lit("cdn.example.io"))
+    )
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("/private/ok/"), d.cast("string")))
+        .when(d % 5 == 1, F.concat(F.lit("/private/"), d.cast("string")))
+        .when(d % 5 == 2, F.concat(F.lit("/tmp/"), d.cast("string")))
+        .when(d % 5 == 3, F.lit("/"))
+        .otherwise(F.concat(F.lit("/posts/"), d.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURES, "host string, robots_txt string"
+    )
+    return wb.robots_filter(urls, robots, agent="*").select(
+        "doc_id", "url", "host", "allowed"
+    )
+
+
+ORACLE_ROBOTS_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'WWW.Example.COM'
+         WHEN 1 THEN 'blog.example.org'
+         WHEN 2 THEN 'spam.example.net'
+         ELSE 'cdn.example.io' END AS rawhost,
+    CASE doc_id % 5
+      WHEN 0 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN '/'
+      ELSE '/posts/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+)
+SELECT doc_id,
+       'https://' || rawhost || path AS url,
+       lower(rawhost) AS host,
+       CASE lower(rawhost)
+         WHEN 'www.example.com' THEN
+           (NOT starts_with(path, '/private/'))
+           OR starts_with(path, '/private/ok')
+         WHEN 'blog.example.org' THEN NOT starts_with(path, '/tmp/')
+         WHEN 'spam.example.net' THEN FALSE
+         ELSE TRUE
+       END AS allowed
+FROM u
+"""
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host corpus profile over the synthesized URLs: doc
     count, distinct normalized URLs, total chars — the block/allow

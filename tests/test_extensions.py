@@ -5708,6 +5708,57 @@ def test_synthesize_video_roundtrip(spark):
     assert raw[1][1][off : off + ln] == ref
 
 
+def test_robots_filter_semantics(spark):
+    """robots_filter: longest-match with the Allow tiebreak, agent
+    group resolution (exact beats *), empty-Disallow no-op, missing
+    host defaults to allowed; the rules side broadcasts and the
+    per-URL decision has no Python stage."""
+    from datasplash_spark.functions import web as wb
+
+    robots = generate_input(
+        spark,
+        [
+            (
+                "a.com",
+                "User-agent: trainer\nDisallow: /\n"
+                "User-agent: *\nDisallow: /x/\nAllow: /x/ok\n",
+            ),
+            ("b.com", "User-agent: *\nDisallow:\n"),  # allow-all
+        ],
+        "host string, robots_txt string",
+    )
+    urls = generate_input(
+        spark,
+        [
+            (1, "https://a.com/x/ok/page"),   # Allow wins (longer)
+            (2, "https://a.com/x/other"),     # Disallow /x/
+            (3, "https://a.com/y"),           # no match -> allow
+            (4, "https://b.com/anything"),    # empty Disallow
+            (5, "https://c.com/whatever"),    # no robots row
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: r.allowed
+        for r in wb.robots_filter(urls, robots, agent="*").collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+    # exact agent group shadows the * group entirely
+    got_tr = {
+        r.doc_id: r.allowed
+        for r in wb.robots_filter(urls, robots, agent="trainer").collect()
+    }
+    assert got_tr == {1: False, 2: False, 3: False, 4: True, 5: True}
+    # plan: broadcast join, no Exchange on the URL side
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wb.robots_filter(urls, robots).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+
+
 def test_html_extract(spark):
     """html_extract: scripts/styles/comments vanish with their
     content, title captured, block structure becomes newlines, tags
@@ -5973,6 +6024,7 @@ def test_staged_queries_match_oracle(spark):
             Q.q_remove_spans_keep_first,
             Q.ORACLE_REMOVE_SPANS_KEEP_FIRST,
         ),
+        "robots_filter": (Q.q_robots_filter, Q.ORACLE_ROBOTS_FILTER),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
