@@ -87,7 +87,75 @@ def probe(spark, k: int) -> None:
     n_cells = 16 if k <= 10 else max(16, n_vec // 1000)
     print(f"x{k}: {n_vec} vectors, n_cells={n_cells}", flush=True)
 
+    def media_composition() -> int:
+        """Composed MIXED-MEDIA tier (round 10 s2), one plan family:
+        synthesize four container families, route by magic
+        (sniff_media_type, codegen'd), extract per route (image
+        decode+aHash / PDF text incl. the security handler / MP3-OGG
+        metadata / MP4 boxes), near-dup the image branch — the
+        multimodal analog of the `composition` text tier."""
+        from datasplash_spark.functions import mp3ogg as au
+        from datasplash_spark.functions import mp4 as mp
+        from datasplash_spark.functions import multimodal as mm
+        from datasplash_spark.functions import pdf as pf
+
+        d = docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        did = F.col("doc_id")
+        media = (
+            mm.synthesize_image_from_text(
+                d.filter(did % 4 == 0),
+                fmt=F.when(did % 8 == 0, F.lit("png")).otherwise(
+                    F.lit("jpeg")
+                ),
+            )
+            .select("doc_id", "media")
+            .unionByName(
+                pf.synthesize_pdf_from_text(d.filter(did % 4 == 1))
+                .select("doc_id", "media")
+            )
+            .unionByName(
+                au.synthesize_audio_meta_from_text(d.filter(did % 4 == 2))
+                .select("doc_id", "media")
+            )
+            .unionByName(
+                mp.synthesize_mp4_from_text(d.filter(did % 4 == 3))
+                .select("doc_id", "media")
+            )
+            .persist()
+        )
+        kind = mm.sniff_media_type("media")
+        try:
+            total = (
+                mm.image_ahash(media.filter(kind.isin("png", "jpeg")))
+                .select("ahash")
+                .distinct()
+                .count()
+            )
+            total += (
+                pf.pdf_text_features(media.filter(kind == "pdf"))
+                .agg(F.sum(F.col("n_chars").cast("long")))
+                .first()[0]
+            )
+            total += (
+                au.audio_metadata_features(
+                    media.filter(kind.isin("mp3", "ogg"))
+                )
+                .agg(F.sum("n_units"))
+                .first()[0]
+            )
+            total += (
+                mp.mp4_metadata_features(media.filter(kind == "mp4"))
+                .agg(F.sum("n_samples"))
+                .first()[0]
+            )
+        finally:
+            media.unpersist()
+        return total
+
     ops = {
+        "media_composition": media_composition,
         "lsh_pairs": lambda: dd.lsh_candidate_pairs(
             docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
         ).count(),
