@@ -5589,7 +5589,13 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug in either container breaks the hash."""
     from .functions import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    # pre-kernel repartition: the FLAC encode/decode kernels are the
+    # cost here (round-10 mixed corpus), and the documents scan is a
+    # single split at sf<=0.1 — fan the per-doc work across cores
+    # like the other media queries (7.5 s -> ~1 s at sf0.1)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     wavs = mm.synthesize_wav_from_text(
         docs, max_samples=2048, container="mixed"
     )
