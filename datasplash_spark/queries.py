@@ -6504,8 +6504,6 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # design (its deterministic twin sample_per_key_det is r4-
     # green) and multimodal_features is r3-green and unchanged.
     # Both lead the round-6 rotation.
-    "sample_per_key": (q_sample_per_key, None),
-    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     # new in round 5 (gate_sim-proven; lead the round-6 rotation
     # together with the two deferrals above):
     "importance_resample": (
@@ -6559,7 +6557,6 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "concat_count": (q_concat_count, ORACLE_CONCAT_COUNT),
     "mapcat_tokens": (q_mapcat_tokens, ORACLE_MAPCAT_TOKENS),
     "partition_by": (q_partition_by, ORACLE_PARTITION_BY),
-    "sample_global": (q_sample_global, None),
     "sample_global_det": (q_sample_global_det, ORACLE_SAMPLE_GLOBAL_DET),
     "sample_per_key_det": (q_sample_per_key_det, ORACLE_SAMPLE_PER_KEY_DET),
     "window_fixed": (q_window_fixed, ORACLE_WINDOW_FIXED),
@@ -6575,7 +6572,6 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "ngram_counts": (q_ngram_counts, ORACLE_NGRAM_COUNTS),
     "pivot": (q_pivot, ORACLE_PIVOT),
     "profile": (q_profile, ORACLE_PROFILE),
-    "approx_aggs": (q_approx_aggs, None),
     "hash_split": (q_hash_split, ORACLE_HASH_SPLIT),
     "rollup": (q_rollup, ORACLE_ROLLUP),
     "asof_last_view": (q_asof_last_view, ORACLE_ASOF_LAST_VIEW),
@@ -6625,7 +6621,6 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "paragraph_dedup": (q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP),
     "readability": (q_readability, ORACLE_READABILITY),
     # --- round 9 (promoted from the round-8 staging block) ---
-    "ahash_pairs": (q_ahash_pairs, ORACLE_AHASH_PAIRS),
     "html_extract": (q_html_extract, ORACLE_HTML_EXTRACT),
     # --- round 10 (promoted from the round-8/9 staging block) ---
     "pdf_extract": (q_pdf_extract, ORACLE_PDF_EXTRACT),
@@ -6636,6 +6631,20 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "image_formats_all": (q_image_formats_all, ORACLE_IMAGE_FORMATS_ALL),
     "video_frames": (q_video_frames, ORACLE_VIDEO_FRAMES),
     "rebuild_paragraphs": (q_rebuild_paragraphs, ORACLE_REBUILD_PARAGRAPHS),
+    # --- round 10 session 2 (promoted one-for-one under the 156
+    # cap; retired: sample_global / sample_per_key / approx_aggs —
+    # rows-only by design, their fully-oracled deterministic twins
+    # stay gated — plus ahash_pairs, subsumed end-to-end by
+    # image_neardup_clusters, and multimodal_features, the stub-era
+    # plumbing query superseded by the real-decode family; all five
+    # retired FUNCTIONS remain in the library with pytest coverage) ---
+    "mp4_metadata": (q_mp4_metadata, ORACLE_MP4_METADATA),
+    "gif_frames": (q_gif_frames, ORACLE_GIF_FRAMES),
+    "audio_metadata": (q_audio_metadata, ORACLE_AUDIO_METADATA),
+    "remove_spans_keep_first": (
+        q_remove_spans_keep_first, ORACLE_REMOVE_SPANS_KEEP_FIRST,
+    ),
+    "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
 }
 
 
@@ -6657,14 +6666,15 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-10 window = _NEW_R10 (the six queries promoted this round
-# from the round-8/9 staging block — never driver-gated, so
-# infinitely stale, leading by greedy fill) + the 44 stalest queries
-# of the r7-green block (newest driver row CORRECTNESS_r07,
-# staleness 3 at the r10 run). The r7 block has 50 members but the
-# window holds only 44 of them; the 6 left outside share the inside
-# minimum staleness (equal-staleness overflow, permitted by the
-# invariant) and lead the round-11 window at the 4-round backstop.
+# Round-10 window = _NEW_R10 + _NEW_R10_S2 (the 6 + 5 queries
+# promoted this round — never driver-gated, so infinitely stale,
+# leading by greedy fill; the session-2 five were paid for by
+# one-for-one retirements under the 156 cap) + the 39 stalest
+# queries of the r7-green block (newest driver row CORRECTNESS_r07,
+# staleness 3 at the r10 run). The r7 block has 48 members after
+# the two retirements; the 9 left outside share the inside minimum
+# staleness (equal-staleness overflow, permitted by the invariant)
+# and lead the round-11 window at the 4-round backstop.
 #
 # Steady state at 156 gated queries (VERDICT r9 item 5, the
 # headroom decision): each round gates 50, so a 6-query tail of the
@@ -6694,14 +6704,29 @@ _NEW_R10: list[str] = [
     "rebuild_paragraphs",
 ]
 
+#: Queries promoted in round-10 SESSION 2 under the 156-cap
+#: one-for-one policy (each never driver-gated => infinitely stale
+#: => window head with _NEW_R10). The five retirements that paid for
+#: them: sample_global / sample_per_key / approx_aggs (rows-only by
+#: design; their fully-oracled deterministic twins remain gated),
+#: ahash_pairs (its decode→aHash→banded-Hamming path is gated
+#: end-to-end by image_neardup_clusters), multimodal_features
+#: (stub-era plumbing superseded by the real-decode family). All
+#: five retired FUNCTIONS stay in the library with pytest coverage.
+_NEW_R10_S2: list[str] = [
+    "mp4_metadata",
+    "gif_frames",
+    "audio_metadata",
+    "remove_spans_keep_first",
+    "robots_filter",
+]
+
 #: the r6-green block, re-gated green in round 9 (newest driver row
 #: CORRECTNESS_r09 — freshest class, so the whole block sits at the
 #: BACK of the registry until it ages again). Order within the
 #: block: cheap relational/elementwise first so session-warmup
 #: residue lands on sub-second queries, heavies last.
 _STALE_R6: list[str] = [
-    "sample_per_key",
-    "multimodal_features",
     "importance_resample",
     "ccnet_buckets",
     "collocations",
@@ -6754,15 +6779,15 @@ _STALE_R6: list[str] = [
 #: block), driver-gated green in CORRECTNESS_r09 — freshest class,
 #: back of the registry with the re-gated r6 block above.
 _NEW_R9: list[str] = [
-    "ahash_pairs",
     "html_extract",
 ]
 
 #: the r7-green block (newest driver row CORRECTNESS_r07, staleness
-#: 3 at the r10 run — stalest gated class). The first 44 fill the
-#: round-10 window behind _NEW_R10; the last 6 (_STALE_R7_TAIL,
-#: chosen as the cheapest members so the forced round-11 re-gate is
-#: sub-second work) overflow at equal staleness and lead round 11.
+#: 3 at the r10 run — stalest gated class; 48 members after the
+#: session-2 retirements). The first 39 fill the round-10 window
+#: behind _NEW_R10 + _NEW_R10_S2; the last 9 (_STALE_R7_TAIL, cheap
+#: members so the forced round-11 re-gate is sub-second work)
+#: overflow at equal staleness and lead round 11.
 _STALE_R7: list[str] = [
     "winnow_fingerprints",
     "bpe_pairs",
@@ -6800,8 +6825,6 @@ _STALE_R7: list[str] = [
     "setops_intersect",
     "setops_except",
     "setops_union",
-    "sample_global",
-    "approx_aggs",
     "semantic_dedup",
     "contrastive_pairs",
     "hybrid_search",
@@ -6816,12 +6839,12 @@ _STALE_R7: list[str] = [
     "frequencies",
 ]
 
-#: equal-staleness overflow: the 6 r7-green queries the 50-row
-#: window cannot hold this round (all sub-second relational /
+#: equal-staleness overflow: the 9 r7-green queries the 50-row
+#: window cannot hold this round (mostly sub-second relational /
 #: elementwise queries, so their forced round-11 slot is cheap).
-_STALE_R7_TAIL: list[str] = _STALE_R7[44:]
+_STALE_R7_TAIL: list[str] = _STALE_R7[39:]
 
-_WINDOW_HEAD_R10: list[str] = _NEW_R10 + _STALE_R7[:44]
+_WINDOW_HEAD_R10: list[str] = _NEW_R10 + _NEW_R10_S2 + _STALE_R7[:39]
 
 _AFTER_WINDOW_R10: list[str] = _STALE_R7_TAIL + [
     # r8-green block (CORRECTNESS_r08; staleness 2 at the r10 run —
@@ -7088,23 +7111,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 #: proves the same operator code path. This marker exists so the
 #: rows-only status reads as intentional, not as a missing oracle.
 ROWS_ONLY: dict[str, str] = {
-    "sample_global": (
-        "Bernoulli RNG sample (operators/grouping.py sample) — row "
-        "membership is seed+partitioning dependent; deterministic "
-        "twin sample_global_det (md5-order, fully oracled) covers "
-        "the operator"
-    ),
-    "sample_per_key": (
-        "per-key RNG sample — same rationale; deterministic twin "
-        "sample_per_key_det (md5-order per key, fully oracled) "
-        "covers the operator"
-    ),
-    "approx_aggs": (
-        "HLL/KLL sketch outputs (approx_count_distinct, "
-        "approx_percentile) differ from DuckDB's sketches by "
-        "construction; exact twins (distinct counts in profile, "
-        "exact percentile in price_percentiles) are fully oracled"
-    ),
+    # EMPTY since round-10 session 2: the three by-design rows-only
+    # queries (sample_global, sample_per_key, approx_aggs — RNG /
+    # sketch value nondeterminism) were RETIRED from the gated
+    # registry to pay one-for-one for the session-2 promotions under
+    # the 156 cap. Their fully-oracled deterministic twins
+    # (sample_global_det, sample_per_key_det; exact counts in
+    # profile / exact percentiles in price_percentiles) stay gated,
+    # and the RNG functions keep pytest coverage. Every gated query
+    # is now oracle-paired.
 }
 
 

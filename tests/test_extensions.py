@@ -6016,16 +6016,12 @@ def test_staged_queries_match_oracle(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    staged = {
-        "gif_frames": (Q.q_gif_frames, Q.ORACLE_GIF_FRAMES),
-        "mp4_metadata": (Q.q_mp4_metadata, Q.ORACLE_MP4_METADATA),
-        "audio_metadata": (Q.q_audio_metadata, Q.ORACLE_AUDIO_METADATA),
-        "remove_spans_keep_first": (
-            Q.q_remove_spans_keep_first,
-            Q.ORACLE_REMOVE_SPANS_KEEP_FIRST,
-        ),
-        "robots_filter": (Q.q_robots_filter, Q.ORACLE_ROBOTS_FILTER),
-    }
+    # EMPTY after the round-10 session-2 promotion: the whole staging
+    # block (gif_frames, mp4_metadata, audio_metadata,
+    # remove_spans_keep_first, robots_filter) entered the gated
+    # registry one-for-one under the 156 cap and is now covered by
+    # the full-registry gate (test_gate_all). New stagings land here.
+    staged: dict = {}
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()
