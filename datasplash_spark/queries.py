@@ -6425,6 +6425,53 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF normalization (round 10 s2, staged): text-derived JPEGs
+    with injected APP1 segments — orientation cycles all eight EXIF
+    transforms, make/model/datetime text-derived, every third doc
+    EXIF-less — parsed back and orientation-NORMALIZED, reporting
+    the as-viewed dimensions (orientations 5-8 swap the coded W/H).
+    The oracle replays tag values AND the dimension swap in SQL, so
+    a mis-walked IFD, a wrong transform, or a bad writer offset
+    anywhere in the corpus fails the hash. Bytes never shuffle."""
+    from .functions import exif as XF
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return XF.image_exif_features(
+        XF.synthesize_exif_corpus(docs)
+    ).select(
+        "doc_id", "has_exif", "orientation", "make", "model",
+        "datetime", "width", "height", "ok",
+    )
+
+
+ORACLE_IMAGE_EXIF = """
+WITH b AS (
+  SELECT doc_id, length(text) AS n, doc_id % 3 <> 2 AS hx
+  FROM documents
+)
+SELECT doc_id,
+       hx AS has_exif,
+       CASE WHEN hx THEN CAST(1 + n % 8 AS INT) END AS orientation,
+       CASE WHEN hx THEN 'cam' || CAST(n % 5 AS VARCHAR) END AS make,
+       CASE WHEN hx THEN 'm' || CAST(n % 7 AS VARCHAR) END AS model,
+       CASE WHEN hx THEN
+         '20' || lpad(CAST(10 + n % 15 AS VARCHAR), 2, '0') || ':'
+              || lpad(CAST(1 + n % 12 AS VARCHAR), 2, '0') || ':'
+              || lpad(CAST(1 + n % 28 AS VARCHAR), 2, '0')
+              || ' 00:00:00'
+       END AS datetime,
+       CAST(CASE WHEN hx AND n % 8 >= 4 THEN 8 + n % 7
+                 ELSE 8 + n % 9 END AS INT) AS width,
+       CAST(CASE WHEN hx AND n % 8 >= 4 THEN 8 + n % 9
+                 ELSE 8 + n % 7 END AS INT) AS height,
+       TRUE AS ok
+FROM b
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query

@@ -6016,12 +6016,12 @@ def test_staged_queries_match_oracle(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    # EMPTY after the round-10 session-2 promotion: the whole staging
-    # block (gif_frames, mp4_metadata, audio_metadata,
-    # remove_spans_keep_first, robots_filter) entered the gated
-    # registry one-for-one under the 156 cap and is now covered by
-    # the full-registry gate (test_gate_all). New stagings land here.
-    staged: dict = {}
+    # The round-8/9/10 staging block was promoted one-for-one under
+    # the 156 cap (now covered by test_gate_all); image_exif is the
+    # current staging generation.
+    staged: dict = {
+        "image_exif": (Q.q_image_exif, Q.ORACLE_IMAGE_EXIF),
+    }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()
