@@ -16,9 +16,11 @@ dependencies, from the container structure alone:
 - **OGG** (:func:`parse_ogg`): page walk (capture pattern, lacing
   tables, CRC-32 with the OGG polynomial VERIFIED per page — a
   corrupt page quarantines the doc), BOS/EOS flags, Vorbis and
-  Opus identification headers (channels/rate/pre-skip), duration
-  from the final granule position (Opus granules tick at 48 kHz
-  minus pre-skip, per RFC 7845).
+  Opus identification headers (channels/rate/pre-skip), Vorbis-
+  comment / OpusTags metadata (the COMMENT packet reassembles
+  across lacing segments and continued pages; ``title``/``artist``
+  surfaced like ID3), duration from the final granule position
+  (Opus granules tick at 48 kHz minus pre-skip, per RFC 7845).
 - **Writers** (:func:`encode_mp3`, :func:`encode_ogg`):
   structurally valid fixtures (real headers, zeroed payloads,
   correct OGG CRCs) — the SQL-replayable synthesis half.
@@ -270,13 +272,44 @@ def _ogg_page(
     return bytes(page)
 
 
+def _parse_comments(pkt: bytes, skip: int) -> dict[str, str]:
+    """Vorbis-comment block (shared by Vorbis and OpusTags): vendor
+    string then ``n`` ``KEY=value`` UTF-8 entries; first-KEY-wins,
+    keys lowercased. ``skip`` = codec magic length."""
+    out: dict[str, str] = {}
+    pos = skip
+    if pos + 4 > len(pkt):
+        return out
+    (vlen,) = struct.unpack("<I", pkt[pos : pos + 4])
+    pos += 4 + vlen
+    if pos + 4 > len(pkt):
+        return out
+    (n,) = struct.unpack("<I", pkt[pos : pos + 4])
+    pos += 4
+    for _ in range(min(n, 4096)):
+        if pos + 4 > len(pkt):
+            break
+        (clen,) = struct.unpack("<I", pkt[pos : pos + 4])
+        pos += 4
+        entry = pkt[pos : pos + clen]
+        pos += clen
+        k, sep, v = entry.partition(b"=")
+        if sep:
+            key = k.decode("utf-8", "replace").lower()
+            out.setdefault(key, v.decode("utf-8", "replace"))
+    return out
+
+
 def parse_ogg(raw: bytes) -> dict:
     """Walk an OGG stream: verify every page's capture pattern and
-    CRC, read the identification header (Vorbis or Opus), track the
-    final granule position. Returns ``{codec, channels, sample_rate,
-    n_pages, duration_s}``. Raises ``ValueError`` for bad capture /
-    CRC / version, multiplexed serials, unknown codecs, or a missing
-    EOS flag — the quarantine contract."""
+    CRC, read the identification header (Vorbis or Opus), reassemble
+    the COMMENT packet across lacing segments/pages (Vorbis-comment
+    ``KEY=value`` tags — ``title``/``artist`` surfaced like ID3),
+    track the final granule position. Returns ``{codec, channels,
+    sample_rate, n_pages, duration_s, title, artist, tags}``. Raises
+    ``ValueError`` for bad capture / CRC / version, multiplexed
+    serials, unknown codecs, or a missing EOS flag — the quarantine
+    contract."""
     pos = 0
     n_pages = 0
     serial0: int | None = None
@@ -286,6 +319,12 @@ def parse_ogg(raw: bytes) -> dict:
     preskip = 0
     last_granule = 0
     saw_eos = False
+    # first-two-packet reassembly (id + comment headers): bounded —
+    # collection stops once two packets complete, CRC still verifies
+    # every page
+    packets: list[bytes] = []
+    cur = bytearray()
+    collecting = True
     while pos < len(raw):
         if raw[pos : pos + 4] != b"OggS":
             raise ValueError(f"ogg: bad capture pattern at byte {pos}")
@@ -311,17 +350,28 @@ def parse_ogg(raw: bytes) -> dict:
             serial0 = serial
         elif serial != serial0:
             raise ValueError("ogg: multiplexed streams unsupported")
+        if collecting:
+            body_pos = pos + 27 + nsegs
+            for seg in lacing:
+                cur += raw[body_pos : body_pos + seg]
+                body_pos += seg
+                if seg < 255:  # packet boundary
+                    packets.append(bytes(cur))
+                    cur.clear()
+                    if len(packets) >= 2:
+                        collecting = False
+                        break
         if n_pages == 0:
-            payload = raw[pos + 27 + nsegs : pos + page_len]
-            if payload[:7] == b"\x01vorbis":
+            head = packets[0] if packets else bytes(cur)
+            if head[:7] == b"\x01vorbis":
                 codec = "vorbis"
-                channels = payload[11]
-                (rate,) = struct.unpack("<I", payload[12:16])
-            elif payload[:8] == b"OpusHead":
+                channels = head[11]
+                (rate,) = struct.unpack("<I", head[12:16])
+            elif head[:8] == b"OpusHead":
                 codec = "opus"
-                channels = payload[9]
-                (preskip,) = struct.unpack("<H", payload[10:12])
-                (rate,) = struct.unpack("<I", payload[12:16])
+                channels = head[9]
+                (preskip,) = struct.unpack("<H", head[10:12])
+                (rate,) = struct.unpack("<I", head[12:16])
             else:
                 raise ValueError("ogg: unknown codec id header")
         if granule >= 0:
@@ -340,9 +390,18 @@ def parse_ogg(raw: bytes) -> dict:
         duration = (last_granule - preskip) / 48000
     else:
         duration = last_granule / rate if rate else 0.0
+    tags: dict[str, str] = {}
+    if len(packets) >= 2:
+        c = packets[1]
+        if c[:7] == b"\x03vorbis":
+            tags = _parse_comments(c, 7)
+        elif c[:8] == b"OpusTags":
+            tags = _parse_comments(c, 8)
     return {
         "codec": codec, "channels": channels, "sample_rate": rate,
         "n_pages": n_pages, "duration_s": duration,
+        "title": tags.get("title"), "artist": tags.get("artist"),
+        "tags": tags,
     }
 
 
@@ -354,11 +413,14 @@ def encode_ogg(
     n_data_pages: int = 1,
     serial: int = 0x6F676753,
     preskip: int = 312,
+    title: str | None = None,
+    artist: str | None = None,
 ) -> bytes:
     """Structurally valid single-stream OGG fixture: a BOS page with
-    the Vorbis or Opus identification header, ``n_data_pages`` dummy
-    data pages with increasing granules, EOS on the last (real CRCs
-    throughout)."""
+    the Vorbis or Opus identification header, a comment-header page
+    when ``title``/``artist`` are given (Vorbis-comment block /
+    OpusTags), ``n_data_pages`` dummy data pages with increasing
+    granules, EOS on the last (real CRCs throughout)."""
     if codec == "vorbis":
         ident = (
             b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
@@ -373,6 +435,24 @@ def encode_ogg(
     else:
         raise ValueError(f"ogg: unknown codec {codec!r}")
     out = bytearray(_ogg_page(0x02, 0, serial, 0, [ident]))
+    seq = 1
+    if title is not None or artist is not None:
+        comments = []
+        if title is not None:
+            comments.append(b"TITLE=" + title.encode("utf-8"))
+        if artist is not None:
+            comments.append(b"ARTIST=" + artist.encode("utf-8"))
+        vendor = b"datasplash-spark"
+        body = struct.pack("<I", len(vendor)) + vendor
+        body += struct.pack("<I", len(comments))
+        for c in comments:
+            body += struct.pack("<I", len(c)) + c
+        if codec == "vorbis":
+            pkt = b"\x03vorbis" + body + b"\x01"  # framing bit
+        else:
+            pkt = b"OpusTags" + body
+        out += _ogg_page(0x00, 0, serial, seq, [pkt])
+        seq += 1
     n_data_pages = max(1, n_data_pages)
     for i in range(n_data_pages):
         last = i == n_data_pages - 1
@@ -381,7 +461,7 @@ def encode_ogg(
             else final_granule * (i + 1) // n_data_pages
         )
         out += _ogg_page(
-            0x04 if last else 0x00, granule, serial, i + 1,
+            0x04 if last else 0x00, granule, serial, seq + i,
             [b"\x00" * 20],
         )
     return bytes(out)
@@ -420,7 +500,7 @@ def audio_metadata_features(df, id_col="doc_id", media_col="media"):
                         rows.append(
                             (did, "ogg", d["codec"], d["duration_s"],
                              d["sample_rate"], d["channels"], None,
-                             d["n_pages"], None, True, None)
+                             d["n_pages"], d["title"], True, None)
                         )
                     elif data[:3] == b"ID3" or (
                         len(data) >= 2
@@ -491,6 +571,7 @@ def synthesize_audio_meta_from_text(df, text="text", id_col="doc_id"):
                             sample_rate=(8000, 16000, 44100)[n % 3],
                             final_granule=n * 97,
                             n_data_pages=1 + n % 4,
+                            title=f"t{n % 100}",
                         )
                     )
                 else:
@@ -501,6 +582,7 @@ def synthesize_audio_meta_from_text(df, text="text", id_col="doc_id"):
                             sample_rate=48000,
                             final_granule=312 + n * 53,
                             n_data_pages=1 + n % 3,
+                            title=f"t{n % 100}",
                         )
                     )
             yield pd.DataFrame(

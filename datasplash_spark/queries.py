@@ -5981,11 +5981,10 @@ SELECT doc_id,
        END AS INT) AS bitrate_kbps,
        CAST(CASE doc_id % 3
          WHEN 0 THEN 1 + length(text) % 50
-         WHEN 1 THEN 2 + length(text) % 4
-         ELSE 2 + length(text) % 3
+         WHEN 1 THEN 3 + length(text) % 4
+         ELSE 3 + length(text) % 3
        END AS BIGINT) AS n_units,
-       CASE WHEN doc_id % 3 = 0
-            THEN 't' || CAST(length(text) % 100 AS VARCHAR) END AS title,
+       't' || CAST(length(text) % 100 AS VARCHAR) AS title,
        TRUE AS ok
 FROM documents
 """

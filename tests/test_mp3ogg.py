@@ -136,3 +136,56 @@ def test_ogg_roundtrip_property(codec, ch, rate, gran, ndp):
     d = A.parse_ogg(A.encode_ogg(codec, ch, rate, gran, ndp))
     assert d["codec"] == codec and d["channels"] == ch
     assert d["n_pages"] == ndp + 1
+
+
+def test_ogg_comment_tags():
+    # tags roundtrip both codecs; a long title spans lacing segments
+    long_title = "x" * 600
+    for codec, rate, gran in (
+        ("vorbis", 44100, 44100), ("opus", 48000, 312 + 4800),
+    ):
+        o = A.encode_ogg(
+            codec, 2, rate, gran, 2, title=long_title, artist="The Band"
+        )
+        d = A.parse_ogg(o)
+        assert d["title"] == long_title and d["artist"] == "The Band"
+        assert d["n_pages"] == 4  # BOS + comment + 2 data
+    # no comment header: data packet must NOT misparse as tags
+    d = A.parse_ogg(A.encode_ogg("vorbis", 1, 8000, 800, 1))
+    assert d["title"] is None and d["tags"] == {}
+
+
+def test_ogg_comment_packet_spans_pages():
+    # a comment packet CONTINUED onto a second page (lacing 255 at
+    # page end + continuation flag) reassembles correctly
+    import struct
+
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+        + struct.pack("<IiiI", 8000, 0, 0, 0) + b"\x66\x01"
+    )
+    title = ("y" * 600).encode()
+    body = struct.pack("<I", 6) + b"vendor" + struct.pack("<I", 1)
+    body += struct.pack("<I", 6 + len(title)) + b"TITLE=" + title
+    pkt = b"\x03vorbis" + body + b"\x01"
+    serial = 7
+    pages = bytearray(A._ogg_page(0x02, 0, serial, 0, [ident]))
+
+    def raw_page(header_type, granule, seq, lacing, payload):
+        p = bytearray(
+            b"OggS\x00" + bytes([header_type])
+            + struct.pack("<qIII", granule, serial, seq, 0)
+            + bytes([len(lacing)]) + bytes(lacing) + payload
+        )
+        p[22:26] = struct.pack("<I", A._ogg_crc(bytes(p)))
+        return bytes(p)
+
+    # first 255 bytes on page 1 (lacing [255] = packet continues),
+    # remainder on page 2 with the continued-packet flag (0x01)
+    pages += raw_page(0x00, 0, 1, [255], pkt[:255])
+    rest = pkt[255:]
+    pages += raw_page(0x01, 0, 2, [255, len(rest) - 255], rest)
+    pages += A._ogg_page(0x04, 800, serial, 3, [b"\x00" * 20])
+    d = A.parse_ogg(bytes(pages))
+    assert d["title"] == "y" * 600
+    assert d["n_pages"] == 4
