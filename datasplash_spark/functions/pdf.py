@@ -28,7 +28,12 @@ Scope:
   ``"``, ``TJ`` with kerning arrays (gap > 250/1000 em → space),
   ``Td/TD/T*/Tm`` line-break heuristics, literal strings with all
   escapes + octal + line continuations, hex strings, and UTF-16BE
-  (BOM) text. ENCRYPTED files with an empty user or owner password
+  (BOM) text. EMBEDDED-FONT text decodes through per-font
+  ``/ToUnicode`` CMaps (round 10 s2: codespacerange/bfchar/bfrange
+  incl. the array form, ``Tf`` font tracking, inherited
+  ``/Resources``) — the path real CID/Type0-font corpora need;
+  fonts without a CMap keep the latin-1 / UTF-16BE default.
+  ENCRYPTED files with an empty user or owner password
   — the common owner-locked case — decrypt via the standard
   security handler (:mod:`.pdfcrypt`: RC4 R2-R4, AES-128 /AESV2,
   AES-256 R6 /AESV3); genuinely password-protected files,
@@ -770,10 +775,96 @@ def _pdf_str_to_text(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def _extract_page_text(content: bytes) -> str:
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ``/ToUnicode`` CMap stream → ``(code → text, code
+    byte length)``. Handles ``codespacerange`` (code width),
+    ``bfchar`` (code → UTF-16BE), and ``bfrange`` with both the
+    incremented-destination and explicit-array forms — the three
+    constructs real ToUnicode CMaps use (ISO 32000 §9.10.3 /
+    Adobe CMap spec). Unknown PostScript furniture is skipped by
+    token."""
+    lex = _Lexer(data)
+    mapping: dict[int, str] = {}
+    code_len = 2  # the overwhelmingly common width; codespace fixes it
+    while True:
+        try:
+            t = lex.token()
+        except ValueError:
+            break
+        if t is None:
+            break
+        if t[0] != "kw":
+            continue
+        if t[1] == "begincodespacerange":
+            while True:
+                lo = lex.token()
+                if lo is None or lo[0] == "kw":  # endcodespacerange
+                    break
+                hi = lex.token()
+                if lo[0] == "str":
+                    code_len = max(1, len(lo[1]))
+                if hi is None:
+                    break
+        elif t[1] == "beginbfchar":
+            while True:
+                src = lex.token()
+                if src is None or src[0] == "kw":  # endbfchar
+                    break
+                dst = lex.token()
+                if dst is None:
+                    break
+                if src[0] == "str" and dst[0] == "str":
+                    code = int.from_bytes(src[1], "big")
+                    mapping[code] = dst[1].decode(
+                        "utf-16-be", errors="replace"
+                    )
+        elif t[1] == "beginbfrange":
+            while True:
+                lo = lex.token()
+                if lo is None or lo[0] == "kw":  # endbfrange
+                    break
+                hi = lex.token()
+                dst = lex.token()
+                if hi is None or dst is None:
+                    break
+                if lo[0] != "str" or hi[0] != "str":
+                    continue
+                lo_i = int.from_bytes(lo[1], "big")
+                hi_i = int.from_bytes(hi[1], "big")
+                if hi_i - lo_i > 0x10000:  # malformed-range guard
+                    continue
+                if dst[0] == "str":
+                    # incremented destination: the LAST UTF-16 code
+                    # unit advances with the code (spec rule)
+                    base = dst[1]
+                    tail = int.from_bytes(base[-2:], "big") if len(
+                        base
+                    ) >= 2 else 0
+                    for c in range(lo_i, hi_i + 1):
+                        db = base[:-2] + (
+                            (tail + c - lo_i) & 0xFFFF
+                        ).to_bytes(2, "big") if len(base) >= 2 else base
+                        mapping[c] = db.decode(
+                            "utf-16-be", errors="replace"
+                        )
+                elif dst[0] == "array":
+                    for c, el in zip(range(lo_i, hi_i + 1), dst[1]):
+                        if el[0] == "str":
+                            mapping[c] = el[1].decode(
+                                "utf-16-be", errors="replace"
+                            )
+    return mapping, code_len
+
+
+def _extract_page_text(content: bytes, font_maps=None) -> str:
     """Run the text operators of one content stream. Line breaks:
     ``T*``, ``'``, ``"``, and ``Td/TD/Tm`` that move DOWN the page;
-    ``TJ`` kerning gaps beyond 250/1000 em become one space."""
+    ``TJ`` kerning gaps beyond 250/1000 em become one space.
+    ``font_maps``: resource font name → ``(code → text, code_len)``
+    from each font's ``/ToUnicode`` CMap; the ``Tf`` operator tracks
+    the active font and strings shown under a CMapped font decode
+    code-by-code (unmapped codes → U+FFFD); fonts without a CMap
+    keep the latin-1 / UTF-16BE-BOM default."""
     lex = _Lexer(content)
     stack: list = []
     out: list[str] = []
@@ -799,6 +890,19 @@ def _extract_page_text(content: bytes) -> str:
         shown = True
         any_shown = True
 
+    cur_font: str | None = None
+
+    def to_text(b: bytes) -> str:
+        fm = font_maps.get(cur_font) if font_maps else None
+        if fm is None:
+            return _pdf_str_to_text(b)
+        mapping, clen = fm
+        out = []
+        for i in range(0, len(b) - len(b) % clen, clen):
+            code = int.from_bytes(b[i : i + clen], "big")
+            out.append(mapping.get(code, "�"))
+        return "".join(out)
+
     while True:
         try:
             t = lex.token()
@@ -820,23 +924,23 @@ def _extract_page_text(content: bytes) -> str:
             stack.clear()
         elif op == "Tj":
             if stack and stack[-1][0] == "str":
-                show(_pdf_str_to_text(stack[-1][1]))
+                show(to_text(stack[-1][1]))
             stack.clear()
         elif op == "'":
             newline()
             if stack and stack[-1][0] == "str":
-                show(_pdf_str_to_text(stack[-1][1]))
+                show(to_text(stack[-1][1]))
             stack.clear()
         elif op == '"':
             newline()
             if stack and stack[-1][0] == "str":
-                show(_pdf_str_to_text(stack[-1][1]))
+                show(to_text(stack[-1][1]))
             stack.clear()
         elif op == "TJ":
             if stack and stack[-1][0] == "array":
                 for el in stack[-1][1]:
                     if el[0] == "str":
-                        show(_pdf_str_to_text(el[1]))
+                        show(to_text(el[1]))
                     elif el[0] == "num" and el[1] < -250:
                         line.append(" ")
             stack.clear()
@@ -848,6 +952,12 @@ def _extract_page_text(content: bytes) -> str:
             stack.clear()
         elif op == "T*":
             newline()
+            stack.clear()
+        elif op == "Tf":
+            # operands: /FontName size — track the active font for
+            # per-font ToUnicode decoding
+            if len(stack) >= 2 and stack[-2][0] == "name":
+                cur_font = stack[-2][1]
             stack.clear()
         elif op == "Tm":
             # a text matrix reset that moves DOWN the page = new
@@ -866,6 +976,50 @@ def _extract_page_text(content: bytes) -> str:
     if line or shown:
         newline()
     return "\n".join(out)
+
+
+def _page_font_maps(objects, d: dict):
+    """Resource font name → ``(code → text, code_len)`` for every
+    font on the page that carries a ``/ToUnicode`` CMap (inherited
+    ``/Resources`` resolve through the ``/Parent`` chain, the spec's
+    page-tree attribute inheritance). Fonts without a CMap keep the
+    default string decoding."""
+    res = d.get("Resources")
+    seen = 0
+    node = d
+    while res is None and node is not None and seen < 8:
+        parent = _resolve(objects, node.get("Parent"))
+        node = parent[1] if parent is not None and parent[0] == "dict" \
+            else None
+        if node is not None:
+            res = node.get("Resources")
+        seen += 1
+    res = _resolve(objects, res) if res is not None else None
+    if res is None or res[0] != "dict":
+        return {}
+    fonts_tok = res[1].get("Font")
+    fonts_tok = _resolve(objects, fonts_tok) if fonts_tok is not None \
+        else None
+    if fonts_tok is None or fonts_tok[0] != "dict":
+        return {}
+    out = {}
+    for fname, ftok in fonts_tok[1].items():
+        ft = _resolve(objects, ftok) if ftok is not None else None
+        if ft is None or ft[0] != "dict":
+            continue
+        tu = ft[1].get("ToUnicode")
+        if tu is None or tu[0] != "ref":
+            continue
+        entry = objects.get(tu[1][0])
+        if entry is None or entry[1] is None:
+            continue
+        td, ts = entry
+        try:
+            data = _decode_stream(objects, td or {}, ts)
+            out[fname] = _parse_tounicode(data)
+        except ValueError:
+            continue  # a broken CMap degrades to default decoding
+    return out
 
 
 _TRAILER_RE = re.compile(rb"trailer\b")
@@ -998,7 +1152,8 @@ def extract_pdf_text(raw: bytes) -> dict:
             if cs is None:
                 continue
             parts.append(_decode_stream(objects, cd or {}, cs))
-        pages.append(_extract_page_text(b"\n".join(parts)))
+        fmaps = _page_font_maps(objects, d or {})
+        pages.append(_extract_page_text(b"\n".join(parts), fmaps))
     return {
         "n_pages": len(pages),
         "pages": pages,
@@ -1032,14 +1187,57 @@ def _pdf_escape(s: str) -> bytes:
     return bytes(out)
 
 
-def _content_stream(text: str) -> bytes:
+def _content_stream(text: str, codes: dict | None = None) -> bytes:
+    """``codes``: char → 2-byte CID code (the cid_font path) — lines
+    become hex strings of codes instead of literal strings."""
     body = bytearray(b"BT /F1 12 Tf 72 720 Td 14 TL\n")
     for j, ln in enumerate(text.split("\n")):
         if j:
             body += b"0 -14 Td\n"
-        body += b"(" + _pdf_escape(ln) + b") Tj\n"
+        if codes is None:
+            body += b"(" + _pdf_escape(ln) + b") Tj\n"
+        else:
+            body += (
+                b"<" + "".join(f"{codes[ch]:04x}" for ch in ln).encode()
+                + b"> Tj\n"
+            )
     body += b"ET"
     return bytes(body)
+
+
+def _build_cid_font(pages: list[str]) -> tuple[dict, bytes, bytes]:
+    """(char → code, ToUnicode CMap stream bytes, Type0 font dict
+    bytes with ``%d`` placeholder for the ToUnicode object number).
+    Codes are a per-document table (1..N over the distinct chars) so
+    a reader that ignored the CMap would produce garbage — the
+    fixture BITES."""
+    chars = sorted({ch for p in pages for ln in p.split("\n") for ch in ln})
+    codes = {ch: i + 1 for i, ch in enumerate(chars)}
+    if len(codes) > 0xFFFE:
+        raise ValueError("pdf: cid fixture limited to 65534 chars")
+    cmap = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+        b"begincmap\n/CMapName /Synth-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+    )
+    items = sorted(codes.items(), key=lambda kv: kv[1])
+    for i in range(0, len(items), 100):  # spec: <=100 per block
+        block = items[i : i + 100]
+        cmap += b"%d beginbfchar\n" % len(block)
+        for ch, code in block:
+            dst = ch.encode("utf-16-be").hex().encode()
+            cmap += b"<%04x> <" % code + dst + b">\n"
+        cmap += b"endbfchar\n"
+    cmap += b"endcmap\nCMapName currentdict /CMap defineresource pop\n" \
+        b"end\nend"
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+        b"/Encoding /Identity-H /DescendantFonts [<< /Type /Font "
+        b"/Subtype /CIDFontType2 /BaseFont /SynthCID /CIDSystemInfo "
+        b"<< /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+        b">>] /ToUnicode %d 0 R >>"
+    )
+    return codes, bytes(cmap), font
 
 
 _FILTERS = {
@@ -1054,6 +1252,7 @@ def encode_pdf_text(
     layout: str = "classic",
     filter_name: str = "flate",
     encrypt: str | None = None,
+    cid_font: bool = False,
 ) -> bytes:
     """Write a PDF: one Helvetica content stream per page (``Tj``
     per line, ``Td`` line advance) — fixtures any external viewer
@@ -1077,7 +1276,14 @@ def encode_pdf_text(
     except the xref stream, ``/Encrypt`` + ``/ID`` in the trailer /
     xref-stream dictionary. Fixture half of
     :mod:`.pdfcrypt` — deterministic (salts/IVs derive from the
-    document ID, which derives from the page text)."""
+    document ID, which derives from the page text).
+
+    ``cid_font`` (round 10 s2): write the text through a ``/Type0``
+    CID font — content strings become 2-byte codes from a
+    per-document table (1..N over the distinct chars) and a
+    ``/ToUnicode`` CMap stream maps codes back to UTF-16BE. A reader
+    that ignored the CMap would extract garbage, so the fixture
+    pins the embedded-font decode path real corpora need."""
     if layout not in ("classic", "objstm"):
         raise ValueError(f"pdf: unknown layout {layout!r}")
     enc_fn, filt_name = _FILTERS[filter_name]
@@ -1110,16 +1316,24 @@ def encode_pdf_text(
         return head + b"\nstream\n" + data + b"\nendstream"
 
     n_pages = len(pages)
+    codes = None
+    cid_cmap = b""
+    cid_font_fmt = b""
+    if cid_font:
+        codes, cid_cmap, cid_font_fmt = _build_cid_font(pages)
     if layout == "classic":
         objs: list[bytes] = []  # bodies, object number = index + 1
-        # 1: catalog, 2: pages node, 3: font; per page: page, stream
+        # 1: catalog, 2: pages node, 3: font; per page: page, stream;
+        # cid_font adds the ToUnicode CMap stream as the LAST object
         page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+        tounicode_num = 4 + 2 * n_pages
         kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
         objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
         objs.append(
             b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
         )
         objs.append(
+            cid_font_fmt % tounicode_num if cid_font else
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
         for i, text in enumerate(pages):
@@ -1129,7 +1343,11 @@ def encode_pdf_text(
                 b"/Resources << /Font << /F1 3 0 R >> >> "
                 b"/Contents %d 0 R >>" % stream_num
             )
-            objs.append(stream_obj(_content_stream(text), num=stream_num))
+            objs.append(
+                stream_obj(_content_stream(text, codes), num=stream_num)
+            )
+        if cid_font:
+            objs.append(stream_obj(cid_cmap, num=tounicode_num))
 
         out = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
         offsets = [0]
@@ -1150,10 +1368,13 @@ def encode_pdf_text(
     # --- objstm layout (PDF 1.5) ---
     # numbering: 1 catalog, 2 pages node, 3 font, 4..3+n page dicts
     # (all INSIDE the ObjStm); 4+n..3+2n content streams (top-level);
-    # 4+2n the ObjStm container; 5+2n the xref stream
+    # [cid_font: 4+2n the ToUnicode CMap stream (top-level — streams
+    # cannot live in an ObjStm)]; then the ObjStm container; then
+    # the xref stream
     page_nums = [4 + i for i in range(n_pages)]
     content_nums = [4 + n_pages + i for i in range(n_pages)]
-    objstm_num = 4 + 2 * n_pages
+    tounicode_num = 4 + 2 * n_pages
+    objstm_num = tounicode_num + (1 if cid_font else 0)
     xref_num = objstm_num + 1
 
     packed: list[tuple[int, bytes]] = []
@@ -1163,7 +1384,11 @@ def encode_pdf_text(
         (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages)
     )
     packed.append(
-        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        (
+            3,
+            cid_font_fmt % tounicode_num if cid_font else
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        )
     )
     for pnum, cnum in zip(page_nums, content_nums):
         packed.append(
@@ -1191,7 +1416,12 @@ def encode_pdf_text(
     for cnum, text in zip(content_nums, pages):
         offsets_by_num[cnum] = len(out)
         out += b"%d 0 obj\n" % cnum + stream_obj(
-            _content_stream(text), num=cnum
+            _content_stream(text, codes), num=cnum
+        ) + b"\nendobj\n"
+    if cid_font:
+        offsets_by_num[tounicode_num] = len(out)
+        out += b"%d 0 obj\n" % tounicode_num + stream_obj(
+            cid_cmap, num=tounicode_num
         ) + b"\nendobj\n"
     offsets_by_num[objstm_num] = len(out)
     out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
@@ -1276,13 +1506,20 @@ def synthesize_pdf_from_text(
                         None, "rc4", "aes", None,
                         "aes256", None, "rc4-40", "aes",
                     )[did % 8]
+                    # alternate 8-doc blocks of simple vs CID/Type0
+                    # fonts: over a 16-doc period every (layout,
+                    # filter, cipher) combo appears with BOTH font
+                    # shapes, so the one oracle also pins the
+                    # ToUnicode CMap decode path
+                    cid = (did // 8) % 2 == 1
                 else:
-                    lay, filt, enc = layout, "flate", None
+                    lay, filt, enc, cid = layout, "flate", None, False
                 ids.append(did)
                 npg.append(n)
                 medias.append(
                     encode_pdf_text(
-                        pages, layout=lay, filter_name=filt, encrypt=enc
+                        pages, layout=lay, filter_name=filt,
+                        encrypt=enc, cid_font=cid,
                     )
                 )
             yield pd.DataFrame(

@@ -212,3 +212,60 @@ def test_encrypted_roundtrip_property(pages, enc, layout):
     raw = P.encode_pdf_text(pages, layout=layout, encrypt=enc)
     d = P.extract_pdf_text(raw)
     assert d["pages"] == pages and d["n_pages"] == len(pages)
+
+
+# ---------------------------------------------------------------------
+# CID / Type0 fonts with ToUnicode CMaps (round 10 s2)
+# ---------------------------------------------------------------------
+
+
+def test_cid_font_roundtrip_all_combos():
+    pages = ["hello world\nsecond line", "żółć € and 🚀 astral", ""]
+    base = P.extract_pdf_text(P.encode_pdf_text(pages))
+    for layout in ("classic", "objstm"):
+        for filt in ("flate", "lzw"):
+            for enc in (None, "rc4", "aes256"):
+                raw = P.encode_pdf_text(
+                    pages, layout=layout, filter_name=filt,
+                    encrypt=enc, cid_font=True,
+                )
+                assert P.extract_pdf_text(raw) == base, (layout, filt, enc)
+
+
+def test_cid_font_fixture_bites():
+    # a reader that ignores the CMap must NOT get the text back —
+    # break the /ToUnicode link and the codes stay raw
+    raw = P.encode_pdf_text(["secret text"], compress=False, cid_font=True)
+    broken = raw.replace(b"/ToUnicode", b"/ToUnicccc")
+    assert P.extract_pdf_text(broken)["pages"][0] != "secret text"
+
+
+def test_parse_tounicode_bfrange_forms():
+    # incremented-destination bfrange + array form + surrogate pairs
+    cmap = (
+        b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <43> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<50> <51> [<0058> <2603>]\nendbfrange\n"
+        b"1 beginbfchar\n<60> <d83dde00>\nendbfchar\n"
+    )
+    mapping, clen = P._parse_tounicode(cmap)
+    assert clen == 1
+    assert mapping[0x41] == "a" and mapping[0x42] == "b"
+    assert mapping[0x43] == "c"
+    assert mapping[0x50] == "X" and mapping[0x51] == "☃"
+    assert mapping[0x60] == "\U0001f600"  # surrogate pair decodes
+
+
+def test_inherited_resources_resolve():
+    # move /Resources from the page up to the /Pages node: the font
+    # map must still resolve through /Parent (spec inheritance)
+    raw = P.encode_pdf_text(["inherit me"], compress=False, cid_font=True)
+    assert b"/Resources" in raw
+    # classic layout: page dicts carry Resources; splice them out of
+    # the page and into the Pages node
+    res = b"/Resources << /Font << /F1 3 0 R >> >> "
+    assert raw.count(res) == 1
+    raw2 = raw.replace(res, b"", 1).replace(
+        b"/Count 1 >>", b"/Count 1 " + res + b">>", 1
+    )
+    assert P.extract_pdf_text(raw2)["pages"] == ["inherit me"]
