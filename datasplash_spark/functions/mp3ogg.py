@@ -70,14 +70,35 @@ def _syncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
-def _parse_id3v2(raw: bytes) -> tuple[int, str | None]:
-    """(total tag length to skip, TIT2 title or None); (0, None)
-    when no ID3v2 tag leads the file."""
+def _id3_text(body: bytes) -> str | None:
+    """ID3v2 text-frame payload → str (encoding byte 0 latin-1,
+    1/2 UTF-16(-BE), 3 UTF-8; trailing NULs stripped)."""
+    if not body:
+        return None
+    enc = body[0]
+    try:
+        if enc == 0:
+            s = body[1:].decode("latin-1")
+        elif enc == 3:
+            s = body[1:].decode("utf-8")
+        elif enc in (1, 2):
+            s = body[1:].decode("utf-16" if enc == 1 else "utf-16-be")
+        else:
+            return None
+    except UnicodeDecodeError:
+        return None
+    return s.rstrip("\x00")
+
+
+def _parse_id3v2(raw: bytes) -> tuple[int, str | None, str | None]:
+    """(total tag length to skip, TIT2 title, TPE1 artist);
+    (0, None, None) when no ID3v2 tag leads the file."""
     if raw[:3] != b"ID3" or len(raw) < 10:
-        return 0, None
+        return 0, None, None
     size = _syncsafe(raw[6:10])
     total = 10 + size + (10 if raw[5] & 0x10 else 0)
     title = None
+    artist = None
     pos = 10
     end = min(10 + size, len(raw))
     while pos + 10 <= end:
@@ -90,22 +111,11 @@ def _parse_id3v2(raw: bytes) -> tuple[int, str | None]:
             (fsize,) = struct.unpack(">I", raw[pos + 4 : pos + 8])
         body = raw[pos + 10 : pos + 10 + fsize]
         if fid == b"TIT2" and fsize >= 1:
-            enc = body[0]
-            try:
-                if enc == 0:
-                    title = body[1:].decode("latin-1")
-                elif enc == 3:
-                    title = body[1:].decode("utf-8")
-                elif enc in (1, 2):
-                    title = body[1:].decode(
-                        "utf-16" if enc == 1 else "utf-16-be"
-                    )
-            except UnicodeDecodeError:
-                title = None
-            if title is not None:
-                title = title.rstrip("\x00")
+            title = _id3_text(body)
+        elif fid == b"TPE1" and fsize >= 1:
+            artist = _id3_text(body)
         pos += 10 + fsize
-    return total, title
+    return total, title, artist
 
 
 def _frame_header(raw: bytes, pos: int):
@@ -148,7 +158,7 @@ def parse_mp3(raw: bytes) -> dict:
     per-frame samples). Raises ``ValueError`` for a missing sync, an
     inconsistent mid-stream header, or trailing garbage — the
     quarantine contract."""
-    skip, title = _parse_id3v2(raw)
+    skip, title, artist = _parse_id3v2(raw)
     pos = skip
     first = _frame_header(raw, pos)
     if first is None:
@@ -163,7 +173,7 @@ def parse_mp3(raw: bytes) -> dict:
                 "sample_rate": rate0, "channels": first[3],
                 "n_frames": n_frames,
                 "duration_s": total_samples / rate0,
-                "title": title, "has_id3v1": True,
+                "title": title, "artist": artist, "has_id3v1": True,
             }
         h = _frame_header(raw, pos)
         if h is None:
@@ -180,7 +190,7 @@ def parse_mp3(raw: bytes) -> dict:
         "codec": "mp3", "bitrate_kbps": first[1],
         "sample_rate": rate0, "channels": first[3],
         "n_frames": n_frames, "duration_s": total_samples / rate0,
-        "title": title, "has_id3v1": False,
+        "title": title, "artist": artist, "has_id3v1": False,
     }
 
 
@@ -190,21 +200,26 @@ def encode_mp3(
     sample_rate: int = 44100,
     channels: int = 2,
     title: str | None = None,
+    artist: str | None = None,
 ) -> bytes:
     """Structurally valid MPEG-1 Layer III fixture: optional ID3v2.3
-    tag with a TIT2 frame, then ``n_frames`` CBR frames (real
+    tag with TIT2/TPE1 frames, then ``n_frames`` CBR frames (real
     headers, zeroed payloads)."""
     br_idx = _BITRATES_V1[3].index(bitrate_kbps)
     sr_idx = _RATES[3].index(sample_rate)
     out = bytearray()
-    if title is not None:
-        t = title.encode("latin-1", "replace")
-        frame = b"TIT2" + struct.pack(">IH", len(t) + 1, 0) + b"\x00" + t
-        size = len(frame)
+    if title is not None or artist is not None:
+        frames = b""
+        for fid, val in ((b"TIT2", title), (b"TPE1", artist)):
+            if val is None:
+                continue
+            t = val.encode("latin-1", "replace")
+            frames += fid + struct.pack(">IH", len(t) + 1, 0) + b"\x00" + t
+        size = len(frames)
         out += b"ID3\x03\x00\x00" + bytes(
             [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
              (size >> 7) & 0x7F, size & 0x7F]
-        ) + frame
+        ) + frames
     flen = 144 * bitrate_kbps * 1000 // sample_rate  # padding 0
     hdr = bytes(
         [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),

@@ -170,6 +170,24 @@ def probe(spark, k: int) -> None:
         )
         .agg(F.sum("n_removed"))
         .first()[0],
+        # round-10 session 2: the FULL pdf_extract corpus (mixed
+        # layouts × filters × ciphers × font shapes — decryption and
+        # ToUnicode CMap decode included)
+        "pdf_extract": lambda: (
+            lambda pf: pf.pdf_text_features(
+                pf.synthesize_pdf_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.pdf", fromlist=["pdf"]
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (

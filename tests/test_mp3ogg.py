@@ -189,3 +189,11 @@ def test_ogg_comment_packet_spans_pages():
     d = A.parse_ogg(bytes(pages))
     assert d["title"] == "y" * 600
     assert d["n_pages"] == 4
+
+
+def test_mp3_artist_tpe1():
+    d = A.parse_mp3(A.encode_mp3(3, title="Song", artist="Bänd"))
+    assert d["title"] == "Song" and d["artist"] == "Bänd"
+    assert A.parse_mp3(A.encode_mp3(2))["artist"] is None
+    d2 = A.parse_mp3(A.encode_mp3(2, artist="only"))
+    assert d2["title"] is None and d2["artist"] == "only"
