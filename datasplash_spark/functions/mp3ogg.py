@@ -91,31 +91,52 @@ def _id3_text(body: bytes) -> str | None:
 
 
 def _parse_id3v2(raw: bytes) -> tuple[int, str | None, str | None]:
-    """(total tag length to skip, TIT2 title, TPE1 artist);
-    (0, None, None) when no ID3v2 tag leads the file."""
+    """(total tag length to skip, title, artist); (0, None, None)
+    when no ID3v2 tag leads the file. Handles v2.2 (3-byte frame
+    ids/sizes: TT2/TP1), v2.3 (plain 4-byte sizes, non-syncsafe
+    extended header), v2.4 (syncsafe sizes, syncsafe extended
+    header), and tag-level unsynchronisation (FF 00 → FF) — real
+    tagger output sets all of these (review finding: the ext-header
+    bytes would otherwise parse as a frame and misalign the walk)."""
     if raw[:3] != b"ID3" or len(raw) < 10:
         return 0, None, None
+    ver = raw[3]
+    flags = raw[5]
     size = _syncsafe(raw[6:10])
-    total = 10 + size + (10 if raw[5] & 0x10 else 0)
-    title = None
-    artist = None
-    pos = 10
-    end = min(10 + size, len(raw))
-    while pos + 10 <= end:
-        fid = raw[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
-            break
-        if raw[3] >= 4:  # v2.4 frame sizes are syncsafe
-            fsize = _syncsafe(raw[pos + 4 : pos + 8])
+    total = 10 + size + (10 if flags & 0x10 else 0)
+    tag = raw[10 : 10 + size]
+    if flags & 0x80:  # unsynchronisation
+        tag = tag.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40 and len(tag) >= 4:  # extended header
+        if ver >= 4:
+            pos = _syncsafe(tag[0:4])  # v2.4: size INCLUDES itself
         else:
-            (fsize,) = struct.unpack(">I", raw[pos + 4 : pos + 8])
-        body = raw[pos + 10 : pos + 10 + fsize]
-        if fid == b"TIT2" and fsize >= 1:
-            title = _id3_text(body)
-        elif fid == b"TPE1" and fsize >= 1:
-            artist = _id3_text(body)
-        pos += 10 + fsize
-    return total, title, artist
+            (ehs,) = struct.unpack(">I", tag[0:4])
+            pos = 4 + ehs  # v2.3: size EXCLUDES the size field
+    if ver == 2:
+        hdr = 6
+        tmap = {b"TT2": 0, b"TP1": 1}
+    else:
+        hdr = 10
+        tmap = {b"TIT2": 0, b"TPE1": 1}
+    found: list[str | None] = [None, None]
+    while pos + hdr <= len(tag):
+        fid = tag[pos : pos + (3 if ver == 2 else 4)]
+        if not fid.strip(b"\x00"):
+            break  # padding
+        if ver == 2:
+            fsize = int.from_bytes(tag[pos + 3 : pos + 6], "big")
+        elif ver >= 4:
+            fsize = _syncsafe(tag[pos + 4 : pos + 8])
+        else:
+            (fsize,) = struct.unpack(">I", tag[pos + 4 : pos + 8])
+        body = tag[pos + hdr : pos + hdr + fsize]
+        slot = tmap.get(fid)
+        if slot is not None and fsize >= 1:
+            found[slot] = _id3_text(body)
+        pos += hdr + fsize
+    return total, found[0], found[1]
 
 
 def _frame_header(raw: bytes, pos: int):
@@ -343,6 +364,11 @@ def parse_ogg(raw: bytes) -> dict:
     while pos < len(raw):
         if raw[pos : pos + 4] != b"OggS":
             raise ValueError(f"ogg: bad capture pattern at byte {pos}")
+        if pos + 27 > len(raw):
+            # guard BEFORE the fixed-header reads: a truncated page
+            # must raise the documented ValueError, not IndexError /
+            # struct.error (quarantine contract)
+            raise ValueError("ogg: truncated page header")
         if raw[pos + 4] != 0:
             raise ValueError("ogg: unknown page version")
         header_type = raw[pos + 5]
@@ -378,6 +404,8 @@ def parse_ogg(raw: bytes) -> dict:
                         break
         if n_pages == 0:
             head = packets[0] if packets else bytes(cur)
+            if len(head) < 16:
+                raise ValueError("ogg: truncated id header")
             if head[:7] == b"\x01vorbis":
                 codec = "vorbis"
                 channels = head[11]
@@ -401,8 +429,10 @@ def parse_ogg(raw: bytes) -> dict:
         raise ValueError("ogg: missing EOS page")
     if codec == "opus":
         # Opus granules tick at 48 kHz regardless of input rate and
-        # include the pre-skip (RFC 7845 §4)
-        duration = (last_granule - preskip) / 48000
+        # include the pre-skip (RFC 7845 §4); a trimmed stream whose
+        # final granule undershoots the pre-skip clamps to zero
+        # rather than reporting a negative duration
+        duration = max(0, last_granule - preskip) / 48000
     else:
         duration = last_granule / rate if rate else 0.0
     tags: dict[str, str] = {}

@@ -978,12 +978,14 @@ def _extract_page_text(content: bytes, font_maps=None) -> str:
     return "\n".join(out)
 
 
-def _page_font_maps(objects, d: dict):
+def _page_font_maps(objects, d: dict, cmap_cache: dict | None = None):
     """Resource font name → ``(code → text, code_len)`` for every
     font on the page that carries a ``/ToUnicode`` CMap (inherited
     ``/Resources`` resolve through the ``/Parent`` chain, the spec's
     page-tree attribute inheritance). Fonts without a CMap keep the
-    default string decoding."""
+    default string decoding. ``cmap_cache`` (per document, keyed by
+    the ToUnicode object number) makes a shared font's CMap decode
+    once, not once per page."""
     res = d.get("Resources")
     seen = 0
     node = d
@@ -1010,15 +1012,24 @@ def _page_font_maps(objects, d: dict):
         tu = ft[1].get("ToUnicode")
         if tu is None or tu[0] != "ref":
             continue
-        entry = objects.get(tu[1][0])
+        tu_num = tu[1][0]
+        if cmap_cache is not None and tu_num in cmap_cache:
+            if cmap_cache[tu_num] is not None:
+                out[fname] = cmap_cache[tu_num]
+            continue
+        entry = objects.get(tu_num)
         if entry is None or entry[1] is None:
             continue
         td, ts = entry
         try:
             data = _decode_stream(objects, td or {}, ts)
-            out[fname] = _parse_tounicode(data)
+            parsed = _parse_tounicode(data)
         except ValueError:
-            continue  # a broken CMap degrades to default decoding
+            parsed = None  # a broken CMap degrades to default decoding
+        if cmap_cache is not None:
+            cmap_cache[tu_num] = parsed
+        if parsed is not None:
+            out[fname] = parsed
     return out
 
 
@@ -1045,7 +1056,7 @@ def _plain(objects, tok, depth: int = 0):
     return None
 
 
-def _find_encryption(raw: bytes, objects):
+def _find_encryption(raw: bytes, objects, offsets=None):
     """Locate the live ``/Encrypt`` dictionary: a TRAILER dictionary
     or an xref-stream (``/Type /XRef``) dictionary — the two places
     the spec puts it (a lenient scan over all of them, LAST trailer
@@ -1054,7 +1065,7 @@ def _find_encryption(raw: bytes, objects):
     round-9 blunt ``b"/Encrypt" in raw`` scan, which
     false-quarantined documents whose page TEXT merely mentions
     /Encrypt."""
-    candidates: list[dict] = []
+    candidates: list[tuple[int, dict]] = []
     for m in _TRAILER_RE.finditer(raw):
         lex = _Lexer(raw, m.end())
         try:
@@ -1062,17 +1073,24 @@ def _find_encryption(raw: bytes, objects):
         except ValueError:
             continue
         if t is not None and t[0] == "dict":
-            candidates.append(t[1])
-    for _num, (d, _s) in objects.items():
+            candidates.append((m.start(), t[1]))
+    offsets = offsets or {}
+    for num, (d, _s) in objects.items():
         if d and d.get("Type") == ("name", "XRef"):
-            candidates.append(d)
+            candidates.append((offsets.get(num, 0), d))
+    # FILE-ORDER last-wins, including CLEARING: a later full trailer
+    # (one carrying /Root or /Size) WITHOUT /Encrypt supersedes an
+    # earlier /Encrypt — the decrypted-and-resaved incremental-update
+    # shape (review finding: the old any-order scan kept stale keys)
     enc_tok = None
     id_tok = None
-    for d in candidates:
-        if "Encrypt" in d:
-            enc_tok = d["Encrypt"]
+    for _pos, d in sorted(candidates, key=lambda c: c[0]):
         if "ID" in d:
             id_tok = d["ID"]
+        if "Encrypt" in d:
+            enc_tok = d["Encrypt"]
+        elif "Root" in d or "Size" in d:
+            enc_tok = None
     if enc_tok is None:
         return None
     enc = _plain(objects, enc_tok)
@@ -1083,11 +1101,6 @@ def _find_encryption(raw: bytes, objects):
     if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
         id0 = ids[0]
     return enc, id0
-
-
-def _is_encrypted(raw: bytes, objects) -> bool:
-    """True when the file carries a live ``/Encrypt`` dictionary."""
-    return _find_encryption(raw, objects) is not None
 
 
 def extract_pdf_text(raw: bytes) -> dict:
@@ -1110,7 +1123,7 @@ def extract_pdf_text(raw: bytes) -> dict:
     objects, offsets, gens = _scan_objects(raw)
     if not objects:
         raise ValueError("pdf: no objects found")
-    found = _find_encryption(raw, objects)
+    found = _find_encryption(raw, objects, offsets)
     if found is not None:
         # standard security handler, empty password (round 10):
         # verify, derive the file key, and decrypt every top-level
@@ -1134,6 +1147,7 @@ def extract_pdf_text(raw: bytes) -> dict:
     page_nums = _page_content_objs(objects)
     if not page_nums:
         raise ValueError("pdf: no pages found")
+    cmap_cache: dict = {}
     pages: list[str] = []
     for num in page_nums:
         d, _s = objects[num]
@@ -1152,7 +1166,7 @@ def extract_pdf_text(raw: bytes) -> dict:
             if cs is None:
                 continue
             parts.append(_decode_stream(objects, cd or {}, cs))
-        fmaps = _page_font_maps(objects, d or {})
+        fmaps = _page_font_maps(objects, d or {}, cmap_cache)
         pages.append(_extract_page_text(b"\n".join(parts), fmaps))
     return {
         "n_pages": len(pages),

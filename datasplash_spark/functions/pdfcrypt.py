@@ -428,9 +428,12 @@ class PdfStandardSecurity:
         k = self._object_key(num, gen)
         if self.method == "rc4":
             return rc4(k, data)
-        # AES-CBC: 16-byte IV prefix + PKCS#5 padding
+        # AES-CBC: 16-byte IV prefix + PKCS#5 padding. Corruption
+        # messages must NOT contain the word 'encrypted' — the typed
+        # quarantine in pdf_text_features keys on it, and a
+        # bit-flipped stream is 'malformed', not password-protected.
         if len(data) < 32 or len(data) % 16:
-            raise ValueError("pdf: encrypted stream not block-aligned")
+            raise ValueError("pdf: AES stream not block-aligned")
         pt = aes_cbc_decrypt(k, data[:16], data[16:])
         padlen = pt[-1]
         if not 1 <= padlen <= 16:
@@ -500,8 +503,12 @@ def open_standard_security(
             )
             if cf_len:
                 # /CF Length is documented in bytes but written in
-                # bits by some producers — normalize
-                keylen = int(cf_len) // 8 if int(cf_len) > 40 else int(cf_len)
+                # bits by some producers — normalize. 40 is valid as
+                # BITS (5 bytes) but impossible as bytes (max 32),
+                # so >= 40 means bits.
+                keylen = (
+                    int(cf_len) // 8 if int(cf_len) >= 40 else int(cf_len)
+                )
         if method == "aesv2":
             keylen = 16
         key = _check_user_password(
@@ -527,7 +534,12 @@ def open_standard_security(
             key = aes_cbc_decrypt(ikey, b"\0" * 16, enc.get("OE", b"")[:32])
         else:
             raise ValueError("pdf: encrypted (password required)")
-        return PdfStandardSecurity(key, method or "aesv3", r)
+        # R5/R6 streams are AES-256 unless an explicit V4/V5 crypt
+        # filter said otherwise (a missing /V must not leave the
+        # V1/V2 default 'rc4' silently RC4-ing AES ciphertext)
+        return PdfStandardSecurity(
+            key, method if v in (4, 5) else "aesv3", r
+        )
 
     raise ValueError(f"pdf: encrypted (revision {r} unsupported)")
 

@@ -305,7 +305,11 @@ def robots_allowed(url: ColumnLike, rules: ColumnLike) -> Column:
     compete on length, ties go to Allow (the REP tiebreak), no match
     or no robots row (NULL rules) = allowed. Runs inside codegen on
     the corpus-sized URL table — no Python in the per-URL path."""
-    path = url_path(url)
+    raw_path = url_path(url)
+    # a bare-host URL ('https://h', no path) crawls the root: it must
+    # match '/'-rooted rules, so the empty path normalizes to '/'
+    # (review finding: '' never prefix-matches, bypassing Disallow /)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     r = _col(rules)
     matching = F.filter(
         r, lambda x: path.startswith(x["path"])

@@ -6088,3 +6088,30 @@ def test_sniff_media_type(spark):
         out.explain("simple")
     p = buf.getvalue()
     assert "Exchange" not in p and "Python" not in p
+
+
+def test_robots_bare_host_url_matches_root_rules(spark):
+    """Review regression: a bare-host URL (no path) crawls '/', so
+    'Disallow: /' must block it — the empty extracted path
+    normalizes to '/' before prefix matching."""
+    from datasplash_spark.functions import web as wb
+
+    robots = generate_input(
+        spark,
+        [("spam.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    urls = generate_input(
+        spark,
+        [
+            (1, "https://spam.com"),    # bare host: still blocked
+            (2, "https://spam.com/"),
+            (3, "https://other.com"),   # no robots: allowed
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.doc_id: r.allowed
+        for r in wb.robots_filter(urls, robots).collect()
+    }
+    assert got == {1: False, 2: False, 3: True}

@@ -77,7 +77,9 @@ def test_ogg_quarantines():
     with pytest.raises(ValueError, match="capture pattern"):
         A.parse_ogg(b"NotOgg" + o)
     with pytest.raises(ValueError, match="unknown codec"):
-        A.parse_ogg(A._ogg_page(0x06, 0, 1, 0, [b"\x01mystery"]))
+        A.parse_ogg(A._ogg_page(0x06, 0, 1, 0, [b"\x01mystery" + bytes(8)]))
+    with pytest.raises(ValueError, match="truncated id header"):
+        A.parse_ogg(A._ogg_page(0x06, 0, 1, 0, [b"\x01myst"]))
     # two interleaved serials = multiplexed, unsupported
     p1 = A._ogg_page(
         0x02, 0, 1, 0,
@@ -197,3 +199,65 @@ def test_mp3_artist_tpe1():
     assert A.parse_mp3(A.encode_mp3(2))["artist"] is None
     d2 = A.parse_mp3(A.encode_mp3(2, artist="only"))
     assert d2["title"] is None and d2["artist"] == "only"
+
+
+def test_ogg_truncated_raises_valueerror_not_indexerror():
+    # quarantine contract: truncation anywhere raises ValueError
+    o = A.encode_ogg("vorbis", 1, 8000, 800, 1)
+    for cut in (4, 10, 20, 26):
+        with pytest.raises(ValueError):
+            A.parse_ogg(o[:cut])
+
+
+def test_opus_duration_clamps_at_preskip():
+    # a trimmed Opus stream whose final granule undershoots the
+    # pre-skip must report 0, not a negative duration
+    o = A.encode_ogg("opus", 1, 48000, 100, 1)  # granule < 312
+    d = A.parse_ogg(o)
+    assert d["duration_s"] == 0.0
+
+
+def test_id3v23_extended_header_and_unsync():
+    import struct
+
+    # v2.3 tag with extended header (flag 0x40): 4-byte size
+    # EXCLUDES itself; frames follow the ext header
+    t = b"Title!"
+    frame = b"TIT2" + struct.pack(">IH", len(t) + 1, 0) + b"\x00" + t
+    ext = struct.pack(">I", 6) + b"\x00" * 6
+    tag_body = ext + frame
+    size = len(tag_body)
+    hdr = b"ID3\x03\x00\x40" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    mp3 = hdr + tag_body + A.encode_mp3(1)
+    assert A.parse_mp3(mp3)["title"] == "Title!"
+    # unsynchronisation (flag 0x80): FF 00 in the tag reads as FF
+    t2 = b"\xffX"  # latin-1 'ÿX'
+    frame2 = b"TIT2" + struct.pack(">IH", len(t2) + 2, 0) + b"\x00" \
+        + b"\xff\x00X"
+    size2 = len(frame2)
+    hdr2 = b"ID3\x03\x00\x80" + bytes(
+        [(size2 >> 21) & 0x7F, (size2 >> 14) & 0x7F,
+         (size2 >> 7) & 0x7F, size2 & 0x7F]
+    )
+    mp32 = hdr2 + frame2 + A.encode_mp3(1)
+    assert A.parse_mp3(mp32)["title"] == "\xffX"
+
+
+def test_id3v22_three_byte_frames():
+    # ID3v2.2: 3-byte ids (TT2/TP1) and 3-byte sizes
+    body_t = b"\x00Old Title"
+    body_a = b"\x00Old Artist"
+    frames = (
+        b"TT2" + len(body_t).to_bytes(3, "big") + body_t
+        + b"TP1" + len(body_a).to_bytes(3, "big") + body_a
+    )
+    size = len(frames)
+    hdr = b"ID3\x02\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+         (size >> 7) & 0x7F, size & 0x7F]
+    )
+    d = A.parse_mp3(hdr + frames + A.encode_mp3(1))
+    assert d["title"] == "Old Title" and d["artist"] == "Old Artist"

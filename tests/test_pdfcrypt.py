@@ -269,3 +269,64 @@ def test_inherited_resources_resolve():
         b"/Count 1 >>", b"/Count 1 " + res + b">>", 1
     )
     assert P.extract_pdf_text(raw2)["pages"] == ["inherit me"]
+
+
+# ---------------------------------------------------------------------
+# review-finding regressions (round 10 s2)
+# ---------------------------------------------------------------------
+
+
+def test_cf_length_40_means_bits():
+    # /CF Length 40 is a legitimate BITS value (5-byte RC4 key);
+    # reading it as bytes would derive an impossible 40-byte key
+    id0 = b"\x09" * 16
+    o = pc._make_o_entry(b"", b"", 4, 5)
+    key = pc._key_algo2(b"", o, -3904, id0, 4, 5)
+    u = pc._make_u_entry(key, id0, 4)
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "P": -3904,
+        "O": o, "U": u[:32], "StmF": "StdCF",
+        "CF": {"StdCF": {"CFM": "V2", "Length": 40}},
+    }
+    h = pc.open_standard_security(enc, id0)
+    assert len(h.key) == 5
+
+
+def test_r6_without_v_still_aes():
+    # a malformed-but-openable R6 dict missing /V must decrypt with
+    # AES-256, never fall back to the V1/V2 RC4 default
+    d, sess = pc.make_encryption("aes256", b"\x0a" * 16)
+    lex = P._Lexer(d)
+    plain = P._plain({}, lex.token())
+    del plain["V"]
+    h = pc.open_standard_security(plain, b"\x0a" * 16)
+    assert h.method == "aesv3" and h.key == sess.key
+
+
+def test_corrupt_aes_stream_not_classified_encrypted():
+    # corruption messages must not contain 'encrypted' (the typed
+    # quarantine in pdf_text_features keys on that word)
+    _d, sess = pc.make_encryption("aes", b"\x0b" * 16)
+    try:
+        sess.decrypt_stream(5, 0, b"short")
+    except ValueError as e:
+        assert "encrypted" not in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_later_trailer_without_encrypt_supersedes():
+    # decrypted-and-resaved incremental update: the LAST full trailer
+    # has no /Encrypt, so the (stale) earlier /Encrypt must not fire
+    raw = P.encode_pdf_text(["plain text"], compress=False)
+    enc, _ = _r3_entries(b"secret", b"", b"\x0c" * 16)
+    stale = (
+        b"trailer\n<< /Size 99 /Root 1 0 R /Encrypt << /Filter "
+        b"/Standard /V 2 /R 3 /Length 128 /P -3904 /O <"
+        + enc["O"].hex().encode() + b"> /U <" + enc["U"].hex().encode()
+        + b"> >> >>\n"
+    )
+    # splice the stale encrypted trailer BEFORE the real one
+    k = raw.index(b"trailer")
+    spliced = raw[:k] + stale + raw[k:]
+    assert P.extract_pdf_text(spliced)["pages"] == ["plain text"]
