@@ -3,7 +3,8 @@
 pipeline, the stages that run BEFORE `examples/corpus_prep.py`'s
 quality/dedup chain:
 
-    URL gate (host blocklist + path terms, auditable drop reasons)
+    robots.txt gate (broadcast rules, longest-match + Allow tiebreak)
+      → URL gate (host blocklist + path terms, auditable drop reasons)
       → URL-canonical dedup (normalize_url key: tracking params
         stripped, params sorted, fragment dropped)
       → corpus-frequency boilerplate line removal (CCNet pass —
@@ -70,9 +71,24 @@ def main(argv: list[str]) -> int:
     )
     n0 = pages.count()
 
+    # 0. robots.txt gate (round 10 s2) — the FIRST thing a polite
+    # crawler-derived corpus applies: hosts-sized rules broadcast,
+    # per-URL decision is a codegen'd longest-match expression
+    robots = spark.createDataFrame(
+        [
+            ("blog.example.org", "User-agent: *\nDisallow: /casino/\n"),
+            ("spam.example.net", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    polite = wb.robots_filter(pages, robots).where("allowed").drop(
+        "host", "allowed"
+    )
+    n_robots = polite.count()
+
     # 1. URL gate — broadcast-literal membership, auditable funnel
     gated = wb.url_filter(
-        pages,
+        polite,
         blocked_hosts=["spam.example.net"],
         blocked_path_terms=["casino"],
     )
@@ -131,6 +147,7 @@ def main(argv: list[str]) -> int:
     n6 = valid.count()
 
     print(f"pages crawled:        {n0}")
+    print(f"after robots gate:    {n_robots}")
     print(f"after URL gate:       {n1}  (funnel: {sorted((str(r[0]), r[1]) for r in funnel)})")
     print(f"after URL dedup:      {n2}")
     print(f"non-empty after bp:   {n3}")
