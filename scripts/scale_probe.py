@@ -188,6 +188,23 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.pdf", fromlist=["pdf"]
             )
         ),
+        # round-10 session 2: EXIF'd JPEG corpus (APP1 walk +
+        # decode + orientation normalization per doc)
+        "image_exif": lambda: (
+            lambda xf: xf.image_exif_features(
+                xf.synthesize_exif_corpus(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("width").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.exif", fromlist=["exif"]
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (
