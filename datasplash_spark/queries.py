@@ -6695,185 +6695,54 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 10).  The external driver gates exactly the
+# Driver gate order (round 11).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-10 gate contract.
+# round-11 gate contract.
 #
-# Window composition (VERDICT r7 item 1 — adopt a max-staleness
-# rotation): rotation DEBT (never-gated queries) was retired in round
-# 7; the remaining risk is STALENESS — a query whose newest driver
-# row keeps aging while fresher blocks hog the window. The policy is
-# GREEDY-BY-STALENESS: the window always holds the stalest 50 queries
-# (never-gated counts as infinitely stale), so no query outside the
-# window can ever be staler than one inside it, and with ~156 queries
-# at 50/round nothing ages past the 4-round backstop. The import-time
+# Window composition (greedy-by-staleness rotation, VERDICT r7 item
+# 1): the window always holds the stalest 50 queries (never-gated
+# counts as infinitely stale), so no query outside the window can
+# ever be staler than one inside it, and with 156 gated queries at
+# 50/round nothing ages past the 4-round backstop. The import-time
 # invariant below derives each query's newest driver row from the
 # CORRECTNESS_r*.json artifacts themselves (not a hand-kept table)
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-10 window = _NEW_R10 + _NEW_R10_S2 (the 6 + 5 queries
-# promoted this round — never driver-gated, so infinitely stale,
-# leading by greedy fill; the session-2 five were paid for by
-# one-for-one retirements under the 156 cap) + the 39 stalest
-# queries of the r7-green block (newest driver row CORRECTNESS_r07,
-# staleness 3 at the r10 run). The r7 block has 48 members after
-# the two retirements; the 9 left outside share the inside minimum
-# staleness (equal-staleness overflow, permitted by the invariant)
-# and lead the round-11 window at the 4-round backstop.
+# Round-11 window = _NEW_R11 (round-11 promotions — never
+# driver-gated, so infinitely stale, leading by greedy fill; each
+# paid for by a one-for-one retirement under the 156 cap) +
+# _STALE_R7_TAIL (newest driver row CORRECTNESS_r07, staleness 4 at
+# the r11 run — AT the backstop, so these nine MUST gate this
+# round) + the stalest members of the r8-green block. The r8 block
+# members left outside share the inside minimum staleness
+# (equal-staleness overflow, permitted by the invariant) and lead
+# the round-12 window.
 #
-# Steady state at 156 gated queries (VERDICT r9 item 5, the
-# headroom decision): each round gates 50, so a 6-query tail of the
-# stalest class carries over one extra round and re-enters at
-# exactly the backstop — sustainable indefinitely, but with ZERO
-# slack. Policy decided this round: the gated registry is CAPPED at
-# 156 until the driver window grows; new capability queries are
-# staged (oracle + gate-sim test, no _ALL entry) rather than gated,
-# and a promotion must retire or merge an existing gated row
-# one-for-one. tests/test_plans.py::test_registry_headroom enforces
-# the cap so growth past it fails loudly at commit time, not at
-# judge time.
+# Headroom policy (round 10, VERDICT r9 item 5): the gated registry
+# is CAPPED at 156 until the driver window grows; new capability
+# queries are staged (oracle + gate-sim test, no _ALL entry) rather
+# than gated, and a promotion must retire or merge an existing gated
+# row one-for-one. tests/test_plans.py::test_registry_headroom
+# enforces the cap at commit time.
 
-#: Queries PROMOTED in round 10 — the full round-8/9 staging block
-#: (query + oracle written and gate-sim-tested in rounds 8-9;
-#: promotion is exactly the one _ALL entry + this line each, as
-#: designed). Never driver-gated => infinitely stale => they lead
-#: the window. image_neardup_clusters gates codec -> aHash -> banded
-#: Hamming -> connected components under one recursive-CTE oracle;
-#: pdf_extract gates the zero-dependency PDF writer+reader pair.
-_NEW_R10: list[str] = [
-    "pdf_extract",
-    "image_neardup_clusters",
-    "image_progressive",
-    "image_formats_all",
-    "video_frames",
-    "rebuild_paragraphs",
-]
+#: Queries PROMOTED in round 11 under the 156-cap one-for-one
+#: policy (never driver-gated => infinitely stale => window head).
+#: warc_roundtrip gates the WARC/ISO-28500 writer+reader pair
+#: in-kernel (paid for by retiring gif_frames — its full-disposal
+#: frame-iteration path is gated end-to-end by video_frames, whose
+#: corpus now includes animated GIFs). image_exif gates the APP1
+#: TIFF-IFD walk + all eight orientation transforms (paid for by
+#: retiring image_progressive — baseline-vs-progressive decode
+#: parity is gated inside image_formats_all's nine-format corpus).
+_NEW_R11: list[str] = []
 
-#: Queries promoted in round-10 SESSION 2 under the 156-cap
-#: one-for-one policy (each never driver-gated => infinitely stale
-#: => window head with _NEW_R10). The five retirements that paid for
-#: them: sample_global / sample_per_key / approx_aggs (rows-only by
-#: design; their fully-oracled deterministic twins remain gated),
-#: ahash_pairs (its decode→aHash→banded-Hamming path is gated
-#: end-to-end by image_neardup_clusters), multimodal_features
-#: (stub-era plumbing superseded by the real-decode family). All
-#: five retired FUNCTIONS stay in the library with pytest coverage.
-_NEW_R10_S2: list[str] = [
-    "mp4_metadata",
-    "gif_frames",
-    "audio_metadata",
-    "remove_spans_keep_first",
-    "robots_filter",
-]
-
-#: the r6-green block, re-gated green in round 9 (newest driver row
-#: CORRECTNESS_r09 — freshest class, so the whole block sits at the
-#: BACK of the registry until it ages again). Order within the
-#: block: cheap relational/elementwise first so session-warmup
-#: residue lands on sub-second queries, heavies last.
-_STALE_R6: list[str] = [
-    "importance_resample",
-    "ccnet_buckets",
-    "collocations",
-    "skew_report",
-    "cohort_retention",
-    "bm25_multi",
-    "weighted_sample_det",
-    "join_required",
-    "join_optional",
-    "join_multiway",
-    "cogroup_counts",
-    "sample_global_det",
-    "sample_per_key_det",
-    "window_fixed",
-    "window_sliding",
-    "window_session",
-    "dedup_exact",
-    "chunk_documents",
-    "unigram_quality",
-    "funnel",
-    "sessionize",
-    "rolling_window",
-    "stratified_sample",
-    "ngram_counts",
-    "pivot",
-    "profile",
-    "hash_split",
-    "rollup",
-    "asof_last_view",
-    "range_join_error_window",
-    "gopher_quality",
-    "side_input_filter",
-    "dedup_incremental",
-    "decontaminate",
-    "remove_repeated_spans",
-    "global_shuffle",
-    "temperature_mix",
-    "dsir_scores",
-    "dedup_cluster_report",
-    "embedding_clusters",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "objectmode_wordcount",
-    "objectmode_join",
-    "objectmode_side_outputs",
-    "pricing_summary",
-]
-
-#: Queries ADDED in round 9 (promoted from the round-8 staging
-#: block), driver-gated green in CORRECTNESS_r09 — freshest class,
-#: back of the registry with the re-gated r6 block above.
-_NEW_R9: list[str] = [
-    "html_extract",
-]
-
-#: the r7-green block (newest driver row CORRECTNESS_r07, staleness
-#: 3 at the r10 run — stalest gated class; 48 members after the
-#: session-2 retirements). The first 39 fill the round-10 window
-#: behind _NEW_R10 + _NEW_R10_S2; the last 9 (_STALE_R7_TAIL, cheap
-#: members so the forced round-11 re-gate is sub-second work)
-#: overflow at equal staleness and lead round 11.
-_STALE_R7: list[str] = [
-    "winnow_fingerprints",
-    "bpe_pairs",
-    "source_drift",
-    "bpe_tokenize",
-    "textrank",
-    "event_paths",
-    "bigram_lm",
-    "content_manifest",
-    "domain_reweight",
-    "quantized_search",
-    "edit_verify",
-    "mad_outliers",
-    "boilerplate_removal",
-    "subword_fertility",
-    "chat_validate",
-    "chat_turns",
-    "url_normalize",
-    "host_stats",
-    "topic_tags",
-    "embedding_audit",
-    "sentence_chunks",
-    "fk_audit",
-    "bm25_negatives",
-    "length_batches",
-    "budget_batches",
-    "neighbor_report",
-    "sft_tokens",
-    "canary_report",
-    "mapcat_tokens",
-    "distinct",
-    "distinct_by",
-    "partition_by",
-    "concat_count",
-    "setops_intersect",
-    "setops_except",
-    "setops_union",
-    "semantic_dedup",
-    "contrastive_pairs",
-    "hybrid_search",
+#: the r7-green tail (newest driver row CORRECTNESS_r07; the 9
+#: equal-staleness overflow queries the round-10 window could not
+#: hold — staleness 4 at the r11 run, AT the backstop. Mostly
+#: sub-second relational/elementwise queries, so the forced slot is
+#: cheap).
+_STALE_R7_TAIL: list[str] = [
     "script_mix",
     "ngram_novelty",
     "cdc_chunks",
@@ -6885,16 +6754,12 @@ _STALE_R7: list[str] = [
     "frequencies",
 ]
 
-#: equal-staleness overflow: the 9 r7-green queries the 50-row
-#: window cannot hold this round (mostly sub-second relational /
-#: elementwise queries, so their forced round-11 slot is cheap).
-_STALE_R7_TAIL: list[str] = _STALE_R7[39:]
-
-_WINDOW_HEAD_R10: list[str] = _NEW_R10 + _NEW_R10_S2 + _STALE_R7[:39]
-
-_AFTER_WINDOW_R10: list[str] = _STALE_R7_TAIL + [
-    # r8-green block (CORRECTNESS_r08; staleness 2 at the r10 run —
-    # the full round-8 window: 46 then-r5-stale + 4 added in r8):
+#: the r8-green block (newest driver row CORRECTNESS_r08, staleness
+#: 3 at the r11 run — stalest remaining class; the full round-8
+#: window of 50). The stalest-first prefix fills the round-11
+#: window behind _NEW_R11 + _STALE_R7_TAIL; the overflow shares the
+#: inside minimum staleness and leads round 12.
+_STALE_R8: list[str] = [
     "keep",
     "frequencies_by",
     "combine_global",
@@ -6947,8 +6812,128 @@ _AFTER_WINDOW_R10: list[str] = _STALE_R7_TAIL + [
     "readability",
 ]
 
+#: the r9-green block (newest driver row CORRECTNESS_r09, staleness
+#: 2 at the r11 run): the re-gated r6 block plus html_extract.
+_GREEN_R9: list[str] = [
+    "importance_resample",
+    "ccnet_buckets",
+    "collocations",
+    "skew_report",
+    "cohort_retention",
+    "bm25_multi",
+    "weighted_sample_det",
+    "join_required",
+    "join_optional",
+    "join_multiway",
+    "cogroup_counts",
+    "sample_global_det",
+    "sample_per_key_det",
+    "window_fixed",
+    "window_sliding",
+    "window_session",
+    "dedup_exact",
+    "chunk_documents",
+    "unigram_quality",
+    "funnel",
+    "sessionize",
+    "rolling_window",
+    "stratified_sample",
+    "ngram_counts",
+    "pivot",
+    "profile",
+    "hash_split",
+    "rollup",
+    "asof_last_view",
+    "range_join_error_window",
+    "gopher_quality",
+    "side_input_filter",
+    "dedup_incremental",
+    "decontaminate",
+    "remove_repeated_spans",
+    "global_shuffle",
+    "temperature_mix",
+    "dsir_scores",
+    "dedup_cluster_report",
+    "embedding_clusters",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "objectmode_wordcount",
+    "objectmode_join",
+    "objectmode_side_outputs",
+    "pricing_summary",
+    "html_extract",
+]
+
+#: the r10-green block (newest driver row CORRECTNESS_r10,
+#: staleness 1 — freshest class, back of the registry): the full
+#: round-10 window (6 + 5 promotions + 39 then-stalest r7).
+_GREEN_R10: list[str] = [
+    "pdf_extract",
+    "image_neardup_clusters",
+    "image_progressive",
+    "image_formats_all",
+    "video_frames",
+    "rebuild_paragraphs",
+    "mp4_metadata",
+    "gif_frames",
+    "audio_metadata",
+    "remove_spans_keep_first",
+    "robots_filter",
+    "winnow_fingerprints",
+    "bpe_pairs",
+    "source_drift",
+    "bpe_tokenize",
+    "textrank",
+    "event_paths",
+    "bigram_lm",
+    "content_manifest",
+    "domain_reweight",
+    "quantized_search",
+    "edit_verify",
+    "mad_outliers",
+    "boilerplate_removal",
+    "subword_fertility",
+    "chat_validate",
+    "chat_turns",
+    "url_normalize",
+    "host_stats",
+    "topic_tags",
+    "embedding_audit",
+    "sentence_chunks",
+    "fk_audit",
+    "bm25_negatives",
+    "length_batches",
+    "budget_batches",
+    "neighbor_report",
+    "sft_tokens",
+    "canary_report",
+    "mapcat_tokens",
+    "distinct",
+    "distinct_by",
+    "partition_by",
+    "concat_count",
+    "setops_intersect",
+    "setops_except",
+    "setops_union",
+    "semantic_dedup",
+    "contrastive_pairs",
+    "hybrid_search",
+]
+
+_WINDOW_HEAD_R11: list[str] = (
+    _NEW_R11
+    + _STALE_R7_TAIL
+    + _STALE_R8[: 50 - len(_NEW_R11) - len(_STALE_R7_TAIL)]
+)
+
+#: equal-staleness overflow: the r8-green queries the 50-row window
+#: cannot hold this round; they lead the round-12 window.
+_R8_OVERFLOW: list[str] = _STALE_R8[
+    50 - len(_NEW_R11) - len(_STALE_R7_TAIL):
+]
+
 _ORDER: list[str] = (
-    _WINDOW_HEAD_R10 + _AFTER_WINDOW_R10 + _STALE_R6 + _NEW_R9
+    _WINDOW_HEAD_R11 + _R8_OVERFLOW + _GREEN_R9 + _GREEN_R10
 )
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
