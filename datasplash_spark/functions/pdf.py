@@ -1073,7 +1073,14 @@ def _find_encryption(raw: bytes, objects, offsets=None):
         except ValueError:
             continue
         if t is not None and t[0] == "dict":
-            candidates.append((m.start(), t[1]))
+            # the token 'trailer' can occur inside an uncompressed
+            # content stream or literal string; only dicts carrying
+            # trailer-shaped keys may participate in last-wins
+            # (review finding: a spurious late match could otherwise
+            # set or clear /Encrypt)
+            d = t[1]
+            if any(k in d for k in ("Size", "Root", "Prev", "XRefStm")):
+                candidates.append((m.start(), d))
     offsets = offsets or {}
     for num, (d, _s) in objects.items():
         if d and d.get("Type") == ("name", "XRef"):

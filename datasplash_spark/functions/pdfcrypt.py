@@ -425,6 +425,11 @@ class PdfStandardSecurity:
     def decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
         if self.method == "identity":
             return data
+        if not data:
+            # some producers emit zero-length stream objects and
+            # leave them unencrypted; quarantining the whole document
+            # over them is wrong (review finding)
+            return b""
         k = self._object_key(num, gen)
         if self.method == "rc4":
             return rc4(k, data)

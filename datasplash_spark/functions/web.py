@@ -218,14 +218,21 @@ def html_extract(html: ColumnLike) -> dict[str, Column]:
 
 def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
     """Parse one robots.txt and resolve the rule group for
-    ``agent``: original-REP semantics — consecutive ``User-agent``
-    lines open a shared group; directives are case-insensitive;
-    ``#`` comments strip; an exact agent group beats the ``*``
-    group; empty ``Disallow:`` matches nothing (allow-all). Returns
-    ``[(allow, path_prefix), ...]`` for the resolved group (prefix
-    matching only — the 1994 REP; Google-extension wildcards are a
-    documented non-goal). Runs driver/kernel-side over the
-    hosts-sized robots table, never per URL."""
+    ``agent``: consecutive ``User-agent`` lines open a shared group;
+    directives are case-insensitive; ``#`` comments strip; empty
+    ``Disallow:`` matches nothing (allow-all). Agent resolution
+    follows RFC 9309 / the original REP's liberal matching: a group
+    token (version part after ``/`` stripped) matches when it is a
+    case-insensitive substring of the crawler's agent string, the
+    LONGEST matching token wins, and the rules of ALL groups at that
+    winning token concatenate (RFC 9309 §2.2.1: multiple groups
+    matching the same UA MUST combine); ``*`` groups — likewise
+    combined — are the fallback. So ``agent='trainer/1.0'`` resolves
+    the ``User-agent: trainer`` group instead of silently falling
+    back to ``*``. Returns ``[(allow, path_prefix), ...]`` for the
+    resolved group (prefix matching only — Google-extension
+    wildcards are a documented non-goal). Runs driver/kernel-side
+    over the hosts-sized robots table, never per URL."""
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[bool, str]] = []
@@ -255,13 +262,27 @@ def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
     if agents:
         groups.append((agents, rules))
     a = agent.lower()
-    for ags, rs in groups:  # exact agent group wins
-        if a in ags:
-            return rs
-    for ags, rs in groups:
-        if "*" in ags:
-            return rs
-    return []
+
+    def token(g: str) -> str:
+        return g.split("/", 1)[0].strip()
+
+    def best_match(ags: list[str]) -> int:
+        # longest group token that substring-matches the agent;
+        # 0 = star-only, -1 = no match
+        score = -1
+        for g in ags:
+            t = token(g)
+            if t == "*":
+                score = max(score, 0)
+            elif t and t in a:
+                score = max(score, len(t))
+        return score
+
+    scored = [(best_match(ags), rs) for ags, rs in groups]
+    winner = max((s for s, _ in scored), default=-1)
+    if winner < 0:
+        return []
+    return [rule for s, rs in scored if s == winner for rule in rs]
 
 
 ROBOTS_RULES_SCHEMA = (

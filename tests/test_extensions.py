@@ -6115,3 +6115,57 @@ def test_robots_bare_host_url_matches_root_rules(spark):
         for r in wb.robots_filter(urls, robots).collect()
     }
     assert got == {1: False, 2: False, 3: True}
+
+
+def test_robots_agent_product_token_matching():
+    """RFC 9309 agent resolution (ADVICE r10): a versioned crawler
+    UA like 'trainer/1.0' resolves the bare 'trainer' group instead
+    of silently falling back to '*'; the longest matching token
+    wins; and multiple groups naming the same agent combine."""
+    from datasplash_spark.functions.web import parse_robots_rules
+
+    txt = (
+        "User-agent: trainer\nDisallow: /private/\n\n"
+        "User-agent: trainer-img\nDisallow: /images/\n\n"
+        "User-agent: *\nDisallow: /all/\n"
+    )
+    # versioned product token still hits its group
+    assert parse_robots_rules(txt, "trainer/1.0") == [
+        (False, "/private/")
+    ]
+    # case-insensitive
+    assert parse_robots_rules(txt, "Trainer/2.3") == [
+        (False, "/private/")
+    ]
+    # longest token wins: 'trainer-img/2.0' matches both 'trainer'
+    # and 'trainer-img' -- the more specific group applies
+    assert parse_robots_rules(txt, "trainer-img/2.0") == [
+        (False, "/images/")
+    ]
+    # versioned token in the GROUP line is stripped too
+    txt_v = "User-agent: trainer/9.9\nDisallow: /v/\n"
+    assert parse_robots_rules(txt_v, "trainer/1.0") == [(False, "/v/")]
+    # unknown agent falls back to the * group
+    assert parse_robots_rules(txt, "elsebot/1.0") == [(False, "/all/")]
+
+
+def test_robots_repeated_groups_combine():
+    # RFC 9309 2.2.1: rules of ALL groups matching the UA combine --
+    # a later Disallow for the same agent must not be dropped
+    from datasplash_spark.functions.web import parse_robots_rules
+
+    txt = (
+        "User-agent: trainer\nDisallow: /a/\n\n"
+        "User-agent: other\nDisallow: /o/\n\n"
+        "User-agent: trainer\nDisallow: /b/\n"
+    )
+    assert parse_robots_rules(txt, "trainer") == [
+        (False, "/a/"), (False, "/b/")
+    ]
+    # star groups combine the same way on fallback
+    txt_star = (
+        "User-agent: *\nDisallow: /x/\n\nUser-agent: *\nDisallow: /y/\n"
+    )
+    assert parse_robots_rules(txt_star, "nobody") == [
+        (False, "/x/"), (False, "/y/")
+    ]

@@ -330,3 +330,126 @@ def test_later_trailer_without_encrypt_supersedes():
     k = raw.index(b"trailer")
     spliced = raw[:k] + stale + raw[k:]
     assert P.extract_pdf_text(spliced)["pages"] == ["plain text"]
+
+
+# ---------------------------------------------------------------------
+# independent KDF transcriptions + golden pins (round 11, ADVICE):
+# the writer/reader roundtrips share one KDF implementation, so a
+# transcription error in Algorithms 2 / 2.B would round-trip green
+# and only surface as quarantines on real-world encrypted corpora.
+# No external PDF tool exists in this container to generate golden
+# fixtures, so the next-best guard: a SECOND, structurally different
+# transcription of each KDF lives here in the tests (full-digest
+# chaining vs truncate-then-hash; pdf.js-style while loop vs
+# post-increment break), plus pinned golden hex so any future drift
+# in either copy is loud.
+
+
+_SPEC_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _algo2_independent(pw, o, p, id0, r, keylen, encrypt_metadata=True):
+    import hashlib
+
+    msg = (pw + _SPEC_PAD)[:32] + o[:32]
+    msg += (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    if r >= 4 and not encrypt_metadata:
+        msg += b"\xff\xff\xff\xff"
+    key = hashlib.md5(msg).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:keylen]).digest()
+    return key[:keylen]
+
+
+def _r6_independent(pw, salt, udata=b""):
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    e = b"\x00" * 64
+    i = 0
+    while i < 64 or e[-1] > i - 32:
+        k1 = (pw + k + udata) * 64
+        # independent CBC chaining over the (vector-tested) block
+        # kernel: key = K[0:16], IV = K[16:32], no padding
+        out, prev = [], k[16:32]
+        for off in range(0, len(k1), 16):
+            prev = pc.aes_encrypt_block(
+                k[:16], bytes(x ^ y for x, y in zip(k1[off:off + 16], prev))
+            )
+            out.append(prev)
+        e = b"".join(out)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+    return k[:32]
+
+
+def test_kdf_algo2_vs_independent_transcription():
+    id0 = bytes(range(16))
+    o = pc._make_o_entry(b"owner", b"user", 3, 16)
+    cases = [
+        (b"user", o, -3904, id0, 2, 5, True),
+        (b"user", o, -3904, id0, 3, 16, True),
+        (b"user", o, -44, id0, 4, 16, True),
+        (b"user", o, -44, id0, 4, 16, False),
+        (b"", o, -1, b"", 3, 16, True),
+        (b"long password exceeding the 32-byte pad window!!", o,
+         -3904, id0, 3, 16, True),
+    ]
+    for pw, oo, p, i0, r, kl, em in cases:
+        assert pc._key_algo2(pw, oo, p, i0, r, kl, em) == \
+            _algo2_independent(pw, oo, p, i0, r, kl, em)
+
+
+def test_kdf_r6_vs_independent_transcription():
+    cases = [
+        (b"user", b"\x01" * 8, b""),
+        (b"user", b"\x01" * 8, b"\xaa" * 48),
+        (b"", b"saltsalt", b""),
+        (b"another-password", bytes(range(8)), b"\x55" * 48),
+    ]
+    for pw, salt, ud in cases:
+        assert pc.hash_r6(pw, salt, ud) == _r6_independent(pw, salt, ud)
+
+
+_KDF_GOLDEN = {
+    "o": "0ba3835f88f90388e74e54584125ce142be0de24c6b0d37746e075b891756671",
+    "k2": "ebc53cf170c71152a5ba9925bd0fefc3",
+    "r6": "273444d38b9bfa2ef7f9ec30b363c84a94e674abb67e0e8c8ca3479a96551090",
+}
+
+
+def test_kdf_golden_pins():
+    """Frozen outputs of both KDFs on fixed inputs: if either the
+    library or the independent transcription drifts, this fails with
+    the hex diff (the in-container stand-in for externally generated
+    qpdf/pikepdf fixtures)."""
+    id0 = bytes(range(16))
+    o = pc._make_o_entry(b"owner", b"user", 3, 16)
+    k2 = pc._key_algo2(b"user", o, -3904, id0, 3, 16)
+    r6 = pc.hash_r6(b"user", b"\x01" * 8)
+    pins = {"o": o.hex(), "k2": k2.hex(), "r6": r6.hex()}
+    assert pins == _KDF_GOLDEN
+
+
+def test_zero_length_stream_decrypts_to_empty():
+    # some producers emit empty stream objects and leave them
+    # unencrypted — must not quarantine the document (ADVICE r10)
+    for method in ("aes", "rc4", "aes256"):
+        _d, sess = pc.make_encryption(method, b"\x0b" * 16)
+        assert sess.decrypt_stream(7, 0, b"") == b""
+
+
+def test_trailer_token_inside_content_stream_ignored():
+    # the literal word 'trailer' followed by dict-like text inside a
+    # page's (uncompressed) content stream must not participate in
+    # /Encrypt last-wins resolution (ADVICE r10)
+    raw = P.encode_pdf_text(
+        ["see trailer << /Encrypt 9 0 R >> for details"],
+        compress=False,
+    )
+    out = P.extract_pdf_text(raw)
+    assert out["pages"] == ["see trailer << /Encrypt 9 0 R >> for details"]
