@@ -6014,30 +6014,64 @@ FROM px GROUP BY doc_id, frame_idx
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video modality end-to-end: per doc a REAL MJPEG stream
-    (1 + len(text) % 5 grayscale 8×8 JPEG frames), then sampled
-    decode (every 2nd frame) through the marker-structure splitter +
-    baseline JPEG decoder. The oracle replays the frame-count rule
-    and the sampling arithmetic; dims/ok come from the DECODER."""
+    """Frame-iteration modality end-to-end over BOTH animated
+    containers (round 11 — absorbs the retired gif_frames gate):
+    even doc_ids synthesize a REAL GIF89a animation (full-disposal
+    compositing, per-frame local color tables), odd doc_ids a REAL
+    MJPEG stream (marker-structure splitter + baseline JPEG
+    decoder); both get ``1 + len(text) % 5`` 8×8 frames and sampled
+    decode (every 2nd frame) through ``video_frame_features``'s
+    per-row container sniff. GIF is lossless, so the oracle pins its
+    exact per-frame pixel sums (LZW, palette expansion, compositing
+    and sampling all value-pinned); MJPEG rows pin frame count,
+    sampling arithmetic and dims, with px_sum masked NULL (lossy).
+    Bytes never shuffle."""
     from .functions import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    vids = mm.synthesize_video_from_text(docs, max_frames=5)
-    return mm.video_frame_features(vids, every_n=2).select(
-        "doc_id", "frame_idx", "n_frames", "width", "height", "ok"
+    gifs = mm.synthesize_gif_from_text(
+        docs.where(F.col("doc_id") % 2 == 0), max_frames=5
+    )
+    vids = mm.synthesize_video_from_text(
+        docs.where(F.col("doc_id") % 2 == 1), max_frames=5
+    )
+    return mm.video_frame_features(
+        gifs.unionByName(vids), every_n=2
+    ).select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        F.when(F.col("doc_id") % 2 == 0, F.col("px_sum"))
+        .cast("bigint").alias("px_sum"),
+        "ok",
     )
 
 
 ORACLE_VIDEO_FRAMES = """
 WITH f AS (
-  SELECT doc_id, CAST(1 + length(text) % 5 AS INT) AS nf FROM documents
+  SELECT doc_id, text, CAST(1 + length(text) % 5 AS INT) AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, text, nf, CAST(t.i AS INT) AS frame_idx
+  FROM f, (SELECT unnest(range(0, 5, 2)) AS i) t
+  WHERE t.i < nf
+), px AS (
+  SELECT fr.doc_id, fr.frame_idx,
+         SUM(((CASE WHEN t.j < length(fr.text)
+                THEN unicode(substring(fr.text, CAST(t.j + 1 AS INT), 1))
+                ELSE 0 END + 1 + 7 * fr.frame_idx) * 2654435761) % 256)
+         AS s
+  FROM fr, (SELECT unnest(range(64)) AS j) t
+  WHERE fr.doc_id % 2 = 0
+  GROUP BY fr.doc_id, fr.frame_idx
 )
-SELECT doc_id, CAST(i AS INT) AS frame_idx, nf AS n_frames,
-       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, TRUE AS ok
-FROM f, (SELECT unnest(range(0, 5, 2)) AS i) t
-WHERE i < nf
+SELECT fr.doc_id, fr.frame_idx, fr.nf AS n_frames,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(3 * px.s + 64 * 255 AS BIGINT) AS px_sum,
+       TRUE AS ok
+FROM fr
+LEFT JOIN px
+  ON fr.doc_id = px.doc_id AND fr.frame_idx = px.frame_idx
 """
 
 
@@ -6471,6 +6505,44 @@ FROM b
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive family corpus gate (round 11): each document becomes
+    a mini WARC shard (``1 + doc_id % 3`` records, per-record-gzip
+    for even doc_ids / plain for odd — both Common Crawl layouts),
+    encoded with ``encode_warc`` and re-parsed with
+    ``parse_warc_records`` in the SAME kernel
+    (``sources/archives.py`` warc_roundtrip_table). The oracle
+    replays record count, Content-Length totals, and the
+    concatenated-payload md5 in SQL, so any framing, header-walk, or
+    gzip-member error anywhere in the corpus shifts a record and
+    fails the hash. Shard bytes never leave the task."""
+    from .sources import archives as ar
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return ar.warc_roundtrip_table(docs)
+
+
+ORACLE_WARC_ROUNDTRIP = """
+WITH base AS (
+  SELECT doc_id, text, CAST(1 + doc_id % 3 AS INT) AS n
+  FROM documents
+), rec AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         'rec-' || CAST(t.i AS VARCHAR) || ':' || text AS payload
+  FROM base, unnest(range(n)) AS t(i)
+)
+SELECT doc_id, any_value(n) AS n_records,
+       CAST(SUM(length(payload)) AS BIGINT) AS total_len,
+       md5(string_agg(payload, '' ORDER BY i)) AS payload_md5,
+       'https://example.com/' || CAST(doc_id AS VARCHAR) || '/0'
+         AS first_uri,
+       TRUE AS ok
+FROM rec GROUP BY doc_id
+"""
+
+
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round-5 gate window (driver checks the FIRST 50) ---
     # Window MEMBERSHIP is the gate contract. Leads: the 41-query
@@ -6673,7 +6745,6 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "image_neardup_clusters": (
         q_image_neardup_clusters, ORACLE_IMAGE_NEARDUP_CLUSTERS,
     ),
-    "image_progressive": (q_image_progressive, ORACLE_IMAGE_PROGRESSIVE),
     "image_formats_all": (q_image_formats_all, ORACLE_IMAGE_FORMATS_ALL),
     "video_frames": (q_video_frames, ORACLE_VIDEO_FRAMES),
     "rebuild_paragraphs": (q_rebuild_paragraphs, ORACLE_REBUILD_PARAGRAPHS),
@@ -6685,12 +6756,20 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # plumbing query superseded by the real-decode family; all five
     # retired FUNCTIONS remain in the library with pytest coverage) ---
     "mp4_metadata": (q_mp4_metadata, ORACLE_MP4_METADATA),
-    "gif_frames": (q_gif_frames, ORACLE_GIF_FRAMES),
     "audio_metadata": (q_audio_metadata, ORACLE_AUDIO_METADATA),
     "remove_spans_keep_first": (
         q_remove_spans_keep_first, ORACLE_REMOVE_SPANS_KEEP_FIRST,
     ),
     "robots_filter": (q_robots_filter, ORACLE_ROBOTS_FILTER),
+    # --- round 11 (promoted one-for-one under the 156 cap;
+    # retired: gif_frames — its GIF decode/compositing gate with the
+    # exact pixel-sum pin is absorbed into video_frames' merged
+    # GIF+MJPEG corpus — and image_progressive, whose baseline-vs-
+    # progressive parity is gated inside image_formats_all's
+    # nine-format corpus; both retired FUNCTIONS stay in the library
+    # with pytest coverage) ---
+    "warc_roundtrip": (q_warc_roundtrip, ORACLE_WARC_ROUNDTRIP),
+    "image_exif": (q_image_exif, ORACLE_IMAGE_EXIF),
 }
 
 
@@ -6735,7 +6814,10 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #: TIFF-IFD walk + all eight orientation transforms (paid for by
 #: retiring image_progressive — baseline-vs-progressive decode
 #: parity is gated inside image_formats_all's nine-format corpus).
-_NEW_R11: list[str] = []
+_NEW_R11: list[str] = [
+    "warc_roundtrip",
+    "image_exif",
+]
 
 #: the r7-green tail (newest driver row CORRECTNESS_r07; the 9
 #: equal-staleness overflow queries the round-10 window could not
@@ -6870,12 +6952,10 @@ _GREEN_R9: list[str] = [
 _GREEN_R10: list[str] = [
     "pdf_extract",
     "image_neardup_clusters",
-    "image_progressive",
     "image_formats_all",
     "video_frames",
     "rebuild_paragraphs",
     "mp4_metadata",
-    "gif_frames",
     "audio_metadata",
     "remove_spans_keep_first",
     "robots_filter",

@@ -435,3 +435,86 @@ def read_warc(spark, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         split, schema=WARC_RECORD_SCHEMA
     )
+
+
+WARC_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, n_records int, total_len bigint, "
+    "payload_md5 string, first_uri string, ok boolean"
+)
+
+
+def warc_roundtrip_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """In-kernel WARC encode→parse round-trip (the corpus gate for
+    the archive family, round 11): each document becomes a mini WARC
+    shard of ``1 + doc_id % 3`` records (a ``response`` then
+    ``metadata`` records, payload ``rec-{i}:{text}``), written with
+    :func:`encode_warc` — per-record-gzipped for even doc_ids, plain
+    for odd, so both Common Crawl layouts gate — and immediately
+    re-parsed with :func:`parse_warc_records` in the SAME kernel.
+    Content-Length framing, the header walk, and the gzip-member
+    loop are exercised corpus-wide while shard bytes never leave the
+    task: only ``(doc_id, count, length, md5, uri, ok)`` rows cross.
+    Any framing error shifts every subsequent record and fails the
+    payload md5."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b[id_col], b[text_col]):
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 3
+                payloads = [
+                    ("rec-%d:%s" % (i, text)).encode() for i in range(n)
+                ]
+                recs = [
+                    {
+                        "warc_type": "response" if i == 0 else "metadata",
+                        "target_uri": "https://example.com/%d/%d"
+                        % (doc_id, i),
+                        "content_type": "text/plain",
+                        "payload": payloads[i],
+                    }
+                    for i in range(n)
+                ]
+                raw = encode_warc(recs, gzip_members=(doc_id % 2 == 0))
+                parsed = parse_warc_records(raw)
+                ok = (
+                    len(parsed) == n
+                    and all(
+                        p["payload"] == payloads[i]
+                        and p["content_length"] == len(payloads[i])
+                        and p["target_uri"]
+                        == "https://example.com/%d/%d" % (doc_id, i)
+                        and p["warc_type"]
+                        == ("response" if i == 0 else "metadata")
+                        for i, p in enumerate(parsed)
+                    )
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        len(parsed),
+                        sum(p["content_length"] for p in parsed),
+                        hashlib.md5(
+                            b"".join(p["payload"] for p in parsed)
+                        ).hexdigest(),
+                        parsed[0]["target_uri"] if parsed else "",
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "total_len", "payload_md5",
+                    "first_uri", "ok",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=WARC_ROUNDTRIP_SCHEMA
+    )

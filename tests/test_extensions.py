@@ -6016,12 +6016,10 @@ def test_staged_queries_match_oracle(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    # The round-8/9/10 staging block was promoted one-for-one under
-    # the 156 cap (now covered by test_gate_all); image_exif is the
-    # current staging generation.
-    staged: dict = {
-        "image_exif": (Q.q_image_exif, Q.ORACLE_IMAGE_EXIF),
-    }
+    # The round-8/9/10 staging block and round-10-s2's image_exif
+    # were promoted one-for-one under the 156 cap (now covered by
+    # test_gate_all); this holds the current staging generation.
+    staged: dict = {}
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()
