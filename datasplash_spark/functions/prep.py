@@ -126,3 +126,85 @@ def corpus_prep_full(
     return tx.pack_sequences(
         mixed, int(seq_len), text=text, id_col="doc_id", part=part
     )
+
+
+def web_ingest_prep(
+    spark,
+    warc_glob: str,
+    robots_df: DataFrame,
+    *,
+    agent: str = "*",
+    min_tokens: int = 5,
+    max_punct: float = 0.2,
+    words_per_para: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+    persist: bool = True,
+) -> DataFrame:
+    """The INGEST half of the pipeline (round 11): WARC shards →
+    HTML main-content extraction → robots.txt gate → Gopher quality
+    → paragraph dedup (rebuild) → minhash near-dup dedup. The
+    Common Crawl shape: :func:`corpus_prep_full` owns curation from
+    a clean text corpus; this owns getting there from crawl archives.
+
+    Returns the surviving corpus ``(doc_id, url, text, n_paras,
+    n_kept)`` with ``doc_id = xxhash64(url)`` — feed it (plus an
+    eval set) straight into the curation half.
+
+    Scale shape (the reason this is one function): raw bytes NEVER
+    shuffle. Records parse and HTML extracts inside the binaryFile
+    scan stage (``read_warc``'s kernel feeds ``html_extract``'s
+    codegen'd expressions before any Exchange); the robots decision
+    is a broadcast join + array expression (URLs don't move); the
+    quality gate is expression predicates; the first shuffle in the
+    whole plan is paragraph dedup's 16-byte digest window. The
+    plan-pin test asserts no Exchange row carries ``payload`` or
+    ``html``."""
+    from ..sources import archives as ar
+    from . import web as wb
+
+    recs = ar.read_warc(spark, warc_glob).filter(
+        (F.col("warc_type") == "response")
+        & F.col("content_type").startswith("text/html")
+    )
+    pages = recs.select(
+        F.col("target_uri").alias("url"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+    # extraction boundary: html is consumed HERE, in the scan stage
+    pages = pages.select(
+        "url", wb.html_extract("html")["text"].alias("text")
+    )
+    gated = (
+        wb.robots_filter(pages, robots_df, agent=agent)
+        .filter(F.col("allowed"))
+        .drop("allowed", "host")
+    )
+    quality = gated.filter(
+        tx.gopher_quality_pass(
+            "text", min_tokens=int(min_tokens)
+        )
+        & (tx.punct_ratio("text") < float(max_punct))
+    ).withColumn("doc_id", F.xxhash64("url"))
+    rebuilt = dd.apply_paragraph_dedup(
+        quality, dd.word_paragraphs("text", words_per_para),
+        id_col="doc_id",
+    ).filter(F.col("n_kept") > 0)
+    rebuilt = rebuilt.join(
+        quality.select("doc_id", "url"), "doc_id"
+    )
+    if persist:
+        rebuilt = rebuilt.persist()
+    clusters = dd.dedup_clusters(
+        rebuilt, "text", "doc_id", num_hashes, bands, shingle_k, seed,
+        cache=persist,
+    )
+    return rebuilt.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )

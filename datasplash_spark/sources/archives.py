@@ -518,3 +518,66 @@ def warc_roundtrip_table(
     return docs.select(id_col, text_col).mapInPandas(
         run, schema=WARC_ROUNDTRIP_SCHEMA
     )
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard_id",
+    uri_col: str = "target_uri",
+    payload_col: str = "payload",
+    type_col: str | None = None,
+    content_type: str = "text/html",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """WARC shard writer (round 11): one ``{shard_id}.warc.gz`` (or
+    ``.warc`` when ``gzip_members=False``) per distinct ``shard_col``
+    value, records ordered by ``uri_col``, written atomically
+    (tmp file + rename) from the executor holding the shard's rows —
+    the Common Crawl layout :func:`read_warc` reads back. Returns
+    ``(shard_id, path, n_records)``; an action has to consume it.
+    Rows shuffle ONCE by ``shard_col``; pick shard ids targeting
+    ~0.5-1 GB per shard at scale so the read side gets well-sized
+    ``binaryFile`` tasks."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sid = str(pdf[shard_col].iloc[0])
+        path = os.path.join(out_dir, f"{sid}{suffix}")
+        tmp = path + ".inprogress"
+        ordered = pdf.sort_values(uri_col)
+        recs = [
+            {
+                "warc_type": (
+                    str(row[type_col]) if type_col else "response"
+                ),
+                "target_uri": str(row[uri_col]),
+                "content_type": content_type,
+                "payload": (
+                    bytes(row[payload_col])
+                    if not isinstance(row[payload_col], str)
+                    else row[payload_col].encode()
+                ),
+            }
+            for _, row in ordered.iterrows()
+        ]
+        with open(tmp, "wb") as fh:
+            fh.write(encode_warc(recs, gzip_members=gzip_members))
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"shard_id": [sid], "path": [path], "n_records": [len(pdf)]}
+        )
+
+    cols = [shard_col, uri_col, payload_col] + (
+        [type_col] if type_col else []
+    )
+    return (
+        df.select(*cols)
+        .groupBy(shard_col)
+        .applyInPandas(
+            write, schema="shard_id string, path string, n_records bigint"
+        )
+    )

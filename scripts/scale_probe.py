@@ -154,8 +154,59 @@ def probe(spark, k: int) -> None:
             media.unpersist()
         return total
 
+    def web_curation() -> int:
+        """Composed WEB-INGEST tier (round 11): the Common Crawl
+        shape — synthesize WARC shards once per tier (html page per
+        doc, 1-in-7 on a robots-disallowed path), then
+        read_warc → html_extract → robots gate → Gopher quality →
+        paragraph dedup → minhash dedup in ONE plan
+        (prep.web_ingest_prep). Mirrors what corpus_prep_full does
+        for the curation half; payload bytes never pass an Exchange
+        (plan-pinned in tests/test_plans.py)."""
+        from datasplash_spark.functions import prep as pp
+        from datasplash_spark.sources import archives as ar
+
+        warc_dir = f"{WORK}/warc_x{k}"
+        if not os.path.exists(warc_dir):
+            n_shards = max(32, 2 * k)
+            did = F.col("doc_id")
+            pages = docs.select(
+                (did % n_shards).alias("shard_id"),
+                F.concat(
+                    F.lit("https://h"), (did % 16).cast("string"),
+                    F.lit(".example.com"),
+                    F.when(did % 7 == 0, F.lit("/private/"))
+                    .otherwise(F.lit("/doc/")),
+                    did.cast("string"),
+                ).alias("target_uri"),
+                F.encode(
+                    F.concat(
+                        F.lit("<html><head><title>d"),
+                        did.cast("string"),
+                        F.lit("</title><style>p{margin:0}</style>"
+                              "</head><body><p>"),
+                        F.col("text"),
+                        F.lit("</p></body></html>"),
+                    ),
+                    "UTF-8",
+                ).alias("payload"),
+            )
+            ar.write_warc_shards(pages, warc_dir).count()
+        robots = spark.createDataFrame(
+            [
+                (f"h{i}.example.com",
+                 "User-agent: *\nDisallow: /private/\n")
+                for i in range(16)
+            ],
+            "host string, robots_txt string",
+        )
+        return pp.web_ingest_prep(
+            spark, warc_dir + "/*.warc.gz", robots, min_tokens=5
+        ).count()
+
     ops = {
         "media_composition": media_composition,
+        "web_curation": web_curation,
         "lsh_pairs": lambda: dd.lsh_candidate_pairs(
             docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
         ).count(),

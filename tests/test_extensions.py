@@ -6018,8 +6018,11 @@ def test_staged_queries_match_oracle(spark):
     )
     # The round-8/9/10 staging block and round-10-s2's image_exif
     # were promoted one-for-one under the 156 cap (now covered by
-    # test_gate_all); this holds the current staging generation.
-    staged: dict = {}
+    # test_gate_all); office_extract (DOCX/EPUB) is the round-11
+    # staging generation.
+    staged: dict = {
+        "office_extract": (Q.q_office_extract, Q.ORACLE_OFFICE_EXTRACT),
+    }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()
@@ -6167,3 +6170,89 @@ def test_robots_repeated_groups_combine():
     assert parse_robots_rules(txt_star, "nobody") == [
         (False, "/x/"), (False, "/y/")
     ]
+
+
+def test_write_warc_shards_roundtrip(spark, tmp_path):
+    """write_warc_shards → read_warc: shard-per-group layout, gzip
+    members, atomic writes; records come back framed and typed."""
+    from datasplash_spark.sources import archives as ar
+
+    rows = [
+        (i % 3, "https://h%d.example.com/doc/%d" % (i % 4, i),
+         ("<html><body><p>doc %d body</p></body></html>" % i).encode())
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "shard_id int, target_uri string, payload binary"
+    )
+    out = str(tmp_path / "warc")
+    res = ar.write_warc_shards(df, out).collect()
+    assert sorted(r.shard_id for r in res) == ["0", "1", "2"]
+    assert sum(r.n_records for r in res) == 30
+    assert all(r.path.endswith(".warc.gz") for r in res)
+    back = ar.read_warc(spark, out + "/*.warc.gz")
+    got = back.select("target_uri", "payload", "content_type").collect()
+    assert len(got) == 30
+    by_uri = {r.target_uri: r for r in got}
+    for i in range(30):
+        uri = "https://h%d.example.com/doc/%d" % (i % 4, i)
+        assert bytes(by_uri[uri].payload) == rows[i][2]
+        assert by_uri[uri].content_type == "text/html"
+
+
+def test_web_ingest_prep_end_to_end(spark, tmp_path):
+    """web_ingest_prep: WARC shards → html_extract → robots gate →
+    Gopher quality → paragraph dedup → minhash dedup, end to end on
+    a small synthetic crawl. Disallowed URLs and near-dup replica
+    docs must not survive; clean unique docs must."""
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+
+    texts = {
+        i: " ".join(
+            "w%d%s" % (j, chr(97 + (i * 7 + j) % 26)) for j in range(40)
+        )
+        for i in range(12)
+    }
+    rows = []
+    for i in range(12):
+        path = "/private/%d" % i if i % 4 == 3 else "/doc/%d" % i
+        uri = "https://h%d.example.com%s" % (i % 2, path)
+        body = "<html><head><title>t%d</title></head><body><p>%s</p></body></html>" % (
+            i, texts[i],
+        )
+        rows.append((i % 2, uri, body.encode()))
+    # a near-dup replica of doc 0 on another path: ONE word changed,
+    # so with one 40-word paragraph per doc the paragraph pass keeps
+    # it intact and the minhash pass kills it (keep-min-id survivor)
+    rep = texts[0].split(" ")
+    rep[17] = "changed"
+    rows.append((
+        0, "https://h0.example.com/doc/990",
+        ("<html><body><p>%s</p></body></html>" % " ".join(rep)).encode(),
+    ))
+    df = spark.createDataFrame(
+        rows, "shard_id int, target_uri string, payload binary"
+    )
+    out = str(tmp_path / "crawl")
+    ar.write_warc_shards(df, out).collect()
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", "User-agent: *\nDisallow: /private/\n"),
+            ("h1.example.com", "User-agent: *\nDisallow: /private/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    surv = pp.web_ingest_prep(
+        spark, out + "/*.warc.gz", robots, min_tokens=5,
+        words_per_para=40, num_hashes=32, bands=8,
+    )
+    urls = {r.url for r in surv.select("url").collect()}
+    # /private/ URLs gated out (docs 3, 7, 11)
+    assert not any("/private/" in u for u in urls)
+    # the near-dup pair (doc 0 vs 990) keeps exactly one member
+    pair = {u for u in urls if u.endswith("/doc/0") or u.endswith("/doc/990")}
+    assert len(pair) == 1
+    # every clean unique doc survives
+    for i in (1, 2, 4, 5, 6, 8, 9, 10):
+        assert any(u.endswith("/doc/%d" % i) for u in urls), i

@@ -1042,3 +1042,38 @@ def test_image_queries_codec_stage_shape(spark):
     plan2 = plan_of(_q(spark, "image_ahash"), mode="simple")
     assert plan2.count("MapInPandas") == 2, plan2
     assert "Exchange" not in plan2, plan2
+
+
+def test_web_ingest_payload_never_shuffles(spark, tmp_path):
+    """web_ingest_prep (round 11): raw crawl bytes are consumed in
+    the binaryFile scan stage — records parse and HTML extracts
+    before the first Exchange, so no Exchange row may reference the
+    payload or html columns; the robots side joins as a
+    BroadcastExchange (URLs never move for the gate decision)."""
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+
+    df = spark.createDataFrame(
+        [
+            (i % 2, "https://h0.example.com/doc/%d" % i,
+             ("<html><body><p>%s</p></body></html>"
+              % (" ".join("w%d" % j for j in range(20)))).encode())
+            for i in range(6)
+        ],
+        "shard_id int, target_uri string, payload binary",
+    )
+    out = str(tmp_path / "warc")
+    ar.write_warc_shards(df, out).collect()
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    surv = pp.web_ingest_prep(
+        spark, out + "/*.warc.gz", robots, persist=False
+    )
+    plan = plan_of(surv, mode="simple")
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exch, "expected shuffles downstream of extraction"
+    for line in exch:
+        assert "payload" not in line and "html" not in line, line
+    assert "BroadcastExchange" in plan, "robots side must broadcast"
