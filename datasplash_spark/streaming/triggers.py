@@ -11,6 +11,16 @@ aggregate, the pane index, and the firing history; event-time
 timeouts provide the watermark-driven ON_TIME and window-close
 firings.
 
+Round 11 extends the emulation beyond fixed-window SUM/COUNT:
+:func:`paned_window_agg` takes an arbitrary user ``combine_fn``
+(the reference's init/reduce/combine/extract 4-tuple — the
+accumulator lives pickled in the state cell), and
+:func:`paned_session_agg` composes the same triggers with
+``Sessions.withGapDuration`` merging windows (core.clj:2137-2155):
+one state cell per key holds the open sessions; merges combine
+accumulators via the combiner and continue the pane index from the
+largest merged component.
+
 Supported trigger shapes (the ones real pipelines use):
 
 - ``{"after-count": N}`` — ``Repeatedly(AfterPane.elementCountAtLeast
@@ -62,6 +72,28 @@ _STATE_SCHEMA = (
 )
 
 
+#: combiner-path state: pickled accumulator instead of the long sum
+#: (discarding mode RESETS the accumulator after a firing — Beam's
+#: general-combiner discarding contract — so no last_emitted cell)
+_STATE_SCHEMA_OBJ = (
+    "acc binary, n_since long, pane_index int, "
+    "fired_on_time boolean, total_rows long"
+)
+
+
+def _parse_trigger(trigger, accumulation):
+    if accumulation not in ("accumulating", "discarding"):
+        raise ValueError(f"unknown accumulation {accumulation!r}")
+    after_count = None
+    if isinstance(trigger, dict):
+        after_count = int(trigger["after-count"])
+        if after_count < 1:
+            raise ValueError("after-count must be >= 1")
+    elif trigger != "after-watermark":
+        raise ValueError(f"unknown trigger {trigger!r}")
+    return after_count
+
+
 def paned_window_agg(
     df: DataFrame,
     time_col: str,
@@ -73,24 +105,35 @@ def paned_window_agg(
     early_count: int | None = None,
     allowed_lateness: str = "0 seconds",
     watermark_delay: str = "10 seconds",
+    combine_fn=None,
+    value_type: str = "string",
 ) -> DataFrame:
-    """Windowed SUM (or COUNT when ``value_col`` is None) over fixed
-    event-time windows with Beam pane semantics. Returns a streaming
-    DataFrame of pane rows (``PANED_OUTPUT_SCHEMA``); run it with
-    ``outputMode("append")`` — panes are emitted exactly once, which
-    is precisely Beam's firing model (the pane stream IS the
-    output)."""
+    """Windowed aggregate over fixed event-time windows with Beam
+    pane semantics. Default: SUM (or COUNT when ``value_col`` is
+    None), ``value`` typed long. Pass ``combine_fn`` — anything
+    :meth:`..objectmode.CombineFn.of` accepts: a plain fn, an
+    init/reduce/combine/extract dict, or a CombineFn — for an
+    arbitrary user combiner (the reference's combine-fn 4-tuple,
+    core.clj:722-774, composed with triggers as core.clj:2082-2155
+    allows); the accumulator lives pickled in the state cell,
+    ``value`` is ``extract(acc)`` rendered into ``value_type``
+    (default string — pass e.g. ``"double"`` for numeric
+    combiners), and DISCARDING mode resets the accumulator after
+    each firing (Beam's general-combiner discarding contract; for
+    sums that equals the delta the long path emits). Returns a
+    streaming DataFrame of pane rows (``PANED_OUTPUT_SCHEMA``); run
+    it with ``outputMode("append")`` — panes are emitted exactly
+    once, which is precisely Beam's firing model (the pane stream
+    IS the output)."""
     import pandas as pd
 
-    if accumulation not in ("accumulating", "discarding"):
-        raise ValueError(f"unknown accumulation {accumulation!r}")
-    after_count = None
-    if isinstance(trigger, dict):
-        after_count = int(trigger["after-count"])
-        if after_count < 1:
-            raise ValueError("after-count must be >= 1")
-    elif trigger != "after-watermark":
-        raise ValueError(f"unknown trigger {trigger!r}")
+    after_count = _parse_trigger(trigger, accumulation)
+    if combine_fn is not None:
+        return _paned_window_agg_obj(
+            df, time_col, key_col, window_duration, value_col,
+            after_count, accumulation, early_count, allowed_lateness,
+            watermark_delay, combine_fn, value_type,
+        )
 
     dur_ms = _duration_ms(window_duration)
     late_ms = _duration_ms(allowed_lateness)
@@ -226,3 +269,314 @@ def _duration_ms(s: str) -> int:
     if mult is None:
         raise ValueError(f"bad duration unit {s!r}")
     return int(n * mult)
+
+
+def _paned_window_agg_obj(
+    df, time_col, key_col, window_duration, value_col,
+    after_count, accumulation, early_count, allowed_lateness,
+    watermark_delay, combine_fn, value_type,
+):
+    """Combiner-path twin of the long-sum machine: same trigger /
+    pane control flow, accumulator = a pickled user CombineFn
+    accumulator in the state cell."""
+    import pickle
+
+    import pandas as pd
+
+    from ..objectmode import _EMPTY, _is_empty, CombineFn
+
+    cf = CombineFn.of(combine_fn)
+    dur_ms = _duration_ms(window_duration)
+    late_ms = _duration_ms(allowed_lateness)
+    out_schema = (
+        "key string, window_start timestamp, window_end timestamp, "
+        "pane_index int, pane_timing string, is_last boolean, "
+        f"value {value_type}, pane_rows long"
+    )
+
+    val = F.lit(1) if value_col is None else F.col(value_col)
+    win_start = F.to_timestamp(
+        F.from_unixtime(
+            F.floor(F.unix_timestamp(F.col(time_col)) / (dur_ms // 1000))
+            * (dur_ms // 1000)
+        )
+    )
+    prepped = (
+        df.withWatermark(time_col, watermark_delay)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            win_start.alias("window_start"),
+            F.col(time_col).alias("_ts"),
+            val.alias("_v"),
+        )
+    )
+
+    def load(b):
+        return _EMPTY if b is None else pickle.loads(bytes(b))
+
+    def dump(acc):
+        return None if _is_empty(acc) else pickle.dumps(acc)
+
+    def machine(key, pdf_iter, state: GroupState):
+        k, wstart = key
+        wstart_ms = int(pd.Timestamp(wstart).value // 1_000_000)
+        wend_ms = wstart_ms + dur_ms
+        if state.exists:
+            accb, n_since, pane_index, fired, total = state.get
+            acc = load(accb)
+        else:
+            acc, n_since, pane_index, fired, total = (
+                _EMPTY, 0, 0, False, 0
+            )
+        out = []
+
+        def fire(timing: str, is_last: bool) -> None:
+            nonlocal acc, n_since, pane_index
+            value = None if _is_empty(acc) else cf.extract(acc)
+            out.append(
+                {
+                    "key": k,
+                    "window_start": pd.Timestamp(wstart_ms, unit="ms"),
+                    "window_end": pd.Timestamp(wend_ms, unit="ms"),
+                    "pane_index": pane_index,
+                    "pane_timing": timing,
+                    "is_last": is_last,
+                    "value": value,
+                    "pane_rows": n_since,
+                }
+            )
+            if accumulation == "discarding":
+                acc = _EMPTY
+            n_since = 0
+            pane_index += 1
+
+        if state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            if not fired and wm >= wend_ms:
+                if after_count is None:
+                    fire("ON_TIME", is_last=late_ms == 0)
+                    fired = True
+                elif n_since > 0 or pane_index == 0:
+                    fire("ON_TIME", is_last=True)
+            if wm >= wend_ms + late_ms or (after_count is not None):
+                state.remove()
+                yield pd.DataFrame(out)
+                return
+            state.update((dump(acc), n_since, pane_index, True, total))
+            state.setTimeoutTimestamp(max(wend_ms + late_ms, wm + 1))
+            yield pd.DataFrame(out)
+            return
+
+        wm0 = state.getCurrentWatermarkMs()
+        if not fired and after_count is None and wm0 >= wend_ms:
+            fire("ON_TIME", is_last=False)
+            fired = True
+        n_new = 0
+        for pdf in pdf_iter:
+            n_new += len(pdf)
+            for v in pdf["_v"]:
+                acc = cf.reduce(acc, v)
+        n_since += n_new
+        total += n_new
+        if fired and n_since > 0:
+            fire("LATE", is_last=False)
+        elif after_count is not None:
+            if n_since >= after_count:
+                fire("EARLY", is_last=False)
+        elif early_count is not None and n_since >= early_count:
+            fire("EARLY", is_last=False)
+        state.update((dump(acc), n_since, pane_index, fired, total))
+        wm = state.getCurrentWatermarkMs()
+        target = wend_ms if not fired else wend_ms + late_ms
+        state.setTimeoutTimestamp(max(target, wm + 1))
+        yield pd.DataFrame(out)
+
+    return prepped.groupBy("key", "window_start").applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA_OBJ,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+#: session-path state: the key's OPEN sessions, pickled as a list of
+#: (start_ms, end_ms, acc_bytes_or_long, n_since, pane_index) — one
+#: cell per key, merged/split in the machine
+_STATE_SCHEMA_SESS = "sessions binary"
+
+
+def paned_session_agg(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    gap: str,
+    value_col: str | None = None,
+    trigger: "str | dict" = "after-watermark",
+    accumulation: str = "accumulating",
+    early_count: int | None = None,
+    watermark_delay: str = "10 seconds",
+    combine_fn=None,
+    value_type: str = "long",
+) -> DataFrame:
+    """Beam ``Sessions.withGapDuration`` composed with triggers and
+    pane metadata (core.clj:2137-2155): per-key gap-merged session
+    windows, EARLY panes every ``early_count`` elements (or each
+    micro-batch reaching ``{"after-count": N}``), one ON_TIME
+    ``is_last`` pane per session when the watermark passes the
+    session end (last event + gap). ``accumulation`` and
+    ``combine_fn`` behave exactly as :func:`paned_window_agg`
+    (default SUM/COUNT with ``value_type="long"``; pass a
+    ``CombineFn`` + a matching ``value_type`` for user combiners;
+    discarding resets the accumulator at each firing).
+
+    Session merge semantics: an event's proto-window ``[ts,
+    ts+gap)`` merges every open session it overlaps — accumulators
+    MERGE via the combiner, ``pane_index`` continues from the
+    largest merged component (Beam keeps the latest pane info on
+    merge). Events older than the watermark whose session already
+    closed are DROPPED (allowed-lateness 0 for sessions — Beam's
+    default; the fixed-window machine is the lateness reference).
+
+    Scale: one state cell per KEY (not per window) holding only the
+    key's open sessions — bounded by activity gaps, same shape as
+    Beam's merging-window state. Returns pane rows
+    (``PANED_OUTPUT_SCHEMA`` with ``value_type``); run with
+    ``outputMode("append")``."""
+    import pickle
+
+    import pandas as pd
+
+    from ..objectmode import _EMPTY, _is_empty, CombineFn
+
+    after_count = _parse_trigger(trigger, accumulation)
+    cf = CombineFn.of(combine_fn) if combine_fn is not None else None
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "key string, window_start timestamp, window_end timestamp, "
+        "pane_index int, pane_timing string, is_last boolean, "
+        f"value {value_type}, pane_rows long"
+    )
+
+    val = (
+        (F.lit(1).cast("long") if value_col is None
+         else F.col(value_col).cast("long"))
+        if cf is None
+        else (F.lit(1) if value_col is None else F.col(value_col))
+    )
+    prepped = (
+        df.withWatermark(time_col, watermark_delay)
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(time_col).alias("_ts"),
+            val.alias("_v"),
+        )
+    )
+
+    # accumulator ops: longs stay plain (cheap, delta-capable);
+    # combiners pickle through the session tuple
+    def a_init():
+        return 0 if cf is None else _EMPTY
+
+    def a_reduce(acc, v):
+        return acc + int(v) if cf is None else cf.reduce(acc, v)
+
+    def a_merge(a, b):
+        return a + b if cf is None else cf.merge(a, b)
+
+    def a_value(acc):
+        if cf is None:
+            return acc
+        return None if _is_empty(acc) else cf.extract(acc)
+
+    def machine(key, pdf_iter, state: GroupState):
+        (k,) = key
+        sessions: list = (
+            pickle.loads(bytes(state.get[0])) if state.exists else []
+        )
+        out = []
+
+        def fire(s: dict, timing: str, is_last: bool) -> None:
+            out.append(
+                {
+                    "key": k,
+                    "window_start": pd.Timestamp(s["start"], unit="ms"),
+                    "window_end": pd.Timestamp(s["end"], unit="ms"),
+                    "pane_index": s["pane_index"],
+                    "pane_timing": timing,
+                    "is_last": is_last,
+                    "value": a_value(s["acc"]),
+                    "pane_rows": s["n_since"],
+                }
+            )
+            if accumulation == "discarding":
+                s["acc"] = a_init()
+            s["n_since"] = 0
+            s["pane_index"] += 1
+
+        def close_expired(wm: int) -> None:
+            nonlocal sessions
+            for s in sorted(
+                [s for s in sessions if s["end"] <= wm],
+                key=lambda s: s["start"],
+            ):
+                fire(s, "ON_TIME", is_last=True)
+            sessions = [s for s in sessions if s["end"] > wm]
+
+        if state.hasTimedOut:
+            close_expired(state.getCurrentWatermarkMs())
+        else:
+            wm0 = state.getCurrentWatermarkMs()
+            for pdf in pdf_iter:
+                for ts, v in zip(pdf["_ts"], pdf["_v"]):
+                    ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+                    if ts_ms + gap_ms <= wm0:
+                        continue  # expired proto-window: dropped
+                    lo, hi = ts_ms, ts_ms + gap_ms
+                    hit = [
+                        s for s in sessions
+                        if s["start"] < hi and lo < s["end"]
+                    ]
+                    hit_ids = {id(s) for s in hit}
+                    rest = [s for s in sessions if id(s) not in hit_ids]
+                    merged = {
+                        "start": min([lo] + [s["start"] for s in hit]),
+                        "end": max([hi] + [s["end"] for s in hit]),
+                        "acc": a_init(),
+                        "n_since": sum(s["n_since"] for s in hit),
+                        "pane_index": max(
+                            [0] + [s["pane_index"] for s in hit]
+                        ),
+                    }
+                    for s in hit:
+                        merged["acc"] = a_merge(merged["acc"], s["acc"])
+                    merged["acc"] = a_reduce(merged["acc"], v)
+                    merged["n_since"] += 1
+                    rest.append(merged)
+                    sessions = rest
+            want = after_count if after_count is not None else early_count
+            if want is not None:
+                for s in sessions:
+                    if s["n_since"] >= want:
+                        fire(s, "EARLY", is_last=False)
+            # sessions whose end the watermark already passed close
+            # in the same batch (data and timeout raced)
+            close_expired(wm0)
+
+        if sessions:
+            state.update((pickle.dumps(sessions),))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(min(s["end"] for s in sessions), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out)
+
+    return prepped.groupBy("key").applyInPandasWithState(
+        machine,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA_SESS,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

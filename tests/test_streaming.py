@@ -1454,3 +1454,148 @@ def test_paned_window_agg_after_count_discarding(spark, tmp_path):
         (1, "ON_TIME", 4, True, 1),
     ], rows
     assert sum(r[2] for r in rows) == 7  # discarding panes sum to total
+
+
+def test_paned_session_agg_merge_and_close(spark, tmp_path):
+    """Session windows composed with triggers (round 11): gap-merged
+    sessions fire EARLY panes at early_count, MERGE across a
+    bridging event (accumulators combine, pane_index continues from
+    the largest merged component), and close with one ON_TIME
+    is_last pane when the watermark passes session end. The full
+    pane sequence for key 'a' is pinned."""
+    from datasplash_spark.streaming.triggers import paned_session_agg
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # two separated proto-sessions
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:10,1\na,2024-01-01 00:03:20,2\n"
+    )
+    time.sleep(0.05)
+    # extends session 1 -> EARLY (n_since 2)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:50,4\n")
+    time.sleep(0.05)
+    # extends session 2 -> EARLY (n_since 2)
+    (src / "f3.txt").write_text("a,2024-01-01 00:02:30,8\n")
+    time.sleep(0.05)
+    # bridges BOTH sessions: [10,110) + [150,260) + proto[100,160)
+    (src / "f4.txt").write_text("a,2024-01-01 00:01:40,16\n")
+    time.sleep(0.05)
+    # one more -> EARLY on the merged session
+    (src / "f5.txt").write_text("a,2024-01-01 00:01:45,32\n")
+    time.sleep(0.05)
+    # watermark jumper: close a's merged session
+    (src / "f6.txt").write_text("b,2024-01-01 00:30:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_session_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        gap="60 seconds",
+        value_col="v",
+        trigger="after-watermark",
+        accumulation="accumulating",
+        early_count=2,
+        watermark_delay="10 minutes",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+        trigger="once",
+        output_mode="append",
+        query_name="sess_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last,
+         r.window_start.strftime("%H:%M:%S"),
+         r.window_end.strftime("%H:%M:%S"))
+        for r in spark.sql(
+            "SELECT * FROM sess_panes WHERE key = 'a' "
+            "ORDER BY pane_index, value"
+        ).collect()
+    ]
+    assert rows == [
+        # the two pre-merge sessions each fired one EARLY pane
+        (0, "EARLY", 5, False, "00:00:10", "00:01:50"),
+        (0, "EARLY", 10, False, "00:02:30", "00:04:20"),
+        # merged session: accs combined (5+10+16), pane_index
+        # continued at 1, fired EARLY again on the next element
+        (1, "EARLY", 63, False, "00:00:10", "00:04:20"),
+        # watermark past merged end: ON_TIME, accumulating total
+        (2, "ON_TIME", 63, True, "00:00:10", "00:04:20"),
+    ], rows
+
+
+def test_paned_window_agg_user_combiner(spark, tmp_path):
+    """paned_window_agg with a user CombineFn 4-tuple (round 11):
+    the accumulator lives pickled in the state cell, EARLY fires on
+    after-count, DISCARDING resets the accumulator (not a numeric
+    delta), and extract renders into value_type."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "cmb_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,3\na,2024-01-01 00:00:06,1\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,2\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-count": 2},
+        accumulation="discarding",
+        watermark_delay="5 seconds",
+        combine_fn={
+            "init": list,
+            "reduce": lambda acc, v: acc + [int(v)],
+            "combine": lambda a, b: a + b,
+            "extract": lambda acc: ",".join(map(str, sorted(acc))),
+        },
+        value_type="string",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_cmb"),
+        trigger="once",
+        output_mode="append",
+        query_name="cmb_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last)
+        for r in spark.sql(
+            "SELECT * FROM cmb_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", "1,3", False),   # sorted list join, not a sum
+        (1, "ON_TIME", "2", True),    # discarding RESET the list
+    ], rows
