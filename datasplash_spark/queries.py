@@ -6505,6 +6505,72 @@ FROM b
 """
 
 
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document modality (round 11, STAGED under the 156
+    cap): per doc a REAL office package — even doc_ids a DOCX
+    (WordprocessingML: rels-resolved main part, two runs per
+    paragraph, planted field-instruction text the extractor must
+    skip), odd doc_ids an EPUB (OCF container → OPF → spine, chapter
+    filenames scrambled so only spine order extracts correctly) —
+    ``1 + len(text) % 4`` units with words round-robin, then text
+    extraction through the zero-dependency readers. The oracle
+    rebuilds the exact extracted text in SQL and compares its md5,
+    so the zip plumbing, the XML walks, run concatenation, and spine
+    following are all value-pinned corpus-wide. Bytes never
+    shuffle."""
+    from .functions import office as of
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = of.office_text_features(of.synthesize_office_from_text(docs))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_units",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_OFFICE_EXTRACT = """
+WITH base AS (
+  SELECT doc_id, CAST(1 + length(text) % 4 AS INT) AS n,
+         string_split(text, ' ') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, i % n AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), allu AS (
+  SELECT b.doc_id, b.n, CAST(t.u AS INT) AS u,
+         COALESCE(unit.utext, '') AS utext
+  FROM base b
+  CROSS JOIN unnest(range(b.n)) AS t(u)
+  LEFT JOIN unit ON unit.doc_id = b.doc_id AND unit.u = t.u
+), doc AS (
+  SELECT doc_id, any_value(n) AS n_units,
+         CASE WHEN doc_id % 2 = 0
+              THEN string_agg(utext, chr(10) ORDER BY u)
+              ELSE string_agg('Chapter ' || CAST(u AS VARCHAR)
+                              || chr(10) || utext, chr(12) ORDER BY u)
+         END AS text
+  FROM allu
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'epub' END AS kind,
+       n_units, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive family corpus gate (round 11): each document becomes
     a mini WARC shard (``1 + doc_id % 3`` records, per-record-gzip

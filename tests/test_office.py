@@ -1,0 +1,174 @@
+"""Office-document modality tests (round 11): DOCX/EPUB writer →
+extractor round-trips, the parts of each spec the naive extractor
+gets wrong (field codes, spine order), and typed quarantines.
+"""
+
+import re
+import zipfile
+import io
+
+import pytest
+
+from datasplash_spark.functions import office as O
+
+
+def test_docx_roundtrip_and_run_merge():
+    paras = ["hello world foo bar", "", "single", "a b c d e f g"]
+    r = O.parse_docx(O.encode_docx(paras))
+    assert r["paragraphs"] == paras
+    assert r["n_units"] == 4
+    assert r["text"] == "\n".join(paras)
+
+
+def test_docx_field_instruction_text_excluded():
+    # the synthesized package plants a PAGEREF instrText run in every
+    # paragraph; the naive all-text-nodes walk would include it
+    raw = O.encode_docx(["visible text"])
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        part = zf.read("word/document.xml")
+    assert b"PAGEREF" in part and b"instrText" in part
+    r = O.parse_docx(raw)
+    assert "PAGEREF" not in r["text"]
+    assert r["text"] == "visible text"
+
+
+def test_docx_tab_and_br_mapping():
+    # hand-built document part: tabs and breaks map to \t and \n,
+    # delText is excluded
+    w = O._W_NS
+    doc = (
+        f"<w:document xmlns:w=\"{w}\"><w:body>"
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/>"
+        "<w:t>c</w:t></w:r>"
+        "<w:r><w:delText>GONE</w:delText></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    base = O.encode_docx(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            zout.writestr(
+                name,
+                doc if name == "word/document.xml" else zin.read(name),
+            )
+    r = O.parse_docx(buf.getvalue())
+    assert r["paragraphs"] == ["a\tb\nc"]
+
+
+def test_docx_follows_rels_not_hardcoded_path():
+    # relocate the main part and point the relationship at it: a
+    # hard-coded word/document.xml reader fails
+    base = O.encode_docx(["moved part"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "word/document.xml":
+                zout.writestr("word/doc2.xml", data)
+            elif name == "_rels/.rels":
+                zout.writestr(
+                    name,
+                    data.replace(b"word/document.xml", b"word/doc2.xml"),
+                )
+            else:
+                zout.writestr(name, data)
+    r = O.parse_docx(buf.getvalue())
+    assert r["text"] == "moved part"
+
+
+def test_epub_roundtrip_spine_order():
+    chapters = ["alpha beta", "gamma delta epsilon", "", "omega"]
+    raw = O.encode_epub(chapters, title="my book")
+    r = O.parse_epub(raw)
+    assert r["n_units"] == 4
+    assert r["title"] == "my book"
+    assert r["chapters"] == [
+        "Chapter %d\n%s" % (i, c) for i, c in enumerate(chapters)
+    ]
+    # the bite: member order in the zip is NOT reading order
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        xhtml = [n for n in zf.namelist() if n.endswith(".xhtml")]
+    naive = []
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        for n in xhtml:
+            m = re.search(rb"<h1>([^<]*)</h1>", zf.read(n))
+            naive.append(m.group(1).decode())
+    assert naive != ["Chapter %d" % i for i in range(4)], (
+        "fixture no longer bites: zip order equals spine order"
+    )
+
+
+def test_epub_mimetype_stored_first():
+    raw = O.encode_epub(["x"], title="t")
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        infos = zf.infolist()
+    assert infos[0].filename == "mimetype"
+    assert infos[0].compress_type == zipfile.ZIP_STORED
+
+
+def test_office_quarantines_typed():
+    with pytest.raises(ValueError, match="docx"):
+        O.parse_docx(b"PK\x03\x04 definitely not a zip")
+    with pytest.raises(ValueError, match="mimetype"):
+        # valid zip, wrong layout
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("whatever.txt", "x")
+        O.parse_epub(buf.getvalue())
+    # spine pointing at a missing member
+    raw = O.encode_epub(["a", "b"], title="t")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(raw)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            if name.endswith("_1.xhtml"):
+                continue
+            zout.writestr(name, zin.read(name))
+    with pytest.raises(ValueError, match="missing spine item"):
+        O.parse_epub(buf.getvalue())
+
+
+def test_office_features_spark(spark):
+    from datasplash_spark.functions.office import (
+        office_text_features,
+        synthesize_office_from_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w%d" % j for j in range(5 + i))) for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in office_text_features(
+            synthesize_office_from_text(docs)
+        ).collect()
+    }
+    assert len(out) == 8
+    for i in range(8):
+        r = out[i]
+        assert r.ok, r
+        assert r.kind == ("docx" if i % 2 == 0 else "epub")
+        text = " ".join("w%d" % j for j in range(5 + i))
+        n = 1 + len(text) % 4
+        assert r.n_units == n
+        words = text.split(" ")
+        units = [" ".join(words[k::n]) for k in range(n)]
+        if i % 2 == 0:
+            assert r.text == "\n".join(units)
+        else:
+            assert r.text == "\f".join(
+                "Chapter %d\n%s" % (k, u) for k, u in enumerate(units)
+            )
+    # poison row quarantines alone
+    bad = spark.createDataFrame(
+        [(99, bytearray(b"PK\x03\x04broken"))],
+        "doc_id bigint, media binary",
+    )
+    rows = office_text_features(bad).collect()
+    assert len(rows) == 1 and not rows[0].ok and rows[0].err
