@@ -953,7 +953,14 @@ def test_registry_headroom():
     two rounds later."""
     from datasplash_spark import queries as Q
 
-    cap = 156  # 3 full 50-row windows + the 6-query carryover tail
+    # derived, not hand-kept: a query ages one round per window it
+    # sits out, so with W gated per round and a B-round backstop the
+    # registry sustains W*(B-1) queries plus a small equal-staleness
+    # carryover tail (6 chosen in round 10). Growing the DRIVER
+    # window is the lever that raises the cap — the round-11 ROUNDLOG
+    # carries the formal request; until granted, promotion stays
+    # one-for-one.
+    cap = Q._DRIVER_WINDOW * (Q._MAX_STALENESS - 1) + 6
     assert len(Q._ORDER) <= cap, (
         f"gated registry has {len(Q._ORDER)} queries > cap {cap}: "
         "retire or merge a gated row before promoting (see the "
