@@ -363,10 +363,16 @@ def sniff_office_kind(raw: bytes) -> str:
             names = set(zf.namelist())
     except Exception:
         return "unknown"
-    if "word/document.xml" in names or "_rels/.rels" in names:
-        return "docx" if "word/document.xml" in names else "unknown"
     if "mimetype" in names or "META-INF/container.xml" in names:
         return "epub"
+    # docx by PACKAGE markers, not the main-part path — the part can
+    # be relocated and parse_docx follows the relationship to it
+    if (
+        "word/document.xml" in names
+        or "_rels/.rels" in names
+        or "[Content_Types].xml" in names
+    ):
+        return "docx"
     return "unknown"
 
 

@@ -182,12 +182,19 @@ def web_ingest_prep(
         .filter(F.col("allowed"))
         .drop("allowed", "host")
     )
+    # doc identity = xxhash64(url): 64-bit, so ~10^10 URLs expect a
+    # handful of collisions (conflated docs); acceptable for dedup
+    # keys — swap in a 128-bit digest if exact identity matters
     quality = gated.filter(
         tx.gopher_quality_pass(
             "text", min_tokens=int(min_tokens)
         )
         & (tx.punct_ratio("text") < float(max_punct))
     ).withColumn("doc_id", F.xxhash64("url"))
+    if persist:
+        # two consumers (the rebuild and the url join-back): without
+        # this the WARC parse + HTML extract scan runs TWICE
+        quality = quality.persist()
     rebuilt = dd.apply_paragraph_dedup(
         quality, dd.word_paragraphs("text", words_per_para),
         id_col="doc_id",

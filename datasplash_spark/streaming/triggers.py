@@ -40,6 +40,15 @@ pane — both exactly Beam's accumulation-mode contract. Every output
 row carries Beam's pane metadata: ``pane_index``, ``pane_timing``
 (EARLY / ON_TIME / LATE), ``is_last``.
 
+Late-data delivery (round 11): Spark's stateful operator silently
+drops input rows older than the previous micro-batch's watermark,
+so the SPARK watermark here lags the logical (Beam) watermark by
+``allowed_lateness`` — rows inside the lateness window are always
+delivered and classified LATE by the machine, rows beyond it are
+dropped upstream, which is exactly Beam's expired-window rule (give
+or take one micro-batch of watermark lag). The machines recover the
+logical watermark by adding ``late_ms`` back for ON_TIME timing.
+
 What stays approximate: processing-time triggers tie to micro-batch
 cadence rather than wall-clock timers (Structured Streaming has no
 per-key processing-time timer visible to the plan), and
@@ -149,8 +158,16 @@ def paned_window_agg(
             * (dur_ms // 1000)
         )
     )
+    # The SPARK watermark lags the logical (Beam) watermark by
+    # allowed_lateness: Spark's stateful operator DROPS input rows
+    # older than the (previous batch's) watermark, so the Spark
+    # watermark must not cross a window until its lateness expires —
+    # exactly Beam's expired-window rule. The machine adds late_ms
+    # back to recover the logical watermark that drives ON_TIME
+    # timing. (With allowed_lateness 0 the two coincide.)
+    spark_delay_ms = _duration_ms(watermark_delay) + late_ms
     prepped = (
-        df.withWatermark(time_col, watermark_delay)
+        df.withWatermark(time_col, f"{spark_delay_ms} milliseconds")
         .select(
             F.col(key_col).cast("string").alias("key"),
             win_start.alias("window_start"),
@@ -163,6 +180,11 @@ def paned_window_agg(
         k, wstart = key
         wstart_ms = int(pd.Timestamp(wstart).value // 1_000_000)
         wend_ms = wstart_ms + dur_ms
+
+        def logical_wm() -> int:
+            raw = state.getCurrentWatermarkMs()
+            return raw + late_ms if raw > 0 else raw
+
         if state.exists:
             acc, n_since, last_emitted, pane_index, fired, total = state.get
         else:
@@ -191,7 +213,7 @@ def paned_window_agg(
             pane_index += 1
 
         if state.hasTimedOut:
-            wm = state.getCurrentWatermarkMs()
+            wm = logical_wm()
             if not fired and wm >= wend_ms:
                 # the watermark passed the window end: ON_TIME pane
                 # for after-watermark; residual final pane for
@@ -206,16 +228,18 @@ def paned_window_agg(
                 yield pd.DataFrame(out)
                 return
             # keep state open for late panes until lateness expires
+            # (timeout timestamps live on the SPARK watermark scale:
+            # logical target minus late_ms)
             state.update(
                 (acc, n_since, last_emitted, pane_index, True, total)
             )
             state.setTimeoutTimestamp(
-                max(wend_ms + late_ms, wm + 1)
+                max(wend_ms, state.getCurrentWatermarkMs() + 1)
             )
             yield pd.DataFrame(out)
             return
 
-        wm0 = state.getCurrentWatermarkMs()
+        wm0 = logical_wm()
         if not fired and after_count is None and wm0 >= wend_ms:
             # the watermark passed the window end BEFORE this batch
             # (data arrived in the same micro-batch that would have
@@ -241,9 +265,11 @@ def paned_window_agg(
         elif early_count is not None and n_since >= early_count:
             fire("EARLY", is_last=False)
         state.update((acc, n_since, last_emitted, pane_index, fired, total))
-        wm = state.getCurrentWatermarkMs()
-        target = wend_ms if not fired else wend_ms + late_ms
-        state.setTimeoutTimestamp(max(target, wm + 1))
+        raw_wm = state.getCurrentWatermarkMs()
+        # logical target wend (pre-fire) / wend+late (post-fire),
+        # converted to the Spark watermark scale by subtracting late
+        target = wend_ms - late_ms if not fired else wend_ms
+        state.setTimeoutTimestamp(max(target, raw_wm + 1))
         yield pd.DataFrame(out)
 
     return prepped.groupBy("key", "window_start").applyInPandasWithState(
@@ -301,8 +327,12 @@ def _paned_window_agg_obj(
             * (dur_ms // 1000)
         )
     )
+    # Spark watermark lags the logical one by allowed_lateness so
+    # late rows inside the lateness window are DELIVERED (see the
+    # long-sum machine's comment)
+    spark_delay_ms = _duration_ms(watermark_delay) + late_ms
     prepped = (
-        df.withWatermark(time_col, watermark_delay)
+        df.withWatermark(time_col, f"{spark_delay_ms} milliseconds")
         .select(
             F.col(key_col).cast("string").alias("key"),
             win_start.alias("window_start"),
@@ -321,6 +351,11 @@ def _paned_window_agg_obj(
         k, wstart = key
         wstart_ms = int(pd.Timestamp(wstart).value // 1_000_000)
         wend_ms = wstart_ms + dur_ms
+
+        def logical_wm() -> int:
+            raw = state.getCurrentWatermarkMs()
+            return raw + late_ms if raw > 0 else raw
+
         if state.exists:
             accb, n_since, pane_index, fired, total = state.get
             acc = load(accb)
@@ -351,7 +386,7 @@ def _paned_window_agg_obj(
             pane_index += 1
 
         if state.hasTimedOut:
-            wm = state.getCurrentWatermarkMs()
+            wm = logical_wm()
             if not fired and wm >= wend_ms:
                 if after_count is None:
                     fire("ON_TIME", is_last=late_ms == 0)
@@ -363,11 +398,13 @@ def _paned_window_agg_obj(
                 yield pd.DataFrame(out)
                 return
             state.update((dump(acc), n_since, pane_index, True, total))
-            state.setTimeoutTimestamp(max(wend_ms + late_ms, wm + 1))
+            state.setTimeoutTimestamp(
+                max(wend_ms, state.getCurrentWatermarkMs() + 1)
+            )
             yield pd.DataFrame(out)
             return
 
-        wm0 = state.getCurrentWatermarkMs()
+        wm0 = logical_wm()
         if not fired and after_count is None and wm0 >= wend_ms:
             fire("ON_TIME", is_last=False)
             fired = True
@@ -386,9 +423,9 @@ def _paned_window_agg_obj(
         elif early_count is not None and n_since >= early_count:
             fire("EARLY", is_last=False)
         state.update((dump(acc), n_since, pane_index, fired, total))
-        wm = state.getCurrentWatermarkMs()
-        target = wend_ms if not fired else wend_ms + late_ms
-        state.setTimeoutTimestamp(max(target, wm + 1))
+        raw_wm = state.getCurrentWatermarkMs()
+        target = wend_ms - late_ms if not fired else wend_ms
+        state.setTimeoutTimestamp(max(target, raw_wm + 1))
         yield pd.DataFrame(out)
 
     return prepped.groupBy("key", "window_start").applyInPandasWithState(
@@ -434,9 +471,13 @@ def paned_session_agg(
     ts+gap)`` merges every open session it overlaps — accumulators
     MERGE via the combiner, ``pane_index`` continues from the
     largest merged component (Beam keeps the latest pane info on
-    merge). Events older than the watermark whose session already
-    closed are DROPPED (allowed-lateness 0 for sessions — Beam's
-    default; the fixed-window machine is the lateness reference).
+    merge). Allowed-lateness is 0 for sessions (Beam's default; the
+    fixed-window machine is the lateness reference): an event whose
+    proto-window expired but OVERLAPS a still-open session merges
+    into it (Beam merges before judging expiry); one that overlaps
+    nothing is dropped. Delivery itself is bounded by
+    ``watermark_delay`` plus one micro-batch of watermark lag —
+    Spark drops older rows before the state machine sees them.
 
     Scale: one state cell per KEY (not per window) holding only the
     key's open sessions — bounded by activity gaps, same shape as
@@ -530,8 +571,16 @@ def paned_session_agg(
             for pdf in pdf_iter:
                 for ts, v in zip(pdf["_ts"], pdf["_v"]):
                     ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                    if ts_ms + gap_ms <= wm0:
-                        continue  # expired proto-window: dropped
+                    lo0, hi0 = ts_ms, ts_ms + gap_ms
+                    if hi0 <= wm0 and not any(
+                        s["start"] < hi0 and lo0 < s["end"]
+                        for s in sessions
+                    ):
+                        # expired proto-window that merges into NO
+                        # still-active session: dropped (Beam accepts
+                        # an old element whose window merges into a
+                        # live session — merge happens before expiry)
+                        continue
                     lo, hi = ts_ms, ts_ms + gap_ms
                     hit = [
                         s for s in sessions

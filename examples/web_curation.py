@@ -50,6 +50,48 @@ def main(argv: list[str]) -> int:
 
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
+
+    # -1. ARCHIVE INGEST (round 11) — the step before everything
+    # below when the input is a crawl rather than a text corpus:
+    # WARC shards → html_extract → robots gate → Gopher quality →
+    # paragraph + minhash dedup, composed as ONE plan
+    # (prep.web_ingest_prep; raw bytes never pass an Exchange).
+    import tempfile
+
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+
+    with tempfile.TemporaryDirectory() as tmp:
+        shards = docs.limit(200).select(
+            (d % 8).alias("shard_id"),
+            F.concat(
+                F.lit("https://h"), (d % 4).cast("string"),
+                F.lit(".example.com"),
+                F.when(d % 7 == 0, F.lit("/private/")).otherwise(
+                    F.lit("/doc/")
+                ),
+                d.cast("string"),
+            ).alias("target_uri"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
+        ar.write_warc_shards(shards, tmp).count()
+        ingest_robots = spark.createDataFrame(
+            [
+                (f"h{i}.example.com", "User-agent: *\nDisallow: /private/\n")
+                for i in range(4)
+            ],
+            "host string, robots_txt string",
+        )
+        n_ingest = pp.web_ingest_prep(
+            spark, tmp + "/*.warc.gz", ingest_robots, min_tokens=5
+        ).count()
+    print(f"WARC ingest survivors: {n_ingest} (of 200 crawled)")
     pages = docs.select(
         "doc_id",
         "text",

@@ -256,6 +256,23 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.exif", fromlist=["exif"]
             )
         ),
+        # round 11: office-document corpus (DOCX rels+runs walk /
+        # EPUB container->opf->spine per doc, zip+XML kernels)
+        "office_extract": lambda: (
+            lambda of: of.office_text_features(
+                of.synthesize_office_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.office", fromlist=["office"]
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (

@@ -172,3 +172,28 @@ def test_office_features_spark(spark):
     )
     rows = office_text_features(bad).collect()
     assert len(rows) == 1 and not rows[0].ok and rows[0].err
+
+
+def test_sniff_tracks_relocated_main_part():
+    # the sniffer must agree with the parser: docx detection is by
+    # PACKAGE markers, so a relocated main part still routes to
+    # parse_docx (which follows the relationship)
+    base = O.encode_docx(["moved part"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            data = zin.read(name)
+            if name == "word/document.xml":
+                zout.writestr("word/doc2.xml", data)
+            elif name == "_rels/.rels":
+                zout.writestr(
+                    name,
+                    data.replace(b"word/document.xml", b"word/doc2.xml"),
+                )
+            else:
+                zout.writestr(name, data)
+    raw = buf.getvalue()
+    assert O.sniff_office_kind(raw) == "docx"
+    assert O.parse_docx(raw)["text"] == "moved part"

@@ -1084,3 +1084,42 @@ def test_web_ingest_payload_never_shuffles(spark, tmp_path):
     for line in exch:
         assert "payload" not in line and "html" not in line, line
     assert "BroadcastExchange" in plan, "robots side must broadcast"
+
+
+def test_web_ingest_extraction_scan_runs_once(spark, tmp_path):
+    """web_ingest_prep: the quality-gated page table (the WARC parse
+    + HTML extraction scan) feeds TWO consumers — the paragraph
+    rebuild and the url join-back — so the composed plan must read
+    it from one persisted relation; without the persist the crawl
+    re-parses per consumer (the dominant cost at scale)."""
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://h0.example.com/doc/%d" % i,
+             ("<html><body><p>%s</p></body></html>"
+              % (" ".join("w%d" % j for j in range(20)))).encode())
+            for i in range(4)
+        ],
+        "shard_id int, target_uri string, payload binary",
+    )
+    out = str(tmp_path / "warc")
+    ar.write_warc_shards(df, out).collect()
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    surv = pp.web_ingest_prep(spark, out + "/*.warc.gz", robots)
+    plan = plan_of(surv, mode="simple")
+    assert "InMemoryTableScan" in plan, plan
+    # the extraction kernel (a MapInPandas over the binaryFile scan)
+    # must appear only inside the cached relation's build subtree —
+    # i.e. strictly below an InMemoryRelation line
+    lines = plan.splitlines()
+    rel_depths = [_node_depth(l) for l in lines if "InMemoryRelation" in l]
+    assert rel_depths, plan
+    for l in lines:
+        if "MapInPandas" in l:
+            assert any(_node_depth(l) > d for d in rel_depths), l
+    spark.catalog.clearCache()

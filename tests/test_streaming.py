@@ -1599,3 +1599,155 @@ def test_paned_window_agg_user_combiner(spark, tmp_path):
         (0, "EARLY", "1,3", False),   # sorted list join, not a sum
         (1, "ON_TIME", "2", True),    # discarding RESET the list
     ], rows
+
+
+def test_paned_session_agg_late_event_merges_into_live_session(
+    spark, tmp_path
+):
+    """Beam merges an element into a live session BEFORE expiry is
+    judged: an event whose own proto-window already expired (ts +
+    gap <= watermark) still merges when it overlaps an open session
+    — extending the window start — while an expired event that
+    overlaps nothing (key c: its session already closed ON_TIME)
+    drops. Delivery note: Spark filters rows older than the
+    PREVIOUS batch's watermark before the machine sees them, so the
+    fixture keeps the late rows inside that bound."""
+    from datasplash_spark.streaming.triggers import paned_session_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # a's session [100,130); c's session [20,50)
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:01:40,1\nc,2024-01-01 00:00:20,1\n"
+    )
+    time.sleep(0.05)
+    # watermark -> 95 s: c's session (end 50) closes ON_TIME; a's
+    # (end 130) stays open
+    (src / "f2.txt").write_text("b,2024-01-01 00:02:15,0\n")
+    time.sleep(0.05)
+    # current watermark now 130 s; late filter (previous batch's
+    # watermark) is 95 s, so both rows below ARE delivered:
+    # a@97: proto [97,127) expired (127 <= 130) but overlaps a's
+    #       open [100,130) -> MERGES, start extends to 00:01:37;
+    # c@96: proto [96,126) expired and c has no open session -> DROP
+    (src / "f3.txt").write_text(
+        "a,2024-01-01 00:01:37,4\nc,2024-01-01 00:01:36,8\n"
+    )
+    time.sleep(0.05)
+    (src / "f4.txt").write_text("b,2024-01-01 00:30:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_session_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        gap="30 seconds",
+        value_col="v",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_late"),
+        trigger="once",
+        output_mode="append",
+        query_name="late_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.key, r.pane_index, r.pane_timing, r.value, r.is_last,
+         r.window_start.strftime("%H:%M:%S"),
+         r.window_end.strftime("%H:%M:%S"))
+        for r in spark.sql(
+            "SELECT * FROM late_panes WHERE key IN ('a', 'c') "
+            "ORDER BY key, pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        # a: 1 + the merged late 4; window start extended backward
+        ("a", 0, "ON_TIME", 5, True, "00:01:37", "00:02:10"),
+        # c: closed before the late row arrived; the 8 is dropped
+        ("c", 0, "ON_TIME", 1, True, "00:00:20", "00:00:50"),
+    ], rows
+
+
+def test_paned_window_agg_lateness_bounds_delivery(spark, tmp_path):
+    """Round-11 delivery fix: the Spark watermark lags the logical
+    one by allowed_lateness, so a late row arriving several batches
+    after the watermark passed the window end — beyond
+    watermark_delay but inside allowed_lateness — is still DELIVERED
+    and produces a LATE pane. Under the old delay-only watermark,
+    Spark's stateful operator filtered this row before the machine
+    saw it (silent data loss relative to Beam)."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "latedeliv_src"
+    src.mkdir()
+    # on-time rows for window [00:04:00, 00:05:00)
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:04:05,1\na,2024-01-01 00:04:10,2\n"
+    )
+    time.sleep(0.05)
+    # two watermark-advancing batches: logical watermark passes the
+    # window end (ON_TIME fires), and the PREVIOUS-batch Spark
+    # watermark a later row is filtered against reaches 00:06:00 -
+    # 245s = 115s
+    (src / "f2.txt").write_text("b,2024-01-01 00:06:00,0\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:06:05,0\n")
+    time.sleep(0.05)
+    # the late row: 00:04:20 is ~105s older than the logical
+    # watermark minus delay — far beyond watermark_delay (5s), well
+    # inside allowed_lateness (240s)
+    (src / "f4.txt").write_text("a,2024-01-01 00:04:20,10\n")
+    time.sleep(0.05)
+    (src / "f5.txt").write_text("b,2024-01-01 00:14:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger="after-watermark",
+        accumulation="accumulating",
+        allowed_lateness="240 seconds",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_latedeliv"),
+        trigger="once",
+        output_mode="append",
+        query_name="latedeliv_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last)
+        for r in spark.sql(
+            "SELECT * FROM latedeliv_panes WHERE key = 'a' "
+            "ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "ON_TIME", 3, False),
+        (1, "LATE", 13, False),   # the late 10 arrived and counted
+    ], rows
