@@ -97,6 +97,7 @@ def probe(spark, k: int) -> None:
         from datasplash_spark.functions import mp3ogg as au
         from datasplash_spark.functions import mp4 as mp
         from datasplash_spark.functions import multimodal as mm
+        from datasplash_spark.functions import office as of
         from datasplash_spark.functions import pdf as pf
 
         d = docs.repartition(
@@ -105,22 +106,28 @@ def probe(spark, k: int) -> None:
         did = F.col("doc_id")
         media = (
             mm.synthesize_image_from_text(
-                d.filter(did % 4 == 0),
-                fmt=F.when(did % 8 == 0, F.lit("png")).otherwise(
+                d.filter(did % 5 == 0),
+                fmt=F.when(did % 10 == 0, F.lit("png")).otherwise(
                     F.lit("jpeg")
                 ),
             )
             .select("doc_id", "media")
             .unionByName(
-                pf.synthesize_pdf_from_text(d.filter(did % 4 == 1))
+                pf.synthesize_pdf_from_text(d.filter(did % 5 == 1))
                 .select("doc_id", "media")
             )
             .unionByName(
-                au.synthesize_audio_meta_from_text(d.filter(did % 4 == 2))
+                au.synthesize_audio_meta_from_text(d.filter(did % 5 == 2))
                 .select("doc_id", "media")
             )
             .unionByName(
-                mp.synthesize_mp4_from_text(d.filter(did % 4 == 3))
+                mp.synthesize_mp4_from_text(d.filter(did % 5 == 3))
+                .select("doc_id", "media")
+            )
+            .unionByName(
+                # 5th family (round 11): office containers route by
+                # the 'zip' magic through the same sniff
+                of.synthesize_office_from_text(d.filter(did % 5 == 4))
                 .select("doc_id", "media")
             )
             .persist()
@@ -148,6 +155,11 @@ def probe(spark, k: int) -> None:
             total += (
                 mp.mp4_metadata_features(media.filter(kind == "mp4"))
                 .agg(F.sum("n_samples"))
+                .first()[0]
+            )
+            total += (
+                of.office_text_features(media.filter(kind == "zip"))
+                .agg(F.sum(F.col("n_chars").cast("long")))
                 .first()[0]
             )
         finally:
