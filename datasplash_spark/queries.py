@@ -6571,6 +6571,64 @@ FROM doc
 """
 
 
+def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LaTeX modality (round 11, STAGED under the 156 cap): per doc
+    a full synthetic article — preamble, ``1 + len(text) % 3``
+    sections with words round-robin, a ``\\textbf`` wrap, planted
+    ``\\cite`` + inline math + a brace-carrying comment + an
+    ``equation`` environment per section, all of which must vanish —
+    extracted through the structural scanner. The oracle rebuilds
+    the exact extracted text in SQL and compares its md5, so the
+    group walk, escape handling, environment dropping, and
+    whitespace normalization are value-pinned corpus-wide."""
+    from .functions import latex as lx
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = lx.latex_text_features(lx.synthesize_latex_from_text(docs))
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_LATEX_EXTRACT = """
+WITH base AS (
+  SELECT doc_id, CAST(1 + length(text) % 3 AS INT) AS n,
+         string_split(text, ' ') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, i % n AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), allu AS (
+  SELECT b.doc_id, CAST(t.u AS INT) AS u,
+         COALESCE(unit.utext, '') AS utext
+  FROM base b
+  CROSS JOIN unnest(range(b.n)) AS t(u)
+  LEFT JOIN unit ON unit.doc_id = b.doc_id AND unit.u = t.u
+), doc AS (
+  SELECT doc_id,
+         string_agg(
+           'Section ' || CAST(u AS VARCHAR)
+           || CASE WHEN utext <> '' THEN chr(10) || utext ELSE '' END,
+           chr(10) ORDER BY u
+         ) AS text
+  FROM allu GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive family corpus gate (round 11): each document becomes
     a mini WARC shard (``1 + doc_id % 3`` records, per-record-gzip

@@ -400,16 +400,29 @@ def encode_warc(records: list[dict], gzip_members: bool = False) -> bytes:
     return bytes(out)
 
 
-def read_warc(spark, path_glob: str) -> DataFrame:
+def read_warc(
+    spark, path_glob: str, watch_new_files: bool = False
+) -> DataFrame:
     """WARC reader: every record of every (possibly ``.gz``) WARC
     file under ``path_glob`` as one typed row. Shards are the
     parallelism unit (``binaryFile`` scan); records parse where the
     shard bytes live and only the rows you select shuffle — filter
     on ``warc_type`` / ``content_type`` early so pruning happens
-    before any payload decode."""
+    before any payload decode. ``watch_new_files=True`` returns a
+    STREAMING DataFrame polling the directory — continuous crawl
+    ingestion, same contract as the tar/zip readers (each shard is
+    read exactly once; downstream ``web_ingest_prep``-style stages
+    compose per micro-batch)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path_glob)
+    if watch_new_files:
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARY_FILE_SCHEMA)
+            .load(path_glob)
+        )
+    else:
+        files = spark.read.format("binaryFile").load(path_glob)
 
     def split(batches):
         for b in batches:

@@ -285,6 +285,22 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.office", fromlist=["office"]
             )
         ),
+        # round 11: LaTeX structural-scanner corpus
+        "latex_extract": lambda: (
+            lambda lx: lx.latex_text_features(
+                lx.synthesize_latex_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.latex", fromlist=["latex"]
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (

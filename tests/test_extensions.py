@@ -6022,6 +6022,7 @@ def test_staged_queries_match_oracle(spark):
     # staging generation.
     staged: dict = {
         "office_extract": (Q.q_office_extract, Q.ORACLE_OFFICE_EXTRACT),
+        "latex_extract": (Q.q_latex_extract, Q.ORACLE_LATEX_EXTRACT),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()

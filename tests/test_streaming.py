@@ -1751,3 +1751,56 @@ def test_paned_window_agg_lateness_bounds_delivery(spark, tmp_path):
         (0, "ON_TIME", 3, False),
         (1, "LATE", 13, False),   # the late 10 arrived and counted
     ], rows
+
+
+def test_warc_watch_new_files_streaming_drain(spark, tmp_path):
+    """read_warc(watch_new_files=True): continuous crawl ingestion —
+    new .warc.gz shards appearing in the directory drain into typed
+    record rows exactly once, same contract as the tar/zip stream
+    readers."""
+    from datasplash_spark.sources.archives import encode_warc, read_warc
+
+    src = tmp_path / "warc_watch"
+    src.mkdir()
+    out = str(tmp_path / "warc_out")
+    ckpt = str(tmp_path / "warc_ckpt")
+
+    def shard(s: int, n: int) -> None:
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": "https://h.example.com/%d/%d" % (s, i),
+                "content_type": "text/plain",
+                "payload": ("%d-%d" % (s, i)).encode(),
+            }
+            for i in range(n)
+        ]
+        (src / ("%02d.warc.gz" % s)).write_bytes(
+            encode_warc(recs, gzip_members=True)
+        )
+
+    shard(0, 3)
+    stream = read_warc(spark, str(src), watch_new_files=True)
+    assert stream.isStreaming
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 3
+    shard(1, 2)
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    assert {bytes(r.payload).decode() for r in rows} == {
+        "0-0", "0-1", "0-2", "1-0", "1-1",
+    }
+    assert {r.warc_type for r in rows} == {"response"}
+    assert all(r.content_length == 3 for r in rows)
