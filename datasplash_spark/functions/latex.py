@@ -144,7 +144,7 @@ def latex_to_text(src: str) -> str:
                 if not m:
                     i += 2  # stray backslash + char: drop both
                     continue
-                cmd = m.group(0)
+                cmd = m.group(0).rstrip("*")  # \section* == \section
                 i = m.end()
                 if cmd == "par":
                     out.append("\n")

@@ -97,3 +97,10 @@ def test_latex_features_spark(spark):
                 "Section %d" % u + ("\n" + unit if unit else "")
             )
         assert r.text == "\n".join(expect), (r.text, expect)
+
+
+def test_starred_commands_match_base():
+    assert latex_to_text(r"\section*{Unnumbered} body") == (
+        "Unnumbered\nbody"
+    )
+    assert latex_to_text(r"\begin{figure*}dropped\end{figure*}x") == "x"
