@@ -452,6 +452,7 @@ def paned_session_agg(
     trigger: "str | dict" = "after-watermark",
     accumulation: str = "accumulating",
     early_count: int | None = None,
+    allowed_lateness: str = "0 seconds",
     watermark_delay: str = "10 seconds",
     combine_fn=None,
     value_type: str = "long",
@@ -470,14 +471,20 @@ def paned_session_agg(
     Session merge semantics: an event's proto-window ``[ts,
     ts+gap)`` merges every open session it overlaps — accumulators
     MERGE via the combiner, ``pane_index`` continues from the
-    largest merged component (Beam keeps the latest pane info on
-    merge). Allowed-lateness is 0 for sessions (Beam's default; the
-    fixed-window machine is the lateness reference): an event whose
-    proto-window expired but OVERLAPS a still-open session merges
-    into it (Beam merges before judging expiry); one that overlaps
-    nothing is dropped. Delivery itself is bounded by
-    ``watermark_delay`` plus one micro-batch of watermark lag —
-    Spark drops older rows before the state machine sees them.
+    largest merged component, and a merged session is FIRED if any
+    component fired (Beam keeps the latest pane info on merge).
+    ``allowed_lateness`` (round 11) works as in
+    :func:`paned_window_agg`: the Spark watermark lags the logical
+    one by the lateness so late rows are DELIVERED; a session stays
+    in state for ``allowed_lateness`` past its end, each micro-batch
+    of late data fires a LATE pane, and late data may still MERGE
+    sessions inside the lateness horizon. With lateness 0 (Beam's
+    default) an event whose proto-window expired but OVERLAPS a
+    still-open session merges into it (Beam merges before judging
+    expiry); one that overlaps nothing drops. Delivery is bounded by
+    ``watermark_delay + allowed_lateness`` plus one micro-batch of
+    watermark lag — Spark drops older rows before the state machine
+    sees them.
 
     Scale: one state cell per KEY (not per window) holding only the
     key's open sessions — bounded by activity gaps, same shape as
@@ -493,6 +500,7 @@ def paned_session_agg(
     after_count = _parse_trigger(trigger, accumulation)
     cf = CombineFn.of(combine_fn) if combine_fn is not None else None
     gap_ms = _duration_ms(gap)
+    late_ms = _duration_ms(allowed_lateness)
     out_schema = (
         "key string, window_start timestamp, window_end timestamp, "
         "pane_index int, pane_timing string, is_last boolean, "
@@ -505,8 +513,12 @@ def paned_session_agg(
         if cf is None
         else (F.lit(1) if value_col is None else F.col(value_col))
     )
+    # Spark watermark lags the logical one by allowed_lateness so
+    # late rows inside the lateness window are DELIVERED (see the
+    # fixed-window machine's comment)
+    spark_delay_ms = _duration_ms(watermark_delay) + late_ms
     prepped = (
-        df.withWatermark(time_col, watermark_delay)
+        df.withWatermark(time_col, f"{spark_delay_ms} milliseconds")
         .select(
             F.col(key_col).cast("string").alias("key"),
             F.col(time_col).alias("_ts"),
@@ -537,6 +549,10 @@ def paned_session_agg(
         )
         out = []
 
+        def logical_wm() -> int:
+            raw = state.getCurrentWatermarkMs()
+            return raw + late_ms if raw > 0 else raw
+
         def fire(s: dict, timing: str, is_last: bool) -> None:
             out.append(
                 {
@@ -556,30 +572,39 @@ def paned_session_agg(
             s["pane_index"] += 1
 
         def close_expired(wm: int) -> None:
+            # fire ON_TIME once when the logical watermark passes a
+            # session's end; keep the session for allowed_lateness
+            # past the end (LATE panes), then evict silently
             nonlocal sessions
-            for s in sorted(
-                [s for s in sessions if s["end"] <= wm],
-                key=lambda s: s["start"],
-            ):
-                fire(s, "ON_TIME", is_last=True)
-            sessions = [s for s in sessions if s["end"] > wm]
+            keep = []
+            for s in sorted(sessions, key=lambda s: s["start"]):
+                expiring = s["end"] + late_ms <= wm
+                if not s.get("fired") and s["end"] <= wm:
+                    fire(s, "ON_TIME", is_last=late_ms == 0 or expiring)
+                    s["fired"] = True
+                if not expiring:
+                    keep.append(s)
+            sessions = keep
 
         if state.hasTimedOut:
-            close_expired(state.getCurrentWatermarkMs())
+            close_expired(logical_wm())
         else:
-            wm0 = state.getCurrentWatermarkMs()
+            wm0 = logical_wm()
             for pdf in pdf_iter:
                 for ts, v in zip(pdf["_ts"], pdf["_v"]):
                     ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
                     lo0, hi0 = ts_ms, ts_ms + gap_ms
-                    if hi0 <= wm0 and not any(
+                    if hi0 + late_ms <= wm0 and not any(
                         s["start"] < hi0 and lo0 < s["end"]
                         for s in sessions
                     ):
-                        # expired proto-window that merges into NO
-                        # still-active session: dropped (Beam accepts
-                        # an old element whose window merges into a
-                        # live session — merge happens before expiry)
+                        # FULLY expired proto-window (past lateness)
+                        # that merges into NO held session: dropped
+                        # (Beam accepts an old element whose window
+                        # merges into a live session — merge happens
+                        # before expiry; within lateness a standalone
+                        # late session is created below and fires a
+                        # LATE pane)
                         continue
                     lo, hi = ts_ms, ts_ms + gap_ms
                     hit = [
@@ -596,6 +621,10 @@ def paned_session_agg(
                         "pane_index": max(
                             [0] + [s["pane_index"] for s in hit]
                         ),
+                        # merged pane info: fired if any component
+                        # fired (late data joining a closed session
+                        # stays in the LATE regime)
+                        "fired": any(s.get("fired") for s in hit),
                     }
                     for s in hit:
                         merged["acc"] = a_merge(merged["acc"], s["acc"])
@@ -604,20 +633,29 @@ def paned_session_agg(
                     rest.append(merged)
                     sessions = rest
             want = after_count if after_count is not None else early_count
-            if want is not None:
-                for s in sessions:
-                    if s["n_since"] >= want:
-                        fire(s, "EARLY", is_last=False)
+            for s in sessions:
+                if s.get("fired") and s["n_since"] > 0:
+                    # late data on an already-closed session: one
+                    # LATE pane per micro-batch (the fixed-window
+                    # machine's contract)
+                    fire(s, "LATE", is_last=False)
+                elif want is not None and s["n_since"] >= want:
+                    fire(s, "EARLY", is_last=False)
             # sessions whose end the watermark already passed close
             # in the same batch (data and timeout raced)
             close_expired(wm0)
 
         if sessions:
             state.update((pickle.dumps(sessions),))
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(
-                max(min(s["end"] for s in sessions), wm + 1)
+            raw_wm = state.getCurrentWatermarkMs()
+            # next logical event per session: ON_TIME at end (spark
+            # scale: end - late) for unfired, eviction at end + late
+            # (spark scale: end) for fired
+            target = min(
+                (s["end"] - late_ms) if not s.get("fired") else s["end"]
+                for s in sessions
             )
+            state.setTimeoutTimestamp(max(target, raw_wm + 1))
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out)

@@ -1804,3 +1804,72 @@ def test_warc_watch_new_files_streaming_drain(spark, tmp_path):
     }
     assert {r.warc_type for r in rows} == {"response"}
     assert all(r.content_length == 3 for r in rows)
+
+
+def test_paned_session_agg_allowed_lateness(spark, tmp_path):
+    """Session windows with allowed_lateness (round 11): the session
+    fires ON_TIME (not last — lateness keeps it open), late data
+    inside the lateness horizon is delivered, MERGES into the closed
+    session (extending its window end), and fires a LATE pane; the
+    session evicts silently after end + lateness."""
+    from datasplash_spark.streaming.triggers import paned_session_agg
+
+    src = tmp_path / "sess_late_src"
+    src.mkdir()
+    # session [04:00, 04:40) with gap 30s
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:04:00,1\na,2024-01-01 00:04:10,2\n"
+    )
+    time.sleep(0.05)
+    # two watermark steps: logical watermark passes the session end
+    # (ON_TIME), while the delivery filter stays behind the late row
+    (src / "f2.txt").write_text("b,2024-01-01 00:06:00,0\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:06:05,0\n")
+    time.sleep(0.05)
+    # late row 00:04:20: inside lateness (120s) -> delivered, merges
+    # into the CLOSED session (end extends 04:40 -> 04:50), LATE pane
+    (src / "f4.txt").write_text("a,2024-01-01 00:04:20,4\n")
+    time.sleep(0.05)
+    (src / "f5.txt").write_text("b,2024-01-01 00:20:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_session_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        gap="30 seconds",
+        value_col="v",
+        allowed_lateness="120 seconds",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes,
+        "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_sess_late"),
+        trigger="once",
+        output_mode="append",
+        query_name="sess_late_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last,
+         r.window_start.strftime("%H:%M:%S"),
+         r.window_end.strftime("%H:%M:%S"))
+        for r in spark.sql(
+            "SELECT * FROM sess_late_panes WHERE key = 'a' "
+            "ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "ON_TIME", 3, False, "00:04:00", "00:04:40"),
+        (1, "LATE", 7, False, "00:04:00", "00:04:50"),
+    ], rows
