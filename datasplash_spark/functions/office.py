@@ -365,8 +365,12 @@ def sniff_office_kind(raw: bytes) -> str:
         return "unknown"
     if "mimetype" in names or "META-INF/container.xml" in names:
         return "epub"
+    if "ppt/presentation.xml" in names or any(
+        n.startswith("ppt/") for n in names
+    ):
+        return "pptx"
     # docx by PACKAGE markers, not the main-part path — the part can
-    # be relocated and parse_docx follows the relationship to it
+    # be relocated and the parsers follow the relationship to it
     if (
         "word/document.xml" in names
         or "_rels/.rels" in names
@@ -403,6 +407,8 @@ def office_text_features(df, id_col="doc_id", media_col="media"):
                         d = parse_docx(data)
                     elif kind == "epub":
                         d = parse_epub(data)
+                    elif kind == "pptx":
+                        d = parse_pptx(data)
                     else:
                         raise ValueError(
                             "office: unrecognized container"
@@ -433,9 +439,10 @@ def synthesize_office_from_text(
 ):
     """Deterministic synthetic office corpus — the document analog
     of ``synthesize_pdf_from_text``: per doc ``1 + len(text) %
-    units_mod`` units (paragraphs / chapters; words split across
-    units round-robin), EVEN doc_ids as DOCX, ODD as EPUB. Returns
-    ``(doc_id, kind, n_units, media binary)``."""
+    units_mod`` units (paragraphs / chapters / slides; words split
+    across units round-robin), rotating DOCX / EPUB / PPTX on
+    ``doc_id % 3``. Returns ``(doc_id, kind, n_units, media
+    binary)``."""
     from pyspark.sql import functions as F
 
     def synth(batches):
@@ -451,10 +458,14 @@ def synthesize_office_from_text(
                 units = [
                     " ".join(words[i::n]) for i in range(n)
                 ]
-                if did % 2 == 0:
+                if did % 3 == 0:
                     kind, media = "docx", encode_docx(units)
-                else:
+                elif did % 3 == 1:
                     kind, media = "epub", encode_epub(
+                        units, title="doc %d" % did
+                    )
+                else:
+                    kind, media = "pptx", encode_pptx(
                         units, title="doc %d" % did
                     )
                 ids.append(did)
@@ -471,3 +482,197 @@ def synthesize_office_from_text(
     return df.select(id_col, text).mapInPandas(
         synth, schema="doc_id bigint, kind string, n_units int, media binary"
     )
+
+
+# ---------------------------------------------------------------------
+# PPTX
+# ---------------------------------------------------------------------
+
+_P_NS = (
+    "http://schemas.openxmlformats.org/presentationml/2006/main"
+)
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R_NS = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/"
+    "relationships"
+)
+_SLIDE_REL = _R_NS + "/slide"
+
+
+def encode_pptx(slides: list[str], title: str = "deck") -> bytes:
+    """Minimal-but-conformant PresentationML package (fixture half):
+    package rels → presentation part, whose ``sldIdLst`` orders the
+    slides by RELATIONSHIP id; slide filenames are scrambled
+    relative to deck order (``s{(i*3)%n}_{i}.xml``) so only a
+    rels-following reader extracts in order. Each slide carries a
+    title paragraph and a body paragraph split across two runs."""
+    n = len(slides)
+    names = ["s%d_%d.xml" % ((i * 3) % max(n, 1), i) for i in range(n)]
+    slide_docs = []
+    for i, text in enumerate(slides):
+        words = text.split(" ") if text else []
+        h = len(words) // 2
+        r1 = " ".join(words[:h])
+        r2 = " ".join(words[h:])
+        if r1:
+            r1 += " " if r2 else ""
+        runs = ""
+        if r1:
+            runs += (
+                "<a:r><a:rPr b=\"1\"/><a:t>" + _xml_escape(r1)
+                + "</a:t></a:r>"
+            )
+        runs += "<a:r><a:t>" + _xml_escape(r2) + "</a:t></a:r>"
+        slide_docs.append(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+            f"<p:sld xmlns:p=\"{_P_NS}\" xmlns:a=\"{_A_NS}\">"
+            "<p:cSld><p:spTree>"
+            "<p:sp><p:txBody>"
+            f"<a:p><a:r><a:t>Slide {i}</a:t></a:r></a:p>"
+            f"<a:p>{runs}</a:p>"
+            "</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+    pres = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        f"<p:presentation xmlns:p=\"{_P_NS}\" xmlns:r=\"{_R_NS}\">"
+        "<p:sldIdLst>"
+        + "".join(
+            f"<p:sldId id=\"{256 + i}\" r:id=\"rId{i + 1}\"/>"
+            for i in range(n)
+        )
+        + "</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        f"<Relationships xmlns=\"{_REL_NS}\">"
+        + "".join(
+            f"<Relationship Id=\"rId{i + 1}\" Type=\"{_SLIDE_REL}\" "
+            f"Target=\"slides/{names[i]}\"/>"
+            for i in range(n)
+        )
+        + "</Relationships>"
+    )
+    rels = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        f"<Relationships xmlns=\"{_REL_NS}\">"
+        f"<Relationship Id=\"rId1\" Type=\"{_OFFICE_DOC_REL}\" "
+        "Target=\"ppt/presentation.xml\"/></Relationships>"
+    )
+    content_types = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/"
+        "2006/content-types\">"
+        "<Default Extension=\"rels\" ContentType=\"application/vnd."
+        "openxmlformats-package.relationships+xml\"/>"
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>"
+        "</Types>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        members = [
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", rels),
+            ("ppt/presentation.xml", pres),
+            ("ppt/_rels/presentation.xml.rels", pres_rels),
+        ] + [
+            ("ppt/slides/" + names[i], slide_docs[i])
+            for i in reversed(range(n))  # zip order != deck order
+        ]
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def parse_pptx(raw: bytes) -> dict:
+    """PPTX text extraction: follow the package relationship to the
+    presentation part, order slides by ``sldIdLst`` → relationship
+    ids (NOT filename order), and per slide concatenate ``a:t`` run
+    text within each ``a:p`` paragraph (``a:br`` → newline),
+    paragraphs joined by NEWLINE, slides by FORM-FEED. Raises typed
+    ``ValueError`` on a malformed package."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except Exception as e:
+        raise ValueError(f"pptx: malformed zip container ({e})") from None
+    with zf:
+        try:
+            rels = ET.fromstring(zf.read("_rels/.rels"))
+        except KeyError:
+            raise ValueError("pptx: missing _rels/.rels") from None
+        except ET.ParseError as e:
+            raise ValueError(f"pptx: malformed rels xml ({e})") from None
+        pres_path = None
+        for rel in rels.findall(f"{{{_REL_NS}}}Relationship"):
+            if rel.get("Type") == _OFFICE_DOC_REL:
+                pres_path = rel.get("Target", "").lstrip("/")
+                break
+        if not pres_path:
+            raise ValueError("pptx: no officeDocument relationship")
+        try:
+            pres = ET.fromstring(zf.read(pres_path))
+        except KeyError:
+            raise ValueError(
+                f"pptx: missing part {pres_path!r}"
+            ) from None
+        except ET.ParseError as e:
+            raise ValueError(
+                f"pptx: malformed presentation xml ({e})"
+            ) from None
+        base = (
+            pres_path.rsplit("/", 1)[0] + "/" if "/" in pres_path else ""
+        )
+        rels_path = (
+            base + "_rels/" + pres_path.rsplit("/", 1)[-1] + ".rels"
+        )
+        try:
+            prels = ET.fromstring(zf.read(rels_path))
+        except KeyError:
+            raise ValueError(
+                f"pptx: missing presentation rels {rels_path!r}"
+            ) from None
+        except ET.ParseError as e:
+            raise ValueError(
+                f"pptx: malformed presentation rels ({e})"
+            ) from None
+        targets = {
+            rel.get("Id"): rel.get("Target", "")
+            for rel in prels.findall(f"{{{_REL_NS}}}Relationship")
+        }
+        p, a, r = f"{{{_P_NS}}}", f"{{{_A_NS}}}", f"{{{_R_NS}}}"
+        slides = []
+        for sld in pres.iter(f"{p}sldId"):
+            rid = sld.get(f"{r}id")
+            target = targets.get(rid)
+            if not target:
+                raise ValueError(
+                    f"pptx: sldIdLst names unknown relationship {rid!r}"
+                )
+            path = target if target.startswith("ppt/") else base + target
+            try:
+                sdoc = ET.fromstring(zf.read(path))
+            except KeyError:
+                raise ValueError(
+                    f"pptx: missing slide part {path!r}"
+                ) from None
+            except ET.ParseError as e:
+                raise ValueError(
+                    f"pptx: malformed slide xml ({e})"
+                ) from None
+            paras = []
+            for ap in sdoc.iter(f"{a}p"):
+                parts: list[str] = []
+                for el in ap.iter():
+                    if el.tag == f"{a}t":
+                        parts.append(el.text or "")
+                    elif el.tag == f"{a}br":
+                        parts.append("\n")
+                paras.append("".join(parts))
+            slides.append("\n".join(paras))
+    return {
+        "slides": slides,
+        "text": "\f".join(slides),
+        "n_units": len(slides),
+    }

@@ -6507,17 +6507,18 @@ FROM b
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Office-document modality (round 11, STAGED under the 156
-    cap): per doc a REAL office package — even doc_ids a DOCX
-    (WordprocessingML: rels-resolved main part, two runs per
+    cap): per doc a REAL office package rotating on ``doc_id % 3`` —
+    DOCX (WordprocessingML: rels-resolved main part, two runs per
     paragraph, planted field-instruction text the extractor must
-    skip), odd doc_ids an EPUB (OCF container → OPF → spine, chapter
-    filenames scrambled so only spine order extracts correctly) —
-    ``1 + len(text) % 4`` units with words round-robin, then text
-    extraction through the zero-dependency readers. The oracle
-    rebuilds the exact extracted text in SQL and compares its md5,
-    so the zip plumbing, the XML walks, run concatenation, and spine
-    following are all value-pinned corpus-wide. Bytes never
-    shuffle."""
+    skip), EPUB (OCF container → OPF → spine, chapter filenames
+    scrambled so only spine order extracts correctly), PPTX
+    (PresentationML: sldIdLst → relationship ids order the slides,
+    filenames scrambled) — ``1 + len(text) % 4`` units with words
+    round-robin, then text extraction through the zero-dependency
+    readers. The oracle rebuilds the exact extracted text in SQL and
+    compares its md5, so the zip plumbing, the XML walks, run
+    concatenation, and spine/deck ordering are all value-pinned
+    corpus-wide. Bytes never shuffle."""
     from .functions import office as of
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -6555,16 +6556,20 @@ WITH base AS (
   LEFT JOIN unit ON unit.doc_id = b.doc_id AND unit.u = t.u
 ), doc AS (
   SELECT doc_id, any_value(n) AS n_units,
-         CASE WHEN doc_id % 2 = 0
-              THEN string_agg(utext, chr(10) ORDER BY u)
-              ELSE string_agg('Chapter ' || CAST(u AS VARCHAR)
-                              || chr(10) || utext, chr(12) ORDER BY u)
+         CASE doc_id % 3
+           WHEN 0 THEN string_agg(utext, chr(10) ORDER BY u)
+           WHEN 1 THEN string_agg('Chapter ' || CAST(u AS VARCHAR)
+                                  || chr(10) || utext,
+                                  chr(12) ORDER BY u)
+           ELSE string_agg('Slide ' || CAST(u AS VARCHAR)
+                           || chr(10) || utext, chr(12) ORDER BY u)
          END AS text
   FROM allu
   GROUP BY doc_id
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'epub' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'epub'
+            ELSE 'pptx' END AS kind,
        n_units, CAST(length(text) AS INT) AS n_chars,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc

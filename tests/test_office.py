@@ -153,17 +153,21 @@ def test_office_features_spark(spark):
     for i in range(8):
         r = out[i]
         assert r.ok, r
-        assert r.kind == ("docx" if i % 2 == 0 else "epub")
+        assert r.kind == ["docx", "epub", "pptx"][i % 3]
         text = " ".join("w%d" % j for j in range(5 + i))
         n = 1 + len(text) % 4
         assert r.n_units == n
         words = text.split(" ")
         units = [" ".join(words[k::n]) for k in range(n)]
-        if i % 2 == 0:
+        if i % 3 == 0:
             assert r.text == "\n".join(units)
-        else:
+        elif i % 3 == 1:
             assert r.text == "\f".join(
                 "Chapter %d\n%s" % (k, u) for k, u in enumerate(units)
+            )
+        else:
+            assert r.text == "\f".join(
+                "Slide %d\n%s" % (k, u) for k, u in enumerate(units)
             )
     # poison row quarantines alone
     bad = spark.createDataFrame(
@@ -197,3 +201,48 @@ def test_sniff_tracks_relocated_main_part():
     raw = buf.getvalue()
     assert O.sniff_office_kind(raw) == "docx"
     assert O.parse_docx(raw)["text"] == "moved part"
+
+
+def test_pptx_roundtrip_deck_order():
+    slides = ["alpha beta gamma", "", "one two", "last slide here"]
+    raw = O.encode_pptx(slides, title="deck")
+    r = O.parse_pptx(raw)
+    assert r["n_units"] == 4
+    assert r["slides"] == [
+        "Slide %d\n%s" % (i, s) for i, s in enumerate(slides)
+    ]
+    # the bite: slide FILENAMES and zip member order are scrambled —
+    # reading xml parts in name order gives the wrong deck order
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        names = sorted(
+            n for n in zf.namelist() if n.startswith("ppt/slides/")
+        )
+        by_name = [
+            re.search(rb"<a:t>(Slide \d+)</a:t>", zf.read(n)).group(1)
+            for n in names
+        ]
+    assert by_name != [b"Slide %d" % i for i in range(4)], (
+        "fixture no longer bites: filename order equals deck order"
+    )
+
+
+def test_pptx_quarantines_typed():
+    import pytest as _pytest
+
+    raw = O.encode_pptx(["a", "b"], title="t")
+    # drop one slide part: the sldIdLst walk must fail loudly
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(raw)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            if name.endswith("_1.xml"):
+                continue
+            zout.writestr(name, zin.read(name))
+    with _pytest.raises(ValueError, match="missing slide part"):
+        O.parse_pptx(buf.getvalue())
+
+
+def test_sniff_routes_pptx():
+    raw = O.encode_pptx(["x"], title="t")
+    assert O.sniff_office_kind(raw) == "pptx"
