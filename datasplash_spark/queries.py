@@ -6862,9 +6862,13 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
     "audio_features": (q_audio_features, ORACLE_AUDIO_FEATURES),
     "curriculum": (q_curriculum, ORACLE_CURRICULUM),
-    # --- round 8 ---
-    "image_formats": (q_image_formats, ORACLE_IMAGE_FORMATS),
-    "image_ahash": (q_image_ahash, ORACLE_IMAGE_AHASH),
+    # --- round 8 (image_formats and image_ahash retired in round 11
+    # to pay for office_extract/latex_extract: image_formats' two
+    # formats are gated inside image_formats_all's nine-format
+    # corpus, and image_ahash's decode→aHash path is gated
+    # end-to-end by image_neardup_clusters — the same absorption
+    # that retired ahash_pairs in round 10; both retired FUNCTIONS
+    # stay in the library with pytest coverage) ---
     "paragraph_dedup": (q_paragraph_dedup, ORACLE_PARAGRAPH_DEDUP),
     "readability": (q_readability, ORACLE_READABILITY),
     # --- round 9 (promoted from the round-8 staging block) ---
@@ -6899,6 +6903,10 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # with pytest coverage) ---
     "warc_roundtrip": (q_warc_roundtrip, ORACLE_WARC_ROUNDTRIP),
     "image_exif": (q_image_exif, ORACLE_IMAGE_EXIF),
+    # --- round 11 session 2 (one-for-one: image_formats /
+    # image_ahash retired, see the round-8 block comment) ---
+    "office_extract": (q_office_extract, ORACLE_OFFICE_EXTRACT),
+    "latex_extract": (q_latex_extract, ORACLE_LATEX_EXTRACT),
 }
 
 
@@ -6946,6 +6954,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 _NEW_R11: list[str] = [
     "warc_roundtrip",
     "image_exif",
+    "office_extract",
+    "latex_extract",
 ]
 
 #: the r7-green tail (newest driver row CORRECTNESS_r07; the 9
@@ -7017,8 +7027,6 @@ _STALE_R8: list[str] = [
     "semantic_pack",
     "zorder_key",
     "ann_recall",
-    "image_formats",
-    "image_ahash",
     "paragraph_dedup",
     "readability",
 ]

@@ -6016,14 +6016,11 @@ def test_staged_queries_match_oracle(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
-    # The round-8/9/10 staging block and round-10-s2's image_exif
-    # were promoted one-for-one under the 156 cap (now covered by
-    # test_gate_all); office_extract (DOCX/EPUB) is the round-11
-    # staging generation.
-    staged: dict = {
-        "office_extract": (Q.q_office_extract, Q.ORACLE_OFFICE_EXTRACT),
-        "latex_extract": (Q.q_latex_extract, Q.ORACLE_LATEX_EXTRACT),
-    }
+    # Every prior staging generation (round 8/9/10 blocks,
+    # image_exif, office_extract, latex_extract) has been promoted
+    # one-for-one under the 156 cap and is now covered by
+    # test_gate_all; this holds the NEXT staging generation.
+    staged: dict = {}
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()

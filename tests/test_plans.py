@@ -1037,16 +1037,17 @@ def test_image_neardup_clusters_plan_shape(spark):
 
 
 def test_image_queries_codec_stage_shape(spark):
-    """image_formats / image_ahash: the codec stages are sanctioned
+    """image_formats / image_ahash (registry-retired in round 11,
+    functions still shipped): the codec stages are sanctioned
     mapInPandas batch kernels; bytes never shuffle AFTER synthesis —
     image_formats' only Exchange is the deliberate pre-codec
     parallelism widening on (doc_id, text), and image_ahash has no
     Exchange at all."""
-    plan = plan_of(_q(spark, "image_formats"), mode="simple")
+    plan = plan_of(Q.q_image_formats(spark, SF_DIR), mode="simple")
     assert plan.count("MapInPandas") == 2, plan  # synth + decode
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert len(exch) == 1 and "media" not in exch[0], exch
-    plan2 = plan_of(_q(spark, "image_ahash"), mode="simple")
+    plan2 = plan_of(Q.q_image_ahash(spark, SF_DIR), mode="simple")
     assert plan2.count("MapInPandas") == 2, plan2
     assert "Exchange" not in plan2, plan2
 
