@@ -142,7 +142,12 @@ def latex_to_text(src: str) -> str:
                     continue
                 m = _CMD_RE.match(s, i + 1)
                 if not m:
-                    i += 2  # stray backslash + char: drop both
+                    # control/thin spaces ('\ ', '\,', '\;', ...)
+                    # and any other backslash+symbol: a word
+                    # separator, never a glue point — emit a space
+                    # (extra spaces collapse in normalization)
+                    out.append(" ")
+                    i += 2
                     continue
                 cmd = m.group(0).rstrip("*")  # \section* == \section
                 i = m.end()
@@ -248,7 +253,13 @@ def synthesize_latex_from_text(
             ids, nus, srcs = [], [], []
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
-                t = t or ""
+                # deterministic input normalization (mirrored in the
+                # oracle): LaTeX-special characters -> '-',
+                # whitespace runs -> one space — so the extracted
+                # text is exactly SQL-replayable on any corpus, not
+                # just a pre-sanitized one (review finding)
+                t = re.sub(r"[\\~^%&$#{}_]", "-", t or "")
+                t = re.sub(r"\s+", " ", t).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 parts = [

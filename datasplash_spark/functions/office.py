@@ -59,6 +59,19 @@ def _xml_escape(s: str) -> str:
     )
 
 
+def _split_two_runs(text: str) -> tuple[str, str]:
+    """Split unit text into two run strings at the word midpoint,
+    boundary space kept on the first run — shared by the DOCX and
+    PPTX fixture writers so the run-merge rule can't diverge."""
+    words = text.split(" ") if text else []
+    h = len(words) // 2
+    r1 = " ".join(words[:h])
+    r2 = " ".join(words[h:])
+    if r1:
+        r1 += " " if r2 else ""
+    return r1, r2
+
+
 # ---------------------------------------------------------------------
 # DOCX
 # ---------------------------------------------------------------------
@@ -72,12 +85,7 @@ def encode_docx(paragraphs: list[str]) -> bytes:
     instruction run — text the extractor must skip."""
     paras = []
     for i, p in enumerate(paragraphs):
-        words = p.split(" ") if p else []
-        h = len(words) // 2
-        r1 = " ".join(words[:h])
-        r2 = " ".join(words[h:])
-        if r1:
-            r1 += " " if r2 else ""
+        r1, r2 = _split_two_runs(p)
         runs = []
         if r1:
             runs.append(
@@ -365,9 +373,7 @@ def sniff_office_kind(raw: bytes) -> str:
         return "unknown"
     if "mimetype" in names or "META-INF/container.xml" in names:
         return "epub"
-    if "ppt/presentation.xml" in names or any(
-        n.startswith("ppt/") for n in names
-    ):
+    if any(n.startswith("ppt/") for n in names):
         return "pptx"
     # docx by PACKAGE markers, not the main-part path — the part can
     # be relocated and the parsers follow the relationship to it
@@ -452,7 +458,14 @@ def synthesize_office_from_text(
             ids, kinds, nus, medias = [], [], [], []
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
-                t = t or ""
+                # deterministic whitespace normalization (mirrored
+                # in the oracle): the EPUB block extractor strips
+                # block edges, so unit text must carry no leading/
+                # trailing/runs-of whitespace for the md5 to be
+                # SQL-replayable on any corpus (review finding)
+                import re as _re
+
+                t = _re.sub(r"\s+", " ", t or "").strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 units = [
@@ -510,12 +523,7 @@ def encode_pptx(slides: list[str], title: str = "deck") -> bytes:
     names = ["s%d_%d.xml" % ((i * 3) % max(n, 1), i) for i in range(n)]
     slide_docs = []
     for i, text in enumerate(slides):
-        words = text.split(" ") if text else []
-        h = len(words) // 2
-        r1 = " ".join(words[:h])
-        r2 = " ".join(words[h:])
-        if r1:
-            r1 += " " if r2 else ""
+        r1, r2 = _split_two_runs(text)
         runs = ""
         if r1:
             runs += (

@@ -208,10 +208,27 @@ def web_ingest_prep(
         rebuilt, "text", "doc_id", num_hashes, bands, shingle_k, seed,
         cache=persist,
     )
-    return rebuilt.join(
+    result = rebuilt.join(
         clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
             "doc_id"
         ),
         "doc_id",
         "left_semi",
     )
+    # cache handles for the caller (review finding: a long-lived
+    # session ingesting crawl batches in a loop would otherwise
+    # accumulate orphaned cached relations) — release with
+    # :func:`unpersist_web_ingest` once the result is consumed
+    result._web_ingest_caches = (
+        (quality, rebuilt) if persist else ()
+    )
+    return result
+
+
+def unpersist_web_ingest(result: DataFrame) -> None:
+    """Release the cached relations a :func:`web_ingest_prep` call
+    pinned (no-op for ``persist=False`` results or plain
+    DataFrames). Call after the result has been consumed — e.g. at
+    the end of each crawl batch in a continuous-ingestion loop."""
+    for df in getattr(result, "_web_ingest_caches", ()):
+        df.unpersist()

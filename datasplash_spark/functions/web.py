@@ -221,15 +221,15 @@ def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
     ``agent``: consecutive ``User-agent`` lines open a shared group;
     directives are case-insensitive; ``#`` comments strip; empty
     ``Disallow:`` matches nothing (allow-all). Agent resolution
-    follows RFC 9309 / the original REP's liberal matching: a group
-    token (version part after ``/`` stripped) matches when it is a
-    case-insensitive substring of the crawler's agent string, the
-    LONGEST matching token wins, and the rules of ALL groups at that
-    winning token concatenate (RFC 9309 §2.2.1: multiple groups
-    matching the same UA MUST combine); ``*`` groups — likewise
-    combined — are the fallback. So ``agent='trainer/1.0'`` resolves
-    the ``User-agent: trainer`` group instead of silently falling
-    back to ``*``. Returns ``[(allow, path_prefix), ...]`` for the
+    follows RFC 9309: both the group value and the crawler's agent
+    reduce to their PRODUCT TOKEN (version part after ``/``
+    stripped, case-insensitive) and match by EXACT equality — so
+    ``agent='trainer/1.0'`` resolves the ``User-agent: trainer``
+    group, while an unrelated short token (``ai``) can never hijack
+    ``trainer`` via substring accident. The rules of ALL matching
+    groups concatenate (RFC 9309 §2.2.1: multiple groups matching
+    the same UA MUST combine); ``*`` groups — likewise combined —
+    are the fallback. Returns ``[(allow, path_prefix), ...]`` for the
     resolved group (prefix matching only — Google-extension
     wildcards are a documented non-goal). Runs driver/kernel-side
     over the hosts-sized robots table, never per URL."""
@@ -261,21 +261,20 @@ def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
             in_agents = False  # crawl-delay / sitemap etc.: ignored
     if agents:
         groups.append((agents, rules))
-    a = agent.lower()
-
     def token(g: str) -> str:
         return g.split("/", 1)[0].strip()
 
+    a_token = token(agent.lower())
+
     def best_match(ags: list[str]) -> int:
-        # longest group token that substring-matches the agent;
-        # 0 = star-only, -1 = no match
+        # 1 = exact product-token match, 0 = star-only, -1 = no match
         score = -1
         for g in ags:
             t = token(g)
             if t == "*":
                 score = max(score, 0)
-            elif t and t in a:
-                score = max(score, len(t))
+            elif t and t == a_token:
+                score = max(score, 1)
         return score
 
     scored = [(best_match(ags), rs) for ags, rs in groups]

@@ -6536,10 +6536,15 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_OFFICE_EXTRACT = """
-WITH base AS (
+WITH norm AS (
+  -- mirror the synthesizer's whitespace normalization
+  SELECT doc_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents
+), base AS (
   SELECT doc_id, CAST(1 + length(text) % 4 AS INT) AS n,
          string_split(text, ' ') AS ws
-  FROM documents
+  FROM norm
 ), tok AS (
   SELECT doc_id, n, CAST(t.i AS INT) AS i,
          ws[CAST(t.i + 1 AS INT)] AS word
@@ -6601,10 +6606,19 @@ def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LATEX_EXTRACT = """
-WITH base AS (
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- LaTeX-special characters -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(text, '[\\\\~^%&$#{}_]', '-', 'g'),
+           ' +', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
   SELECT doc_id, CAST(1 + length(text) % 3 AS INT) AS n,
          string_split(text, ' ') AS ws
-  FROM documents
+  FROM norm
 ), tok AS (
   SELECT doc_id, n, CAST(t.i AS INT) AS i,
          ws[CAST(t.i + 1 AS INT)] AS word
@@ -6663,7 +6677,7 @@ WITH base AS (
   FROM base, unnest(range(n)) AS t(i)
 )
 SELECT doc_id, any_value(n) AS n_records,
-       CAST(SUM(length(payload)) AS BIGINT) AS total_len,
+       CAST(SUM(octet_length(encode(payload))) AS BIGINT) AS total_len,
        md5(string_agg(payload, '' ORDER BY i)) AS payload_md5,
        'https://example.com/' || CAST(doc_id AS VARCHAR) || '/0'
          AS first_uri,

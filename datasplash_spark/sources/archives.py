@@ -145,9 +145,11 @@ def write_tar_shards(
     ids)."""
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
-
     def write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # created in the KERNEL: the write runs on the executor
+        # holding the shard's rows, which on a real cluster is not
+        # the driver's filesystem (review finding)
+        os.makedirs(out_dir, exist_ok=True)
         sid = str(pdf[shard_col].iloc[0])
         path = os.path.join(out_dir, f"{sid}.tar")
         tmp = path + ".inprogress"
@@ -249,9 +251,8 @@ def write_zip_shards(
         "deflated": zipfile.ZIP_DEFLATED,
         "stored": zipfile.ZIP_STORED,
     }[compression]
-    os.makedirs(out_dir, exist_ok=True)
-
     def write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        os.makedirs(out_dir, exist_ok=True)
         sid = str(pdf[shard_col].iloc[0])
         path = os.path.join(out_dir, f"{sid}.zip")
         tmp = path + ".inprogress"
@@ -554,10 +555,10 @@ def write_warc_shards(
     ``binaryFile`` tasks."""
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if gzip_members else ".warc"
 
     def write(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        os.makedirs(out_dir, exist_ok=True)
         sid = str(pdf[shard_col].iloc[0])
         path = os.path.join(out_dir, f"{sid}{suffix}")
         tmp = path + ".inprogress"
@@ -570,9 +571,11 @@ def write_warc_shards(
                 "target_uri": str(row[uri_col]),
                 "content_type": content_type,
                 "payload": (
-                    bytes(row[payload_col])
-                    if not isinstance(row[payload_col], str)
+                    b""
+                    if row[payload_col] is None
                     else row[payload_col].encode()
+                    if isinstance(row[payload_col], str)
+                    else bytes(row[payload_col])
                 ),
             }
             for _, row in ordered.iterrows()

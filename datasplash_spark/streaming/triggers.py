@@ -217,13 +217,15 @@ def paned_window_agg(
             if not fired and wm >= wend_ms:
                 # the watermark passed the window end: ON_TIME pane
                 # for after-watermark; residual final pane for
-                # after-count
+                # after-count (is_last only when no lateness keeps
+                # the window open for LATE panes)
                 if after_count is None:
                     fire("ON_TIME", is_last=late_ms == 0)
-                    fired = True
-                elif n_since > 0 or pane_index == 0:
-                    fire("ON_TIME", is_last=True)
-            if wm >= wend_ms + late_ms or (after_count is not None):
+                else:
+                    if n_since > 0 or pane_index == 0:
+                        fire("ON_TIME", is_last=late_ms == 0)
+                fired = True
+            if wm >= wend_ms + late_ms:
                 state.remove()
                 yield pd.DataFrame(out)
                 return
@@ -390,10 +392,11 @@ def _paned_window_agg_obj(
             if not fired and wm >= wend_ms:
                 if after_count is None:
                     fire("ON_TIME", is_last=late_ms == 0)
-                    fired = True
-                elif n_since > 0 or pane_index == 0:
-                    fire("ON_TIME", is_last=True)
-            if wm >= wend_ms + late_ms or (after_count is not None):
+                else:
+                    if n_since > 0 or pane_index == 0:
+                        fire("ON_TIME", is_last=late_ms == 0)
+                fired = True
+            if wm >= wend_ms + late_ms:
                 state.remove()
                 yield pd.DataFrame(out)
                 return
@@ -623,8 +626,12 @@ def paned_session_agg(
                         ),
                         # merged pane info: fired if any component
                         # fired (late data joining a closed session
-                        # stays in the LATE regime)
-                        "fired": any(s.get("fired") for s in hit),
+                        # stays in the LATE regime); a session born
+                        # entirely behind the watermark (standalone
+                        # late element) is LATE from birth — its
+                        # ON_TIME point has already passed
+                        "fired": any(s.get("fired") for s in hit)
+                        or (not hit and hi <= wm0),
                     }
                     for s in hit:
                         merged["acc"] = a_merge(merged["acc"], s["acc"])

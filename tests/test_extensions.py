@@ -6254,3 +6254,52 @@ def test_web_ingest_prep_end_to_end(spark, tmp_path):
     # every clean unique doc survives
     for i in (1, 2, 4, 5, 6, 8, 9, 10):
         assert any(u.endswith("/doc/%d" % i) for u in urls), i
+
+
+def test_robots_short_token_cannot_hijack():
+    # review fix (round 11): substring matching let 'ai' hijack
+    # 'trainer' ('ai' ⊂ 'trAIner'); matching is now exact on the
+    # product token, so the unrelated group never applies
+    from datasplash_spark.functions.web import parse_robots_rules
+
+    txt = (
+        "User-agent: AI\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /tmp/\n"
+    )
+    assert parse_robots_rules(txt, "trainer/1.0") == [(False, "/tmp/")]
+    assert parse_robots_rules(txt, "ai/2.0") == [(False, "/")]
+    assert parse_robots_rules(txt, "AI") == [(False, "/")]
+
+
+def test_web_ingest_caches_releasable(spark, tmp_path):
+    # review fix (round 11): web_ingest_prep exposes its cache
+    # handles so a continuous-ingestion loop can release them
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+
+    df = spark.createDataFrame(
+        [(0, "https://h0.example.com/doc/1",
+          b"<html><body><p>%s</p></body></html>"
+          % (" ".join("w%d" % j for j in range(20))).encode())],
+        "shard_id int, target_uri string, payload binary",
+    )
+    out = str(tmp_path / "warc")
+    ar.write_warc_shards(df, out).collect()
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    res = pp.web_ingest_prep(spark, out + "/*.warc.gz", robots)
+    assert res.count() == 1
+    caches = res._web_ingest_caches
+    assert len(caches) == 2
+    assert all(c.storageLevel.useMemory for c in caches)
+    pp.unpersist_web_ingest(res)
+    assert all(not c.storageLevel.useMemory for c in caches)
+    # persist=False result carries no handles; unpersist is a no-op
+    res2 = pp.web_ingest_prep(
+        spark, out + "/*.warc.gz", robots, persist=False
+    )
+    assert res2._web_ingest_caches == ()
+    pp.unpersist_web_ingest(res2)
+    pp.unpersist_web_ingest(spark.range(1))  # plain DF: no-op

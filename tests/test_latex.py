@@ -104,3 +104,11 @@ def test_starred_commands_match_base():
         "Unnumbered\nbody"
     )
     assert latex_to_text(r"\begin{figure*}dropped\end{figure*}x") == "x"
+
+
+def test_control_space_separates_words():
+    # review fix (round 11): '\ ' after abbreviations must not glue
+    # the surrounding words
+    assert latex_to_text(r"Dr.\ Smith et\,al\; here") == (
+        "Dr. Smith et al here"
+    )

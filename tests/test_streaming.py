@@ -1873,3 +1873,116 @@ def test_paned_session_agg_allowed_lateness(spark, tmp_path):
         (0, "ON_TIME", 3, False, "00:04:00", "00:04:40"),
         (1, "LATE", 7, False, "00:04:00", "00:04:50"),
     ], rows
+
+
+def test_paned_after_count_with_lateness_no_restart(spark, tmp_path):
+    """Review fix (round 11): an after-count window with
+    allowed_lateness must HOLD its state through the lateness
+    horizon — previously the first timeout removed state while the
+    lagged watermark kept delivering late rows, restarting the
+    window (duplicate pane_index 0, value missing pre-close rows).
+    Now the late row lands as a LATE pane on the accumulated
+    state."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "acl_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:04:05,1\na,2024-01-01 00:04:10,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("b,2024-01-01 00:06:00,0\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:06:05,0\n")
+    time.sleep(0.05)
+    (src / "f4.txt").write_text("a,2024-01-01 00:04:20,10\n")
+    time.sleep(0.05)
+    (src / "f5.txt").write_text("b,2024-01-01 00:14:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-count": 2},
+        accumulation="accumulating",
+        allowed_lateness="240 seconds",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_acl"),
+        trigger="once", output_mode="append", query_name="acl_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last)
+        for r in spark.sql(
+            "SELECT * FROM acl_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False),
+        (1, "LATE", 13, False),  # accumulated: no window restart
+    ], rows
+
+
+def test_paned_session_standalone_late_is_late(spark, tmp_path):
+    """Review fix (round 11): a session born entirely behind the
+    watermark (standalone late element inside the lateness horizon)
+    is LATE from birth — its ON_TIME point has already passed."""
+    from datasplash_spark.streaming.triggers import paned_session_agg
+
+    src = tmp_path / "sl_src"
+    src.mkdir()
+    (src / "f1.txt").write_text("b,2024-01-01 00:06:00,0\n")
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("b,2024-01-01 00:06:05,0\n")
+    time.sleep(0.05)
+    # a@04:20: proto-window [04:20, 04:50) is already behind the
+    # logical watermark, delivered via the lateness lag
+    (src / "f3.txt").write_text("a,2024-01-01 00:04:20,5\n")
+    time.sleep(0.05)
+    (src / "f4.txt").write_text("b,2024-01-01 00:20:00,0\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_session_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        gap="30 seconds",
+        value_col="v",
+        allowed_lateness="120 seconds",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_sl"),
+        trigger="once", output_mode="append", query_name="sl_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last)
+        for r in spark.sql(
+            "SELECT * FROM sl_panes WHERE key = 'a'"
+        ).collect()
+    ]
+    assert rows == [(0, "LATE", 5, False)], rows
