@@ -1,4 +1,4 @@
-"""Office-document modality: DOCX (OOXML) and EPUB (round 11).
+"""Office-document modality: DOCX, EPUB, PPTX, ODT (round 11).
 
 After HTML and PDF, office formats are the next-largest real-corpus
 text source. Both are ZIP containers around XML — the same container
@@ -371,8 +371,12 @@ def sniff_office_kind(raw: bytes) -> str:
             names = set(zf.namelist())
     except Exception:
         return "unknown"
-    if "mimetype" in names or "META-INF/container.xml" in names:
+    if "META-INF/container.xml" in names:
         return "epub"
+    if "content.xml" in names and "META-INF/manifest.xml" in names:
+        return "odt"
+    if "mimetype" in names:
+        return "epub"  # OCF-shaped fallback; parse_epub verifies
     if any(n.startswith("ppt/") for n in names):
         return "pptx"
     # docx by PACKAGE markers, not the main-part path — the part can
@@ -415,6 +419,8 @@ def office_text_features(df, id_col="doc_id", media_col="media"):
                         d = parse_epub(data)
                     elif kind == "pptx":
                         d = parse_pptx(data)
+                    elif kind == "odt":
+                        d = parse_odt(data)
                     else:
                         raise ValueError(
                             "office: unrecognized container"
@@ -683,4 +689,127 @@ def parse_pptx(raw: bytes) -> dict:
         "slides": slides,
         "text": "\f".join(slides),
         "n_units": len(slides),
+    }
+
+
+# ---------------------------------------------------------------------
+# ODT (OpenDocument text)
+# ---------------------------------------------------------------------
+
+_ODF_OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_ODF_TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODT_MIME = "application/vnd.oasis.opendocument.text"
+
+
+def encode_odt(paragraphs: list[str]) -> bytes:
+    """Minimal-but-conformant OpenDocument text package (fixture
+    half): stored-first ``mimetype`` (the OpenDocument analog of
+    EPUB's), ``META-INF/manifest.xml``, and a ``content.xml`` whose
+    paragraphs encode runs of spaces as ``<text:s text:c="N"/>``
+    after the first space — the ODF whitespace rule a naive
+    text-node walk gets wrong."""
+    paras = []
+    for p in paragraphs:
+        # ODF whitespace encoding: a literal run of N spaces is one
+        # space + <text:s text:c="N-1"/>
+        out = []
+        i = 0
+        while i < len(p):
+            if p[i] == " ":
+                j = i
+                while j < len(p) and p[j] == " ":
+                    j += 1
+                out.append(" ")
+                if j - i > 1:
+                    out.append('<text:s text:c="%d"/>' % (j - i - 1))
+                i = j
+            else:
+                k = i
+                while k < len(p) and p[k] != " ":
+                    k += 1
+                out.append(_xml_escape(p[i:k]))
+                i = k
+        paras.append("<text:p>" + "".join(out) + "</text:p>")
+    content = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        f"<office:document-content xmlns:office=\"{_ODF_OFFICE_NS}\" "
+        f"xmlns:text=\"{_ODF_TEXT_NS}\">"
+        "<office:body><office:text>"
+        + "".join(paras)
+        + "</office:text></office:body></office:document-content>"
+    )
+    manifest = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+        "<manifest:manifest xmlns:manifest=\"urn:oasis:names:tc:"
+        "opendocument:xmlns:manifest:1.0\">"
+        f"<manifest:file-entry manifest:media-type=\"{_ODT_MIME}\" "
+        "manifest:full-path=\"/\"/>"
+        "<manifest:file-entry manifest:media-type=\"text/xml\" "
+        "manifest:full-path=\"content.xml\"/></manifest:manifest>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _ODT_MIME)
+        for name, data in (
+            ("META-INF/manifest.xml", manifest),
+            ("content.xml", content),
+        ):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def parse_odt(raw: bytes) -> dict:
+    """ODT text extraction: verify the stored ``mimetype``, walk
+    ``content.xml``'s ``office:text`` paragraphs/headings in
+    document order, expanding ODF whitespace elements (``text:s``
+    → N spaces, ``text:tab`` → TAB, ``text:line-break`` →
+    NEWLINE). Returns ``{"paragraphs": [...], "text": joined by
+    NEWLINE, "n_units": int}``; typed ``ValueError`` on a malformed
+    package."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except Exception as e:
+        raise ValueError(f"odt: malformed zip container ({e})") from None
+    with zf:
+        try:
+            if zf.read("mimetype").decode("latin-1") != _ODT_MIME:
+                raise ValueError("odt: wrong mimetype")
+        except KeyError:
+            raise ValueError("odt: missing mimetype member") from None
+        try:
+            doc = ET.fromstring(zf.read("content.xml"))
+        except KeyError:
+            raise ValueError("odt: missing content.xml") from None
+        except ET.ParseError as e:
+            raise ValueError(f"odt: malformed content.xml ({e})") from None
+    t = f"{{{_ODF_TEXT_NS}}}"
+    body_text = doc.find(
+        f"{{{_ODF_OFFICE_NS}}}body/{{{_ODF_OFFICE_NS}}}text"
+    )
+    if body_text is None:
+        raise ValueError("odt: content has no office:text body")
+    paragraphs = []
+    for p in body_text.iter():
+        if p.tag not in (f"{t}p", f"{t}h"):
+            continue
+        parts: list[str] = [p.text or ""]
+        for el in p:
+            if el.tag == f"{t}s":
+                parts.append(" " * int(el.get(f"{t}c", "1")))
+            elif el.tag == f"{t}tab":
+                parts.append("\t")
+            elif el.tag == f"{t}line-break":
+                parts.append("\n")
+            else:
+                parts.append("".join(el.itertext()))
+            parts.append(el.tail or "")
+        paragraphs.append("".join(parts))
+    return {
+        "paragraphs": paragraphs,
+        "text": "\n".join(paragraphs),
+        "n_units": len(paragraphs),
     }

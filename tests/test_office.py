@@ -246,3 +246,59 @@ def test_pptx_quarantines_typed():
 def test_sniff_routes_pptx():
     raw = O.encode_pptx(["x"], title="t")
     assert O.sniff_office_kind(raw) == "pptx"
+
+
+def test_odt_roundtrip_and_whitespace_elements():
+    paras = ["hello  world", "a    b", "", "single word here"]
+    raw = O.encode_odt(paras)
+    r = O.parse_odt(raw)
+    assert r["paragraphs"] == paras
+    # the bite: literal space runs are <text:s text:c="N"/> elements
+    # in the xml — a naive itertext() walk loses them
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        content = zf.read("content.xml")
+    assert b"<text:s text:c=" in content
+    # tab / line-break elements expand
+    doc = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="%s" xmlns:text="%s"><office:body><office:text>'
+        "<text:p>a<text:tab/>b<text:line-break/>c</text:p>"
+        "<text:h>Head</text:h>"
+        "</office:text></office:body></office:document-content>"
+        % (O._ODF_OFFICE_NS, O._ODF_TEXT_NS)
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(raw)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            zout.writestr(
+                name, doc if name == "content.xml" else zin.read(name)
+            )
+    r2 = O.parse_odt(buf.getvalue())
+    assert r2["paragraphs"] == ["a\tb\nc", "Head"]
+
+
+def test_sniff_distinguishes_odt_from_epub():
+    odt = O.encode_odt(["x"])
+    epub = O.encode_epub(["x"], title="t")
+    assert O.sniff_office_kind(odt) == "odt"
+    assert O.sniff_office_kind(epub) == "epub"
+    # features route both correctly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="odt"):
+        O.parse_odt(epub)
+
+
+def test_odt_through_features_kernel(spark):
+    from datasplash_spark.functions.office import office_text_features
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(O.encode_odt(["alpha beta", "gamma"])))],
+        "doc_id bigint, media binary",
+    )
+    rows = office_text_features(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].kind == "odt" and rows[0].ok
+    assert rows[0].text == "alpha beta\ngamma"
