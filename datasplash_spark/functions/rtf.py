@@ -17,8 +17,9 @@ normalizes to single spaces, as in the LaTeX scanner), ``\\~`` → space,
 ``\\{ \\} \\\\`` → literals, ``\\'hh`` → cp1252-ish byte (latin-1
 decoded), ``\\uN`` → the unicode char (fallback skipped per
 ``\\uc``); destination groups (``{\\*\\...}``, fonttbl, colortbl,
-stylesheet, info, pict, header/footer, field instructions) drop
-wholesale. Whitespace normalizes like the LaTeX scanner.
+stylesheet, info, pict, header/footer, field INSTRUCTIONS) drop
+wholesale while field RESULTS (``\\fldrslt`` — the visible text of
+a hyperlink) survive. Whitespace normalizes like the LaTeX scanner.
 
 Scale posture: identical to the sibling modalities — an
 Arrow-batched kernel where the document lives; only text rows cross.
@@ -36,7 +37,7 @@ _DROP_DESTS = {
     "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
     "header", "headerl", "headerr", "headerf", "footer", "footerl",
     "footerr", "footerf", "footnote", "ftnsep", "ftnsepc", "xe",
-    "tc", "field", "fldinst", "themedata", "colorschememapping",
+    "tc", "fldinst", "themedata", "colorschememapping",
     "datastore", "latentstyles", "listtable", "listoverridetable",
     "generator", "pgptbl", "rsidtbl", "revtbl",
 }

@@ -84,3 +84,13 @@ def test_rtf_features_spark(spark):
     rows = {r.doc_id: r for r in rtf_text_features(docs).collect()}
     assert rows[1].ok and rows[1].text == "alpha beta\ngamma"
     assert not rows[2].ok and "rtf" in rows[2].err
+
+
+def test_field_result_survives_instruction_drops():
+    # the visible text of a hyperlink is the field RESULT; only the
+    # field INSTRUCTION (the URL machinery) drops
+    src = (
+        r"{\rtf1 see {\field{\*\fldinst HYPERLINK "
+        r'"https://x.example"}{\fldrslt the linked words}} here}'
+    )
+    assert rtf_to_text(src) == "see the linked words here"
