@@ -6648,6 +6648,88 @@ FROM doc
 """
 
 
+def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal document-text router (round 11, STAGED under the
+    156 cap): per doc a REAL document rotating over all EIGHT
+    families on ``doc_id % 8`` (pdf, docx, epub, pptx, odt, rtf,
+    latex, html — ``1 + len(text) % 3`` units, words round-robin),
+    then extraction through the ONE mixed-bag router
+    (``functions/doctext.py`` — magic/layout sniff dispatching to
+    the zero-dependency extractors). The oracle rebuilds the exact
+    extracted text per family in SQL and compares its md5, so the
+    router, every writer, and every reader are value-pinned under
+    ONE query. Bytes never shuffle."""
+    from .functions import doctext as dt
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = dt.document_text_features(
+        dt.synthesize_documents_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_DOCTEXT_SWEEP = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(text, '[\\\\\\\\~^%&$#{}_<>]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN string_agg(utext, chr(12) ORDER BY u)
+           WHEN 1 THEN string_agg(utext, chr(10) ORDER BY u)
+           WHEN 2 THEN string_agg('Chapter ' || CAST(u AS VARCHAR)
+                                  || chr(10) || utext,
+                                  chr(12) ORDER BY u)
+           WHEN 3 THEN string_agg('Slide ' || CAST(u AS VARCHAR)
+                                  || chr(10) || utext,
+                                  chr(12) ORDER BY u)
+           WHEN 4 THEN string_agg(utext, chr(10) ORDER BY u)
+           WHEN 5 THEN string_agg(utext, chr(10) ORDER BY u)
+           WHEN 6 THEN string_agg('Section ' || CAST(u AS VARCHAR)
+                                  || chr(10) || utext,
+                                  chr(10) ORDER BY u)
+           ELSE 'd' || CAST(doc_id AS VARCHAR) || ' '
+                || string_agg(utext, chr(10) ORDER BY u)
+         END AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+         WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
+         WHEN 6 THEN 'latex' ELSE 'html' END AS kind,
+       CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive family corpus gate (round 11): each document becomes
     a mini WARC shard (``1 + doc_id % 3`` records, per-record-gzip

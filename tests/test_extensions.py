@@ -6019,8 +6019,11 @@ def test_staged_queries_match_oracle(spark):
     # Every prior staging generation (round 8/9/10 blocks,
     # image_exif, office_extract, latex_extract) has been promoted
     # one-for-one under the 156 cap and is now covered by
-    # test_gate_all; this holds the NEXT staging generation.
-    staged: dict = {}
+    # test_gate_all; doctext_sweep (the 8-family universal document
+    # router) is the round-12 staging generation.
+    staged: dict = {
+        "doctext_sweep": (Q.q_doctext_sweep, Q.ORACLE_DOCTEXT_SWEEP),
+    }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()
         want = con.sql(osql).df()
