@@ -285,6 +285,24 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.office", fromlist=["office"]
             )
         ),
+        # round 11: universal document-text router over the 8-family
+        # mixed corpus (pdf/docx/epub/pptx/odt/rtf/latex/html)
+        "doc_text_sweep": lambda: (
+            lambda dt: dt.document_text_features(
+                dt.synthesize_documents_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.doctext",
+                fromlist=["doctext"],
+            )
+        ),
         # round 11: LaTeX structural-scanner corpus
         "latex_extract": lambda: (
             lambda lx: lx.latex_text_features(
