@@ -44,10 +44,9 @@ def _html_to_text_py(s: str) -> str:
         s,
     )
     s = re.sub(r"(?s)<[A-Za-z/!][^>]*>", " ", s)
-    for ent, rep in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
-    ):
+    from .web import HTML_ENTITIES
+
+    for ent, rep in HTML_ENTITIES:
         s = s.replace(ent, rep)
     s = re.sub(r"[ \t\r\f]+", " ", s)
     s = re.sub(r" ?\n ?", "\n", s)
@@ -182,7 +181,7 @@ def synthesize_documents_from_text(
                 # clamped to the word count so no family sees an
                 # empty unit (their empty-line semantics differ)
                 t = _re.sub(r"[\\~^%&$#{}_<>]", "-", t or "")
-                t = _re.sub(r"\s+", " ", t).strip()
+                t = _re.sub(r"\s+", " ", t, flags=_re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 n = min(n, len(words))

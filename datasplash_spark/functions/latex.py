@@ -259,7 +259,7 @@ def synthesize_latex_from_text(
                 # text is exactly SQL-replayable on any corpus, not
                 # just a pre-sanitized one (review finding)
                 t = re.sub(r"[\\~^%&$#{}_]", "-", t or "")
-                t = re.sub(r"\s+", " ", t).strip()
+                t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 parts = [

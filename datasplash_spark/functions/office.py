@@ -471,7 +471,7 @@ def synthesize_office_from_text(
                 # SQL-replayable on any corpus (review finding)
                 import re as _re
 
-                t = _re.sub(r"\s+", " ", t or "").strip()
+                t = _re.sub(r"\s+", " ", t or "", flags=_re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 units = [
@@ -792,10 +792,12 @@ def parse_odt(raw: bytes) -> dict:
     )
     if body_text is None:
         raise ValueError("odt: content has no office:text body")
-    paragraphs = []
-    for p in body_text.iter():
-        if p.tag not in (f"{t}p", f"{t}h"):
-            continue
+
+    def para_text(p) -> str:
+        # recursive: whitespace elements expand at ANY depth (real
+        # LibreOffice wraps runs in text:span — review finding);
+        # a NESTED paragraph (frames/tables) is its own unit, not
+        # part of the parent's text
         parts: list[str] = [p.text or ""]
         for el in p:
             if el.tag == f"{t}s":
@@ -804,10 +806,18 @@ def parse_odt(raw: bytes) -> dict:
                 parts.append("\t")
             elif el.tag == f"{t}line-break":
                 parts.append("\n")
+            elif el.tag in (f"{t}p", f"{t}h"):
+                pass
             else:
-                parts.append("".join(el.itertext()))
+                parts.append(para_text(el))
             parts.append(el.tail or "")
-        paragraphs.append("".join(parts))
+        return "".join(parts)
+
+    paragraphs = [
+        para_text(p)
+        for p in body_text.iter()
+        if p.tag in (f"{t}p", f"{t}h")
+    ]
     return {
         "paragraphs": paragraphs,
         "text": "\n".join(paragraphs),

@@ -106,7 +106,14 @@ def rtf_to_text(src: str) -> str:
                 h = src[i + 2 : i + 4]
                 if len(h) == 2:
                     try:
-                        emit(bytes([int(h, 16)]).decode("latin-1"))
+                        bb = bytes([int(h, 16)])
+                        # cp1252: the smart-quote/dash range every
+                        # Word-written \ansi file uses; latin-1 only
+                        # for the 5 bytes cp1252 leaves undefined
+                        try:
+                            emit(bb.decode("cp1252"))
+                        except UnicodeDecodeError:
+                            emit(bb.decode("latin-1"))
                     except ValueError:
                         pass
                 i += 4
@@ -165,6 +172,13 @@ def rtf_to_text(src: str) -> str:
         i += 1
 
     text = "".join(out)
+    # recombine \uN surrogate pairs (Word writes astral chars as two
+    # escapes); lone surrogates would crash Arrow's UTF-8 conversion
+    # OUTSIDE the per-row quarantine (review finding)
+    if any("\ud800" <= ch <= "\udfff" for ch in text):
+        text = text.encode("utf-16", "surrogatepass").decode(
+            "utf-16", "replace"
+        )
     lines = [
         re.sub(r"[ \t]+", " ", ln).strip() for ln in text.split("\n")
     ]
@@ -187,10 +201,16 @@ def encode_rtf(paragraphs: list[str]) -> bytes:
             elif ord(ch) < 128:
                 enc.append(ch)
             else:
-                cp = ord(ch)
-                if cp > 32767:
-                    cp -= 65536
-                enc.append("\\u%d?" % cp)
+                # BMP chars: one signed-16-bit \uN; astral chars:
+                # the UTF-16 surrogate PAIR (two escapes), exactly
+                # how Word writes them (review finding: the old
+                # wrap-around silently corrupted non-BMP text)
+                u16 = ch.encode("utf-16-be")
+                for k in range(0, len(u16), 2):
+                    unit = int.from_bytes(u16[k : k + 2], "big")
+                    if unit > 32767:
+                        unit -= 65536
+                    enc.append("\\u%d?" % unit)
         body.append("".join(enc))
     doc = (
         "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times New Roman;}}"

@@ -29,6 +29,19 @@ from ..operators.elementwise import ColumnLike, _col
 #: standard strip set (utm_* per Google's campaign spec, click ids).
 TRACKING_PARAM_REGEX = r"^(utm_[a-z]+|fbclid|gclid|ref)="
 
+#: the core-entity decode table shared by the Column pipeline here
+#: and the kernel-side mirror (functions/doctext.py). ``&amp;`` is
+#: decoded LAST so escaped markup (``&amp;lt;``) is not
+#: double-decoded (review finding).
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -194,10 +207,7 @@ def html_extract(html: ColumnLike) -> dict[str, Column]:
         "\n",
     )
     text = F.regexp_replace(blocky, r"(?s)<[A-Za-z/!][^>]*>", " ")
-    for ent, rep in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
-    ):
+    for ent, rep in HTML_ENTITIES:
         text = F.replace(text, F.lit(ent), F.lit(rep))
     # collapse horizontal whitespace, keep the paragraph newlines
     text = F.regexp_replace(text, r"[ \t\r\f]+", " ")

@@ -6612,7 +6612,7 @@ WITH norm AS (
   SELECT doc_id,
          trim(regexp_replace(
            regexp_replace(text, '[\\\\~^%&$#{}_]', '-', 'g'),
-           ' +', ' ', 'g'
+           '\\s+', ' ', 'g'
          )) AS text
   FROM documents
 ), base AS (
@@ -6712,10 +6712,12 @@ WITH norm AS (
            WHEN 4 THEN string_agg(utext, chr(10) ORDER BY u)
            WHEN 5 THEN string_agg(utext, chr(10) ORDER BY u)
            WHEN 6 THEN string_agg('Section ' || CAST(u AS VARCHAR)
-                                  || chr(10) || utext,
+                                  || CASE WHEN utext <> ''
+                                          THEN chr(10) || utext
+                                          ELSE '' END,
                                   chr(10) ORDER BY u)
-           ELSE 'd' || CAST(doc_id AS VARCHAR) || ' '
-                || string_agg(utext, chr(10) ORDER BY u)
+           ELSE rtrim('d' || CAST(doc_id AS VARCHAR) || ' '
+                || string_agg(utext, chr(10) ORDER BY u))
          END AS text
   FROM unit GROUP BY doc_id
 )

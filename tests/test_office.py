@@ -302,3 +302,35 @@ def test_odt_through_features_kernel(spark):
     assert len(rows) == 1
     assert rows[0].kind == "odt" and rows[0].ok
     assert rows[0].text == "alpha beta\ngamma"
+
+
+def test_odt_spans_and_nested_paragraphs():
+    # review fix (round 11): whitespace elements inside text:span
+    # expand, and a paragraph nested in a frame is its own unit, not
+    # duplicated into its parent
+    doc = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="%s" xmlns:text="%s" '
+        'xmlns:draw="urn:x-draw"><office:body><office:text>'
+        '<text:p><text:span>a <text:s text:c="2"/>b</text:span>'
+        " tail</text:p>"
+        "<text:p>outer <draw:frame><text:p>inner para</text:p>"
+        "</draw:frame> end</text:p>"
+        "</office:text></office:body></office:document-content>"
+        % (O._ODF_OFFICE_NS, O._ODF_TEXT_NS)
+    )
+    base = O.encode_odt(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(
+        buf, "w"
+    ) as zout:
+        for name in zin.namelist():
+            zout.writestr(
+                name, doc if name == "content.xml" else zin.read(name)
+            )
+    r = O.parse_odt(buf.getvalue())
+    assert r["paragraphs"] == [
+        "a   b tail",          # span-nested text:s expanded
+        "outer  end",          # frame content excluded from parent
+        "inner para",          # ...and emitted once as its own unit
+    ], r["paragraphs"]
