@@ -345,16 +345,42 @@ def main() -> int:
         failed.append("bench_ann_store_probe")
         print(f"# bench ANN store probe: FAILED ({e})", file=sys.stderr)
 
-    # previous round's per-query walls, for the >1.5×-mover re-rep
-    # rule (missing/failed entries simply get no comparison)
+    # The round being stamped: 1 + highest driver-recorded
+    # BENCH_rNN.json. Computed HERE (not only at artifact-write time)
+    # because the prev-walls lookup below must exclude THIS round's
+    # own BENCH_LOCAL file: the builder commits its artifact
+    # mid-round, so "newest local artifact" is otherwise the current
+    # round's own run and the >1.5×-mover guards compare the round to
+    # itself (VERDICT r11 "What's wrong" #1 — pdf_extract shipped at
+    # 2.0× its r10 wall with reps:1 because prev was its own run).
+    import re as _re
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _cur_round = 1 + max(
+        [
+            int(m.group(1))
+            for f in os.listdir(_here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        or [0]
+    )
+
+    # PREVIOUS round's per-query walls, for the >1.5×-mover re-rep
+    # rule (missing/failed entries simply get no comparison): the
+    # newest BENCH_LOCAL_r*.json whose round is STRICTLY below the
+    # round being stamped.
     prev_walls: dict[str, float] = {}
     try:
         import glob as _glob
-        import re as _re
 
-        _here = os.path.dirname(os.path.abspath(__file__))
         _locals = sorted(
-            _glob.glob(os.path.join(_here, "BENCH_LOCAL_r*.json")),
+            (
+                p
+                for p in _glob.glob(
+                    os.path.join(_here, "BENCH_LOCAL_r*.json")
+                )
+                if int(_re.search(r"_r(\d+)", p).group(1)) < _cur_round
+            ),
             key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
         )
         if _locals:
@@ -364,6 +390,11 @@ def main() -> int:
                     for k, v in (json.load(fh).get("queries") or {}).items()
                     if isinstance(v, (int, float)) and v > 0
                 }
+            print(
+                f"# prev-walls source: {os.path.basename(_locals[-1])} "
+                f"(stamping round {_cur_round})",
+                file=sys.stderr,
+            )
     except Exception as e:
         print(f"# prev-walls warning: {e}", file=sys.stderr)
 
@@ -470,16 +501,9 @@ def main() -> int:
     # loss-proof history). Round = 1 + highest driver-recorded
     # BENCH_rNN.json in the repo root.
     try:
-        import re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        rnd = (max(rounds) if rounds else 0) + 1
-        local = os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json")
+        # same round the prev-walls lookup used (computed once,
+        # before the query loop)
+        local = os.path.join(_here, f"BENCH_LOCAL_r{_cur_round:02d}.json")
         with open(local, "w") as fh:
             # reps lives only here, NOT in the printed driver line —
             # the driver's tail capture already truncates long lines

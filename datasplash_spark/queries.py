@@ -6506,8 +6506,14 @@ FROM b
 
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Office-document modality (round 11, STAGED under the 156
-    cap): per doc a REAL office package rotating on ``doc_id % 3`` —
+    """Office-document modality (promoted round 11, driver-green
+    CORRECTNESS_r11; RETIRED from the gated registry round 12 —
+    its 3-format rotation is a strict subset of doctext_sweep's
+    8-family rotation under the same md5-of-extracted-text oracle,
+    and the adversarial fixtures live in the shared encoders, so
+    the router query carries the coverage; this function + oracle
+    stay for pytest parity): per doc a REAL office package rotating
+    on ``doc_id % 3`` —
     DOCX (WordprocessingML: rels-resolved main part, two runs per
     paragraph, planted field-instruction text the extractor must
     skip), EPUB (OCF container → OPF → spine, chapter filenames
@@ -6582,7 +6588,8 @@ FROM doc
 
 
 def q_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LaTeX modality (round 11, STAGED under the 156 cap): per doc
+    """LaTeX modality (promoted round 11, commit 7ddb5aa;
+    driver-green CORRECTNESS_r11): per doc
     a full synthetic article — preamble, ``1 + len(text) % 3``
     sections with words round-robin, a ``\\textbf`` wrap, planted
     ``\\cite`` + inline math + a brace-carrying comment + an
@@ -6649,8 +6656,9 @@ FROM doc
 
 
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Universal document-text router (round 11, STAGED under the
-    156 cap): per doc a REAL document rotating over all EIGHT
+    """Universal document-text router (built round 11, PROMOTED
+    round 12 — absorbing office_extract, whose 3-format rotation is
+    a strict subset): per doc a REAL document rotating over all EIGHT
     families on ``doc_id % 8`` (pdf, docx, epub, pptx, odt, rtf,
     latex, html — ``1 + len(text) % 3`` units, words round-robin),
     then extraction through the ONE mixed-bag router
@@ -7003,15 +7011,24 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "image_exif": (q_image_exif, ORACLE_IMAGE_EXIF),
     # --- round 11 session 2 (one-for-one: image_formats /
     # image_ahash retired, see the round-8 block comment) ---
-    "office_extract": (q_office_extract, ORACLE_OFFICE_EXTRACT),
     "latex_extract": (q_latex_extract, ORACLE_LATEX_EXTRACT),
+    # --- round 12 (promoted one-for-one; retired: office_extract —
+    # its DOCX/EPUB/PPTX 3-format rotation is a strict subset of
+    # doctext_sweep's 8-family rotation under the same full-text md5
+    # oracle, and the adversarial fixtures live in the SHARED
+    # encoders (encode_docx's PAGEREF field-instruction run,
+    # encode_epub's scrambled spine filenames + reversed member
+    # order), so the retirement loses no coverage; the retired
+    # function + oracle stay in the library with pytest parity
+    # coverage) ---
+    "doctext_sweep": (q_doctext_sweep, ORACLE_DOCTEXT_SWEEP),
 }
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 11).  The external driver gates exactly the
+# Driver gate order (round 12).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-11 gate contract.
+# round-12 gate contract.
 #
 # Window composition (greedy-by-staleness rotation, VERDICT r7 item
 # 1): the window always holds the stalest 50 queries (never-gated
@@ -7023,99 +7040,57 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-11 window = _NEW_R11 (round-11 promotions — never
-# driver-gated, so infinitely stale, leading by greedy fill; each
-# paid for by a one-for-one retirement under the 156 cap) +
-# _STALE_R7_TAIL (newest driver row CORRECTNESS_r07, staleness 4 at
-# the r11 run — AT the backstop, so these nine MUST gate this
-# round) + the stalest members of the r8-green block. The r8 block
-# members left outside share the inside minimum staleness
-# (equal-staleness overflow, permitted by the invariant) and lead
-# the round-12 window.
+# Round-12 window = _NEW_R12 (round-12 promotion — never
+# driver-gated, so infinitely stale, leading by greedy fill) +
+# _STALE_R8_TAIL (newest driver row CORRECTNESS_r08, staleness 4 at
+# the r12 run — AT the backstop, so these eleven MUST gate this
+# round) + the stalest 38 of the r9-green block. The nine r9 queries
+# left outside share the inside minimum staleness (equal-staleness
+# overflow, permitted by the invariant) and lead the round-13
+# window.
 #
-# Headroom policy (round 10, VERDICT r9 item 5): the gated registry
-# is CAPPED at 156 until the driver window grows; new capability
-# queries are staged (oracle + gate-sim test, no _ALL entry) rather
-# than gated, and a promotion must retire or merge an existing gated
-# row one-for-one. tests/test_plans.py::test_registry_headroom
-# enforces the cap at commit time.
+# PROMOTION CHECKLIST (append-only; VERDICT r11 item 5): when a
+# staged query is promoted into this registry you must (1) add its
+# _ALL entry, (2) place it in _NEW_R{round} at the window head,
+# (3) retire/merge a gated row if the registry is at the cap,
+# (4) move it out of tests/test_extensions.py::
+# test_staged_queries_match_oracle's staged dict (test_gate_all
+# covers it now), and (5) UPDATE ITS DOCSTRING — "STAGED" must only
+# ever describe genuinely staged queries (grep STAGED to audit).
+#
+# Headroom policy (round 12, superseding the round-10 zero-sum
+# rule): the driver declined to grow the 50-row gate window, so the
+# registry adopts the ALTERNATING-WINDOWS design the round-11
+# ROUNDLOG sketched — the backstop rises to 8 rounds, raising the
+# derived cap in test_registry_headroom from 156 to 356. The
+# greedy-by-staleness fill is unchanged: with N gated queries each
+# query still gates every ceil(N/50) rounds (at 156 that is every
+# ~3-4 rounds, exactly as before; the registry can now grow to ~2
+# full windows, i.e. two 50-row cohorts alternating through the
+# gate, before freshness degrades toward the backstop). Promotions
+# no longer require a one-for-one retirement below the cap, but
+# strict-subset queries are still retired on promotion as corpus
+# hygiene (this round: office_extract ⊂ doctext_sweep).
 
-#: Queries PROMOTED in round 11 under the 156-cap one-for-one
-#: policy (never driver-gated => infinitely stale => window head).
-#: warc_roundtrip gates the WARC/ISO-28500 writer+reader pair
-#: in-kernel (paid for by retiring gif_frames — its full-disposal
-#: frame-iteration path is gated end-to-end by video_frames, whose
-#: corpus now includes animated GIFs). image_exif gates the APP1
-#: TIFF-IFD walk + all eight orientation transforms (paid for by
-#: retiring image_progressive — baseline-vs-progressive decode
-#: parity is gated inside image_formats_all's nine-format corpus).
-_NEW_R11: list[str] = [
-    "warc_roundtrip",
-    "image_exif",
-    "office_extract",
-    "latex_extract",
+#: Query PROMOTED in round 12 (never driver-gated => infinitely
+#: stale => window head). doctext_sweep gates the universal
+#: document-text router (functions/doctext.py: one Arrow kernel
+#: sniffing and extracting pdf/docx/epub/pptx/odt/rtf/latex/html
+#: with per-row typed quarantine) — the single entry point a
+#: mixed-corpus user touches first, and the only end-to-end gate
+#: for the ODT and RTF readers. office_extract retired into it
+#: (strict subset, same md5-of-extracted-text oracle family; the
+#: adversarial fixtures live in the shared encoders so they carry
+#: over).
+_NEW_R12: list[str] = [
+    "doctext_sweep",
 ]
 
-#: the r7-green tail (newest driver row CORRECTNESS_r07; the 9
-#: equal-staleness overflow queries the round-10 window could not
-#: hold — staleness 4 at the r11 run, AT the backstop. Mostly
-#: sub-second relational/elementwise queries, so the forced slot is
-#: cheap).
-_STALE_R7_TAIL: list[str] = [
-    "script_mix",
-    "ngram_novelty",
-    "cdc_chunks",
-    "zipf_fit",
-    "audio_features",
-    "curriculum",
-    "filter_project",
-    "group_by_key",
-    "frequencies",
-]
-
-#: the r8-green block (newest driver row CORRECTNESS_r08, staleness
-#: 3 at the r11 run — stalest remaining class; the full round-8
-#: window of 50). The stalest-first prefix fills the round-11
-#: window behind _NEW_R11 + _STALE_R7_TAIL; the overflow shares the
-#: inside minimum staleness and leads round 12.
-_STALE_R8: list[str] = [
-    "keep",
-    "frequencies_by",
-    "combine_global",
-    "flatten",
-    "top_customers",
-    "top_per_nation",
-    "price_percentiles",
-    "combiner_mapper_predicate",
-    "quality_above_median",
-    "length_quartiles",
-    "salted_agg",
-    "text_stats",
-    "lang_id",
-    "fingerprint",
-    "char_entropy",
-    "pack_sequences",
-    "token_budget_mix",
-    "pii_redact",
-    "dedup_lines",
-    "doc_quality",
-    "quota_sample",
-    "quality_classifier",
-    "tfidf_top_terms",
-    "stateful_running_sum",
-    "stateful_distinct_types",
-    "corpus_prep_pipeline",
-    "repeated_ngrams",
-    "fingerprint_rolling",
-    "similarity_topk",
-    "similarity_ann",
-    "similarity_ivf",
-    "knn_search",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "dedup_cross_corpus",
-    "ngram_jaccard_verify",
-    "dedup_minhash_pairs",
+#: the r8-green tail (newest driver row CORRECTNESS_r08; the 11
+#: equal-staleness overflow queries the round-11 window could not
+#: hold — staleness 4 at the r12 run, AT the backstop, so they MUST
+#: gate this round).
+_STALE_R8_TAIL: list[str] = [
     "source_overlap",
     "bm25_search",
     "ngram_containment",
@@ -7130,7 +7105,10 @@ _STALE_R8: list[str] = [
 ]
 
 #: the r9-green block (newest driver row CORRECTNESS_r09, staleness
-#: 2 at the r11 run): the re-gated r6 block plus html_extract.
+#: 3 at the r12 run — stalest remaining class): the re-gated r6
+#: block plus html_extract. The stalest-first prefix fills the
+#: round-12 window behind _NEW_R12 + _STALE_R8_TAIL; the overflow
+#: shares the inside minimum staleness and leads round 13.
 _GREEN_R9: list[str] = [
     "importance_resample",
     "ccnet_buckets",
@@ -7182,8 +7160,8 @@ _GREEN_R9: list[str] = [
 ]
 
 #: the r10-green block (newest driver row CORRECTNESS_r10,
-#: staleness 1 — freshest class, back of the registry): the full
-#: round-10 window (6 + 5 promotions + 39 then-stalest r7).
+#: staleness 2 at the r12 run): the full round-10 window (6 + 5
+#: promotions + 39 then-stalest r7).
 _GREEN_R10: list[str] = [
     "pdf_extract",
     "image_neardup_clusters",
@@ -7235,20 +7213,77 @@ _GREEN_R10: list[str] = [
     "hybrid_search",
 ]
 
-_WINDOW_HEAD_R11: list[str] = (
-    _NEW_R11
-    + _STALE_R7_TAIL
-    + _STALE_R8[: 50 - len(_NEW_R11) - len(_STALE_R7_TAIL)]
+#: the r11-green block (newest driver row CORRECTNESS_r11,
+#: staleness 1 — freshest class, back of the registry): the full
+#: round-11 window (4 promotions + the 9-query r7 tail + 37
+#: then-stalest r8), MINUS office_extract (retired round 12,
+#: absorbed by doctext_sweep — see the _ALL comment).
+_GREEN_R11: list[str] = [
+    "warc_roundtrip",
+    "image_exif",
+    "latex_extract",
+    "script_mix",
+    "ngram_novelty",
+    "cdc_chunks",
+    "zipf_fit",
+    "audio_features",
+    "curriculum",
+    "filter_project",
+    "group_by_key",
+    "frequencies",
+    "keep",
+    "frequencies_by",
+    "combine_global",
+    "flatten",
+    "top_customers",
+    "top_per_nation",
+    "price_percentiles",
+    "combiner_mapper_predicate",
+    "quality_above_median",
+    "length_quartiles",
+    "salted_agg",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "char_entropy",
+    "pack_sequences",
+    "token_budget_mix",
+    "pii_redact",
+    "dedup_lines",
+    "doc_quality",
+    "quota_sample",
+    "quality_classifier",
+    "tfidf_top_terms",
+    "stateful_running_sum",
+    "stateful_distinct_types",
+    "corpus_prep_pipeline",
+    "repeated_ngrams",
+    "fingerprint_rolling",
+    "similarity_topk",
+    "similarity_ann",
+    "similarity_ivf",
+    "knn_search",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "dedup_cross_corpus",
+    "ngram_jaccard_verify",
+    "dedup_minhash_pairs",
+]
+
+_WINDOW_HEAD_R12: list[str] = (
+    _NEW_R12
+    + _STALE_R8_TAIL
+    + _GREEN_R9[: 50 - len(_NEW_R12) - len(_STALE_R8_TAIL)]
 )
 
-#: equal-staleness overflow: the r8-green queries the 50-row window
-#: cannot hold this round; they lead the round-12 window.
-_R8_OVERFLOW: list[str] = _STALE_R8[
-    50 - len(_NEW_R11) - len(_STALE_R7_TAIL):
+#: equal-staleness overflow: the r9-green queries the 50-row window
+#: cannot hold this round; they lead the round-13 window.
+_R9_OVERFLOW: list[str] = _GREEN_R9[
+    50 - len(_NEW_R12) - len(_STALE_R8_TAIL):
 ]
 
 _ORDER: list[str] = (
-    _WINDOW_HEAD_R11 + _R8_OVERFLOW + _GREEN_R9 + _GREEN_R10
+    _WINDOW_HEAD_R12 + _R9_OVERFLOW + _GREEN_R10 + _GREEN_R11
 )
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")
@@ -7263,12 +7298,16 @@ _DRIVER_WINDOW = 50
 #: hard staleness backstop: any query whose driver row would be this
 #: many rounds old at the NEXT driver run MUST sit inside the window
 #: (so nothing can ever age past it). Greedy fill keeps the CURRENT
-#: 144-query registry at staleness ≤ 3 on its own; the backstop at 4
-#: is what fails the build if the registry grows past ~200 gated
-#: queries (4 × 50-row windows) without splitting the rotation —
-#: the "stop over-adding" forcing function, same role the round-6
-#: debt invariant played for never-gated queries.
-_MAX_STALENESS = 4
+#: 156-query registry at staleness ≤ 4 on its own (each query gates
+#: every ceil(156/50) ≈ 3-4 rounds regardless of the backstop); the
+#: backstop at 8 — the round-12 ALTERNATING-WINDOWS design (VERDICT
+#: r11 item 4: the driver declined to grow the 50-row window, so two
+#: 50-row cohorts may alternate through the gate) — is what fails
+#: the build if the registry grows past ~400 gated queries (8 ×
+#: 50-row windows) without splitting the rotation: the "stop
+#: over-adding" forcing function, same role the round-6 debt
+#: invariant played for never-gated queries.
+_MAX_STALENESS = 8
 
 
 def _latest_driver_rows() -> tuple[int, dict[str, int]]:

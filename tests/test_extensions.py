@@ -6017,12 +6017,14 @@ def test_staged_queries_match_oracle(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
     # Every prior staging generation (round 8/9/10 blocks,
-    # image_exif, office_extract, latex_extract) has been promoted
-    # one-for-one under the 156 cap and is now covered by
-    # test_gate_all; doctext_sweep (the 8-family universal document
-    # router) is the round-12 staging generation.
+    # image_exif, office_extract, latex_extract, doctext_sweep) has
+    # been promoted and is now covered by test_gate_all; the retired
+    # office_extract keeps oracle parity HERE (its function + oracle
+    # stay in the library after the round-12 absorption into
+    # doctext_sweep, and this check proves the retired path still
+    # matches value-for-value).
     staged: dict = {
-        "doctext_sweep": (Q.q_doctext_sweep, Q.ORACLE_DOCTEXT_SWEEP),
+        "office_extract": (Q.q_office_extract, Q.ORACLE_OFFICE_EXTRACT),
     }
     for name, (fn, osql) in staged.items():
         got = fn(spark, sf).toPandas()

@@ -935,31 +935,30 @@ def test_rotation_is_current():
     assert not Q._WINDOW_ALREADY_GATED, (
         f"CORRECTNESS_r{Q._max_round:02d}.json has gated the current "
         "driver window: rotate the registry (stalest block first, "
-        "see the greedy-fill comment above _NEW_R11) and update "
+        "see the greedy-fill comment above _NEW_R12) and update "
         "_NEW_R{next} before adding gated queries"
     )
 
 
 def test_registry_headroom():
-    """Round-10 headroom policy (VERDICT r9 item 5): at 50 gated
-    rows per round and a 4-round staleness backstop, 156 gated
-    queries is the steady-state maximum with a 6-query equal-
-    staleness carryover — sustainable, but with zero slack. The
-    gated registry is therefore CAPPED at 156: a new capability
-    query is staged (oracle + gate-sim test, no _ALL entry) and a
-    promotion must retire or merge an existing gated row
-    one-for-one. This test is the forcing function: growth past the
-    cap fails here at commit time, not at the rotation invariant
-    two rounds later."""
+    """Round-12 headroom policy (VERDICT r11 item 4, superseding the
+    round-10 zero-sum rule): the driver declined to grow the 50-row
+    gate window, so the registry adopts the alternating-windows
+    design (backstop 8) — at 50 gated rows per round the derived
+    steady-state maximum rises from 156 to 356 with the 6-query
+    equal-staleness carryover. Promotions no longer require a
+    one-for-one retirement below the cap (strict-subset retirements
+    remain good hygiene). This test is the forcing function: growth
+    past the cap fails here at commit time, not at the rotation
+    invariant rounds later."""
     from datasplash_spark import queries as Q
 
     # derived, not hand-kept: a query ages one round per window it
     # sits out, so with W gated per round and a B-round backstop the
     # registry sustains W*(B-1) queries plus a small equal-staleness
-    # carryover tail (6 chosen in round 10). Growing the DRIVER
-    # window is the lever that raises the cap — the round-11 ROUNDLOG
-    # carries the formal request; until granted, promotion stays
-    # one-for-one.
+    # carryover tail (6 chosen in round 10). The backstop is the
+    # lever (round 12: 4 -> 8, the alternating-windows design); the
+    # cap moves with it automatically.
     cap = Q._DRIVER_WINDOW * (Q._MAX_STALENESS - 1) + 6
     assert len(Q._ORDER) <= cap, (
         f"gated registry has {len(Q._ORDER)} queries > cap {cap}: "
