@@ -33,6 +33,23 @@ Supported trigger shapes (the ones real pipelines use):
   LATE pane per micro-batch of late data within
   ``allowed_lateness`` (``withLateFirings(AfterPane.
   elementCountAtLeast(1))``).
+- ``{"after-processing-time": "30 seconds"}`` (round 12) —
+  ``Repeatedly(AfterProcessingTime.pastFirstElementInPane()
+  .plusDelayOf(d))``: the wall-clock deadline starts at the FIRST
+  element of the current pane (held in the state cell) and the pane
+  fires at the first machine invocation at/after it.
+- ``{"after-first": [t, ...]}`` / ``{"after-all": [t, ...]}``
+  (round 12) — ``Repeatedly(AfterFirst(...))`` /
+  ``Repeatedly(AfterAll(...))`` over ``after-count`` and
+  ``after-processing-time`` sub-triggers, arbitrarily nested. Both
+  sub-trigger conditions are MONOTONE within a pane (the element
+  count only grows until the firing resets it; wall-clock only
+  advances), so Beam's per-sub-trigger finished-state is exactly
+  "condition currently true" and the composition evaluates as the
+  plain boolean combination each micro-batch — ``AfterFirst`` fires
+  when any condition holds, ``AfterAll`` when all do, and the
+  firing resets every sub-trigger (count to 0, deadline to unset),
+  which is ``Repeatedly``'s contract.
 
 Accumulation: ``"accumulating"`` emits the full running aggregate in
 every pane; ``"discarding"`` emits only the delta since the previous
@@ -49,13 +66,18 @@ dropped upstream, which is exactly Beam's expired-window rule (give
 or take one micro-batch of watermark lag). The machines recover the
 logical watermark by adding ``late_ms`` back for ON_TIME timing.
 
-What stays approximate: processing-time triggers tie to micro-batch
-cadence rather than wall-clock timers (Structured Streaming has no
-per-key processing-time timer visible to the plan), and
-``AfterWatermark`` without lateness emits its ON_TIME pane when the
-TIMEOUT fires — i.e. at the first micro-batch boundary after the
-watermark passes, exactly like Beam on a runner with aligned
-bundles.
+What stays approximate: processing-time firings tie to machine
+invocations rather than wall-clock timers — the state machine runs
+only when the key receives data or its event-time timeout fires
+(Structured Streaming offers ONE timeout kind per operator and the
+window-close logic needs the event-time one), so an
+``after-processing-time`` pane whose deadline elapsed during a
+quiet stretch is emitted at the key's next data micro-batch or at
+window close, whichever comes first — exactly Beam on a runner
+with aligned bundles, plus the idle-key delay. ``AfterWatermark``
+without lateness likewise emits its ON_TIME pane when the TIMEOUT
+fires, i.e. at the first micro-batch boundary after the watermark
+passes.
 
 Reference anchor: datasplash ``fixed-windows``/``session-windows``
 trigger options (core.clj:2082-2094); Beam PaneInfo is public API.
@@ -74,10 +96,13 @@ PANED_OUTPUT_SCHEMA = (
 )
 
 #: state: running sum, rows since last fire, value emitted at last
-#: fire (for discarding), pane index, fired-on-time flag, total rows
+#: fire (for discarding), pane index, fired-on-time flag, total
+#: rows, wall-clock ms of the current pane's first element (0 =
+#: unset/not tracked — only maintained when the trigger carries an
+#: after-processing-time sub-trigger)
 _STATE_SCHEMA = (
     "acc long, n_since long, last_emitted long, pane_index int, "
-    "fired_on_time boolean, total_rows long"
+    "fired_on_time boolean, total_rows long, first_pt long"
 )
 
 
@@ -86,21 +111,52 @@ _STATE_SCHEMA = (
 #: general-combiner discarding contract — so no last_emitted cell)
 _STATE_SCHEMA_OBJ = (
     "acc binary, n_since long, pane_index int, "
-    "fired_on_time boolean, total_rows long"
+    "fired_on_time boolean, total_rows long, first_pt long"
 )
 
 
+def _compile_trigger_pred(spec):
+    """Compile a non-watermark trigger spec into ``(pred,
+    needs_pt)``: ``pred(n_since, first_pt_ms, now_ms) -> bool`` says
+    whether the current pane should fire, ``needs_pt`` whether the
+    machine must track the pane's first-element wall-clock time.
+    Composition is sound as plain boolean evaluation because both
+    leaf conditions are monotone within a pane (see the module
+    docstring)."""
+    if isinstance(spec, dict) and len(spec) == 1:
+        ((kind, arg),) = spec.items()
+        if kind == "after-count":
+            n = int(arg)
+            if n < 1:
+                raise ValueError("after-count must be >= 1")
+            return (lambda ns, fpt, now, _n=n: ns >= _n), False
+        if kind == "after-processing-time":
+            d = _duration_ms(arg)
+            return (
+                lambda ns, fpt, now, _d=d: fpt > 0 and now >= fpt + _d
+            ), True
+        if kind in ("after-first", "after-all"):
+            subs = [_compile_trigger_pred(s) for s in arg]
+            if not subs:
+                raise ValueError(f"{kind} needs at least one sub-trigger")
+            preds = [p for p, _ in subs]
+            comb = any if kind == "after-first" else all
+            return (
+                lambda ns, fpt, now, _p=preds, _c=comb: _c(
+                    p(ns, fpt, now) for p in _p
+                )
+            ), any(npt for _, npt in subs)
+    raise ValueError(f"unknown trigger {spec!r}")
+
+
 def _parse_trigger(trigger, accumulation):
+    """Returns ``(early_pred, needs_pt)``; ``early_pred`` is None
+    for the pure ``"after-watermark"`` shape."""
     if accumulation not in ("accumulating", "discarding"):
         raise ValueError(f"unknown accumulation {accumulation!r}")
-    after_count = None
-    if isinstance(trigger, dict):
-        after_count = int(trigger["after-count"])
-        if after_count < 1:
-            raise ValueError("after-count must be >= 1")
-    elif trigger != "after-watermark":
-        raise ValueError(f"unknown trigger {trigger!r}")
-    return after_count
+    if trigger == "after-watermark":
+        return None, False
+    return _compile_trigger_pred(trigger)
 
 
 def paned_window_agg(
@@ -136,12 +192,12 @@ def paned_window_agg(
     IS the output)."""
     import pandas as pd
 
-    after_count = _parse_trigger(trigger, accumulation)
+    early_pred, needs_pt = _parse_trigger(trigger, accumulation)
     if combine_fn is not None:
         return _paned_window_agg_obj(
             df, time_col, key_col, window_duration, value_col,
-            after_count, accumulation, early_count, allowed_lateness,
-            watermark_delay, combine_fn, value_type,
+            early_pred, needs_pt, accumulation, early_count,
+            allowed_lateness, watermark_delay, combine_fn, value_type,
         )
 
     dur_ms = _duration_ms(window_duration)
@@ -186,15 +242,19 @@ def paned_window_agg(
             return raw + late_ms if raw > 0 else raw
 
         if state.exists:
-            acc, n_since, last_emitted, pane_index, fired, total = state.get
+            (
+                acc, n_since, last_emitted, pane_index, fired, total,
+                first_pt,
+            ) = state.get
         else:
             acc, n_since, last_emitted, pane_index, fired, total = (
                 0, 0, 0, 0, False, 0
             )
+            first_pt = 0
         out = []
 
         def fire(timing: str, is_last: bool) -> None:
-            nonlocal n_since, last_emitted, pane_index
+            nonlocal n_since, last_emitted, pane_index, first_pt
             value = acc if accumulation == "accumulating" else acc - last_emitted
             out.append(
                 {
@@ -210,6 +270,7 @@ def paned_window_agg(
             )
             last_emitted = acc
             n_since = 0
+            first_pt = 0
             pane_index += 1
 
         if state.hasTimedOut:
@@ -217,9 +278,9 @@ def paned_window_agg(
             if not fired and wm >= wend_ms:
                 # the watermark passed the window end: ON_TIME pane
                 # for after-watermark; residual final pane for
-                # after-count (is_last only when no lateness keeps
-                # the window open for LATE panes)
-                if after_count is None:
+                # composed/count triggers (is_last only when no
+                # lateness keeps the window open for LATE panes)
+                if early_pred is None:
                     fire("ON_TIME", is_last=late_ms == 0)
                 else:
                     if n_since > 0 or pane_index == 0:
@@ -233,7 +294,10 @@ def paned_window_agg(
             # (timeout timestamps live on the SPARK watermark scale:
             # logical target minus late_ms)
             state.update(
-                (acc, n_since, last_emitted, pane_index, True, total)
+                (
+                    acc, n_since, last_emitted, pane_index, True,
+                    total, first_pt,
+                )
             )
             state.setTimeoutTimestamp(
                 max(wend_ms, state.getCurrentWatermarkMs() + 1)
@@ -242,7 +306,7 @@ def paned_window_agg(
             return
 
         wm0 = logical_wm()
-        if not fired and after_count is None and wm0 >= wend_ms:
+        if not fired and early_pred is None and wm0 >= wend_ms:
             # the watermark passed the window end BEFORE this batch
             # (data arrived in the same micro-batch that would have
             # processed the timeout): the ON_TIME pane fires first,
@@ -256,17 +320,22 @@ def paned_window_agg(
             acc += int(pdf["_v"].sum())
         n_since += n_new
         total += n_new
+        if needs_pt and n_since > 0 and first_pt == 0:
+            # AfterProcessingTime.pastFirstElementInPane: the
+            # deadline clock starts at the pane's first element
+            first_pt = _now_ms()
         if fired and n_since > 0:
             fire("LATE", is_last=False)
-        elif after_count is not None:
-            while n_since >= after_count:
-                # Beam fires once per bundle reaching the count; a
-                # micro-batch is the bundle here — one pane per batch
+        elif early_pred is not None:
+            # Beam fires once per bundle satisfying the trigger; a
+            # micro-batch is the bundle here — one pane per batch
+            if n_since > 0 and early_pred(n_since, first_pt, _now_ms()):
                 fire("EARLY", is_last=False)
-                break
         elif early_count is not None and n_since >= early_count:
             fire("EARLY", is_last=False)
-        state.update((acc, n_since, last_emitted, pane_index, fired, total))
+        state.update(
+            (acc, n_since, last_emitted, pane_index, fired, total, first_pt)
+        )
         raw_wm = state.getCurrentWatermarkMs()
         # logical target wend (pre-fire) / wend+late (post-fire),
         # converted to the Spark watermark scale by subtracting late
@@ -281,6 +350,17 @@ def paned_window_agg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _now_ms() -> int:
+    """Wall clock in ms for after-processing-time deadlines.
+    (Deterministic tests pin the trigger with a 0-delay — fires at
+    the first-element batch — or an hours-long delay that never
+    fires mid-test; a patched clock would not survive the trip to
+    the Python workers.)"""
+    import time as _time
+
+    return int(_time.time() * 1000)
 
 
 def _duration_ms(s: str) -> int:
@@ -301,7 +381,7 @@ def _duration_ms(s: str) -> int:
 
 def _paned_window_agg_obj(
     df, time_col, key_col, window_duration, value_col,
-    after_count, accumulation, early_count, allowed_lateness,
+    early_pred, needs_pt, accumulation, early_count, allowed_lateness,
     watermark_delay, combine_fn, value_type,
 ):
     """Combiner-path twin of the long-sum machine: same trigger /
@@ -359,16 +439,17 @@ def _paned_window_agg_obj(
             return raw + late_ms if raw > 0 else raw
 
         if state.exists:
-            accb, n_since, pane_index, fired, total = state.get
+            accb, n_since, pane_index, fired, total, first_pt = state.get
             acc = load(accb)
         else:
             acc, n_since, pane_index, fired, total = (
                 _EMPTY, 0, 0, False, 0
             )
+            first_pt = 0
         out = []
 
         def fire(timing: str, is_last: bool) -> None:
-            nonlocal acc, n_since, pane_index
+            nonlocal acc, n_since, pane_index, first_pt
             value = None if _is_empty(acc) else cf.extract(acc)
             out.append(
                 {
@@ -385,12 +466,13 @@ def _paned_window_agg_obj(
             if accumulation == "discarding":
                 acc = _EMPTY
             n_since = 0
+            first_pt = 0
             pane_index += 1
 
         if state.hasTimedOut:
             wm = logical_wm()
             if not fired and wm >= wend_ms:
-                if after_count is None:
+                if early_pred is None:
                     fire("ON_TIME", is_last=late_ms == 0)
                 else:
                     if n_since > 0 or pane_index == 0:
@@ -400,7 +482,9 @@ def _paned_window_agg_obj(
                 state.remove()
                 yield pd.DataFrame(out)
                 return
-            state.update((dump(acc), n_since, pane_index, True, total))
+            state.update(
+                (dump(acc), n_since, pane_index, True, total, first_pt)
+            )
             state.setTimeoutTimestamp(
                 max(wend_ms, state.getCurrentWatermarkMs() + 1)
             )
@@ -408,7 +492,7 @@ def _paned_window_agg_obj(
             return
 
         wm0 = logical_wm()
-        if not fired and after_count is None and wm0 >= wend_ms:
+        if not fired and early_pred is None and wm0 >= wend_ms:
             fire("ON_TIME", is_last=False)
             fired = True
         n_new = 0
@@ -418,14 +502,18 @@ def _paned_window_agg_obj(
                 acc = cf.reduce(acc, v)
         n_since += n_new
         total += n_new
+        if needs_pt and n_since > 0 and first_pt == 0:
+            first_pt = _now_ms()
         if fired and n_since > 0:
             fire("LATE", is_last=False)
-        elif after_count is not None:
-            if n_since >= after_count:
+        elif early_pred is not None:
+            if n_since > 0 and early_pred(n_since, first_pt, _now_ms()):
                 fire("EARLY", is_last=False)
         elif early_count is not None and n_since >= early_count:
             fire("EARLY", is_last=False)
-        state.update((dump(acc), n_since, pane_index, fired, total))
+        state.update(
+            (dump(acc), n_since, pane_index, fired, total, first_pt)
+        )
         raw_wm = state.getCurrentWatermarkMs()
         target = wend_ms - late_ms if not fired else wend_ms
         state.setTimeoutTimestamp(max(target, raw_wm + 1))
@@ -500,7 +588,7 @@ def paned_session_agg(
 
     from ..objectmode import _EMPTY, _is_empty, CombineFn
 
-    after_count = _parse_trigger(trigger, accumulation)
+    early_pred, needs_pt = _parse_trigger(trigger, accumulation)
     cf = CombineFn.of(combine_fn) if combine_fn is not None else None
     gap_ms = _duration_ms(gap)
     late_ms = _duration_ms(allowed_lateness)
@@ -572,6 +660,7 @@ def paned_session_agg(
             if accumulation == "discarding":
                 s["acc"] = a_init()
             s["n_since"] = 0
+            s["first_pt"] = 0
             s["pane_index"] += 1
 
         def close_expired(wm: int) -> None:
@@ -633,20 +722,40 @@ def paned_session_agg(
                         "fired": any(s.get("fired") for s in hit)
                         or (not hit and hi <= wm0),
                     }
+                    # first-element wall-clock of the current pane
+                    # (after-processing-time): merge keeps the
+                    # earliest component deadline clock; a pane
+                    # gaining its first element starts it now
+                    fpts = [
+                        s.get("first_pt", 0)
+                        for s in hit
+                        if s.get("first_pt", 0) > 0
+                    ]
+                    merged["first_pt"] = (
+                        min(fpts) if fpts else (_now_ms() if needs_pt else 0)
+                    )
                     for s in hit:
                         merged["acc"] = a_merge(merged["acc"], s["acc"])
                     merged["acc"] = a_reduce(merged["acc"], v)
                     merged["n_since"] += 1
                     rest.append(merged)
                     sessions = rest
-            want = after_count if after_count is not None else early_count
+            now = _now_ms() if needs_pt else 0
             for s in sessions:
                 if s.get("fired") and s["n_since"] > 0:
                     # late data on an already-closed session: one
                     # LATE pane per micro-batch (the fixed-window
                     # machine's contract)
                     fire(s, "LATE", is_last=False)
-                elif want is not None and s["n_since"] >= want:
+                elif early_pred is not None:
+                    if s["n_since"] > 0 and early_pred(
+                        s["n_since"], s.get("first_pt", 0), now
+                    ):
+                        fire(s, "EARLY", is_last=False)
+                elif (
+                    early_count is not None
+                    and s["n_since"] >= early_count
+                ):
                     fire(s, "EARLY", is_last=False)
             # sessions whose end the watermark already passed close
             # in the same batch (data and timeout raced)

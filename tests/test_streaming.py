@@ -1986,3 +1986,297 @@ def test_paned_session_standalone_late_is_late(spark, tmp_path):
         ).collect()
     ]
     assert rows == [(0, "LATE", 5, False)], rows
+
+
+def test_trigger_composition_compile():
+    """Composed trigger compilation (round 12): AfterFirst/AfterAll
+    over after-count and after-processing-time sub-triggers,
+    arbitrarily nested — the compiled predicate is the plain boolean
+    combination (sound because both leaf conditions are monotone
+    within a pane), and malformed shapes raise typed errors."""
+    from datasplash_spark.streaming.triggers import (
+        _compile_trigger_pred,
+        _parse_trigger,
+    )
+
+    # leaf: count
+    p, needs = _compile_trigger_pred({"after-count": 3})
+    assert not needs
+    assert not p(2, 0, 0) and p(3, 0, 0)
+    # leaf: processing time (deadline from the pane's first element)
+    p, needs = _compile_trigger_pred({"after-processing-time": "10 seconds"})
+    assert needs
+    assert not p(5, 0, 99_999_999)          # no first element yet
+    assert not p(5, 1_000, 10_999)           # deadline not reached
+    assert p(5, 1_000, 11_000)               # fpt + 10s <= now
+    # AfterFirst: either fires
+    p, needs = _compile_trigger_pred(
+        {"after-first": [{"after-count": 2},
+                         {"after-processing-time": "1 hour"}]}
+    )
+    assert needs
+    assert p(2, 0, 0)                        # count leg
+    assert p(1, 1_000, 3_601_000)            # ptime leg
+    assert not p(1, 1_000, 3_600_999)
+    # AfterAll: both must hold
+    p, needs = _compile_trigger_pred(
+        {"after-all": [{"after-count": 2},
+                       {"after-processing-time": "0 seconds"}]}
+    )
+    assert not p(2, 0, 5)                    # ptime leg unset
+    assert not p(1, 5, 5)                    # count leg short
+    assert p(2, 5, 5)
+    # nesting
+    p, needs = _compile_trigger_pred(
+        {"after-all": [
+            {"after-count": 1},
+            {"after-first": [{"after-count": 10},
+                             {"after-processing-time": "0 seconds"}]},
+        ]}
+    )
+    assert p(1, 5, 5) and not p(1, 0, 5) and p(10, 0, 5)
+    # validation
+    import pytest as _pytest
+
+    for bad in (
+        {"after-count": 0},
+        {"after-first": []},
+        {"nope": 1},
+        {"after-count": 1, "after-processing-time": "1 second"},
+        "gibberish",
+    ):
+        with _pytest.raises(ValueError):
+            _parse_trigger(bad, "accumulating")
+
+
+def test_paned_after_first_composition_count_leg(spark, tmp_path):
+    """Repeatedly(AfterFirst(count 2, ptime 2h)) on fixed windows:
+    with an hours-long processing-time leg the count leg decides
+    every firing, so the pane sequence is exactly the plain
+    after-count contract (EARLY at >=2 new elements, residual
+    ON_TIME pane at window close carrying the remainder)."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "af_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,1\na,2024-01-01 00:00:06,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,4\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-first": [
+            {"after-count": 2},
+            {"after-processing-time": "2 hours"},
+        ]},
+        accumulation="discarding",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_af"),
+        trigger="once", output_mode="append", query_name="af_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM af_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False, 2),
+        (1, "ON_TIME", 4, True, 1),
+    ], rows
+
+
+def test_paned_after_first_ptime_fires_each_batch(spark, tmp_path):
+    """Repeatedly(AfterFirst(count 1000, ptime 0s)) on fixed
+    windows: the zero-delay processing-time leg's deadline is met in
+    the same micro-batch that delivers the pane's first element, so
+    every data batch fires an EARLY pane while the count leg never
+    does — and with nothing buffered at window close, no residual
+    pane fires (Beam emits no empty final pane for Repeatedly
+    triggers after at least one firing)."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "pt_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,1\na,2024-01-01 00:00:06,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,4\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-first": [
+            {"after-count": 1000},
+            {"after-processing-time": "0 seconds"},
+        ]},
+        accumulation="accumulating",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_pt"),
+        trigger="once", output_mode="append", query_name="pt_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM pt_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False, 2),   # batch 1: pane's first element
+        (1, "EARLY", 7, False, 1),   # batch 2: new pane, 0s deadline
+    ], rows
+
+
+def test_paned_after_all_holds_until_both(spark, tmp_path):
+    """Repeatedly(AfterAll(count 3, ptime 0s)) on fixed windows: the
+    instant processing-time leg is satisfied from the pane's first
+    element, so AfterAll reduces to the count leg — the 2-element
+    first batch does NOT fire (count short), the third element
+    completes the conjunction, and the composition is provably not
+    an OR."""
+    from datasplash_spark.streaming.triggers import paned_window_agg
+
+    src = tmp_path / "aa_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,1\na,2024-01-01 00:00:06,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,4\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger={"after-all": [
+            {"after-count": 3},
+            {"after-processing-time": "0 seconds"},
+        ]},
+        accumulation="accumulating",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_aa"),
+        trigger="once", output_mode="append", query_name="aa_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM aa_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 7, False, 3),   # fires only once count hits 3
+    ], rows
+
+
+def test_paned_session_composed_trigger(spark, tmp_path):
+    """Session windows with a composed trigger (round 12):
+    AfterFirst(count 1000, ptime 0s) fires an EARLY pane per data
+    micro-batch on the open session, the panes accumulate across a
+    gap-merge, and the watermark close still emits the final ON_TIME
+    pane."""
+    from datasplash_spark.streaming.triggers import paned_session_agg
+
+    src = tmp_path / "sc_src"
+    src.mkdir()
+    (src / "f1.txt").write_text("a,2024-01-01 00:00:05,1\n")
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:20,2\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:30:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_session_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        gap="30 seconds",
+        value_col="v",
+        trigger={"after-first": [
+            {"after-count": 1000},
+            {"after-processing-time": "0 seconds"},
+        ]},
+        accumulation="accumulating",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_sc"),
+        trigger="once", output_mode="append", query_name="sc_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM sc_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 1, False, 1),    # batch 1 opens the session
+        (1, "EARLY", 3, False, 1),    # batch 2 merges, fires again
+        (2, "ON_TIME", 3, True, 0),   # watermark past session end
+    ], rows
