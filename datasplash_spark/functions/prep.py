@@ -163,12 +163,56 @@ def web_ingest_prep(
     plan-pin test asserts no Exchange row carries ``payload`` or
     ``html``."""
     from ..sources import archives as ar
-    from . import web as wb
 
     recs = ar.read_warc(spark, warc_glob).filter(
         (F.col("warc_type") == "response")
         & F.col("content_type").startswith("text/html")
     )
+    rebuilt, caches = _web_page_rebuild(
+        recs, robots_df, agent=agent, min_tokens=min_tokens,
+        max_punct=max_punct, words_per_para=words_per_para,
+        persist=persist,
+    )
+    clusters = dd.dedup_clusters(
+        rebuilt, "text", "doc_id", num_hashes, bands, shingle_k, seed,
+        cache=persist,
+    )
+    result = rebuilt.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    # cache handles for the caller (review finding: a long-lived
+    # session ingesting crawl batches in a loop would otherwise
+    # accumulate orphaned cached relations) — release with
+    # :func:`unpersist_web_ingest` once the result is consumed
+    result._web_ingest_caches = caches
+    return result
+
+
+def _web_page_rebuild(
+    recs: DataFrame,
+    robots_df: DataFrame,
+    *,
+    agent: str,
+    min_tokens: int,
+    max_punct: float,
+    words_per_para: int,
+    persist: bool,
+) -> tuple[DataFrame, tuple]:
+    """Shared front half of the batch and streaming web-ingest
+    paths: parsed WARC response records → HTML main-content
+    extraction (in the scan stage — html never crosses an Exchange)
+    → robots gate (broadcast join) → Gopher quality predicates →
+    paragraph dedup (rebuild) with the url joined back. Returns
+    ``(rebuilt, cache_handles)`` where rebuilt is ``(doc_id, text,
+    n_paras, n_kept, url)``; release the handles with
+    :func:`unpersist_web_ingest` semantics (each is a persisted
+    DataFrame)."""
+    from . import web as wb
+
     pages = recs.select(
         F.col("target_uri").alias("url"),
         F.decode("payload", "UTF-8").alias("html"),
@@ -204,25 +248,88 @@ def web_ingest_prep(
     )
     if persist:
         rebuilt = rebuilt.persist()
-    clusters = dd.dedup_clusters(
-        rebuilt, "text", "doc_id", num_hashes, bands, shingle_k, seed,
-        cache=persist,
+    return rebuilt, ((quality, rebuilt) if persist else ())
+
+
+def web_ingest_stream(
+    spark,
+    warc_glob: str,
+    robots_df: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    *,
+    agent: str = "*",
+    min_tokens: int = 5,
+    max_punct: float = 0.2,
+    words_per_para: int = 10,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+    trigger: "str | dict | None" = None,
+    query_name: str | None = None,
+):
+    """STREAMING twin of :func:`web_ingest_prep` (round 12): WARC
+    shards arriving in ``warc_glob`` drain through the same
+    extract → robots → quality → paragraph-dedup front per
+    micro-batch, then near-dup ADMISSION against (and append to)
+    the growing parquet store at ``store_path`` — the reference's
+    ``:watch-new-files`` composed with the north-star continuous-
+    ingestion story. Returns the started ``StreamingQuery``.
+
+    Semantics per micro-batch (the batch function delegates to
+    :func:`..streaming.neardup.near_dedup_admitter`, so the
+    admission contract is IDENTICAL to the standalone streaming
+    dedup sink): intra-batch minhash clustering keeps the min-id
+    survivor per cluster, exact digests then LSH bucket probes drop
+    docs already in the store, and the survivors land in a
+    ``_batch_id=<id>`` partition with dynamic-partition overwrite —
+    a replayed batch id (Spark guarantees at-least-once after
+    recovery) rewrites its own partition and probes a store view
+    that EXCLUDES it, so replay is byte-idempotent. The per-batch
+    cache handles from the rebuild front are released via
+    :func:`unpersist_web_ingest` after each admission — a
+    continuous ingest accumulates zero orphaned cached relations.
+
+    Scale shape: unchanged from the batch path — shard tasks are
+    the parallelism unit, crawl payload bytes never pass an
+    Exchange, the robots rules broadcast, and the store side of the
+    admission reduces to digests and (doc_id, bucket) pairs.
+    Readers scan ``store_path`` and drop ``_batch_id``."""
+    from ..sources import archives as ar
+    from ..streaming.neardup import near_dedup_admitter
+    from ..streaming.sinks import foreach_batch_sink
+
+    recs = ar.read_warc(spark, warc_glob, watch_new_files=True).filter(
+        (F.col("warc_type") == "response")
+        & F.col("content_type").startswith("text/html")
     )
-    result = rebuilt.join(
-        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
-            "doc_id"
-        ),
-        "doc_id",
-        "left_semi",
+    admit_store = near_dedup_admitter(
+        store_path, text="text", id_col="doc_id",
+        num_hashes=num_hashes, bands=bands, k=shingle_k, seed=seed,
     )
-    # cache handles for the caller (review finding: a long-lived
-    # session ingesting crawl batches in a loop would otherwise
-    # accumulate orphaned cached relations) — release with
-    # :func:`unpersist_web_ingest` once the result is consumed
-    result._web_ingest_caches = (
-        (quality, rebuilt) if persist else ()
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        rebuilt, caches = _web_page_rebuild(
+            batch_df, robots_df, agent=agent, min_tokens=min_tokens,
+            max_punct=max_punct, words_per_para=words_per_para,
+            persist=True,
+        )
+        rebuilt._web_ingest_caches = caches
+        try:
+            admit_store(
+                rebuilt.select(
+                    "doc_id", "url", "text", "n_paras", "n_kept"
+                ),
+                batch_id,
+            )
+        finally:
+            unpersist_web_ingest(rebuilt)
+
+    return foreach_batch_sink(
+        recs, admit, checkpoint_dir, trigger=trigger,
+        query_name=query_name,
     )
-    return result
 
 
 def unpersist_web_ingest(result: DataFrame) -> None:

@@ -2280,3 +2280,130 @@ def test_paned_session_composed_trigger(spark, tmp_path):
         (1, "EARLY", 3, False, 1),    # batch 2 merges, fires again
         (2, "ON_TIME", 3, True, 0),   # watermark past session end
     ], rows
+
+
+def test_web_ingest_stream_e2e_and_replay(spark, tmp_path):
+    """Streaming web ingest (round 12): WARC shards arriving across
+    micro-batches drain through extract -> robots -> quality ->
+    paragraph dedup -> near-dup ADMISSION against the growing store
+    (prep.web_ingest_stream composing read_warc(watch_new_files) with
+    near_dedup_admitter). Pins: robots-gated URLs never land,
+    intra-batch near-dups keep one survivor, a later batch's exact
+    and near duplicates of stored docs are refused, a replayed batch
+    id leaves the store byte-identical, and the per-batch cache
+    handles are all released (zero persisted-relation growth)."""
+    from datasplash_spark.functions import prep as pp
+    from datasplash_spark.sources import archives as ar
+    from datasplash_spark.streaming.neardup import near_dedup_admitter
+
+    texts = {
+        i: " ".join(
+            "w%d%s" % (j, chr(97 + (i * 7 + j) % 26)) for j in range(40)
+        )
+        for i in range(3)
+    }
+
+    def page(uri, text):
+        return (
+            0, uri,
+            ("<html><body><p>%s</p></body></html>" % text).encode(),
+        )
+
+    near0 = texts[0].split(" ")
+    near0[17] = "changedzero"
+    near1 = texts[1].split(" ")
+    near1[23] = "changedone"
+
+    src = tmp_path / "crawl_stream"
+    src.mkdir()
+    store = str(tmp_path / "ingest_store")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    knobs = dict(
+        min_tokens=5, words_per_para=40, num_hashes=32, bands=8,
+    )
+
+    def write_shard(name, rows):
+        df = spark.createDataFrame(
+            rows, "shard_id int, target_uri string, payload binary"
+        )
+        ar.write_warc_shards(df, str(src / name)).collect()
+
+    def drain():
+        q = pp.web_ingest_stream(
+            spark, str(src) + "/*/*.warc.gz", robots, store, ckpt,
+            trigger="once", **knobs,
+        )
+        q.awaitTermination(240)
+
+    def store_urls():
+        return {
+            r.url.rsplit("/", 1)[-1]
+            for r in spark.read.parquet(store).select("url").collect()
+        }
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    cached0 = n_cached()
+
+    # batch 0: two clean docs, an intra-batch near-dup of doc 0, and
+    # a robots-disallowed page
+    write_shard("s0", [
+        page("https://h0.example.com/doc/0", texts[0]),
+        page("https://h0.example.com/doc/1", texts[1]),
+        page("https://h0.example.com/doc/900", " ".join(near0)),
+        page("https://h0.example.com/private/3", texts[2]),
+    ])
+    drain()
+    got = store_urls()
+    assert "3" not in got                      # robots gate held
+    assert len(got & {"0", "900"}) == 1        # intra-batch near-dup
+    assert "1" in got and len(got) == 2, got
+
+    # batch 1: one new doc, one EXACT dup of stored doc 1 under a new
+    # URL, one NEAR dup of stored doc 1
+    write_shard("s1", [
+        page("https://h0.example.com/doc/2", texts[2]),
+        page("https://h0.example.com/doc/901", texts[1]),
+        page("https://h0.example.com/doc/902", " ".join(near1)),
+    ])
+    drain()
+    got = store_urls()
+    assert "2" in got and "901" not in got and "902" not in got, got
+    assert len(got) == 3, got
+    before = sorted(
+        map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+    )
+
+    # replay batch id 1 with the same shard (Spark's at-least-once
+    # contract after recovery): the composed admission must leave the
+    # store byte-identical — the store view excludes the replaying
+    # batch's own partition and the write overwrites only it
+    recs = ar.read_warc(spark, str(src / "s1") + "/*.warc.gz").filter(
+        (F.col("warc_type") == "response")
+        & F.col("content_type").startswith("text/html")
+    )
+    rebuilt, caches = pp._web_page_rebuild(
+        recs, robots, agent="*", min_tokens=5, max_punct=0.2,
+        words_per_para=40, persist=True,
+    )
+    try:
+        near_dedup_admitter(
+            store, text="text", id_col="doc_id",
+            num_hashes=32, bands=8, k=3, seed=42,
+        )(rebuilt.select("doc_id", "url", "text", "n_paras", "n_kept"), 1)
+    finally:
+        for c in caches:
+            c.unpersist()
+    after = sorted(
+        map(tuple, spark.read.parquet(store).drop("_batch_id").collect())
+    )
+    assert after == before
+
+    # cache-handle release: the stream's per-batch persists (quality,
+    # rebuilt, the admitter's batch pin) must all be gone
+    assert n_cached() == cached0
