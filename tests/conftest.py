@@ -31,3 +31,34 @@ def tables(spark):
     from datasplash_spark.pipeline import load_tables
 
     return load_tables(spark, SF_DIR)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: exhaustive stress/parity twin of a faster default test; "
+        "excluded from the default run (enable with --runslow or "
+        "RUN_SLOW=1) so `pytest tests/` stays inside the documented "
+        "wall budget — every slow test has a sibling covering the "
+        "same code path in the default set",
+    )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (the exhaustive sweep)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow twin — run with --runslow (or RUN_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -5522,6 +5522,9 @@ def _store_manifest(root):
     return out
 
 
+@pytest.mark.slow  # 23 s; append parity is default-gated by
+# test_append_ivf_matches_full_build — this is the partial-commit
+# crash-window self-heal stress
 def test_append_ivf_crash_window_self_heal(spark, tmp_path):
     """ANN-store ledger discipline (VERDICT r7 item 7, the streaming
     admitters' contract extended to batch appends): replaying an

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datasplash_spark import operators as ops
@@ -128,6 +129,9 @@ def test_cogroup_by_required_drops_missing(spark):
     contains_only(out, [("a", [42], [1]), ("b", [], [2])])
 
 
+@pytest.mark.slow  # 25 s; the n-way path is default-gated at lower
+# arity (test_cogroup_by_basic / _required_drops_missing) — this is
+# the 101-input reference-parity stress (api_test.clj:577-601)
 def test_cogroup_101_way(spark):
     # api_test.clj:577-601: 101-input cogroup on :i
     n_sides = 101

@@ -1139,6 +1139,9 @@ def test_compact_postings_preserves_probe_parity(spark, tmp_path):
     assert again == inline
 
 
+@pytest.mark.slow  # 21 s; compaction correctness is default-gated by
+# test_compact_postings_preserves_probe_parity — this is the
+# partial-crash-window convergence stress
 def test_compact_postings_crash_window_self_heal(spark, tmp_path):
     """Simulated partial compaction failure: the compacted rows exist
     AND an absorbed batch directory is still present (the crash
@@ -1177,6 +1180,10 @@ def test_compact_postings_crash_window_self_heal(spark, tmp_path):
     assert healed == clean
 
 
+@pytest.mark.slow  # 53 s, the single heaviest test; both conversion
+# directions stay default-gated by
+# test_convert_postings_layout_crash_swap_self_heal — this is the
+# exhaustive keep-growing-after-conversion twin
 def test_convert_postings_layout_roundtrip(spark, tmp_path):
     """Round-7 bridge: a batch-grown store converts to the streaming
     layout and can keep growing via the streaming admitter; a
