@@ -5872,7 +5872,8 @@ FROM c
 
 
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Animated-GIF modality end-to-end (round 10, staged): per doc
+    """Animated-GIF modality end-to-end (gated r10, retired r11
+    under the zero-sum cap, RESTORED r12): per doc
     a REAL GIF89a animation (``1 + len(text) % 5`` full-canvas 8×8
     grayscale frames, per-frame local color tables, NETSCAPE loop
     extension), then sampled decode (every 2nd frame) through the
@@ -6413,8 +6414,9 @@ FROM doc
 
 
 def q_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide progressive-JPEG decode parity (round 9 codec,
-    staged for r10): every document synthesized TWICE — baseline
+    """Corpus-wide progressive-JPEG decode parity (round 9 codec;
+    gated r10, retired r11 under the zero-sum cap, RESTORED r12):
+    every document synthesized TWICE — baseline
     sequential and progressive (SOF2, the full 4-scan-kind
     successive-approximation script) — decoded through the real
     codec, and compared by integer pixel sum AND aHash signature.
@@ -7012,6 +7014,15 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- round 11 session 2 (one-for-one: image_formats /
     # image_ahash retired, see the round-8 block comment) ---
     "latex_extract": (q_latex_extract, ORACLE_LATEX_EXTRACT),
+    # --- round 12 RESTORATIONS (the alternating-windows cap ends the
+    # zero-sum regime, so the two round-11 retirements-by-absorption
+    # return as first-class gated rows: gif_frames' full-disposal
+    # frame iteration and image_progressive's baseline-vs-progressive
+    # decode parity each regain their dedicated oracle — absorption
+    # into video_frames / image_formats_all stays as secondary
+    # coverage) ---
+    "gif_frames": (q_gif_frames, ORACLE_GIF_FRAMES),
+    "image_progressive": (q_image_progressive, ORACLE_IMAGE_PROGRESSIVE),
     # --- round 12 (promoted one-for-one; retired: office_extract —
     # its DOCX/EPUB/PPTX 3-format rotation is a strict subset of
     # doctext_sweep's 8-family rotation under the same full-text md5
@@ -7211,6 +7222,11 @@ _GREEN_R10: list[str] = [
     "semantic_dedup",
     "contrastive_pairs",
     "hybrid_search",
+    # restored round 12 (retired-by-absorption in round 11 under the
+    # zero-sum cap; both r10-green, so they rejoin their staleness
+    # class and rotate normally)
+    "gif_frames",
+    "image_progressive",
 ]
 
 #: the r11-green block (newest driver row CORRECTNESS_r11,

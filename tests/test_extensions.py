@@ -6005,11 +6005,13 @@ def test_corpus_prep_full_invariants(spark):
 
 
 def test_staged_queries_match_oracle(spark):
-    """The post-cap staging block (round-10 headroom policy: the
-    gated registry is frozen at 156, new capability queries stage
-    here): each staged query must already match its DuckDB oracle
-    value-for-value at sf0.001 with driver-faithful canonicalization,
-    so a future promotion is one registry swap, not new work."""
+    """The staging/retired-parity block (round-12 headroom policy:
+    the cap is 356 and no longer zero-sum, but new capability
+    queries still stage here before promotion, and queries retired
+    by absorption keep oracle parity here): each entry must match
+    its DuckDB oracle value-for-value at sf0.001 with
+    driver-faithful canonicalization, so a promotion (or
+    restoration) is one registry swap, not new work."""
     import duckdb
 
     from datasplash_spark import queries as Q
