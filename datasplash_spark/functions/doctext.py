@@ -13,6 +13,10 @@ extractors the sibling modules ship:
 - LaTeX markers       → :func:`..latex.latex_to_text`
 - HTML markers        → a kernel-side mirror of
                         :func:`..web.html_extract`'s regex pipeline
+- Markdown markers    → :func:`..markdown.markdown_to_text`
+                        (round 12; ATX/fence/link syntax in the
+                        head — a conservative heuristic, since
+                        markdown has no magic bytes)
 - anything else       → plain text (UTF-8, surrogate-safe)
 
 Per-document typed quarantine: a poison file yields its own
@@ -57,7 +61,8 @@ def _html_to_text_py(s: str) -> str:
 def sniff_document_kind(raw: bytes) -> str:
     """Route an opaque document blob to its extractor: 'pdf',
     'docx'/'epub'/'pptx'/'odt' (zip layouts), 'rtf', 'latex',
-    'html', or 'text' (the fallback — plain text is a valid
+    'html', 'md' (structural-syntax heuristic — markdown has no
+    magic bytes), or 'text' (the fallback — plain text is a valid
     document). '' only for empty input."""
     if not raw:
         return ""
@@ -79,7 +84,24 @@ def sniff_document_kind(raw: bytes) -> str:
         or b"\\begin{document}" in head
     ):
         return "latex"
+    if _MD_SNIFF_RE.search(head):
+        return "md"
     return "text"
+
+
+#: markdown has no magic bytes; route on structural syntax near the
+#: head — an ATX heading line, a code fence, a setext-underlined
+#: title, or an inline link/image. Deliberately conservative: a
+#: plain-text false NEGATIVE degrades to raw text (lossless), while
+#: a false positive would strip characters, so bare emphasis or
+#: list markers alone do NOT route here.
+_MD_SNIFF_RE = re.compile(
+    rb"(?m)"
+    rb"^ {0,3}#{1,6} \S"
+    rb"|^ {0,3}(?:`{3}|~{3})"
+    rb"|^.+\n {0,3}(?:={3,}|-{3,})[ \t]*$"
+    rb"|!?\[[^\]\n]+\]\([^)\n]+\)"
+)
 
 
 DOCUMENT_TEXT_SCHEMA = (
@@ -98,6 +120,7 @@ def document_text_features(df, id_col="doc_id", media_col="media"):
         import pandas as pd
 
         from . import latex as lx
+        from . import markdown as md
         from . import office as of
         from . import pdf as pf
         from . import rtf as rt
@@ -126,6 +149,10 @@ def document_text_features(df, id_col="doc_id", media_col="media"):
                         )
                     elif kind == "html":
                         text = _html_to_text_py(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "md":
+                        text = md.markdown_to_text(
                             data.decode("utf-8", "replace")
                         )
                     elif kind == "text":
@@ -224,4 +251,90 @@ def synthesize_documents_from_text(
 
     return df.select(id_col, text).mapInPandas(
         synth, schema="doc_id bigint, family string, media binary"
+    )
+
+
+def document_text_ingest(
+    spark,
+    shard_glob: str,
+    out_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    *,
+    archive: str = "tar",
+    trigger: "str | dict | None" = None,
+    query_name: str | None = None,
+):
+    """STREAMING mixed-document ingest (round 12) — the shared-drive
+    twin of ``prep.web_ingest_stream``: tar/ZIP shards of arbitrary
+    documents arriving in ``shard_glob`` drain per micro-batch
+    through the universal router. Extracted rows ``(doc_id, kind,
+    n_chars, text, shard, member)`` append to ``out_path``; per-
+    document failures ``(doc_id, kind, err, shard, member)`` append
+    to ``quarantine_path`` with the extractor's typed reason — a
+    poison file quarantines alone while its shard siblings extract.
+    Returns the started ``StreamingQuery``.
+
+    Idempotence: both tables land in ``_batch_id=<id>`` partitions
+    with dynamic-partition overwrite, so Spark's at-least-once
+    replay after recovery rewrites the replayed batch's own
+    partitions instead of appending duplicates (the standard
+    exactly-once-to-files recipe; readers drop ``_batch_id``).
+
+    Scale shape: shard tasks are the parallelism unit (binaryFile
+    scan → member split → router, one kernel chain where the shard
+    bytes live); ``doc_id = xxhash64(shard, member)`` and the one
+    extraction pass is persisted per batch so the ok/quarantine
+    split does not re-run the codecs. Document bytes never pass an
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    from ..sources.archives import read_tar_shards, read_zip_shards
+    from ..streaming.sinks import foreach_batch_sink
+
+    if archive not in ("tar", "zip"):
+        raise ValueError(f"unknown archive kind {archive!r}")
+    reader = read_tar_shards if archive == "tar" else read_zip_shards
+    members = reader(spark, shard_glob, watch_new_files=True)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        blobs = batch_df.select(
+            F.xxhash64("shard", "member").alias("doc_id"),
+            "shard",
+            "member",
+            F.col("data").alias("media"),
+        )
+        enriched = document_text_features(blobs).join(
+            blobs.select("doc_id", "shard", "member"), "doc_id"
+        ).persist()
+        try:
+            splits = (
+                (
+                    enriched.where(F.col("ok")).select(
+                        "doc_id", "kind", "n_chars", "text",
+                        "shard", "member",
+                    ),
+                    out_path,
+                ),
+                (
+                    enriched.where(~F.col("ok")).select(
+                        "doc_id", "kind", "err", "shard", "member",
+                    ),
+                    quarantine_path,
+                ),
+            )
+            for df, path in splits:
+                (
+                    df.withColumn("_batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(path)
+                )
+        finally:
+            enriched.unpersist()
+
+    return foreach_batch_sink(
+        members, ingest, checkpoint_dir, trigger=trigger,
+        query_name=query_name,
     )

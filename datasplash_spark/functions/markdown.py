@@ -1,0 +1,192 @@
+"""Markdown text extraction (round 12).
+
+Markdown is the dominant plain-markup family in shared-drive and
+code-forge dumps (READMEs, wikis, issue exports); this module gives
+the universal document router (``functions/doctext.py``) a
+structural CommonMark-style extractor with the same zero-dependency
+contract as the other format families: a deterministic writer
+(fixture half, plants the adversarial constructs) and a reader the
+router dispatches to per row inside the Arrow kernel. Bytes never
+shuffle; only extracted text rows cross.
+
+Extraction model (CommonMark core, GFM strikethrough):
+
+- fenced code blocks keep their CONTENT (code is corpus text) and
+  drop the fence lines; inline markup inside a fence is verbatim
+- ATX headings keep the title (closing hash run dropped); setext
+  underlines drop; thematic breaks drop; link-definition lines drop
+- blockquote markers and list markers strip; ordered-list numbers
+  strip
+- inline: images → alt text, links (inline / reference / autolink)
+  → link text, code spans / emphasis / strong / strikethrough →
+  inner text, backslash escapes → the escaped character, raw inline
+  HTML tags drop
+- whitespace: horizontal runs collapse to one space, blank-line
+  runs collapse to ONE newline (the shared paragraph contract of
+  the other extractors)
+
+Reference anchor: the reference has no markdown codec — this is
+north-star LLM-pipeline surface (same category as the office/RTF
+family, BASELINE.json); the grammar implemented is the public
+CommonMark 0.31 core.
+"""
+
+from __future__ import annotations
+
+import re
+
+_FENCE_RE = re.compile(r"^ {0,3}(`{3,}|~{3,})[ \t]*([^`\n]*?)[ \t]*$")
+_ATX_RE = re.compile(r"^ {0,3}(#{1,6})[ \t]+(.*?)(?:[ \t]+#+[ \t]*)?$")
+_ATX_EMPTY_RE = re.compile(r"^ {0,3}#{1,6}[ \t]*$")
+_SETEXT_RE = re.compile(r"^ {0,3}(=+|-+)[ \t]*$")
+_THEMATIC_RE = re.compile(
+    r"^ {0,3}(?:(?:\*[ \t]*){3,}|(?:-[ \t]*){3,}|(?:_[ \t]*){3,})$"
+)
+_LINKDEF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:[ \t]+\S+")
+_QUOTE_RE = re.compile(r"^ {0,3}(?:>[ \t]?)+")
+_LIST_RE = re.compile(r"^([ \t]*)(?:[-*+]|\d{1,9}[.)])[ \t]+")
+
+_IMG_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
+_AUTOLINK_RE = re.compile(r"<((?:https?|ftp|mailto):[^<>\s]+)>")
+_CODESPAN_RE = re.compile(r"(`+)(.+?)\1")
+_STRONG_EM_RE = re.compile(r"(\*\*\*|___)(?=\S)(.+?)(?<=\S)\1")
+_STRONG_RE = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
+_EM_RE = re.compile(r"([*_])(?=\S)([^*_]+?)(?<=\S)\1")
+_STRIKE_RE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
+_HTMLTAG_RE = re.compile(r"</?[A-Za-z][^<>\n]*>|<!--.*?-->")
+_ESCAPE_RE = re.compile(r"\\([\\`*_{}\[\]()#+\-.!>~|\"'<>])")
+
+
+def _inline(s: str) -> str:
+    """Resolve inline markup on one non-code line. Backslash escapes
+    are stashed as ``NUL+hex`` placeholders FIRST so an escaped
+    delimiter can never pair with a live one (``\\*literal\\*`` must
+    keep its stars), then restored after the markup passes. (Known
+    simplification vs CommonMark: the stash also applies inside code
+    SPANS, where escapes should stay literal — fenced blocks, the
+    bulk of real code, bypass this function entirely.)"""
+    s = _ESCAPE_RE.sub(lambda m: "\x00%02x" % ord(m.group(1)), s)
+    s = _CODESPAN_RE.sub(lambda m: m.group(2), s)
+    s = _IMG_RE.sub(lambda m: m.group(1), s)
+    s = _LINK_RE.sub(lambda m: m.group(1), s)
+    s = _REFLINK_RE.sub(lambda m: m.group(1), s)
+    s = _AUTOLINK_RE.sub(lambda m: m.group(1), s)
+    s = _HTMLTAG_RE.sub(" ", s)
+    s = _STRONG_EM_RE.sub(lambda m: m.group(2), s)
+    s = _STRONG_RE.sub(lambda m: m.group(2), s)
+    s = _EM_RE.sub(lambda m: m.group(2), s)
+    s = _STRIKE_RE.sub(lambda m: m.group(1), s)
+    s = re.sub(
+        "\x00([0-9a-f]{2})", lambda m: chr(int(m.group(1), 16)), s
+    )
+    return s
+
+
+def markdown_to_text(src: str) -> str:
+    """Structural markdown → plain text (see the module docstring
+    for the grammar subset and the whitespace contract)."""
+    src = src.replace("\r\n", "\n").replace("\r", "\n")
+    out: list[str] = []
+    fence: str | None = None
+    prev_text = False  # a setext underline needs a paragraph above
+    for raw in src.split("\n"):
+        if fence is not None:
+            m = _FENCE_RE.match(raw)
+            if (
+                m
+                and m.group(1)[0] == fence[0]
+                and len(m.group(1)) >= len(fence)
+                and not m.group(2)
+            ):
+                fence = None
+                prev_text = False
+                continue
+            out.append(raw)  # code content, verbatim (no inline pass)
+            prev_text = False
+            continue
+        m = _FENCE_RE.match(raw)
+        if m:
+            fence = m.group(1)
+            prev_text = False
+            continue
+        if _THEMATIC_RE.match(raw):
+            prev_text = False
+            continue
+        if prev_text and _SETEXT_RE.match(raw):
+            prev_text = False
+            continue
+        if _LINKDEF_RE.match(raw):
+            prev_text = False
+            continue
+        if _ATX_EMPTY_RE.match(raw):
+            prev_text = False
+            continue
+        m = _ATX_RE.match(raw)
+        if m:
+            out.append(_inline(m.group(2)))
+            prev_text = False
+            continue
+        line = _QUOTE_RE.sub("", raw)
+        line = _LIST_RE.sub(r"\1", line)
+        line = _inline(line)
+        out.append(line)
+        prev_text = bool(line.strip())
+    text = "\n".join(out)
+    text = re.sub(r"[ \t]+", " ", text)
+    text = re.sub(r" ?\n ?", "\n", text)
+    text = re.sub(r"\n{2,}", "\n", text)
+    return text.strip()
+
+
+def encode_markdown(units: list[str], title: str | None = None) -> bytes:
+    """Fixture half: a real markdown document per unit list, planting
+    the adversarial constructs the extractor must resolve — an ATX
+    heading per unit, strong emphasis around the middle word, an
+    inline link around the last word, a code span around the first,
+    plus (document-wide) a fenced code block whose CONTENT must
+    survive with markup untouched, a blockquote, a list, a thematic
+    break that must vanish, and a link-definition line that must
+    vanish."""
+    parts: list[str] = []
+    if title:
+        parts.append("%s\n===\n" % title)
+    for i, u in enumerate(units):
+        words = u.split(" ") if u else []
+        if words:
+            words = list(words)
+            words[0] = "`%s`" % words[0]
+            mid = len(words) // 2
+            if mid != 0:
+                words[mid] = "**%s**" % words[mid]
+            if len(words) > 1:
+                words[-1] = "[%s](https://example.com/u/%d)" % (
+                    words[-1], i,
+                )
+        body = " ".join(words)
+        parts.append("## Section %d\n\n%s\n" % (i, body))
+    parts.append("---\n")
+    parts.append("> quoted line\n")
+    parts.append("- item one\n- item two\n")
+    parts.append("```\ncode **stays** [verbatim](x)\n```\n")
+    parts.append("[ref]: https://example.com/def\n")
+    return "\n".join(parts).encode("utf-8")
+
+
+def markdown_expected_text(units: list[str], title: str | None = None) -> str:
+    """The exact text :func:`markdown_to_text` extracts from
+    :func:`encode_markdown` — kept next to the writer so parity
+    tests state the contract in one place."""
+    parts: list[str] = []
+    if title:
+        parts.append(title)
+    for i, u in enumerate(units):
+        parts.append("Section %d" % i)
+        if u:
+            parts.append(u)
+    parts.append("quoted line")
+    parts.append("item one")
+    parts.append("item two")
+    parts.append("code **stays** [verbatim](x)")
+    return "\n".join(parts)

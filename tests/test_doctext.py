@@ -57,3 +57,184 @@ def test_document_text_features_mixed_corpus(spark):
         else:
             assert out[i].ok, (i, out[i])
             assert out[i].text == text, (i, out[i].text)
+
+
+def test_markdown_to_text_constructs():
+    """Markdown extractor (round 12): every construct in the
+    CommonMark-core subset resolves — headings keep titles, fences
+    keep CONTENT verbatim, inline markup keeps inner text, structure
+    lines vanish."""
+    from datasplash_spark.functions import markdown as md
+
+    f = md.markdown_to_text
+    assert f("# Title here") == "Title here"
+    assert f("## Sub ##") == "Sub"                    # closing hashes
+    assert f("Title\n===\nbody") == "Title\nbody"     # setext
+    assert f("a **bold** b *em* c `code` d") == "a bold b em c code d"
+    assert f("see [docs](https://example.com/d) now") == "see docs now"
+    assert f("see [docs][ref] now\n\n[ref]: https://example.com/d") == (
+        "see docs now"
+    )
+    assert f("![alt text](https://example.com/i.png)") == "alt text"
+    assert f("<https://example.com/auto>") == "https://example.com/auto"
+    assert f("> quoted\n> more") == "quoted\nmore"
+    assert f("- one\n- two\n1. three\n2) four") == "one\ntwo\nthree\nfour"
+    assert f("a\n\n---\n\nb") == "a\nb"               # thematic break
+    assert f("```py\nx = **not bold**\n```") == "x = **not bold**"
+    assert f("~~~\nfenced ~ content\n~~~") == "fenced ~ content"
+    assert f("esc \\*literal\\* stars") == "esc *literal* stars"
+    assert f("~~gone~~ kept") == "gone kept"
+    assert f("inline <b>html</b> tags") == "inline html tags"
+    assert f("a  \t b\n\n\n\nc") == "a b\nc"          # whitespace
+
+
+def test_markdown_writer_reader_parity():
+    """encode_markdown plants the adversarial constructs;
+    markdown_to_text must recover exactly markdown_expected_text —
+    the same writer/reader parity contract as the office family."""
+    from datasplash_spark.functions import markdown as md
+
+    for units in (
+        ["alpha beta gamma delta epsilon"],
+        ["one two", "three four five six seven"],
+        ["solo"],
+        ["", "after empty"],
+        ["w%d" % j for j in range(1)] and [
+            " ".join("w%d%s" % (j, chr(97 + j % 26)) for j in range(17)),
+            " ".join("v%d" % j for j in range(4)),
+            "tail words here",
+        ],
+    ):
+        raw = md.encode_markdown(units, title="Doc Title")
+        got = md.markdown_to_text(raw.decode("utf-8"))
+        want = md.markdown_expected_text(units, title="Doc Title")
+        assert got == want, (units, got, want)
+
+
+def test_sniff_markdown_routing():
+    """The markdown heuristic routes structural syntax and ONLY
+    structural syntax: ATX/fence/setext/link heads route 'md';
+    bare emphasis, list markers, or prose stay 'text' (a false
+    positive would strip characters; a false negative is
+    lossless)."""
+    from datasplash_spark.functions import doctext as dtx
+
+    assert dtx.sniff_document_kind(b"# Heading\n\nbody") == "md"
+    assert dtx.sniff_document_kind(b"```\ncode\n```\n") == "md"
+    assert dtx.sniff_document_kind(b"Title\n====\nbody") == "md"
+    assert dtx.sniff_document_kind(
+        b"see [docs](https://example.com/) now"
+    ) == "md"
+    assert dtx.sniff_document_kind(b"plain prose words") == "text"
+    assert dtx.sniff_document_kind(b"a *starred* word") == "text"
+    assert dtx.sniff_document_kind(b"- a dash list alone") == "text"
+    assert dtx.sniff_document_kind(b"#hashtag not heading") == "text"
+
+
+def test_router_extracts_markdown(spark):
+    from datasplash_spark.functions import markdown as md
+
+    units = ["alpha beta gamma", "delta epsilon"]
+    df = spark.createDataFrame(
+        [(1, bytearray(md.encode_markdown(units)))],
+        "doc_id bigint, media binary",
+    )
+    (row,) = dt.document_text_features(df).collect()
+    assert row.kind == "md" and row.ok
+    assert row.text == md.markdown_expected_text(units)
+
+
+def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
+    """Streaming mixed-document ingest (round 12): tar shards
+    arriving across micro-batches drain through the router; ok rows
+    land in the corpus table, a poison member quarantines alone with
+    a typed reason, and replaying a batch id leaves BOTH tables
+    byte-identical."""
+    import pyspark.sql.functions as F
+
+    from datasplash_spark.functions import markdown as md
+    from datasplash_spark.sources.archives import write_tar_shards
+
+    src = tmp_path / "dump"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_shard(name, rows):
+        df = spark.createDataFrame(
+            rows, "shard_id string, key string, ext string, data binary"
+        )
+        write_tar_shards(
+            df.select("shard_id", "key", "ext", "data"),
+            str(src / name),
+        ).collect()
+
+    # batch 0: markdown + plain text + a poison PK blob
+    write_shard("s0", [
+        ("0", "a", "md", bytearray(md.encode_markdown(["alpha beta"]))),
+        ("0", "b", "txt", bytearray(b"plain words")),
+        ("0", "c", "docx", bytearray(b"PK\x03\x04 corrupt not a zip")),
+    ])
+
+    def drain():
+        q = dt.document_text_ingest(
+            spark, str(src) + "/*/*.tar", out, quar, ckpt,
+            trigger="once",
+        )
+        q.awaitTermination(240)
+
+    drain()
+    corpus = spark.read.parquet(out)
+    assert {r.kind for r in corpus.collect()} == {"md", "text"}
+    assert corpus.count() == 2
+    qrows = spark.read.parquet(quar).collect()
+    assert len(qrows) == 1 and qrows[0].kind == "zip"
+    assert "unroutable" in qrows[0].err
+
+    # batch 1: one more doc arrives
+    write_shard("s1", [
+        ("1", "d", "html",
+         bytearray(b"<html><body><p>late page</p></body></html>")),
+    ])
+    drain()
+    corpus = spark.read.parquet(out)
+    assert corpus.count() == 3
+    before = (
+        sorted(map(tuple, spark.read.parquet(out).collect())),
+        sorted(map(tuple, spark.read.parquet(quar).collect())),
+    )
+
+    # replay: re-run batch 0's ingest body with the same input (the
+    # at-least-once contract) — dynamic overwrite of the batch's own
+    # partitions must leave both tables identical
+    from datasplash_spark.sources.archives import read_tar_shards
+
+    members0 = read_tar_shards(spark, str(src / "s0") + "/*.tar")
+    blobs = members0.select(
+        F.xxhash64("shard", "member").alias("doc_id"),
+        "shard", "member", F.col("data").alias("media"),
+    )
+    enriched = dt.document_text_features(blobs).join(
+        blobs.select("doc_id", "shard", "member"), "doc_id"
+    )
+    for df, path in (
+        (enriched.where(F.col("ok")).select(
+            "doc_id", "kind", "n_chars", "text", "shard", "member"
+        ), out),
+        (enriched.where(~F.col("ok")).select(
+            "doc_id", "kind", "err", "shard", "member"
+        ), quar),
+    ):
+        (
+            df.withColumn("_batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+    after = (
+        sorted(map(tuple, spark.read.parquet(out).collect())),
+        sorted(map(tuple, spark.read.parquet(quar).collect())),
+    )
+    assert after == before
