@@ -190,3 +190,75 @@ def markdown_expected_text(units: list[str], title: str | None = None) -> str:
     parts.append("item two")
     parts.append("code **stays** [verbatim](x)")
     return "\n".join(parts)
+
+
+MARKDOWN_FEATURES_SCHEMA = (
+    "doc_id bigint, n_chars int, text string, ok boolean, err string"
+)
+
+
+def synthesize_markdown_from_text(
+    df, text="text", id_col="doc_id", units_mod=3
+):
+    """Deterministic synthetic markdown corpus for the corpus gate:
+    per doc ``1 + len(text) % units_mod`` units (words round-robin,
+    clamped to the word count so no unit is empty), rendered through
+    :func:`encode_markdown` — so every document carries the full
+    adversarial construct set (code-span/strong/link word wraps, a
+    fence whose content survives verbatim, quote/list/thematic-
+    break/link-definition lines). Input normalization (mirrored in
+    the oracle): markdown-special characters → ``-``, whitespace
+    runs → one space, so the extracted text is exactly
+    SQL-replayable on any corpus. Returns ``(doc_id, n_units,
+    source_md binary)``."""
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, nus, srcs = [], [], []
+            for did, t in zip(b[id_col], b[text]):
+                did = int(did)
+                t = re.sub(r"[\\`*_\[\]()#!<>~|]", "-", t or "")
+                t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+                n = 1 + len(t) % int(units_mod)
+                words = t.split(" ")
+                n = min(n, len(words))
+                units = [" ".join(words[i::n]) for i in range(n)]
+                ids.append(did)
+                nus.append(n)
+                srcs.append(encode_markdown(units))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_units": nus, "source_md": srcs}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        synth, schema="doc_id bigint, n_units int, source_md binary"
+    )
+
+
+def markdown_text_features(df, id_col="doc_id", source_col="source_md"):
+    """Extract text from a markdown column into typed rows
+    (``doc_id, n_chars, text, ok, err``) with per-document
+    quarantine; extraction runs where the document lives."""
+
+    def extract(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for did, src in zip(b[id_col], b[source_col]):
+                try:
+                    raw = bytes(src) if src is not None else b""
+                    t = markdown_to_text(raw.decode("utf-8", "replace"))
+                    rows.append((did, len(t), t, True, None))
+                except Exception as e:  # pragma: no cover (lenient)
+                    rows.append((did, None, None, False, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chars", "text", "ok", "err"],
+            )
+
+    return df.select(id_col, source_col).mapInPandas(
+        extract, schema=MARKDOWN_FEATURES_SCHEMA
+    )

@@ -6657,6 +6657,74 @@ FROM doc
 """
 
 
+def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown modality (round 12): per doc a REAL markdown
+    document — ``1 + len(text) % 3`` ATX-headed sections with words
+    round-robin, each section's first word code-spanned, middle word
+    strong-wrapped, last word link-wrapped, plus a document-wide
+    fenced code block (content must survive VERBATIM), blockquote,
+    list, thematic break, and link-definition line — extracted
+    through the structural CommonMark-core scanner
+    (``functions/markdown.py``). The oracle rebuilds the exact
+    extracted text in SQL and compares its md5, so heading handling,
+    inline resolution, fence verbatim-ness, and structure-line
+    dropping are value-pinned corpus-wide."""
+    from .functions import markdown as mdw
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = mdw.markdown_text_features(
+        mdw.synthesize_markdown_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_MARKDOWN_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- markdown-special characters -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(text, '[\\\\`*_\\[\\]()#!<>~|]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  SELECT doc_id,
+         string_agg('Section ' || CAST(u AS VARCHAR) || chr(10) || utext,
+                    chr(10) ORDER BY u)
+         || chr(10) || 'quoted line'
+         || chr(10) || 'item one'
+         || chr(10) || 'item two'
+         || chr(10) || 'code **stays** [verbatim](x)' AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
     round 12 — absorbing office_extract, whose 3-format rotation is
@@ -7033,6 +7101,9 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # function + oracle stay in the library with pytest parity
     # coverage) ---
     "doctext_sweep": (q_doctext_sweep, ORACLE_DOCTEXT_SWEEP),
+    # --- round 12 new modality: markdown (CommonMark-core extractor,
+    # gated directly under the alternating-windows cap) ---
+    "markdown_extract": (q_markdown_extract, ORACLE_MARKDOWN_EXTRACT),
 }
 
 
@@ -7051,11 +7122,13 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # and fails the registry — and therefore every test — if the order
 # violates greedy fill or the staleness cap.
 #
-# Round-12 window = _NEW_R12 (round-12 promotion — never
-# driver-gated, so infinitely stale, leading by greedy fill) +
+# Round-12 window = _NEW_R12 (round-12 promotions — never
+# driver-gated, so infinitely stale, leading by greedy fill:
+# doctext_sweep, the universal router, and markdown_extract, the
+# new modality gated directly under the alternating-windows cap) +
 # _STALE_R8_TAIL (newest driver row CORRECTNESS_r08, staleness 4 at
 # the r12 run — AT the backstop, so these eleven MUST gate this
-# round) + the stalest 38 of the r9-green block. The nine r9 queries
+# round) + the stalest 37 of the r9-green block. The ten r9 queries
 # left outside share the inside minimum staleness (equal-staleness
 # overflow, permitted by the invariant) and lead the round-13
 # window.
@@ -7095,6 +7168,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #: over).
 _NEW_R12: list[str] = [
     "doctext_sweep",
+    "markdown_extract",
 ]
 
 #: the r8-green tail (newest driver row CORRECTNESS_r08; the 11
