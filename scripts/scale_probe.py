@@ -319,6 +319,23 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.latex", fromlist=["latex"]
             )
         ),
+        # round 12: markdown structural-extractor corpus
+        "markdown_extract": lambda: (
+            lambda mdw: mdw.markdown_text_features(
+                mdw.synthesize_markdown_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.markdown",
+                fromlist=["markdown"],
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (
