@@ -480,3 +480,69 @@ def test_flac_roundtrip_property(n, nch, mode, bits, block, rnd):
     )
     exp = sig if nch == 2 else sig[:, None]
     assert d["n_samples"] == n and np.array_equal(d["samples"], exp)
+
+
+_md_text = st.text(
+    alphabet=st.sampled_from(
+        list("abc xyz\n\t*_`#[]()<>!->~|\\=\"'.123")
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_md_text)
+def test_markdown_extractor_total_and_canonical(src):
+    """markdown_to_text is TOTAL over arbitrary marker soup (the
+    router's quarantine must only ever see real decode failures, not
+    extractor crashes) and its output honors the whitespace
+    contract: no blank lines, no horizontal runs, no edge
+    whitespace, and a second pass never un-collapses whitespace."""
+    from datasplash_spark.functions.markdown import markdown_to_text
+
+    out = markdown_to_text(src)
+    assert isinstance(out, str)
+    assert "\n\n" not in out
+    assert "  " not in out and "\t" not in out
+    assert out == out.strip()
+    again = markdown_to_text(out)
+    assert "\n\n" not in again and again == again.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_document_sniff_total(raw):
+    """sniff_document_kind never raises on arbitrary bytes and
+    always lands in the routing alphabet — the router's dispatch is
+    closed over whatever a crawl can contain."""
+    from datasplash_spark.functions.doctext import sniff_document_kind
+
+    kind = sniff_document_kind(raw)
+    assert kind in {
+        "", "pdf", "docx", "epub", "pptx", "odt", "zip", "rtf",
+        "html", "latex", "md", "text",
+    }
+    assert (kind == "") == (raw == b"")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abcdefgh")), min_size=1,
+            max_size=12,
+        ).map(lambda w: w),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_markdown_writer_reader_parity_property(unit_words):
+    """Property twin of the example-based parity test: for any
+    clean-word units, the writer/reader round-trip recovers exactly
+    the expected text."""
+    from datasplash_spark.functions import markdown as md
+
+    units = [" ".join([w, w + "x", w + "y"]) for w in unit_words]
+    raw = md.encode_markdown(units, title="T x")
+    got = md.markdown_to_text(raw.decode("utf-8"))
+    assert got == md.markdown_expected_text(units, title="T x")
