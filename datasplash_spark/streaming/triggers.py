@@ -29,7 +29,10 @@ Supported trigger shapes (the ones real pipelines use):
 - ``"after-watermark"`` — ``AfterWatermark.pastEndOfWindow()``: one
   ON_TIME pane when the watermark passes the window end, optional
   EARLY panes every ``early_count`` elements before it
-  (``withEarlyFirings(elementCountAtLeast(early_count))``), and one
+  (``withEarlyFirings(elementCountAtLeast(early_count))``) — or,
+  round 12, ``early=<any trigger spec>`` for the canonical
+  ``withEarlyFirings(AfterProcessingTime...)`` idiom and its
+  compositions — and one
   LATE pane per micro-batch of late data within
   ``allowed_lateness`` (``withLateFirings(AfterPane.
   elementCountAtLeast(1))``).
@@ -159,6 +162,21 @@ def _parse_trigger(trigger, accumulation):
     return _compile_trigger_pred(trigger)
 
 
+def _parse_early(early, early_count):
+    """Early-firing spec for the after-watermark shape: the legacy
+    element-count shorthand (``early_count``) or — round 12, since
+    Beam's ``withEarlyFirings`` accepts a full trigger — ``early``
+    as ANY trigger spec :func:`_compile_trigger_pred` takes.
+    Returns ``(pred_or_None, needs_pt)``."""
+    if early is not None and early_count is not None:
+        raise ValueError("pass early_count OR early, not both")
+    if early_count is not None:
+        early = {"after-count": int(early_count)}
+    if early is None:
+        return None, False
+    return _compile_trigger_pred(early)
+
+
 def paned_window_agg(
     df: DataFrame,
     time_col: str,
@@ -168,6 +186,7 @@ def paned_window_agg(
     trigger: "str | dict" = "after-watermark",
     accumulation: str = "accumulating",
     early_count: int | None = None,
+    early: "dict | None" = None,
     allowed_lateness: str = "0 seconds",
     watermark_delay: str = "10 seconds",
     combine_fn=None,
@@ -193,10 +212,12 @@ def paned_window_agg(
     import pandas as pd
 
     early_pred, needs_pt = _parse_trigger(trigger, accumulation)
+    early_w, needs_pt_w = _parse_early(early, early_count)
+    needs_pt = needs_pt or needs_pt_w
     if combine_fn is not None:
         return _paned_window_agg_obj(
             df, time_col, key_col, window_duration, value_col,
-            early_pred, needs_pt, accumulation, early_count,
+            early_pred, needs_pt, accumulation, early_w,
             allowed_lateness, watermark_delay, combine_fn, value_type,
         )
 
@@ -331,7 +352,9 @@ def paned_window_agg(
             # micro-batch is the bundle here — one pane per batch
             if n_since > 0 and early_pred(n_since, first_pt, _now_ms()):
                 fire("EARLY", is_last=False)
-        elif early_count is not None and n_since >= early_count:
+        elif early_w is not None and n_since > 0 and early_w(
+            n_since, first_pt, _now_ms()
+        ):
             fire("EARLY", is_last=False)
         state.update(
             (acc, n_since, last_emitted, pane_index, fired, total, first_pt)
@@ -381,7 +404,7 @@ def _duration_ms(s: str) -> int:
 
 def _paned_window_agg_obj(
     df, time_col, key_col, window_duration, value_col,
-    early_pred, needs_pt, accumulation, early_count, allowed_lateness,
+    early_pred, needs_pt, accumulation, early_w, allowed_lateness,
     watermark_delay, combine_fn, value_type,
 ):
     """Combiner-path twin of the long-sum machine: same trigger /
@@ -509,7 +532,9 @@ def _paned_window_agg_obj(
         elif early_pred is not None:
             if n_since > 0 and early_pred(n_since, first_pt, _now_ms()):
                 fire("EARLY", is_last=False)
-        elif early_count is not None and n_since >= early_count:
+        elif early_w is not None and n_since > 0 and early_w(
+            n_since, first_pt, _now_ms()
+        ):
             fire("EARLY", is_last=False)
         state.update(
             (dump(acc), n_since, pane_index, fired, total, first_pt)
@@ -543,6 +568,7 @@ def paned_session_agg(
     trigger: "str | dict" = "after-watermark",
     accumulation: str = "accumulating",
     early_count: int | None = None,
+    early: "dict | None" = None,
     allowed_lateness: str = "0 seconds",
     watermark_delay: str = "10 seconds",
     combine_fn=None,
@@ -589,6 +615,8 @@ def paned_session_agg(
     from ..objectmode import _EMPTY, _is_empty, CombineFn
 
     early_pred, needs_pt = _parse_trigger(trigger, accumulation)
+    early_w, needs_pt_w = _parse_early(early, early_count)
+    needs_pt = needs_pt or needs_pt_w
     cf = CombineFn.of(combine_fn) if combine_fn is not None else None
     gap_ms = _duration_ms(gap)
     late_ms = _duration_ms(allowed_lateness)
@@ -752,9 +780,8 @@ def paned_session_agg(
                         s["n_since"], s.get("first_pt", 0), now
                     ):
                         fire(s, "EARLY", is_last=False)
-                elif (
-                    early_count is not None
-                    and s["n_since"] >= early_count
+                elif early_w is not None and s["n_since"] > 0 and (
+                    early_w(s["n_since"], s.get("first_pt", 0), now)
                 ):
                     fire(s, "EARLY", is_last=False)
             # sessions whose end the watermark already passed close

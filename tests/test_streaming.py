@@ -2414,3 +2414,75 @@ def test_web_ingest_stream_e2e_and_replay(spark, tmp_path):
     # cache-handle release: the stream's per-batch persists (quality,
     # rebuilt, the admitter's batch pin) must all be gone
     assert n_cached() == cached0
+
+
+def test_paned_early_firings_accept_trigger_specs(spark, tmp_path):
+    """AfterWatermark.withEarlyFirings(AfterProcessingTime...) — the
+    canonical Beam partial-results idiom (round 12): early= accepts
+    any trigger spec, so with a zero-delay processing-time early
+    trigger every pre-watermark data batch fires an EARLY pane and
+    the watermark close still emits the final ON_TIME pane. Also
+    pins the early/early_count exclusivity validation."""
+    import pytest as _pytest
+
+    from datasplash_spark.streaming.triggers import (
+        _parse_early,
+        paned_window_agg,
+    )
+
+    with _pytest.raises(ValueError):
+        _parse_early({"after-count": 2}, 2)
+    p, needs = _parse_early(
+        {"after-first": [{"after-count": 9},
+                         {"after-processing-time": "0 seconds"}]},
+        None,
+    )
+    assert needs and p(1, 5, 5)
+
+    src = tmp_path / "ew_src"
+    src.mkdir()
+    (src / "f1.txt").write_text(
+        "a,2024-01-01 00:00:05,1\na,2024-01-01 00:00:06,2\n"
+    )
+    time.sleep(0.05)
+    (src / "f2.txt").write_text("a,2024-01-01 00:00:07,4\n")
+    time.sleep(0.05)
+    (src / "f3.txt").write_text("b,2024-01-01 00:05:00,9\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .select(
+            F.split("value", ",").getItem(0).alias("k"),
+            F.to_timestamp(F.split("value", ",").getItem(1)).alias("ts"),
+            F.split("value", ",").getItem(2).cast("long").alias("v"),
+        )
+    )
+    panes = paned_window_agg(
+        stream,
+        time_col="ts",
+        key_col="k",
+        window_duration="60 seconds",
+        value_col="v",
+        trigger="after-watermark",
+        early={"after-processing-time": "0 seconds"},
+        accumulation="accumulating",
+        watermark_delay="5 seconds",
+    )
+    q = write_stream(
+        panes, "memory",
+        checkpoint_dir=str(tmp_path / "ckpt_ew"),
+        trigger="once", output_mode="append", query_name="ew_panes",
+    )
+    q.awaitTermination(240)
+    rows = [
+        (r.pane_index, r.pane_timing, r.value, r.is_last, r.pane_rows)
+        for r in spark.sql(
+            "SELECT * FROM ew_panes WHERE key = 'a' ORDER BY pane_index"
+        ).collect()
+    ]
+    assert rows == [
+        (0, "EARLY", 3, False, 2),
+        (1, "EARLY", 7, False, 1),
+        (2, "ON_TIME", 7, True, 0),
+    ], rows
