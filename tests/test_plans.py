@@ -1123,3 +1123,34 @@ def test_web_ingest_extraction_scan_runs_once(spark, tmp_path):
         if "MapInPandas" in l:
             assert any(_node_depth(l) > d for d in rel_depths), l
     spark.catalog.clearCache()
+
+
+def test_markdown_extract_bytes_never_shuffle(spark):
+    """markdown_extract (gated round 12): ONE Exchange, and it is
+    the explicit doc_id repartition of the raw (doc_id, text) scan —
+    the synthesized document bytes and extracted text live entirely
+    above it (writer + reader kernels fuse into the same post-shuffle
+    stage), the scan is pruned to two columns, and the md5 runs
+    JVM-side in the final Project."""
+    plan = plan_of(_q(spark, "markdown_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    # kernels sit ABOVE the exchange in the printed tree = they
+    # execute after it; source_md exists only post-shuffle
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "source_md" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "md5" in plan.split("MapInPandas")[0], plan
+
+
+def test_doctext_sweep_bytes_never_shuffle(spark):
+    """doctext_sweep (gated round 12): same contract as every codec
+    family — one Exchange (the raw-text repartition), the 8-family
+    synthesizer and the universal router fused post-shuffle, media
+    bytes never crossing it, two-column pruned scan."""
+    plan = plan_of(_q(spark, "doctext_sweep"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
