@@ -110,11 +110,23 @@ DOCUMENT_TEXT_SCHEMA = (
 )
 
 
-def document_text_features(df, id_col="doc_id", media_col="media"):
+def document_text_features(
+    df, id_col="doc_id", media_col="media", passthrough=()
+):
     """Extract text from ANY supported document format into typed
     rows ``(doc_id, kind, n_chars, text, ok, err)`` — the universal
     front of a mixed-format ingest. See the module docstring for
-    the routing table and the per-document quarantine contract."""
+    the routing table and the per-document quarantine contract.
+    ``passthrough`` names extra input columns to carry through the
+    kernel onto the output rows (provenance like shard/member paths)
+    — the kernel already holds the row, so this costs nothing, where
+    a join-back would re-scan and shuffle (review finding, round
+    12)."""
+    passthrough = tuple(passthrough)
+    extra_schema = "".join(
+        ", %s %s" % (c, df.schema[c].dataType.simpleString())
+        for c in passthrough
+    )
 
     def extract(batches):
         import pandas as pd
@@ -127,7 +139,11 @@ def document_text_features(df, id_col="doc_id", media_col="media"):
 
         for b in batches:
             rows = []
-            for did, raw in zip(b[id_col], b[media_col]):
+            extras_cols = [b[c] for c in passthrough]
+            for j, (did, raw) in enumerate(
+                zip(b[id_col], b[media_col])
+            ):
+                extras = tuple(col.iloc[j] for col in extras_cols)
                 data = bytes(raw) if raw is not None else b""
                 kind = sniff_document_kind(data)
                 try:
@@ -161,18 +177,24 @@ def document_text_features(df, id_col="doc_id", media_col="media"):
                         raise ValueError(
                             f"doctext: unroutable container ({kind or 'empty'})"
                         )
-                    rows.append((did, kind, len(text), text, True, None))
+                    rows.append(
+                        (did, kind, len(text), text, True, None)
+                        + extras
+                    )
                 except Exception as e:
-                    rows.append((did, kind, None, None, False, str(e)))
+                    rows.append(
+                        (did, kind, None, None, False, str(e)) + extras
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "kind", "n_chars", "text", "ok", "err",
+                    *passthrough,
                 ],
             )
 
-    return df.select(id_col, media_col).mapInPandas(
-        extract, schema=DOCUMENT_TEXT_SCHEMA
+    return df.select(id_col, media_col, *passthrough).mapInPandas(
+        extract, schema=DOCUMENT_TEXT_SCHEMA + extra_schema
     )
 
 
@@ -304,8 +326,12 @@ def document_text_ingest(
             "member",
             F.col("data").alias("media"),
         )
-        enriched = document_text_features(blobs).join(
-            blobs.select("doc_id", "shard", "member"), "doc_id"
+        # provenance rides THROUGH the extraction kernel (review
+        # finding, round 12: the former doc_id join-back re-ran the
+        # shard scan + member split and shuffled the extracted text
+        # every batch)
+        enriched = document_text_features(
+            blobs, passthrough=("shard", "member")
         ).persist()
         try:
             splits = (

@@ -51,36 +51,66 @@ _LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
 _REFLINK_RE = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
 _AUTOLINK_RE = re.compile(r"<((?:https?|ftp|mailto):[^<>\s]+)>")
 _CODESPAN_RE = re.compile(r"(`+)(.+?)\1")
-_STRONG_EM_RE = re.compile(r"(\*\*\*|___)(?=\S)(.+?)(?<=\S)\1")
-_STRONG_RE = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
-_EM_RE = re.compile(r"([*_])(?=\S)([^*_]+?)(?<=\S)\1")
+# Emphasis: '*' may open/close intraword (CommonMark), '_' may NOT —
+# the flanking rules forbid it, and without the guard every
+# snake_case identifier in a README would have its underscores
+# deleted (review finding, round 12).
+_STRONG_EM_STAR_RE = re.compile(r"\*\*\*(?=\S)(.+?)(?<=\S)\*\*\*")
+_STRONG_EM_UNDER_RE = re.compile(
+    r"(?<![A-Za-z0-9_])___(?=\S)(.+?)(?<=\S)___(?![A-Za-z0-9_])"
+)
+_STRONG_STAR_RE = re.compile(r"\*\*(?=\S)(.+?)(?<=\S)\*\*")
+_STRONG_UNDER_RE = re.compile(
+    r"(?<![A-Za-z0-9_])__(?=\S)(.+?)(?<=\S)__(?![A-Za-z0-9_])"
+)
+_EM_STAR_RE = re.compile(r"\*(?=\S)([^*]+?)(?<=\S)\*")
+_EM_UNDER_RE = re.compile(
+    r"(?<![A-Za-z0-9_])_(?=\S)([^_]+?)(?<=\S)_(?![A-Za-z0-9_])"
+)
 _STRIKE_RE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
 _HTMLTAG_RE = re.compile(r"</?[A-Za-z][^<>\n]*>|<!--.*?-->")
 _ESCAPE_RE = re.compile(r"\\([\\`*_{}\[\]()#+\-.!>~|\"'<>])")
+_STASH_RE = re.compile("\x00(\\d+)\x01")
 
 
 def _inline(s: str) -> str:
-    """Resolve inline markup on one non-code line. Backslash escapes
-    are stashed as ``NUL+hex`` placeholders FIRST so an escaped
-    delimiter can never pair with a live one (``\\*literal\\*`` must
-    keep its stars), then restored after the markup passes. (Known
-    simplification vs CommonMark: the stash also applies inside code
-    SPANS, where escapes should stay literal — fenced blocks, the
-    bulk of real code, bypass this function entirely.)"""
-    s = _ESCAPE_RE.sub(lambda m: "\x00%02x" % ord(m.group(1)), s)
-    s = _CODESPAN_RE.sub(lambda m: m.group(2), s)
+    """Resolve inline markup on one non-code line. Two classes of
+    text must survive the markup passes LITERALLY: backslash-escaped
+    delimiters (``\\*literal\\*`` keeps its stars) and code-span
+    contents (``\x60a [x](y) b\x60`` keeps its brackets — review
+    finding, round 12). Both stash into an indexed side list behind
+    ``NUL+index+SOH`` placeholders and restore after the passes;
+    pre-existing NUL bytes are dropped up front (not valid text), so
+    a placeholder can never collide with input. Remaining known
+    simplification vs CommonMark: escapes are resolved inside code
+    spans too (``\x60a \\* b\x60`` → ``a * b``), because the escape
+    stash runs first so an escaped backtick cannot open a span."""
+    s = s.replace("\x00", "")
+    stash: list[str] = []
+
+    def keep(text: str) -> str:
+        stash.append(text)
+        return "\x00%d\x01" % (len(stash) - 1)
+
+    s = _ESCAPE_RE.sub(lambda m: keep(m.group(1)), s)
+    s = _CODESPAN_RE.sub(lambda m: keep(m.group(2)), s)
     s = _IMG_RE.sub(lambda m: m.group(1), s)
     s = _LINK_RE.sub(lambda m: m.group(1), s)
     s = _REFLINK_RE.sub(lambda m: m.group(1), s)
     s = _AUTOLINK_RE.sub(lambda m: m.group(1), s)
     s = _HTMLTAG_RE.sub(" ", s)
-    s = _STRONG_EM_RE.sub(lambda m: m.group(2), s)
-    s = _STRONG_RE.sub(lambda m: m.group(2), s)
-    s = _EM_RE.sub(lambda m: m.group(2), s)
+    s = _STRONG_EM_STAR_RE.sub(lambda m: m.group(1), s)
+    s = _STRONG_EM_UNDER_RE.sub(lambda m: m.group(1), s)
+    s = _STRONG_STAR_RE.sub(lambda m: m.group(1), s)
+    s = _STRONG_UNDER_RE.sub(lambda m: m.group(1), s)
+    s = _EM_STAR_RE.sub(lambda m: m.group(1), s)
+    s = _EM_UNDER_RE.sub(lambda m: m.group(1), s)
     s = _STRIKE_RE.sub(lambda m: m.group(1), s)
-    s = re.sub(
-        "\x00([0-9a-f]{2})", lambda m: chr(int(m.group(1), 16)), s
-    )
+    # a code-span stash entry may itself contain escape placeholders
+    # created earlier in this call — restore until none remain
+    # (entries never reference later entries, so this terminates)
+    while "\x00" in s:
+        s = _STASH_RE.sub(lambda m: stash[int(m.group(1))], s)
     return s
 
 
@@ -90,10 +120,16 @@ def markdown_to_text(src: str) -> str:
     src = src.replace("\r\n", "\n").replace("\r", "\n")
     out: list[str] = []
     fence: str | None = None
+    fence_quoted = False  # fence opened INSIDE a blockquote (review
+    # finding, round 12: '> ```' lines previously leaked fences into
+    # the text and mangled the quoted code with the inline passes)
     prev_text = False  # a setext underline needs a paragraph above
     for raw in src.split("\n"):
         if fence is not None:
-            m = _FENCE_RE.match(raw)
+            # inside a quoted fence the quote marker is container
+            # syntax, not code — strip it before matching/emitting
+            line = _QUOTE_RE.sub("", raw) if fence_quoted else raw
+            m = _FENCE_RE.match(line)
             if (
                 m
                 and m.group(1)[0] == fence[0]
@@ -103,12 +139,14 @@ def markdown_to_text(src: str) -> str:
                 fence = None
                 prev_text = False
                 continue
-            out.append(raw)  # code content, verbatim (no inline pass)
+            out.append(line)  # code content, verbatim (no inline pass)
             prev_text = False
             continue
-        m = _FENCE_RE.match(raw)
+        unquoted = _QUOTE_RE.sub("", raw)
+        m = _FENCE_RE.match(unquoted)
         if m:
             fence = m.group(1)
+            fence_quoted = unquoted != raw
             prev_text = False
             continue
         if _THEMATIC_RE.match(raw):

@@ -6691,7 +6691,8 @@ WITH norm AS (
   -- markdown-special characters -> '-', whitespace runs -> one space
   SELECT doc_id,
          trim(regexp_replace(
-           regexp_replace(text, '[\\\\`*_\\[\\]()#!<>~|]', '-', 'g'),
+           regexp_replace(COALESCE(text, ''),
+                          '[\\\\`*_\\[\\]()#!<>~|]', '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -6710,8 +6711,12 @@ WITH norm AS (
          string_agg(word, ' ' ORDER BY i) AS utext
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
+  -- an empty unit emits its heading only (the extractor collapses
+  -- the blank body line) — same guard the latex oracle carries
   SELECT doc_id,
-         string_agg('Section ' || CAST(u AS VARCHAR) || chr(10) || utext,
+         string_agg('Section ' || CAST(u AS VARCHAR)
+                    || CASE WHEN utext <> '' THEN chr(10) || utext
+                            ELSE '' END,
                     chr(10) ORDER BY u)
          || chr(10) || 'quoted line'
          || chr(10) || 'item one'

@@ -82,6 +82,15 @@ without lateness likewise emits its ON_TIME pane when the TIMEOUT
 fires, i.e. at the first micro-batch boundary after the watermark
 passes.
 
+State-schema versioning: round 12 widened the fixed-window state
+rows by one column (``first_pt``, the processing-time trigger
+clock), which Spark's state-store compatibility checker treats as
+incompatible — a paned query CANNOT resume a checkpoint written by
+the pre-round-12 library; restart it with a fresh checkpoint
+directory (replaying the source, which the batch-id-idempotent
+sinks absorb). Session state is a pickled blob and migrates
+transparently.
+
 Reference anchor: datasplash ``fixed-windows``/``session-windows``
 trigger options (core.clj:2082-2094); Beam PaneInfo is public API.
 """
@@ -213,6 +222,14 @@ def paned_window_agg(
 
     early_pred, needs_pt = _parse_trigger(trigger, accumulation)
     early_w, needs_pt_w = _parse_early(early, early_count)
+    if early_w is not None and early_pred is not None:
+        # Beam's withEarlyFirings hangs off AfterWatermark; a
+        # composed/count top-level trigger already IS the firing rule
+        # — accepting both and evaluating one would silently drop the
+        # user's early spec (review finding, round 12)
+        raise ValueError(
+            "early/early_count apply to trigger='after-watermark' only"
+        )
     needs_pt = needs_pt or needs_pt_w
     if combine_fn is not None:
         return _paned_window_agg_obj(
@@ -616,6 +633,10 @@ def paned_session_agg(
 
     early_pred, needs_pt = _parse_trigger(trigger, accumulation)
     early_w, needs_pt_w = _parse_early(early, early_count)
+    if early_w is not None and early_pred is not None:
+        raise ValueError(
+            "early/early_count apply to trigger='after-watermark' only"
+        )
     needs_pt = needs_pt or needs_pt_w
     cf = CombineFn.of(combine_fn) if combine_fn is not None else None
     gap_ms = _duration_ms(gap)

@@ -215,8 +215,8 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
         F.xxhash64("shard", "member").alias("doc_id"),
         "shard", "member", F.col("data").alias("media"),
     )
-    enriched = dt.document_text_features(blobs).join(
-        blobs.select("doc_id", "shard", "member"), "doc_id"
+    enriched = dt.document_text_features(
+        blobs, passthrough=("shard", "member")
     )
     for df, path in (
         (enriched.where(F.col("ok")).select(
@@ -238,3 +238,103 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(quar).collect())),
     )
     assert after == before
+
+
+def test_markdown_review_fixes():
+    """Round-12 review regressions: quoted fences keep their code
+    verbatim, intraword underscores survive (CommonMark flanking),
+    code-span contents stay literal through the other inline passes,
+    and literal NUL bytes are dropped rather than colliding with the
+    stash placeholders."""
+    from datasplash_spark.functions.markdown import markdown_to_text as f
+
+    # 1. fenced code inside a blockquote: fence lines vanish, code
+    # content (incl. ** and backtick-looking text) survives verbatim
+    assert f("> look:\n> ```py\n> x = a**2 + b**2\n> ```\ndone") == (
+        "look:\nx = a**2 + b**2\ndone"
+    )
+    # 2. intraword underscores are NOT emphasis
+    assert f("snake_case_name and more_text_here") == (
+        "snake_case_name and more_text_here"
+    )
+    assert f("_standalone_ emph") == "standalone emph"
+    assert f("__strong__ vs dunder__name__attr") == (
+        "strong vs dunder__name__attr"
+    )
+    # 3. code-span contents are literal — links/emphasis inside stay
+    assert f("`a [link](x) b`") == "a [link](x) b"
+    assert f("run `cmd --flag *glob*` now") == "run cmd --flag *glob* now"
+    # 4. literal NULs drop; no placeholder collision
+    assert f("a\x0041b") == "a41b"
+
+
+def test_markdown_extract_oracle_on_nasty_corpus(spark, tmp_path):
+    """markdown_extract's oracle must match the Spark path on the
+    inputs the stock corpus happens not to contain (review finding,
+    round 12): empty text, whitespace-only text, NULL text, and
+    markdown-special-heavy text — the md5 pin is corpus-independent."""
+    import duckdb
+
+    from datasplash_spark import queries as Q
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, None),
+        (3, "normal words flowing along here"),
+        (4, "stars *and* _unders_ [and](links) `and` # hashes ~ pipes|"),
+        (5, "\\backslash <tags> !bangs (parens) {braces}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf = str(tmp_path / "nasty")
+    import os as _os
+
+    _os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    got = Q.q_markdown_extract(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.ORACLE_MARKDOWN_EXTRACT).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    want = want[cols].sort_values(cols, kind="mergesort").reset_index(
+        drop=True
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_router_passthrough_columns(spark):
+    """document_text_features(passthrough=...): provenance columns
+    ride through the kernel onto both ok and quarantine rows with no
+    join — one MapInPandas, zero Exchange."""
+    import contextlib
+    import io as _io
+
+    from datasplash_spark.functions import markdown as md
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(md.encode_markdown(["alpha beta"])),
+             "s0.tar", "a.md"),
+            (2, bytearray(b"PK\x03\x04 corrupt"), "s0.tar", "b.docx"),
+        ],
+        "doc_id bigint, media binary, shard string, member string",
+    )
+    out = dt.document_text_features(df, passthrough=("shard", "member"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].ok and rows[1].member == "a.md"
+    assert not rows[2].ok and rows[2].member == "b.docx"
+    assert rows[2].shard == "s0.tar"
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

@@ -2432,6 +2432,17 @@ def test_paned_early_firings_accept_trigger_specs(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         _parse_early({"after-count": 2}, 2)
+    # early firings only mean anything under after-watermark: a
+    # composed/count top-level trigger with an early spec must be a
+    # typed error, never a silently-dropped argument (review finding)
+    with _pytest.raises(ValueError):
+        # df=None is fine: validation fires before the frame is used
+        paned_window_agg(
+            None,
+            time_col="ts", key_col="k", window_duration="60 seconds",
+            trigger={"after-count": 100},
+            early={"after-processing-time": "30 seconds"},
+        )
     p, needs = _parse_early(
         {"after-first": [{"after-count": 9},
                          {"after-processing-time": "0 seconds"}]},
