@@ -16,7 +16,8 @@ Extraction model (CommonMark core, GFM strikethrough):
 - ATX headings keep the title (closing hash run dropped); setext
   underlines drop; thematic breaks drop; link-definition lines drop
 - blockquote markers and list markers strip; ordered-list numbers
-  strip
+  strip; GFM task-list checkboxes strip; GFM table rows keep their
+  cell text (pipes and the header-separator line drop; round 12)
 - inline: images → alt text, links (inline / reference / autolink)
   → link text, code spans / emphasis / strong / strikethrough →
   inner text, backslash escapes → the escaped character, raw inline
@@ -44,7 +45,16 @@ _THEMATIC_RE = re.compile(
 )
 _LINKDEF_RE = re.compile(r"^ {0,3}\[[^\]]+\]:[ \t]+\S+")
 _QUOTE_RE = re.compile(r"^ {0,3}(?:>[ \t]?)+")
-_LIST_RE = re.compile(r"^([ \t]*)(?:[-*+]|\d{1,9}[.)])[ \t]+")
+# list marker, optionally followed by a GFM task-list checkbox
+_LIST_RE = re.compile(
+    r"^([ \t]*)(?:[-*+]|\d{1,9}[.)])[ \t]+(?:\[[ xX]\][ \t]+)?"
+)
+# GFM tables (round 12): a pipe-delimited row (leading AND trailing
+# pipe required — the conservative form; pipe-less rows are
+# indistinguishable from prose) and the header separator line
+_TABLE_ROW_RE = re.compile(r"^ {0,3}\|.*\|[ \t]*$")
+_TABLE_SEP_RE = re.compile(r"^ {0,3}\|?[ \t:|-]+$")
+_CELL_SPLIT_RE = re.compile(r"(?<!\\)\|")
 
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
@@ -167,6 +177,20 @@ def markdown_to_text(src: str) -> str:
             prev_text = False
             continue
         line = _QUOTE_RE.sub("", raw)
+        if _TABLE_ROW_RE.match(line):
+            if _TABLE_SEP_RE.match(line) and "-" in line:
+                # the |---|:--:|---| header separator carries no text
+                prev_text = False
+                continue
+            cells = [
+                c.strip()
+                for c in _CELL_SPLIT_RE.split(line.strip().strip("|"))
+            ]
+            line = " ".join(c for c in cells if c)
+            line = _inline(line)
+            out.append(line)
+            prev_text = bool(line.strip())
+            continue
         line = _LIST_RE.sub(r"\1", line)
         line = _inline(line)
         out.append(line)

@@ -338,3 +338,22 @@ def test_router_passthrough_columns(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_markdown_gfm_tables_and_task_lists():
+    """GFM tables and task lists (round 12): cell text survives with
+    pipes and the separator line dropped (escaped pipes stay literal
+    inside a cell), checkboxes strip off task-list items."""
+    from datasplash_spark.functions.markdown import markdown_to_text as f
+
+    assert f(
+        "| Name | Count |\n"
+        "|------|------:|\n"
+        "| alpha | 3 |\n"
+        "| **bold** | a\\|b |\n"
+    ) == "Name Count\nalpha 3\nbold a|b"
+    # pipe-less prose with a dash line is NOT a table
+    assert f("just - prose | here") == "just - prose | here"
+    assert f("- [ ] open task\n- [x] done task\n- plain item") == (
+        "open task\ndone task\nplain item"
+    )
