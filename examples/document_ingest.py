@@ -5,7 +5,7 @@
       → member split (read_tar_shards: bytes stay on the executor)
       → universal text router (document_text_features: sniff by
         magic + zip layout, extract pdf/docx/epub/pptx/odt/rtf/
-        latex/html/plain with per-row typed quarantine)
+        latex/html/markdown/plain with per-row typed quarantine)
       → quality gate → exact + near-dup dedup (the standard text
         pipeline takes over)
 

@@ -1006,6 +1006,9 @@ def test_keep_best_per_cluster_picks_highest_score(spark):
     assert out == [2, 9]
 
 
+@pytest.mark.slow  # 7 s; the star-vs-hash-min parity is
+# default-gated by test_connected_components_star_matches_hash_min —
+# this is the 400-diameter worst-case stress of the same split
 def test_giant_component_chain_stress_hash_min_vs_star(spark):
     """The designed escalation split, pinned at stress size: a
     400-node single chain (diameter 400 — the worst case for

@@ -917,6 +917,10 @@ def test_compact_store_preserves_contracts(spark, tmp_path):
     assert compact_store(spark, store) == 0  # already compacted
 
 
+@pytest.mark.slow  # 10 s; out-of-order replay is default-gated by
+# test_semantic_admitter_out_of_order_replay and compaction parity by
+# test_compact_postings_preserves_probe_parity — this is the crossed
+# compaction-then-early-replay stress of both at once
 def test_compaction_then_out_of_order_replay_crossed(spark, tmp_path):
     """VERDICT r5 item 8 — the CROSSED failure window: a store is
     compacted (batch partitions absorbed into _batch_id=-1), and
