@@ -208,9 +208,10 @@ def encode_markdown(units: list[str], title: str | None = None) -> bytes:
     heading per unit, strong emphasis around the middle word, an
     inline link around the last word, a code span around the first,
     plus (document-wide) a fenced code block whose CONTENT must
-    survive with markup untouched, a blockquote, a list, a thematic
-    break that must vanish, and a link-definition line that must
-    vanish."""
+    survive with markup untouched, a blockquote, a list, a GFM table
+    whose cell text must survive with pipes and the separator line
+    dropped, a thematic break that must vanish, and a
+    link-definition line that must vanish."""
     parts: list[str] = []
     if title:
         parts.append("%s\n===\n" % title)
@@ -231,6 +232,9 @@ def encode_markdown(units: list[str], title: str | None = None) -> bytes:
     parts.append("---\n")
     parts.append("> quoted line\n")
     parts.append("- item one\n- item two\n")
+    parts.append(
+        "| Col A | Col B |\n|-------|------:|\n| cell one | cell two |\n"
+    )
     parts.append("```\ncode **stays** [verbatim](x)\n```\n")
     parts.append("[ref]: https://example.com/def\n")
     return "\n".join(parts).encode("utf-8")
@@ -250,6 +254,8 @@ def markdown_expected_text(units: list[str], title: str | None = None) -> str:
     parts.append("quoted line")
     parts.append("item one")
     parts.append("item two")
+    parts.append("Col A Col B")
+    parts.append("cell one cell two")
     parts.append("code **stays** [verbatim](x)")
     return "\n".join(parts)
 

@@ -6663,12 +6663,13 @@ def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin, each section's first word code-spanned, middle word
     strong-wrapped, last word link-wrapped, plus a document-wide
     fenced code block (content must survive VERBATIM), blockquote,
-    list, thematic break, and link-definition line — extracted
+    list, GFM table (cell text survives; pipes and the separator
+    line drop), thematic break, and link-definition line — extracted
     through the structural CommonMark-core scanner
     (``functions/markdown.py``). The oracle rebuilds the exact
     extracted text in SQL and compares its md5, so heading handling,
-    inline resolution, fence verbatim-ness, and structure-line
-    dropping are value-pinned corpus-wide."""
+    inline resolution, fence verbatim-ness, table extraction, and
+    structure-line dropping are value-pinned corpus-wide."""
     from .functions import markdown as mdw
 
     docs = _t(spark, sf_dir, "documents").repartition(
@@ -6721,6 +6722,8 @@ WITH norm AS (
          || chr(10) || 'quoted line'
          || chr(10) || 'item one'
          || chr(10) || 'item two'
+         || chr(10) || 'Col A Col B'
+         || chr(10) || 'cell one cell two'
          || chr(10) || 'code **stays** [verbatim](x)' AS text
   FROM unit GROUP BY doc_id
 )
@@ -6738,18 +6741,29 @@ def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     latex, html — ``1 + len(text) % 3`` units, words round-robin),
     then extraction through the ONE mixed-bag router
     (``functions/doctext.py`` — magic/layout sniff dispatching to
-    the zero-dependency extractors). The oracle rebuilds the exact
-    extracted text per family in SQL and compares its md5, so the
-    router, every writer, and every reader are value-pinned under
-    ONE query. Bytes never shuffle."""
+    the zero-dependency extractors). Every 23rd document
+    (``doc_id % 23 == 7``) is REPLACED by a deterministic poison
+    blob (a PK magic that is not a zip), so the per-row TYPED
+    QUARANTINE path — the router's headline contract — is
+    driver-gated too: those rows must come back ``(kind='zip',
+    NULL, NULL, ok=false)`` while every sibling extracts. The
+    oracle rebuilds the exact extracted text per family in SQL and
+    compares its md5, so the router, every writer, every reader,
+    and the quarantine are value-pinned under ONE query. Bytes
+    never shuffle."""
     from .functions import doctext as dt
 
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    feats = dt.document_text_features(
-        dt.synthesize_documents_from_text(docs)
+    synth = dt.synthesize_documents_from_text(docs).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 23 == 7,
+            F.lit(b"PK\x03\x04 deterministic poison, not a zip"),
+        ).otherwise(F.col("media")),
     )
+    feats = dt.document_text_features(synth)
     return feats.select(
         "doc_id",
         "kind",
@@ -6805,12 +6819,17 @@ WITH norm AS (
   FROM unit GROUP BY doc_id
 )
 SELECT doc_id,
-       CASE doc_id % 8
-         WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
-         WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
-         WHEN 6 THEN 'latex' ELSE 'html' END AS kind,
-       CAST(length(text) AS INT) AS n_chars,
-       md5(text) AS text_md5, TRUE AS ok
+       CASE WHEN doc_id % 23 = 7 THEN 'zip'
+            ELSE CASE doc_id % 8
+              WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+              WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
+              WHEN 6 THEN 'latex' ELSE 'html' END
+       END AS kind,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(length(text) AS INT) END AS n_chars,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE md5(text) END AS text_md5,
+       doc_id % 23 <> 7 AS ok
 FROM doc
 """
 
