@@ -49,12 +49,36 @@ _QUOTE_RE = re.compile(r"^ {0,3}(?:>[ \t]?)+")
 _LIST_RE = re.compile(
     r"^([ \t]*)(?:[-*+]|\d{1,9}[.)])[ \t]+(?:\[[ xX]\][ \t]+)?"
 )
-# GFM tables (round 12): a pipe-delimited row (leading AND trailing
-# pipe required — the conservative form; pipe-less rows are
-# indistinguishable from prose) and the header separator line
-_TABLE_ROW_RE = re.compile(r"^ {0,3}\|.*\|[ \t]*$")
-_TABLE_SEP_RE = re.compile(r"^ {0,3}\|?[ \t:|-]+$")
+# GFM tables (round 12, tightened by review): a table exists ONLY
+# where the spec says one does — a row containing an unescaped pipe
+# IMMEDIATELY followed by the delimiter row (cells of :?-+:? with at
+# least one pipe); subsequent contiguous pipe-bearing lines are data
+# rows. Pipe-bounded prose with no delimiter context keeps its pipes
+# (a false positive would strip characters), dash-only CELLS in data
+# rows are content (only the one delimiter line drops), and the
+# delimiter's outer pipes are optional per spec.
+_TABLE_DELIM_RE = re.compile(
+    r"^ {0,3}\|?\s*:?-+:?\s*(?:\|\s*:?-+:?\s*)*\|?\s*$"
+)
 _CELL_SPLIT_RE = re.compile(r"(?<!\\)\|")
+
+
+def _is_table_delim(line: str) -> bool:
+    return "|" in line and bool(_TABLE_DELIM_RE.match(line))
+
+
+def _table_cells(line: str) -> str:
+    """One table row → its cell text, space-joined. Outer pipes
+    strip (a trailing ESCAPED pipe is cell content, not a border);
+    splits only on unescaped pipes so ``\\|`` stays in its cell for
+    the escape pass to resolve."""
+    core = line.strip()
+    if core.startswith("|"):
+        core = core[1:]
+    if core.endswith("|") and not core.endswith("\\|"):
+        core = core[:-1]
+    cells = [c.strip() for c in _CELL_SPLIT_RE.split(core)]
+    return " ".join(c for c in cells if c)
 
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\([^)]*\)")
@@ -134,7 +158,13 @@ def markdown_to_text(src: str) -> str:
     # finding, round 12: '> ```' lines previously leaked fences into
     # the text and mangled the quoted code with the inline passes)
     prev_text = False  # a setext underline needs a paragraph above
-    for raw in src.split("\n"):
+    in_table = False  # inside a GFM table block (header+delimiter seen)
+    lines_in = src.split("\n")
+    n_lines = len(lines_in)
+    idx = 0
+    while idx < n_lines:
+        raw = lines_in[idx]
+        idx += 1
         if fence is not None:
             # inside a quoted fence the quote marker is container
             # syntax, not code — strip it before matching/emitting
@@ -158,6 +188,26 @@ def markdown_to_text(src: str) -> str:
             fence = m.group(1)
             fence_quoted = unquoted != raw
             prev_text = False
+            in_table = False
+            continue
+        if in_table:
+            if unquoted.strip() and _CELL_SPLIT_RE.search(unquoted):
+                out.append(_inline(_table_cells(unquoted)))
+                prev_text = False
+                continue
+            in_table = False  # table ended; process this line normally
+        if (
+            unquoted.strip()
+            and _CELL_SPLIT_RE.search(unquoted)
+            and idx < n_lines
+            and _is_table_delim(_QUOTE_RE.sub("", lines_in[idx]))
+        ):
+            # header row + delimiter row: emit the header's cells,
+            # consume the delimiter, enter the table block
+            out.append(_inline(_table_cells(unquoted)))
+            idx += 1
+            in_table = True
+            prev_text = False
             continue
         if _THEMATIC_RE.match(raw):
             prev_text = False
@@ -177,20 +227,6 @@ def markdown_to_text(src: str) -> str:
             prev_text = False
             continue
         line = _QUOTE_RE.sub("", raw)
-        if _TABLE_ROW_RE.match(line):
-            if _TABLE_SEP_RE.match(line) and "-" in line:
-                # the |---|:--:|---| header separator carries no text
-                prev_text = False
-                continue
-            cells = [
-                c.strip()
-                for c in _CELL_SPLIT_RE.split(line.strip().strip("|"))
-            ]
-            line = " ".join(c for c in cells if c)
-            line = _inline(line)
-            out.append(line)
-            prev_text = bool(line.strip())
-            continue
         line = _LIST_RE.sub(r"\1", line)
         line = _inline(line)
         out.append(line)

@@ -352,8 +352,20 @@ def test_markdown_gfm_tables_and_task_lists():
         "| alpha | 3 |\n"
         "| **bold** | a\\|b |\n"
     ) == "Name Count\nalpha 3\nbold a|b"
-    # pipe-less prose with a dash line is NOT a table
+    # review round 2: a table exists ONLY with a delimiter-row
+    # context — pipe-bounded prose keeps its pipes verbatim
+    assert f("no table here\n\n|just|prose|") == (
+        "no table here\n|just|prose|"
+    )
     assert f("just - prose | here") == "just - prose | here"
+    # dash-only CELLS in a data row are content, not a separator
+    assert f("| a | b |\n|---|---|\n| - | - |\n| x | y |") == (
+        "a b\n- -\nx y"
+    )
+    # the delimiter row's outer pipes are optional per GFM
+    assert f("| a | b |\n--- | ---\n| x | y |") == "a b\nx y"
+    # a trailing ESCAPED pipe is cell content, not the table border
+    assert f("| a | \\|\n|---|---|") == "a |"
     assert f("- [ ] open task\n- [x] done task\n- plain item") == (
         "open task\ndone task\nplain item"
     )
