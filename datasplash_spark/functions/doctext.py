@@ -13,6 +13,13 @@ extractors the sibling modules ship:
 - LaTeX markers       → :func:`..latex.latex_to_text`
 - HTML markers        → a kernel-side mirror of
                         :func:`..web.html_extract`'s regex pipeline
+- XML declaration     → generic XML text nodes (round 12;
+                        ElementTree itertext with a tag-strip
+                        fallback for malformed input — RSS/JATS/
+                        DocBook-style dumps)
+- Wikitext markers    → :func:`..wikitext.wikitext_to_text`
+                        (round 12; wikilinks/templates/`== x ==`
+                        headings — Wikipedia-dump articles)
 - Markdown markers    → :func:`..markdown.markdown_to_text`
                         (round 12; ATX/fence/link syntax in the
                         head — a conservative heuristic, since
@@ -58,12 +65,41 @@ def _html_to_text_py(s: str) -> str:
     return s.strip()
 
 
+def _xml_to_text_py(raw: bytes) -> str:
+    """Generic XML → its text nodes (round 12): the fallback for
+    non-office XML dumps (RSS/Atom, JATS/DocBook exports, sitemaps).
+    Well-formed input walks ElementTree ``itertext`` (parsed from
+    BYTES so an encoding declaration is honored); malformed input
+    degrades to a regex tag strip with the shared entity table —
+    extraction never raises, matching the plain-text fallback's
+    posture."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+        s = "\n".join(t for t in root.itertext())
+    except Exception:
+        s = raw.decode("utf-8", "replace")
+        s = re.sub(r"(?s)<!\[CDATA\[(.*?)\]\]>", r"\1", s)
+        s = re.sub(r"(?s)<!--.*?-->", " ", s)
+        s = re.sub(r"(?s)<[^<>]*>", " ", s)
+        from .web import HTML_ENTITIES
+
+        for ent, rep in HTML_ENTITIES:
+            s = s.replace(ent, rep)
+    s = re.sub(r"[ \t\r\f]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
+
 def sniff_document_kind(raw: bytes) -> str:
     """Route an opaque document blob to its extractor: 'pdf',
     'docx'/'epub'/'pptx'/'odt' (zip layouts), 'rtf', 'latex',
-    'html', 'md' (structural-syntax heuristic — markdown has no
-    magic bytes), or 'text' (the fallback — plain text is a valid
-    document). '' only for empty input."""
+    'html', 'xml' (an XML declaration on a non-office, non-xhtml
+    document), 'wiki' / 'md' (structural-syntax heuristics — neither
+    has magic bytes), or 'text' (the fallback — plain text is a
+    valid document). '' only for empty input."""
     if not raw:
         return ""
     if raw[:5] == b"%PDF-":
@@ -84,6 +120,11 @@ def sniff_document_kind(raw: bytes) -> str:
         or b"\\begin{document}" in head
     ):
         return "latex"
+    if head[:5] == b"<?xml":
+        # xhtml already routed 'html' above; epub/office are zips
+        return "xml"
+    if _WIKI_SNIFF_RE.search(head):
+        return "wiki"
     if _MD_SNIFF_RE.search(head):
         return "md"
     return "text"
@@ -101,6 +142,18 @@ _MD_SNIFF_RE = re.compile(
     rb"|^ {0,3}(?:`{3}|~{3})"
     rb"|^.+\n {0,3}(?:={3,}|-{3,})[ \t]*$"
     rb"|!?\[[^\]\n]+\]\([^)\n]+\)"
+)
+
+#: wikitext likewise has no magic bytes; route on its unmistakable
+#: constructs — a wikilink, a template, or a ``== heading ==`` line.
+#: Checked BEFORE markdown (the construct sets are disjoint: a
+#: ``[[link]]`` is not a markdown ``[text](url)`` and a one-line
+#: ``== x ==`` heading is not a setext underline).
+_WIKI_SNIFF_RE = re.compile(
+    rb"(?m)"
+    rb"\[\[[^\[\]\n]+\]\]"
+    rb"|\{\{[^{}\n]+\}\}"
+    rb"|^={2,6} .+ ={2,6}[ \t]*$"
 )
 
 
@@ -136,6 +189,7 @@ def document_text_features(
         from . import office as of
         from . import pdf as pf
         from . import rtf as rt
+        from . import wikitext as wk
 
         for b in batches:
             rows = []
@@ -171,6 +225,12 @@ def document_text_features(
                         text = md.markdown_to_text(
                             data.decode("utf-8", "replace")
                         )
+                    elif kind == "wiki":
+                        text = wk.wikitext_to_text(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "xml":
+                        text = _xml_to_text_py(data)
                     elif kind == "text":
                         text = data.decode("utf-8", "replace")
                     else:

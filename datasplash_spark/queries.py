@@ -6733,6 +6733,81 @@ FROM doc
 """
 
 
+def q_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikitext modality (round 12): per doc a REAL MediaWiki
+    article — ``1 + len(text) % 3`` ``== Section i ==``-headed
+    sections with words round-robin, the first word plain-wikilinked,
+    middle word bold-quoted, last word pipe-wikilinked, a template
+    and a ``<ref>`` per section that must vanish, plus a
+    document-wide nested infobox template, ``__TOC__``, a table
+    whose CELL text must survive, a list item, an external link
+    whose label survives, and a Category link that must vanish —
+    extracted through the structural wikitext scanner
+    (``functions/wikitext.py``). The oracle rebuilds the exact
+    extracted text in SQL and compares its md5, so link resolution,
+    template/ref dropping, table-cell extraction, and heading
+    handling are value-pinned corpus-wide."""
+    from .functions import wikitext as wk
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = wk.wikitext_text_features(
+        wk.synthesize_wikitext_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_WIKITEXT_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- wikitext-special characters (incl. apostrophes) -> '-',
+  -- whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[{}\\[\\]|=*#:;<>&!''_]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- an empty unit emits its heading only (the extractor collapses
+  -- the blank body line)
+  SELECT doc_id,
+         string_agg('Section ' || CAST(u AS VARCHAR)
+                    || CASE WHEN utext <> '' THEN chr(10) || utext
+                            ELSE '' END,
+                    chr(10) ORDER BY u)
+         || chr(10) || 'tcell one tcell two'
+         || chr(10) || 'item one'
+         || chr(10) || 'linktext' AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
     round 12 — absorbing office_extract, whose 3-format rotation is
@@ -7125,9 +7200,11 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # function + oracle stay in the library with pytest parity
     # coverage) ---
     "doctext_sweep": (q_doctext_sweep, ORACLE_DOCTEXT_SWEEP),
-    # --- round 12 new modality: markdown (CommonMark-core extractor,
-    # gated directly under the alternating-windows cap) ---
+    # --- round 12 new modalities: markdown (CommonMark-core) and
+    # wikitext (MediaWiki core), both gated directly under the
+    # alternating-windows cap ---
     "markdown_extract": (q_markdown_extract, ORACLE_MARKDOWN_EXTRACT),
+    "wikitext_extract": (q_wikitext_extract, ORACLE_WIKITEXT_EXTRACT),
 }
 
 
@@ -7148,14 +7225,14 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #
 # Round-12 window = _NEW_R12 (round-12 promotions — never
 # driver-gated, so infinitely stale, leading by greedy fill:
-# doctext_sweep, the universal router, and markdown_extract, the
-# new modality gated directly under the alternating-windows cap) +
-# _STALE_R8_TAIL (newest driver row CORRECTNESS_r08, staleness 4 at
-# the r12 run — AT the backstop, so these eleven MUST gate this
-# round) + the stalest 37 of the r9-green block. The ten r9 queries
-# left outside share the inside minimum staleness (equal-staleness
-# overflow, permitted by the invariant) and lead the round-13
-# window.
+# doctext_sweep, the universal router, and the two new modality
+# gates markdown_extract + wikitext_extract, gated directly under
+# the alternating-windows cap) + _STALE_R8_TAIL (newest driver row
+# CORRECTNESS_r08, staleness 4 at the r12 run — AT the backstop, so
+# these eleven MUST gate this round) + the stalest 36 of the
+# r9-green block. The eleven r9 queries left outside share the
+# inside minimum staleness (equal-staleness overflow, permitted by
+# the invariant) and lead the round-13 window.
 #
 # PROMOTION CHECKLIST (append-only; VERDICT r11 item 5): when a
 # staged query is promoted into this registry you must (1) add its
@@ -7193,6 +7270,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 _NEW_R12: list[str] = [
     "doctext_sweep",
     "markdown_extract",
+    "wikitext_extract",
 ]
 
 #: the r8-green tail (newest driver row CORRECTNESS_r08; the 11

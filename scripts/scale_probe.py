@@ -336,6 +336,23 @@ def probe(spark, k: int) -> None:
                 fromlist=["markdown"],
             )
         ),
+        # round 12: wikitext structural-extractor corpus
+        "wikitext_extract": lambda: (
+            lambda wk: wk.wikitext_text_features(
+                wk.synthesize_wikitext_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.wikitext",
+                fromlist=["wikitext"],
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (

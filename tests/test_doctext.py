@@ -369,3 +369,129 @@ def test_markdown_gfm_tables_and_task_lists():
     assert f("- [ ] open task\n- [x] done task\n- plain item") == (
         "open task\ndone task\nplain item"
     )
+
+
+def test_wikitext_constructs():
+    """Wikitext extractor (round 12): every construct in the
+    MediaWiki core subset resolves — headings keep titles, links
+    keep text/targets, templates/refs/categories/magic words vanish,
+    table cells survive, quote-run emphasis drops, entities decode."""
+    from datasplash_spark.functions.wikitext import wikitext_to_text as f
+
+    assert f("== History ==\nwords here") == "History\nwords here"
+    assert f("=== Deep ===") == "Deep"
+    assert f("a '''bold''' b ''em'' c '''''both''''' d") == "a bold b em c both d"
+    assert f("see [[Main Page]] and [[Target|label]] now") == (
+        "see Main Page and label now"
+    )
+    assert f("x [[File:pic.jpg|thumb|[[inner|cap]]]] y") == "x y"
+    assert f("x [[Category:Stuff]] y") == "x y"
+    assert f("a {{cite|url=z}} b {{outer|{{inner}}}} c") == "a b c"
+    assert f("a <ref>gone</ref> b <ref name=x/> c") == "a b c"
+    assert f("go [https://example.com/d docs] or [https://example.com/e]") == (
+        "go docs or"
+    )
+    assert f("{|\n|+ caption\n|-\n! H1 !! H2\n|-\n| c1 || c2\n|}") == (
+        "H1 H2\nc1 c2"
+    )
+    assert f("* one\n# two\n:: indent\n; term") == "one\ntwo\nindent\nterm"
+    assert f("__TOC__\nbody") == "body"
+    assert f("a &amp; b &lt;c&gt;") == "a & b <c>"
+    assert f("<!-- hidden -->shown") == "shown"
+
+
+def test_wikitext_writer_reader_parity():
+    from datasplash_spark.functions import wikitext as wk
+
+    for units in (
+        ["alpha beta gamma delta epsilon"],
+        ["one two", "three four five six seven"],
+        ["solo"],
+        ["", "after empty"],
+    ):
+        raw = wk.encode_wikitext(units, title="Doc Title")
+        got = wk.wikitext_to_text(raw.decode("utf-8"))
+        want = wk.wikitext_expected_text(units, title="Doc Title")
+        assert got == want, (units, got, want)
+
+
+def test_sniff_wikitext_and_xml_routing():
+    from datasplash_spark.functions import doctext as dtx
+
+    assert dtx.sniff_document_kind(b"see [[Main Page]]") == "wiki"
+    assert dtx.sniff_document_kind(b"{{stub}} text") == "wiki"
+    assert dtx.sniff_document_kind(b"== History ==\nbody") == "wiki"
+    assert dtx.sniff_document_kind(
+        b"<?xml version='1.0'?><rss><title>t</title></rss>"
+    ) == "xml"
+    # xhtml keeps routing html (the html check runs first)
+    assert dtx.sniff_document_kind(
+        b"<?xml version='1.0'?><!DOCTYPE html><html><body>x</body></html>"
+    ) == "html"
+    # a markdown doc with a wiki-ish [x](y) link still routes md
+    assert dtx.sniff_document_kind(b"# T\n[d](https://example.com/)") == "md"
+    # single '=' heading is ambiguous with setext -> NOT wiki
+    assert dtx.sniff_document_kind(b"plain = equals = prose") == "text"
+
+
+def test_router_extracts_wikitext_and_xml(spark):
+    from datasplash_spark.functions import wikitext as wk
+
+    units = ["alpha beta gamma"]
+    xml = b"<?xml version='1.0'?><doc><p>first node</p><p>second</p></doc>"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wk.encode_wikitext(units))),
+            (2, bytearray(xml)),
+            (3, bytearray(b"<?xml version='1.0'?><broken><unclosed")),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "wiki" and rows[1].ok
+    assert rows[1].text == wk.wikitext_expected_text(units)
+    assert rows[2].kind == "xml" and rows[2].ok
+    assert rows[2].text == "first node\nsecond"
+    # malformed xml degrades to the tag-strip fallback, still ok
+    assert rows[3].kind == "xml" and rows[3].ok
+
+
+def test_wikitext_extract_oracle_on_nasty_corpus(spark, tmp_path):
+    """wikitext_extract's oracle must match the Spark path on inputs
+    the stock corpus may not contain: empty/whitespace/NULL text and
+    wikitext-special-heavy text (quotes, braces, pipes, brackets)."""
+    import duckdb
+
+    from datasplash_spark import queries as Q
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, None),
+        (3, "normal words flowing along here"),
+        (4, "it's a '''quoted''' {{template}} [[link|text]] | pipe"),
+        (5, "equals = signs == and __magic__ words &amp; entities"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf = str(tmp_path / "nastyw")
+    import os as _os
+
+    _os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    got = Q.q_wikitext_extract(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.ORACLE_WIKITEXT_EXTRACT).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    want = want[cols].sort_values(cols, kind="mergesort").reset_index(
+        drop=True
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=True)
