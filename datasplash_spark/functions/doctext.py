@@ -17,6 +17,10 @@ extractors the sibling modules ship:
                         ElementTree itertext with a tag-strip
                         fallback for malformed input — RSS/JATS/
                         DocBook-style dumps)
+- ``WEBVTT`` header   → :func:`..subtitles.vtt_to_text` (round 12)
+- SRT cue-head shape  → :func:`..subtitles.srt_to_text` (round 12;
+                        numeric index + ``-->`` timestamp line —
+                        transcript sidecars of the media corpus)
 - Wikitext markers    → :func:`..wikitext.wikitext_to_text`
                         (round 12; wikilinks/templates/`== x ==`
                         headings — Wikipedia-dump articles)
@@ -97,9 +101,10 @@ def sniff_document_kind(raw: bytes) -> str:
     """Route an opaque document blob to its extractor: 'pdf',
     'docx'/'epub'/'pptx'/'odt' (zip layouts), 'rtf', 'latex',
     'html', 'xml' (an XML declaration on a non-office, non-xhtml
-    document), 'wiki' / 'md' (structural-syntax heuristics — neither
-    has magic bytes), or 'text' (the fallback — plain text is a
-    valid document). '' only for empty input."""
+    document), 'vtt' (WEBVTT header) / 'srt' (cue-head shape),
+    'wiki' / 'md' (structural-syntax heuristics — neither has magic
+    bytes), or 'text' (the fallback — plain text is a valid
+    document). '' only for empty input."""
     if not raw:
         return ""
     if raw[:5] == b"%PDF-":
@@ -123,6 +128,12 @@ def sniff_document_kind(raw: bytes) -> str:
     if head[:5] == b"<?xml":
         # xhtml already routed 'html' above; epub/office are zips
         return "xml"
+    if head[:6] == b"WEBVTT" or (
+        head[:3] == b"\xef\xbb\xbf" and head[3:9] == b"WEBVTT"
+    ):
+        return "vtt"
+    if _SRT_SNIFF_RE.match(head):
+        return "srt"
     if _WIKI_SNIFF_RE.search(head):
         return "wiki"
     if _MD_SNIFF_RE.search(head):
@@ -142,6 +153,13 @@ _MD_SNIFF_RE = re.compile(
     rb"|^ {0,3}(?:`{3}|~{3})"
     rb"|^.+\n {0,3}(?:={3,}|-{3,})[ \t]*$"
     rb"|!?\[[^\]\n]+\]\([^)\n]+\)"
+)
+
+#: SubRip has no magic either, but its head shape is unmistakable: a
+#: numeric cue index line followed by the --> timestamp line.
+_SRT_SNIFF_RE = re.compile(
+    rb"^\d{1,6}[ \t]*\n"
+    rb"\d{1,2}:\d{2}:\d{2}[,.]\d{3}[ \t]+-->[ \t]+\d{1,2}:\d{2}:\d{2}[,.]\d{3}"
 )
 
 #: wikitext likewise has no magic bytes; route on its unmistakable
@@ -189,6 +207,7 @@ def document_text_features(
         from . import office as of
         from . import pdf as pf
         from . import rtf as rt
+        from . import subtitles as st
         from . import wikitext as wk
 
         for b in batches:
@@ -227,6 +246,14 @@ def document_text_features(
                         )
                     elif kind == "wiki":
                         text = wk.wikitext_to_text(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "vtt":
+                        text = st.vtt_to_text(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "srt":
+                        text = st.srt_to_text(
                             data.decode("utf-8", "replace")
                         )
                     elif kind == "xml":

@@ -6808,6 +6808,78 @@ FROM doc
 """
 
 
+def q_subtitles_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle modality (round 12): per doc a REAL transcript —
+    ``1 + len(text) % 3`` cues (words round-robin), SRT for even
+    doc_ids (numeric index + ``HH:MM:SS,mmm`` timestamps, an ASS
+    positioning brace on the first cue, the middle word
+    italic-tagged) and WebVTT for odd (header, a NOTE block, cue
+    identifiers, settings-bearing timestamps, a class-span wrap) —
+    extracted through the SRT/VTT scanners
+    (``functions/subtitles.py``), the dispatch being the same
+    WEBVTT-header test the universal router uses. The oracle
+    rebuilds the exact cue text in SQL and compares its md5, so
+    index/timestamp/header dropping and markup stripping are
+    value-pinned corpus-wide for BOTH formats."""
+    from .functions import subtitles as st
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = st.subtitle_text_features(
+        st.synthesize_subtitles_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_SUBTITLES_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- markup-special characters -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''), '[<>{}&]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- empty cues emit nothing (the extractor skips blank cue text)
+  SELECT doc_id,
+         COALESCE(
+           string_agg(utext, chr(10) ORDER BY u)
+             FILTER (WHERE utext <> ''),
+           ''
+         ) AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+       CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+"""
+
+
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
     round 12 — absorbing office_extract, whose 3-format rotation is
@@ -7205,6 +7277,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # alternating-windows cap ---
     "markdown_extract": (q_markdown_extract, ORACLE_MARKDOWN_EXTRACT),
     "wikitext_extract": (q_wikitext_extract, ORACLE_WIKITEXT_EXTRACT),
+    "subtitles_extract": (q_subtitles_extract, ORACLE_SUBTITLES_EXTRACT),
 }
 
 
@@ -7225,12 +7298,12 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #
 # Round-12 window = _NEW_R12 (round-12 promotions — never
 # driver-gated, so infinitely stale, leading by greedy fill:
-# doctext_sweep, the universal router, and the two new modality
-# gates markdown_extract + wikitext_extract, gated directly under
-# the alternating-windows cap) + _STALE_R8_TAIL (newest driver row
+# doctext_sweep, the universal router, and the three new modality
+# gates markdown_extract + wikitext_extract + subtitles_extract,
+# gated directly under the alternating-windows cap) + _STALE_R8_TAIL (newest driver row
 # CORRECTNESS_r08, staleness 4 at the r12 run — AT the backstop, so
-# these eleven MUST gate this round) + the stalest 36 of the
-# r9-green block. The eleven r9 queries left outside share the
+# these eleven MUST gate this round) + the stalest 35 of the
+# r9-green block. The twelve r9 queries left outside share the
 # inside minimum staleness (equal-staleness overflow, permitted by
 # the invariant) and lead the round-13 window.
 #
@@ -7271,6 +7344,7 @@ _NEW_R12: list[str] = [
     "doctext_sweep",
     "markdown_extract",
     "wikitext_extract",
+    "subtitles_extract",
 ]
 
 #: the r8-green tail (newest driver row CORRECTNESS_r08; the 11

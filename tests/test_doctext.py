@@ -495,3 +495,97 @@ def test_wikitext_extract_oracle_on_nasty_corpus(spark, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_subtitle_constructs():
+    """SRT/VTT extractors (round 12): index/timestamp/header lines
+    drop, cue text survives, inline tags and ASS braces strip, and a
+    pure-digit TEXT line is not mistaken for a cue index."""
+    from datasplash_spark.functions.subtitles import (
+        srt_to_text,
+        vtt_to_text,
+    )
+
+    srt = (
+        "1\n00:00:00,000 --> 00:00:01,500\n{\\an8}first <i>cue</i>\n\n"
+        "2\n00:00:02,000 --> 00:00:03,500\nsecond line\nwraps here\n\n"
+        "3\n00:00:04,000 --> 00:00:05,500\n42\n"
+    )
+    assert srt_to_text(srt) == "first cue\nsecond line\nwraps here\n42"
+    vtt = (
+        "WEBVTT Kind: captions\n\nNOTE internal\ncomment\n\n"
+        "cue1\n00:01.000 --> 00:02.500 align:start\n"
+        "<v Ann>hello <c.yellow>there</c>\n\n"
+        "00:03.000 --> 00:04.000\nno identifier\n"
+    )
+    assert vtt_to_text(vtt) == "hello there\nno identifier"
+
+
+def test_subtitle_writer_reader_parity():
+    from datasplash_spark.functions import subtitles as st
+
+    for cues in (
+        ["alpha beta gamma delta"],
+        ["one two", "three four five"],
+        ["solo"],
+        ["", "after empty"],
+    ):
+        want = st.subtitles_expected_text(cues)
+        assert st.srt_to_text(st.encode_srt(cues).decode()) == want
+        assert st.vtt_to_text(st.encode_vtt(cues).decode()) == want
+
+
+def test_router_extracts_subtitles(spark):
+    from datasplash_spark.functions import subtitles as st
+
+    cues = ["alpha beta gamma"]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(st.encode_srt(cues))),
+            (2, bytearray(st.encode_vtt(cues))),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "srt" and rows[1].ok
+    assert rows[2].kind == "vtt" and rows[2].ok
+    want = st.subtitles_expected_text(cues)
+    assert rows[1].text == want and rows[2].text == want
+
+
+def test_subtitles_extract_oracle_on_nasty_corpus(spark, tmp_path):
+    import duckdb
+
+    from datasplash_spark import queries as Q
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, None),
+        (3, "normal words flowing along here"),
+        (4, "tags <i>like</i> these {braces} & ampersands"),
+        (5, "42"),  # a pure-digit document
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf = str(tmp_path / "nastys")
+    import os as _os
+
+    _os.makedirs(sf, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+
+    got = Q.q_subtitles_extract(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(Q.ORACLE_SUBTITLES_EXTRACT).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    want = want[cols].sort_values(cols, kind="mergesort").reset_index(
+        drop=True
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=True)

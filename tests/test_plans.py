@@ -1166,3 +1166,15 @@ def test_wikitext_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "source_wiki" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_subtitles_extract_bytes_never_shuffle(spark):
+    """subtitles_extract (gated round 12): the codec-family contract
+    — one Exchange (the raw two-column repartition), writer + reader
+    kernels fused post-shuffle, transcript bytes never crossing it."""
+    plan = plan_of(_q(spark, "subtitles_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan

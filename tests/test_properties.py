@@ -520,7 +520,7 @@ def test_document_sniff_total(raw):
     kind = sniff_document_kind(raw)
     assert kind in {
         "", "pdf", "docx", "epub", "pptx", "odt", "zip", "rtf",
-        "html", "latex", "xml", "wiki", "md", "text",
+        "html", "latex", "xml", "vtt", "srt", "wiki", "md", "text",
     }
     assert (kind == "") == (raw == b"")
 
