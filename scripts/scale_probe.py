@@ -353,6 +353,23 @@ def probe(spark, k: int) -> None:
                 fromlist=["wikitext"],
             )
         ),
+        # round 12: subtitle (SRT/VTT) extractor corpus
+        "subtitles_extract": lambda: (
+            lambda st: st.subtitle_text_features(
+                st.synthesize_subtitles_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.subtitles",
+                fromlist=["subtitles"],
+            )
+        ),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (
