@@ -59,14 +59,9 @@ def _html_to_text_py(s: str) -> str:
         s,
     )
     s = re.sub(r"(?s)<[A-Za-z/!][^>]*>", " ", s)
-    from .web import HTML_ENTITIES
+    from .web import collapse_extracted_whitespace, decode_entities_py
 
-    for ent, rep in HTML_ENTITIES:
-        s = s.replace(ent, rep)
-    s = re.sub(r"[ \t\r\f]+", " ", s)
-    s = re.sub(r" ?\n ?", "\n", s)
-    s = re.sub(r"\n{2,}", "\n", s)
-    return s.strip()
+    return collapse_extracted_whitespace(decode_entities_py(s))
 
 
 def _xml_to_text_py(raw: bytes) -> str:
@@ -79,6 +74,8 @@ def _xml_to_text_py(raw: bytes) -> str:
     posture."""
     import xml.etree.ElementTree as ET
 
+    from .web import collapse_extracted_whitespace, decode_entities_py
+
     try:
         root = ET.fromstring(raw)
         s = "\n".join(t for t in root.itertext())
@@ -87,14 +84,10 @@ def _xml_to_text_py(raw: bytes) -> str:
         s = re.sub(r"(?s)<!\[CDATA\[(.*?)\]\]>", r"\1", s)
         s = re.sub(r"(?s)<!--.*?-->", " ", s)
         s = re.sub(r"(?s)<[^<>]*>", " ", s)
-        from .web import HTML_ENTITIES
-
-        for ent, rep in HTML_ENTITIES:
-            s = s.replace(ent, rep)
-    s = re.sub(r"[ \t\r\f]+", " ", s)
-    s = re.sub(r" ?\n ?", "\n", s)
-    s = re.sub(r"\n{2,}", "\n", s)
-    return s.strip()
+        # the parser resolves entities itself; only the fallback
+        # needs the shared table
+        s = decode_entities_py(s)
+    return collapse_extracted_whitespace(s)
 
 
 def sniff_document_kind(raw: bytes) -> str:
@@ -115,6 +108,12 @@ def sniff_document_kind(raw: bytes) -> str:
         kind = of.sniff_office_kind(raw)
         return kind if kind != "unknown" else "zip"
     head = raw[:4096].lstrip()
+    if head[:3] == b"\xef\xbb\xbf":
+        # UTF-8 BOM (Windows exporters) — bytes.lstrip only strips
+        # ASCII whitespace, so peel it here once for every
+        # text-shaped check below (review finding, round 12: BOM'd
+        # XML and SRT routed 'text' with raw markup retained)
+        head = head[3:].lstrip()
     if head[:5] == b"{\\rtf":
         return "rtf"
     low = head[:1024].lower()
@@ -128,13 +127,11 @@ def sniff_document_kind(raw: bytes) -> str:
     if head[:5] == b"<?xml":
         # xhtml already routed 'html' above; epub/office are zips
         return "xml"
-    if head[:6] == b"WEBVTT" or (
-        head[:3] == b"\xef\xbb\xbf" and head[3:9] == b"WEBVTT"
-    ):
+    if head[:6] == b"WEBVTT":
         return "vtt"
     if _SRT_SNIFF_RE.match(head):
         return "srt"
-    if _WIKI_SNIFF_RE.search(head):
+    if _wiki_sniff(head):
         return "wiki"
     if _MD_SNIFF_RE.search(head):
         return "md"
@@ -156,23 +153,41 @@ _MD_SNIFF_RE = re.compile(
 )
 
 #: SubRip has no magic either, but its head shape is unmistakable: a
-#: numeric cue index line followed by the --> timestamp line.
+#: numeric cue index line followed by the --> timestamp line (CRLF
+#: tolerated — SubRip is a Windows-origin format; review finding).
 _SRT_SNIFF_RE = re.compile(
-    rb"^\d{1,6}[ \t]*\n"
+    rb"^\d{1,6}[ \t]*\r?\n"
     rb"\d{1,2}:\d{2}:\d{2}[,.]\d{3}[ \t]+-->[ \t]+\d{1,2}:\d{2}:\d{2}[,.]\d{3}"
 )
 
-#: wikitext likewise has no magic bytes; route on its unmistakable
-#: constructs — a wikilink, a template, or a ``== heading ==`` line.
-#: Checked BEFORE markdown (the construct sets are disjoint: a
-#: ``[[link]]`` is not a markdown ``[text](url)`` and a one-line
-#: ``== x ==`` heading is not a setext underline).
-_WIKI_SNIFF_RE = re.compile(
+#: wikitext has no magic bytes, and its WEAK signals collide with
+#: ordinary text — ``{{ var }}`` is every Jinja/Mustache template,
+#: ``[[1, 2]]`` is a nested list literal — so a single brace/bracket
+#: hit must NOT route (review finding, round 12: a false positive
+#: strips characters; the design rule the md sniff documents).
+#: Routing requires TWO strong signals (``== heading ==`` lines,
+#: piped ``[[target|text]]`` links, namespace links — shapes
+#: ordinary prose/code essentially never produces), or one strong
+#: signal corroborated by at least two weak ones. A real article
+#: head clears this instantly; a lone template or bracket pair
+#: never does, and misrouted wiki stubs degrade losslessly to
+#: plain text.
+_WIKI_STRONG_RE = re.compile(
     rb"(?m)"
-    rb"\[\[[^\[\]\n]+\]\]"
-    rb"|\{\{[^{}\n]+\}\}"
-    rb"|^={2,6} .+ ={2,6}[ \t]*$"
+    rb"^={2,6} .+ ={2,6}[ \t]*$"
+    rb"|\[\[[^\[\]|\n]+\|[^\[\]\n]+\]\]"
+    rb"|\[\[(?:[Ff]ile|[Ii]mage|[Cc]ategory):"
 )
+_WIKI_WEAK_RE = re.compile(
+    rb"\[\[[^\[\]\n]+\]\]|\{\{[^{}\n]+\}\}"
+)
+
+
+def _wiki_sniff(head: bytes) -> bool:
+    strong = len(_WIKI_STRONG_RE.findall(head))
+    if strong >= 2:
+        return True
+    return strong >= 1 and len(_WIKI_WEAK_RE.findall(head)) >= 2
 
 
 DOCUMENT_TEXT_SCHEMA = (

@@ -196,19 +196,6 @@ def markdown_to_text(src: str) -> str:
                 prev_text = False
                 continue
             in_table = False  # table ended; process this line normally
-        if (
-            unquoted.strip()
-            and _CELL_SPLIT_RE.search(unquoted)
-            and idx < n_lines
-            and _is_table_delim(_QUOTE_RE.sub("", lines_in[idx]))
-        ):
-            # header row + delimiter row: emit the header's cells,
-            # consume the delimiter, enter the table block
-            out.append(_inline(_table_cells(unquoted)))
-            idx += 1
-            in_table = True
-            prev_text = False
-            continue
         if _THEMATIC_RE.match(raw):
             prev_text = False
             continue
@@ -224,6 +211,23 @@ def markdown_to_text(src: str) -> str:
         m = _ATX_RE.match(raw)
         if m:
             out.append(_inline(m.group(2)))
+            prev_text = False
+            continue
+        if (
+            unquoted.strip()
+            and _CELL_SPLIT_RE.search(unquoted)
+            and not _LIST_RE.match(unquoted)
+            and idx < n_lines
+            and _is_table_delim(_QUOTE_RE.sub("", lines_in[idx]))
+        ):
+            # header row + delimiter row: emit the header's cells,
+            # consume the delimiter, enter the table block. Checked
+            # AFTER the heading/thematic/setext branches and guarded
+            # against list markers — GFM gives those precedence over
+            # a table header (review finding, round 12)
+            out.append(_inline(_table_cells(unquoted)))
+            idx += 1
+            in_table = True
             prev_text = False
             continue
         line = _QUOTE_RE.sub("", raw)

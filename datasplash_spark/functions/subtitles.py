@@ -99,13 +99,13 @@ def vtt_to_text(src: str) -> str:
     return "\n".join(out)
 
 
-def _wrap_mid_word(cue: str) -> str:
+def _wrap_mid_word(cue: str, fmt: str = "<i>%s</i>") -> str:
     words = cue.split(" ") if cue else []
     if words:
         words = list(words)
         mid = len(words) // 2
         if mid != 0:
-            words[mid] = "<i>%s</i>" % words[mid]
+            words[mid] = fmt % words[mid]
     return " ".join(words)
 
 
@@ -136,13 +136,7 @@ def encode_vtt(cues: list[str]) -> bytes:
     cue settings, and a class-span wrap on the middle word."""
     parts = ["WEBVTT", "", "NOTE synthetic fixture", ""]
     for i, cue in enumerate(cues):
-        words = cue.split(" ") if cue else []
-        if words:
-            words = list(words)
-            mid = len(words) // 2
-            if mid != 0:
-                words[mid] = "<c.yellow>%s</c>" % words[mid]
-        text = " ".join(words)
+        text = _wrap_mid_word(cue, fmt="<c.yellow>%s</c>")
         parts.append("cue%d" % i)
         parts.append(
             "%02d:%02d.000 --> %02d:%02d.500 align:start"

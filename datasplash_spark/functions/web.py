@@ -42,6 +42,27 @@ HTML_ENTITIES = (
     ("&amp;", "&"),
 )
 
+
+def decode_entities_py(s: str) -> str:
+    """Kernel-side core-entity decode — the ONE copy of the shared
+    table walk (``&amp;`` deliberately last) the text extractors
+    use (round-12 review: three modules had inlined it)."""
+    for ent, rep in HTML_ENTITIES:
+        s = s.replace(ent, rep)
+    return s
+
+
+def collapse_extracted_whitespace(s: str) -> str:
+    """The extractors' shared whitespace contract, one copy:
+    horizontal runs → one space, blank-line runs → one newline, no
+    edge whitespace."""
+    import re as _re
+
+    s = _re.sub(r"[ \t\r\f]+", " ", s)
+    s = _re.sub(r" ?\n ?", "\n", s)
+    s = _re.sub(r"\n{2,}", "\n", s)
+    return s.strip()
+
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"

@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
-_REF_RE = re.compile(r"(?is)<ref\b[^<>/]*>.*?</ref\s*>")
+_REF_RE = re.compile(r"(?is)<ref\b[^<>]*(?<!/)>.*?</ref\s*>")
 _REF_SELF_RE = re.compile(r"(?i)<ref\b[^<>]*/>")
 _TEMPLATE_RE = re.compile(r"\{\{[^{}]*\}\}")
 _FILE_LINK_RE = re.compile(
@@ -112,14 +112,9 @@ def wikitext_to_text(src: str) -> str:
             continue
         out.append(_LIST_RE.sub("", t))
     text = "\n".join(out)
-    from .web import HTML_ENTITIES
+    from .web import collapse_extracted_whitespace, decode_entities_py
 
-    for ent, rep in HTML_ENTITIES:
-        text = text.replace(ent, rep)
-    text = re.sub(r"[ \t]+", " ", text)
-    text = re.sub(r" ?\n ?", "\n", text)
-    text = re.sub(r"\n{2,}", "\n", text)
-    return text.strip()
+    return collapse_extracted_whitespace(decode_entities_py(text))
 
 
 def encode_wikitext(units: list[str], title: str | None = None) -> bytes:

@@ -418,9 +418,24 @@ def test_wikitext_writer_reader_parity():
 def test_sniff_wikitext_and_xml_routing():
     from datasplash_spark.functions import doctext as dtx
 
-    assert dtx.sniff_document_kind(b"see [[Main Page]]") == "wiki"
-    assert dtx.sniff_document_kind(b"{{stub}} text") == "wiki"
-    assert dtx.sniff_document_kind(b"== History ==\nbody") == "wiki"
+    # routing needs corroborated STRONG signals (review round 3): a
+    # heading + links, two piped links, a namespace link + template…
+    assert dtx.sniff_document_kind(
+        b"== History ==\nsee [[Main Page]] and [[Help|help]]"
+    ) == "wiki"
+    assert dtx.sniff_document_kind(
+        b"{{Infobox|x=1}} born in [[Springfield|the city]] "
+        b"([[File:pic.jpg]])"
+    ) == "wiki"
+    # single weak signals are ordinary text, never stripped: Jinja
+    # templates, nested list literals, lone links, lone headings
+    assert dtx.sniff_document_kind(
+        b"Hello {{ user_name }}, your total is 42."
+    ) == "text"
+    assert dtx.sniff_document_kind(b"result = array([[1, 2]])") == "text"
+    assert dtx.sniff_document_kind(b"see [[Main Page]]") == "text"
+    assert dtx.sniff_document_kind(b"{{stub}} text") == "text"
+    assert dtx.sniff_document_kind(b"== History ==\nbody") == "text"
     assert dtx.sniff_document_kind(
         b"<?xml version='1.0'?><rss><title>t</title></rss>"
     ) == "xml"
@@ -589,3 +604,42 @@ def test_subtitles_extract_oracle_on_nasty_corpus(spark, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_sniff_bom_and_crlf_variants():
+    """Review round 3: BOM'd XML/VTT and CRLF SRT (the dominant
+    real-world forms) must route to their extractors, not leak raw
+    markup as 'text'."""
+    from datasplash_spark.functions import doctext as dtx
+
+    assert dtx.sniff_document_kind(
+        b"\xef\xbb\xbf<?xml version='1.0'?><r><a>x</a></r>"
+    ) == "xml"
+    assert dtx.sniff_document_kind(b"\xef\xbb\xbfWEBVTT\n") == "vtt"
+    assert dtx.sniff_document_kind(
+        b"1\r\n00:00:00,000 --> 00:00:01,000\r\nHello world\r\n"
+    ) == "srt"
+    assert dtx.sniff_document_kind(
+        b"\xef\xbb\xbf1\n00:00:00,000 --> 00:00:01,000\nHello\n"
+    ) == "srt"
+
+
+def test_markdown_heading_beats_table_header():
+    """Review round 3: a heading or list line containing a pipe
+    above a delimiter row is a heading/list per GFM, never a table
+    header — block markers must not leak into cell text."""
+    from datasplash_spark.functions.markdown import markdown_to_text as f
+
+    assert f("# Title | note\n|---|---|\n| x | y |") == (
+        "Title | note\n|---|---|\n| x | y |"
+    )
+    assert f("- item | note\n|---|---|") == "item | note\n|---|---|"
+    # a real table under a heading still extracts
+    assert f("# T\n\n| a | b |\n|---|---|\n| x | y |") == "T\na b\nx y"
+
+
+def test_wikitext_ref_with_slash_attribute():
+    from datasplash_spark.functions.wikitext import wikitext_to_text as f
+
+    assert f('a <ref name="nytimes.com/2020">cite body</ref> b') == "a b"
+    assert f("a <ref name=x/> b") == "a b"
