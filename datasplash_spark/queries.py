@@ -7282,30 +7282,30 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 
 
 # ---------------------------------------------------------------------
-# Driver gate order (round 12).  The external driver gates exactly the
+# Driver gate order (round 13).  The external driver gates exactly the
 # FIRST 50 entries of REGISTRY each round; list order below IS the
-# round-12 gate contract.
+# round-13 gate contract.
 #
 # Window composition (greedy-by-staleness rotation, VERDICT r7 item
 # 1): the window always holds the stalest 50 queries (never-gated
 # counts as infinitely stale), so no query outside the window can
-# ever be staler than one inside it, and with 156 gated queries at
-# 50/round nothing ages past the 4-round backstop. The import-time
-# invariant below derives each query's newest driver row from the
-# CORRECTNESS_r*.json artifacts themselves (not a hand-kept table)
-# and fails the registry — and therefore every test — if the order
-# violates greedy fill or the staleness cap.
+# ever be staler than one inside it, and with 161 gated queries at
+# 50/round nothing ages past the 8-round alternating-windows
+# backstop. The import-time invariant below derives each query's
+# newest driver row from the CORRECTNESS_r*.json artifacts
+# themselves (not a hand-kept table) and fails the registry — and
+# therefore every test — if the order violates greedy fill or the
+# staleness cap.
 #
-# Round-12 window = _NEW_R12 (round-12 promotions — never
-# driver-gated, so infinitely stale, leading by greedy fill:
-# doctext_sweep, the universal router, and the three new modality
-# gates markdown_extract + wikitext_extract + subtitles_extract,
-# gated directly under the alternating-windows cap) + _STALE_R8_TAIL (newest driver row
-# CORRECTNESS_r08, staleness 4 at the r12 run — AT the backstop, so
-# these eleven MUST gate this round) + the stalest 35 of the
-# r9-green block. The twelve r9 queries left outside share the
-# inside minimum staleness (equal-staleness overflow, permitted by
-# the invariant) and lead the round-13 window.
+# Round-13 window = _NEW_R13 (round-13 promotions — never
+# driver-gated, so infinitely stale, leading by greedy fill) +
+# _R9_OVERFLOW (newest driver row CORRECTNESS_r09 — the 12-query
+# equal-staleness overflow the round-12 window could not hold;
+# stalest remaining class, so it MUST lead this round) + the
+# stalest prefix of the r10-green block. The r10 queries left
+# outside share the inside minimum staleness (equal-staleness
+# overflow, permitted by the invariant) and lead the round-14
+# window.
 #
 # PROMOTION CHECKLIST (append-only; VERDICT r11 item 5): when a
 # staged query is promoted into this registry you must (1) add its
@@ -7330,82 +7330,16 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # strict-subset queries are still retired on promotion as corpus
 # hygiene (this round: office_extract ⊂ doctext_sweep).
 
-#: Query PROMOTED in round 12 (never driver-gated => infinitely
-#: stale => window head). doctext_sweep gates the universal
-#: document-text router (functions/doctext.py: one Arrow kernel
-#: sniffing and extracting pdf/docx/epub/pptx/odt/rtf/latex/html
-#: with per-row typed quarantine) — the single entry point a
-#: mixed-corpus user touches first, and the only end-to-end gate
-#: for the ODT and RTF readers. office_extract retired into it
-#: (strict subset, same md5-of-extracted-text oracle family; the
-#: adversarial fixtures live in the shared encoders so they carry
-#: over).
-_NEW_R12: list[str] = [
-    "doctext_sweep",
-    "markdown_extract",
-    "wikitext_extract",
-    "subtitles_extract",
-]
+#: Queries PROMOTED in round 13 (never driver-gated => infinitely
+#: stale => window head). Filled as the round's new surface lands;
+#: every entry must follow the promotion checklist above.
+_NEW_R13: list[str] = []
 
-#: the r8-green tail (newest driver row CORRECTNESS_r08; the 11
-#: equal-staleness overflow queries the round-11 window could not
-#: hold — staleness 4 at the r12 run, AT the backstop, so they MUST
-#: gate this round).
-_STALE_R8_TAIL: list[str] = [
-    "source_overlap",
-    "bm25_search",
-    "ngram_containment",
-    "corpus_diff",
-    "filter_report",
-    "filter_funnel",
-    "semantic_pack",
-    "zorder_key",
-    "ann_recall",
-    "paragraph_dedup",
-    "readability",
-]
-
-#: the r9-green block (newest driver row CORRECTNESS_r09, staleness
-#: 3 at the r12 run — stalest remaining class): the re-gated r6
-#: block plus html_extract. The stalest-first prefix fills the
-#: round-12 window behind _NEW_R12 + _STALE_R8_TAIL; the overflow
-#: shares the inside minimum staleness and leads round 13.
-_GREEN_R9: list[str] = [
-    "importance_resample",
-    "ccnet_buckets",
-    "collocations",
-    "skew_report",
-    "cohort_retention",
-    "bm25_multi",
-    "weighted_sample_det",
-    "join_required",
-    "join_optional",
-    "join_multiway",
-    "cogroup_counts",
-    "sample_global_det",
-    "sample_per_key_det",
-    "window_fixed",
-    "window_sliding",
-    "window_session",
-    "dedup_exact",
-    "chunk_documents",
-    "unigram_quality",
-    "funnel",
-    "sessionize",
-    "rolling_window",
-    "stratified_sample",
-    "ngram_counts",
-    "pivot",
-    "profile",
-    "hash_split",
-    "rollup",
-    "asof_last_view",
-    "range_join_error_window",
-    "gopher_quality",
-    "side_input_filter",
-    "dedup_incremental",
-    "decontaminate",
-    "remove_repeated_spans",
+#: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12
+#: equal-staleness queries the round-12 window could not hold —
+#: staleness 5 at the r13 run, stalest gated class, so they MUST
+#: lead this round's window).
+_R9_OVERFLOW: list[str] = [
     "global_shuffle",
     "temperature_mix",
     "dsir_scores",
@@ -7421,8 +7355,10 @@ _GREEN_R9: list[str] = [
 ]
 
 #: the r10-green block (newest driver row CORRECTNESS_r10,
-#: staleness 2 at the r12 run): the full round-10 window (6 + 5
-#: promotions + 39 then-stalest r7).
+#: staleness 4 at the r13 run): the full round-10 window (6 + 5
+#: promotions + 39 then-stalest r7). The stalest-first prefix fills
+#: the round-13 window behind _NEW_R13 + _R9_OVERFLOW; the overflow
+#: shares the inside minimum staleness and leads round 14.
 _GREEN_R10: list[str] = [
     "pdf_extract",
     "image_neardup_clusters",
@@ -7480,10 +7416,10 @@ _GREEN_R10: list[str] = [
 ]
 
 #: the r11-green block (newest driver row CORRECTNESS_r11,
-#: staleness 1 — freshest class, back of the registry): the full
-#: round-11 window (4 promotions + the 9-query r7 tail + 37
-#: then-stalest r8), MINUS office_extract (retired round 12,
-#: absorbed by doctext_sweep — see the _ALL comment).
+#: staleness 3 at the r13 run): the full round-11 window (4
+#: promotions + the 9-query r7 tail + 37 then-stalest r8), MINUS
+#: office_extract (retired round 12, absorbed by doctext_sweep —
+#: see the _ALL comment).
 _GREEN_R11: list[str] = [
     "warc_roundtrip",
     "image_exif",
@@ -7536,20 +7472,77 @@ _GREEN_R11: list[str] = [
     "dedup_minhash_pairs",
 ]
 
-_WINDOW_HEAD_R12: list[str] = (
-    _NEW_R12
-    + _STALE_R8_TAIL
-    + _GREEN_R9[: 50 - len(_NEW_R12) - len(_STALE_R8_TAIL)]
+#: the r12-green block (newest driver row CORRECTNESS_r12,
+#: staleness 2 — freshest class, back of the registry): the full
+#: round-12 window (the 4 round-12 promotions + the 11-query
+#: r8-green tail + the 35 then-stalest r9).
+_GREEN_R12: list[str] = [
+    "doctext_sweep",
+    "markdown_extract",
+    "wikitext_extract",
+    "subtitles_extract",
+    "source_overlap",
+    "bm25_search",
+    "ngram_containment",
+    "corpus_diff",
+    "filter_report",
+    "filter_funnel",
+    "semantic_pack",
+    "zorder_key",
+    "ann_recall",
+    "paragraph_dedup",
+    "readability",
+    "importance_resample",
+    "ccnet_buckets",
+    "collocations",
+    "skew_report",
+    "cohort_retention",
+    "bm25_multi",
+    "weighted_sample_det",
+    "join_required",
+    "join_optional",
+    "join_multiway",
+    "cogroup_counts",
+    "sample_global_det",
+    "sample_per_key_det",
+    "window_fixed",
+    "window_sliding",
+    "window_session",
+    "dedup_exact",
+    "chunk_documents",
+    "unigram_quality",
+    "funnel",
+    "sessionize",
+    "rolling_window",
+    "stratified_sample",
+    "ngram_counts",
+    "pivot",
+    "profile",
+    "hash_split",
+    "rollup",
+    "asof_last_view",
+    "range_join_error_window",
+    "gopher_quality",
+    "side_input_filter",
+    "dedup_incremental",
+    "decontaminate",
+    "remove_repeated_spans",
+]
+
+_WINDOW_HEAD_R13: list[str] = (
+    _NEW_R13
+    + _R9_OVERFLOW
+    + _GREEN_R10[: 50 - len(_NEW_R13) - len(_R9_OVERFLOW)]
 )
 
-#: equal-staleness overflow: the r9-green queries the 50-row window
-#: cannot hold this round; they lead the round-13 window.
-_R9_OVERFLOW: list[str] = _GREEN_R9[
-    50 - len(_NEW_R12) - len(_STALE_R8_TAIL):
+#: equal-staleness overflow: the r10-green queries the 50-row window
+#: cannot hold this round; they lead the round-14 window.
+_R10_OVERFLOW: list[str] = _GREEN_R10[
+    50 - len(_NEW_R13) - len(_R9_OVERFLOW):
 ]
 
 _ORDER: list[str] = (
-    _WINDOW_HEAD_R12 + _R9_OVERFLOW + _GREEN_R10 + _GREEN_R11
+    _WINDOW_HEAD_R13 + _R10_OVERFLOW + _GREEN_R11 + _GREEN_R12
 )
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")

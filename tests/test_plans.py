@@ -935,7 +935,7 @@ def test_rotation_is_current():
     assert not Q._WINDOW_ALREADY_GATED, (
         f"CORRECTNESS_r{Q._max_round:02d}.json has gated the current "
         "driver window: rotate the registry (stalest block first, "
-        "see the greedy-fill comment above _NEW_R12) and update "
+        "see the greedy-fill comment above _NEW_R13) and update "
         "_NEW_R{next} before adding gated queries"
     )
 
