@@ -365,13 +365,21 @@ def main() -> int:
         or [0]
     )
 
-    # PREVIOUS round's per-query walls, for the >1.5×-mover re-rep
-    # rule (missing/failed entries simply get no comparison): the
-    # newest BENCH_LOCAL_r*.json whose round is STRICTLY below the
-    # round being stamped.
+    # PREVIOUS round's per-query walls AND executor-cpu seconds, for
+    # the >1.5×-mover re-rep rule (missing/failed entries simply get
+    # no comparison): the newest BENCH_LOCAL_r*.json whose round is
+    # STRICTLY below the round being stamped. The round regex runs on
+    # the BASENAME only (ADVICE r12: a checkout path containing
+    # '_r<digits>' would otherwise win both the filter and the sort).
     prev_walls: dict[str, float] = {}
+    prev_cpu: dict[str, float] = {}
     try:
         import glob as _glob
+
+        def _local_round(p: str) -> int:
+            return int(
+                _re.search(r"_r(\d+)", os.path.basename(p)).group(1)
+            )
 
         _locals = sorted(
             (
@@ -379,17 +387,23 @@ def main() -> int:
                 for p in _glob.glob(
                     os.path.join(_here, "BENCH_LOCAL_r*.json")
                 )
-                if int(_re.search(r"_r(\d+)", p).group(1)) < _cur_round
+                if _local_round(p) < _cur_round
             ),
-            key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+            key=_local_round,
         )
         if _locals:
             with open(_locals[-1]) as fh:
-                prev_walls = {
-                    k: v
-                    for k, v in (json.load(fh).get("queries") or {}).items()
-                    if isinstance(v, (int, float)) and v > 0
-                }
+                _prev_payload = json.load(fh)
+            prev_walls = {
+                k: v
+                for k, v in (_prev_payload.get("queries") or {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+            prev_cpu = {
+                k: v
+                for k, v in (_prev_payload.get("cpu") or {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
             print(
                 f"# prev-walls source: {os.path.basename(_locals[-1])} "
                 f"(stamping round {_cur_round})",
@@ -397,6 +411,20 @@ def main() -> int:
             )
     except Exception as e:
         print(f"# prev-walls warning: {e}", file=sys.stderr)
+
+    def _cpu_moved(name: str, cpu: float) -> bool:
+        """True when the load-immune executor-cpu column itself moved
+        >1.5× round-over-round above a 0.3 s floor (VERDICT r12 item
+        2: domain_reweight's cpu doubled while the wall-only guard
+        stayed quiet — the one mover the harness should have
+        re-repped and adjudicated itself)."""
+        p = prev_cpu.get(name)
+        return (
+            p is not None
+            and cpu > 0.3
+            and p > 0.3
+            and (cpu > p * 1.5 or cpu < p / 1.5)
+        )
 
     reps: dict[str, int] = {}
     for name, fn in Q.queries().items():
@@ -419,11 +447,12 @@ def main() -> int:
                 moved = prev is not None and (
                     best > prev * 1.5 or best < prev / 1.5
                 )
-                if best >= 3.0 and not moved:
+                if best >= 3.0 and not moved and not _cpu_moved(name, best_cpu):
                     # real regressions on ≥3s queries clear the noise
                     # floor on their own; don't double total wall —
-                    # but any >1.5× round-over-round mover gets a
-                    # confirmation rep regardless of band
+                    # but any >1.5× round-over-round mover (wall OR
+                    # the load-immune cpu column) gets a confirmation
+                    # rep regardless of band
                     break
         except Exception as e:  # record and continue; always emit JSON
             timings[name] = -1.0
@@ -454,7 +483,11 @@ def main() -> int:
     suspects = [
         k
         for k, v in timings.items()
-        if v > 0 and prev_walls.get(k) and v > prev_walls[k] * 1.5
+        if v > 0
+        and (
+            (prev_walls.get(k) and v > prev_walls[k] * 1.5)
+            or _cpu_moved(k, cpu_times.get(k, -1.0))
+        )
     ]
     for name in suspects:
         fn = Q.queries().get(name)
@@ -479,8 +512,9 @@ def main() -> int:
         reps[name] = reps.get(name, 0) + 1
         print(
             f"# spike-escape {name}: {dt:.2f}s "
-            f"(kept {timings[name]:.2f}s, prev round "
-            f"{prev_walls[name]:.2f}s)",
+            f"(kept {timings[name]:.2f}s, prev round wall "
+            f"{prev_walls.get(name, -1.0):.2f}s / cpu "
+            f"{prev_cpu.get(name, -1.0):.2f}s)",
             file=sys.stderr,
         )
 
