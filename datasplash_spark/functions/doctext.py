@@ -71,12 +71,23 @@ def _xml_to_text_py(raw: bytes) -> str:
     BYTES so an encoding declaration is honored); malformed input
     degrades to a regex tag strip with the shared entity table —
     extraction never raises, matching the plain-text fallback's
-    posture."""
+    posture.
+
+    Crawl bytes are untrusted, and the except-fallback only catches
+    the parse RAISING, not resource exhaustion — on hosts with
+    libexpat < 2.4 a ``<!DOCTYPE`` carrying recursive entity
+    definitions (billion-laughs / quadratic blowup) expands inside
+    the kernel (ADVICE r12). Any DTD is therefore rejected before
+    the parser sees it (data documents don't need one) and such
+    input takes the regex-strip path, which never expands
+    entities."""
     import xml.etree.ElementTree as ET
 
     from .web import collapse_extracted_whitespace, decode_entities_py
 
     try:
+        if b"<!DOCTYPE" in raw[:4096] or b"<!ENTITY" in raw:
+            raise ValueError("DTD rejected (untrusted input)")
         root = ET.fromstring(raw)
         s = "\n".join(t for t in root.itertext())
     except Exception:

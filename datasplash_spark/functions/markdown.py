@@ -36,6 +36,8 @@ from __future__ import annotations
 
 import re
 
+from . import web as _web
+
 _FENCE_RE = re.compile(r"^ {0,3}(`{3,}|~{3,})[ \t]*([^`\n]*?)[ \t]*$")
 _ATX_RE = re.compile(r"^ {0,3}(#{1,6})[ \t]+(.*?)(?:[ \t]+#+[ \t]*)?$")
 _ATX_EMPTY_RE = re.compile(r"^ {0,3}#{1,6}[ \t]*$")
@@ -327,7 +329,8 @@ def synthesize_markdown_from_text(
             ids, nus, srcs = [], [], []
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
-                t = re.sub(r"[\\`*_\[\]()#!<>~|]", "-", t or "")
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[\\`*_\[\]()#!<>~|]", "-", t)
                 t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import re
 
+from . import web as _web
+
 _TS_SRT_RE = re.compile(
     r"^\d{1,2}:\d{2}:\d{2}[,.]\d{3}\s+-->\s+\d{1,2}:\d{2}:\d{2}[,.]\d{3}"
 )
@@ -178,7 +180,8 @@ def synthesize_subtitles_from_text(
             ids, nus, medias = [], [], []
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
-                t = re.sub(r"[<>{}&]", "-", t or "")
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[<>{}&]", "-", t)
                 t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")

@@ -52,6 +52,37 @@ def decode_entities_py(s: str) -> str:
     return s
 
 
+#: Characters the modality extraction kernels drop or strip but the
+#: synthesizers' ``re.ASCII``-flagged normalization would keep
+#: (ADVICE r12, verified by fuzzing): NUL (CommonMark-inspired
+#: inline handling drops it) plus every non-ASCII character Python
+#: ``str.strip()`` considers whitespace (U+0085, U+00A0, U+1680,
+#: U+2000-U+200A, U+2028/29, U+202F, U+205F, U+3000). The
+#: markdown/wikitext/subtitle synthesizer normalizations AND their
+#: DuckDB oracles replace these alongside the per-format special
+#: characters, so extracted text stays exactly SQL-replayable on ANY
+#: corpus, not just ASCII ones.
+SYNTH_DIVERGENT_CHARS = (
+    "\x00\x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
+#: the same replacement as a str.translate table (kernel-side use).
+SYNTH_DIVERGENT_TABLE = str.maketrans(
+    {c: "-" for c in SYNTH_DIVERGENT_CHARS}
+)
+
+#: the same set as an RE2 character-class FRAGMENT for the DuckDB
+#: oracles (standard SQL strings pass backslashes through to RE2;
+#: spliced into the oracles' special-character classes via a
+#: ``@DIVERGENT@`` placeholder).
+SYNTH_DIVERGENT_RE2 = (
+    "\\x{0}\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}"
+)
+
+
 def collapse_extracted_whitespace(s: str) -> str:
     """The extractors' shared whitespace contract, one copy:
     horizontal runs → one space, blank-line runs → one newline, no

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import re
 
+from . import web as _web
+
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _REF_RE = re.compile(r"(?is)<ref\b[^<>]*(?<!/)>.*?</ref\s*>")
 _REF_SELF_RE = re.compile(r"(?i)<ref\b[^<>]*/>")
@@ -200,7 +202,8 @@ def synthesize_wikitext_from_text(
             ids, nus, srcs = [], [], []
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
-                t = re.sub(r"[{}\[\]|=*#:;<>&!'_]", "-", t or "")
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[{}\[\]|=*#:;<>&!'_]", "-", t)
                 t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")

@@ -6686,6 +6686,12 @@ def q_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RE2 fragment for the ADVICE-r12 divergent characters (NUL +
+#: non-ASCII str.strip() whitespace), spliced into the modality
+#: oracles' special-character classes — ONE copy, shared with the
+#: synthesizer normalizations (functions/web.py).
+from .functions.web import SYNTH_DIVERGENT_RE2 as _DIVERGENT_RE2
+
 ORACLE_MARKDOWN_EXTRACT = """
 WITH norm AS (
   -- mirror the synthesizer's deterministic input normalization:
@@ -6693,7 +6699,7 @@ WITH norm AS (
   SELECT doc_id,
          trim(regexp_replace(
            regexp_replace(COALESCE(text, ''),
-                          '[\\\\`*_\\[\\]()#!<>~|]', '-', 'g'),
+                          '[\\\\`*_\\[\\]()#!<>~|@DIVERGENT@]', '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -6730,7 +6736,7 @@ WITH norm AS (
 SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc
-"""
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
 def q_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6771,7 +6777,7 @@ WITH norm AS (
   SELECT doc_id,
          trim(regexp_replace(
            regexp_replace(COALESCE(text, ''),
-                          '[{}\\[\\]|=*#:;<>&!''_]', '-', 'g'),
+                          '[{}\\[\\]|=*#:;<>&!''_@DIVERGENT@]', '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -6805,7 +6811,7 @@ WITH norm AS (
 SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc
-"""
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
 def q_subtitles_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6844,7 +6850,8 @@ WITH norm AS (
   -- markup-special characters -> '-', whitespace runs -> one space
   SELECT doc_id,
          trim(regexp_replace(
-           regexp_replace(COALESCE(text, ''), '[<>{}&]', '-', 'g'),
+           regexp_replace(COALESCE(text, ''),
+                          '[<>{}&@DIVERGENT@]', '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -6877,7 +6884,7 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc
-"""
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -643,3 +643,84 @@ def test_wikitext_ref_with_slash_attribute():
 
     assert f('a <ref name="nytimes.com/2020">cite body</ref> b') == "a b"
     assert f("a <ref name=x/> b") == "a b"
+
+
+def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
+    """ADVICE r12 regression: corpus text carrying NUL or non-ASCII
+    str.strip() whitespace (U+00A0, U+2028, U+3000, ...) used to
+    diverge between the extractors (which drop/strip them) and the
+    re.ASCII-flagged synthesizer normalization + RE2 oracle (which
+    kept them). Both sides now replace the shared
+    SYNTH_DIVERGENT_CHARS set, so the full driver-faithful gate must
+    hold on a corpus made of exactly those characters."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from gate_sim import _compare_one, oracle_views
+
+    from datasplash_spark import queries as Q
+
+    texts = [
+        "\x00",
+        "\xa0leading nbsp words",
+        "\u2028line sep first",
+        "word\u3000ideographic space tail",
+        "mix \x00 nul and\xa0nbsp\u2029ps end",
+        "\x85nel\u1680ogham\u2009thin",
+        "plain ascii control case",
+        "",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["fuzz"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    con = oracle_views(str(tmp_path))
+    for name in ("markdown_extract", "wikitext_extract",
+                 "subtitles_extract"):
+        fn, sql = Q._ALL[name]
+        failed, line = _compare_one(
+            spark, con, str(tmp_path), name, fn, sql
+        )
+        assert not failed, line
+
+
+def test_xml_extraction_rejects_dtd_entity_expansion():
+    """ADVICE r12: _xml_to_text_py feeds untrusted crawl bytes to
+    ElementTree; a DOCTYPE carrying recursive entity definitions
+    (billion laughs) would expand on hosts with old libexpat. Any
+    DTD now takes the regex-strip fallback — which never expands
+    entities — and extraction still returns the visible text."""
+    bomb = (
+        b'<?xml version="1.0"?>\n'
+        b"<!DOCTYPE lolz [\n"
+        b'  <!ENTITY lol "lol">\n'
+        + b"".join(
+            b'  <!ENTITY lol%d "' % i
+            + (b"&lol%d;" % (i - 1)) * 10
+            + b'">\n'
+            for i in range(1, 10)
+        )
+        + b"]>\n<lolz>&lol9;</lolz>"
+    )
+    out = dt._xml_to_text_py(bomb)
+    # no expansion: the fallback strips declarations and tags; the
+    # unexpanded entity reference survives as text, megabytes of
+    # "lol" must not
+    assert len(out) < 1000 and "lol9" in out
+    # plain well-formed XML still walks the parser
+    assert dt._xml_to_text_py(
+        b"<?xml version='1.0'?><a><b>hello</b> <c>world</c></a>"
+    ) == "hello\nworld"
