@@ -1,0 +1,331 @@
+"""Source-code text extraction (round 13).
+
+Source code is the second-largest pretraining modality after web
+text, and shared-drive / code-forge dumps are full of extensionless
+scripts; this module gives the universal document router
+(``functions/doctext.py``) a code family with the same
+zero-dependency contract as the other formats: a conservative
+detector (shebangs + full-line declaration shapes — prose must never
+route here), a LOSSLESS reader (code text survives VERBATIM; unlike
+the markup families nothing is stripped, because every character of
+code is corpus signal), and a comment/string-aware LINE SCANNER that
+produces the structure stats a curation pipeline filters on
+(comment ratio, blank density) — a ``#`` inside a string literal is
+code, not a comment, and a ``//`` inside a string likewise.
+
+Extraction model:
+
+- ``code_to_text``: UTF-8 (surrogate-safe) decode, verbatim — the
+  lossless contract. The router's ``kind='code'`` tag IS the value:
+  downstream stages route code docs away from the prose filters
+  that would destroy them (Gopher/C4 rules famously nuke code).
+- ``code_line_stats``: line classification into comment / blank /
+  code via a per-line quote-state scan (single, double, and — for
+  Python-family — triple quotes carried ACROSS lines, plus
+  ``/* ... */`` block comments for the C family). The shebang line
+  counts as a comment.
+- ``detect_code_lang``: shebang interpreter first, else per-language
+  strong declaration shapes (full-line ``def``/``class``/``import``
+  for Python, ``#include`` for C/C++, ``package``/``public class``
+  for Java, ``func``/``package`` for Go, ``fn``/``impl``/``use``
+  for Rust, ``function``/``const``/``let`` for JavaScript); two
+  strong hits are required before anything routes, so prose lines
+  that happen to start with "import" or "from" never trip it.
+
+Reference anchor: the reference has no code codec — this is
+north-star LLM-pipeline surface (same category as the markdown
+family, BASELINE.json); the line-classification rules follow the
+public language specs' comment grammars.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import web as _web
+
+#: shebang interpreter → language tag (basename match after env
+#: indirection; anything else with a shebang is 'shell' — the
+#: dominant extensionless-script reality).
+_SHEBANG_RE = re.compile(r"^#!\s*(\S+)(?:\s+(\S+))?")
+_SHEBANG_LANGS = (
+    ("python", "python"),
+    ("node", "javascript"),
+    ("deno", "javascript"),
+    ("ruby", "ruby"),
+    ("perl", "perl"),
+    ("Rscript", "r"),
+)
+
+#: per-language STRONG full-line declaration shapes. Deliberately
+#: strict (anchored, full-line where the grammar allows): a false
+#: positive would tag prose as code and exempt it from the prose
+#: quality filters, so bare comment lines, braces, or semicolons
+#: are NOT signals.
+_STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
+    (lang, re.compile(pat, re.M))
+    for lang, pat in (
+        ("python", r"^(?:async[ \t]+)?def[ \t]+\w+[ \t]*\(.*\)[ \t]*(?:->[^:\n]+)?:[ \t]*$"),
+        ("python", r"^class[ \t]+\w+(?:\([^)\n]*\))?[ \t]*:[ \t]*$"),
+        ("python", r"^import[ \t]+[\w.]+(?:[ \t]+as[ \t]+\w+)?[ \t]*$"),
+        ("python", r"^from[ \t]+[\w.]+[ \t]+import[ \t]+[\w*]"),
+        ("python", r"^@\w[\w.]*(?:\([^\n]*\))?[ \t]*$"),
+        ("c", r"^[ \t]*#include[ \t]*[<\"]"),
+        ("c", r"^[ \t]*#define[ \t]+\w+"),
+        ("java", r"^package[ \t]+[\w.]+;[ \t]*$"),
+        ("java", r"^import[ \t]+(?:static[ \t]+)?[\w.*]+;[ \t]*$"),
+        ("java", r"^[ \t]*(?:public|private|protected)[ \t]+(?:static[ \t]+|final[ \t]+|abstract[ \t]+)*(?:class|interface|enum|void|\w+(?:<[^\n>]*>)?)[ \t]+\w+"),
+        ("go", r"^package[ \t]+\w+[ \t]*$"),
+        ("go", r"^func[ \t]+(?:\(\w+[ \t]+\*?\w+\)[ \t]+)?\w+[ \t]*\("),
+        ("rust", r"^(?:pub[ \t]+)?(?:fn|struct|enum|trait|impl)[ \t]+\w+"),
+        ("rust", r"^use[ \t]+[\w:]+(?:::\{[^\n]*\})?;[ \t]*$"),
+        ("javascript", r"^(?:export[ \t]+)?(?:async[ \t]+)?function[ \t]*\*?[ \t]*\w*[ \t]*\("),
+        ("javascript", r"^(?:export[ \t]+)?(?:const|let|var)[ \t]+\w+[ \t]*=[^=\n]"),
+        ("javascript", r"^import[ \t]+.+[ \t]+from[ \t]+['\"]"),
+        ("shell", r"^[ \t]*(?:if[ \t]+\[\[?[ \t]|for[ \t]+\w+[ \t]+in[ \t]|while[ \t]+\[\[?[ \t])"),
+        ("shell", r"^\w+\(\)[ \t]*\{[ \t]*$"),
+    )
+)
+
+#: languages whose line comments start with '#'
+_HASH_COMMENT_LANGS = frozenset(
+    {"python", "shell", "ruby", "perl", "r", "code"}
+)
+#: languages whose line comments start with '//' (plus /* */ blocks)
+_SLASH_COMMENT_LANGS = frozenset(
+    {"c", "java", "go", "rust", "javascript"}
+)
+
+
+def detect_code_lang(src: str) -> str | None:
+    """Conservative code detection over the document HEAD: the
+    shebang interpreter wins immediately; otherwise a language needs
+    at least TWO strong full-line declaration shapes. ``None`` means
+    "not confidently code" — the router falls through losslessly."""
+    m = _SHEBANG_RE.match(src)
+    if m:
+        interp = m.group(1).rsplit("/", 1)[-1]
+        if interp == "env" and m.group(2):
+            interp = m.group(2).rsplit("/", 1)[-1]
+        for key, lang in _SHEBANG_LANGS:
+            if interp.startswith(key):
+                return lang
+        return "shell"
+    scores: dict[str, int] = {}
+    for lang, pat in _STRONG_SHAPES:
+        n = len(pat.findall(src))
+        if n:
+            scores[lang] = scores.get(lang, 0) + n
+    if not scores:
+        return None
+    lang, best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+    return lang if best >= 2 else None
+
+
+def code_to_text(src: str) -> str:
+    """The lossless contract: code text IS the corpus text. Kept as
+    a named function so the router's dispatch table reads uniformly
+    and the contract has one documented home."""
+    return src
+
+
+def code_line_stats(src: str, lang: str) -> dict:
+    """Comment/string-aware line classification. Returns
+    ``{n_lines, comment_lines, blank_lines, code_lines,
+    max_line_len}`` where a line is a COMMENT line only when its
+    first non-whitespace content begins a comment OUTSIDE any string
+    literal (so ``s = "not # a comment"`` is code), a BLANK line is
+    whitespace-only, and everything else — including code that ends
+    in a trailing comment — is code. Python-family triple-quoted
+    strings and C-family ``/* */`` blocks carry state across lines;
+    a docstring/block-comment body line counts as code/comment
+    respectively (it is content, not structure)."""
+    hash_comments = lang in _HASH_COMMENT_LANGS
+    slash_comments = lang in _SLASH_COMMENT_LANGS
+    triple_quotes = lang == "python"
+    lines = src.split("\n")
+    n_comment = n_blank = 0
+    max_len = 0
+    in_triple: str | None = None
+    in_block_comment = False
+    for line in lines:
+        max_len = max(max_len, len(line))
+        stripped = line.strip()
+        if in_block_comment:
+            n_comment += 1
+            if "*/" in line:
+                in_block_comment = False
+            continue
+        if in_triple is not None:
+            # docstring body: content, counts as code
+            if in_triple in line:
+                in_triple = None
+            continue
+        if not stripped:
+            n_blank += 1
+            continue
+        if hash_comments and stripped.startswith("#"):
+            n_comment += 1
+            continue
+        if slash_comments and stripped.startswith("//"):
+            n_comment += 1
+            continue
+        if slash_comments and stripped.startswith("/*"):
+            if "*/" not in stripped[2:]:
+                in_block_comment = True
+            n_comment += 1
+            continue
+        # code line: scan quote state to ignore comment markers
+        # inside string literals (the string-aware half)
+        if triple_quotes:
+            for q in ('"""', "'''"):
+                idx = line.find(q)
+                if idx != -1 and line.count(q, idx) % 2 == 1:
+                    in_triple = q
+                    break
+        continue
+    n_lines = len(lines)
+    return {
+        "n_lines": n_lines,
+        "comment_lines": n_comment,
+        "blank_lines": n_blank,
+        "code_lines": n_lines - n_comment - n_blank,
+        "max_line_len": max_len,
+    }
+
+
+def encode_code(units: list[str], doc_id: int = 0) -> bytes:
+    """Fixture half: a real Python module per unit list, planting
+    the constructs the detector and the line scanner must handle —
+    a shebang (comment), a module comment, a full-line import, one
+    ``def`` block per unit whose body carries a comment line AND a
+    string literal of the same words, two blank lines between
+    top-level definitions, and a module-level string containing a
+    literal ``#`` that must count as CODE (the string-aware pin)."""
+    lines = [
+        "#!/usr/bin/env python",
+        "# Module d%d" % doc_id,
+        "import os",
+        "",
+        "",
+    ]
+    for i, u in enumerate(units):
+        lines += [
+            "def f%d():" % i,
+            "    # %s" % u,
+            '    s = "%s"' % u,
+            "    return s + os.sep",
+            "",
+            "",
+        ]
+    lines += [
+        'S = "hash # inside string stays code"',
+        "# done trailing comment",
+    ]
+    return "\n".join(lines).encode("utf-8")
+
+
+def code_expected_text(units: list[str], doc_id: int = 0) -> str:
+    """The exact (verbatim) text :func:`code_to_text` yields for
+    :func:`encode_code` — the lossless contract stated next to the
+    writer."""
+    return encode_code(units, doc_id).decode("utf-8")
+
+
+def code_expected_stats(units: list[str]) -> dict:
+    """Closed-form expected line stats for :func:`encode_code`:
+    header = 2 comments + 1 code + 2 blanks; each unit block = 1
+    comment + 3 code + 2 blanks; footer = 1 code + 1 comment."""
+    n = len(units)
+    return {
+        "n_lines": 7 + 6 * n,
+        "comment_lines": 3 + n,
+        "blank_lines": 2 + 2 * n,
+        "code_lines": 2 + 3 * n,
+    }
+
+
+CODE_FEATURES_SCHEMA = (
+    "doc_id bigint, lang string, n_lines int, comment_lines int, "
+    "blank_lines int, code_lines int, text string, ok boolean, "
+    "err string"
+)
+
+
+def synthesize_code_from_text(df, text="text", id_col="doc_id", units_mod=3):
+    """Deterministic synthetic code corpus for the corpus gate: per
+    doc ``1 + len(text) % units_mod`` units (words round-robin,
+    clamped to the word count), rendered through
+    :func:`encode_code`. Input normalization (mirrored in the
+    oracle): characters that would change the line grammar
+    (``#``, quotes, backslash) → ``-``, the shared divergent set →
+    ``-``, whitespace runs → one space. Returns ``(doc_id, n_units,
+    source_code binary)``."""
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, nus, srcs = [], [], []
+            for did, t in zip(b[id_col], b[text]):
+                did = int(did)
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[#\"'\\]", "-", t)
+                t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+                n = 1 + len(t) % int(units_mod)
+                words = t.split(" ")
+                n = min(n, len(words))
+                units = [" ".join(words[i::n]) for i in range(n)]
+                ids.append(did)
+                nus.append(n)
+                srcs.append(encode_code(units, did))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_units": nus, "source_code": srcs}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        synth, schema="doc_id bigint, n_units int, source_code binary"
+    )
+
+
+def code_text_features(df, id_col="doc_id", source_col="source_code"):
+    """Extract language + line stats + verbatim text from a code
+    column into typed rows (``doc_id, lang, n_lines, comment_lines,
+    blank_lines, code_lines, text, ok, err``) with per-document
+    quarantine; extraction runs where the document lives."""
+
+    def extract(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for did, src in zip(b[id_col], b[source_col]):
+                try:
+                    raw = bytes(src) if src is not None else b""
+                    s = raw.decode("utf-8", "replace")
+                    lang = detect_code_lang(s[:4096]) or "code"
+                    st = code_line_stats(s, lang)
+                    rows.append(
+                        (
+                            did, lang, st["n_lines"],
+                            st["comment_lines"], st["blank_lines"],
+                            st["code_lines"], code_to_text(s), True,
+                            None,
+                        )
+                    )
+                except Exception as e:  # pragma: no cover (lenient)
+                    rows.append(
+                        (did, None, None, None, None, None, None,
+                         False, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "lang", "n_lines", "comment_lines",
+                    "blank_lines", "code_lines", "text", "ok", "err",
+                ],
+            )
+
+    return df.select(id_col, source_col).mapInPandas(
+        extract, schema=CODE_FEATURES_SCHEMA
+    )

@@ -21,13 +21,25 @@ extractors the sibling modules ship:
 - SRT cue-head shape  → :func:`..subtitles.srt_to_text` (round 12;
                         numeric index + ``-->`` timestamp line —
                         transcript sidecars of the media corpus)
+- JSONL / CSV / TSV   → :func:`..tabular.jsonl_to_text` /
+                        ``csv_to_text`` (round 13; strict exporter
+                        shapes — consistent quote-aware field
+                        counts, object-per-line — so prose commas
+                        never route; a ragged/malformed row sends
+                        its DOCUMENT to the typed quarantine)
+- Source code         → :func:`..code.code_to_text` (round 13;
+                        shebang or ≥2 strong full-line declaration
+                        shapes; LOSSLESS — the kind tag routes code
+                        away from the prose filters downstream)
 - Wikitext markers    → :func:`..wikitext.wikitext_to_text`
                         (round 12; wikilinks/templates/`== x ==`
                         headings — Wikipedia-dump articles)
 - Markdown markers    → :func:`..markdown.markdown_to_text`
                         (round 12; ATX/fence/link syntax in the
                         head — a conservative heuristic, since
-                        markdown has no magic bytes)
+                        markdown has no magic bytes; checked AFTER
+                        code so a script's ``# comment`` head
+                        cannot be stripped lossily)
 - anything else       → plain text (UTF-8, surrogate-safe)
 
 Per-document typed quarantine: a poison file yields its own
@@ -106,9 +118,11 @@ def sniff_document_kind(raw: bytes) -> str:
     'docx'/'epub'/'pptx'/'odt' (zip layouts), 'rtf', 'latex',
     'html', 'xml' (an XML declaration on a non-office, non-xhtml
     document), 'vtt' (WEBVTT header) / 'srt' (cue-head shape),
-    'wiki' / 'md' (structural-syntax heuristics — neither has magic
-    bytes), or 'text' (the fallback — plain text is a valid
-    document). '' only for empty input."""
+    'csv' (incl. TSV) / 'jsonl' (strict tabular exporter shapes,
+    round 13), 'code' (shebang or ≥2 strong declaration shapes,
+    round 13), 'wiki' / 'md' (structural-syntax heuristics —
+    neither has magic bytes), or 'text' (the fallback — plain text
+    is a valid document). '' only for empty input."""
     if not raw:
         return ""
     if raw[:5] == b"%PDF-":
@@ -142,6 +156,23 @@ def sniff_document_kind(raw: bytes) -> str:
         return "vtt"
     if _SRT_SNIFF_RE.match(head):
         return "srt"
+    text_head = head.decode("utf-8", "replace")
+    # tabular before code/wiki/md (round 13): a data file's rows can
+    # carry anything, while the structural sniffs below are all
+    # line-shape heuristics a consistent table never satisfies
+    from . import tabular as tb
+
+    tab = tb.sniff_tabular_kind(text_head)
+    if tab:
+        return tab  # 'csv' (incl. TSV) | 'jsonl'
+    # code before wiki/md (round 13, deliberate precedence): a
+    # Python file whose head comment is '# words' would otherwise
+    # route 'md' and extract LOSSILY (the ATX pass strips the '#');
+    # misrouting markdown as code merely keeps its markup — lossless
+    from . import code as cd
+
+    if cd.detect_code_lang(text_head):
+        return "code"
     if _wiki_sniff(head):
         return "wiki"
     if _MD_SNIFF_RE.search(head):
@@ -228,12 +259,14 @@ def document_text_features(
     def extract(batches):
         import pandas as pd
 
+        from . import code as cd
         from . import latex as lx
         from . import markdown as md
         from . import office as of
         from . import pdf as pf
         from . import rtf as rt
         from . import subtitles as st
+        from . import tabular as tb
         from . import wikitext as wk
 
         for b in batches:
@@ -284,6 +317,20 @@ def document_text_features(
                         )
                     elif kind == "xml":
                         text = _xml_to_text_py(data)
+                    elif kind == "csv":
+                        text = tb.csv_to_text(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "jsonl":
+                        text = tb.jsonl_to_text(
+                            data.decode("utf-8", "replace")
+                        )
+                    elif kind == "code":
+                        # lossless contract: code text is corpus
+                        # text verbatim; the kind tag is the value
+                        text = cd.code_to_text(
+                            data.decode("utf-8", "replace")
+                        )
                     elif kind == "text":
                         text = data.decode("utf-8", "replace")
                     else:

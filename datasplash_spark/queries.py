@@ -6887,6 +6887,186 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code modality (round 13): per doc a REAL Python module
+    — shebang, module comment, full-line import, ``1 + len(text) %
+    3`` def blocks (words round-robin) each carrying a comment line
+    AND a string literal of the same words, two blank lines between
+    definitions, and a module-level string containing a literal
+    ``#`` that must count as CODE — detected (shebang → 'python')
+    and line-classified through the comment/string-aware scanner
+    (``functions/code.py``), with the text kept LOSSLESS. The
+    oracle rebuilds the exact file in SQL (md5) and the closed-form
+    line stats, so detection, every line-class rule, and the
+    lossless contract are value-pinned corpus-wide."""
+    from .functions import code as cd
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = cd.code_text_features(cd.synthesize_code_from_text(docs))
+    return feats.select(
+        "doc_id",
+        "lang",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("comment_lines").cast("int").alias("comment_lines"),
+        F.col("blank_lines").cast("int").alias("blank_lines"),
+        F.col("code_lines").cast("int").alias("code_lines"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_CODE_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- line-grammar characters (#, quotes, backslash) -> '-',
+  -- whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[#"''\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- the exact file encode_code writes: header, one def block per
+  -- unit (each ending in two blank lines), string-aware footer
+  SELECT doc_id,
+         '#!/usr/bin/env python' || chr(10)
+         || '# Module d' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'import os' || chr(10) || chr(10) || chr(10)
+         || string_agg(
+              'def f' || CAST(u AS VARCHAR) || '():' || chr(10)
+              || '    # ' || utext || chr(10)
+              || '    s = "' || utext || '"' || chr(10)
+              || '    return s + os.sep'
+              || chr(10) || chr(10) || chr(10),
+              '' ORDER BY u)
+         || 'S = "hash # inside string stays code"' || chr(10)
+         || '# done trailing comment' AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id, 'python' AS lang,
+       CAST(7 + 6 * n AS INT) AS n_lines,
+       CAST(3 + n AS INT) AS comment_lines,
+       CAST(2 + 2 * n AS INT) AS blank_lines,
+       CAST(2 + 3 * n AS INT) AS code_lines,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
+def q_tabular_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular modality (round 13): per doc a REAL data file —
+    ``1 + len(text) % 3`` records (words round-robin), CSV for even
+    doc_ids (bare header, ALWAYS-QUOTED words cells so commas in
+    content exercise RFC 4180 quoting, a fixed record with a
+    doubled embedded quote + comma, a fixed record with an embedded
+    NEWLINE inside its quoted cell) and JSONL for odd (int + string
+    per record, a fixed object with bool / null-that-vanishes /
+    nested array) — flattened through the quote-aware readers
+    (``functions/tabular.py``), the dispatch being the same sniff
+    the universal router uses. Every 23rd document (``doc_id % 23
+    == 7``) is rendered RAGGED (a 3-field row under a 2-field
+    header) or MALFORMED (an object-shaped non-JSON line), so the
+    per-document typed quarantine is driver-gated too: those rows
+    must come back ``(kind, NULL, NULL, ok=false)`` while every
+    sibling extracts."""
+    from .functions import tabular as tb
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = tb.tabular_text_features(
+        tb.synthesize_tabular_from_text(docs, poison_mod=23)
+    )
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_TABULAR_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- quoting-grammar characters -> '-' (commas deliberately
+  -- survive), whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '["''\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- the exact flattened text the readers produce (an empty record
+  -- keeps its id cell only — the flatten strips the edge space)
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'rid words' || chr(10)
+           || string_agg(
+                'r' || CAST(u AS VARCHAR)
+                || CASE WHEN utext <> '' THEN ' ' || utext
+                        ELSE '' END,
+                chr(10) ORDER BY u)
+           || chr(10) || 'rq she said "hi", ok'
+           || chr(10) || 'rn line one line two'
+         ELSE
+           string_agg(
+                CAST(u AS VARCHAR)
+                || CASE WHEN utext <> '' THEN ' ' || utext
+                        ELSE '' END,
+                chr(10) ORDER BY u)
+           || chr(10) || '99 true a b'
+         END AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'csv' ELSE 'jsonl' END AS kind,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(n + 3 AS INT)
+            ELSE CAST(n + 1 AS INT) END AS n_rows,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
     round 12 — absorbing office_extract, whose 3-format rotation is
@@ -7285,6 +7465,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "markdown_extract": (q_markdown_extract, ORACLE_MARKDOWN_EXTRACT),
     "wikitext_extract": (q_wikitext_extract, ORACLE_WIKITEXT_EXTRACT),
     "subtitles_extract": (q_subtitles_extract, ORACLE_SUBTITLES_EXTRACT),
+    "code_extract": (q_code_extract, ORACLE_CODE_EXTRACT),
+    "tabular_extract": (q_tabular_extract, ORACLE_TABULAR_EXTRACT),
 }
 
 
@@ -7338,9 +7520,18 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # hygiene (this round: office_extract ⊂ doctext_sweep).
 
 #: Queries PROMOTED in round 13 (never driver-gated => infinitely
-#: stale => window head). Filled as the round's new surface lands;
-#: every entry must follow the promotion checklist above.
-_NEW_R13: list[str] = []
+#: stale => window head; every entry followed the promotion
+#: checklist above). code_extract gates the source-code family
+#: (functions/code.py: conservative shebang/declaration detection,
+#: LOSSLESS text, comment/string-aware line stats); tabular_extract
+#: gates the CSV/TSV + JSONL family (functions/tabular.py:
+#: quote-aware flattening under the shared paragraph contract, with
+#: every 23rd document rendered ragged/malformed so the typed
+#: quarantine is driver-gated).
+_NEW_R13: list[str] = [
+    "code_extract",
+    "tabular_extract",
+]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12
 #: equal-staleness queries the round-12 window could not hold —

@@ -70,6 +70,80 @@ def build_corpus(spark, k: int) -> tuple[str, str]:
     return docs_path, emb_path
 
 
+def _router_mixed_full(spark, docs) -> int:
+    """The full-breadth router tier: fifteen formats through ONE
+    document_text_features plan — the 8-family rotation plus each
+    round-12/13 family's own synthesizer on ``doc_id % 5``, poison
+    blobs on every 23rd doc gating the quarantine inside the same
+    measured run. Returns ok-row char total (and prints the
+    quarantine count so a silent routing change cannot read as
+    'covered everything')."""
+    from datasplash_spark.functions import code as cd
+    from datasplash_spark.functions import doctext as dtx
+    from datasplash_spark.functions import markdown as mdw
+    from datasplash_spark.functions import subtitles as st
+    from datasplash_spark.functions import tabular as tb
+    from datasplash_spark.functions import wikitext as wk
+
+    d = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    did = F.col("doc_id")
+    # residue split keeps BOTH doc_id parities inside the subtitle
+    # and tabular groups (their synths branch srt/vtt and csv/jsonl
+    # on parity); md and code are parity-indifferent so they share
+    # the %5==1 class via a %10 split
+    media = (
+        dtx.synthesize_documents_from_text(d.filter(did % 5 == 0))
+        .select("doc_id", "media")
+        .unionByName(
+            mdw.synthesize_markdown_from_text(d.filter(did % 10 == 1))
+            .select("doc_id", F.col("source_md").alias("media"))
+        )
+        .unionByName(
+            cd.synthesize_code_from_text(d.filter(did % 10 == 6))
+            .select("doc_id", F.col("source_code").alias("media"))
+        )
+        .unionByName(
+            wk.synthesize_wikitext_from_text(d.filter(did % 5 == 2))
+            .select("doc_id", F.col("source_wiki").alias("media"))
+        )
+        .unionByName(
+            st.synthesize_subtitles_from_text(d.filter(did % 5 == 3))
+            .select("doc_id", "media")
+        )
+        .unionByName(
+            tb.synthesize_tabular_from_text(
+                d.filter(did % 5 == 4), poison_mod=0
+            ).select("doc_id", "media")
+        )
+        .withColumn(
+            "media",
+            F.when(
+                did % 23 == 7,
+                F.lit(b"PK\x05\x06poison-not-a-zip"),
+            ).otherwise(F.col("media")),
+        )
+    )
+    feats = dtx.document_text_features(media).persist()
+    try:
+        ok_chars = (
+            feats.where("ok")
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )
+        quarantined = feats.where("NOT ok").count()
+        kinds = feats.groupBy("kind").count().collect()
+        print(
+            f"    router_mixed_full: quarantined={quarantined} "
+            f"kinds={sorted((r.kind, r['count']) for r in kinds)}",
+            flush=True,
+        )
+    finally:
+        feats.unpersist()
+    return ok_chars
+
+
 def probe(spark, k: int) -> None:
     from datasplash_spark.functions import dedup as dd
     from datasplash_spark.functions import similarity as sim
@@ -370,6 +444,48 @@ def probe(spark, k: int) -> None:
                 fromlist=["subtitles"],
             )
         ),
+        # round 13: source-code family (detector + line scanner,
+        # lossless text)
+        "code_extract": lambda: (
+            lambda cd: cd.code_text_features(
+                cd.synthesize_code_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("code_lines").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.code", fromlist=["code"]
+            )
+        ),
+        # round 13: tabular family (CSV/JSONL quote-aware flatten
+        # incl. the every-23rd ragged/malformed quarantine rows)
+        "tabular_extract": lambda: (
+            lambda tb: tb.tabular_text_features(
+                tb.synthesize_tabular_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    poison_mod=23,
+                )
+            )
+            .agg(F.sum(F.col("n_rows").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.tabular",
+                fromlist=["tabular"],
+            )
+        ),
+        # round 13 (VERDICT r12 item 7): the FULL router breadth in
+        # one mixed bag — the 8-family rotation + markdown + wikitext
+        # + SRT/VTT + code + CSV/JSONL on doc_id % 5, with every 23rd
+        # document replaced by the poison blob (PK magic, not a zip)
+        # so the quarantine path is in the measured plan too.
+        "router_mixed_full": lambda: _router_mixed_full(spark, docs),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)
         "audio_metadata": lambda: (

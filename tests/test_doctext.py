@@ -724,3 +724,160 @@ def test_xml_extraction_rejects_dtd_entity_expansion():
     assert dt._xml_to_text_py(
         b"<?xml version='1.0'?><a><b>hello</b> <c>world</c></a>"
     ) == "hello\nworld"
+
+
+def test_code_writer_reader_parity_and_stats():
+    """encode_code plants the detector + line-scanner constructs;
+    code_to_text must return the file VERBATIM (the lossless
+    contract) and code_line_stats must match the closed-form
+    expected counts — the writer/reader parity contract of every
+    codec family, plus the stats half."""
+    from datasplash_spark.functions import code as C
+
+    for units in (
+        ["alpha beta gamma delta epsilon"],
+        ["one two", "three four five six seven"],
+        ["solo"],
+        ["", "after empty"],
+        [" ".join("w%d" % j for j in range(17)), "v0 v1", "tail"],
+    ):
+        src = C.encode_code(units, 42).decode("utf-8")
+        assert C.code_to_text(src) == C.code_expected_text(units, 42)
+        lang = C.detect_code_lang(src[:4096])
+        assert lang == "python", (units, lang)
+        st = C.code_line_stats(src, lang)
+        exp = C.code_expected_stats(units)
+        assert all(st[k] == exp[k] for k in exp), (units, st, exp)
+
+
+def test_code_line_scanner_string_awareness():
+    """The scanner's headline rule: a comment marker inside a string
+    literal is CODE; triple-quoted bodies are code; C-family block
+    comments count as comments across lines."""
+    from datasplash_spark.functions import code as C
+
+    st = C.code_line_stats(
+        's = "not # a comment"\n# real\nd = """\n# inside docstring\n"""\nx = 1',
+        "python",
+    )
+    assert st == {
+        "n_lines": 6, "comment_lines": 1, "blank_lines": 0,
+        "code_lines": 5, "max_line_len": 21,
+    }, st
+    st = C.code_line_stats(
+        'url = "http://x" // 2\n// real comment\n/* block\nstill block\n*/\nint x;',
+        "c",
+    )
+    # the '//' inside the string line starts with 'url' -> code;
+    # the /* */ block spans three comment lines
+    assert st["comment_lines"] == 4 and st["code_lines"] == 2, st
+
+
+def test_code_detection_is_conservative():
+    """Prose that merely starts with import/from, markdown heads,
+    and wikitext must never route as code; one strong shape alone is
+    not enough."""
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions import markdown as md
+    from datasplash_spark.functions import wikitext as wk
+
+    d = C.detect_code_lang
+    assert d("import duties rose again as trade talks stalled") is None
+    assert d("from the beginning of time, people wondered") is None
+    assert d("# Heading\n\nsome prose body here") is None
+    assert d("import os\nplain prose follows here") is None
+    assert d(md.encode_markdown(["a b c"], title="T").decode()) is None
+    assert d(wk.encode_wikitext(["a b c"]).decode()) is None
+    # and real code in each family detects
+    assert d("#!/usr/bin/env python3\n") == "python"
+    assert d("#include <stdio.h>\n#define MAX 10\n") == "c"
+    assert d("package main\n\nfunc main() {\n}") == "go"
+    assert d("use std::io;\npub fn run() {}\n") == "rust"
+    assert d("const x = 1\nimport fs from 'fs'\n") == "javascript"
+    assert d(
+        "package com.example;\nimport java.util.List;\n"
+    ) == "java"
+
+
+def test_tabular_writer_reader_parity():
+    """encode_csv / encode_jsonl plant the RFC 4180 / JSON Lines
+    adversarial constructs (quoted commas, doubled quotes, embedded
+    newline cells, bools, nulls, nested arrays); the readers must
+    flatten to exactly the expected text, and the ragged/malformed
+    twins must raise TYPED errors."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import tabular as T
+
+    for units in (
+        ["alpha, beta gamma", "delta epsilon"],
+        ["solo"],
+        ["", "after empty"],
+        ["commas, every, where", "none here", "a, b"],
+    ):
+        csv_src = T.encode_csv(units).decode()
+        assert T.csv_to_text(csv_src) == T.csv_expected_text(units)
+        jl_src = T.encode_jsonl(units).decode()
+        assert T.jsonl_to_text(jl_src) == T.jsonl_expected_text(units)
+    with _pytest.raises(ValueError, match="ragged row"):
+        T.csv_to_text(T.encode_csv(["a b"], ragged=True).decode())
+    with _pytest.raises(ValueError, match="unparseable"):
+        T.jsonl_to_text(T.encode_jsonl(["a b"], malformed=True).decode())
+    # TSV: tabs win the delimiter re-sniff
+    assert (
+        T.csv_to_text("id\tname\n1\talice smith\n2\tbob")
+        == "id name\n1 alice smith\n2 bob"
+    )
+
+
+def test_tabular_sniff_is_conservative():
+    """Prose commas (``one, two`` — fields with edge whitespace),
+    JSON arrays, short docs, and the other families' fixtures must
+    not route tabular; exporter-shaped CSV/TSV/JSONL must."""
+    from datasplash_spark.functions import markdown as md
+    from datasplash_spark.functions import tabular as T
+
+    s = T.sniff_tabular_kind
+    assert s("one, two\nthree, four\nfive, six\n") is None
+    assert s("[1, 2, 3]") is None
+    assert s("plain prose words here\nmore words\n") is None
+    assert s("a,b\nc,d\n") is None  # two comma records: too short
+    assert s(md.encode_markdown(["a b"], title="T").decode()) is None
+    assert s(T.encode_csv(["a b"]).decode()) == "csv"
+    assert s(T.encode_jsonl(["a b"]).decode()) == "jsonl"
+    assert s('{"k": 1}') == "jsonl"
+    assert s("id\tname\n1\talice\n") == "csv"
+    # head truncated mid-record must not crash
+    assert s(T.encode_csv(["x y z"] * 50).decode()[:100]) in ("csv", None)
+
+
+def test_router_extracts_code_and_tabular(spark):
+    """The universal router routes and extracts the two round-13
+    families end-to-end, code losslessly (a script with a
+    ``# comment`` head must NOT be stripped by the md pass), and a
+    ragged CSV quarantines typed while siblings extract."""
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions import tabular as T
+
+    script = b"# setup notes\nimport os\nfrom sys import path\n\ndef go():\n    pass\n"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(C.encode_code(["alpha beta"], 1))),
+            (2, bytearray(T.encode_csv(["gamma, delta"]))),
+            (3, bytearray(T.encode_jsonl(["epsilon zeta"]))),
+            (4, bytearray(T.encode_csv(["bad doc"], ragged=True))),
+            (5, bytearray(script)),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "code" and rows[1].ok
+    assert rows[1].text == C.code_expected_text(["alpha beta"], 1)
+    assert rows[2].kind == "csv" and rows[2].ok
+    assert rows[2].text == T.csv_expected_text(["gamma, delta"])
+    assert rows[3].kind == "jsonl" and rows[3].ok
+    assert rows[3].text == T.jsonl_expected_text(["epsilon zeta"])
+    assert rows[4].kind == "csv" and not rows[4].ok
+    assert "ragged row" in rows[4].err
+    assert rows[5].kind == "code" and rows[5].ok
+    assert rows[5].text == script.decode()  # lossless: '#' head intact

@@ -1178,3 +1178,30 @@ def test_subtitles_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "media" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_code_extract_bytes_never_shuffle(spark):
+    """code_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the module
+    synthesizer + the line-stat scanner fused post-shuffle, source
+    bytes never crossing it, two-column pruned scan, md5 JVM-side."""
+    plan = plan_of(_q(spark, "code_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "source_code" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "md5" in plan.split("MapInPandas")[0], plan
+
+
+def test_tabular_extract_bytes_never_shuffle(spark):
+    """tabular_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the CSV/JSONL
+    writers + quote-aware readers fused post-shuffle, media bytes
+    never crossing it."""
+    plan = plan_of(_q(spark, "tabular_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
