@@ -1484,3 +1484,187 @@ def sniff_media_type(media: ColumnLike) -> Column:
         )
         .otherwise(F.lit("unknown"))
     )
+
+
+# ---------------------------------------------------------------------
+# AV sidecar pairing (round 13): WebDataset media + transcript samples
+# ---------------------------------------------------------------------
+
+AV_SAMPLE_SCHEMA = (
+    "shard string, key string, n_members int, paired boolean, "
+    "kind string, width int, height int, duration_s double, "
+    "n_chars int, text string, ok boolean, err string"
+)
+
+
+def synthesize_av_tar_from_text(df, text="text", id_col="doc_id"):
+    """Deterministic AV-corpus fixture (round 13): per doc ONE
+    in-memory WebDataset tar shard holding the sample's members
+    under the shared basename key ``d{doc_id}`` — a metadata-only
+    MP4 (``synthesize_mp4_from_text``'s field formulas over the
+    NORMALIZED text length) and a transcript sidecar (SRT for even
+    doc_ids, WebVTT for odd, cues = words round-robin exactly like
+    the subtitles gate). Sparse samples pin the pairing contract:
+    every ``doc_id % 17 == 3`` doc OMITS its transcript, every
+    ``doc_id % 19 == 5`` doc omits its media, and every ``doc_id %
+    23 == 7`` doc's mp4 member is a POISON blob (no ftyp) so the
+    per-sample typed quarantine gates too. Input normalization is
+    the subtitles family's (markup specials + the shared divergent
+    set → ``-``). Returns ``(doc_id, shard, data binary)``."""
+    import io as _io
+    import re as _re
+    import tarfile as _tarfile
+
+    from . import mp4 as _mp4
+    from . import subtitles as _st
+    from . import web as _web
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, shards, datas = [], [], []
+            for did, t in zip(b[id_col], b[text]):
+                did = int(did)
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = _re.sub(r"[<>{}&]", "-", t)
+                t = _re.sub(r"\s+", " ", t, flags=_re.ASCII).strip()
+                n = len(t)
+                nu = 1 + n % 3
+                words = t.split(" ")
+                nu = min(nu, len(words))
+                cues = [" ".join(words[i::nu]) for i in range(nu)]
+                buf = _io.BytesIO()
+                with _tarfile.open(fileobj=buf, mode="w") as tf:
+                    def add(name: str, payload: bytes) -> None:
+                        info = _tarfile.TarInfo(name)
+                        info.size = len(payload)
+                        tf.addfile(info, _io.BytesIO(payload))
+
+                    if did % 19 != 5:
+                        if did % 23 == 7:
+                            media = b"\x00\x00\x00\x08bad!"
+                        else:
+                            media = _mp4.encode_mp4_skeleton(
+                                [
+                                    {"handler": "vide",
+                                     "codec": "avc1",
+                                     "width": 8 + n % 9,
+                                     "height": 8 + n % 7,
+                                     "n_samples": n},
+                                    {"handler": "soun",
+                                     "codec": "mp4a",
+                                     "channels": 1 + n % 2,
+                                     "sample_rate": 16000},
+                                ],
+                                timescale=1000,
+                                duration_s=float(1 + n % 30),
+                            )
+                        add("d%d.mp4" % did, media)
+                    if did % 17 != 3:
+                        if did % 2 == 0:
+                            add("d%d.srt" % did, _st.encode_srt(cues))
+                        else:
+                            add("d%d.vtt" % did, _st.encode_vtt(cues))
+                ids.append(did)
+                shards.append("d%d.tar" % did)
+                datas.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": ids, "shard": shards, "data": datas}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        synth, schema="doc_id bigint, shard string, data binary"
+    )
+
+
+def av_sample_features(df, shard_col="shard", data_col="data"):
+    """WebDataset AV sample pairing + extraction in ONE kernel
+    (round 13): tar shard bytes → member split (the same
+    ``split_tar_members`` walk the binaryFile reader uses) → group
+    by basename key → per sample, parse the ``.mp4`` member's
+    metadata and extract the ``.srt``/``.vtt`` sidecar's transcript.
+    One typed row per sample: pairing state (``paired``,
+    ``n_members``), first-video-track dims + movie duration,
+    transcript kind/chars/text, and the per-sample quarantine
+    (``ok=false`` with a typed reason when the media member is
+    poison — the transcript still extracts).
+
+    Scale shape: a sample's members live in the SAME tar by the
+    WebDataset convention, so pairing happens inside the shard task
+    — deliberately NOT the generic ``tar_samples`` pivot, which
+    would shuffle media bytes just to reunite rows that were never
+    apart. Bytes never cross an Exchange; only sample rows do."""
+
+    from ..sources.archives import split_tar_members
+    from . import mp4 as _mp4
+    from . import subtitles as _st
+
+    def extract(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for shard, raw in zip(b[shard_col], b[data_col]):
+                members = split_tar_members(
+                    shard, bytes(raw) if raw is not None else b""
+                )
+                samples: dict[str, dict[str, bytes]] = {}
+                for _, _, key, ext, data in members:
+                    samples.setdefault(key, {})[ext] = data
+                for key in sorted(samples):
+                    exts = samples[key]
+                    kind = (
+                        "srt" if "srt" in exts
+                        else "vtt" if "vtt" in exts
+                        else None
+                    )
+                    sub = exts.get(kind) if kind else None
+                    media = exts.get("mp4")
+                    ok, err = True, None
+                    width = height = dur = None
+                    if media is not None:
+                        try:
+                            meta = _mp4.parse_mp4(media)
+                            vid = next(
+                                (t for t in meta["tracks"]
+                                 if t["handler"] == "vide"),
+                                None,
+                            )
+                            if vid is not None:
+                                width = int(vid["width"])
+                                height = int(vid["height"])
+                            dur = meta["duration_s"]
+                        except Exception as e:
+                            ok, err = False, (
+                                f"{type(e).__name__}: {e}"
+                            )
+                    text = n_chars = None
+                    if sub is not None:
+                        s = sub.decode("utf-8", "replace")
+                        text = (
+                            _st.srt_to_text(s)
+                            if kind == "srt"
+                            else _st.vtt_to_text(s)
+                        )
+                        n_chars = len(text)
+                    rows.append(
+                        (
+                            shard, key, len(exts),
+                            media is not None and sub is not None,
+                            kind, width, height, dur, n_chars, text,
+                            ok, err,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "key", "n_members", "paired", "kind",
+                    "width", "height", "duration_s", "n_chars",
+                    "text", "ok", "err",
+                ],
+            )
+
+    return df.select(shard_col, data_col).mapInPandas(
+        extract, schema=AV_SAMPLE_SCHEMA
+    )

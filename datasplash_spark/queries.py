@@ -7067,6 +7067,104 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV sidecar pairing (round 13): per doc a REAL in-memory
+    WebDataset tar shard — a metadata-only MP4 plus an SRT (even
+    doc_ids) / WebVTT (odd) transcript under the shared basename
+    key — walked by the SAME member split the binaryFile reader
+    uses, paired inside the shard task, media metadata parsed and
+    the transcript extracted in ONE kernel
+    (``functions/multimodal.py`` av_sample_features). Sparse and
+    poison samples gate the pairing contract: every ``% 17 == 3``
+    doc has no transcript, every ``% 19 == 5`` doc no media (both
+    → ``paired=false`` with the present half still extracted), and
+    every ``% 23 == 7`` doc's mp4 is a poison blob (→ ``ok=false``
+    typed, transcript still extracted). The oracle replays pairing
+    counts, the mp4 field formulas, and the transcript md5 in SQL.
+    Bytes never cross an Exchange — members of a sample live in the
+    same tar, so pairing needs no shuffle (deliberately NOT the
+    generic tar_samples pivot)."""
+    from .functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = mm.av_sample_features(mm.synthesize_av_tar_from_text(docs))
+    return feats.select(
+        F.expr("CAST(substring(key, 2) AS BIGINT)").alias("doc_id"),
+        F.col("n_members").cast("int").alias("n_members"),
+        "paired",
+        "kind",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "duration_s",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_AV_TRANSCRIPT_PAIRS = """
+WITH norm AS (
+  -- the subtitles family's normalization (markup specials -> '-',
+  -- whitespace runs -> one space)
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[<>{}&@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(length(text) AS INT) AS n,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS nu,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, nu, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, CAST(i % nu AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, nu, (i % nu)
+), cue AS (
+  SELECT doc_id,
+         COALESCE(
+           string_agg(utext, chr(10) ORDER BY u)
+             FILTER (WHERE utext <> ''),
+           ''
+         ) AS text
+  FROM unit GROUP BY doc_id
+), flags AS (
+  SELECT b.doc_id, b.n, c.text,
+         b.doc_id % 17 <> 3 AS has_sub,
+         b.doc_id % 19 <> 5 AS has_mp4,
+         b.doc_id % 23 = 7 AS poison
+  FROM base b JOIN cue c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CAST(has_sub AS INT) + CAST(has_mp4 AS INT) AS INT)
+         AS n_members,
+       has_sub AND has_mp4 AS paired,
+       CASE WHEN NOT has_sub THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+       CASE WHEN has_mp4 AND NOT poison
+            THEN CAST(8 + n % 9 AS INT) END AS width,
+       CASE WHEN has_mp4 AND NOT poison
+            THEN CAST(8 + n % 7 AS INT) END AS height,
+       CASE WHEN has_mp4 AND NOT poison
+            THEN CAST(1 + n % 30 AS DOUBLE) END AS duration_s,
+       CASE WHEN has_sub THEN CAST(length(text) AS INT) END
+         AS n_chars,
+       CASE WHEN has_sub THEN md5(text) END AS text_md5,
+       NOT (has_mp4 AND poison) AS ok
+FROM flags
+WHERE has_sub OR has_mp4
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
     round 12 — absorbing office_extract, whose 3-format rotation is
@@ -7467,6 +7565,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "subtitles_extract": (q_subtitles_extract, ORACLE_SUBTITLES_EXTRACT),
     "code_extract": (q_code_extract, ORACLE_CODE_EXTRACT),
     "tabular_extract": (q_tabular_extract, ORACLE_TABULAR_EXTRACT),
+    "av_transcript_pairs": (q_av_transcript_pairs, ORACLE_AV_TRANSCRIPT_PAIRS),
 }
 
 
@@ -7531,6 +7630,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 _NEW_R13: list[str] = [
     "code_extract",
     "tabular_extract",
+    "av_transcript_pairs",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

@@ -95,35 +95,41 @@ def read_tar_shards(
 
     def split(batches):
         for b in batches:
-            shards, members, keys, exts, datas = [], [], [], [], []
+            rows = []
             for path, content in zip(b["path"], b["content"]):
-                with tarfile.open(
-                    fileobj=io.BytesIO(bytes(content)), mode="r:*"
-                ) as tf:
-                    for m in tf:
-                        if not m.isreg():
-                            continue
-                        f = tf.extractfile(m)
-                        data = f.read() if f is not None else b""
-                        base = m.name.rsplit("/", 1)[-1]
-                        dot = base.find(".")
-                        key = base[:dot] if dot > 0 else base
-                        ext = base[dot + 1 :] if dot > 0 else ""
-                        shards.append(path)
-                        members.append(m.name)
-                        keys.append(key)
-                        exts.append(ext)
-                        datas.append(data)
+                rows.extend(split_tar_members(path, bytes(content)))
             yield pd.DataFrame(
-                {
-                    "shard": shards, "member": members, "key": keys,
-                    "ext": exts, "data": datas,
-                }
+                rows,
+                columns=["shard", "member", "key", "ext", "data"],
             )
 
     return files.select("path", "content").mapInPandas(
         split, schema=TAR_MEMBER_SCHEMA
     )
+
+
+def split_tar_members(
+    shard: str, raw: bytes
+) -> "list[tuple[str, str, str, str, bytes]]":
+    """The ONE copy of the WebDataset member split (round 13,
+    factored out of :func:`read_tar_shards` so in-plan tar bytes —
+    e.g. the AV sidecar-pairing kernel — walk the same code path as
+    the binaryFile reader): every regular member of ``raw`` as
+    ``(shard, member, key, ext, data)`` with ``key`` the basename up
+    to the first dot and ``ext`` the rest."""
+    rows = []
+    with tarfile.open(fileobj=io.BytesIO(raw), mode="r:*") as tf:
+        for m in tf:
+            if not m.isreg():
+                continue
+            f = tf.extractfile(m)
+            data = f.read() if f is not None else b""
+            base = m.name.rsplit("/", 1)[-1]
+            dot = base.find(".")
+            key = base[:dot] if dot > 0 else base
+            ext = base[dot + 1 :] if dot > 0 else ""
+            rows.append((shard, m.name, key, ext, data))
+    return rows
 
 
 def write_tar_shards(

@@ -6316,3 +6316,75 @@ def test_web_ingest_caches_releasable(spark, tmp_path):
     assert res2._web_ingest_caches == ()
     pp.unpersist_web_ingest(res2)
     pp.unpersist_web_ingest(spark.range(1))  # plain DF: no-op
+
+
+def test_av_sample_pairing_semantics(spark):
+    """Round 13: WebDataset AV sidecar pairing — one kernel pairs a
+    sample's .mp4 and .srt/.vtt members by basename key inside the
+    shard task. Pinned: full pair, transcript-only, media-only, and
+    the poison-media sample (typed ok=false, transcript still
+    extracted); mp4 fields match the synth formulas; transcript
+    text equals the subtitles family's expected text."""
+    from datasplash_spark.functions import multimodal as mm
+    from datasplash_spark.functions import subtitles as st
+
+    rows = [
+        (2, "alpha beta gamma delta"),  # full pair, srt
+        (3, "delta epsilon words here"),  # %17==3: no transcript
+        (5, "zeta eta"),  # %19==5: no media
+        (7, "theta iota kappa"),  # %23==7: poison media
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.key: r
+        for r in mm.av_sample_features(
+            mm.synthesize_av_tar_from_text(df)
+        ).collect()
+    }
+    d2 = out["d2"]
+    assert d2.paired and d2.kind == "srt" and d2.ok
+    n = len("alpha beta gamma delta")
+    assert (d2.width, d2.height, d2.duration_s) == (
+        8 + n % 9, 8 + n % 7, float(1 + n % 30),
+    )
+    assert d2.text == st.subtitles_expected_text(
+        ["alpha gamma", "beta delta"]
+    )
+    d3 = out["d3"]
+    assert not d3.paired and d3.kind is None and d3.n_members == 1
+    assert d3.width is not None and d3.ok
+    d5 = out["d5"]
+    assert not d5.paired and d5.kind == "vtt" and d5.width is None
+    assert d5.n_chars == len(d5.text) and d5.ok
+    d7 = out["d7"]
+    assert d7.paired and not d7.ok and "mp4" in d7.err
+    assert d7.kind == "vtt" and d7.text  # transcript still extracted
+
+
+def test_av_pairing_through_disk_shards(spark, tmp_path):
+    """The same pairing kernel composes with REAL tar shards on
+    disk through the binaryFile reader (the split helper is shared
+    with read_tar_shards, so the in-plan and on-disk walks cannot
+    diverge)."""
+    from datasplash_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(2, "alpha beta gamma delta"), (4, "epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for r in mm.synthesize_av_tar_from_text(df).collect():
+        (shard_dir / r.shard).write_bytes(bytes(r.data))
+    files = spark.read.format("binaryFile").load(
+        str(shard_dir) + "/*.tar"
+    )
+    out = {
+        r.key: r
+        for r in mm.av_sample_features(
+            files, shard_col="path", data_col="content"
+        ).collect()
+    }
+    assert set(out) == {"d2", "d4"}
+    assert all(r.paired and r.ok for r in out.values())
+    assert out["d2"].kind == "srt" and out["d4"].kind == "srt"

@@ -1205,3 +1205,21 @@ def test_tabular_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "media" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_av_transcript_pairs_bytes_never_shuffle(spark):
+    """av_transcript_pairs (gated round 13): the codec-family
+    contract — one Exchange (the raw two-column repartition), tar
+    synthesis + member split + in-shard pairing + mp4 parse +
+    transcript extraction all fused post-shuffle, shard/member
+    bytes never crossing it (pairing happens inside the shard task,
+    NOT via a tar_samples pivot)."""
+    plan = plan_of(_q(spark, "av_transcript_pairs"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = "".join(l for l in plan.splitlines() if "Exchange" in l)
+    # the one exchange carries only the doc_id hash partitioning —
+    # no tar/member binary column rides it
+    assert "hashpartitioning(doc_id" in exch and "data" not in exch, exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "md5" in plan.split("MapInPandas")[0], plan
