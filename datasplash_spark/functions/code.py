@@ -72,6 +72,7 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
         ("python", r"^@\w[\w.]*(?:\([^\n]*\))?[ \t]*$"),
         ("c", r"^[ \t]*#include[ \t]*[<\"]"),
         ("c", r"^[ \t]*#define[ \t]+\w+"),
+        ("c", r"^[ \t]*(?:static[ \t]+|const[ \t]+|unsigned[ \t]+|inline[ \t]+|extern[ \t]+)*(?:int|void|char|long|short|float|double|size_t|bool)[ \t]+\**\w+[ \t]*\("),
         ("java", r"^package[ \t]+[\w.]+;[ \t]*$"),
         ("java", r"^import[ \t]+(?:static[ \t]+)?[\w.*]+;[ \t]*$"),
         ("java", r"^[ \t]*(?:public|private|protected)[ \t]+(?:static[ \t]+|final[ \t]+|abstract[ \t]+)*(?:class|interface|enum|void|\w+(?:<[^\n>]*>)?)[ \t]+\w+"),
@@ -129,6 +130,48 @@ def code_to_text(src: str) -> str:
     return src
 
 
+def _python_line_quote_state(line: str) -> str | None:
+    """Walk one Python CODE line character-by-character tracking
+    string state; returns the triple-quote delimiter left OPEN at
+    end of line (``None`` when the line closes everything it
+    opens). Single/double quotes and backslash escapes are honored,
+    so a triple-quote sequence inside an ordinary string literal
+    never flips docstring state; a ``#`` outside strings ends the
+    scan (the rest is a trailing comment)."""
+    i, n = 0, len(line)
+    quote: str | None = None
+    triple: str | None = None
+    while i < n:
+        if triple is not None:
+            if line.startswith(triple, i):
+                triple = None
+                i += 3
+            else:
+                i += 1
+            continue
+        c = line[i]
+        if quote is not None:
+            if c == "\\":
+                i += 2
+            else:
+                if c == quote:
+                    quote = None
+                i += 1
+            continue
+        if line.startswith('"""', i) or line.startswith("'''", i):
+            triple = line[i : i + 3]
+            i += 3
+            continue
+        if c in "\"'":
+            quote = c
+            i += 1
+            continue
+        if c == "#":
+            break
+        i += 1
+    return triple
+
+
 def code_line_stats(src: str, lang: str) -> dict:
     """Comment/string-aware line classification. Returns
     ``{n_lines, comment_lines, blank_lines, code_lines,
@@ -175,14 +218,12 @@ def code_line_stats(src: str, lang: str) -> dict:
                 in_block_comment = True
             n_comment += 1
             continue
-        # code line: scan quote state to ignore comment markers
-        # inside string literals (the string-aware half)
+        # code line: a true quote-state scan (the string-aware
+        # half) — a triple-quote opener inside an ordinary string
+        # literal (x = "'''") must NOT flip docstring state, and
+        # backslash escapes must not close a string early
         if triple_quotes:
-            for q in ('"""', "'''"):
-                idx = line.find(q)
-                if idx != -1 and line.count(q, idx) % 2 == 1:
-                    in_triple = q
-                    break
+            in_triple = _python_line_quote_state(line)
         continue
     n_lines = len(lines)
     return {

@@ -157,22 +157,21 @@ def sniff_document_kind(raw: bytes) -> str:
     if _SRT_SNIFF_RE.match(head):
         return "srt"
     text_head = head.decode("utf-8", "replace")
-    # tabular before code/wiki/md (round 13): a data file's rows can
-    # carry anything, while the structural sniffs below are all
-    # line-shape heuristics a consistent table never satisfies
+    # code BEFORE tabular and wiki/md (round 13, the loss-direction
+    # rule): C-style declaration lines with no space after the comma
+    # (`int add(int a,int b);` ×3) satisfy the consistent-field csv
+    # shape, and a Python file whose head comment is '# words' would
+    # route 'md' — both would extract LOSSILY, while misrouting a
+    # data file as code merely keeps its delimiters (lossless)
+    from . import code as cd
+
+    if cd.detect_code_lang(text_head):
+        return "code"
     from . import tabular as tb
 
     tab = tb.sniff_tabular_kind(text_head)
     if tab:
         return tab  # 'csv' (incl. TSV) | 'jsonl'
-    # code before wiki/md (round 13, deliberate precedence): a
-    # Python file whose head comment is '# words' would otherwise
-    # route 'md' and extract LOSSILY (the ATX pass strips the '#');
-    # misrouting markdown as code merely keeps its markup — lossless
-    from . import code as cd
-
-    if cd.detect_code_lang(text_head):
-        return "code"
     if _wiki_sniff(head):
         return "wiki"
     if _MD_SNIFF_RE.search(head):

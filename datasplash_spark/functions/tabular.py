@@ -128,7 +128,10 @@ def _flatten_cells(cells: list[str]) -> str:
     """One record → one line under the shared paragraph contract:
     embedded newlines inside a cell become spaces, cells join with
     one space, runs collapse, no edge whitespace."""
-    line = " ".join(c.replace("\n", " ") for c in cells)
+    line = " ".join(
+        c.replace("\r\n", " ").replace("\n", " ").replace("\r", " ")
+        for c in cells
+    )
     return re.sub(r"[ \t]+", " ", line).strip()
 
 

@@ -791,6 +791,9 @@ def test_code_detection_is_conservative():
     # and real code in each family detects
     assert d("#!/usr/bin/env python3\n") == "python"
     assert d("#include <stdio.h>\n#define MAX 10\n") == "c"
+    assert d(
+        "int add(int a,int b);\nint sub(int a,int b);\n"
+    ) == "c"  # declaration lines: would sniff csv without code precedence
     assert d("package main\n\nfunc main() {\n}") == "go"
     assert d("use std::io;\npub fn run() {}\n") == "rust"
     assert d("const x = 1\nimport fs from 'fs'\n") == "javascript"
@@ -881,3 +884,22 @@ def test_router_extracts_code_and_tabular(spark):
     assert "ragged row" in rows[4].err
     assert rows[5].kind == "code" and rows[5].ok
     assert rows[5].text == script.decode()  # lossless: '#' head intact
+
+
+def test_tabular_and_code_windows_line_endings():
+    """Round-13 review pins: CRLF CSV parses record-wise (the csv
+    module owns the EOL), an embedded CRLF inside a quoted cell
+    flattens to one space, and the python line scanner does not let
+    a triple-quote sequence inside an ordinary string flip
+    docstring state."""
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions import tabular as T
+
+    assert T.csv_to_text("id,name\r\n1,alice\r\n2,bob") == (
+        "id name\n1 alice\n2 bob"
+    )
+    assert T.csv_to_text('a,"x\r\ny"\nq,w') == "a x y\nq w"
+    assert T.sniff_tabular_kind("id,name\r\n1,a\r\n2,b\r\n3,c\r\n") == "csv"
+    assert T.jsonl_to_text('{"a": 1}\r\n{"a": 2}') == "1\n2"
+    st = C.code_line_stats("x = \"'''\"\n# comment\ny = 1", "python")
+    assert st["comment_lines"] == 1 and st["code_lines"] == 2, st
