@@ -235,55 +235,125 @@ def code_line_stats(src: str, lang: str) -> dict:
     }
 
 
-def encode_code(units: list[str], doc_id: int = 0) -> bytes:
-    """Fixture half: a real Python module per unit list, planting
-    the constructs the detector and the line scanner must handle —
-    a shebang (comment), a module comment, a full-line import, one
-    ``def`` block per unit whose body carries a comment line AND a
-    string literal of the same words, two blank lines between
-    top-level definitions, and a module-level string containing a
-    literal ``#`` that must count as CODE (the string-aware pin)."""
-    lines = [
-        "#!/usr/bin/env python",
-        "# Module d%d" % doc_id,
-        "import os",
-        "",
-        "",
-    ]
-    for i, u in enumerate(units):
-        lines += [
-            "def f%d():" % i,
-            "    # %s" % u,
-            '    s = "%s"' % u,
-            "    return s + os.sep",
+def encode_code(
+    units: list[str], doc_id: int = 0, lang: str = "python"
+) -> bytes:
+    """Fixture half: a real source file per unit list in one of
+    THREE languages, planting the constructs the detector and the
+    line scanner must handle per comment family —
+
+    - ``python``: shebang (comment), module comment, full-line
+      import, one ``def`` block per unit whose body carries a
+      comment line AND a string literal of the same words, and a
+      module string containing a literal ``#`` that must count as
+      CODE (the hash-family string-aware pin);
+    - ``c``: ``#include`` (CODE in the slash family), a TWO-LINE
+      ``/* */`` header block, one function per unit with a
+      single-line block comment and a string literal, and a string
+      containing ``//`` that must count as code;
+    - ``javascript``: ``import … from``, ``//`` comments,
+      ``export function`` blocks, and the same ``//``-in-string
+      pin."""
+    if lang == "python":
+        lines = [
+            "#!/usr/bin/env python",
+            "# Module d%d" % doc_id,
+            "import os",
             "",
             "",
         ]
-    lines += [
-        'S = "hash # inside string stays code"',
-        "# done trailing comment",
-    ]
+        for i, u in enumerate(units):
+            lines += [
+                "def f%d():" % i,
+                "    # %s" % u,
+                '    s = "%s"' % u,
+                "    return s + os.sep",
+                "",
+                "",
+            ]
+        lines += [
+            'S = "hash # inside string stays code"',
+            "# done trailing comment",
+        ]
+    elif lang == "c":
+        lines = [
+            "#include <stdio.h>",
+            "/* Module d%d" % doc_id,
+            "   two-line header note */",
+            "",
+        ]
+        for i, u in enumerate(units):
+            lines += [
+                "int f%d(void) {" % i,
+                "    /* %s */" % u,
+                '    const char *s = "%s";' % u,
+                "    return 0;",
+                "}",
+                "",
+            ]
+        lines += [
+            'const char *S = "hash // inside string stays code";',
+            "// done trailing comment",
+        ]
+    elif lang == "javascript":
+        lines = [
+            "import fs from 'fs'",
+            "// Module d%d" % doc_id,
+            "",
+        ]
+        for i, u in enumerate(units):
+            lines += [
+                "export function f%d() {" % i,
+                "  // %s" % u,
+                '  const s%d = "%s"' % (i, u),
+                "  return s%d.length" % i,
+                "}",
+                "",
+            ]
+        lines += [
+            'const S = "hash // inside string stays code"',
+            "// done trailing comment",
+        ]
+    else:
+        raise ValueError(f"encode_code: unknown lang {lang!r}")
     return "\n".join(lines).encode("utf-8")
 
 
-def code_expected_text(units: list[str], doc_id: int = 0) -> str:
+def code_expected_text(
+    units: list[str], doc_id: int = 0, lang: str = "python"
+) -> str:
     """The exact (verbatim) text :func:`code_to_text` yields for
     :func:`encode_code` — the lossless contract stated next to the
     writer."""
-    return encode_code(units, doc_id).decode("utf-8")
+    return encode_code(units, doc_id, lang).decode("utf-8")
 
 
-def code_expected_stats(units: list[str]) -> dict:
-    """Closed-form expected line stats for :func:`encode_code`:
-    header = 2 comments + 1 code + 2 blanks; each unit block = 1
-    comment + 3 code + 2 blanks; footer = 1 code + 1 comment."""
+def code_expected_stats(units: list[str], lang: str = "python") -> dict:
+    """Closed-form expected line stats for :func:`encode_code` per
+    language (header/block/footer shapes in the writer)."""
     n = len(units)
-    return {
-        "n_lines": 7 + 6 * n,
-        "comment_lines": 3 + n,
-        "blank_lines": 2 + 2 * n,
-        "code_lines": 2 + 3 * n,
-    }
+    if lang == "python":
+        return {
+            "n_lines": 7 + 6 * n,
+            "comment_lines": 3 + n,
+            "blank_lines": 2 + 2 * n,
+            "code_lines": 2 + 3 * n,
+        }
+    if lang == "c":
+        return {
+            "n_lines": 6 + 6 * n,
+            "comment_lines": 3 + n,
+            "blank_lines": 1 + n,
+            "code_lines": 2 + 4 * n,
+        }
+    if lang == "javascript":
+        return {
+            "n_lines": 5 + 6 * n,
+            "comment_lines": 2 + n,
+            "blank_lines": 1 + n,
+            "code_lines": 2 + 4 * n,
+        }
+    raise ValueError(f"code_expected_stats: unknown lang {lang!r}")
 
 
 CODE_FEATURES_SCHEMA = (
@@ -297,11 +367,16 @@ def synthesize_code_from_text(df, text="text", id_col="doc_id", units_mod=3):
     """Deterministic synthetic code corpus for the corpus gate: per
     doc ``1 + len(text) % units_mod`` units (words round-robin,
     clamped to the word count), rendered through
-    :func:`encode_code`. Input normalization (mirrored in the
-    oracle): characters that would change the line grammar
-    (``#``, quotes, backslash) → ``-``, the shared divergent set →
-    ``-``, whitespace runs → one space. Returns ``(doc_id, n_units,
+    :func:`encode_code` with the language rotating on ``doc_id %
+    3`` (python / c / javascript — so BOTH comment families and the
+    block-comment state machine are driver-gated). Input
+    normalization (mirrored in the oracle): characters that would
+    change the line grammar (``#``, quotes, backslash, ``*`` and
+    ``/`` — a unit containing ``*/`` would close the C block
+    comment early) → ``-``, the shared divergent set → ``-``,
+    whitespace runs → one space. Returns ``(doc_id, n_units,
     source_code binary)``."""
+    _LANGS = ("python", "c", "javascript")
 
     def synth(batches):
         import pandas as pd
@@ -311,7 +386,7 @@ def synthesize_code_from_text(df, text="text", id_col="doc_id", units_mod=3):
             for did, t in zip(b[id_col], b[text]):
                 did = int(did)
                 t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
-                t = re.sub(r"[#\"'\\]", "-", t)
+                t = re.sub(r"[#\"'\\*/]", "-", t)
                 t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
@@ -319,7 +394,7 @@ def synthesize_code_from_text(df, text="text", id_col="doc_id", units_mod=3):
                 units = [" ".join(words[i::n]) for i in range(n)]
                 ids.append(did)
                 nus.append(n)
-                srcs.append(encode_code(units, did))
+                srcs.append(encode_code(units, did, _LANGS[did % 3]))
             yield pd.DataFrame(
                 {"doc_id": ids, "n_units": nus, "source_code": srcs}
             )

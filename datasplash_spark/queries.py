@@ -6888,16 +6888,19 @@ FROM doc
 
 
 def q_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-code modality (round 13): per doc a REAL Python module
-    — shebang, module comment, full-line import, ``1 + len(text) %
-    3`` def blocks (words round-robin) each carrying a comment line
-    AND a string literal of the same words, two blank lines between
-    definitions, and a module-level string containing a literal
-    ``#`` that must count as CODE — detected (shebang → 'python')
-    and line-classified through the comment/string-aware scanner
-    (``functions/code.py``), with the text kept LOSSLESS. The
-    oracle rebuilds the exact file in SQL (md5) and the closed-form
-    line stats, so detection, every line-class rule, and the
+    """Source-code modality (round 13): per doc a REAL source file,
+    the language rotating on ``doc_id % 3`` — a Python module
+    (shebang, hash comments, a ``#``-inside-string pin), a C file
+    (``#include`` counting as CODE, a TWO-LINE ``/* */`` header
+    block, a ``//``-inside-string pin), and a JavaScript module
+    (``import … from``, ``export function``, ``//`` comments) —
+    each with ``1 + len(text) % 3`` function blocks (words
+    round-robin) carrying a comment line AND a string literal of
+    the same words. Detected and line-classified through the
+    comment/string-aware scanner (``functions/code.py``), text kept
+    LOSSLESS. The oracle rebuilds each exact file in SQL (md5) and
+    the per-language closed-form line stats, so detection, BOTH
+    comment families, the block-comment state machine, and the
     lossless contract are value-pinned corpus-wide."""
     from .functions import code as cd
 
@@ -6920,12 +6923,12 @@ def q_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CODE_EXTRACT = """
 WITH norm AS (
   -- mirror the synthesizer's deterministic input normalization:
-  -- line-grammar characters (#, quotes, backslash) -> '-',
-  -- whitespace runs -> one space
+  -- line-grammar characters (#, quotes, backslash, * and /) ->
+  -- '-', whitespace runs -> one space
   SELECT doc_id,
          trim(regexp_replace(
            regexp_replace(COALESCE(text, ''),
-                          '[#"''\\\\@DIVERGENT@]', '-', 'g'),
+                          '[#"''\\\\*/@DIVERGENT@]', '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -6944,29 +6947,78 @@ WITH norm AS (
          string_agg(word, ' ' ORDER BY i) AS utext
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
-  -- the exact file encode_code writes: header, one def block per
-  -- unit (each ending in two blank lines), string-aware footer
+  -- the exact file encode_code writes per language (doc_id % 3
+  -- rotates python / c / javascript): header, one function block
+  -- per unit, string-aware footer
   SELECT doc_id,
-         '#!/usr/bin/env python' || chr(10)
-         || '# Module d' || CAST(doc_id AS VARCHAR) || chr(10)
-         || 'import os' || chr(10) || chr(10) || chr(10)
+         CASE doc_id % 3
+           WHEN 0 THEN
+             '#!/usr/bin/env python' || chr(10)
+             || '# Module d' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'import os' || chr(10) || chr(10) || chr(10)
+           WHEN 1 THEN
+             '#include <stdio.h>' || chr(10)
+             || '/* Module d' || CAST(doc_id AS VARCHAR) || chr(10)
+             || '   two-line header note */' || chr(10) || chr(10)
+           ELSE
+             'import fs from ''fs''' || chr(10)
+             || '// Module d' || CAST(doc_id AS VARCHAR)
+             || chr(10) || chr(10)
+         END
          || string_agg(
-              'def f' || CAST(u AS VARCHAR) || '():' || chr(10)
-              || '    # ' || utext || chr(10)
-              || '    s = "' || utext || '"' || chr(10)
-              || '    return s + os.sep'
-              || chr(10) || chr(10) || chr(10),
+              CASE doc_id % 3
+                WHEN 0 THEN
+                  'def f' || CAST(u AS VARCHAR) || '():' || chr(10)
+                  || '    # ' || utext || chr(10)
+                  || '    s = "' || utext || '"' || chr(10)
+                  || '    return s + os.sep'
+                  || chr(10) || chr(10) || chr(10)
+                WHEN 1 THEN
+                  'int f' || CAST(u AS VARCHAR) || '(void) {'
+                  || chr(10)
+                  || '    /* ' || utext || ' */' || chr(10)
+                  || '    const char *s = "' || utext || '";'
+                  || chr(10)
+                  || '    return 0;' || chr(10)
+                  || '}' || chr(10) || chr(10)
+                ELSE
+                  'export function f' || CAST(u AS VARCHAR)
+                  || '() {' || chr(10)
+                  || '  // ' || utext || chr(10)
+                  || '  const s' || CAST(u AS VARCHAR) || ' = "'
+                  || utext || '"' || chr(10)
+                  || '  return s' || CAST(u AS VARCHAR)
+                  || '.length' || chr(10)
+                  || '}' || chr(10) || chr(10)
+              END,
               '' ORDER BY u)
-         || 'S = "hash # inside string stays code"' || chr(10)
-         || '# done trailing comment' AS text,
+         || CASE doc_id % 3
+              WHEN 0 THEN
+                'S = "hash # inside string stays code"' || chr(10)
+                || '# done trailing comment'
+              WHEN 1 THEN
+                'const char *S = "hash // inside string stays code";'
+                || chr(10) || '// done trailing comment'
+              ELSE
+                'const S = "hash // inside string stays code"'
+                || chr(10) || '// done trailing comment'
+            END AS text,
          MAX(n) AS n
   FROM unit GROUP BY doc_id
 )
-SELECT doc_id, 'python' AS lang,
-       CAST(7 + 6 * n AS INT) AS n_lines,
-       CAST(3 + n AS INT) AS comment_lines,
-       CAST(2 + 2 * n AS INT) AS blank_lines,
-       CAST(2 + 3 * n AS INT) AS code_lines,
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'c'
+            ELSE 'javascript' END AS lang,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 7 + 6 * n
+            WHEN 1 THEN 6 + 6 * n ELSE 5 + 6 * n END AS INT)
+         AS n_lines,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 3 + n
+            WHEN 1 THEN 3 + n ELSE 2 + n END AS INT)
+         AS comment_lines,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2 + 2 * n
+            ELSE 1 + n END AS INT) AS blank_lines,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2 + 3 * n
+            ELSE 2 + 4 * n END AS INT) AS code_lines,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)

@@ -734,20 +734,25 @@ def test_code_writer_reader_parity_and_stats():
     codec family, plus the stats half."""
     from datasplash_spark.functions import code as C
 
-    for units in (
-        ["alpha beta gamma delta epsilon"],
-        ["one two", "three four five six seven"],
-        ["solo"],
-        ["", "after empty"],
-        [" ".join("w%d" % j for j in range(17)), "v0 v1", "tail"],
-    ):
-        src = C.encode_code(units, 42).decode("utf-8")
-        assert C.code_to_text(src) == C.code_expected_text(units, 42)
-        lang = C.detect_code_lang(src[:4096])
-        assert lang == "python", (units, lang)
-        st = C.code_line_stats(src, lang)
-        exp = C.code_expected_stats(units)
-        assert all(st[k] == exp[k] for k in exp), (units, st, exp)
+    for want_lang in ("python", "c", "javascript"):
+        for units in (
+            ["alpha beta gamma delta epsilon"],
+            ["one two", "three four five six seven"],
+            ["solo"],
+            ["", "after empty"],
+            [" ".join("w%d" % j for j in range(17)), "v0 v1", "tail"],
+        ):
+            src = C.encode_code(units, 42, want_lang).decode("utf-8")
+            assert C.code_to_text(src) == C.code_expected_text(
+                units, 42, want_lang
+            )
+            lang = C.detect_code_lang(src[:4096])
+            assert lang == want_lang, (want_lang, units, lang)
+            st = C.code_line_stats(src, lang)
+            exp = C.code_expected_stats(units, want_lang)
+            assert all(st[k] == exp[k] for k in exp), (
+                want_lang, units, st, exp,
+            )
 
 
 def test_code_line_scanner_string_awareness():
