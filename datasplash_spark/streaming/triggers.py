@@ -831,3 +831,46 @@ def paned_session_agg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+#: substrings Spark's state-store compatibility checker puts in its
+#: error (error-class form and the pre-error-class prose form)
+_STATE_SCHEMA_ERROR_MARKERS = (
+    "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE",
+    "STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE",
+    "does not match existing state schema",
+    "doesn't match to the schema for existing state",
+)
+
+
+def explain_streaming_state_error(exc) -> str | None:
+    """Recognize Spark's state-store schema-incompatibility failure
+    and return the library-level recipe, else ``None`` (ADVICE r12:
+    round 12 widened the paned fixed-window state row by one column,
+    so a pre-round-12 checkpoint fails with a raw state-store error
+    that carries no hint). The failure surfaces ASYNCHRONOUSLY —
+    on ``query.awaitTermination()`` / ``query.exception()`` — which
+    is why this is a recognizer the caller applies there rather than
+    a wrapper around query start:
+
+        try:
+            q.awaitTermination()
+        except Exception as e:
+            hint = explain_streaming_state_error(e)
+            if hint: ...
+    """
+    msg = str(exc)
+    if not any(m in msg for m in _STATE_SCHEMA_ERROR_MARKERS):
+        return None
+    return (
+        "streaming state schema incompatibility: the paned-window "
+        "state row format changed in round 12 (a first_pt column "
+        "for processing-time triggers), so this checkpoint was "
+        "written by an older library version and cannot be resumed. "
+        "Restart the query with a FRESH checkpoint directory and "
+        "replay the source — the batch-id-idempotent sinks "
+        "(idempotent_parquet_batch_writer, document_text_ingest, "
+        "web_ingest_stream) absorb the replay without duplicates. "
+        "See the state-schema note in streaming/triggers.py and "
+        "MIGRATION.md."
+    )

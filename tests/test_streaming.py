@@ -2501,3 +2501,28 @@ def test_paned_early_firings_accept_trigger_specs(spark, tmp_path):
         (1, "EARLY", 7, False, 1),
         (2, "ON_TIME", 7, True, 0),
     ], rows
+
+
+def test_explain_streaming_state_error_recognizer():
+    """ADVICE r12 (optional item): the state-store schema failure a
+    pre-round-12 checkpoint raises is recognized and annotated with
+    the fresh-checkpoint recipe; unrelated errors pass through as
+    None."""
+    from datasplash_spark.streaming.triggers import (
+        explain_streaming_state_error,
+    )
+
+    hit = explain_streaming_state_error(
+        Exception(
+            "[STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE] Provided "
+            "schema doesn't match to the schema for existing state"
+        )
+    )
+    assert hit and "fresh checkpoint" in hit.lower()
+    assert explain_streaming_state_error(Exception("boom")) is None
+    assert (
+        explain_streaming_state_error(
+            Exception("FileNotFoundException: /tmp/x")
+        )
+        is None
+    )
