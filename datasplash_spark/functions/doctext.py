@@ -125,6 +125,17 @@ def sniff_document_kind(raw: bytes) -> str:
     is a valid document). '' only for empty input."""
     if not raw:
         return ""
+    # compressed transports and columnar containers (round 13):
+    # crawl/shared-drive dumps gzip single documents routinely, and
+    # parquet files ride the same directories
+    if raw[:2] == b"\x1f\x8b":
+        return "gz"
+    if raw[:3] == b"BZh" and raw[3:4].isdigit():
+        return "bz2"
+    if raw[:6] == b"\xfd7zXZ\x00":
+        return "xz"
+    if raw[:4] == b"PAR1":
+        return "parquet"
     if raw[:5] == b"%PDF-":
         return "pdf"
     if raw[:2] == b"PK":
@@ -236,6 +247,137 @@ DOCUMENT_TEXT_SCHEMA = (
     "ok boolean, err string"
 )
 
+#: decompression bomb guard: a single DOCUMENT decompressing past
+#: this is hostile or misrouted either way (shard-level archives go
+#: through sources/archives.py, not here)
+_MAX_DECOMPRESSED = 1 << 26  # 64 MiB
+
+
+def _decompress(kind: str, data: bytes) -> bytes:
+    """Bounded one-member decompression for the gz/bz2/xz
+    transports; raises ``ValueError`` (typed) so a bomb, a corrupt
+    body, or a TRUNCATED stream quarantines its document. The
+    stdlib decompressors return partial output on truncation
+    without raising — end-of-stream must be confirmed via ``eof``
+    (review finding, round 13), and output is drained in capped
+    chunks so a bomb fails before materializing."""
+    import bz2
+    import lzma
+    import zlib
+
+    chunk_size = 1 << 22
+    out = bytearray()
+    try:
+        if kind == "gz":
+            d = zlib.decompressobj(wbits=47)  # gzip or zlib header
+            out += d.decompress(data, chunk_size)
+            while not d.eof:
+                if len(out) > _MAX_DECOMPRESSED:
+                    break
+                if not d.unconsumed_tail:
+                    raise ValueError(f"{kind}: truncated stream")
+                out += d.decompress(d.unconsumed_tail, chunk_size)
+        else:
+            d = (
+                bz2.BZ2Decompressor()
+                if kind == "bz2"
+                else lzma.LZMADecompressor()
+            )
+            out += d.decompress(data, chunk_size)
+            while not d.eof:
+                if len(out) > _MAX_DECOMPRESSED:
+                    break
+                if d.needs_input:
+                    raise ValueError(f"{kind}: truncated stream")
+                out += d.decompress(b"", chunk_size)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"{kind}: corrupt stream ({e})")
+    if len(out) > _MAX_DECOMPRESSED:
+        raise ValueError(
+            f"{kind}: decompresses past {_MAX_DECOMPRESSED} bytes "
+            "(bomb guard)"
+        )
+    return bytes(out)
+
+
+def extract_document_text(
+    data: bytes, kind: str | None = None, _depth: int = 0
+) -> tuple[str, str]:
+    """ONE document blob → ``(final_kind, text)`` via the routing
+    table in the module docstring (``kind=None`` sniffs first).
+    Compressed transports (gz/bz2/xz) decompress bounded and
+    recurse ONCE into the inner document — the returned kind
+    composes as ``'gz:md'`` — with at most two decompression
+    layers. Raises typed errors for poison input; the kernel turns
+    those into the per-document quarantine row."""
+    from . import code as cd
+    from . import latex as lx
+    from . import markdown as md
+    from . import office as of
+    from . import pdf as pf
+    from . import rtf as rt
+    from . import subtitles as st
+    from . import tabular as tb
+    from . import wikitext as wk
+
+    if kind is None:
+        kind = sniff_document_kind(data)
+    if kind in ("gz", "bz2", "xz"):
+        if _depth >= 2:
+            raise ValueError(
+                "doctext: nested compression past two layers"
+            )
+        inner = _decompress(kind, data)
+        ik, text = extract_document_text(inner, _depth=_depth + 1)
+        return f"{kind}:{ik}", text
+    if kind == "pdf":
+        return kind, pf.extract_pdf_text(data)["text"]
+    if kind == "docx":
+        return kind, of.parse_docx(data)["text"]
+    if kind == "epub":
+        return kind, of.parse_epub(data)["text"]
+    if kind == "pptx":
+        return kind, of.parse_pptx(data)["text"]
+    if kind == "odt":
+        return kind, of.parse_odt(data)["text"]
+    if kind == "rtf":
+        return kind, rt.rtf_to_text(data.decode("latin-1"))
+    if kind == "latex":
+        return kind, lx.latex_to_text(data.decode("utf-8", "replace"))
+    if kind == "html":
+        return kind, _html_to_text_py(data.decode("utf-8", "replace"))
+    if kind == "md":
+        return kind, md.markdown_to_text(
+            data.decode("utf-8", "replace")
+        )
+    if kind == "wiki":
+        return kind, wk.wikitext_to_text(
+            data.decode("utf-8", "replace")
+        )
+    if kind == "vtt":
+        return kind, st.vtt_to_text(data.decode("utf-8", "replace"))
+    if kind == "srt":
+        return kind, st.srt_to_text(data.decode("utf-8", "replace"))
+    if kind == "xml":
+        return kind, _xml_to_text_py(data)
+    if kind == "parquet":
+        return kind, tb.parquet_to_text(data)
+    if kind == "csv":
+        return kind, tb.csv_to_text(data.decode("utf-8", "replace"))
+    if kind == "jsonl":
+        return kind, tb.jsonl_to_text(data.decode("utf-8", "replace"))
+    if kind == "code":
+        # lossless contract: code text is corpus text verbatim; the
+        # kind tag is the value
+        return kind, cd.code_to_text(data.decode("utf-8", "replace"))
+    if kind == "text":
+        return kind, data.decode("utf-8", "replace")
+    raise ValueError(
+        f"doctext: unroutable container ({kind or 'empty'})"
+    )
+
 
 def document_text_features(
     df, id_col="doc_id", media_col="media", passthrough=()
@@ -258,16 +400,6 @@ def document_text_features(
     def extract(batches):
         import pandas as pd
 
-        from . import code as cd
-        from . import latex as lx
-        from . import markdown as md
-        from . import office as of
-        from . import pdf as pf
-        from . import rtf as rt
-        from . import subtitles as st
-        from . import tabular as tb
-        from . import wikitext as wk
-
         for b in batches:
             rows = []
             extras_cols = [b[c] for c in passthrough]
@@ -278,64 +410,7 @@ def document_text_features(
                 data = bytes(raw) if raw is not None else b""
                 kind = sniff_document_kind(data)
                 try:
-                    if kind == "pdf":
-                        text = pf.extract_pdf_text(data)["text"]
-                    elif kind == "docx":
-                        text = of.parse_docx(data)["text"]
-                    elif kind == "epub":
-                        text = of.parse_epub(data)["text"]
-                    elif kind == "pptx":
-                        text = of.parse_pptx(data)["text"]
-                    elif kind == "odt":
-                        text = of.parse_odt(data)["text"]
-                    elif kind == "rtf":
-                        text = rt.rtf_to_text(data.decode("latin-1"))
-                    elif kind == "latex":
-                        text = lx.latex_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "html":
-                        text = _html_to_text_py(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "md":
-                        text = md.markdown_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "wiki":
-                        text = wk.wikitext_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "vtt":
-                        text = st.vtt_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "srt":
-                        text = st.srt_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "xml":
-                        text = _xml_to_text_py(data)
-                    elif kind == "csv":
-                        text = tb.csv_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "jsonl":
-                        text = tb.jsonl_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "code":
-                        # lossless contract: code text is corpus
-                        # text verbatim; the kind tag is the value
-                        text = cd.code_to_text(
-                            data.decode("utf-8", "replace")
-                        )
-                    elif kind == "text":
-                        text = data.decode("utf-8", "replace")
-                    else:
-                        raise ValueError(
-                            f"doctext: unroutable container ({kind or 'empty'})"
-                        )
+                    kind, text = extract_document_text(data, kind)
                     rows.append(
                         (did, kind, len(text), text, True, None)
                         + extras
@@ -522,4 +597,72 @@ def document_text_ingest(
     return foreach_batch_sink(
         members, ingest, checkpoint_dir, trigger=trigger,
         query_name=query_name,
+    )
+
+
+def synthesize_compressed_from_text(
+    df, text="text", id_col="doc_id", units_mod=3, poison_mod=23
+):
+    """Deterministic COMPRESSED mixed corpus for the corpus gate
+    (round 13): per doc an inner document rotating over four
+    families on ``doc_id % 4`` (markdown, python code, CSV, JSONL —
+    the round-12/13 text families), wrapped in a compression
+    transport rotating on ``doc_id % 3`` (gzip, bzip2, xz). Every
+    ``doc_id % poison_mod == 7`` doc is instead a TRUNCATED gzip
+    stream (valid magic, corrupt body) — the decompression
+    quarantine fixture. Input normalization (mirrored in the
+    oracle) is the UNION of the inner families' classes plus the
+    shared divergent set, so one unit pipeline serves all four
+    branches. Returns ``(doc_id, n_units, media binary)``."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    from . import code as cd
+    from . import markdown as md
+    from . import tabular as tb
+    from . import web as _web
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, nus, medias = [], [], []
+            for did, t in zip(b[id_col], b[text]):
+                did = int(did)
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[\\`*_\[\]()#!<>~|\"'/]", "-", t)
+                t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+                n = 1 + len(t) % int(units_mod)
+                words = t.split(" ")
+                n = min(n, len(words))
+                units = [" ".join(words[i::n]) for i in range(n)]
+                if bool(poison_mod) and did % poison_mod == 7:
+                    media = b"\x1f\x8b\x08\x00poison-truncated"
+                else:
+                    fam = did % 4
+                    if fam == 0:
+                        inner = md.encode_markdown(units)
+                    elif fam == 1:
+                        inner = cd.encode_code(units, did, "python")
+                    elif fam == 2:
+                        inner = tb.encode_csv(units)
+                    else:
+                        inner = tb.encode_jsonl(units)
+                    comp = did % 3
+                    if comp == 0:
+                        media = _gzip.compress(inner, mtime=0)
+                    elif comp == 1:
+                        media = _bz2.compress(inner)
+                    else:
+                        media = _lzma.compress(inner)
+                ids.append(did)
+                nus.append(n)
+                medias.append(media)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_units": nus, "media": medias}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        synth, schema="doc_id bigint, n_units int, media binary"
     )

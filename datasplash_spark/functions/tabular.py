@@ -352,3 +352,144 @@ def tabular_text_features(df, id_col="doc_id", media_col="media"):
     return df.select(id_col, media_col).mapInPandas(
         extract, schema=TABULAR_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# Parquet (round 13): the columnar container of every shared drive
+# ---------------------------------------------------------------------
+
+
+def parquet_to_text(raw: bytes) -> str:
+    """Parquet blob → flattened text under the shared paragraph
+    contract: a header line of column names, then one line per row
+    of flattened cell values (strings verbatim, numbers rendered
+    compactly, nulls vanish, nested lists/structs recurse — the
+    same value-flatten JSONL uses). pyarrow owns the container; a
+    corrupt footer raises and the document quarantines typed."""
+    import io as _io
+
+    import pyarrow.parquet as _pq
+
+    table = _pq.read_table(_io.BytesIO(raw))
+    cols = list(table.column_names)
+    lines = [_flatten_cells([str(c) for c in cols])]
+    for row in table.to_pylist():
+        parts = []
+        for c in cols:
+            parts.extend(_flatten_json(row[c]))
+        line = re.sub(r"[ \t]+", " ", " ".join(parts)).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def encode_parquet(units: list[str]) -> bytes:
+    """Fixture half: a real two-column parquet file — int64 ``rid``
+    + string ``words`` rows (one per unit) plus a fixed trailing
+    row whose ``words`` is NULL (must vanish in the flatten)."""
+    import io as _io
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    buf = _io.BytesIO()
+    _pq.write_table(
+        _pa.table(
+            {
+                "rid": list(range(len(units))) + [99],
+                "words": list(units) + [None],
+            }
+        ),
+        buf,
+    )
+    return buf.getvalue()
+
+
+def parquet_expected_text(units: list[str]) -> str:
+    """The exact text :func:`parquet_to_text` extracts from
+    :func:`encode_parquet`."""
+    lines = ["rid words"]
+    lines += [("%d %s" % (i, u)).strip() for i, u in enumerate(units)]
+    lines.append("99")
+    return "\n".join(lines)
+
+
+PARQUET_FEATURES_SCHEMA = (
+    "doc_id bigint, n_rows int, n_cols int, text string, "
+    "ok boolean, err string"
+)
+
+
+def synthesize_parquet_from_text(
+    df, text="text", id_col="doc_id", units_mod=3
+):
+    """Deterministic synthetic parquet corpus for the corpus gate:
+    per doc ``1 + len(text) % units_mod`` units (words round-robin,
+    clamped), written through :func:`encode_parquet` (pyarrow, in
+    the kernel). Same normalization as the CSV/JSONL synthesizer.
+    Returns ``(doc_id, n_units, media binary)``."""
+
+    def synth(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids, nus, medias = [], [], []
+            for did, t in zip(b[id_col], b[text]):
+                did = int(did)
+                t = (t or "").translate(_web.SYNTH_DIVERGENT_TABLE)
+                t = re.sub(r"[\"'\\]", "-", t)
+                t = re.sub(r"\s+", " ", t, flags=re.ASCII).strip()
+                n = 1 + len(t) % int(units_mod)
+                words = t.split(" ")
+                n = min(n, len(words))
+                units = [" ".join(words[i::n]) for i in range(n)]
+                ids.append(did)
+                nus.append(n)
+                medias.append(encode_parquet(units))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_units": nus, "media": medias}
+            )
+
+    return df.select(id_col, text).mapInPandas(
+        synth, schema="doc_id bigint, n_units int, media binary"
+    )
+
+
+def parquet_text_features(df, id_col="doc_id", media_col="media"):
+    """Extract flattened text + shape from a parquet column into
+    typed rows (``doc_id, n_rows, n_cols, text, ok, err``) with
+    per-document quarantine; extraction runs where the blob
+    lives."""
+
+    def extract(batches):
+        import io as _io
+
+        import pandas as pd
+
+        import pyarrow.parquet as _pq
+
+        for b in batches:
+            rows = []
+            for did, raw in zip(b[id_col], b[media_col]):
+                try:
+                    data = bytes(raw) if raw is not None else b""
+                    table = _pq.read_table(_io.BytesIO(data))
+                    text = parquet_to_text(data)
+                    rows.append(
+                        (did, table.num_rows, table.num_columns,
+                         text, True, None)
+                    )
+                except Exception as e:
+                    rows.append(
+                        (did, None, None, None, False, str(e))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rows", "n_cols", "text", "ok", "err",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        extract, schema=PARQUET_FEATURES_SCHEMA
+    )

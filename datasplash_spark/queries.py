@@ -7119,6 +7119,200 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_parquet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet modality (round 13): per doc a REAL two-column
+    parquet file (int64 ``rid`` + string ``words``, one row per
+    unit, plus a trailing NULL-words row that must vanish in the
+    flatten), written with pyarrow in the kernel and read back
+    through :func:`..tabular.parquet_to_text` — the columnar
+    container every shared drive carries, routed by the PAR1 magic
+    in the universal router. The oracle rebuilds the flattened text
+    and shape in SQL, so the header line, row flatten, numeric
+    rendering, and null-vanish rule are value-pinned corpus-wide."""
+    from .functions import tabular as tb
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = tb.parquet_text_features(
+        tb.synthesize_parquet_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_rows").cast("int").alias("n_rows"),
+        F.col("n_cols").cast("int").alias("n_cols"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_PARQUET_EXTRACT = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '["''\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- header line, one flattened row per unit (an empty words cell
+  -- keeps the rid alone), the null-words row flattens to its rid
+  SELECT doc_id,
+         'rid words' || chr(10)
+         || string_agg(
+              CAST(u AS VARCHAR)
+              || CASE WHEN utext <> '' THEN ' ' || utext
+                      ELSE '' END,
+              chr(10) ORDER BY u)
+         || chr(10) || '99' AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n + 1 AS INT) AS n_rows,
+       2 AS n_cols,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
+def q_compressed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-transport modality (round 13): per doc an inner
+    document rotating over four text families on ``doc_id % 4``
+    (markdown, python code, CSV, JSONL), wrapped in gzip / bzip2 /
+    xz on ``doc_id % 3``, extracted through the universal router's
+    bounded decompression front (``functions/doctext.py``
+    extract_document_text — 64 MiB bomb guard, composed kinds like
+    ``'gz:md'``, at most two layers). Every 23rd document is a
+    TRUNCATED gzip stream, so the decompression quarantine is
+    driver-gated: those rows come back ``('gz', NULL, NULL,
+    ok=false)`` while every sibling decompresses, re-sniffs, and
+    extracts. The oracle rebuilds each inner family's exact
+    extracted text in SQL under ONE shared unit pipeline."""
+    from .functions import doctext as dt
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    synth = dt.synthesize_compressed_from_text(docs)
+    feats = dt.document_text_features(synth)
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_COMPRESSED_EXTRACT = """
+WITH norm AS (
+  -- the UNION of the four inner families' normalization classes
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[\\\\`*_\\[\\]()#!<>~|"''/@DIVERGENT@]',
+                          '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN
+             -- markdown: headings + fixed tail (no title)
+             string_agg('Section ' || CAST(u AS VARCHAR)
+                        || CASE WHEN utext <> '' THEN chr(10) || utext
+                                ELSE '' END,
+                        chr(10) ORDER BY u)
+             || chr(10) || 'quoted line'
+             || chr(10) || 'item one'
+             || chr(10) || 'item two'
+             || chr(10) || 'Col A Col B'
+             || chr(10) || 'cell one cell two'
+             || chr(10) || 'code **stays** [verbatim](x)'
+           WHEN 1 THEN
+             -- python module (lossless)
+             '#!/usr/bin/env python' || chr(10)
+             || '# Module d' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'import os' || chr(10) || chr(10) || chr(10)
+             || string_agg(
+                  'def f' || CAST(u AS VARCHAR) || '():' || chr(10)
+                  || '    # ' || utext || chr(10)
+                  || '    s = "' || utext || '"' || chr(10)
+                  || '    return s + os.sep'
+                  || chr(10) || chr(10) || chr(10),
+                  '' ORDER BY u)
+             || 'S = "hash # inside string stays code"' || chr(10)
+             || '# done trailing comment'
+           WHEN 2 THEN
+             -- csv flatten
+             'rid words' || chr(10)
+             || string_agg(
+                  'r' || CAST(u AS VARCHAR)
+                  || CASE WHEN utext <> '' THEN ' ' || utext
+                          ELSE '' END,
+                  chr(10) ORDER BY u)
+             || chr(10) || 'rq she said "hi", ok'
+             || chr(10) || 'rn line one line two'
+           ELSE
+             -- jsonl flatten
+             string_agg(
+                  CAST(u AS VARCHAR)
+                  || CASE WHEN utext <> '' THEN ' ' || utext
+                          ELSE '' END,
+                  chr(10) ORDER BY u)
+             || chr(10) || '99 true a b'
+         END AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 7 THEN 'gz'
+            ELSE
+              (CASE doc_id % 3 WHEN 0 THEN 'gz' WHEN 1 THEN 'bz2'
+                    ELSE 'xz' END)
+              || ':'
+              || (CASE doc_id % 4 WHEN 0 THEN 'md' WHEN 1 THEN 'code'
+                       WHEN 2 THEN 'csv' ELSE 'jsonl' END)
+       END AS kind,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(length(text) AS INT) END AS n_chars,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -7618,6 +7812,8 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "code_extract": (q_code_extract, ORACLE_CODE_EXTRACT),
     "tabular_extract": (q_tabular_extract, ORACLE_TABULAR_EXTRACT),
     "av_transcript_pairs": (q_av_transcript_pairs, ORACLE_AV_TRANSCRIPT_PAIRS),
+    "parquet_extract": (q_parquet_extract, ORACLE_PARQUET_EXTRACT),
+    "compressed_extract": (q_compressed_extract, ORACLE_COMPRESSED_EXTRACT),
 }
 
 
@@ -7683,6 +7879,8 @@ _NEW_R13: list[str] = [
     "code_extract",
     "tabular_extract",
     "av_transcript_pairs",
+    "parquet_extract",
+    "compressed_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

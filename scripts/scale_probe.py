@@ -92,10 +92,32 @@ def _router_mixed_full(spark, docs) -> int:
     # residue split keeps BOTH doc_id parities inside the subtitle
     # and tabular groups (their synths branch srt/vtt and csv/jsonl
     # on parity); md and code are parity-indifferent so they share
-    # the %5==1 class via a %10 split
+    # the %5==1 class via a %10 split, and the round-13 parquet +
+    # compressed families take half of the 8-family class via %20
+    from datasplash_spark.functions import tabular as tbq
+
+    # branches whose synth rotates on doc_id % k densify their ids
+    # (did // 20 style) so every inner family appears — %20 residue
+    # classes alone would pin did % 8 / % 4 / % 3 to a constant
     media = (
-        dtx.synthesize_documents_from_text(d.filter(did % 5 == 0))
+        dtx.synthesize_documents_from_text(
+            d.filter((did % 20 == 0) | (did % 20 == 10)).withColumn(
+                "doc_id", (did / 10).cast("long")
+            )
+        )
         .select("doc_id", "media")
+        .unionByName(
+            tbq.synthesize_parquet_from_text(d.filter(did % 20 == 5))
+            .select("doc_id", "media")
+        )
+        .unionByName(
+            dtx.synthesize_compressed_from_text(
+                d.filter(did % 20 == 15).withColumn(
+                    "doc_id", ((did - 15) / 20).cast("long")
+                ),
+                poison_mod=0,
+            ).select("doc_id", "media")
+        )
         .unionByName(
             mdw.synthesize_markdown_from_text(d.filter(did % 10 == 1))
             .select("doc_id", F.col("source_md").alias("media"))
@@ -480,11 +502,48 @@ def probe(spark, k: int) -> None:
                 fromlist=["tabular"],
             )
         ),
+        # round 13: parquet family (pyarrow writer+reader in one
+        # kernel)
+        "parquet_extract": lambda: (
+            lambda tb: tb.parquet_text_features(
+                tb.synthesize_parquet_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_rows").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.tabular",
+                fromlist=["tabular"],
+            )
+        ),
+        # round 13: compressed transports (gz/bz2/xz over four inner
+        # families incl. the every-23rd truncated-gzip quarantine)
+        "compressed_extract": lambda: (
+            lambda dtx: dtx.document_text_features(
+                dtx.synthesize_compressed_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.doctext",
+                fromlist=["doctext"],
+            )
+        ),
         # round 13 (VERDICT r12 item 7): the FULL router breadth in
-        # one mixed bag — the 8-family rotation + markdown + wikitext
-        # + SRT/VTT + code + CSV/JSONL on doc_id % 5, with every 23rd
-        # document replaced by the poison blob (PK magic, not a zip)
-        # so the quarantine path is in the measured plan too.
+        # one mixed bag — the 8-family rotation + parquet +
+        # compressed + markdown + wikitext + SRT/VTT + code +
+        # CSV/JSONL on doc_id residues, with every 23rd document
+        # replaced by the poison blob (PK magic, not a zip) so the
+        # quarantine path is in the measured plan too.
         "router_mixed_full": lambda: _router_mixed_full(spark, docs),
         # round-10 session 2: compressed-audio metadata tier (MP3
         # frame walk + ID3 + OGG CRC-verified pages, per-doc)

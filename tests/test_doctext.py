@@ -908,3 +908,89 @@ def test_tabular_and_code_windows_line_endings():
     assert T.jsonl_to_text('{"a": 1}\r\n{"a": 2}') == "1\n2"
     st = C.code_line_stats("x = \"'''\"\n# comment\ny = 1", "python")
     assert st["comment_lines"] == 1 and st["code_lines"] == 2, st
+
+
+def test_compression_front_routes_and_guards():
+    """Round 13: gz/bz2/xz transports decompress bounded and
+    recurse once into the inner document (composed kinds); a third
+    layer, a truncated stream, and a 100 MiB decompression bomb all
+    raise TYPED errors that quarantine their document."""
+    import bz2
+    import gzip
+    import lzma
+
+    import pytest as _pytest
+
+    from datasplash_spark.functions import markdown as md
+
+    units = ["alpha beta", "gamma"]
+    inner = md.encode_markdown(units)
+    for comp, fn in (
+        ("gz", lambda b: gzip.compress(b, mtime=0)),
+        ("bz2", bz2.compress),
+        ("xz", lzma.compress),
+    ):
+        raw = fn(inner)
+        assert dt.sniff_document_kind(raw) == comp
+        k, t = dt.extract_document_text(raw)
+        assert k == comp + ":md"
+        assert t == md.markdown_expected_text(units)
+    double = gzip.compress(gzip.compress(inner, mtime=0), mtime=0)
+    assert dt.extract_document_text(double)[0] == "gz:gz:md"
+    with _pytest.raises(ValueError, match="nested compression"):
+        dt.extract_document_text(gzip.compress(double, mtime=0))
+    with _pytest.raises(ValueError, match="truncated stream"):
+        dt.extract_document_text(b"\x1f\x8b\x08\x00poison")
+    with _pytest.raises(ValueError, match="corrupt stream"):
+        dt.extract_document_text(
+            b"\x1f\x8b\x08\x00" + b"\x00" * 6 + b"\xff" * 64
+        )
+    with _pytest.raises(ValueError, match="bomb guard"):
+        dt.extract_document_text(
+            gzip.compress(b"\x00" * (100 << 20), mtime=0)
+        )
+
+
+def test_parquet_writer_reader_parity():
+    """encode_parquet / parquet_to_text parity: header line, row
+    flatten, compact numeric rendering, the NULL-words row
+    vanishing to its rid; corrupt bytes raise typed."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import tabular as T
+
+    for units in (["alpha, beta", "gamma delta"], ["solo"], [""],
+                  ["", "x y z"]):
+        raw = T.encode_parquet(units)
+        assert raw[:4] == b"PAR1"
+        assert dt.sniff_document_kind(raw) == "parquet"
+        assert T.parquet_to_text(raw) == T.parquet_expected_text(units)
+    with _pytest.raises(Exception):
+        T.parquet_to_text(b"PAR1 not really parquet PAR1")
+
+
+def test_router_extracts_compressed_and_parquet(spark):
+    """The universal router routes both round-13 container families
+    end-to-end in one Spark kernel, with the truncated-gzip poison
+    quarantining typed while siblings extract."""
+    import gzip
+
+    from datasplash_spark.functions import markdown as md
+    from datasplash_spark.functions import tabular as T
+
+    units = ["alpha beta"]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(gzip.compress(md.encode_markdown(units), mtime=0))),
+            (2, bytearray(T.encode_parquet(units))),
+            (3, bytearray(b"\x1f\x8b\x08\x00poison")),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "gz:md" and rows[1].ok
+    assert rows[1].text == md.markdown_expected_text(units)
+    assert rows[2].kind == "parquet" and rows[2].ok
+    assert rows[2].text == T.parquet_expected_text(units)
+    assert rows[3].kind == "gz" and not rows[3].ok
+    assert "truncated stream" in rows[3].err

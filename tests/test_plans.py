@@ -1223,3 +1223,29 @@ def test_av_transcript_pairs_bytes_never_shuffle(spark):
     assert "hashpartitioning(doc_id" in exch and "data" not in exch, exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
     assert "md5" in plan.split("MapInPandas")[0], plan
+
+
+def test_parquet_extract_bytes_never_shuffle(spark):
+    """parquet_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the pyarrow
+    writer + reader fused post-shuffle, parquet bytes never
+    crossing it."""
+    plan = plan_of(_q(spark, "parquet_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_compressed_extract_bytes_never_shuffle(spark):
+    """compressed_extract (gated round 13): the codec-family
+    contract — one Exchange, the four inner writers + compressors +
+    the router's decompression front fused post-shuffle, compressed
+    bytes never crossing it."""
+    plan = plan_of(_q(spark, "compressed_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
