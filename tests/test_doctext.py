@@ -170,10 +170,17 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
             str(src / name),
         ).collect()
 
-    # batch 0: markdown + plain text + a poison PK blob
+    # batch 0: markdown + plain text + a GZIPPED markdown member
+    # (round 13: the decompression front composes in streaming) + a
+    # poison PK blob
+    import gzip as _gzip
+
     write_shard("s0", [
         ("0", "a", "md", bytearray(md.encode_markdown(["alpha beta"]))),
         ("0", "b", "txt", bytearray(b"plain words")),
+        ("0", "g", "md.gz", bytearray(
+            _gzip.compress(md.encode_markdown(["zipped words"]), mtime=0)
+        )),
         ("0", "c", "docx", bytearray(b"PK\x03\x04 corrupt not a zip")),
     ])
 
@@ -186,8 +193,8 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
 
     drain()
     corpus = spark.read.parquet(out)
-    assert {r.kind for r in corpus.collect()} == {"md", "text"}
-    assert corpus.count() == 2
+    assert {r.kind for r in corpus.collect()} == {"md", "text", "gz:md"}
+    assert corpus.count() == 3
     qrows = spark.read.parquet(quar).collect()
     assert len(qrows) == 1 and qrows[0].kind == "zip"
     assert "unroutable" in qrows[0].err
@@ -199,7 +206,7 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
     ])
     drain()
     corpus = spark.read.parquet(out)
-    assert corpus.count() == 3
+    assert corpus.count() == 4
     before = (
         sorted(map(tuple, spark.read.parquet(out).collect())),
         sorted(map(tuple, spark.read.parquet(quar).collect())),
