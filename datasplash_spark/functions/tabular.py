@@ -115,11 +115,11 @@ def sniff_tabular_kind(head: str) -> str | None:
             )[:4]
         except csv.Error:
             continue
-        if all(
-            f == f.strip() and f.strip() != ""
-            for rec in recs
-            for f in rec
-        ):
+        # edge whitespace marks prose ("one, two"); EMPTY fields are
+        # exporter-plausible (empty quoted cells, trailing commas)
+        # and must not unroute a real CSV (round-13 fuzz finding:
+        # an empty-text doc's 'r0,""' row misrouted the file)
+        if all(f == f.strip() for rec in recs for f in rec):
             return "csv"
     return None
 

@@ -696,7 +696,9 @@ def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
     ).to_parquet(str(tmp_path / "documents.parquet"))
     con = oracle_views(str(tmp_path))
     for name in ("markdown_extract", "wikitext_extract",
-                 "subtitles_extract"):
+                 "subtitles_extract", "code_extract",
+                 "tabular_extract", "parquet_extract",
+                 "compressed_extract", "av_transcript_pairs"):
         fn, sql = Q._ALL[name]
         failed, line = _compare_one(
             spark, con, str(tmp_path), name, fn, sql
