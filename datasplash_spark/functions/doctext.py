@@ -40,6 +40,18 @@ extractors the sibling modules ship:
                         markdown has no magic bytes; checked AFTER
                         code so a script's ``# comment`` head
                         cannot be stripped lossily)
+- gz / bz2 / xz       → bounded decompression (64 MiB bomb guard,
+                        explicit truncation detection), re-sniff,
+                        recurse once — composed kinds like 'gz:md'
+                        (round 13)
+- ``PAR1`` parquet    → :func:`..tabular.parquet_to_text`
+                        (round 13; pyarrow flatten under the shared
+                        paragraph contract)
+- media/archive magic → TYPED QUARANTINE (round 13: PNG/JPEG/GIF/
+                        TIFF/RIFF/FLAC/OGG/MP3/MP4/tar blobs are
+                        not corpus text — admitting them as 'text'
+                        would poison the corpus with mojibake; the
+                        err row points at multimodal/archives)
 - anything else       → plain text (UTF-8, surrogate-safe)
 
 Per-document typed quarantine: a poison file yields its own
@@ -113,6 +125,49 @@ def _xml_to_text_py(raw: bytes) -> str:
     return collapse_extracted_whitespace(s)
 
 
+#: unambiguous binary media / archive magics the TEXT router must
+#: not admit as plain text (round 13): decoding a PNG as utf-8
+#: 'text' silently poisons the corpus with mojibake, the classic
+#: mixed-dump failure. Each detection also requires a NUL byte in
+#: the head (every real media file has one early; prose that merely
+#: STARTS with 'GIF89a' or 'OggS' never does), so a text document
+#: about a format can never quarantine. These kinds raise typed in
+#: extract_document_text — the right pipelines are
+#: multimodal.media_features / sources.archives.
+_MEDIA_KINDS = frozenset(
+    {"png", "jpeg", "gif", "tiff", "riff", "flac", "ogg", "mp3",
+     "mp4", "tar"}
+)
+
+
+def _media_magic(raw: bytes) -> "str | None":
+    head = raw[:8]
+    if head[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    kind = None
+    if head[:4] == b"\x89PNG":
+        kind = "png"
+    elif head[:4] == b"GIF8":
+        kind = "gif"
+    elif head[:4] in (b"II*\x00", b"MM\x00*"):
+        kind = "tiff"
+    elif head[:4] == b"RIFF":
+        kind = "riff"  # wav / webp / avi
+    elif head[:4] == b"fLaC":
+        kind = "flac"
+    elif head[:4] == b"OggS":
+        kind = "ogg"
+    elif head[:3] == b"ID3":
+        kind = "mp3"
+    elif raw[4:8] == b"ftyp":
+        kind = "mp4"
+    elif raw[257:262] == b"ustar":
+        kind = "tar"
+    if kind and b"\x00" in raw[:512]:
+        return kind
+    return None
+
+
 def sniff_document_kind(raw: bytes) -> str:
     """Route an opaque document blob to its extractor: 'pdf',
     'docx'/'epub'/'pptx'/'odt' (zip layouts), 'rtf', 'latex',
@@ -136,6 +191,9 @@ def sniff_document_kind(raw: bytes) -> str:
         return "xz"
     if raw[:4] == b"PAR1":
         return "parquet"
+    media = _media_magic(raw)
+    if media:
+        return media
     if raw[:5] == b"%PDF-":
         return "pdf"
     if raw[:2] == b"PK":
@@ -324,6 +382,11 @@ def extract_document_text(
 
     if kind is None:
         kind = sniff_document_kind(data)
+    if kind in _MEDIA_KINDS:
+        raise ValueError(
+            f"doctext: {kind} media/archive blob — not corpus text "
+            "(route via multimodal features or sources/archives)"
+        )
     if kind in ("gz", "bz2", "xz"):
         if _depth >= 2:
             raise ValueError(

@@ -1003,3 +1003,38 @@ def test_router_extracts_compressed_and_parquet(spark):
     assert rows[2].text == T.parquet_expected_text(units)
     assert rows[3].kind == "gz" and not rows[3].ok
     assert "truncated stream" in rows[3].err
+
+
+def test_media_blobs_quarantine_typed_not_admitted_as_text():
+    """Round 13: binary media/archive blobs (PNG, tar, …) must NOT
+    fall through to kind='text' — decoding a PNG as utf-8 silently
+    poisons the corpus with mojibake. They quarantine typed,
+    pointing at the media/archive pipelines; prose that merely
+    STARTS with a magic word (no NUL in the head) stays lossless
+    text."""
+    import io
+    import tarfile
+
+    import pytest as _pytest
+
+    from datasplash_spark.functions import multimodal as mm
+
+    png = mm.encode_png([[0, 128], [255, 64]])
+    assert dt.sniff_document_kind(png) == "png"
+    with _pytest.raises(ValueError, match="media/archive blob"):
+        dt.extract_document_text(png)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("x.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"hi"))
+    assert dt.sniff_document_kind(buf.getvalue()) == "tar"
+    assert dt.sniff_document_kind(
+        b"GIF89a is an image format spec"
+    ) == "text"
+    assert dt.sniff_document_kind(
+        b"OggS pages begin with a magic"
+    ) == "text"
+    assert dt.sniff_document_kind(
+        b"ID3 tags store audio metadata"
+    ) == "text"
