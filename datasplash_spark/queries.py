@@ -2055,7 +2055,7 @@ _ROBOTS_FIXTURES = [
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt gate (round 10 s2, staged): synthesized URLs with
+    """robots.txt gate (round 10 s2; gated since CORRECTNESS_r10): synthesized URLs with
     five path shapes against per-host robots fixtures — longest-
     match Allow/Disallow with the Allow tiebreak, agent-group
     resolution, empty-Disallow no-op, and the missing-robots
@@ -4112,7 +4112,7 @@ FROM built
 def q_remove_spans_keep_first(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """ExactSubstr with a SURVIVOR (round 10, staged): like
+    """ExactSubstr with a SURVIVOR (round 10; gated since CORRECTNESS_r10): like
     remove_repeated_spans, but the corpus-canonical occurrence of
     each duplicated 8-token window — lexicographically first
     ``(doc_id, start)`` — keeps its tokens; only the other copies
@@ -5896,7 +5896,7 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-container routing metadata (round 10, staged): per doc
+    """Video-container routing metadata (round 10; gated since CORRECTNESS_r10): per doc
     a structurally valid metadata-only MP4 (text-derived track
     fields), parsed back through the ISO BMFF box walk into typed
     rows. The oracle replays every field rule in SQL — a mis-walked
@@ -5933,7 +5933,7 @@ FROM documents
 
 
 def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-audio routing metadata (round 10, staged): per doc
+    """Compressed-audio routing metadata (round 10; gated since CORRECTNESS_r10): per doc
     an MP3 (ID3v2 TIT2 tag + CBR MPEG-1 Layer III frames), an OGG
     Vorbis, or an OGG Opus fixture (all fields text-derived), parsed
     back through the frame/page walk into ONE typed row. The oracle
@@ -6359,7 +6359,7 @@ FROM documents
 
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document modality end-to-end (staged for r10): per doc a REAL
+    """Document modality end-to-end (round 10; gated since CORRECTNESS_r10): per doc a REAL
     multi-page PDF (``1 + len(text) % 3`` pages, words split across
     pages round-robin, Flate-compressed content streams, real xref),
     then text extraction through the zero-dependency PDF reader. The
@@ -6464,7 +6464,7 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXIF normalization (round 10 s2, staged): text-derived JPEGs
+    """EXIF normalization (round 10 s2; gated since CORRECTNESS_r11): text-derived JPEGs
     with injected APP1 segments — orientation cycles all eight EXIF
     transforms, make/model/datetime text-derived, every third doc
     EXIF-less — parsed back and orientation-NORMALIZED, reporting
