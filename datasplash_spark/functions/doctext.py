@@ -27,6 +27,10 @@ extractors the sibling modules ship:
                         counts, object-per-line — so prose commas
                         never route; a ragged/malformed row sends
                         its DOCUMENT to the typed quarantine)
+- nbformat JSON       → :func:`..notebook.ipynb_to_text` (round
+                        13; code cells verbatim, markdown cells
+                        through the markdown extractor, outputs
+                        ignored)
 - Source code         → :func:`..code.code_to_text` (round 13;
                         shebang or ≥2 strong full-line declaration
                         shapes; LOSSLESS — the kind tag routes code
@@ -226,6 +230,13 @@ def sniff_document_kind(raw: bytes) -> str:
     if _SRT_SNIFF_RE.match(head):
         return "srt"
     text_head = head.decode("utf-8", "replace")
+    # notebooks first among the text shapes (round 13): nbformat's
+    # JSON-object head with cell markers is effectively a magic —
+    # no other family produces it (JSONL is one object PER LINE)
+    from . import notebook as nb
+
+    if nb.sniff_ipynb(text_head):
+        return "ipynb"
     # code BEFORE tabular and wiki/md (round 13, the loss-direction
     # rule): C-style declaration lines with no space after the comma
     # (`int add(int a,int b);` ×3) satisfy the consistent-field csv
@@ -427,6 +438,10 @@ def extract_document_text(
         return kind, _xml_to_text_py(data)
     if kind == "parquet":
         return kind, tb.parquet_to_text(data)
+    if kind == "ipynb":
+        from . import notebook as nb
+
+        return kind, nb.ipynb_to_text(data.decode("utf-8", "replace"))
     if kind == "csv":
         return kind, tb.csv_to_text(data.decode("utf-8", "replace"))
     if kind == "jsonl":

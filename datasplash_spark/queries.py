@@ -7316,6 +7316,86 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_notebook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook modality (round 13): per doc a REAL nbformat-4
+    Jupyter notebook — per unit a MARKDOWN cell (ATX heading +
+    paragraph, so the markdown extractor runs inside the notebook
+    walk) and a CODE cell (list-of-lines source per the nbformat
+    convention, carrying a stream OUTPUT that must be ignored),
+    plus a trailing raw cell — extracted through
+    ``functions/notebook.py`` (code cells verbatim, markdown cells
+    through the CommonMark-core extractor, outputs dropped). The
+    oracle rebuilds the exact extracted text and cell counts in
+    SQL, so the cell walk, the in-notebook markdown pass, the
+    output-ignoring rule, and the lossless code contract are
+    value-pinned corpus-wide."""
+    from .functions import notebook as nbk
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = nbk.notebook_text_features(
+        nbk.synthesize_ipynb_from_text(docs)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_cells").cast("int").alias("n_cells"),
+        F.col("n_code_cells").cast("int").alias("n_code_cells"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_NOTEBOOK_EXTRACT = """
+WITH norm AS (
+  -- the markdown + code union normalization class
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[\\\\`*_\\[\\]()#!<>~|"''/@DIVERGENT@]',
+                          '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- per unit: the markdown cell's extracted heading+paragraph,
+  -- then the code cell verbatim; the raw tail closes the notebook
+  SELECT doc_id,
+         string_agg(
+              'Cell ' || CAST(u AS VARCHAR)
+              || CASE WHEN utext <> '' THEN chr(10) || utext
+                      ELSE '' END
+              || chr(10)
+              || 'x' || CAST(u AS VARCHAR) || ' = "' || utext || '"'
+              || chr(10) || '# trailing ' || CAST(u AS VARCHAR),
+              chr(10) ORDER BY u)
+         || chr(10) || 'raw tail d' || CAST(doc_id AS VARCHAR)
+           AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(2 * n + 1 AS INT) AS n_cells,
+       CAST(n AS INT) AS n_code_cells,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -7817,6 +7897,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "av_transcript_pairs": (q_av_transcript_pairs, ORACLE_AV_TRANSCRIPT_PAIRS),
     "parquet_extract": (q_parquet_extract, ORACLE_PARQUET_EXTRACT),
     "compressed_extract": (q_compressed_extract, ORACLE_COMPRESSED_EXTRACT),
+    "notebook_extract": (q_notebook_extract, ORACLE_NOTEBOOK_EXTRACT),
 }
 
 
@@ -7884,6 +7965,7 @@ _NEW_R13: list[str] = [
     "av_transcript_pairs",
     "parquet_extract",
     "compressed_extract",
+    "notebook_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

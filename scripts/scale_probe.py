@@ -538,6 +538,24 @@ def probe(spark, k: int) -> None:
                 fromlist=["doctext"],
             )
         ),
+        # round 13: notebook family (nbformat cell walk with the
+        # in-notebook markdown pass)
+        "notebook_extract": lambda: (
+            lambda nbk: nbk.notebook_text_features(
+                nbk.synthesize_ipynb_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_cells").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.notebook",
+                fromlist=["notebook"],
+            )
+        ),
         # round 13 (VERDICT r12 item 7): the FULL router breadth in
         # one mixed bag — the 8-family rotation + parquet +
         # compressed + markdown + wikitext + SRT/VTT + code +

@@ -1038,3 +1038,41 @@ def test_media_blobs_quarantine_typed_not_admitted_as_text():
     assert dt.sniff_document_kind(
         b"ID3 tags store audio metadata"
     ) == "text"
+
+
+def test_notebook_writer_reader_parity_and_routing(spark):
+    """encode_ipynb / ipynb_to_text parity (markdown cells extracted,
+    code cells verbatim, outputs ignored, raw tail kept; source as
+    list-of-lines AND as plain string), typed failures for
+    non-notebook JSON, conservative sniffing vs JSONL/code, and the
+    router + Spark kernel end to end."""
+    import json
+
+    import pytest as _pytest
+
+    from datasplash_spark.functions import notebook as NB
+
+    for units in (["alpha beta gamma"], ["a b", "c d e"], [""],
+                  ["", "x"]):
+        raw = NB.encode_ipynb(units, 7).decode()
+        assert NB.ipynb_to_text(raw) == NB.ipynb_expected_text(units, 7)
+    assert "IGNORED" not in NB.ipynb_to_text(
+        NB.encode_ipynb(["x"]).decode()
+    )
+    nb = {"cells": [{"cell_type": "code", "source": "y = 1\n"}],
+          "nbformat": 4}
+    assert NB.ipynb_to_text(json.dumps(nb)) == "y = 1"
+    with _pytest.raises(ValueError, match="no cells"):
+        NB.ipynb_to_text("[1, 2]")
+    with _pytest.raises(ValueError, match="unparseable"):
+        NB.ipynb_to_text("{broken")
+    assert not NB.sniff_ipynb('{"rid": 0, "words": "a"}')
+    assert not NB.sniff_ipynb("import os\n")
+    raw = NB.encode_ipynb(["alpha beta"], 3)
+    assert dt.sniff_document_kind(raw) == "ipynb"
+    df = spark.createDataFrame(
+        [(3, bytearray(raw))], "doc_id bigint, media binary"
+    )
+    (row,) = dt.document_text_features(df).collect()
+    assert row.kind == "ipynb" and row.ok
+    assert row.text == NB.ipynb_expected_text(["alpha beta"], 3)

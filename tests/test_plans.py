@@ -1249,3 +1249,16 @@ def test_compressed_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "media" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_notebook_extract_bytes_never_shuffle(spark):
+    """notebook_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the nbformat
+    writer + cell walk fused post-shuffle, notebook bytes never
+    crossing it."""
+    plan = plan_of(_q(spark, "notebook_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
