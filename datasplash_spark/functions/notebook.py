@@ -95,7 +95,15 @@ def encode_ipynb(units: list[str], doc_id: int = 0) -> bytes:
             {
                 "cell_type": "markdown",
                 "metadata": {},
-                "source": ["## Cell %d\n" % i, "\n", u],
+                # the paragraph leads with a cell-keyed token so a
+                # unit that BEGINS with '-' (the normalization's
+                # replacement char) can never read as a list marker
+                # (round-13 fuzz finding)
+                "source": [
+                    "## Cell %d\n" % i,
+                    "\n",
+                    ("md%d %s" % (i, u)) if u else "md%d" % i,
+                ],
             }
         )
         cells.append(
@@ -130,9 +138,8 @@ def ipynb_expected_text(units: list[str], doc_id: int = 0) -> str:
     :func:`encode_ipynb`."""
     parts: list[str] = []
     for i, u in enumerate(units):
-        parts.append(
-            ("Cell %d\n%s" % (i, u)) if u else ("Cell %d" % i)
-        )
+        body = ("md%d %s" % (i, u)) if u else "md%d" % i
+        parts.append("Cell %d\n%s" % (i, body))
         parts.append('x%d = "%s"\n# trailing %d' % (i, u, i))
     parts.append("raw tail d%d" % doc_id)
     return "\n".join(parts)

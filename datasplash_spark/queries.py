@@ -7376,8 +7376,9 @@ WITH norm AS (
   -- then the code cell verbatim; the raw tail closes the notebook
   SELECT doc_id,
          string_agg(
-              'Cell ' || CAST(u AS VARCHAR)
-              || CASE WHEN utext <> '' THEN chr(10) || utext
+              'Cell ' || CAST(u AS VARCHAR) || chr(10)
+              || 'md' || CAST(u AS VARCHAR)
+              || CASE WHEN utext <> '' THEN ' ' || utext
                       ELSE '' END
               || chr(10)
               || 'x' || CAST(u AS VARCHAR) || ' = "' || utext || '"'

@@ -123,8 +123,15 @@ def _router_mixed_full(spark, docs) -> int:
             .select("doc_id", F.col("source_md").alias("media"))
         )
         .unionByName(
-            cd.synthesize_code_from_text(d.filter(did % 10 == 6))
+            cd.synthesize_code_from_text(d.filter(did % 20 == 6))
             .select("doc_id", F.col("source_code").alias("media"))
+        )
+        .unionByName(
+            __import__(
+                "datasplash_spark.functions.notebook",
+                fromlist=["notebook"],
+            ).synthesize_ipynb_from_text(d.filter(did % 20 == 16))
+            .select("doc_id", "media")
         )
         .unionByName(
             wk.synthesize_wikitext_from_text(d.filter(did % 5 == 2))

@@ -698,7 +698,8 @@ def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
     for name in ("markdown_extract", "wikitext_extract",
                  "subtitles_extract", "code_extract",
                  "tabular_extract", "parquet_extract",
-                 "compressed_extract", "av_transcript_pairs"):
+                 "compressed_extract", "av_transcript_pairs",
+                 "notebook_extract"):
         fn, sql = Q._ALL[name]
         failed, line = _compare_one(
             spark, con, str(tmp_path), name, fn, sql
