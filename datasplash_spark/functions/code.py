@@ -54,6 +54,7 @@ _SHEBANG_LANGS = (
     ("deno", "javascript"),
     ("ruby", "ruby"),
     ("perl", "perl"),
+    ("php", "php"),
     ("Rscript", "r"),
 )
 
@@ -85,6 +86,13 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
         ("javascript", r"^import[ \t]+.+[ \t]+from[ \t]+['\"]"),
         ("shell", r"^[ \t]*(?:if[ \t]+\[\[?[ \t]|for[ \t]+\w+[ \t]+in[ \t]|while[ \t]+\[\[?[ \t])"),
         ("shell", r"^\w+\(\)[ \t]*\{[ \t]*$"),
+        # SQL dumps: uppercase statement heads only (prose writes
+        # "Select the best ..." — sentence case — and never twice
+        # at line starts with these clause shapes)
+        ("sql", r"^SELECT[ \t]+.+[ \t]FROM[ \t]"),
+        ("sql", r"^CREATE[ \t]+(?:TABLE|INDEX|VIEW|SCHEMA)[ \t]+\S"),
+        ("sql", r"^INSERT[ \t]+INTO[ \t]+\S"),
+        ("sql", r"^(?:ALTER|DROP)[ \t]+TABLE[ \t]+\S"),
     )
 )
 
@@ -94,8 +102,10 @@ _HASH_COMMENT_LANGS = frozenset(
 )
 #: languages whose line comments start with '//' (plus /* */ blocks)
 _SLASH_COMMENT_LANGS = frozenset(
-    {"c", "java", "go", "rust", "javascript"}
+    {"c", "java", "go", "rust", "javascript", "php"}
 )
+#: languages whose line comments start with '--'
+_DASH_COMMENT_LANGS = frozenset({"sql"})
 
 
 def detect_code_lang(src: str) -> str | None:
@@ -103,6 +113,11 @@ def detect_code_lang(src: str) -> str | None:
     shebang interpreter wins immediately; otherwise a language needs
     at least TWO strong full-line declaration shapes. ``None`` means
     "not confidently code" — the router falls through losslessly."""
+    if src.startswith("<?php"):
+        # the one language with a true magic; checked here AND as a
+        # byte prefix in the router (BEFORE the html sniff — a php
+        # file with embedded html must not be stripped as html)
+        return "php"
     m = _SHEBANG_RE.match(src)
     if m:
         interp = m.group(1).rsplit("/", 1)[-1]
@@ -183,8 +198,9 @@ def code_line_stats(src: str, lang: str) -> dict:
     strings and C-family ``/* */`` blocks carry state across lines;
     a docstring/block-comment body line counts as code/comment
     respectively (it is content, not structure)."""
-    hash_comments = lang in _HASH_COMMENT_LANGS
+    hash_comments = lang in _HASH_COMMENT_LANGS or lang == "php"
     slash_comments = lang in _SLASH_COMMENT_LANGS
+    dash_comments = lang in _DASH_COMMENT_LANGS
     triple_quotes = lang == "python"
     lines = src.split("\n")
     n_comment = n_blank = 0
@@ -211,6 +227,9 @@ def code_line_stats(src: str, lang: str) -> dict:
             n_comment += 1
             continue
         if slash_comments and stripped.startswith("//"):
+            n_comment += 1
+            continue
+        if dash_comments and stripped.startswith("--"):
             n_comment += 1
             continue
         if slash_comments and stripped.startswith("/*"):

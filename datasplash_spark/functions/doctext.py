@@ -214,6 +214,11 @@ def sniff_document_kind(raw: bytes) -> str:
         head = head[3:].lstrip()
     if head[:5] == b"{\\rtf":
         return "rtf"
+    if head[:5] == b"<?php":
+        # BEFORE the html sniff: a php file with embedded html must
+        # not be stripped as html (round 13; the code family's one
+        # true magic)
+        return "code"
     low = head[:1024].lower()
     if low.startswith((b"<!doctype html", b"<html")) or b"<html" in low:
         return "html"

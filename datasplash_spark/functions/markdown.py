@@ -150,10 +150,38 @@ def _inline(s: str) -> str:
     return s
 
 
+_FRONTMATTER_KEY_RE = re.compile(r"^[\w-]+:(?:[ \t]|$)")
+
+
+def _strip_frontmatter(src: str) -> str:
+    """Drop a LEADING Jekyll/pandoc YAML frontmatter block (round
+    13): ``---`` on line 1, a closing ``---``/``...`` within the
+    first 64 lines, and every enclosed line either blank, indented
+    (a continuation), or ``key:``-shaped. The shape test keeps this
+    conservative — a document that merely OPENS with a thematic
+    break followed by prose keeps its prose; frontmatter keys are
+    metadata, not corpus text."""
+    if not src.startswith("---"):
+        return src
+    lines = src.split("\n", 65)
+    if lines[0].strip() != "---":
+        return src
+    for i, line in enumerate(lines[1:65], start=1):
+        if line.strip() in ("---", "..."):
+            body = lines[i + 1 :]
+            return "\n".join(body)
+        if line.strip() and not line.startswith((" ", "\t")) and not (
+            _FRONTMATTER_KEY_RE.match(line)
+        ):
+            return src
+    return src
+
+
 def markdown_to_text(src: str) -> str:
     """Structural markdown → plain text (see the module docstring
     for the grammar subset and the whitespace contract)."""
     src = src.replace("\r\n", "\n").replace("\r", "\n")
+    src = _strip_frontmatter(src)
     out: list[str] = []
     fence: str | None = None
     fence_quoted = False  # fence opened INSIDE a blockquote (review

@@ -1077,3 +1077,35 @@ def test_notebook_writer_reader_parity_and_routing(spark):
     (row,) = dt.document_text_features(df).collect()
     assert row.kind == "ipynb" and row.ok
     assert row.text == NB.ipynb_expected_text(["alpha beta"], 3)
+
+
+def test_php_sql_detection_and_frontmatter():
+    """Round-13 additions: PHP routes as code BEFORE the html sniff
+    (embedded markup must not be stripped), uppercase SQL statement
+    heads detect with '--' comments classified, and a leading YAML
+    frontmatter block drops from markdown while a prose paragraph
+    after a thematic break survives."""
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions.markdown import markdown_to_text as f
+
+    php = b"<?php\necho '<html><body>x</body></html>';\n?>"
+    assert dt.sniff_document_kind(php) == "code"
+    assert dt.extract_document_text(php) == ("code", php.decode())
+    assert dt.sniff_document_kind(
+        b"<html><body>hi</body></html>"
+    ) == "html"
+    d = C.detect_code_lang
+    assert d("#!/usr/bin/php\n") == "php"
+    assert d(
+        "SELECT id, name FROM users;\nCREATE TABLE t (id INT);\n"
+    ) == "sql"
+    assert d("Select the best option from the menu") is None
+    st = C.code_line_stats("-- note\nSELECT 1 FROM t;", "sql")
+    assert st["comment_lines"] == 1 and st["code_lines"] == 1
+    assert f("---\ntitle: Foo\ntags: a, b\n---\n# H\n\nbody") == (
+        "H\nbody"
+    )
+    assert f("---\nsome prose here\n---\nmore") == (
+        "some prose here\nmore"
+    )
+    assert f("---\nkey: v\nstill going") == "key: v\nstill going"
