@@ -516,26 +516,42 @@ def document_text_features(
 
 
 def synthesize_documents_from_text(
-    df, text="text", id_col="doc_id", units_mod=3
+    df, text="text", id_col="doc_id", units_mod=3, families=8
 ):
     """Deterministic MIXED-format document corpus: per doc
     ``1 + len(text) % units_mod`` units (words round-robin), the
-    container rotating over all eight families on ``doc_id % 8``
-    (pdf, docx, epub, pptx, odt, rtf, latex, html). Returns
-    ``(doc_id, family, media binary)`` — the input for
-    :func:`document_text_features` sweeps."""
+    container rotating on ``doc_id % families`` — the original
+    EIGHT binary/markup families (pdf, docx, epub, pptx, odt, rtf,
+    latex, html) at the default, or (round 13, ``families=16``)
+    those plus the full text-family breadth: markdown, wikitext,
+    SRT, WebVTT, python code, CSV, JSONL, and a Jupyter notebook —
+    so ONE sweep drives the router's whole dispatch table. The
+    16-family mode normalizes with the UNION of every family's
+    special-character class plus the shared divergent set (mirrored
+    in the oracle). Returns ``(doc_id, family, media binary)`` —
+    the input for :func:`document_text_features` sweeps."""
+    if families not in (8, 16):
+        raise ValueError(f"families must be 8 or 16, got {families}")
     _FAMILIES = (
         "pdf", "docx", "epub", "pptx", "odt", "rtf", "latex", "html",
-    )
+        "md", "wiki", "srt", "vtt", "code", "csv", "jsonl", "ipynb",
+    )[:families]
 
     def synth(batches):
         import re as _re
 
         import pandas as pd
 
+        from . import code as cd
+        from . import markdown as mdw
+        from . import notebook as nbk
         from . import office as of
         from . import pdf as pf
         from . import rtf as rt
+        from . import subtitles as st
+        from . import tabular as tb
+        from . import web as _web
+        from . import wikitext as wk
 
         for b in batches:
             ids, fams, medias = [], [], []
@@ -546,13 +562,21 @@ def synthesize_documents_from_text(
                 # whitespace runs -> one space, and unit count
                 # clamped to the word count so no family sees an
                 # empty unit (their empty-line semantics differ)
-                t = _re.sub(r"[\\~^%&$#{}_<>]", "-", t or "")
+                if families == 16:
+                    t = (t or "").translate(
+                        _web.SYNTH_DIVERGENT_TABLE
+                    )
+                    t = _re.sub(
+                        r"[\\~^%&$#{}_<>`*\[\]()!|=:;'\"/]", "-", t
+                    )
+                else:
+                    t = _re.sub(r"[\\~^%&$#{}_<>]", "-", t or "")
                 t = _re.sub(r"\s+", " ", t, flags=_re.ASCII).strip()
                 n = 1 + len(t) % int(units_mod)
                 words = t.split(" ")
                 n = min(n, len(words))
                 units = [" ".join(words[i::n]) for i in range(n)]
-                fam = _FAMILIES[did % 8]
+                fam = _FAMILIES[did % families]
                 if fam == "pdf":
                     media = pf.encode_pdf_text(units)
                 elif fam == "docx":
@@ -574,13 +598,29 @@ def synthesize_documents_from_text(
                         )
                         + "\\end{document}"
                     ).encode()
-                else:
+                elif fam == "html":
                     media = (
                         "<html><head><title>d%d</title></head><body>"
                         % did
                         + "".join("<p>%s</p>" % u for u in units)
                         + "</body></html>"
                     ).encode()
+                elif fam == "md":
+                    media = mdw.encode_markdown(units)
+                elif fam == "wiki":
+                    media = wk.encode_wikitext(units)
+                elif fam == "srt":
+                    media = st.encode_srt(units)
+                elif fam == "vtt":
+                    media = st.encode_vtt(units)
+                elif fam == "code":
+                    media = cd.encode_code(units, did, "python")
+                elif fam == "csv":
+                    media = tb.encode_csv(units)
+                elif fam == "jsonl":
+                    media = tb.encode_jsonl(units)
+                else:
+                    media = nbk.encode_ipynb(units, did)
                 ids.append(did)
                 fams.append(fam)
                 medias.append(media)

@@ -7497,16 +7497,18 @@ WHERE has_sub OR has_mp4
 
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
-    round 12 — absorbing office_extract, whose 3-format rotation is
-    a strict subset): per doc a REAL document rotating over all EIGHT
-    families on ``doc_id % 8`` (pdf, docx, epub, pptx, odt, rtf,
-    latex, html — ``1 + len(text) % 3`` units, words round-robin),
-    then extraction through the ONE mixed-bag router
-    (``functions/doctext.py`` — magic/layout sniff dispatching to
-    the zero-dependency extractors). Every 23rd document
-    (``doc_id % 23 == 7``) is REPLACED by a deterministic poison
-    blob (a PK magic that is not a zip), so the per-row TYPED
-    QUARANTINE path — the router's headline contract — is
+    round 12, widened round 13): per doc a REAL document rotating
+    over SIXTEEN families on ``doc_id % 16`` (pdf, docx, epub,
+    pptx, odt, rtf, latex, html — the original eight — plus
+    markdown, wikitext, SRT, WebVTT, python code, CSV, JSONL, and a
+    Jupyter notebook; ``1 + len(text) % 3`` units, words
+    round-robin), then extraction through the ONE mixed-bag router
+    (``functions/doctext.py`` — magic/layout/structural sniff
+    dispatching to the zero-dependency extractors), so the router's
+    WHOLE dispatch table sits under one driver row. Every 23rd
+    document (``doc_id % 23 == 7``) is REPLACED by a deterministic
+    poison blob (a PK magic that is not a zip), so the per-row
+    TYPED QUARANTINE path — the router's headline contract — is
     driver-gated too: those rows must come back ``(kind='zip',
     NULL, NULL, ok=false)`` while every sibling extracts. The
     oracle rebuilds the exact extracted text per family in SQL and
@@ -7518,7 +7520,9 @@ def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    synth = dt.synthesize_documents_from_text(docs).withColumn(
+    synth = dt.synthesize_documents_from_text(
+        docs, families=16
+    ).withColumn(
         "media",
         F.when(
             F.col("doc_id") % 23 == 7,
@@ -7537,9 +7541,13 @@ def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOCTEXT_SWEEP = """
 WITH norm AS (
+  -- the UNION of every family's special-character class plus the
+  -- shared divergent set (the 16-family mode's normalization)
   SELECT doc_id,
          trim(regexp_replace(
-           regexp_replace(text, '[\\\\\\\\~^%&$#{}_<>]', '-', 'g'),
+           regexp_replace(text,
+             '[\\\\~^%&$#{}_<>`*\\[\\]()!|=:;''"/@DIVERGENT@]',
+             '-', 'g'),
            '\\s+', ' ', 'g'
          )) AS text
   FROM documents
@@ -7559,7 +7567,7 @@ WITH norm AS (
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
   SELECT doc_id,
-         CASE doc_id % 8
+         CASE doc_id % 16
            WHEN 0 THEN string_agg(utext, chr(12) ORDER BY u)
            WHEN 1 THEN string_agg(utext, chr(10) ORDER BY u)
            WHEN 2 THEN string_agg('Chapter ' || CAST(u AS VARCHAR)
@@ -7575,17 +7583,86 @@ WITH norm AS (
                                           THEN chr(10) || utext
                                           ELSE '' END,
                                   chr(10) ORDER BY u)
-           ELSE rtrim('d' || CAST(doc_id AS VARCHAR) || ' '
+           WHEN 7 THEN rtrim('d' || CAST(doc_id AS VARCHAR) || ' '
                 || string_agg(utext, chr(10) ORDER BY u))
+           WHEN 8 THEN string_agg('Section ' || CAST(u AS VARCHAR)
+                                  || CASE WHEN utext <> ''
+                                          THEN chr(10) || utext
+                                          ELSE '' END,
+                                  chr(10) ORDER BY u)
+                || chr(10) || 'quoted line'
+                || chr(10) || 'item one'
+                || chr(10) || 'item two'
+                || chr(10) || 'Col A Col B'
+                || chr(10) || 'cell one cell two'
+                || chr(10) || 'code **stays** [verbatim](x)'
+           WHEN 9 THEN string_agg('Section ' || CAST(u AS VARCHAR)
+                                  || CASE WHEN utext <> ''
+                                          THEN chr(10) || utext
+                                          ELSE '' END,
+                                  chr(10) ORDER BY u)
+                || chr(10) || 'tcell one tcell two'
+                || chr(10) || 'item one'
+                || chr(10) || 'linktext'
+           WHEN 10 THEN COALESCE(
+                string_agg(utext, chr(10) ORDER BY u)
+                  FILTER (WHERE utext <> ''), '')
+           WHEN 11 THEN COALESCE(
+                string_agg(utext, chr(10) ORDER BY u)
+                  FILTER (WHERE utext <> ''), '')
+           WHEN 12 THEN
+                '#!/usr/bin/env python' || chr(10)
+                || '# Module d' || CAST(doc_id AS VARCHAR) || chr(10)
+                || 'import os' || chr(10) || chr(10) || chr(10)
+                || string_agg(
+                     'def f' || CAST(u AS VARCHAR) || '():' || chr(10)
+                     || '    # ' || utext || chr(10)
+                     || '    s = "' || utext || '"' || chr(10)
+                     || '    return s + os.sep'
+                     || chr(10) || chr(10) || chr(10),
+                     '' ORDER BY u)
+                || 'S = "hash # inside string stays code"' || chr(10)
+                || '# done trailing comment'
+           WHEN 13 THEN
+                'rid words' || chr(10)
+                || string_agg(
+                     'r' || CAST(u AS VARCHAR)
+                     || CASE WHEN utext <> '' THEN ' ' || utext
+                             ELSE '' END,
+                     chr(10) ORDER BY u)
+                || chr(10) || 'rq she said "hi", ok'
+                || chr(10) || 'rn line one line two'
+           WHEN 14 THEN
+                string_agg(
+                     CAST(u AS VARCHAR)
+                     || CASE WHEN utext <> '' THEN ' ' || utext
+                             ELSE '' END,
+                     chr(10) ORDER BY u)
+                || chr(10) || '99 true a b'
+           ELSE
+                string_agg(
+                     'Cell ' || CAST(u AS VARCHAR) || chr(10)
+                     || 'md' || CAST(u AS VARCHAR)
+                     || CASE WHEN utext <> '' THEN ' ' || utext
+                             ELSE '' END
+                     || chr(10)
+                     || 'x' || CAST(u AS VARCHAR) || ' = "' || utext
+                     || '"' || chr(10)
+                     || '# trailing ' || CAST(u AS VARCHAR),
+                     chr(10) ORDER BY u)
+                || chr(10) || 'raw tail d' || CAST(doc_id AS VARCHAR)
          END AS text
   FROM unit GROUP BY doc_id
 )
 SELECT doc_id,
        CASE WHEN doc_id % 23 = 7 THEN 'zip'
-            ELSE CASE doc_id % 8
+            ELSE CASE doc_id % 16
               WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
               WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
-              WHEN 6 THEN 'latex' ELSE 'html' END
+              WHEN 6 THEN 'latex' WHEN 7 THEN 'html' WHEN 8 THEN 'md'
+              WHEN 9 THEN 'wiki' WHEN 10 THEN 'srt' WHEN 11 THEN 'vtt'
+              WHEN 12 THEN 'code' WHEN 13 THEN 'csv'
+              WHEN 14 THEN 'jsonl' ELSE 'ipynb' END
        END AS kind,
        CASE WHEN doc_id % 23 = 7 THEN NULL
             ELSE CAST(length(text) AS INT) END AS n_chars,
@@ -7593,7 +7670,7 @@ SELECT doc_id,
             ELSE md5(text) END AS text_md5,
        doc_id % 23 <> 7 AS ok
 FROM doc
-"""
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -699,7 +699,7 @@ def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
                  "subtitles_extract", "code_extract",
                  "tabular_extract", "parquet_extract",
                  "compressed_extract", "av_transcript_pairs",
-                 "notebook_extract"):
+                 "notebook_extract", "doctext_sweep"):
         fn, sql = Q._ALL[name]
         failed, line = _compare_one(
             spark, con, str(tmp_path), name, fn, sql
