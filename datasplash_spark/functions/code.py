@@ -86,6 +86,10 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
         ("javascript", r"^import[ \t]+.+[ \t]+from[ \t]+['\"]"),
         ("shell", r"^[ \t]*(?:if[ \t]+\[\[?[ \t]|for[ \t]+\w+[ \t]+in[ \t]|while[ \t]+\[\[?[ \t])"),
         ("shell", r"^\w+\(\)[ \t]*\{[ \t]*$"),
+        # INI/TOML-style config: two bare [section] header lines
+        # (wikitext [[links]] and markdown [ref]: definitions both
+        # fail the full-line shape)
+        ("ini", r"^\[[^\[\]\n]+\][ \t]*$"),
         # SQL dumps: uppercase statement heads only (prose writes
         # "Select the best ..." — sentence case — and never twice
         # at line starts with these clause shapes)
@@ -98,7 +102,7 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
 
 #: languages whose line comments start with '#'
 _HASH_COMMENT_LANGS = frozenset(
-    {"python", "shell", "ruby", "perl", "r", "code"}
+    {"python", "shell", "ruby", "perl", "r", "code", "ini"}
 )
 #: languages whose line comments start with '//' (plus /* */ blocks)
 _SLASH_COMMENT_LANGS = frozenset(

@@ -370,6 +370,14 @@ def parquet_to_text(raw: bytes) -> str:
 
     import pyarrow.parquet as _pq
 
+    if len(raw) > 1 << 26:
+        # same 64 MiB posture as the decompression bomb guard: a
+        # parquet file THAT large is a dataset shard, not a document
+        # blob — read it with spark.read.parquet, not this kernel
+        raise ValueError(
+            "parquet: blob over 64 MiB (read as a table, not a "
+            "document)"
+        )
     table = _pq.read_table(_io.BytesIO(raw))
     cols = list(table.column_names)
     lines = [_flatten_cells([str(c) for c in cols])]

@@ -1109,3 +1109,30 @@ def test_php_sql_detection_and_frontmatter():
         "some prose here\nmore"
     )
     assert f("---\nkey: v\nstill going") == "key: v\nstill going"
+
+
+def test_ini_detection_and_parquet_size_guard():
+    """Round-13 tail: two bare [section] headers detect config files
+    (wikitext links and markdown link definitions fail the full-line
+    shape), and a parquet blob past 64 MiB raises typed instead of
+    materializing (dataset shards belong to spark.read.parquet)."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions import tabular as T
+
+    assert C.detect_code_lang(
+        "[server]\nhost = a\n[client]\nport = 1\n"
+    ) == "ini"
+    assert C.detect_code_lang("[only one]\nk = v\n") is None
+    assert C.detect_code_lang(
+        "see [[link|x]] and [[other]]\n== H ==\n"
+    ) is None
+    assert C.detect_code_lang(
+        "[ref]: https://example.com\n[r2]: https://x.org\n"
+    ) is None
+    assert dt.sniff_document_kind(
+        b"[server]\nhost = a\n[client]\nport = 1\n"
+    ) == "code"
+    with _pytest.raises(ValueError, match="64 MiB"):
+        T.parquet_to_text(b"PAR1" + b"\x00" * (1 << 26) + b"PAR1")
