@@ -545,6 +545,26 @@ def probe(spark, k: int) -> None:
                 fromlist=["doctext"],
             )
         ),
+        # round 13: the WIDENED 16-family gated sweep (separate op
+        # from doc_text_sweep so the 8-family curve history stays
+        # comparable)
+        "doc_text_sweep16": lambda: (
+            lambda dtx: dtx.document_text_features(
+                dtx.synthesize_documents_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    families=16,
+                ).selectExpr("doc_id", "media")
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.doctext",
+                fromlist=["doctext"],
+            )
+        ),
         # round 13: notebook family (nbformat cell walk with the
         # in-notebook markdown pass)
         "notebook_extract": lambda: (

@@ -652,6 +652,26 @@ def test_wikitext_ref_with_slash_attribute():
     assert f("a <ref name=x/> b") == "a b"
 
 
+def _fuzz_gate_names(all_gates: bool = False):
+    """The divergent-char fuzz targets. The DEFAULT set keeps the
+    four highest-leverage gates (markdown — the original ADVICE
+    finding; tabular and notebook — each caught a REAL bug when
+    added; doctext_sweep — sixteen families under one query, so the
+    sweep transitively fuzzes every family's normalization); the
+    slow twin runs the full ten (conftest contract: every slow test
+    names its default sibling)."""
+    base = (
+        "markdown_extract", "tabular_extract", "notebook_extract",
+        "doctext_sweep",
+    )
+    extra = (
+        "wikitext_extract", "subtitles_extract", "code_extract",
+        "parquet_extract", "compressed_extract",
+        "av_transcript_pairs",
+    )
+    return base + extra if all_gates else base
+
+
 def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
     """ADVICE r12 regression: corpus text carrying NUL or non-ASCII
     str.strip() whitespace (U+00A0, U+2028, U+3000, ...) used to
@@ -695,11 +715,7 @@ def test_modality_gates_survive_divergent_edge_chars(spark, tmp_path):
         }
     ).to_parquet(str(tmp_path / "documents.parquet"))
     con = oracle_views(str(tmp_path))
-    for name in ("markdown_extract", "wikitext_extract",
-                 "subtitles_extract", "code_extract",
-                 "tabular_extract", "parquet_extract",
-                 "compressed_extract", "av_transcript_pairs",
-                 "notebook_extract", "doctext_sweep"):
+    for name in _fuzz_gate_names():
         fn, sql = Q._ALL[name]
         failed, line = _compare_one(
             spark, con, str(tmp_path), name, fn, sql
@@ -1136,3 +1152,53 @@ def test_ini_detection_and_parquet_size_guard():
     ) == "code"
     with _pytest.raises(ValueError, match="64 MiB"):
         T.parquet_to_text(b"PAR1" + b"\x00" * (1 << 26) + b"PAR1")
+
+
+import pytest as _pt
+
+
+@_pt.mark.slow  # exhaustive twin of
+# test_modality_gates_survive_divergent_edge_chars (default set runs
+# the four highest-leverage gates; this runs all ten)
+def test_modality_gates_divergent_edge_chars_all(spark, tmp_path):
+    import os
+    import sys
+
+    import pandas as pd
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    )
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from gate_sim import _compare_one, oracle_views
+
+    from datasplash_spark import queries as Q
+
+    texts = [
+        "\x00",
+        "\xa0leading nbsp words",
+        "\u2028line sep first",
+        "word\u3000ideographic space tail",
+        "mix \x00 nul and\xa0nbsp\u2029ps end",
+        "\x85nel\u1680ogham\u2009thin",
+        "plain ascii control case",
+        "",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(texts) + 1),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["fuzz"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    con = oracle_views(str(tmp_path))
+    for name in _fuzz_gate_names(all_gates=True):
+        fn, sql = Q._ALL[name]
+        failed, line = _compare_one(
+            spark, con, str(tmp_path), name, fn, sql
+        )
+        assert not failed, line
