@@ -381,8 +381,8 @@ def code_expected_stats(units: list[str], lang: str = "python") -> dict:
 
 CODE_FEATURES_SCHEMA = (
     "doc_id bigint, lang string, n_lines int, comment_lines int, "
-    "blank_lines int, code_lines int, text string, ok boolean, "
-    "err string"
+    "blank_lines int, code_lines int, max_line_len int, "
+    "text string, ok boolean, err string"
 )
 
 
@@ -430,8 +430,10 @@ def synthesize_code_from_text(df, text="text", id_col="doc_id", units_mod=3):
 def code_text_features(df, id_col="doc_id", source_col="source_code"):
     """Extract language + line stats + verbatim text from a code
     column into typed rows (``doc_id, lang, n_lines, comment_lines,
-    blank_lines, code_lines, text, ok, err``) with per-document
-    quarantine; extraction runs where the document lives."""
+    blank_lines, code_lines, max_line_len, text, ok, err``) with
+    per-document quarantine; extraction runs where the document
+    lives. ``max_line_len`` is The Stack's headline structural
+    filter (minified/generated files read as one enormous line)."""
 
     def extract(batches):
         import pandas as pd
@@ -448,20 +450,21 @@ def code_text_features(df, id_col="doc_id", source_col="source_code"):
                         (
                             did, lang, st["n_lines"],
                             st["comment_lines"], st["blank_lines"],
-                            st["code_lines"], code_to_text(s), True,
-                            None,
+                            st["code_lines"], st["max_line_len"],
+                            code_to_text(s), True, None,
                         )
                     )
                 except Exception as e:  # pragma: no cover (lenient)
                     rows.append(
                         (did, None, None, None, None, None, None,
-                         False, str(e))
+                         None, False, str(e))
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "lang", "n_lines", "comment_lines",
-                    "blank_lines", "code_lines", "text", "ok", "err",
+                    "blank_lines", "code_lines", "max_line_len",
+                    "text", "ok", "err",
                 ],
             )
 
