@@ -6918,6 +6918,7 @@ def q_code_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comment_lines").cast("int").alias("comment_lines"),
         F.col("blank_lines").cast("int").alias("blank_lines"),
         F.col("code_lines").cast("int").alias("code_lines"),
+        F.col("max_line_len").cast("int").alias("max_line_len"),
         F.md5(F.col("text")).alias("text_md5"),
         "ok",
     )
@@ -7006,7 +7007,8 @@ WITH norm AS (
                 'const S = "hash // inside string stays code"'
                 || chr(10) || '// done trailing comment'
             END AS text,
-         MAX(n) AS n
+         MAX(n) AS n,
+         MAX(length(utext)) AS maxul
   FROM unit GROUP BY doc_id
 )
 SELECT doc_id,
@@ -7022,6 +7024,16 @@ SELECT doc_id,
             ELSE 1 + n END AS INT) AS blank_lines,
        CAST(CASE doc_id % 3 WHEN 0 THEN 2 + 3 * n
             ELSE 2 + 4 * n END AS INT) AS code_lines,
+       -- closed-form longest line: the per-language fixed maximum
+       -- vs the id-bearing header vs the longest unit's string line
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN GREATEST(
+              37, 10 + length(CAST(doc_id AS VARCHAR)), 10 + maxul)
+            WHEN 1 THEN GREATEST(
+              51, 11 + length(CAST(doc_id AS VARCHAR)), 23 + maxul)
+            ELSE GREATEST(
+              44, 11 + length(CAST(doc_id AS VARCHAR)), 15 + maxul)
+            END AS INT) AS max_line_len,
        md5(text) AS text_md5, TRUE AS ok
 FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
