@@ -31,6 +31,11 @@ extractors the sibling modules ship:
                         13; code cells verbatim, markdown cells
                         through the markdown extractor, outputs
                         ignored)
+- RFC 5322 headers    → :func:`..eml.eml_to_text` (round 13;
+                        Subject survives, headers drop, MIME tree
+                        walked — text/plain leaves win, html
+                        fallback through the shared extractor,
+                        base64/quoted-printable decoded)
 - Source code         → :func:`..code.code_to_text` (round 13;
                         shebang or ≥2 strong full-line declaration
                         shapes; LOSSLESS — the kind tag routes code
@@ -219,6 +224,15 @@ def sniff_document_kind(raw: bytes) -> str:
         # not be stripped as html (round 13; the code family's one
         # true magic)
         return "code"
+    # email BEFORE the html check (round 13): an RFC 5322 header
+    # block (>=2 distinct common keys before the first blank line)
+    # is a stronger head signal than '<html' appearing anywhere in
+    # the first KB — a multipart message usually CARRIES an html
+    # part, and the mail walk hands it to the same html extractor
+    from . import eml as em
+
+    if em.sniff_eml(head.decode("utf-8", "replace")):
+        return "eml"
     low = head[:1024].lower()
     if low.startswith((b"<!doctype html", b"<html")) or b"<html" in low:
         return "html"
@@ -447,6 +461,10 @@ def extract_document_text(
         from . import notebook as nb
 
         return kind, nb.ipynb_to_text(data.decode("utf-8", "replace"))
+    if kind == "eml":
+        from . import eml as em
+
+        return kind, em.eml_to_text(data)
     if kind == "csv":
         return kind, tb.csv_to_text(data.decode("utf-8", "replace"))
     if kind == "jsonl":

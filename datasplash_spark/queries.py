@@ -7409,6 +7409,76 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email modality (round 13): per doc a REAL multipart MIME
+    message — fixed From/To/Date headers that must VANISH, a
+    Subject that must survive as the first line, and for even
+    doc_ids a QUOTED-PRINTABLE ``text/plain`` part (one paragraph
+    per unit — the transfer-decode pin) beside a ``text/html``
+    sibling that must be IGNORED while the plain part exists, while
+    odd doc_ids carry ONLY the html part, whose extraction through
+    the shared html pipeline must then be used — extracted via the
+    stdlib mail walk (``functions/eml.py``). The oracle rebuilds
+    the exact text in SQL, so header dropping, part preference,
+    transfer decoding, and the html fallback are value-pinned
+    corpus-wide."""
+    from .functions import eml as em
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = em.eml_text_features(em.synthesize_eml_from_text(docs))
+    return feats.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_EMAIL_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's normalization: markup/header-special
+  -- characters -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[<>&=:"''\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- subject line, then one line per non-empty unit (empty units
+  -- vanish under the paragraph contract)
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR)
+         || COALESCE(
+              chr(10) || string_agg(utext, chr(10) ORDER BY u)
+                FILTER (WHERE utext <> ''),
+              ''
+            ) AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5, TRUE AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -7988,6 +8058,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "parquet_extract": (q_parquet_extract, ORACLE_PARQUET_EXTRACT),
     "compressed_extract": (q_compressed_extract, ORACLE_COMPRESSED_EXTRACT),
     "notebook_extract": (q_notebook_extract, ORACLE_NOTEBOOK_EXTRACT),
+    "email_extract": (q_email_extract, ORACLE_EMAIL_EXTRACT),
 }
 
 
@@ -8056,6 +8127,7 @@ _NEW_R13: list[str] = [
     "parquet_extract",
     "compressed_extract",
     "notebook_extract",
+    "email_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

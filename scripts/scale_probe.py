@@ -565,6 +565,23 @@ def probe(spark, k: int) -> None:
                 fromlist=["doctext"],
             )
         ),
+        # round 13: email family (stdlib MIME walk, qp decode, html
+        # fallback)
+        "email_extract": lambda: (
+            lambda em: em.eml_text_features(
+                em.synthesize_eml_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    )
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.eml", fromlist=["eml"]
+            )
+        ),
         # round 13: notebook family (nbformat cell walk with the
         # in-notebook markdown pass)
         "notebook_extract": lambda: (

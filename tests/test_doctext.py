@@ -667,7 +667,7 @@ def _fuzz_gate_names(all_gates: bool = False):
     extra = (
         "wikitext_extract", "subtitles_extract", "code_extract",
         "parquet_extract", "compressed_extract",
-        "av_transcript_pairs",
+        "av_transcript_pairs", "email_extract",
     )
     return base + extra if all_gates else base
 
@@ -1202,3 +1202,45 @@ def test_modality_gates_divergent_edge_chars_all(spark, tmp_path):
             spark, con, str(tmp_path), name, fn, sql
         )
         assert not failed, line
+
+
+def test_email_writer_reader_parity_and_routing(spark):
+    """encode_eml / eml_to_text parity across both part modes
+    (quoted-printable plain part wins; html-only falls back through
+    the shared extractor; headers vanish, Subject survives), mbox
+    envelope accepted, conservative sniffing vs prose, and the
+    router precedence over the html-anywhere check."""
+    from datasplash_spark.functions import eml as EM
+
+    for html_only in (False, True):
+        for units in (["alpha beta gamma"], ["a b", "c d e"], [""],
+                      ["", "x"]):
+            raw = EM.encode_eml(units, 7, html_only=html_only)
+            assert EM.eml_to_text(raw) == EM.eml_expected_text(
+                units, 7
+            ), (html_only, units)
+    long_units = [" ".join("word%d" % i for i in range(40))]
+    raw = EM.encode_eml(long_units, 1)
+    assert b"=\n" in raw  # quoted-printable soft break exercised
+    assert EM.eml_to_text(raw) == EM.eml_expected_text(long_units, 1)
+    assert not EM.sniff_eml(
+        "From: my perspective, this is prose\nmore prose"
+    )
+    assert EM.sniff_eml(
+        "From x@y Mon Jan  1 00:00:00 2024\nFrom: a@b\n"
+        "Subject: s\n\nbody"
+    )
+    raw = EM.encode_eml(["alpha beta"], 3)
+    assert dt.sniff_document_kind(raw) == "eml"  # beats '<html' in body
+    assert dt.sniff_document_kind(
+        b"<html><body>hi</body></html>"
+    ) == "html"
+    df = spark.createDataFrame(
+        [(3, bytearray(raw)),
+         (4, bytearray(EM.encode_eml(["gamma"], 4, html_only=True)))],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[3].kind == "eml" and rows[3].ok
+    assert rows[3].text == EM.eml_expected_text(["alpha beta"], 3)
+    assert rows[4].text == EM.eml_expected_text(["gamma"], 4)

@@ -1262,3 +1262,16 @@ def test_notebook_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "media" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_email_extract_bytes_never_shuffle(spark):
+    """email_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the MIME writer
+    + mail walk fused post-shuffle, message bytes never crossing
+    it."""
+    plan = plan_of(_q(spark, "email_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
