@@ -36,6 +36,13 @@ extractors the sibling modules ship:
                         walked — text/plain leaves win, html
                         fallback through the shared extractor,
                         base64/quoted-printable decoded)
+- Log-line shapes     → :func:`..logtext.log_to_text` (round 13;
+                        syslog / ISO-app-log / NCSA access headers
+                        on ≥3 and a majority of head lines; header
+                        metadata drops, messages survive,
+                        continuation lines attach — checked BEFORE
+                        tabular so a tab-separated ISO log cannot
+                        flatten lossily as TSV)
 - Source code         → :func:`..code.code_to_text` (round 13;
                         shebang or ≥2 strong full-line declaration
                         shapes; LOSSLESS — the kind tag routes code
@@ -184,6 +191,7 @@ def sniff_document_kind(raw: bytes) -> str:
     document), 'vtt' (WEBVTT header) / 'srt' (cue-head shape),
     'csv' (incl. TSV) / 'jsonl' (strict tabular exporter shapes,
     round 13), 'code' (shebang or ≥2 strong declaration shapes,
+    round 13), 'log' (≥3 majority syslog/ISO/CLF header lines,
     round 13), 'wiki' / 'md' (structural-syntax heuristics —
     neither has magic bytes), or 'text' (the fallback — plain text
     is a valid document). '' only for empty input."""
@@ -266,6 +274,14 @@ def sniff_document_kind(raw: bytes) -> str:
 
     if cd.detect_code_lang(text_head):
         return "code"
+    # logs BEFORE tabular (round 13): a tab-separated ISO app log
+    # has consistent field counts and would route 'csv', flattening
+    # LOSSILY; the log sniff needs ≥3 majority header lines, which
+    # no real CSV head produces
+    from . import logtext as lt
+
+    if lt.sniff_log(text_head):
+        return "log"
     from . import tabular as tb
 
     tab = tb.sniff_tabular_kind(text_head)
@@ -465,6 +481,10 @@ def extract_document_text(
         from . import eml as em
 
         return kind, em.eml_to_text(data)
+    if kind == "log":
+        from . import logtext as lt
+
+        return kind, lt.log_to_text(data.decode("utf-8", "replace"))
     if kind == "csv":
         return kind, tb.csv_to_text(data.decode("utf-8", "replace"))
     if kind == "jsonl":

@@ -7479,6 +7479,113 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-file modality (round 13): per doc a REAL log file, the
+    dialect rotating on ``doc_id % 3`` — BSD syslog (RFC 3164
+    layout; the unit is the message, no severity), an ISO-timestamp
+    application log (level cycling INFO/WARN/ERROR on the unit
+    index, a ``[svc]`` component token that must DROP, and an
+    indented continuation line after every ERROR that must ATTACH
+    to its message — the traceback pin), and NCSA Common Log Format
+    (the quoted request line is the message; status cycling
+    200/404/500 drives the warn/error classes) — extracted through
+    the header/continuation scanner (``functions/logtext.py``).
+    Every 23rd document (``doc_id % 23 == 7``) is a NUL-carrying
+    binary blob, so the typed quarantine is driver-gated: those
+    rows come back all-NULL with ``ok=false`` while every sibling
+    extracts. The oracle rebuilds the exact message text per
+    dialect in SQL (md5) plus the closed-form line/message/level
+    counters, so header dropping, continuation attachment, level
+    classing, and the quarantine are value-pinned corpus-wide."""
+    from .functions import logtext as lg
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = lg.log_text_features(
+        lg.synthesize_log_from_text(docs, poison_mod=23)
+    )
+    return feats.select(
+        "doc_id",
+        "dialect",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_messages").cast("int").alias("n_messages"),
+        F.col("n_error").cast("int").alias("n_error"),
+        F.col("n_warn").cast("int").alias("n_warn"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_LOG_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- line-grammar characters (quotes, brackets, backslash) -> '-',
+  -- whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '["\\[\\]\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- the exact message text log_to_text extracts per dialect
+  -- (doc_id % 3 rotates syslog / iso / clf): the unit itself, the
+  -- unit with the ERROR continuation attached, or the rebuilt
+  -- request line
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN string_agg(utext, chr(10) ORDER BY u)
+           WHEN 1 THEN string_agg(
+                CASE WHEN u % 3 = 2
+                     THEN ltrim(utext || ' at fixture.py:42, in run')
+                     ELSE utext END,
+                chr(10) ORDER BY u)
+           ELSE string_agg(
+                'GET /' || replace(utext, ' ', '-') || ' HTTP/1.1',
+                chr(10) ORDER BY u)
+         END AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'syslog'
+            WHEN doc_id % 3 = 1 THEN 'iso'
+            ELSE 'clf' END AS dialect,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 3 = 1 THEN CAST(n + n // 3 AS INT)
+            ELSE CAST(n AS INT) END AS n_lines,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(n AS INT) END AS n_messages,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 0
+            ELSE CAST(n // 3 AS INT) END AS n_error,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 0
+            ELSE CAST((n + 1) // 3 AS INT) END AS n_warn,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -8059,6 +8166,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "compressed_extract": (q_compressed_extract, ORACLE_COMPRESSED_EXTRACT),
     "notebook_extract": (q_notebook_extract, ORACLE_NOTEBOOK_EXTRACT),
     "email_extract": (q_email_extract, ORACLE_EMAIL_EXTRACT),
+    "log_extract": (q_log_extract, ORACLE_LOG_EXTRACT),
 }
 
 
@@ -8128,6 +8236,7 @@ _NEW_R13: list[str] = [
     "compressed_extract",
     "notebook_extract",
     "email_extract",
+    "log_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

@@ -582,6 +582,25 @@ def probe(spark, k: int) -> None:
                 "datasplash_spark.functions.eml", fromlist=["eml"]
             )
         ),
+        # round 13: log family (header/continuation scanner over
+        # the three dialects, poison quarantine included)
+        "log_extract": lambda: (
+            lambda lg: lg.log_text_features(
+                lg.synthesize_log_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    poison_mod=23,
+                )
+            )
+            .agg(F.sum(F.col("n_messages").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.logtext",
+                fromlist=["logtext"],
+            )
+        ),
         # round 13: notebook family (nbformat cell walk with the
         # in-notebook markdown pass)
         "notebook_extract": lambda: (

@@ -667,7 +667,7 @@ def _fuzz_gate_names(all_gates: bool = False):
     extra = (
         "wikitext_extract", "subtitles_extract", "code_extract",
         "parquet_extract", "compressed_extract",
-        "av_transcript_pairs", "email_extract",
+        "av_transcript_pairs", "email_extract", "log_extract",
     )
     return base + extra if all_gates else base
 
@@ -915,6 +915,122 @@ def test_router_extracts_code_and_tabular(spark):
     assert "ragged row" in rows[4].err
     assert rows[5].kind == "code" and rows[5].ok
     assert rows[5].text == script.decode()  # lossless: '#' head intact
+
+
+def test_log_writer_reader_parity():
+    """encode_log plants the three dialect grammars (RFC 3164
+    syslog, ISO app log with a component token and an ERROR
+    continuation, NCSA CLF); the scanner must extract exactly the
+    expected message text and closed-form counters, and binary /
+    header-free content must raise TYPED errors."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import logtext as L
+
+    for d in ("syslog", "iso", "clf"):
+        for units in (
+            ["alpha beta", "gamma", "delta epsilon zeta"],
+            ["solo"],
+            [""],
+            ["one", "two"],
+        ):
+            src = L.encode_log(units, 42, d).decode()
+            text, st = L._log_scan(src)
+            assert text == L.log_expected_text(units, 42, d)
+            exp = L.log_expected_stats(units, d)
+            assert {k: st[k] for k in exp} == exp
+    with _pytest.raises(ValueError, match="binary"):
+        L.log_to_text(L.POISON_LOG.decode("utf-8", "replace"))
+    with _pytest.raises(ValueError, match="no parseable"):
+        L.log_to_text("just words\nmore words")
+    # a multi-line traceback attaches to its ERROR message; the
+    # next header starts a fresh one
+    text, st = L._log_scan(
+        "2024-01-01T00:00:00Z ERROR [svc] boom\n"
+        "Traceback (most recent call last):\n"
+        '  File x.py, line 1\n'
+        "ValueError: boom\n"
+        "2024-01-01T00:00:01Z INFO [svc] next"
+    )
+    assert st["n_messages"] == 2 and st["n_error"] == 1
+    assert text.split("\n")[0].endswith("ValueError: boom")
+    # rotation slice: an orphan leading tail is its own message,
+    # never a poison row
+    text, st = L._log_scan(
+        "  orphan tail\nJan  2 03:04:05 h app[1]: real"
+    )
+    assert text == "orphan tail\nreal" and st["n_messages"] == 2
+
+
+def test_log_sniff_is_conservative():
+    """Prose, CSV (even with ISO-timestamp cells), SRT cues,
+    markdown, and code must not route log; all three dialect
+    fixtures and a tab-separated ISO log (which the tabular sniff
+    would otherwise claim and flatten lossily) must."""
+    from datasplash_spark.functions import code as C
+    from datasplash_spark.functions import logtext as L
+
+    assert not L.sniff_log("plain prose\nJan weather cold\nwords")
+    assert not L.sniff_log("a,b,c\n1,2,3\n4,5,6\n7,8,9\n")
+    assert not L.sniff_log(
+        "2024-01-01T00:00:00Z,INFO,comma separated\n" * 5
+    )
+    assert not L.sniff_log("1\n00:00:01,000 --> 00:00:02,000\nhi\n")
+    assert not L.sniff_log("# Heading\n\nsome markdown\n")
+    assert not L.sniff_log(
+        C.encode_code(["a b"], 1, "python").decode()
+    )
+    for d in ("syslog", "iso", "clf"):
+        head = L.encode_log(
+            ["m one", "m two", "m three", "m four"], 1, d
+        ).decode()
+        assert L.sniff_log(head), d
+    tsv_log = "\n".join(
+        "2024-01-01T00:00:%02dZ\tINFO\tmessage %d" % (i, i)
+        for i in range(6)
+    )
+    assert L.sniff_log(tsv_log)
+    assert dt.sniff_document_kind(tsv_log.encode()) == "log"
+
+
+def test_router_extracts_logs(spark):
+    """The universal router routes and extracts the log family
+    end-to-end across all three dialects, composes with the gz
+    transport, and quarantines the binary poison blob typed while
+    siblings extract."""
+    import gzip
+
+    from datasplash_spark.functions import logtext as L
+
+    sys_units = ["alpha beta", "gamma", "delta"]
+    iso_units = ["gamma", "delta", "epsilon"]
+    clf_units = ["eps zeta", "eta", "theta"]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(L.encode_log(sys_units, 1, "syslog"))),
+            (2, bytearray(L.encode_log(iso_units, 2, "iso"))),
+            (3, bytearray(L.encode_log(clf_units, 3, "clf"))),
+            (4, bytearray(gzip.compress(
+                L.encode_log(["zipped msg", "two", "three"], 4, "iso")
+            ))),
+            # below the >=3-header sniff floor: a 2-line log stays
+            # plain text (lossless — the conservative direction)
+            (5, bytearray(L.encode_log(["a", "b"], 5, "iso"))),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "log" and rows[1].ok
+    assert rows[1].text == L.log_expected_text(sys_units, 1, "syslog")
+    assert rows[2].kind == "log" and rows[2].ok
+    assert rows[2].text == L.log_expected_text(iso_units, 2, "iso")
+    assert rows[3].kind == "log" and rows[3].ok
+    assert rows[3].text == L.log_expected_text(clf_units, 3, "clf")
+    assert rows[4].kind == "gz:log" and rows[4].ok
+    assert rows[4].text == L.log_expected_text(
+        ["zipped msg", "two", "three"], 4, "iso"
+    )
+    assert rows[5].kind == "text" and rows[5].ok
 
 
 def test_tabular_and_code_windows_line_endings():

@@ -1275,3 +1275,16 @@ def test_email_extract_bytes_never_shuffle(spark):
     exch = [l for l in plan.splitlines() if "Exchange" in l]
     assert "media" not in "".join(exch), exch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_log_extract_bytes_never_shuffle(spark):
+    """log_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the log writer +
+    header/continuation scanner fused post-shuffle, log bytes never
+    crossing it."""
+    plan = plan_of(_q(spark, "log_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
