@@ -13,6 +13,12 @@ extractors the sibling modules ship:
 - LaTeX markers       → :func:`..latex.latex_to_text`
 - HTML markers        → a kernel-side mirror of
                         :func:`..web.html_extract`'s regex pipeline
+- RSS/Atom feed root  → :func:`..feeds.feed_to_text` (round 13;
+                        feed/entry titles + bodies survive with
+                        escaped-HTML descriptions through the
+                        shared extractor; GUIDs/links/dates drop —
+                        checked BEFORE the generic XML route, which
+                        would keep that plumbing as prose)
 - XML declaration     → generic XML text nodes (round 12;
                         ElementTree itertext with a tag-strip
                         fallback for malformed input — RSS/JATS/
@@ -249,6 +255,13 @@ def sniff_document_kind(raw: bytes) -> str:
         or b"\\begin{document}" in head
     ):
         return "latex"
+    # syndication feeds BEFORE the generic xml route (round 13): the
+    # generic pass extracts EVERY text node, so a feed's GUIDs,
+    # permalinks, and pubDates would enter the corpus as prose
+    from . import feeds as fd
+
+    if fd.sniff_feed(head):
+        return "feed"
     if head[:5] == b"<?xml":
         # xhtml already routed 'html' above; epub/office are zips
         return "xml"
@@ -469,6 +482,10 @@ def extract_document_text(
         return kind, st.vtt_to_text(data.decode("utf-8", "replace"))
     if kind == "srt":
         return kind, st.srt_to_text(data.decode("utf-8", "replace"))
+    if kind == "feed":
+        from . import feeds as fd
+
+        return kind, fd.feed_to_text(data)
     if kind == "xml":
         return kind, _xml_to_text_py(data)
     if kind == "parquet":

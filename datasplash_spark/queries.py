@@ -7586,6 +7586,92 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication-feed modality (round 13): per doc a REAL feed —
+    RSS 2.0 for even doc_ids (channel plumbing that must VANISH,
+    the channel title surviving first, one ``<item>`` per unit
+    whose description carries HTML-ESCAPED ``<p>`` markup — the
+    entity-decode + html-strip pin — beside guid/link/pubDate
+    noise) and Atom for odd (namespaced root, id/updated/author
+    plumbing, plain-text summaries — the text body path) —
+    extracted through the grammar-aware walk (``functions/
+    feeds.py``), which the router checks BEFORE the generic XML
+    route precisely so this plumbing cannot enter the corpus as
+    prose. Every 23rd document (``doc_id % 23 == 7``) is an
+    unparseable feed-shaped blob, so the typed quarantine is
+    driver-gated: those rows come back all-NULL with ``ok=false``
+    while every sibling extracts. The oracle rebuilds the exact
+    title/entry text in SQL (md5) plus the entry count, so
+    plumbing removal, both grammars, and the escaped-markup path
+    are value-pinned corpus-wide."""
+    from .functions import feeds as fd
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = fd.feed_text_features(
+        fd.synthesize_feed_from_text(docs, poison_mod=23)
+    )
+    return feats.select(
+        "doc_id",
+        "grammar",
+        F.col("n_entries").cast("int").alias("n_entries"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_FEED_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- markup specials -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[<>&"''\\\\@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- feed title first, then per unit its entry title and (when
+  -- non-empty) its body — both grammars collapse to the same lines
+  SELECT doc_id,
+         'Feed d' || CAST(doc_id AS VARCHAR)
+         || string_agg(
+              chr(10) || 'Entry ' || CAST(u AS VARCHAR)
+              || CASE WHEN utext <> '' THEN chr(10) || utext
+                      ELSE '' END,
+              '' ORDER BY u) AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'rss'
+            ELSE 'atom' END AS grammar,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(n AS INT) END AS n_entries,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -8167,6 +8253,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "notebook_extract": (q_notebook_extract, ORACLE_NOTEBOOK_EXTRACT),
     "email_extract": (q_email_extract, ORACLE_EMAIL_EXTRACT),
     "log_extract": (q_log_extract, ORACLE_LOG_EXTRACT),
+    "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
 }
 
 
@@ -8237,6 +8324,7 @@ _NEW_R13: list[str] = [
     "notebook_extract",
     "email_extract",
     "log_extract",
+    "feed_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

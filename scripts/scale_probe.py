@@ -601,6 +601,25 @@ def probe(spark, k: int) -> None:
                 fromlist=["logtext"],
             )
         ),
+        # round 13: feed family (ET walk, entity-decode + html
+        # strip on escaped bodies, poison quarantine included)
+        "feed_extract": lambda: (
+            lambda fd: fd.feed_text_features(
+                fd.synthesize_feed_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    poison_mod=23,
+                )
+            )
+            .agg(F.sum(F.col("n_entries").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.feeds",
+                fromlist=["feeds"],
+            )
+        ),
         # round 13: notebook family (nbformat cell walk with the
         # in-notebook markdown pass)
         "notebook_extract": lambda: (

@@ -668,6 +668,7 @@ def _fuzz_gate_names(all_gates: bool = False):
         "wikitext_extract", "subtitles_extract", "code_extract",
         "parquet_extract", "compressed_extract",
         "av_transcript_pairs", "email_extract", "log_extract",
+        "feed_extract",
     )
     return base + extra if all_gates else base
 
@@ -1031,6 +1032,89 @@ def test_router_extracts_logs(spark):
         ["zipped msg", "two", "three"], 4, "iso"
     )
     assert rows[5].kind == "text" and rows[5].ok
+
+
+def test_feed_writer_reader_parity():
+    """encode_rss / encode_atom plant the plumbing that must vanish
+    (links, GUIDs, dates, authors) and the two body conventions
+    (HTML-escaped RSS descriptions, plain Atom summaries); the
+    grammar walk must extract exactly the expected text, and
+    unparseable / DTD-carrying feeds must raise TYPED errors."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import feeds as FD
+
+    for atom in (False, True):
+        enc = FD.encode_atom if atom else FD.encode_rss
+        for units in (
+            ["alpha beta", "gamma"],
+            ["solo"],
+            [""],
+            ["a", "b", "c"],
+        ):
+            raw = enc(units, 42)
+            assert FD.feed_to_text(raw) == FD.feed_expected_text(
+                units, 42, atom
+            )
+            assert FD.feed_entry_count(raw) == len(units)
+    # escaped markup inside a description round-trips through the
+    # parser un-escape + html strip
+    raw = FD.encode_rss(["a < b & c"], 1)
+    assert FD.feed_to_text(raw) == "Feed d1\nEntry 0\na < b & c"
+    with _pytest.raises(ValueError, match="unparseable"):
+        FD.feed_to_text(FD.POISON_FEED)
+    with _pytest.raises(ValueError, match="DTD"):
+        FD.feed_to_text(
+            b'<?xml version="1.0"?><!DOCTYPE rss [<!ENTITY x "y">]>'
+            b'<rss version="2.0"><channel><title>t</title>'
+            b"</channel></rss>"
+        )
+
+
+def test_feed_routing_vs_generic_xml(spark):
+    """Feeds route 'feed' (BEFORE generic xml — the plumbing-drop
+    rule); sitemaps, JATS-ish dumps, and declaration-less non-feed
+    XML stay on the generic path; a declaration-less feed and a
+    comment-prefixed feed still route; the router extracts both
+    grammars end-to-end and quarantines the poison blob typed."""
+    from datasplash_spark.functions import feeds as FD
+
+    s = dt.sniff_document_kind
+    assert s(FD.encode_rss(["x y"], 2)) == "feed"
+    assert s(FD.encode_atom(["x y"], 3)) == "feed"
+    assert s(
+        b'<rss version="2.0"><channel><title>t</title>'
+        b"</channel></rss>"
+    ) == "feed"
+    assert s(
+        b'<?xml version="1.0"?><!-- gen --><feed '
+        b'xmlns="http://www.w3.org/2005/Atom"><title>t</title></feed>'
+    ) == "feed"
+    assert s(
+        b'<?xml version="1.0"?><urlset xmlns="x"><url>'
+        b"<loc>https://e/</loc></url></urlset>"
+    ) == "xml"
+    assert s(
+        b'<?xml version="1.0"?><article><title>JATS</title>'
+        b"</article>"
+    ) == "xml"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(FD.encode_rss(["alpha beta", "gamma"], 1))),
+            (2, bytearray(FD.encode_atom(["delta"], 2))),
+            (3, bytearray(FD.POISON_FEED)),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "feed" and rows[1].ok
+    assert rows[1].text == FD.feed_expected_text(
+        ["alpha beta", "gamma"], 1
+    )
+    assert rows[2].kind == "feed" and rows[2].ok
+    assert rows[2].text == FD.feed_expected_text(["delta"], 2, True)
+    assert rows[3].kind == "feed" and not rows[3].ok
+    assert "unparseable" in rows[3].err
 
 
 def test_tabular_and_code_windows_line_endings():
