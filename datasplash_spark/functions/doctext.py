@@ -577,19 +577,27 @@ def synthesize_documents_from_text(
     ``1 + len(text) % units_mod`` units (words round-robin), the
     container rotating on ``doc_id % families`` — the original
     EIGHT binary/markup families (pdf, docx, epub, pptx, odt, rtf,
-    latex, html) at the default, or (round 13, ``families=16``)
-    those plus the full text-family breadth: markdown, wikitext,
-    SRT, WebVTT, python code, CSV, JSONL, and a Jupyter notebook —
-    so ONE sweep drives the router's whole dispatch table. The
-    16-family mode normalizes with the UNION of every family's
-    special-character class plus the shared divergent set (mirrored
-    in the oracle). Returns ``(doc_id, family, media binary)`` —
-    the input for :func:`document_text_features` sweeps."""
-    if families not in (8, 16):
-        raise ValueError(f"families must be 8 or 16, got {families}")
+    latex, html) at the default, ``families=16`` adding the full
+    round-12/13 text breadth (markdown, wikitext, SRT, WebVTT,
+    python code, CSV, JSONL, Jupyter notebook), or (round 13
+    continuation, ``families=19``) those plus RFC 5322 email, an
+    ISO-dialect log file (two fixed preamble lines keep every doc
+    above the ≥3-header sniff floor), and an RSS/Atom feed
+    (rotating on doc parity) — so ONE sweep drives the router's
+    whole dispatch table. The 16/19-family modes normalize with the
+    UNION of every family's special-character class plus the shared
+    divergent set (mirrored in the oracle; the three round-13
+    additions introduce no characters outside that union). Returns
+    ``(doc_id, family, media binary)`` — the input for
+    :func:`document_text_features` sweeps."""
+    if families not in (8, 16, 19):
+        raise ValueError(
+            f"families must be 8, 16 or 19, got {families}"
+        )
     _FAMILIES = (
         "pdf", "docx", "epub", "pptx", "odt", "rtf", "latex", "html",
         "md", "wiki", "srt", "vtt", "code", "csv", "jsonl", "ipynb",
+        "eml", "log", "feed",
     )[:families]
 
     def synth(batches):
@@ -617,7 +625,7 @@ def synthesize_documents_from_text(
                 # whitespace runs -> one space, and unit count
                 # clamped to the word count so no family sees an
                 # empty unit (their empty-line semantics differ)
-                if families == 16:
+                if families >= 16:
                     t = (t or "").translate(
                         _web.SYNTH_DIVERGENT_TABLE
                     )
@@ -674,8 +682,34 @@ def synthesize_documents_from_text(
                     media = tb.encode_csv(units)
                 elif fam == "jsonl":
                     media = tb.encode_jsonl(units)
-                else:
+                elif fam == "ipynb":
                     media = nbk.encode_ipynb(units, did)
+                elif fam == "eml":
+                    from . import eml as em
+
+                    media = em.encode_eml(
+                        units, did, html_only=(did % 2 == 1)
+                    )
+                elif fam == "log":
+                    from . import logtext as lg
+
+                    # two fixed preamble lines keep every doc above
+                    # the ≥3-header sniff floor (a 1-unit log would
+                    # otherwise route 'text' by design)
+                    media = lg.encode_log(
+                        ["sweep head one", "sweep head two"]
+                        + units,
+                        did,
+                        "iso",
+                    )
+                else:
+                    from . import feeds as fd
+
+                    media = (
+                        fd.encode_rss(units, did)
+                        if did % 2 == 0
+                        else fd.encode_atom(units, did)
+                    )
                 ids.append(did)
                 fams.append(fam)
                 medias.append(media)

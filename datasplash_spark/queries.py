@@ -7772,11 +7772,12 @@ WHERE has_sub OR has_mp4
 
 def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Universal document-text router (built round 11, PROMOTED
-    round 12, widened round 13): per doc a REAL document rotating
-    over SIXTEEN families on ``doc_id % 16`` (pdf, docx, epub,
-    pptx, odt, rtf, latex, html — the original eight — plus
-    markdown, wikitext, SRT, WebVTT, python code, CSV, JSONL, and a
-    Jupyter notebook; ``1 + len(text) % 3`` units, words
+    round 12, widened twice round 13): per doc a REAL document
+    rotating over NINETEEN families on ``doc_id % 19`` (pdf, docx,
+    epub, pptx, odt, rtf, latex, html — the original eight — plus
+    markdown, wikitext, SRT, WebVTT, python code, CSV, JSONL, a
+    Jupyter notebook, an RFC 5322 email, an ISO-dialect log file,
+    and an RSS/Atom feed; ``1 + len(text) % 3`` units, words
     round-robin), then extraction through the ONE mixed-bag router
     (``functions/doctext.py`` — magic/layout/structural sniff
     dispatching to the zero-dependency extractors), so the router's
@@ -7796,7 +7797,7 @@ def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     synth = dt.synthesize_documents_from_text(
-        docs, families=16
+        docs, families=19
     ).withColumn(
         "media",
         F.when(
@@ -7817,7 +7818,7 @@ def q_doctext_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOCTEXT_SWEEP = """
 WITH norm AS (
   -- the UNION of every family's special-character class plus the
-  -- shared divergent set (the 16-family mode's normalization)
+  -- shared divergent set (the 16/19-family mode normalization)
   SELECT doc_id,
          trim(regexp_replace(
            regexp_replace(text,
@@ -7842,7 +7843,7 @@ WITH norm AS (
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
   SELECT doc_id,
-         CASE doc_id % 16
+         CASE doc_id % 19
            WHEN 0 THEN string_agg(utext, chr(12) ORDER BY u)
            WHEN 1 THEN string_agg(utext, chr(10) ORDER BY u)
            WHEN 2 THEN string_agg('Chapter ' || CAST(u AS VARCHAR)
@@ -7914,7 +7915,7 @@ WITH norm AS (
                              ELSE '' END,
                      chr(10) ORDER BY u)
                 || chr(10) || '99 true a b'
-           ELSE
+           WHEN 15 THEN
                 string_agg(
                      'Cell ' || CAST(u AS VARCHAR) || chr(10)
                      || 'md' || CAST(u AS VARCHAR)
@@ -7926,18 +7927,48 @@ WITH norm AS (
                      || '# trailing ' || CAST(u AS VARCHAR),
                      chr(10) ORDER BY u)
                 || chr(10) || 'raw tail d' || CAST(doc_id AS VARCHAR)
+           WHEN 16 THEN
+                -- email: Doc-subject first line, then non-empty
+                -- units (ORACLE_EMAIL_EXTRACT's doc shape)
+                'Doc ' || CAST(doc_id AS VARCHAR)
+                || COALESCE(
+                     chr(10) || string_agg(utext, chr(10) ORDER BY u)
+                       FILTER (WHERE utext <> ''),
+                     '')
+           WHEN 17 THEN
+                -- iso log with the two-line sweep preamble: data
+                -- unit u sits at encoded line u+2, so ERROR (and
+                -- its attached continuation) lands on u % 3 = 0
+                'sweep head one' || chr(10) || 'sweep head two'
+                || chr(10)
+                || string_agg(
+                     CASE WHEN u % 3 = 0
+                          THEN ltrim(utext
+                                     || ' at fixture.py:42, in run')
+                          ELSE utext END,
+                     chr(10) ORDER BY u)
+           ELSE
+                -- rss/atom feed: title, then entry title + body
+                'Feed d' || CAST(doc_id AS VARCHAR)
+                || string_agg(
+                     chr(10) || 'Entry ' || CAST(u AS VARCHAR)
+                     || CASE WHEN utext <> '' THEN chr(10) || utext
+                             ELSE '' END,
+                     '' ORDER BY u)
          END AS text
   FROM unit GROUP BY doc_id
 )
 SELECT doc_id,
        CASE WHEN doc_id % 23 = 7 THEN 'zip'
-            ELSE CASE doc_id % 16
+            ELSE CASE doc_id % 19
               WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
               WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
               WHEN 6 THEN 'latex' WHEN 7 THEN 'html' WHEN 8 THEN 'md'
               WHEN 9 THEN 'wiki' WHEN 10 THEN 'srt' WHEN 11 THEN 'vtt'
               WHEN 12 THEN 'code' WHEN 13 THEN 'csv'
-              WHEN 14 THEN 'jsonl' ELSE 'ipynb' END
+              WHEN 14 THEN 'jsonl' WHEN 15 THEN 'ipynb'
+              WHEN 16 THEN 'eml' WHEN 17 THEN 'log'
+              ELSE 'feed' END
        END AS kind,
        CASE WHEN doc_id % 23 = 7 THEN NULL
             ELSE CAST(length(text) AS INT) END AS n_chars,

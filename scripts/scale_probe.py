@@ -545,16 +545,16 @@ def probe(spark, k: int) -> None:
                 fromlist=["doctext"],
             )
         ),
-        # round 13: the WIDENED 16-family gated sweep (separate op
-        # from doc_text_sweep so the 8-family curve history stays
-        # comparable)
-        "doc_text_sweep16": lambda: (
+        # round 13: the WIDENED gated sweep, now the 19-family
+        # rotation (separate op from doc_text_sweep so the 8-family
+        # curve history stays comparable)
+        "doc_text_sweep19": lambda: (
             lambda dtx: dtx.document_text_features(
                 dtx.synthesize_documents_from_text(
                     docs.repartition(
                         spark.sparkContext.defaultParallelism, "doc_id"
                     ),
-                    families=16,
+                    families=19,
                 ).selectExpr("doc_id", "media")
             )
             .agg(F.sum(F.col("n_chars").cast("long")))

@@ -443,8 +443,13 @@ def test_sniff_wikitext_and_xml_routing():
     assert dtx.sniff_document_kind(b"see [[Main Page]]") == "text"
     assert dtx.sniff_document_kind(b"{{stub}} text") == "text"
     assert dtx.sniff_document_kind(b"== History ==\nbody") == "text"
+    # feeds route to their own family since round 13 (the generic
+    # pass would keep GUIDs/dates as prose); non-feed XML stays here
     assert dtx.sniff_document_kind(
         b"<?xml version='1.0'?><rss><title>t</title></rss>"
+    ) == "feed"
+    assert dtx.sniff_document_kind(
+        b"<?xml version='1.0'?><doc><title>t</title></doc>"
     ) == "xml"
     # xhtml keeps routing html (the html check runs first)
     assert dtx.sniff_document_kind(
