@@ -37,6 +37,14 @@ extractors the sibling modules ship:
                         13; code cells verbatim, markdown cells
                         through the markdown extractor, outputs
                         ignored)
+- ``BEGIN:VCALENDAR`` → :func:`..calendar.ics_to_text` (round 13;
+                        SUMMARY/DESCRIPTION/LOCATION prose survives
+                        with RFC 5545 unfolding + unescaping;
+                        DTSTART/RRULE/UID/VALARM plumbing drops)
+- ``BEGIN:VCARD``     → TYPED QUARANTINE (round 13: a contact dump
+                        is PII by construction, not corpus text —
+                        the privacy-policy counterpart of the
+                        media-blob rule)
 - RFC 5322 headers    → :func:`..eml.eml_to_text` (round 13;
                         Subject survives, headers drop, MIME tree
                         walked — text/plain leaves win, html
@@ -198,7 +206,8 @@ def sniff_document_kind(raw: bytes) -> str:
     'csv' (incl. TSV) / 'jsonl' (strict tabular exporter shapes,
     round 13), 'code' (shebang or ≥2 strong declaration shapes,
     round 13), 'log' (≥3 majority syslog/ISO/CLF header lines,
-    round 13), 'wiki' / 'md' (structural-syntax heuristics —
+    round 13), 'ics' / 'vcf' (calendar/contact envelopes — vcf
+    always quarantines, round 13), 'wiki' / 'md' (structural-syntax heuristics —
     neither has magic bytes), or 'text' (the fallback — plain text
     is a valid document). '' only for empty input."""
     if not raw:
@@ -247,6 +256,15 @@ def sniff_document_kind(raw: bytes) -> str:
 
     if em.sniff_eml(head.decode("utf-8", "replace")):
         return "eml"
+    # calendar/contact envelopes BEFORE the html-anywhere rule
+    # (round 13): BEGIN:VCALENDAR / BEGIN:VCARD on the first
+    # non-blank line is a magic in all but name, and an event
+    # description may carry markup
+    from . import calendar as ca
+
+    cal_kind = ca.sniff_calendar(head[:256].decode("utf-8", "replace"))
+    if cal_kind:
+        return cal_kind
     low = head[:1024].lower()
     if low.startswith((b"<!doctype html", b"<html")) or b"<html" in low:
         return "html"
@@ -498,6 +516,15 @@ def extract_document_text(
         from . import eml as em
 
         return kind, em.eml_to_text(data)
+    if kind == "ics":
+        from . import calendar as ca
+
+        return kind, ca.ics_to_text(data.decode("utf-8", "replace"))
+    if kind == "vcf":
+        raise ValueError(
+            "doctext: vcf contact dump is PII, not corpus text "
+            "(privacy quarantine)"
+        )
     if kind == "log":
         from . import logtext as lt
 

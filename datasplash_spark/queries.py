@@ -7672,6 +7672,87 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar modality (round 13): per doc a REAL iCalendar file
+    — calendar plumbing (PRODID), one VEVENT per unit with DTSTART/
+    RRULE/UID/ORGANIZER noise that must VANISH, a SUMMARY that must
+    survive, a DESCRIPTION carrying the unit behind an ESCAPED
+    comma and an RFC 5545 §3.1 FOLDED line (unfold-then-unescape
+    pins), and a nested VALARM whose DESCRIPTION must drop —
+    extracted through the envelope walk (``functions/calendar.py``).
+    Every 23rd document (``doc_id % 23 == 7``) is a vCard dump, so
+    the PRIVACY quarantine — contact dumps are PII by construction,
+    never corpus text — is driver-gated: those rows come back
+    all-NULL with ``ok=false`` while every sibling extracts. The
+    oracle rebuilds the exact prose in SQL (md5) plus the event
+    count, so plumbing removal, unfolding, unescaping, VALARM
+    dropping, and the privacy policy are value-pinned
+    corpus-wide."""
+    from .functions import calendar as ca
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = ca.ics_text_features(
+        ca.synthesize_ics_from_text(docs, poison_mod=23)
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_events").cast("int").alias("n_events"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_ICS_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer's deterministic input normalization:
+  -- value-grammar characters (backslash, semicolon, comma, colon)
+  -- -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(COALESCE(text, ''),
+                          '[\\\\;,:@DIVERGENT@]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  -- per unit: the SUMMARY line, then the unfolded + unescaped
+  -- DESCRIPTION ('u<u>, that is: <unit>', trailing space trimmed
+  -- for empty units)
+  SELECT doc_id,
+         string_agg(
+              'Event ' || CAST(u AS VARCHAR) || chr(10)
+              || trim('u' || CAST(u AS VARCHAR) || ', that is: '
+                      || utext),
+              chr(10) ORDER BY u) AS text,
+         MAX(n) AS n
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(n AS INT) END AS n_events,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+""".replace("@DIVERGENT@", _DIVERGENT_RE2)
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -8285,6 +8366,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "email_extract": (q_email_extract, ORACLE_EMAIL_EXTRACT),
     "log_extract": (q_log_extract, ORACLE_LOG_EXTRACT),
     "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
+    "ics_extract": (q_ics_extract, ORACLE_ICS_EXTRACT),
 }
 
 
@@ -8356,6 +8438,7 @@ _NEW_R13: list[str] = [
     "email_extract",
     "log_extract",
     "feed_extract",
+    "ics_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

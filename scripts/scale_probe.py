@@ -601,6 +601,25 @@ def probe(spark, k: int) -> None:
                 fromlist=["logtext"],
             )
         ),
+        # round 13: calendar family (RFC 5545 unfold + unescape,
+        # vCard privacy quarantine included)
+        "ics_extract": lambda: (
+            lambda ca: ca.ics_text_features(
+                ca.synthesize_ics_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    poison_mod=23,
+                )
+            )
+            .agg(F.sum(F.col("n_events").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.calendar",
+                fromlist=["calendar"],
+            )
+        ),
         # round 13: feed family (ET walk, entity-decode + html
         # strip on escaped bodies, poison quarantine included)
         "feed_extract": lambda: (

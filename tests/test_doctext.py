@@ -673,7 +673,7 @@ def _fuzz_gate_names(all_gates: bool = False):
         "wikitext_extract", "subtitles_extract", "code_extract",
         "parquet_extract", "compressed_extract",
         "av_transcript_pairs", "email_extract", "log_extract",
-        "feed_extract",
+        "feed_extract", "ics_extract",
     )
     return base + extra if all_gates else base
 
@@ -1120,6 +1120,66 @@ def test_feed_routing_vs_generic_xml(spark):
     assert rows[2].text == FD.feed_expected_text(["delta"], 2, True)
     assert rows[3].kind == "feed" and not rows[3].ok
     assert "unparseable" in rows[3].err
+
+
+def test_calendar_writer_reader_parity():
+    """encode_ics plants the RFC 5545 pins (folded lines — including
+    a fold that splits an escape sequence — escaped commas, VALARM
+    bodies, DTSTART/RRULE/UID/ORGANIZER plumbing); the envelope walk
+    must extract exactly the expected prose, truncated exports must
+    raise TYPED, and vCard input must hit the privacy quarantine."""
+    import pytest as _pytest
+
+    from datasplash_spark.functions import calendar as CA
+
+    for units in (
+        ["alpha beta", "gamma"],
+        ["solo"],
+        [""],
+        ["a", "b", "c"],
+        ["x" * 40],
+    ):
+        raw = CA.encode_ics(units, 42).decode()
+        assert CA.ics_to_text(raw) == CA.ics_expected_text(units, 42)
+        assert CA.ics_event_count(raw) == len(units)
+    # a fold splitting the backslash escape: unfold must run before
+    # unescape
+    src = (
+        "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:S\r\n"
+        "DESCRIPTION:a\\\r\n ,b\r\nEND:VEVENT\r\nEND:VCALENDAR"
+    )
+    assert CA.ics_to_text(src) == "S\na,b"
+    with _pytest.raises(ValueError, match="unterminated"):
+        CA.ics_to_text(
+            "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:x\r\n"
+        )
+    assert CA.sniff_calendar("BEGIN:VCALENDAR\nVERSION:2.0") == "ics"
+    assert CA.sniff_calendar("\nBEGIN:VCARD\nVERSION:4.0") == "vcf"
+    assert CA.sniff_calendar("plain prose") is None
+
+
+def test_router_calendar_and_vcard_privacy(spark):
+    """The router extracts iCalendar prose and QUARANTINES vCard
+    dumps typed — a contact dump is PII by construction and must
+    never enter the corpus, exactly like a media blob."""
+    from datasplash_spark.functions import calendar as CA
+
+    assert dt.sniff_document_kind(CA.encode_ics(["x y"], 1)) == "ics"
+    assert dt.sniff_document_kind(CA.encode_vcf(1)) == "vcf"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(CA.encode_ics(["alpha beta", "gamma"], 1))),
+            (2, bytearray(CA.encode_vcf(2))),
+        ],
+        "doc_id bigint, media binary",
+    )
+    rows = {r.doc_id: r for r in dt.document_text_features(df).collect()}
+    assert rows[1].kind == "ics" and rows[1].ok
+    assert rows[1].text == CA.ics_expected_text(
+        ["alpha beta", "gamma"], 1
+    )
+    assert rows[2].kind == "vcf" and not rows[2].ok
+    assert "PII" in rows[2].err
 
 
 def test_tabular_and_code_windows_line_endings():

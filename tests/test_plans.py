@@ -1277,6 +1277,19 @@ def test_email_extract_bytes_never_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
+def test_ics_extract_bytes_never_shuffle(spark):
+    """ics_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the calendar
+    writer + envelope walk fused post-shuffle, calendar bytes never
+    crossing it."""
+    plan = plan_of(_q(spark, "ics_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_feed_extract_bytes_never_shuffle(spark):
     """feed_extract (gated round 13): the codec-family contract —
     one Exchange (the raw two-column repartition), the feed writer
