@@ -71,13 +71,14 @@ def build_corpus(spark, k: int) -> tuple[str, str]:
 
 
 def _router_mixed_full(spark, docs) -> int:
-    """The full-breadth router tier: fifteen formats through ONE
-    document_text_features plan — the 8-family rotation plus each
-    round-12/13 family's own synthesizer on ``doc_id % 5``, poison
-    blobs on every 23rd doc gating the quarantine inside the same
-    measured run. Returns ok-row char total (and prints the
-    quarantine count so a silent routing change cannot read as
-    'covered everything')."""
+    """The full-breadth router tier: the WHOLE dispatch table
+    through ONE document_text_features plan — the 19-family sweep
+    rotation (incl. email/log/feed, round-13 continuation) plus
+    each round-12/13 family's own synthesizer on ``doc_id % 5``,
+    poison blobs on every 23rd doc gating the quarantine inside the
+    same measured run. Returns ok-row char total (and prints the
+    quarantine count + kind histogram so a silent routing change
+    cannot read as 'covered everything')."""
     from datasplash_spark.functions import code as cd
     from datasplash_spark.functions import doctext as dtx
     from datasplash_spark.functions import markdown as mdw
@@ -103,7 +104,8 @@ def _router_mixed_full(spark, docs) -> int:
         dtx.synthesize_documents_from_text(
             d.filter((did % 20 == 0) | (did % 20 == 10)).withColumn(
                 "doc_id", (did / 10).cast("long")
-            )
+            ),
+            families=19,
         )
         .select("doc_id", "media")
         .unionByName(
