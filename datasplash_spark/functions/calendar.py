@@ -123,7 +123,13 @@ def ics_to_text(src: str) -> str:
         # calendar-level X- props drop)
         if not stack or stack[-1] not in _PROSE_COMPONENTS:
             continue
-        m = re.match(r"([A-Za-z0-9-]+)(?:;[^:]*)?:(.*)$", s)
+        # params may carry quoted values containing colons
+        # (DESCRIPTION;ALTREP="cid:x":text — RFC 5545 §3.2), so the
+        # param scan must be quote-aware
+        m = re.match(
+            r'([A-Za-z0-9-]+)(?:;(?:[^":;\n]|"[^"\n]*"|;)*)?:(.*)$',
+            s,
+        )
         if not m:
             continue
         name = m.group(1).upper()

@@ -103,35 +103,35 @@ def feed_to_text(raw: bytes) -> str:
             if body:
                 parts.append(body)
     elif tag == "feed":
+        # namespace-agnostic child lookup: Atom 1.0 is the common
+        # case, but Atom 0.3 feeds (purl.org/atom/ns#) and sloppy
+        # namespace-less exports sniff identically and would
+        # otherwise extract title-only text silently
+        def _child(el, name):
+            for c in el:
+                if _strip_ns(c.tag) == name:
+                    return c
+            return None
+
+        def _children(el, name):
+            return [c for c in el if _strip_ns(c.tag) == name]
+
+        t_el = _child(root, "title")
         t = collapse_extracted_whitespace(
-            root.findtext(_ATOM_NS + "title")
-            or root.findtext("title")
-            or ""
+            (t_el.text or "") if t_el is not None else ""
         )
         if t:
             parts.append(t)
-        entries = root.findall(_ATOM_NS + "entry") or root.findall(
-            "entry"
-        )
-        for entry in entries:
+        for entry in _children(root, "entry"):
+            it_el = _child(entry, "title")
             it = collapse_extracted_whitespace(
-                entry.findtext(_ATOM_NS + "title")
-                or entry.findtext("title")
-                or ""
+                (it_el.text or "") if it_el is not None else ""
             )
             if it:
                 parts.append(it)
-            body_el = (
-                entry.find(_ATOM_NS + "content")
-                if entry.find(_ATOM_NS + "content") is not None
-                else entry.find(_ATOM_NS + "summary")
-            )
+            body_el = _child(entry, "content")
             if body_el is None:
-                body_el = (
-                    entry.find("content")
-                    if entry.find("content") is not None
-                    else entry.find("summary")
-                )
+                body_el = _child(entry, "summary")
             body = _body(
                 (body_el.text or "") if body_el is not None else ""
             )
@@ -151,9 +151,7 @@ def feed_entry_count(raw: bytes) -> int:
     if _strip_ns(root.tag) == "rss":
         channel = root.find("channel")
         return len(list(channel.iter("item"))) if channel is not None else 0
-    return len(
-        root.findall(_ATOM_NS + "entry") or root.findall("entry")
-    )
+    return sum(1 for c in root if _strip_ns(c.tag) == "entry")
 
 
 def _xml_escape(s: str) -> str:

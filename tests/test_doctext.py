@@ -1066,6 +1066,17 @@ def test_feed_writer_reader_parity():
     # parser un-escape + html strip
     raw = FD.encode_rss(["a < b & c"], 1)
     assert FD.feed_to_text(raw) == "Feed d1\nEntry 0\na < b & c"
+    # Atom 0.3 (purl.org/atom/ns#) sniffs identically and must
+    # extract, not silently return title-only text (review finding)
+    atom03 = (
+        b'<?xml version="1.0"?>'
+        b'<feed version="0.3" xmlns="http://purl.org/atom/ns#">'
+        b"<title>Old Feed</title>"
+        b"<entry><title>E0</title><summary>body zero</summary></entry>"
+        b"</feed>"
+    )
+    assert FD.feed_to_text(atom03) == "Old Feed\nE0\nbody zero"
+    assert FD.feed_entry_count(atom03) == 1
     with _pytest.raises(ValueError, match="unparseable"):
         FD.feed_to_text(FD.POISON_FEED)
     with _pytest.raises(ValueError, match="DTD"):
@@ -1153,6 +1164,15 @@ def test_calendar_writer_reader_parity():
         CA.ics_to_text(
             "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:x\r\n"
         )
+    # quoted param values may contain colons (RFC 5545 §3.2); the
+    # param scan must not split the value there (review finding)
+    src = (
+        "BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\n"
+        'SUMMARY;ALTREP="cid:part1.example":The Title\r\n'
+        'DESCRIPTION;ALTREP="http://e/x?a=1":body text\r\n'
+        "END:VEVENT\r\nEND:VCALENDAR"
+    )
+    assert CA.ics_to_text(src) == "The Title\nbody text"
     assert CA.sniff_calendar("BEGIN:VCALENDAR\nVERSION:2.0") == "ics"
     assert CA.sniff_calendar("\nBEGIN:VCARD\nVERSION:4.0") == "vcf"
     assert CA.sniff_calendar("plain prose") is None
