@@ -7753,6 +7753,63 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_router_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing observability (round 13): the per-kind corpus report
+    a production ingest watches for ROUTING DRIFT — the 19-family
+    synthetic mix (every 23rd doc the PK poison blob) through the
+    universal router, then ``groupBy(kind)`` with doc and ok
+    counts. A sniff regression anywhere in the dispatch table moves
+    a kind's count and fails the gate; the scale_probe prints this
+    same histogram at ×100 precisely because silent routing drift
+    otherwise reads as coverage. Unlike the row-level extraction
+    gates this one pins the AGGREGATED routing outcome, so the
+    partial-aggregate plan over kernel output is exercised too
+    (map-side combine before the one extra Exchange; media bytes
+    cross neither)."""
+    from .functions import doctext as dt
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    synth = dt.synthesize_documents_from_text(
+        docs, families=19
+    ).withColumn(
+        "media",
+        F.when(
+            F.col("doc_id") % 23 == 7,
+            F.lit(b"PK\x03\x04 deterministic poison, not a zip"),
+        ).otherwise(F.col("media")),
+    )
+    feats = dt.document_text_features(synth)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+    )
+
+
+ORACLE_ROUTER_REPORT = """
+WITH routed AS (
+  SELECT CASE WHEN doc_id % 23 = 7 THEN 'zip'
+          ELSE CASE doc_id % 19
+            WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+            WHEN 3 THEN 'pptx' WHEN 4 THEN 'odt' WHEN 5 THEN 'rtf'
+            WHEN 6 THEN 'latex' WHEN 7 THEN 'html' WHEN 8 THEN 'md'
+            WHEN 9 THEN 'wiki' WHEN 10 THEN 'srt' WHEN 11 THEN 'vtt'
+            WHEN 12 THEN 'code' WHEN 13 THEN 'csv'
+            WHEN 14 THEN 'jsonl' WHEN 15 THEN 'ipynb'
+            WHEN 16 THEN 'eml' WHEN 17 THEN 'log'
+            ELSE 'feed' END
+         END AS kind,
+         CASE WHEN doc_id % 23 = 7 THEN 0 ELSE 1 END AS ok
+  FROM documents
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_ok
+FROM routed GROUP BY kind
+"""
+
+
 def q_av_transcript_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV sidecar pairing (round 13): per doc a REAL in-memory
     WebDataset tar shard — a metadata-only MP4 plus an SRT (even
@@ -8367,6 +8424,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "log_extract": (q_log_extract, ORACLE_LOG_EXTRACT),
     "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
     "ics_extract": (q_ics_extract, ORACLE_ICS_EXTRACT),
+    "router_report": (q_router_report, ORACLE_ROUTER_REPORT),
 }
 
 
@@ -8439,6 +8497,7 @@ _NEW_R13: list[str] = [
     "log_extract",
     "feed_extract",
     "ics_extract",
+    "router_report",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

@@ -1277,6 +1277,24 @@ def test_email_extract_bytes_never_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
+def test_router_report_partial_agg_no_media_shuffle(spark):
+    """router_report (gated round 13): the aggregation-shaped gate
+    over the router — a map-side partial count/sum must run BEFORE
+    the kind-keyed Exchange (only tiny (kind, counts) rows cross),
+    the first Exchange stays the raw two-column repartition, and
+    media bytes cross neither."""
+    plan = plan_of(_q(spark, "router_report"), mode="simple")
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    # the tree prints downstream-first: the partial aggregate
+    # (upstream of the kind Exchange) must appear BELOW it
+    kind_exch = plan.index("Exchange hashpartitioning(kind")
+    assert plan.index("partial_count") > kind_exch, plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_ics_extract_bytes_never_shuffle(spark):
     """ics_extract (gated round 13): the codec-family contract —
     one Exchange (the raw two-column repartition), the calendar
