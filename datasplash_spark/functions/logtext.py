@@ -10,12 +10,17 @@ contract:
 - the line HEADER (timestamp, host, level, client fields) is
   metadata, not corpus text — only the MESSAGE survives, one line
   per message;
-- three dialects cover the shapes that dominate real dumps:
+- five dialects cover the shapes that dominate real dumps:
   BSD syslog (RFC 3164 layout: ``Mon dd HH:MM:SS host proc[pid]:
-  message``), ISO-timestamp application logs (``2024-01-01T00:00:00Z
-  LEVEL [component] message`` — the log4j/structlog/uvicorn family),
-  and NCSA Common Log Format access lines (the quoted request line
-  is the message — there is no other prose on an access line);
+  message``), versioned syslog (RFC 5424: ``<pri>1 TIMESTAMP host
+  app procid msgid SD message`` — the severity rides ``pri & 7``),
+  ISO-timestamp application logs (``2024-01-01T00:00:00Z LEVEL
+  [component] message`` — the log4j/structlog/uvicorn family),
+  NCSA Common Log Format access lines (the quoted request line is
+  the message — there is no other prose on an access line), and
+  logfmt (``ts=… level=… msg="…"`` — the Go/Heroku convention; the
+  ``msg``/``message`` value is the message, quote-aware and
+  unescaped, every other pair is metadata);
 - a non-blank line that matches NO header shape is a CONTINUATION
   (a traceback / wrapped message) and ATTACHES to the previous
   message with a single space — it never becomes its own message;
@@ -67,6 +72,50 @@ _CLF_RE = re.compile(
     r'^\S+ \S+ \S+ \[\d{2}/[A-Z][a-z]{2}/\d{4}'
     r':\d{2}:\d{2}:\d{2} [+-]\d{4}\] "([^"\n]*)" (\d{3}) (?:\d+|-)'
 )
+#: RFC 5424: <pri>VERSION TIMESTAMP HOST APP PROCID MSGID SD [MSG];
+#: the '<pri>1 ' head is a magic in all but name
+_SYSLOG5424_RE = re.compile(
+    r"^<(\d{1,3})>\d \S+ \S+ \S+ \S+ \S+ "
+    r"(?:-|\[[^\]\n]*\])(?: (.*))?$"
+)
+_LOGFMT_TOKEN_RE = re.compile(
+    r'([A-Za-z_][\w.]*)=("(?:[^"\\\n]|\\.)*"|\S*)'
+)
+#: a line only reads as logfmt when k=v pairs cover it entirely,
+#: there are at least two, and one key is a logging staple — prose
+#: with a stray x=1 never clears this
+_LOGFMT_STAPLES = frozenset(
+    {"msg", "message", "level", "lvl", "ts", "time", "timestamp"}
+)
+_LOGFMT_ERROR_VALUES = frozenset(
+    {"error", "err", "fatal", "crit", "critical", "panic"}
+)
+_LOGFMT_WARN_VALUES = frozenset({"warn", "warning"})
+
+
+def _logfmt_parse(line: str):
+    pos, n = 0, len(line)
+    pairs: dict[str, str] = {}
+    while pos < n:
+        if line[pos] == " ":
+            pos += 1
+            continue
+        m = _LOGFMT_TOKEN_RE.match(line, pos)
+        if not m:
+            return None
+        pairs[m.group(1)] = m.group(2)
+        pos = m.end()
+        if pos < n and line[pos] != " ":
+            return None
+    if len(pairs) < 2 or not (_LOGFMT_STAPLES & set(pairs)):
+        return None
+    return pairs
+
+
+def _logfmt_unquote(v: str) -> str:
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return re.sub(r"\\(.)", r"\1", v[1:-1])
+    return v
 
 
 def _match_header(line: str):
@@ -85,6 +134,11 @@ def _match_header(line: str):
     m = _SYSLOG_RE.match(line)
     if m:
         return "syslog", m.group(2).rstrip(), ""
+    m = _SYSLOG5424_RE.match(line)
+    if m:
+        sev = int(m.group(1)) & 7
+        cls = "error" if sev <= 3 else "warn" if sev == 4 else ""
+        return "syslog5424", (m.group(2) or "").rstrip(), cls
     m = _CLF_RE.match(line)
     if m:
         status = m.group(2)
@@ -94,6 +148,20 @@ def _match_header(line: str):
             else "warn" if status[:1] == "4" else ""
         )
         return "clf", m.group(1).rstrip(), cls
+    pairs = _logfmt_parse(line)
+    if pairs is not None:
+        lvl = _logfmt_unquote(
+            pairs.get("level", pairs.get("lvl", ""))
+        ).lower()
+        cls = (
+            "error"
+            if lvl in _LOGFMT_ERROR_VALUES
+            else "warn" if lvl in _LOGFMT_WARN_VALUES else ""
+        )
+        msg = _logfmt_unquote(
+            pairs.get("msg", pairs.get("message", ""))
+        )
+        return "logfmt", msg.rstrip(), cls
     return None
 
 
@@ -175,6 +243,10 @@ def _log_scan(src: str):
 _CONTINUATION = "    at fixture.py:42, in run"
 _ISO_LEVELS = ("INFO", "WARN", "ERROR")
 _CLF_STATUS = (200, 404, 500)
+#: RFC 5424 pri values cycling info/warn/error: facility 1 with
+#: severity 6 (info) / 4 (warning) / 3 (err)
+_PRI_CYCLE = (14, 12, 11)
+_LOGFMT_LEVELS = ("info", "warn", "error")
 
 
 def encode_log(
@@ -192,7 +264,15 @@ def encode_log(
       message (the traceback pin);
     - ``clf``: one NCSA access line per unit, the request target a
       ``-``-slug of the unit; the quoted request line is the
-      message; status cycles 200/404/500 on the unit index."""
+      message; status cycles 200/404/500 on the unit index;
+    - ``syslog5424``: one RFC 5424 line per unit — version tag,
+      five header fields and a structured-data element that must
+      all VANISH, the pri cycling info/warning/err severities on
+      the unit index (the ``pri & 7`` classing pin);
+    - ``logfmt``: one k=v line per unit — ts/svc pairs that must
+      VANISH, ``level`` cycling info/warn/error, and the unit
+      inside a QUOTED ``msg`` value (the quote-aware unescape
+      pin)."""
     lines: list[str] = []
     for u, unit in enumerate(units):
         if dialect == "syslog":
@@ -220,6 +300,19 @@ def encode_log(
                     123 + u,
                 )
             )
+        elif dialect == "syslog5424":
+            lines.append(
+                "<%d>1 2024-01-01T00:00:%02dZ host%d app %d ID%d "
+                '[sd@32473 k="v"] %s'
+                % (_PRI_CYCLE[u % 3], u % 60, doc_id % 10,
+                   1000 + u, u, unit)
+            )
+        elif dialect == "logfmt":
+            lines.append(
+                'ts=2024-01-01T00:00:%02dZ level=%s svc=api '
+                'msg="%s"'
+                % (u % 60, _LOGFMT_LEVELS[u % 3], unit)
+            )
         else:
             raise ValueError(f"encode_log: unknown dialect {dialect!r}")
     return "\n".join(lines).encode("utf-8")
@@ -230,8 +323,9 @@ def log_expected_text(
 ) -> str:
     """The exact text :func:`log_to_text` extracts from
     :func:`encode_log`: one line per unit — the unit itself
-    (syslog), the unit with the continuation attached on ERROR
-    lines (iso), or the rebuilt request line (clf)."""
+    (syslog, syslog5424, logfmt), the unit with the continuation
+    attached on ERROR lines (iso), or the rebuilt request line
+    (clf)."""
     out: list[str] = []
     for u, unit in enumerate(units):
         if dialect == "iso" and u % 3 == 2:
@@ -269,7 +363,7 @@ def log_expected_stats(
             "n_error": n_err,
             "n_warn": n_wrn,
         }
-    if dialect == "clf":
+    if dialect in ("clf", "syslog5424", "logfmt"):
         return {
             "dialect": dialect,
             "n_lines": n,
@@ -296,7 +390,8 @@ def synthesize_log_from_text(
     """Deterministic synthetic log corpus for the corpus gate: per
     doc ``1 + len(text) % units_mod`` units (words round-robin,
     clamped), rendered through :func:`encode_log` with the dialect
-    rotating on ``doc_id % 3`` (syslog / iso / clf). With
+    rotating on ``doc_id % 5`` (syslog / iso / clf / syslog5424 /
+    logfmt). With
     ``poison_mod=k`` every doc where ``doc_id % k == 7`` is
     replaced by :data:`POISON_LOG` (the typed-quarantine pin).
     Input normalization (mirrored in the oracle): quotes, brackets
@@ -327,7 +422,10 @@ def synthesize_log_from_text(
                         encode_log(
                             units,
                             did,
-                            ("syslog", "iso", "clf")[did % 3],
+                            (
+                                "syslog", "iso", "clf",
+                                "syslog5424", "logfmt",
+                            )[did % 5],
                         )
                     )
             yield pd.DataFrame(

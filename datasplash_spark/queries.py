@@ -7481,15 +7481,20 @@ FROM doc
 
 def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-file modality (round 13): per doc a REAL log file, the
-    dialect rotating on ``doc_id % 3`` — BSD syslog (RFC 3164
+    dialect rotating on ``doc_id % 5`` — BSD syslog (RFC 3164
     layout; the unit is the message, no severity), an ISO-timestamp
     application log (level cycling INFO/WARN/ERROR on the unit
     index, a ``[svc]`` component token that must DROP, and an
     indented continuation line after every ERROR that must ATTACH
-    to its message — the traceback pin), and NCSA Common Log Format
+    to its message — the traceback pin), NCSA Common Log Format
     (the quoted request line is the message; status cycling
-    200/404/500 drives the warn/error classes) — extracted through
-    the header/continuation scanner (``functions/logtext.py``).
+    200/404/500 drives the warn/error classes), RFC 5424 versioned
+    syslog (five header fields + a structured-data element that
+    must all VANISH; severity classed straight from ``pri & 7``),
+    and logfmt (ts/svc pairs vanish, ``level`` cycles, the unit
+    rides a QUOTED ``msg`` value — the quote-aware unescape pin) —
+    extracted through the header/continuation scanner
+    (``functions/logtext.py``).
     Every 23rd document (``doc_id % 23 == 7``) is a NUL-carrying
     binary blob, so the typed quarantine is driver-gated: those
     rows come back all-NULL with ``ok=false`` while every sibling
@@ -7545,39 +7550,41 @@ WITH norm AS (
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
   -- the exact message text log_to_text extracts per dialect
-  -- (doc_id % 3 rotates syslog / iso / clf): the unit itself, the
-  -- unit with the ERROR continuation attached, or the rebuilt
-  -- request line
+  -- (doc_id % 5 rotates syslog / iso / clf / syslog5424 / logfmt):
+  -- the unit itself, the unit with the ERROR continuation
+  -- attached, or the rebuilt request line
   SELECT doc_id,
-         CASE doc_id % 3
-           WHEN 0 THEN string_agg(utext, chr(10) ORDER BY u)
+         CASE doc_id % 5
            WHEN 1 THEN string_agg(
                 CASE WHEN u % 3 = 2
                      THEN ltrim(utext || ' at fixture.py:42, in run')
                      ELSE utext END,
                 chr(10) ORDER BY u)
-           ELSE string_agg(
+           WHEN 2 THEN string_agg(
                 'GET /' || replace(utext, ' ', '-') || ' HTTP/1.1',
                 chr(10) ORDER BY u)
+           ELSE string_agg(utext, chr(10) ORDER BY u)
          END AS text,
          MAX(n) AS n
   FROM unit GROUP BY doc_id
 )
 SELECT doc_id,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 3 = 0 THEN 'syslog'
-            WHEN doc_id % 3 = 1 THEN 'iso'
-            ELSE 'clf' END AS dialect,
+            WHEN doc_id % 5 = 0 THEN 'syslog'
+            WHEN doc_id % 5 = 1 THEN 'iso'
+            WHEN doc_id % 5 = 2 THEN 'clf'
+            WHEN doc_id % 5 = 3 THEN 'syslog5424'
+            ELSE 'logfmt' END AS dialect,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 3 = 1 THEN CAST(n + n // 3 AS INT)
+            WHEN doc_id % 5 = 1 THEN CAST(n + n // 3 AS INT)
             ELSE CAST(n AS INT) END AS n_lines,
        CASE WHEN doc_id % 23 = 7 THEN NULL
             ELSE CAST(n AS INT) END AS n_messages,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 3 = 0 THEN 0
+            WHEN doc_id % 5 = 0 THEN 0
             ELSE CAST(n // 3 AS INT) END AS n_error,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 3 = 0 THEN 0
+            WHEN doc_id % 5 = 0 THEN 0
             ELSE CAST((n + 1) // 3 AS INT) END AS n_warn,
        CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
          AS text_md5,

@@ -924,16 +924,18 @@ def test_router_extracts_code_and_tabular(spark):
 
 
 def test_log_writer_reader_parity():
-    """encode_log plants the three dialect grammars (RFC 3164
+    """encode_log plants the five dialect grammars (RFC 3164
     syslog, ISO app log with a component token and an ERROR
-    continuation, NCSA CLF); the scanner must extract exactly the
-    expected message text and closed-form counters, and binary /
-    header-free content must raise TYPED errors."""
+    continuation, NCSA CLF, RFC 5424 versioned syslog with pri
+    classing, logfmt with a quoted msg value); the scanner must
+    extract exactly the expected message text and closed-form
+    counters, and binary / header-free content must raise TYPED
+    errors."""
     import pytest as _pytest
 
     from datasplash_spark.functions import logtext as L
 
-    for d in ("syslog", "iso", "clf"):
+    for d in ("syslog", "iso", "clf", "syslog5424", "logfmt"):
         for units in (
             ["alpha beta", "gamma", "delta epsilon zeta"],
             ["solo"],
@@ -966,6 +968,18 @@ def test_log_writer_reader_parity():
         "  orphan tail\nJan  2 03:04:05 h app[1]: real"
     )
     assert text == "orphan tail\nreal" and st["n_messages"] == 2
+    # logfmt: escaped quotes inside msg unescape; severity from
+    # level=; a stray prose x=1 or python kwargs never read logfmt
+    text, st = L._log_scan('ts=1 level=error msg="say \\"hi\\" now"')
+    assert text == 'say "hi" now' and st["n_error"] == 1
+    assert L._match_header("the value x=1 was set") is None
+    assert L._match_header("f(a=1, b=2)") is None
+    # RFC 5424: severity straight from pri & 7
+    text, st = L._log_scan(
+        "<11>1 2024-01-01T00:00:00Z h app 1 ID0 - boom\n"
+        "<14>1 2024-01-01T00:00:01Z h app 1 ID1 - fine"
+    )
+    assert st["dialect"] == "syslog5424" and st["n_error"] == 1
 
 
 def test_log_sniff_is_conservative():
@@ -986,7 +1000,7 @@ def test_log_sniff_is_conservative():
     assert not L.sniff_log(
         C.encode_code(["a b"], 1, "python").decode()
     )
-    for d in ("syslog", "iso", "clf"):
+    for d in ("syslog", "iso", "clf", "syslog5424", "logfmt"):
         head = L.encode_log(
             ["m one", "m two", "m three", "m four"], 1, d
         ).decode()
