@@ -20,7 +20,12 @@ contract:
   the message — there is no other prose on an access line), and
   logfmt (``ts=… level=… msg="…"`` — the Go/Heroku convention; the
   ``msg``/``message`` value is the message, quote-aware and
-  unescaped, every other pair is metadata);
+  unescaped, every other pair is metadata), and JSON-structured
+  logs (the bunyan/pino/Kubernetes convention: one JSON object per
+  line with at least two logging-staple keys — ``msg``/``message``
+  is the message, ``level``/``severity`` classes it, everything
+  else is metadata; a DATA jsonl file lacks the staples and stays
+  on the tabular route);
 - a non-blank line that matches NO header shape is a CONTINUATION
   (a traceback / wrapped message) and ATTACHES to the previous
   message with a single space — it never becomes its own message;
@@ -148,6 +153,31 @@ def _match_header(line: str):
             else "warn" if status[:1] == "4" else ""
         )
         return "clf", m.group(1).rstrip(), cls
+    s = line.strip()
+    if s[:1] == "{" and s[-1:] == "}":
+        import json as _json
+
+        try:
+            obj = _json.loads(s)
+        except Exception:
+            obj = None
+        if (
+            isinstance(obj, dict)
+            and len((_LOGFMT_STAPLES | {"severity"}) & obj.keys())
+            >= 2
+        ):
+            lvl = str(
+                obj.get("level", obj.get("severity", ""))
+            ).lower()
+            cls = (
+                "error"
+                if lvl in _LOGFMT_ERROR_VALUES
+                else "warn" if lvl in _LOGFMT_WARN_VALUES else ""
+            )
+            msg = obj.get("msg", obj.get("message", ""))
+            if not isinstance(msg, str):
+                msg = str(msg)
+            return "jsonlog", msg.rstrip(), cls
     pairs = _logfmt_parse(line)
     if pairs is not None:
         lvl = _logfmt_unquote(
@@ -272,7 +302,10 @@ def encode_log(
     - ``logfmt``: one k=v line per unit — ts/svc pairs that must
       VANISH, ``level`` cycling info/warn/error, and the unit
       inside a QUOTED ``msg`` value (the quote-aware unescape
-      pin)."""
+      pin);
+    - ``jsonlog``: one JSON object per unit — time/svc/pid members
+      that must VANISH, ``level`` cycling, the unit under ``msg``
+      (the JSON string round-trip pin)."""
     lines: list[str] = []
     for u, unit in enumerate(units):
         if dialect == "syslog":
@@ -313,6 +346,21 @@ def encode_log(
                 'msg="%s"'
                 % (u % 60, _LOGFMT_LEVELS[u % 3], unit)
             )
+        elif dialect == "jsonlog":
+            import json as _json
+
+            lines.append(
+                _json.dumps(
+                    {
+                        "time": "2024-01-01T00:00:%02dZ" % (u % 60),
+                        "level": _LOGFMT_LEVELS[u % 3],
+                        "svc": "api",
+                        "pid": 1000 + u,
+                        "msg": unit,
+                    },
+                    separators=(",", ":"),
+                )
+            )
         else:
             raise ValueError(f"encode_log: unknown dialect {dialect!r}")
     return "\n".join(lines).encode("utf-8")
@@ -323,9 +371,9 @@ def log_expected_text(
 ) -> str:
     """The exact text :func:`log_to_text` extracts from
     :func:`encode_log`: one line per unit — the unit itself
-    (syslog, syslog5424, logfmt), the unit with the continuation
-    attached on ERROR lines (iso), or the rebuilt request line
-    (clf)."""
+    (syslog, syslog5424, logfmt, jsonlog), the unit with the
+    continuation attached on ERROR lines (iso), or the rebuilt
+    request line (clf)."""
     out: list[str] = []
     for u, unit in enumerate(units):
         if dialect == "iso" and u % 3 == 2:
@@ -363,7 +411,7 @@ def log_expected_stats(
             "n_error": n_err,
             "n_warn": n_wrn,
         }
-    if dialect in ("clf", "syslog5424", "logfmt"):
+    if dialect in ("clf", "syslog5424", "logfmt", "jsonlog"):
         return {
             "dialect": dialect,
             "n_lines": n,
@@ -390,8 +438,8 @@ def synthesize_log_from_text(
     """Deterministic synthetic log corpus for the corpus gate: per
     doc ``1 + len(text) % units_mod`` units (words round-robin,
     clamped), rendered through :func:`encode_log` with the dialect
-    rotating on ``doc_id % 5`` (syslog / iso / clf / syslog5424 /
-    logfmt). With
+    rotating on ``doc_id % 6`` (syslog / iso / clf / syslog5424 /
+    logfmt / jsonlog). With
     ``poison_mod=k`` every doc where ``doc_id % k == 7`` is
     replaced by :data:`POISON_LOG` (the typed-quarantine pin).
     Input normalization (mirrored in the oracle): quotes, brackets
@@ -424,8 +472,8 @@ def synthesize_log_from_text(
                             did,
                             (
                                 "syslog", "iso", "clf",
-                                "syslog5424", "logfmt",
-                            )[did % 5],
+                                "syslog5424", "logfmt", "jsonlog",
+                            )[did % 6],
                         )
                     )
             yield pd.DataFrame(

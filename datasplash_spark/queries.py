@@ -7481,7 +7481,7 @@ FROM doc
 
 def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-file modality (round 13): per doc a REAL log file, the
-    dialect rotating on ``doc_id % 5`` — BSD syslog (RFC 3164
+    dialect rotating on ``doc_id % 6`` — BSD syslog (RFC 3164
     layout; the unit is the message, no severity), an ISO-timestamp
     application log (level cycling INFO/WARN/ERROR on the unit
     index, a ``[svc]`` component token that must DROP, and an
@@ -7491,8 +7491,11 @@ def q_log_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     200/404/500 drives the warn/error classes), RFC 5424 versioned
     syslog (five header fields + a structured-data element that
     must all VANISH; severity classed straight from ``pri & 7``),
-    and logfmt (ts/svc pairs vanish, ``level`` cycles, the unit
-    rides a QUOTED ``msg`` value — the quote-aware unescape pin) —
+    logfmt (ts/svc pairs vanish, ``level`` cycles, the unit rides a
+    QUOTED ``msg`` value — the quote-aware unescape pin), and a
+    JSON-structured log (bunyan/pino shape: time/svc/pid members
+    vanish, ``msg`` is the message — and since the sniff needs two
+    logging-staple keys, a DATA jsonl file still routes tabular) —
     extracted through the header/continuation scanner
     (``functions/logtext.py``).
     Every 23rd document (``doc_id % 23 == 7``) is a NUL-carrying
@@ -7550,11 +7553,11 @@ WITH norm AS (
   FROM tok GROUP BY doc_id, n, (i % n)
 ), doc AS (
   -- the exact message text log_to_text extracts per dialect
-  -- (doc_id % 5 rotates syslog / iso / clf / syslog5424 / logfmt):
-  -- the unit itself, the unit with the ERROR continuation
-  -- attached, or the rebuilt request line
+  -- (doc_id % 6 rotates syslog / iso / clf / syslog5424 / logfmt
+  -- / jsonlog): the unit itself, the unit with the ERROR
+  -- continuation attached, or the rebuilt request line
   SELECT doc_id,
-         CASE doc_id % 5
+         CASE doc_id % 6
            WHEN 1 THEN string_agg(
                 CASE WHEN u % 3 = 2
                      THEN ltrim(utext || ' at fixture.py:42, in run')
@@ -7570,21 +7573,22 @@ WITH norm AS (
 )
 SELECT doc_id,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 5 = 0 THEN 'syslog'
-            WHEN doc_id % 5 = 1 THEN 'iso'
-            WHEN doc_id % 5 = 2 THEN 'clf'
-            WHEN doc_id % 5 = 3 THEN 'syslog5424'
-            ELSE 'logfmt' END AS dialect,
+            WHEN doc_id % 6 = 0 THEN 'syslog'
+            WHEN doc_id % 6 = 1 THEN 'iso'
+            WHEN doc_id % 6 = 2 THEN 'clf'
+            WHEN doc_id % 6 = 3 THEN 'syslog5424'
+            WHEN doc_id % 6 = 4 THEN 'logfmt'
+            ELSE 'jsonlog' END AS dialect,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 5 = 1 THEN CAST(n + n // 3 AS INT)
+            WHEN doc_id % 6 = 1 THEN CAST(n + n // 3 AS INT)
             ELSE CAST(n AS INT) END AS n_lines,
        CASE WHEN doc_id % 23 = 7 THEN NULL
             ELSE CAST(n AS INT) END AS n_messages,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 5 = 0 THEN 0
+            WHEN doc_id % 6 = 0 THEN 0
             ELSE CAST(n // 3 AS INT) END AS n_error,
        CASE WHEN doc_id % 23 = 7 THEN NULL
-            WHEN doc_id % 5 = 0 THEN 0
+            WHEN doc_id % 6 = 0 THEN 0
             ELSE CAST((n + 1) // 3 AS INT) END AS n_warn,
        CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
          AS text_md5,

@@ -935,7 +935,9 @@ def test_log_writer_reader_parity():
 
     from datasplash_spark.functions import logtext as L
 
-    for d in ("syslog", "iso", "clf", "syslog5424", "logfmt"):
+    for d in (
+        "syslog", "iso", "clf", "syslog5424", "logfmt", "jsonlog"
+    ):
         for units in (
             ["alpha beta", "gamma", "delta epsilon zeta"],
             ["solo"],
@@ -980,6 +982,15 @@ def test_log_writer_reader_parity():
         "<14>1 2024-01-01T00:00:01Z h app 1 ID1 - fine"
     )
     assert st["dialect"] == "syslog5424" and st["n_error"] == 1
+    # json logs read as log (two staple keys); DATA jsonl does not
+    assert (
+        L._match_header('{"time":"t","level":"warn","msg":"m"}')
+        is not None
+    )
+    assert L._match_header('{"rid":0,"words":"alpha"}') is None
+    # json logs read as log (two staple keys); DATA jsonl does not
+    assert L._match_header('{"time":"t","level":"warn","msg":"m"}') is not None
+    assert L._match_header('{"rid":0,"words":"alpha"}') is None
 
 
 def test_log_sniff_is_conservative():
@@ -1000,7 +1011,9 @@ def test_log_sniff_is_conservative():
     assert not L.sniff_log(
         C.encode_code(["a b"], 1, "python").decode()
     )
-    for d in ("syslog", "iso", "clf", "syslog5424", "logfmt"):
+    for d in (
+        "syslog", "iso", "clf", "syslog5424", "logfmt", "jsonlog"
+    ):
         head = L.encode_log(
             ["m one", "m two", "m three", "m four"], 1, d
         ).decode()
