@@ -74,6 +74,14 @@ extractors the sibling modules ship:
                         explicit truncation detection), re-sniff,
                         recurse once — composed kinds like 'gz:md'
                         (round 13)
+- UTF-16/32 BOM or a one-sided NUL lattice
+                      → :mod:`..charset` encoding TRANSPORT
+                        (round 13): strict decode, re-encode UTF-8,
+                        re-sniff — 'utf16le:md' composes like
+                        'gz:md'; corrupt payloads quarantine typed.
+                        The plain-text fallback decodes UTF-8
+                        strict with a windows-1252 fallback, so
+                        legacy smart quotes stop becoming U+FFFD
 - ``PAR1`` parquet    → :func:`..tabular.parquet_to_text`
                         (round 13; pyarrow flatten under the shared
                         paragraph contract)
@@ -228,6 +236,17 @@ def sniff_document_kind(raw: bytes) -> str:
         return media
     if raw[:5] == b"%PDF-":
         return "pdf"
+    # encoding transports (round 13): UTF-16/32 documents — BOM'd
+    # or detected by the one-sided NUL lattice ASCII text leaves —
+    # decode, re-encode UTF-8, and re-sniff exactly like gz, so
+    # 'utf16le:md' composes. Checked after the binary magics (none
+    # collide with a BOM) and before every text-shaped check, which
+    # would otherwise read NUL-laced heads as plain text.
+    from . import charset as cs
+
+    enc = cs.sniff_transport_encoding(raw)
+    if enc:
+        return enc
     if raw[:2] == b"PK":
         from . import office as of
 
@@ -472,6 +491,19 @@ def extract_document_text(
         inner = _decompress(kind, data)
         ik, text = extract_document_text(inner, _depth=_depth + 1)
         return f"{kind}:{ik}", text
+    if kind in ("utf16le", "utf16be", "utf32le", "utf32be"):
+        # encoding transport (round 13): decode strict, re-encode
+        # UTF-8, re-sniff — composes with the compression layer
+        # (gz:utf16le:md) under the same depth guard
+        from . import charset as cs
+
+        if _depth >= 2:
+            raise ValueError(
+                "doctext: nested transports past two layers"
+            )
+        inner = cs.decode_transport(kind, data)
+        ik, text = extract_document_text(inner, _depth=_depth + 1)
+        return f"{kind}:{ik}", text
     if kind == "pdf":
         return kind, pf.extract_pdf_text(data)["text"]
     if kind == "docx":
@@ -538,7 +570,13 @@ def extract_document_text(
         # kind tag is the value
         return kind, cd.code_to_text(data.decode("utf-8", "replace"))
     if kind == "text":
-        return kind, data.decode("utf-8", "replace")
+        # UTF-8 strict first, windows-1252 fallback (round 13): a
+        # smart quote or em dash in legacy prose must not become
+        # U+FFFD. Valid UTF-8 — the overwhelming majority — never
+        # touches the fallback.
+        from . import charset as cs
+
+        return kind, cs.decode_fallback(data)[1]
     raise ValueError(
         f"doctext: unroutable container ({kind or 'empty'})"
     )

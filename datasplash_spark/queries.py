@@ -7764,6 +7764,107 @@ FROM doc
 """.replace("@DIVERGENT@", _DIVERGENT_RE2)
 
 
+def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding transports (round 13): per doc the SAME logical
+    document in a rotating encoding on ``doc_id % 4`` — plain
+    UTF-8; the identical bytes BOM'd UTF-16-LE (the transport must
+    decode STRICTLY, re-encode, re-sniff, and return
+    byte-identical text under kind ``utf16le:text``); the markdown
+    fixture BOM'd UTF-16-BE (the compose pin: ``utf16be:md`` runs
+    the inner extractor AFTER the transport); and a cp1252 payload
+    whose em-dash/ellipsis line would become U+FFFD under
+    utf-8-replace (the UTF-8-strict → windows-1252 fallback pin).
+    Every 23rd document is a BOM'd UTF-16 payload with a truncated
+    trailing code unit, driver-gating the strict-transport
+    quarantine. The oracle rebuilds the exact decoded text per
+    slot in SQL (md5), so BOM stripping, both byte orders, the
+    transport/extractor composition, and the legacy fallback are
+    value-pinned corpus-wide."""
+    from .functions import charset as cs
+    from .functions import doctext as dt
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = dt.document_text_features(
+        cs.synthesize_charset_from_text(docs, poison_mod=23)
+    )
+    return feats.select(
+        "doc_id",
+        "kind",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+        "ok",
+    )
+
+
+ORACLE_CHARSET_EXTRACT = """
+WITH norm AS (
+  -- mirror the synthesizer: non-printable-ASCII -> space, the
+  -- markup-union class -> '-', whitespace runs -> one space
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(COALESCE(text, ''),
+                            '[^\\x20-\\x7e]', ' ', 'g'),
+             '[\\\\~^%&$#{}_<>`*\\[\\]()!|=:;''"/]', '-', 'g'),
+           '\\s+', ' ', 'g'
+         )) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         LEAST(CAST(1 + length(text) % 3 AS INT),
+               CAST(len(string_split(text, ' ')) AS INT)) AS n,
+         string_split(text, ' ') AS ws
+  FROM norm
+), tok AS (
+  SELECT doc_id, n, CAST(t.i AS INT) AS i,
+         ws[CAST(t.i + 1 AS INT)] AS word
+  FROM base, unnest(range(len(ws))) AS t(i)
+), unit AS (
+  SELECT doc_id, n, CAST(i % n AS INT) AS u,
+         string_agg(word, ' ' ORDER BY i) AS utext
+  FROM tok GROUP BY doc_id, n, (i % n)
+), doc AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 2 THEN
+             -- the markdown fixture's extracted text (the same
+             -- shape the doctext_sweep oracle pins for family 8)
+             string_agg('Section ' || CAST(u AS VARCHAR)
+                        || CASE WHEN utext <> ''
+                                THEN chr(10) || utext
+                                ELSE '' END,
+                        chr(10) ORDER BY u)
+             || chr(10) || 'quoted line'
+             || chr(10) || 'item one'
+             || chr(10) || 'item two'
+             || chr(10) || 'Col A Col B'
+             || chr(10) || 'cell one cell two'
+             || chr(10) || 'code **stays** [verbatim](x)'
+           ELSE
+             'charset fixture d' || CAST(doc_id AS VARCHAR)
+             || chr(10) || string_agg(utext, chr(10) ORDER BY u)
+             || CASE WHEN doc_id % 4 = 3
+                     THEN chr(10) || 'café — legacy …'
+                     ELSE '' END
+         END AS text
+  FROM unit GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 23 = 7 THEN 'utf16le'
+            WHEN doc_id % 4 = 1 THEN 'utf16le:text'
+            WHEN doc_id % 4 = 2 THEN 'utf16be:md'
+            ELSE 'text' END AS kind,
+       CASE WHEN doc_id % 23 = 7 THEN NULL
+            ELSE CAST(length(text) AS INT) END AS n_chars,
+       CASE WHEN doc_id % 23 = 7 THEN NULL ELSE md5(text) END
+         AS text_md5,
+       doc_id % 23 <> 7 AS ok
+FROM doc
+"""
+
+
 def q_router_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing observability (round 13): the per-kind corpus report
     a production ingest watches for ROUTING DRIFT — the 19-family
@@ -8436,6 +8537,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "feed_extract": (q_feed_extract, ORACLE_FEED_EXTRACT),
     "ics_extract": (q_ics_extract, ORACLE_ICS_EXTRACT),
     "router_report": (q_router_report, ORACLE_ROUTER_REPORT),
+    "charset_extract": (q_charset_extract, ORACLE_CHARSET_EXTRACT),
 }
 
 
@@ -8509,6 +8611,7 @@ _NEW_R13: list[str] = [
     "feed_extract",
     "ics_extract",
     "router_report",
+    "charset_extract",
 ]
 
 #: the r9-green overflow (newest driver row CORRECTNESS_r09; the 12

@@ -603,6 +603,29 @@ def probe(spark, k: int) -> None:
                 fromlist=["logtext"],
             )
         ),
+        # round 13: encoding transports (UTF-16/32 decode + re-sniff
+        # + cp1252 fallback, truncated-payload quarantine included)
+        "charset_extract": lambda: (
+            lambda cs2, dtx: dtx.document_text_features(
+                cs2.synthesize_charset_from_text(
+                    docs.repartition(
+                        spark.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    poison_mod=23,
+                )
+            )
+            .agg(F.sum(F.col("n_chars").cast("long")))
+            .first()[0]
+        )(
+            __import__(
+                "datasplash_spark.functions.charset",
+                fromlist=["charset"],
+            ),
+            __import__(
+                "datasplash_spark.functions.doctext",
+                fromlist=["doctext"],
+            ),
+        ),
         # round 13: calendar family (RFC 5545 unfold + unescape,
         # vCard privacy quarantine included)
         "ics_extract": lambda: (

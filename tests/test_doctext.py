@@ -673,7 +673,7 @@ def _fuzz_gate_names(all_gates: bool = False):
         "wikitext_extract", "subtitles_extract", "code_extract",
         "parquet_extract", "compressed_extract",
         "av_transcript_pairs", "email_extract", "log_extract",
-        "feed_extract", "ics_extract",
+        "feed_extract", "ics_extract", "charset_extract",
     )
     return base + extra if all_gates else base
 
@@ -1227,6 +1227,64 @@ def test_router_calendar_and_vcard_privacy(spark):
     )
     assert rows[2].kind == "vcf" and not rows[2].ok
     assert "PII" in rows[2].err
+
+
+def test_charset_transports_and_fallback():
+    """Encoding transports (round 13): UTF-16/32 documents — BOM'd
+    or detected via the one-sided NUL lattice — decode strictly and
+    re-sniff (composing with inner formats and the gz layer);
+    corrupt payloads raise typed; plain text falls back UTF-8-strict
+    → cp1252 so smart quotes stop becoming U+FFFD; binary with NULs
+    on both parities never routes as a transport."""
+    import gzip
+
+    import pytest as _pytest
+
+    from datasplash_spark.functions import markdown as mdw
+
+    content = "plain prose line one\nand a second line"
+    for enc, kind, bom in (
+        ("utf-16-le", "utf16le", b"\xff\xfe"),
+        ("utf-16-be", "utf16be", b"\xfe\xff"),
+        ("utf-32-le", "utf32le", b"\xff\xfe\x00\x00"),
+        ("utf-32-be", "utf32be", b"\x00\x00\xfe\xff"),
+    ):
+        raw = bom + content.encode(enc)
+        assert dt.sniff_document_kind(raw) == kind
+        assert dt.extract_document_text(raw) == (
+            f"{kind}:text", content
+        )
+    # BOM-less UTF-16 via the NUL lattice
+    assert dt.extract_document_text(content.encode("utf-16-le")) == (
+        "utf16le:text", content
+    )
+    # transport composes with an inner extractor and with gz
+    raw = b"\xff\xfe" + mdw.encode_markdown(["alpha beta"]).decode(
+        "utf-8"
+    ).encode("utf-16-le")
+    assert dt.extract_document_text(raw)[0] == "utf16le:md"
+    gz = gzip.compress(b"\xff\xfe" + content.encode("utf-16-le"))
+    assert dt.extract_document_text(gz)[0] == "gz:utf16le:text"
+    # truncated code unit quarantines typed
+    with _pytest.raises(ValueError, match="corrupt transport"):
+        dt.extract_document_text(
+            b"\xff\xfe" + content.encode("utf-16-le") + b"\x41"
+        )
+    # cp1252 fallback; valid UTF-8 never touches it; BOM char strips
+    raw = "caf\xe9 — na\xefve … end".encode("cp1252")
+    assert dt.extract_document_text(raw) == (
+        "text", "café — naïve … end"
+    )
+    assert dt.extract_document_text(
+        "café — naïve".encode("utf-8")
+    )[1] == "café — naïve"
+    assert dt.extract_document_text(b"\xef\xbb\xbfplain words")[1] == (
+        "plain words"
+    )
+    blob = bytes(range(256)) * 4
+    assert dt.sniff_document_kind(blob) not in (
+        "utf16le", "utf16be", "utf32le", "utf32be"
+    )
 
 
 def test_tabular_and_code_windows_line_endings():

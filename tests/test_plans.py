@@ -1277,6 +1277,19 @@ def test_email_extract_bytes_never_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
+def test_charset_extract_bytes_never_shuffle(spark):
+    """charset_extract (gated round 13): the codec-family contract —
+    one Exchange (the raw two-column repartition), the encoding
+    writer + transport decode + inner extract fused post-shuffle,
+    payload bytes never crossing it."""
+    plan = plan_of(_q(spark, "charset_extract"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("MapInPandas") < plan.index("Exchange"), plan
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert "media" not in "".join(exch), exch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
 def test_router_report_partial_agg_no_media_shuffle(spark):
     """router_report (gated round 13): the aggregation-shaped gate
     over the router — a map-side partial count/sum must run BEFORE
