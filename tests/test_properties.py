@@ -546,3 +546,100 @@ def test_markdown_writer_reader_parity_property(unit_words):
     raw = md.encode_markdown(units, title="T x")
     got = md.markdown_to_text(raw.decode("utf-8"))
     assert got == md.markdown_expected_text(units, title="T x")
+
+
+# ---------------------------------------------------------------
+# Round-13 modality families: writer → reader round-trip laws over
+# generated unit lists (the gate proves one deterministic corpus;
+# these prove the grammar for ARBITRARY grammar-safe content, the
+# same class the synthesizers normalize into).
+# ---------------------------------------------------------------
+
+_unit = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .-?!",
+    max_size=40,
+).map(lambda s: " ".join(s.split()))
+_units = st.lists(_unit, min_size=1, max_size=5)
+
+
+@given(_units, st.integers(min_value=0, max_value=999))
+@settings(max_examples=120, deadline=None)
+def test_log_dialects_roundtrip_property(units, doc_id):
+    from datasplash_spark.functions import logtext as lg
+
+    for d in (
+        "syslog", "iso", "clf", "syslog5424", "logfmt", "jsonlog"
+    ):
+        text, stats = lg._log_scan(
+            lg.encode_log(units, doc_id, d).decode("utf-8")
+        )
+        assert text == lg.log_expected_text(units, doc_id, d)
+        exp = lg.log_expected_stats(units, d)
+        assert {k: stats[k] for k in exp} == exp
+
+
+@given(_units, st.integers(min_value=0, max_value=999))
+@settings(max_examples=120, deadline=None)
+def test_feed_grammars_roundtrip_property(units, doc_id):
+    from datasplash_spark.functions import feeds as fd
+
+    for atom in (False, True):
+        enc = fd.encode_atom if atom else fd.encode_rss
+        raw = enc(units, doc_id)
+        assert fd.feed_to_text(raw) == fd.feed_expected_text(
+            units, doc_id, atom
+        )
+        assert fd.feed_entry_count(raw) == len(units)
+
+
+@given(_units, st.integers(min_value=0, max_value=999))
+@settings(max_examples=120, deadline=None)
+def test_ics_roundtrip_property(units, doc_id):
+    from datasplash_spark.functions import calendar as ca
+
+    raw = ca.encode_ics(units, doc_id).decode("utf-8")
+    assert ca.ics_to_text(raw) == ca.ics_expected_text(
+        units, doc_id
+    )
+    assert ca.ics_event_count(raw) == len(units)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FFF
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_charset_transport_roundtrip_property(text):
+    """BOM'd UTF-16/32 payloads decode back to the exact original
+    text for arbitrary non-surrogate content."""
+    from datasplash_spark.functions import charset as cs
+
+    for kind, codec, bom in (
+        ("utf16le", "utf-16-le", b"\xff\xfe"),
+        ("utf16be", "utf-16-be", b"\xfe\xff"),
+        ("utf32le", "utf-32-le", b"\xff\xfe\x00\x00"),
+        ("utf32be", "utf-32-be", b"\x00\x00\xfe\xff"),
+    ):
+        raw = bom + text.encode(codec)
+        assert cs.sniff_transport_encoding(raw) == kind
+        assert cs.decode_transport(kind, raw) == text.encode(
+            "utf-8"
+        )
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_charset_fallback_total_property(raw):
+    """decode_fallback never raises on arbitrary bytes and names
+    the codec it used; valid UTF-8 round-trips exactly."""
+    from datasplash_spark.functions import charset as cs
+
+    enc, text = cs.decode_fallback(raw)
+    assert enc in ("utf-8", "cp1252")
+    if enc == "utf-8" and not raw.startswith(b"\xef\xbb\xbf"):
+        assert text == raw.decode("utf-8")
