@@ -199,14 +199,41 @@ def test_document_text_ingest_streaming_and_replay(spark, tmp_path):
     assert len(qrows) == 1 and qrows[0].kind == "zip"
     assert "unroutable" in qrows[0].err
 
-    # batch 1: one more doc arrives
+    # batch 1: more docs arrive — including the round-13
+    # continuation families (email, logfmt log, a UTF-16LE text
+    # transport) and a vCard that must PRIVACY-quarantine
+    from datasplash_spark.functions import calendar as _cal
+    from datasplash_spark.functions import eml as _eml
+    from datasplash_spark.functions import logtext as _lg
+
     write_shard("s1", [
         ("1", "d", "html",
          bytearray(b"<html><body><p>late page</p></body></html>")),
+        ("1", "e", "eml",
+         bytearray(_eml.encode_eml(["mail body words"], 9))),
+        ("1", "f", "log", bytearray(_lg.encode_log(
+            ["svc started", "svc warned", "svc failed", "svc done"],
+            9, "logfmt",
+        ))),
+        ("1", "u", "txt", bytearray(
+            b"\xff\xfe" + "wide prose line".encode("utf-16-le")
+        )),
+        ("1", "v", "vcf", bytearray(_cal.encode_vcf(9))),
     ])
     drain()
     corpus = spark.read.parquet(out)
-    assert corpus.count() == 4
+    assert corpus.count() == 7
+    by_kind = {r.kind: r for r in corpus.collect()}
+    assert by_kind["eml"].text.startswith("Doc 9")
+    assert by_kind["log"].text == (
+        "svc started\nsvc warned\nsvc failed\nsvc done"
+    )
+    assert by_kind["utf16le:text"].text == "wide prose line"
+    qrows2 = spark.read.parquet(quar).collect()
+    assert len(qrows2) == 2
+    assert any(
+        r.kind == "vcf" and "PII" in r.err for r in qrows2
+    ), qrows2
     before = (
         sorted(map(tuple, spark.read.parquet(out).collect())),
         sorted(map(tuple, spark.read.parquet(quar).collect())),
