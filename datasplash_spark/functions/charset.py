@@ -43,7 +43,10 @@ def sniff_transport_encoding(raw: bytes) -> str | None:
     """``'utf32le'/'utf32be'/'utf16le'/'utf16be'`` for BOM'd input
     (BOM included in the payload — the decoder strips it), the
     UTF-16 kinds also for BOM-less input whose NUL lattice is
-    strictly one-sided, else ``None``."""
+    strictly one-sided, else ``None``. ``FF FE 00 00`` is
+    inherently ambiguous (UTF-32-LE BOM vs UTF-16-LE BOM + U+0000);
+    UTF-32 wins per the Unicode convention — real text does not
+    begin with NUL."""
     if raw[:4] == b"\xff\xfe\x00\x00":
         return "utf32le"
     if raw[:4] == b"\x00\x00\xfe\xff":

@@ -16,6 +16,8 @@ import io
 
 import os
 
+import pytest
+
 from datasplash_spark import queries as Q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -208,17 +210,62 @@ def test_per_key_topk_window_group_limit(spark):
     assert "Partial" in plan or plan.count("WindowGroupLimit") >= 2
 
 
+#: the Layer-0 relational queries that must stay JVM-side — no
+#: BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere
+#: (object-mode and multimodal queries are the documented
+#: exceptions; budget_batches is excluded — its reset-fold is
+#: pandas BY DESIGN, an applyInPandas seam like
+#: stateful_distinct_types)
+_PYTHON_OK = {
+    "objectmode_wordcount",  # object mode IS the Python path
+    "multimodal_features",  # Arrow-batched by design
+    "stateful_distinct_types",  # non-associative state machine
+}
+
+
+def _assert_no_python_nodes(spark, names):
+    for name in names:
+        assert name not in _PYTHON_OK
+        plan = plan_of(_q(spark, name), mode="extended")
+        for marker in (
+            "BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+            "PythonUDF",
+        ):
+            assert marker not in plan, f"{name} has {marker} in its plan"
+
+
+#: one representative per plan shape (scan-filter, native-window
+#: state, banded dedup, IVF probe pruning, tf-idf chain, as-of
+#: union+window, span removal, chat parse): the default-set
+#: sibling gating the no-Python property on every shape family the
+#: full sweep covers — a regression that introduces Python nodes
+#: into the relational layer is systemic (a shared helper) and
+#: shows up in whichever of these uses it
+_NO_PYTHON_SAMPLE = [
+    "filter_project",
+    "stateful_running_sum",
+    "dedup_minhash_pairs",
+    "similarity_ivf",
+    "tfidf_top_terms",
+    "asof_last_view",
+    "remove_repeated_spans",
+    "chat_turns",
+]
+
+
+def test_no_python_udf_in_relational_sample(spark):
+    """Default-set sibling of the exhaustive sweep below: one
+    representative query per plan shape must stay JVM-side."""
+    _assert_no_python_nodes(spark, _NO_PYTHON_SAMPLE)
+
+
+@pytest.mark.slow  # ~23 s of pure plan builds; the property is
+# default-gated per plan shape by
+# test_no_python_udf_in_relational_sample
 def test_no_python_udf_in_relational_corpus(spark):
-    """The Layer-0 relational queries must stay JVM-side: no
-    BatchEvalPython / ArrowEvalPython / mapInPandas nodes anywhere.
-    (Object-mode and multimodal queries are the documented exceptions
-    and are excluded.)"""
-    python_ok = {
-        "objectmode_wordcount",  # object mode IS the Python path
-        "multimodal_features",  # Arrow-batched by design
-        "stateful_distinct_types",  # non-associative state machine
-    }
-    for name in [
+    """The exhaustive sweep: EVERY Layer-0 relational query must
+    stay JVM-side."""
+    _assert_no_python_nodes(spark, [
         "filter_project",
         "pricing_summary",
         "stateful_running_sum",  # native window path since round 2
@@ -287,11 +334,7 @@ def test_no_python_udf_in_relational_corpus(spark):
         "canary_report",
         # budget_batches is EXCLUDED: its reset-fold is pandas BY
         # DESIGN (applyInPandas seam, like stateful_distinct_types)
-    ]:
-        assert name not in python_ok
-        plan = plan_of(_q(spark, name), mode="extended")
-        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
-            assert marker not in plan, f"{name} has {marker} in its plan"
+    ])
 
 
 def test_running_sum_is_native_window(spark):

@@ -616,9 +616,15 @@ def test_ics_roundtrip_property(units, doc_id):
 @settings(max_examples=150, deadline=None)
 def test_charset_transport_roundtrip_property(text):
     """BOM'd UTF-16/32 payloads decode back to the exact original
-    text for arbitrary non-surrogate content."""
+    text for arbitrary non-surrogate content. Text starting with
+    U+0000 is excluded for the LE pair: ``FF FE 00 00`` is
+    byte-identical as 'UTF-32-LE BOM' and 'UTF-16-LE BOM + NUL',
+    and the sniff prefers UTF-32 per the Unicode convention (pinned
+    in test_charset_bom_ambiguity_prefers_utf32)."""
     from datasplash_spark.functions import charset as cs
 
+    if text.startswith("\x00"):
+        text = "x" + text
     for kind, codec, bom in (
         ("utf16le", "utf-16-le", b"\xff\xfe"),
         ("utf16be", "utf-16-be", b"\xfe\xff"),
@@ -630,6 +636,22 @@ def test_charset_transport_roundtrip_property(text):
         assert cs.decode_transport(kind, raw) == text.encode(
             "utf-8"
         )
+
+
+def test_charset_bom_ambiguity_prefers_utf32():
+    """``FF FE 00 00`` is both a UTF-32-LE BOM and a UTF-16-LE BOM
+    followed by U+0000; the sniff prefers UTF-32 per the Unicode
+    convention (real text does not begin with NUL). Found by
+    hypothesis; pinned so the preference never silently flips."""
+    from datasplash_spark.functions import charset as cs
+
+    assert cs.sniff_transport_encoding(
+        b"\xff\xfe\x00\x00"
+    ) == "utf32le"
+    # the unambiguous LE cases still route utf16le
+    assert cs.sniff_transport_encoding(
+        b"\xff\xfe" + "x\x00y".encode("utf-16-le")
+    ) == "utf16le"
 
 
 @given(st.binary(max_size=200))
