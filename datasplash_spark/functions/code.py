@@ -90,6 +90,22 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
         # (wikitext [[links]] and markdown [ref]: definitions both
         # fail the full-line shape)
         ("ini", r"^\[[^\[\]\n]+\][ \t]*$"),
+        # section-less TOML (round 13): full-line key = TYPED value
+        # — quoted string, bool, or array only; bare numbers are
+        # excluded because math prose writes `x = 5` on its own
+        # line, but never `x = "5"` (the loss-direction rule: a
+        # config tag exempts the doc from prose quality filters, so
+        # prose must never earn one)
+        ("toml", r"^\w[\w.-]*[ \t]*=[ \t]*(?:\"[^\"\n]*\"|'[^'\n]*'|true|false|\[[^\n]*\])[ \t]*$"),
+        # YAML (round 13): ONLY the INDENTED `- key: value`
+        # sequence-of-mappings item (the workflow/manifest
+        # convention). Deliberately the single signal: `---`
+        # markers come in PAIRS around markdown frontmatter (a
+        # frontmattered post must keep routing md), bare
+        # `key:`-heads are prose (`Usage:`/`Note:` lines), and
+        # column-0 `- term: definition` items are markdown lists —
+        # all three rejected shapes verified in tests
+        ("yaml", r"^[ \t]+-[ \t]+\w[\w-]*:[ \t]+\S"),
         # SQL dumps: uppercase statement heads only (prose writes
         # "Select the best ..." — sentence case — and never twice
         # at line starts with these clause shapes)
@@ -102,7 +118,8 @@ _STRONG_SHAPES: tuple[tuple[str, re.Pattern], ...] = tuple(
 
 #: languages whose line comments start with '#'
 _HASH_COMMENT_LANGS = frozenset(
-    {"python", "shell", "ruby", "perl", "r", "code", "ini"}
+    {"python", "shell", "ruby", "perl", "r", "code", "ini",
+     "toml", "yaml"}
 )
 #: languages whose line comments start with '//' (plus /* */ blocks)
 _SLASH_COMMENT_LANGS = frozenset(

@@ -1551,6 +1551,40 @@ def test_ini_detection_and_parquet_size_guard():
         T.parquet_to_text(b"PAR1" + b"\x00" * (1 << 26) + b"PAR1")
 
 
+def test_toml_yaml_detection_is_conservative():
+    """Round-13 continuation: section-less TOML (full-line ``key =
+    TYPED-value`` — quoted/bool/array, never bare numbers) and YAML
+    (ONLY indented ``- key: value`` sequence items) tag config
+    files for route-then-protect, while math prose, colon-headed
+    prose, frontmattered markdown, and column-0 markdown definition
+    lists all keep their current routes."""
+    from datasplash_spark.functions import code as C
+
+    d = C.detect_code_lang
+    assert d('name = "x"\nversion = "1.0"\n') == "toml"
+    assert d('flags = [\"a\", \"b\"]\nactive = true\n') == "toml"
+    assert d("x = 5\ny = 7\nthen x + y = 12\n") is None  # math prose
+    gha = (
+        "jobs:\n  build:\n    steps:\n"
+        "      - name: Checkout\n"
+        "      - uses: actions/checkout@v4\n"
+    )
+    assert d(gha) == "yaml"
+    assert d("Usage:\nrun it.\nNote:\nfast.\n") is None
+    assert d("---\nkind: Pod\n---\nkind: Service\n") is None
+    # routing: frontmattered markdown and column-0 definition lists
+    # stay md; the workflow file routes code
+    assert dt.sniff_document_kind(
+        b"---\ntitle: post\n---\n\n# Heading\n\nbody [x](y)\n"
+    ) == "md"
+    assert dt.sniff_document_kind(
+        b"# T\n\n- alpha: the first letter\n- beta: the second\n"
+    ) == "md"
+    assert dt.sniff_document_kind(gha.encode()) == "code"
+    # lossless contract holds for the new tags
+    assert dt.extract_document_text(gha.encode()) == ("code", gha)
+
+
 import pytest as _pt
 
 
