@@ -126,7 +126,10 @@ def _logfmt_unquote(v: str) -> str:
 def _match_header(line: str):
     """``(dialect, message, level_class)`` for a header-shaped log
     line, else ``None``. ``level_class`` is '', 'warn', or
-    'error'."""
+    'error'. A trailing CR is stripped up front: logs split on LF,
+    and a Windows-origin logfmt line would otherwise fail the
+    pairs-cover-the-line rule on its ``\\r`` (review finding)."""
+    line = line.rstrip("\r")
     m = _ISO_RE.match(line)
     if m:
         lvl = m.group(1)
@@ -175,7 +178,9 @@ def _match_header(line: str):
                 else "warn" if lvl in _LOGFMT_WARN_VALUES else ""
             )
             msg = obj.get("msg", obj.get("message", ""))
-            if not isinstance(msg, str):
+            if msg is None:
+                msg = ""
+            elif not isinstance(msg, str):
                 msg = str(msg)
             return "jsonlog", msg.rstrip(), cls
     pairs = _logfmt_parse(line)

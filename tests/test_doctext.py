@@ -1015,6 +1015,15 @@ def test_log_writer_reader_parity():
         is not None
     )
     assert L._match_header('{"rid":0,"words":"alpha"}') is None
+    # CRLF logfmt parses (Windows-origin files split on LF leave a
+    # trailing CR; review finding) and a JSON null msg reads empty
+    text, st = L._log_scan(
+        'ts=1 level=error msg="boom"\r\nts=2 level=info msg="ok"\r\n'
+    )
+    assert text == "boom\nok" and st["n_error"] == 1
+    assert L._match_header(
+        '{"time":"t","level":"info","msg":null}'
+    )[1] == ""
     # json logs read as log (two staple keys); DATA jsonl does not
     assert L._match_header('{"time":"t","level":"warn","msg":"m"}') is not None
     assert L._match_header('{"rid":0,"words":"alpha"}') is None
