@@ -983,37 +983,62 @@ def source_overlap(
     crawls/snapshots substantially the same data?" — run before
     mixing sources so duplicated collections get weighted once.
 
-    Scale shape: per-source distinct digests first (explode → one
+    Scale shape (r13 optimization, guide §2.3 "shuffle keys and
+    metadata instead of payloads" + §1.2 "the distributed
+    algorithm"): per-source distinct digests first (explode → one
     16-byte md5 per (source, shingle), partial+final distinct — the
-    corpus collapses to vocab-sized digest sets), then the digest
-    self-join touches only that distinct table. Sources ≪ corpus, so
-    the output is at most |sources|² rows. The distinct digest table
-    is PERSISTED before the self-join: Catalyst does not reuse the
-    exchange across the two join sides here, so without it the corpus
-    scan + shingle + distinct pipeline executes twice (measured: two
-    full parquet scans in the plan).
+    corpus collapses to vocab-sized digest sets). Then, instead of a
+    digest self-join (which multiplies every digest shared by ``m``
+    sources into ``m²`` join rows — measured ~20 M intermediate rows
+    and 15-20 s of executor CPU at sf0.1), each digest reduces to
+    its sorted SOURCE SET (bounded by |sources| ≪ corpus, the
+    operator's own premise), identical sets collapse to one counted
+    row (at most ``min(2^|S|, |vocab|)`` rows, in practice a
+    handful), and the |S|·(|S|−1)/2 pair counts come from expanding
+    each distinct set's pairs over that tiny table. Nothing wider
+    than (16-byte digest → source set) ever shuffles, the
+    quadratic-in-sources step runs on co-occurrence patterns rather
+    than on vocab-sized digest sets, and no driver collect is needed
+    at any source count.
     """
-    from pyspark import StorageLevel
-
     sd = (
         df.select(
             _col(source).alias("src"),
             F.explode(shingles(text, k)).alias("s"),
         )
-        .select("src", F.md5("s").alias("digest"))
+        .select("src", F.unhex(F.md5("s")).alias("digest"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = sd.alias("a")
-    b = sd.alias("b")
+    # digest -> its sorted source SET; identical sets then collapse to
+    # one counted row, so the quadratic pair expansion runs over the
+    # handful of distinct co-occurrence patterns, never over the vocab
+    sets = (
+        sd.groupBy("digest")
+        .agg(F.sort_array(F.collect_set("src")).alias("_ss"))
+        .groupBy("_ss")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ss"),
+                lambda a: F.transform(
+                    F.col("_ss"),
+                    lambda b: F.struct(
+                        a.alias("source_a"), b.alias("source_b")
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["source_a"] < s["source_b"],
+    )
     return (
-        a.join(b, on="digest")
-        .filter(F.col("a.src") < F.col("b.src"))
+        sets.select(F.explode(pair).alias("_p"), "_n")
         .groupBy(
-            F.col("a.src").alias("source_a"),
-            F.col("b.src").alias("source_b"),
+            F.col("_p.source_a").alias("source_a"),
+            F.col("_p.source_b").alias("source_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.sum("_n").alias("n_shared"))
     )
 
 

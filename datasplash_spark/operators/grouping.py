@@ -1308,77 +1308,78 @@ def domain_reweight(
        [1−η, 1+η], positive for η < 1;
     4. renormalize to mean 1e9 (round(w · N·1e9/Σw)).
 
-    The table is domains-sized, so every aggregate is a tiny job;
-    the corpus is only touched by whatever produced the losses —
-    ONCE: the loss table is lazily ``localCheckpoint``-ed before the
-    loop, because each iteration runs two eager aggregates whose
-    lineage would otherwise re-derive the corpus loss pass (measured
-    at the ×100 probe tier: 11 corpus token scans → 1; same fix as
-    ``pagerank``'s loop invariants).
+    Execution shape (r13 optimization, guide §1.2 step 1): the table
+    is DOMAINS-SIZED by contract, so every per-iteration aggregate is
+    a full-table WINDOW over one post-exchange partition — the whole
+    recurrence is ONE lazy plan (Exchange SinglePartition + 3 stacked
+    Window nodes per iteration), so the corpus is touched exactly
+    once by whatever produced the losses and NO per-iteration jobs
+    run at all. The previous shape (crossJoin(broadcast(agg)) per
+    step + an eager localCheckpoint per iteration) executed ~20 tiny
+    jobs whose scheduling latency dominated the query (measured at
+    sf0.1: 3.0 s wall with 0.55 s of stage time); the window chain
+    computes the identical values (same decimal/double expression
+    steps, order-independent sums) with zero mid-loop actions.
 
     Reference anchor: no analog; mixing extension surface
     (BASELINE.json north_star).
     """
-    w = losses.select(
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    cur = losses.select(
         _col(domain).alias("domain"),
         _col(loss_nano).cast("long").alias("_loss"),
         F.lit(1_000_000_000).cast("long").alias("weight_nano"),
-    ).localCheckpoint(eager=False)
+    )
     for _ in range(int(iterations)):
-        tot = w.agg(
-            F.sum(
-                (
+        cur = (
+            cur.withColumn(
+                "_wl",
+                F.sum(
                     F.col("weight_nano").cast("decimal(38,0)")
                     * F.col("_loss").cast("decimal(38,0)")
-                )
-            ).alias("_wl"),
-            F.sum(F.col("weight_nano").cast("decimal(38,0)")).alias("_w"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        m = F.col("_wl").cast("double") / F.col("_w").cast("double")
-        stage = w.crossJoin(F.broadcast(tot)).select(
-            "domain",
-            "_loss",
-            "weight_nano",
-            "_n",
-            (F.col("_loss").cast("double") - m).alias("_exc"),
-        )
-        mx = stage.agg(F.max(F.abs(F.col("_exc"))).alias("_x"))
-        upd = stage.crossJoin(F.broadcast(mx)).select(
-            "domain",
-            "_loss",
-            "_n",
-            F.when(
-                F.col("_x") > 0,
+                ).over(wall),
+            )
+            .withColumn(
+                "_w", F.sum(F.col("weight_nano").cast("decimal(38,0)")).over(wall)
+            )
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .withColumn(
+                "_exc",
+                F.col("_loss").cast("double")
+                - F.col("_wl").cast("double") / F.col("_w").cast("double"),
+            )
+            .withColumn("_x", F.max(F.abs(F.col("_exc"))).over(wall))
+            .withColumn(
+                "_w1",
+                F.when(
+                    F.col("_x") > 0,
+                    F.round(
+                        F.col("weight_nano").cast("double")
+                        * (
+                            F.lit(1.0)
+                            + F.lit(float(eta)) * F.col("_exc") / F.col("_x")
+                        )
+                    ).cast("long"),
+                ).otherwise(F.col("weight_nano")),
+            )
+            .withColumn(
+                "_s", F.sum(F.col("_w1").cast("decimal(38,0)")).over(wall)
+            )
+            .select(
+                "domain",
+                "_loss",
                 F.round(
-                    F.col("weight_nano").cast("double")
+                    F.col("_w1").cast("double")
                     * (
-                        F.lit(1.0)
-                        + F.lit(float(eta)) * F.col("_exc") / F.col("_x")
+                        F.col("_n").cast("double")
+                        * F.lit(1e9)
+                        / F.col("_s").cast("double")
                     )
-                ).cast("long"),
-            )
-            .otherwise(F.col("weight_nano"))
-            .alias("_w1"),
-        )
-        norm = upd.agg(F.sum(F.col("_w1").cast("decimal(38,0)")).alias("_s"))
-        w = upd.crossJoin(F.broadcast(norm)).select(
-            "domain",
-            "_loss",
-            F.round(
-                F.col("_w1").cast("double")
-                * (
-                    F.col("_n").cast("double")
-                    * F.lit(1e9)
-                    / F.col("_s").cast("double")
                 )
+                .cast("long")
+                .alias("weight_nano"),
             )
-            .cast("long")
-            .alias("weight_nano"),
         )
-        # three aggregate branches per iteration over the prior
-        # iteration's lineage — truncate it each round (the CC-loop
-        # rule) or the plan re-executes upstream combinatorially;
-        # the table is domains-sized, so this is a no-op cost
-        w = w.localCheckpoint(eager=True)
-    return w.select("domain", "weight_nano")
+    return cur.select("domain", "weight_nano")

@@ -185,6 +185,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-adaptive pre-spread for per-row-HEAVY pipelines
+    (optimization guide §2.5 input skew / §6 input splits): a scan of
+    few files with few row groups yields fewer partitions than the
+    session has cores, and because parquet only splits at row-group
+    boundaries, ``maxPartitionBytes`` cannot widen it — so the
+    expensive map side (shingle/minhash/codec/vector kernels) runs on
+    a handful of tasks while the rest of the machine idles (measured
+    at sf0.1: the whole shingle→md5→partial-agg map side of every
+    dedup query ran as ONE 2-3 s task on the corpus' single-row-group
+    parquet).
+
+    When (and only when) the scan is narrower than
+    ``defaultParallelism``, repartition to it — by ``keys`` when the
+    pipeline's next shuffle is keyed (the exchange then *replaces*
+    the downstream one: hash-partitioned-by-key input satisfies a
+    later ``groupBy(key)`` distribution at equal partition counts),
+    round-robin otherwise. On production multi-file inputs the scan
+    is already at least core-wide and this is a provable no-op (no
+    Exchange enters the plan). The cost when it fires is one exchange
+    of the raw rows — exactly the rows the heavy stage must read
+    anyway — and the decision is made from the actual scan partition
+    count, not a constant, so it holds at any core count.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p, *keys) if keys else df.repartition(p)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver testdata table present under ``sf_dir``."""
     out: dict[str, DataFrame] = {}

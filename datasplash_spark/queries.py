@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .functions import chat as ch
 from .functions import dedup as dd
-from .pipeline import load_table
+from .pipeline import load_table, spread_scan
 from .functions import similarity as sim
 from .functions import text as tx
 from .operators import (
@@ -63,6 +63,17 @@ from .operators import (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """Spread-loaded table for per-row-HEAVY pipelines (shingle/
+    minhash/codec/vector kernels): :func:`~.pipeline.spread_scan`
+    widens a narrower-than-parallelism scan so the expensive map side
+    uses every core (r13 optimization; measured: the corpus parquet is
+    one row group, so these map sides ran as one multi-second task).
+    Values are untouched — only partitioning changes — and on wide
+    production scans this is a no-op."""
+    return spread_scan(load_table(spark, sf_dir, name), *keys)
 
 
 # =====================================================================
@@ -610,7 +621,7 @@ LIMIT 100
 def q_sample_per_key_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-key fixed-size sample (window over hash
     order): 3 lineitems per return flag, reproducible + oracle-able."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ts(spark, sf_dir, "lineitem")
     return sample(
         li, 3, scope="per-key", key="l_returnflag",
         deterministic_by=F.concat_ws("_", "l_orderkey", "l_linenumber"), seed=42,
@@ -794,7 +805,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the parquet path, ``materialize_dir=``, wins when the banded
     table is probed across JOBS — see ``dd.materialize_banded``)."""
     return dd.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42,
+        _ts(spark, sf_dir, "documents", "doc_id"),
+        num_hashes=16, bands=4, k=3, seed=42,
         cache=True,
     )
 
@@ -809,7 +821,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The iterative joins run over the pair list only (tiny vs corpus);
     the final assignment is an AQE-broadcast left join."""
     return dd.dedup_clusters(
-        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=3, seed=42,
+        _ts(spark, sf_dir, "documents", "doc_id"), num_hashes=16, bands=4, k=3, seed=42,
         cache=True,  # one signature computation; pairs feed the CC loop
     )
 
@@ -1002,7 +1014,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-gram rolling hashes, w=4 — every shared 7-token run between
     docs shares a fingerprint (the locality guarantee MinHash
     lacks). Full exploded (doc_id, fp) table gated."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return dd.winnow_fingerprints(docs, k=4, w=4)
 
 
@@ -1548,7 +1560,7 @@ def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein distance (the recall-then-precision dedup shape):
     pairs are corpus-rare, so the O(len²) distance runs on
     candidates only, never all-pairs."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     pairs = dd.lsh_candidate_pairs(
         docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -1615,7 +1627,7 @@ def q_weighted_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     biased)."""
     from .operators import weighted_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     g = weighted_sample(
         docs, 20, "n_chars", "doc_id", seed=11, deterministic=True
     ).select(F.lit("global").alias("scope"), "doc_id", "n_chars")
@@ -2695,7 +2707,7 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (distinct word k-grams per doc) → explode → partial-agg
     count → deterministic top-20 (count desc, bigram asc). One
     shuffle + TakeOrdered."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     grams = docs.select(
         F.explode(dd.shingles("text", k=2)).alias("bigram")
     )
@@ -3052,7 +3064,7 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, pass `materialize_dir=` (write-once bucketed banded table,
     zero-Exchange probes); the write costs more than it saves for a
     one-shot local run, so the corpus query stays in-plan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return dd.cross_corpus_pairs_partitioned(
         docs,
         lambda c: c < 250,
@@ -3446,7 +3458,7 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors,
     compare only within buckets, keep cosine ≥ 0.3 (the corpus has no planted near-dups; 0.3 keeps the candidate set non-trivial). Linear bucketing +
     intra-bucket quadratic only — the 100 TB shape."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings", "vec_id")
     planes = sim.random_hyperplanes(64, 8, seed=7)
     bucketed = emb.select(
         "vec_id",
@@ -3758,7 +3770,7 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     table streams. Round 1 had this backwards (broadcast the corpus —
     a driver OOM at scale); a plan test now pins the direction. The
     banded table is persisted (``cache=True``) so stage 1 runs once."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents", "doc_id").select("doc_id", "text")
     cands = dd.lsh_candidate_pairs(
         docs, num_hashes=16, bands=4, k=3, seed=42, cache=True,
     )
@@ -4041,7 +4053,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark); per-training-doc count of distinct 3-grams shared with
     it. Digest-join shape: 16-byte md5 digests through the shuffle,
     eval side distinct + AQE-broadcast, one partial-agg count."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return dd.contamination_hits(train, ev, k=3)
@@ -4385,7 +4397,7 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count of 8-token windows that occur >1 time corpus-wide.
     Windows hash to md5 digests before any shuffle; the duplicated
     set is filtered to the >1 survivors before the join back."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return dd.repetition_stats(docs, k=8)
 
 
@@ -4442,7 +4454,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     over hashed token features (hashing trick, 512 buckets). The
     weight table is model-sized and broadcast; tokens reduce to
     (doc_id, bucket) before the join; integer weight accumulation."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     w = tx.hash_bucket_weights(spark, 512)
     return tx.linear_doc_scores(docs, w, n_buckets=512)
 
@@ -4494,7 +4506,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-data diagnostic run before mixing corpus sources. Distinct
     digests per source first (corpus collapses to vocab-sized sets);
     the self-join touches only the distinct table."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return dd.source_overlap(docs, k=3)
 
 
@@ -4522,7 +4534,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; exact cosine top-5 corpus neighbors per query. Query set
     broadcast (model/eval-sized); corpus streams once; per-query
     top-k runs as a WindowGroupLimit rank."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings", "vec_id")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5159,7 +5171,7 @@ def q_quality_above_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile, then a broadcast-threshold filter — no collect."""
     from .operators import filter_by_quantile
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _ts(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.round(tx.quality_score("text"), 6).alias("score")
     )
     return filter_by_quantile(d, "score", 0.5, keep="above")
@@ -5214,7 +5226,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash-LSH → connected components), then keep each cluster's
     LONGEST document (ties → lowest id) — the curation step that keeps
     the best copy, not the lowest id. Output: surviving doc ids."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     clusters = dd.dedup_clusters(
         docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
     )
@@ -5234,7 +5246,7 @@ def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``materialize_dir``) feeding any number of downstream curation
     jobs without re-clustering. Output: one row per cluster —
     size, total chars, and the quality-selected survivor."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     clusters = dd.dedup_clusters(
         docs, num_hashes=16, bands=4, k=3, seed=42, cache=True
     ).persist()
@@ -5506,7 +5518,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     when hash % 32 == 0) — position-independent chunk digests, the
     storage-style dedup unit. Pure array expressions + one
     posexplode."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     return dd.cdc_chunks(docs, divisor=32, k=4)
 
 
@@ -6254,7 +6266,7 @@ def q_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import multimodal as mm
     from .functions.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     media = mm.synthesize_image_from_text(docs, fmt="pngL", size=(8, 8))
     sigs = mm.image_ahash(media).select(
         "doc_id", dd.bitstring64_to_long("ahash").alias("sig")

@@ -414,21 +414,25 @@ def test_quota_sample_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_source_overlap_joins_distinct_digests(spark):
-    """source_overlap: the self-join input must be the DISTINCT
-    (source, digest) table — dedup happens before the join (partial
-    then final distinct aggregate), so the join never sees raw
-    per-document shingle rows."""
+def test_source_overlap_sets_not_self_join(spark):
+    """source_overlap (r13 optimization): NO digest self-join — a
+    digest shared by m sources would multiply into m² join rows, so
+    the plan must instead reduce each digest to its source SET
+    (collect_set aggregate), collapse identical sets to counted rows,
+    and expand pairs from that tiny pattern table. The pre-r13 plan
+    (distinct → persisted self-join on digest → 20 M intermediate
+    rows at sf0.1) is the regression this pins against."""
     plan = plan_of(_q(spark, "source_overlap"))
-    # distinct = 2-phase HashAggregate pair before the join, and the
-    # join keys are the md5 digests, not document text
-    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan, plan
+    assert "collect_set" in plan
     assert "md5" in plan.lower()
-    # single computation: the digest table is persisted, so both
-    # self-join sides are InMemoryTableScans and the corpus parquet
-    # scan appears only inside the cached definition
-    simple = plan_of(_q(spark, "source_overlap"), mode="simple")
-    assert simple.count("InMemoryTableScan") == 2, simple
+    # distinct before the set-collect: partial+final distinct
+    # aggregate pair plus the set/count/pair aggregates
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    # pair expansion is a per-row Generate over the set table, never
+    # a cartesian/broadcast product
+    assert "Generate" in plan and "explode" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_knn_join_broadcasts_queries_with_group_limit(spark):
@@ -852,9 +856,20 @@ def test_script_profile_is_shuffle_free(spark):
 
 def test_cdc_chunks_single_generate_no_shuffle(spark):
     """cdc_chunks: pure array expressions + ONE posexplode — no
-    Exchange, no Python, exactly one Generate."""
+    Python, exactly one Generate, and the ONLY allowed Exchange is
+    the scale-adaptive pre-spread of the raw scan (r13: the rolling-
+    hash map side is per-row-heavy, so a narrower-than-parallelism
+    scan repartitions BEFORE the kernel; chunk rows themselves never
+    shuffle)."""
     plan = plan_of(_q(spark, "cdc_chunks"), mode="simple")
-    assert "Exchange" not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert len(exchanges) <= 1, plan
+    for ln in exchanges:
+        # the pre-spread partitions raw input rows by doc id — any
+        # exchange AFTER the Generate would show chunk columns here
+        assert "doc_id" in ln, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Generate") == 1, plan
 
