@@ -24,6 +24,62 @@ from pyspark.sql import functions as F
 from ..operators.elementwise import ColumnLike, _col
 
 
+def _sql_double(x: float) -> str:
+    """One SQL double literal, value-exact: ``repr`` is the shortest
+    round-trip form, and both Python and the JVM parse it back to the
+    identical IEEE-754 bits; specials spell out the cast."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def lit_vec(xs) -> Column:
+    """array<double> literal built as ONE parsed SQL expression
+    (r13 optimization, guide §1.2 step 2): the former
+    ``F.array(*[F.lit(float(x)) for x in xs])`` costs one py4j
+    round-trip per element — measured 1.7 s of pure DRIVER time to
+    build a 16×64 centroid fold, charged to every embedding query's
+    plan construction. A generated SQL string is one round-trip and
+    parses to bit-identical Literals (~300× faster to build)."""
+    if not xs:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + ",".join(_sql_double(x) for x in xs) + ")")
+
+
+def lit_vec_int(xs) -> Column:
+    """array<int> literal as one parsed SQL expression (see
+    :func:`lit_vec`)."""
+    if not xs:
+        return F.expr("CAST(array() AS array<int>)")
+    return F.expr(
+        "array(" + ",".join(f"CAST({int(x)} AS INT)" for x in xs) + ")"
+    )
+
+
+def dot_unrolled(a_name: str, b_name: str, dim: int) -> Column:
+    """Fixed-width dot product with the SAME value and float-op order
+    as :func:`dot` — ``((0.0 + a₀·b₀) + a₁·b₁) + …`` left to right,
+    each element cast to double first — but as one flat parsed SQL
+    sum instead of an interpreted higher-order fold (r13
+    optimization, guide §1.2 step 2: HOF lambdas are CodegenFallback,
+    so the fold pays per-element interpreter dispatch on every PAIR
+    in the quadratic intra-cell stage; the flat sum whole-stage-
+    codegens). Out-of-range/NULL elements null the sum exactly as
+    the fold's null-propagating add does. Use when the vector width
+    is statically known (e.g. from the centroid table); fall back to
+    :func:`dot` otherwise."""
+    terms = "".join(
+        f"+CAST({a_name}[{i}] AS DOUBLE)*CAST({b_name}[{i}] AS DOUBLE)"
+        for i in range(int(dim))
+    )
+    return F.expr("0.0D" + terms)
+
+
 def dot(a: ColumnLike, b: ColumnLike) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB
     ``list_dot_product`` evaluation order for oracle exactness)."""
@@ -57,7 +113,7 @@ def brute_force_topk(
 
     Scores round to 9 dp before ranking and ties break on id, so the
     result set is engine-independent (oracle-stable)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     scored = df.select(
         _col(id_col).alias("vec_id"),
         F.round(cosine(_col(vec_col), q), 9).alias("score"),
@@ -85,7 +141,7 @@ def hyperplane_bucket(
     """LSH bucket id: sign bits of the vector against each plane."""
     acc = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = lit_vec(plane)
         acc = acc + F.when(
             dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -142,15 +198,22 @@ def ivf_assign(
     v = _col(vec)
     nv = norm(v) if norm_col is None else norm_col
 
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
-                F.lit(_pynorm(c)).alias("cnorm"),
+    # one parsed SQL expression for the whole centroid table: the
+    # per-element F.lit form paid a py4j round-trip per float
+    # (~1.7 s of driver time per query at 16×64 — see lit_vec)
+    arr = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cid',CAST(%d AS INT),'cvec',array(%s),"
+            "'cnorm',%s)"
+            % (
+                i,
+                ",".join(_sql_double(x) for x in c),
+                _sql_double(_pynorm(c)),
             )
             for i, c in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     init = F.struct(
         F.lit(-1).alias("cid"), F.lit(float("-inf")).alias("score")
@@ -789,6 +852,7 @@ def _pairs_within_cells(
     arrow_cell_threshold: int,
     id_is_integral: bool,
     fn: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared cosine-threshold pair stage over a ``(cell, vec_id, e,
     _nv)`` assignment: resolve ``auto`` → expr/arrow on the measured
@@ -860,10 +924,15 @@ def _pairs_within_cells(
         .drop("_s")
     )
     denom = F.col("_na") * F.col("_nb")
+    # statically-known width -> flat codegen'd sum; the interpreted
+    # fold only remains for dynamic-width callers (see dot_unrolled)
+    pdot = (
+        dot_unrolled("ea", "eb", dim)
+        if dim
+        else dot(F.col("ea"), F.col("eb"))
+    )
     pscore = F.round(
-        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
-            F.lit(0.0)
-        ),
+        F.when(denom > 0, pdot / denom).otherwise(F.lit(0.0)),
         9,
     )
     return (
@@ -1028,6 +1097,7 @@ def semantic_dedup(
         arrow_cell_threshold,
         _integral_id_ok(df, id_col),
         "semantic_dedup",
+        dim=len(centroids[0]),
     )
     return _semantic_label(scored, pairs)
 
@@ -1098,6 +1168,7 @@ def bucketed_cosine_pairs(
         arrow_cell_threshold,
         _integral_id_ok(df, id_col),
         "bucketed_cosine_pairs",
+        dim=len(first[0]),
     )
 
 
@@ -1369,10 +1440,13 @@ def contrastive_pairs(
         .drop("_s")
     )
     denom = F.col("_na") * F.col("_nb")
+    # centroids fix the vector width -> flat codegen'd sum instead of
+    # the interpreted fold on every candidate pair (see dot_unrolled)
     pcos = F.round(
-        F.when(denom > 0, dot(F.col("ea"), F.col("eb")) / denom).otherwise(
-            F.lit(0.0)
-        ),
+        F.when(
+            denom > 0,
+            dot_unrolled("ea", "eb", len(centroids[0])) / denom,
+        ).otherwise(F.lit(0.0)),
         9,
     )
     w = Window.partitionBy("anchor").orderBy(
@@ -1753,9 +1827,7 @@ def pca_project(
     cols = []
     for j, c in enumerate(comps):
         shift = _pydot(mu, c)
-        expr = dot(_col(vec_col), F.array(*[F.lit(x) for x in c])) - F.lit(
-            shift
-        )
+        expr = dot(_col(vec_col), lit_vec(c)) - F.lit(shift)
         if scales is not None:
             expr = expr * F.lit(scales[j])
         cols.append(expr)
@@ -1844,7 +1916,7 @@ def quantized_topk(
     idot = F.aggregate(
         F.zip_with(
             c,
-            F.array(*[F.lit(x).cast("int") for x in q]),
+            lit_vec_int(q),
             lambda a, b: (a.cast("long") * b.cast("long")),
         ),
         F.lit(0).cast("long"),
