@@ -70,6 +70,49 @@ def test_rc4_published_vectors():
     assert pc.rc4(b"Key", pc.rc4(b"Key", b"roundtrip")) == b"roundtrip"
 
 
+def test_fast_and_pure_paths_agree(monkeypatch):
+    """The r13 optional ``cryptography`` acceleration must be
+    byte-identical to the stdlib fallback: run vectors + roundtrips
+    through the pure path (acceleration disabled) and compare with
+    whatever path is live (fast when the wheel is importable)."""
+    key16 = bytes(range(16))
+    key32 = bytes(range(32))
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    data = bytes(range(256)) * 3  # 48 blocks
+    live = {
+        "rc4_5": pc.rc4(b"12345", data),
+        "rc4_16": pc.rc4(key16, data),
+        "cbc_e16": pc.aes_cbc_encrypt(key16, iv, data),
+        "cbc_e32": pc.aes_cbc_encrypt(key32, iv, data),
+    }
+    live["cbc_d16"] = pc.aes_cbc_decrypt(key16, iv, live["cbc_e16"])
+    live["cbc_d32"] = pc.aes_cbc_decrypt(key32, iv, live["cbc_e32"])
+    monkeypatch.setattr(pc, "_Cipher", None)  # force the pure path
+    assert pc.rc4(b"12345", data) == live["rc4_5"]
+    assert pc.rc4(key16, data) == live["rc4_16"]
+    assert pc.aes_cbc_encrypt(key16, iv, data) == live["cbc_e16"]
+    assert pc.aes_cbc_encrypt(key32, iv, data) == live["cbc_e32"]
+    assert pc.aes_cbc_decrypt(key16, iv, live["cbc_e16"]) == data
+    assert pc.aes_cbc_decrypt(key32, iv, live["cbc_e32"]) == data
+    assert live["cbc_d16"] == data and live["cbc_d32"] == data
+    # published vectors through the pure path too (the live-path run
+    # of these is the preceding tests when the wheel is importable)
+    assert pc.rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    k256 = bytes.fromhex(
+        "603deb1015ca71be2b73aef0857d7781"
+        "1f352c073b6108d72d9810a30914dff4"
+    )
+    blocks = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172a"
+        "ae2d8a571e03ac9c9eb76fac45af8e51"
+    )
+    ct = bytes.fromhex(
+        "f58c4c04d6e5f1ba779eabfb5f7bfbd6"
+        "9cfc4e967edb808d679f777bc6702c7d"
+    )
+    assert pc.aes_cbc_encrypt(k256, iv, blocks) == ct
+
+
 def test_aes_cbc_alignment_errors():
     with pytest.raises(ValueError, match="block-aligned"):
         pc.aes_cbc_encrypt(bytes(16), bytes(16), b"short")
