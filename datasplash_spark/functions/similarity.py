@@ -80,6 +80,20 @@ def dot_unrolled(a_name: str, b_name: str, dim: int) -> Column:
     return F.expr("0.0D" + terms)
 
 
+def dot_lit_unrolled(a_name: str, q: list[float]) -> Column:
+    """Fixed-width dot of a vector COLUMN against a LITERAL query
+    vector, as one flat parsed SQL sum — same value and IEEE op
+    order as ``dot(col, lit_vec(q))``'s fold (each element cast to
+    double, left-to-right adds from 0.0), but whole-stage-codegen
+    friendly and ~100× cheaper to construct (see
+    :func:`dot_unrolled`). ``a_name`` must be a plain column name."""
+    terms = "".join(
+        f"+CAST({a_name}[{i}] AS DOUBLE)*{_sql_double(x)}"
+        for i, x in enumerate(q)
+    )
+    return F.expr("0.0D" + terms)
+
+
 def dot(a: ColumnLike, b: ColumnLike) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right (matches DuckDB
     ``list_dot_product`` evaluation order for oracle exactness)."""
@@ -108,11 +122,41 @@ def brute_force_topk(
     k: int = 10,
     vec_col: ColumnLike = "embedding",
     id_col: ColumnLike = "vec_id",
+    trusted_dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for one query vector.
 
     Scores round to 9 dp before ranking and ties break on id, so the
-    result set is engine-independent (oracle-stable)."""
+    result set is engine-independent (oracle-stable).
+
+    ``trusted_dim``: when the caller has already validated that every
+    stored vector has exactly this width (the materialized-store
+    probes do — store writes fix the dimension), the score builds as
+    flat codegen-friendly sums with the query norm computed
+    driver-side — same values, same IEEE op order, ~100× cheaper to
+    construct per probe. Leave None for corpora whose row width is
+    not guaranteed: a ragged/short row scores NULL or 0.0 through the
+    fold path, while the flat path would score its first
+    ``trusted_dim`` elements instead."""
+    if (
+        trusted_dim
+        and trusted_dim == len(query_vec)
+        and isinstance(vec_col, str)
+        and isinstance(id_col, str)
+    ):
+        # norm(q) over a literal is driver-computable: _pynorm runs
+        # the identical left-to-right double sum + sqrt
+        denom = F.sqrt(
+            dot_unrolled(vec_col, vec_col, trusted_dim)
+        ) * F.lit(_pynorm(query_vec))
+        sc = F.when(
+            denom > 0, dot_lit_unrolled(vec_col, query_vec) / denom
+        ).otherwise(F.lit(0.0))
+        scored = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(sc, 9).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     q = lit_vec(query_vec)
     scored = df.select(
         _col(id_col).alias("vec_id"),
@@ -519,8 +563,7 @@ def ivf_topk_from_store(
 
     if centroids is None:
         centroids = json.loads(
-            spark.read.text(os.path.join(path, "_ivf_centroids"))
-            .first()[0]
+            _read_sidecar_text(spark, os.path.join(path, "_ivf_centroids"))
         )
     if centroids and len(query_vec) != len(centroids[0]):
         raise ValueError(
@@ -547,19 +590,86 @@ def ivf_topk_from_store(
                 else -int(math.floor(-x / s + 0.5))
                 for x in query_vec
             ]
-        return quantized_topk(store, qc, k)
-    return brute_force_topk(store, query_vec, k, vec_col, id_col)
+        # dimension already validated against the centroids above and
+        # fixed at write time -> flat codegen'd scoring, no probe job
+        return quantized_topk(store, qc, k, trusted_dim=len(query_vec))
+    return brute_force_topk(
+        store, query_vec, k, vec_col, id_col,
+        trusted_dim=len(centroids[0]) if centroids else None,
+    )
+
+
+#: (path, store-dir mtime) -> StructType. Metadata only — never rows
+#: or results. See _read_store.
+_STORE_SCHEMA_CACHE: dict = {}
+
+
+def _store_mtime(spark, path: str) -> int:
+    """Modification time of the store's top directory via the Hadoop
+    FileSystem API (works on any supported fs, not just local)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
+def _read_sidecar_text(spark, dir_path: str):
+    """First line of a one-row text sidecar (_ivf_centroids /
+    _postings_stats) read DRIVER-SIDE through the Hadoop FileSystem
+    API — no Spark job (r13 optimization: each store probe paid a
+    whole scheduled job, ~0.2 s, to read a <1 KB metadata file).
+    Falls back to ``spark.read.text`` on any surprise (exotic fs,
+    multi-part or compressed sidecars)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        parts = [
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("part-")
+            and st.getLen() > 0
+        ]
+        if len(parts) == 1:
+            stream = fs.open(parts[0])
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            line = text.splitlines()[0] if text else ""
+            if line:
+                return line
+    except Exception:  # noqa: BLE001 - any surprise -> job fallback
+        pass
+    return spark.read.text(dir_path).first()[0]
 
 
 def _read_store(spark, path: str) -> DataFrame:
     """Read an ANN store's parquet, converting the opaque
     UNABLE_TO_INFER_SCHEMA an empty store raises (only _SUCCESS on
     disk — the input frame had no rows at write time) into a clear
-    error."""
+    error.
+
+    The store SCHEMA is memoized per (path, store-directory mtime)
+    so re-probing the same store — the serving shape — skips the
+    per-call footer/schema inference (~0.1 s on local fs, more on
+    object stores). ``mode("overwrite")`` recreates the directory,
+    so a rewrite invalidates the entry; only metadata is cached,
+    every probe still scans the parquet itself."""
     from pyspark.errors import AnalysisException
 
+    key = None
     try:
-        return spark.read.parquet(path)
+        key = (path, _store_mtime(spark, path))
+        cached = _STORE_SCHEMA_CACHE.get(key)
+        if cached is not None:
+            return spark.read.schema(cached).parquet(path)
+    except Exception:  # noqa: BLE001 - fs oddity -> uncached path
+        key = None
+    try:
+        df = spark.read.parquet(path)
     except AnalysisException as e:
         if "UNABLE_TO_INFER_SCHEMA" in str(e):
             raise ValueError(
@@ -567,6 +677,11 @@ def _read_store(spark, path: str) -> DataFrame:
                 "frame with no rows) — nothing to probe"
             ) from e
         raise
+    if key is not None:
+        if len(_STORE_SCHEMA_CACHE) > 64:
+            _STORE_SCHEMA_CACHE.clear()
+        _STORE_SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def materialize_lsh(
@@ -631,7 +746,12 @@ def lsh_topk_from_store(
     flips = [i for _, i in sorted(margins)]
     probe = [qbucket] + [qbucket ^ (1 << i) for i in flips[: max(0, nprobe - 1)]]
     store = _read_store(spark, path).filter(F.col("bucket").isin(probe))
-    return brute_force_topk(store, query_vec, k, vec_col, id_col)
+    # the store's dimension is fixed by the planes' (write-time) dim;
+    # a query of a different width would probe garbage buckets anyway,
+    # so the store contract already requires matching dims
+    return brute_force_topk(
+        store, query_vec, k, vec_col, id_col, trusted_dim=dim
+    )
 
 
 def _integral_id_ok(df: DataFrame, id_col: ColumnLike) -> bool:
@@ -1892,6 +2012,7 @@ def quantized_topk(
     codes_df: DataFrame,
     query_codes: list[int],
     k: int = 10,
+    trusted_dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k over a :func:`quantize_embeddings`
     store: the per-vector scale cancels in cosine, so the score is
@@ -1903,32 +2024,58 @@ def quantized_topk(
     The query length is validated against the store's code dimension
     (first-row probe): a mismatch would make ``zip_with`` NULL-pad
     and the integer dot NULL, silently sorting mismatched queries
-    last instead of surfacing the caller bug (ADVICE r6)."""
+    last instead of surfacing the caller bug (ADVICE r6).
+
+    ``trusted_dim``: when the caller has already validated both the
+    query and the store dimension (:func:`ivf_topk_from_store` checks
+    against the centroids, and the write path fixes the code width),
+    the one-row dimension-probe JOB is skipped and the integer dot
+    builds as a flat codegen-friendly sum — identical exact-integer
+    values, one fewer scheduled job per probe."""
     q = [int(x) for x in query_codes]
-    probe = codes_df.select(F.size("codes").alias("_d")).first()
-    if probe is not None and probe["_d"] != len(q):
-        raise ValueError(
-            f"quantized_topk: query has {len(q)} codes but the store's "
-            f"code dimension is {probe['_d']}"
+    if trusted_dim and trusted_dim == len(q):
+        idot = F.expr(
+            "CAST(0 AS BIGINT)"
+            + "".join(
+                f"+CAST(codes[{i}] AS BIGINT)*CAST({qi} AS BIGINT)"
+                for i, qi in enumerate(q)
+            )
         )
-    qn = sum(x * x for x in q) ** 0.5
-    c = F.col("codes")
-    idot = F.aggregate(
-        F.zip_with(
-            c,
-            lit_vec_int(q),
-            lambda a, b: (a.cast("long") * b.cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cn = F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+        cn = F.sqrt(
+            F.expr(
+                "CAST(0 AS BIGINT)"
+                + "".join(
+                    f"+CAST(codes[{i}] AS BIGINT)"
+                    f"*CAST(codes[{i}] AS BIGINT)"
+                    for i in range(len(q))
+                )
+            ).cast("double")
+        )
+    else:
+        probe = codes_df.select(F.size("codes").alias("_d")).first()
+        if probe is not None and probe["_d"] != len(q):
+            raise ValueError(
+                f"quantized_topk: query has {len(q)} codes but the "
+                f"store's code dimension is {probe['_d']}"
+            )
+        c = F.col("codes")
+        idot = F.aggregate(
+            F.zip_with(
+                c,
+                lit_vec_int(q),
+                lambda a, b: (a.cast("long") * b.cast("long")),
+            ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        ).cast("double")
-    )
+        )
+        cn = F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("long") * x.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+    qn = sum(x * x for x in q) ** 0.5
     score = F.round(
         F.when(
             (cn > 0) & (F.lit(float(qn)) > 0),

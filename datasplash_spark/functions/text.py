@@ -2116,15 +2116,18 @@ def bm25_from_store(
 
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    stats_json = (
-        spark.read.text(os.path.join(path, "_postings_stats"))
-        .collect()[0][0]
+    # driver-side sidecar read — no scheduled job for <1 KB of stats
+    from .similarity import _read_sidecar_text
+
+    stats = json.loads(
+        _read_sidecar_text(spark, os.path.join(path, "_postings_stats"))
     )
-    stats = json.loads(stats_json)
     n_buckets = int(stats["n_buckets"])
     terms = sorted({str(t) for t in query_terms})
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
-    post = spark.read.parquet(path).where(
+    from .similarity import _read_store
+
+    post = _read_store(spark, path).where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
     dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))

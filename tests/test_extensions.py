@@ -1118,6 +1118,49 @@ def test_ivf_store_probe_matches_inmemory(spark, tmp_path):
     assert st == mem and st[0][0] == 11
 
 
+def test_trusted_dim_paths_match_fold_paths(spark, tmp_path):
+    """r13 probe optimizations must be value-identical: the
+    trusted-dim flat scoring equals the fold scoring bit-for-bit
+    (scores compared exactly), the quantized trusted path equals the
+    probe-validated path, the memoized store schema is invalidated
+    by a rewrite, and the driver-side sidecar read returns exactly
+    what spark.read.text returns."""
+    vecs = [
+        (i, [float(i + 1)] + [((i * 5 + j) % 7) - 3.0 for j in range(15)])
+        for i in range(50)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    q = vecs[7][1]
+    fold = [(r.vec_id, r.score) for r in sim.brute_force_topk(df, q, 8).collect()]
+    flat = [
+        (r.vec_id, r.score)
+        for r in sim.brute_force_topk(df, q, 8, trusted_dim=len(q)).collect()
+    ]
+    assert flat == fold
+    codes = sim.quantize_embeddings(df)
+    qc = [int(x) for x in range(-8, 8)]
+    probed = [(r.vec_id, r.score) for r in sim.quantized_topk(codes, qc, 8).collect()]
+    trusted = [
+        (r.vec_id, r.score)
+        for r in sim.quantized_topk(codes, qc, 8, trusted_dim=len(qc)).collect()
+    ]
+    assert trusted == probed
+    # schema memo: a rewrite at the same path must not serve the old
+    # schema (mtime-keyed invalidation)
+    store = str(tmp_path / "ivf_rw")
+    cents = sim.materialize_ivf(df, store, n_cells=4)
+    assert "embedding" in sim._read_store(spark, store).columns
+    import time as _time
+
+    _time.sleep(1.1)  # fs mtime granularity
+    sim.materialize_ivf(df, store, n_cells=4, centroids=cents, quantize=True)
+    cols = sim._read_store(spark, store).columns
+    assert "codes" in cols and "embedding" not in cols
+    # sidecar fast path == the Spark-job read
+    side = store + "/_ivf_centroids"
+    assert sim._read_sidecar_text(spark, side) == spark.read.text(side).first()[0]
+
+
 def test_lsh_store_multiprobe_recall(spark, tmp_path):
     """materialize_lsh + multi-probe: nprobe=1 equals the in-memory
     exact-bucket probe; higher nprobe can only widen the candidate
