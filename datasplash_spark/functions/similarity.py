@@ -80,18 +80,36 @@ def dot_unrolled(a_name: str, b_name: str, dim: int) -> Column:
     return F.expr("0.0D" + terms)
 
 
-def dot_lit_unrolled(a_name: str, q: list[float]) -> Column:
-    """Fixed-width dot of a vector COLUMN against a LITERAL query
-    vector, as one flat parsed SQL sum — same value and IEEE op
-    order as ``dot(col, lit_vec(q))``'s fold (each element cast to
-    double, left-to-right adds from 0.0), but whole-stage-codegen
-    friendly and ~100× cheaper to construct (see
-    :func:`dot_unrolled`). ``a_name`` must be a plain column name."""
-    terms = "".join(
-        f"+CAST({a_name}[{i}] AS DOUBLE)*{_sql_double(x)}"
-        for i, x in enumerate(q)
+def dot_lit_fold(a_name: str, q: list[float]) -> Column:
+    """Dot of a vector COLUMN against a LITERAL query vector — the
+    EXACT expression tree ``dot(col, lit_vec(q))`` builds (zip_with
+    → double casts → left-to-right aggregate from 0.0D), but parsed
+    from one SQL string instead of assembled through per-lambda py4j
+    round-trips, so it is ~100× cheaper to CONSTRUCT per probe while
+    evaluation stays the interpreted HOF fold. Deliberately NOT a
+    flat unrolled sum: a sum with the query values inlined generates
+    per-probe-unique whole-stage-codegen source, and the janino
+    compile per distinct query (~0.5-1 s) dwarfs anything the flat
+    evaluation saves in single-query serving (measured: the unrolled
+    variant REGRESSED the 8-probe store benches 3.5→10.3 s).
+    ``a_name`` must be a plain column name."""
+    arr = "array(" + ",".join(_sql_double(x) for x in q) + ")"
+    return F.expr(
+        f"aggregate(zip_with({a_name}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
     )
-    return F.expr("0.0D" + terms)
+
+
+def norm_fold(a_name: str) -> Column:
+    """``norm`` of a plain-named vector column as one parsed SQL
+    string (same tree as ``sqrt(dot(a, a))``; see
+    :func:`dot_lit_fold` for why probes use folds, not flat sums)."""
+    return F.expr(
+        f"sqrt(aggregate(zip_with({a_name}, {a_name}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
 
 
 def dot(a: ColumnLike, b: ColumnLike) -> Column:
@@ -131,13 +149,12 @@ def brute_force_topk(
 
     ``trusted_dim``: when the caller has already validated that every
     stored vector has exactly this width (the materialized-store
-    probes do — store writes fix the dimension), the score builds as
-    flat codegen-friendly sums with the query norm computed
+    probes do — store writes fix the dimension), the score builds
+    from single-parse SQL folds with the query norm computed
     driver-side — same values, same IEEE op order, ~100× cheaper to
-    construct per probe. Leave None for corpora whose row width is
-    not guaranteed: a ragged/short row scores NULL or 0.0 through the
-    fold path, while the flat path would score its first
-    ``trusted_dim`` elements instead."""
+    construct per probe, and (unlike a flat unrolled sum) no
+    per-probe whole-stage-codegen recompile: see
+    :func:`dot_lit_fold`."""
     if (
         trusted_dim
         and trusted_dim == len(query_vec)
@@ -146,11 +163,9 @@ def brute_force_topk(
     ):
         # norm(q) over a literal is driver-computable: _pynorm runs
         # the identical left-to-right double sum + sqrt
-        denom = F.sqrt(
-            dot_unrolled(vec_col, vec_col, trusted_dim)
-        ) * F.lit(_pynorm(query_vec))
+        denom = norm_fold(vec_col) * F.lit(_pynorm(query_vec))
         sc = F.when(
-            denom > 0, dot_lit_unrolled(vec_col, query_vec) / denom
+            denom > 0, dot_lit_fold(vec_col, query_vec) / denom
         ).otherwise(F.lit(0.0))
         scored = df.select(
             F.col(id_col).alias("vec_id"),
@@ -2030,25 +2045,22 @@ def quantized_topk(
     query and the store dimension (:func:`ivf_topk_from_store` checks
     against the centroids, and the write path fixes the code width),
     the one-row dimension-probe JOB is skipped and the integer dot
-    builds as a flat codegen-friendly sum — identical exact-integer
-    values, one fewer scheduled job per probe."""
+    builds from single-parse SQL folds — identical exact-integer
+    values, one fewer scheduled job per probe, and no per-probe
+    codegen recompile (see :func:`dot_lit_fold`)."""
     q = [int(x) for x in query_codes]
     if trusted_dim and trusted_dim == len(q):
+        arr = "array(" + ",".join(f"CAST({qi} AS INT)" for qi in q) + ")"
         idot = F.expr(
-            "CAST(0 AS BIGINT)"
-            + "".join(
-                f"+CAST(codes[{i}] AS BIGINT)*CAST({qi} AS BIGINT)"
-                for i, qi in enumerate(q)
-            )
+            f"aggregate(zip_with(codes, {arr}, "
+            "(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         cn = F.sqrt(
             F.expr(
-                "CAST(0 AS BIGINT)"
-                + "".join(
-                    f"+CAST(codes[{i}] AS BIGINT)"
-                    f"*CAST(codes[{i}] AS BIGINT)"
-                    for i in range(len(q))
-                )
+                "aggregate(transform(codes, "
+                "x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
             ).cast("double")
         )
     else:
