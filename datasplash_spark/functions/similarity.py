@@ -864,7 +864,60 @@ def _cell_pair_plan(
         ]
     )
     salt = scored.sparkSession.createDataFrame(widths, schema)
-    return backend, salt
+    # replicated pair-side rows (each row explodes s ways onto its
+    # cell's blocks) — the driver already holds the per-cell counts,
+    # so the pair-join sizing below is exact, not an estimate
+    repl_rows = sum(
+        int(r["_n"]) * s for r, (_, s) in zip(counts, widths)
+    )
+    return backend, salt, repl_rows
+
+
+#: Spark byte-size spellings: '10485760', '10485760b', '10m', '10mb', '-1'
+_re_size = __import__("re").compile(r"(-?\d+)\s*([bkmg])?b?")
+
+
+def _pair_join_parallel(
+    l: DataFrame, r: DataFrame, repl_rows: int, dim: int | None
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Deliberate join-strategy choice for the intra-cell pair join
+    (guide §3.1): the quadratic blow-up happens INSIDE the join, so
+    AQE's byte-based coalescing sees a tiny shuffle input and runs
+    the whole scoring stage as ONE post-shuffle task (measured: the
+    2.5-3 s cpu of contrastive/semantic pair scoring serialized on
+    one core). When the replicated candidate side provably fits the
+    session's ``spark.sql.autoBroadcastJoinThreshold`` (exact
+    driver-side row count × row width), broadcast it and hash-spread
+    the anchor side to core width — the scoring then runs in the
+    P-way probe stage with no shuffle of pair rows at all. Above the
+    threshold (the 100 TB regime) the sort-merge path stands
+    unchanged. Returns (l, r, use_broadcast)."""
+    if not dim:
+        return l, r, False
+    try:
+        raw = str(
+            l.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        ).strip().lower()
+        mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        # Spark spells byte configs as '10485760b' / '10m' / '10mb'
+        m = _re_size.fullmatch(raw)
+        if not m:
+            return l, r, False
+        thresh = int(m.group(1)) * mult.get(m.group(2) or "b", 1)
+        if raw.startswith("-"):
+            thresh = -1
+    except Exception:  # unparseable spelling -> keep the SMJ path
+        return l, r, False
+    est_bytes = repl_rows * (8 * int(dim) + 80)
+    if thresh <= 0 or est_bytes > thresh:
+        return l, r, False
+    sc = l.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if l.rdd.getNumPartitions() < p:
+        # hash on the first (id) column: corpus-cardinality key ->
+        # even spread (guide §2.5), deterministic under task retry
+        l = l.repartition(p, l.columns[1])
+    return l, F.broadcast(r), True
 
 
 def _salt_blocks(scored: DataFrame, salt: DataFrame) -> DataFrame:
@@ -997,7 +1050,7 @@ def _pairs_within_cells(
     ``a < b``. The expr path scores each block with the byte-stable
     JVM fold join; the arrow path scores each block with one blocked
     BLAS gemm task."""
-    backend, salt = _cell_pair_plan(
+    backend, salt, repl_rows = _cell_pair_plan(
         scored,
         backend,
         arrow_cell_threshold,
@@ -1070,6 +1123,7 @@ def _pairs_within_cells(
         F.when(denom > 0, pdot / denom).otherwise(F.lit(0.0)),
         9,
     )
+    l, r, _ = _pair_join_parallel(l, r, repl_rows, dim)
     return (
         l.join(r, ["cell", "_ga", "_gb"])
         .filter(F.col("a") < F.col("b"))
@@ -1512,7 +1566,7 @@ def contrastive_pairs(
         # caller unpersists it through this handle
         cache_registry.append(assigned)
     scored = assigned.select("cell", "vec_id", "e", "_nv")
-    backend, salt = _cell_pair_plan(
+    backend, salt, repl_rows = _cell_pair_plan(
         scored,
         backend,
         arrow_cell_threshold,
@@ -1587,6 +1641,7 @@ def contrastive_pairs(
     w = Window.partitionBy("anchor").orderBy(
         F.col("_pc").desc(), F.col("cand").asc()
     )
+    l, r, _ = _pair_join_parallel(l, r, repl_rows, len(centroids[0]))
     pos = (
         l.join(r, ["cell", "_ga", "_gb"])
         .filter(F.col("anchor") != F.col("cand"))

@@ -1118,6 +1118,62 @@ def test_ivf_store_probe_matches_inmemory(spark, tmp_path):
     assert st == mem and st[0][0] == 11
 
 
+def test_pair_join_broadcast_parallel(spark):
+    """r13: when the driver-side EXACT sizing of the replicated
+    candidate side fits the session broadcast threshold, the
+    intra-cell pair join broadcasts it (the quadratic scoring then
+    runs in the P-way probe stage instead of one AQE-coalesced
+    post-shuffle task); with broadcasting disabled the sort-merge
+    shape returns — and the pair/triple results are identical either
+    way (the join strategy may never change what a query computes)."""
+    vecs = [
+        (i, [((i * 7 + j) % 11) - 5.0 for j in range(8)])
+        for i in range(120)
+    ]
+    df = generate_input(spark, vecs, "vec_id bigint, embedding array<double>")
+    cents = sim.ivf_centroids(df, 4)
+    cp = sim.contrastive_pairs(df, centroids=cents, seed=7, backend="expr")
+    # semantic_dedup's pair join runs eagerly inside connected
+    # components, so the plan assertion uses contrastive_pairs (same
+    # _pair_join_parallel decision, visible in its final plan)
+    plan = cp._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "BroadcastHashJoin" in ln and "_ga" in ln
+        for ln in plan.splitlines()
+    ), "pair join should broadcast under the default threshold"
+    base_cp = sorted(map(tuple, cp.collect()))
+    base_sd = sorted(
+        map(
+            tuple,
+            sim.semantic_dedup(
+                df, eps=0.2, centroids=cents, pair_backend="expr"
+            ).collect(),
+        )
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cp2 = sim.contrastive_pairs(
+            df, centroids=cents, seed=7, backend="expr"
+        )
+        plan2 = cp2._jdf.queryExecution().executedPlan().toString()
+        assert not any(
+            "BroadcastHashJoin" in ln and "_ga" in ln
+            for ln in plan2.splitlines()
+        ), "disabled threshold must fall back to the sort-merge shape"
+        assert sorted(map(tuple, cp2.collect())) == base_cp
+        assert base_sd == sorted(
+            map(
+                tuple,
+                sim.semantic_dedup(
+                    df, eps=0.2, centroids=cents, pair_backend="expr"
+                ).collect(),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_trusted_dim_paths_match_fold_paths(spark, tmp_path):
     """r13 probe optimizations must be value-identical: the
     trusted-dim flat scoring equals the fold scoring bit-for-bit
