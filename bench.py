@@ -222,6 +222,8 @@ def main() -> int:
     # untimed (write-time cost, amortized across jobs — the stores'
     # whole point); each timed number is 8 sequential single-query
     # probes, the latency-sensitive serving shape.
+    _probe_fns: dict = {}
+    _store_root = None
     try:
         import shutil
         import tempfile
@@ -241,64 +243,11 @@ def main() -> int:
         _cents = _simb.materialize_ivf(_embb, _ivf_path, n_cells=16)
         _simb.materialize_lsh(_embb, _lsh_path, bits=6)
 
-        snap0 = cpu_snapshot() if cpu_snapshot else None
-        t0 = time.time()
-        rows = sum(
-            _simb.ivf_topk_from_store(
-                spark, _ivf_path, qv, k=10, nprobe=4, centroids=_cents
-            ).count()
-            for qv in _qvecs
-        )
-        dt = round(time.time() - t0, 3)
-        timings["bench_ivf_store_probe"] = dt
-        if snap0 is not None:
-            cpu_times["bench_ivf_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
-        total += dt
-        print(
-            f"# bench_ivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
-            file=sys.stderr,
-        )
-
-        snap0 = cpu_snapshot() if cpu_snapshot else None
-        t0 = time.time()
-        rows = sum(
-            _simb.lsh_topk_from_store(
-                spark, _lsh_path, qv, k=10, bits=6, nprobe=4
-            ).count()
-            for qv in _qvecs
-        )
-        dt = round(time.time() - t0, 3)
-        timings["bench_lsh_store_probe"] = dt
-        if snap0 is not None:
-            cpu_times["bench_lsh_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
-        total += dt
-        print(
-            f"# bench_lsh_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
-            file=sys.stderr,
-        )
-
         # int8-quantized IVF store (round 6): same pruned probes over
         # the 4×-smaller code stream, integer-dot scoring
         _qivf_path = os.path.join(_store_root, "qivf")
         _simb.materialize_ivf(
             _embb, _qivf_path, n_cells=16, centroids=_cents, quantize=True
-        )
-        snap0 = cpu_snapshot() if cpu_snapshot else None
-        t0 = time.time()
-        rows = sum(
-            _simb.ivf_topk_from_store(
-                spark, _qivf_path, qv, k=10, nprobe=4, centroids=_cents
-            ).count()
-            for qv in _qvecs
-        )
-        dt = round(time.time() - t0, 3)
-        timings["bench_qivf_store_probe"] = dt
-        if snap0 is not None:
-            cpu_times["bench_qivf_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
-        total += dt
-        print(
-            f"# bench_qivf_store_probe: {dt:.2f}s ({rows} rows, 8 probes)",
-            file=sys.stderr,
         )
         # inverted-index store (round 6): BM25 probes that open only
         # the query terms' buckets — the text-retrieval member of
@@ -310,7 +259,6 @@ def main() -> int:
             os.path.join(sf_dir, "documents.parquet")
         )
         _txb.materialize_postings(_docsb, _post_path, n_buckets=32)
-        snap0 = cpu_snapshot() if cpu_snapshot else None
         _queries = [
             ["data", "model"],
             ["training", "corpus"],
@@ -321,22 +269,58 @@ def main() -> int:
             ["search", "index"],
             ["spark", "scale"],
         ]
-        t0 = time.time()
-        rows = sum(
-            _txb.bm25_from_store(spark, _post_path, qt).count()
-            for qt in _queries
-        )
-        dt = round(time.time() - t0, 3)
-        timings["bench_postings_store_probe"] = dt
-        if snap0 is not None:
-            cpu_times["bench_postings_store_probe"] = _cpu_delta_s(snap0, cpu_snapshot())
-        total += dt
-        print(
-            f"# bench_postings_store_probe: {dt:.2f}s"
-            f" ({rows} rows, 8 probes)",
-            file=sys.stderr,
-        )
-        shutil.rmtree(_store_root, ignore_errors=True)
+
+        def _probe_ivf():
+            return sum(
+                _simb.ivf_topk_from_store(
+                    spark, _ivf_path, qv, k=10, nprobe=4, centroids=_cents
+                ).count()
+                for qv in _qvecs
+            )
+
+        def _probe_lsh():
+            return sum(
+                _simb.lsh_topk_from_store(
+                    spark, _lsh_path, qv, k=10, bits=6, nprobe=4
+                ).count()
+                for qv in _qvecs
+            )
+
+        def _probe_qivf():
+            return sum(
+                _simb.ivf_topk_from_store(
+                    spark, _qivf_path, qv, k=10, nprobe=4, centroids=_cents
+                ).count()
+                for qv in _qvecs
+            )
+
+        def _probe_postings():
+            return sum(
+                _txb.bm25_from_store(spark, _post_path, qt).count()
+                for qt in _queries
+            )
+
+        _probe_fns = {
+            "bench_ivf_store_probe": _probe_ivf,
+            "bench_lsh_store_probe": _probe_lsh,
+            "bench_qivf_store_probe": _probe_qivf,
+            "bench_postings_store_probe": _probe_postings,
+        }
+        for _pname, _pfn in _probe_fns.items():
+            snap0 = cpu_snapshot() if cpu_snapshot else None
+            t0 = time.time()
+            rows = _pfn()
+            dt = round(time.time() - t0, 3)
+            timings[_pname] = dt
+            if snap0 is not None:
+                cpu_times[_pname] = _cpu_delta_s(snap0, cpu_snapshot())
+            total += dt
+            print(
+                f"# {_pname}: {dt:.2f}s ({rows} rows, 8 probes)",
+                file=sys.stderr,
+            )
+        # NOTE: the stores stay on disk until after the end-of-run
+        # probe rep (below); cleanup happens there.
     except Exception as e:
         timings["bench_ivf_store_probe"] = -1.0
         timings["bench_lsh_store_probe"] = -1.0
@@ -447,12 +431,22 @@ def main() -> int:
                 moved = prev is not None and (
                     best > prev * 1.5 or best < prev / 1.5
                 )
-                if best >= 3.0 and not moved and not _cpu_moved(name, best_cpu):
+                if (
+                    best >= 3.0
+                    and prev is not None
+                    and not moved
+                    and not _cpu_moved(name, best_cpu)
+                ):
                     # real regressions on ≥3s queries clear the noise
                     # floor on their own; don't double total wall —
                     # but any >1.5× round-over-round mover (wall OR
                     # the load-immune cpu column) gets a confirmation
-                    # rep regardless of band
+                    # rep regardless of band, and a query NEW this
+                    # round (no prev wall to adjudicate against)
+                    # always gets its second rep: r13 measured a
+                    # first-position cold spike stamp a new query at
+                    # 13.4 s wall / 2.8 s cpu with min-of-1 (true
+                    # warm wall ~1 s) and no guard could catch it
                     break
         except Exception as e:  # record and continue; always emit JSON
             timings[name] = -1.0
@@ -487,6 +481,16 @@ def main() -> int:
         and (
             (prev_walls.get(k) and v > prev_walls[k] * 1.5)
             or _cpu_moved(k, cpu_times.get(k, -1.0))
+            # a query NEW this round has no prev wall to compare —
+            # admit it when the wall dwarfs its own executor cpu
+            # (pure scheduler/host stall, the load-spike signature;
+            # a genuinely slow new query re-measures slow and keeps
+            # its number)
+            or (
+                prev_walls.get(k) is None
+                and v >= 3.0
+                and v > 3 * max(cpu_times.get(k, 0.0), 0.5)
+            )
         )
     ]
     for name in suspects:
@@ -517,6 +521,42 @@ def main() -> int:
             f"{prev_cpu.get(name, -1.0):.2f}s)",
             file=sys.stderr,
         )
+
+    # Store probes run FIRST in the suite (cold codegen, first real
+    # jobs of the session) and have no prev-wall guard — a host-load
+    # spike at session start hit all four at once in r13 (28.4 s
+    # combined vs 9.8 s isolated on an idle host). Every probe gets
+    # ONE more timed pass here, minutes away from the front of the
+    # run, and keeps the min — the same min-of-2 every registry
+    # query gets. The stores are only deleted after this pass.
+    for _pname, _pfn in _probe_fns.items():
+        if timings.get(_pname, -1.0) <= 0:
+            continue
+        try:
+            snap0 = cpu_snapshot() if cpu_snapshot else None
+            t0 = time.time()
+            _pfn()
+            dt = time.time() - t0
+            if snap0 is not None:
+                c = _cpu_delta_s(snap0, cpu_snapshot())
+                if _pname in cpu_times:
+                    cpu_times[_pname] = min(cpu_times[_pname], c)
+            _hygiene(spark)
+        except Exception as e:
+            print(f"# probe-rep {_pname}: FAILED ({e})", file=sys.stderr)
+            continue
+        if dt < timings[_pname]:
+            total -= timings[_pname] - round(dt, 3)
+            timings[_pname] = round(dt, 3)
+        reps[_pname] = 2
+        print(
+            f"# probe-rep {_pname}: {dt:.2f}s (kept {timings[_pname]:.2f}s)",
+            file=sys.stderr,
+        )
+    if _store_root:
+        import shutil as _shutil
+
+        _shutil.rmtree(_store_root, ignore_errors=True)
 
     # a partially-failing run must not read as a faster full run:
     # failures are named, and the headline value is poisoned

@@ -182,25 +182,24 @@ def simhash_signatures(
         _col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens(text))).alias("_tok"),
     ).select("doc_id", md5_long(F.col("_tok")).alias("_h"))
+    # the 60 per-bit vote aggregates and the 60-term bit assembly are
+    # parsed SQL, not per-bit Column chains: the F.when/bitwiseAND
+    # form paid ~1.4 s of pure DRIVER py4j time per call (measured
+    # r13 — essentially dedup_simhash's whole bench wall); same
+    # integer expressions, same values (see lit_vec for the pattern)
     aggs = [
-        F.sum(
-            F.when(F.col("_h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (_h & {1 << b}) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"_v{b}")
         for b in range(SIMHASH_BITS)
     ]
     voted = hashed.groupBy("doc_id").agg(*aggs)
-    sig = voted.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b in range(SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    assembly = "CAST(0 AS BIGINT)" + "".join(
+        f"+(CASE WHEN _v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
     )
+    sig = voted.select("doc_id", F.expr(assembly).alias("simhash"))
     return sig
 
 
