@@ -129,8 +129,11 @@ def minhash_signatures(
         F.explode(shingles(text, k)).alias("_sh"),
     ).select("doc_id", md5_int31(F.col("_sh")).alias("_h"))
     params = minhash_params(num_hashes, seed)
+    # parsed-SQL aggregates (r13, see simhash_signatures): the
+    # per-permutation Column chains paid py4j round-trips per term;
+    # the SQL strings build the identical BIGINT expressions
     aggs = [
-        F.min(_affine_mod(F.col("_h"), a, b)).alias(f"_m{i}")
+        F.expr(f"min(({a} * _h + {b}) % {MERSENNE_P})").alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
     ]
     return (

@@ -1324,62 +1324,57 @@ def domain_reweight(
     Reference anchor: no analog; mixing extension surface
     (BASELINE.json north_star).
     """
-    from pyspark.sql import Window
-
-    wall = Window.partitionBy()
+    # The recurrence is built from parsed SQL (r13, guide §1.2 step
+    # 2): the former 8-withColumn chain per iteration cost ~1.4 s of
+    # pure driver py4j time per call. Three selects per iteration —
+    # the minimum layering that keeps every window argument free of
+    # nested windows — with the IDENTICAL expression steps: decimal
+    # sums, double division/round in the same left-to-right op order
+    # (`1.0D`/`...D` literals parse to the same IEEE doubles as
+    # F.lit; integer/decimal aggregates are order-independent).
+    eta_d = repr(float(eta)) + "D"
     cur = losses.select(
         _col(domain).alias("domain"),
         _col(loss_nano).cast("long").alias("_loss"),
         F.lit(1_000_000_000).cast("long").alias("weight_nano"),
     )
+    exc = "(CAST(_loss AS DOUBLE) - CAST(_wl AS DOUBLE) / CAST(_w AS DOUBLE))"
     for _ in range(int(iterations)):
-        cur = (
-            cur.withColumn(
-                "_wl",
-                F.sum(
-                    F.col("weight_nano").cast("decimal(38,0)")
-                    * F.col("_loss").cast("decimal(38,0)")
-                ).over(wall),
-            )
-            .withColumn(
-                "_w", F.sum(F.col("weight_nano").cast("decimal(38,0)")).over(wall)
-            )
-            .withColumn("_n", F.count(F.lit(1)).over(wall))
-            .withColumn(
-                "_exc",
-                F.col("_loss").cast("double")
-                - F.col("_wl").cast("double") / F.col("_w").cast("double"),
-            )
-            .withColumn("_x", F.max(F.abs(F.col("_exc"))).over(wall))
-            .withColumn(
-                "_w1",
-                F.when(
-                    F.col("_x") > 0,
-                    F.round(
-                        F.col("weight_nano").cast("double")
-                        * (
-                            F.lit(1.0)
-                            + F.lit(float(eta)) * F.col("_exc") / F.col("_x")
-                        )
-                    ).cast("long"),
-                ).otherwise(F.col("weight_nano")),
-            )
-            .withColumn(
-                "_s", F.sum(F.col("_w1").cast("decimal(38,0)")).over(wall)
-            )
-            .select(
-                "domain",
-                "_loss",
-                F.round(
-                    F.col("_w1").cast("double")
-                    * (
-                        F.col("_n").cast("double")
-                        * F.lit(1e9)
-                        / F.col("_s").cast("double")
-                    )
-                )
-                .cast("long")
-                .alias("weight_nano"),
-            )
+        lay1 = cur.select(
+            "domain",
+            "_loss",
+            "weight_nano",
+            F.expr(
+                "SUM(CAST(weight_nano AS DECIMAL(38,0))"
+                " * CAST(_loss AS DECIMAL(38,0))) OVER ()"
+            ).alias("_wl"),
+            F.expr("SUM(CAST(weight_nano AS DECIMAL(38,0))) OVER ()").alias(
+                "_w"
+            ),
+            F.expr("COUNT(1) OVER ()").alias("_n"),
+        )
+        lay2 = lay1.select(
+            "domain",
+            "_loss",
+            "weight_nano",
+            "_n",
+            F.expr(exc).alias("_exc"),
+            F.expr(f"MAX(ABS{exc}) OVER ()").alias("_x"),
+        )
+        w1 = (
+            "(CASE WHEN _x > 0 THEN"
+            " CAST(ROUND(CAST(weight_nano AS DOUBLE)"
+            f" * (1.0D + {eta_d} * _exc / _x)) AS BIGINT)"
+            " ELSE weight_nano END)"
+        )
+        cur = lay2.select(
+            "domain",
+            "_loss",
+            F.expr(
+                f"CAST(ROUND(CAST({w1} AS DOUBLE)"
+                " * (CAST(_n AS DOUBLE) * 1000000000.0D"
+                f" / CAST(SUM(CAST({w1} AS DECIMAL(38,0))) OVER ()"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("weight_nano"),
         )
     return cur.select("domain", "weight_nano")

@@ -754,8 +754,13 @@ def compact_postings(
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
         .collect()[0]
     )
+    # driver-side sidecar read (r13): the stats file is a <1 KB
+    # one-row text dir; a spark.read.text scan cost one scheduled
+    # job per compaction
+    from ..functions.similarity import _read_sidecar_text
+
     prev = __import__("json").loads(
-        spark.read.text(store_path + "/_postings_stats").collect()[0][0]
+        _read_sidecar_text(spark, store_path + "/_postings_stats")
     )
     _write_postings_stats(
         spark,
