@@ -72,7 +72,17 @@ def dot_unrolled(a_name: str, b_name: str, dim: int) -> Column:
     codegens). Out-of-range/NULL elements null the sum exactly as
     the fold's null-propagating add does. Use when the vector width
     is statically known (e.g. from the centroid table); fall back to
-    :func:`dot` otherwise."""
+    :func:`dot` otherwise.
+
+    PRECONDITION (ADVICE r13): both arrays must be exactly ``dim``
+    wide. A WIDER array silently truncates to ``dim`` terms (the fold
+    scored the full zip_with width), and under
+    ``spark.sql.ansi.enabled=true`` an out-of-bounds index RAISES
+    where the fold null-dropped the pair — callers that cannot
+    guarantee the width must gate the expression on
+    ``size(a) = dim AND size(b) = dim`` (as ``_pairs_within_cells``
+    and the contrastive scorer do) so malformed rows drop exactly
+    like the fold's null propagation."""
     terms = "".join(
         f"+CAST({a_name}[{i}] AS DOUBLE)*CAST({b_name}[{i}] AS DOUBLE)"
         for i in range(int(dim))
@@ -614,18 +624,31 @@ def ivf_topk_from_store(
     )
 
 
-#: (path, store-dir mtime) -> StructType. Metadata only — never rows
-#: or results. See _read_store.
+#: (path, dir mtime, top-level (name, len) listing) -> StructType.
+#: Metadata only — never rows or results. See _read_store.
 _STORE_SCHEMA_CACHE: dict = {}
 
 
-def _store_mtime(spark, path: str) -> int:
-    """Modification time of the store's top directory via the Hadoop
-    FileSystem API (works on any supported fs, not just local)."""
+def _store_key(spark, path: str) -> tuple:
+    """Content-derived cache key for a store directory (ADVICE r13:
+    directory mtime alone has 1 s granularity on many filesystems, so
+    a store overwritten with a different schema within the same second
+    could serve a stale cached schema). The key adds the sorted
+    (name, length) listing of the directory's top-level entries —
+    ``mode("overwrite")`` rewrites produce new part names/sizes, so a
+    same-second rewrite changes the key. One listStatus per probe,
+    the same metadata round-trip ``_read_sidecar_text`` already pays."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return int(fs.getFileStatus(jpath).getModificationTime())
+    mtime = int(fs.getFileStatus(jpath).getModificationTime())
+    listing = tuple(
+        sorted(
+            (st.getPath().getName(), int(st.getLen()))
+            for st in fs.listStatus(jpath)
+        )
+    )
+    return (path, mtime, listing)
 
 
 def _read_sidecar_text(spark, dir_path: str):
@@ -634,7 +657,14 @@ def _read_sidecar_text(spark, dir_path: str):
     API — no Spark job (r13 optimization: each store probe paid a
     whole scheduled job, ~0.2 s, to read a <1 KB metadata file).
     Falls back to ``spark.read.text`` on any surprise (exotic fs,
-    multi-part or compressed sidecars)."""
+    multi-part or compressed sidecars). The fast path only accepts a
+    line that parses as JSON — every caller stores JSON, and a
+    COMPRESSED single part file (``part-*.txt.gz``) would otherwise
+    pass the name filter, decode to garbage without raising, and
+    crash the caller's ``json.loads`` instead of falling back to the
+    codec-aware ``spark.read.text`` (ADVICE r13)."""
+    import json
+
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
@@ -655,6 +685,7 @@ def _read_sidecar_text(spark, dir_path: str):
                 stream.close()
             line = text.splitlines()[0] if text else ""
             if line:
+                json.loads(line)  # compressed/garbled -> fallback
                 return line
     except Exception:  # noqa: BLE001 - any surprise -> job fallback
         pass
@@ -667,17 +698,19 @@ def _read_store(spark, path: str) -> DataFrame:
     disk — the input frame had no rows at write time) into a clear
     error.
 
-    The store SCHEMA is memoized per (path, store-directory mtime)
-    so re-probing the same store — the serving shape — skips the
-    per-call footer/schema inference (~0.1 s on local fs, more on
-    object stores). ``mode("overwrite")`` recreates the directory,
-    so a rewrite invalidates the entry; only metadata is cached,
-    every probe still scans the parquet itself."""
+    The store SCHEMA is memoized per (path, dir mtime, top-level
+    (name, len) listing — see :func:`_store_key`) so re-probing the
+    same store — the serving shape — skips the per-call footer/schema
+    inference (~0.1 s on local fs, more on object stores).
+    ``mode("overwrite")`` recreates the directory with fresh part
+    names, so a rewrite invalidates the entry even within mtime
+    granularity; only metadata is cached, every probe still scans
+    the parquet itself."""
     from pyspark.errors import AnalysisException
 
     key = None
     try:
-        key = (path, _store_mtime(spark, path))
+        key = _store_key(spark, path)
         cached = _STORE_SCHEMA_CACHE.get(key)
         if cached is not None:
             return spark.read.schema(cached).parquet(path)
@@ -810,7 +843,8 @@ def _cell_pair_plan(
     max_salt: int,
     id_is_integral: bool,
     fn: str,
-) -> tuple[str, DataFrame]:
+    extra_aggs: list | None = None,
+) -> tuple:
     """Backend resolution AND per-cell salt widths from ONE count
     aggregate over the cell assignment, collected driver-side (the
     cell space is bounded by the caller's centroid/bucket count, so
@@ -828,13 +862,21 @@ def _cell_pair_plan(
     always resolve to ``expr`` (the Arrow kernels require integral
     ids). Salt width per cell:
     ``s = clamp(ceil(n / max_cell_rows), 1, max_salt)`` — 1 for
-    every cell under the bound, so normal cells keep one block."""
+    every cell under the bound, so normal cells keep one block.
+
+    ``extra_aggs`` (r14, guide §1.2/§5): additional per-cell
+    aggregate columns to ride the SAME single pass — callers that
+    would otherwise schedule another aggregate job over the
+    assignment (e.g. contrastive negative mining) fuse it here for
+    free. The collected per-cell rows come back as the 4th element."""
     from pyspark.sql import types as T
 
     if backend not in ("auto", "expr", "arrow"):
         raise ValueError(f"{fn}: unknown backend {backend!r}")
     counts = (
-        scored.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).collect()
+        scored.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"), *(extra_aggs or []))
+        .collect()
     )
     if backend == "auto":
         mx = max((r["_n"] for r in counts), default=0)
@@ -870,7 +912,7 @@ def _cell_pair_plan(
     repl_rows = sum(
         int(r["_n"]) * s for r, (_, s) in zip(counts, widths)
     )
-    return backend, salt, repl_rows
+    return backend, salt, repl_rows, counts
 
 
 #: Spark byte-size spellings: '10485760', '10485760b', '10m', '10mb', '-1'
@@ -908,14 +950,31 @@ def _pair_join_parallel(
             thresh = -1
     except Exception:  # unparseable spelling -> keep the SMJ path
         return l, r, False
+    # row-width estimate: 8·dim vector doubles + 80 bytes of fixed
+    # overhead (id, norm, salt ints, object headers). Sound only for
+    # FIXED-WIDTH id columns — arbitrary string ids (legal on the
+    # expr backend) could make it an order-of-magnitude undercount
+    # (ADVICE r13), so those keep the sort-merge path.
+    from pyspark.sql import types as T
+
+    id_type = r.schema[r.columns[1]].dataType
+    if not isinstance(
+        id_type,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DateType, T.TimestampType,
+        ),
+    ):
+        return l, r, False
     est_bytes = repl_rows * (8 * int(dim) + 80)
     if thresh <= 0 or est_bytes > thresh:
         return l, r, False
     sc = l.sparkSession.sparkContext
     p = sc.defaultParallelism
     if l.rdd.getNumPartitions() < p:
-        # hash on the first (id) column: corpus-cardinality key ->
-        # even spread (guide §2.5), deterministic under task retry
+        # hash on the second (id) column (columns[0] is 'cell'):
+        # corpus-cardinality key -> even spread (guide §2.5),
+        # deterministic under task retry
         l = l.repartition(p, l.columns[1])
     return l, F.broadcast(r), True
 
@@ -1050,7 +1109,7 @@ def _pairs_within_cells(
     ``a < b``. The expr path scores each block with the byte-stable
     JVM fold join; the arrow path scores each block with one blocked
     BLAS gemm task."""
-    backend, salt, repl_rows = _cell_pair_plan(
+    backend, salt, repl_rows, _ = _cell_pair_plan(
         scored,
         backend,
         arrow_cell_threshold,
@@ -1113,12 +1172,19 @@ def _pairs_within_cells(
     )
     denom = F.col("_na") * F.col("_nb")
     # statically-known width -> flat codegen'd sum; the interpreted
-    # fold only remains for dynamic-width callers (see dot_unrolled)
-    pdot = (
-        dot_unrolled("ea", "eb", dim)
-        if dim
-        else dot(F.col("ea"), F.col("eb"))
-    )
+    # fold only remains for dynamic-width callers (see dot_unrolled).
+    # The size gate (ADVICE r13) makes malformed-width rows NULL the
+    # score and DROP — the fold's own null-padding behavior — instead
+    # of silently truncating, and keeps the indexed reads in-bounds
+    # under ANSI mode. Two O(1) size() reads per pair vs a dim-term
+    # sum: noise.
+    if dim:
+        widths_ok = (F.size("ea") == int(dim)) & (
+            F.size("eb") == int(dim)
+        )
+        pdot = F.when(widths_ok, dot_unrolled("ea", "eb", dim))
+    else:
+        pdot = dot(F.col("ea"), F.col("eb"))
     pscore = F.round(
         F.when(denom > 0, pdot / denom).otherwise(F.lit(0.0)),
         9,
@@ -1505,9 +1571,9 @@ def contrastive_pairs(
     come from ONE shuffle on ``cell`` (intra-cell quadratic — the
     SemDeDup cost model; size ``n_cells`` so |cell| stays
     join-friendly) followed by a per-anchor WindowGroupLimit top-1;
-    negatives are TWO tiny aggregates (global min-by, then min-by
-    over cells differing from the first winner) broadcast back — no
-    corpus-scale randomness join.
+    negatives ride the salt-width per-cell pass (each cell's min-md5
+    row; the two winners fold in as driver literals — r14) — no
+    extra aggregate jobs, no corpus-scale randomness join.
 
     ``backend="auto"`` (default) resolves exactly like
     :func:`semantic_dedup`: one eager count over the cell assignment
@@ -1566,7 +1632,16 @@ def contrastive_pairs(
         # caller unpersists it through this handle
         cache_registry.append(assigned)
     scored = assigned.select("cell", "vec_id", "e", "_nv")
-    backend, salt, repl_rows = _cell_pair_plan(
+    # negative mining rides the salt-width pass (r14, guide §1.2/§5):
+    # the deterministic cross-cell negative needs only each cell's
+    # min-md5 row, so aggregate it per cell in the SAME job that
+    # sizes the salts and pick the two winners driver-side — the
+    # former in-plan m1/m2 aggregates cost two more scans of the
+    # cached assignment plus their broadcast jobs per run.
+    hkey = F.md5(
+        F.concat(F.lit(str(seed)), F.col("vec_id").cast("string"))
+    )
+    backend, salt, repl_rows, cells = _cell_pair_plan(
         scored,
         backend,
         arrow_cell_threshold,
@@ -1574,6 +1649,18 @@ def contrastive_pairs(
         max_salt,
         _integral_id_ok(df, id_col),
         "contrastive_pairs",
+        extra_aggs=[
+            F.min_by(F.col("vec_id"), hkey).alias("_nid"),
+            F.min(hkey).alias("_nh"),
+        ],
+    )
+    # same winners as the former global aggregates: m1 = the min-md5
+    # row corpus-wide; m2 = the min-md5 row among OTHER cells (md5 of
+    # distinct ids never collides, so ties are impossible)
+    ranked = sorted(cells, key=lambda r: r["_nh"])
+    n1, c1 = (ranked[0]["_nid"], ranked[0]["cell"]) if ranked else (None, None)
+    n2 = next(
+        (r["_nid"] for r in ranked if r["cell"] != c1), None
     )
     if backend == "arrow":
         _require_integral_id(scored, "vec_id", "contrastive_pairs")
@@ -1588,7 +1675,7 @@ def contrastive_pairs(
             )
         )
         return _contrastive_negatives(
-            assigned, _reduce_hardest_positive(partial), seed
+            assigned, _reduce_hardest_positive(partial), n1, c1, n2
         )
     # expr path: ORDERED salt blocks — every ordered (anchor, cand)
     # pair lands in exactly block (ga(anchor), gb(cand)), so the
@@ -1630,11 +1717,15 @@ def contrastive_pairs(
     )
     denom = F.col("_na") * F.col("_nb")
     # centroids fix the vector width -> flat codegen'd sum instead of
-    # the interpreted fold on every candidate pair (see dot_unrolled)
+    # the interpreted fold on every candidate pair (see dot_unrolled);
+    # size-gated like _pairs_within_cells so malformed-width rows
+    # NULL out (the fold's null-pad behavior) instead of truncating
+    _cdim = len(centroids[0])
+    _wok = (F.size("ea") == _cdim) & (F.size("eb") == _cdim)
     pcos = F.round(
         F.when(
             denom > 0,
-            dot_unrolled("ea", "eb", len(centroids[0])) / denom,
+            F.when(_wok, dot_unrolled("ea", "eb", _cdim)) / denom,
         ).otherwise(F.lit(0.0)),
         9,
     )
@@ -1654,42 +1745,32 @@ def contrastive_pairs(
             F.round(F.col("_pc"), 6).alias("pos_cos"),
         )
     )
-    return _contrastive_negatives(assigned, pos, seed)
+    return _contrastive_negatives(assigned, pos, n1, c1, n2)
 
 
 def _contrastive_negatives(
-    assigned: DataFrame, pos: DataFrame, seed: int
+    assigned: DataFrame, pos: DataFrame, n1, c1, n2
 ) -> DataFrame:
     """Shared tail of :func:`contrastive_pairs`: deterministic
     cross-cell negatives — winner #1 = global min-md5 row; winner #2
     = min-md5 row among cells other than #1's. A cell's negative is
-    #1 unless the anchor shares #1's cell, then #2. Two keys-agnostic
-    single-row aggregates, broadcast back."""
-    hkey = F.md5(
-        F.concat(F.lit(str(seed)), F.col("vec_id").cast("string"))
-    )
-    m1 = assigned.agg(
-        F.min_by(F.struct("vec_id", "cell"), hkey).alias("m1")
-    ).select(
-        F.col("m1.vec_id").alias("_n1"), F.col("m1.cell").alias("_c1")
-    )
-    m2 = (
-        assigned.crossJoin(F.broadcast(m1))
-        .filter(F.col("cell") != F.col("_c1"))
-        .agg(F.min_by(F.col("vec_id"), hkey).alias("_n2"))
-    )
+    #1 unless the anchor shares #1's cell, then #2. The winners are
+    driver-computed LITERALS from the fused per-cell pass (r14): the
+    former in-plan m1/m2 aggregates re-scanned the assignment twice
+    and broadcast two one-row tables per run."""
+    id_t = assigned.schema["vec_id"].dataType
+    lit1 = F.lit(n1).cast(id_t)
+    lit2 = F.lit(n2).cast(id_t)
     return (
         assigned.select("vec_id", "cell")
         .join(pos, "vec_id", "left")
-        .crossJoin(F.broadcast(m1))
-        .crossJoin(F.broadcast(m2))
         .select(
             "vec_id",
             "cell",
             "pos_id",
             "pos_cos",
-            F.when(F.col("cell") != F.col("_c1"), F.col("_n1"))
-            .otherwise(F.col("_n2"))
+            F.when(F.col("cell") != F.lit(c1), lit1)
+            .otherwise(lit2)
             .alias("neg_id"),
         )
     )
@@ -2110,6 +2191,21 @@ def quantized_topk(
             f"aggregate(zip_with(codes, {arr}, "
             "(x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        # keep the r6 guarantee on the trusted fast path too (ADVICE
+        # r13): if the store's codes ever disagree with the sidecar
+        # the caller validated against (partial rewrite, mixed writer
+        # versions), RAISE instead of letting zip_with NULL-pad and
+        # silently sort mismatched rows last. One O(1) size() read
+        # per row, no extra job.
+        idot = F.when(F.size("codes") == len(q), idot).otherwise(
+            F.raise_error(
+                F.lit(
+                    "quantized_topk: store code width != validated "
+                    f"query dimension {len(q)} — store and sidecar "
+                    "disagree (partial rewrite?)"
+                )
+            ).cast("bigint")
         )
         cn = F.sqrt(
             F.expr(

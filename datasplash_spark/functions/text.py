@@ -474,7 +474,16 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= int(min_count))
     )
-    n_big = bigrams.agg(F.count(F.lit(1)).alias("n_big"))
+    # total bigrams WITHOUT a second explode pass (r14, guide §2.3):
+    # each doc contributes exactly max(|l| - 1, 0) bigrams — the
+    # zip-shift's own length — so the corpus total is one arithmetic
+    # aggregate over the persisted narrow token arrays instead of a
+    # full re-explode + count of the bigram stream. Exact identity.
+    n_big = toklists.agg(
+        F.sum(
+            F.greatest(F.size("l") - 1, F.lit(0)).cast("long")
+        ).alias("n_big")
+    )
     ua = uni.select(F.col("term").alias("ta"), F.col("c").alias("ca"))
     ub = uni.select(F.col("term").alias("tb"), F.col("c").alias("cb"))
     # the PMI argument is an explicit division chain mirrored verbatim
@@ -1083,6 +1092,13 @@ def bm25_scores(
 
     - tf table: explode → one partial-agg shuffle on (doc, term);
       document lengths fall out of the same exploded scan.
+    - doc length and df both DERIVE from the tf table
+      (``dl = Σ_term tf`` — the identity, exact integers), so the
+      corpus is tokenized exactly ONCE: every aggregate shares the
+      tf exchange (ReusedExchange), where the direct
+      ``toks.groupBy(doc_id)`` form re-ran the tokenize explode as a
+      second full map side (r14, guide §2.3/§2.4 — at 100 TB the
+      tokenize explode is the dominant cost and must run once).
     - the query is a literal handful of terms — the inner join on
       term is an AQE broadcast that prunes the tf table to matching
       postings BEFORE the per-doc shuffle (an inverted-index probe:
@@ -1097,7 +1113,7 @@ def bm25_scores(
         _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
@@ -1161,7 +1177,10 @@ def bm25_batch(
         _col(id_col).alias("doc_id"), F.explode(tokens(text)).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl = Σ_term tf (exact identity): every aggregate derives from
+    # the ONE tf exchange — the corpus tokenizes once (see
+    # bm25_scores, r14)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))

@@ -45,6 +45,29 @@ def _stage_rows(spark):
     return out
 
 
+def _job_rows(spark):
+    """Per-JOB rows from the AppStatusStore (guide §1.2/§5: on
+    multi-action pipelines the bench wall is often JOB-COUNT latency,
+    not stage work — list every scheduled job with its wall span so
+    fusible/removable actions are visible)."""
+    store = spark._jsparkSession.sparkContext().statusStore()
+    out = {}
+    it = store.jobsList(None).iterator()
+    while it.hasNext():
+        jd = it.next()
+        sub = jd.submissionTime()
+        end = jd.completionTime()
+        t0 = sub.get().getTime() if sub.isDefined() else None
+        t1 = end.get().getTime() if end.isDefined() else None
+        out[jd.jobId()] = (
+            t0,
+            t1,
+            str(jd.name() or "")[:100],
+            jd.numTasks(),
+        )
+    return out
+
+
 def _hygiene(spark):
     try:
         spark.catalog.clearCache()
@@ -65,6 +88,10 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--jobs", action="store_true",
+                    help="print the per-job breakdown of the last rep")
+    ap.add_argument("--plan-dir", default="r13",
+                    help="plans/<dir> for --tag output")
     args = ap.parse_args()
 
     spark = make_session(PipelineOptions(
@@ -84,7 +111,7 @@ def main() -> int:
         fn = qs[name]
         df = fn(spark, args.sf_dir)
         if args.tag:
-            plan_dir = os.path.join(HERE, "plans", "r13")
+            plan_dir = os.path.join(HERE, "plans", args.plan_dir)
             os.makedirs(plan_dir, exist_ok=True)
             buf = io.StringIO()
             with redirect_stdout(buf):
@@ -95,10 +122,27 @@ def main() -> int:
         walls = []
         for rep in range(args.reps):
             pre = _stage_rows(spark)
+            pre_jobs = _job_rows(spark) if args.jobs else {}
             t0 = time.time()
             n = fn(spark, args.sf_dir).count()
             dt = time.time() - t0
             post = _stage_rows(spark)
+            if args.jobs and rep == args.reps - 1:
+                post_jobs = _job_rows(spark)
+                new_jobs = {
+                    k: v for k, v in post_jobs.items() if k not in pre_jobs
+                }
+                base = min(
+                    (v[0] for v in new_jobs.values() if v[0]), default=0
+                )
+                print(f"   {len(new_jobs)} jobs:")
+                for jid, (s0, s1, nm, nt) in sorted(new_jobs.items()):
+                    off = (s0 - base) / 1e3 if s0 else -1
+                    span = (s1 - s0) / 1e3 if s0 and s1 else -1
+                    print(
+                        f"   job {jid:4d} @+{off:6.2f}s {span:6.3f}s "
+                        f"tasks={nt:4d}  {nm}"
+                    )
             walls.append(dt)
             cpu = sum(v[1] - pre.get(k, (0, 0, 0, ""))[1]
                       for k, v in post.items()) / 1e9
