@@ -873,11 +873,26 @@ def _cell_pair_plan(
 
     if backend not in ("auto", "expr", "arrow"):
         raise ValueError(f"{fn}: unknown backend {backend!r}")
-    counts = (
-        scored.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("_n"), *(extra_aggs or []))
-        .collect()
-    )
+    # AQE off for THIS bounded collect only (r14, guide §1.2 step 3):
+    # it is a partial-aggregated K-row result (K = the caller's
+    # centroid/bucket count), so adaptive re-planning has nothing to
+    # coalesce or skew-split at any scale, while its query-stage
+    # materialization costs one extra scheduled job per call
+    # (measured: 2 jobs -> 1, ~0.1-0.2 s off every pair-stage query).
+    # The flag is restored in `finally`; note it is session-visible,
+    # so a multi-threaded driver submitting concurrent jobs during
+    # this collect would plan those without AQE.
+    spark = scored.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        counts = (
+            scored.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"), *(extra_aggs or []))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     if backend == "auto":
         mx = max((r["_n"] for r in counts), default=0)
         backend = (

@@ -174,6 +174,43 @@ def make_session(options: PipelineOptions | None = None) -> SparkSession:
     return spark
 
 
+#: (path, mtime, size-or-listing) -> StructType. Metadata only (the
+#: same discipline as the ANN-store schema memo in
+#: functions/similarity.py): every read still scans the parquet; a
+#: rewrite changes mtime/size/part names and invalidates the entry.
+_TABLE_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the SCHEMA memoized per file
+    content-key (r14, guide §1.2/§6): schema inference runs a
+    driver-side footer-read job per call, and the bench profile shows
+    that job as the first ~30-100 ms of EVERY query — one fixed cost
+    per table load that the memo removes for repeat loads of an
+    unchanged file. Falls back to plain inference on any fs surprise."""
+    key = None
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            listing = tuple(sorted(
+                (e.name, e.stat().st_size) for e in os.scandir(path)
+            ))
+            key = (path, int(st.st_mtime_ns), listing)
+        else:
+            key = (path, int(st.st_mtime_ns), st.st_size)
+        cached = _TABLE_SCHEMA_CACHE.get(key)
+        if cached is not None:
+            return spark.read.schema(cached).parquet(path)
+    except OSError:  # exotic fs / remote path -> plain inference
+        key = None
+    df = spark.read.parquet(path)
+    if key is not None:
+        if len(_TABLE_SCHEMA_CACHE) > 64:
+            _TABLE_SCHEMA_CACHE.clear()
+        _TABLE_SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
@@ -195,7 +232,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet_memo(spark, path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -207,7 +244,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _read_parquet_memo(spark, path)
 
 
 def spread_scan(df: DataFrame, *keys: str) -> DataFrame:

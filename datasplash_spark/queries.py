@@ -1138,8 +1138,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE application: segment every document with the pinned
     8-merge list via the leftmost-greedy merge fold (text.bpe_apply
     — pure Column, one codegen'd scan). Gate compares the full
-    (doc_id, subword) multiset."""
-    docs = _t(spark, sf_dir, "documents")
+    (doc_id, subword) multiset. Spread-loaded (r14): the merge fold
+    is per-row heavy and single-consumer, so the core-width spread
+    wins here (interleaved A/B min 1.30 -> 1.02 s) where the
+    multi-consumer bm25/collocations family measured the opposite
+    (their one-task tokenize is shared via exchange reuse; the
+    spread makes it recompute per consumer)."""
+    docs = _ts(spark, sf_dir, "documents", "doc_id")
     out = tx.bpe_apply(docs, _BPE_MERGES)
     return out.select("doc_id", F.explode("subwords").alias("subword"))
 
@@ -8832,8 +8837,16 @@ _R10_OVERFLOW: list[str] = _GREEN_R10[
     50 - len(_NEW_R13) - len(_R9_OVERFLOW):
 ]
 
+#: round-14 rotation (the r13 artifact landed, so the r13 head is the
+#: freshest class and rotates to the back): greedy-by-staleness head =
+#: the 24 r10-green overflow queries (staleness 4) + the first 26
+#: r11-greens (staleness 3 — equal-staleness split, the rest follow
+#: immediately after the window).
+_WINDOW_HEAD_R14: list[str] = _R10_OVERFLOW + _GREEN_R11[:26]
+_R11_OVERFLOW: list[str] = _GREEN_R11[26:]
+
 _ORDER: list[str] = (
-    _WINDOW_HEAD_R13 + _R10_OVERFLOW + _GREEN_R11 + _GREEN_R12
+    _WINDOW_HEAD_R14 + _R11_OVERFLOW + _GREEN_R12 + _WINDOW_HEAD_R13
 )
 if len(_ORDER) != len(set(_ORDER)):
     raise RuntimeError("registry _ORDER contains duplicates")

@@ -104,7 +104,26 @@ def main() -> int:
     warm = spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
     warm.groupBy("l_returnflag").count().count()
     cpus = spark.sparkContext.defaultParallelism
-    spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
+
+    def _worker_warm(it):
+        import importlib
+
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for m in (
+            "calendar", "charset", "code", "doctext", "eml", "exif",
+            "feeds", "flac", "gifbmp", "jpeg", "latex", "logtext",
+            "markdown", "mp3ogg", "mp4", "multimodal", "notebook",
+            "office", "pdf", "pdfcrypt", "rtf", "similarity",
+            "subtitles", "tabular", "text", "tiff", "web", "wikitext",
+        ):
+            importlib.import_module(f"datasplash_spark.functions.{m}")
+        importlib.import_module("datasplash_spark.objectmode")
+        importlib.import_module("datasplash_spark.sources.archives")
+        yield from it
+
+    spark.range(0, cpus, 1, cpus).mapInPandas(_worker_warm, "id long").count()
 
     qs = Q.queries()
     for name in args.names:

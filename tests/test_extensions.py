@@ -6487,3 +6487,116 @@ def test_av_pairing_through_disk_shards(spark, tmp_path):
     assert set(out) == {"d2", "d4"}
     assert all(r.paired and r.ok for r in out.values())
     assert out["d2"].kind == "srt" and out["d4"].kind == "srt"
+
+
+# ---------------------------------------------------------------------
+# round-14 optimization pins
+# ---------------------------------------------------------------------
+
+
+def test_contrastive_negatives_match_inplan_reference(spark):
+    """The r14 fused negative mining (per-cell min-md5 riding the
+    salt-width pass, winners folded in as driver literals) must pick
+    the EXACT winners the former in-plan m1/m2 aggregates picked:
+    m1 = global min-md5 row, m2 = min-md5 row among other cells."""
+    import hashlib
+
+    seed = 7
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_centroids(df, 4)
+    out = {
+        r.vec_id: r
+        for r in sim.contrastive_pairs(
+            df, centroids=cents, seed=seed
+        ).collect()
+    }
+    # reference: recompute the assignment + winners in pure Python
+    from datasplash_spark.functions.similarity import _pydot, _pynorm
+
+    def cos(a, b):
+        d = _pynorm(a) * _pynorm(b)
+        return round(_pydot(a, b) / d, 9) if d > 0 else 0.0
+
+    def cell_of(v):
+        scores = [(cos(v, c), -i) for i, c in enumerate(cents)]
+        best = max(scores)
+        return -best[1]
+
+    assign = {i: cell_of([float(x) for x in v]) for i, v in rows}
+    h = {
+        i: hashlib.md5(f"{seed}{i}".encode()).hexdigest()
+        for i, _ in rows
+    }
+    m1 = min(h, key=lambda i: h[i])
+    c1 = assign[m1]
+    others = [i for i in h if assign[i] != c1]
+    m2 = min(others, key=lambda i: h[i]) if others else None
+    for i, _ in rows:
+        expected = m1 if assign[i] != c1 else m2
+        assert out[i].neg_id == expected, (i, out[i].neg_id, expected)
+        assert out[i].cell == assign[i]
+
+
+def test_quantized_topk_trusted_raises_on_width_mismatch(spark):
+    """ADVICE r13: the trusted fast path must RAISE when the store's
+    code width disagrees with the validated query dimension instead
+    of NULL-padding and silently sorting mismatched rows last."""
+    codes = spark.createDataFrame(
+        [(1, [3, 4], 1.0), (2, [1, 2, 3], 1.0)],
+        "vec_id long, codes array<smallint>, scale double",
+    )
+    with pytest.raises(Exception, match="store and sidecar disagree"):
+        sim.quantized_topk(codes, [1, 2], k=2, trusted_dim=2).collect()
+
+
+def test_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """pipeline._read_parquet_memo caches ONLY the schema, keyed on
+    (path, mtime_ns, size/listing): rewriting the file with a new
+    schema must serve the new schema, not the memo."""
+    from datasplash_spark.pipeline import _read_parquet_memo
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1,)], "a long").toPandas().to_parquet(p)
+    assert _read_parquet_memo(spark, p).columns == ["a"]
+    import pandas as pd
+
+    pd.DataFrame({"b": [2], "c": [3]}).to_parquet(p)
+    assert sorted(_read_parquet_memo(spark, p).columns) == ["b", "c"]
+
+
+def test_sidecar_fastpath_requires_json(spark, tmp_path):
+    """ADVICE r13: a COMPRESSED single part file passes the name
+    filter but decodes to garbage through the raw-bytes fast path —
+    the JSON gate must reject it and fall back to the codec-aware
+    spark.read.text, which returns the real line."""
+    import gzip
+    import json
+
+    d = tmp_path / "_stats"
+    d.mkdir()
+    line = json.dumps({"n_buckets": 4})
+    (d / "part-00000.txt.gz").write_bytes(gzip.compress(line.encode()))
+    assert sim._read_sidecar_text(spark, str(d)) == line
+
+
+def test_pair_width_gate_drops_malformed_rows(spark):
+    """ADVICE r13: a vector WIDER than the centroid dimension must
+    DROP out of the pair stage (the fold's null-pad behavior), not
+    silently truncate to dim terms or raise under ANSI."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [1.0, 0.11]),
+            (3, [1.0, 0.1, 99.0]),  # malformed: wider than dim
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.semantic_dedup(
+        df, eps=0.5, centroids=cents, pair_backend="expr"
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # 1 and 2 pair up; 3 must stay a singleton (its own component)
+    assert by_id[1].component == by_id[2].component == 1
+    assert by_id[3].component == 3
