@@ -559,6 +559,15 @@ def lsh_candidate_pairs(
             from pyspark import StorageLevel
 
             banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+            # NOT eagerly materialized (r14, measured): AQE submits
+            # the self-join's two side exchanges concurrently against
+            # the cold cache, but BlockManager's per-block locking
+            # already serializes the signature compute (the second
+            # task blocks, then reads the cached block) — an explicit
+            # pre-count measured a wash-to-slightly-worse wall
+            # (interleaved warm A/B: lazy 1.13 s / 4.9 s cpu vs eager
+            # 1.25 s / 5.5 s cpu) because it adds a scheduled job
+            # without removing real work.
     return _pairs_from_banded(banded)
 
 
