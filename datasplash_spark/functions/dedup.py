@@ -996,10 +996,12 @@ def source_overlap(
 
     Scale shape (r13 optimization, guide §2.3 "shuffle keys and
     metadata instead of payloads" + §1.2 "the distributed
-    algorithm"): per-source distinct digests first (explode → one
-    16-byte md5 per (source, shingle), partial+final distinct — the
-    corpus collapses to vocab-sized digest sets). Then, instead of a
-    digest self-join (which multiplies every digest shared by ``m``
+    algorithm"): explode → one 16-byte md5 per (source, shingle),
+    then straight into a per-digest ``collect_set(source)`` whose
+    map-side partial aggregation dedups — the corpus collapses to
+    vocab-sized digest sets in ONE exchange (r14: the former separate
+    ``(src, digest).distinct()`` pass was redundant and cost a second
+    corpus-wide Exchange). Then, instead of a digest self-join (which multiplies every digest shared by ``m``
     sources into ``m²`` join rows — measured ~20 M intermediate rows
     and 15-20 s of executor CPU at sf0.1), each digest reduces to
     its sorted SOURCE SET (bounded by |sources| ≪ corpus, the
@@ -1018,11 +1020,16 @@ def source_overlap(
             F.explode(shingles(text, k)).alias("s"),
         )
         .select("src", F.unhex(F.md5("s")).alias("digest"))
-        .distinct()
     )
     # digest -> its sorted source SET; identical sets then collapse to
     # one counted row, so the quadratic pair expansion runs over the
-    # handful of distinct co-occurrence patterns, never over the vocab
+    # handful of distinct co-occurrence patterns, never over the vocab.
+    # r14: no (src, digest).distinct() stage before this — collect_set
+    # dedups by definition and its map-side partial aggregation already
+    # collapses duplicate (digest, src) observations to one set entry
+    # per digest per map partition, so the distinct only added a full
+    # extra Exchange (by (src, digest)) plus a corpus-wide aggregate
+    # pass for zero semantic effect.
     sets = (
         sd.groupBy("digest")
         .agg(F.sort_array(F.collect_set("src")).alias("_ss"))

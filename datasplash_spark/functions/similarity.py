@@ -624,9 +624,22 @@ def ivf_topk_from_store(
     )
 
 
-#: (path, dir mtime, top-level (name, len) listing) -> StructType.
+#: (path, dir mtime, top-level (name, len, mtime) listing) -> StructType.
 #: Metadata only — never rows or results. See _read_store.
 _STORE_SCHEMA_CACHE: dict = {}
+
+#: (applicationId, store key) -> the base DataFrame for the store.
+#: Caches FILE-LISTING metadata, not data: ``spark.read.parquet``
+#: builds a fresh InMemoryFileIndex per call — a full recursive
+#: listing of every partition directory, paid driver-side on EVERY
+#: probe of the serving loop (measured the dominant fixed cost of the
+#: 64-partition LSH store probe). Reusing the resolved relation
+#: reuses that listing; each probe still plans its own partition
+#: pruning and scans the parquet itself. Invalidation is the same
+#: content-derived key as the schema memo (rewrite OR in-place
+#: append changes it — see :func:`_store_key`); keyed additionally
+#: by applicationId because a DataFrame dies with its session.
+_STORE_DF_CACHE: dict = {}
 
 
 def _store_key(spark, path: str) -> tuple:
@@ -634,17 +647,27 @@ def _store_key(spark, path: str) -> tuple:
     directory mtime alone has 1 s granularity on many filesystems, so
     a store overwritten with a different schema within the same second
     could serve a stale cached schema). The key adds the sorted
-    (name, length) listing of the directory's top-level entries —
-    ``mode("overwrite")`` rewrites produce new part names/sizes, so a
-    same-second rewrite changes the key. One listStatus per probe,
-    the same metadata round-trip ``_read_sidecar_text`` already pays."""
+    (name, length, mtime) listing of the directory's top-level
+    entries — ``mode("overwrite")`` rewrites produce new part
+    names/sizes, and an ``append_*`` into an EXISTING ``cell=``/
+    ``bucket=``/``term_bucket=`` partition dir bumps that subdir's
+    mtime (adding an entry to a directory updates its mtime), so both
+    rewrite and in-place growth change the key (the latter matters
+    for the r14 file-listing memo below, which must never serve a
+    listing that misses appended part files). One listStatus per
+    probe, the same metadata round-trip ``_read_sidecar_text``
+    already pays."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     mtime = int(fs.getFileStatus(jpath).getModificationTime())
     listing = tuple(
         sorted(
-            (st.getPath().getName(), int(st.getLen()))
+            (
+                st.getPath().getName(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
             for st in fs.listStatus(jpath)
         )
     )
@@ -709,13 +732,23 @@ def _read_store(spark, path: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     key = None
+    df_key = None
     try:
         key = _store_key(spark, path)
+        df_key = (spark.sparkContext.applicationId, key)
+        cached_df = _STORE_DF_CACHE.get(df_key)
+        if cached_df is not None:
+            return cached_df
         cached = _STORE_SCHEMA_CACHE.get(key)
         if cached is not None:
-            return spark.read.schema(cached).parquet(path)
+            df = spark.read.schema(cached).parquet(path)
+            if len(_STORE_DF_CACHE) > 64:
+                _STORE_DF_CACHE.clear()
+            _STORE_DF_CACHE[df_key] = df
+            return df
     except Exception:  # noqa: BLE001 - fs oddity -> uncached path
         key = None
+        df_key = None
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
@@ -729,6 +762,9 @@ def _read_store(spark, path: str) -> DataFrame:
         if len(_STORE_SCHEMA_CACHE) > 64:
             _STORE_SCHEMA_CACHE.clear()
         _STORE_SCHEMA_CACHE[key] = df.schema
+        if len(_STORE_DF_CACHE) > 64:
+            _STORE_DF_CACHE.clear()
+        _STORE_DF_CACHE[df_key] = df
     return df
 
 

@@ -3623,6 +3623,40 @@ def test_append_postings_matches_union_inline(spark, tmp_path):
     assert inline == stored and len(inline) == 25
 
 
+def test_store_listing_memo_identity_and_append_invalidation(
+    spark, tmp_path
+):
+    """r14 probe optimization: ``_read_store`` memoizes the resolved
+    base relation (file listing + schema — METADATA only, never rows)
+    per content-derived store key, so the serving loop's repeated
+    probes skip the per-call recursive file listing. An in-place
+    append into an EXISTING partition directory must invalidate the
+    memo (each top-level entry's mtime is part of the key) so probes
+    never serve a listing that misses appended part files."""
+    vecs = [(i, [float(i + 1), 1.0, 0.5, -1.0]) for i in range(20)]
+    df = generate_input(
+        spark, vecs, "vec_id bigint, embedding array<double>"
+    )
+    store = str(tmp_path / "ivf_memo")
+    sim.materialize_ivf(df, store, n_cells=2)
+    d1 = sim._read_store(spark, store)
+    # memo hit: the SAME resolved relation (no re-listing)
+    assert sim._read_store(spark, store) is d1
+    n1 = d1.count()
+    import time as _time
+
+    _time.sleep(1.1)  # fs mtime granularity floor
+    extra = generate_input(
+        spark,
+        [(100 + i, [float(i + 1), 1.0, 0.5, -1.0]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    sim.append_ivf(extra, store, skip_existing_ids=False)
+    d2 = sim._read_store(spark, store)
+    assert d2 is not d1  # key changed -> fresh listing
+    assert d2.count() == n1 + 5  # appended rows visible
+
+
 def test_append_ivf_matches_full_build(spark, tmp_path):
     # appended vectors must be probe-visible with the SAME results as
     # a store built from the union (same centroids pin the layout)

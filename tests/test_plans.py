@@ -426,9 +426,15 @@ def test_source_overlap_sets_not_self_join(spark):
     assert "Join" not in plan, plan
     assert "collect_set" in plan
     assert "md5" in plan.lower()
-    # distinct before the set-collect: partial+final distinct
-    # aggregate pair plus the set/count/pair aggregates
+    # set-collect + pattern-count + pair-sum aggregates, each
+    # partial+final
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 4
+    # r14: the exploded digest stream feeds collect_set DIRECTLY —
+    # no separate (src, digest).distinct() exchange (collect_set's
+    # map-side partial agg dedups). 4 physical exchanges (spread
+    # repartition, digest set-collect, pattern count, pair sum), not
+    # 5; formatted mode prints each node twice (tree + details)
+    assert plan.count("Exchange") == 8, plan
     # pair expansion is a per-row Generate over the set table, never
     # a cartesian/broadcast product
     assert "Generate" in plan and "explode" in plan
